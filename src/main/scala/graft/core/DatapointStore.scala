@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical on-disk layout of the `datapoints` table (SURVEY §1.5).
+  *
+  * One schema for raw and downsampled rows: raw rows carry v_num/v_json
+  * (agg columns null); downsampled rows carry the ten aggregates
+  * (v_num/v_json null). Flat aggregate columns (not a struct) so Catalyst
+  * column pruning reaches the parquet reader per-downsampler — the
+  * reference's "only requested aggregates deserialized" trick (SURVEY §4).
+  *
+  * Partitioned by (granularity, ymd): granularity pruning reproduces the
+  * per-granularity collections, ymd + parquet min/max stats on `t`
+  * reproduce the timestamp-encoded-_id range scan.
+  */
+object DatapointStore {
+  val dataColumns: Seq[(String, DataType)] = Seq(
+    "stream_id" -> StringType,
+    "t" -> TimestampType,
+    "v_num" -> DoubleType,
+    "v_json" -> StringType,
+    "c" -> LongType,
+    "s" -> DoubleType,
+    "q" -> DoubleType,
+    "l" -> DoubleType,
+    "u" -> DoubleType,
+    "m" -> DoubleType,
+    "d" -> DoubleType,
+    "t_first" -> TimestampType,
+    "t_last" -> TimestampType,
+    "t_mean" -> TimestampType)
+
+  /** Full read schema incl. partition columns. */
+  val schema: StructType = StructType(
+    (dataColumns ++ Seq("granularity" -> StringType, "ymd" -> StringType))
+      .map { case (n, t) => StructField(n, t, nullable = true) })
+
+  /** Project `df` onto the canonical schema, nulling absent columns. */
+  def normalize(df: DataFrame): DataFrame = {
+    val cols = dataColumns.map { case (n, t) =>
+      if (df.columns.contains(n)) col(n).cast(t).as(n)
+      else lit(null).cast(t).as(n)
+    } :+ (if (df.columns.contains("granularity")) col("granularity")
+          else lit(null).cast(StringType).as("granularity"))
+    df.select(cols: _*).withColumn("ymd", date_format(col("t"), "yyyyMMdd"))
+  }
+
+  def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def append(df: DataFrame, path: String): Unit =
+    normalize(df).write.mode(SaveMode.Append)
+      .partitionBy("granularity", "ymd").parquet(path)
+
+  /** Atomically replace the table contents with `df` (write tmp + rename). */
+  def replace(df: DataFrame, path: String): Unit = {
+    val tmp = s"$path.graft-tmp"
+    normalize(df).write.mode(SaveMode.Overwrite)
+      .partitionBy("granularity", "ymd").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+  }
+}

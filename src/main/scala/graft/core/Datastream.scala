@@ -1,0 +1,479 @@
+package graft.core
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{Derive, Downsample}
+
+/** Spark-native re-design of the reference's frontend `Datastream` class
+  * (SURVEY.md §2.1, operators A1–A11; public wlanslovenija/datastream API —
+  * the reference checkout was empty, see SURVEY §0).
+  *
+  * Storage layout (SURVEY §1.5 mapping):
+  *  - `<root>/streams`     — parquet snapshot of [[graft.model.StreamDescriptor]] rows
+  *  - `<root>/datapoints`  — parquet partitioned by `granularity` (and `ymd`
+  *    date bucket), holding raw values at each stream's highest granularity
+  *    and the ten downsampled aggregates at every coarser ladder level.
+  *
+  * Scale design: stream *metadata* is a catalog (small, driver-cached like a
+  * metastore); all *datapoint* paths are distributed DataFrame jobs keyed by
+  * stream_id — appends, downsampling and derive operators run set-wise over
+  * every matched stream in one job, never one job per stream. Granularity
+  * partitioning + parquet min/max stats on `t` reproduce the reference's
+  * timestamp-encoded-_id range-scan pruning (SURVEY §4).
+  */
+class Datastream(val spark: SparkSession, val rootDir: String) {
+  import spark.implicits._
+
+  private val streamsPath = s"$rootDir/streams"
+  private val datapointsPath = s"$rootDir/datapoints"
+
+  // ---- catalog (stream metadata) -------------------------------------
+
+  /** Driver-side catalog cache; persisted to parquet on every mutation. */
+  private var catalog: Map[String, StreamDescriptor] = loadCatalog()
+
+  private def loadCatalog(): Map[String, StreamDescriptor] = {
+    val p = new java.io.File(streamsPath)
+    if (!p.exists()) Map.empty
+    else spark.read.parquet(streamsPath).as[StreamDescriptor]
+      .collect().map(d => d.stream_id -> d).toMap
+  }
+
+  private def persistCatalog(): Unit = {
+    val tmp = s"$streamsPath.tmp"
+    catalog.values.toSeq.toDS().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(streamsPath)
+    if (dst.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dst)
+    }
+    new java.io.File(tmp).renameTo(dst)
+  }
+
+  def streams: DataFrame =
+    if (catalog.isEmpty) spark.emptyDataset[StreamDescriptor].toDF()
+    else catalog.values.toSeq.toDS().toDF()
+
+  // ---- A1 ensure_stream ----------------------------------------------
+
+  def ensureStream(
+      queryTags: Map[String, String],
+      tags: Map[String, String] = Map.empty,
+      valueDownsamplers: Seq[String] = Downsamplers.allValueNames.toSeq.sorted,
+      highestGranularity: Granularity = Granularity.Seconds,
+      deriveFrom: Seq[String] = Nil,
+      deriveOp: Option[String] = None,
+      deriveArgs: Option[String] = None,
+      valueType: String = ValueType.Numeric,
+      timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted): String = {
+    if (!ValueType.all(valueType)) throw IncompatibleTypes(valueType)
+    if (valueType != ValueType.Numeric && valueDownsamplers.exists(_ != "count"))
+      throw UnsupportedDownsampler(
+        s"$valueType streams support only 'count', got ${valueDownsamplers.mkString(",")}")
+    Downsamplers.validateValue(valueDownsamplers)
+    Downsamplers.validateTime(timeDownsamplers)
+    deriveOp.foreach(DeriveOps.validate)
+    if (deriveOp.isDefined != deriveFrom.nonEmpty)
+      throw InvalidOperatorArguments("derive_op and derive_from must be set together")
+    deriveFrom.foreach { src =>
+      val d = catalog.getOrElse(src, throw StreamNotFound(src))
+      // a derived stream may not be finer-grained than any of its sources
+      if (highestGranularity.seconds < Granularity(d.highest_granularity).seconds)
+        throw IncompatibleGranularities(
+          s"derived ${highestGranularity.name} finer than source ${d.highest_granularity}")
+      if (deriveOp.contains(DeriveOps.CounterReset) ||
+          deriveOp.contains(DeriveOps.CounterDerivative) ||
+          deriveOp.contains(DeriveOps.Derivative)) {
+        if (d.value_type != ValueType.Numeric)
+          throw IncompatibleTypes(s"derive source $src is ${d.value_type}")
+      }
+    }
+
+    val existing = catalog.values.filter(d =>
+      queryTags.forall { case (k, v) => d.tags.get(k).contains(v) }).toList
+    existing match {
+      case d :: Nil =>
+        // immutable config — conflicting re-declaration is an error
+        if (d.value_downsamplers.toSet != valueDownsamplers.toSet ||
+            d.highest_granularity != highestGranularity.name ||
+            d.value_type != valueType ||
+            d.derive_from.toSet != deriveFrom.toSet ||
+            d.derive_op != deriveOp)
+          throw InconsistentStreamConfiguration(d.stream_id)
+        d.stream_id
+      case Nil =>
+        val id = UUID.randomUUID().toString
+        val allTags = queryTags ++ tags
+        val desc = StreamDescriptor(
+          stream_id = id,
+          tags = allTags,
+          tags_json = Json.toJson(allTags),
+          value_type = valueType,
+          value_downsamplers = valueDownsamplers,
+          time_downsamplers = timeDownsamplers,
+          highest_granularity = highestGranularity.name,
+          derive_from = deriveFrom,
+          derive_op = deriveOp,
+          derive_args = deriveArgs,
+          earliest_ts = None,
+          latest_ts = None)
+        catalog += id -> desc
+        persistCatalog()
+        id
+      case many => throw MultipleStreamsReturned(queryTags.toString)
+    }
+  }
+
+  // ---- A2/A3 append --------------------------------------------------
+
+  def append(streamId: String, value: Double, timestamp: Timestamp,
+      checkTimestamp: Boolean = true): Unit = {
+    val df = Seq((streamId, timestamp, value)).toDF("stream_id", "t", "v")
+    appendMultiple(df, checkTimestamp)
+  }
+
+  /** Bulk append — the engine's native shape. `df` columns:
+    * stream_id, t (timestamp), v (double, nullable) and optionally v_json.
+    * Timestamps are rounded to each stream's highest granularity; strict
+    * decreases versus the stream's last timestamp (or within the batch)
+    * raise [[InvalidTimestamp]] when `checkTimestamp`.
+    */
+  def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true): Unit = {
+    val ids = df.select("stream_id").distinct().as[String].collect()
+    ids.foreach { id =>
+      val d = catalog.getOrElse(id, throw StreamNotFound(id))
+      if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
+    }
+    val gSeconds = typedLit(catalog.collect {
+      case (id, d) => id -> Granularity(d.highest_granularity).seconds
+    })
+    val lastTs = typedLit(catalog.collect {
+      case (id, d) if d.latest_ts.isDefined => id -> d.latest_ts.get.getTime
+    })
+    val rounded = df
+      .withColumn("gsec", gSeconds(col("stream_id")))
+      .withColumn("t", timestamp_seconds(
+        floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
+      .drop("gsec")
+
+    if (checkTimestamp) {
+      // a strict decrease versus the stream's last stored timestamp is a
+      // monotonicity violation (the reference's check_timestamp=True path)
+      val bad = rounded
+        .withColumn("known_last", lastTs(col("stream_id")))
+        .where(col("known_last").isNotNull &&
+               unix_timestamp(col("t")) * 1000 < col("known_last"))
+        .select("stream_id").limit(1).collect()
+      if (bad.nonEmpty)
+        throw InvalidTimestamp(s"non-monotonic append for stream ${bad.head.getString(0)}")
+    }
+
+    val withJson = if (rounded.columns.contains("v_json")) rounded
+                   else rounded.withColumn("v_json", lit(null).cast("string"))
+    // store raw rows under the stream's highest granularity partition name
+    val gName = typedLit(catalog.map { case (id, d) => id -> d.highest_granularity })
+    val toWrite = withJson.select(
+        col("stream_id"),
+        gName(col("stream_id")).as("granularity"),
+        col("t"),
+        col("v").cast("double").as("v_num"),
+        col("v_json"))
+    DatapointStore.append(toWrite, datapointsPath)
+
+    // advance per-stream time bounds in the catalog
+    val bounds = rounded.groupBy("stream_id")
+      .agg(min("t").as("lo"), max("t").as("hi"))
+      .collect()
+    bounds.foreach { r =>
+      val id = r.getString(0)
+      val d = catalog(id)
+      val lo = r.getTimestamp(1); val hi = r.getTimestamp(2)
+      catalog += id -> d.copy(
+        earliest_ts = Some(d.earliest_ts.fold(lo)(e => if (e.before(lo)) e else lo)),
+        latest_ts = Some(d.latest_ts.fold(hi)(l => if (l.after(hi)) l else hi)))
+    }
+    persistCatalog()
+    deriveDependents(ids.toSet)
+  }
+
+  // ---- datapoints access ----------------------------------------------
+
+  private def datapointsExist: Boolean = {
+    val f = new java.io.File(datapointsPath)
+    f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
+  }
+
+  /** Raw scan of the datapoints table (all granularities). */
+  def datapoints: DataFrame =
+    if (!datapointsExist) DatapointStore.empty(spark)
+    else spark.read.parquet(datapointsPath)
+
+  /** Raw points of a set of streams at their highest granularity, shaped
+    * (stream_id, t, v) for the operators.
+    */
+  private def rawPoints(ids: Seq[String]): DataFrame = {
+    val gOf = catalog.filter(d => ids.contains(d._1))
+      .map { case (id, d) => id -> d.highest_granularity }
+    datapoints
+      .where(col("stream_id").isin(ids: _*) &&
+             col("granularity").isin(gOf.values.toSeq.distinct: _*))
+      .select(col("stream_id"), col("t"), col("v_num").as("v"))
+  }
+
+  // ---- A4 get_data ----------------------------------------------------
+
+  def getData(
+      streamId: String,
+      granularity: Granularity,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None,
+      startExclusive: Boolean = false,
+      endExclusive: Boolean = false,
+      reverse: Boolean = false,
+      valueDownsamplers: Option[Seq[String]] = None,
+      timeDownsamplers: Option[Seq[String]] = None): DataFrame = {
+    val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
+    val hg = Granularity(d.highest_granularity)
+    if (granularity.seconds < hg.seconds)
+      throw UnsupportedGranularity(
+        s"${granularity.name} finer than stream's highest ${hg.name}")
+    valueDownsamplers.foreach { vds =>
+      vds.foreach(n => if (!d.value_downsamplers.contains(n))
+        throw UnsupportedDownsampler(n))
+    }
+    timeDownsamplers.foreach { tds =>
+      tds.foreach(n => if (!d.time_downsamplers.contains(n))
+        throw UnsupportedDownsampler(n))
+    }
+    // partition pruning on granularity + parquet min/max pushdown on t
+    var q = datapoints
+      .where(col("granularity") === granularity.name && col("stream_id") === streamId)
+    start.foreach(s => q = q.where(
+      if (startExclusive) col("t") > s else col("t") >= s))
+    end.foreach(e => q = q.where(
+      if (endExclusive) col("t") < e else col("t") <= e))
+
+    val projected =
+      if (granularity.seconds == hg.seconds)
+        q.select(col("t"), col("v_num").as("v"), col("v_json"))
+      else {
+        val vds = valueDownsamplers.getOrElse(d.value_downsamplers)
+        val tds = timeDownsamplers.getOrElse(d.time_downsamplers)
+        val vCols = vds.map(n => col(Downsamplers.value(n)).as(n))
+        // time downsamplers keep the t_ prefix: the value downsampler `mean`
+        // would otherwise collide with the time downsampler `mean`
+        val tCols = tds.map(n => col(s"t_$n"))
+        q.select(col("t") +: (vCols ++ tCols): _*)
+      }
+    if (reverse) projected.orderBy(col("t").desc) else projected.orderBy(col("t"))
+  }
+
+  // ---- A5–A8 tags -----------------------------------------------------
+
+  def findStreams(queryTags: Map[String, String] = Map.empty): DataFrame = {
+    queryTags.foldLeft(streams) { case (df, (k, v)) =>
+      df.where(element_at(col("tags"), k) === v)
+    }
+  }
+
+  def findStreamIds(queryTags: Map[String, String]): Seq[String] =
+    catalog.values.filter(d =>
+      queryTags.forall { case (k, v) => d.tags.get(k).contains(v) })
+      .map(_.stream_id).toSeq
+
+  def getTags(streamId: String): Map[String, String] =
+    catalog.getOrElse(streamId, throw StreamNotFound(streamId)).tags
+
+  def updateTags(streamId: String, tags: Map[String, String]): Unit = {
+    val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
+    val merged = d.tags ++ tags
+    catalog += streamId -> d.copy(tags = merged, tags_json = Json.toJson(merged))
+    persistCatalog()
+  }
+
+  def removeTag(streamId: String, tag: String): Unit = {
+    val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
+    val t2 = d.tags - tag
+    catalog += streamId -> d.copy(tags = t2, tags_json = Json.toJson(t2))
+    persistCatalog()
+  }
+
+  def clearTags(streamId: String): Unit = {
+    val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
+    catalog += streamId -> d.copy(tags = Map.empty, tags_json = "{}")
+    persistCatalog()
+  }
+
+  // ---- A9 delete_streams ----------------------------------------------
+
+  def deleteStreams(queryTags: Map[String, String] = Map.empty): Int = {
+    val victims = findStreamIds(queryTags).toSet
+    if (victims.isEmpty) return 0
+    val dependents = catalog.values.filter(d =>
+      !victims(d.stream_id) && d.derive_from.exists(victims)).map(_.stream_id).toSeq
+    if (dependents.nonEmpty) throw OutstandingDependenciesError(dependents)
+    if (datapointsExist) {
+      val kept = datapoints.where(!col("stream_id").isin(victims.toSeq: _*))
+      DatapointStore.replace(kept, datapointsPath)
+    }
+    catalog --= victims
+    persistCatalog()
+    victims.size
+  }
+
+  // ---- A10 downsample_streams -----------------------------------------
+
+  /** Fold new raw datapoints into every coarser granularity for all matched
+    * streams — one distributed job per ladder level, finest→coarsest, each
+    * level folding from the previous level's partial aggregates
+    * (SURVEY §2.2 note a: c/s/q/l/u compose, m/d derive; the nested ladder
+    * means completed coarse buckets are exactly unions of completed finer
+    * buckets). Only completed buckets (bucket end <= until) are written.
+    */
+  def downsampleStreams(until: Timestamp,
+      queryTags: Map[String, String] = Map.empty): Unit = {
+    val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
+               else findStreamIds(queryTags))
+    if (ids.isEmpty || !datapointsExist) return
+    val hgOf = ids.map(id => id -> Granularity(catalog(id).highest_granularity)).toMap
+
+    // per target level: streams that need it, split by fold source
+    Granularity.ladder.drop(1).foreach { g =>
+      val needs = ids.filter(id => hgOf(id).seconds < g.seconds)
+      if (needs.nonEmpty) {
+        val prev = Granularity.ladder(Granularity.ladder.indexOf(g) - 1)
+        val (fromPartials, fromRaw) =
+          needs.partition(id => hgOf(id).seconds < prev.seconds)
+
+        // high-water mark per stream at this level = max materialized bucket
+        val existing = datapoints.where(col("granularity") === g.name &&
+            col("stream_id").isin(needs: _*))
+          .groupBy("stream_id").agg(max("t").as("hwm"))
+
+        def newBuckets(src: DataFrame): DataFrame = src
+          .join(broadcast(existing), Seq("stream_id"), "left")
+          .where(col("hwm").isNull ||
+                 unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
+          .drop("hwm")
+
+        val parts = Seq(
+          if (fromRaw.nonEmpty) {
+            val raw = datapoints.where(
+                col("stream_id").isin(fromRaw: _*) &&
+                col("granularity").isin(fromRaw.map(hgOf(_).name).distinct: _*))
+              .select(col("stream_id"), col("t"), col("v_num").as("v"))
+            Some(Downsample.toGranularity(newBuckets(raw), g, Some(until)))
+          } else None,
+          if (fromPartials.nonEmpty) {
+            val fine = datapoints.where(col("granularity") === prev.name &&
+                col("stream_id").isin(fromPartials: _*))
+              .select(col("stream_id"), col("t"), col("c"), col("s"), col("q"),
+                col("l"), col("u"), col("t_first"), col("t_last"), col("t_mean"))
+            val folded = Downsample.foldToCoarser(newBuckets(fine), g)
+              .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L))
+            Some(folded)
+          } else None
+        ).flatten
+
+        parts.reduceOption(_.unionByName(_)).foreach { out =>
+          DatapointStore.append(out, datapointsPath)
+        }
+      }
+    }
+  }
+
+  // ---- A11 backprocess + derive ---------------------------------------
+
+  /** Derived streams in dependency order (sources before dependents). */
+  private def derivedInOrder(ids: Set[String]): Seq[StreamDescriptor] = {
+    val derived = catalog.values.filter(_.derive_op.isDefined).toSeq
+    // topological: repeatedly take streams whose sources are not pending
+    var pending = derived.filter(d =>
+      d.derive_from.exists(ids) || ids(d.stream_id)).toList
+    var done = List.empty[StreamDescriptor]
+    var changed = true
+    while (pending.nonEmpty && changed) {
+      changed = false
+      val (ready, rest) = pending.partition(d =>
+        !d.derive_from.exists(src => pending.exists(_.stream_id == src)))
+      if (ready.nonEmpty) { done = done ++ ready; changed = true }
+      pending = rest
+    }
+    done
+  }
+
+  /** Recompute derived streams whose sources include any of `ids`
+    * (transitively). Batch semantics: deterministic full recompute of the
+    * derived stream from source history — idempotent overwrite of that
+    * stream's raw level. Incremental evaluation is the streaming mode's job
+    * (graft.streaming).
+    */
+  private def deriveDependents(ids: Set[String]): Unit = {
+    val order = derivedInOrder(ids).filterNot(d => ids(d.stream_id))
+    order.foreach(recomputeDerived)
+  }
+
+  def backprocessStreams(queryTags: Map[String, String] = Map.empty): Unit = {
+    val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
+               else findStreamIds(queryTags)).toSet
+    derivedInOrder(ids).foreach(recomputeDerived)
+  }
+
+  private def recomputeDerived(d: StreamDescriptor): Unit = {
+    val g = Granularity(d.highest_granularity)
+    val src = rawPoints(d.derive_from)
+    val result = (d.derive_op.get match {
+      case DeriveOps.Sum => Derive.streamSum(src, g, d.stream_id)
+      case DeriveOps.Derivative => Derive.derivative(src)
+      case DeriveOps.CounterReset => Derive.counterReset(src)
+      case DeriveOps.CounterDerivative =>
+        val maxValue = d.derive_args.flatMap(Json.numField(_, "max_value"))
+        val resetId = d.derive_args.flatMap(Json.strField(_, "reset_stream"))
+        // re-key reset events onto the (single) source stream's id so they
+        // land in the same per-stream window partition they must suppress
+        val srcId = d.derive_from.head
+        val reset = resetId.map(id => rawPoints(Seq(id))
+          .select(lit(srcId).as("stream_id"), col("t")))
+        Derive.counterDerivative(src, maxValue, reset)
+    }).withColumn("stream_id", lit(d.stream_id))
+    // idempotent replace: drop ALL of this derived stream's rows (raw and
+    // stale coarse levels) and re-add the recomputed raw level; coarser
+    // levels re-materialize on the next downsampleStreams call
+    if (datapointsExist) {
+      val kept = datapoints.where(col("stream_id") =!= d.stream_id)
+      val out = DatapointStore.normalize(result.select(
+        col("stream_id"), lit(g.name).as("granularity"), col("t"),
+        col("v").as("v_num")))
+      DatapointStore.replace(
+        DatapointStore.normalize(kept).unionByName(out), datapointsPath)
+    }
+  }
+}
+
+/** Minimal canonical-JSON helpers (flat objects only — nested tag docs are
+  * stored as the caller provides them).
+  */
+object Json {
+  def toJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+
+  private def field(json: String, name: String): Option[String] = {
+    val p = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\"\\s*:\\s*(\"([^\"]*)\"|[-0-9.eE+]+)").r
+    p.findFirstMatchIn(json).map(m =>
+      if (m.group(2) != null) m.group(2) else m.group(1))
+  }
+  def numField(json: String, name: String): Option[Double] =
+    field(json, name).flatMap(s => scala.util.Try(s.toDouble).toOption)
+  def strField(json: String, name: String): Option[String] = field(json, name)
+}

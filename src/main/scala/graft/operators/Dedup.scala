@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines (driver
+  * north-star scope; no counterpart in the reference — see SURVEY §2.4
+  * "north-star extras").
+  *
+  * Scale design:
+  *  - Exact dedup is a single hash-groupBy — one shuffle of (hash, id),
+  *    never of document text.
+  *  - Near-dup (MinHash+LSH) shuffles only fixed-size signatures and band
+  *    keys: per doc, `numHashes` longs + `bands` band rows, independent of
+  *    document length. Candidate generation is an equi-join on
+  *    (band, band_hash); only verified candidates re-join to shingle sets.
+  *  - Everything is codegen'd builtins (xxhash64, transform, slice) — no
+  *    UDFs in the hot path.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content hash -> duplicate count + representative
+    * (lowest) id. One shuffle of (16-byte hash, id).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
+           |          i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"""
+          .stripMargin)).as("shingles"))
+
+  /** MinHash signature per document: an array of `numHashes` minimum hash
+    * values. One base xxhash64 per shingle, then the hash family is
+    * xxhash64 re-mixed with the function index (ANSI-safe: no wraparound
+    * arithmetic, stays inside whole-stage codegen).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val hashFns = (0 until numHashes).map { i =>
+      s"array_min(transform(hs, h -> xxhash64($i, h)))"
+    }
+    sh.select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), expr(s"array(${hashFns.mkString(", ")})").as("sig"))
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    * shingle-set Jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * @param bands     number of LSH bands; rows per band = numHashes/bands.
+    *                  Pairs agreeing on any full band become candidates.
+    * @param threshold exact Jaccard cut applied to candidates.
+    */
+  def nearDuplicates(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val rows = numHashes / bands
+    val sh = shingles(docs, n, idCol, textCol)
+    val banded = minhashSignatures(sh, numHashes)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("doc_id", "band", "bh")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** The reference's four derive operators (SURVEY.md §2.3) as batch
+  * DataFrame pipelines. Input/output shape: (stream_id, t, v).
+  *
+  * All windows are partitioned by stream_id — per-stream sequential logic
+  * distributes across executors by key; nothing is collected to the driver.
+  *
+  * Semantics choices pinned here (reference dir was empty; these are the
+  * documented/most-defensible readings, also used verbatim in the DuckDB
+  * oracle so both sides agree):
+  *  - V1 `sum`: bucket-aligned pointwise sum; a bucket is emitted when ANY
+  *    source has a datapoint in it (nulls ignored by sum).
+  *  - V2 `derivative`: (v − lag v)/(t − lag t in seconds); first point of a
+  *    stream emits nothing; zero dt is dropped (cannot divide).
+  *  - V3 `counter_reset`: emits value 1 at each t where v < lag v.
+  *  - V4 `counter_derivative`: wrap-aware delta/dt; with maxValue m,
+  *    delta = v ≥ prev ? v−prev : (m − prev) + v; without maxValue a
+  *    decrease is skipped. Intervals containing a reset-stream event are
+  *    suppressed.
+  */
+object Derive {
+
+  private def lagWindow = Window.partitionBy("stream_id").orderBy("t")
+
+  /** V1: pointwise sum of N source streams into one derived stream.
+    * Sources are aligned by flooring t to `g` buckets (an N-way
+    * coalesce-by-time over a union — NOT a relational join, so it's one
+    * shuffle on (bucket) regardless of N).
+    */
+  def streamSum(sources: DataFrame, g: Granularity, outStreamId: String): DataFrame = {
+    sources
+      .withColumn("bucket_epoch", floor(unix_timestamp(col("t")) / g.seconds) * g.seconds)
+      .groupBy(col("bucket_epoch"))
+      .agg(sum(col("v")).as("v"))
+      .select(
+        lit(outStreamId).as("stream_id"),
+        timestamp_seconds(col("bucket_epoch")).as("t"),
+        col("v"))
+  }
+
+  /** V2: dv/dt between consecutive points, per input stream (output keeps
+    * the input `stream_id`; callers deriving a new stream rename it).
+    */
+  def derivative(source: DataFrame): DataFrame = {
+    val w = lagWindow
+    source
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .where(col("prev_v").isNotNull &&
+             unix_timestamp(col("t")) =!= unix_timestamp(col("prev_t")))
+      .select(
+        col("stream_id"),
+        col("t"),
+        ((col("v") - col("prev_v")) /
+          (unix_timestamp(col("t")) - unix_timestamp(col("prev_t")))).as("v"))
+  }
+
+  /** V3: emit 1 wherever a monotonically-increasing counter decreased. */
+  def counterReset(source: DataFrame): DataFrame = {
+    val w = lagWindow
+    source
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .where(col("prev_v").isNotNull && col("v") < col("prev_v"))
+      .select(col("stream_id"), col("t"), lit(1.0).as("v"))
+  }
+
+  /** V4: rate of a wrapping counter, optionally suppressed across resets.
+    * Reset suppression is implemented as union + last-known-reset running
+    * max (no range join → single sort-based window per stream at scale).
+    * @param reset optional (stream_id, t) DataFrame of reset events; rows
+    *   must carry the SAME stream_id as the source rows they suppress
+    *   (callers re-key a separate reset stream onto the source id)
+    */
+  def counterDerivative(source: DataFrame,
+      maxValue: Option[Double], reset: Option[DataFrame] = None): DataFrame = {
+    val tagged = reset match {
+      case Some(r) =>
+        source.select(col("stream_id"), col("t"), col("v"), lit(false).as("is_reset"))
+          .unionByName(
+            r.select(col("stream_id"), col("t"),
+              lit(null).cast("double").as("v"), lit(true).as("is_reset")))
+      case None =>
+        source.withColumn("is_reset", lit(false))
+    }
+    // order reset rows *before* source rows at the same timestamp so a
+    // coinciding reset suppresses the interval ending at that t
+    val w = Window.partitionBy("stream_id")
+      .orderBy(col("t"), col("is_reset").desc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val withState = tagged
+      .withColumn("last_reset_t",
+        max(when(col("is_reset"), col("t"))).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_t",
+        last(when(!col("is_reset"), col("t")), ignoreNulls = true).over(wPrev))
+      .where(!col("is_reset") && col("prev_v").isNotNull &&
+             unix_timestamp(col("t")) =!= unix_timestamp(col("prev_t")) &&
+             (col("last_reset_t").isNull || col("last_reset_t") <= col("prev_t")))
+    val delta = maxValue match {
+      case Some(m) =>
+        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+          .otherwise(lit(m) - col("prev_v") + col("v"))
+      case None =>
+        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+    }
+    withState
+      .withColumn("delta", delta)
+      .where(col("delta").isNotNull)
+      .select(
+        col("stream_id"),
+        col("t"),
+        (col("delta") /
+          (unix_timestamp(col("t")) - unix_timestamp(col("prev_t")))).as("v"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (driver north-star
+  * scope). All codegen'd builtins — token counting, quality scoring and
+  * fingerprinting run inside whole-stage codegen with no UDFs, so they
+  * stream through a 100 TB corpus at scan speed.
+  */
+object TextStats {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace-token statistics per document:
+    * n_tokens, n_unique_tokens, type-token ratio.
+    */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+      (size(array_distinct(toks)) / size(toks)).as("ttr"))
+  }
+
+  /** Quality heuristics: punctuation ratio, stopword ratio, mean word
+    * length — the standard cheap filters of a pretraining pipeline.
+    */
+  def qualityStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    docs.select(
+      col(idCol).as("doc_id"),
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))) /
+        length(col(textCol))).as("punct_ratio"),
+      expr(s"size(filter(split($textCol, ' '), x -> x IN ($sw)))")
+        .cast("double").divide(size(split(col(textCol), " ")))
+        .as("stopword_ratio"),
+      ((length(col(textCol)) - size(split(col(textCol), " ")) + 1) /
+        size(split(col(textCol), " "))).as("mean_word_len"))
+  }
+
+  /** 64-bit content fingerprint (order-sensitive rolling-hash style):
+    * xxhash64 over the full text. Cheap doc identity for joins/logs.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("fp"))
+
+  /** N-gram-heuristic language ID: scores each doc against per-language
+    * marker-token sets and picks the best; `und` when nothing matches.
+    * (The container has no CLD/fastText — this is the documented n-gram
+    * heuristic from the driver brief, fully codegen'd.)
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "is", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "es" -> Seq("el", "la", "los", "y", "es"),
+      "zh" -> Seq("的", "是", "了", "在", "和"))
+    val scored = markers.foldLeft(docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))) { case (df, (lang, ms)) =>
+      val list = ms.map(s => s"'$s'").mkString(", ")
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(toks, x -> x IN ($list)))"))
+    }
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    scored.select(col("doc_id"),
+      when(greatest(langs.map(l => col(s"score_$l")): _*) > 0,
+        greatest(best: _*).getField("lang")).otherwise(lit("und")).as("lang_pred"))
+  }
+}

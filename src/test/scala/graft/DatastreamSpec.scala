@@ -1,0 +1,209 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.Datastream
+import graft.model._
+
+/** t1-style integration suite over the full API surface (SURVEY §2.1 A1–A11
+  * + §1.6 exception taxonomy), mirroring the reference's tests/test_basic.py
+  * scenarios.
+  */
+class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def freshDs(): Datastream =
+    new Datastream(spark, Files.createTempDirectory("graft-test").toString)
+
+  test("ensure_stream creates and is idempotent; config conflicts raise") {
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "s1"))
+    assert(ds.ensureStream(Map("name" -> "s1")) == id)
+    intercept[InconsistentStreamConfiguration] {
+      ds.ensureStream(Map("name" -> "s1"),
+        highestGranularity = Granularity.Minutes)
+    }
+    intercept[UnsupportedDownsampler] {
+      ds.ensureStream(Map("name" -> "s2"), valueDownsamplers = Seq("bogus"))
+    }
+    intercept[UnsupportedGranularity] { Granularity("bogus") }
+  }
+
+  test("append + get_data round trip at highest granularity") {
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "a"))
+    ds.append(id, 1.5, ts("2024-01-01 00:00:01"))
+    ds.append(id, 2.5, ts("2024-01-01 00:00:02"))
+    val rows = ds.getData(id, Granularity.Seconds).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    // reverse order
+    val rev = ds.getData(id, Granularity.Seconds, reverse = true).collect()
+    assert(rev.map(_.getDouble(1)).toSeq == Seq(2.5, 1.5))
+  }
+
+  test("append monotonicity check raises InvalidTimestamp") {
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "mono"))
+    ds.append(id, 1.0, ts("2024-01-01 00:00:10"))
+    intercept[InvalidTimestamp] {
+      ds.append(id, 2.0, ts("2024-01-01 00:00:05"))
+    }
+    // allowed with checkTimestamp = false
+    ds.append(id, 2.0, ts("2024-01-01 00:00:05"), checkTimestamp = false)
+  }
+
+  test("downsample_streams materializes all 7+3 aggregates, completed buckets only") {
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "dsamp"))
+    import spark.implicits._
+    val pts = Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0),
+      (id, ts("2024-01-01 00:00:03"), 2.0),
+      (id, ts("2024-01-01 00:00:07"), 3.0),
+      (id, ts("2024-01-01 00:00:12"), 4.0),
+      (id, ts("2024-01-01 00:00:25"), 5.0)).toDF("stream_id", "t", "v")
+    ds.appendMultiple(pts)
+    // until=15s: only the [0,10) bucket is complete at Seconds10
+    // (completed-bucket rule: bucket end <= until)
+    ds.downsampleStreams(ts("2024-01-01 00:00:15"))
+    val b = ds.getData(id, Granularity.Seconds10).collect()
+    assert(b.length == 1)
+    val row = b.head
+    val get = (n: String) => row.getDouble(row.fieldIndex(n))
+    assert(row.getLong(row.fieldIndex("count")) == 3)
+    assert(get("sum") == 6.0)
+    assert(get("sum_squares") == 14.0)
+    assert(get("min") == 1.0)
+    assert(get("max") == 3.0)
+    assert(get("mean") == 2.0)
+    assert(math.abs(get("std_dev") - math.sqrt(14.0 / 3 - 4.0)) < 1e-12)
+    assert(row.getTimestamp(row.fieldIndex("t_first")) == ts("2024-01-01 00:00:01"))
+    assert(row.getTimestamp(row.fieldIndex("t_last")) == ts("2024-01-01 00:00:07"))
+    // mean ts: floor((1+3+7)/3) = 3
+    assert(row.getTimestamp(row.fieldIndex("t_mean")) == ts("2024-01-01 00:00:03"))
+
+    // full downsample: ladder levels fold from partials
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    val m = ds.getData(id, Granularity.Minutes).collect()
+    assert(m.length == 1)
+    assert(m.head.getLong(m.head.fieldIndex("count")) == 5)
+    assert(m.head.getDouble(m.head.fieldIndex("sum")) == 15.0)
+    val day = ds.getData(id, Granularity.Days).collect()
+    assert(day.length == 1 && day.head.getDouble(day.head.fieldIndex("sum")) == 15.0)
+  }
+
+  test("derive: stream sum (V1)") {
+    val ds = freshDs()
+    import spark.implicits._
+    val a = ds.ensureStream(Map("name" -> "va"))
+    val b = ds.ensureStream(Map("name" -> "vb"))
+    val sid = ds.ensureStream(Map("name" -> "vsum"),
+      deriveFrom = Seq(a, b), deriveOp = Some(DeriveOps.Sum))
+    intercept[AppendToDerivedStreamNotAllowed] {
+      ds.append(sid, 1.0, ts("2024-01-01 00:00:00"))
+    }
+    ds.appendMultiple(Seq(
+      (a, ts("2024-01-01 00:00:01"), 1.0),
+      (b, ts("2024-01-01 00:00:01"), 10.0),
+      (a, ts("2024-01-01 00:00:02"), 2.0)).toDF("stream_id", "t", "v"))
+    val rows = ds.getData(sid, Granularity.Seconds).collect()
+    assert(rows.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:01"), 11.0), (ts("2024-01-01 00:00:02"), 2.0)))
+  }
+
+  test("derive: derivative (V2) and counter ops (V3/V4)") {
+    val ds = freshDs()
+    import spark.implicits._
+    val src = ds.ensureStream(Map("name" -> "ctr"))
+    val dId = ds.ensureStream(Map("name" -> "deriv"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    val rId = ds.ensureStream(Map("name" -> "reset"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.CounterReset))
+    val cdId = ds.ensureStream(Map("name" -> "cderiv"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.CounterDerivative),
+      deriveArgs = Some("""{"max_value": 100}"""))
+    // counter: 10, 30 (+20/10s), wraps 30→5 (delta 75/10s)
+    ds.appendMultiple(Seq(
+      (src, ts("2024-01-01 00:00:00"), 10.0),
+      (src, ts("2024-01-01 00:00:10"), 30.0),
+      (src, ts("2024-01-01 00:00:20"), 5.0)).toDF("stream_id", "t", "v"))
+    val deriv = ds.getData(dId, Granularity.Seconds).collect()
+    assert(deriv.map(_.getDouble(1)).toSeq == Seq(2.0, -2.5))
+    val resets = ds.getData(rId, Granularity.Seconds).collect()
+    assert(resets.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:20"), 1.0)))
+    val cd = ds.getData(cdId, Granularity.Seconds).collect()
+    assert(cd.map(_.getDouble(1)).toSeq == Seq(2.0, 7.5))
+  }
+
+  test("incompatible granularity for derived stream raises") {
+    val ds = freshDs()
+    val src = ds.ensureStream(Map("name" -> "coarse"),
+      highestGranularity = Granularity.Minutes)
+    intercept[IncompatibleGranularities] {
+      ds.ensureStream(Map("name" -> "fine-derived"),
+        highestGranularity = Granularity.Seconds,
+        deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    }
+  }
+
+  test("tags: find/update/remove/clear; delete with dependencies") {
+    val ds = freshDs()
+    val a = ds.ensureStream(Map("name" -> "t1"), tags = Map("env" -> "prod"))
+    val b = ds.ensureStream(Map("name" -> "t2"))
+    assert(ds.findStreamIds(Map("env" -> "prod")) == Seq(a))
+    assert(ds.findStreams(Map("env" -> "prod")).count() == 1)
+    ds.updateTags(a, Map("env" -> "dev", "extra" -> "1"))
+    assert(ds.getTags(a)("env") == "dev")
+    ds.removeTag(a, "extra")
+    assert(!ds.getTags(a).contains("extra"))
+    intercept[StreamNotFound] { ds.getTags("nope") }
+
+    val dId = ds.ensureStream(Map("name" -> "t2d"),
+      deriveFrom = Seq(b), deriveOp = Some(DeriveOps.Derivative))
+    intercept[OutstandingDependenciesError] {
+      ds.deleteStreams(Map("name" -> "t2"))
+    }
+    assert(ds.deleteStreams(Map("name" -> "t2d")) == 1)
+    assert(ds.deleteStreams(Map("name" -> "t2")) == 1)
+  }
+
+  test("get_data range bounds incl/excl and downsampler projection") {
+    val ds = freshDs()
+    import spark.implicits._
+    val id = ds.ensureStream(Map("name" -> "range"))
+    ds.appendMultiple((1 to 5).map(i =>
+      (id, ts(f"2024-01-01 00:00:0$i"), i.toDouble)).toDF("stream_id", "t", "v"))
+    def n(start: Boolean, end: Boolean): Long =
+      ds.getData(id, Granularity.Seconds,
+        start = Some(ts("2024-01-01 00:00:02")),
+        end = Some(ts("2024-01-01 00:00:04")),
+        startExclusive = start, endExclusive = end).count()
+    assert(n(false, false) == 3)
+    assert(n(true, false) == 2)
+    assert(n(false, true) == 2)
+    assert(n(true, true) == 1)
+
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    val proj = ds.getData(id, Granularity.Minutes,
+      valueDownsamplers = Some(Seq("mean")), timeDownsamplers = Some(Seq("last")))
+    assert(proj.columns.toSeq == Seq("t", "mean", "t_last"))
+    intercept[UnsupportedDownsampler] {
+      ds.getData(id, Granularity.Minutes, valueDownsamplers = Some(Seq("nope")))
+    }
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+outputs against the DuckDB oracle SQL and diff. Usage:
+  python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.sql("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"{name:24s} NO-SPARK-OUTPUT"); fails += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
+        gcols = [d[0] for d in con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0").description]
+        exp = con.sql(sql).fetchall()
+        ecols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+    except Exception as e:
+        print(f"{name:24s} ORACLE-ERROR {e}"); fails += 1; continue
+    if sorted(gcols) != sorted(ecols):
+        print(f"{name:24s} SCHEMA-MISMATCH spark={gcols} oracle={ecols}"); fails += 1; continue
+    # driver sorts columns by name
+    gperm = [gcols.index(c) for c in sorted(gcols)]
+    eperm = [ecols.index(c) for c in sorted(ecols)]
+    got = [tuple(r[i] for i in gperm) for r in got]
+    exp = [tuple(r[i] for i in eperm) for r in exp]
+    if len(got) != len(exp):
+        print(f"{name:24s} ROWCOUNT {len(got)} vs {len(exp)}"); fails += 1; continue
+    maxrel = 0.0; bad = None; exact = True
+    for rg, re_ in zip(got, exp):
+        for a, b in zip(rg, re_):
+            if a == b: continue
+            exact = False
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b): continue
+                rel = abs(a-b) / max(abs(a), abs(b), 1e-300)
+                if rel > maxrel: maxrel, bad = rel, (a, b)
+            else:
+                print(f"{name:24s} VALUE-MISMATCH {a!r} vs {b!r}"); fails += 1; bad="hard"; break
+        if bad == "hard": break
+    if bad == "hard": continue
+    if exact:
+        print(f"{name:24s} OK exact rows={len(got)}")
+    elif maxrel < 1e-9:
+        print(f"{name:24s} OK fp-only maxrel={maxrel:.2e} rows={len(got)}")
+    else:
+        print(f"{name:24s} FP-DIFF maxrel={maxrel:.2e} {bad}"); fails += 1
+print(f"\n{'FAILURES: %d' % fails if fails else 'ALL OK'}")
+sys.exit(1 if fails else 0)
