@@ -35,8 +35,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   // ---- catalog (stream metadata) -------------------------------------
 
-  /** Driver-side catalog cache; persisted to parquet on every mutation. */
+  /** Driver-side catalog cache; persisted to parquet lazily (`flush()`).
+    * `ensureStream` only marks the catalog dirty so bulk stream creation
+    * costs no Spark jobs; append/delete/tag paths flush automatically.
+    */
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
+  private var catalogDirty = false
+
+  /** Persist pending catalog changes (no-op when clean). */
+  def flush(): Unit = if (catalogDirty) { persistCatalog(); catalogDirty = false }
 
   private def loadCatalog(): Map[String, StreamDescriptor] = {
     val p = new java.io.File(streamsPath)
@@ -46,6 +53,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   }
 
   private def persistCatalog(): Unit = {
+    catalogDirty = false
     val tmp = s"$streamsPath.tmp"
     catalog.values.toSeq.toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -127,7 +135,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           earliest_ts = None,
           latest_ts = None)
         catalog += id -> desc
-        persistCatalog()
+        catalogDirty = true
         id
       case many => throw MultipleStreamsReturned(queryTags.toString)
     }
@@ -142,16 +150,36 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   }
 
   /** Bulk append — the engine's native shape. `df` columns:
-    * stream_id, t (timestamp), v (double, nullable) and optionally v_json.
+    * stream_id, t (timestamp), and v (double, nullable) for numeric
+    * streams and/or v_json (string) for nominal/graph streams.
     * Timestamps are rounded to each stream's highest granularity; strict
     * decreases versus the stream's last timestamp (or within the batch)
-    * raise [[InvalidTimestamp]] when `checkTimestamp`.
+    * raise [[InvalidTimestamp]] when `checkTimestamp`. Values of the wrong
+    * kind for a stream's declared value_type raise [[IncompatibleTypes]]
+    * (the reference's append-time type check).
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true): Unit = {
     val ids = df.select("stream_id").distinct().as[String].collect()
     ids.foreach { id =>
       val d = catalog.getOrElse(id, throw StreamNotFound(id))
       if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
+    }
+    // append-time type check: numeric streams take v, others take v_json
+    val hasV = df.columns.contains("v")
+    val hasJ = df.columns.contains("v_json")
+    val typeOf = typedLit(catalog.collect {
+      case (id, d) if ids.contains(id) => id -> d.value_type
+    })
+    val wrongKind =
+      (if (hasJ) df.where(typeOf(col("stream_id")) === ValueType.Numeric &&
+        col("v_json").isNotNull) else spark.emptyDataFrame.limit(0)) ::
+      (if (hasV) df.where(typeOf(col("stream_id")) =!= ValueType.Numeric &&
+        col("v").isNotNull) else spark.emptyDataFrame.limit(0)) :: Nil
+    wrongKind.filter(_.columns.contains("stream_id")).foreach { bad =>
+      val b = bad.select("stream_id").limit(1).collect()
+      if (b.nonEmpty)
+        throw IncompatibleTypes(
+          s"value kind does not match stream ${b.head.getString(0)}'s value_type")
     }
     val gSeconds = typedLit(catalog.collect {
       case (id, d) => id -> Granularity(d.highest_granularity).seconds
@@ -179,9 +207,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
     val withJson = if (rounded.columns.contains("v_json")) rounded
                    else rounded.withColumn("v_json", lit(null).cast("string"))
+    val withV = if (withJson.columns.contains("v")) withJson
+                else withJson.withColumn("v", lit(null).cast("double"))
     // store raw rows under the stream's highest granularity partition name
     val gName = typedLit(catalog.map { case (id, d) => id -> d.highest_granularity })
-    val toWrite = withJson.select(
+    val toWrite = withV.select(
         col("stream_id"),
         gName(col("stream_id")).as("granularity"),
         col("t"),
@@ -319,7 +349,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val victims = findStreamIds(queryTags).toSet
     if (victims.isEmpty) return 0
     val dependents = catalog.values.filter(d =>
-      !victims(d.stream_id) && d.derive_from.exists(victims)).map(_.stream_id).toSeq
+      !victims(d.stream_id) && depsOf(d).exists(victims)).map(_.stream_id).toSeq
     if (dependents.nonEmpty) throw OutstandingDependenciesError(dependents)
     if (datapointsExist) {
       val kept = datapoints.where(!col("stream_id").isin(victims.toSeq: _*))
@@ -346,7 +376,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (ids.isEmpty || !datapointsExist) return
     val hgOf = ids.map(id => id -> Granularity(catalog(id).highest_granularity)).toMap
 
-    // per target level: streams that need it, split by fold source
+    val isNumeric = ids.map(id => id -> (catalog(id).value_type == ValueType.Numeric)).toMap
+
+    // per target level: streams that need it, split by fold source and by
+    // value type (numeric folds all 10 aggregates; nominal/graph fold count
+    // + time downsamplers only — SURVEY §1.4)
     Granularity.ladder.drop(1).foreach { g =>
       val needs = ids.filter(id => hgOf(id).seconds < g.seconds)
       if (needs.nonEmpty) {
@@ -365,46 +399,78 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
                  unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
           .drop("hwm")
 
+        def rawOf(idsSel: Seq[String]): DataFrame = datapoints.where(
+            col("stream_id").isin(idsSel: _*) &&
+            col("granularity").isin(idsSel.map(hgOf(_).name).distinct: _*))
+
+        val (rawNum, rawCnt) = fromRaw.partition(isNumeric)
+        val (partNum, partCnt) = fromPartials.partition(isNumeric)
         val parts = Seq(
-          if (fromRaw.nonEmpty) {
-            val raw = datapoints.where(
-                col("stream_id").isin(fromRaw: _*) &&
-                col("granularity").isin(fromRaw.map(hgOf(_).name).distinct: _*))
-              .select(col("stream_id"), col("t"), col("v_num").as("v"))
-            Some(Downsample.toGranularity(newBuckets(raw), g, Some(until)))
-          } else None,
-          if (fromPartials.nonEmpty) {
+          if (rawNum.nonEmpty)
+            Some(Downsample.toGranularity(
+              newBuckets(rawOf(rawNum).select(col("stream_id"), col("t"),
+                col("v_num").as("v"))), g, Some(until)))
+          else None,
+          if (rawCnt.nonEmpty)
+            Some(Downsample.countOnlyToGranularity(
+              newBuckets(rawOf(rawCnt).select(col("stream_id"), col("t"),
+                col("v_json"))), g, Some(until)))
+          else None,
+          if (partNum.nonEmpty) {
             val fine = datapoints.where(col("granularity") === prev.name &&
-                col("stream_id").isin(fromPartials: _*))
+                col("stream_id").isin(partNum: _*))
               .select(col("stream_id"), col("t"), col("c"), col("s"), col("q"),
                 col("l"), col("u"), col("t_first"), col("t_last"), col("t_mean"))
-            val folded = Downsample.foldToCoarser(newBuckets(fine), g)
-              .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L))
-            Some(folded)
+            Some(Downsample.foldToCoarser(newBuckets(fine), g)
+              .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L)))
+          } else None,
+          if (partCnt.nonEmpty) {
+            val fine = datapoints.where(col("granularity") === prev.name &&
+                col("stream_id").isin(partCnt: _*))
+              .select(col("stream_id"), col("t"), col("c"),
+                col("t_first"), col("t_last"), col("t_mean"))
+            Some(Downsample.countOnlyFold(newBuckets(fine), g)
+              .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L)))
           } else None
         ).flatten
 
-        parts.reduceOption(_.unionByName(_)).foreach { out =>
-          DatapointStore.append(out, datapointsPath)
-        }
+        parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .foreach { out => DatapointStore.append(out, datapointsPath) }
       }
     }
   }
 
   // ---- A11 backprocess + derive ---------------------------------------
 
+  /** All streams a derived stream reads: its sources plus an optional
+    * reset stream named in derive_args (V4) — the reference treats the
+    * reset stream as a named derive source too.
+    */
+  private def depsOf(d: StreamDescriptor): Seq[String] =
+    d.derive_from ++ d.derive_args.flatMap(Json.strField(_, "reset_stream"))
+
   /** Derived streams in dependency order (sources before dependents). */
   private def derivedInOrder(ids: Set[String]): Seq[StreamDescriptor] = {
     val derived = catalog.values.filter(_.derive_op.isDefined).toSeq
-    // topological: repeatedly take streams whose sources are not pending
-    var pending = derived.filter(d =>
-      d.derive_from.exists(ids) || ids(d.stream_id)).toList
+    // transitive closure: a derived stream is affected if any dep is in
+    // `ids` or is itself an affected derived stream
+    var affected = derived.filter(d =>
+      depsOf(d).exists(ids) || ids(d.stream_id)).toList
+    var grew = true
+    while (grew) {
+      val cur = affected.map(_.stream_id).toSet
+      val more = derived.filter(d => !cur(d.stream_id) && depsOf(d).exists(cur))
+      grew = more.nonEmpty
+      affected = affected ++ more
+    }
+    // topological: repeatedly take streams whose deps are not pending
+    var pending = affected
     var done = List.empty[StreamDescriptor]
     var changed = true
     while (pending.nonEmpty && changed) {
       changed = false
       val (ready, rest) = pending.partition(d =>
-        !d.derive_from.exists(src => pending.exists(_.stream_id == src)))
+        !depsOf(d).exists(src => pending.exists(_.stream_id == src)))
       if (ready.nonEmpty) { done = done ++ ready; changed = true }
       pending = rest
     }

@@ -96,6 +96,51 @@ object Downsample {
     completed.drop("bucket_epoch")
   }
 
+  /** Count-only downsampling for nominal/graph streams (SURVEY §1.4: only
+    * the `count` value downsampler applies; time downsamplers still run).
+    * Input: stream_id, t, v_json. Value aggregates other than c are null.
+    */
+  def countOnlyToGranularity(df: DataFrame, g: Granularity,
+      until: Option[java.sql.Timestamp] = None): DataFrame = {
+    val bucketEpoch = floor(unix_timestamp(col("t")) / g.seconds) * g.seconds
+    val base = df
+      .withColumn("bucket_epoch", bucketEpoch)
+      .groupBy(col("stream_id"), col("bucket_epoch"))
+      .agg(
+        count(col("v_json")).as("c"),
+        min(col("t")).as("t_first"),
+        max(col("t")).as("t_last"),
+        timestamp_seconds(col("bucket_epoch") +
+          floor(avg(unix_timestamp(col("t")) - col("bucket_epoch")))).as("t_mean"))
+      .withColumn("granularity", lit(g.name))
+      .withColumn("t", timestamp_seconds(col("bucket_epoch")))
+    val completed = until match {
+      case Some(u) => base.where(col("bucket_epoch") + g.seconds <= lit(u.getTime / 1000L))
+      case None => base
+    }
+    completed.drop("bucket_epoch")
+  }
+
+  /** Count-only partial fold (nominal/graph rollup ladder). */
+  def countOnlyFold(aggDf: DataFrame, target: Granularity): DataFrame = {
+    val bucketEpoch =
+      floor(unix_timestamp(col("t")) / target.seconds) * target.seconds
+    val c = sum(col("c"))
+    aggDf
+      .withColumn("bucket_epoch", bucketEpoch)
+      .groupBy(col("stream_id"), col("bucket_epoch"))
+      .agg(
+        c.as("c"),
+        min(col("t_first")).as("t_first"),
+        max(col("t_last")).as("t_last"),
+        timestamp_seconds(col("bucket_epoch") + floor(
+          sum((unix_timestamp(col("t_mean")) - col("bucket_epoch")) * col("c")) / c))
+          .as("t_mean"))
+      .withColumn("granularity", lit(target.name))
+      .withColumn("t", timestamp_seconds(col("bucket_epoch")))
+      .drop("bucket_epoch")
+  }
+
   /** Roll a downsampled level up to a coarser one from partials only. */
   def foldToCoarser(aggDf: DataFrame, target: Granularity): DataFrame = {
     val bucketEpoch =

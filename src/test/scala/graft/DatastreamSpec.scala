@@ -148,6 +148,73 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cd.map(_.getDouble(1)).toSeq == Seq(2.0, 7.5))
   }
 
+  test("derive: counter_derivative with reset stream suppresses wrap intervals (V4)") {
+    val ds = freshDs()
+    import spark.implicits._
+    val src = ds.ensureStream(Map("name" -> "ctr2"))
+    val rst = ds.ensureStream(Map("name" -> "rst2"))
+    val cdId = ds.ensureStream(Map("name" -> "cderiv2"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.CounterDerivative),
+      deriveArgs = Some(s"""{"max_value": 100, "reset_stream": "$rst"}"""))
+    // counter 10 → 30 → reboot (reset event at :15) → 5 → 25
+    ds.appendMultiple(Seq(
+      (src, ts("2024-01-01 00:00:00"), 10.0),
+      (src, ts("2024-01-01 00:00:10"), 30.0),
+      (src, ts("2024-01-01 00:00:20"), 5.0),
+      (src, ts("2024-01-01 00:00:30"), 25.0)).toDF("stream_id", "t", "v"))
+    ds.appendMultiple(Seq(
+      (rst, ts("2024-01-01 00:00:15"), 1.0)).toDF("stream_id", "t", "v"))
+    val cd = ds.getData(cdId, Granularity.Seconds).collect()
+    // :10 → 2.0; :20 suppressed (reset inside interval); :30 → 2.0
+    assert(cd.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:10"), 2.0), (ts("2024-01-01 00:00:30"), 2.0)))
+  }
+
+  test("nominal streams: count-only downsampling; append type check") {
+    val ds = freshDs()
+    import spark.implicits._
+    val id = ds.ensureStream(Map("name" -> "nom"),
+      valueDownsamplers = Seq("count"), valueType = ValueType.Nominal)
+    ds.appendMultiple(Seq(
+      (id, ts("2024-01-01 00:00:01"), """{"state": "up"}"""),
+      (id, ts("2024-01-01 00:00:03"), """{"state": "down"}"""),
+      (id, ts("2024-01-01 00:00:12"), """{"state": "up"}"""))
+      .toDF("stream_id", "t", "v_json"))
+    val raw = ds.getData(id, Granularity.Seconds).collect()
+    assert(raw.length == 3 && raw.head.getString(2) == """{"state": "up"}""")
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    val m = ds.getData(id, Granularity.Minutes).collect()
+    assert(m.length == 1)
+    assert(m.head.getLong(m.head.fieldIndex("count")) == 3)
+    assert(m.head.getTimestamp(m.head.fieldIndex("t_last")) == ts("2024-01-01 00:00:12"))
+    // numeric value into a nominal stream is a type error
+    intercept[IncompatibleTypes] {
+      ds.appendMultiple(Seq((id, ts("2024-01-01 00:01:00"), 1.0))
+        .toDF("stream_id", "t", "v"))
+    }
+    // count-only ladder folds from partials: days level still 3
+    val day = ds.getData(id, Granularity.Days).collect()
+    assert(day.length == 1 && day.head.getLong(day.head.fieldIndex("count")) == 3)
+  }
+
+  test("null values: ignored by value downsamplers, counted out of count") {
+    val ds = freshDs()
+    import spark.implicits._
+    val id = ds.ensureStream(Map("name" -> "nulls"))
+    ds.appendMultiple(Seq(
+      (id, ts("2024-01-01 00:00:01"), Some(2.0)),
+      (id, ts("2024-01-01 00:00:02"), None),
+      (id, ts("2024-01-01 00:00:03"), Some(4.0)))
+      .toDF("stream_id", "t", "v"))
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    val m = ds.getData(id, Granularity.Minutes).collect().head
+    assert(m.getLong(m.fieldIndex("count")) == 2)       // nulls not counted
+    assert(m.getDouble(m.fieldIndex("sum")) == 6.0)
+    assert(m.getDouble(m.fieldIndex("mean")) == 3.0)
+    // time downsamplers still see the null datapoint's timestamp
+    assert(m.getTimestamp(m.fieldIndex("t_last")) == ts("2024-01-01 00:00:03"))
+  }
+
   test("incompatible granularity for derived stream raises") {
     val ds = freshDs()
     val src = ds.ensureStream(Map("name" -> "coarse"),
