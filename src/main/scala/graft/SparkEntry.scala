@@ -216,6 +216,83 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
 
+    "q_json_props" -> { (s, dir) =>
+      // events.props is a JSON string (SURVEY §2.4 scalar fns row)
+      events(s, dir).groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          avg(get_json_object(col("props"), "$.k").cast("long")).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    "q_window_frames" -> { (s, dir) =>
+      val byId = Window.partitionBy("user_id").orderBy("event_id")
+      val frame = byId.rowsBetween(-3, 0)
+      val byVal = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, dir).select(
+          col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(byId).as("prev_v"),
+          lead(col("value"), 1).over(byId).as("next_v"),
+          min(col("value")).over(frame).as("frame_min"),
+          count(lit(1)).over(frame).cast("long").as("frame_n"),
+          row_number().over(byVal).cast("long").as("val_rank"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "q_cube_orders" -> { (s, dir) =>
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    },
+
+    "q_union_all_balances" -> { (s, dir) =>
+      tbl(s, dir, "customer").select(lit("cust").as("side"), col("c_acctbal").as("bal"))
+        .unionByName(
+          tbl(s, dir, "supplier").select(lit("supp").as("side"), col("s_acctbal").as("bal")))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), min("bal").as("min_bal"), max("bal").as("max_bal"))
+        .orderBy("side")
+    },
+
+    "q_string_funcs" -> { (s, dir) =>
+      tbl(s, dir, "part").select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          lpad(col("p_size").cast("string"), 5, "0").as("size_pad"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))
+        .orderBy("p_partkey")
+    },
+
+    "q_array_agg_suppliers" -> { (s, dir) =>
+      tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+
+    "q_monthly_revenue" -> { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+        .orderBy("m")
+    },
+
+    "q_ts_range_reverse" -> { (s, dir) =>
+      // get_data A4 semantics: time-range scan, reverse order, projection
+      events(s, dir)
+        .where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+        .select("event_id", "ts", "value")
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+    },
+
     // ---- datastream surface (SURVEY §2.2/§2.3 over events) ------------
 
     "ds_agg_minutes10" -> { (s, dir) =>
@@ -247,6 +324,34 @@ object SparkEntry {
 
     "drv_counter_derivative" -> { (s, dir) =>
       Derive.counterDerivative(counterStreams(s, dir), Some(1000.0))
+        .orderBy("stream_id", "t")
+    },
+
+    "drv_sum" -> { (s, dir) =>
+      // V1: one derived stream = pointwise sum of user 7's five per-type
+      // streams, aligned on Minutes buckets
+      Derive.streamSum(
+          eventStreams(s, dir).where(col("stream_id").startsWith("7:")),
+          Granularity.Minutes, "u7_sum")
+        .orderBy("t")
+    },
+
+    "ds_agg_hours6" -> { (s, dir) =>
+      // another ladder level + downsampler projection (count/min/max/first)
+      Downsample.toGranularity(eventStreams(s, dir), Granularity.Hours6)
+        .select("stream_id", "t", "c", "l", "u", "t_first")
+        .orderBy("stream_id", "t")
+    },
+
+    "ds_nominal_count_days" -> { (s, dir) =>
+      // nominal streams (one per user, value = event_type JSON-ish) get
+      // count-only downsampling (SURVEY §1.4)
+      val nom = events(s, dir).select(
+        concat(lit("u"), col("user_id")).as("stream_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("t"),
+        col("event_type").as("v_json"))
+      Downsample.countOnlyToGranularity(nom, Granularity.Days)
+        .select("stream_id", "t", "c", "t_first", "t_last", "t_mean")
         .orderBy("stream_id", "t")
     },
 
@@ -296,6 +401,40 @@ object SparkEntry {
       Similarity.cosineTopK(e, broadcast(q), 5)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rnk")
+    },
+
+    "emb_near_pairs" -> { (s, dir) =>
+      // embedding-cosine near-dup: corpus is random (max cross sim ~0.51),
+      // so near-dups are injected: vec_id+100000 with emb[0] shifted +0.05
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val variants = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + 0.05),
+          expr("slice(emb, 2, 63)")).as("emb"))
+      val all = e.unionByName(variants)
+      val a = all.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      val b = all.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.dot("emb_a", "emb_b") /
+          (sqrt(Similarity.dot("emb_a", "emb_a")) * sqrt(Similarity.dot("emb_b", "emb_b"))))
+        .where(col("sim") > 0.9)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      // exact word-3gram Jaccard over all pairs of the first 50 docs
+      val sh = Dedup.shingles(tbl(s, dir, "documents").where(col("doc_id") < 50))
+      val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("jaccard") > 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -388,6 +527,114 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT user_id, event_id,
+        |  lag(value) OVER w AS prev_v,
+        |  lead(value) OVER w AS next_v,
+        |  min(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_min,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS BIGINT) AS val_rank
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_union_all_balances" ->
+      """SELECT side, count(*) AS n, min(bal) AS min_bal, max(bal) AS max_bal
+        |FROM (SELECT 'cust' AS side, c_acctbal AS bal FROM customer
+        |      UNION ALL SELECT 'supp', s_acctbal FROM supplier)
+        |GROUP BY side ORDER BY side""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad,
+        |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_agg_suppliers" ->
+      """SELECT n_name, list_sort(list(s_name)) AS suppliers, count(*) AS n
+        |FROM supplier, nation WHERE s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |  count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q_ts_range_reverse" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "drv_sum" ->
+      s"""WITH $srcSql
+        |SELECT 'u7_sum' AS stream_id,
+        |  CAST(to_timestamp(CAST(floor(epoch(t) / 60) * 60 AS BIGINT)) AS TIMESTAMP) AS t,
+        |  sum(v) AS v
+        |FROM src WHERE stream_id LIKE '7:%'
+        |GROUP BY 2 ORDER BY t""".stripMargin,
+
+    "ds_agg_hours6" ->
+      s"""WITH $srcSql,
+        |b AS (SELECT stream_id, CAST(floor(epoch(t) / 21600) * 21600 AS BIGINT) AS be, t, v FROM src)
+        |SELECT stream_id, CAST(to_timestamp(be) AS TIMESTAMP) AS t,
+        |  count(v) AS c, min(v) AS l, max(v) AS u, min(t) AS t_first
+        |FROM b GROUP BY stream_id, be
+        |ORDER BY stream_id, be""".stripMargin,
+
+    "ds_nominal_count_days" ->
+      """WITH nsrc AS (SELECT concat('u', user_id) AS stream_id,
+        |    CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS t,
+        |    event_type AS vj FROM events),
+        |b AS (SELECT stream_id, CAST(floor(epoch(t) / 86400) * 86400 AS BIGINT) AS be, t, vj FROM nsrc)
+        |SELECT stream_id, CAST(to_timestamp(be) AS TIMESTAMP) AS t, count(vj) AS c,
+        |  min(t) AS t_first, max(t) AS t_last,
+        |  CAST(to_timestamp(be + CAST(floor(avg(epoch(t) - be)) AS BIGINT)) AS TIMESTAMP) AS t_mean
+        |FROM b GROUP BY stream_id, be
+        |ORDER BY stream_id, be""".stripMargin,
+
+    "emb_near_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) AS sim
+        |  FROM a x, a y WHERE x.vec_id < y.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim > 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |    FROM documents WHERE doc_id < 50),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))
+        |    / len(list_distinct(list_concat(a.s, b.s))) > 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ds_agg_minutes10" ->
       s"""WITH $srcSql,
