@@ -355,6 +355,30 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "ds_stream_minutes" -> { (s, dir) =>
+      // batch≡streaming: replay events through the Structured Streaming
+      // downsample (watermark-closed buckets only) — the oracle is the
+      // batch SQL with the completed-bucket rule at the final watermark
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"stream_replay_${System.nanoTime()}"
+      val q = graft.streaming.Streaming
+        .downsample(mem.toDF.toDF("stream_id", "t", "v"), Granularity.Minutes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows = eventStreams(s, dir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
+          "t_first", "t_last", "t_mean")
+        .orderBy("stream_id", "t")
+    },
+
     // ---- LLM-pipeline surface (north-star extras) ---------------------
 
     "doc_stats" -> { (s, dir) =>
@@ -693,6 +717,23 @@ object SparkEntry {
         |    / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
         |ORDER BY stream_id, t""".stripMargin,
+
+    "ds_stream_minutes" ->
+      s"""WITH $srcSql,
+        |b AS (SELECT stream_id, CAST(floor(epoch(t) / 60) * 60 AS BIGINT) AS be, t, v FROM src),
+        |mx AS (SELECT max(epoch(t)) AS m FROM src)
+        |SELECT stream_id, CAST(to_timestamp(be) AS TIMESTAMP) AS t,
+        |  count(v) AS c, sum(v) AS s, sum(v * v) AS q,
+        |  min(v) AS l, max(v) AS u,
+        |  sum(v) / count(v) AS m,
+        |  sqrt(greatest(sum(v * v) / count(v)
+        |    - (sum(v) / count(v)) * (sum(v) / count(v)), 0)) AS d,
+        |  min(t) AS t_first, max(t) AS t_last,
+        |  CAST(to_timestamp(be + CAST(floor(avg(epoch(t) - be)) AS BIGINT)) AS TIMESTAMP) AS t_mean
+        |FROM b, mx
+        |GROUP BY stream_id, be, mx.m
+        |HAVING be + 60 <= mx.m
+        |ORDER BY stream_id, be""".stripMargin,
 
     "doc_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

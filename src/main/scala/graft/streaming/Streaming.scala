@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Granularity
+import graft.operators.Downsample
+
+/** Incremental (streaming) mode of the engine — SURVEY §2.1 A2/A10 as
+  * Structured Streaming pipelines.
+  *
+  * Mapping of reference semantics:
+  *  - "only completed buckets are emitted" (the downsample job's rule) is
+  *    exactly watermark-triggered window close in Append mode: a window
+  *    emits once the watermark passes its end.
+  *  - per-stream derive state (last point, last counter value) lives in
+  *    [[GroupState]] keyed by stream_id — the distributed replacement for
+  *    the reference's per-stream state docs.
+  *
+  * Scale design: all state is keyed by stream_id, so it shards across
+  * executors; watermarks bound state size (old windows are dropped);
+  * nothing ever collects to the driver.
+  */
+object Streaming {
+
+  /** One datapoint flowing through a streaming pipeline. */
+  case class Point(stream_id: String, t: Timestamp, v: Double)
+
+  /** Derive-op state: the last seen point of each stream. */
+  case class LastPoint(t: Long, v: Double)
+
+  /** Declarative streaming downsample to one granularity. Input: streaming
+    * (stream_id, t, v). Output (Append mode): one row per closed bucket
+    * with the 10 aggregates, same columns as the batch path.
+    *
+    * @param watermarkDelay how long to wait for late data before a bucket
+    *   is considered complete (the reference's `check_timestamp=True`
+    *   rejects late appends, so "0 seconds" reproduces it exactly)
+    */
+  def downsample(src: DataFrame, g: Granularity,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val bucketEpoch = unix_timestamp(col("window.start"))
+    val aggs = Downsample.aggColumns(col("v"), col("t"), bucketEpoch)
+    src.withWatermark("t", watermarkDelay)
+      .groupBy(col("stream_id"), window(col("t"), g.windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("stream_id") +: lit(g.name).as("granularity") +:
+        col("window.start").as("t") +:
+        Seq("c", "s", "q", "l", "u", "m", "d", "t_first", "t_last", "t_mean")
+          .map(col): _*)
+  }
+
+  /** Stateful streaming V2 `derivative`: per stream, emit
+    * (v − last.v)/(t − last.t) for each arriving point, carrying the last
+    * point across micro-batches in GroupState. Rows inside a micro-batch
+    * are sorted by t before folding (batch arrival order is arbitrary).
+    */
+  def derivative(src: Dataset[Point]): Dataset[Point] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.stream_id)
+      .flatMapGroupsWithState[LastPoint, Point](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = rows.toSeq.sortBy(_.t.getTime)
+          var last = state.getOption
+          val out = sorted.flatMap { p =>
+            val r = last.collect {
+              case LastPoint(lt, lv) if lt != p.t.getTime =>
+                Point(key, p.t,
+                  (p.v - lv) / ((p.t.getTime - lt) / 1000L))
+            }
+            last = Some(LastPoint(p.t.getTime, p.v))
+            r
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Stateful streaming V4 `counter_derivative` (wrap-aware rate). */
+  def counterDerivative(src: Dataset[Point], maxValue: Option[Double])
+      : Dataset[Point] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.stream_id)
+      .flatMapGroupsWithState[LastPoint, Point](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = rows.toSeq.sortBy(_.t.getTime)
+          var last = state.getOption
+          val out = sorted.flatMap { p =>
+            val r = last.flatMap {
+              case LastPoint(lt, lv) if lt != p.t.getTime =>
+                val dt = (p.t.getTime - lt) / 1000L
+                if (p.v >= lv) Some(Point(key, p.t, (p.v - lv) / dt))
+                else maxValue.map(m => Point(key, p.t, (m - lv + p.v) / dt))
+              case _ => None
+            }
+            last = Some(LastPoint(p.t.getTime, p.v))
+            r
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming ingestion into a [[graft.core.Datastream]] store: each
+    * micro-batch is bulk-appended (which also recomputes dependent derived
+    * streams), then the rollup ladder advances to the batch's max t.
+    * Deterministic bucket keys make re-delivered batches idempotent — the
+    * reference's per-bucket-upsert guarantee.
+    */
+  def ingest(src: DataFrame, store: graft.core.Datastream,
+      checkTimestamp: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          store.appendMultiple(batch, checkTimestamp)
+          val hi = batch.agg(max("t")).collect().head.getTimestamp(0)
+          store.downsampleStreams(hi)
+        }
+      }
+  }
+}

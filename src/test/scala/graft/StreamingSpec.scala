@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.model.Granularity
+import graft.operators.{Derive, Downsample}
+import graft.streaming.Streaming
+
+/** M5 batch≡streaming equivalence (SURVEY §5.4): the streaming pipelines
+  * must produce exactly the batch results for completed buckets.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming downsample emits exactly the closed buckets of the batch path") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF.toDF("stream_id", "t", "v")
+    val q = Streaming.downsample(src, Granularity.Minutes)
+      .writeStream.format("memory").queryName("ds_out")
+      .outputMode("append").start()
+
+    val b1 = Seq(("s1", ts("2024-01-01 00:00:05"), 1.0),
+      ("s1", ts("2024-01-01 00:00:15"), 2.0),
+      ("s1", ts("2024-01-01 00:01:15"), 3.0))
+    val b2 = Seq(("s1", ts("2024-01-01 00:05:30"), 4.0))
+    val b3 = Seq(("s1", ts("2024-01-01 00:09:30"), 5.0))
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    mem.addData(b3); q.processAllAvailable()
+    q.stop()
+
+    // processAllAvailable drains until the final watermark (max t seen =
+    // 00:09:30) is applied, so every bucket ending at or before it closes:
+    // minutes 0, 1, 5. Minute 9 (end 10:00) stays open.
+    val got = spark.table("ds_out")
+      .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
+        "t_first", "t_last", "t_mean")
+      .collect().map(_.toSeq).toSet
+    val batch = (b1 ++ b2 ++ b3).toDF("stream_id", "t", "v")
+    val expected = Downsample
+      .toGranularity(batch, Granularity.Minutes, Some(ts("2024-01-01 00:09:30")))
+      .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
+        "t_first", "t_last", "t_mean")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 3) // minutes 0, 1, 5
+  }
+
+  test("stateful streaming derivative == batch derivative across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.derivative(mem.toDS())
+      .writeStream.format("memory").queryName("drv_out")
+      .outputMode("append").start()
+    val pts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 10.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:10"), 30.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:20"), 25.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:30"), 4.0))
+    mem.addData(pts.take(3)); q.processAllAvailable()
+    mem.addData(pts.drop(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drv_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    val batch = Derive
+      .derivative(pts.toDF("stream_id", "t", "v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.size == 3)
+  }
+
+  test("stateful streaming counter_derivative handles wrap across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.counterDerivative(mem.toDS(), Some(100.0))
+      .writeStream.format("memory").queryName("cd_out")
+      .outputMode("append").start()
+    mem.addData(Seq(Streaming.Point("c", ts("2024-01-01 00:00:00"), 90.0)))
+    q.processAllAvailable()
+    // wrap 90 -> 10 arrives in a later micro-batch: delta = (100-90)+10
+    mem.addData(Seq(Streaming.Point("c", ts("2024-01-01 00:00:10"), 10.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cd_out")
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2))).toSeq
+    assert(got == Seq((ts("2024-01-01 00:00:10"), 2.0)))
+  }
+
+  test("streaming ingest into the store == batch append + downsample") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def freshStore() = new graft.core.Datastream(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+
+    val data = Seq(
+      ("X", ts("2024-01-01 00:00:01"), 1.0), ("X", ts("2024-01-01 00:00:11"), 2.0),
+      ("X", ts("2024-01-01 00:02:05"), 3.0), ("X", ts("2024-01-01 00:15:00"), 4.0))
+
+    // streaming store
+    val s1 = freshStore()
+    val id1 = s1.ensureStream(Map("name" -> "ing"))
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF.toDF("sid", "t", "v")
+      .select(lit(id1).as("stream_id"), col("t"), col("v"))
+    val q = Streaming.ingest(src, s1).start()
+    mem.addData(data.take(2)); q.processAllAvailable()
+    mem.addData(data.drop(2)); q.processAllAvailable()
+    q.stop()
+
+    // batch store, downsampled to the same high-water mark
+    val s2 = freshStore()
+    val id2 = s2.ensureStream(Map("name" -> "ing"))
+    s2.appendMultiple(data.toDF("sid", "t", "v")
+      .select(lit(id2).as("stream_id"), col("t"), col("v")))
+    s2.downsampleStreams(ts("2024-01-01 00:15:00"))
+
+    def dump(ds: graft.core.Datastream) = ds.datapoints
+      .select("granularity", "t", "v_num", "c", "s", "l", "u", "m", "d")
+      .collect().map(_.toSeq).toSet
+    assert(dump(s1) == dump(s2))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
