@@ -417,6 +417,37 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_simhash" -> { (s, dir) =>
+      // rows-only (bit-majority fingerprints not expressible in DuckDB):
+      // same injected near-dups as dedup_minhash must surface
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.where(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zz yy "),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+      Dedup.simhashNearDuplicates(docs.unionByName(variants), maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "mm_pipeline" -> { (s, dir) =>
+      // rows-only: multimodal plumbing — binary + metadata → decode stub →
+      // features → per-kind stats (real schema/partitioning, fake codec)
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        tbl(s, dir, "documents"))
+      val dec = graft.operators.Multimodal.decodeImages(media, partitions = 8)
+      val feats = graft.operators.Multimodal.extractFeatures(media, dim = 16)
+      media.toDF.select(col("media_id"), col("meta.kind").as("kind"))
+        .join(dec.toDF.select(col("media_id"), col("meanLuma")), "media_id")
+        .join(feats.toDF.select(col("media_id"),
+          expr("aggregate(feature, 0D, (a, x) -> a + CAST(x AS DOUBLE))").as("feat_sum")),
+          "media_id")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), avg("meanLuma").as("avg_luma"),
+          avg("feat_sum").as("avg_feat_sum"))
+        .orderBy("kind")
+    },
+
     "emb_topk_cosine" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -51,6 +51,44 @@ object Dedup {
       .select(col("doc_id"), expr(s"array(${hashFns.mkString(", ")})").as("sig"))
   }
 
+  /** 64-bit SimHash per document: bit i of the fingerprint is the majority
+    * vote of bit i across the token hashes. Entirely codegen'd expressions
+    * (64 fold lambdas over the token-hash array — no UDF, no shuffle).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bits = (0 until 64).map { i =>
+      s"""shiftleft(CASE WHEN aggregate(hs,
+         |  0L, (acc, h) -> acc + CASE WHEN (shiftright(h, $i) & 1) = 1
+         |                        THEN 1L ELSE -1L END) >= 0
+         |  THEN 1L ELSE 0L END, $i)""".stripMargin
+    }
+    docs.select(col(idCol).as("doc_id"),
+        expr(s"transform(split($textCol, ' '), tok -> xxhash64(tok))").as("hs"))
+      .select(col("doc_id"), expr(bits.mkString(" + ")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * bands (exact equi-join — one shuffle of (band, 2 longs)), verified by
+    * Hamming distance <= maxHamming via bit_count(xor).
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .toDF("doc_id", "simhash", "band", "bh")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
     * shingle-set Jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     *

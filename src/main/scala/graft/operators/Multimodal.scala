@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines (driver north-star
+  * scope): image/audio/video as opaque `binary` columns with typed
+  * metadata, and decode / feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schema, per-partition batch shape,
+  * partition sizing — but the codec layer is a STUB: this container has no
+  * image/audio libraries, so `decodeBytes` below derives deterministic
+  * fake pixels/samples from the content hash. Swapping in a real codec
+  * (e.g. javacpp-ffmpeg) only replaces the marked function.
+  *
+  * Scale design:
+  *  - media rows are large → `repartition` before decode so each task
+  *    holds a bounded byte budget, not a bounded row count;
+  *  - decode runs in `mapPartitions`, one codec context per PARTITION
+  *    (never per row) — the Scala analogue of a batched Pandas UDF;
+  *  - features go to fixed-width Array[Float] columns, the shape the
+  *    similarity operators ([[Similarity]]) consume directly.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long, codec: String)
+  case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, meanLuma: Double)
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
+
+  /** ======== STUB CODEC LAYER ========
+    * Deterministic fake decode: expands the content hash into pixel
+    * statistics. Replace with a real codec; everything downstream only
+    * sees the returned shapes.
+    */
+  private def decodeBytes(content: Array[Byte], meta: MediaMeta): DecodedImage = {
+    val h = scala.util.hashing.MurmurHash3.bytesHash(content, 42)
+    DecodedImage(0L, meta.width, meta.height, 3,
+      (h & 0xFF).toDouble / 255.0)
+  }
+
+  private def fakeFeature(content: Array[Byte], dim: Int): Array[Float] = {
+    val h = scala.util.hashing.MurmurHash3.bytesHash(content, 7)
+    val rnd = new scala.util.Random(h)
+    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+  }
+  /** ======== END STUB CODEC LAYER ======== */
+
+  /** Build a media table from the documents fixture: content = utf-8 bytes
+    * (stands in for encoded media), metadata derived deterministically.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (col("n_chars") * 10).cast("long").as("durationMs"),
+          lit("stub").as("codec")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Decode stage: one codec context per partition, streaming through the
+    * rows (no materialization of the whole partition).
+    */
+  def decodeImages(media: Dataset[MediaRow], partitions: Int = 0): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    val balanced =
+      if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    balanced.mapPartitions { rows =>
+      // real impl: open ONE codec context here, close at iterator end
+      rows.map(r => decodeBytes(r.content, r.meta).copy(media_id = r.media_id))
+    }
+  }
+
+  /** Feature extraction: binary → fixed-width Array[Float] (the input
+    * shape of [[Similarity.cosineTopK]]).
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaFeature(r.media_id, fakeFeature(r.content, dim)))
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame — a flatMap, so a
+    * 2-hour video becomes many small rows instead of one huge one.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "video").flatMap { r =>
+      val n = math.min(r.meta.durationMs / everyMs, 32L).toInt
+      // real impl: seek + decode each frame; stub slices the content bytes
+      (0 until n).map { i =>
+        val start = (i * math.max(r.content.length / math.max(n, 1), 1))
+          .min(math.max(r.content.length - 1, 0))
+        Frame(r.media_id, i, r.content.slice(start, start + 16))
+      }
+    }
+  }
+
+  /** Resize stage (stub): metadata-only transform — the real version
+    * re-encodes content; the plumbing (schema update, pass-through of
+    * untouched columns) is what matters here.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+}

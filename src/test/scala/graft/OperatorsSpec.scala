@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+
+/** North-star operator suites: dedup (minhash/simhash), similarity,
+  * multimodal plumbing, text stats.
+  */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+  }
+
+  test("simhash: identical docs collide, near docs are close, far docs are far") {
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) <= 12)
+    assert(hamming(sig(0L), sig(2L)) > 12)
+    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 12)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("minhash near-dups find injected and exact duplicates") {
+    val pairs = Dedup.nearDuplicates(docs, n = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.5)
+    assert(!pairs.keySet.exists { case (a, b) => b == 2L || a == 2L })
+  }
+
+  test("multimodal: decode/feature/frame plumbing is deterministic and shaped") {
+    import spark.implicits._
+    val d = docs.withColumn("n_chars", length(col("text")).cast("long"))
+    val media = Multimodal.mediaFromDocuments(d)
+    val dec = Multimodal.decodeImages(media, partitions = 2).collect()
+    assert(dec.length == 4 && dec.forall(i => i.meanLuma >= 0 && i.meanLuma <= 1))
+    // determinism: same input -> same fake decode
+    val dec2 = Multimodal.decodeImages(media).collect()
+    assert(dec.sortBy(_.media_id).toSeq == dec2.sortBy(_.media_id).toSeq)
+    // identical content (docs 0 and 3) -> identical features
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(feats(0L) == feats(3L) && feats(0L).size == 16)
+    assert(feats(0L) != feats(2L))
+    // frame sampling: only videos (doc_id % 3 == 2), bounded count
+    val frames = Multimodal.sampleFrames(media, everyMs = 100).collect()
+    assert(frames.nonEmpty && frames.forall(_.media_id % 3 == 2))
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.forall(r => r.meta.width == 64 && r.meta.height == 64))
+  }
+
+  test("similarity: ann via LSH buckets ranks identical vectors first") {
+    import spark.implicits._
+    val base = (0 until 30).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    }
+    // vec 100 duplicates vec 0
+    val all = (base :+ (100L, base.head._2)).toDF("vec_id", "emb")
+    val ann = Similarity.annTopK(all, dim = 8, k = 3, planes = 4).collect()
+    val top0 = ann.filter(r => r.getLong(0) == 0L && r.getLong(2) == 1L)
+    assert(top0.length == 1 && top0.head.getLong(1) == 100L)
+    assert(math.abs(top0.head.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("language id picks marker-matched language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is here"),
+      (2L, "der hund ist gross und die katze ist klein"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = TextStats.languageId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
