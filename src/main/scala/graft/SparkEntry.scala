@@ -468,12 +468,7 @@ object SparkEntry {
         concat(array(element_at(col("emb"), 1) + 0.05),
           expr("slice(emb, 2, 63)")).as("emb"))
       val all = e.unionByName(variants)
-      val a = all.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
-      val b = all.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim", Similarity.dot("emb_a", "emb_b") /
-          (sqrt(Similarity.dot("emb_a", "emb_a")) * sqrt(Similarity.dot("emb_b", "emb_b"))))
-        .where(col("sim") > 0.9)
+      Similarity.cosineNearPairs(all, 0.9)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     },

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two array<double> columns.
+  *
+  * Why a custom Catalyst expression (SURVEY §2.4 preference ladder (b)):
+  * the builtin alternative `aggregate(zip_with(a, b, (x,y) -> x*y), ...)`
+  * allocates an intermediate array and interprets two lambdas per row —
+  * at 10M+ candidate pairs × 64 dims that dominated the whole benchmark.
+  * This expression generates a tight primitive loop inside whole-stage
+  * codegen: no allocation, no virtual calls.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for the engine's native SQL functions. */
+object GraftFunctions {
+  /** Idempotent: makes `graft_dot(a, b)`, `graft_minhash(hs, n)` and
+    * `graft_simhash(hs)` available to `expr(...)`/SQL.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (children: Seq[Expression]) => SimHash64(children(0)),
+      "built-in")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native sketch expressions over a pre-hashed token/shingle array
+  * (array<long> of xxhash64 values).
+  *
+  * Why custom expressions: the builtin formulation — 64 separate
+  * `array_min(transform(hs, ...))` / `aggregate(hs, ...)` columns —
+  * interprets a lambda per element per hash function (64 × |tokens| ×
+  * |docs| closure calls); these generate ONE tight fused loop inside
+  * whole-stage codegen. Wraparound long arithmetic is intentional here
+  * (hash mixing) and safe: generated Java wraps silently, outside ANSI
+  * checks.
+  */
+object HashFamilies {
+  /** Odd multipliers/offsets of the affine family h_i(x) = a_i*x + b_i
+    * (splitmix64-style constants; odd multipliers are bijective mod 2^64).
+    */
+  def a(i: Int): Long = -7046029254386353131L * (2L * i + 1)
+  def b(i: Int): Long = -4658895280553007687L * i
+}
+
+/** MinHash signature: array of `numHashes` minima of the affine-mixed
+  * base hashes. Null/empty input → null signature.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<long>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = h * HashFamilies.a(i) + HashFamilies.b(i)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val as = ctx.addReferenceObj("minhashA",
+      Array.tabulate(numHashes)(HashFamilies.a), "long[]")
+    val bs = ctx.addReferenceObj("minhashB",
+      Array.tabulate(numHashes)(HashFamilies.b), "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val out = ctx.freshName("out")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $hs.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $out = new long[$numHashes];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = $hs.getLong($j);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $v = $h * $as[$i] + $bs[$i];
+         |      if ($v < $out[$i]) $out[$i] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash: bit i of the output is set iff bit i is set in at
+  * least half of the input hashes. Null/empty input → null.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects array<long>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val cnt = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) cnt(i) += 1; i += 1 }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (2 * cnt(i) >= n) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val cnt = ctx.freshName("cnt")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $hs.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  int[] $cnt = new int[64];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = $hs.getLong($j);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if ((($h >>> $i) & 1L) == 1L) $cnt[$i]++;
+         |    }
+         |  }
+         |  long $out = 0L;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if (2 * $cnt[$i] >= $n) $out |= (1L << $i);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -38,34 +38,27 @@ object Dedup {
           .stripMargin)).as("shingles"))
 
   /** MinHash signature per document: an array of `numHashes` minimum hash
-    * values. One base xxhash64 per shingle, then the hash family is
-    * xxhash64 re-mixed with the function index (ANSI-safe: no wraparound
-    * arithmetic, stays inside whole-stage codegen).
+    * values. One base xxhash64 per shingle, then the native
+    * [[graft.functions.MinHashSignature]] codegen loop applies the whole
+    * affine hash family in a single fused pass.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val hashFns = (0 until numHashes).map { i =>
-      s"array_min(transform(hs, h -> xxhash64($i, h)))"
-    }
+    graft.functions.GraftFunctions.register(sh.sparkSession)
     sh.select(col("doc_id"),
         expr("transform(shingles, s -> xxhash64(s))").as("hs"))
-      .select(col("doc_id"), expr(s"array(${hashFns.mkString(", ")})").as("sig"))
+      .select(col("doc_id"), expr(s"graft_minhash(hs, $numHashes)").as("sig"))
   }
 
   /** 64-bit SimHash per document: bit i of the fingerprint is the majority
-    * vote of bit i across the token hashes. Entirely codegen'd expressions
-    * (64 fold lambdas over the token-hash array — no UDF, no shuffle).
+    * vote of bit i across the token hashes — one fused codegen pass via
+    * the native [[graft.functions.SimHash64]] expression.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bits = (0 until 64).map { i =>
-      s"""shiftleft(CASE WHEN aggregate(hs,
-         |  0L, (acc, h) -> acc + CASE WHEN (shiftright(h, $i) & 1) = 1
-         |                        THEN 1L ELSE -1L END) >= 0
-         |  THEN 1L ELSE 0L END, $i)""".stripMargin
-    }
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
         expr(s"transform(split($textCol, ' '), tok -> xxhash64(tok))").as("hs"))
-      .select(col("doc_id"), expr(bits.mkString(" + ")).as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash(hs)").as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit

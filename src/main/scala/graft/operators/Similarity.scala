@@ -1,21 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Embedding similarity search (driver north-star scope).
   *
   * Brute-force cosine top-k is the exact baseline: a broadcast nested-loop
   * of the (small) query set against the corpus — the corpus side streams
-  * through codegen'd array arithmetic, no shuffle of vectors. The LSH
-  * variant buckets by random-hyperplane sign bits so each query only meets
-  * its bucket — the 100 TB path.
+  * through the native [[graft.functions.DotProduct]] codegen loop, no
+  * shuffle of vectors. Norms are computed ONCE per vector (not per pair).
+  * The LSH variant buckets by random-hyperplane sign bits so each query
+  * only meets its bucket — the 100 TB path.
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns as a codegen'd fold. */
-  def dot(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  /** Dot product of two array<double> columns (native codegen loop). */
+  def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+
+  /** Attach the L2 norm as `<prefix>norm`, computed once per row. */
+  private def withNorm(df: DataFrame, embCol: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(expr(s"graft_dot($embCol, $embCol)")))
 
   /** Exact cosine top-k: for each row of `queries` (qid, qemb), the k
     * nearest rows of `corpus` (vec_id, emb) by cosine similarity.
@@ -23,15 +29,34 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = queries
-      .join(corpus, col("vec_id") =!= col("qid"))  // broadcast NLJ: tiny query side
-      .withColumn("sim",
-        dot("qemb", "emb") / (sqrt(dot("qemb", "qemb")) * sqrt(dot("emb", "emb"))))
+    GraftFunctions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "emb", "c_norm")
+    val q = withNorm(queries, "qemb", "q_norm")
+    val scored = q
+      .join(c, col("vec_id") =!= col("qid")) // broadcast NLJ: tiny query side
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
+  /** Exact all-pairs near-duplicate search: pairs with cosine similarity
+    * above `threshold`. Norms precomputed per side; the pair loop is the
+    * native codegen dot. Output: (id_a, id_b, sim), id_a < id_b.
+    */
+  def cosineNearPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val n = withNorm(vectors, "emb", "norm")
+    val a = n.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = n.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Random-hyperplane LSH bucketing: sign-bit signature over `planes`
@@ -54,16 +79,19 @@ object Similarity {
       .select(col("vec_id"), col("bucket"))
   }
 
-  /** ANN cosine top-k via LSH buckets: exact rerank inside each bucket. */
+  /** ANN cosine top-k via LSH buckets: exact rerank inside each bucket —
+    * the join is an equi-join on bucket (one shuffle), never all-pairs.
+    */
   def annTopK(corpus: DataFrame, dim: Int, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = lshBuckets(corpus, dim, planes)
-    val withB = corpus.join(b, "vec_id")
-    val pairs = withB.select(col("vec_id").as("qid"), col("emb").as("qemb"), col("bucket"))
-      .join(withB.select(col("vec_id"), col("emb"), col("bucket")), Seq("bucket"))
+    GraftFunctions.register(corpus.sparkSession)
+    val withB = withNorm(corpus, "emb", "norm").join(lshBuckets(corpus, dim, planes), "vec_id")
+    val pairs = withB.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("q_norm"), col("bucket"))
+      .join(withB.select(col("vec_id"), col("emb"), col("norm"), col("bucket")),
+        Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("sim",
-        dot("qemb", "emb") / (sqrt(dot("qemb", "qemb")) * sqrt(dot("emb", "emb"))))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("norm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
