@@ -216,6 +216,38 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
 
+    "q_asof_last_purchase" -> { (s, dir) =>
+      // as-of join: each click event gets the user's latest purchase value
+      // at or before the click (AsOf.join = union + running-last window)
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pv"))
+      graft.operators.AsOf.join(clicks, purchases,
+          key = "user_id", tCol = "ts", valueCol = "pv", out = "last_purchase")
+        .orderBy("event_id")
+    },
+
+    "q_distinct_counts" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_grouping_sets" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
     "q_json_props" -> { (s, dir) =>
       // events.props is a JSON string (SURVEY §2.4 scalar fns row)
       events(s, dir).groupBy("event_type")
@@ -577,6 +609,29 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_asof_last_purchase" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pv FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.pv AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type,

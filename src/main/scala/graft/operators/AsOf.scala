@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right value with
+  * r.t <= l.t on the same key (the temporal-join primitive behind the
+  * reference's V4 reset-suppression semantics, exposed as a first-class
+  * operator — SURVEY §2.4 joins row).
+  *
+  * Implementation is union + last-known-value running window, NOT a range
+  * join: one shuffle+sort per key regardless of row counts, no candidate
+  * explosion — the shape that survives 100 TB (a range join would be
+  * |left| × |right-per-key| pairs).
+  */
+object AsOf {
+
+  /** @param left  any columns + (key, t)
+    * @param right (key, t, value) — must be unique per (key, t); callers
+    *              pre-aggregate duplicates or the picked row is undefined
+    * @param out   name of the attached as-of value column (null when no
+    *              right row precedes the left row — left-join semantics)
+    */
+  def join(left: DataFrame, right: DataFrame, key: String, tCol: String,
+      valueCol: String, out: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(tCol), col(valueCol).as("__rv"))
+      .withColumn("__is_left", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal t, so a same-timestamp
+    // right value is visible (asof uses <=)
+    val w = Window.partitionBy(key).orderBy(col(tCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn(out, last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__is_left") === 1)
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
+}

@@ -83,6 +83,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(top0.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("asof join attaches latest right value at or before left t") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      ("k1", ts("2024-01-01 00:00:05"), "a"),
+      ("k1", ts("2024-01-01 00:00:10"), "b"),
+      ("k1", ts("2024-01-01 00:00:20"), "c"),
+      ("k2", ts("2024-01-01 00:00:10"), "d")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("k1", ts("2024-01-01 00:00:10"), 1.0),   // same-t: visible to "b"
+      ("k1", ts("2024-01-01 00:00:15"), 2.0)).toDF("k", "t", "v")
+    val got = graft.operators.AsOf.join(left, right, "k", "t", "v", "asof_v")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(2), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      ("a", None),          // nothing at or before :05
+      ("b", Some(1.0)),     // same-timestamp right row counts (<=)
+      ("c", Some(2.0)),     // latest preceding
+      ("d", None)))         // other key unaffected
+  }
+
   test("language id picks marker-matched language") {
     import spark.implicits._
     val d = Seq(
