@@ -52,7 +52,11 @@ object DatapointStore {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def append(df: DataFrame, path: String): Unit =
-    normalize(df).write.mode(SaveMode.Append)
+    // sort within files by (stream_id, t): parquet row-group min/max stats
+    // then prune both the stream and the time range inside each partition —
+    // the scan-side half of the reference's _id-range-scan trick (§1.5)
+    normalize(df).sortWithinPartitions("stream_id", "t")
+      .write.mode(SaveMode.Append)
       .partitionBy("granularity", "ymd").parquet(path)
 
   /** Atomically replace the table contents with `df` (write tmp + rename). */

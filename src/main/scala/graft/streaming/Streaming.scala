@@ -106,6 +106,35 @@ object Streaming {
       }
   }
 
+  /** Outcome of the streaming monotonicity gate for one point. */
+  case class GatedPoint(stream_id: String, t: Timestamp, v: Double,
+      accepted: Boolean)
+
+  /** The reference's `check_timestamp=True` in streaming form: per-stream
+    * stateful gate that marks points older than the stream's last accepted
+    * timestamp. A streaming job cannot raise per-row [[graft.model.InvalidTimestamp]]
+    * usefully, so violations are FLAGGED (route `accepted=false` rows to a
+    * dead-letter sink, or filter them) while the state only advances on
+    * accepted rows — identical acceptance set to the batch check.
+    */
+  def monotonicityGate(src: Dataset[Point]): Dataset[GatedPoint] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.stream_id)
+      .flatMapGroupsWithState[LastPoint, GatedPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = rows.toSeq.sortBy(_.t.getTime)
+          var lastT = state.getOption.map(_.t).getOrElse(Long.MinValue)
+          val out = sorted.map { p =>
+            val ok = p.t.getTime >= lastT
+            if (ok) lastT = p.t.getTime
+            GatedPoint(key, p.t, p.v, ok)
+          }
+          state.update(LastPoint(lastT, 0.0))
+          out.iterator
+      }
+  }
+
   /** Streaming ingestion into a [[graft.core.Datastream]] store: each
     * micro-batch is bulk-appended (which also recomputes dependent derived
     * streams), then the rollup ladder advances to the batch's max t.

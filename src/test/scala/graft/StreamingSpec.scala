@@ -104,6 +104,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((ts("2024-01-01 00:00:10"), 2.0)))
   }
 
+  test("monotonicity gate flags late points across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.monotonicityGate(mem.toDS())
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    mem.addData(Seq(Streaming.Point("g", ts("2024-01-01 00:00:10"), 1.0)))
+    q.processAllAvailable()
+    // one late (rejected, state unchanged), one on-time (accepted)
+    mem.addData(Seq(
+      Streaming.Point("g", ts("2024-01-01 00:00:05"), 2.0),
+      Streaming.Point("g", ts("2024-01-01 00:00:20"), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_out").collect()
+      .map(r => (r.getTimestamp(1), r.getBoolean(3))).toMap
+    assert(got(ts("2024-01-01 00:00:10")) && got(ts("2024-01-01 00:00:20")))
+    assert(!got(ts("2024-01-01 00:00:05")))
+  }
+
   test("streaming ingest into the store == batch append + downsample") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
