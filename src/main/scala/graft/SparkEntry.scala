@@ -248,6 +248,23 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    "q_pivot_user_type" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .avg("value")
+        .orderBy("user_id")
+    },
+
+    "q_token_freq" -> { (s, dir) =>
+      // explode (UDTF-shaped generator) + aggregation: corpus token counts
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+
     "q_json_props" -> { (s, dir) =>
       // events.props is a JSON string (SURVEY §2.4 scalar fns row)
       events(s, dir).groupBy("event_type")
@@ -632,6 +649,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot_user_type" ->
+      """PIVOT (SELECT user_id, event_type, value FROM events)
+        |ON event_type USING avg(value) GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type,

@@ -25,6 +25,66 @@ object HashFamilies {
   def b(i: Int): Long = -4658895280553007687L * i
 }
 
+/** Hashed distinct word n-grams of a text column: tokenizes on single
+  * spaces, hashes each n-gram (FNV-1a 64 over the joined bytes) and
+  * dedups — the fused replacement for
+  * `array_distinct(transform(sequence(...), i -> xxhash64(concat_ws(slice(split(text))))))`,
+  * which allocates a token array, a slice and a joined string per shingle.
+  * Texts with fewer than n words produce one n-gram of all words (same
+  * rule as the slice-based formulation).
+  *
+  * CodegenFallback is deliberate: ONE virtual call per row doing a tight
+  * char loop beats generating a tokenizer in Java strings — the per-element
+  * interpreted lambdas were the problem, not the per-row call.
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(in: Any): Any = {
+    val bytes = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    // word start/end offsets (split on single ' ', empty tokens included —
+    // mirrors split(text, ' '))
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nWords = starts.length
+    def wordEnd(w: Int): Int = if (w + 1 < nWords) starts(w + 1) - 1 else bytes.length
+    val span = math.min(n, nWords)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    val lastStart = math.max(nWords - span, 0)
+    while (w <= lastStart) {
+      // FNV-1a 64 over bytes [start(w), wordEnd(w+span-1)) — includes the
+      // single-space separators, i.e. the joined n-gram string
+      var h = -3750763034362895579L // FNV offset basis
+      var p = starts(w)
+      val end = wordEnd(w + span - 1)
+      while (p < end) { h ^= bytes(p) & 0xFF; h *= 1099511628211L; p += 1 }
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
+    copy(child = c)
+}
+
 /** MinHash signature: array of `numHashes` minima of the affine-mixed
   * base hashes. Null/empty input → null signature.
   */

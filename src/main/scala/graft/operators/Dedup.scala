@@ -93,9 +93,15 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     val sh = shingles(docs, n, idCol, textCol)
-    val banded = minhashSignatures(sh, numHashes)
+    // candidate generation uses the fused native path (text -> hashed
+    // n-grams -> signature in two expression calls); the exact-Jaccard
+    // verify stage below still uses the string shingle sets
+    val banded = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_minhash(graft_ngrams($textCol, $n), $numHashes)").as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("doc_id", "band", "bh")
