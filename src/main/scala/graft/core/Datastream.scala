@@ -82,7 +82,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       deriveOp: Option[String] = None,
       deriveArgs: Option[String] = None,
       valueType: String = ValueType.Numeric,
-      timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted): String = {
+      timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted,
+      valueTypeOptions: Option[String] = None): String = {
+    // valueTypeOptions (e.g. archived graph layouts) are accepted for API
+    // parity and carried in derive_args-style JSON; they have no execution
+    // semantics in the reference either (count-only downsampling).
+    val _ = valueTypeOptions
     if (!ValueType.all(valueType)) throw IncompatibleTypes(valueType)
     if (valueType != ValueType.Numeric && valueDownsamplers.exists(_ != "count"))
       throw UnsupportedDownsampler(
@@ -307,6 +312,19 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (reverse) projected.orderBy(col("t").desc) else projected.orderBy(col("t"))
   }
 
+  /** Lazy cursor over get_data results — the reference's `Datapoints`
+    * wrapper. Rows stream to the driver one partition at a time
+    * (`toLocalIterator`), so memory stays bounded however large the range.
+    */
+  def getDataIterator(
+      streamId: String,
+      granularity: Granularity,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None,
+      reverse: Boolean = false): java.util.Iterator[org.apache.spark.sql.Row] =
+    getData(streamId, granularity, start = start, end = end,
+      reverse = reverse).toLocalIterator()
+
   // ---- A5–A8 tags -----------------------------------------------------
 
   def findStreams(queryTags: Map[String, String] = Map.empty): DataFrame = {
@@ -370,10 +388,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * buckets). Only completed buckets (bucket end <= until) are written.
     */
   def downsampleStreams(until: Timestamp,
-      queryTags: Map[String, String] = Map.empty): Unit = {
+      queryTags: Map[String, String] = Map.empty,
+      returnDatapoints: Boolean = false): Option[DataFrame] = {
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
                else findStreamIds(queryTags))
-    if (ids.isEmpty || !datapointsExist) return
+    if (ids.isEmpty || !datapointsExist) return None
     val hgOf = ids.map(id => id -> Granularity(catalog(id).highest_granularity)).toMap
 
     val isNumeric = ids.map(id => id -> (catalog(id).value_type == ValueType.Numeric)).toMap
@@ -435,9 +455,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         ).flatten
 
         parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
-          .foreach { out => DatapointStore.append(out, datapointsPath) }
+          .foreach { out =>
+            if (returnDatapoints) {
+              // materialize (breaks lineage) so the returned frame doesn't
+              // re-scan the store it was just appended to
+              val mat = out.localCheckpoint(true)
+              DatapointStore.append(mat, datapointsPath)
+              emitted += DatapointStore.normalize(mat)
+            } else DatapointStore.append(out, datapointsPath)
+          }
       }
     }
+    emitted.reduceOption(_.unionByName(_))
   }
 
   // ---- A11 backprocess + derive ---------------------------------------

@@ -150,6 +150,7 @@ object Streaming {
           store.appendMultiple(batch, checkTimestamp)
           val hi = batch.agg(max("t")).collect().head.getTimestamp(0)
           store.downsampleStreams(hi)
+          ()
         }
       }
   }

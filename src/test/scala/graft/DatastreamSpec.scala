@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -195,6 +196,50 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // count-only ladder folds from partials: days level still 3
     val day = ds.getData(id, Granularity.Days).collect()
     assert(day.length == 1 && day.head.getLong(day.head.fieldIndex("count")) == 3)
+  }
+
+  test("graph streams: JSON topology values, count-only; return_datapoints; lazy cursor") {
+    val ds = freshDs()
+    import spark.implicits._
+    val id = ds.ensureStream(Map("name" -> "topo"),
+      valueDownsamplers = Seq("count"), valueType = ValueType.Graph)
+    val g1 = """{"v": [{"i": "a"}, {"i": "b"}], "e": [{"f": "a", "t": "b"}]}"""
+    val g2 = """{"v": [{"i": "a"}], "e": []}"""
+    ds.appendMultiple(Seq(
+      (id, ts("2024-01-01 00:00:01"), g1),
+      (id, ts("2024-01-01 00:00:05"), g2)).toDF("stream_id", "t", "v_json"))
+    // raw read-back returns the exact JSON snapshots in order
+    val raw = ds.getData(id, Granularity.Seconds).collect()
+    assert(raw.map(_.getString(2)).toSeq == Seq(g1, g2))
+    // downsample with return_datapoints=True streams back the emitted rows
+    val returned = ds.downsampleStreams(ts("2024-01-02 00:00:00"),
+      returnDatapoints = true)
+    assert(returned.isDefined)
+    val minuteRows = returned.get
+      .where(col("granularity") === "minutes").collect()
+    assert(minuteRows.length == 1 &&
+      minuteRows.head.getLong(minuteRows.head.fieldIndex("c")) == 2)
+    // lazy cursor (toLocalIterator-backed)
+    val it = ds.getDataIterator(id, Granularity.Seconds)
+    assert(it.hasNext && it.next().getString(2) == g1)
+  }
+
+  test("get_data plan prunes granularity partitions and pushes the time range") {
+    val ds = freshDs()
+    import spark.implicits._
+    val id = ds.ensureStream(Map("name" -> "prune"))
+    ds.appendMultiple(Seq((id, ts("2024-01-01 00:00:01"), 1.0),
+      (id, ts("2024-01-02 00:00:01"), 2.0)).toDF("stream_id", "t", "v"))
+    ds.downsampleStreams(ts("2024-01-03 00:00:00"))
+    val plan = ds.getData(id, Granularity.Minutes,
+        start = Some(ts("2024-01-01 00:00:00")), end = Some(ts("2024-01-01 12:00:00")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // granularity is a partition column -> partition pruning, not a scan filter
+    assert(plan.contains("PartitionFilters") && plan.contains("granularity#"),
+      s"missing partition pruning in:\n$plan")
+    // the time range must reach the parquet reader as a pushed filter
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(t,"),
+      s"missing pushed time filter in:\n$plan")
   }
 
   test("null values: ignored by value downsamplers, counted out of count") {
