@@ -216,6 +216,31 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
 
+    "q_outer_join_nations" -> { (s, dir) =>
+      // full outer: nations with customers but no suppliers (and vice
+      // versa) survive with nulls; left join folded in via coalesce
+      val c = tbl(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val su = tbl(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+
+    "q_left_join_regions" -> { (s, dir) =>
+      // left join keeping nations with zero high-balance suppliers
+      tbl(s, dir, "nation")
+        .join(tbl(s, dir, "supplier").where(col("s_acctbal") > 0),
+          col("n_nationkey") === col("s_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy("n_name")
+    },
+
     "q_asof_last_purchase" -> { (s, dir) =>
       // as-of join: each click event gets the user's latest purchase value
       // at or before the click (AsOf.join = union + running-last window)
@@ -523,8 +548,16 @@ object SparkEntry {
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      // exact word-3gram Jaccard over all pairs of the first 50 docs
-      val sh = Dedup.shingles(tbl(s, dir, "documents").where(col("doc_id") < 50))
+      // exact word-3gram Jaccard over all pairs of the first 50 docs plus
+      // injected variants of the first 10 (corpus has no real near-dups in
+      // this slice at sf>=0.01)
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      val variants = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zz yy "),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+      val sh = Dedup.shingles(docs.unionByName(variants))
       val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
@@ -626,6 +659,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_outer_join_nations" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |           GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nk""".stripMargin,
+
+    "q_left_join_regions" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM nation LEFT JOIN supplier
+        |  ON n_nationkey = s_nationkey AND s_acctbal > 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_asof_last_purchase" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
@@ -755,8 +804,12 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |    FROM documents WHERE doc_id < 50),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 10),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |    range(1, greatest(len(words) - 3, 0) + 2),
         |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w)

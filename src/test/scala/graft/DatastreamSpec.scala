@@ -260,6 +260,30 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getTimestamp(m.fieldIndex("t_last")) == ts("2024-01-01 00:00:03"))
   }
 
+  test("incremental downsampling == full recompute after staged appends") {
+    import spark.implicits._
+    val inc = freshDs()
+    val id1 = inc.ensureStream(Map("name" -> "stage"))
+    val batch1 = (0 until 40).map(i => (id1, ts(f"2024-01-01 00:${i / 2}%02d:${(i * 7) % 60}%02d"), i.toDouble))
+    val batch2 = (0 until 40).map(i => (id1, ts(f"2024-01-01 12:${i / 2}%02d:${(i * 11) % 60}%02d"), (i + 100).toDouble))
+    inc.appendMultiple(batch1.toDF("stream_id", "t", "v"))
+    inc.downsampleStreams(ts("2024-01-01 06:00:00"))   // partial ladder
+    inc.appendMultiple(batch2.toDF("stream_id", "t", "v"))
+    inc.downsampleStreams(ts("2024-01-02 00:00:00"))   // advance to cover all
+
+    val full = freshDs()
+    val id2 = full.ensureStream(Map("name" -> "stage"))
+    full.appendMultiple((batch1 ++ batch2).map { case (_, t, v) => (id2, t, v) }
+      .toDF("stream_id", "t", "v"))
+    full.downsampleStreams(ts("2024-01-02 00:00:00"))
+
+    def dump(ds: graft.core.Datastream) = ds.datapoints
+      .select("granularity", "t", "v_num", "c", "s", "q", "l", "u", "m", "d",
+        "t_first", "t_last", "t_mean")
+      .collect().map(_.toSeq).toSet
+    assert(dump(inc) == dump(full))
+  }
+
   test("incompatible granularity for derived stream raises") {
     val ds = freshDs()
     val src = ds.ensureStream(Map("name" -> "coarse"),
