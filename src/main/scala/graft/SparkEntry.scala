@@ -367,7 +367,44 @@ object SparkEntry {
         .limit(100)
     },
 
+    "q_percentiles" -> { (s, dir) =>
+      // exact interpolated percentiles (same definition as quantile_cont)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("med"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- datastream surface (SURVEY §2.2/§2.3 over events) ------------
+
+    "store_pipeline" -> { (s, dir) =>
+      // the STORE itself under the oracle: ensure 75 streams from events
+      // tags, bulk append, materialize the ladder, read back the Days
+      // level joined with stream tags — A1+A3+A10+A4 end-to-end
+      val work = java.nio.file.Files.createTempDirectory("graft-store-q").toString
+      val ds = new graft.core.Datastream(s, work)
+      val ev = events(s, dir).where(col("user_id") < 5)
+      val keys = ev.select("user_id", "event_type").distinct().collect()
+      val idOf = keys.map { r =>
+        val (u, et) = (r.getLong(0).toString, r.getString(1))
+        s"$u:$et" -> ds.ensureStream(Map("user" -> u, "type" -> et))
+      }.toMap
+      val uuidOf = typedLit(idOf)
+      ds.appendMultiple(ev.select(
+        uuidOf(concat_ws(":", col("user_id"), col("event_type"))).as("stream_id"),
+        col("ts").as("t"), col("value").as("v")), checkTimestamp = false)
+      ds.downsampleStreams(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      ds.datapoints.where(col("granularity") === "days")
+        .join(ds.streams.select(col("stream_id"), col("tags")), "stream_id")
+        .select(
+          element_at(col("tags"), "user").cast("long").as("user_id"),
+          element_at(col("tags"), "type").as("event_type"),
+          col("t"), col("c"), col("s"), col("l"), col("u"), col("m"), col("d"),
+          col("t_first"), col("t_last"))
+        .orderBy("user_id", "event_type", "t")
+    },
 
     "ds_agg_minutes10" -> { (s, dir) =>
       Downsample.toGranularity(eventStreams(s, dir), Granularity.Minutes10)
@@ -878,6 +915,27 @@ object SparkEntry {
         |    / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
         |ORDER BY stream_id, t""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS med,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "store_pipeline" ->
+      """WITH src AS (SELECT user_id, event_type,
+        |    CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS t,
+        |    value AS v FROM events WHERE user_id < 5),
+        |b AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(t) / 86400) * 86400 AS BIGINT) AS be, t, v FROM src)
+        |SELECT user_id, event_type, CAST(to_timestamp(be) AS TIMESTAMP) AS t,
+        |  count(v) AS c, sum(v) AS s, min(v) AS l, max(v) AS u,
+        |  sum(v) / count(v) AS m,
+        |  sqrt(greatest(sum(v * v) / count(v)
+        |    - (sum(v) / count(v)) * (sum(v) / count(v)), 0)) AS d,
+        |  min(t) AS t_first, max(t) AS t_last
+        |FROM b GROUP BY user_id, event_type, be
+        |ORDER BY user_id, event_type, be""".stripMargin,
 
     "ds_stream_minutes" ->
       s"""WITH $srcSql,

@@ -52,10 +52,15 @@ object DatapointStore {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def append(df: DataFrame, path: String): Unit =
-    // sort within files by (stream_id, t): parquet row-group min/max stats
-    // then prune both the stream and the time range inside each partition —
-    // the scan-side half of the reference's _id-range-scan trick (§1.5)
-    normalize(df).sortWithinPartitions("stream_id", "t")
+    // repartition on the partition keys first: one task per output
+    // partition, so an append writes one file per (granularity, ymd)
+    // instead of tasks × partitions small files; then sort within files by
+    // (stream_id, t) so parquet row-group min/max stats prune both the
+    // stream and the time range — the scan-side half of the reference's
+    // _id-range-scan trick (§1.5). At cluster scale add stream-id
+    // bucketing to spread one hot (g, ymd) over several writers.
+    normalize(df).repartition(col("granularity"), col("ymd"))
+      .sortWithinPartitions("stream_id", "t")
       .write.mode(SaveMode.Append)
       .partitionBy("granularity", "ymd").parquet(path)
 

@@ -292,10 +292,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // partition pruning on granularity + parquet min/max pushdown on t
     var q = datapoints
       .where(col("granularity") === granularity.name && col("stream_id") === streamId)
-    start.foreach(s => q = q.where(
-      if (startExclusive) col("t") > s else col("t") >= s))
-    end.foreach(e => q = q.where(
-      if (endExclusive) col("t") < e else col("t") <= e))
+    // a `t` predicate alone never prunes the ymd partition column — derive
+    // the matching ymd string bounds explicitly (yyyyMMdd sorts like dates)
+    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    start.foreach { s =>
+      q = q.where(if (startExclusive) col("t") > s else col("t") >= s)
+      q = q.where(col("ymd") >= dayFmt.format(s.toInstant))
+    }
+    end.foreach { e =>
+      q = q.where(if (endExclusive) col("t") < e else col("t") <= e)
+      q = q.where(col("ymd") <= dayFmt.format(e.toInstant))
+    }
 
     val projected =
       if (granularity.seconds == hg.seconds)

@@ -40,6 +40,18 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       ds.ensureStream(Map("name" -> "s2"), valueDownsamplers = Seq("bogus"))
     }
     intercept[UnsupportedGranularity] { Granularity("bogus") }
+    // ambiguous query tags -> MultipleStreamsReturned
+    ds.ensureStream(Map("name" -> "m1", "shared" -> "y"))
+    ds.ensureStream(Map("name" -> "m2", "shared" -> "y"))
+    intercept[MultipleStreamsReturned] { ds.ensureStream(Map("shared" -> "y")) }
+    // derive_op without derive_from (and vice versa) -> InvalidOperatorArguments
+    intercept[InvalidOperatorArguments] {
+      ds.ensureStream(Map("name" -> "m3"), deriveOp = Some(DeriveOps.Sum))
+    }
+    intercept[UnsupportedDeriveOperator] {
+      ds.ensureStream(Map("name" -> "m4"), deriveFrom = Seq("x"),
+        deriveOp = Some("median"))
+    }
   }
 
   test("append + get_data round trip at highest granularity") {
@@ -234,9 +246,10 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = ds.getData(id, Granularity.Minutes,
         start = Some(ts("2024-01-01 00:00:00")), end = Some(ts("2024-01-01 12:00:00")))
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    // granularity is a partition column -> partition pruning, not a scan filter
+    // granularity AND the derived ymd day-range are partition filters
     assert(plan.contains("PartitionFilters") && plan.contains("granularity#"),
       s"missing partition pruning in:\n$plan")
+    assert(plan.contains("ymd#"), s"missing ymd partition pruning in:\n$plan")
     // the time range must reach the parquet reader as a pushed filter
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(t,"),
       s"missing pushed time filter in:\n$plan")
