@@ -367,6 +367,14 @@ object SparkEntry {
         .limit(100)
     },
 
+    "q_salted_distinct" -> { (s, dir) =>
+      // two-stage skew-spread distinct count; exact by construction
+      graft.operators.Skew
+        .saltedDistinctCount(tbl(s, dir, "lineitem"), "l_returnflag", "l_partkey")
+        .withColumnRenamed("l_returnflag", "flag")
+        .orderBy("flag")
+    },
+
     "q_percentiles" -> { (s, dir) =>
       // exact interpolated percentiles (same definition as quantile_cont)
       tbl(s, dir, "lineitem")
@@ -915,6 +923,11 @@ object SparkEntry {
         |    / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
         |ORDER BY stream_id, t""".stripMargin,
+
+    "q_salted_distinct" ->
+      """SELECT l_returnflag AS flag,
+        |  count(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

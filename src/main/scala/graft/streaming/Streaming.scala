@@ -53,6 +53,17 @@ object Streaming {
           .map(col): _*)
   }
 
+  /** Streaming V1 `sum`: pointwise sum of all source streams per closed
+    * bucket (union → one windowed agg, same shuffle shape as batch).
+    */
+  def streamSum(src: DataFrame, g: Granularity, outStreamId: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    src.withWatermark("t", watermarkDelay)
+      .groupBy(window(col("t"), g.windowDuration))
+      .agg(sum(col("v")).as("v"))
+      .select(lit(outStreamId).as("stream_id"),
+        col("window.start").as("t"), col("v"))
+
   /** Stateful streaming V2 `derivative`: per stream, emit
     * (v − last.v)/(t − last.t) for each arriving point, carrying the last
     * point across micro-batches in GroupState. Rows inside a micro-batch

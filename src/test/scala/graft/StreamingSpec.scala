@@ -125,6 +125,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got(ts("2024-01-01 00:00:05")))
   }
 
+  test("streaming stream-sum (V1) == batch streamSum on closed buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = Streaming.streamSum(mem.toDF.toDF("stream_id", "t", "v"),
+        Granularity.Minutes, "vsum")
+      .writeStream.format("memory").queryName("vsum_out")
+      .outputMode("append").start()
+    val data = Seq(
+      ("a", ts("2024-01-01 00:00:10"), 1.0), ("b", ts("2024-01-01 00:00:20"), 2.0),
+      ("a", ts("2024-01-01 00:01:10"), 4.0), ("b", ts("2024-01-01 00:05:00"), 8.0))
+    mem.addData(data.take(2)); q.processAllAvailable()
+    mem.addData(data.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vsum_out").collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2))).toSet
+    // watermark ends at 00:05:00 -> buckets 0 and 1 closed, 5 open
+    val batch = graft.operators.Derive
+      .streamSum(data.toDF("stream_id", "t", "v"), Granularity.Minutes, "vsum")
+      .where(col("t") < ts("2024-01-01 00:05:00"))
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == batch && got == Set(
+      (ts("2024-01-01 00:00:00"), 3.0), (ts("2024-01-01 00:01:00"), 4.0)))
+  }
+
+  test("backprocess fills a derived stream created after source history exists") {
+    import spark.implicits._
+    val store = new graft.core.Datastream(spark,
+      java.nio.file.Files.createTempDirectory("graft-backp").toString)
+    val src = store.ensureStream(Map("name" -> "bp-src"))
+    store.appendMultiple(Seq(
+      (src, ts("2024-01-01 00:00:00"), 10.0),
+      (src, ts("2024-01-01 00:00:10"), 30.0)).toDF("stream_id", "t", "v"))
+    // derived stream declared AFTER data exists: empty until backprocess
+    val d = store.ensureStream(Map("name" -> "bp-d"),
+      deriveFrom = Seq(src), deriveOp = Some(graft.model.DeriveOps.Derivative))
+    assert(store.getData(d, Granularity.Seconds).count() == 0)
+    store.backprocessStreams()
+    val rows = store.getData(d, Granularity.Seconds).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(2.0))
+  }
+
   test("streaming ingest into the store == batch append + downsample") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
