@@ -38,6 +38,20 @@ object DatapointStore {
     (dataColumns ++ Seq("granularity" -> StringType, "ymd" -> StringType))
       .map { case (n, t) => StructField(n, t, nullable = true) })
 
+  /** Partition day key: UTC day index since epoch, zero-padded so string
+    * order == time order. Computed from epoch seconds, NOT date_format —
+    * date_format renders in the session timezone, which would silently
+    * desynchronize written partition values from the UTC-formatted pruning
+    * bounds `getData` derives under a non-UTC session.
+    */
+  def ymdCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(floor(unix_timestamp(t) / 86400L).cast(StringType), 6, "0")
+
+  def ymdKey(ts: java.sql.Timestamp): String = {
+    val d = Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), 86400L)
+    f"$d%06d"
+  }
+
   /** Project `df` onto the canonical schema, nulling absent columns. */
   def normalize(df: DataFrame): DataFrame = {
     val cols = dataColumns.map { case (n, t) =>
@@ -45,7 +59,7 @@ object DatapointStore {
       else lit(null).cast(t).as(n)
     } :+ (if (df.columns.contains("granularity")) col("granularity")
           else lit(null).cast(StringType).as("granularity"))
-    df.select(cols: _*).withColumn("ymd", date_format(col("t"), "yyyyMMdd"))
+    df.select(cols: _*).withColumn("ymd", ymdCol(col("t")))
   }
 
   def empty(spark: SparkSession): DataFrame =

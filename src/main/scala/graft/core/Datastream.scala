@@ -53,18 +53,22 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   }
 
   private def persistCatalog(): Unit = {
-    catalogDirty = false
     val tmp = s"$streamsPath.tmp"
     catalog.values.toSeq.toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = new java.io.File(streamsPath)
     if (dst.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
       }
       rm(dst)
     }
-    new java.io.File(tmp).renameTo(dst)
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"failed to move catalog into place: $tmp -> $dst")
+    // only mark clean once the data is durably in place — a failed write
+    // must leave the catalog dirty so a retried flush() actually retries
+    catalogDirty = false
   }
 
   def streams: DataFrame =
@@ -158,45 +162,58 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * stream_id, t (timestamp), and v (double, nullable) for numeric
     * streams and/or v_json (string) for nominal/graph streams.
     * Timestamps are rounded to each stream's highest granularity; strict
-    * decreases versus the stream's last timestamp (or within the batch)
-    * raise [[InvalidTimestamp]] when `checkTimestamp`. Values of the wrong
-    * kind for a stream's declared value_type raise [[IncompatibleTypes]]
-    * (the reference's append-time type check).
+    * decreases versus the stream's last STORED timestamp raise
+    * [[InvalidTimestamp]] when `checkTimestamp` (a DataFrame batch has no
+    * row order, so ordering WITHIN one batch is by design not checked —
+    * split into multiple calls for sequential reference semantics).
+    * Values of the wrong kind for a stream's declared value_type raise
+    * [[IncompatibleTypes]] (the reference's append-time type check).
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true): Unit = {
-    val ids = df.select("stream_id").distinct().as[String].collect()
-    ids.foreach { id =>
-      val d = catalog.getOrElse(id, throw StreamNotFound(id))
-      if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
-    }
-    // append-time type check: numeric streams take v, others take v_json
-    val hasV = df.columns.contains("v")
-    val hasJ = df.columns.contains("v_json")
-    val typeOf = typedLit(catalog.collect {
-      case (id, d) if ids.contains(id) => id -> d.value_type
-    })
-    val wrongKind =
-      (if (hasJ) df.where(typeOf(col("stream_id")) === ValueType.Numeric &&
-        col("v_json").isNotNull) else spark.emptyDataFrame.limit(0)) ::
-      (if (hasV) df.where(typeOf(col("stream_id")) =!= ValueType.Numeric &&
-        col("v").isNotNull) else spark.emptyDataFrame.limit(0)) :: Nil
-    wrongKind.filter(_.columns.contains("stream_id")).foreach { bad =>
-      val b = bad.select("stream_id").limit(1).collect()
-      if (b.nonEmpty)
-        throw IncompatibleTypes(
-          s"value kind does not match stream ${b.head.getString(0)}'s value_type")
-    }
     val gSeconds = typedLit(catalog.collect {
       case (id, d) => id -> Granularity(d.highest_granularity).seconds
     })
     val lastTs = typedLit(catalog.collect {
       case (id, d) if d.latest_ts.isDefined => id -> d.latest_ts.get.getTime
     })
+    // cache the transformed batch: validation probes, the store write and
+    // the bounds aggregation would otherwise re-execute the caller's
+    // (possibly expensive) input lineage up to 5 times
     val rounded = df
       .withColumn("gsec", gSeconds(col("stream_id")))
       .withColumn("t", timestamp_seconds(
         floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
       .drop("gsec")
+      .persist()
+    try {
+      appendRounded(rounded, checkTimestamp, lastTs)
+    } finally rounded.unpersist()
+  }
+
+  private def appendRounded(rounded: DataFrame, checkTimestamp: Boolean,
+      lastTs: org.apache.spark.sql.Column): Unit = {
+    val ids = rounded.select("stream_id").distinct().as[String].collect()
+    ids.foreach { id =>
+      val d = catalog.getOrElse(id, throw StreamNotFound(id))
+      if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
+    }
+    // append-time type check: numeric streams take v, others take v_json
+    val hasV = rounded.columns.contains("v")
+    val hasJ = rounded.columns.contains("v_json")
+    val typeOf = typedLit(catalog.collect {
+      case (id, d) if ids.contains(id) => id -> d.value_type
+    })
+    val wrongKind = Seq(
+      if (hasJ) Some(rounded.where(typeOf(col("stream_id")) === ValueType.Numeric &&
+        col("v_json").isNotNull)) else None,
+      if (hasV) Some(rounded.where(typeOf(col("stream_id")) =!= ValueType.Numeric &&
+        col("v").isNotNull)) else None).flatten
+    wrongKind.foreach { bad =>
+      val b = bad.select("stream_id").limit(1).collect()
+      if (b.nonEmpty)
+        throw IncompatibleTypes(
+          s"value kind does not match stream ${b.head.getString(0)}'s value_type")
+    }
 
     if (checkTimestamp) {
       // a strict decrease versus the stream's last stored timestamp is a
@@ -293,16 +310,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     var q = datapoints
       .where(col("granularity") === granularity.name && col("stream_id") === streamId)
     // a `t` predicate alone never prunes the ymd partition column — derive
-    // the matching ymd string bounds explicitly (yyyyMMdd sorts like dates)
-    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-      .withZone(java.time.ZoneOffset.UTC)
+    // the matching ymd day-key bounds explicitly (same epoch-day formula
+    // as DatapointStore.ymdCol, so it is session-timezone-proof)
     start.foreach { s =>
       q = q.where(if (startExclusive) col("t") > s else col("t") >= s)
-      q = q.where(col("ymd") >= dayFmt.format(s.toInstant))
+      q = q.where(col("ymd") >= DatapointStore.ymdKey(s))
     }
     end.foreach { e =>
       q = q.where(if (endExclusive) col("t") < e else col("t") <= e)
-      q = q.where(col("ymd") <= dayFmt.format(e.toInstant))
+      q = q.where(col("ymd") <= DatapointStore.ymdKey(e))
     }
 
     val projected =
@@ -340,6 +356,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       df.where(element_at(col("tags"), k) === v)
     }
   }
+
+  /** Nested/dotted-tag query (the reference accepts nested tag documents):
+    * match a tag key against the full tag document. Our tag store is a
+    * flat map, so dotted keys like "meta.region" are literal keys — the
+    * bracket path form keeps get_json_object from treating the dot as
+    * nesting (and survives most metacharacters).
+    */
+  def findStreamsByJsonPath(path: String, value: String): DataFrame =
+    streams.where(get_json_object(col("tags_json"), s"$$['$path']") === value)
 
   def findStreamIds(queryTags: Map[String, String]): Seq[String] =
     catalog.values.filter(d =>
@@ -548,6 +573,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           .select(lit(srcId).as("stream_id"), col("t")))
         Derive.counterDerivative(src, maxValue, reset)
     }).withColumn("stream_id", lit(d.stream_id))
+      // the derived stream may be coarser than its source: round output
+      // timestamps to the derived stream's highest granularity, the same
+      // invariant the append path enforces (streamSum already buckets)
+      .withColumn("t", timestamp_seconds(
+        floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
     // idempotent replace: drop ALL of this derived stream's rows (raw and
     // stale coarse levels) and re-add the recomputed raw level; coarser
     // levels re-materialize on the next downsampleStreams call
@@ -566,8 +596,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   * stored as the caller provides them).
   */
 object Json {
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def toJson(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": "$v"""" }
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
 
   private def field(json: String, name: String): Option[String] = {

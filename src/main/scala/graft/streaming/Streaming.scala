@@ -78,10 +78,12 @@ object Streaming {
           val sorted = rows.toSeq.sortBy(_.t.getTime)
           var last = state.getOption
           val out = sorted.flatMap { p =>
+            // compare/divide on floor-second resolution like the batch
+            // path: sub-second pairs are dropped, never divided by 0
+            val sec = Math.floorDiv(p.t.getTime, 1000L)
             val r = last.collect {
-              case LastPoint(lt, lv) if lt != p.t.getTime =>
-                Point(key, p.t,
-                  (p.v - lv) / ((p.t.getTime - lt) / 1000L))
+              case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
+                Point(key, p.t, (p.v - lv) / (sec - Math.floorDiv(lt, 1000L)))
             }
             last = Some(LastPoint(p.t.getTime, p.v))
             r
@@ -102,9 +104,10 @@ object Streaming {
           val sorted = rows.toSeq.sortBy(_.t.getTime)
           var last = state.getOption
           val out = sorted.flatMap { p =>
+            val sec = Math.floorDiv(p.t.getTime, 1000L)
             val r = last.flatMap {
-              case LastPoint(lt, lv) if lt != p.t.getTime =>
-                val dt = (p.t.getTime - lt) / 1000L
+              case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
+                val dt = sec - Math.floorDiv(lt, 1000L)
                 if (p.v >= lv) Some(Point(key, p.t, (p.v - lv) / dt))
                 else maxValue.map(m => Point(key, p.t, (m - lv + p.v) / dt))
               case _ => None

@@ -57,5 +57,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted("h") == 10000)
   }
 
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => i % 7919).toDF("v")
+    val approx = df.agg(approx_count_distinct("v")).collect().head.getLong(0)
+    val exact = df.agg(countDistinct("v")).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("nested-tag json-path stream lookup") {
+    val store = new graft.core.Datastream(spark,
+      java.nio.file.Files.createTempDirectory("graft-nested").toString)
+    store.ensureStream(Map("name" -> "n1", "meta.region" -> "eu"))
+    store.ensureStream(Map("name" -> "n2", "meta.region" -> "us"))
+    // flat keys containing dots are stored verbatim in the tag doc; the
+    // json-path variant must resolve them via bracket paths (a naive
+    // $.meta.region path would treat the dot as nesting and match nothing)
+    assert(store.findStreams(Map("meta.region" -> "eu")).count() == 1)
+    assert(store.findStreamsByJsonPath("meta.region", "eu").count() == 1)
+    assert(store.findStreamsByJsonPath("meta.region", "nope").count() == 0)
+    // tag values with quotes/backslashes survive the JSON round trip
+    val q = store.ensureStream(Map("name" -> "n3", "note" -> """say "hi" \o/"""))
+    assert(store.findStreamsByJsonPath("note", """say "hi" \o/""").count() == 1)
+    assert(store.getTags(q)("note") == """say "hi" \o/""")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
