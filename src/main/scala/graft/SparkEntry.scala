@@ -367,6 +367,26 @@ object SparkEntry {
         .limit(100)
     },
 
+    "q_above_cust_avg" -> { (s, dir) =>
+      // correlated-subquery shape: orders priced far above their
+      // customer's average (window formulation — no per-row subquery)
+      val w = Window.partitionBy("o_custkey")
+      tbl(s, dir, "orders")
+        .withColumn("cust_avg", avg("o_totalprice").over(w))
+        .where(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "q_unpivot_flags" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("qty"), sum("l_extendedprice").as("price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price")), "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    },
+
     "q_salted_distinct" -> { (s, dir) =>
       // two-stage skew-spread distinct count; exact by construction
       graft.operators.Skew
@@ -923,6 +943,18 @@ object SparkEntry {
         |    / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
         |ORDER BY stream_id, t""".stripMargin,
+
+    "q_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_unpivot_flags" ->
+      """WITH agg AS (SELECT l_returnflag, sum(l_quantity) AS qty,
+        |    sum(l_extendedprice) AS price FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT agg ON qty, price INTO NAME metric VALUE val
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_salted_distinct" ->
       """SELECT l_returnflag AS flag,

@@ -105,6 +105,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d", None)))         // other key unaffected
   }
 
+  test("graph snapshot stats and edge explosion") {
+    import spark.implicits._
+    val g1 = """{"v": [{"i": "a"}, {"i": "b"}, {"i": "c"}], "e": [{"f": "a", "t": "b"}, {"f": "b", "t": "c"}]}"""
+    val g2 = """{"v": [{"i": "x"}], "e": []}"""
+    val df = Seq((1L, g1), (2L, g2)).toDF("id", "v_json")
+    val stats = graft.operators.Graphs.snapshotStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(stats(1L) == (3, 2) && stats(2L) == (1, 0))
+    val es = graft.operators.Graphs.edges(df).select("id", "edge_from", "edge_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(es == Set((1L, "a", "b"), (1L, "b", "c")))
+  }
+
   test("language id picks marker-matched language") {
     import spark.implicits._
     val d = Seq(
