@@ -81,13 +81,18 @@ object DatapointStore {
   /** Atomically replace the table contents with `df` (write tmp + rename). */
   def replace(df: DataFrame, path: String): Unit = {
     val tmp = s"$path.graft-tmp"
-    normalize(df).write.mode(SaveMode.Overwrite)
+    normalize(df).repartition(col("granularity"), col("ymd"))
+      .sortWithinPartitions("stream_id", "t")
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("granularity", "ymd").parquet(tmp)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(new java.io.File(path))
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    val dst = new java.io.File(path)
+    rm(dst)
+    Option(dst.getParentFile).foreach(_.mkdirs())
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"failed to move table into place: $tmp -> $path")
   }
 }

@@ -259,15 +259,37 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   // ---- datapoints access ----------------------------------------------
 
-  private def datapointsExist: Boolean = {
-    val f = new java.io.File(datapointsPath)
+  private def nonEmptyDir(p: String): Boolean = {
+    val f = new java.io.File(p)
     f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
   }
 
-  /** Raw scan of the datapoints table (all granularities). */
-  def datapoints: DataFrame =
-    if (!datapointsExist) DatapointStore.empty(spark)
-    else spark.read.parquet(datapointsPath)
+  private def datapointsExist: Boolean =
+    nonEmptyDir(datapointsPath) || derivedDirs.nonEmpty
+
+  /** Each derived stream's datapoints (all granularities) live under
+    * their own root: recomputing one stream overwrites ONE directory —
+    * never an O(whole-store) rewrite, which would be fatal at scale since
+    * dependents recompute on every source append.
+    */
+  private def derivedRoot(id: String): String = s"$rootDir/derived/$id"
+
+  private def derivedDirs: Seq[String] = {
+    val base = new java.io.File(s"$rootDir/derived")
+    if (!base.exists()) Nil
+    else Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && nonEmptyDir(d.getPath)).map(_.getPath)
+  }
+
+  /** Unified scan of the datapoints table (all granularities, primary +
+    * derived roots).
+    */
+  def datapoints: DataFrame = {
+    val parts =
+      (if (nonEmptyDir(datapointsPath)) Seq(datapointsPath) else Nil) ++ derivedDirs
+    if (parts.isEmpty) DatapointStore.empty(spark)
+    else parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   /** Raw points of a set of streams at their highest granularity, shaped
     * (stream_id, t, v) for the operators.
@@ -402,8 +424,21 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val dependents = catalog.values.filter(d =>
       !victims(d.stream_id) && depsOf(d).exists(victims)).map(_.stream_id).toSeq
     if (dependents.nonEmpty) throw OutstandingDependenciesError(dependents)
-    if (datapointsExist) {
-      val kept = datapoints.where(!col("stream_id").isin(victims.toSeq: _*))
+    val (derVictims, rawVictims) =
+      victims.partition(id => catalog(id).derive_op.isDefined)
+    // derived streams: drop their whole directory, no table rewrite
+    derVictims.foreach { id =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(derivedRoot(id)))
+    }
+    // raw streams share the primary table: rewrite it (rare admin op) —
+    // scan ONLY the primary root, never the union view
+    if (rawVictims.nonEmpty && nonEmptyDir(datapointsPath)) {
+      val kept = spark.read.parquet(datapointsPath)
+        .where(!col("stream_id").isin(rawVictims.toSeq: _*))
       DatapointStore.replace(kept, datapointsPath)
     }
     catalog --= victims
@@ -489,13 +524,22 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
         parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
           .foreach { out =>
-            if (returnDatapoints) {
-              // materialize (breaks lineage) so the returned frame doesn't
-              // re-scan the store it was just appended to
-              val mat = out.localCheckpoint(true)
-              DatapointStore.append(mat, datapointsPath)
-              emitted += DatapointStore.normalize(mat)
-            } else DatapointStore.append(out, datapointsPath)
+            // derived streams' rollups go to their own roots (so a later
+            // recompute never touches the primary table); materialize when
+            // splitting or returning so lineage isn't re-executed per sink
+            val derivedNeeds = needs.filter(id => catalog(id).derive_op.isDefined)
+            val frame = if (returnDatapoints || derivedNeeds.nonEmpty)
+              out.localCheckpoint(true) else out
+            if (derivedNeeds.nonEmpty) {
+              DatapointStore.append(
+                frame.where(!col("stream_id").isin(derivedNeeds: _*)),
+                datapointsPath)
+              derivedNeeds.foreach { id =>
+                DatapointStore.append(
+                  frame.where(col("stream_id") === id), derivedRoot(id))
+              }
+            } else DatapointStore.append(frame, datapointsPath)
+            if (returnDatapoints) emitted += DatapointStore.normalize(frame)
           }
       }
     }
@@ -578,17 +622,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // invariant the append path enforces (streamSum already buckets)
       .withColumn("t", timestamp_seconds(
         floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
-    // idempotent replace: drop ALL of this derived stream's rows (raw and
-    // stale coarse levels) and re-add the recomputed raw level; coarser
-    // levels re-materialize on the next downsampleStreams call
-    if (datapointsExist) {
-      val kept = datapoints.where(col("stream_id") =!= d.stream_id)
-      val out = DatapointStore.normalize(result.select(
+    // idempotent replace of THIS stream's root only: drops its raw and
+    // stale coarse levels in one directory swap — O(derived stream), not
+    // O(store); coarser levels re-materialize on the next
+    // downsampleStreams call. replace() writes the new data to a tmp dir
+    // before removing the old one, so reading source dirs stays safe.
+    DatapointStore.replace(result.select(
         col("stream_id"), lit(g.name).as("granularity"), col("t"),
-        col("v").as("v_num")))
-      DatapointStore.replace(
-        DatapointStore.normalize(kept).unionByName(out), datapointsPath)
-    }
+        col("v").as("v_num")),
+      derivedRoot(d.stream_id))
   }
 }
 
