@@ -170,76 +170,71 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * [[IncompatibleTypes]] (the reference's append-time type check).
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true): Unit = {
-    val gSeconds = typedLit(catalog.collect {
-      case (id, d) => id -> Granularity(d.highest_granularity).seconds
-    })
-    val lastTs = typedLit(catalog.collect {
-      case (id, d) if d.latest_ts.isDefined => id -> d.latest_ts.get.getTime
-    })
-    // cache the transformed batch: validation probes, the store write and
-    // the bounds aggregation would otherwise re-execute the caller's
-    // (possibly expensive) input lineage up to 5 times
-    val rounded = df
-      .withColumn("gsec", gSeconds(col("stream_id")))
-      .withColumn("t", timestamp_seconds(
-        floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
-      .drop("gsec")
-      .persist()
+    import spark.implicits._
+    // cache the caller's batch: the ids scan, validation probes, store
+    // write and bounds aggregation would otherwise re-execute its
+    // (possibly expensive) lineage up to 5 times
+    val cached = df.persist()
     try {
-      appendRounded(rounded, checkTimestamp, lastTs)
-    } finally rounded.unpersist()
+      val ids = cached.select("stream_id").distinct().as[String].collect()
+      ids.foreach { id =>
+        val d = catalog.getOrElse(id, throw StreamNotFound(id))
+        if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
+      }
+      // per-stream config joins in as a BROADCAST metadata frame (never a
+      // typedLit map of the whole catalog — that would inline a
+      // million-stream catalog into the plan)
+      val meta = broadcast(ids.toSeq.map { id =>
+        val d = catalog(id)
+        (id, Granularity(d.highest_granularity).seconds, d.highest_granularity,
+          d.latest_ts.map(_.getTime), d.value_type)
+      }.toDF("stream_id", "gsec", "gname", "last_ms", "vtype"))
+      val rounded = cached.join(meta, "stream_id")
+        .withColumn("t", timestamp_seconds(
+          floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
+
+      // append-time type check: numeric streams take v, others take v_json
+      val hasV = cached.columns.contains("v")
+      val hasJ = cached.columns.contains("v_json")
+      val wrongKind = Seq(
+        if (hasJ) Some(rounded.where(col("vtype") === ValueType.Numeric &&
+          col("v_json").isNotNull)) else None,
+        if (hasV) Some(rounded.where(col("vtype") =!= ValueType.Numeric &&
+          col("v").isNotNull)) else None).flatten
+      wrongKind.foreach { bad =>
+        val b = bad.select("stream_id").limit(1).collect()
+        if (b.nonEmpty)
+          throw IncompatibleTypes(
+            s"value kind does not match stream ${b.head.getString(0)}'s value_type")
+      }
+
+      if (checkTimestamp) {
+        // a strict decrease versus the stream's last stored timestamp is a
+        // monotonicity violation (the reference's check_timestamp=True path)
+        val bad = rounded
+          .where(col("last_ms").isNotNull &&
+                 unix_timestamp(col("t")) * 1000 < col("last_ms"))
+          .select("stream_id").limit(1).collect()
+        if (bad.nonEmpty)
+          throw InvalidTimestamp(s"non-monotonic append for stream ${bad.head.getString(0)}")
+      }
+
+      val withJson = if (hasJ) rounded
+                     else rounded.withColumn("v_json", lit(null).cast("string"))
+      val withV = if (hasV) withJson
+                  else withJson.withColumn("v", lit(null).cast("double"))
+      val toWrite = withV.select(
+          col("stream_id"),
+          col("gname").as("granularity"),
+          col("t"),
+          col("v").cast("double").as("v_num"),
+          col("v_json"))
+      DatapointStore.append(toWrite, datapointsPath)
+      finishAppend(rounded, ids)
+    } finally cached.unpersist()
   }
 
-  private def appendRounded(rounded: DataFrame, checkTimestamp: Boolean,
-      lastTs: org.apache.spark.sql.Column): Unit = {
-    val ids = rounded.select("stream_id").distinct().as[String].collect()
-    ids.foreach { id =>
-      val d = catalog.getOrElse(id, throw StreamNotFound(id))
-      if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
-    }
-    // append-time type check: numeric streams take v, others take v_json
-    val hasV = rounded.columns.contains("v")
-    val hasJ = rounded.columns.contains("v_json")
-    val typeOf = typedLit(catalog.collect {
-      case (id, d) if ids.contains(id) => id -> d.value_type
-    })
-    val wrongKind = Seq(
-      if (hasJ) Some(rounded.where(typeOf(col("stream_id")) === ValueType.Numeric &&
-        col("v_json").isNotNull)) else None,
-      if (hasV) Some(rounded.where(typeOf(col("stream_id")) =!= ValueType.Numeric &&
-        col("v").isNotNull)) else None).flatten
-    wrongKind.foreach { bad =>
-      val b = bad.select("stream_id").limit(1).collect()
-      if (b.nonEmpty)
-        throw IncompatibleTypes(
-          s"value kind does not match stream ${b.head.getString(0)}'s value_type")
-    }
-
-    if (checkTimestamp) {
-      // a strict decrease versus the stream's last stored timestamp is a
-      // monotonicity violation (the reference's check_timestamp=True path)
-      val bad = rounded
-        .withColumn("known_last", lastTs(col("stream_id")))
-        .where(col("known_last").isNotNull &&
-               unix_timestamp(col("t")) * 1000 < col("known_last"))
-        .select("stream_id").limit(1).collect()
-      if (bad.nonEmpty)
-        throw InvalidTimestamp(s"non-monotonic append for stream ${bad.head.getString(0)}")
-    }
-
-    val withJson = if (rounded.columns.contains("v_json")) rounded
-                   else rounded.withColumn("v_json", lit(null).cast("string"))
-    val withV = if (withJson.columns.contains("v")) withJson
-                else withJson.withColumn("v", lit(null).cast("double"))
-    // store raw rows under the stream's highest granularity partition name
-    val gName = typedLit(catalog.map { case (id, d) => id -> d.highest_granularity })
-    val toWrite = withV.select(
-        col("stream_id"),
-        gName(col("stream_id")).as("granularity"),
-        col("t"),
-        col("v").cast("double").as("v_num"),
-        col("v_json"))
-    DatapointStore.append(toWrite, datapointsPath)
+  private def finishAppend(rounded: DataFrame, ids: Array[String]): Unit = {
 
     // advance per-stream time bounds in the catalog
     val bounds = rounded.groupBy("stream_id")
@@ -290,6 +285,19 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (parts.isEmpty) DatapointStore.empty(spark)
     else parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
+
+  /** Stream-id filter that stays plan-friendly at scale: no filter when
+    * the set is the whole catalog, a literal IN for small sets, a
+    * broadcast semi-join above that (a million-id literal list would
+    * explode the plan).
+    */
+  private def filterToStreams(df: DataFrame, idsSel: Seq[String]): DataFrame =
+    if (idsSel.size == catalog.size) df
+    else if (idsSel.size <= 256) df.where(col("stream_id").isin(idsSel: _*))
+    else {
+      import spark.implicits._
+      df.join(broadcast(idsSel.toDF("stream_id")), Seq("stream_id"), "left_semi")
+    }
 
   /** Raw points of a set of streams at their highest granularity, shaped
     * (stream_id, t, v) for the operators.
@@ -477,8 +485,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           needs.partition(id => hgOf(id).seconds < prev.seconds)
 
         // high-water mark per stream at this level = max materialized bucket
-        val existing = datapoints.where(col("granularity") === g.name &&
-            col("stream_id").isin(needs: _*))
+        val existing = filterToStreams(
+            datapoints.where(col("granularity") === g.name), needs)
           .groupBy("stream_id").agg(max("t").as("hwm"))
 
         def newBuckets(src: DataFrame): DataFrame = src
@@ -487,9 +495,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
                  unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
           .drop("hwm")
 
-        def rawOf(idsSel: Seq[String]): DataFrame = datapoints.where(
-            col("stream_id").isin(idsSel: _*) &&
-            col("granularity").isin(idsSel.map(hgOf(_).name).distinct: _*))
+        def rawOf(idsSel: Seq[String]): DataFrame = filterToStreams(
+          datapoints.where(
+            col("granularity").isin(idsSel.map(hgOf(_).name).distinct: _*)),
+          idsSel)
 
         val (rawNum, rawCnt) = fromRaw.partition(isNumeric)
         val (partNum, partCnt) = fromPartials.partition(isNumeric)
@@ -505,16 +514,16 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
                 col("v_json"))), g, Some(until)))
           else None,
           if (partNum.nonEmpty) {
-            val fine = datapoints.where(col("granularity") === prev.name &&
-                col("stream_id").isin(partNum: _*))
+            val fine = filterToStreams(
+                datapoints.where(col("granularity") === prev.name), partNum)
               .select(col("stream_id"), col("t"), col("c"), col("s"), col("q"),
                 col("l"), col("u"), col("t_first"), col("t_last"), col("t_mean"))
             Some(Downsample.foldToCoarser(newBuckets(fine), g)
               .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L)))
           } else None,
           if (partCnt.nonEmpty) {
-            val fine = datapoints.where(col("granularity") === prev.name &&
-                col("stream_id").isin(partCnt: _*))
+            val fine = filterToStreams(
+                datapoints.where(col("granularity") === prev.name), partCnt)
               .select(col("stream_id"), col("t"), col("c"),
                 col("t_first"), col("t_last"), col("t_mean"))
             Some(Downsample.countOnlyFold(newBuckets(fine), g)
