@@ -1011,6 +1011,7 @@ object SparkEntry {
     "doc_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
         |  len(list_distinct(string_split(text, ' ')))
         |    / len(string_split(text, ' ')) AS ttr

@@ -13,8 +13,15 @@ object TextStats {
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** Whitespace-token statistics per document:
-    * n_tokens, n_unique_tokens, type-token ratio.
+  /** BPE-ish tokenizer regex: word runs or single non-space punctuation —
+    * the cheap sub-word-ish proxy pretraining pipelines use for token
+    * budgeting when the real tokenizer is too expensive to run at scan
+    * time.
+    */
+  val bpeishPattern = "\\w+|[^\\w\\s]"
+
+  /** Token statistics per document: whitespace tokens, BPE-ish regex
+    * tokens, unique tokens, type-token ratio.
     */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -23,6 +30,8 @@ object TextStats {
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"),
       size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
       (size(array_distinct(toks)) / size(toks)).as("ttr"))
   }
