@@ -42,14 +42,18 @@ object DatapointStore {
     * order == time order. Computed from epoch seconds, NOT date_format —
     * date_format renders in the session timezone, which would silently
     * desynchronize written partition values from the UTC-formatted pruning
-    * bounds `getData` derives under a non-UTC session.
+    * bounds `getData` derives under a non-UTC session. Clamped to >= 0
+    * (pre-epoch rows share day 0; the exact `t` predicate still filters)
+    * and 9 digits wide (covers year ~2.7M) so lpad never truncates and
+    * the write/prune sides can never render a day differently.
     */
   def ymdCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    lpad(floor(unix_timestamp(t) / 86400L).cast(StringType), 6, "0")
+    lpad(greatest(floor(unix_timestamp(t) / 86400L), lit(0L)).cast(StringType),
+      9, "0")
 
   def ymdKey(ts: java.sql.Timestamp): String = {
-    val d = Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), 86400L)
-    f"$d%06d"
+    val d = Math.max(Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), 86400L), 0L)
+    f"$d%09d"
   }
 
   /** Project `df` onto the canonical schema, nulling absent columns. */
@@ -65,6 +69,16 @@ object DatapointStore {
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Read one or more store roots as ONE scan node with the schema pinned:
+    * multi-path read keeps the plan O(1) in the number of roots, and the
+    * explicit schema makes empty roots (directories holding only _SUCCESS
+    * after an empty write) read as zero rows instead of failing schema
+    * inference and bricking every subsequent scan.
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) empty(spark)
+    else spark.read.schema(schema).parquet(paths: _*)
+
   def append(df: DataFrame, path: String): Unit =
     // repartition on the partition keys first: one task per output
     // partition, so an append writes one file per (granularity, ymd)
@@ -77,6 +91,18 @@ object DatapointStore {
       .sortWithinPartitions("stream_id", "t")
       .write.mode(SaveMode.Append)
       .partitionBy("granularity", "ymd").parquet(path)
+
+  /** Append to a derived-stream root: ONE partitioned write for all
+    * derived streams together (never a job per stream), with stream_id as
+    * the leading partition column so a recompute or delete drops one
+    * stream's data by removing its partition directory.
+    */
+  def appendByStream(df: DataFrame, path: String): Unit =
+    normalize(df)
+      .repartition(col("stream_id"), col("granularity"), col("ymd"))
+      .sortWithinPartitions("t")
+      .write.mode(SaveMode.Append)
+      .partitionBy("stream_id", "granularity", "ymd").parquet(path)
 
   /** Atomically replace the table contents with `df` (write tmp + rename). */
   def replace(df: DataFrame, path: String): Unit = {

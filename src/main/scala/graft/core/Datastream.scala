@@ -173,8 +173,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     import spark.implicits._
     // cache the caller's batch: the ids scan, validation probes, store
     // write and bounds aggregation would otherwise re-execute its
-    // (possibly expensive) lineage up to 5 times
-    val cached = df.persist()
+    // (possibly expensive) lineage up to 5 times. Only manage the cache
+    // if the caller hasn't already persisted this frame.
+    val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (ownCache) df.persist() else df
     try {
       val ids = cached.select("stream_id").distinct().as[String].collect()
       ids.foreach { id =>
@@ -231,7 +233,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           col("v_json"))
       DatapointStore.append(toWrite, datapointsPath)
       finishAppend(rounded, ids)
-    } finally cached.unpersist()
+    } finally if (ownCache) cached.unpersist()
   }
 
   private def finishAppend(rounded: DataFrame, ids: Array[String]): Unit = {
@@ -260,30 +262,33 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   }
 
   private def datapointsExist: Boolean =
-    nonEmptyDir(datapointsPath) || derivedDirs.nonEmpty
+    nonEmptyDir(datapointsPath) || nonEmptyDir(derivedRawPath) ||
+      nonEmptyDir(rollupsPath)
 
-  /** Each derived stream's datapoints (all granularities) live under
-    * their own root: recomputing one stream overwrites ONE directory —
-    * never an O(whole-store) rewrite, which would be fatal at scale since
-    * dependents recompute on every source append.
-    */
-  private def derivedRoot(id: String): String = s"$rootDir/derived/$id"
-
-  private def derivedDirs: Seq[String] = {
-    val base = new java.io.File(s"$rootDir/derived")
-    if (!base.exists()) Nil
-    else Option(base.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && nonEmptyDir(d.getPath)).map(_.getPath)
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
   }
 
-  /** Unified scan of the datapoints table (all granularities, primary +
-    * derived roots).
+  /** Derived streams live in two SHARED roots partitioned by stream_id
+    * first (raw level and rollups): recomputing one stream deletes its two
+    * partition directories and appends fresh rows — never an
+    * O(whole-store) rewrite, which would be fatal at scale since
+    * dependents recompute on every source append.
+    */
+  private def derivedRawPath = s"$rootDir/derived_raw"
+  private def rollupsPath = s"$rootDir/derived_rollups"
+
+  /** Unified scan of the datapoints table: exactly three scan nodes
+    * regardless of stream count — primary root, derived raw root, derived
+    * rollups root. Plan size is O(1) in #streams.
     */
   def datapoints: DataFrame = {
-    val parts =
-      (if (nonEmptyDir(datapointsPath)) Seq(datapointsPath) else Nil) ++ derivedDirs
-    if (parts.isEmpty) DatapointStore.empty(spark)
-    else parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val scans = Seq(datapointsPath, derivedRawPath, rollupsPath)
+      .filter(nonEmptyDir)
+      .map(p => DatapointStore.read(spark, Seq(p)))
+    if (scans.isEmpty) DatapointStore.empty(spark)
+    else scans.reduce(_.unionByName(_))
   }
 
   /** Stream-id filter that stays plan-friendly at scale: no filter when
@@ -393,8 +398,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * bracket path form keeps get_json_object from treating the dot as
     * nesting (and survives most metacharacters).
     */
-  def findStreamsByJsonPath(path: String, value: String): DataFrame =
-    streams.where(get_json_object(col("tags_json"), s"$$['$path']") === value)
+  def findStreamsByJsonPath(path: String, value: String): DataFrame = {
+    val escaped = path.replace("\\", "\\\\").replace("'", "\\'")
+    streams.where(get_json_object(col("tags_json"), s"$$['$escaped']") === value)
+  }
 
   def findStreamIds(queryTags: Map[String, String]): Seq[String] =
     catalog.values.filter(d =>
@@ -434,13 +441,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (dependents.nonEmpty) throw OutstandingDependenciesError(dependents)
     val (derVictims, rawVictims) =
       victims.partition(id => catalog(id).derive_op.isDefined)
-    // derived streams: drop their whole directory, no table rewrite
+    // derived streams: drop their raw + rollup partition directories, no
+    // table rewrite
     derVictims.foreach { id =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(derivedRoot(id)))
+      rmTree(new java.io.File(s"$derivedRawPath/stream_id=$id"))
+      rmTree(new java.io.File(s"$rollupsPath/stream_id=$id"))
     }
     // raw streams share the primary table: rewrite it (rare admin op) —
     // scan ONLY the primary root, never the union view
@@ -543,10 +548,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
               DatapointStore.append(
                 frame.where(!col("stream_id").isin(derivedNeeds: _*)),
                 datapointsPath)
-              derivedNeeds.foreach { id =>
-                DatapointStore.append(
-                  frame.where(col("stream_id") === id), derivedRoot(id))
-              }
+              // ALL derived streams' rollups in one partitioned write
+              DatapointStore.appendByStream(
+                frame.where(col("stream_id").isin(derivedNeeds: _*)),
+                rollupsPath)
             } else DatapointStore.append(frame, datapointsPath)
             if (returnDatapoints) emitted += DatapointStore.normalize(frame)
           }
@@ -631,15 +636,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // invariant the append path enforces (streamSum already buckets)
       .withColumn("t", timestamp_seconds(
         floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
-    // idempotent replace of THIS stream's root only: drops its raw and
-    // stale coarse levels in one directory swap — O(derived stream), not
-    // O(store); coarser levels re-materialize on the next
-    // downsampleStreams call. replace() writes the new data to a tmp dir
-    // before removing the old one, so reading source dirs stays safe.
-    DatapointStore.replace(result.select(
+    // idempotent per-stream replace: drop this stream's raw + rollup
+    // partition directories, then append the recomputed raw level —
+    // O(derived stream), not O(store). `result` reads only SOURCE streams
+    // (dependents recompute after us in topological order), so deleting
+    // our own partitions before the write action runs is safe. Coarser
+    // levels re-materialize on the next downsampleStreams call.
+    rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
+    rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
+    DatapointStore.appendByStream(result.select(
         col("stream_id"), lit(g.name).as("granularity"), col("t"),
         col("v").as("v_num")),
-      derivedRoot(d.stream_id))
+      derivedRawPath)
   }
 }
 

@@ -273,6 +273,49 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getTimestamp(m.fieldIndex("t_last")) == ts("2024-01-01 00:00:03"))
   }
 
+  test("empty derive results don't brick the store (healthy counter, no resets)") {
+    val ds = freshDs()
+    import spark.implicits._
+    val src = ds.ensureStream(Map("name" -> "healthy"))
+    val rId = ds.ensureStream(Map("name" -> "healthy-resets"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.CounterReset))
+    // monotonically increasing counter -> counter_reset derives ZERO rows;
+    // the store must stay fully readable afterwards
+    ds.appendMultiple(Seq(
+      (src, ts("2024-01-01 00:00:00"), 1.0),
+      (src, ts("2024-01-01 00:00:10"), 2.0)).toDF("stream_id", "t", "v"))
+    assert(ds.getData(rId, Granularity.Seconds).count() == 0)
+    assert(ds.getData(src, Granularity.Seconds).count() == 2)
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    assert(ds.getData(src, Granularity.Minutes).count() == 1)
+    // and a later real reset flows through
+    ds.appendMultiple(Seq((src, ts("2024-01-01 00:00:20"), 0.5))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    assert(ds.getData(rId, Granularity.Seconds).count() == 1)
+  }
+
+  test("derived rollups materialize and are dropped on recompute") {
+    val ds = freshDs()
+    import spark.implicits._
+    val src = ds.ensureStream(Map("name" -> "roll-src"))
+    val dId = ds.ensureStream(Map("name" -> "roll-d"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    ds.appendMultiple(Seq(
+      (src, ts("2024-01-01 00:00:00"), 0.0),
+      (src, ts("2024-01-01 00:00:30"), 30.0),
+      (src, ts("2024-01-01 00:02:00"), 120.0)).toDF("stream_id", "t", "v"))
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    val m1 = ds.getData(dId, Granularity.Minutes).collect()
+    assert(m1.length == 2) // derivative points at :30 and 2:00 -> minutes 0, 2
+    // appending source data recomputes the derived stream; its stale
+    // rollups must disappear and regenerate consistently
+    ds.appendMultiple(Seq((src, ts("2024-01-01 00:04:00"), 240.0))
+      .toDF("stream_id", "t", "v"))
+    assert(ds.getData(dId, Granularity.Minutes).count() == 0) // dropped, not stale
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    assert(ds.getData(dId, Granularity.Minutes).count() == 3)
+  }
+
   test("incremental downsampling == full recompute after staged appends") {
     import spark.implicits._
     val inc = freshDs()
