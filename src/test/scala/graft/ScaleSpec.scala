@@ -57,6 +57,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted("h") == 10000)
   }
 
+  test("store round-trips correctly under a non-UTC session timezone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // partition keys and pruning bounds must agree whatever the session
+    // timezone renders (regression: date_format-based ymd dropped rows)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val store = new graft.core.Datastream(spark,
+        java.nio.file.Files.createTempDirectory("graft-tz").toString)
+      val id = store.ensureStream(Map("name" -> "tz"))
+      // 00:30 UTC — the LA local date is the PREVIOUS day
+      val t0 = Timestamp.from(java.time.Instant.parse("2024-01-02T00:30:00Z"))
+      store.appendMultiple(Seq((id, t0, 1.0)).toDF("stream_id", "t", "v"))
+      val got = store.getData(id, graft.model.Granularity.Seconds,
+        start = Some(Timestamp.from(java.time.Instant.parse("2024-01-02T00:00:00Z"))),
+        end = Some(Timestamp.from(java.time.Instant.parse("2024-01-02T01:00:00Z"))))
+        .count()
+      assert(got == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("native functions resolve through SQL; extensions hook installs cleanly") {
+    // the extensions class runs its injections without error (a session
+    // built with spark.sql.extensions=graft.functions.GraftExtensions
+    // gets them at construction — can't be exercised here because
+    // getOrCreate returns the suite's existing session)
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+    val ng = spark.sql("SELECT size(graft_ngrams('a b c d', 3)) AS n")
+      .collect().head.getInt(0)
+    assert(ng == 2) // "a b c", "b c d"
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
