@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout UNPREFIXED: the bench driver parses
+// the single JSON line graft.Bench prints, and sbt's default logger wraps
+// forked stdout in "[info] ..." which breaks that parse (BENCH_r01.json
+// recorded "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -346,7 +346,10 @@ object SparkEntry {
       tbl(s, dir, "supplier")
         .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
+        // array_join: the driver's pandas compare can't hash raw array
+        // cells (CORRECTNESS_r01: unhashable numpy.ndarray), so the
+        // collected+sorted list is emitted as one joined string.
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
           count(lit(1)).as("n"))
         .orderBy("n_name")
     },
@@ -814,7 +817,8 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_array_agg_suppliers" ->
-      """SELECT n_name, list_sort(list(s_name)) AS suppliers, count(*) AS n
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        |  count(*) AS n
         |FROM supplier, nation WHERE s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 

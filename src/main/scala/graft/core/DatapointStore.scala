@@ -104,7 +104,11 @@ object DatapointStore {
       .write.mode(SaveMode.Append)
       .partitionBy("stream_id", "granularity", "ymd").parquet(path)
 
-  /** Atomically replace the table contents with `df` (write tmp + rename). */
+  /** Replace the table contents with `df`, crash-safely: write tmp, rename
+    * the current table ASIDE (never delete-then-rename — a crash in that
+    * window loses the table), swap tmp in, then drop the backup. A crash
+    * mid-swap leaves either the old table or a recoverable `.graft-old`.
+    */
   def replace(df: DataFrame, path: String): Unit = {
     val tmp = s"$path.graft-tmp"
     normalize(df).repartition(col("granularity"), col("ymd"))
@@ -116,9 +120,13 @@ object DatapointStore {
       f.delete()
     }
     val dst = new java.io.File(path)
-    rm(dst)
+    val bak = new java.io.File(s"$path.graft-old")
+    if (bak.exists()) rm(bak)
     Option(dst.getParentFile).foreach(_.mkdirs())
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"failed to move table aside: $path -> $bak")
     if (!new java.io.File(tmp).renameTo(dst))
       throw new java.io.IOException(s"failed to move table into place: $tmp -> $path")
+    if (bak.exists()) rm(bak)
   }
 }

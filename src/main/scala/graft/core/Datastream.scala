@@ -46,26 +46,33 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   def flush(): Unit = if (catalogDirty) { persistCatalog(); catalogDirty = false }
 
   private def loadCatalog(): Map[String, StreamDescriptor] = {
+    // fall back to the rename-aside backup persistCatalog leaves during its
+    // swap window: a crash between (streams -> streams.old) and
+    // (streams.tmp -> streams) must not read as an empty catalog
     val p = new java.io.File(streamsPath)
-    if (!p.exists()) Map.empty
-    else spark.read.parquet(streamsPath).as[StreamDescriptor]
+    val src = if (p.exists()) streamsPath
+              else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
+              else return Map.empty
+    spark.read.parquet(src).as[StreamDescriptor]
       .collect().map(d => d.stream_id -> d).toMap
   }
 
   private def persistCatalog(): Unit = {
+    // crash-safe swap: never a window where no complete catalog exists on
+    // disk. Write tmp, rename current aside (NOT delete — a crash after a
+    // recursive delete would lose the catalog), swap tmp in, then drop the
+    // backup. loadCatalog falls back to the .old copy.
     val tmp = s"$streamsPath.tmp"
     catalog.values.toSeq.toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = new java.io.File(streamsPath)
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(dst)
-    }
+    val bak = new java.io.File(s"$streamsPath.old")
+    if (bak.exists()) rmTree(bak)
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"failed to move catalog aside: $dst -> $bak")
     if (!new java.io.File(tmp).renameTo(dst))
       throw new java.io.IOException(s"failed to move catalog into place: $tmp -> $dst")
+    if (bak.exists()) rmTree(bak)
     // only mark clean once the data is durably in place — a failed write
     // must leave the catalog dirty so a retried flush() actually retries
     catalogDirty = false
@@ -101,6 +108,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     deriveOp.foreach(DeriveOps.validate)
     if (deriveOp.isDefined != deriveFrom.nonEmpty)
       throw InvalidOperatorArguments("derive_op and derive_from must be set together")
+    // per-op arity: sum coalesces N sources; the lag-based ops are defined
+    // over exactly one source (recomputeDerived would otherwise interleave
+    // several sources' windows onto one derived id)
+    deriveOp.foreach { op =>
+      if (op != DeriveOps.Sum && deriveFrom.size != 1)
+        throw InvalidOperatorArguments(
+          s"derive_op $op takes exactly 1 source stream, got ${deriveFrom.size}")
+    }
     deriveFrom.foreach { src =>
       val d = catalog.getOrElse(src, throw StreamNotFound(src))
       // a derived stream may not be finer-grained than any of its sources
@@ -121,10 +136,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       case d :: Nil =>
         // immutable config — conflicting re-declaration is an error
         if (d.value_downsamplers.toSet != valueDownsamplers.toSet ||
+            d.time_downsamplers.toSet != timeDownsamplers.toSet ||
             d.highest_granularity != highestGranularity.name ||
             d.value_type != valueType ||
             d.derive_from.toSet != deriveFrom.toSet ||
-            d.derive_op != deriveOp)
+            d.derive_op != deriveOp ||
+            d.derive_args != deriveArgs)
           throw InconsistentStreamConfiguration(d.stream_id)
         d.stream_id
       case Nil =>
@@ -168,8 +185,16 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * split into multiple calls for sequential reference semantics).
     * Values of the wrong kind for a stream's declared value_type raise
     * [[IncompatibleTypes]] (the reference's append-time type check).
+    *
+    * `dedupExisting=true` makes the append idempotent at (stream_id, t)
+    * bucket grain — rows whose rounded timestamp already exists for their
+    * stream are silently dropped (the reference's per-bucket-upsert). The
+    * check scans only the batch's own [min t, max t] window of the primary
+    * root (ymd partition pruning), so its cost is bounded by the batch
+    * span, not store size. Streaming ingest re-delivery relies on this.
     */
-  def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true): Unit = {
+  def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true,
+      dedupExisting: Boolean = false): Unit = {
     import spark.implicits._
     // cache the caller's batch: the ids scan, validation probes, store
     // write and bounds aggregation would otherwise re-execute its
@@ -221,8 +246,31 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           throw InvalidTimestamp(s"non-monotonic append for stream ${bad.head.getString(0)}")
       }
 
-      val withJson = if (hasJ) rounded
-                     else rounded.withColumn("v_json", lit(null).cast("string"))
+      // per-stream time bounds of the batch (also advances catalog bounds
+      // in finishAppend — computed BEFORE dedup on purpose: on a retried
+      // delivery the timestamps are in the store either way, and a crash
+      // between last round's write and catalog persist must still advance)
+      val bounds = rounded.groupBy("stream_id")
+        .agg(min("t").as("lo"), max("t").as("hi")).collect()
+
+      val deduped =
+        if (!dedupExisting || bounds.isEmpty || !nonEmptyDir(datapointsPath)) rounded
+        else {
+          val lo = bounds.map(_.getTimestamp(1)).minBy(_.getTime)
+          val hi = bounds.map(_.getTimestamp(2)).maxBy(_.getTime)
+          val gnames = ids.map(catalog(_).highest_granularity).distinct.toSeq
+          val existing = filterToStreams(
+            DatapointStore.read(spark, Seq(datapointsPath))
+              .where(col("granularity").isin(gnames: _*) &&
+                col("t") >= lo && col("t") <= hi &&
+                col("ymd") >= DatapointStore.ymdKey(lo) &&
+                col("ymd") <= DatapointStore.ymdKey(hi)),
+            ids.toSeq).select("stream_id", "t")
+          rounded.join(existing, Seq("stream_id", "t"), "left_anti")
+        }
+
+      val withJson = if (hasJ) deduped
+                     else deduped.withColumn("v_json", lit(null).cast("string"))
       val withV = if (hasV) withJson
                   else withJson.withColumn("v", lit(null).cast("double"))
       val toWrite = withV.select(
@@ -232,16 +280,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           col("v").cast("double").as("v_num"),
           col("v_json"))
       DatapointStore.append(toWrite, datapointsPath)
-      finishAppend(rounded, ids)
+      finishAppend(bounds, ids)
     } finally if (ownCache) cached.unpersist()
   }
 
-  private def finishAppend(rounded: DataFrame, ids: Array[String]): Unit = {
-
+  private def finishAppend(bounds: Array[org.apache.spark.sql.Row],
+      ids: Array[String]): Unit = {
     // advance per-stream time bounds in the catalog
-    val bounds = rounded.groupBy("stream_id")
-      .agg(min("t").as("lo"), max("t").as("hi"))
-      .collect()
     bounds.foreach { r =>
       val id = r.getString(0)
       val d = catalog(id)

@@ -98,6 +98,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+  // empty input arrays evaluate to null even when the child is
+  // non-nullable — without this the optimizer may fold IsNull(this) away
+  override def nullable: Boolean = true
 
   override def nullSafeEval(in: Any): Any = {
     val hs = in.asInstanceOf[ArrayData]
@@ -162,6 +165,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
+  // empty input arrays evaluate to null even when the child is non-nullable
+  override def nullable: Boolean = true
 
   override def nullSafeEval(in: Any): Any = {
     val hs = in.asInstanceOf[ArrayData]

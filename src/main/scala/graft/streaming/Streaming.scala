@@ -152,8 +152,13 @@ object Streaming {
   /** Streaming ingestion into a [[graft.core.Datastream]] store: each
     * micro-batch is bulk-appended (which also recomputes dependent derived
     * streams), then the rollup ladder advances to the batch's max t.
-    * Deterministic bucket keys make re-delivered batches idempotent — the
-    * reference's per-bucket-upsert guarantee.
+    *
+    * Idempotency under foreachBatch's at-least-once re-delivery:
+    * `dedupExisting=true` drops rows whose (stream_id, rounded t) already
+    * exist in the store, so a retried micro-batch never double-appends the
+    * raw level; the rollup ladder is high-water-mark guarded and derived
+    * recomputes are full overwrites, so the whole pipeline is exactly-once
+    * at bucket grain — the reference's per-bucket-upsert guarantee.
     */
   def ingest(src: DataFrame, store: graft.core.Datastream,
       checkTimestamp: Boolean = false)
@@ -161,7 +166,7 @@ object Streaming {
     src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          store.appendMultiple(batch, checkTimestamp)
+          store.appendMultiple(batch, checkTimestamp, dedupExisting = true)
           val hi = batch.agg(max("t")).collect().head.getTimestamp(0)
           store.downsampleStreams(hi)
           ()

@@ -201,5 +201,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump(s1) == dump(s2))
   }
 
+  test("re-delivered micro-batch is idempotent (dedupExisting drops raw dupes)") {
+    import spark.implicits._
+    val store = new graft.core.Datastream(spark,
+      java.nio.file.Files.createTempDirectory("graft-redeliver").toString)
+    val id = store.ensureStream(Map("name" -> "redeliver"))
+    val batch = Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0),
+      (id, ts("2024-01-01 00:00:11"), 2.0)).toDF("stream_id", "t", "v")
+    // foreachBatch at-least-once: the same micro-batch may arrive twice
+    store.appendMultiple(batch, checkTimestamp = false, dedupExisting = true)
+    store.appendMultiple(batch, checkTimestamp = false, dedupExisting = true)
+    val raw = store.getData(id, Granularity.Seconds).collect()
+    assert(raw.length == 2, s"raw level duplicated: ${raw.length} rows")
+    // rollups built after the retry must see each point once
+    store.downsampleStreams(ts("2024-01-01 01:00:00"))
+    val m = store.getData(id, Granularity.Minutes).select("count", "sum").collect()
+    assert(m.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((2L, 3.0)))
+    // a genuinely new point in an already-seen time range still lands
+    store.appendMultiple(Seq((id, ts("2024-01-01 00:00:05"), 9.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false, dedupExisting = true)
+    assert(store.getData(id, Granularity.Seconds).count() == 3)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
