@@ -635,6 +635,76 @@ object SparkEntry {
         .where(col("jaccard") > 0.2)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
+    },
+
+    "text_lang_id" -> { (s, dir) =>
+      TextStats.languageId(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    "doc_fingerprint" -> { (s, dir) =>
+      // rolling-hash content fingerprint → duplicate pairs. The oracle
+      // checks the PAIR STRUCTURE via md5 equality (DuckDB has no
+      // xxhash64): identical iff neither hash collides, which the
+      // deterministic fixture guarantees. Dupes injected: docs 0..9
+      // re-appear verbatim under doc_id+1000000.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val dupes = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val fp = TextStats.fingerprint(docs.unionByName(dupes))
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      // embedding-cosine near-dup DEDUP: greedy survivor set — drop every
+      // vector with a >0.9-cosine neighbor at a lower id (same injected
+      // near-dups as emb_near_pairs)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val variants = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + 0.05),
+          expr("slice(emb, 2, 63)")).as("emb"))
+      val all = e.unionByName(variants)
+      val dropped = Similarity.cosineNearPairs(all, 0.9)
+        .select(col("id_b").as("vec_id")).distinct()
+      all.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id").orderBy("vec_id")
+    },
+
+    "emb_ann_lsh" -> { (s, dir) =>
+      // ANN scale path: random-hyperplane LSH buckets + exact rerank per
+      // bucket — an equi-join on bucket instead of the all-pairs cross
+      // product (emb_near_pairs/emb_topk_cosine are the exact baselines)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.annTopK(e, dim = 64, k = 3, planes = 8)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "q_except_custkeys" -> { (s, dir) =>
+      val o = tbl(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    "mm_frames" -> { (s, dir) =>
+      // rows-only: frame-sampling + resize plumbing over the media table —
+      // per-video frame counts and sampled byte volume after a metadata
+      // resize (stub codec, real flatMap shape)
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        tbl(s, dir, "documents").where(col("doc_id") < 200))
+      val resized = graft.operators.Multimodal.resize(media, 640, 360)
+      graft.operators.Multimodal.sampleFrames(resized, everyMs = 2000)
+        .toDF.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("content"))).as("sampled_bytes"))
+        .orderBy("media_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1052,5 +1122,79 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, rnk, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin)
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the', 'and', 'of', 'is', 'to'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS s_fr,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('el', 'la', 'los', 'y', 'es'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('的', '是', '了', '在', '和'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN
+        |    (list_sort([
+        |      {'score': s_de, 'lang': 'de'},
+        |      {'score': s_en, 'lang': 'en'},
+        |      {'score': s_es, 'lang': 'es'},
+        |      {'score': s_fr, 'lang': 'fr'},
+        |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
+        |  ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM d a, d b
+        |WHERE md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
+        |dup AS (SELECT DISTINCT y.vec_id FROM a x, a y
+        |  WHERE x.vec_id < y.vec_id
+        |    AND list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) > 0.9)
+        |SELECT vec_id FROM a WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin,
+
+    "emb_ann_lsh" -> {
+      // generated with the SAME plane-component literals the Spark operator
+      // embeds (Similarity.planeComponent), so bucket assignment matches
+      // bit-for-bit; DuckDB arrays are 1-based hence emb[j+1]
+      val bucket = (0 until 8).map { p =>
+        val terms = (0 until 64)
+          .map(j => s"emb[${j + 1}] * ${operators.Similarity.planeComponent(p, j)}")
+          .mkString(" + ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_dot_product(q.emb, c.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "q_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin)
 }

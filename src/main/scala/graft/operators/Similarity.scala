@@ -65,14 +65,18 @@ object Similarity {
     * full signature land in one bucket; ANN search joins per bucket instead
     * of all-pairs. Returns (vec_id, bucket).
     */
+  /** Plane p component j = hash-based pseudo-random in [-1, 1). Public so
+    * the oracle SQL can be generated with byte-identical literals.
+    */
+  def planeComponent(p: Int, j: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, j))
+    (h.toDouble / Int.MaxValue)
+  }
+
   def lshBuckets(corpus: DataFrame, dim: Int, planes: Int = 16): DataFrame = {
-    // plane p component j = hash-based pseudo-random in [-1, 1)
-    def comp(p: Int, j: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((p, j))
-      (h.toDouble / Int.MaxValue)
-    }
     val bits = (0 until planes).map { p =>
-      val terms = (0 until dim).map(j => s"emb[$j] * ${comp(p, j)}").mkString(" + ")
+      val terms = (0 until dim).map(j => s"emb[$j] * ${planeComponent(p, j)}")
+        .mkString(" + ")
       s"CASE WHEN ($terms) >= 0 THEN ${1L << p}L ELSE 0L END"
     }
     corpus.withColumn("bucket", expr(bits.mkString(" + ")))
