@@ -685,6 +685,17 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_null_filter_nations" -> { (s, dir) =>
+      // IS NULL predicate over outer-join null extension (anti-join via
+      // left join, the classic null-filter shape)
+      tbl(s, dir, "nation").as("n")
+        .join(tbl(s, dir, "supplier").as("su"),
+          col("n.n_nationkey") === col("su.s_nationkey"), "left")
+        .where(col("su.s_suppkey").isNull)
+        .select(col("n.n_nationkey"), col("n.n_name"))
+        .orderBy("n_nationkey")
+    },
+
     "q_except_custkeys" -> { (s, dir) =>
       val o = tbl(s, dir, "orders")
       o.where(col("o_orderstatus") === "F").select("o_custkey")
@@ -1191,6 +1202,12 @@ object SparkEntry {
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
     },
+
+    "q_null_filter_nations" ->
+      """SELECT n.n_nationkey, n.n_name
+        |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IS NULL
+        |ORDER BY n.n_nationkey""".stripMargin,
 
     "q_except_custkeys" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

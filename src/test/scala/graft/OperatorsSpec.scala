@@ -118,6 +118,64 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(es == Set((1L, "a", "b"), (1L, "b", "c")))
   }
 
+  test("typed Aggregator downsampler bundle == declarative column path") {
+    import spark.implicits._
+    import graft.operators.{Downsample, DownsampleAggregator => DA}
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000L
+    val pts = (0 until 500).map { i =>
+      (s"s${i % 3}", base + rnd.nextInt(600), rnd.nextDouble() * 100 - 50)
+    }
+    // typed path: group by (stream, minute bucket), one TypedColumn
+    val typed = pts.toDS()
+      .groupByKey { case (sid, t, _) => (sid, Math.floorDiv(t, 60L) * 60L) }
+      .mapValues { case (_, t, v) => DA.In(t, v) }
+      .agg(DA.column)
+      .map { case ((sid, be), o) => (sid, be, o.c, o.s, o.q, o.l, o.u, o.m,
+        o.d, o.t_first, o.t_last, o.t_mean) }
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    // declarative path
+    val decl = Downsample.toGranularity(
+        pts.toDF("stream_id", "te", "v")
+          .select(col("stream_id"), timestamp_seconds(col("te")).as("t"), col("v")),
+        graft.model.Granularity.Minutes)
+      .select(col("stream_id"), unix_timestamp(col("t")).as("be"),
+        col("c"), col("s"), col("q"), col("l"), col("u"), col("m"), col("d"),
+        unix_timestamp(col("t_first")), unix_timestamp(col("t_last")),
+        unix_timestamp(col("t_mean")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r)
+    assert(decl.nonEmpty && decl.length == typed.size)
+    decl.foreach { case (k, r) =>
+      val t = typed(k)
+      assert(t._3 == r.getLong(2) && t._6 == r.getDouble(5) &&
+        t._7 == r.getDouble(6), s"c/l/u mismatch at $k")
+      assert(t._10 == r.getLong(9) && t._11 == r.getLong(10) &&
+        t._12 == r.getLong(11), s"time downsamplers mismatch at $k")
+      // float sums: partial-agg order differs between the two paths
+      Seq(t._4 -> r.getDouble(3), t._5 -> r.getDouble(4),
+        t._8 -> r.getDouble(7), t._9 -> r.getDouble(8)).foreach {
+        case (a, b) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+      }
+    }
+    // merge-associativity: folding two disjoint halves == folding the whole
+    val (h1, h2) = pts.map { case (_, t, v) => DA.In(t, v) }.splitAt(250)
+    val buf1 = h1.foldLeft(DA.aggregator.zero)(DA.aggregator.reduce)
+    val buf2 = h2.foldLeft(DA.aggregator.zero)(DA.aggregator.reduce)
+    val whole = pts.map { case (_, t, v) => DA.In(t, v) }
+      .foldLeft(DA.aggregator.zero)(DA.aggregator.reduce)
+    val merged = DA.aggregator.finish(DA.aggregator.merge(buf1, buf2))
+    val direct = DA.aggregator.finish(whole)
+    // counts/extrema/times associate exactly; float sums only up to
+    // summation order (same tolerance class as the distributed paths)
+    assert((merged.c, merged.l, merged.u, merged.t_first, merged.t_last,
+      merged.t_mean) == (direct.c, direct.l, direct.u, direct.t_first,
+      direct.t_last, direct.t_mean))
+    Seq(merged.s -> direct.s, merged.q -> direct.q,
+      merged.m -> direct.m, merged.d -> direct.d).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("language id picks marker-matched language") {
     import spark.implicits._
     val d = Seq(
