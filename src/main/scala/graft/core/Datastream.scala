@@ -220,38 +220,44 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         .withColumn("t", timestamp_seconds(
           floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
 
-      // append-time type check: numeric streams take v, others take v_json
+      // ONE validation+bounds pass over the batch: the type check, the
+      // monotonicity check and the per-stream time bounds all fold into a
+      // single per-stream aggregation job (they were 3–4 separate actions,
+      // each re-scanning the cached batch — pure job-count overhead that
+      // dominates small appends and wastes cluster scheduling at scale).
       val hasV = cached.columns.contains("v")
       val hasJ = cached.columns.contains("v_json")
-      val wrongKind = Seq(
-        if (hasJ) Some(rounded.where(col("vtype") === ValueType.Numeric &&
-          col("v_json").isNotNull)) else None,
-        if (hasV) Some(rounded.where(col("vtype") =!= ValueType.Numeric &&
-          col("v").isNotNull)) else None).flatten
-      wrongKind.foreach { bad =>
-        val b = bad.select("stream_id").limit(1).collect()
-        if (b.nonEmpty)
-          throw IncompatibleTypes(
-            s"value kind does not match stream ${b.head.getString(0)}'s value_type")
-      }
+      val wrongKindCond = Seq(
+        if (hasJ) Some(col("vtype") === ValueType.Numeric && col("v_json").isNotNull)
+        else None,
+        if (hasV) Some(col("vtype") =!= ValueType.Numeric && col("v").isNotNull)
+        else None).flatten.reduceOption(_ || _).getOrElse(lit(false))
+      val monoCond = col("last_ms").isNotNull &&
+        unix_timestamp(col("t")) * 1000 < col("last_ms")
+      val checks = rounded.groupBy("stream_id").agg(
+        min("t").as("lo"), max("t").as("hi"),
+        max(wrongKindCond).as("bad_kind"),
+        max(monoCond).as("bad_mono")).collect()
 
+      checks.find(_.getBoolean(3)).foreach { r =>
+        throw IncompatibleTypes(
+          s"value kind does not match stream ${r.getString(0)}'s value_type")
+      }
       if (checkTimestamp) {
         // a strict decrease versus the stream's last stored timestamp is a
         // monotonicity violation (the reference's check_timestamp=True path)
-        val bad = rounded
-          .where(col("last_ms").isNotNull &&
-                 unix_timestamp(col("t")) * 1000 < col("last_ms"))
-          .select("stream_id").limit(1).collect()
-        if (bad.nonEmpty)
-          throw InvalidTimestamp(s"non-monotonic append for stream ${bad.head.getString(0)}")
+        checks.find(_.getBoolean(4)).foreach { r =>
+          throw InvalidTimestamp(s"non-monotonic append for stream ${r.getString(0)}")
+        }
       }
 
-      // per-stream time bounds of the batch (also advances catalog bounds
-      // in finishAppend — computed BEFORE dedup on purpose: on a retried
-      // delivery the timestamps are in the store either way, and a crash
-      // between last round's write and catalog persist must still advance)
-      val bounds = rounded.groupBy("stream_id")
-        .agg(min("t").as("lo"), max("t").as("hi")).collect()
+      // per-stream time bounds of the batch (advance catalog bounds in
+      // finishAppend — taken from the PRE-dedup frame on purpose: on a
+      // retried delivery the timestamps are in the store either way, and a
+      // crash between last round's write and catalog persist must still
+      // advance)
+      val bounds = checks.map(r => org.apache.spark.sql.Row(
+        r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
 
       val deduped =
         if (!dedupExisting || bounds.isEmpty || !nonEmptyDir(datapointsPath)) rounded

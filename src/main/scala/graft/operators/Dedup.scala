@@ -95,7 +95,6 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
-    val sh = shingles(docs, n, idCol, textCol)
     // candidate generation uses the fused native path (text -> hashed
     // n-grams -> signature in two expression calls); the exact-Jaccard
     // verify stage below still uses the string shingle sets
@@ -111,6 +110,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
+    // string-shingle sets ONLY for candidate docs: the slice/concat lambda
+    // chain interprets per shingle, so materializing it corpus-wide to
+    // verify a handful of LSH candidates would dominate the whole job
+    // (candidates << corpus by construction — that's the point of LSH)
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val sh = shingles(
+      docs.join(broadcast(candIds), Seq(idCol), "left_semi"), n, idCol, textCol)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
