@@ -506,15 +506,23 @@ object SparkEntry {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, java.sql.Timestamp, Double)]
       val name = s"stream_replay_${System.nanoTime()}"
-      val q = graft.streaming.Streaming
-        .downsample(mem.toDF.toDF("stream_id", "t", "v"), Granularity.Minutes)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      val rows = eventStreams(s, dir).collect()
-        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-      mem.addData(rows.toSeq)
-      q.processAllAvailable()
-      q.stop()
+      // streaming state partition count is pinned at checkpoint creation;
+      // 8 shards is plenty for the replay's state volume and quarters the
+      // per-micro-batch state-store commit overhead (a real deployment
+      // sizes this to its executor count)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming
+          .downsample(mem.toDF.toDF("stream_id", "t", "v"), Granularity.Minutes)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val rows = eventStreams(s, dir).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        mem.addData(rows.toSeq)
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
           "t_first", "t_last", "t_mean")

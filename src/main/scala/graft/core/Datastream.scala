@@ -316,6 +316,22 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     nonEmptyDir(datapointsPath) || nonEmptyDir(derivedRawPath) ||
       nonEmptyDir(rollupsPath)
 
+  /** Does ANY data exist at granularity `g`? A driver-side directory probe
+    * (granularity is a partition column in all three roots) that lets the
+    * rollup ladder skip the high-water-mark scan-and-broadcast job for
+    * levels being materialized for the first time — the common case on
+    * bulk backfills. Derived roots nest granularity under stream_id, so
+    * that probe is O(#derived streams) driver-side listing, still far
+    * cheaper than a distributed scan of nothing.
+    */
+  private def granularityExists(g: String): Boolean = {
+    if (nonEmptyDir(s"$datapointsPath/granularity=$g")) return true
+    def anyStreamHas(root: String): Boolean =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .exists(k => k.isDirectory && nonEmptyDir(s"${k.getPath}/granularity=$g"))
+    anyStreamHas(derivedRawPath) || anyStreamHas(rollupsPath)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete()
@@ -540,16 +556,21 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         val (fromPartials, fromRaw) =
           needs.partition(id => hgOf(id).seconds < prev.seconds)
 
-        // high-water mark per stream at this level = max materialized bucket
-        val existing = filterToStreams(
+        // high-water mark per stream at this level = max materialized
+        // bucket; skipped entirely (no scan, no broadcast) when the level
+        // has never been materialized
+        val levelExists = granularityExists(g.name)
+        lazy val existing = filterToStreams(
             datapoints.where(col("granularity") === g.name), needs)
           .groupBy("stream_id").agg(max("t").as("hwm"))
 
-        def newBuckets(src: DataFrame): DataFrame = src
-          .join(broadcast(existing), Seq("stream_id"), "left")
-          .where(col("hwm").isNull ||
-                 unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
-          .drop("hwm")
+        def newBuckets(src: DataFrame): DataFrame =
+          if (!levelExists) src
+          else src
+            .join(broadcast(existing), Seq("stream_id"), "left")
+            .where(col("hwm").isNull ||
+                   unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
+            .drop("hwm")
 
         def rawOf(idsSel: Seq[String]): DataFrame = filterToStreams(
           datapoints.where(
