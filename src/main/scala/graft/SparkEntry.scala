@@ -693,6 +693,17 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf" -> { (s, dir) =>
+      // ANN scale path #2: IVF — inlined stride-sampled centroids, zero-
+      // shuffle cell assignment, nprobe=2 probe, equi-join inverted-file
+      // scan + exact rerank (emb_ann_lsh is the hyperplane-LSH sibling)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.ivfTopK(e, k = 3, stride = 50, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "q_null_filter_nations" -> { (s, dir) =>
       // IS NULL predicate over outer-join null extension (anti-join via
       // left join, the classic null-filter shape)
@@ -1210,6 +1221,28 @@ object SparkEntry {
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
     },
+
+    "emb_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell FROM r WHERE crnk <= 2),
+        |p AS (SELECT qid, cells.vec_id AS cid,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
+        |t AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
 
     "q_null_filter_nations" ->
       """SELECT n.n_nationkey, n.n_name

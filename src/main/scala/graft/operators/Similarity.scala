@@ -83,6 +83,74 @@ object Similarity {
       .select(col("vec_id"), col("bucket"))
   }
 
+  /** IVF-style ANN cosine top-k — the second 100 TB scale path next to
+    * [[annTopK]] (LSH). Every `stride`-th vector stands in for a trained
+    * coarse quantizer (k-means training is orthogonal to the search plan);
+    * centroids are metadata-scale, so they are collected once and inlined
+    * as literals. Cell assignment is then a pure zero-shuffle projection
+    * (K native `graft_dot` calls per row, whole-stage codegen), each
+    * corpus vector lands in exactly ONE cell (its argmax), and each query
+    * probes its `nprobe` nearest cells. The candidate scan is an equi-join
+    * on `cell` — the inverted file — followed by exact cosine rerank.
+    *
+    * Tie-breaks mirror the oracle: equal cell similarities resolve to the
+    * lowest centroid id (centroids are inlined sorted by id, and
+    * `array_position` returns the first maximum).
+    *
+    * Requires at least `nprobe` centroids (duplicate probe cells would
+    * duplicate candidate pairs).
+    */
+  def ivfTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .where(col("vec_id") % stride === 0)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.length >= nprobe,
+      s"ivfTopK needs >= $nprobe centroids, stride $stride gave ${cents.length}")
+    // driver-side left-fold sum matches the sequential dot the engines use,
+    // so the literal norms are bit-identical to sqrt(graft_dot(c, c))
+    val centNorms = cents.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
+    val centIdsLit = typedLit(cents.map(_._1).toSeq)
+
+    val n = withNorm(corpus, "emb", "norm")
+    val simCols = cents.indices.map { i =>
+      call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
+        (col("norm") * lit(centNorms(i)))
+    }
+    val withSims = n.withColumn("sims", array(simCols: _*))
+
+    // iteratively pick the nprobe best cells, masking each chosen position
+    var masked = col("sims")
+    val probeCells = Seq.newBuilder[Column]
+    for (_ <- 0 until nprobe) {
+      val pos = array_position(masked, array_max(masked))
+      probeCells += element_at(centIdsLit, pos.cast("int"))
+      val m = masked
+      masked = zip_with(m, sequence(lit(1), size(m)),
+        (x, i) => when(i.cast("long") === pos, lit(Double.NegativeInfinity))
+          .otherwise(x))
+    }
+    val allProbes = probeCells.result()
+
+    val corpusSide = withSims
+      .withColumn("cell", allProbes.head) // argmax cell: each vector in ONE cell
+      .select(col("vec_id"), col("emb"), col("norm"), col("cell"))
+    val probeSide = withSims
+      .withColumn("cell", explode(array(allProbes: _*)))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("q_norm"), col("cell"))
+    val pairs = probeSide.join(corpusSide, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
   /** ANN cosine top-k via LSH buckets: exact rerank inside each bucket —
     * the join is an equi-join on bucket (one shuffle), never all-pairs.
     */

@@ -83,6 +83,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(top0.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("similarity: ivf probes nearest cells and reranks exactly") {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    }
+    // vec 100 duplicates vec 3 -> must be its rank-1 neighbor with sim 1
+    val all = (base :+ (100L, base(3)._2)).toDF("vec_id", "emb")
+    val ivf = Similarity.ivfTopK(all, k = 3, stride = 10, nprobe = 2).collect()
+    // every query emits at most k unique-ranked candidates, ranks 1..k
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length)))
+    // no duplicate (qid, cid): each corpus vector lives in exactly one cell
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1))).distinct.length == ivf.length)
+    val top3 = ivf.filter(r => r.getLong(0) == 3L && r.getLong(2) == 1L)
+    assert(top3.length == 1 && top3.head.getLong(1) == 100L)
+    assert(math.abs(top3.head.getDouble(3) - 1.0) < 1e-12)
+    // rerank is exact: reported sims match brute-force cosine for the pair
+    val vecs = (base :+ (100L, base(3)._2)).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    ivf.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        cos(vecs(r.getLong(0)), vecs(r.getLong(1)))) < 1e-9)
+    }
+  }
+
   test("asof join attaches latest right value at or before left t") {
     import spark.implicits._
     import java.sql.Timestamp
