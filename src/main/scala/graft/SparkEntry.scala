@@ -31,7 +31,7 @@ object SparkEntry {
     * proper micros timestamp. Works under any SparkSession (no legacy
     * config needed), so the driver's own session can call entry().
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.read.schema(StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
