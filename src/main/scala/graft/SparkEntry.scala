@@ -722,6 +722,54 @@ object SparkEntry {
         .orderBy("o_custkey")
     },
 
+    "q_window_rankfuncs" -> { (s, dir) =>
+      // the remaining analytic-window family: ntile, lead, first_value,
+      // cume_dist — composite unique ORDER BY keys so every rank is total
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w2 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderdate"), 1).over(w2).as("next_order"),
+          first(col("o_totalprice")).over(w).as("min_price"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "q_returned_items" -> { (s, dir) =>
+      // TPC-H Q10 shape: returned-item revenue per customer for a quarter —
+      // date filter pushed to the orders scan, lineitem filtered pre-join
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-10-01") &&
+               col("o_orderdate") < lit("1996-01-01"))
+      tbl(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    "q_case_date_arith" -> { (s, dir) =>
+      // CASE classification + date arithmetic (datediff/year/quarter)
+      tbl(s, dir, "orders").select(
+          col("o_orderkey"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("age_days"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+            .when(col("o_orderpriority") === "3-MEDIUM", "normal")
+            .otherwise("low").as("class"),
+          round(col("o_totalprice") * 0.1, 4).as("fee"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy("o_orderkey")
+    },
+
     "mm_frames" -> { (s, dir) =>
       // rows-only: frame-sampling + resize plumbing over the media table —
       // per-video frame counts and sampled byte volume after a metadata
@@ -1254,5 +1302,38 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_window_rankfuncs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lead(o_orderdate, 1) OVER w2 AS next_order,
+        |  first_value(o_totalprice) OVER w AS min_price,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue, c_acctbal
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_case_date_arith" ->
+      """SELECT o_orderkey,
+        |  datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS age_days,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+        |       ELSE 'low' END AS class,
+        |  round(o_totalprice * 0.1, 4) AS fee,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }
