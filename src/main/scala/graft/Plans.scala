@@ -18,7 +18,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "ds_agg_minutes10", "q_in_between", "emb_topk_cosine")
+        "ds_agg_minutes10", "q_in_between", "emb_topk_cosine", "emb_ann_ivf",
+        "q_returned_items")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
