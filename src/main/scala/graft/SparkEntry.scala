@@ -399,12 +399,14 @@ object SparkEntry {
     },
 
     "q_percentiles" -> { (s, dir) =>
-      // exact interpolated percentiles (same definition as quantile_cont)
+      // exact interpolated percentiles (same definition as quantile_cont);
+      // one array-percentile call = one sort buffer for both quantiles
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("med"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("med"),
+          element_at(col("ps"), 2).as("p90"))
         .orderBy("l_returnflag")
     },
 
@@ -647,6 +649,43 @@ object SparkEntry {
 
     "text_lang_id" -> { (s, dir) =>
       TextStats.languageId(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ---- dataset-assembly pipeline (operators.Pipeline) ---------------
+
+    "pipe_split_hash" -> { (s, dir) =>
+      // deterministic train/val/test assignment: md5(doc_id) bucket —
+      // a zero-shuffle projection, identical in any engine
+      graft.operators.Pipeline.hashSplit(tbl(s, dir, "documents"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+
+    "pipe_cap_per_source" -> { (s, dir) =>
+      // per-source document cap (top-3 by length) — WindowGroupLimit keeps
+      // 3 rows per source per partition instead of a full sort
+      graft.operators.Pipeline.capPerSource(tbl(s, dir, "documents"), 3)
+        .select("source", "rn", "doc_id", "n_chars")
+        .orderBy("source", "rn")
+    },
+
+    "pipe_redact" -> { (s, dir) =>
+      // PII-shaped scrub: whole-word regexp_replace projection, no UDF
+      graft.operators.Pipeline.redact(
+          tbl(s, dir, "documents"), "customer|supplier")
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"), substring(col("redacted"), 1, 80).as("snippet"))
+        .orderBy("doc_id")
+    },
+
+    "pipe_interleave" -> { (s, dir) =>
+      // reproducible global shuffle: total order on a content hash — the
+      // training order is a function of data, not file layout
+      graft.operators.Pipeline.interleave(tbl(s, dir, "documents"))
+        .select("shuffle_key", "doc_id", "source")
+        .limit(200)
     },
 
     "doc_fingerprint" -> { (s, dir) =>
@@ -1225,6 +1264,37 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "pipe_split_hash" ->
+      """WITH s AS (SELECT *,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "pipe_cap_per_source" ->
+      """SELECT source, rn, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
+    "pipe_redact" ->
+      """SELECT doc_id,
+        |  substr(regexp_replace(text, '\b(?:customer|supplier)\b', '<ENT>', 'g'),
+        |         1, 80) AS snippet
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "pipe_interleave" ->
+      """SELECT md5(concat(source, ':', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+        |  doc_id, source
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH d AS (SELECT doc_id, text FROM documents

@@ -217,5 +217,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
   }
 
+  test("pipeline: hash split is stable, shuffle-free, and ~90/5/5") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val base = (0L until 1000L).map(i => (i, i * 7)).toDF("doc_id", "x")
+    val split = Pipeline.hashSplit(base)
+    // zero shuffle: pure projection
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 850 && counts("train") < 950)
+    assert(counts("val") > 20 && counts("test") > 20)
+    // growing the corpus never reassigns existing rows
+    val grown = Pipeline.hashSplit(
+      (0L until 2000L).map(i => (i, i * 7)).toDF("doc_id", "x"))
+    val before = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.where(col("doc_id") < 1000).collect().foreach { r =>
+      assert(before(r.getLong(0)) == r.getString(2))
+    }
+  }
+
+  test("pipeline: per-source cap keeps top-n with rank pushdown") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val d = (0L until 100L).map(i => (i, s"src${i % 4}", 1000L - i))
+      .toDF("doc_id", "source", "n_chars")
+    val capped = Pipeline.capPerSource(d, 3)
+    // row_number <= n compiles to WindowGroupLimit (per-partition top-n
+    // heap, not a full per-source sort)
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    val rows = capped.select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length == 12)
+    // longest docs are the lowest ids here (n_chars = 1000 - i)
+    assert(rows.filter(_._1 == "src0").map(_._2).sorted.toSeq == Seq(0L, 4L, 8L))
+  }
+
+  test("pipeline: redaction replaces whole words only") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val d = Seq((1L, "a customer and supplierx met the supplier"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.redact(d, "customer|supplier")
+      .select("redacted").head().getString(0)
+    assert(got == "a <ENT> and supplierx met the <ENT>")
+  }
+
+  test("pipeline: interleave order is independent of input layout") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val d = (0L until 500L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val a = Pipeline.interleave(d).select("doc_id").collect().map(_.getLong(0))
+    val b = Pipeline.interleave(
+        d.orderBy(col("doc_id").desc).repartition(7))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
