@@ -715,10 +715,7 @@ object SparkEntry {
         concat(array(element_at(col("emb"), 1) + 0.05),
           expr("slice(emb, 2, 63)")).as("emb"))
       val all = e.unionByName(variants)
-      val dropped = Similarity.cosineNearPairs(all, 0.9)
-        .select(col("id_b").as("vec_id")).distinct()
-      all.join(dropped, Seq("vec_id"), "left_anti")
-        .select("vec_id").orderBy("vec_id")
+      Similarity.cosineDedup(all, 0.9).select("vec_id").orderBy("vec_id")
     },
 
     "emb_ann_lsh" -> { (s, dir) =>

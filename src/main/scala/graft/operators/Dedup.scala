@@ -68,10 +68,13 @@ object Dedup {
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
+    // eager checkpoint for the same reason as nearDuplicates: the candidate
+    // join is a self-join, and each side would otherwise re-hash the corpus
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .toDF("doc_id", "simhash", "band", "bh")
+      .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -98,12 +101,17 @@ object Dedup {
     // candidate generation uses the fused native path (text -> hashed
     // n-grams -> signature in two expression calls); the exact-Jaccard
     // verify stage below still uses the string shingle sets
+    // eagerly materialize the banded signatures: the candidate join below
+    // is a SELF-join, and without the checkpoint each side re-runs the
+    // shingle+minhash sketch over the full corpus — the expensive stage —
+    // twice. Banded rows are fixed-size (3 longs/band), tiny vs the text.
     val banded = docs
       .select(col(idCol).as("doc_id"),
         expr(s"graft_minhash(graft_ngrams($textCol, $n), $numHashes)").as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("doc_id", "band", "bh")
+      .localCheckpoint(true)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -117,8 +125,11 @@ object Dedup {
     // (candidates << corpus by construction — that's the point of LSH)
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
+    // checkpoint: sh feeds BOTH verify joins (doc_a and doc_b side) — one
+    // shingle pass over the candidates instead of two
     val sh = shingles(
       docs.join(broadcast(candIds), Seq(idCol), "left_semi"), n, idCol, textCol)
+      .localCheckpoint(true)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

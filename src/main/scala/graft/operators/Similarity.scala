@@ -59,6 +59,20 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-cosine near-dup DEDUP: greedy survivor set — drop every
+    * vector with a >threshold cosine neighbor at a lower id. The dropped-id
+    * set is eagerly materialized (localCheckpoint) before the anti-join:
+    * otherwise Catalyst pushes the left-anti join below the corpus Union
+    * and the whole O(n²) pair scan is planned — and executed — once per
+    * union branch. The checkpoint pins it to exactly one pass.
+    */
+  def cosineDedup(vectors: DataFrame, threshold: Double): DataFrame = {
+    val dropped = cosineNearPairs(vectors, threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    vectors.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Random-hyperplane LSH bucketing: sign-bit signature over `planes`
     * deterministic pseudo-random hyperplanes (seeded by dimension index —
     * no Date.now/rand, reproducible across runs). Vectors agreeing on the
@@ -73,15 +87,21 @@ object Similarity {
     (h.toDouble / Int.MaxValue)
   }
 
-  def lshBuckets(corpus: DataFrame, dim: Int, planes: Int = 16): DataFrame = {
+  /** The LSH bucket id as a single column expression, so callers can attach
+    * it in the same projection as the norm — no self-join on vec_id.
+    */
+  def lshBucketCol(dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val terms = (0 until dim).map(j => s"emb[$j] * ${planeComponent(p, j)}")
         .mkString(" + ")
       s"CASE WHEN ($terms) >= 0 THEN ${1L << p}L ELSE 0L END"
     }
-    corpus.withColumn("bucket", expr(bits.mkString(" + ")))
-      .select(col("vec_id"), col("bucket"))
+    expr(bits.mkString(" + "))
   }
+
+  def lshBuckets(corpus: DataFrame, dim: Int, planes: Int = 16): DataFrame =
+    corpus.withColumn("bucket", lshBucketCol(dim, planes))
+      .select(col("vec_id"), col("bucket"))
 
   /** IVF-style ANN cosine top-k — the second 100 TB scale path next to
     * [[annTopK]] (LSH). Every `stride`-th vector stands in for a trained
@@ -120,7 +140,11 @@ object Similarity {
       call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
         (col("norm") * lit(centNorms(i)))
     }
+    // materialize the cell-similarity array once (the IVF index build):
+    // both the corpus side and the probe side derive from it, and without
+    // this each would re-run the K graft_dot calls per vector
     val withSims = n.withColumn("sims", array(simCols: _*))
+      .localCheckpoint(true)
 
     // iteratively pick the nprobe best cells, masking each chosen position
     var masked = col("sims")
@@ -157,7 +181,13 @@ object Similarity {
   def annTopK(corpus: DataFrame, dim: Int, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
-    val withB = withNorm(corpus, "emb", "norm").join(lshBuckets(corpus, dim, planes), "vec_id")
+    // norm + bucket in ONE projection over the scan (a vec_id self-join
+    // here would shuffle the corpus twice for two columns of derived data),
+    // materialized once: this IS the index build — the bucket self-join
+    // below would otherwise evaluate the planes×dim signature per side
+    val withB = withNorm(corpus, "emb", "norm")
+      .withColumn("bucket", lshBucketCol(dim, planes))
+      .localCheckpoint(true)
     val pairs = withB.select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("norm").as("q_norm"), col("bucket"))
       .join(withB.select(col("vec_id"), col("emb"), col("norm"), col("bucket")),
