@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Granularity
-import graft.operators.{Dedup, Derive, Downsample, Similarity, TextStats}
+import graft.operators.{Dedup, Derive, Downsample, Graphs, Similarity, TextStats}
 
 /** Driver contract (SURVEY §7): one `queries` entry per implemented
   * operator, each with a DuckDB-equivalent `oracleSql` on the same parquet
@@ -63,6 +63,30 @@ object SparkEntry {
   private def counterStreams(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("stream_id").orderBy("t")
     pointStreams(s, dir).withColumn("v", sum(col("v")).over(w) % 1000.0)
+  }
+
+  /** Graph-valued datapoints (SURVEY §1.4): one topology snapshot per
+    * (user, day) — vertices are the event types seen, edges the
+    * event-id-ordered transitions between them — serialized to the
+    * reference's `{"v":[{"i":..}],"e":[{"f":..,"t":..}]}` JSON shape.
+    * Transition order uses event_id alone: events.ts carries nanos in
+    * DuckDB but micros in Spark, so a ts tiebreak could diverge.
+    */
+  private def graphSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).where(col("user_id") < 8)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "day").orderBy("event_id")
+    ev.withColumn("prev", lag("event_type", 1).over(w))
+      .groupBy("user_id", "day")
+      .agg(
+        array_sort(collect_set(col("event_type"))).as("vs"),
+        sort_array(collect_list(when(col("prev").isNotNull,
+          struct(col("prev").as("f"), col("event_type").as("t"))))).as("es"))
+      .select(col("user_id"), col("day"),
+        to_json(struct(
+          expr("transform(vs, x -> struct(x AS i))").as("v"),
+          col("es").as("e"))).as("v_json"))
   }
 
   private val srcSql =
@@ -806,6 +830,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "graph_snapshot_stats" -> { (s, dir) =>
+      // graph value type (SURVEY §1.4) end-to-end: per (user, day) the
+      // event sequence becomes a topology snapshot {v:[{i}], e:[{f,t}]}
+      // serialized as the stream's JSON value, then parsed back through
+      // Graphs.snapshotStats. The oracle computes the same stats
+      // relationally (vertices = distinct types, edges = transitions).
+      Graphs.snapshotStats(graphSnapshots(s, dir))
+        .select(col("user_id"), col("day"),
+          col("n_vertices").cast("long").as("n_vertices"),
+          col("n_edges").cast("long").as("n_edges"), col("mean_degree"))
+        .orderBy("user_id", "day")
+    },
+
+    "graph_edge_degree" -> { (s, dir) =>
+      // explode the stored snapshots back into relational edges and rank
+      // event-type transition sources by out-degree
+      Graphs.edges(graphSnapshots(s, dir))
+        .groupBy(col("edge_from"))
+        .agg(count(lit(1)).as("out_degree"),
+          countDistinct("edge_to").as("n_targets"))
+        .orderBy("edge_from")
+    },
+
     "mm_frames" -> { (s, dir) =>
       // rows-only: frame-sampling + resize plumbing over the media table —
       // per-video frame counts and sampled byte volume after a metadata
@@ -1261,6 +1308,26 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "graph_snapshot_stats" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_vertices,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_edges,
+        |  2.0 * (count(*) - 1) / count(DISTINCT event_type) AS mean_degree
+        |FROM events WHERE user_id < 8
+        |GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "graph_edge_degree" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                          ORDER BY event_id) AS prev
+        |  FROM events WHERE user_id < 8)
+        |SELECT prev AS edge_from, count(*) AS out_degree,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_targets
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY prev ORDER BY edge_from""".stripMargin,
 
     "pipe_split_hash" ->
       """WITH s AS (SELECT *,
