@@ -173,4 +173,20 @@ object Streaming {
         }
       }
   }
+
+  /** Streaming exact dedup of a document stream (the in-flight variant of
+    * [[graft.operators.Dedup.exact]]): keep the first arrival of each
+    * content hash, dropping later duplicates that land within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` bounds the hash
+    * state by the watermark — a plain `dropDuplicates` would grow state
+    * with corpus size, which is exactly what cannot happen on an unbounded
+    * 100 TB ingest. Duplicates farther apart than the horizon are the
+    * batch compaction's job (the store-and-sweep pattern).
+    */
+  def dedupExact(docs: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -120,5 +120,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.getTags(q)("note") == """say "hi" \o/""")
   }
 
+  test("approx_percentile sketch tracks the exact percentile") {
+    import spark.implicits._
+    // the scale path for q_percentiles: single-pass fixed-size mergeable
+    // state instead of an exact per-group sort buffer
+    val df = (1L to 200000L).map(i => (i % 1000).toDouble).toDF("x")
+    val r = df.agg(
+      expr("percentile(x, 0.9)").as("exact_p"),
+      expr("approx_percentile(x, 0.9, 1000)").as("approx_p")).head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) <= 10.0,
+      s"approx_percentile drifted: ${r.getDouble(1)} vs ${r.getDouble(0)}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

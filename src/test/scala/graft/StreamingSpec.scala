@@ -224,5 +224,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.getData(id, Granularity.Seconds).count() == 3)
   }
 
+  test("streaming exact dedup keeps first arrival per content hash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.dedupExact(mem.toDF.toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+
+    // duplicates inside one batch AND across batches (within watermark)
+    mem.addData(Seq(
+      (1L, ts("2024-01-01 00:00:01"), "alpha"),
+      (2L, ts("2024-01-01 00:00:02"), "beta"),
+      (3L, ts("2024-01-01 00:00:03"), "alpha")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (4L, ts("2024-01-01 00:00:10"), "beta"),
+      (5L, ts("2024-01-01 00:00:11"), "gamma")))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dd_out").select("doc_id").as[Long].collect().toSet
+    // first arrival of each distinct text survives; 3 and 4 are dropped
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
