@@ -830,6 +830,36 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "q_exists_late_ship" -> { (s, dir) =>
+      // TPC-H Q4 shape: EXISTS-correlated subquery with a non-equi
+      // condition — planned as a left-semi join on the key with the date
+      // predicate folded into the join condition
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q_having_in_bigqty" -> { (s, dir) =>
+      // TPC-H Q18 shape: IN over an aggregated HAVING subquery — the
+      // subquery reduces to (key) pairs, then a semi join; no correlated
+      // re-execution
+      val big = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty"))
+        .where(col("qty") > 120)
+        .select(col("l_orderkey").as("o_orderkey"))
+      tbl(s, dir, "orders")
+        .join(big, Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     "graph_snapshot_stats" -> { (s, dir) =>
       // graph value type (SURVEY §1.4) end-to-end: per (user, day) the
       // event sequence becomes a topology snapshot {v:[{i}], e:[{f,t}]}
@@ -1308,6 +1338,22 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_exists_late_ship" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_having_in_bigqty" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "graph_snapshot_stats" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,

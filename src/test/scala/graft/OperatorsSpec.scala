@@ -217,6 +217,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
   }
 
+  test("kmeans-trained IVF matches exact top-k on clustered vectors") {
+    import spark.implicits._
+    // deterministic clustered corpus: 4 well-separated cluster directions
+    // in 16 dims, hash-jittered members — no RNG, reproducible
+    val dim = 16
+    def vec(id: Long): Seq[Double] = {
+      val c = (id % 4).toInt
+      (0 until dim).map { j =>
+        val base = if (j / 4 == c) 1.0 else 0.05
+        val jitter = ((id * 31 + j * 17) % 13).toDouble / 100.0
+        base + jitter
+      }
+    }
+    val corpus = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "emb")
+    val queries = corpus.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val exact = Similarity.cosineTopK(corpus, queries, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val cents = Similarity.kmeansCentroids(corpus, stride = 30, iters = 3)
+    assert(cents.length == 4)
+    // training must not lose cells on this corpus, and recenters must move
+    val init = Similarity.strideCentroids(corpus, 30).map(_._2)
+    assert(cents.map(_._2).toSeq != init.toSeq)
+
+    val approx = Similarity.ivfTopKTrained(corpus, k = 3, stride = 30,
+        nprobe = 2, iters = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
   test("pipeline: hash split is stable, shuffle-free, and ~90/5/5") {
     import spark.implicits._
     import graft.operators.Pipeline
