@@ -24,12 +24,28 @@ object ProfileStore {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
     })
+    // listener events arrive via an async bus: wait for the counters to go
+    // quiet before snapshotting, or a phase's trailing task-end events get
+    // credited to the next phase (task counts are the metric that matters
+    // here — wall seconds have ±2-3x machine variance)
+    def drained(): (Int, Int) = {
+      var prev = (jobs.get(), tasks.get())
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(50)
+        val cur = (jobs.get(), tasks.get())
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
     def phase[A](name: String)(f: => A): A = {
+      val (j0, k0) = drained()
       val t0 = System.nanoTime()
-      val (j0, k0) = (jobs.get(), tasks.get())
       val r = f
-      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-        f"  jobs=${jobs.get() - j0}%3d tasks=${tasks.get() - k0}%5d")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (j1, k1) = drained()
+      println(f"[profile] $name%-22s $dt%8.2f s" +
+        f"  jobs=${j1 - j0}%3d tasks=${k1 - k0}%5d")
       r
     }
     val work = java.nio.file.Files.createTempDirectory("graft-store-prof").toString

@@ -729,9 +729,9 @@ object SparkEntry {
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      // embedding-cosine near-dup DEDUP: greedy survivor set — drop every
-      // vector with a >0.9-cosine neighbor at a lower id (same injected
-      // near-dups as emb_near_pairs)
+      // embedding-cosine near-dup DEDUP: drop every vector with a
+      // >0.9-cosine neighbor at a lower id, dropped or not — order-free,
+      // so fully parallel (same injected near-dups as emb_near_pairs)
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val variants = e.where(col("vec_id") < 20).select(

@@ -75,9 +75,23 @@ object DatapointStore {
     * after an empty write) read as zero rows instead of failing schema
     * inference and bricking every subsequent scan.
     */
-  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    paths.foreach(recoverIfNeeded)
     if (paths.isEmpty) empty(spark)
     else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Read-side half of replace()'s crash safety: a crash between the two
+    * renames leaves only `<path>.graft-old`. Because reads are
+    * schema-pinned they would otherwise silently see an EMPTY table (not
+    * an error), so every read first swings a stranded backup into place.
+    */
+  def recoverIfNeeded(path: String): Unit = {
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(s"$path.graft-old")
+    if (!dst.exists() && bak.exists() && !bak.renameTo(dst))
+      throw new java.io.IOException(s"failed to recover $bak -> $path")
+  }
 
   def append(df: DataFrame, path: String): Unit =
     // repartition on the partition keys first: one task per output
@@ -121,6 +135,10 @@ object DatapointStore {
     }
     val dst = new java.io.File(path)
     val bak = new java.io.File(s"$path.graft-old")
+    // a stranded backup from a previous mid-swap crash must be restored,
+    // not deleted — after recovery, bak only exists alongside a complete
+    // dst (crash after swap, before cleanup), where dropping it is safe
+    recoverIfNeeded(path)
     if (bak.exists()) rm(bak)
     Option(dst.getParentFile).foreach(_.mkdirs())
     if (dst.exists() && !dst.renameTo(bak))

@@ -271,8 +271,23 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
                 col("t") >= lo && col("t") <= hi &&
                 col("ymd") >= DatapointStore.ymdKey(lo) &&
                 col("ymd") <= DatapointStore.ymdKey(hi)),
-            ids.toSeq).select("stream_id", "t")
-          rounded.join(existing, Seq("stream_id", "t"), "left_anti")
+            ids.toSeq).select("stream_id", "t", "v_num", "v_json")
+          // drop only EXACT re-deliveries (same stream, rounded t, value):
+          // a retried micro-batch re-sends identical rows, while a
+          // genuinely new value landing in an already-seen second must
+          // still append (two distinct events in one bucket are two
+          // datapoints, same as the batch path). Null-safe equality so
+          // null-valued re-deliveries dedup too.
+          val vCond =
+            if (hasV) rounded("v").cast("double") <=> existing("v_num")
+            else existing("v_num").isNull
+          val jCond =
+            if (hasJ) rounded("v_json") <=> existing("v_json")
+            else existing("v_json").isNull
+          rounded.join(existing,
+            rounded("stream_id") === existing("stream_id") &&
+              rounded("t") === existing("t") && vCond && jCond,
+            "left_anti")
         }
 
       val withJson = if (hasJ) deduped

@@ -51,10 +51,16 @@ object DownsampleAggregator {
       math.min(a.tMin, b.tMin), math.max(a.tMax, b.tMax), a.tSum + b.tSum)
 
     override def finish(b: Buf): Out = {
-      val m = b.s / b.c
-      val d = math.sqrt(math.max(b.q / b.c - m * m, 0.0))
-      Out(b.c, b.s, b.q, b.l, b.u, m, d, b.tMin, b.tMax,
-        Math.floorDiv(b.tSum, b.c))
+      if (b.c == 0L) {
+        // empty input (global agg over zero rows / empty merge chain):
+        // a defined all-zero row instead of /0 and min/max sentinels
+        Out(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, 0L, 0L)
+      } else {
+        val m = b.s / b.c
+        val d = math.sqrt(math.max(b.q / b.c - m * m, 0.0))
+        Out(b.c, b.s, b.q, b.l, b.u, m, d, b.tMin, b.tMax,
+          Math.floorDiv(b.tSum, b.c))
+      }
     }
 
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

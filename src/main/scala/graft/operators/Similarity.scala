@@ -59,9 +59,13 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** Embedding-cosine near-dup DEDUP: greedy survivor set — drop every
-    * vector with a >threshold cosine neighbor at a lower id. The dropped-id
-    * set is eagerly materialized (localCheckpoint) before the anti-join:
+  /** Embedding-cosine near-dup DEDUP: drop every vector that has ANY
+    * >threshold cosine neighbor at a lower id — including neighbors that
+    * are themselves dropped. On a near-dup chain A~B~C this keeps only A
+    * (a sequential greedy pass would also keep C); the stricter rule is
+    * order-free and therefore embarrassingly parallel, which is the 100 TB
+    * trade-off made here. The dropped-id set is eagerly materialized
+    * (localCheckpoint) before the anti-join:
     * otherwise Catalyst pushes the left-anti join below the corpus Union
     * and the whole O(n²) pair scan is planned — and executed — once per
     * union branch. The checkpoint pins it to exactly one pass.

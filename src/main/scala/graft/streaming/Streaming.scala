@@ -154,11 +154,14 @@ object Streaming {
     * streams), then the rollup ladder advances to the batch's max t.
     *
     * Idempotency under foreachBatch's at-least-once re-delivery:
-    * `dedupExisting=true` drops rows whose (stream_id, rounded t) already
-    * exist in the store, so a retried micro-batch never double-appends the
-    * raw level; the rollup ladder is high-water-mark guarded and derived
-    * recomputes are full overwrites, so the whole pipeline is exactly-once
-    * at bucket grain — the reference's per-bucket-upsert guarantee.
+    * `dedupExisting=true` drops rows whose exact (stream_id, rounded t,
+    * value) already exist in the store, so a retried micro-batch never
+    * double-appends the raw level while a genuinely new value landing in
+    * an already-seen second still appends (matching the batch path); the
+    * rollup ladder is high-water-mark guarded and derived recomputes are
+    * full overwrites. Residual caveat: a legitimately duplicated identical
+    * datapoint arriving in a LATER batch is indistinguishable from a
+    * retry and is dropped.
     */
   def ingest(src: DataFrame, store: graft.core.Datastream,
       checkTimestamp: Boolean = false)

@@ -222,6 +222,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.appendMultiple(Seq((id, ts("2024-01-01 00:00:05"), 9.0))
       .toDF("stream_id", "t", "v"), checkTimestamp = false, dedupExisting = true)
     assert(store.getData(id, Granularity.Seconds).count() == 3)
+    // a DISTINCT value in an already-populated second is a new datapoint
+    // (only exact (stream, t, value) re-deliveries are dropped)
+    store.appendMultiple(Seq((id, ts("2024-01-01 00:00:01"), 7.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false, dedupExisting = true)
+    assert(store.getData(id, Granularity.Seconds).count() == 4)
+    // ...but re-delivering it again is still a no-op
+    store.appendMultiple(Seq((id, ts("2024-01-01 00:00:01"), 7.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false, dedupExisting = true)
+    assert(store.getData(id, Granularity.Seconds).count() == 4)
   }
 
   test("streaming exact dedup keeps first arrival per content hash") {

@@ -15,6 +15,20 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+
+# rows-only queries (no oracle SQL): mirror the driver's weaker check —
+# the dump must exist and be non-empty, so a pipeline regression can't
+# hide behind the absence of an oracle
+import os
+dumped = sorted(d for d in os.listdir(outdir)
+                if os.path.isdir(f"{outdir}/{d}") and d not in oracle)
+for name in dumped:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0] if files else 0
+    if n > 0:
+        print(f"{name:24s} OK rows-only rows={n}")
+    else:
+        print(f"{name:24s} EMPTY-ROWS-ONLY"); fails += 1
 for name in sorted(oracle):
     sql = oracle[name]
     files = glob.glob(f"{outdir}/{name}/*.parquet")
