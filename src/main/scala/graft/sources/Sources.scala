@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-pinned source readers (SURVEY §2.4 scans/sources row). Parquet
+  * is the native format; CSV and JSONL cover ingest from upstream dumps.
+  *
+  * Everything takes an EXPLICIT schema: at 100 TB, schema inference is a
+  * full extra pass over the data (CSV/JSON) or a footer sample that can
+  * mis-type sparse columns — and a pinned schema is what lets empty or
+  * partially-written directories read as zero rows instead of failing
+  * inference (same rule as the datapoint store).
+  */
+object Sources {
+
+  /** Batch read of `format` ∈ {parquet, csv, jsonl} with the schema
+    * pinned. CSV is header-tolerant and strict (FAILFAST) — silently
+    * null-ing malformed rows (PERMISSIVE) corrupts aggregates downstream;
+    * a 100 TB ingest wants the bad file identified, not absorbed.
+    */
+  def read(spark: SparkSession, path: String, format: String,
+      schema: StructType, strict: Boolean = true): DataFrame = {
+    val mode = if (strict) "FAILFAST" else "PERMISSIVE"
+    format match {
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "csv" => spark.read.schema(schema)
+        .option("header", "true").option("mode", mode).csv(path)
+      case "jsonl" => spark.read.schema(schema)
+        .option("mode", mode).json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported source format: $other")
+    }
+  }
+
+  /** Streaming file source over a directory: new files are discovered per
+    * micro-batch, schema pinned (required by Structured Streaming anyway).
+    * `maxFilesPerTrigger` bounds per-batch work so one bulk drop of
+    * history does not become a single giant micro-batch.
+    */
+  def stream(spark: SparkSession, dir: String, format: String,
+      schema: StructType, maxFilesPerTrigger: Int = 100): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    format match {
+      case "parquet" => r.parquet(dir)
+      case "csv" => r.option("header", "true").csv(dir)
+      case "jsonl" => r.json(dir)
+      case other => throw new IllegalArgumentException(
+        s"unsupported source format: $other")
+    }
+  }
+}

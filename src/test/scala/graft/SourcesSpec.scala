@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.Sources
+
+/** Multi-format source readers: batch CSV/JSONL/parquet parity and the
+  * streaming file source.
+  */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("n", LongType)))
+
+  def sample = {
+    import spark.implicits._
+    Seq((1L, "alpha beta", 10L), (2L, "gamma", 20L), (3L, "delta eps", 30L))
+      .toDF("doc_id", "text", "n")
+  }
+
+  test("csv/jsonl/parquet reads agree with the written frame") {
+    val base = Files.createTempDirectory("graft-src").toString
+    sample.write.option("header", "true").csv(s"$base/csv")
+    sample.write.json(s"$base/jsonl")
+    sample.write.parquet(s"$base/parquet")
+    val want = sample.collect().map(_.toSeq).toSet
+    for (fmt <- Seq("csv", "jsonl", "parquet")) {
+      val got = Sources.read(spark, s"$base/$fmt", fmt, schema)
+      assert(got.schema == schema, s"$fmt schema drift")
+      assert(got.collect().map(_.toSeq).toSet == want, s"$fmt content drift")
+    }
+  }
+
+  test("strict csv read fails fast on malformed rows") {
+    val dir = Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.csv"),
+      "doc_id,text,n\n1,ok,10\nnot_a_long,broken,xyz\n".getBytes)
+    intercept[org.apache.spark.SparkException] {
+      Sources.read(spark, dir, "csv", schema).collect()
+    }
+    // permissive mode absorbs the row as nulls instead
+    val loose = Sources.read(spark, dir, "csv", schema, strict = false).collect()
+    assert(loose.length == 2)
+  }
+
+  test("streaming file source picks up dropped files") {
+    val dir = Files.createTempDirectory("graft-srcstream").toString
+    sample.write.json(s"$dir/in")
+    val q = Sources.stream(spark, s"$dir/in", "jsonl", schema)
+      .groupBy().agg(count(lit(1)).as("n"), sum("n").as("s"))
+      .writeStream.format("memory").queryName("src_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("src_stream").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 60L)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
