@@ -203,61 +203,62 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val cached = if (ownCache) df.persist() else df
     try {
-      val ids = cached.select("stream_id").distinct().as[String].collect()
-      ids.foreach { id =>
+      // ONE pass over the raw batch: distinct stream ids, per-stream raw
+      // time bounds and value-kind presence flags fold into a single
+      // aggregation job (ids-distinct used to be its own scan, and the
+      // validation agg used to run AFTER a metadata join). All per-stream
+      // validation then happens driver-side against the catalog —
+      // metadata-scale work, equivalent because every per-row check
+      // reduces to a per-stream extremum: any(t < last) ⇔ min(t) < last
+      // (flooring is monotone), any(wrong-kind value) ⇔ kind-presence flag.
+      val hasV = cached.columns.contains("v")
+      val hasJ = cached.columns.contains("v_json")
+      val aggCols = Seq(min("t").as("lo_raw"), max("t").as("hi_raw")) ++
+        (if (hasJ) Seq(max(col("v_json").isNotNull).as("has_json")) else Nil) ++
+        (if (hasV) Seq(max(col("v").isNotNull).as("has_num")) else Nil)
+      val checks = cached.groupBy("stream_id")
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+
+      // per-stream time bounds of the batch, floored to the stream's
+      // highest granularity (advance catalog bounds in finishAppend —
+      // taken from the PRE-dedup frame on purpose: on a retried delivery
+      // the timestamps are in the store either way, and a crash between
+      // last round's write and catalog persist must still advance)
+      val bounds = checks.map { r =>
+        val id = r.getString(0)
         val d = catalog.getOrElse(id, throw StreamNotFound(id))
         if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
+        if (d.value_type == ValueType.Numeric && hasJ &&
+            r.getAs[Boolean]("has_json"))
+          throw IncompatibleTypes(
+            s"value kind does not match stream $id's value_type")
+        if (d.value_type != ValueType.Numeric && hasV &&
+            r.getAs[Boolean]("has_num"))
+          throw IncompatibleTypes(
+            s"value kind does not match stream $id's value_type")
+        val gsec = Granularity(d.highest_granularity).seconds
+        def floorTs(ts: Timestamp): Timestamp =
+          new Timestamp(Math.floorDiv(ts.getTime / 1000, gsec) * gsec * 1000)
+        val lo = floorTs(r.getAs[Timestamp]("lo_raw"))
+        if (checkTimestamp && d.latest_ts.exists(l => lo.getTime < l.getTime))
+          // a strict decrease versus the stream's last stored timestamp is
+          // a monotonicity violation (the reference's check_timestamp=True)
+          throw InvalidTimestamp(s"non-monotonic append for stream $id")
+        org.apache.spark.sql.Row(id, lo, floorTs(r.getAs[Timestamp]("hi_raw")))
       }
+      val ids = checks.map(_.getString(0))
+
       // per-stream config joins in as a BROADCAST metadata frame (never a
       // typedLit map of the whole catalog — that would inline a
-      // million-stream catalog into the plan)
+      // million-stream catalog into the plan); only the WRITE path needs
+      // the per-row join now (granularity name + per-row rounding)
       val meta = broadcast(ids.toSeq.map { id =>
         val d = catalog(id)
-        (id, Granularity(d.highest_granularity).seconds, d.highest_granularity,
-          d.latest_ts.map(_.getTime), d.value_type)
-      }.toDF("stream_id", "gsec", "gname", "last_ms", "vtype"))
+        (id, Granularity(d.highest_granularity).seconds, d.highest_granularity)
+      }.toDF("stream_id", "gsec", "gname"))
       val rounded = cached.join(meta, "stream_id")
         .withColumn("t", timestamp_seconds(
           floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
-
-      // ONE validation+bounds pass over the batch: the type check, the
-      // monotonicity check and the per-stream time bounds all fold into a
-      // single per-stream aggregation job (they were 3–4 separate actions,
-      // each re-scanning the cached batch — pure job-count overhead that
-      // dominates small appends and wastes cluster scheduling at scale).
-      val hasV = cached.columns.contains("v")
-      val hasJ = cached.columns.contains("v_json")
-      val wrongKindCond = Seq(
-        if (hasJ) Some(col("vtype") === ValueType.Numeric && col("v_json").isNotNull)
-        else None,
-        if (hasV) Some(col("vtype") =!= ValueType.Numeric && col("v").isNotNull)
-        else None).flatten.reduceOption(_ || _).getOrElse(lit(false))
-      val monoCond = col("last_ms").isNotNull &&
-        unix_timestamp(col("t")) * 1000 < col("last_ms")
-      val checks = rounded.groupBy("stream_id").agg(
-        min("t").as("lo"), max("t").as("hi"),
-        max(wrongKindCond).as("bad_kind"),
-        max(monoCond).as("bad_mono")).collect()
-
-      checks.find(_.getBoolean(3)).foreach { r =>
-        throw IncompatibleTypes(
-          s"value kind does not match stream ${r.getString(0)}'s value_type")
-      }
-      if (checkTimestamp) {
-        // a strict decrease versus the stream's last stored timestamp is a
-        // monotonicity violation (the reference's check_timestamp=True path)
-        checks.find(_.getBoolean(4)).foreach { r =>
-          throw InvalidTimestamp(s"non-monotonic append for stream ${r.getString(0)}")
-        }
-      }
-
-      // per-stream time bounds of the batch (advance catalog bounds in
-      // finishAppend — taken from the PRE-dedup frame on purpose: on a
-      // retried delivery the timestamps are in the store either way, and a
-      // crash between last round's write and catalog persist must still
-      // advance)
-      val bounds = checks.map(r => org.apache.spark.sql.Row(
-        r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
 
       val deduped =
         if (!dedupExisting || bounds.isEmpty || !nonEmptyDir(datapointsPath)) rounded
