@@ -576,6 +576,11 @@ object SparkEntry {
       TextStats.qualityStats(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "doc_repetition" -> { (s, dir) =>
+      // Gopher-style repetition filters: duplicated word/bigram fractions
+      TextStats.repetitionStats(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(tbl(s, dir, "documents")).orderBy("h")
     },
@@ -1282,6 +1287,20 @@ object SparkEntry {
         |    / len(string_split(text, ' ')) AS ttr
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |  list_transform(range(1, len(toks)),
+        |                 i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    AS dup_word_ratio,
+        |  CASE WHEN len(bigrams) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |              / len(bigrams) END AS dup_bigram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "doc_quality" ->
       """SELECT doc_id,

@@ -57,6 +57,31 @@ object TextStats {
   /** 64-bit content fingerprint (order-sensitive rolling-hash style):
     * xxhash64 over the full text. Cheap doc identity for joins/logs.
     */
+  /** Repetition signals (the Gopher-style quality filters): fraction of
+    * duplicated words and duplicated bigrams per document. High values
+    * flag boilerplate/spam for corpus filtering. String bigrams (not the
+    * hashed graft_ngrams path) so the numbers are engine-portable and
+    * oracle-exact; still pure codegen'd builtins.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
+           |  i -> concat_ws(' ', element_at(split($textCol, ' '), i),
+           |                      element_at(split($textCol, ' '), i + 1)))"""
+          .stripMargin))
+    docs.select(
+      col(idCol).as("doc_id"),
+      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .as("dup_word_ratio"),
+      when(size(bigrams) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .as("dup_bigram_ratio"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("fp"))
