@@ -118,6 +118,18 @@ object DatapointStore {
       .write.mode(SaveMode.Append)
       .partitionBy("stream_id", "granularity", "ymd").parquet(path)
 
+  /** Compact a store root in place: every append writes one file per
+    * touched (granularity, ymd) partition, so a long-running ingest
+    * accumulates many small files per partition and scan task counts (and
+    * parquet footer overhead) grow with append count, not data size.
+    * Compaction rewrites each partition to one sorted file via the
+    * crash-safe replace() swap — the OPTIMIZE step a 100 TB deployment
+    * schedules off-peak. Reads stay correct throughout (old tree until the
+    * atomic rename).
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    if (new java.io.File(path).exists()) replace(read(spark, Seq(path)), path)
+
   /** Replace the table contents with `df`, crash-safely: write tmp, rename
     * the current table ASIDE (never delete-then-rename — a crash in that
     * window loses the table), swap tmp in, then drop the backup. A crash

@@ -551,6 +551,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * means completed coarse buckets are exactly unions of completed finer
     * buckets). Only completed buckets (bucket end <= until) are written.
     */
+  /** Rewrite the main datapoints root (raw + rollup levels) to one sorted
+    * file per (granularity, ymd) partition — the off-peak maintenance job
+    * that undoes append fragmentation. Derived roots are excluded: their
+    * per-stream partitions are replaced wholesale on every recompute, so
+    * they never fragment.
+    */
+  def compactStore(): Unit = DatapointStore.compact(spark, datapointsPath)
+
   def downsampleStreams(until: Timestamp,
       queryTags: Map[String, String] = Map.empty,
       returnDatapoints: Boolean = false): Option[DataFrame] = {

@@ -397,5 +397,35 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compactStore merges append fragments without changing data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact").toString
+    val ds = new Datastream(spark, root)
+    val id = ds.ensureStream(Map("name" -> "frag"))
+    // 4 separate appends into the SAME day -> 4 files in one partition
+    for (i <- 0 until 4)
+      ds.appendMultiple(Seq((id, ts(s"2024-01-01 00:0$i:00"), i.toDouble))
+        .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"))
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/datapoints"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = ds.datapoints.orderBy("granularity", "t").collect().map(_.toSeq)
+    val fragBefore = files()
+    assert(fragBefore > 4, s"expected fragmented store, got $fragBefore files")
+    ds.compactStore()
+    assert(files() < fragBefore, "compaction did not reduce file count")
+    val after = ds.datapoints.orderBy("granularity", "t").collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq)
+    // the store keeps working after the swap
+    ds.appendMultiple(Seq((id, ts("2024-01-01 00:09:00"), 9.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    assert(ds.getData(id, Granularity.Seconds).count() == 5)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
