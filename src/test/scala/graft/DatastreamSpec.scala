@@ -136,6 +136,37 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((ts("2024-01-01 00:00:01"), 11.0), (ts("2024-01-01 00:00:02"), 2.0)))
   }
 
+  test("derive: chained derived streams recompute in dependency order") {
+    val ds = freshDs()
+    import spark.implicits._
+    // s1 -> d1 = derivative(s1); (d1, s2) -> d2 = sum: appending to the
+    // RAW streams must ripple through the chain (transitive closure +
+    // topological order in derivedInOrder)
+    val s1 = ds.ensureStream(Map("name" -> "c_src"))
+    val s2 = ds.ensureStream(Map("name" -> "c_other"))
+    val d1 = ds.ensureStream(Map("name" -> "c_drv"),
+      deriveFrom = Seq(s1), deriveOp = Some(DeriveOps.Derivative))
+    val d2 = ds.ensureStream(Map("name" -> "c_sum"),
+      deriveFrom = Seq(d1, s2), deriveOp = Some(DeriveOps.Sum))
+    ds.appendMultiple(Seq(
+      (s1, ts("2024-01-01 00:00:00"), 0.0),
+      (s1, ts("2024-01-01 00:00:10"), 20.0),
+      (s2, ts("2024-01-01 00:00:10"), 5.0)).toDF("stream_id", "t", "v"))
+    // d1 at 00:10 = (20-0)/10 = 2.0; d2 at 00:10 = 2.0 + 5.0
+    val drv = ds.getData(d1, Granularity.Seconds).collect()
+    assert(drv.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:10"), 2.0)))
+    val summed = ds.getData(d2, Granularity.Seconds).collect()
+    assert(summed.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:10"), 7.0)))
+    // a second append extends the chain incrementally
+    ds.appendMultiple(Seq((s1, ts("2024-01-01 00:00:20"), 50.0))
+      .toDF("stream_id", "t", "v"))
+    val d2rows = ds.getData(d2, Granularity.Seconds).collect()
+    assert(d2rows.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      Seq((ts("2024-01-01 00:00:10"), 7.0), (ts("2024-01-01 00:00:20"), 3.0)))
+  }
+
   test("derive: derivative (V2) and counter ops (V3/V4)") {
     val ds = freshDs()
     import spark.implicits._
