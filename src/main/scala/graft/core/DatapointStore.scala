@@ -118,6 +118,31 @@ object DatapointStore {
       .write.mode(SaveMode.Append)
       .partitionBy("stream_id", "granularity", "ymd").parquet(path)
 
+  /** Drop every ymd partition strictly older than `cutoffKey` under a
+    * store root — retention/TTL as pure partition-directory removal:
+    * O(#partitions) driver-side listing and no data rewrite, the only
+    * deletion shape that stays cheap at 100 TB. `depth` is the number of
+    * partition levels above ymd (1 for granularity=g/ymd=k roots, 2 for
+    * stream_id=s/granularity=g/ymd=k derived roots). Zero-padded keys make
+    * the cutoff a plain string compare.
+    */
+  def expire(path: String, cutoffKey: String, depth: Int): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    def walk(dir: java.io.File, level: Int): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) {
+          if (level == 0 && f.getName.startsWith("ymd=")) {
+            if (f.getName.stripPrefix("ymd=") < cutoffKey) rm(f)
+          } else if (level > 0) walk(f, level - 1)
+        }
+      }
+    val root = new java.io.File(path)
+    if (root.exists()) walk(root, depth)
+  }
+
   /** Compact a store root in place: every append writes one file per
     * touched (granularity, ymd) partition, so a long-running ingest
     * accumulates many small files per partition and scan task counts (and

@@ -551,6 +551,19 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * means completed coarse buckets are exactly unions of completed finer
     * buckets). Only completed buckets (bucket end <= until) are written.
     */
+  /** Retention: drop all datapoints (raw, rollup and derived) strictly
+    * older than `before`, by removing whole ymd partition directories —
+    * O(#partitions), no data rewrite. An engine-side extension (the
+    * reference has no TTL); catalog time bounds are left untouched and are
+    * advisory after expiry (earliest_ts may predate the retained data).
+    */
+  def expireData(before: Timestamp): Unit = {
+    val key = DatapointStore.ymdKey(before)
+    DatapointStore.expire(datapointsPath, key, depth = 1)
+    DatapointStore.expire(derivedRawPath, key, depth = 2)
+    DatapointStore.expire(rollupsPath, key, depth = 2)
+  }
+
   /** Rewrite the main datapoints root (raw + rollup levels) to one sorted
     * file per (granularity, ymd) partition — the off-peak maintenance job
     * that undoes append fragmentation. Derived roots are excluded: their

@@ -428,6 +428,29 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("expireData drops only ymd partitions older than the cutoff") {
+    import spark.implicits._
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "ttl"))
+    ds.appendMultiple(Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0),
+      (id, ts("2024-01-05 00:00:01"), 2.0),
+      (id, ts("2024-01-09 00:00:01"), 3.0)).toDF("stream_id", "t", "v"),
+      checkTimestamp = false)
+    ds.downsampleStreams(ts("2024-02-01 00:00:00"))
+    val daysBefore = ds.getData(id, Granularity.Days).count()
+    assert(daysBefore == 3)
+    ds.expireData(ts("2024-01-05 00:00:00"))
+    // Jan 1 gone at every granularity; Jan 5 and 9 retained
+    assert(ds.getData(id, Granularity.Seconds).collect()
+      .map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 3.0))
+    assert(ds.getData(id, Granularity.Days).count() == 2)
+    // the store keeps appending after expiry
+    ds.appendMultiple(Seq((id, ts("2024-01-10 00:00:01"), 4.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    assert(ds.getData(id, Granularity.Seconds).count() == 3)
+  }
+
   test("compactStore merges append fragments without changing data") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString

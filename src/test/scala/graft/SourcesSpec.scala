@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
+import graft.model.Granularity
 import graft.sources.Sources
 
 /** Multi-format source readers: batch CSV/JSONL/parquet parity and the
@@ -68,6 +69,42 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     val r = spark.table("src_stream").head()
     assert(r.getLong(0) == 3L && r.getLong(1) == 60L)
+  }
+
+  test("file source feeds the store ingest end-to-end (files -> ladder)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val inDir = s"$root/in"
+    JFiles.createDirectories(Paths.get(inDir))
+    val store = new graft.core.Datastream(spark,
+      s"$root/store")
+    val id = store.ensureStream(Map("name" -> "filefeed"))
+    val pointSchema = StructType(Seq(
+      StructField("stream_id", StringType),
+      StructField("t", TimestampType),
+      StructField("v", DoubleType)))
+    def drop(name: String, lines: String*): Unit =
+      JFiles.write(Paths.get(inDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    drop("b1.json",
+      s"""{"stream_id":"$id","t":"2024-01-01T00:00:01.000Z","v":1.0}""",
+      s"""{"stream_id":"$id","t":"2024-01-01T00:00:11.000Z","v":2.0}""")
+    val q = graft.streaming.Streaming.ingest(
+      Sources.stream(spark, inDir, "jsonl", pointSchema), store).start()
+    q.processAllAvailable()
+    // a later file lands in a later micro-batch and extends the ladder
+    drop("b2.json",
+      s"""{"stream_id":"$id","t":"2024-01-01T00:01:05.000Z","v":4.0}""")
+    q.processAllAvailable()
+    q.stop()
+
+    assert(store.getData(id, Granularity.Seconds).count() == 3)
+    val mins = store.getData(id, Granularity.Minutes)
+      .select("t", "count", "sum").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mins == Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, 3.0)))
   }
 
   override def afterAll(): Unit = spark.stop()
