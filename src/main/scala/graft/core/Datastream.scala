@@ -186,12 +186,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * Values of the wrong kind for a stream's declared value_type raise
     * [[IncompatibleTypes]] (the reference's append-time type check).
     *
-    * `dedupExisting=true` makes the append idempotent at (stream_id, t)
-    * bucket grain — rows whose rounded timestamp already exists for their
-    * stream are silently dropped (the reference's per-bucket-upsert). The
-    * check scans only the batch's own [min t, max t] window of the primary
-    * root (ymd partition pruning), so its cost is bounded by the batch
-    * span, not store size. Streaming ingest re-delivery relies on this.
+    * `dedupExisting=true` makes the append idempotent against exact
+    * re-delivery — rows whose (stream_id, rounded t, value) already exist
+    * are silently dropped, while a distinct new value in an
+    * already-populated bucket still appends (two events in one second are
+    * two datapoints, as in the batch path). The check scans only the
+    * batch's own [min t, max t] window of the primary root (ymd partition
+    * pruning), so its cost is bounded by the batch span, not store size.
+    * Streaming ingest re-delivery relies on this.
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true,
       dedupExisting: Boolean = false): Unit = {
