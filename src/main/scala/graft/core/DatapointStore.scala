@@ -118,6 +118,17 @@ object DatapointStore {
       .write.mode(SaveMode.Append)
       .partitionBy("stream_id", "granularity", "ymd").parquet(path)
 
+  /** Recursive delete that REFUSES to fail silently: a delete that leaves
+    * files behind (held handle, permissions) would make a partition or
+    * backup half-disappear with no error — subsequent reads would return a
+    * silently partial table. Shared by replace(), expire() and Datastream.
+    */
+  private[core] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"failed to delete $f")
+  }
+
   /** Drop every ymd partition strictly older than `cutoffKey` under a
     * store root — retention/TTL as pure partition-directory removal:
     * O(#partitions) driver-side listing and no data rewrite, the only
@@ -127,15 +138,11 @@ object DatapointStore {
     * the cutoff a plain string compare.
     */
   def expire(path: String, cutoffKey: String, depth: Int): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
     def walk(dir: java.io.File, level: Int): Unit =
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (f.isDirectory) {
           if (level == 0 && f.getName.startsWith("ymd=")) {
-            if (f.getName.stripPrefix("ymd=") < cutoffKey) rm(f)
+            if (f.getName.stripPrefix("ymd=") < cutoffKey) rmTree(f)
           } else if (level > 0) walk(f, level - 1)
         }
       }
@@ -166,22 +173,18 @@ object DatapointStore {
       .sortWithinPartitions("stream_id", "t")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("granularity", "ymd").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
     val dst = new java.io.File(path)
     val bak = new java.io.File(s"$path.graft-old")
     // a stranded backup from a previous mid-swap crash must be restored,
     // not deleted — after recovery, bak only exists alongside a complete
     // dst (crash after swap, before cleanup), where dropping it is safe
     recoverIfNeeded(path)
-    if (bak.exists()) rm(bak)
+    if (bak.exists()) rmTree(bak)
     Option(dst.getParentFile).foreach(_.mkdirs())
     if (dst.exists() && !dst.renameTo(bak))
       throw new java.io.IOException(s"failed to move table aside: $path -> $bak")
     if (!new java.io.File(tmp).renameTo(dst))
       throw new java.io.IOException(s"failed to move table into place: $tmp -> $path")
-    if (bak.exists()) rm(bak)
+    if (bak.exists()) rmTree(bak)
   }
 }

@@ -239,8 +239,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           throw IncompatibleTypes(
             s"value kind does not match stream $id's value_type")
         val gsec = Granularity(d.highest_granularity).seconds
+        // floorDiv at BOTH steps: `getTime / 1000` truncates toward zero,
+        // which for pre-epoch timestamps floors differently than the Spark
+        // write path's unix_timestamp and would desync the monotonicity
+        // check / dedup window from the stored data
         def floorTs(ts: Timestamp): Timestamp =
-          new Timestamp(Math.floorDiv(ts.getTime / 1000, gsec) * gsec * 1000)
+          new Timestamp(
+            Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), gsec) * gsec * 1000)
         val lo = floorTs(r.getAs[Timestamp]("lo_raw"))
         if (checkTimestamp && d.latest_ts.exists(l => lo.getTime < l.getTime))
           // a strict decrease versus the stream's last stored timestamp is
@@ -350,10 +355,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     anyStreamHas(derivedRawPath) || anyStreamHas(rollupsPath)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit = DatapointStore.rmTree(f)
 
   /** Derived streams live in two SHARED roots partitioned by stream_id
     * first (raw level and rollups): recomputing one stream deletes its two
@@ -544,15 +546,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     victims.size
   }
 
-  // ---- A10 downsample_streams -----------------------------------------
+  // ---- A10 downsample_streams + store maintenance ---------------------
 
-  /** Fold new raw datapoints into every coarser granularity for all matched
-    * streams — one distributed job per ladder level, finest→coarsest, each
-    * level folding from the previous level's partial aggregates
-    * (SURVEY §2.2 note a: c/s/q/l/u compose, m/d derive; the nested ladder
-    * means completed coarse buckets are exactly unions of completed finer
-    * buckets). Only completed buckets (bucket end <= until) are written.
-    */
   /** Retention: drop all datapoints (raw, rollup and derived) strictly
     * older than `before`, by removing whole ymd partition directories —
     * O(#partitions), no data rewrite. An engine-side extension (the
@@ -574,6 +569,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   def compactStore(): Unit = DatapointStore.compact(spark, datapointsPath)
 
+  /** Fold new raw datapoints into every coarser granularity for all matched
+    * streams — one distributed job per ladder level, finest→coarsest, each
+    * level folding from the previous level's partial aggregates
+    * (SURVEY §2.2 note a: c/s/q/l/u compose, m/d derive; the nested ladder
+    * means completed coarse buckets are exactly unions of completed finer
+    * buckets). Only completed buckets (bucket end <= until) are written.
+    */
   def downsampleStreams(until: Timestamp,
       queryTags: Map[String, String] = Map.empty,
       returnDatapoints: Boolean = false): Option[DataFrame] = {

@@ -54,9 +54,6 @@ object TextStats {
         size(split(col(textCol), " "))).as("mean_word_len"))
   }
 
-  /** 64-bit content fingerprint (order-sensitive rolling-hash style):
-    * xxhash64 over the full text. Cheap doc identity for joins/logs.
-    */
   /** Repetition signals (the Gopher-style quality filters): fraction of
     * duplicated words and duplicated bigrams per document. High values
     * flag boilerplate/spam for corpus filtering. String bigrams (not the
@@ -87,6 +84,9 @@ object TextStats {
           .as("dup_bigram_ratio"))
   }
 
+  /** 64-bit content fingerprint (order-sensitive rolling-hash style):
+    * xxhash64 over the full text. Cheap doc identity for joins/logs.
+    */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("fp"))

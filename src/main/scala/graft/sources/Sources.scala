@@ -36,16 +36,22 @@ object Sources {
   /** Streaming file source over a directory: new files are discovered per
     * micro-batch, schema pinned (required by Structured Streaming anyway).
     * `maxFilesPerTrigger` bounds per-batch work so one bulk drop of
-    * history does not become a single giant micro-batch.
+    * history does not become a single giant micro-batch. Strict (FAILFAST)
+    * by default for the same reason as [[read]] — in PERMISSIVE mode a
+    * corrupt line becomes an all-null row that surfaces far downstream as
+    * a baffling null-key failure (e.g. `StreamNotFound(null)` inside the
+    * store ingest) instead of naming the bad file.
     */
   def stream(spark: SparkSession, dir: String, format: String,
-      schema: StructType, maxFilesPerTrigger: Int = 100): DataFrame = {
+      schema: StructType, maxFilesPerTrigger: Int = 100,
+      strict: Boolean = true): DataFrame = {
+    val mode = if (strict) "FAILFAST" else "PERMISSIVE"
     val r = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     format match {
       case "parquet" => r.parquet(dir)
-      case "csv" => r.option("header", "true").csv(dir)
-      case "jsonl" => r.json(dir)
+      case "csv" => r.option("header", "true").option("mode", mode).csv(dir)
+      case "jsonl" => r.option("mode", mode).json(dir)
       case other => throw new IllegalArgumentException(
         s"unsupported source format: $other")
     }
