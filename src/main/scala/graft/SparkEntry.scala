@@ -835,6 +835,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "q_right_join_nations" -> { (s, dir) =>
+      // RIGHT OUTER: every nation survives, customer aggregates null-fill
+      // to zero — completes the join-type matrix (inner/left/full/semi/
+      // anti/asof are covered elsewhere)
+      tbl(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+        .join(tbl(s, dir, "nation").select("n_nationkey", "n_name"),
+          col("c_nationkey") === col("n_nationkey"), "right")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("n_nationkey")
+    },
+
+    "pipe_sample_stratified" -> { (s, dir) =>
+      // deterministic stratified sampling: per-source rates (here: even
+      // sources keep ~25%, odd ~75%) via the same md5 bucket as the
+      // train/test split — zero shuffle, reproducible, auditable
+      val b = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val keep = when(substring(col("source"), 4, 10).cast("long") % 2 === 0,
+        b < "40").otherwise(b < "c0")
+      tbl(s, dir, "documents").where(keep)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     "q_exists_late_ship" -> { (s, dir) =>
       // TPC-H Q4 shape: EXISTS-correlated subquery with a non-equi
       // condition — planned as a left-semi join on the key with the date
@@ -1357,6 +1382,22 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_right_join_nations" ->
+      """SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |      GROUP BY c_nationkey) c
+        |RIGHT JOIN (SELECT n_nationkey, n_name FROM nation) n
+        |  ON c_nationkey = n_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "pipe_sample_stratified" ->
+      """SELECT source, count(*) AS n_kept
+        |FROM documents
+        |WHERE CASE WHEN CAST(substr(source, 4, 10) AS BIGINT) % 2 = 0
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_exists_late_ship" ->
       """SELECT o_orderpriority, count(*) AS n_orders
