@@ -339,6 +339,23 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    "q_window_range_frame" -> { (s, dir) =>
+      // RANGE frame over a numeric order key: per user, the rolling sum of
+      // the last 60 seconds of activity. RANGE includes all peers of the
+      // current second, so same-second ties are deterministic; values sum
+      // as integer cents so the result is summation-order-free and
+      // hash-exact across engines.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec")).rangeBetween(-60, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("cents")).over(w).as("win_cents"))
+        .orderBy("user_id", "event_id")
+    },
+
     "q_cube_orders" -> { (s, dir) =>
       tbl(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -1382,6 +1399,15 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS win_cents
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_right_join_nations" ->
       """SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust
