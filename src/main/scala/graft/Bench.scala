@@ -31,7 +31,11 @@ object Bench {
     }
 
     run("q1_pricing_summary") // warmup (untimed)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // optional arg list = run only these queries (local iteration);
+    // the driver invokes with no args and gets the full sorted suite
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -83,5 +83,8 @@ object GraftFunctions {
       (children: Seq[Expression]) => NgramHashes(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_count_tokens",
+      (children: Seq[Expression]) => TokenGroupCounts(children(0), children(1)),
+      "built-in")
   }
 }

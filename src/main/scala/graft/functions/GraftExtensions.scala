@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_ngrams", "graft_ngrams(text, n) - hashed distinct word n-grams"),
       (children: Seq[Expression]) => NgramHashes(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_count_tokens"),
+      info("graft_count_tokens",
+        "graft_count_tokens(text, groups) - per-group token occurrence counts"),
+      (children: Seq[Expression]) => TokenGroupCounts(children(0), children(1))))
   }
 }

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-group token-occurrence counts of a text column:
+  * `graft_count_tokens(text, array(array('the','and'), array('der','und')))`
+  * returns `array<int>` where element i is the number of
+  * single-space-delimited tokens of `text` (duplicates counted, same
+  * tokenization as `split(text, ' ')`) that appear in group i. A token in
+  * several groups increments each of them.
+  *
+  * Why a custom expression (SURVEY §2.4 preference ladder (b)): the
+  * builtin formulation — one `size(filter(split(text,' '), x -> x IN (...)))`
+  * column per group — allocates the token array once per GROUP and
+  * interprets a lambda per token per group. This does one scan of the
+  * text bytes and one hash probe per token for all groups together.
+  *
+  * CodegenFallback for the same reason as [[NgramHashes]]: one virtual
+  * call per row running a tight byte loop; the per-element interpreted
+  * lambdas were the problem, not the per-row call.
+  */
+case class TokenGroupCounts(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_count_tokens expects (string, array<array<string>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_count_tokens"
+
+  /** token -> indexes of the groups containing it (a marker may belong to
+    * several groups, e.g. "la" in both fr and es). Built once when the
+    * group literal is foldable — the only supported shape in practice.
+    */
+  @transient private lazy val foldedLookup
+      : Option[(Int, java.util.HashMap[UTF8String, Array[Int]])] =
+    if (right.foldable) Option(right.eval(null)).map(g =>
+      buildLookup(g.asInstanceOf[ArrayData]))
+    else None
+
+  private def buildLookup(groups: ArrayData)
+      : (Int, java.util.HashMap[UTF8String, Array[Int]]) = {
+    val nGroups = groups.numElements()
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    var g = 0
+    while (g < nGroups) {
+      val arr = groups.getArray(g)
+      var i = 0
+      while (i < arr.numElements()) {
+        val tok = arr.getUTF8String(i)
+        if (tok != null) {
+          val prev = m.get(tok)
+          m.put(tok,
+            if (prev == null) Array(g) else prev :+ g)
+        }
+        i += 1
+      }
+      g += 1
+    }
+    (nGroups, m)
+  }
+
+  override def nullSafeEval(text: Any, groups: Any): Any = {
+    val (nGroups, lookup) = foldedLookup.getOrElse(
+      buildLookup(groups.asInstanceOf[ArrayData]))
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Int](nGroups)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // empty tokens can't be markers; skip the probe
+          val hit = lookup.get(UTF8String.fromBytes(bytes, start, i - start))
+          if (hit != null) {
+            var k = 0
+            while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenGroupCounts =
+    copy(left = newLeft, right = newRight)
+}

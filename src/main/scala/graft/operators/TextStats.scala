@@ -41,13 +41,16 @@ object TextStats {
     */
   def qualityStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // fused tokenize-and-count (see languageId) — replaces the
+    // interpreted filter-lambda over a split() array
+    val sw = stopwords.map(s => s"'$s'").mkString("array(array(", ", ", "))")
     docs.select(
       col(idCol).as("doc_id"),
       ((length(col(textCol)) -
         length(regexp_replace(col(textCol), "[.,!?;:]", ""))) /
         length(col(textCol))).as("punct_ratio"),
-      expr(s"size(filter(split($textCol, ' '), x -> x IN ($sw)))")
+      expr(s"element_at(graft_count_tokens($textCol, $sw), 1)")
         .cast("double").divide(size(split(col(textCol), " ")))
         .as("stopword_ratio"),
       ((length(col(textCol)) - size(split(col(textCol), " ")) + 1) /
@@ -98,22 +101,28 @@ object TextStats {
     */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val markers = Map(
       "en" -> Seq("the", "and", "of", "is", "to"),
       "de" -> Seq("der", "die", "das", "und", "ist"),
       "fr" -> Seq("le", "la", "les", "et", "est"),
       "es" -> Seq("el", "la", "los", "y", "es"),
       "zh" -> Seq("的", "是", "了", "在", "和"))
-    val scored = markers.foldLeft(docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("toks"))) { case (df, (lang, ms)) =>
-      val list = ms.map(s => s"'$s'").mkString(", ")
-      df.withColumn(s"score_$lang",
-        expr(s"size(filter(toks, x -> x IN ($list)))"))
-    }
     val langs = markers.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    // one fused tokenize-and-count pass over the text for ALL languages
+    // (graft_count_tokens) instead of a split() plus an interpreted
+    // filter-lambda per language; scores(i) = occurrences of langs(i)'s
+    // markers, identical to size(filter(toks, x -> x IN (...)))
+    val groupsSql = langs.map(l =>
+        markers(l).map(s => s"'$s'").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      expr(s"graft_count_tokens($textCol, $groupsSql)").as("scores"))
+    val score = langs.indices.map(i => element_at(col("scores"), i + 1))
+    val best = langs.zip(score).map { case (l, sc) =>
+      struct(sc.as("score"), lit(l).as("lang")) }
     scored.select(col("doc_id"),
-      when(greatest(langs.map(l => col(s"score_$l")): _*) > 0,
+      when(greatest(score: _*) > 0,
         greatest(best: _*).getField("lang")).otherwise(lit("und")).as("lang_pred"))
   }
 }

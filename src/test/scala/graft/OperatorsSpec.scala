@@ -308,5 +308,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
   }
 
+  test("graft_count_tokens matches the builtin filter-lambda formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // edge cases: double spaces (empty tokens), leading/trailing space,
+    // marker in two groups ("la"), unicode markers, empty string
+    val d = Seq(
+      "the la  der the", " la la ", "", "的 是 的", "nothing matches here",
+      "la").toDF("text")
+    val got = d.select(expr(
+      "graft_count_tokens(text, array(array('the','and'), array('la','的'), array('la','der')))"
+    ).as("c"))
+    val want = d.select(array(
+      expr("size(filter(split(text, ' '), x -> x IN ('the','and')))"),
+      expr("size(filter(split(text, ' '), x -> x IN ('la','的')))"),
+      expr("size(filter(split(text, ' '), x -> x IN ('la','der')))")).as("c"))
+    assert(got.collect().map(_.getSeq[Int](0)).toSeq ==
+      want.collect().map(_.getSeq[Int](0)).toSeq)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
