@@ -356,6 +356,62 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    "q_sessionize" -> { (s, dir) =>
+      // gap-based sessionization: a new session starts after >30 min of
+      // per-user silence. Two stacked windows (lag for the boundary flag,
+      // running sum for the session id) — one shuffle by user_id, then
+      // per-session aggregation reuses the same partitioning. Total order
+      // (sec, event_id) pins lag() under same-second ties.
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"), min("sec").as("sess_start"),
+          max("sec").as("sess_end"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    "q_explode_pos" -> { (s, dir) =>
+      // generator with ordinality: posexplode of a computed token array
+      // (1-based pos to match SQL generate_subscripts conventions)
+      tbl(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    },
+
+    "q_ntile_cume" -> { (s, dir) =>
+      // distribution rank functions: ntile/percent_rank/cume_dist over a
+      // total order. A single global window — fine for a dimension-sized
+      // table; a fact-scale ranking would partition first (see
+      // q_window_rankfuncs for the partitioned shape).
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_custkey")
+    },
+
+    "q_argmax_customer" -> { (s, dir) =>
+      // max_by/arg_max: top customer per nation in ONE aggregation pass —
+      // no window sort, no self-join. Deterministic because the per-nation
+      // max acctbal is unique in this data at every SF (verified); with
+      // ties one would max_by on a (bal, id) struct (DuckDB's arg_max
+      // can't, hence the plain key here).
+      tbl(s, dir, "customer").groupBy("c_nationkey")
+        .agg(max("c_acctbal").as("top_bal"),
+          max_by(col("c_custkey"), col("c_acctbal")).as("top_cust"))
+        .orderBy("c_nationkey")
+    },
+
     "q_cube_orders" -> { (s, dir) =>
       tbl(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -497,6 +553,20 @@ object SparkEntry {
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
           "t_first", "t_last")
         .orderBy("stream_id", "t")
+    },
+
+    "ds_agg_sliding" -> { (s, dir) =>
+      // sliding (hopping) windows: 10-minute buckets every 5 minutes —
+      // each point lands in width/slide = 2 buckets. Spark's window()
+      // plans this as a 2-row explode then ONE hash aggregation, not two
+      // passes; the tumbling ladder (ds_agg_*) stays the scale path for
+      // hierarchies, sliding is for overlapping dashboards/alert windows.
+      eventStreams(s, dir)
+        .groupBy(col("stream_id"), window(col("t"), "600 seconds", "300 seconds"))
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .select(col("stream_id"), col("window.start").as("bucket"),
+          col("c"), col("s"))
+        .orderBy("stream_id", "bucket")
     },
 
     "drv_derivative" -> { (s, dir) =>
@@ -734,6 +804,59 @@ object SparkEntry {
         .limit(200)
     },
 
+    "pipe_pack_sequences" -> { (s, dir) =>
+      // sequence packing: per-source contiguous packs of ≤256 tokens
+      // (offset packing: pack = tokens-before div budget); per-pack stats
+      graft.operators.Pipeline.packSequences(tbl(s, dir, "documents"), 256)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("pack_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source", "pack_id")
+    },
+
+    "pipe_contamination" -> { (s, dir) =>
+      // train/benchmark contamination audit: distinct-trigram overlap of
+      // every train doc against the (broadcast) benchmark trigram set;
+      // benchmark = every 97th doc, train = the rest
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Pipeline.contaminationScores(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    },
+
+    "pipe_sample_budget" -> { (s, dir) =>
+      // token-budget sampling: md5-ordered subset of each source capped
+      // at 600 cumulative tokens; per-source acceptance stats
+      graft.operators.Pipeline.sampleBudget(tbl(s, dir, "documents"), 600)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sampled_tokens"),
+          max("cum_toks").as("max_cum"))
+        .orderBy("source")
+    },
+
+    "pipe_quality_funnel" -> { (s, dir) =>
+      // quality-filter funnel: survivors of each cumulative filter stage
+      // (length → token count → word-repetition) in ONE scan — conditional
+      // aggregation then stack, no per-stage passes
+      val d = tbl(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("dup_ratio", lit(1.0) -
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      val s1 = col("n_chars") >= 200
+      val s2 = s1 && col("n_toks") >= 30
+      val s3 = s2 && col("dup_ratio") <= 0.3
+      d.agg(
+          count(lit(1)).as("s0_all"),
+          sum(when(s1, 1L).otherwise(0L)).as("s1_len"),
+          sum(when(s2, 1L).otherwise(0L)).as("s2_toks"),
+          sum(when(s3, 1L).otherwise(0L)).as("s3_dup"))
+        .selectExpr("stack(4, 's0_all', s0_all, 's1_len', s1_len, " +
+          "'s2_toks', s2_toks, 's3_dup', s3_dup) AS (stage, n_docs)")
+        .orderBy("stage")
+    },
+
     "doc_fingerprint" -> { (s, dir) =>
       // rolling-hash content fingerprint → duplicate pairs. The oracle
       // checks the PAIR STRUCTURE via md5 equality (DuckDB has no
@@ -784,6 +907,18 @@ object SparkEntry {
       Similarity.ivfTopK(e, k = 3, stride = 50, nprobe = 2)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rnk")
+    },
+
+    "emb_centroids" -> { (s, dir) =>
+      // per-label centroid (element-wise mean) via posexplode → one hash
+      // aggregation on (label, dim) — the shuffle-parallel formulation; a
+      // lambda fold over arrays would serialize each label onto one task
+      tbl(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(avg("col").as("centroid"))
+        .orderBy("label", "dim")
     },
 
     "q_null_filter_nations" -> { (s, dir) =>
@@ -1212,6 +1347,17 @@ object SparkEntry {
         |FROM b GROUP BY stream_id, be
         |ORDER BY stream_id, be""".stripMargin,
 
+    "ds_agg_sliding" ->
+      """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value AS v FROM events),
+        |b AS (SELECT stream_id, sec, v,
+        |    unnest([(sec // 300) * 300, (sec // 300) * 300 - 300]) AS bstart
+        |  FROM p)
+        |SELECT stream_id, CAST(to_timestamp(bstart) AS TIMESTAMP) AS bucket,
+        |  count(*) AS c, sum(v) AS s
+        |FROM b GROUP BY stream_id, bstart
+        |ORDER BY stream_id, bucket""".stripMargin,
+
     "ds_fold_hours" ->
       s"""WITH $srcSql,
         |b AS (SELECT stream_id, CAST(floor(epoch(t) / 3600) * 3600 AS BIGINT) AS be, t, v FROM src)
@@ -1409,6 +1555,44 @@ object SparkEntry {
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
 
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id, event_id, sec,
+        |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS gap FROM e),
+        |n AS (SELECT user_id, event_id, sec,
+        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (SELECT user_id, sec,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id FROM n)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(sec) AS sess_start, max(sec) AS sess_end
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_explode_pos" ->
+      """SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+        |  unnest(tk) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_ntile_cume" ->
+      """SELECT c_custkey, c_acctbal,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cume
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_argmax_customer" ->
+      """SELECT c_nationkey, max(c_acctbal) AS top_bal,
+        |  arg_max(c_custkey, c_acctbal) AS top_cust
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q_right_join_nations" ->
       """SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust
         |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
@@ -1492,6 +1676,63 @@ object SparkEntry {
         |FROM documents
         |ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
 
+    "pipe_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_toks,
+        |    CAST((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id)
+        |      - n_toks) // 256 AS BIGINT) AS pack_id FROM t)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
+
+    "pipe_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g FROM t),
+        |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0)
+        |SELECT gr.doc_id, count(*) AS n_shared
+        |FROM gr JOIN bg USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_budget" ->
+      """WITH t AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT source, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id)
+        |      AS BIGINT) AS cum_toks FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sampled_tokens,
+        |  max(cum_toks) AS max_cum
+        |FROM c WHERE cum_toks <= 600
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_quality_funnel" ->
+      """WITH d AS (SELECT n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    1.0 - len(list_distinct(string_split(text, ' ')))
+        |      / len(string_split(text, ' ')) AS dup_ratio
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS s0_all,
+        |    CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s1_len,
+        |    CAST(sum(CASE WHEN n_chars >= 200 AND n_toks >= 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s2_toks,
+        |    CAST(sum(CASE WHEN n_chars >= 200 AND n_toks >= 30
+        |      AND dup_ratio <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_dup
+        |  FROM d)
+        |SELECT 's0_all' AS stage, s0_all AS n_docs FROM a
+        |UNION ALL SELECT 's1_len', s1_len FROM a
+        |UNION ALL SELECT 's2_toks', s2_toks FROM a
+        |UNION ALL SELECT 's3_dup', s3_dup FROM a
+        |ORDER BY stage""".stripMargin,
+
     "doc_fingerprint" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -1557,6 +1798,15 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |x AS (SELECT label, CAST(generate_subscripts(emb, 1) AS BIGINT) AS dim,
+        |    unnest(emb) AS v FROM e)
+        |SELECT label, dim, avg(v) AS centroid
+        |FROM x GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     "q_null_filter_nations" ->
       """SELECT n.n_nationkey, n.n_name

@@ -78,4 +78,56 @@ object Pipeline {
       .cast("binary"))
     df.withColumn("shuffle_key", key).orderBy(col("shuffle_key"), col(idCol))
   }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs for
+    * training-batch assembly. Contiguous offset packing — docs are laid
+    * out in (source, id) order and pack_id = ⌊tokens-before-this-doc /
+    * budget⌋ — so the assignment is a pure function of the corpus, not of
+    * cluster layout. One hash shuffle by source + a running sum; each
+    * source's window state is a single counter, so a 100 TB corpus packs
+    * in one pass with per-source parallelism.
+    */
+  def packSequences(df: DataFrame, budget: Long, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cum_before", sum(col("n_toks")).over(w) - col("n_toks"))
+      // integer div on both engines (Spark `div` ≡ DuckDB `//`) — no
+      // float rounding at pack boundaries
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+  }
+
+  /** Benchmark-contamination scores: for each training document, the
+    * number of its distinct word trigrams that appear anywhere in the
+    * benchmark set. Docs with no overlap are absent (score 0). The
+    * benchmark trigram set is deduped then broadcast — the train side
+    * (the 100 TB side) streams through a broadcast hash join with no
+    * shuffle; only the per-doc grouped count shuffles, keyed by doc.
+    */
+  def contaminationScores(train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol),
+        explode(array_distinct(TextStats.wordTrigrams(col("toks")))).as("g"))
+    val benchGrams = grams(bench).select("g").distinct()
+    grams(train).join(broadcast(benchGrams), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Token-budget sampling: keep a reproducible pseudo-random subset of
+    * each source whose cumulative token count stays within `budget`.
+    * Ordering by md5(id) is the deterministic stand-in for a shuffle, so
+    * the sample is stable across runs and engines; the cumulative-sum
+    * cutoff is the streaming-friendly form of "sample N tokens per
+    * source" (no global count pass, no rejection loop).
+    */
+  def sampleBudget(df: DataFrame, budget: Long, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val key = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))
+    df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .where(col("cum_toks") <= budget)
+  }
 }

@@ -87,6 +87,22 @@ object TextStats {
           .as("dup_bigram_ratio"))
   }
 
+  /** String word trigrams of a token-array column: element i is
+    * `toks[i] ⧺ ' ' ⧺ toks[i+1] ⧺ ' ' ⧺ toks[i+2]`; fewer than 3 tokens →
+    * empty array. Built as a zip of three slices of the MATERIALIZED token
+    * column (never index a derived expression inside a lambda — see
+    * repetitionStats). String trigrams (not hashed graft_ngrams) so
+    * contamination checks are engine-portable and oracle-exact.
+    */
+  def wordTrigrams(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val len = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      slice(toks, lit(1), len),
+      zip_with(slice(toks, lit(2), len), slice(toks, lit(3), len),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+  }
+
   /** 64-bit content fingerprint (order-sensitive rolling-hash style):
     * xxhash64 over the full text. Cheap doc identity for joins/logs.
     */

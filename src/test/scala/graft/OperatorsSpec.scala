@@ -308,6 +308,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
   }
 
+  test("packSequences: packs are contiguous, ordered, and budget-aligned") {
+    import spark.implicits._
+    val d = (0L until 40L)
+      .map(i => (i, ("w " * (i % 7 + 1).toInt).trim, if (i < 20) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val packed = graft.operators.Pipeline.packSequences(d, budget = 10)
+      .select("source", "doc_id", "n_toks", "cum_before", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // reference computation: per source in doc_id order
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, cumBefore, packId) =>
+        assert(cumBefore == cum && packId == cum / 10)
+        cum += n
+      }
+    }
+    // pack ids per source start at 0 and are dense enough to be contiguous
+    assert(packed.filter(_._2 % 20 == 0).forall(_._5 == 0L))
+  }
+
+  test("contaminationScores: verbatim copy of a bench doc scores full overlap") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // verbatim -> 3 shared trigrams
+      (2L, "zz alpha beta gamma yy"),         // one shared trigram
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val got = graft.operators.Pipeline.contaminationScores(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L)) // doc 3 absent (zero overlap)
+  }
+
+  test("sampleBudget: stays within budget and is layout-independent") {
+    import spark.implicits._
+    val d = (0L until 60L)
+      .map(i => (i, ("tok " * 10).trim, s"s${i % 3}")).toDF("doc_id", "text", "source")
+    val sel = graft.operators.Pipeline.sampleBudget(d, budget = 45)
+    val rows = sel.select("source", "doc_id", "cum_toks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._3 <= 45)) // 10 tokens/doc -> 4 docs per source
+    assert(rows.groupBy(_._1).forall(_._2.length == 4))
+    // determinism under a different physical layout
+    val again = graft.operators.Pipeline.sampleBudget(d.repartition(7), budget = 45)
+      .select("source", "doc_id", "cum_toks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("graft_count_tokens matches the builtin filter-lambda formulation") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
