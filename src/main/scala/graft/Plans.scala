@@ -20,7 +20,9 @@ object Plans {
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
         "ds_agg_minutes10", "q_in_between", "emb_topk_cosine", "emb_ann_ivf",
         "q_returned_items", "pipe_cap_per_source", "pipe_split_hash",
-        "graph_snapshot_stats", "q_exists_late_ship", "doc_repetition")
+        "graph_snapshot_stats", "q_exists_late_ship", "doc_repetition",
+        "pipe_contamination", "pipe_pack_sequences", "ds_agg_sliding",
+        "q_sessionize")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

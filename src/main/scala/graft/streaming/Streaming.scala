@@ -53,6 +53,20 @@ object Streaming {
           .map(col): _*)
   }
 
+  /** Sliding (hopping) windowed aggregation: width/slide overlapping
+    * buckets per stream, emitted on watermark close — the streaming twin
+    * of the batch `ds_agg_sliding` query. Each point expands to
+    * width/slide window rows before ONE hash aggregation; state is
+    * (stream × open windows), bounded by the watermark.
+    */
+  def sliding(src: DataFrame, width: String, slide: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    src.withWatermark("t", watermarkDelay)
+      .groupBy(col("stream_id"), window(col("t"), width, slide))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+      .select(col("stream_id"), col("window.start").as("bucket"),
+        col("c"), col("s"))
+
   /** Streaming V1 `sum`: pointwise sum of all source streams per closed
     * bucket (union → one windowed agg, same shuffle shape as batch).
     */

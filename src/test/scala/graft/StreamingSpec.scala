@@ -150,6 +150,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ts("2024-01-01 00:00:00"), 3.0), (ts("2024-01-01 00:01:00"), 4.0)))
   }
 
+  test("streaming sliding windows == batch sliding agg on closed windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = Streaming.sliding(mem.toDF.toDF("stream_id", "t", "v"),
+        "120 seconds", "60 seconds")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    val data = Seq(
+      ("a", ts("2024-01-01 00:00:30"), 1.0), ("a", ts("2024-01-01 00:01:30"), 2.0),
+      ("a", ts("2024-01-01 00:02:10"), 4.0), ("a", ts("2024-01-01 00:09:00"), 8.0))
+    mem.addData(data.take(2)); q.processAllAvailable()
+    mem.addData(data.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch twin over the same rows, keeping windows closed by the final
+    // watermark (max t = 00:09:00 -> window end <= it)
+    val batch = data.toDF("stream_id", "t", "v")
+      .groupBy(col("stream_id"), window(col("t"), "120 seconds", "60 seconds"))
+      .agg(count(lit(1)).as("c"), sum("v").as("s"))
+      .where(col("window.end") <= ts("2024-01-01 00:09:00"))
+      .select(col("stream_id"), col("window.start"), col("c"), col("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch)
+    // each point lands in exactly 2 windows: the 00:00:30 point appears in
+    // the windows starting 23:59 and 00:00
+    assert(got.contains(("a", ts("2023-12-31 23:59:00"), 1L, 1.0)))
+    assert(got.contains(("a", ts("2024-01-01 00:00:00"), 2L, 3.0)))
+  }
+
   test("backprocess fills a derived stream created after source history exists") {
     import spark.implicits._
     val store = new graft.core.Datastream(spark,
