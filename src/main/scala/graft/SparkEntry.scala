@@ -913,11 +913,14 @@ object SparkEntry {
       // per-label centroid (element-wise mean) via posexplode → one hash
       // aggregation on (label, dim) — the shuffle-parallel formulation; a
       // lambda fold over arrays would serialize each label onto one task
+      // round(6) like every emb_* output: per-dim means cancel to ~1e-5
+      // magnitudes, so raw last-ulp summation-order noise would sit too
+      // close to an exact hash compare
       tbl(s, dir, "embeddings")
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(avg("col").as("centroid"))
+        .agg(round(avg("col"), 6).as("centroid"))
         .orderBy("label", "dim")
     },
 
@@ -1804,7 +1807,7 @@ object SparkEntry {
         |  FROM embeddings),
         |x AS (SELECT label, CAST(generate_subscripts(emb, 1) AS BIGINT) AS dim,
         |    unnest(emb) AS v FROM e)
-        |SELECT label, dim, avg(v) AS centroid
+        |SELECT label, dim, round(avg(v), 6) AS centroid
         |FROM x GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
 

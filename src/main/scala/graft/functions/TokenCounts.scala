@@ -35,52 +35,62 @@ case class TokenGroupCounts(left: Expression, right: Expression)
         s"graft_count_tokens expects (string, array<array<string>>), " +
           s"got (${l.simpleString}, ${r.simpleString})")
     }
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // a null GROUP (not a null marker) yields a null count for that slot
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def prettyName: String = "graft_count_tokens"
 
-  /** token -> indexes of the groups containing it (a marker may belong to
-    * several groups, e.g. "la" in both fr and es). Built once when the
-    * group literal is foldable — the only supported shape in practice.
+  /** Per-token group-index lists plus the null-group slots.
+    * A marker may belong to several groups ("la" in both fr and es) —
+    * indexes are deduped so a marker listed twice in ONE group still
+    * counts each token occurrence once (same as `x IN ('a','a')`).
     */
-  @transient private lazy val foldedLookup
-      : Option[(Int, java.util.HashMap[UTF8String, Array[Int]])] =
+  private case class Lookup(nGroups: Int, nullGroups: Array[Boolean],
+      tokens: java.util.HashMap[UTF8String, Array[Int]])
+
+  /** Built once when the group literal is foldable — the only supported
+    * shape in practice.
+    */
+  @transient private lazy val foldedLookup: Option[Lookup] =
     if (right.foldable) Option(right.eval(null)).map(g =>
       buildLookup(g.asInstanceOf[ArrayData]))
     else None
 
-  private def buildLookup(groups: ArrayData)
-      : (Int, java.util.HashMap[UTF8String, Array[Int]]) = {
+  private def buildLookup(groups: ArrayData): Lookup = {
     val nGroups = groups.numElements()
+    val nullGroups = new Array[Boolean](nGroups)
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     var g = 0
     while (g < nGroups) {
       val arr = groups.getArray(g)
-      var i = 0
-      while (i < arr.numElements()) {
-        val tok = arr.getUTF8String(i)
-        if (tok != null) {
-          val prev = m.get(tok)
-          m.put(tok,
-            if (prev == null) Array(g) else prev :+ g)
+      if (arr == null) nullGroups(g) = true
+      else {
+        var i = 0
+        while (i < arr.numElements()) {
+          val tok = arr.getUTF8String(i)
+          if (tok != null) {
+            val prev = m.get(tok)
+            if (prev == null) m.put(tok, Array(g))
+            else if (!prev.contains(g)) m.put(tok, prev :+ g)
+          }
+          i += 1
         }
-        i += 1
       }
       g += 1
     }
-    (nGroups, m)
+    Lookup(nGroups, nullGroups, m)
   }
 
   override def nullSafeEval(text: Any, groups: Any): Any = {
-    val (nGroups, lookup) = foldedLookup.getOrElse(
+    val lk = foldedLookup.getOrElse(
       buildLookup(groups.asInstanceOf[ArrayData]))
     val bytes = text.asInstanceOf[UTF8String].getBytes
-    val counts = new Array[Int](nGroups)
+    val counts = new Array[Int](lk.nGroups)
     var start = 0
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
         if (i > start) { // empty tokens can't be markers; skip the probe
-          val hit = lookup.get(UTF8String.fromBytes(bytes, start, i - start))
+          val hit = lk.tokens.get(UTF8String.fromBytes(bytes, start, i - start))
           if (hit != null) {
             var k = 0
             while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
@@ -90,7 +100,13 @@ case class TokenGroupCounts(left: Expression, right: Expression)
       }
       i += 1
     }
-    new GenericArrayData(counts)
+    val out = new Array[Any](lk.nGroups)
+    var g = 0
+    while (g < lk.nGroups) {
+      out(g) = if (lk.nullGroups(g)) null else counts(g)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(

@@ -25,12 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** THE deterministic id hash of every pipeline op (md5 of the id's
+    * decimal string) — splits and budget samples must stay derivable by
+    * any engine from the same definition, so it lives in exactly one
+    * place.
+    */
+  private def idHash(idCol: Column): Column =
+    md5(idCol.cast("string").cast("binary"))
+
   /** Deterministic hash bucket in [0, 256): the first md5 byte of the id
     * rendered by its first two hex chars. String compare ≡ numeric compare
     * (fixed-width lowercase hex), so thresholds work in any SQL engine.
     */
   private def hexBucket(idCol: Column): Column =
-    substring(md5(idCol.cast("string").cast("binary")), 1, 2)
+    substring(idHash(idCol), 1, 2)
 
   /** Assign each row a reproducible train/val/test split by hashing its id:
     * bucket < trainHex → train, < valHex → val, else test. Default 'e6'/'f3'
@@ -124,8 +132,8 @@ object Pipeline {
     */
   def sampleBudget(df: DataFrame, budget: Long, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val key = md5(col(idCol).cast("string").cast("binary"))
-    val w = Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
     df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .where(col("cum_toks") <= budget)

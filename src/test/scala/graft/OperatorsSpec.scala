@@ -374,6 +374,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       expr("size(filter(split(text, ' '), x -> x IN ('la','der')))")).as("c"))
     assert(got.collect().map(_.getSeq[Int](0)).toSeq ==
       want.collect().map(_.getSeq[Int](0)).toSeq)
+    // a marker duplicated WITHIN a group counts occurrences once (like
+    // x IN ('the','the')); a null group yields a null slot, not a crash
+    val edge = d.limit(1).select(expr(
+      "graft_count_tokens('the the la', " +
+        "array(array('the','the'), cast(null as array<string>)))").as("c"))
+      .collect().head.getSeq[Any](0)
+    assert(edge == Seq(2, null))
   }
 
   override def afterAll(): Unit = spark.stop()
