@@ -57,6 +57,27 @@ object SparkEntry {
   private def pointStreams(s: SparkSession, dir: String): DataFrame =
     eventStreams(s, dir).groupBy("stream_id", "t").agg(sum("v").as("v"))
 
+  /** Gap-based user sessions over events: a session breaks after >30 min
+    * of silence; one row per session with count and [start, end] seconds.
+    * Shared by q_sessionize and the interval-overlap join.
+    */
+  private def sessionIntervals(s: SparkSession, dir: String,
+      maxUser: Option[Int] = None): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val ev = maxUser.foldLeft(events(s, dir))((df, m) =>
+      df.where(col("user_id") < m))
+    ev.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("sess_start"),
+        max("sec").as("sess_end"))
+  }
+
   /** Synthetic wrapping counter per stream: running sum of v mod 1000
     * (FIXTURES §2 — exercises V3/V4 on realistic wrap patterns).
     */
@@ -362,19 +383,60 @@ object SparkEntry {
       // running sum for the session id) — one shuffle by user_id, then
       // per-session aggregation reuses the same partitioning. Total order
       // (sec, event_id) pins lag() under same-second ties.
-      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-      events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_timestamp(col("ts")).as("sec"))
-        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
-        .withColumn("new_sess",
-          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
-        .withColumn("sess_id", sum("new_sess").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sess_id")
-        .agg(count(lit(1)).as("n_events"), min("sec").as("sess_start"),
-          max("sec").as("sess_end"))
-        .orderBy("user_id", "sess_id")
+      sessionIntervals(s, dir).orderBy("user_id", "sess_id")
+    },
+
+    "q_interval_overlap" -> { (s, dir) =>
+      // interval-overlap join via bucketed range join (Intervals): pairs
+      // of cross-user sessions active at the same time — the equi-join-
+      // on-bucket formulation instead of an O(n²) nested-loop range join
+      val iv = sessionIntervals(s, dir, maxUser = Some(12))
+        .withColumnRenamed("sess_start", "t0")
+        .withColumnRenamed("sess_end", "t1")
+      graft.operators.Intervals
+        .overlapPairs(iv, bucketWidth = 3600L, Seq("user_id", "sess_id"))
+        .select("a_user_id", "a_sess_id", "b_user_id", "b_sess_id",
+          "overlap_secs")
+        .orderBy("a_user_id", "a_sess_id", "b_user_id", "b_sess_id")
+    },
+
+    "drv_twa" -> { (s, dir) =>
+      // time-weighted average per stream: each value weighted by its
+      // hold time until the next point (step interpolation) — lead()
+      // window then one aggregation; round(6) for summation-order noise
+      val w = Window.partitionBy("stream_id").orderBy("sec")
+      pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("next_sec", lead("sec", 1).over(w))
+        .where(col("next_sec").isNotNull)
+        .groupBy("stream_id")
+        .agg(round(sum(col("v") * (col("next_sec") - col("sec"))) /
+            (max("next_sec") - min("sec")), 6).as("twa"),
+          count(lit(1)).as("n_segments"))
+        .orderBy("stream_id")
+    },
+
+    "ds_gapfill_hours" -> { (s, dir) =>
+      // gap filling with forward fill: per-stream hourly grid (sequence
+      // explode between first and last active hour), left join the hourly
+      // means, carry the last known value across gaps. The grid explode
+      // is per stream — no global calendar table, no driver loop.
+      val pts = events(s, dir).where(col("user_id") < 5)
+        .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+          expr("unix_timestamp(ts) div 3600").as("hr"), col("value").as("v"))
+      val hourly = pts.groupBy("stream_id", "hr")
+        .agg(round(avg("v"), 6).as("m"))
+      val grid = hourly.groupBy("stream_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .withColumn("hr", explode(sequence(col("h0"), col("h1"))))
+        .select("stream_id", "hr")
+      val w = Window.partitionBy("stream_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("stream_id", "hr"), "left")
+        .withColumn("filled", last("m", ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("m").isNull)
+        .select("stream_id", "hr", "filled", "is_gap")
+        .orderBy("stream_id", "hr")
     },
 
     "q_explode_pos" -> { (s, dir) =>
@@ -1287,6 +1349,20 @@ object SparkEntry {
         |FROM src WHERE stream_id LIKE '7:%'
         |GROUP BY 2 ORDER BY t""".stripMargin,
 
+    "drv_twa" ->
+      s"""WITH $srcSql, $pointSql,
+        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
+        |  FROM pts),
+        |l AS (SELECT stream_id, sec, v,
+        |    lead(sec) OVER (PARTITION BY stream_id ORDER BY sec) AS next_sec
+        |  FROM p)
+        |SELECT stream_id,
+        |  round(sum(v * (next_sec - sec)) / (max(next_sec) - min(sec)), 6)
+        |    AS twa,
+        |  count(*) AS n_segments
+        |FROM l WHERE next_sec IS NOT NULL
+        |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+
     "ds_agg_hours6" ->
       s"""WITH $srcSql,
         |b AS (SELECT stream_id, CAST(floor(epoch(t) / 21600) * 21600 AS BIGINT) AS be, t, v FROM src)
@@ -1575,6 +1651,45 @@ object SparkEntry {
         |  min(sec) AS sess_start, max(sec) AS sess_end
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE user_id < 12),
+        |g AS (SELECT user_id, event_id, sec,
+        |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS gap FROM e),
+        |s AS (SELECT user_id, sec,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id FROM g),
+        |iv AS (SELECT user_id, sess_id, min(sec) AS t0, max(sec) AS t1
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT a.user_id AS a_user_id, a.sess_id AS a_sess_id,
+        |  b.user_id AS b_user_id, b.sess_id AS b_sess_id,
+        |  least(a.t1, b.t1) - greatest(a.t0, b.t0) AS overlap_secs
+        |FROM iv a, iv b
+        |WHERE (a.user_id, a.sess_id) < (b.user_id, b.sess_id)
+        |  AND a.t0 <= b.t1 AND b.t0 <= a.t1
+        |ORDER BY a_user_id, a_sess_id, b_user_id, b_sess_id""".stripMargin,
+
+    "ds_gapfill_hours" ->
+      """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, value AS v
+        |  FROM events WHERE user_id < 5),
+        |h AS (SELECT stream_id, hr, round(avg(v), 6) AS m
+        |  FROM p GROUP BY stream_id, hr),
+        |sp AS (SELECT stream_id, min(hr) AS h0, max(hr) AS h1
+        |  FROM h GROUP BY stream_id),
+        |g AS (SELECT stream_id, unnest(range(h0, h1 + 1)) AS hr FROM sp),
+        |j AS (SELECT g.stream_id, g.hr, h.m
+        |  FROM g LEFT JOIN h ON g.stream_id = h.stream_id AND g.hr = h.hr)
+        |SELECT stream_id, hr,
+        |  last_value(m IGNORE NULLS) OVER (PARTITION BY stream_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  m IS NULL AS is_gap
+        |FROM j ORDER BY stream_id, hr""".stripMargin,
 
     "q_explode_pos" ->
       """SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,

@@ -357,6 +357,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("bucketed interval-overlap join == naive range join, any bucket width") {
+    import spark.implicits._
+    // deterministic intervals: varying spans, touching endpoints, exact
+    // bucket-boundary alignment, and spans >> bucket width
+    val iv = (0L until 30L).map { i =>
+      val t0 = i * 500 + (i % 3) * 37
+      (i % 5, i, t0, t0 + 200 + (i % 7) * 900)
+    }.toDF("user_id", "sess_id", "t0", "t1")
+    val naive = iv.as("a").join(iv.as("b"),
+        struct(col("a.user_id"), col("a.sess_id")) <
+          struct(col("b.user_id"), col("b.sess_id")) &&
+          col("a.t0") <= col("b.t1") && col("b.t0") <= col("a.t1"))
+      .select(col("a.user_id"), col("a.sess_id"),
+        col("b.user_id"), col("b.sess_id"))
+      .collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty)
+    for (width <- Seq(100L, 1000L, 10000L)) {
+      val got = graft.operators.Intervals.overlapPairs(iv, width)
+        .select("a_user_id", "a_sess_id", "b_user_id", "b_sess_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"bucket width $width diverged")
+    }
+  }
+
   test("graft_count_tokens matches the builtin filter-lambda formulation") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
