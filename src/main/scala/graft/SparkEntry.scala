@@ -400,6 +400,43 @@ object SparkEntry {
         .orderBy("a_user_id", "a_sess_id", "b_user_id", "b_sess_id")
     },
 
+    "drv_zscore" -> { (s, dir) =>
+      // rolling z-score anomaly detection: each point scored against the
+      // trailing 10 points' mean/σ (naive sum-of-squares σ, the engine's
+      // std_dev convention — Welford window stddev would diverge between
+      // engines). One window pass, emits only |z| > 3 outliers.
+      val w = Window.partitionBy("stream_id").orderBy("sec")
+        .rowsBetween(-10, -1)
+      pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("n", count("v").over(w))
+        .withColumn("m", sum("v").over(w) / col("n"))
+        .withColumn("sd", sqrt(greatest(
+          sum(col("v") * col("v")).over(w) / col("n") - col("m") * col("m"),
+          lit(0.0))))
+        .where(col("n") >= 10 && col("sd") > 0)
+        .withColumn("z", round((col("v") - col("m")) / col("sd"), 6))
+        .where(abs(col("z")) > 3)
+        .select("stream_id", "sec", "v", "z")
+        .orderBy("stream_id", "sec")
+    },
+
+    "q_first_last_window" -> { (s, dir) =>
+      // value-position window functions (first/last/nth over an unbounded
+      // frame): each user-day's opening, closing and second event type
+      val w = Window.partitionBy("user_id", "day").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("event_type"))
+        .withColumn("first_type", first("event_type").over(w))
+        .withColumn("last_type", last("event_type").over(w))
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(w))
+        .select("user_id", "day", "first_type", "last_type", "second_type")
+        .distinct()
+        .orderBy("user_id", "day")
+    },
+
     "drv_twa" -> { (s, dir) =>
       // time-weighted average per stream: each value weighted by its
       // hold time until the next point (step interpolation) — lead()
@@ -1348,6 +1385,34 @@ object SparkEntry {
         |  sum(v) AS v
         |FROM src WHERE stream_id LIKE '7:%'
         |GROUP BY 2 ORDER BY t""".stripMargin,
+
+    "drv_zscore" ->
+      s"""WITH $srcSql, $pointSql,
+        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
+        |  FROM pts),
+        |r AS (SELECT stream_id, sec, v,
+        |    count(v) OVER fr AS n,
+        |    sum(v) OVER fr / count(v) OVER fr AS m,
+        |    sqrt(greatest(sum(v * v) OVER fr / count(v) OVER fr
+        |      - (sum(v) OVER fr / count(v) OVER fr)
+        |        * (sum(v) OVER fr / count(v) OVER fr), 0)) AS sd
+        |  FROM p
+        |  WINDOW fr AS (PARTITION BY stream_id ORDER BY sec
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT stream_id, sec, v, round((v - m) / sd, 6) AS z
+        |FROM r WHERE n >= 10 AND sd > 0 AND abs(round((v - m) / sd, 6)) > 3
+        |ORDER BY stream_id, sec""".stripMargin,
+
+    "q_first_last_window" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |  first_value(event_type) OVER fr AS first_type,
+        |  last_value(event_type) OVER fr AS last_type,
+        |  nth_value(event_type, 2) OVER fr AS second_type
+        |FROM events
+        |WINDOW fr AS (PARTITION BY user_id, CAST(ts AS DATE)
+        |  ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, day""".stripMargin,
 
     "drv_twa" ->
       s"""WITH $srcSql, $pointSql,

@@ -405,6 +405,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "array(array('the','the'), cast(null as array<string>)))").as("c"))
       .collect().head.getSeq[Any](0)
     assert(edge == Seq(2, null))
+    // seeded fuzz: random space-heavy strings over a small alphabet so
+    // markers actually hit; native must equal the builtin on every row
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("la", "的", "x", "", " ", "the la", "yy")
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")).toDF("text")
+    val fg = fuzz.select(expr(
+      "graft_count_tokens(text, array(array('the','and'), array('la','的')))"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    val fw = fuzz.select(array(
+      expr("size(filter(split(text, ' '), x -> x IN ('the','and')))"),
+      expr("size(filter(split(text, ' '), x -> x IN ('la','的')))")))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(fg == fw)
   }
 
   override def afterAll(): Unit = spark.stop()
