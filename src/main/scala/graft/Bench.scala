@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: run every SparkEntry query against
@@ -36,10 +37,28 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = f"$v%.3f"
+    // Full per-query map → local file (for BASELINE bookkeeping). The
+    // stdout line itself must stay SHORT: the bench driver parses it from
+    // a 2000-char tail of the run output (BENCH_r02.json shows the r2
+    // line, ~2800 chars for 73 queries, sliding out of that window →
+    // "parsed": null). Budget the line to ~1750 chars — slowest queries
+    // first so the hot spots always survive the cut — and leave room for
+    // sbt's trailing "[success] Total time ..." line.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try Files.writeString(Paths.get("bench_full.json"),
+      s"""{"total":${fmt(total)},"queries":$fullJson,"sf":"$sfDir"}""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
+    val tail = s"""},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    var room = 1750 - head.length - tail.length
+    val kept = results.sortBy(-_._2).iterator.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v)
+    }.takeWhile { e => room -= e.length + 1; room >= 0 }.toSeq
+    println(head + kept.mkString(",") + tail)
     spark.stop()
   }
 }

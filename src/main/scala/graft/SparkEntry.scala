@@ -934,6 +934,17 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "pipe_mixture" -> { (s, dir) =>
+      // mixture reweighting: curated sources (src0-2) get a 3x token
+      // budget over the default; per-source acceptance stats show the
+      // resulting mix
+      graft.operators.Pipeline.sampleMixture(tbl(s, dir, "documents"),
+          Map("src0" -> 900L, "src1" -> 900L, "src2" -> 900L), default = 300L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sampled_tokens"))
+        .orderBy("source")
+    },
+
     "pipe_quality_funnel" -> { (s, dir) =>
       // quality-filter funnel: survivors of each cumulative filter stage
       // (length → token count → word-repetition) in ONE scan — conditional
@@ -1894,6 +1905,20 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS sampled_tokens,
         |  max(cum_toks) AS max_cum
         |FROM c WHERE cum_toks <= 600
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_mixture" ->
+      """WITH t AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT source, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id)
+        |      AS BIGINT) AS cum_toks,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+        |         ELSE 300 END AS budget FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sampled_tokens
+        |FROM c WHERE cum_toks <= budget
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_quality_funnel" ->

@@ -138,4 +138,25 @@ object Pipeline {
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .where(col("cum_toks") <= budget)
   }
+
+  /** Mixture reweighting: [[sampleBudget]] with a per-source token budget
+    * so the sampled corpus hits a TARGET source mix (upweight curated
+    * sources, cap the crawl) instead of equal shares. Budgets compile to
+    * a literal when-chain — no join, no extra shuffle beyond the same
+    * per-source window pass; sources missing from `budgets` get
+    * `default` (0 drops them entirely).
+    */
+  def sampleMixture(df: DataFrame, budgets: Map[String, Long],
+      default: Long, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(default)) { case (acc, (src, b)) =>
+        when(col(sourceCol) === src, lit(b)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .where(col("cum_toks") <= budgetCol)
+  }
 }

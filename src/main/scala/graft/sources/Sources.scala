@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** Batch read of `format` ∈ {parquet, csv, jsonl} with the schema
+  /** Batch read of `format` ∈ {parquet, orc, csv, jsonl} with the schema
     * pinned. CSV is header-tolerant and strict (FAILFAST) — silently
     * null-ing malformed rows (PERMISSIVE) corrupts aggregates downstream;
     * a 100 TB ingest wants the bad file identified, not absorbed.
@@ -24,6 +24,7 @@ object Sources {
     val mode = if (strict) "FAILFAST" else "PERMISSIVE"
     format match {
       case "parquet" => spark.read.schema(schema).parquet(path)
+      case "orc" => spark.read.schema(schema).orc(path)
       case "csv" => spark.read.schema(schema)
         .option("header", "true").option("mode", mode).csv(path)
       case "jsonl" => spark.read.schema(schema)
@@ -50,6 +51,7 @@ object Sources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     format match {
       case "parquet" => r.parquet(dir)
+      case "orc" => r.orc(dir)
       case "csv" => r.option("header", "true").option("mode", mode).csv(dir)
       case "jsonl" => r.option("mode", mode).json(dir)
       case other => throw new IllegalArgumentException(

@@ -33,17 +33,22 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text", "n")
   }
 
-  test("csv/jsonl/parquet reads agree with the written frame") {
+  test("csv/jsonl/parquet/orc reads agree with the written frame") {
     val base = Files.createTempDirectory("graft-src").toString
     sample.write.option("header", "true").csv(s"$base/csv")
     sample.write.json(s"$base/jsonl")
     sample.write.parquet(s"$base/parquet")
+    sample.write.orc(s"$base/orc")
     val want = sample.collect().map(_.toSeq).toSet
-    for (fmt <- Seq("csv", "jsonl", "parquet")) {
+    for (fmt <- Seq("csv", "jsonl", "parquet", "orc")) {
       val got = Sources.read(spark, s"$base/$fmt", fmt, schema)
       assert(got.schema == schema, s"$fmt schema drift")
       assert(got.collect().map(_.toSeq).toSet == want, s"$fmt content drift")
     }
+    // columnar formats push filters to the scan
+    val plan = Sources.read(spark, s"$base/orc", "orc", schema)
+      .where(col("doc_id") > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
   }
 
   test("strict csv read fails fast on malformed rows") {
