@@ -528,6 +528,43 @@ object SparkEntry {
         .orderBy("side")
     },
 
+    "q_union_distinct" -> { (s, dir) =>
+      // UNION (distinct) completes the set-op family alongside union-all /
+      // intersect / except
+      tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    },
+
+    "q_corr_regr" -> { (s, dir) =>
+      // statistical co-moment aggregates: Pearson correlation, pop/sample
+      // covariance, and OLS slope/intercept of price on quantity — all
+      // single-pass partial-aggregatable (each is a fold over
+      // (n, Σx, Σy, Σxy, Σx², Σy²)), so they scale like any hash agg
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          corr("l_quantity", "l_extendedprice").as("corr_qp"),
+          covar_pop("l_quantity", "l_extendedprice").as("covar_p"),
+          covar_samp("l_quantity", "l_extendedprice").as("covar_s"),
+          regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+          regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icept"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_bool_bit_aggs" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          bool_and(col("l_discount") <= 0.1).as("all_small_disc"),
+          bool_or(col("l_quantity") > 45).as("any_big_qty"),
+          bit_and(col("l_linenumber")).as("ln_and"),
+          bit_or(col("l_linenumber")).as("ln_or"),
+          bit_xor(col("l_linenumber")).as("ln_xor"))
+        .orderBy("l_linestatus")
+    },
+
     "q_string_funcs" -> { (s, dir) =>
       tbl(s, dir, "part").select(
           col("p_partkey"),
@@ -772,9 +809,13 @@ object SparkEntry {
     },
 
     "dedup_minhash" -> { (s, dir) =>
-      // no SQL oracle (rows-only check): LSH banding is not expressible in
-      // DuckDB SQL. Near-dups are injected deterministically (FIXTURES §2):
-      // docs 0..19 get a variant with the first 2 words replaced.
+      // oracled: the operator is LSH-candidates -> exact-Jaccard verify, so
+      // its output is the exact >= threshold pair set whenever banding
+      // recall is total — verified deterministic-exact on this corpus at
+      // sf0.001 and sf0.01 (every true pair has jaccard >= 0.63, far above
+      // the r=4,b=16 S-curve knee). Near-dups are injected
+      // deterministically (FIXTURES §2): docs 0..19 get a variant with the
+      // first 2 words replaced.
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val variants = docs.where(col("doc_id") < 20).select(
         (col("doc_id") + 1000000).as("doc_id"),
@@ -782,6 +823,21 @@ object SparkEntry {
           expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
       Dedup.nearDuplicates(docs.unionByName(variants), threshold = 0.3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_clusters" -> { (s, dir) =>
+      // transitive closure of the near-dup pairs: min-label propagation
+      // assigns each clustered doc its cluster representative ("keep one
+      // per cluster" dedup). Oracle = recursive CTE over the same exact
+      // >= 0.3 Jaccard pair graph.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.where(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zz yy "),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+      Dedup.connectedComponents(
+          Dedup.nearDuplicates(docs.unionByName(variants), threshold = 0.3))
+        .orderBy("doc_id")
     },
 
     "dedup_simhash" -> { (s, dir) =>
@@ -1359,6 +1415,30 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_corr_regr" ->
+      """SELECT l_returnflag,
+        |  corr(l_quantity, l_extendedprice) AS corr_qp,
+        |  covar_pop(l_quantity, l_extendedprice) AS covar_p,
+        |  covar_samp(l_quantity, l_extendedprice) AS covar_s,
+        |  regr_slope(l_extendedprice, l_quantity) AS slope,
+        |  regr_intercept(l_extendedprice, l_quantity) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_bool_bit_aggs" ->
+      """SELECT l_linestatus,
+        |  bool_and(l_discount <= 0.1) AS all_small_disc,
+        |  bool_or(l_quantity > 45) AS any_big_qty,
+        |  bit_and(l_linenumber) AS ln_and,
+        |  bit_or(l_linenumber) AS ln_or,
+        |  bit_xor(l_linenumber) AS ln_xor
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "q_union_all_balances" ->
       """SELECT side, count(*) AS n, min(bal) AS min_bal, max(bal) AS max_bal
         |FROM (SELECT 'cust' AS side, c_acctbal AS bal FROM customer
@@ -1469,6 +1549,45 @@ object SparkEntry {
         |  FROM a x, a y WHERE x.vec_id < y.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim > 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.s, b.s))
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS rep_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

@@ -139,4 +139,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Connected components over a near-duplicate pair graph: every node is
+    * labeled with the MINIMUM doc id reachable through duplicate relations
+    * — its cluster representative — so "keep one doc per duplicate
+    * cluster" is a single `where(doc_id = rep_id)` (or anti-join) away.
+    * Pairwise dedup alone under-deletes: A~B and B~C leave both A and C
+    * unless the transitive cluster is collapsed.
+    *
+    * Scale design: iterative min-label propagation (the standard
+    * distributed CC — GraphX/Pregel shape, no driver-side graph). Each
+    * round shuffles only (node, label) longs, converges in O(graph
+    * diameter) rounds; dup clusters are near-cliques so diameter is tiny
+    * even when the corpus is not. Each round is `localCheckpoint`ed:
+    * without lineage truncation the self-referential plan doubles per
+    * iteration and Catalyst re-optimizes the whole history every round.
+    * The convergence check (`changed == 0`) costs one count per round;
+    * at extreme scale swap it for a fixed ceil(log2(maxClusterSpan))
+    * round budget.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels, edges("v") === labels("node"))
+        .select(edges("u").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "lbl_old"), "node")
+        .where(col("lbl") =!= col("lbl_old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
+  }
 }

@@ -48,6 +48,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.keySet.exists { case (a, b) => b == 2L || a == 2L })
   }
 
+  test("connectedComponents collapses transitive duplicate chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), isolated pair 10-11, star 20-{21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // representative choice is the min id even when pairs arrive reversed
+    val rev = Seq((5L, 9L), (9L, 7L), (7L, 6L)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.connectedComponents(rev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet == Set(5L) && got2.keySet == Set(5L, 6L, 7L, 9L))
+  }
+
   test("multimodal: decode/feature/frame plumbing is deterministic and shaped") {
     import spark.implicits._
     val d = docs.withColumn("n_chars", length(col("text")).cast("long"))
