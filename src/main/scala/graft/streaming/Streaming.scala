@@ -78,6 +78,34 @@ object Streaming {
       .select(lit(outStreamId).as("stream_id"),
         col("window.start").as("t"), col("v"))
 
+  /** Stream-stream interval join: pair each left point with the right
+    * points of the SAME stream whose timestamp falls within
+    * `[t − before, t + after]` — the streaming form of the batch
+    * interval-overlap join (enrich a measurement stream with a co-flowing
+    * annotation/reset stream, V4's reset-suppression shape).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, which is what lets Spark expire join state: a
+    * buffered right row can be dropped once the left watermark passes
+    * `rt + before`. Without the two-sided bound the state grows with the
+    * stream — the unbounded-join trap at 100 TB.
+    *
+    * Left columns: (stream_id, t, v); right: (stream_id, rt, rv).
+    * Output: inner-join rows (stream_id, t, v, rt, rv).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      delay: String = "0 seconds", before: String = "60 seconds",
+      after: String = "60 seconds"): DataFrame = {
+    val l = left.withWatermark("t", delay)
+    val r = right.withColumnRenamed("stream_id", "r_stream_id")
+      .withWatermark("rt", delay)
+    l.join(r,
+      col("stream_id") === col("r_stream_id") &&
+        col("rt") >= col("t") - expr(s"interval $before") &&
+        col("rt") <= col("t") + expr(s"interval $after"))
+      .select("stream_id", "t", "v", "rt", "rv")
+  }
+
   /** Stateful streaming V2 `derivative`: per stream, emit
     * (v − last.v)/(t − last.t) for each arriving point, carrying the last
     * point across micro-batches in GroupState. Rows inside a micro-batch

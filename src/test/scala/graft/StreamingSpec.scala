@@ -104,6 +104,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((ts("2024-01-01 00:00:10"), 2.0)))
   }
 
+  test("stream-stream interval join == batch interval join across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lmem = MemoryStream[(String, Timestamp, Double)]
+    val rmem = MemoryStream[(String, Timestamp, Double)]
+    val q = Streaming.intervalJoin(
+        lmem.toDF.toDF("stream_id", "t", "v"),
+        rmem.toDF.toDF("stream_id", "rt", "rv"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    val lpts = Seq(("a", ts("2024-01-01 00:01:00"), 1.0),
+      ("a", ts("2024-01-01 00:03:00"), 2.0),
+      ("b", ts("2024-01-01 00:01:00"), 3.0))
+    val rpts = Seq(("a", ts("2024-01-01 00:00:30"), 10.0), // within 60s of l1
+      ("a", ts("2024-01-01 00:03:50"), 20.0),              // within 60s of l2
+      ("a", ts("2024-01-01 00:10:00"), 30.0),              // matches nothing
+      ("b", ts("2024-01-01 00:01:30"), 40.0))              // other stream
+    // right rows arrive a batch EARLIER and LATER than their left match —
+    // the join must buffer state across micro-batches in both directions
+    rmem.addData(rpts.take(1)); q.processAllAvailable()
+    lmem.addData(lpts); q.processAllAvailable()
+    rmem.addData(rpts.drop(1)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").collect().map(_.toSeq).toSet
+    val batch = lpts.toDF("stream_id", "t", "v")
+      .join(rpts.toDF("r_stream_id", "rt", "rv"),
+        col("stream_id") === col("r_stream_id") &&
+          col("rt") >= col("t") - expr("interval 60 seconds") &&
+          col("rt") <= col("t") + expr("interval 60 seconds"))
+      .select("stream_id", "t", "v", "rt", "rv")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.size == 3)
+  }
+
   test("monotonicity gate flags late points across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
