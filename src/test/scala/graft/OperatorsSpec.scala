@@ -65,6 +65,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.values.toSet == Set(5L) && got2.keySet == Set(5L, 6L, 7L, 9L))
   }
 
+  test("connectedComponents == driver union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(80) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter { case (a, b) => a != b }.distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("multimodal: decode/feature/frame plumbing is deterministic and shaped") {
     import spark.implicits._
     val d = docs.withColumn("n_chars", length(col("text")).cast("long"))
