@@ -922,6 +922,12 @@ object SparkEntry {
       TextStats.languageId(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "text_logprob" -> { (s, dir) =>
+      // self-trained unigram LM score: token freq table (one shuffle) +
+      // broadcast join back, mean ln P(token) per doc
+      TextStats.unigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ---- dataset-assembly pipeline (operators.Pipeline) ---------------
 
     "pipe_split_hash" -> { (s, dir) =>
@@ -1819,6 +1825,15 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
+        |SELECT t.doc_id, avg(ln(f.n / tot.total)) AS logprob
+        |FROM toks t JOIN freq f ON t.tok = f.tok, tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT user_id, event_id,

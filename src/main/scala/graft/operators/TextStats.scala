@@ -57,6 +57,31 @@ object TextStats {
         size(split(col(textCol), " "))).as("mean_word_len"))
   }
 
+  /** Corpus-trained unigram LM quality score: mean ln P(token) per doc,
+    * where P is the token's relative frequency over the whole corpus —
+    * the self-supervised "looks like the corpus" ranking signal used to
+    * filter out-of-distribution gibberish when no external LM is
+    * available.
+    *
+    * Two distributed passes: (1) explode → count per token (one shuffle
+    * keyed by token); (2) explode again, broadcast-join the frequency
+    * table back, re-aggregate per doc. The frequency table is
+    * vocabulary-sized — orders of magnitude smaller than the corpus — so
+    * it broadcasts even when the corpus is 100 TB (prune rare tokens
+    * first if the vocabulary itself explodes).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum("n").as("total"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(avg(log(col("n") / col("total"))).as("logprob"))
+  }
+
   /** Repetition signals (the Gopher-style quality filters): fraction of
     * duplicated words and duplicated bigrams per document. High values
     * flag boilerplate/spam for corpus filtering. String bigrams (not the
