@@ -1096,6 +1096,13 @@ object SparkEntry {
         .orderBy("label", "dim")
     },
 
+    "emb_quantize" -> { (s, dir) =>
+      // int8 symmetric quantization audit: per-vector scale, Σq and max
+      // dequantization error — shuffle-free projection over the corpus
+      graft.operators.Similarity.quantizeInt8(tbl(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    },
+
     "q_null_filter_nations" -> { (s, dir) =>
       // IS NULL predicate over outer-join null extension (anti-join via
       // left join, the classic null-filter shape)
@@ -2149,6 +2156,20 @@ object SparkEntry {
         |SELECT label, dim, round(avg(v), 6) AS centroid
         |FROM x GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, scale, v, list_transform(v,
+        |    x -> CAST(round(CASE WHEN scale = 0 THEN 0 ELSE x / scale END)
+        |      AS INTEGER)) AS q FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  list_max(list_transform(range(1, len(q) + 1),
+        |    i -> abs(q[i] * scale - v[i]))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_null_filter_nations" ->
       """SELECT n.n_nationkey, n.n_name
