@@ -38,7 +38,10 @@ object Bench {
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))
     val total = results.map(_._2).filter(_ >= 0).sum
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would corrupt the driver-parsed JSON line
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query map → local file (for BASELINE bookkeeping). The
     // stdout line itself must stay SHORT: the bench driver parses it from
     // a 2000-char tail of the run output (BENCH_r02.json shows the r2

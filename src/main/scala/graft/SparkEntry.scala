@@ -461,8 +461,11 @@ object SparkEntry {
       val pts = events(s, dir).where(col("user_id") < 5)
         .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
           expr("unix_timestamp(ts) div 3600").as("hr"), col("value").as("v"))
+      // checkpoint: grid derives FROM hourly, so the join below is a
+      // self-join — without it the events scan + hourly agg run twice
       val hourly = pts.groupBy("stream_id", "hr")
         .agg(round(avg("v"), 6).as("m"))
+        .localCheckpoint(true)
       val grid = hourly.groupBy("stream_id")
         .agg(min("hr").as("h0"), max("hr").as("h1"))
         .withColumn("hr", explode(sequence(col("h0"), col("h1"))))
@@ -810,12 +813,15 @@ object SparkEntry {
 
     "dedup_minhash" -> { (s, dir) =>
       // oracled: the operator is LSH-candidates -> exact-Jaccard verify, so
-      // its output is the exact >= threshold pair set whenever banding
-      // recall is total — verified deterministic-exact on this corpus at
-      // sf0.001 and sf0.01 (every true pair has jaccard >= 0.63, far above
-      // the r=4,b=16 S-curve knee). Near-dups are injected
-      // deterministically (FIXTURES §2): docs 0..19 get a variant with the
-      // first 2 words replaced.
+      // its output equals the exact >= threshold pair set whenever banding
+      // recall is total. Recall is NOT total in expectation near the
+      // threshold (r=4,b=16 capture probability at j=0.63, the weakest
+      // true pair here, is ~94%) — but the hash family and the gate
+      // corpora are BOTH deterministic, and recall totality on them is
+      // pinned by OperatorsSpec's brute-force cross-check at sf0.001 plus
+      // the local compare at sf0.01, so the match cannot drift between
+      // runs. Near-dups are injected deterministically (FIXTURES §2):
+      // docs 0..19 get a variant with the first 2 words replaced.
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val variants = docs.where(col("doc_id") < 20).select(
         (col("doc_id") + 1000000).as("doc_id"),

@@ -89,12 +89,13 @@ case class TokenGroupCounts(left: Expression, right: Expression)
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
-        if (i > start) { // empty tokens can't be markers; skip the probe
-          val hit = lk.tokens.get(UTF8String.fromBytes(bytes, start, i - start))
-          if (hit != null) {
-            var k = 0
-            while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
-          }
+        // probe EVERY boundary, including empty tokens from repeated /
+        // leading / trailing spaces — split(text, ' ') emits those too,
+        // and an empty-string marker must match them identically
+        val hit = lk.tokens.get(UTF8String.fromBytes(bytes, start, i - start))
+        if (hit != null) {
+          var k = 0
+          while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
         }
         start = i + 1
       }

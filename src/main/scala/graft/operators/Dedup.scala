@@ -179,6 +179,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    // an under-merged result silently keeps duplicates — refuse it
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter for graphs of " +
+        "diameter > maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
 }

@@ -131,13 +131,8 @@ object Pipeline {
     * source" (no global count pass, no rejection loop).
     */
   def sampleBudget(df: DataFrame, budget: Long, sourceCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(idHash(col(idCol)), col(idCol))
-    df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
-      .where(col("cum_toks") <= budget)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sampleMixture(df, Map.empty, budget, sourceCol, idCol, textCol)
 
   /** Mixture reweighting: [[sampleBudget]] with a per-source token budget
     * so the sampled corpus hits a TARGET source mix (upweight curated

@@ -74,7 +74,11 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
+    // materialize the vocab-sized table once: it feeds the total AND the
+    // broadcast join, which would otherwise each re-run the corpus
+    // scan + token shuffle (CLAUDE.md: checkpoint multiply-read stages)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val total = freq.agg(sum("n").as("total"))
     toks.join(broadcast(freq), "tok")
       .crossJoin(broadcast(total))

@@ -65,6 +65,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.values.toSet == Set(5L) && got2.keySet == Set(5L, 6L, 7L, 9L))
   }
 
+  test("LSH banding recall is total on the gate corpus (pins dedup_minhash oracle)") {
+    // the dedup_minhash/dedup_clusters oracles are exact >= 0.3 Jaccard
+    // pair sets, valid only while banding misses NO true pair on the
+    // (deterministic) gate corpora — this cross-checks sf0.001 against a
+    // brute-force all-pairs run; tools/compare_oracle.py covers sf0.01
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    import spark.implicits._
+    val base = spark.read.parquet(path).select("doc_id", "text")
+    val variants = base.where(col("doc_id") < 20).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("zz yy "),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+    val corpus = base.unionByName(variants)
+    val sh = Dedup.shingles(corpus).localCheckpoint(true)
+    val exact = sh.toDF("id_a", "sh_a")
+      .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.nearDuplicates(corpus, threshold = 0.3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"LSH missed ${(exact -- banded).size} true pairs / gained ${(banded -- exact).size}")
+  }
+
   test("connectedComponents == driver union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {
@@ -446,6 +474,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "array(array('the','the'), cast(null as array<string>)))").as("c"))
       .collect().head.getSeq[Any](0)
     assert(edge == Seq(2, null))
+    // an empty-string marker counts the empty tokens split() emits for
+    // double/leading/trailing spaces and the empty string itself
+    for (t <- Seq("a  b", " a", "a ", "", "a b")) {
+      val native = d.limit(1).select(expr(
+        s"graft_count_tokens('$t', array(array('')))")).collect().head
+        .getSeq[Int](0)
+      val builtin = d.limit(1).select(expr(
+        s"array(size(filter(split('$t', ' '), x -> x IN (''))))")).collect()
+        .head.getSeq[Int](0)
+      assert(native == builtin, s"text='$t'")
+    }
     // seeded fuzz: random space-heavy strings over a small alphabet so
     // markers actually hit; native must equal the builtin on every row
     val rnd = new scala.util.Random(42)
