@@ -22,7 +22,8 @@ object Plans {
         "q_returned_items", "pipe_cap_per_source", "pipe_split_hash",
         "graph_snapshot_stats", "q_exists_late_ship", "doc_repetition",
         "pipe_contamination", "pipe_pack_sequences", "ds_agg_sliding",
-        "q_sessionize")
+        "q_sessionize", "text_logprob", "q_corr_regr", "emb_quantize",
+        "pipe_mixture")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
