@@ -531,6 +531,30 @@ object SparkEntry {
         .orderBy("side")
     },
 
+    "q_sql_quarter_topn" -> { (s, dir) =>
+      // the engine's SQL entry point: same Catalyst plans as the
+      // DataFrame API, exercised end-to-end via spark.sql over registered
+      // views (star join + windowed top-n per quarter)
+      Seq("orders", "customer", "nation")
+        .foreach(t => tbl(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""
+        WITH r AS (
+          SELECT n.n_name AS nation,
+                 CAST(date_trunc('quarter', o.o_orderdate) AS DATE) AS qtr,
+                 sum(o.o_totalprice) AS revenue
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2)
+        SELECT nation, qtr, revenue, rnk FROM (
+          SELECT nation, qtr, revenue,
+                 CAST(rank() OVER (PARTITION BY qtr
+                              ORDER BY revenue DESC, nation) AS BIGINT) AS rnk
+          FROM r)
+        WHERE rnk <= 3
+        ORDER BY qtr, rnk, nation""")
+    },
+
     "q_union_distinct" -> { (s, dir) =>
       // UNION (distinct) completes the set-op family alongside union-all /
       // intersect / except
@@ -1433,6 +1457,23 @@ object SparkEntry {
         |  sum(o_totalprice) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_sql_quarter_topn" ->
+      """WITH r AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST(date_trunc('quarter', o.o_orderdate) AS DATE) AS qtr,
+        |         sum(o.o_totalprice) AS revenue
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, qtr, revenue, rnk FROM (
+        |  SELECT nation, qtr, revenue,
+        |         rank() OVER (PARTITION BY qtr
+        |                      ORDER BY revenue DESC, nation) AS rnk
+        |  FROM r) t
+        |WHERE rnk <= 3
+        |ORDER BY qtr, rnk, nation""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT c_nationkey AS nk FROM customer
