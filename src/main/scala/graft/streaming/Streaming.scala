@@ -219,6 +219,31 @@ object Streaming {
       }
   }
 
+  /** Streaming quality routing (dead-letter pattern): every micro-batch is
+    * split by `accept` into an accepted and a rejected parquet sink in ONE
+    * pass — the batch is persisted so the two filtered writes don't
+    * recompute the (potentially expensive) quality columns, then
+    * unpersisted before the next trigger. Rejected rows carry the batch id
+    * for replay/audit. At 100 TB ingest this is the alternative to
+    * filter-and-drop: nothing is silently lost, and the reject side is
+    * re-processable after a filter fix.
+    */
+  def routeByQuality(src: DataFrame, accept: org.apache.spark.sql.Column,
+      acceptDir: String, rejectDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.withColumn("_accept", accept).persist()
+        try {
+          b.where(col("_accept")).drop("_accept")
+            .write.mode("append").parquet(acceptDir)
+          b.where(!col("_accept")).drop("_accept")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(rejectDir)
+        } finally { b.unpersist(); () }
+      }
+  }
+
   /** Streaming exact dedup of a document stream (the in-flight variant of
     * [[graft.operators.Dedup.exact]]): keep the first arrival of each
     * content hash, dropping later duplicates that land within the

@@ -327,5 +327,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("quality router splits accepted/rejected sinks without row loss") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-route").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.routeByQuality(
+        mem.toDF.toDF("doc_id", "text"),
+        length(col("text")) >= 5, s"$base/ok", s"$base/bad")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    mem.addData(Seq((1L, "long enough"), (2L, "no"), (3L, "also fine")))
+    q.processAllAvailable()
+    mem.addData(Seq((4L, "ok"), (5L, "second batch pass")))
+    q.processAllAvailable()
+    q.stop()
+    val ok = spark.read.parquet(s"$base/ok").select("doc_id").as[Long].collect().toSet
+    val bad = spark.read.parquet(s"$base/bad")
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(ok == Set(1L, 3L, 5L))
+    // rejects keep every row and record which micro-batch dropped it
+    assert(bad == Set((2L, 0L), (4L, 1L)))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
