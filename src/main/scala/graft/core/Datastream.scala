@@ -94,7 +94,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       deriveArgs: Option[String] = None,
       valueType: String = ValueType.Numeric,
       timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted,
-      valueTypeOptions: Option[String] = None): String = {
+      valueTypeOptions: Option[String] = None,
+      deriveBackprocess: Boolean = true): String = {
     // valueTypeOptions (e.g. archived graph layouts) are accepted for API
     // parity and carried in derive_args-style JSON; they have no execution
     // semantics in the reference either (count-only downsampling).
@@ -162,6 +163,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           latest_ts = None)
         catalog += id -> desc
         catalogDirty = true
+        // reference parity: derive_backprocess=True (the default) computes
+        // the new derived stream from whatever source history already
+        // exists, instead of leaving it empty until the next source append
+        if (deriveBackprocess && deriveFrom.nonEmpty &&
+            deriveFrom.exists(src => catalog(src).latest_ts.isDefined))
+          recomputeDerived(desc)
         id
       case many => throw MultipleStreamsReturned(queryTags.toString)
     }

@@ -227,13 +227,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.appendMultiple(Seq(
       (src, ts("2024-01-01 00:00:00"), 10.0),
       (src, ts("2024-01-01 00:00:10"), 30.0)).toDF("stream_id", "t", "v"))
-    // derived stream declared AFTER data exists: empty until backprocess
+    // derive_backprocess=false: declared AFTER data exists, stays empty
+    // until an explicit backprocess pass
     val d = store.ensureStream(Map("name" -> "bp-d"),
-      deriveFrom = Seq(src), deriveOp = Some(graft.model.DeriveOps.Derivative))
+      deriveFrom = Seq(src), deriveOp = Some(graft.model.DeriveOps.Derivative),
+      deriveBackprocess = false)
     assert(store.getData(d, Granularity.Seconds).count() == 0)
     store.backprocessStreams()
     val rows = store.getData(d, Granularity.Seconds).collect()
     assert(rows.map(_.getDouble(1)).toSeq == Seq(2.0))
+    // the reference default (derive_backprocess=true) computes history at
+    // creation time
+    val d2 = store.ensureStream(Map("name" -> "bp-d2"),
+      deriveFrom = Seq(src), deriveOp = Some(graft.model.DeriveOps.Derivative))
+    assert(store.getData(d2, Granularity.Seconds)
+      .collect().map(_.getDouble(1)).toSeq == Seq(2.0))
   }
 
   test("streaming ingest into the store == batch append + downsample") {
