@@ -958,6 +958,41 @@ object SparkEntry {
       TextStats.unigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "text_lang_confusion" -> { (s, dir) =>
+      // classifier eval against the ground-truth lang column: confusion
+      // matrix of (actual, predicted) with per-cell counts
+      val docs = tbl(s, dir, "documents")
+      TextStats.languageId(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    "dedup_survivors" -> { (s, dir) =>
+      // the full dedup chain end-to-end: near-dup pairs -> cluster
+      // collapse -> drop non-representatives -> per-source survivor
+      // stats. Restricted to doc_id < 200 (+ injected variants) to keep
+      // the bench query bounded — the operators are the same at any size.
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select("doc_id", "source", "text")
+      val variants = docs.where(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("source"),
+        concat(lit("zz yy "),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+      val corpus = docs.unionByName(variants)
+      val clusters = Dedup.connectedComponents(
+        Dedup.nearDuplicates(corpus, threshold = 0.3))
+      val drop = clusters.where(col("doc_id") =!= col("rep_id"))
+        .select("doc_id")
+      corpus.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+        .orderBy("source")
+    },
+
     // ---- dataset-assembly pipeline (operators.Pipeline) ---------------
 
     "pipe_split_hash" -> { (s, dir) =>
@@ -1879,6 +1914,60 @@ object SparkEntry {
         |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
         |  ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_lang_confusion" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the', 'and', 'of', 'is', 'to'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS s_fr,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('el', 'la', 'los', 'y', 'es'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('的', '是', '了', '在', '和'))) AS s_zh
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN
+        |    (list_sort([
+        |      {'score': s_de, 'lang': 'de'},
+        |      {'score': s_en, 'lang': 'en'},
+        |      {'score': s_es, 'lang': 'es'},
+        |      {'score': s_fr, 'lang': 'fr'},
+        |      {'score': s_zh, 'lang': 'zh'}])[5]).lang
+        |  ELSE 'und' END AS lang_pred FROM s)
+        |SELECT d.lang, p.lang_pred, count(*) AS n
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, p.lang_pred
+        |ORDER BY d.lang, p.lang_pred""".stripMargin,
+
+    "dedup_survivors" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, source, text FROM documents
+        |    WHERE doc_id < 200),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id, source,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |reps AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id
+        |  FROM reach GROUP BY u)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        |FROM docs
+        |WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "text_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
