@@ -166,24 +166,32 @@ object Dedup {
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("u"), col("mn")).as("lbl"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence probe: labels only ever DECREASE (min over self ∪
+    // neighbors), so Σlbl is strictly monotone until the fixpoint — an
+    // equal sum means converged. One tiny agg per round instead of a
+    // join+count against the previous labels.
+    // decimal(38) so huge id spaces can't overflow the probe (ANSI throws)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       val prop = edges.join(labels, edges("v") === labels("node"))
         .select(edges("u").as("node"), col("lbl"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "lbl_old"), "node")
-        .where(col("lbl") =!= col("lbl_old")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       it += 1
     }
     // an under-merged result silently keeps duplicates — refuse it
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still moving) — raise maxIter for graphs of " +
-        "diameter > maxIter")
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — raise " +
+        "maxIter for graphs of diameter > maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
 }
