@@ -117,6 +117,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantizeInt8: exact on a known vector, safe on the zero vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.27f, -2.54f, 0.0f)),   // scale = 2.54/127 = 0.02
+      (2L, Array(0.0f, 0.0f, 0.0f)))      // all-zero: no Inf, no ANSI error
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeInt8(vecs)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    val (id1, scale1, sumQ1, err1) = got(0)
+    assert(id1 == 1L && math.abs(scale1 - 0.02) < 1e-9)
+    // q = [64, -127, 0] (1.27/0.02 = 63.5 rounds half-up to 64)
+    assert(sumQ1 == 64L - 127L)
+    assert(err1 <= scale1 / 2 + 1e-12)
+    assert(got(1) == ((2L, 0.0, 0L, 0.0)))
+  }
+
+  test("sampleMixture: per-source budgets reweight, zero budget drops a source") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"src${i % 3}", "tok " * 10 + "end")
+    }.toDF("doc_id", "source", "text")
+    val out = graft.operators.Pipeline.sampleMixture(docs,
+        Map("src0" -> 60L, "src1" -> 0L), default = 22L)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_toks").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains("src1"))                 // zero budget: dropped
+    assert(out("src0") == ((5L, 55L)))            // 5 docs of 11 toks fit 60
+    assert(out("src2") == ((2L, 22L)))            // default budget caps at 22
+  }
+
   test("multimodal: decode/feature/frame plumbing is deterministic and shaped") {
     import spark.implicits._
     val d = docs.withColumn("n_chars", length(col("text")).cast("long"))
