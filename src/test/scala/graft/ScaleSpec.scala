@@ -43,6 +43,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("logprob broadcasts the vocabulary; mixture sampling is one window pass") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"src${i % 2}", s"tok${i % 7} tok${i % 3} common end"))
+      .toDF("doc_id", "source", "text")
+    // the freq table is vocab-sized: it must reach the corpus-side join
+    // as a broadcast, never a sort-merge (which would shuffle the corpus)
+    val p1 = graft.operators.TextStats.unigramLogProb(docs)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"SMJ shuffles the corpus:\n$p1")
+    // budgeted sampling = exactly ONE shuffle (the per-source window);
+    // the when-chain budget must not introduce a join or extra exchange
+    val p2 = graft.operators.Pipeline.sampleMixture(
+        docs, Map("src0" -> 50L), default = 20L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p2).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p2")
+    assert(!p2.contains("Join"), s"unexpected join in:\n$p2")
+  }
+
   test("salted distinct count is exact under a hot key") {
     import spark.implicits._
     // hot key "h" carries 10k distinct values; cold keys carry few
