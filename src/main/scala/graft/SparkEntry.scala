@@ -911,6 +911,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_topk_filtered" -> { (s, dir) =>
+      // hybrid search: top-3 cosine neighbors restricted to the query's
+      // own label — equi-join on the filter key, never a cross join
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+          col("label"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("label"))
+      Similarity.cosineTopKGrouped(e, broadcast(q), 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_near_pairs" -> { (s, dir) =>
       // embedding-cosine near-dup: corpus is random (max cross sim ~0.51),
       // so near-dups are injected: vec_id+100000 with emb[0] shifted +0.05
@@ -1889,6 +1902,22 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, rnk, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "emb_topk_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, label AS q_grp
+        |  FROM e WHERE vec_id < 10),
+        |p AS (SELECT qid, e.vec_id AS cid, e.label,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM q JOIN e ON q.q_grp = e.label AND e.vec_id <> q.qid),
+        |r AS (SELECT qid, cid, label, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, label, rnk, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
 
     "text_lang_id" ->

@@ -255,6 +255,31 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
   }
 
+  /** Filtered ("hybrid") top-k cosine search: candidates must share
+    * `groupCol` with the query — the metadata-filter-plus-vector-search
+    * shape every production retrieval system needs. Crucially this is an
+    * EQUI-join on the filter key (one shuffle, or broadcast-able queries),
+    * not a cross-join-then-filter: at 100 TB the group key partitions the
+    * search space so each executor scans only its groups' vectors.
+    * Queries: (qid, qemb, groupCol); corpus: (vec_id, emb, groupCol).
+    */
+  def cosineTopKGrouped(corpus: DataFrame, queries: DataFrame, k: Int,
+      groupCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "emb", "c_norm")
+    val q = withNorm(queries, "qemb", "q_norm")
+      .withColumnRenamed(groupCol, "q_grp")
+    val scored = q.join(c,
+        col("q_grp") === col(groupCol) && col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col(groupCol),
+        col("rnk"), col("sim"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * memory/IO reduction that keeps a 100 TB vector corpus scannable:
     * per-vector scale = max|v| / 127, stored values round(v / scale) ∈
