@@ -335,6 +335,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("stream-static join enriches points with catalog tags per batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the static side is a catalog-sized dim — Spark broadcasts it into
+    // every micro-batch (no streaming state at all, unlike stream-stream)
+    val dim = Seq(("a", "temp"), ("b", "humidity")).toDF("stream_id", "kind")
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = mem.toDF.toDF("stream_id", "t", "v")
+      .join(broadcast(dim), Seq("stream_id"), "left")
+      .writeStream.format("memory").queryName("ssd_out")
+      .outputMode("append").start()
+    mem.addData(Seq(("a", ts("2024-01-01 00:00:00"), 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(("b", ts("2024-01-01 00:00:01"), 2.0),
+      ("c", ts("2024-01-01 00:00:02"), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssd_out")
+      .collect().map(r => (r.getString(0), r.getDouble(2), Option(r.getString(3)))).toSet
+    assert(got == Set(("a", 1.0, Some("temp")), ("b", 2.0, Some("humidity")),
+      ("c", 3.0, None))) // unknown stream survives the left join
+  }
+
   test("quality router splits accepted/rejected sinks without row loss") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
