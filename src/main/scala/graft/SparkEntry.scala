@@ -41,6 +41,21 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The dedup fixtures' injected near-duplicates (FIXTURES §2): each doc
+    * with id < firstN gains a variant at id + 1000000 whose first two
+    * words are replaced by "zz yy". ONE definition — this recipe is
+    * load-bearing for oracle parity (the DuckDB side mirrors it as
+    * `string_split(text, ' ')[3:]`) and for the LSH-recall pinning spec,
+    * so per-query copies must not drift. Non-(doc_id, text) columns pass
+    * through unchanged.
+    */
+  private[graft] def withInjectedVariants(docs: DataFrame,
+      firstN: Long = 20): DataFrame =
+    docs.unionByName(docs.where(col("doc_id") < firstN)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(lit("zz yy "),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))"))))
+
   /** events reshaped into the reference's stream model: one stream per
     * (user_id, event_type), ts floored to seconds (highest_granularity).
     */
@@ -846,12 +861,9 @@ object SparkEntry {
       // the local compare at sf0.01, so the match cannot drift between
       // runs. Near-dups are injected deterministically (FIXTURES §2):
       // docs 0..19 get a variant with the first 2 words replaced.
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val variants = docs.where(col("doc_id") < 20).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
-      Dedup.nearDuplicates(docs.unionByName(variants), threshold = 0.3)
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      Dedup.nearDuplicates(corpus, threshold = 0.3)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -860,25 +872,19 @@ object SparkEntry {
       // assigns each clustered doc its cluster representative ("keep one
       // per cluster" dedup). Oracle = recursive CTE over the same exact
       // >= 0.3 Jaccard pair graph.
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val variants = docs.where(col("doc_id") < 20).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
       Dedup.connectedComponents(
-          Dedup.nearDuplicates(docs.unionByName(variants), threshold = 0.3))
+          Dedup.nearDuplicates(corpus, threshold = 0.3))
         .orderBy("doc_id")
     },
 
     "dedup_simhash" -> { (s, dir) =>
       // rows-only (bit-majority fingerprints not expressible in DuckDB):
       // same injected near-dups as dedup_minhash must surface
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val variants = docs.where(col("doc_id") < 20).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
-      Dedup.simhashNearDuplicates(docs.unionByName(variants), maxHamming = 8)
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      Dedup.simhashNearDuplicates(corpus, maxHamming = 8)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -943,13 +949,10 @@ object SparkEntry {
       // exact word-3gram Jaccard over all pairs of the first 50 docs plus
       // injected variants of the first 10 (corpus has no real near-dups in
       // this slice at sf>=0.01)
-      val docs = tbl(s, dir, "documents").where(col("doc_id") < 50)
-        .select("doc_id", "text")
-      val variants = docs.where(col("doc_id") < 10).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
-      val sh = Dedup.shingles(docs.unionByName(variants))
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").where(col("doc_id") < 50)
+          .select("doc_id", "text"), firstN = 10)
+      val sh = Dedup.shingles(corpus)
       val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
@@ -987,14 +990,9 @@ object SparkEntry {
       // collapse -> drop non-representatives -> per-source survivor
       // stats. Restricted to doc_id < 200 (+ injected variants) to keep
       // the bench query bounded — the operators are the same at any size.
-      val docs = tbl(s, dir, "documents")
+      val corpus = withInjectedVariants(tbl(s, dir, "documents")
         .where(col("doc_id") < 200)
-        .select("doc_id", "source", "text")
-      val variants = docs.where(col("doc_id") < 20).select(
-        (col("doc_id") + 1000000).as("doc_id"), col("source"),
-        concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
-      val corpus = docs.unionByName(variants)
+        .select("doc_id", "source", "text"))
       val clusters = Dedup.connectedComponents(
         Dedup.nearDuplicates(corpus, threshold = 0.3))
       val drop = clusters.where(col("doc_id") =!= col("rep_id"))

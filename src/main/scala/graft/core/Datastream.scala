@@ -37,7 +37,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   /** Driver-side catalog cache; persisted to parquet lazily (`flush()`).
     * `ensureStream` only marks the catalog dirty so bulk stream creation
-    * costs no Spark jobs; append/delete/tag paths flush automatically.
+    * costs no Spark jobs — EXCEPT when it creates a derived stream over
+    * sources that already hold history with the default
+    * `deriveBackprocess=true`, which flushes the catalog and runs the
+    * backprocess job right there (reference parity); append/delete/tag
+    * paths flush automatically.
     */
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
   private var catalogDirty = false
@@ -165,10 +169,23 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         catalogDirty = true
         // reference parity: derive_backprocess=True (the default) computes
         // the new derived stream from whatever source history already
-        // exists, instead of leaving it empty until the next source append
+        // exists, instead of leaving it empty until the next source append.
+        // "history" must look THROUGH derived sources (their latest_ts is
+        // never set — only raw appends advance it), so walk the derive
+        // chain down to raw streams; catalog-only, no Spark job.
+        def hasHistory(sid: String, seen: Set[String] = Set.empty): Boolean = {
+          val d = catalog(sid)
+          d.latest_ts.isDefined || (!seen(sid) &&
+            d.derive_from.exists(hasHistory(_, seen + sid)))
+        }
         if (deriveBackprocess && deriveFrom.nonEmpty &&
-            deriveFrom.exists(src => catalog(src).latest_ts.isDefined))
+            deriveFrom.exists(hasHistory(_))) {
+          // flush FIRST: recomputeDerived writes partition dirs keyed by
+          // this id, and a crash between that write and a later lazy
+          // flush would strand orphan data no catalog entry explains
+          flush()
           recomputeDerived(desc)
+        }
         id
       case many => throw MultipleStreamsReturned(queryTags.toString)
     }

@@ -45,7 +45,13 @@ case class TokenGroupCounts(left: Expression, right: Expression)
     * counts each token occurrence once (same as `x IN ('a','a')`).
     */
   private case class Lookup(nGroups: Int, nullGroups: Array[Boolean],
-      tokens: java.util.HashMap[UTF8String, Array[Int]])
+      tokens: java.util.HashMap[UTF8String, Array[Int]]) {
+    // lets the scan loop skip allocating+probing empty tokens (repeated /
+    // leading / trailing spaces) in the overwhelmingly common case where
+    // no marker group contains the empty string
+    val hasEmptyMarker: Boolean =
+      tokens.containsKey(UTF8String.fromString(""))
+  }
 
   /** Built once when the group literal is foldable — the only supported
     * shape in practice.
@@ -89,13 +95,15 @@ case class TokenGroupCounts(left: Expression, right: Expression)
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
-        // probe EVERY boundary, including empty tokens from repeated /
-        // leading / trailing spaces — split(text, ' ') emits those too,
-        // and an empty-string marker must match them identically
-        val hit = lk.tokens.get(UTF8String.fromBytes(bytes, start, i - start))
-        if (hit != null) {
-          var k = 0
-          while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
+        // split(text, ' ') emits empty tokens for repeated / leading /
+        // trailing spaces, so an empty-string marker must see them — but
+        // only pay that probe when such a marker exists
+        if (i > start || lk.hasEmptyMarker) {
+          val hit = lk.tokens.get(UTF8String.fromBytes(bytes, start, i - start))
+          if (hit != null) {
+            var k = 0
+            while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
+          }
         }
         start = i + 1
       }

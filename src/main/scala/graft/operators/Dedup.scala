@@ -176,7 +176,10 @@ object Dedup {
     var prevSum = lblSum(labels)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    // maxIter + 1: the sum probe observes convergence one round LATE (a
+    // graph that settles in exactly maxIter rounds needs one confirming
+    // round), so allow it — only still-moving labels are an error
+    while (!converged && it < maxIter + 1) {
       val prop = edges.join(labels, edges("v") === labels("node"))
         .select(edges("u").as("node"), col("lbl"))
       val next = labels.union(prop)

@@ -23,24 +23,34 @@ object Similarity {
   private def withNorm(df: DataFrame, embCol: String, out: String): DataFrame =
     df.withColumn(out, sqrt(expr(s"graft_dot($embCol, $embCol)")))
 
-  /** Exact cosine top-k: for each row of `queries` (qid, qemb), the k
-    * nearest rows of `corpus` (vec_id, emb) by cosine similarity.
-    * Output: (qid, cid, rnk, sim).
+  /** Shared score-and-rank tail of the exact top-k variants: join queries
+    * to corpus under `cond`, cosine-score, keep the k best per query with
+    * the (sim desc, vec_id) tie-break. One definition so the tie-break /
+    * scoring can never diverge between the filtered and unfiltered paths.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  private def topKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cond: Column, extraCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     val c = withNorm(corpus, "emb", "c_norm")
     val q = withNorm(queries, "qemb", "q_norm")
-    val scored = q
-      .join(c, col("vec_id") =!= col("qid")) // broadcast NLJ: tiny query side
+    val scored = q.join(c, cond)
       .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+      .select(col("qid") +: col("vec_id").as("cid") +: extraCols :+
+        col("rnk") :+ col("sim"): _*)
   }
+
+  /** Exact cosine top-k: for each row of `queries` (qid, qemb), the k
+    * nearest rows of `corpus` (vec_id, emb) by cosine similarity.
+    * Output: (qid, cid, rnk, sim). The join is a broadcast NLJ — the
+    * query side is tiny by contract.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKWith(corpus, queries, k, col("vec_id") =!= col("qid"), Nil)
 
   /** Exact all-pairs near-duplicate search: pairs with cosine similarity
     * above `threshold`. Norms precomputed per side; the pair loop is the
@@ -264,21 +274,10 @@ object Similarity {
     * Queries: (qid, qemb, groupCol); corpus: (vec_id, emb, groupCol).
     */
   def cosineTopKGrouped(corpus: DataFrame, queries: DataFrame, k: Int,
-      groupCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(corpus.sparkSession)
-    val c = withNorm(corpus, "emb", "c_norm")
-    val q = withNorm(queries, "qemb", "q_norm")
-      .withColumnRenamed(groupCol, "q_grp")
-    val scored = q.join(c,
-        col("q_grp") === col(groupCol) && col("vec_id") =!= col("qid"))
-      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("vec_id").as("cid"), col(groupCol),
-        col("rnk"), col("sim"))
-  }
+      groupCol: String = "label"): DataFrame =
+    topKWith(corpus, queries.withColumnRenamed(groupCol, "q_grp"), k,
+      col("q_grp") === col(groupCol) && col("vec_id") =!= col("qid"),
+      Seq(col(groupCol)))
 
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * memory/IO reduction that keeps a 100 TB vector corpus scannable:

@@ -223,23 +223,34 @@ object Streaming {
     * split by `accept` into an accepted and a rejected parquet sink in ONE
     * pass — the batch is persisted so the two filtered writes don't
     * recompute the (potentially expensive) quality columns, then
-    * unpersisted before the next trigger. Rejected rows carry the batch id
-    * for replay/audit. At 100 TB ingest this is the alternative to
-    * filter-and-drop: nothing is silently lost, and the reject side is
-    * re-processable after a filter fix.
+    * unpersisted before the next trigger. At 100 TB ingest this is the
+    * alternative to filter-and-drop: nothing is silently lost, and the
+    * reject side is re-processable after a filter fix.
+    *
+    * Row-conservation details that make the contract real:
+    *  - a NULL `accept` verdict routes to the REJECT sink (a plain
+    *    `where(accept)` + `where(!accept)` pair would drop the row from
+    *    both sides — three-valued logic);
+    *  - both sinks are partitioned by `batch_id` and written with dynamic
+    *    partition overwrite, so foreachBatch's at-least-once re-delivery
+    *    replaces the batch's own partition instead of double-appending.
     */
   def routeByQuality(src: DataFrame, accept: org.apache.spark.sql.Column,
       acceptDir: String, rejectDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.withColumn("_accept", accept).persist()
+        val b = batch
+          .withColumn("_accept", coalesce(accept, lit(false)))
+          .withColumn("batch_id", lit(batchId))
+          .persist()
         try {
-          b.where(col("_accept")).drop("_accept")
-            .write.mode("append").parquet(acceptDir)
-          b.where(!col("_accept")).drop("_accept")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(rejectDir)
+          def sink(df: DataFrame, dir: String): Unit =
+            df.drop("_accept").write
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").mode("overwrite").parquet(dir)
+          sink(b.where(col("_accept")), acceptDir)
+          sink(b.where(!col("_accept")), rejectDir)
         } finally { b.unpersist(); () }
       }
   }

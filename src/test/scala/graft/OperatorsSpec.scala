@@ -73,12 +73,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = "/root/testdata/sf0.001/documents.parquet"
     assume(new java.io.File(path).exists())
     import spark.implicits._
-    val base = spark.read.parquet(path).select("doc_id", "text")
-    val variants = base.where(col("doc_id") < 20).select(
-      (col("doc_id") + 1000000).as("doc_id"),
-      concat(lit("zz yy "),
-        expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")).as("text"))
-    val corpus = base.unionByName(variants)
+    // the SAME injected-variant recipe the gate queries use — via the
+    // shared helper so the pinned recall can't diverge from production
+    val corpus = SparkEntry.withInjectedVariants(
+      spark.read.parquet(path).select("doc_id", "text"))
     val sh = Dedup.shingles(corpus).localCheckpoint(true)
     val exact = sh.toDF("id_a", "sh_a")
       .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))

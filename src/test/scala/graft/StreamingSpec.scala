@@ -369,15 +369,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", s"$base/ckpt").start()
     mem.addData(Seq((1L, "long enough"), (2L, "no"), (3L, "also fine")))
     q.processAllAvailable()
-    mem.addData(Seq((4L, "ok"), (5L, "second batch pass")))
+    // NULL text -> NULL verdict: must land in the reject sink, not vanish
+    mem.addData(Seq((4L, "ok"), (5L, "second batch pass"), (6L, null)))
     q.processAllAvailable()
     q.stop()
     val ok = spark.read.parquet(s"$base/ok").select("doc_id").as[Long].collect().toSet
     val bad = spark.read.parquet(s"$base/bad")
-      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      .select(col("doc_id"), col("batch_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
     assert(ok == Set(1L, 3L, 5L))
     // rejects keep every row and record which micro-batch dropped it
-    assert(bad == Set((2L, 0L), (4L, 1L)))
+    assert(bad == Set((2L, 0L), (4L, 1L), (6L, 1L)))
   }
 
   override def afterAll(): Unit = spark.stop()
