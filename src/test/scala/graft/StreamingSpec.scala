@@ -242,6 +242,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       deriveFrom = Seq(src), deriveOp = Some(graft.model.DeriveOps.Derivative))
     assert(store.getData(d2, Granularity.Seconds)
       .collect().map(_.getDouble(1)).toSeq == Seq(2.0))
+    // chains: a derived-of-derived source has no latest_ts of its own —
+    // the history check must walk through it to the raw stream
+    val d3 = store.ensureStream(Map("name" -> "bp-d3"),
+      deriveFrom = Seq(d2), deriveOp = Some(graft.model.DeriveOps.CounterReset))
+    assert(store.getData(d3, Granularity.Seconds).count() == 0) // no resets
+    val d4 = store.ensureStream(Map("name" -> "bp-d4"),
+      deriveFrom = Seq(d2), deriveOp = Some(graft.model.DeriveOps.Sum))
+    assert(store.getData(d4, Granularity.Seconds)
+      .collect().map(_.getDouble(1)).toSeq == Seq(2.0))
   }
 
   test("streaming ingest into the store == batch append + downsample") {
