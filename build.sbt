@@ -17,6 +17,9 @@ run / fork := true
 // recorded "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// the bare run-scoped key above is shadowed by the Compile-scoped one for
+// runMain but kept for plain `run`; stop sbt's unused-key lint flagging it
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
