@@ -468,6 +468,19 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_ewma" -> { (s, dir) =>
+      // EWMA smoother (α=0.3), last value per stream: the sequential
+      // per-stream fold lands the same IEEE bits as DuckDB's list_reduce
+      // over the identically-ordered value list; round(6) for the α/1−α
+      // literal-rounding ulp
+      val w = Window.partitionBy("stream_id").orderBy(col("t").desc)
+      graft.operators.Derive.ewma(pointStreams(s, dir), alpha = 0.3)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("stream_id"), round(col("ewma"), 6).as("ewma_last"))
+        .orderBy("stream_id")
+    },
+
     "ds_gapfill_hours" -> { (s, dir) =>
       // gap filling with forward fill: per-stream hourly grid (sequence
       // explode between first and last active hour), left join the hourly
@@ -1624,6 +1637,17 @@ object SparkEntry {
         |  count(*) AS n_segments
         |FROM l WHERE next_sec IS NOT NULL
         |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+
+    "drv_ewma" ->
+      s"""WITH $srcSql, $pointSql,
+        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
+        |  FROM pts),
+        |l AS (SELECT stream_id, list(v ORDER BY sec) AS vs
+        |  FROM p GROUP BY stream_id)
+        |SELECT stream_id,
+        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+        |    AS ewma_last
+        |FROM l ORDER BY stream_id""".stripMargin,
 
     "ds_agg_hours6" ->
       s"""WITH $srcSql,

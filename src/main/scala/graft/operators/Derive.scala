@@ -119,4 +119,32 @@ object Derive {
         (col("delta") /
           (unix_timestamp(col("t")) - unix_timestamp(col("prev_t")))).as("v"))
   }
+
+  /** Exponentially weighted moving average per stream:
+    * `ewma_1 = v_1`, `ewma_i = α·v_i + (1−α)·ewma_{i−1}` — the standard
+    * monitoring smoother. The recurrence is NOT window-expressible
+    * without exponential rescaling terms that overflow on long streams,
+    * so each stream's sorted points fold in one `flatMapGroups` pass:
+    * state is a single double, streams shard across executors by key,
+    * nothing collects to the driver. A group is materialized to sort it —
+    * fine for the reference's bounded per-stream history; an unbounded
+    * stream belongs on the streaming path, whose GroupState fold is O(1).
+    */
+  def ewma(source: DataFrame, alpha: Double): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source.select(col("stream_id"), col("t"), col("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, rows) =>
+        val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+        var acc = 0.0
+        var first = true
+        sorted.iterator.map { case (_, t, v) =>
+          acc = if (first) { first = false; v } else alpha * v + (1 - alpha) * acc
+          (sid, t, acc)
+        }
+      }
+      .toDF("stream_id", "t", "ewma")
+  }
 }

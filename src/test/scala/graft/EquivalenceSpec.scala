@@ -99,5 +99,24 @@ class EquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ewma matches a pure-Scala sequential fold, bit-exact (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 30 to 34) {
+      val pts = randomPoints(seed, 250, 7L * 86400)
+        .distinctBy(p => (p._1, p._2)) // ewma assumes a total per-stream order
+      val df = pts.toDF("stream_id", "t", "v")
+      val oracle = pts.groupBy(_._1).flatMap { case (sid, ps) =>
+        var acc = 0.0; var first = true
+        ps.sortBy(_._2.getTime).map { case (_, t, v) =>
+          acc = if (first) { first = false; v } else 0.3 * v + 0.7 * acc
+          (sid, t, acc)
+        }
+      }.toSet
+      val got = Derive.ewma(df, alpha = 0.3).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == oracle, s"seed=$seed")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
