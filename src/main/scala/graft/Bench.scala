@@ -55,13 +55,17 @@ object Bench {
       s"""{"total":${fmt(total)},"queries":$fullJson,"sf":"$sfDir"}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e") }
-    val tail = s"""},"n_queries":${results.size},"sf":"$sfDir"}"""
+    // tail is sized with a worst-case n_reported width so the room budget
+    // stays valid once the real count is substituted in
+    def tailFor(nReported: Any) =
+      s"""},"n_queries":${results.size},"n_reported":$nReported,""" +
+        s""""queries_truncated":${nReported != results.size},"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    var room = 1750 - head.length - tail.length
+    var room = 1750 - head.length - tailFor(9999).length
     val kept = results.sortBy(-_._2).iterator.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
     }.takeWhile { e => room -= e.length + 1; room >= 0 }.toSeq
-    println(head + kept.mkString(",") + tail)
+    println(head + kept.mkString(",") + tailFor(kept.size))
     spark.stop()
   }
 }

@@ -61,6 +61,23 @@ case class TokenGroupCounts(left: Expression, right: Expression)
       buildLookup(g.asInstanceOf[ArrayData]))
     else None
 
+  // Non-foldable groups (e.g. a joined-in marker column) would otherwise
+  // rebuild the HashMap per ROW — O(rows × markers) allocation. Cache the
+  // last lookup keyed on value equality: an equality probe is a flat
+  // compare, far cheaper than a rebuild, and the common non-foldable shape
+  // is one repeated marker set. The key is COPIED because unsafe-row
+  // ArrayData buffers are reused across rows.
+  @transient private var cachedKey: ArrayData = _
+  @transient private var cachedLookup: Lookup = _
+
+  private def lookupFor(groups: ArrayData): Lookup = {
+    if (cachedLookup == null || cachedKey != groups) {
+      cachedKey = groups.copy()
+      cachedLookup = buildLookup(groups)
+    }
+    cachedLookup
+  }
+
   private def buildLookup(groups: ArrayData): Lookup = {
     val nGroups = groups.numElements()
     val nullGroups = new Array[Boolean](nGroups)
@@ -88,7 +105,7 @@ case class TokenGroupCounts(left: Expression, right: Expression)
 
   override def nullSafeEval(text: Any, groups: Any): Any = {
     val lk = foldedLookup.getOrElse(
-      buildLookup(groups.asInstanceOf[ArrayData]))
+      lookupFor(groups.asInstanceOf[ArrayData]))
     val bytes = text.asInstanceOf[UTF8String].getBytes
     val counts = new Array[Int](lk.nGroups)
     var start = 0

@@ -193,8 +193,9 @@ object Dedup {
     }
     // an under-merged result silently keeps duplicates — refuse it
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — raise " +
-        "maxIter for graphs of diameter > maxIter")
+      s"connectedComponents: labels still changing after $maxIter propagation " +
+        s"rounds (+1 confirming round) — raise maxIter for graphs of " +
+        s"diameter > $maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
 }

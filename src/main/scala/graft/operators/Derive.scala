@@ -137,7 +137,11 @@ object Derive {
       .as[(String, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (sid, rows) =>
-        val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+        // (t, v) sort: the engine path pre-aggregates to unique (stream, t)
+        // so ties never occur there, but this is a public operator — the
+        // value tie-break makes duplicate-timestamp input deterministic
+        // instead of partition-order-dependent
+        val sorted = rows.toIndexedSeq.sortBy(r => (r._2.getTime, r._3))
         var acc = 0.0
         var first = true
         sorted.iterator.map { case (_, t, v) =>

@@ -65,30 +65,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.values.toSet == Set(5L) && got2.keySet == Set(5L, 6L, 7L, 9L))
   }
 
-  test("LSH banding recall is total on the gate corpus (pins dedup_minhash oracle)") {
+  test("LSH banding recall is total on EVERY gate corpus (pins dedup_minhash oracle)") {
     // the dedup_minhash/dedup_clusters oracles are exact >= 0.3 Jaccard
     // pair sets, valid only while banding misses NO true pair on the
-    // (deterministic) gate corpora — this cross-checks sf0.001 against a
-    // brute-force all-pairs run; tools/compare_oracle.py covers sf0.01
-    val path = "/root/testdata/sf0.001/documents.parquet"
-    assume(new java.io.File(path).exists())
+    // (deterministic) gate corpora. The gate can run at any SF dir the
+    // driver chooses, so recall is cross-checked against an exact
+    // all-true-pairs run at EVERY testdata dir present — not just one.
+    // The exact side uses an inverted shingle index (pairs sharing >= 1
+    // shingle; any pair with Jaccard >= 0.3 shares shingles by
+    // definition), never an O(n^2) array cross join, so sf0.1's 5k docs
+    // stay test-budget cheap.
     import spark.implicits._
-    // the SAME injected-variant recipe the gate queries use — via the
-    // shared helper so the pinned recall can't diverge from production
-    val corpus = SparkEntry.withInjectedVariants(
-      spark.read.parquet(path).select("doc_id", "text"))
-    val sh = Dedup.shingles(corpus).localCheckpoint(true)
-    val exact = sh.toDF("id_a", "sh_a")
-      .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
-      .where(size(array_intersect(col("sh_a"), col("sh_b"))) /
-        size(array_union(col("sh_a"), col("sh_b"))) >= 0.3)
-      .select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = Dedup.nearDuplicates(corpus, threshold = 0.3)
-      .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded == exact,
-      s"LSH missed ${(exact -- banded).size} true pairs / gained ${(banded -- exact).size}")
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/documents.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      // the SAME injected-variant recipe the gate queries use — via the
+      // shared helper so the pinned recall can't diverge from production
+      val corpus = SparkEntry.withInjectedVariants(
+        spark.read.parquet(path).select("doc_id", "text"))
+      val sh = Dedup.shingles(corpus).localCheckpoint(true)
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val exact = inv.toDF("id_a", "s")
+        .join(inv.toDF("id_b", "s"), Seq("s"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .join(sizes.toDF("id_a", "na"), "id_a")
+        .join(sizes.toDF("id_b", "nb"), "id_b")
+        .where(col("shared") / (col("na") + col("nb") - col("shared")) >= 0.3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.nearDuplicates(corpus, threshold = 0.3)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exact,
+        s"$path: LSH missed ${(exact -- banded).size} true pairs / " +
+          s"gained ${(banded -- exact).size}")
+    }
   }
 
   test("connectedComponents == driver union-find on random graphs") {
