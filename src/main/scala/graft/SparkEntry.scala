@@ -893,11 +893,14 @@ object SparkEntry {
     },
 
     "dedup_simhash" -> { (s, dir) =>
-      // rows-only (bit-majority fingerprints not expressible in DuckDB):
-      // same injected near-dups as dedup_minhash must surface
+      // fully oracled: the 60-bit fingerprint is md5-based (DuckDB can
+      // recompute it bit-for-bit) and maxHamming=3 < 4 bands makes
+      // banding recall STRUCTURALLY total (pigeonhole), so the output
+      // equals DuckDB's brute-force all-pairs hamming join by
+      // construction — no probabilistic recall pinning needed
       val corpus = withInjectedVariants(
         tbl(s, dir, "documents").select("doc_id", "text"))
-      Dedup.simhashNearDuplicates(corpus, maxHamming = 8)
+      Dedup.simhashNearDuplicates(corpus, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1696,6 +1699,32 @@ object SparkEntry {
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s))
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force recomputation of the 60-bit md5-based simhash: token
+    // hash = first 15 md5 hex chars (= graft_md5_tokens), bit i set iff
+    // sum(+1/-1 votes) >= 0 (= graft_simhash tie rule), pairs by all-pairs
+    // hamming <= 3 — equals the banded Spark plan by the pigeonhole
+    // argument in Dedup.simhashNearDuplicates
+    "dedup_simhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+        |th AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval
+        |  FROM th, generate_series(0, 59) g(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a, sig b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->

@@ -79,6 +79,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash",
       (children: Seq[Expression]) => SimHash64(children(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_tokens",
+      (children: Seq[Expression]) => Md5TokenHashes(children(0)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
       (children: Seq[Expression]) => NgramHashes(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),

@@ -85,6 +85,67 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** 60-bit MD5 token hashes of a text column: tokenizes on single spaces
+  * (empty tokens included, duplicates KEPT — simhash weights bits by
+  * occurrence), hashes each token to the first 15 hex chars of its MD5.
+  *
+  * Why MD5 and 60 bits: the value is reproducible in any SQL engine with
+  * an md5() builtin — DuckDB: `('0x' || substring(md5(tok), 1, 15))::BIGINT`
+  * — which is what upgrades the simhash gate query from a rows-only check
+  * to a full hash-matched oracle. 15 hex chars (60 bits) always fit a
+  * signed BIGINT on both sides; full 64 would overflow DuckDB's cast.
+  *
+  * CodegenFallback for the same reason as [[NgramHashes]]: one virtual
+  * call per row running a tight byte loop.
+  */
+case class Md5TokenHashes(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_tokens expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_tokens"
+
+  override def nullSafeEval(in: Any): Any = {
+    val bytes = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val md = Md5TokenHashes.digest.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        // first 8 digest bytes big-endian = first 16 hex chars; >>> 4
+        // drops the 16th nibble, leaving exactly substring(md5, 1, 15)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        out += (h >>> 4)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenHashes =
+    copy(child = c)
+}
+
+object Md5TokenHashes {
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** MinHash signature: array of `numHashes` minima of the affine-mixed
   * base hashes. Null/empty input → null signature.
   */

@@ -49,30 +49,40 @@ object Dedup {
       .select(col("doc_id"), expr(s"graft_minhash(hs, $numHashes)").as("sig"))
   }
 
-  /** 64-bit SimHash per document: bit i of the fingerprint is the majority
-    * vote of bit i across the token hashes — one fused codegen pass via
-    * the native [[graft.functions.SimHash64]] expression.
+  /** 60-bit SimHash per document: bit i of the fingerprint is the majority
+    * vote of bit i across the token hashes (ties set the bit) — one fused
+    * codegen pass via the native [[graft.functions.SimHash64]] expression
+    * over [[graft.functions.Md5TokenHashes]] 60-bit md5 token hashes.
+    * The md5 basis makes the fingerprint reproducible in DuckDB SQL, so
+    * the simhash gate query is hash-match oracled, not rows-only.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-        expr(s"transform(split($textCol, ' '), tok -> xxhash64(tok))").as("hs"))
-      .select(col("doc_id"), expr("graft_simhash(hs)").as("simhash"))
+      expr(s"graft_simhash(graft_md5_tokens($textCol))").as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+  /** SimHash near-dup pairs: candidates share at least one of four 15-bit
     * bands (exact equi-join — one shuffle of (band, 2 longs)), verified by
     * Hamming distance <= maxHamming via bit_count(xor).
+    *
+    * For `maxHamming <= 3` recall is STRUCTURALLY total: at most 3
+    * differing bits cannot touch all 4 bands (pigeonhole), so every
+    * qualifying pair shares an intact band — the output equals the
+    * brute-force all-pairs result by construction, independent of data.
+    * Larger maxHamming keeps the same shape but recall becomes
+    * probabilistic (banding may miss pairs whose differing bits spread
+    * across every band).
     */
-  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 6,
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
     // eager checkpoint for the same reason as nearDuplicates: the candidate
     // join is a self-join, and each side would otherwise re-hash the corpus
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 15) & 32767)")))
       .toDF("doc_id", "simhash", "band", "bh")
       .localCheckpoint(true)
     banded.as("a")

@@ -19,9 +19,9 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every query is oracled unless on the explicit rows-only list") {
     // rows-only means the op is genuinely not SQL-expressible in DuckDB:
-    // simhash bit-majority fingerprints and the stub multimodal codecs.
-    // Growing this list is a deliberate decision, not a silent default.
-    val rowsOnly = Set("dedup_simhash", "mm_frames", "mm_pipeline")
+    // the stub multimodal codecs. Growing this list is a deliberate
+    // decision, not a silent default.
+    val rowsOnly = Set("mm_frames", "mm_pipeline")
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query (typo?): $orphanOracles")
