@@ -608,6 +608,90 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    "q_decimal_money" -> { (s, dir) =>
+      // exact DECIMAL money arithmetic (SURVEY §7 watch list: decimal
+      // values): the money columns are cents-clean doubles, so the
+      // decimal(12,2) casts are exact and the sums are exact cent counts
+      // on both engines — no fp summation-order noise. The avg derives
+      // from the exact sum (one double division), never a decimal avg
+      // whose result scale differs between engines.
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("price")).as("sum_price"),
+          sum(col("price") * (lit(1).cast("decimal(3,2)") - col("disc")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_price", col("sum_price").cast("double") / col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_agg_filter" -> { (s, dir) =>
+      // ANSI FILTER-clause conditional aggregation — one hash-agg pass;
+      // each filtered agg is a guarded partial, never an extra scan or
+      // shuffle per condition
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_linestatus,
+          count(*) AS n_all,
+          count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+          sum(l_extendedprice) FILTER (WHERE l_quantity > 25) AS sum_big,
+          min(l_shipdate) FILTER (WHERE l_returnflag = 'R') AS first_ret
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
+    },
+
+    "q_snowflake_volume" -> { (s, dir) =>
+      // 7-table snowflake join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+      // region ⋈ supplier ⋈ nation again): the fact tables join on their
+      // shuffle keys, every dimension is explicitly broadcast — zero
+      // dimension shuffles regardless of fact-table scale, and Catalyst
+      // is free to reorder the fact joins under AQE
+      val n = tbl(s, dir, "nation")
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("cn.n_regionkey") === col("r_regionkey") &&
+            col("r_name") === lit("AMERICA"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          col("sn.n_name").as("supp_nation"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("volume"),
+          count(lit(1)).as("n_items"))
+        .orderBy("yr", "supp_nation")
+    },
+
+    "q_tfidf_top_terms" -> { (s, dir) =>
+      // distinctive terms per language: corpus-wide document frequency +
+      // per-lang term frequency, scored tf × (N/df). The RATIO idf (not
+      // ln) is deliberate: a rational of small integers is bit-identical
+      // across engines, so the top-5 ranking cannot be perturbed by
+      // last-ulp libm differences. Two shuffles total (df by term, tf by
+      // (lang, term)); df is distinct-term-sized → broadcast back.
+      val docs = tbl(s, dir, "documents")
+      val nDocs = docs.count().toDouble
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(df), "tok")
+        .withColumn("score", col("tf") * (lit(nDocs) / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("lang", "rnk", "tok", "tf", "df", "score")
+        .orderBy("lang", "rnk")
+    },
+
     "q_bool_bit_aggs" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -1551,6 +1635,55 @@ object SparkEntry {
         |  regr_slope(l_extendedprice, l_quantity) AS slope,
         |  regr_intercept(l_extendedprice, l_quantity) AS icept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_decimal_money" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1::DECIMAL(3,2) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_linestatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  sum(l_extendedprice) FILTER (WHERE l_quantity > 25) AS sum_big,
+        |  min(l_shipdate) FILTER (WHERE l_returnflag = 'R') AS first_ret
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_snowflake_volume" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS yr, sn.n_name AS supp_nation,
+        |  sum(l.l_extendedprice * (1 - l.l_discount)) AS volume,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY yr, supp_nation ORDER BY yr, supp_nation""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM t GROUP BY lang, tok),
+        |scored AS (
+        |  SELECT tf.lang, tf.tok, tf.tf, df.df,
+        |    tf.tf * ((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok),
+        |ranked AS (
+        |  SELECT lang, tok, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, tok) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT lang, rnk, tok, tf, df, score
+        |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "q_bool_bit_aggs" ->
       """SELECT l_linestatus,
