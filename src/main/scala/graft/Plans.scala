@@ -23,7 +23,8 @@ object Plans {
         "graph_snapshot_stats", "q_exists_late_ship", "doc_repetition",
         "pipe_contamination", "pipe_pack_sequences", "ds_agg_sliding",
         "q_sessionize", "text_logprob", "q_corr_regr", "emb_quantize",
-        "pipe_mixture")
+        "pipe_mixture", "q_snowflake_volume", "q_tfidf_top_terms",
+        "q_decimal_money", "dedup_simhash")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

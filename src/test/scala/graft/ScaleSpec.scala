@@ -64,6 +64,29 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p2.contains("Join"), s"unexpected join in:\n$p2")
   }
 
+  test("snowflake joins broadcast every dimension; tf-idf broadcasts df") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // auto-broadcast off: at real scale only the EXPLICIT broadcast()
+    // hints survive, so the plan shape asserted here is the 100TB shape,
+    // not an artifact of tiny test tables clearing the size threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p1 = SparkEntry.queries("q_snowflake_volume")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(p1).length
+      assert(bhj == 4, s"expected 4 broadcast dim joins, got $bhj in:\n$p1")
+      // the two fact-fact joins (lineitem-orders, orders-customer) are the
+      // only shuffled joins
+      val smj = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p1).length
+      assert(smj == 2, s"expected 2 shuffled fact joins, got $smj in:\n$p1")
+      val p2 = SparkEntry.queries("q_tfidf_top_terms")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(p2.contains("BroadcastHashJoin"), s"df not broadcast in:\n$p2")
+      assert(!p2.contains("SortMergeJoin"),
+        s"SMJ would reshuffle the token stream:\n$p2")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("salted distinct count is exact under a hot key") {
     import spark.implicits._
     // hot key "h" carries 10k distinct values; cold keys carry few
