@@ -676,10 +676,14 @@ object SparkEntry {
       // (lang, term)); df is distinct-term-sized → broadcast back.
       val docs = tbl(s, dir, "documents")
       val nDocs = docs.count().toDouble
+      // checkpoint: the token stream feeds BOTH the df and tf branches —
+      // without it each branch re-scans and re-explodes the corpus
+      // (CLAUDE.md: materialize shared derived stages, never recompute)
       val toks = docs
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
+        .localCheckpoint(true)
       val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
       val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy("lang")
