@@ -980,6 +980,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_incremental" -> { (s, dir) =>
+      // steady-state ingest dedup: a NEW batch (20 injected near-dup
+      // variants + 20 reversed-text unique docs) checked against the
+      // existing corpus — batch-bands x corpus-bands candidate join,
+      // never corpus self-join. Oracle = exact batch x corpus Jaccard.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val batch = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("zz yy "),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")))
+        .unionByName(docs.where(col("doc_id") >= 480 && col("doc_id") < 500)
+          .withColumn("doc_id", col("doc_id") + 2000000)
+          .withColumn("text", reverse(col("text"))))
+      Dedup.incrementalNearDuplicates(docs, batch, threshold = 0.3)
+        .orderBy("doc_id", "dup_of")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // fully oracled: the 60-bit fingerprint is md5-based (DuckDB can
       // recompute it bit-for-bit) and maxHamming=3 < 4 bands makes
@@ -1837,6 +1854,31 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s))
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+        |  FROM base WHERE doc_id >= 480 AND doc_id < 500),
+        |wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM base),
+        |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM batch),
+        |sc AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM wc),
+        |sb AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM wb)
+        |SELECT b.doc_id AS doc_id, c.doc_id AS dup_of,
+        |  len(list_intersect(b.s, c.s))
+        |    / len(list_distinct(list_concat(b.s, c.s))) AS jaccard
+        |FROM sb b, sc c
+        |WHERE len(list_intersect(b.s, c.s))
+        |    / len(list_distinct(list_concat(b.s, c.s))) >= 0.3
+        |ORDER BY doc_id, dup_of""".stripMargin,
 
     // brute-force recomputation of the 60-bit md5-based simhash: token
     // hash = first 15 md5 hex chars (= graft_md5_tokens), bit i set iff

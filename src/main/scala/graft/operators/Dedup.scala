@@ -150,6 +150,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) near-dup detection — the steady-state
+    * ingest shape at 100 TB: each arriving batch is checked against the
+    * existing corpus, never corpus-vs-corpus. Returns the verified
+    * (doc_id, dup_of, jaccard) pairs where doc_id is a batch doc and
+    * dup_of a corpus doc with exact shingle Jaccard >= threshold; an
+    * anti-join of the batch against `select(doc_id)` of this output is
+    * the survivor set.
+    *
+    * Scale design: the candidate join is batch-bands x corpus-bands —
+    * work proportional to |batch|, not |corpus|². In production the
+    * corpus band table is PRECOMPUTED once and appended per accepted
+    * batch (it is exactly `banded` below, a (doc_id, band, bh) parquet
+    * table); here it is derived inline so the operator is
+    * self-contained. Exact-Jaccard verification touches only candidate
+    * docs on either side (semi-joins), mirroring [[nearDuplicates]].
+    * Recall: same banding family as [[nearDuplicates]] — total on the
+    * gate corpora (pinned by OperatorsSpec) and ~(1-(1-j^r)^b) in
+    * general.
+    */
+  def incrementalNearDuplicates(corpus: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val rows = numHashes / bands
+    def banded(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_minhash(graft_ngrams($textCol, $n), $numHashes)").as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("doc_id", "band", "bh")
+    // corpus side: one sketch pass (precomputed in production); batch
+    // side checkpointed because it feeds the join probe AND the verify
+    val cb = banded(corpus).localCheckpoint(true)
+    val bb = banded(batch).localCheckpoint(true)
+    val cand = bb.as("b")
+      .join(cb.as("c"),
+        col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+      .select(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
+      .distinct()
+      .localCheckpoint(true)
+    def candShingles(docs: DataFrame, ids: DataFrame): DataFrame =
+      shingles(docs.join(broadcast(ids), Seq(idCol), "left_semi"),
+        n, idCol, textCol)
+    val shB = candShingles(batch, cand.select(col("bid").as(idCol)).distinct())
+    val shC = candShingles(corpus, cand.select(col("cid").as(idCol)).distinct())
+    cand
+      .join(shB.select(col("doc_id").as("bid"), col("shingles").as("sh_b")), "bid")
+      .join(shC.select(col("doc_id").as("cid"), col("shingles").as("sh_c")), "cid")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))) /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("bid").as("doc_id"), col("cid").as("dup_of"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every node is
     * labeled with the MINIMUM doc id reachable through duplicate relations
     * — its cluster representative — so "keep one doc per duplicate

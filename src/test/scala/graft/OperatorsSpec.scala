@@ -48,6 +48,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.keySet.exists { case (a, b) => b == 2L || a == 2L })
   }
 
+  test("incremental dedup flags batch docs near the corpus, passes unique ones") {
+    import spark.implicits._
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "totally novel words nowhere else present in any corpus document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDuplicates(docs, batch, n = 2,
+        threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 100 duplicates doc 0 exactly (and doc 3, the one-word variant);
+    // the novel doc surfaces no pair at all
+    assert(got((100L, 0L)) == 1.0)
+    assert(got.contains((100L, 3L)) && got((100L, 3L)) > 0.5)
+    assert(!got.keySet.exists(_._1 == 101L))
+    assert(!got.keySet.exists { case (b, _) => b != 100L })
+  }
+
   test("connectedComponents collapses transitive duplicate chains") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), isolated pair 10-11, star 20-{21,22,23}
