@@ -1162,6 +1162,15 @@ object SparkEntry {
         .limit(200)
     },
 
+    "pipe_chunk_documents" -> { (s, dir) =>
+      // long-doc → training-example chunking: 40-token windows, stride 20
+      // (tail chunks kept). Pure generate-and-explode — zero shuffle.
+      graft.operators.Pipeline.chunkDocuments(
+          tbl(s, dir, "documents").where(col("doc_id") < 100),
+          width = 40, stride = 20)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     "pipe_pack_sequences" -> { (s, dir) =>
       // sequence packing: per-source contiguous packs of ≤256 tokens
       // (offset packing: pack = tokens-before div budget); per-pack stats
@@ -2405,6 +2414,18 @@ object SparkEntry {
         |  doc_id, source
         |FROM documents
         |ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
+
+    "pipe_chunk_documents" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents WHERE doc_id < 100),
+        |st AS (SELECT doc_id, words,
+        |    unnest(range(0, len(words), 20)) AS s FROM d)
+        |SELECT doc_id,
+        |  CAST(s / 20 AS INT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  CAST(least(40, len(words) - s) AS BIGINT) AS n_toks,
+        |  array_to_string(words[s + 1 : s + 40], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "pipe_pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,

@@ -95,6 +95,32 @@ object Pipeline {
     * source's window state is a single counter, so a 100 TB corpus packs
     * in one pass with per-source parallelism.
     */
+  /** Overlapping token-window chunking — the standard long-document →
+    * training-example step. Each document yields chunks starting at token
+    * offsets 0, stride, 2·stride, … < n_tokens; the tail chunk may be
+    * shorter than `width` (never dropped — dropping tails silently loses
+    * corpus tail content, the kind of cap CLAUDE/README call out).
+    *
+    * Scale design: a pure generate-and-explode projection — zero shuffle,
+    * zero state; chunk identity (doc_id, chunk_idx) is deterministic, so
+    * re-runs and any-engine recomputation agree row-for-row. Token
+    * re-slicing happens once per chunk from one materialized split array
+    * (never re-tokenizing per chunk inside the lambda).
+    */
+  def chunkDocuments(df: DataFrame, width: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("w"),
+        posexplode(expr(s"transform(sequence(0, size(w) - 1, $stride)," +
+          s" s -> slice(w, s + 1, $width))")))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("chunk_start"),
+        size(col("col")).cast("long").as("n_toks"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   def packSequences(df: DataFrame, budget: Long, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(sourceCol).orderBy(idCol)

@@ -48,6 +48,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.keySet.exists { case (a, b) => b == 2L || a == 2L })
   }
 
+  test("chunkDocuments: stride windows, short tail kept, zero shuffle") {
+    import spark.implicits._
+    val d = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val got = graft.operators.Pipeline.chunkDocuments(d, width = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq((0, 0L, 3L, "a b c"), (1, 2L, 3L, "c d e"),
+      (2, 4L, 1L, "e")))
+    val plan = graft.operators.Pipeline.chunkDocuments(d, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("incremental dedup flags batch docs near the corpus, passes unique ones") {
     import spark.implicits._
     val batch = Seq(
