@@ -40,6 +40,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("simhash banding recall is structurally total at maxHamming<=3 (random corpora)") {
+    // the dedup_simhash oracle is a brute-force all-pairs hamming join;
+    // equality with the banded plan rests on the pigeonhole argument
+    // (<=3 differing bits cannot touch all 4 bands). Data-independent in
+    // theory — this pins it empirically against band-layout edits.
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(50)(i => s"w$i")
+      val base = (0L until 40L).map(i =>
+        (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      // variants: flip one word of the first 10 docs (tiny hamming shift)
+      val vars = base.take(10).map { case (i, t) =>
+        (i + 1000, (vocab(rnd.nextInt(vocab.length)) +: t.split(" ").drop(1).toSeq)
+          .mkString(" "))
+      }
+      val corpus = (base ++ vars).toDF("doc_id", "text")
+      val sig = Dedup.simhash(corpus).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashNearDuplicates(corpus, maxHamming = 3)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exact,
+        s"seed=$seed: missed ${(exact -- banded).size}, gained ${(banded -- exact).size}")
+    }
+  }
+
   test("minhash near-dups find injected and exact duplicates") {
     val pairs = Dedup.nearDuplicates(docs, n = 2, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
