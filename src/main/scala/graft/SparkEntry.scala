@@ -1162,6 +1162,13 @@ object SparkEntry {
         .limit(200)
     },
 
+    "pipe_profile_numeric" -> { (s, dir) =>
+      // one-pass numeric profiling sweep over the fact table
+      graft.operators.Pipeline.profileNumeric(tbl(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")
+    },
+
     "pipe_chunk_documents" -> { (s, dir) =>
       // long-doc → training-example chunking: 40-token windows, stride 20
       // (tail chunks kept). Pure generate-and-explode — zero shuffle.
@@ -2414,6 +2421,15 @@ object SparkEntry {
         |  doc_id, source
         |FROM documents
         |ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
+
+    "pipe_profile_numeric" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     "pipe_chunk_documents" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words

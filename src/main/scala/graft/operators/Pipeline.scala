@@ -95,6 +95,28 @@ object Pipeline {
     * source's window state is a single counter, so a 100 TB corpus packs
     * in one pass with per-source parallelism.
     */
+  /** Single-pass numeric profiling: one row per requested column with
+    * null count, exact distinct count, and min/max — the "know your
+    * corpus before training on it" sweep. ONE aggregation job over the
+    * table (Spark plans the multiple DISTINCT aggregates via expand, so
+    * the input is still read once); the 1×(4·|cols|) result is then
+    * unpivoted driver-free with `stack`.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__mn"),
+      max(col(c)).cast("double").as(s"${c}__mx")))
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs)" +
+        " as (col_name, n_null, n_distinct, mn, mx)"))
+  }
+
   /** Overlapping token-window chunking — the standard long-document →
     * training-example step. Each document yields chunks starting at token
     * offsets 0, stride, 2·stride, … < n_tokens; the tail chunk may be
