@@ -79,6 +79,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.keySet.exists { case (a, b) => b == 2L || a == 2L })
   }
 
+  test("profileNumeric: nulls counted but excluded from distinct/min/max") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (1.0, 5.0)).toDF("a", "b")
+    val got = graft.operators.Pipeline.profileNumeric(d, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((0L, 2L, 1.0, 2.0)))
+    assert(got("b") == ((2L, 1L, 5.0, 5.0)))
+  }
+
   test("chunkDocuments: stride windows, short tail kept, zero shuffle") {
     import spark.implicits._
     val d = Seq((7L, "a b c d e")).toDF("doc_id", "text")
