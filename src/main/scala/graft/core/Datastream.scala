@@ -602,10 +602,16 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   def downsampleStreams(until: Timestamp,
       queryTags: Map[String, String] = Map.empty,
-      returnDatapoints: Boolean = false): Option[DataFrame] = {
+      returnDatapoints: Boolean = false,
+      filterStream: StreamDescriptor => Boolean = _ => true)
+      : Option[DataFrame] = {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // filterStream = the reference's filter_stream callback (A10): a
+    // catalog-level predicate, evaluated on stream DESCRIPTORS (metadata
+    // scale), never on datapoints
     val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
                else findStreamIds(queryTags))
+      .filter(id => filterStream(catalog(id)))
     if (ids.isEmpty || !datapointsExist) return None
     val hgOf = ids.map(id => id -> Granularity(catalog(id).highest_granularity)).toMap
 

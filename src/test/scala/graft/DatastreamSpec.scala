@@ -267,6 +267,22 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(it.hasNext && it.next().getString(2) == g1)
   }
 
+  test("downsample filter_stream predicate skips non-matching streams (A10)") {
+    val ds = freshDs()
+    import spark.implicits._
+    val keep = ds.ensureStream(Map("name" -> "fs-keep"))
+    val skip = ds.ensureStream(Map("name" -> "fs-skip"))
+    ds.appendMultiple(Seq(
+      (keep, ts("2024-01-01 00:00:01"), 1.0),
+      (skip, ts("2024-01-01 00:00:01"), 2.0)).toDF("stream_id", "t", "v"))
+    // catalog-level callback (the reference's filter_stream): only the
+    // matching stream's ladder advances
+    ds.downsampleStreams(ts("2024-01-02 00:00:00"),
+      filterStream = d => d.tags.get("name").contains("fs-keep"))
+    assert(ds.getData(keep, Granularity.Minutes).count() == 1)
+    assert(ds.getData(skip, Granularity.Minutes).count() == 0)
+  }
+
   test("get_data plan prunes granularity partitions and pushes the time range") {
     val ds = freshDs()
     import spark.implicits._
