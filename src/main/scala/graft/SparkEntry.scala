@@ -611,20 +611,25 @@ object SparkEntry {
     "q_decimal_money" -> { (s, dir) =>
       // exact DECIMAL money arithmetic (SURVEY §7 watch list: decimal
       // values): the money columns are cents-clean doubles, so the
-      // decimal(12,2) casts are exact and the sums are exact cent counts
-      // on both engines — no fp summation-order noise. The avg derives
-      // from the exact sum (one double division), never a decimal avg
-      // whose result scale differs between engines.
+      // decimal(12,2) casts are exact and the products are exact integer
+      // cent (x100) / basis-point (x10000) counts. The output emits those
+      // counts as BIGINT — never a raw DECIMAL column — because Spark
+      // (decimal(22,2)/decimal(28,4)) and DuckDB (decimal(38,_)) widen
+      // aggregate decimals differently and the r4 gate hash compares cell
+      // *representations*, not just values. BIGINT is representation-stable
+      // across engines; the values themselves are identical and exact.
       tbl(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("decimal(12,2)").as("price"),
           col("l_discount").cast("decimal(4,2)").as("disc"))
         .groupBy("l_returnflag")
-        .agg(sum(col("price")).as("sum_price"),
-          sum(col("price") * (lit(1).cast("decimal(3,2)") - col("disc")))
-            .as("sum_disc_price"),
+        .agg(
+          sum((col("price") * 100).cast("long")).as("sum_price_cents"),
+          sum((col("price") * (lit(1).cast("decimal(3,2)") - col("disc"))
+            * 10000).cast("long")).as("sum_disc_price_x10000"),
           count(lit(1)).as("n"))
-        .withColumn("avg_price", col("sum_price").cast("double") / col("n"))
+        .withColumn("avg_price",
+          col("sum_price_cents").cast("double") / lit(100) / col("n"))
         .orderBy("l_returnflag")
     },
 
@@ -1675,11 +1680,11 @@ object SparkEntry {
 
     "q_decimal_money" ->
       """SELECT l_returnflag,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (1::DECIMAL(3,2) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1::DECIMAL(3,2) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_x10000,
         |  count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_filter" ->
