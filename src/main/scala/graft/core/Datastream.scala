@@ -339,6 +339,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   private def finishAppend(bounds: Array[org.apache.spark.sql.Row],
       ids: Array[String]): Unit = {
+    // capture each appended stream's changed region BEFORE advancing the
+    // catalog: the incremental derive cascade needs the PRE-batch latest
+    // timestamp (exact lookback partition + staleness self-heal check)
+    val regions = bounds.map { r =>
+      val id = r.getString(0)
+      val lo = r.getTimestamp(1); val hi = r.getTimestamp(2)
+      id -> Region(dayStart(lo), Some(DatapointStore.ymdKey(hi)),
+        catalog(id).latest_ts)
+    }.toMap
     // advance per-stream time bounds in the catalog
     bounds.foreach { r =>
       val id = r.getString(0)
@@ -349,7 +358,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         latest_ts = Some(d.latest_ts.fold(hi)(l => if (l.after(hi)) l else hi)))
     }
     persistCatalog()
-    deriveDependents(ids.toSet)
+    deriveDependents(ids.toSet, regions)
   }
 
   // ---- datapoints access ----------------------------------------------
@@ -740,15 +749,282 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     done
   }
 
-  /** Recompute derived streams whose sources include any of `ids`
-    * (transitively). Batch semantics: deterministic full recompute of the
-    * derived stream from source history — idempotent overwrite of that
-    * stream's raw level. Incremental evaluation is the streaming mode's job
-    * (graft.streaming).
+  /** The day-aligned region of a stream's datapoints that an append (or a
+    * cascaded derived rewrite) changed: `[loTs, end-of-hiKey]`, with
+    * `hiKey=None` meaning "changed through the end of the stream".
+    * `extentBefore` is the stream's data extent (last datapoint t, or
+    * derive-coverage watermark for derived streams) BEFORE the change —
+    * the staleness check and the exact lookback-partition key need it.
     */
-  private def deriveDependents(ids: Set[String]): Unit = {
-    val order = derivedInOrder(ids).filterNot(d => ids(d.stream_id))
-    order.foreach(recomputeDerived)
+  private case class Region(loTs: Timestamp, hiKey: Option[String],
+      extentBefore: Option[Timestamp])
+
+  private def dayStart(t: Timestamp): Timestamp =
+    new Timestamp(Math.max(
+      Math.floorDiv(Math.floorDiv(t.getTime, 1000L), 86400L), 0L) * 86400000L)
+
+  /** Recompute derived streams whose sources include any of `ids`
+    * (transitively), INCREMENTALLY where possible (SURVEY §3 E1: the
+    * reference applies derive operators per append, not per full history).
+    *
+    * All four derive ops are lag-local — an output point depends on at
+    * most its immediate predecessor (plus reset events since it) — so an
+    * append changing `[lo, hi]` of a source can only change derived
+    * outputs at t >= lo. The incremental path therefore rewrites only the
+    * derived stream's ymd partitions from day(lo) onward (day-exact for
+    * the bucket-local `sum`), reading one day of lookback instead of the
+    * full source history: per-batch derive cost is O(appended window), not
+    * O(history) — the property that keeps steady-state streaming ingest
+    * flat as history grows. Any precondition miss (first materialization,
+    * missed-coverage crash gap, unbounded lookback) falls back to the
+    * idempotent full recompute, which is also what backprocess_streams
+    * always does.
+    */
+  private def deriveDependents(ids: Set[String],
+      regions0: Map[String, Region]): Unit = {
+    val regions = scala.collection.mutable.Map.empty[String, Region] ++ regions0
+    var changed = ids
+    derivedInOrder(ids).filterNot(d => ids(d.stream_id)).foreach { d =>
+      val changedDeps = depsOf(d).distinct.filter(changed)
+      incrementalDerive(d, changedDeps, regions.toMap) match {
+        case Some(r) => regions(d.stream_id) = r
+        case None =>
+          recomputeDerived(d)
+          // full rewrite: the changed region is unbounded below, which
+          // Region cannot express — leave no region so dependents of this
+          // stream also recompute fully
+          regions.remove(d.stream_id)
+      }
+      changed += d.stream_id
+    }
+  }
+
+  /** A dependency's data extent: last datapoint timestamp for raw streams
+    * (catalog), derive-coverage watermark for derived ones (marker file).
+    */
+  private def depExtent(id: String): Option[Timestamp] = {
+    val d = catalog(id)
+    if (d.derive_op.isDefined) readCoverage(id) else d.latest_ts
+  }
+
+  /** Coverage watermark a successful recompute would establish NOW: the
+    * max extent over this stream's dependencies (sources recompute before
+    * dependents in topological order, so their markers are fresh).
+    */
+  private def coverageNow(d: StreamDescriptor): Option[Timestamp] =
+    depsOf(d).flatMap(depExtent).reduceOption((a, b) => if (a.after(b)) a else b)
+
+  /** Derive-coverage marker: "this derived stream incorporates all source
+    * data with t <= marker". Written (data first, marker second) after
+    * every successful recompute; a crash between an append's store write
+    * and its derive leaves the marker behind the sources' extent, which
+    * the next append detects and heals with a full recompute. Stored as a
+    * file beside the stream's partitions, not in the catalog, so catalog
+    * crash-ordering never has to reason about it.
+    */
+  private def coverageFile(id: String) =
+    new java.io.File(s"$derivedRawPath/stream_id=$id/_graft_coverage")
+
+  private def readCoverage(id: String): Option[Timestamp] = {
+    val f = coverageFile(id)
+    if (!f.exists()) None
+    else scala.util.Try(
+      new Timestamp(new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .trim.toLong * 1000L)).toOption
+  }
+
+  private def writeCoverage(id: String, cw: Option[Timestamp]): Unit =
+    cw.foreach { t =>
+      val f = coverageFile(id)
+      f.getParentFile.mkdirs()
+      val tmp = new java.io.File(f.getPath + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        (t.getTime / 1000L).toString.getBytes)
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Drop a derived stream's (granularity, ymd) partition directories with
+    * `fromKey <= ymd <= toKey` under `root` — pure directory removal,
+    * O(#partitions of one stream).
+    */
+  private def deleteDerivedYmds(root: String, id: String,
+      fromKey: String, toKey: Option[String]): Unit = {
+    val sdir = new java.io.File(s"$root/stream_id=$id")
+    Option(sdir.listFiles()).getOrElse(Array.empty)
+      .withFilter(_.isDirectory).foreach { gdir =>
+        Option(gdir.listFiles()).getOrElse(Array.empty)
+          .withFilter(f => f.isDirectory && f.getName.startsWith("ymd="))
+          .foreach { ydir =>
+            val k = ydir.getName.stripPrefix("ymd=")
+            if (k >= fromKey && toKey.forall(k <= _)) rmTree(ydir)
+          }
+      }
+  }
+
+  /** Max backward partition-days one lookback scan may cover before the
+    * incremental path gives up (unbounded source gap → full recompute).
+    */
+  private val lookbackDays = 40L
+
+  /** The last datapoint rows (all rows at max t) of `srcId` strictly
+    * before `w`, as collected (stream_id, t, v) rows — the one point of
+    * lookback the lag-local ops need. Partition-exact when the pre-batch
+    * latest is known (steady tail append: one ymd day scanned); a bounded
+    * `lookbackDays`-day backward scan otherwise. None = could not bound
+    * the search — caller must full-recompute.
+    */
+  private def lookbackRows(srcId: String, w: Timestamp,
+      prevLatest: Option[Timestamp]): Option[Array[org.apache.spark.sql.Row]] = {
+    val sd = catalog(srcId)
+    val wKey = DatapointStore.ymdKey(w)
+    if (wKey.toLong == 0L) return None // pre-epoch rows share day 0: no pruning
+    val hg = sd.highest_granularity
+    def scanDays(keyLo: String, keyHi: String): DataFrame =
+      datapoints.where(col("stream_id") === srcId &&
+          col("granularity") === hg &&
+          col("ymd") >= keyLo && col("ymd") <= keyHi && col("t") < w)
+        .select(col("stream_id"), col("t"), col("v_num").as("v"))
+    def maxTRows(scan: DataFrame): Array[org.apache.spark.sql.Row] = {
+      val m = scan.agg(max("t")).collect().head
+      if (m.isNullAt(0)) Array.empty
+      else scan.where(col("t") === m.getTimestamp(0)).collect()
+    }
+    if (sd.derive_op.isDefined) {
+      // derived roots partition by stream_id first: the last pre-w day is
+      // an exact driver-side directory listing, no probing
+      val gdir = new java.io.File(s"$derivedRawPath/stream_id=$srcId/granularity=$hg")
+      val keys = Option(gdir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("ymd="))
+        .map(_.getName.stripPrefix("ymd=")).filter(_ < wKey)
+      if (keys.isEmpty) Some(Array.empty)
+      else Some(maxTRows(scanDays(keys.max, keys.max)))
+    } else sd.earliest_ts match {
+      case None => Some(Array.empty)
+      case Some(e) if !e.before(w) => Some(Array.empty)
+      case Some(e) =>
+        prevLatest match {
+          case Some(pl) if pl.before(w) =>
+            // steady tail append: the stream's last point IS at t ==
+            // prevLatest (stored timestamps are floored the same way the
+            // catalog bound is), so exactly one ymd partition holds it
+            val k = DatapointStore.ymdKey(pl)
+            Some(maxTRows(scanDays(k, k)))
+          case _ =>
+            // same-day re-append or historical insert: the last pre-w
+            // point's day is unknown — one pruned scan over the trailing
+            // lookbackDays window, then give up
+            val eDay = DatapointStore.ymdKey(e).toLong
+            val loDay = math.max(wKey.toLong - lookbackDays, eDay)
+            val rows = maxTRows(scanDays(f"$loDay%09d", f"${wKey.toLong - 1}%09d"))
+            if (rows.nonEmpty || eDay >= wKey.toLong - lookbackDays) Some(rows)
+            else None
+        }
+    }
+  }
+
+  /** Attempt the bounded incremental recompute of one derived stream.
+    * Returns the region it rewrote (for dependents downstream), or None
+    * when a precondition fails and the caller must run the full recompute.
+    */
+  private def incrementalDerive(d: StreamDescriptor, changedDeps: Seq[String],
+      regions: Map[String, Region]): Option[Region] = {
+    if (changedDeps.isEmpty || !changedDeps.forall(regions.contains)) return None
+    if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return None
+    val cw = readCoverage(d.stream_id) match {
+      case Some(t) => t
+      case None => return None // pre-marker store or never derived: full
+    }
+    // staleness self-heal: if any dependency already held data beyond our
+    // coverage BEFORE this batch, a previous derive was skipped (crash
+    // between store write and derive) — incremental would leave that gap
+    // stale forever, so recompute fully instead
+    val stale = depsOf(d).distinct.exists { x =>
+      regions.get(x).map(_.extentBefore).getOrElse(depExtent(x))
+        .exists(_.after(cw))
+    }
+    if (stale) return None
+
+    val g = Granularity(d.highest_granularity)
+    val w = dayStart(changedDeps.map(x => regions(x).loTs).minBy(_.getTime))
+    val wKey = DatapointStore.ymdKey(w)
+    def tail(ids: Seq[String], fromTs: Timestamp): DataFrame = {
+      val gnames = ids.map(catalog(_).highest_granularity).distinct
+      datapoints.where(col("stream_id").isin(ids: _*) &&
+          col("granularity").isin(gnames: _*) &&
+          col("ymd") >= DatapointStore.ymdKey(fromTs) && col("t") >= fromTs)
+        .select(col("stream_id"), col("t"), col("v_num").as("v"))
+    }
+    val lbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("stream_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+
+    val (out, hiKeyOut): (DataFrame, Option[String]) = d.derive_op.get match {
+      case DeriveOps.Sum =>
+        // bucket-local: only the appended days' buckets can change (every
+        // ladder granularity divides a day, so no bucket straddles the
+        // day-partition boundary). Rewrite exactly those days from ALL
+        // sources pruned to them.
+        val his = changedDeps.map(x => regions(x).hiKey)
+        val hiKey = if (his.forall(_.isDefined)) Some(his.flatten.max) else None
+        val src = {
+          val base = tail(d.derive_from, w)
+          hiKey.fold(base)(k => base.where(col("ymd") <= k))
+        }
+        (Derive.streamSum(src, g, d.stream_id), hiKey)
+      case op =>
+        val srcId = d.derive_from.head
+        val prevLatest = regions.get(srcId).map(_.extentBefore)
+          .getOrElse(catalog(srcId).latest_ts)
+        val lb = lookbackRows(srcId, w, prevLatest) match {
+          case Some(rows) => rows
+          case None => return None
+        }
+        val lbDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(lb.toSeq, 1), lbSchema)
+        val input = tail(Seq(srcId), w).unionByName(lbDf)
+        val res = op match {
+          case DeriveOps.Derivative => Derive.derivative(input)
+          case DeriveOps.CounterReset => Derive.counterReset(input)
+          case DeriveOps.CounterDerivative =>
+            val maxValue = d.derive_args.flatMap(Json.numField(_, "max_value"))
+            val resetId = d.derive_args.flatMap(Json.strField(_, "reset_stream"))
+            // resets at or after the lookback point can still suppress the
+            // first in-window interval; older ones are <= prev_t for every
+            // in-window pair and thus can never suppress — safe to omit
+            val resetFrom = lb.headOption.map(_.getTimestamp(1)).getOrElse(w)
+            val reset = resetId.map { rid =>
+              datapoints.where(col("stream_id") === rid &&
+                  col("granularity") === catalog(rid).highest_granularity &&
+                  col("ymd") >= DatapointStore.ymdKey(resetFrom) &&
+                  col("t") >= resetFrom)
+                .select(lit(srcId).as("stream_id"), col("t"))
+            }
+            Derive.counterDerivative(input, maxValue, reset)
+        }
+        (res, None)
+    }
+    val result = out.withColumn("stream_id", lit(d.stream_id))
+      .withColumn("t", timestamp_seconds(
+        floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
+      .where(col("t") >= lit(w)) // lookback-internal pairs never emit
+    deleteDerivedYmds(derivedRawPath, d.stream_id, wKey, hiKeyOut)
+    // rollups: always drop from wKey onward (not the finite sum range) —
+    // the downsample ladder's high-water mark only regenerates buckets
+    // past the max remaining one, so a finite mid-range hole would never
+    // re-materialize
+    deleteDerivedYmds(rollupsPath, d.stream_id, wKey, None)
+    DatapointStore.appendByStream(result.select(
+        col("stream_id"), lit(g.name).as("granularity"), col("t"),
+        col("v").as("v_num")),
+      derivedRawPath)
+    writeCoverage(d.stream_id, coverageNow(d))
+    Some(Region(w, hiKeyOut, Some(cw)))
   }
 
   def backprocessStreams(queryTags: Map[String, String] = Map.empty): Unit = {
@@ -791,6 +1067,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         col("stream_id"), lit(g.name).as("granularity"), col("t"),
         col("v").as("v_num")),
       derivedRawPath)
+    // marker last: a crash before this line re-runs the full recompute
+    writeCoverage(d.stream_id, coverageNow(d))
   }
 }
 
