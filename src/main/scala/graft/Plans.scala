@@ -24,7 +24,9 @@ object Plans {
         "pipe_contamination", "pipe_pack_sequences", "ds_agg_sliding",
         "q_sessionize", "text_logprob", "q_corr_regr", "emb_quantize",
         "pipe_mixture", "q_snowflake_volume", "q_tfidf_top_terms",
-        "q_decimal_money", "dedup_simhash")
+        "q_decimal_money", "dedup_simhash", "q_agg_filter",
+        "dedup_incremental", "pipe_profile_numeric", "pipe_chunk_documents",
+        "emb_near_pairs", "dedup_embedding")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

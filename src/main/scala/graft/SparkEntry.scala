@@ -56,6 +56,18 @@ object SparkEntry {
       .withColumn("text", concat(lit("zz yy "),
         expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))"))))
 
+  /** The embedding gate corpora's injected near-dup recipe (shared by
+    * emb_near_pairs / dedup_embedding AND the OperatorsSpec recall
+    * cross-check, so the pinned recall can't diverge from production):
+    * vec_id+100000 with emb[0] shifted +0.05 — cosine >= 0.9987 to the
+    * original on the unit-norm gate vectors. Input: (vec_id, emb).
+    */
+  private[graft] def withInjectedEmbVariants(e: DataFrame): DataFrame =
+    e.unionByName(e.where(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      concat(array(element_at(col("emb"), 1) + 0.05),
+        expr("slice(emb, 2, 63)")).as("emb")))
+
   /** events reshaped into the reference's stream model: one stream per
     * (user_id, event_type), ts floored to seconds (highest_granularity).
     */
@@ -1061,12 +1073,12 @@ object SparkEntry {
       // so near-dups are injected: vec_id+100000 with emb[0] shifted +0.05
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val variants = e.where(col("vec_id") < 20).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        concat(array(element_at(col("emb"), 1) + 0.05),
-          expr("slice(emb, 2, 63)")).as("emb"))
-      val all = e.unionByName(variants)
-      Similarity.cosineNearPairs(all, 0.9)
+      val all = withInjectedEmbVariants(e)
+      // banded LSH candidates + exact rerank — equi-join on (band,
+      // bucket), never the O(n²) all-pairs join; recall vs the exact
+      // oracle is total on the gate corpora (cross-checked in
+      // OperatorsSpec against Similarity.cosineNearPairs)
+      Similarity.bandedNearPairs(all, 0.9, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     },
@@ -1266,15 +1278,12 @@ object SparkEntry {
     "dedup_embedding" -> { (s, dir) =>
       // embedding-cosine near-dup DEDUP: drop every vector with a
       // >0.9-cosine neighbor at a lower id, dropped or not — order-free,
-      // so fully parallel (same injected near-dups as emb_near_pairs)
+      // so fully parallel (same injected near-dups as emb_near_pairs);
+      // neighbor pairs come from the banded LSH equi-join, not all-pairs
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val variants = e.where(col("vec_id") < 20).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        concat(array(element_at(col("emb"), 1) + 0.05),
-          expr("slice(emb, 2, 63)")).as("emb"))
-      val all = e.unionByName(variants)
-      Similarity.cosineDedup(all, 0.9).select("vec_id").orderBy("vec_id")
+      val all = withInjectedEmbVariants(e)
+      Similarity.cosineDedup(all, 0.9, dim = 64).select("vec_id").orderBy("vec_id")
     },
 
     "emb_ann_lsh" -> { (s, dir) =>

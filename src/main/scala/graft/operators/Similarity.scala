@@ -55,6 +55,8 @@ object Similarity {
   /** Exact all-pairs near-duplicate search: pairs with cosine similarity
     * above `threshold`. Norms precomputed per side; the pair loop is the
     * native codegen dot. Output: (id_a, id_b, sim), id_a < id_b.
+    * O(n²) — the brute-force BASELINE kept for small corpora and as the
+    * recall cross-check of [[bandedNearPairs]], which is the scale path.
     */
   def cosineNearPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
@@ -69,19 +71,68 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Banded hyperplane-LSH near-pair search — the 100 TB path for
+    * [[cosineNearPairs]]' semantics. Each vector gets `bands` bucket keys
+    * (one per band of `rowsPerBand` hyperplane sign bits over the
+    * deterministic [[planeComponent]] planes); candidate pairs share ANY
+    * band bucket (an equi-join on (band, bucket) — one shuffle of
+    * (vec_id, band, bucket) triples, never the vectors), then exact
+    * cosine rerank keeps pairs above `threshold`. Precision is exact (the
+    * rerank filters); recall is the OR over bands: a pair at angle θ is
+    * missed with probability (1−(1−θ/π)^R)^B — ≈1e-10 at the defaults for
+    * the ≥0.9987-cosine near-dups this op targets, and the planes are
+    * deterministic so the candidate set is reproducible, not a per-run
+    * coin flip. OperatorsSpec cross-checks recall against the exact
+    * all-pairs baseline on the gate corpus recipe.
+    */
+  def bandedNearPairs(vectors: DataFrame, threshold: Double, dim: Int,
+      bands: Int = 12, rowsPerBand: Int = 10): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    // index stage materialized once: the banded self-join and both rerank
+    // sides re-run their input lineage per use otherwise (CLAUDE.md:
+    // self-joins re-execute their input per side)
+    val n = withNorm(vectors, "emb", "norm").localCheckpoint(true)
+    val bucketCols = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
+        val plane = (0 until dim).map(j => planeComponent(p, j))
+        when(call_function("graft_dot", col("emb"), typedLit(plane)) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band_$b")
+    }
+    val bandRows = n.select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+      .localCheckpoint(true)
+    val cands = bandRows.as("x").join(bandRows.as("y"), Seq("band", "bucket"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct() // a pair may collide in several bands
+    cands
+      .join(n.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b")), "id_b")
+      .withColumn("sim", dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup DEDUP: drop every vector that has ANY
     * >threshold cosine neighbor at a lower id — including neighbors that
     * are themselves dropped. On a near-dup chain A~B~C this keeps only A
     * (a sequential greedy pass would also keep C); the stricter rule is
     * order-free and therefore embarrassingly parallel, which is the 100 TB
-    * trade-off made here. The dropped-id set is eagerly materialized
-    * (localCheckpoint) before the anti-join:
+    * trade-off made here. Candidates come from the banded LSH equi-join
+    * ([[bandedNearPairs]]), never the O(n²) all-pairs join. The dropped-id
+    * set is eagerly materialized (localCheckpoint) before the anti-join:
     * otherwise Catalyst pushes the left-anti join below the corpus Union
-    * and the whole O(n²) pair scan is planned — and executed — once per
+    * and the whole pair scan is planned — and executed — once per
     * union branch. The checkpoint pins it to exactly one pass.
     */
-  def cosineDedup(vectors: DataFrame, threshold: Double): DataFrame = {
-    val dropped = cosineNearPairs(vectors, threshold)
+  def cosineDedup(vectors: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    val dropped = bandedNearPairs(vectors, threshold, dim)
       .select(col("id_b").as("vec_id")).distinct()
       .localCheckpoint(true)
     vectors.join(dropped, Seq("vec_id"), "left_anti")

@@ -178,6 +178,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("banded embedding LSH recall is total on EVERY gate corpus (pins emb_near_pairs oracle)") {
+    // emb_near_pairs/dedup_embedding keep their exact all-pairs oracles
+    // while the Spark side generates candidates via the banded hyperplane
+    // equi-join — valid only while banding misses NO >0.9 pair on the
+    // (deterministic: fixed corpus × fixed planes) gate corpora. Cross-
+    // check against the exact O(n²) baseline at every testdata dir.
+    import spark.implicits._
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/embeddings.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      val e = spark.read.parquet(path)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val all = SparkEntry.withInjectedEmbVariants(e)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(Similarity.cosineNearPairs(all, 0.9))
+      val banded = pairSet(Similarity.bandedNearPairs(all, 0.9, dim = 64))
+      assert(banded == exact,
+        s"$path: banded LSH missed ${(exact -- banded).size} true pairs / " +
+          s"gained ${(banded -- exact).size}")
+    }
+  }
+
   test("connectedComponents == driver union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {
