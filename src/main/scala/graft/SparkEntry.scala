@@ -1027,8 +1027,9 @@ object SparkEntry {
     },
 
     "mm_pipeline" -> { (s, dir) =>
-      // rows-only: multimodal plumbing — binary + metadata → decode stub →
-      // features → per-kind stats (real schema/partitioning, fake codec)
+      // multimodal plumbing — binary + metadata → decode stub → features →
+      // per-kind stats (real schema/partitioning; md5-derived stub codec,
+      // so the aggregates hash-verify against the SQL oracle)
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(
         tbl(s, dir, "documents"))
@@ -1475,9 +1476,10 @@ object SparkEntry {
     },
 
     "mm_frames" -> { (s, dir) =>
-      // rows-only: frame-sampling + resize plumbing over the media table —
-      // per-video frame counts and sampled byte volume after a metadata
-      // resize (stub codec, real flatMap shape)
+      // frame-sampling + resize plumbing over the media table — per-video
+      // frame counts and sampled byte volume after a metadata resize
+      // (md5-free byte-slicing stub, real flatMap shape; oracled in SQL
+      // from the same closed-form slice arithmetic)
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(
         tbl(s, dir, "documents").where(col("doc_id") < 200))
@@ -2548,6 +2550,44 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) > 0.9)
         |SELECT vec_id FROM a WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "mm_pipeline" ->
+      // the stub codec is md5-derived on purpose (Multimodal.decodeBytes /
+      // fakeFeature): meanLuma = md5 byte 0 / 255, feature[i] = float of
+      // (md5(text || '#0') byte i) / 127.5 - 1 for dim=16 — recomputable
+      // here byte-for-byte. feat_sum folds elements in array order on
+      // both sides.
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    ('0x' || substring(md5(text), 1, 2))::INT / 255.0 AS luma,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      CAST(CAST(('0x' || substring(md5(text || '#0'), i*2 + 1, 2))::INT
+        |           / 127.5 - 1 AS FLOAT) AS DOUBLE))) AS feat_sum
+        |  FROM documents)
+        |SELECT kind, count(*) AS n, avg(luma) AS avg_luma,
+        |  avg(feat_sum) AS avg_feat_sum
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "mm_frames" ->
+      // closed-form mirror of Multimodal.sampleFrames' stub slicing:
+      // n = min(durationMs/2000, 32) frames per video (doc_id % 3 = 2),
+      // frame i starts at min(i * max(len/max(n,1), 1), max(len-1, 0))
+      // and takes min(16, len - start) bytes of the utf-8 content
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS len,
+        |    least((n_chars * 10) // 2000, 32) AS n
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2),
+        |f AS (SELECT media_id, n,
+        |    list_sum(list_transform(range(0, n), i ->
+        |      least(least(i * greatest(len // greatest(n, 1), 1),
+        |                  greatest(len - 1, 0)) + 16, len)
+        |      - least(i * greatest(len // greatest(n, 1), 1),
+        |              greatest(len - 1, 0)))) AS sampled_bytes
+        |  FROM v WHERE n >= 1)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(sampled_bytes AS BIGINT) AS sampled_bytes
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "emb_ann_lsh" -> {
       // generated with the SAME plane-component literals the Spark operator

@@ -32,20 +32,38 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
 
   /** ======== STUB CODEC LAYER ========
-    * Deterministic fake decode: expands the content hash into pixel
-    * statistics. Replace with a real codec; everything downstream only
-    * sees the returned shapes.
+    * Deterministic fake decode derived from md5 of the content bytes —
+    * md5 (not murmur) on purpose: the oracle gate can recompute every
+    * downstream aggregate in SQL (`md5(text)` over the same utf-8 bytes),
+    * so the multimodal queries hash-verify instead of rows-only. Replace
+    * with a real codec; everything downstream only sees the returned
+    * shapes.
+    */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** meanLuma = first md5 byte / 255 ≡ DuckDB
+    * `('0x' || substring(md5(text), 1, 2))::INT / 255.0`.
     */
   private def decodeBytes(content: Array[Byte], meta: MediaMeta): DecodedImage = {
-    val h = scala.util.hashing.MurmurHash3.bytesHash(content, 42)
-    DecodedImage(0L, meta.width, meta.height, 3,
-      (h & 0xFF).toDouble / 255.0)
+    val b = Integer.parseInt(md5Hex(content).substring(0, 2), 16)
+    DecodedImage(0L, meta.width, meta.height, 3, b / 255.0)
   }
 
+  /** Feature block b supplies 16 elements from the bytes of
+    * md5(content ++ "#b"); element = byte/127.5 − 1 ∈ [−1, 1) ≡ DuckDB
+    * `CAST(('0x' || substring(md5(text || '#b'), 2i+1, 2))::INT / 127.5
+    * - 1 AS FLOAT)`.
+    */
   private def fakeFeature(content: Array[Byte], dim: Int): Array[Float] = {
-    val h = scala.util.hashing.MurmurHash3.bytesHash(content, 7)
-    val rnd = new scala.util.Random(h)
-    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val blocks = (0 to (dim - 1) / 16)
+      .map(b => md5Hex(content ++ s"#$b".getBytes("UTF-8")))
+    Array.tabulate(dim) { i =>
+      val hex = blocks(i / 16)
+      val b = Integer.parseInt(hex.substring((i % 16) * 2, (i % 16) * 2 + 2), 16)
+      (b / 127.5 - 1.0).toFloat
+    }
   }
   /** ======== END STUB CODEC LAYER ======== */
 

@@ -18,10 +18,11 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   test("every query is oracled unless on the explicit rows-only list") {
-    // rows-only means the op is genuinely not SQL-expressible in DuckDB:
-    // the stub multimodal codecs. Growing this list is a deliberate
+    // rows-only means the op is genuinely not SQL-expressible in DuckDB.
+    // Since r5 the multimodal stub codec is md5-derived, so even mm_* are
+    // oracled — the list is empty. Growing it again is a deliberate
     // decision, not a silent default.
-    val rowsOnly = Set("mm_frames", "mm_pipeline")
+    val rowsOnly = Set.empty[String]
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query (typo?): $orphanOracles")
