@@ -832,6 +832,29 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "t")
     },
 
+    "store_nested_tags" -> { (s, dir) =>
+      // nested tag documents end-to-end (SURVEY §1.2): one stream per
+      // nation carrying a NESTED tag doc {"meta": {"nation","region"}}
+      // ingested as JSON, found via real json-path traversal of
+      // tags_json (not literal dotted keys), values read back from BOTH
+      // tag shapes — the flat dotted map and the nested document
+      val work = java.nio.file.Files.createTempDirectory("graft-nested-q").toString
+      val ds = new graft.core.Datastream(s, work)
+      val nations = tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name")).collect()
+      nations.foreach { r =>
+        val id = ds.ensureStream(Map("name" -> s"nation:${r.getString(0)}"))
+        ds.updateTagsNested(id,
+          s"""{"meta": {"nation": "${r.getString(0)}", "region": "${r.getString(1)}"}}""")
+      }
+      ds.findStreamsByJsonPath("meta.region", "EUROPE")
+        .select(
+          element_at(col("tags"), "meta.nation").as("nation"),
+          get_json_object(col("tags_json"), "$['meta']['region']").as("region"))
+        .orderBy("nation")
+    },
+
     "ds_agg_minutes10" -> { (s, dir) =>
       Downsample.toGranularity(eventStreams(s, dir), Granularity.Minutes10)
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
@@ -2068,6 +2091,12 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS med,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "store_nested_tags" ->
+      """SELECT n_name AS nation, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY n_name""".stripMargin,
 
     "store_pipeline" ->
       """WITH src AS (SELECT user_id, event_type,

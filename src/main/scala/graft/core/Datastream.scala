@@ -155,7 +155,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         val desc = StreamDescriptor(
           stream_id = id,
           tags = allTags,
-          tags_json = Json.toJson(allTags),
+          tags_json = Json.nested(allTags),
           value_type = valueType,
           value_downsamplers = valueDownsamplers,
           time_downsamplers = timeDownsamplers,
@@ -512,16 +512,32 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     }
   }
 
-  /** Nested/dotted-tag query (the reference accepts nested tag documents):
-    * match a tag key against the full tag document. Our tag store is a
-    * flat map, so dotted keys like "meta.region" are literal keys — the
-    * bracket path form keeps get_json_object from treating the dot as
-    * nesting (and survives most metacharacters).
+  /** Nested-path find_streams (SURVEY §1.2: reference tags are arbitrary
+    * nested JSON documents queried by nested equality). `path` is a dotted
+    * path — "meta.region" (or "$.meta.region") — traversed through the
+    * canonical NESTED tag document `tags_json` (which [[Json.nested]]
+    * builds from the dotted flat map, so `tags("meta.region")` and this
+    * traversal always agree). Each segment goes through the bracket form
+    * so segment names with metacharacters survive.
     */
   def findStreamsByJsonPath(path: String, value: String): DataFrame = {
-    val escaped = path.replace("\\", "\\\\").replace("'", "\\'")
-    streams.where(get_json_object(col("tags_json"), s"$$['$escaped']") === value)
+    val p = if (path.startsWith("$.")) path.drop(2) else path
+    val jp = "$" + p.split('.').filter(_.nonEmpty).map(seg =>
+      s"['${seg.replace("\\", "\\\\").replace("'", "\\'")}']").mkString
+    streams.where(get_json_object(col("tags_json"), jp) === value)
   }
+
+  /** Merge a NESTED JSON tag document into a stream's tags (the
+    * reference's native tag shape). Leaves merge at their dotted paths;
+    * numbers/booleans coerce to their JSON text, arrays stay whole as
+    * JSON-text leaves. Equivalent to updateTags with the flattened map.
+    */
+  def updateTagsNested(streamId: String, json: String): Unit =
+    updateTags(streamId, Json.flatten(json))
+
+  /** The canonical nested tag document of a stream. */
+  def getTagsJson(streamId: String): String =
+    catalog.getOrElse(streamId, throw StreamNotFound(streamId)).tags_json
 
   def findStreamIds(queryTags: Map[String, String]): Seq[String] =
     catalog.values.filter(d =>
@@ -534,14 +550,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   def updateTags(streamId: String, tags: Map[String, String]): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val merged = d.tags ++ tags
-    catalog += streamId -> d.copy(tags = merged, tags_json = Json.toJson(merged))
+    catalog += streamId -> d.copy(tags = merged, tags_json = Json.nested(merged))
     persistCatalog()
   }
 
   def removeTag(streamId: String, tag: String): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val t2 = d.tags - tag
-    catalog += streamId -> d.copy(tags = t2, tags_json = Json.toJson(t2))
+    catalog += streamId -> d.copy(tags = t2, tags_json = Json.nested(t2))
     persistCatalog()
   }
 
@@ -1072,8 +1088,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   }
 }
 
-/** Minimal canonical-JSON helpers (flat objects only — nested tag docs are
-  * stored as the caller provides them).
+/** Minimal canonical-JSON helpers. Tag documents live in TWO synchronized
+  * shapes: a flat dotted-path map (`tags`, the fast equality-query form)
+  * and the canonical NESTED document (`tags_json`, built by [[nested]],
+  * keys sorted at every level) that json-path queries traverse. A dotted
+  * flat key IS nesting: "meta.region" -> {"meta": {"region": ...}}.
   */
 object Json {
   private def esc(s: String): String = s.flatMap {
@@ -1089,6 +1108,73 @@ object Json {
   def toJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
+
+  /** Canonical nested JSON document from a flat dotted-path map: keys
+    * split on '.', sorted at every level. A key that is both a value and
+    * a parent ("a" and "a.b") has no nested representation — raises
+    * [[InvalidOperatorArguments]] rather than silently dropping one. Keys
+    * with empty segments ("a..b", trailing dot) stay literal leaves.
+    */
+  def nested(m: Map[String, String]): String = {
+    import scala.collection.mutable
+    val root = mutable.TreeMap.empty[String, Any] // String leaf | TreeMap obj
+    def insert(obj: mutable.TreeMap[String, Any], segs: List[String],
+        full: String, v: String): Unit = segs match {
+      case last :: Nil => obj.get(last) match {
+        case Some(_: mutable.TreeMap[_, _]) =>
+          throw InvalidOperatorArguments(
+            s"tag nesting conflict: '$full' is both a value and a parent")
+        case _ => obj.update(last, v)
+      }
+      case head :: rest => obj.get(head) match {
+        case Some(child: mutable.TreeMap[String @unchecked, Any @unchecked]) =>
+          insert(child, rest, full, v)
+        case Some(_) =>
+          throw InvalidOperatorArguments(
+            s"tag nesting conflict: a prefix of '$full' is already a value")
+        case None =>
+          val child = mutable.TreeMap.empty[String, Any]
+          obj.update(head, child)
+          insert(child, rest, full, v)
+      }
+      case Nil => ()
+    }
+    m.toSeq.sortBy(_._1).foreach { case (path, v) =>
+      val segs = path.split('.')
+      if (segs.isEmpty || segs.exists(_.isEmpty)) insert(root, List(path), path, v)
+      else insert(root, segs.toList, path, v)
+    }
+    def render(node: Any): String = node match {
+      case s: String => "\"" + esc(s) + "\""
+      case o: mutable.TreeMap[String @unchecked, Any @unchecked] =>
+        o.map { case (k, v) => "\"" + esc(k) + "\": " + render(v) }
+          .mkString("{", ", ", "}")
+    }
+    render(root)
+  }
+
+  /** Flatten a nested JSON object to the dotted-path leaf map (inverse of
+    * [[nested]] for string leaves). Scalar leaves coerce to their text;
+    * arrays stay whole as JSON-text leaves. Jackson is Spark's own JSON
+    * parser — no extra dependency.
+    */
+  def flatten(json: String): Map[String, String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = scala.util.Try(mapper.readTree(json)).getOrElse(
+      throw InvalidOperatorArguments(s"invalid tag document: $json"))
+    if (root == null || !root.isObject)
+      throw InvalidOperatorArguments("tag document must be a JSON object")
+    val out = Map.newBuilder[String, String]
+    def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (n.isObject)
+        n.properties().iterator().forEachRemaining { e =>
+          walk(if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}",
+            e.getValue)
+        }
+      else out += prefix -> (if (n.isTextual) n.asText else n.toString)
+    walk("", root)
+    out.result()
+  }
 
   private def field(json: String, name: String): Option[String] = {
     val p = ("\"" + java.util.regex.Pattern.quote(name) +

@@ -518,6 +518,36 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.deleteStreams(Map("name" -> "t2")) == 1)
   }
 
+  test("nested tag documents: ingest, canonical form, traversal, conflicts") {
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "nested1"))
+    // nested document merges at dotted paths; numbers/bools coerce to text
+    ds.updateTagsNested(id,
+      """{"meta": {"region": "eu", "dc": "fra"}, "prio": 3, "live": true}""")
+    assert(ds.getTags(id) == Map("name" -> "nested1", "meta.region" -> "eu",
+      "meta.dc" -> "fra", "prio" -> "3", "live" -> "true"))
+    // canonical nested doc: sorted keys at every level, real nesting
+    assert(ds.getTagsJson(id) ==
+      """{"live": "true", "meta": {"dc": "fra", "region": "eu"}, """ +
+        """"name": "nested1", "prio": "3"}""")
+    // traversal (both spellings) — and non-leaf paths match nothing
+    assert(ds.findStreamsByJsonPath("meta.dc", "fra").count() == 1)
+    assert(ds.findStreamsByJsonPath("$.meta.dc", "fra").count() == 1)
+    assert(ds.findStreamsByJsonPath("meta", "fra").count() == 0)
+    // flat equality on the dotted key agrees with the traversal
+    assert(ds.findStreams(Map("meta.region" -> "eu")).count() == 1)
+    // a key that is both value and parent has no nested form
+    intercept[InvalidOperatorArguments] {
+      ds.updateTags(id, Map("meta" -> "oops"))
+    }
+    // malformed / non-object documents raise
+    intercept[InvalidOperatorArguments] { ds.updateTagsNested(id, "[1, 2]") }
+    intercept[InvalidOperatorArguments] { ds.updateTagsNested(id, "{nope") }
+    // tags survive the catalog parquet round trip in nested form
+    val ds2 = new graft.core.Datastream(spark, ds.rootDir)
+    assert(ds2.findStreamsByJsonPath("meta.region", "eu").count() == 1)
+  }
+
   test("get_data range bounds incl/excl and downsampler projection") {
     val ds = freshDs()
     import spark.implicits._

@@ -152,9 +152,9 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.createTempDirectory("graft-nested").toString)
     store.ensureStream(Map("name" -> "n1", "meta.region" -> "eu"))
     store.ensureStream(Map("name" -> "n2", "meta.region" -> "us"))
-    // flat keys containing dots are stored verbatim in the tag doc; the
-    // json-path variant must resolve them via bracket paths (a naive
-    // $.meta.region path would treat the dot as nesting and match nothing)
+    // dotted flat keys ARE nesting: "meta.region" lives in tags_json as
+    // {"meta": {"region": ...}} and the json-path variant traverses it;
+    // flat-map equality on the dotted key keeps working unchanged
     assert(store.findStreams(Map("meta.region" -> "eu")).count() == 1)
     assert(store.findStreamsByJsonPath("meta.region", "eu").count() == 1)
     assert(store.findStreamsByJsonPath("meta.region", "nope").count() == 0)
