@@ -22,13 +22,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    // per-query job/task counts via listener — the machine-load-immune
+    // metric (BASELINE.md: wall seconds vary ±2-3× with load; task counts
+    // are stable). Counted OUTSIDE the timed window: the settle wait runs
+    // after the timer stops, so listener latency never bills to a query.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    })
+    def settle(): Unit = {
+      // listener delivery is async: wait (briefly) until counters stop
+      var last = -1L
+      var spins = 0
+      while (jobs.get() + tasks.get() != last && spins < 20) {
+        last = jobs.get() + tasks.get(); Thread.sleep(100); spins += 1
+      }
+    }
+
+    case class R(sec: Double, jobs: Long, tasks: Long)
+    def run(name: String): R = {
+      settle()
+      val (j0, k0) = (jobs.get(), tasks.get())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return R(-1.0, 0, 0) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      settle()
+      R(sec, jobs.get() - j0, tasks.get() - k0)
     }
 
     run("q1_pricing_summary") // warmup (untimed)
@@ -36,7 +65,8 @@ object Bench {
     // the driver invokes with no args and gets the full sorted suite
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val results0 = names.map(n => n -> run(n))
+    val results = results0.map { case (n, r) => n -> r.sec }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would corrupt the driver-parsed JSON line
@@ -51,15 +81,23 @@ object Bench {
     // sbt's trailing "[success] Total time ..." line.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val jobsJson = results0.map { case (k, r) => "\"" + k + "\":" + r.jobs }
+      .mkString("{", ",", "}")
+    val tasksJson = results0.map { case (k, r) => "\"" + k + "\":" + r.tasks }
+      .mkString("{", ",", "}")
+    val tasksTotal = results0.map(_._2.tasks).sum
     try Files.writeString(Paths.get("bench_full.json"),
-      s"""{"total":${fmt(total)},"queries":$fullJson,"sf":"$sfDir"}""")
+      s"""{"total":${fmt(total)},"queries":$fullJson,""" +
+        s""""jobs":$jobsJson,"tasks":$tasksJson,""" +
+        s""""tasks_total":$tasksTotal,"sf":"$sfDir"}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e") }
     // tail is sized with a worst-case n_reported width so the room budget
     // stays valid once the real count is substituted in
     def tailFor(nReported: Any) =
       s"""},"n_queries":${results.size},"n_reported":$nReported,""" +
-        s""""queries_truncated":${nReported != results.size},"sf":"$sfDir"}"""
+        s""""queries_truncated":${nReported != results.size},""" +
+        s""""tasks_total":$tasksTotal,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     var room = 1750 - head.length - tailFor(9999).length
     val kept = results.sortBy(-_._2).iterator.map { case (k, v) =>

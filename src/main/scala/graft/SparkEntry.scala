@@ -68,6 +68,20 @@ object SparkEntry {
       concat(array(element_at(col("emb"), 1) + 0.05),
         expr("slice(emb, 2, 63)")).as("emb")))
 
+  /** The dedup_incremental gate query's ingest-batch recipe (shared with
+    * the OperatorsSpec recall cross-check so the pinned recall can't
+    * diverge from production): 20 injected near-dup variants of the first
+    * docs + 20 reversed-text (unique) docs.
+    */
+  private[graft] def incrementalGateBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(lit("zz yy "),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")))
+      .unionByName(docs.where(col("doc_id") >= 480 && col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", reverse(col("text"))))
+
   /** events reshaped into the reference's stream model: one stream per
     * (user_id, event_type), ts floored to seconds (highest_granularity).
     */
@@ -843,11 +857,15 @@ object SparkEntry {
       val nations = tbl(s, dir, "nation")
         .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_name"), col("r_name")).collect()
+      // nested docs flatten at creation time (one lazy catalog, ONE
+      // persisted flush — not a catalog write per stream; the per-call
+      // merge path updateTagsNested is spec-covered in DatastreamSpec)
       nations.foreach { r =>
-        val id = ds.ensureStream(Map("name" -> s"nation:${r.getString(0)}"))
-        ds.updateTagsNested(id,
-          s"""{"meta": {"nation": "${r.getString(0)}", "region": "${r.getString(1)}"}}""")
+        ds.ensureStream(Map("name" -> s"nation:${r.getString(0)}"),
+          tags = graft.core.Json.flatten(
+            s"""{"meta": {"nation": "${r.getString(0)}", "region": "${r.getString(1)}"}}"""))
       }
+      ds.flush()
       ds.findStreamsByJsonPath("meta.region", "EUROPE")
         .select(
           element_at(col("tags"), "meta.nation").as("nation"),
@@ -1026,14 +1044,8 @@ object SparkEntry {
       // existing corpus — batch-bands x corpus-bands candidate join,
       // never corpus self-join. Oracle = exact batch x corpus Jaccard.
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val batch = docs.where(col("doc_id") < 20)
-        .withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", concat(lit("zz yy "),
-          expr("concat_ws(' ', slice(split(text, ' '), 3, 1000000))")))
-        .unionByName(docs.where(col("doc_id") >= 480 && col("doc_id") < 500)
-          .withColumn("doc_id", col("doc_id") + 2000000)
-          .withColumn("text", reverse(col("text"))))
-      Dedup.incrementalNearDuplicates(docs, batch, threshold = 0.3)
+      Dedup.incrementalNearDuplicates(docs, incrementalGateBatch(docs),
+          threshold = 0.3)
         .orderBy("doc_id", "dup_of")
     },
 

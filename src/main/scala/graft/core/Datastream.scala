@@ -205,8 +205,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * Timestamps are rounded to each stream's highest granularity; strict
     * decreases versus the stream's last STORED timestamp raise
     * [[InvalidTimestamp]] when `checkTimestamp` (a DataFrame batch has no
-    * row order, so ordering WITHIN one batch is by design not checked —
-    * split into multiple calls for sequential reference semantics).
+    * row order, so ordering WITHIN one batch is not checked by default).
+    * `strictWithinBatch=true` restores the reference's fully sequential
+    * semantics through one bulk call: the batch must carry a `seq` column
+    * stating per-stream arrival order, and any (floored) timestamp
+    * decrease along it raises [[InvalidTimestamp]].
     * Values of the wrong kind for a stream's declared value_type raise
     * [[IncompatibleTypes]] (the reference's append-time type check).
     *
@@ -220,7 +223,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * Streaming ingest re-delivery relies on this.
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true,
-      dedupExisting: Boolean = false): Unit = {
+      dedupExisting: Boolean = false,
+      strictWithinBatch: Boolean = false): Unit = {
     import spark.implicits._
     // cache the caller's batch: the ids scan, validation probes, store
     // write and bounds aggregation would otherwise re-execute its
@@ -290,6 +294,28 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       val rounded = cached.join(meta, "stream_id")
         .withColumn("t", timestamp_seconds(
           floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
+
+      // opt-in WITHIN-batch monotonicity (SURVEY §2.1 A2: the reference's
+      // sequential appends reject every decrease, not just batch-min vs
+      // stored-last). A DataFrame has no row order, so the caller states
+      // arrival order through a per-stream `seq` column; a (floored)
+      // timestamp decrease along seq raises InvalidTimestamp — the same
+      // rows rejected had they been appended one call at a time. One
+      // extra windowed pass over the batch, only when opted in.
+      if (strictWithinBatch) {
+        if (!cached.columns.contains("seq"))
+          throw InvalidOperatorArguments(
+            "strictWithinBatch needs a 'seq' column (per-stream arrival order)")
+        val w = Window.partitionBy("stream_id").orderBy("seq")
+        val bad = rounded
+          .withColumn("_prev_t", lag(col("t"), 1).over(w))
+          .where(col("_prev_t").isNotNull && col("t") < col("_prev_t"))
+          .select("stream_id").limit(1).collect()
+        bad.headOption.foreach { r =>
+          throw InvalidTimestamp(
+            s"non-monotonic timestamps within batch for stream ${r.getString(0)}")
+        }
+      }
 
       val deduped =
         if (!dedupExisting || bounds.isEmpty || !nonEmptyDir(datapointsPath)) rounded

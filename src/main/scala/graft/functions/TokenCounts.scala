@@ -66,16 +66,21 @@ case class TokenGroupCounts(left: Expression, right: Expression)
   // last lookup keyed on value equality: an equality probe is a flat
   // compare, far cheaper than a rebuild, and the common non-foldable shape
   // is one repeated marker set. The key is COPIED because unsafe-row
-  // ArrayData buffers are reused across rows.
-  @transient private var cachedKey: ArrayData = _
-  @transient private var cachedLookup: Lookup = _
+  // ArrayData buffers are reused across rows. Key and lookup live in ONE
+  // immutable tuple assigned once: expressions are normally deserialized
+  // per task, but if an instance were ever shared across threads, a torn
+  // (key, lookup) pair could silently return wrong counts — a single
+  // reference can at worst cause a harmless rebuild.
+  @transient private var cached: (ArrayData, Lookup) = _
 
   private def lookupFor(groups: ArrayData): Lookup = {
-    if (cachedLookup == null || cachedKey != groups) {
-      cachedKey = groups.copy()
-      cachedLookup = buildLookup(groups)
+    val c = cached
+    if (c != null && c._1 == groups) c._2
+    else {
+      val built = (groups.copy(), buildLookup(groups))
+      cached = built
+      built._2
     }
-    cachedLookup
   }
 
   private def buildLookup(groups: ArrayData): Lookup = {

@@ -130,7 +130,8 @@ object Derive {
     * fine for the reference's bounded per-stream history; an unbounded
     * stream belongs on the streaming path, whose GroupState fold is O(1).
     */
-  def ewma(source: DataFrame, alpha: Double): DataFrame = {
+  def ewma(source: DataFrame, alpha: Double,
+      maxPointsPerStream: Int = 4_000_000): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
     source.select(col("stream_id"), col("t"), col("v"))
@@ -141,7 +142,22 @@ object Derive {
         // so ties never occur there, but this is a public operator — the
         // value tie-break makes duplicate-timestamp input deterministic
         // instead of partition-order-dependent
-        val sorted = rows.toIndexedSeq.sortBy(r => (r._2.getTime, r._3))
+        val buf = scala.collection.immutable.IndexedSeq.newBuilder[
+          (String, java.sql.Timestamp, Double)]
+        var n = 0
+        rows.foreach { r =>
+          n += 1
+          // ENFORCED bounded-history precondition (was documentation-only):
+          // this one-task sort buffer is the batch shape; an unbounded
+          // stream belongs on graft.streaming's O(1) GroupState fold
+          if (n > maxPointsPerStream)
+            throw graft.model.InvalidOperatorArguments(
+              s"ewma: stream $sid exceeds $maxPointsPerStream points in one " +
+                "batch — use the streaming path (graft.streaming) or raise " +
+                "maxPointsPerStream")
+          buf += r
+        }
+        val sorted = buf.result().sortBy(r => (r._2.getTime, r._3))
         var acc = 0.0
         var first = true
         sorted.iterator.map { case (_, t, v) =>

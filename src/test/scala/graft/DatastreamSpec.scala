@@ -518,6 +518,51 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.deleteStreams(Map("name" -> "t2")) == 1)
   }
 
+  test("strictWithinBatch rejects in-batch decreases like sequential appends (A2)") {
+    import spark.implicits._
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "strict"))
+    // the same rows appended one call at a time would raise on the third —
+    // strict mode reproduces that through ONE bulk call via the seq order
+    val bad = Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0, 1L),
+      (id, ts("2024-01-01 00:00:05"), 2.0, 2L),
+      (id, ts("2024-01-01 00:00:03"), 3.0, 3L))
+      .toDF("stream_id", "t", "v", "seq")
+    intercept[InvalidTimestamp] {
+      ds.appendMultiple(bad, strictWithinBatch = true)
+    }
+    // nothing was written by the failed batch
+    assert(ds.getData(id, Granularity.Seconds).count() == 0)
+    // equal timestamps along seq are fine (matches the stored-last rule);
+    // and the seq column is a contract, not a stored column
+    val ok = Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0, 1L),
+      (id, ts("2024-01-01 00:00:01"), 2.0, 2L),
+      (id, ts("2024-01-01 00:00:07"), 3.0, 3L))
+      .toDF("stream_id", "t", "v", "seq")
+    ds.appendMultiple(ok, strictWithinBatch = true)
+    assert(ds.getData(id, Granularity.Seconds).count() == 3)
+    intercept[InvalidOperatorArguments] {
+      ds.appendMultiple(Seq((id, ts("2024-01-01 00:00:09"), 1.0))
+        .toDF("stream_id", "t", "v"), strictWithinBatch = true)
+    }
+  }
+
+  test("ewma enforces its bounded-history precondition with a typed error") {
+    import spark.implicits._
+    val many = (0 until 50).map(i =>
+      ("s1", ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), i.toDouble))
+      .toDF("stream_id", "t", "v")
+    // under the cap: works; over the cap: typed error naming the limit
+    assert(graft.operators.Derive.ewma(many, 0.5).count() == 50)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Derive.ewma(many, 0.5, maxPointsPerStream = 10).count()
+    }
+    assert(e.getMessage.contains("ewma") ||
+      Option(e.getCause).exists(_.getMessage.contains("ewma")))
+  }
+
   test("nested tag documents: ingest, canonical form, traversal, conflicts") {
     val ds = freshDs()
     val id = ds.ensureStream(Map("name" -> "nested1"))

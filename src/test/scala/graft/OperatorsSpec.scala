@@ -178,6 +178,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental batch-vs-corpus LSH recall is total on EVERY gate corpus (pins dedup_incremental oracle)") {
+    // dedup_incremental's oracle is the exact batch x corpus >= 0.3
+    // Jaccard pair set, but its banding recall (16 bands x 4 rows) is
+    // probabilistic — cross-check the BATCH shape (including the
+    // reversed-text docs) against an exact inverted-index run at every
+    // testdata dir, exactly like the corpus-self-join recall test above.
+    import spark.implicits._
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/documents.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      val docs = spark.read.parquet(path).select("doc_id", "text")
+      val batch = SparkEntry.incrementalGateBatch(docs)
+      val shC = Dedup.shingles(docs).localCheckpoint(true)
+      val shB = Dedup.shingles(batch).localCheckpoint(true)
+      val sizesC = shC.select(col("doc_id").as("cid"), size(col("shingles")).as("nc"))
+      val sizesB = shB.select(col("doc_id").as("bid"), size(col("shingles")).as("nb"))
+      val exact = shB.select(col("doc_id").as("bid"), explode(col("shingles")).as("s"))
+        .join(shC.select(col("doc_id").as("cid"), explode(col("shingles")).as("s")),
+          Seq("s"))
+        .groupBy("bid", "cid").agg(count(lit(1)).as("shared"))
+        .join(sizesB, "bid").join(sizesC, "cid")
+        .where(col("shared") / (col("nb") + col("nc") - col("shared")) >= 0.3)
+        .select("bid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.incrementalNearDuplicates(docs, batch, threshold = 0.3)
+        .select("doc_id", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exact,
+        s"$path: incremental LSH missed ${(exact -- banded).size} true pairs " +
+          s"/ gained ${(banded -- exact).size}")
+    }
+  }
+
   test("banded embedding LSH recall is total on EVERY gate corpus (pins emb_near_pairs oracle)") {
     // emb_near_pairs/dedup_embedding keep their exact all-pairs oracles
     // while the Spark side generates candidates via the banded hyperplane
