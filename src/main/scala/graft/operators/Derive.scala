@@ -153,8 +153,8 @@ object Derive {
           if (n > maxPointsPerStream)
             throw graft.model.InvalidOperatorArguments(
               s"ewma: stream $sid exceeds $maxPointsPerStream points in one " +
-                "batch — use the streaming path (graft.streaming) or raise " +
-                "maxPointsPerStream")
+                "batch — use graft.streaming.Streaming.ewma (O(1) state) or " +
+                "raise maxPointsPerStream")
           buf += r
         }
         val sorted = buf.result().sortBy(r => (r._2.getTime, r._3))

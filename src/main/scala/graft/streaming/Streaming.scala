@@ -162,6 +162,33 @@ object Streaming {
       }
   }
 
+  /** EWMA state: the running smoothed value of one stream. */
+  case class EwmaState(value: Double)
+
+  /** Stateful streaming EWMA — the O(1)-state smoother the batch
+    * [[graft.operators.Derive.ewma]] bounded-history guard points at:
+    * `ewma_i = α·v_i + (1−α)·ewma_{i−1}`, state one double per stream
+    * regardless of history length. Rows sort by (t, v) within each
+    * micro-batch like the batch path's global sort, so in-order delivery
+    * reproduces the batch output exactly (asserted in StreamingSpec).
+    */
+  def ewma(src: Dataset[Point], alpha: Double): Dataset[Point] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.stream_id)
+      .flatMapGroupsWithState[EwmaState, Point](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+          var acc = state.getOption.map(_.value)
+          val out = sorted.map { p =>
+            acc = Some(acc.fold(p.v)(prev => alpha * p.v + (1 - alpha) * prev))
+            Point(key, p.t, acc.get)
+          }
+          acc.foreach(a => state.update(EwmaState(a)))
+          out.iterator
+      }
+  }
+
   /** Outcome of the streaming monotonicity gate for one point. */
   case class GatedPoint(stream_id: String, t: Timestamp, v: Double,
       accepted: Boolean)

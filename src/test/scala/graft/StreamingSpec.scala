@@ -86,6 +86,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
   }
 
+  test("stateful streaming ewma == batch ewma across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.ewma(mem.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    val pts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 10.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:10"), 30.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:20"), 25.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:30"), 4.0))
+    mem.addData(pts.take(3)); q.processAllAvailable()
+    mem.addData(pts.drop(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    // bit-equal to the batch fold: same recurrence, same fold order
+    val batch = Derive.ewma(pts.toDF("stream_id", "t", "v"), 0.3)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.size == 5)
+  }
+
   test("stateful streaming counter_derivative handles wrap across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
