@@ -189,6 +189,24 @@ object Streaming {
       }
   }
 
+  /** Streaming gap-based sessionization — the incremental form of the
+    * batch q_sessionize (lag + running-sum) shape: Spark's native
+    * `session_window` merges per-key events within `gap` of each other;
+    * Append mode emits a session once the watermark passes its end (the
+    * same closed-session rule as the batch formulation over complete
+    * data). State is one open session per key, watermark-bounded. Output:
+    * (stream_id, sess_start, sess_end, n_events, v_sum).
+    */
+  def sessionize(src: DataFrame, gap: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    src.withWatermark("t", watermarkDelay)
+      .groupBy(col("stream_id"), session_window(col("t"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("v_sum"))
+      .select(col("stream_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("v_sum"))
+
   /** Outcome of the streaming monotonicity gate for one point. */
   case class GatedPoint(stream_id: String, t: Timestamp, v: Double,
       accepted: Boolean)

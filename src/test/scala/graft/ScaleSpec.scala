@@ -147,6 +147,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx=$approx exact=$exact")
   }
 
+  test("banded embedding dedup plans as equi-joins — never a cartesian pair scan") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // with auto-broadcast off this is the 100TB plan: the (band, bucket)
+    // candidate join and the rerank id joins must all be key equi-joins;
+    // a BroadcastNestedLoop/CartesianProduct would mean the O(n²)
+    // all-pairs scan crept back (the r4 scale-killer)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("emb_near_pairs", "dedup_embedding")) {
+        val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+          s"$q plans a pair scan:\n$p")
+        assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+          .findAllIn(p).nonEmpty, s"$q lost its equi-joins:\n$p")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("nested-tag json-path stream lookup") {
     val store = new graft.core.Datastream(spark,
       java.nio.file.Files.createTempDirectory("graft-nested").toString)

@@ -164,6 +164,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
   }
 
+  test("streaming sessionization == batch session_window on closed sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.sessionize(mem.toDS().toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val pts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.Point("a", ts("2024-01-01 00:05:00"), 2.0),  // same session
+      Streaming.Point("b", ts("2024-01-01 00:00:00"), 5.0),
+      Streaming.Point("a", ts("2024-01-01 01:00:00"), 3.0),  // new session
+      Streaming.Point("b", ts("2024-01-01 00:09:00"), 6.0))  // extends b's
+    mem.addData(pts.take(3)); q.processAllAvailable()
+    mem.addData(pts.drop(3)); q.processAllAvailable()
+    // sentinel far in the future advances the watermark past every real
+    // session's (last event + gap) so they all close and emit
+    mem.addData(Seq(Streaming.Point("wm", ts("2024-01-02 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))
+    val got = spark.table("sess_out").where(col("stream_id") =!= "wm")
+      .collect().map(key).toSet
+    // batch oracle: the SAME session_window over the complete data
+    val batch = pts.toDF("stream_id", "t", "v")
+      .groupBy(col("stream_id"), session_window(col("t"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select(col("stream_id"), col("session_window.start"),
+        col("session_window.end"), col("n"), col("s"))
+      .collect().map(key).toSet
+    assert(got == batch)
+    assert(got.size == 3) // a: two sessions, b: one merged session
+  }
+
   test("monotonicity gate flags late points across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
