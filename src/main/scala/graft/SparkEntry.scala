@@ -979,6 +979,34 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "ds_stream_sessions" -> { (s, dir) =>
+      // batch≡streaming sessionization: replay events through
+      // Streaming.sessionize (session_window, Append mode) — the oracle
+      // is gap-based session SQL with the closed-session rule (last
+      // event + gap <= final watermark)
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"sess_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming
+          .sessionize(mem.toDF.toDF("stream_id", "t", "v"), "30 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val rows = eventStreams(s, dir).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        mem.addData(rows.toSeq)
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name)
+        .select("stream_id", "sess_start", "sess_end", "n_events", "v_sum")
+        .orderBy("stream_id", "sess_start")
+    },
+
     // ---- LLM-pipeline surface (north-star extras) ---------------------
 
     "doc_stats" -> { (s, dir) =>
@@ -2141,6 +2169,29 @@ object SparkEntry {
         |GROUP BY stream_id, be, mx.m
         |HAVING be + 60 <= mx.m
         |ORDER BY stream_id, be""".stripMargin,
+
+    "ds_stream_sessions" ->
+      // session boundary: a gap of >= 1800s starts a new session (Spark
+      // session_window end is exclusive: an event at exactly last+gap
+      // starts a new session). Closed-session rule mirrors the streaming
+      // watermark: last event + gap <= final max event time.
+      s"""WITH $srcSql,
+        |o AS (SELECT stream_id, t, v,
+        |    lag(t) OVER (PARTITION BY stream_id ORDER BY t) AS pt FROM src),
+        |f AS (SELECT stream_id, t, v,
+        |    CASE WHEN pt IS NULL OR epoch(t) - epoch(pt) >= 1800
+        |         THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (SELECT stream_id, t, v,
+        |    sum(brk) OVER (PARTITION BY stream_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |mx AS (SELECT max(epoch(t)) AS m FROM src)
+        |SELECT stream_id, min(t) AS sess_start,
+        |  CAST(to_timestamp(CAST(max(epoch(t)) + 1800 AS BIGINT)) AS TIMESTAMP) AS sess_end,
+        |  count(*) AS n_events, sum(v) AS v_sum
+        |FROM g, mx
+        |GROUP BY stream_id, sid, mx.m
+        |HAVING max(epoch(t)) + 1800 <= mx.m
+        |ORDER BY stream_id, sess_start""".stripMargin,
 
     "doc_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
