@@ -26,7 +26,8 @@ object Plans {
         "pipe_mixture", "q_snowflake_volume", "q_tfidf_top_terms",
         "q_decimal_money", "dedup_simhash", "q_agg_filter",
         "dedup_incremental", "pipe_profile_numeric", "pipe_chunk_documents",
-        "emb_near_pairs", "dedup_embedding")
+        "emb_near_pairs", "dedup_embedding", "store_nested_tags",
+        "mm_pipeline")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
