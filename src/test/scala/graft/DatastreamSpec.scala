@@ -438,6 +438,40 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incremental.nonEmpty)
   }
 
+  test("stale derive coverage marker self-heals via full recompute") {
+    import spark.implicits._
+    // simulate the crash window (store write landed, derive skipped): the
+    // coverage marker lags the source's extent, so the NEXT append must
+    // detect staleness and fall back to the full recompute instead of
+    // leaving a silent gap
+    val ds = freshDs()
+    val src = ds.ensureStream(Map("name" -> "heal-src"))
+    val drvId = ds.ensureStream(Map("name" -> "heal-drv"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    ds.appendMultiple((0 until 5).map(i =>
+      (src, ts(f"2024-04-01 00:0$i:00"), i * 10.0)).toDF("stream_id", "t", "v"))
+    // corrupt: rewind the marker AND delete the day's derived output — the
+    // worst case where derived data is genuinely missing for covered time
+    val marker = new java.io.File(
+      s"${ds.rootDir}/derived_raw/stream_id=$drvId/_graft_coverage")
+    assert(marker.exists())
+    java.nio.file.Files.writeString(marker.toPath,
+      (ts("2024-03-31 00:00:00").getTime / 1000L).toString)
+    val gdir = new java.io.File(
+      s"${ds.rootDir}/derived_raw/stream_id=$drvId/granularity=seconds")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    gdir.listFiles().filter(_.getName.startsWith("ymd=")).foreach(rm)
+    assert(ds.getData(drvId, Granularity.Seconds).count() == 0) // gap is real
+    // next append: prevLatest(src) = 00:04 > marker cw -> stale -> FULL
+    // recompute heals the whole stream, not just the new day's window
+    ds.appendMultiple(Seq((src, ts("2024-04-02 00:00:00"), 100.0))
+      .toDF("stream_id", "t", "v"))
+    assert(ds.getData(drvId, Granularity.Seconds).count() == 5)
+  }
+
   test("incremental derive scan work stays flat as history grows") {
     import spark.implicits._
     val ds = freshDs()
