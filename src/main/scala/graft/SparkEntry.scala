@@ -1066,6 +1066,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "emb_clusters" -> { (s, dir) =>
+      // embedding-space cluster collapse: banded-LSH near-pair graph
+      // (equi-join candidates, exact rerank) -> distributed min-label
+      // connected components — the same composition as dedup_clusters but
+      // over cosine edges. Oracle = recursive CTE over the exact pair set.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Dedup.connectedComponents(
+          Similarity.bandedNearPairs(withInjectedEmbVariants(e), 0.9, dim = 64)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .orderBy("doc_id")
+    },
+
     "dedup_incremental" -> { (s, dir) =>
       // steady-state ingest dedup: a NEW batch (20 injected near-dup
       // variants + 20 reversed-text unique docs) checked against the
@@ -2019,6 +2032,21 @@ object SparkEntry {
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(u, v) AS (SELECT u, v FROM edges
         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS rep_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "emb_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
+        |pairs AS (SELECT x.vec_id AS u, y.vec_id AS v FROM a x, a y
+        |  WHERE x.vec_id < y.vec_id
+        |    AND list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) > 0.9),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
         |SELECT u AS doc_id, least(u, min(v)) AS rep_id
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
