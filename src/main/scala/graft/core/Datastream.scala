@@ -651,6 +651,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * means completed coarse buckets are exactly unions of completed finer
     * buckets). Only completed buckets (bucket end <= until) are written.
     */
+  /** Reference-parity overload: `until=None` means "now" (A10's default —
+    * every bucket that has already closed in wall-clock time
+    * materializes).
+    */
+  def downsampleStreams(): Option[DataFrame] =
+    downsampleStreams(new Timestamp(System.currentTimeMillis()))
+
   def downsampleStreams(until: Timestamp,
       queryTags: Map[String, String] = Map.empty,
       returnDatapoints: Boolean = false,

@@ -520,6 +520,17 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.getData(drv, Granularity.Seconds).count() == n)
   }
 
+  test("downsample_streams() with no until defaults to now (A10 parity)") {
+    import spark.implicits._
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "until-now"))
+    ds.appendMultiple((0 until 3).map(i =>
+      (id, ts(f"2024-01-01 00:0$i:00"), i.toDouble)).toDF("stream_id", "t", "v"))
+    ds.downsampleStreams() // historical buckets are all closed vs wall clock
+    assert(ds.getData(id, Granularity.Minutes).count() == 3)
+    assert(ds.getData(id, Granularity.Days).count() == 1)
+  }
+
   test("incompatible granularity for derived stream raises") {
     val ds = freshDs()
     val src = ds.ensureStream(Map("name" -> "coarse"),
