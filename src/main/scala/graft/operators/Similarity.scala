@@ -88,10 +88,12 @@ object Similarity {
   def bandedNearPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bands: Int = 12, rowsPerBand: Int = 10): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
-    // index stage materialized once: the banded self-join and both rerank
-    // sides re-run their input lineage per use otherwise (CLAUDE.md:
-    // self-joins re-execute their input per side)
-    val n = withNorm(vectors, "emb", "norm").localCheckpoint(true)
+    // NOT checkpointed: materializing the normed corpus would copy every
+    // vector to executor disk — at 100 TB the wrong trade. The rerank
+    // sides instead re-scan the (column-pruned) source; only the SMALL
+    // derived artifact below (id, band, bucket) is pinned, which is what
+    // the self-join actually re-executes per side.
+    val n = withNorm(vectors, "emb", "norm")
     val bucketCols = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val p = b * rowsPerBand + r
