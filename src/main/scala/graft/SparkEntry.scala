@@ -1541,6 +1541,14 @@ object SparkEntry {
         .orderBy("user_id", "day")
     },
 
+    "graph_churn" -> { (s, dir) =>
+      // temporal graph analytics: per-user edge churn between consecutive
+      // day snapshots (first snapshot counts all edges as added)
+      Graphs.churn(graphSnapshots(s, dir), Seq("user_id"), "day")
+        .select("user_id", "day", "n_added", "n_removed")
+        .orderBy("user_id", "day")
+    },
+
     "graph_edge_degree" -> { (s, dir) =>
       // explode the stored snapshots back into relational edges and rank
       // event-type transition sources by out-degree
@@ -2515,6 +2523,27 @@ object SparkEntry {
         |FROM events WHERE user_id < 8
         |GROUP BY user_id, CAST(ts AS DATE)
         |ORDER BY user_id, day""".stripMargin,
+
+    "graph_churn" ->
+      // distinct transition edges per (user, day), day-ordered set diff;
+      // days with a single event have no edges and carry no row (same as
+      // the Spark edges explode)
+      """WITH seq AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                          ORDER BY event_id) AS prev
+        |  FROM events WHERE user_id < 8),
+        |ed AS (SELECT DISTINCT user_id, day, prev || ' ' || event_type AS edge
+        |  FROM seq WHERE prev IS NOT NULL),
+        |g AS (SELECT user_id, day, list(edge) AS es FROM ed GROUP BY user_id, day),
+        |o AS (SELECT user_id, day, es,
+        |    lag(es) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM g)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN prev IS NULL THEN len(es)
+        |       ELSE len(list_filter(es, e -> NOT list_contains(prev, e))) END AS BIGINT) AS n_added,
+        |  CAST(CASE WHEN prev IS NULL THEN 0
+        |       ELSE len(list_filter(prev, e -> NOT list_contains(es, e))) END AS BIGINT) AS n_removed
+        |FROM o ORDER BY user_id, day""".stripMargin,
 
     "graph_edge_degree" ->
       """WITH seq AS (
