@@ -873,6 +873,41 @@ object SparkEntry {
         .orderBy("nation")
     },
 
+    "store_derive_pipeline" -> { (s, dir) =>
+      // the INCREMENTAL derive-on-append path under the oracle: per-key
+      // source+derivative stream pairs, three staged monotonic appends
+      // (first = full materialization, later ones = bounded incremental
+      // rewrite with the one-point lookback), derived data read back and
+      // compared to the relational derivative over the complete series
+      val work = java.nio.file.Files.createTempDirectory("graft-drv-q").toString
+      val ds = new graft.core.Datastream(s, work)
+      val pts = eventStreams(s, dir)
+        .where(col("stream_id").startsWith("1:") ||
+               col("stream_id").startsWith("2:"))
+        .groupBy("stream_id", "t").agg(sum("v").as("v"))
+        .localCheckpoint(true) // three filtered reuses below
+      val keys = pts.select("stream_id").distinct()
+        .collect().map(_.getString(0)).sorted
+      val idOf = keys.map(k => k -> ds.ensureStream(Map("src" -> k))).toMap
+      keys.foreach(k => ds.ensureStream(Map("drv" -> k),
+        deriveFrom = Seq(idOf(k)), deriveOp = Some(graft.model.DeriveOps.Derivative)))
+      val uuidOf = typedLit(idOf)
+      val mapped = pts.select(uuidOf(col("stream_id")).as("stream_id"),
+        col("t"), col("v"))
+      Seq(("0001-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"),
+          ("2024-01-20", "2099-01-01")).foreach { case (lo, hi) =>
+        ds.appendMultiple(mapped.where(
+          col("t") >= lit(java.sql.Date.valueOf(lo)) &&
+          col("t") < lit(java.sql.Date.valueOf(hi))))
+      }
+      ds.datapoints.where(col("granularity") === "seconds")
+        .join(ds.streams.where(element_at(col("tags"), "drv").isNotNull)
+          .select(col("stream_id"), element_at(col("tags"), "drv").as("name")),
+          "stream_id")
+        .select(col("name"), col("t"), col("v_num").as("v"))
+        .orderBy("name", "t")
+    },
+
     "ds_agg_minutes10" -> { (s, dir) =>
       Downsample.toGranularity(eventStreams(s, dir), Granularity.Minutes10)
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
@@ -2167,6 +2202,18 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS med,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "store_derive_pipeline" ->
+      s"""WITH $srcSql, $pointSql,
+        |f AS (SELECT * FROM pts
+        |  WHERE stream_id LIKE '1:%' OR stream_id LIKE '2:%'),
+        |d AS (SELECT stream_id, t, v,
+        |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv,
+        |    lag(t) OVER (PARTITION BY stream_id ORDER BY t) AS pt
+        |  FROM f)
+        |SELECT stream_id AS name, t, (v - pv) / (epoch(t) - epoch(pt)) AS v
+        |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
+        |ORDER BY name, t""".stripMargin,
 
     "store_nested_tags" ->
       """SELECT n_name AS nation, r_name AS region
