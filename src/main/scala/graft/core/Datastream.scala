@@ -180,11 +180,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         }
         if (deriveBackprocess && deriveFrom.nonEmpty &&
             deriveFrom.exists(hasHistory(_))) {
-          // flush FIRST: recomputeDerived writes partition dirs keyed by
+          // flush FIRST: the recompute writes partition dirs keyed by
           // this id, and a crash between that write and a later lazy
           // flush would strand orphan data no catalog entry explains
           flush()
-          recomputeDerived(desc)
+          recomputeFully(Seq(desc))
         }
         id
       case many => throw MultipleStreamsReturned(queryTags.toString)
@@ -449,18 +449,6 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       import spark.implicits._
       df.join(broadcast(idsSel.toDF("stream_id")), Seq("stream_id"), "left_semi")
     }
-
-  /** Raw points of a set of streams at their highest granularity, shaped
-    * (stream_id, t, v) for the operators.
-    */
-  private def rawPoints(ids: Seq[String]): DataFrame = {
-    val gOf = catalog.filter(d => ids.contains(d._1))
-      .map { case (id, d) => id -> d.highest_granularity }
-    datapoints
-      .where(col("stream_id").isin(ids: _*) &&
-             col("granularity").isin(gOf.values.toSeq.distinct: _*))
-      .select(col("stream_id"), col("t"), col("v_num").as("v"))
-  }
 
   // ---- A4 get_data ----------------------------------------------------
 
@@ -833,19 +821,28 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       regions0: Map[String, Region]): Unit = {
     val regions = scala.collection.mutable.Map.empty[String, Region] ++ regions0
     var changed = ids
-    derivedInOrder(ids).filterNot(d => ids(d.stream_id)).foreach { d =>
-      val changedDeps = depsOf(d).distinct.filter(changed)
-      incrementalDerive(d, changedDeps, regions.toMap) match {
-        case Some(r) => regions(d.stream_id) = r
-        case None =>
-          recomputeDerived(d)
-          // full rewrite: the changed region is unbounded below, which
-          // Region cannot express — leave no region so dependents of this
-          // stream also recompute fully
-          regions.remove(d.stream_id)
-      }
-      changed += d.stream_id
+    val order = derivedInOrder(ids).filterNot(d => ids(d.stream_id))
+    deriveWaves(order).foreach { wave =>
+      processWave(wave, regions, changed, forceFull = false)
+      changed ++= wave.map(_.stream_id)
     }
+  }
+
+  /** Topological WAVES of the affected derive DAG: wave k streams depend
+    * only on waves < k (or unchanged streams), so one wave's recomputes
+    * are mutually independent and batch into a constant number of Spark
+    * jobs — per-append derive work is O(waves × ops), NEVER a job per
+    * derived stream (the driver-bottleneck that would break a
+    * million-stream store).
+    */
+  private def deriveWaves(order: Seq[StreamDescriptor]): Seq[Seq[StreamDescriptor]] = {
+    val affected = order.map(_.stream_id).toSet
+    var waveOf = Map.empty[String, Int]
+    order.foreach { d =>
+      val dw = depsOf(d).filter(affected).flatMap(waveOf.get)
+      waveOf += d.stream_id -> (if (dw.isEmpty) 0 else dw.max + 1)
+    }
+    order.groupBy(d => waveOf(d.stream_id)).toSeq.sortBy(_._1).map(_._2)
   }
 
   /** A dependency's data extent: last datapoint timestamp for raw streams
@@ -917,207 +914,321 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   private val lookbackDays = 40L
 
-  /** The last datapoint rows (all rows at max t) of `srcId` strictly
-    * before `w`, as collected (stream_id, t, v) rows — the one point of
-    * lookback the lag-local ops need. Partition-exact when the pre-batch
-    * latest is known (steady tail append: one ymd day scanned); a bounded
-    * `lookbackDays`-day backward scan otherwise. None = could not bound
-    * the search — caller must full-recompute.
-    */
-  private def lookbackRows(srcId: String, w: Timestamp,
-      prevLatest: Option[Timestamp]): Option[Array[org.apache.spark.sql.Row]] = {
-    val sd = catalog(srcId)
-    val wKey = DatapointStore.ymdKey(w)
-    if (wKey.toLong == 0L) return None // pre-epoch rows share day 0: no pruning
-    val hg = sd.highest_granularity
-    def scanDays(keyLo: String, keyHi: String): DataFrame =
-      datapoints.where(col("stream_id") === srcId &&
-          col("granularity") === hg &&
-          col("ymd") >= keyLo && col("ymd") <= keyHi && col("t") < w)
-        .select(col("stream_id"), col("t"), col("v_num").as("v"))
-    def maxTRows(scan: DataFrame): Array[org.apache.spark.sql.Row] = {
-      val m = scan.agg(max("t")).collect().head
-      if (m.isNullAt(0)) Array.empty
-      else scan.where(col("t") === m.getTimestamp(0)).collect()
-    }
-    if (sd.derive_op.isDefined) {
-      // derived roots partition by stream_id first: the last pre-w day is
-      // an exact driver-side directory listing, no probing
-      val gdir = new java.io.File(s"$derivedRawPath/stream_id=$srcId/granularity=$hg")
-      val keys = Option(gdir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("ymd="))
-        .map(_.getName.stripPrefix("ymd=")).filter(_ < wKey)
-      if (keys.isEmpty) Some(Array.empty)
-      else Some(maxTRows(scanDays(keys.max, keys.max)))
-    } else sd.earliest_ts match {
-      case None => Some(Array.empty)
-      case Some(e) if !e.before(w) => Some(Array.empty)
-      case Some(e) =>
-        prevLatest match {
-          case Some(pl) if pl.before(w) =>
-            // steady tail append: the stream's last point IS at t ==
-            // prevLatest (stored timestamps are floored the same way the
-            // catalog bound is), so exactly one ymd partition holds it
-            val k = DatapointStore.ymdKey(pl)
-            Some(maxTRows(scanDays(k, k)))
-          case _ =>
-            // same-day re-append or historical insert: the last pre-w
-            // point's day is unknown — one pruned scan over the trailing
-            // lookbackDays window, then give up
-            val eDay = DatapointStore.ymdKey(e).toLong
-            val loDay = math.max(wKey.toLong - lookbackDays, eDay)
-            val rows = maxTRows(scanDays(f"$loDay%09d", f"${wKey.toLong - 1}%09d"))
-            if (rows.nonEmpty || eDay >= wKey.toLong - lookbackDays) Some(rows)
-            else None
-        }
-    }
-  }
+  private val lbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("stream_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("t",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.DoubleType)))
 
-  /** Attempt the bounded incremental recompute of one derived stream.
-    * Returns the region it rewrote (for dependents downstream), or None
-    * when a precondition fails and the caller must run the full recompute.
+  /** Driver-only incremental-eligibility check for one derived stream:
+    * Some((windowStart, sumHiKey, oldCoverage)) when the bounded rewrite
+    * is allowed, None → full recompute. Preconditions: every changed dep
+    * carries a Region, the stream was materialized before (coverage
+    * marker exists), and no dependency extends past our coverage (a crash
+    * skipped a derive — incremental would freeze that gap stale).
     */
-  private def incrementalDerive(d: StreamDescriptor, changedDeps: Seq[String],
-      regions: Map[String, Region]): Option[Region] = {
+  private def incEligibility(d: StreamDescriptor, changedDeps: Seq[String],
+      regions: Map[String, Region]): Option[(Timestamp, Option[String], Timestamp)] = {
     if (changedDeps.isEmpty || !changedDeps.forall(regions.contains)) return None
     if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return None
     val cw = readCoverage(d.stream_id) match {
       case Some(t) => t
       case None => return None // pre-marker store or never derived: full
     }
-    // staleness self-heal: if any dependency already held data beyond our
-    // coverage BEFORE this batch, a previous derive was skipped (crash
-    // between store write and derive) — incremental would leave that gap
-    // stale forever, so recompute fully instead
     val stale = depsOf(d).distinct.exists { x =>
       regions.get(x).map(_.extentBefore).getOrElse(depExtent(x))
         .exists(_.after(cw))
     }
     if (stale) return None
-
-    val g = Granularity(d.highest_granularity)
     val w = dayStart(changedDeps.map(x => regions(x).loTs).minBy(_.getTime))
-    val wKey = DatapointStore.ymdKey(w)
-    def tail(ids: Seq[String], fromTs: Timestamp): DataFrame = {
-      val gnames = ids.map(catalog(_).highest_granularity).distinct
-      datapoints.where(col("stream_id").isin(ids: _*) &&
-          col("granularity").isin(gnames: _*) &&
-          col("ymd") >= DatapointStore.ymdKey(fromTs) && col("t") >= fromTs)
-        .select(col("stream_id"), col("t"), col("v_num").as("v"))
-    }
-    val lbSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("stream_id",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("t",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("v",
-        org.apache.spark.sql.types.DoubleType)))
+    // pre-epoch rows share ymd day 0 — no pruning possible for the
+    // lag-op lookback; sum stays day-local and is still fine
+    if (DatapointStore.ymdKey(w).toLong == 0L &&
+        d.derive_op.get != DeriveOps.Sum) return None
+    val hiKey = if (d.derive_op.get == DeriveOps.Sum) {
+      val his = changedDeps.map(x => regions(x).hiKey)
+      if (his.forall(_.isDefined)) Some(his.flatten.max) else None
+    } else None
+    Some((w, hiKey, cw))
+  }
 
-    val (out, hiKeyOut): (DataFrame, Option[String]) = d.derive_op.get match {
-      case DeriveOps.Sum =>
-        // bucket-local: only the appended days' buckets can change (every
-        // ladder granularity divides a day, so no bucket straddles the
-        // day-partition boundary). Rewrite exactly those days from ALL
-        // sources pruned to them.
-        val his = changedDeps.map(x => regions(x).hiKey)
-        val hiKey = if (his.forall(_.isDefined)) Some(his.flatten.max) else None
-        val src = {
-          val base = tail(d.derive_from, w)
-          hiKey.fold(base)(k => base.where(col("ymd") <= k))
-        }
-        (Derive.streamSum(src, g, d.stream_id), hiKey)
-      case op =>
-        val srcId = d.derive_from.head
-        val prevLatest = regions.get(srcId).map(_.extentBefore)
-          .getOrElse(catalog(srcId).latest_ts)
-        val lb = lookbackRows(srcId, w, prevLatest) match {
-          case Some(rows) => rows
-          case None => return None
-        }
-        val lbDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(lb.toSeq, 1), lbSchema)
-        val input = tail(Seq(srcId), w).unionByName(lbDf)
-        val res = op match {
-          case DeriveOps.Derivative => Derive.derivative(input)
-          case DeriveOps.CounterReset => Derive.counterReset(input)
-          case DeriveOps.CounterDerivative =>
-            val maxValue = d.derive_args.flatMap(Json.numField(_, "max_value"))
-            val resetId = d.derive_args.flatMap(Json.strField(_, "reset_stream"))
-            // resets at or after the lookback point can still suppress the
-            // first in-window interval; older ones are <= prev_t for every
-            // in-window pair and thus can never suppress — safe to omit
-            val resetFrom = lb.headOption.map(_.getTimestamp(1)).getOrElse(w)
-            val reset = resetId.map { rid =>
-              datapoints.where(col("stream_id") === rid &&
-                  col("granularity") === catalog(rid).highest_granularity &&
-                  col("ymd") >= DatapointStore.ymdKey(resetFrom) &&
-                  col("t") >= resetFrom)
-                .select(lit(srcId).as("stream_id"), col("t"))
-            }
-            Derive.counterDerivative(input, maxValue, reset)
-        }
-        (res, None)
+  /** One unique lookback need: the last datapoint rows of `srcId`
+    * strictly before `w`. `loKey`/`hiKey` bound the partition scan;
+    * `giveUpIfEmpty` marks the bounded backward search whose emptiness
+    * proves nothing (data older than the window) → full recompute.
+    */
+  private case class LbSpec(srcId: String, gname: String, w: Timestamp,
+      loKey: String, hiKey: String, giveUpIfEmpty: Boolean)
+
+  /** Resolve the (srcId, w) lookbacks of a wave in ONE batched scan per
+    * distinct (loKey, hiKey, w) partition window (steady state: one scan
+    * for the whole wave, one pruned day). Returns rows keyed by source
+    * id, or None for give-ups.
+    */
+  private def batchedLookbacks(needs: Seq[(String, Timestamp, Option[Timestamp])])
+      : Map[(String, Timestamp), Option[Array[org.apache.spark.sql.Row]]] = {
+    val resolved = scala.collection.mutable.Map
+      .empty[(String, Timestamp), Option[Array[org.apache.spark.sql.Row]]]
+    val specs = scala.collection.mutable.ArrayBuffer.empty[LbSpec]
+    needs.distinct.foreach { case (srcId, w, prevLatest) =>
+      val sd = catalog(srcId)
+      val wKey = DatapointStore.ymdKey(w)
+      val hg = sd.highest_granularity
+      if (sd.derive_op.isDefined) {
+        // derived roots partition by stream_id first: the last pre-w day
+        // is an exact driver-side directory listing, no probing
+        val gdir = new java.io.File(s"$derivedRawPath/stream_id=$srcId/granularity=$hg")
+        val keys = Option(gdir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("ymd="))
+          .map(_.getName.stripPrefix("ymd=")).filter(_ < wKey)
+        if (keys.isEmpty) resolved((srcId, w)) = Some(Array.empty)
+        else specs += LbSpec(srcId, hg, w, keys.max, keys.max, giveUpIfEmpty = false)
+      } else sd.earliest_ts match {
+        case None => resolved((srcId, w)) = Some(Array.empty)
+        case Some(e) if !e.before(w) => resolved((srcId, w)) = Some(Array.empty)
+        case Some(e) =>
+          prevLatest match {
+            case Some(pl) if pl.before(w) =>
+              // steady tail append: the stream's last point IS at t ==
+              // prevLatest (stored timestamps are floored like the
+              // catalog bound), so exactly one ymd partition holds it
+              val k = DatapointStore.ymdKey(pl)
+              specs += LbSpec(srcId, hg, w, k, k, giveUpIfEmpty = false)
+            case _ =>
+              // same-day re-append or historical insert: the last pre-w
+              // point's day is unknown — bounded backward window, then
+              // give up unless the window provably covers the stream
+              val eDay = DatapointStore.ymdKey(e).toLong
+              val loDay = math.max(wKey.toLong - lookbackDays, eDay)
+              specs += LbSpec(srcId, hg, w, f"$loDay%09d",
+                f"${wKey.toLong - 1}%09d",
+                giveUpIfEmpty = eDay < wKey.toLong - lookbackDays)
+          }
+      }
     }
-    val result = out.withColumn("stream_id", lit(d.stream_id))
-      .withColumn("t", timestamp_seconds(
-        floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
-      .where(col("t") >= lit(w)) // lookback-internal pairs never emit
-    deleteDerivedYmds(derivedRawPath, d.stream_id, wKey, hiKeyOut)
-    // rollups: always drop from wKey onward (not the finite sum range) —
-    // the downsample ladder's high-water mark only regenerates buckets
-    // past the max remaining one, so a finite mid-range hole would never
-    // re-materialize
-    deleteDerivedYmds(rollupsPath, d.stream_id, wKey, None)
-    DatapointStore.appendByStream(result.select(
-        col("stream_id"), lit(g.name).as("granularity"), col("t"),
-        col("v").as("v_num")),
-      derivedRawPath)
-    writeCoverage(d.stream_id, coverageNow(d))
-    Some(Region(w, hiKeyOut, Some(cw)))
+    specs.groupBy(sp => (sp.loKey, sp.hiKey, sp.w)).foreach {
+      case ((loKey, hiKey, _), group) =>
+        val cond = group.map(sp =>
+          col("stream_id") === sp.srcId &&
+            col("granularity") === sp.gname && col("t") < lit(sp.w))
+          .reduce(_ || _)
+        val rows = datapoints
+          .where(col("ymd") >= loKey && col("ymd") <= hiKey && cond)
+          .select(col("stream_id"), col("t"), col("v_num").as("v"))
+          .withColumn("__mx",
+            max("t").over(Window.partitionBy("stream_id")))
+          .where(col("t") === col("__mx")).drop("__mx")
+          .collect()
+        val bySrc = rows.groupBy(_.getString(0))
+        group.foreach { sp =>
+          val got = bySrc.getOrElse(sp.srcId, Array.empty)
+          resolved((sp.srcId, sp.w)) =
+            if (got.isEmpty && sp.giveUpIfEmpty) None else Some(got)
+        }
+    }
+    resolved.toMap
+  }
+
+  /** Recompute one WAVE of mutually independent derived streams with a
+    * CONSTANT number of Spark jobs: streams group by operator, inputs
+    * re-key to their output stream id through one broadcast (src → out)
+    * mapping join, the per-stream window/bucket logic runs keyed by that
+    * id (the ops already partition by stream_id), and ONE partitioned
+    * write lands the whole group. Incremental and full streams share the
+    * jobs — a null per-pair window means "all history". Per-stream work
+    * (partition deletes, coverage markers, region bookkeeping) stays
+    * driver-side and O(#streams) cheap.
+    */
+  private def processWave(wave: Seq[StreamDescriptor],
+      regions: scala.collection.mutable.Map[String, Region],
+      changed: Set[String], forceFull: Boolean): Unit = {
+    import spark.implicits._
+    if (wave.isEmpty) return
+    // classify (driver-only), then resolve lag-op lookbacks batched
+    val elig = wave.map { d =>
+      d -> (if (forceFull) None
+            else incEligibility(d, depsOf(d).distinct.filter(changed), regions.toMap))
+    }.toMap
+    val lagNeeds = elig.collect {
+      case (d, Some((w, _, _))) if d.derive_op.get != DeriveOps.Sum =>
+        val srcId = d.derive_from.head
+        (srcId, w, regions.get(srcId).map(_.extentBefore)
+          .getOrElse(catalog(srcId).latest_ts))
+    }.toSeq
+    val lookups = batchedLookbacks(lagNeeds)
+
+    // final plan per stream: Some((w, hiKey, cw, lookbackRows)) or None=full
+    val plan: Map[String, Option[(Timestamp, Option[String], Timestamp,
+        Array[org.apache.spark.sql.Row])]] =
+      elig.map { case (d, e) =>
+        d.stream_id -> e.flatMap { case (w, hiKey, cw) =>
+          if (d.derive_op.get == DeriveOps.Sum)
+            Some((w, hiKey, cw, Array.empty[org.apache.spark.sql.Row]))
+          else lookups((d.derive_from.head, w)) match {
+            case Some(rows) => Some((w, hiKey, cw, rows))
+            case None => None // unbounded lookback: full recompute
+          }
+        }
+      }
+
+    def gsecOf(d: StreamDescriptor) = Granularity(d.highest_granularity).seconds
+    def gnameOf(d: StreamDescriptor) = d.highest_granularity
+
+    // per-op batched job over this wave (inc + full unified; per-pair
+    // null window = full history)
+    def runGroup(group: Seq[StreamDescriptor]): Unit = {
+      if (group.isEmpty) return
+      val op = group.head.derive_op.get
+      val anyFull = group.exists(d => plan(d.stream_id).isEmpty)
+      val minW = plan.values.flatten.map(_._1).toSeq.sortBy(_.getTime)
+        .headOption.filter(_ => !anyFull)
+      // (src, srcGranularity, out, wOrNull, loKeyOrNull, hiKeyOrNull):
+      // exact (stream, granularity) pair match — a source's ROLLUP rows
+      // at another source's finer granularity can never leak in
+      val pairs = group.flatMap { d =>
+        val p = plan(d.stream_id)
+        d.derive_from.map { src =>
+          (src, catalog(src).highest_granularity, d.stream_id,
+            p.map(_._1).orNull,
+            p.map(x => DatapointStore.ymdKey(x._1)).orNull,
+            p.flatMap(_._2).orNull)
+        }
+      }
+      val pairsDf = broadcast(pairs.toDF(
+        "__src", "__gname", "__out", "__w", "__lo", "__hi"))
+      val srcIds = pairs.map(_._1).distinct
+      val gnames = pairs.map(_._2).distinct
+      val base = filterToStreams(
+        datapoints.where(col("granularity").isin(gnames: _*)), srcIds)
+      val pruned = minW.fold(base)(w =>
+        base.where(col("ymd") >= DatapointStore.ymdKey(w) && col("t") >= w))
+      val joined = pruned
+        .join(pairsDf, col("stream_id") === col("__src") &&
+          col("granularity") === col("__gname"))
+      val input = (op match {
+        case DeriveOps.Sum =>
+          // per-out day-range filter (sum is bucket-local)
+          joined.where(col("__lo").isNull ||
+            (col("ymd") >= col("__lo") &&
+              (col("__hi").isNull || col("ymd") <= col("__hi"))))
+        case _ =>
+          joined.where(col("__w").isNull || col("t") >= col("__w"))
+      }).select(col("__out").as("stream_id"), col("t"),
+        col("v_num").as("v"))
+
+      // collected lookback points, re-keyed to their OUTPUT stream
+      val lbRows = group.flatMap { d =>
+        plan(d.stream_id).toSeq.flatMap(_._4.toSeq).map(r =>
+          org.apache.spark.sql.Row(d.stream_id, r.getTimestamp(1), r.get(2)))
+      }
+      val withLb =
+        if (lbRows.isEmpty) input
+        else input.unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(lbRows, 1), lbSchema))
+
+      val res = op match {
+        case DeriveOps.Sum =>
+          val gMetaSum = broadcast(group.map(d =>
+            (d.stream_id, gsecOf(d))).toDF("stream_id", "gsec"))
+          Derive.streamSumKeyed(withLb.join(gMetaSum, "stream_id"))
+        case DeriveOps.Derivative => Derive.derivative(withLb)
+        case DeriveOps.CounterReset => Derive.counterReset(withLb)
+        case DeriveOps.CounterDerivative =>
+          val maxDf = group.map(d => (d.stream_id,
+            d.derive_args.flatMap(Json.numField(_, "max_value"))
+              .map(Double.box).orNull.asInstanceOf[java.lang.Double]))
+            .toDF("stream_id", "max_value")
+          // reset events re-key straight to the OUTPUT stream so they
+          // land in the window partition they must suppress; incremental
+          // streams only need resets at/after their lookback point
+          val resetPairs = group.flatMap { d =>
+            d.derive_args.flatMap(Json.strField(_, "reset_stream")).map { rid =>
+              val from = plan(d.stream_id).map { p =>
+                p._4.headOption.map(_.getTimestamp(1)).getOrElse(p._1)
+              }
+              (rid, catalog(rid).highest_granularity, d.stream_id,
+                from.orNull)
+            }
+          }
+          val reset = if (resetPairs.isEmpty) None else {
+            val rDf = broadcast(resetPairs.toDF(
+              "__src", "__gname", "__out", "__from"))
+            val rBase = filterToStreams(
+              datapoints.where(col("granularity")
+                .isin(resetPairs.map(_._2).distinct: _*)),
+              resetPairs.map(_._1).distinct)
+            val rMin = resetPairs.flatMap(p => Option(p._4))
+              .sortBy(_.getTime).headOption
+              .filter(_ => resetPairs.forall(_._4 != null))
+            Some(rMin.fold(rBase)(f =>
+                rBase.where(col("ymd") >= DatapointStore.ymdKey(f)))
+              .join(rDf, col("stream_id") === col("__src") &&
+                col("granularity") === col("__gname"))
+              .where(col("__from").isNull || col("t") >= col("__from"))
+              .select(col("__out").as("stream_id"), col("t")))
+          }
+          Derive.counterDerivativePerStream(withLb, maxDf, reset)
+      }
+
+      // round to each stream's granularity; drop anything before its
+      // rewrite window (lookback-internal pairs never emit anyway)
+      val gMeta = broadcast(group.map(d => (d.stream_id, gsecOf(d),
+          gnameOf(d), plan(d.stream_id).map(_._1).orNull))
+        .toDF("stream_id", "__gsec", "__gn", "__w0"))
+      val result = res.join(gMeta, "stream_id")
+        .withColumn("t", timestamp_seconds(
+          floor(unix_timestamp(col("t")) / col("__gsec")) * col("__gsec")))
+        .where(col("__w0").isNull || col("t") >= col("__w0"))
+        .select(col("stream_id"), col("__gn").as("granularity"),
+          col("t"), col("v").cast("double").as("v_num"))
+
+      // per-stream deletions BEFORE the one write action runs (inputs
+      // read only earlier-wave/unchanged streams, never this group)
+      group.foreach { d =>
+        plan(d.stream_id) match {
+          case Some((w, hiKey, _, _)) =>
+            val wKey = DatapointStore.ymdKey(w)
+            deleteDerivedYmds(derivedRawPath, d.stream_id, wKey, hiKey)
+            // rollups: always from wKey onward — the downsample ladder's
+            // high-water mark never refills a finite mid-range hole
+            deleteDerivedYmds(rollupsPath, d.stream_id, wKey, None)
+          case None =>
+            rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
+            rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
+        }
+      }
+      DatapointStore.appendByStream(result, derivedRawPath)
+      // markers last: a crash before this re-runs as full recompute
+      group.foreach(d => writeCoverage(d.stream_id, coverageNow(d)))
+      group.foreach { d =>
+        plan(d.stream_id) match {
+          case Some((w, hiKey, cw, _)) =>
+            regions(d.stream_id) = Region(w, hiKey, Some(cw))
+          case None => regions.remove(d.stream_id)
+        }
+      }
+    }
+
+    DeriveOps.all.foreach(op =>
+      runGroup(wave.filter(_.derive_op.contains(op))))
   }
 
   def backprocessStreams(queryTags: Map[String, String] = Map.empty): Unit = {
     val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
                else findStreamIds(queryTags)).toSet
-    derivedInOrder(ids).foreach(recomputeDerived)
+    recomputeFully(derivedInOrder(ids))
   }
 
-  private def recomputeDerived(d: StreamDescriptor): Unit = {
-    val g = Granularity(d.highest_granularity)
-    val src = rawPoints(d.derive_from)
-    val result = (d.derive_op.get match {
-      case DeriveOps.Sum => Derive.streamSum(src, g, d.stream_id)
-      case DeriveOps.Derivative => Derive.derivative(src)
-      case DeriveOps.CounterReset => Derive.counterReset(src)
-      case DeriveOps.CounterDerivative =>
-        val maxValue = d.derive_args.flatMap(Json.numField(_, "max_value"))
-        val resetId = d.derive_args.flatMap(Json.strField(_, "reset_stream"))
-        // re-key reset events onto the (single) source stream's id so they
-        // land in the same per-stream window partition they must suppress
-        val srcId = d.derive_from.head
-        val reset = resetId.map(id => rawPoints(Seq(id))
-          .select(lit(srcId).as("stream_id"), col("t")))
-        Derive.counterDerivative(src, maxValue, reset)
-    }).withColumn("stream_id", lit(d.stream_id))
-      // the derived stream may be coarser than its source: round output
-      // timestamps to the derived stream's highest granularity, the same
-      // invariant the append path enforces (streamSum already buckets)
-      .withColumn("t", timestamp_seconds(
-        floor(unix_timestamp(col("t")) / g.seconds) * g.seconds))
-    // idempotent per-stream replace: drop this stream's raw + rollup
-    // partition directories, then append the recomputed raw level —
-    // O(derived stream), not O(store). `result` reads only SOURCE streams
-    // (dependents recompute after us in topological order), so deleting
-    // our own partitions before the write action runs is safe. Coarser
-    // levels re-materialize on the next downsampleStreams call.
-    rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
-    rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
-    DatapointStore.appendByStream(result.select(
-        col("stream_id"), lit(g.name).as("granularity"), col("t"),
-        col("v").as("v_num")),
-      derivedRawPath)
-    // marker last: a crash before this line re-runs the full recompute
-    writeCoverage(d.stream_id, coverageNow(d))
+  /** Full (idempotent) recompute of the given derived streams, batched by
+    * topological wave — the backprocess semantics and every fallback's
+    * target.
+    */
+  private def recomputeFully(order: Seq[StreamDescriptor]): Unit = {
+    val regions = scala.collection.mutable.Map.empty[String, Region]
+    deriveWaves(order).foreach(wave =>
+      processWave(wave, regions, Set.empty, forceFull = true))
   }
 }
 

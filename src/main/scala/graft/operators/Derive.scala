@@ -33,13 +33,25 @@ object Derive {
     * coalesce-by-time over a union — NOT a relational join, so it's one
     * shuffle on (bucket) regardless of N).
     */
-  def streamSum(sources: DataFrame, g: Granularity, outStreamId: String): DataFrame = {
-    sources
-      .withColumn("bucket_epoch", floor(unix_timestamp(col("t")) / g.seconds) * g.seconds)
-      .groupBy(col("bucket_epoch"))
+  def streamSum(sources: DataFrame, g: Granularity, outStreamId: String): DataFrame =
+    streamSumKeyed(sources
+      .withColumn("stream_id", lit(outStreamId))
+      .withColumn("gsec", lit(g.seconds)))
+
+  /** Set-wise V1: input rows are already RE-KEYED to their OUTPUT stream
+    * id and tagged with that stream's bucket width `gsec` — N derived sum
+    * streams aggregate in ONE shuffle on (stream_id, bucket), never a job
+    * per stream (the store's derive cascade feeds every affected sum
+    * stream of a wave through one call).
+    */
+  def streamSumKeyed(tagged: DataFrame): DataFrame = {
+    tagged
+      .withColumn("bucket_epoch",
+        floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec"))
+      .groupBy(col("stream_id"), col("bucket_epoch"))
       .agg(sum(col("v")).as("v"))
       .select(
-        lit(outStreamId).as("stream_id"),
+        col("stream_id"),
         timestamp_seconds(col("bucket_epoch")).as("t"),
         col("v"))
   }
@@ -79,7 +91,34 @@ object Derive {
     */
   def counterDerivative(source: DataFrame,
       maxValue: Option[Double], reset: Option[DataFrame] = None): DataFrame = {
-    val tagged = reset match {
+    val delta = maxValue match {
+      case Some(m) =>
+        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+          .otherwise(lit(m) - col("prev_v") + col("v"))
+      case None =>
+        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+    }
+    counterDerivativeCore(tagResets(source, reset), delta)
+  }
+
+  /** Set-wise V4: like [[counterDerivative]] but over MANY derived
+    * streams in one job — rows are keyed by their OUTPUT stream id and
+    * each stream's wrap bound joins in from the broadcast `maxValues`
+    * (stream_id, max_value nullable). A null max_value reproduces the
+    * maxValue=None semantics exactly: the wrap branch yields null and the
+    * decrease is skipped.
+    */
+  def counterDerivativePerStream(source: DataFrame, maxValues: DataFrame,
+      reset: Option[DataFrame] = None): DataFrame = {
+    val tagged = tagResets(source, reset)
+      .join(broadcast(maxValues), Seq("stream_id"), "left")
+    val delta = when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+      .otherwise(col("max_value") - col("prev_v") + col("v"))
+    counterDerivativeCore(tagged, delta).drop("max_value")
+  }
+
+  private def tagResets(source: DataFrame, reset: Option[DataFrame]): DataFrame =
+    reset match {
       case Some(r) =>
         source.select(col("stream_id"), col("t"), col("v"), lit(false).as("is_reset"))
           .unionByName(
@@ -88,6 +127,11 @@ object Derive {
       case None =>
         source.withColumn("is_reset", lit(false))
     }
+
+  /** Shared V4 window/filter core; `delta` references v/prev_v (and any
+    * column of `tagged`, e.g. a joined per-stream max_value).
+    */
+  private def counterDerivativeCore(tagged: DataFrame, delta: org.apache.spark.sql.Column): DataFrame = {
     // order reset rows *before* source rows at the same timestamp so a
     // coinciding reset suppresses the interval ending at that t
     val w = Window.partitionBy("stream_id")
@@ -103,13 +147,6 @@ object Derive {
       .where(!col("is_reset") && col("prev_v").isNotNull &&
              unix_timestamp(col("t")) =!= unix_timestamp(col("prev_t")) &&
              (col("last_reset_t").isNull || col("last_reset_t") <= col("prev_t")))
-    val delta = maxValue match {
-      case Some(m) =>
-        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
-          .otherwise(lit(m) - col("prev_v") + col("v"))
-      case None =>
-        when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
-    }
     withState
       .withColumn("delta", delta)
       .where(col("delta").isNotNull)
