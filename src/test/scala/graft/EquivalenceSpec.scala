@@ -99,6 +99,62 @@ class EquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("set-wise keyed derive variants == per-stream originals (5 seeds)") {
+    // the wave-batched cascade routes MANY derived streams through ONE
+    // call of these keyed variants; pin them bit-equal to the
+    // single-stream operators they replace, including null max_value
+    // (no-wrap semantics) and reset suppression
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val outs = Seq("o1", "o2", "o3")
+      val series = outs.map { o =>
+        o -> (0 until 60).map { i =>
+          (o, new Timestamp((base + i * 37 + rnd.nextInt(5)) * 1000L),
+            rnd.nextInt(256).toDouble)
+        }
+      }.toMap
+      val maxOf: Map[String, Option[Double]] =
+        Map("o1" -> Some(256.0), "o2" -> None, "o3" -> Some(1000.0))
+      val resets = outs.map { o =>
+        o -> (0 until 4).map(_ =>
+          (o, new Timestamp((base + rnd.nextInt(60 * 37)) * 1000L)))
+      }.toMap
+
+      // V4: per-stream broadcast bounds vs literal-bound originals
+      val allSrc = series.values.flatten.toSeq.toDF("stream_id", "t", "v")
+      val allReset = resets.values.flatten.toSeq.toDF("stream_id", "t")
+      val maxDf = outs.map(o =>
+        (o, maxOf(o).map(Double.box).orNull.asInstanceOf[java.lang.Double]))
+        .toDF("stream_id", "max_value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      val batched = rows(Derive.counterDerivativePerStream(
+        allSrc, maxDf, Some(allReset)))
+      val single = outs.flatMap { o =>
+        rows(Derive.counterDerivative(
+          series(o).toDF("stream_id", "t", "v"), maxOf(o),
+          Some(resets(o).toDF("stream_id", "t"))))
+      }.toSet
+      assert(batched == single, s"seed $seed: V4 keyed != per-stream")
+
+      // V1: keyed multi-granularity sum vs per-stream streamSum
+      val gOf = Map("o1" -> Granularity.Seconds, "o2" -> Granularity.Minutes,
+        "o3" -> Granularity.Hours)
+      val tagged = allSrc.join(
+        outs.map(o => (o, gOf(o).seconds)).toDF("stream_id", "gsec"),
+        "stream_id")
+      val sumBatched = rows(Derive.streamSumKeyed(tagged))
+      val sumSingle = outs.flatMap { o =>
+        rows(Derive.streamSum(
+          series(o).toDF("stream_id", "t", "v"), gOf(o), o))
+      }.toSet
+      assert(sumBatched == sumSingle, s"seed $seed: V1 keyed != per-stream")
+    }
+  }
+
   test("ewma matches a pure-Scala sequential fold, bit-exact (5 seeds)") {
     import spark.implicits._
     for (seed <- 30 to 34) {
