@@ -429,13 +429,27 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("stream_id", "t", "v"))
 
     def dump() = ds.datapoints
-      .where(col("granularity").isNotNull)
+      .where(col("v_num").isNotNull) // raw datapoints only, not rollups
       .select("stream_id", "granularity", "t", "v_num")
       .collect().map(_.toSeq).toSet
+    // rollup ladder on top of the incrementally-derived data: the tail
+    // deletions must leave a high-water mark the ladder refills without
+    // holes, and the folded aggregates must equal a from-scratch rebuild
+    def rollups() = {
+      ds.downsampleStreams(ts("2024-03-20 00:00:00"))
+      ds.datapoints
+        .select("stream_id", "granularity", "t", "v_num", "c", "s", "l", "u",
+          "m", "d", "t_first", "t_last")
+        .collect().map(_.toSeq).toSet
+    }
     val incremental = dump()
+    val incRollups = rollups()
     ds.backprocessStreams() // full recompute of every derived stream
     assert(incremental == dump())
     assert(incremental.nonEmpty)
+    // backprocess dropped every derived rollup; a fresh ladder pass over
+    // the fully-recomputed store must reproduce the incremental ladder
+    assert(rollups() == incRollups)
   }
 
   test("stale derive coverage marker self-heals via full recompute") {
