@@ -1082,8 +1082,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       if (group.isEmpty) return
       val op = group.head.derive_op.get
       val anyFull = group.exists(d => plan(d.stream_id).isEmpty)
-      val minW = plan.values.flatten.map(_._1).toSeq.sortBy(_.getTime)
-        .headOption.filter(_ => !anyFull)
+      val minW = group.flatMap(d => plan(d.stream_id)).map(_._1)
+        .sortBy(_.getTime).headOption.filter(_ => !anyFull)
       // (src, srcGranularity, out, wOrNull, loKeyOrNull, hiKeyOrNull):
       // exact (stream, granularity) pair match — a source's ROLLUP rows
       // at another source's finer granularity can never leak in
