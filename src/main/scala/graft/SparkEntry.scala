@@ -1002,11 +1002,12 @@ object SparkEntry {
           .downsample(mem.toDF.toDF("stream_id", "t", "v"), Granularity.Minutes)
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        val rows = eventStreams(s, dir).collect()
-          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-        mem.addData(rows.toSeq)
-        q.processAllAvailable()
-        q.stop()
+        try {
+          val rows = eventStreams(s, dir).collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          mem.addData(rows.toSeq)
+          q.processAllAvailable()
+        } finally q.stop() // never leak a running query into later queries
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
@@ -1031,11 +1032,12 @@ object SparkEntry {
           .sessionize(mem.toDF.toDF("stream_id", "t", "v"), "30 minutes")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        val rows = eventStreams(s, dir).collect()
-          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-        mem.addData(rows.toSeq)
-        q.processAllAvailable()
-        q.stop()
+        try {
+          val rows = eventStreams(s, dir).collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          mem.addData(rows.toSeq)
+          q.processAllAvailable()
+        } finally q.stop() // never leak a running query into later queries
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select("stream_id", "sess_start", "sess_end", "n_events", "v_sum")

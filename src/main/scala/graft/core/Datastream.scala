@@ -58,7 +58,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
               else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
               else return Map.empty
     spark.read.parquet(src).as[StreamDescriptor]
-      .collect().map(d => d.stream_id -> d).toMap
+      .collect()
+      // tags_json is always derivable from the flat dotted map: rebuild
+      // it on load so catalogs persisted before the nested-document form
+      // (flat JSON with literal dotted keys) self-migrate; an
+      // unrepresentable legacy key set keeps its stored document
+      .map(d => d.copy(tags_json =
+        scala.util.Try(Json.nested(d.tags)).getOrElse(d.tags_json)))
+      .map(d => d.stream_id -> d).toMap
   }
 
   private def persistCatalog(): Unit = {
@@ -536,7 +543,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   def findStreamsByJsonPath(path: String, value: String): DataFrame = {
     val p = if (path.startsWith("$.")) path.drop(2) else path
-    val jp = "$" + p.split('.').filter(_.nonEmpty).map(seg =>
+    // mirror Json.nested's key rule exactly: a path with empty segments
+    // ("a..b", trailing dot) is a LITERAL top-level key, not nesting
+    val segs0 = p.split("\\.", -1)
+    val segs = if (segs0.isEmpty || segs0.exists(_.isEmpty)) Seq(p)
+               else segs0.toSeq
+    val jp = "$" + segs.map(seg =>
       s"['${seg.replace("\\", "\\\\").replace("'", "\\'")}']").mkString
     streams.where(get_json_object(col("tags_json"), jp) === value)
   }
@@ -871,6 +883,17 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   private def coverageFile(id: String) =
     new java.io.File(s"$derivedRawPath/stream_id=$id/_graft_coverage")
 
+  /** In-progress sentinel for an INCREMENTAL rewrite: set before the
+    * partition deletes, cleared only after the write and coverage marker
+    * land. A crash inside that window leaves a mid-range hole that the
+    * coverage/extent staleness check cannot see (the triggering append
+    * may not have advanced any extent — e.g. an equal-timestamp or
+    * historical insert), so a surviving sentinel forces the next derive
+    * of this stream down the self-healing full recompute.
+    */
+  private def dirtyFile(id: String) =
+    new java.io.File(s"$derivedRawPath/stream_id=$id/_graft_dirty")
+
   private def readCoverage(id: String): Option[Timestamp] = {
     val f = coverageFile(id)
     if (!f.exists()) None
@@ -933,6 +956,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       regions: Map[String, Region]): Option[(Timestamp, Option[String], Timestamp)] = {
     if (changedDeps.isEmpty || !changedDeps.forall(regions.contains)) return None
     if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return None
+    if (dirtyFile(d.stream_id).exists()) return None // crashed mid-rewrite
     val cw = readCoverage(d.stream_id) match {
       case Some(t) => t
       case None => return None // pre-marker store or never derived: full
@@ -943,10 +967,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     }
     if (stale) return None
     val w = dayStart(changedDeps.map(x => regions(x).loTs).minBy(_.getTime))
-    // pre-epoch rows share ymd day 0 — no pruning possible for the
-    // lag-op lookback; sum stays day-local and is still fine
-    if (DatapointStore.ymdKey(w).toLong == 0L &&
-        d.derive_op.get != DeriveOps.Sum) return None
+    // pre-epoch rows share the clamped ymd day 0 — the day partition no
+    // longer bounds their timestamps, so neither the lag-op lookback NOR
+    // the sum's day-local rewrite (whose t >= w filter would silently
+    // drop t < 0 rows after deleting their partition) is sound: full
+    if (DatapointStore.ymdKey(w).toLong == 0L) return None
     val hiKey = if (d.derive_op.get == DeriveOps.Sum) {
       val his = changedDeps.map(x => regions(x).hiKey)
       if (his.forall(_.isDefined)) Some(his.flatten.max) else None
@@ -1089,7 +1114,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // at another source's finer granularity can never leak in
       val pairs = group.flatMap { d =>
         val p = plan(d.stream_id)
-        d.derive_from.map { src =>
+        // distinct: a source listed twice in derive_from must still feed
+        // its rows ONCE (the old isin() scan had set semantics; a pair
+        // join would double-count every point into a sum)
+        d.derive_from.distinct.map { src =>
           (src, catalog(src).highest_granularity, d.stream_id,
             p.map(_._1).orNull,
             p.map(x => DatapointStore.ymdKey(x._1)).orNull,
@@ -1189,12 +1217,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       group.foreach { d =>
         plan(d.stream_id) match {
           case Some((w, hiKey, _, _)) =>
+            // dirty sentinel FIRST: a crash between these deletes and the
+            // group write below must not read as a consistent store
+            java.nio.file.Files.write(dirtyFile(d.stream_id).toPath,
+              Array.empty[Byte])
             val wKey = DatapointStore.ymdKey(w)
             deleteDerivedYmds(derivedRawPath, d.stream_id, wKey, hiKey)
             // rollups: always from wKey onward — the downsample ladder's
             // high-water mark never refills a finite mid-range hole
             deleteDerivedYmds(rollupsPath, d.stream_id, wKey, None)
           case None =>
+            // full mode needs no sentinel: the marker dies with the dir,
+            // and a missing marker already forces the full recompute
             rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
             rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
         }
@@ -1202,6 +1236,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       DatapointStore.appendByStream(result, derivedRawPath)
       // markers last: a crash before this re-runs as full recompute
       group.foreach(d => writeCoverage(d.stream_id, coverageNow(d)))
+      group.foreach(d =>
+        if (plan(d.stream_id).isDefined) dirtyFile(d.stream_id).delete())
       group.foreach { d =>
         plan(d.stream_id) match {
           case Some((w, hiKey, cw, _)) =>
@@ -1284,7 +1320,9 @@ object Json {
       case Nil => ()
     }
     m.toSeq.sortBy(_._1).foreach { case (path, v) =>
-      val segs = path.split('.')
+      // -1 limit keeps trailing empty segments: "a." must stay a literal
+      // leaf, never silently collapse onto (and overwrite) the key "a"
+      val segs = path.split("\\.", -1)
       if (segs.isEmpty || segs.exists(_.isEmpty)) insert(root, List(path), path, v)
       else insert(root, segs.toList, path, v)
     }

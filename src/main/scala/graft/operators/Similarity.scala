@@ -87,6 +87,10 @@ object Similarity {
     */
   def bandedNearPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bands: Int = 12, rowsPerBand: Int = 10): DataFrame = {
+    // dim must match the embeddings: graft_dot truncates to the shorter
+    // array, so an understated dim would silently hash only a prefix of
+    // each vector and quietly lose recall — no default on purpose
+    require(dim > 0, "bandedNearPairs: dim must be positive")
     GraftFunctions.register(vectors.sparkSession)
     // NOT checkpointed: materializing the normed corpus would copy every
     // vector to executor disk — at 100 TB the wrong trade. The rerank
@@ -133,7 +137,7 @@ object Similarity {
     * and the whole pair scan is planned — and executed — once per
     * union branch. The checkpoint pins it to exactly one pass.
     */
-  def cosineDedup(vectors: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+  def cosineDedup(vectors: DataFrame, threshold: Double, dim: Int): DataFrame = {
     val dropped = bandedNearPairs(vectors, threshold, dim)
       .select(col("id_b").as("vec_id")).distinct()
       .localCheckpoint(true)

@@ -486,6 +486,50 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.getData(drvId, Granularity.Seconds).count() == 5)
   }
 
+  test("dirty sentinel from a crashed incremental rewrite forces full recompute") {
+    import spark.implicits._
+    // an equal-timestamp append advances no extent, so the coverage
+    // staleness check alone cannot see a crash between the incremental
+    // path's deletes and its write — the sentinel must catch it
+    val ds = freshDs()
+    val src = ds.ensureStream(Map("name" -> "dirty-src"))
+    val drvId = ds.ensureStream(Map("name" -> "dirty-drv"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    ds.appendMultiple((0 until 5).map(i =>
+      (src, ts(f"2024-05-01 00:0$i:00"), i * 10.0)).toDF("stream_id", "t", "v"))
+    val n = ds.getData(drvId, Granularity.Seconds).count()
+    // simulate the crash window: sentinel set, derived day deleted
+    val sdir = new java.io.File(s"${ds.rootDir}/derived_raw/stream_id=$drvId")
+    java.nio.file.Files.write(
+      new java.io.File(sdir, "_graft_dirty").toPath, Array.empty[Byte])
+    new java.io.File(sdir, "granularity=seconds").listFiles()
+      .filter(_.getName.startsWith("ymd=")).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    // next append (same day — would be incremental) must go FULL and heal
+    ds.appendMultiple(Seq((src, ts("2024-05-01 00:09:00"), 90.0))
+      .toDF("stream_id", "t", "v"))
+    assert(ds.getData(drvId, Granularity.Seconds).count() == n + 1)
+    assert(!new java.io.File(sdir, "_graft_dirty").exists())
+  }
+
+  test("duplicate source in derive_from sums each point once") {
+    import spark.implicits._
+    val ds = freshDs()
+    val a = ds.ensureStream(Map("name" -> "dup-src"))
+    val dId = ds.ensureStream(Map("name" -> "dup-sum"),
+      deriveFrom = Seq(a, a), deriveOp = Some(DeriveOps.Sum))
+    ds.appendMultiple(Seq((a, ts("2024-05-02 00:00:00"), 7.0))
+      .toDF("stream_id", "t", "v"))
+    val v = ds.getData(dId, Granularity.Seconds).select("v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v == Seq(7.0)) // set semantics: never 14.0
+  }
+
   test("incremental derive scan work stays flat as history grows") {
     import spark.implicits._
     val ds = freshDs()
@@ -644,6 +688,15 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[InvalidOperatorArguments] {
       ds.updateTags(id, Map("meta" -> "oops"))
     }
+    // keys with empty segments are LITERAL leaves on both the write and
+    // the query side — "a." may not collapse onto "a"
+    val id2 = ds.ensureStream(Map("name" -> "nested2"),
+      tags = Map("a" -> "1", "a." -> "2", "b..c" -> "3"))
+    assert(ds.getTagsJson(id2).contains(""""a": "1""""))
+    assert(ds.getTagsJson(id2).contains(""""a.": "2""""))
+    assert(ds.findStreamsByJsonPath("a.", "2").count() == 1)
+    assert(ds.findStreamsByJsonPath("b..c", "3").count() == 1)
+    assert(ds.findStreamsByJsonPath("a", "1").count() == 1)
     // malformed / non-object documents raise
     intercept[InvalidOperatorArguments] { ds.updateTagsNested(id, "[1, 2]") }
     intercept[InvalidOperatorArguments] { ds.updateTagsNested(id, "{nope") }
