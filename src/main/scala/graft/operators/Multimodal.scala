@@ -67,6 +67,30 @@ object Multimodal {
   }
   /** ======== END STUB CODEC LAYER ======== */
 
+  /** Build a media table from a binaryFile scan ([[graft.sources.Sources.readBinary]]):
+    * media_id = a stable hash of the file path, kind from the extension,
+    * size metadata from the file length. Real deployments replace the
+    * metadata derivation with a header probe inside the decode stage.
+    */
+  def mediaFromBinary(files: DataFrame): Dataset[MediaRow] = {
+    import files.sparkSession.implicits._
+    val kind = when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+      .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
+      .when(col("path").rlike("(?i)\\.(mp4|mkv|webm|avi|mov)$"), "video")
+      .otherwise("binary")
+    files.select(
+        xxhash64(col("path")).as("media_id"),
+        col("content"),
+        struct(
+          kind.as("kind"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(16000).as("sampleRate"),
+          // placeholder duration ∝ size until the codec probes the header
+          (col("length") / 100).cast("long").as("durationMs"),
+          lit("stub").as("codec")).as("meta"))
+      .as[MediaRow]
+  }
+
   /** Build a media table from the documents fixture: content = utf-8 bytes
     * (stands in for encoded media), metadata derived deterministically.
     */

@@ -58,4 +58,27 @@ object Sources {
         s"unsupported source format: $other")
     }
   }
+
+  /** Batch read of raw media files as (path, modificationTime, length,
+    * content binary) — Spark's binaryFile source, the ingestion mouth of
+    * the multimodal pipeline ([[graft.operators.Multimodal]] consumes the
+    * content column). `pathGlobFilter` selects by extension; files larger
+    * than `maxBytes` are REJECTED up front (binaryFile materializes each
+    * file as one row, so a stray multi-GB object would OOM an executor —
+    * a 100 TB media ingest splits oversized assets upstream).
+    */
+  def readBinary(spark: SparkSession, dir: String,
+      pathGlobFilter: String = "*", maxBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlobFilter).load(dir)
+    val over = df.where(col("length") > maxBytes).select("path", "length")
+      .limit(1).collect()
+    over.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"readBinary: ${r.getString(0)} is ${r.getLong(1)} bytes " +
+          s"(> $maxBytes); split or filter oversized media upstream")
+    }
+    df
+  }
 }

@@ -63,6 +63,37 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose.length == 2)
   }
 
+  test("binaryFile source feeds the multimodal pipeline; oversized files rejected") {
+    val dir = Files.createTempDirectory("graft-bin").toFile
+    Files.write(new java.io.File(dir, "a.png").toPath,
+      "fake-png-bytes".getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b.wav").toPath,
+      "fake-wav-bytes-longer".getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "c.mp4").toPath,
+      ("x" * 4000).getBytes("UTF-8"))
+    val files = Sources.readBinary(spark, dir.toString)
+    assert(files.count() == 3)
+    val media = graft.operators.Multimodal.mediaFromBinary(files)
+    val byKind = media.collect().map(m => m.meta.kind -> m).toMap
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    assert(byKind("image").content.length == 14)
+    // decode runs over file-sourced media exactly like fixture media
+    val dec = graft.operators.Multimodal.decodeImages(media).collect()
+    assert(dec.length == 3 && dec.forall(d => d.meanLuma >= 0 && d.meanLuma <= 1))
+    // frame sampling picks only the video (duration = length/100 * ms)
+    val frames = graft.operators.Multimodal
+      .sampleFrames(media, everyMs = 10).collect()
+    assert(frames.nonEmpty &&
+      frames.forall(_.media_id == byKind("video").media_id))
+    // glob filter narrows by extension
+    assert(Sources.readBinary(spark, dir.toString, "*.png").count() == 1)
+    // oversized file -> typed rejection naming the file
+    val e = intercept[IllegalArgumentException] {
+      Sources.readBinary(spark, dir.toString, maxBytes = 100)
+    }
+    assert(e.getMessage.contains("c.mp4"))
+  }
+
   test("streaming file source picks up dropped files") {
     val dir = Files.createTempDirectory("graft-srcstream").toString
     sample.write.json(s"$dir/in")
