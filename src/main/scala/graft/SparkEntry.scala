@@ -496,14 +496,16 @@ object SparkEntry {
 
     "drv_ewma" -> { (s, dir) =>
       // EWMA smoother (α=0.3), last value per stream: the sequential
-      // per-stream fold lands the same IEEE bits as DuckDB's list_reduce
-      // over the identically-ordered value list; round(6) for the α/1−α
-      // literal-rounding ulp
+      // per-stream fold matches DuckDB's list_reduce over the
+      // identically-ordered value list to ~1e-9 (the per-second
+      // pre-aggregation's summation ORDER differs between engines and the
+      // fold amplifies the ulp); round(4) keeps a boundary flip
+      // improbable at every SF, where round(6) flipped once at sf0.1
       val w = Window.partitionBy("stream_id").orderBy(col("t").desc)
       graft.operators.Derive.ewma(pointStreams(s, dir), alpha = 0.3)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("stream_id"), round(col("ewma"), 6).as("ewma_last"))
+        .select(col("stream_id"), round(col("ewma"), 4).as("ewma_last"))
         .orderBy("stream_id")
     },
 
@@ -1955,7 +1957,7 @@ object SparkEntry {
         |l AS (SELECT stream_id, list(v ORDER BY sec) AS vs
         |  FROM p GROUP BY stream_id)
         |SELECT stream_id,
-        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
         |    AS ewma_last
         |FROM l ORDER BY stream_id""".stripMargin,
 
