@@ -486,6 +486,65 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.getData(drvId, Granularity.Seconds).count() == 5)
   }
 
+  test("randomized append workload == full recompute (3 seeds)") {
+    import spark.implicits._
+    // model-based: a random sequence of appends (same-day re-appends,
+    // multi-day gaps, >lookbackDays gaps that force the give-up->full
+    // path, reset-only batches) over a derive DAG with a chained stream —
+    // the incremental cascade must land byte-identical to the full
+    // recompute after every workload
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val ds = freshDs()
+      val a = ds.ensureStream(Map("name" -> "rw-a"))
+      val b = ds.ensureStream(Map("name" -> "rw-b"))
+      val rst = ds.ensureStream(Map("name" -> "rw-rst"))
+      ds.ensureStream(Map("name" -> "rw-sum"), deriveFrom = Seq(a, b),
+        deriveOp = Some(DeriveOps.Sum))
+      val drv = ds.ensureStream(Map("name" -> "rw-drv"), deriveFrom = Seq(a),
+        deriveOp = Some(DeriveOps.Derivative))
+      ds.ensureStream(Map("name" -> "rw-cd"), deriveFrom = Seq(b),
+        deriveOp = Some(DeriveOps.CounterDerivative),
+        deriveArgs = Some(
+          s"""{"max_value": 128, "reset_stream": "$rst"}"""))
+      // chained: counter_reset over the derivative stream
+      ds.ensureStream(Map("name" -> "rw-chain"), deriveFrom = Seq(drv),
+        deriveOp = Some(DeriveOps.CounterReset))
+
+      val t0 = 1709251200L // 2024-03-01 UTC
+      var cur = Map(a -> t0, b -> t0, rst -> t0)
+      for (_ <- 0 until 7) {
+        // per-batch day advance: 0 = same-day re-append, 45 > lookbackDays
+        val gap = Seq(0L, 0L, 1L, 3L, 45L)(rnd.nextInt(5)) * 86400L
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Timestamp, Double)]
+        for (sid <- Seq(a, b) if rnd.nextInt(4) > 0) {
+          var t = cur(sid) + gap + rnd.nextInt(120) + 1
+          for (_ <- 0 until 1 + rnd.nextInt(5)) {
+            rows += ((sid, new Timestamp(t * 1000L),
+              rnd.nextInt(128).toDouble))
+            t += 1 + rnd.nextInt(1800)
+          }
+          cur += sid -> t
+        }
+        if (rnd.nextInt(3) == 0) { // occasional reset(-only) batch
+          val t = cur(rst) + gap + rnd.nextInt(3600) + 1
+          rows += ((rst, new Timestamp(t * 1000L), 1.0))
+          cur += rst -> t
+        }
+        if (rows.nonEmpty)
+          ds.appendMultiple(rows.toSeq.toDF("stream_id", "t", "v"))
+      }
+      def dump() = ds.datapoints.where(col("v_num").isNotNull)
+        .select("stream_id", "granularity", "t", "v_num")
+        .collect().map(_.toSeq).toSet
+      val incremental = dump()
+      ds.backprocessStreams()
+      assert(incremental == dump(), s"seed $seed diverged")
+      assert(incremental.nonEmpty)
+    }
+  }
+
   test("dirty sentinel from a crashed incremental rewrite forces full recompute") {
     import spark.implicits._
     // an equal-timestamp append advances no extent, so the coverage
