@@ -45,6 +45,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
   private var catalogDirty = false
+  // crash-recovery sweep MUST run at open: a surviving _graft_dirty
+  // sentinel marks a derived stream whose incremental rewrite crashed
+  // between its partition deletes and its write. Waiting for the next
+  // append to that stream's sources would serve the hole to every read
+  // until then (forever, for a cold source) — heal it and its transitive
+  // dependents up front. No-op (no Spark job) when no sentinel survives.
+  healDirtyStreams()
 
   /** Persist pending catalog changes (no-op when clean). */
   def flush(): Unit = if (catalogDirty) { persistCatalog(); catalogDirty = false }
@@ -1255,6 +1262,19 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val ids = (if (queryTags.isEmpty) catalog.keys.toSeq
                else findStreamIds(queryTags)).toSet
     recomputeFully(derivedInOrder(ids))
+  }
+
+  /** Open-time crash recovery: full-recompute every derived stream with a
+    * surviving dirty sentinel, plus its transitive dependents (their last
+    * derive may have read the now-holed data or never run at all).
+    */
+  private def healDirtyStreams(): Unit = {
+    val root = new java.io.File(derivedRawPath)
+    val dirty = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && new java.io.File(d, "_graft_dirty").exists())
+      .map(_.getName.stripPrefix("stream_id=")).toSet
+      .filter(catalog.contains)
+    if (dirty.nonEmpty) recomputeFully(derivedInOrder(dirty))
   }
 
   /** Full (idempotent) recompute of the given derived streams, batched by

@@ -53,8 +53,11 @@ object Graphs {
   def churn(df: DataFrame, keys: Seq[String], snapCol: String,
       jsonCol: String = "v_json"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // edges collect as STRUCTS, not joined strings: any separator can
+    // collide for some label alphabet (("a b","c") vs ("a","b c")), and
+    // array_except compares struct arrays natively
     val e = edges(df, jsonCol)
-      .withColumn("__edge", concat_ws(" ", col("edge_from"), col("edge_to")))
+      .withColumn("__edge", struct(col("edge_from"), col("edge_to")))
     val sets = e.groupBy((keys :+ snapCol).map(col): _*)
       .agg(collect_set(col("__edge")).as("__es"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(snapCol))

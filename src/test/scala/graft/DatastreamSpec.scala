@@ -569,11 +569,40 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         rm(d)
       }
-    // next append (same day — would be incremental) must go FULL and heal
-    ds.appendMultiple(Seq((src, ts("2024-05-01 00:09:00"), 90.0))
-      .toDF("stream_id", "t", "v"))
-    assert(ds.getData(drvId, Granularity.Seconds).count() == n + 1)
+    // simply REOPENING the store must heal (reads would otherwise serve
+    // the hole until some future append touches the source — never, for
+    // a cold stream)
+    val reopened = new graft.core.Datastream(spark, ds.rootDir)
+    assert(reopened.getData(drvId, Granularity.Seconds).count() == n)
     assert(!new java.io.File(sdir, "_graft_dirty").exists())
+    // and an append through the healed store still behaves
+    reopened.appendMultiple(Seq((src, ts("2024-05-01 00:09:00"), 90.0))
+      .toDF("stream_id", "t", "v"))
+    assert(reopened.getData(drvId, Granularity.Seconds).count() == n + 1)
+  }
+
+  test("pre-epoch sum datapoints survive incremental appends (day-0 clamp)") {
+    import spark.implicits._
+    // pre-epoch rows all share the clamped ymd=0 partition, where the
+    // incremental rewrite's day arithmetic is meaningless — every op must
+    // take the full-recompute path instead of deleting ymd=0 and then
+    // filtering out all t < 0 rows (the r5 review's data-loss finding)
+    val ds = freshDs()
+    val a = ds.ensureStream(Map("name" -> "pre-a"))
+    val dId = ds.ensureStream(Map("name" -> "pre-sum"),
+      deriveFrom = Seq(a), deriveOp = Some(DeriveOps.Sum))
+    ds.appendMultiple(Seq(
+      (a, ts("1969-12-20 00:00:00"), 1.0),
+      (a, ts("1969-12-25 00:00:00"), 2.0)).toDF("stream_id", "t", "v"))
+    assert(ds.getData(dId, Granularity.Seconds).count() == 2)
+    // second pre-epoch append: would be the incremental window
+    ds.appendMultiple(Seq((a, ts("1969-12-30 00:00:00"), 3.0))
+      .toDF("stream_id", "t", "v"))
+    val got = ds.getData(dId, Granularity.Seconds)
+      .select("v").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 2.0, 3.0)) // nothing pre-epoch was lost
+    ds.backprocessStreams()
+    assert(ds.getData(dId, Granularity.Seconds).count() == 3)
   }
 
   test("duplicate source in derive_from sums each point once") {
