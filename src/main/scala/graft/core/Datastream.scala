@@ -31,20 +31,32 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   import spark.implicits._
 
   private val streamsPath = s"$rootDir/streams"
+  private val hwmPath = s"$rootDir/streams.hwm"
   private val datapointsPath = s"$rootDir/datapoints"
 
   // ---- catalog (stream metadata) -------------------------------------
 
   /** Driver-side catalog cache; persisted to parquet lazily (`flush()`).
-    * `ensureStream` only marks the catalog dirty so bulk stream creation
-    * costs no Spark jobs — EXCEPT when it creates a derived stream over
-    * sources that already hold history with the default
-    * `deriveBackprocess=true`, which flushes the catalog and runs the
-    * backprocess job right there (reference parity); append/delete/tag
-    * paths flush automatically.
+    * Appends NEVER rewrite the catalog parquet — at 10⁶ streams that
+    * would be an O(#streams) driver-side rewrite per micro-batch. Instead
+    * `finishAppend` marks the catalog dirty and records the batch's
+    * per-stream time bounds in an append-only sidecar (`streams.hwm`,
+    * one JSONL line per stream per batch — O(batch), no Spark job, the
+    * coverage-marker pattern applied to the primary root). `flush()`
+    * persists the full catalog and truncates the sidecar; `loadCatalog`
+    * replays a surviving sidecar so a crash between append and flush
+    * still reopens with exact monotonicity bounds. Stream creation stays
+    * deferred (bulk creation must not be O(#streams) rewrites each) but
+    * the FIRST append touching a never-persisted descriptor flushes once
+    * — a descriptor lost to a crash could not be rebuilt from bounds
+    * alone, and orphan data no catalog entry explains must not exist.
+    * Tag/delete admin ops flush eagerly (human-rate).
     */
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
   private var catalogDirty = false
+  // stream ids created since the last persist — their descriptors exist
+  // only in memory, so data writes keyed by them must force a flush first
+  private var unpersisted: Set[String] = Set.empty
   // crash-recovery sweep MUST run at open: a surviving _graft_dirty
   // sentinel marks a derived stream whose incremental rewrite crashed
   // between its partition deletes and its write. Waiting for the next
@@ -56,6 +68,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   /** Persist pending catalog changes (no-op when clean). */
   def flush(): Unit = if (catalogDirty) { persistCatalog(); catalogDirty = false }
 
+  /** Flush and release driver-side state. Idempotent. */
+  def close(): Unit = flush()
+
+  /** Test/diagnostic visibility: catalog parquet rewrites since open.
+    * The scale contract is that this stays O(admin ops + explicit
+    * flushes), never O(appends). */
+  private[graft] var catalogWrites: Int = 0
+
   private def loadCatalog(): Map[String, StreamDescriptor] = {
     // fall back to the rename-aside backup persistCatalog leaves during its
     // swap window: a crash between (streams -> streams.old) and
@@ -64,7 +84,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val src = if (p.exists()) streamsPath
               else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
               else return Map.empty
-    spark.read.parquet(src).as[StreamDescriptor]
+    val raw = spark.read.parquet(src)
+    // catalogs persisted before value_type_options existed self-migrate
+    // (the column is absent from their parquet schema)
+    val migrated =
+      if (raw.columns.contains("value_type_options")) raw
+      else raw.withColumn("value_type_options", lit(null).cast("string"))
+    val loaded = migrated.as[StreamDescriptor]
       .collect()
       // tags_json is always derivable from the flat dotted map: rebuild
       // it on load so catalogs persisted before the nested-document form
@@ -73,7 +99,61 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       .map(d => d.copy(tags_json =
         scala.util.Try(Json.nested(d.tags)).getOrElse(d.tags_json)))
       .map(d => d.stream_id -> d).toMap
+    replayHwm(loaded)
   }
+
+  /** Self-heal time bounds from the append sidecar: a crash between an
+    * append and the next catalog flush leaves `streams.hwm` lines the
+    * persisted catalog doesn't cover. Widening is idempotent (min/max), so
+    * replaying lines a later flush DID cover is a no-op; a torn final line
+    * from a mid-write crash is skipped (its batch crashed before the data
+    * write's bounds mattered — same window as crashing before the sidecar
+    * append, which the dedupExisting re-delivery path already heals).
+    */
+  private def replayHwm(cat: Map[String, StreamDescriptor])
+      : Map[String, StreamDescriptor] = {
+    val f = new java.io.File(hwmPath)
+    if (!f.exists()) return cat
+    val line = """\{"id":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+    var c = cat
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().foreach {
+      case line(id, lo, hi) =>
+        c.get(id).foreach { d =>
+          val loTs = new Timestamp(lo.toLong * 1000L)
+          val hiTs = new Timestamp(hi.toLong * 1000L)
+          c += id -> d.copy(
+            earliest_ts = Some(d.earliest_ts.fold(loTs)(e =>
+              if (e.before(loTs)) e else loTs)),
+            latest_ts = Some(d.latest_ts.fold(hiTs)(l =>
+              if (l.after(hiTs)) l else hiTs)))
+        }
+      case _ => // torn tail line — skip
+    } finally src.close()
+    c
+  }
+
+  /** Record a batch's per-stream floored time bounds in the sidecar —
+    * driver-local file append, O(batch streams), zero Spark jobs. Bounds
+    * are granularity-floored already, so epoch seconds are lossless. */
+  private def appendHwm(bounds: Array[org.apache.spark.sql.Row]): Unit = {
+    val sb = new StringBuilder
+    bounds.foreach { r =>
+      val lo = Math.floorDiv(r.getTimestamp(1).getTime, 1000L)
+      val hi = Math.floorDiv(r.getTimestamp(2).getTime, 1000L)
+      sb.append(s"""{"id":"${r.getString(0)}","lo":$lo,"hi":$hi}""")
+        .append('\n')
+    }
+    val w = new java.io.FileWriter(hwmPath, true)
+    try w.write(sb.toString) finally w.close()
+    // bound sidecar growth under continuous ingest: past the threshold,
+    // fold it into one catalog write. This amortizes the O(#streams)
+    // rewrite over many appends instead of paying it per micro-batch,
+    // and keeps open-time replay O(threshold).
+    if (new java.io.File(hwmPath).length() > hwmFlushBytes) flush()
+  }
+
+  private val hwmFlushBytes: Long = 1L << 20
 
   private def persistCatalog(): Unit = {
     // crash-safe swap: never a window where no complete catalog exists on
@@ -91,9 +171,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (!new java.io.File(tmp).renameTo(dst))
       throw new java.io.IOException(s"failed to move catalog into place: $tmp -> $dst")
     if (bak.exists()) rmTree(bak)
+    // the persisted catalog covers every in-memory bound, so the sidecar
+    // is now redundant — truncate it AFTER the swap (a crash in between
+    // just replays already-covered lines, a no-op)
+    new java.io.File(hwmPath).delete()
     // only mark clean once the data is durably in place — a failed write
     // must leave the catalog dirty so a retried flush() actually retries
     catalogDirty = false
+    unpersisted = Set.empty
+    catalogWrites += 1
   }
 
   def streams: DataFrame =
@@ -114,10 +200,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted,
       valueTypeOptions: Option[String] = None,
       deriveBackprocess: Boolean = true): String = {
-    // valueTypeOptions (e.g. archived graph layouts) are accepted for API
-    // parity and carried in derive_args-style JSON; they have no execution
-    // semantics in the reference either (count-only downsampling).
-    val _ = valueTypeOptions
+    // valueTypeOptions (e.g. archived graph layouts) have no execution
+    // semantics in the reference (count-only downsampling) but they ARE
+    // part of the immutable stream config: persisted verbatim in the
+    // descriptor and guarded by the conflicting-re-ensure check below.
     if (!ValueType.all(valueType)) throw IncompatibleTypes(valueType)
     if (valueType != ValueType.Numeric && valueDownsamplers.exists(_ != "count"))
       throw UnsupportedDownsampler(
@@ -160,7 +246,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             d.value_type != valueType ||
             d.derive_from.toSet != deriveFrom.toSet ||
             d.derive_op != deriveOp ||
-            d.derive_args != deriveArgs)
+            d.derive_args != deriveArgs ||
+            d.value_type_options != valueTypeOptions)
           throw InconsistentStreamConfiguration(d.stream_id)
         d.stream_id
       case Nil =>
@@ -178,9 +265,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           derive_op = deriveOp,
           derive_args = deriveArgs,
           earliest_ts = None,
-          latest_ts = None)
+          latest_ts = None,
+          value_type_options = valueTypeOptions)
         catalog += id -> desc
         catalogDirty = true
+        unpersisted += id
         // reference parity: derive_backprocess=True (the default) computes
         // the new derived stream from whatever source history already
         // exists, instead of leaving it empty until the next source append.
@@ -397,7 +486,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         earliest_ts = Some(d.earliest_ts.fold(lo)(e => if (e.before(lo)) e else lo)),
         latest_ts = Some(d.latest_ts.fold(hi)(l => if (l.after(hi)) l else hi)))
     }
-    persistCatalog()
+    // NO catalog rewrite here — that was O(#streams) driver work per
+    // append (the scale-killer under streaming ingest). The sidecar line
+    // keeps monotonicity exact across a crash; flush() folds it in. The
+    // one exception: an appended stream whose descriptor has never been
+    // persisted forces a single flush (which also covers these bounds),
+    // so crashed appends never strand data no catalog entry explains.
+    catalogDirty = true
+    if (ids.exists(unpersisted)) flush() else appendHwm(bounds)
     deriveDependents(ids.toSet, regions)
   }
 
@@ -1234,17 +1330,23 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             // high-water mark never refills a finite mid-range hole
             deleteDerivedYmds(rollupsPath, d.stream_id, wKey, None)
           case None =>
-            // full mode needs no sentinel: the marker dies with the dir,
-            // and a missing marker already forces the full recompute
+            // full mode gets the sentinel too: a missing coverage marker
+            // forces a full recompute only at the NEXT derive trigger —
+            // a crash between these deletes and the group write would
+            // serve the emptied stream to every read until then (forever,
+            // for a source that never appends again). The sentinel makes
+            // healDirtyStreams repair it at the next open instead.
             rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
             rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
+            val dirty = dirtyFile(d.stream_id)
+            dirty.getParentFile.mkdirs()
+            java.nio.file.Files.write(dirty.toPath, Array.empty[Byte])
         }
       }
       DatapointStore.appendByStream(result, derivedRawPath)
       // markers last: a crash before this re-runs as full recompute
       group.foreach(d => writeCoverage(d.stream_id, coverageNow(d)))
-      group.foreach(d =>
-        if (plan(d.stream_id).isDefined) dirtyFile(d.stream_id).delete())
+      group.foreach(d => dirtyFile(d.stream_id).delete())
       group.foreach { d =>
         plan(d.stream_id) match {
           case Some((w, hiKey, cw, _)) =>

@@ -50,7 +50,11 @@ case class StreamDescriptor(
     derive_op: Option[String],
     derive_args: Option[String],
     earliest_ts: Option[Timestamp],
-    latest_ts: Option[Timestamp])
+    latest_ts: Option[Timestamp],
+    // opaque per-type options JSON (reference: value_type_options, e.g.
+    // archived graph layouts). No execution semantics upstream either —
+    // persisted verbatim and guarded by the immutable-config contract.
+    value_type_options: Option[String] = None)
 
 object ValueType {
   val Numeric = "numeric"

@@ -26,7 +26,14 @@ import graft.model._
   */
 object Derive {
 
-  private def lagWindow = Window.partitionBy("stream_id").orderBy("t")
+  // tie-break on v: the store legitimately holds duplicate rounded
+  // timestamps per stream (two events in one bucket are two datapoints),
+  // and an order-by-t-only lag would make results for the point AFTER a
+  // duplicate-t run partition-order-dependent — the incremental rewrite
+  // (lookback union + tail scan) could then legally diverge from a full
+  // recompute on identical data. (t, v) is a deterministic total order
+  // for distinct rows, matching ewma's sort.
+  private def lagWindow = Window.partitionBy("stream_id").orderBy("t", "v")
 
   /** V1: pointwise sum of N source streams into one derived stream.
     * Sources are aligned by flooring t to `g` buckets (an N-way
@@ -133,9 +140,11 @@ object Derive {
     */
   private def counterDerivativeCore(tagged: DataFrame, delta: org.apache.spark.sql.Column): DataFrame = {
     // order reset rows *before* source rows at the same timestamp so a
-    // coinciding reset suppresses the interval ending at that t
+    // coinciding reset suppresses the interval ending at that t; v as the
+    // final key makes duplicate-t source runs deterministic (see
+    // lagWindow)
     val w = Window.partitionBy("stream_id")
-      .orderBy(col("t"), col("is_reset").desc)
+      .orderBy(col("t"), col("is_reset").desc, col("v"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val withState = tagged
       .withColumn("last_reset_t",

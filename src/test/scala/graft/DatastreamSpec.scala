@@ -54,6 +54,39 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("value_type_options persist and join the immutable-config contract") {
+    val root = Files.createTempDirectory("graft-vto").toString
+    val ds = new Datastream(spark, root)
+    val opts = """{"layout": "archived"}"""
+    val id = ds.ensureStream(Map("name" -> "g1"), valueType = ValueType.Graph,
+      valueDownsamplers = Seq("count"),
+      valueTypeOptions = Some(opts))
+    // idempotent with the SAME options
+    assert(ds.ensureStream(Map("name" -> "g1"), valueType = ValueType.Graph,
+      valueDownsamplers = Seq("count"),
+      valueTypeOptions = Some(opts)) == id)
+    // conflicting re-ensure raises (options are immutable config)
+    intercept[InconsistentStreamConfiguration] {
+      ds.ensureStream(Map("name" -> "g1"), valueType = ValueType.Graph,
+        valueDownsamplers = Seq("count"),
+        valueTypeOptions = Some("""{"layout": "other"}"""))
+    }
+    intercept[InconsistentStreamConfiguration] {
+      ds.ensureStream(Map("name" -> "g1"), valueType = ValueType.Graph,
+        valueDownsamplers = Seq("count"))
+    }
+    // descriptor round-trips through the persisted catalog
+    ds.flush()
+    val d2 = new Datastream(spark, root)
+    val row = d2.streams.where(col("stream_id") === id)
+      .select("value_type_options").collect().head
+    assert(row.getString(0) == opts)
+    intercept[InconsistentStreamConfiguration] {
+      d2.ensureStream(Map("name" -> "g1"), valueType = ValueType.Graph,
+        valueDownsamplers = Seq("count"))
+    }
+  }
+
   test("append + get_data round trip at highest granularity") {
     val ds = freshDs()
     val id = ds.ensureStream(Map("name" -> "a"))
@@ -581,6 +614,36 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reopened.getData(drvId, Granularity.Seconds).count() == n + 1)
   }
 
+  test("crashed FULL recompute (dir emptied, sentinel set) heals at reopen") {
+    import spark.implicits._
+    // the full-mode twin of the incremental crash test: a crash between
+    // the full path's rmTree and the group write leaves an EMPTIED stream
+    // dir; without a sentinel the missing coverage marker only repairs it
+    // at the next source append — never, for a cold source
+    val ds = freshDs()
+    val src = ds.ensureStream(Map("name" -> "fullcrash-src"))
+    val drvId = ds.ensureStream(Map("name" -> "fullcrash-drv"),
+      deriveFrom = Seq(src), deriveOp = Some(DeriveOps.Derivative))
+    ds.appendMultiple((0 until 5).map(i =>
+      (src, ts(f"2024-05-01 00:0$i:00"), i * 10.0)).toDF("stream_id", "t", "v"))
+    val n = ds.getData(drvId, Granularity.Seconds).count()
+    assert(n > 0)
+    // simulate the full-mode crash window exactly as the code leaves it:
+    // whole stream dir gone, bare dir holding only the sentinel
+    val sdir = new java.io.File(s"${ds.rootDir}/derived_raw/stream_id=$drvId")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(sdir); rm(new java.io.File(s"${ds.rootDir}/derived_rollups/stream_id=$drvId"))
+    sdir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(sdir, "_graft_dirty").toPath, Array.empty[Byte])
+    val reopened = new graft.core.Datastream(spark, ds.rootDir)
+    assert(reopened.getData(drvId, Granularity.Seconds).count() == n)
+    assert(!new java.io.File(sdir, "_graft_dirty").exists())
+  }
+
   test("pre-epoch sum datapoints survive incremental appends (day-0 clamp)") {
     import spark.implicits._
     // pre-epoch rows all share the clamped ymd=0 partition, where the
@@ -869,6 +932,114 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     ds.appendMultiple(Seq((id, ts("2024-01-01 00:09:00"), 9.0))
       .toDF("stream_id", "t", "v"), checkTimestamp = false)
     assert(ds.getData(id, Granularity.Seconds).count() == 5)
+  }
+
+  test("duplicate-timestamp data: incremental derive == full recompute") {
+    import spark.implicits._
+    // the store legitimately holds duplicate rounded timestamps (two
+    // events in one bucket are two datapoints); lag-based ops must order
+    // them deterministically or the incremental rewrite can legally
+    // diverge from a full recompute on identical data
+    val ds = freshDs()
+    val a = ds.ensureStream(Map("name" -> "dupSrc"))
+    for (op <- Seq(DeriveOps.Derivative, DeriveOps.CounterReset,
+        DeriveOps.CounterDerivative))
+      ds.ensureStream(Map("name" -> s"dup_$op"), deriveFrom = Seq(a),
+        deriveOp = Some(op))
+    // duplicate-t runs in BOTH appends, plus a duplicate bucket that
+    // spans the incremental lookback boundary
+    ds.appendMultiple(Seq(
+      (a, ts("2024-03-01 08:00:00"), 5.0),
+      (a, ts("2024-03-01 08:00:00"), 2.0),
+      (a, ts("2024-03-01 08:10:00"), 9.0),
+      (a, ts("2024-03-01 08:10:00"), 1.0),
+      (a, ts("2024-03-01 08:20:00"), 4.0)).toDF("stream_id", "t", "v"),
+      checkTimestamp = false)
+    ds.appendMultiple(Seq(
+      (a, ts("2024-03-01 08:20:00"), 8.0), // lands in the last seen bucket
+      (a, ts("2024-03-01 08:30:00"), 3.0),
+      (a, ts("2024-03-01 08:30:00"), 6.0)).toDF("stream_id", "t", "v"),
+      checkTimestamp = false)
+    def dump() = ds.datapoints
+      .where(col("v_num").isNotNull)
+      .select("stream_id", "granularity", "t", "v_num")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val incremental = dump()
+    ds.backprocessStreams()
+    assert(incremental == dump())
+    assert(incremental.nonEmpty)
+  }
+
+  test("N staged appends cost zero catalog rewrites; flush folds them in") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hwm").toString
+    val ds = new Datastream(spark, root)
+    val id = ds.ensureStream(Map("name" -> "hwm"))
+    // first append persists the new descriptor exactly once (a crash must
+    // never strand data whose stream the on-disk catalog doesn't know)
+    ds.appendMultiple(Seq((id, ts("2024-01-01 00:00:00"), 0.0))
+      .toDF("stream_id", "t", "v"))
+    assert(ds.catalogWrites == 1, "first append persists the descriptor once")
+    // N further appends: zero catalog rewrites, only sidecar lines
+    for (i <- 1 to 5)
+      ds.appendMultiple(Seq((id, ts(s"2024-01-01 00:0$i:00"), i.toDouble))
+        .toDF("stream_id", "t", "v"))
+    assert(ds.catalogWrites == 1,
+      s"staged appends must not rewrite the catalog (got ${ds.catalogWrites})")
+    assert(new java.io.File(s"$root/streams.hwm").exists())
+    ds.flush()
+    assert(ds.catalogWrites == 2)
+    assert(!new java.io.File(s"$root/streams.hwm").exists(),
+      "flush truncates the sidecar")
+    // the flushed catalog carries the widened bounds
+    val d2 = new Datastream(spark, root)
+    intercept[InvalidTimestamp] {
+      d2.append(id, 9.0, ts("2024-01-01 00:03:00"))
+    }
+  }
+
+  test("crash before flush: sidecar replay keeps monotonicity exact on reopen") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hwm-crash").toString
+    val ds = new Datastream(spark, root)
+    val id = ds.ensureStream(Map("name" -> "crash"))
+    ds.appendMultiple(Seq((id, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("stream_id", "t", "v"))
+    ds.appendMultiple(Seq((id, ts("2024-01-02 00:00:00"), 2.0))
+      .toDF("stream_id", "t", "v"))
+    // crash: no flush(), the instance is simply abandoned — the on-disk
+    // catalog still says latest_ts = Jan 1 (from the descriptor flush)
+    val d2 = new Datastream(spark, root)
+    // healed bounds: an append before the TRUE high-water mark must fail
+    intercept[InvalidTimestamp] {
+      d2.append(id, 9.0, ts("2024-01-01 12:00:00"))
+    }
+    // and one at/after it still lands
+    d2.append(id, 3.0, ts("2024-01-03 00:00:00"))
+    assert(d2.getData(id, Granularity.Seconds).count() == 3)
+    // catalog bounds themselves healed, not just the gate
+    val row = d2.streams.where(col("stream_id") === id)
+      .select("earliest_ts", "latest_ts").collect().head
+    assert(row.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(row.getTimestamp(1) == ts("2024-01-03 00:00:00"))
+  }
+
+  test("torn sidecar tail line is skipped; intact lines still replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hwm-torn").toString
+    val ds = new Datastream(spark, root)
+    val id = ds.ensureStream(Map("name" -> "torn"))
+    ds.appendMultiple(Seq((id, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("stream_id", "t", "v"))
+    ds.appendMultiple(Seq((id, ts("2024-01-02 00:00:00"), 2.0))
+      .toDF("stream_id", "t", "v"))
+    // simulate a crash mid-sidecar-append: torn partial JSON tail
+    val w = new java.io.FileWriter(s"$root/streams.hwm", true)
+    try w.write(s"""{"id":"$id","lo":17""") finally w.close()
+    val d2 = new Datastream(spark, root)
+    intercept[InvalidTimestamp] { d2.append(id, 9.0, ts("2024-01-01 12:00:00")) }
+    d2.append(id, 3.0, ts("2024-01-03 00:00:00"))
+    assert(d2.getData(id, Granularity.Seconds).count() == 3)
   }
 
   override def afterAll(): Unit = spark.stop()
