@@ -28,36 +28,45 @@ object Bench {
     // after the timer stops, so listener latency never bills to a query.
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    // executor CPU nanos summed across finished tasks — the load-robust
+    // currency: sandbox contention inflates wall 2-3× round-to-round at
+    // identical task counts (BENCH_r05 178.6 s vs a controlled 114.7 s),
+    // but CPU-time charged to the query's own work barely moves. In
+    // local[32] a parallel query's cpu may legitimately exceed its wall.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
       }
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        tasks.incrementAndGet(); ()
+        tasks.incrementAndGet()
+        val m = e.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+        ()
       }
     })
     def settle(): Unit = {
       // listener delivery is async: wait (briefly) until counters stop
       var last = -1L
       var spins = 0
-      while (jobs.get() + tasks.get() != last && spins < 20) {
-        last = jobs.get() + tasks.get(); Thread.sleep(100); spins += 1
+      while (jobs.get() + tasks.get() + cpuNs.get() != last && spins < 20) {
+        last = jobs.get() + tasks.get() + cpuNs.get(); Thread.sleep(100); spins += 1
       }
     }
 
-    case class R(sec: Double, jobs: Long, tasks: Long)
+    case class R(sec: Double, cpuSec: Double, jobs: Long, tasks: Long)
     def run(name: String): R = {
       settle()
-      val (j0, k0) = (jobs.get(), tasks.get())
+      val (j0, k0, c0) = (jobs.get(), tasks.get(), cpuNs.get())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return R(-1.0, 0, 0) }
+        return R(-1.0, -1.0, 0, 0) }
       val sec = (System.nanoTime() - t0) / 1e9
       settle()
-      R(sec, jobs.get() - j0, tasks.get() - k0)
+      R(sec, (cpuNs.get() - c0) / 1e9, jobs.get() - j0, tasks.get() - k0)
     }
 
     run("q1_pricing_summary") // warmup (untimed)
@@ -68,6 +77,8 @@ object Bench {
     val results0 = names.map(n => n -> run(n))
     val results = results0.map { case (n, r) => n -> r.sec }
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cpuResults = results0.map { case (n, r) => n -> r.cpuSec }
+    val cpuTotal = cpuResults.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would corrupt the driver-parsed JSON line
     def fmt(v: Double) =
@@ -81,26 +92,34 @@ object Bench {
     // sbt's trailing "[success] Total time ..." line.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val cpuJson = cpuResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val jobsJson = results0.map { case (k, r) => "\"" + k + "\":" + r.jobs }
       .mkString("{", ",", "}")
     val tasksJson = results0.map { case (k, r) => "\"" + k + "\":" + r.tasks }
       .mkString("{", ",", "}")
     val tasksTotal = results0.map(_._2.tasks).sum
     try Files.writeString(Paths.get("bench_full.json"),
-      s"""{"total":${fmt(total)},"queries":$fullJson,""" +
+      s"""{"total":${fmt(total)},"cpu_total":${fmt(cpuTotal)},""" +
+        s""""queries":$fullJson,"cpu":$cpuJson,""" +
         s""""jobs":$jobsJson,"tasks":$tasksJson,""" +
         s""""tasks_total":$tasksTotal,"sf":"$sfDir"}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // Primary stdout metric is executor CPU seconds (load-robust; see the
+    // listener comment); wall total + task counts ride along as secondary
+    // fields. The per-query map reports CPU seconds for the same reason.
     // tail is sized with a worst-case n_reported width so the room budget
     // stays valid once the real count is substituted in
     def tailFor(nReported: Any) =
       s"""},"n_queries":${results.size},"n_reported":$nReported,""" +
         s""""queries_truncated":${nReported != results.size},""" +
+        s""""wall_total":${fmt(total)},""" +
         s""""tasks_total":$tasksTotal,"sf":"$sfDir"}"""
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val head = s"""{"metric":"executor_cpu_total","value":${fmt(cpuTotal)},""" +
+      s""""unit":"sec","queries":{"""
     var room = 1750 - head.length - tailFor(9999).length
-    val kept = results.sortBy(-_._2).iterator.map { case (k, v) =>
+    val kept = cpuResults.sortBy(-_._2).iterator.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
     }.takeWhile { e => room -= e.length + 1; room >= 0 }.toSeq
     println(head + kept.mkString(",") + tailFor(kept.size))

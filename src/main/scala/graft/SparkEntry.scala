@@ -910,6 +910,65 @@ object SparkEntry {
         .orderBy("name", "t")
     },
 
+    "store_stream_ingest" -> { (s, dir) =>
+      // the STREAMING INGEST LOOP under the oracle: MemoryStream →
+      // Streaming.ingest, whose foreachBatch drives appendMultiple
+      // (dedupExisting) + the incremental derive cascade + the rollup
+      // ladder per micro-batch. Batch 2 is DELIBERATELY delivered twice —
+      // foreachBatch's at-least-once case — so a green row proves
+      // re-delivery is idempotent through the whole store path. Read-back
+      // = derived derivative points + source days rollups in one frame.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files.createTempDirectory("graft-ingest-q").toString
+      val ds = new graft.core.Datastream(s, work)
+      val pts = eventStreams(s, dir)
+        .where(col("stream_id").startsWith("3:"))
+        .groupBy("stream_id", "t").agg(sum("v").as("v"))
+      val rows = pts.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      val keys = rows.map(_._1).distinct.sorted
+      val idOf = keys.map(k => k -> ds.ensureStream(Map("src" -> k))).toMap
+      keys.foreach(k => ds.ensureStream(Map("drv" -> k),
+        deriveFrom = Seq(idOf(k)),
+        deriveOp = Some(graft.model.DeriveOps.Derivative)))
+      val uuidOf = typedLit(idOf)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF.toDF("k", "t", "v")
+          .select(uuidOf(col("k")).as("stream_id"), col("t"), col("v"))
+        val q = graft.streaming.Streaming.ingest(src, ds)
+          .option("checkpointLocation", s"$work/ckpt").start()
+        try {
+          val cut1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+          val cut2 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+          val b1 = rows.filter(_._2.before(cut1)).toSeq
+          val b2 = rows.filter(r => !r._2.before(cut1) && r._2.before(cut2)).toSeq
+          val b3 = rows.filterNot(r => r._2.before(cut2)).toSeq
+          mem.addData(b1); q.processAllAvailable()
+          mem.addData(b2); q.processAllAvailable()
+          mem.addData(b2); q.processAllAvailable() // at-least-once re-delivery
+          mem.addData(b3); q.processAllAvailable()
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val drv = ds.datapoints.where(col("granularity") === "seconds")
+        .join(ds.streams.where(element_at(col("tags"), "drv").isNotNull)
+          .select(col("stream_id"), element_at(col("tags"), "drv").as("name")),
+          "stream_id")
+        .select(lit("drv").as("kind"), col("name"), col("t"),
+          lit(1L).as("c"), col("v_num").as("v"))
+      val days = ds.datapoints.where(col("granularity") === "days")
+        .join(ds.streams.where(element_at(col("tags"), "src").isNotNull)
+          .select(col("stream_id"), element_at(col("tags"), "src").as("name")),
+          "stream_id")
+        .select(lit("day").as("kind"), col("name"), col("t"),
+          col("c"), col("s").as("v"))
+      drv.unionAll(days).orderBy("kind", "name", "t")
+    },
+
     "ds_agg_minutes10" -> { (s, dir) =>
       Downsample.toGranularity(eventStreams(s, dir), Granularity.Minutes10)
         .select("stream_id", "t", "c", "s", "q", "l", "u", "m", "d",
@@ -2218,6 +2277,34 @@ object SparkEntry {
         |SELECT stream_id AS name, t, (v - pv) / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
         |ORDER BY name, t""".stripMargin,
+
+    // mirror of the ingest loop's final state: derivative over the
+    // complete series (re-delivery must be a no-op) + days rollups under
+    // the bucket-close rule be + 86400 <= epoch(max t) (each foreachBatch
+    // advances the ladder to its own max t; the final batch holds the
+    // global max, so closed days are exactly those complete at that point)
+    "store_stream_ingest" ->
+      s"""WITH $srcSql, $pointSql,
+        |f AS (SELECT * FROM pts WHERE stream_id LIKE '3:%'),
+        |d AS (SELECT stream_id, t, v,
+        |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv,
+        |    lag(t) OVER (PARTITION BY stream_id ORDER BY t) AS pt
+        |  FROM f),
+        |drv AS (SELECT 'drv' AS kind, stream_id AS name, t,
+        |    CAST(1 AS BIGINT) AS c,
+        |    (v - pv) / (epoch(t) - epoch(pt)) AS v
+        |  FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)),
+        |mx AS (SELECT max(epoch(t)) AS m FROM f),
+        |day AS (SELECT 'day' AS kind, stream_id AS name,
+        |    CAST(to_timestamp(CAST(floor(epoch(t) / 86400) * 86400 AS BIGINT))
+        |      AS TIMESTAMP) AS t,
+        |    count(*) AS c, sum(v) AS v
+        |  FROM f, mx
+        |  GROUP BY stream_id, floor(epoch(t) / 86400), mx.m
+        |  HAVING floor(epoch(t) / 86400) * 86400 + 86400 <= mx.m)
+        |SELECT kind, name, t, c, v FROM drv
+        |UNION ALL SELECT kind, name, t, c, v FROM day
+        |ORDER BY kind, name, t""".stripMargin,
 
     "store_nested_tags" ->
       """SELECT n_name AS nation, r_name AS region

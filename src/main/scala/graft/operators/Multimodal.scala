@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata, and decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real — schema, per-partition batch shape,
-  * partition sizing — but the codec layer is a STUB: this container has no
-  * image/audio libraries, so `decodeBytes` below derives deterministic
-  * fake pixels/samples from the content hash. Swapping in a real codec
-  * (e.g. javacpp-ffmpeg) only replaces the marked function.
+  * partition sizing — and so is the IMAGE codec: content with raster
+  * magic bytes (PNG/BMP/GIF/JPEG) decodes real pixels through the
+  * JDK-builtin `javax.imageio` (decode + resize re-encode). Audio/video
+  * decode would need codec libraries this container lacks, so those paths
+  * (and non-image bytes like the documents fixture) use a deterministic
+  * md5-derived STUB; swapping in e.g. javacpp-ffmpeg only replaces the
+  * marked fallback functions.
   *
   * Scale design:
   *  - media rows are large → `repartition` before decode so each task
@@ -31,13 +34,58 @@ object Multimodal {
   case class MediaFeature(media_id: Long, feature: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
 
-  /** ======== STUB CODEC LAYER ========
+  /** ======== REAL CODEC LAYER (images) ========
+    * Content whose magic bytes identify a real raster format decodes
+    * through `javax.imageio` (JDK-builtin: PNG, BMP, GIF, JPEG — no new
+    * dependencies). Anything else falls through to the md5 stub below, so
+    * the oracle-recomputable gate queries (which feed utf-8 text bytes)
+    * keep hash-verifying while genuinely-encoded images get real pixels.
+    */
+  private[graft] def imageFormat(content: Array[Byte]): Option[String] = {
+    def startsWith(magic: Int*): Boolean =
+      content.length >= magic.length &&
+        magic.zipWithIndex.forall { case (m, i) => (content(i) & 0xff) == m }
+    if (startsWith(0x89, 0x50, 0x4e, 0x47)) Some("png")
+    else if (startsWith(0x42, 0x4d)) Some("bmp")
+    else if (startsWith(0x47, 0x49, 0x46, 0x38)) Some("gif")
+    else if (startsWith(0xff, 0xd8, 0xff)) Some("jpeg")
+    else None
+  }
+
+  private def readImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
+
+  /** Real decode: dimensions from the raster, channels from the color
+    * model, meanLuma = mean over pixels of Rec.601 luma
+    * (0.299 R + 0.587 G + 0.114 B) / 255 ∈ [0, 1].
+    */
+  private def decodeImage(img: java.awt.image.BufferedImage): DecodedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(0L, w, h, img.getColorModel.getNumComponents,
+      sum / (w.toLong * h) / 255.0)
+  }
+
+  /** ======== STUB CODEC LAYER (non-image bytes) ========
     * Deterministic fake decode derived from md5 of the content bytes —
     * md5 (not murmur) on purpose: the oracle gate can recompute every
     * downstream aggregate in SQL (`md5(text)` over the same utf-8 bytes),
-    * so the multimodal queries hash-verify instead of rows-only. Replace
-    * with a real codec; everything downstream only sees the returned
-    * shapes.
+    * so the multimodal queries hash-verify instead of rows-only. Audio /
+    * video decode would need codec libraries this container lacks, so
+    * those kinds always take this path; image bytes only reach it when
+    * ImageIO cannot parse them.
     */
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -46,10 +94,12 @@ object Multimodal {
   /** meanLuma = first md5 byte / 255 ≡ DuckDB
     * `('0x' || substring(md5(text), 1, 2))::INT / 255.0`.
     */
-  private def decodeBytes(content: Array[Byte], meta: MediaMeta): DecodedImage = {
-    val b = Integer.parseInt(md5Hex(content).substring(0, 2), 16)
-    DecodedImage(0L, meta.width, meta.height, 3, b / 255.0)
-  }
+  private def decodeBytes(content: Array[Byte], meta: MediaMeta): DecodedImage =
+    imageFormat(content).flatMap(_ => readImage(content)).map(decodeImage)
+      .getOrElse {
+        val b = Integer.parseInt(md5Hex(content).substring(0, 2), 16)
+        DecodedImage(0L, meta.width, meta.height, 3, b / 255.0)
+      }
 
   /** Feature block b supplies 16 elements from the bytes of
     * md5(content ++ "#b"); element = byte/127.5 − 1 ∈ [−1, 1) ≡ DuckDB
@@ -150,12 +200,34 @@ object Multimodal {
     }
   }
 
-  /** Resize stage (stub): metadata-only transform — the real version
-    * re-encodes content; the plumbing (schema update, pass-through of
-    * untouched columns) is what matters here.
+  /** Resize stage: decodable raster content is genuinely rescaled
+    * (bilinear `Graphics2D.drawImage`) and re-encoded as PNG; anything
+    * ImageIO cannot parse (audio/video/stub text bytes) keeps its content
+    * and gets the metadata-only update, preserving the oracle-recomputable
+    * gate path.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val rescaled = imageFormat(r.content).flatMap(_ => readImage(r.content))
+          .map { img =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            buf.toByteArray
+          }
+        r.copy(content = rescaled.getOrElse(r.content),
+          meta = r.meta.copy(width = w, height = h,
+            codec = rescaled.fold(r.meta.codec)(_ => "png")))
+      }
+    }
   }
 }

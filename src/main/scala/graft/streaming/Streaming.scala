@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model.Granularity
 import graft.operators.Downsample
@@ -17,8 +18,9 @@ import graft.operators.Downsample
   *    exactly watermark-triggered window close in Append mode: a window
   *    emits once the watermark passes its end.
   *  - per-stream derive state (last point, last counter value) lives in
-  *    [[GroupState]] keyed by stream_id — the distributed replacement for
-  *    the reference's per-stream state docs.
+  *    `transformWithState` [[ValueState]] keyed by stream_id (the Spark 4
+  *    arbitrary-stateful-processing primitive, RocksDB-backed) — the
+  *    distributed replacement for the reference's per-stream state docs.
   *
   * Scale design: all state is keyed by stream_id, so it shards across
   * executors; watermarks bound state size (old windows are dropped);
@@ -106,60 +108,95 @@ object Streaming {
       .select("stream_id", "t", "v", "rt", "rv")
   }
 
+  /** `transformWithState` (the Spark 4 stateful-processing primitive the
+    * derive ops below run on) only supports the RocksDB state store.
+    * Set the provider once per session, before the query plan is built —
+    * it also serves the window/session/dedup state stores fine, so one
+    * session-wide provider keeps every stateful query on the same engine.
+    */
+  private def ensureRocksDbStateStore(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if (!spark.conf.get(key, "").contains("RocksDBStateStoreProvider"))
+      spark.conf.set(key, rocks)
+  }
+
+  /** Shared shape of the per-stream fold processors: carry one small state
+    * value across micro-batches, sort each batch's rows by event time
+    * before folding (batch arrival order is arbitrary), emit zero-or-one
+    * row per input row. The state is created in `init` through the
+    * processor handle — the transformWithState lifecycle — and updated
+    * once per batch.
+    */
+  private abstract class PointFoldProcessor[S](stateName: String,
+      stateEnc: org.apache.spark.sql.Encoder[S],
+      orderInBatch: Point => (Long, Double))
+      extends StatefulProcessor[String, Point, Point] {
+    @transient private var state: ValueState[S] = _
+    protected def fold(key: String, p: Point, prev: Option[S])
+        : (Option[Point], S)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[S](stateName, stateEnc, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Point],
+        timerValues: TimerValues): Iterator[Point] = {
+      val sorted = rows.toSeq.sortBy(orderInBatch)
+      var prev = if (state.exists()) Some(state.get()) else None
+      val out = sorted.flatMap { p =>
+        val (emit, next) = fold(key, p, prev)
+        prev = Some(next)
+        emit
+      }
+      prev.foreach(state.update)
+      out.iterator
+    }
+  }
+
   /** Stateful streaming V2 `derivative`: per stream, emit
     * (v − last.v)/(t − last.t) for each arriving point, carrying the last
-    * point across micro-batches in GroupState. Rows inside a micro-batch
-    * are sorted by t before folding (batch arrival order is arbitrary).
+    * point across micro-batches in `transformWithState` value state.
     */
   def derivative(src: Dataset[Point]): Dataset[Point] = {
     import src.sparkSession.implicits._
-    src.groupByKey(_.stream_id)
-      .flatMapGroupsWithState[LastPoint, Point](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
-          val sorted = rows.toSeq.sortBy(_.t.getTime)
-          var last = state.getOption
-          val out = sorted.flatMap { p =>
-            // compare/divide on floor-second resolution like the batch
-            // path: sub-second pairs are dropped, never divided by 0
-            val sec = Math.floorDiv(p.t.getTime, 1000L)
-            val r = last.collect {
-              case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
-                Point(key, p.t, (p.v - lv) / (sec - Math.floorDiv(lt, 1000L)))
-            }
-            last = Some(LastPoint(p.t.getTime, p.v))
-            r
-          }
-          last.foreach(state.update)
-          out.iterator
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new PointFoldProcessor[LastPoint]("last",
+        Encoders.product[LastPoint], p => (p.t.getTime, 0.0)) {
+      def fold(key: String, p: Point, prev: Option[LastPoint]) = {
+        // compare/divide on floor-second resolution like the batch path:
+        // sub-second pairs are dropped, never divided by 0
+        val sec = Math.floorDiv(p.t.getTime, 1000L)
+        val emit = prev.collect {
+          case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
+            Point(key, p.t, (p.v - lv) / (sec - Math.floorDiv(lt, 1000L)))
+        }
+        (emit, LastPoint(p.t.getTime, p.v))
       }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
   /** Stateful streaming V4 `counter_derivative` (wrap-aware rate). */
   def counterDerivative(src: Dataset[Point], maxValue: Option[Double])
       : Dataset[Point] = {
     import src.sparkSession.implicits._
-    src.groupByKey(_.stream_id)
-      .flatMapGroupsWithState[LastPoint, Point](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
-          val sorted = rows.toSeq.sortBy(_.t.getTime)
-          var last = state.getOption
-          val out = sorted.flatMap { p =>
-            val sec = Math.floorDiv(p.t.getTime, 1000L)
-            val r = last.flatMap {
-              case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
-                val dt = sec - Math.floorDiv(lt, 1000L)
-                if (p.v >= lv) Some(Point(key, p.t, (p.v - lv) / dt))
-                else maxValue.map(m => Point(key, p.t, (m - lv + p.v) / dt))
-              case _ => None
-            }
-            last = Some(LastPoint(p.t.getTime, p.v))
-            r
-          }
-          last.foreach(state.update)
-          out.iterator
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new PointFoldProcessor[LastPoint]("last",
+        Encoders.product[LastPoint], p => (p.t.getTime, 0.0)) {
+      def fold(key: String, p: Point, prev: Option[LastPoint]) = {
+        val sec = Math.floorDiv(p.t.getTime, 1000L)
+        val emit = prev.flatMap {
+          case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
+            val dt = sec - Math.floorDiv(lt, 1000L)
+            if (p.v >= lv) Some(Point(key, p.t, (p.v - lv) / dt))
+            else maxValue.map(m => Point(key, p.t, (m - lv + p.v) / dt))
+          case _ => None
+        }
+        (emit, LastPoint(p.t.getTime, p.v))
       }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
   /** EWMA state: the running smoothed value of one stream. */
@@ -174,19 +211,16 @@ object Streaming {
     */
   def ewma(src: Dataset[Point], alpha: Double): Dataset[Point] = {
     import src.sparkSession.implicits._
-    src.groupByKey(_.stream_id)
-      .flatMapGroupsWithState[EwmaState, Point](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
-          var acc = state.getOption.map(_.value)
-          val out = sorted.map { p =>
-            acc = Some(acc.fold(p.v)(prev => alpha * p.v + (1 - alpha) * prev))
-            Point(key, p.t, acc.get)
-          }
-          acc.foreach(a => state.update(EwmaState(a)))
-          out.iterator
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new PointFoldProcessor[EwmaState]("ewma",
+        Encoders.product[EwmaState], p => (p.t.getTime, p.v)) {
+      def fold(key: String, p: Point, prev: Option[EwmaState]) = {
+        val next = prev.fold(p.v)(s => alpha * p.v + (1 - alpha) * s.value)
+        (Some(Point(key, p.t, next)), EwmaState(next))
       }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming gap-based sessionization — the incremental form of the
@@ -220,20 +254,28 @@ object Streaming {
     */
   def monotonicityGate(src: Dataset[Point]): Dataset[GatedPoint] = {
     import src.sparkSession.implicits._
-    src.groupByKey(_.stream_id)
-      .flatMapGroupsWithState[LastPoint, GatedPoint](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[LastPoint]) =>
-          val sorted = rows.toSeq.sortBy(_.t.getTime)
-          var lastT = state.getOption.map(_.t).getOrElse(Long.MinValue)
-          val out = sorted.map { p =>
-            val ok = p.t.getTime >= lastT
-            if (ok) lastT = p.t.getTime
-            GatedPoint(key, p.t, p.v, ok)
-          }
-          state.update(LastPoint(lastT, 0.0))
-          out.iterator
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, GatedPoint] {
+      @transient private var state: ValueState[LastPoint] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[LastPoint]("last",
+          Encoders.product[LastPoint], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[GatedPoint] = {
+        val sorted = rows.toSeq.sortBy(_.t.getTime)
+        var lastT =
+          if (state.exists()) state.get().t else Long.MinValue
+        val out = sorted.map { p =>
+          val ok = p.t.getTime >= lastT
+          if (ok) lastT = p.t.getTime
+          GatedPoint(key, p.t, p.v, ok)
+        }
+        state.update(LastPoint(lastT, 0.0))
+        out.iterator
       }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming ingestion into a [[graft.core.Datastream]] store: each

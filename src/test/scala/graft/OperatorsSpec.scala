@@ -315,6 +315,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resized.forall(r => r.meta.width == 64 && r.meta.height == 64))
   }
 
+  test("multimodal: real ImageIO decode — hand-computed pixels, magic-byte dispatch") {
+    import spark.implicits._
+    import Multimodal.{MediaMeta, MediaRow}
+    def encode(fmt: String, pixels: Seq[Seq[Int]]): Array[Byte] = {
+      val h = pixels.size; val w = pixels.head.size
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    // 2x2: red, green / blue, white. Rec.601 weights sum to 1, so the luma
+    // total is 255*(0.299+0.587+0.114) + 255 = 510 -> meanLuma = 510/4/255
+    // = 0.5 exactly, hand-computable without a float table.
+    val px = Seq(Seq(0xff0000, 0x00ff00), Seq(0x0000ff, 0xffffff))
+    val png = encode("png", px)
+    val bmp = encode("bmp", px)
+    assert(Multimodal.imageFormat(png).contains("png"))
+    assert(Multimodal.imageFormat(bmp).contains("bmp"))
+    assert(Multimodal.imageFormat("plain text".getBytes("UTF-8")).isEmpty)
+    val meta = MediaMeta("image", 0, 0, 0, 0L, "none")
+    val media = Seq(MediaRow(1L, png, meta), MediaRow(2L, bmp, meta)).toDS()
+    val dec = Multimodal.decodeImages(media).collect()
+      .map(i => i.media_id -> i).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(dec(id).width == 2 && dec(id).height == 2 && dec(id).channels == 3)
+      assert(math.abs(dec(id).meanLuma - 0.5) < 1e-12)
+    }
+    // resize genuinely rescales + re-encodes decodable content...
+    val resized = Multimodal.resize(media, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(!java.util.Arrays.equals(resized(1L).content, png))
+    assert(resized(1L).meta.codec == "png")
+    val redec = Multimodal.decodeImages(
+      Seq(resized(1L)).toDS()).collect().head
+    assert(redec.width == 4 && redec.height == 4)
+    // ...uniform-color input stays exact through bilinear upscale
+    val flat = encode("png", Seq(Seq(0x808080, 0x808080), Seq(0x808080, 0x808080)))
+    val flatUp = Multimodal.resize(
+      Seq(MediaRow(3L, flat, meta)).toDS(), 3, 3).collect().head
+    val flatDec = Multimodal.decodeImages(Seq(flatUp).toDS()).collect().head
+    assert(math.abs(flatDec.meanLuma - 128.0 / 255) < 1e-12)
+    // ...while non-image bytes keep their content (stub/gate path intact)
+    val text = MediaRow(4L, "not an image".getBytes("UTF-8"), meta)
+    val textOut = Multimodal.resize(Seq(text).toDS(), 4, 4).collect().head
+    assert(java.util.Arrays.equals(textOut.content, text.content))
+    assert(textOut.meta.codec == "none")
+  }
+
   test("similarity: ann via LSH buckets ranks identical vectors first") {
     import spark.implicits._
     val base = (0 until 30).map { i =>

@@ -1,12 +1,27 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify's parquet
 outputs against the DuckDB oracle SQL and diff. Usage:
-  python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+  python3 tools/compare_oracle.py [--skip-quadratic] <sfDir> <verifyOutDir>
+
+--skip-quadratic drops the oracles whose DuckDB side is a full-corpus
+all-pairs join (intractable past sf0.01: >10 min each at 5k docs). Use it
+for the sf0.1 audit sweep; the skipped queries' large-SF semantics are
+pinned by the Spark-side recall cross-checks in OperatorsSpec instead.
 """
 import sys, json, glob, math
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# Full-corpus all-pairs oracle SQL (documents x documents or
+# embeddings x embeddings with no pre-limit) — O(n^2) list_intersect /
+# dot-product work in DuckDB. dedup_ngram_jaccard (doc_id<50),
+# dedup_survivors (<200) and dedup_incremental (batch x corpus) stay in.
+QUADRATIC = {"dedup_minhash", "dedup_simhash", "dedup_clusters",
+             "dedup_embedding", "emb_near_pairs", "emb_clusters"}
+
+argv = sys.argv[1:]
+skip_quadratic = "--skip-quadratic" in argv
+argv = [a for a in argv if a != "--skip-quadratic"]
+sfdir, outdir = argv[0], argv[1]
 con = duckdb.connect()
 con.sql("SET TimeZone='UTC'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -29,8 +44,11 @@ for name in dumped:
         print(f"{name:24s} OK rows-only rows={n}")
     else:
         print(f"{name:24s} EMPTY-ROWS-ONLY"); fails += 1
+skipped = 0
 for name in sorted(oracle):
     sql = oracle[name]
+    if skip_quadratic and name in QUADRATIC:
+        print(f"{name:24s} SKIP quadratic-oracle"); skipped += 1; continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"{name:24s} NO-SPARK-OUTPUT"); fails += 1; continue
@@ -69,5 +87,6 @@ for name in sorted(oracle):
         print(f"{name:24s} OK fp-only maxrel={maxrel:.2e} rows={len(got)}")
     else:
         print(f"{name:24s} FP-DIFF maxrel={maxrel:.2e} {bad}"); fails += 1
-print(f"\n{'FAILURES: %d' % fails if fails else 'ALL OK'}")
+suffix = f" (skipped {skipped} quadratic)" if skipped else ""
+print(f"\n{'FAILURES: %d' % fails if fails else 'ALL OK'}{suffix}")
 sys.exit(1 if fails else 0)
