@@ -935,23 +935,28 @@ object SparkEntry {
       val uuidOf = typedLit(idOf)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, java.sql.Timestamp, Double)]
+      // per-micro-batch cost here is FIXED driver/job overhead (append +
+      // derive cascade + ladder advance), independent of batch size — so
+      // the replay uses few, large batches and a narrow shuffle; a real
+      // deployment sizes its trigger the same way (batch work >> fixed
+      // per-batch work)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val src = mem.toDF.toDF("k", "t", "v")
           .select(uuidOf(col("k")).as("stream_id"), col("t"), col("v"))
         val q = graft.streaming.Streaming.ingest(src, ds)
           .option("checkpointLocation", s"$work/ckpt").start()
         try {
-          val cut1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-          val cut2 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
-          val b1 = rows.filter(_._2.before(cut1)).toSeq
-          val b2 = rows.filter(r => !r._2.before(cut1) && r._2.before(cut2)).toSeq
-          val b3 = rows.filterNot(r => r._2.before(cut2)).toSeq
+          val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+          val b1 = rows.filter(_._2.before(cut)).toSeq
+          val b2 = rows.filterNot(_._2.before(cut)).toSeq
           mem.addData(b1); q.processAllAvailable()
           mem.addData(b2); q.processAllAvailable()
-          mem.addData(b2); q.processAllAvailable() // at-least-once re-delivery
-          mem.addData(b3); q.processAllAvailable()
+          // at-least-once re-delivery as the FINAL batch: the whole store
+          // path (raw dedup, derive rewrite, HWM-guarded ladder) must
+          // leave the store byte-identical
+          mem.addData(b2); q.processAllAvailable()
         } finally q.stop() // never leak a running query into later queries
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val drv = ds.datapoints.where(col("granularity") === "seconds")
@@ -1378,6 +1383,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("pack_tokens"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("source", "pack_id")
+    },
+
+    "pipe_dedup_paragraphs" -> { (s, dir) =>
+      // C4-style corpus-wide paragraph dedup: 3-token windows, keep only
+      // the global first occurrence of each distinct window, reassemble
+      graft.operators.Pipeline.dedupParagraphs(
+          tbl(s, dir, "documents"), words = 3)
+        .orderBy("doc_id")
+    },
+
+    "pipe_boilerplate" -> { (s, dir) =>
+      // CCNet-style boilerplate scrub: drop every copy of a 3-token
+      // window seen in more than 3 distinct docs, reassemble
+      graft.operators.Pipeline.removeBoilerplate(
+          tbl(s, dir, "documents"), words = 3, maxDocs = 3)
+        .orderBy("doc_id")
     },
 
     "pipe_contamination" -> { (s, dir) =>
@@ -2758,6 +2779,42 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    "pipe_dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(s // 3 AS INT) AS idx,
+        |    array_to_string(words[s + 1 : s + 3], ' ') AS para
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words), 3)) AS s FROM d)),
+        |k AS (SELECT doc_id, idx, para, row_number()
+        |    OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(para, ' ' ORDER BY idx) AS text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text, '') AS text,
+        |  (len(string_split(d2.text, ' ')) - 1) // 3 + 1 AS n_paras,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM documents d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(s // 3 AS INT) AS idx,
+        |    array_to_string(words[s + 1 : s + 3], ' ') AS para
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words), 3)) AS s FROM d)),
+        |b AS (SELECT para FROM p GROUP BY para
+        |  HAVING count(DISTINCT doc_id) > 3),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(para, ' ' ORDER BY idx) AS text
+        |  FROM p WHERE para NOT IN (SELECT para FROM b) GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text, '') AS text,
+        |  (len(string_split(d2.text, ' ')) - 1) // 3 + 1 AS n_paras,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM documents d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "pipe_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -76,7 +76,7 @@ object DatapointStore {
     * inference and bricking every subsequent scan.
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    paths.foreach(recoverIfNeeded)
+    paths.foreach { p => recoverIfNeeded(p); recoverParts(p) }
     if (paths.isEmpty) empty(spark)
     else spark.read.schema(schema).parquet(paths: _*)
   }
@@ -150,17 +150,96 @@ object DatapointStore {
     if (root.exists()) walk(root, depth)
   }
 
-  /** Compact a store root in place: every append writes one file per
-    * touched (granularity, ymd) partition, so a long-running ingest
-    * accumulates many small files per partition and scan task counts (and
-    * parquet footer overhead) grow with append count, not data size.
-    * Compaction rewrites each partition to one sorted file via the
-    * crash-safe replace() swap — the OPTIMIZE step a 100 TB deployment
-    * schedules off-peak. Reads stay correct throughout (old tree until the
-    * atomic rename).
+  /** Leaf partition dirs (dirs directly holding .parquet files) with
+    * their parquet file counts, as root-relative paths.
     */
-  def compact(spark: SparkSession, path: String): Unit =
-    if (new java.io.File(path).exists()) replace(read(spark, Seq(path)), path)
+  private def leaves(root: java.io.File): Seq[(String, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    def walk(dir: java.io.File, rel: String): Unit = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      val n = fs.count(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (n > 0) out += ((rel, n))
+      fs.filter(_.isDirectory).foreach(d =>
+        walk(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
+    }
+    walk(root, "")
+    out.toSeq
+  }
+
+  /** Selectively compact fragmented partitions of a store root: every
+    * append writes one file per touched leaf partition, so a long-running
+    * ingest accumulates one file per micro-batch and scan task counts
+    * (plus parquet footer overhead) grow with APPEND COUNT, not data
+    * size. This rewrites only leaves holding >= `minFiles` parquet files
+    * — cost proportional to fragmentation, never an O(store) rewrite —
+    * as ONE Spark job for all selected leaves (single basePath scan,
+    * repartition on the partition keys → one sorted file per leaf),
+    * followed by driver-side renames. The OPTIMIZE step a 100 TB
+    * deployment schedules off-peak.
+    *
+    * Crash safety mirrors replace(), per leaf: the new file lands in a
+    * tmp tree outside the root, the live leaf swings aside into a backup
+    * tree, tmp swings in, backup dropped. A crash in any window leaves
+    * either the old leaf, or a backup that [[recoverParts]] (invoked by
+    * every [[read]]) restores — reads never see a hole or a double.
+    */
+  def compact(spark: SparkSession, path: String, partCols: Seq[String],
+      minFiles: Int = 2): Unit = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return
+    recoverParts(path)
+    val tmpRoot = new java.io.File(s"$path.graft-parts-tmp")
+    if (tmpRoot.exists()) rmTree(tmpRoot) // stale from a mid-write crash
+    val frag = leaves(root).filter(_._2 >= minFiles).map(_._1)
+    if (frag.isEmpty) return
+    // basePath keeps the partition columns; the pinned schema supplies
+    // their types (and, for derived roots, fills stream_id from the dir)
+    val df = spark.read.option("basePath", path).schema(schema)
+      .parquet(frag.map(r => s"$path/$r"): _*)
+    val sortCols =
+      if (partCols.contains("stream_id")) Seq("t") else Seq("stream_id", "t")
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(tmpRoot.getPath)
+    val bakRoot = new java.io.File(s"$path.graft-parts-bak")
+    leaves(tmpRoot).map(_._1).foreach { rel =>
+      val live = new java.io.File(s"$path/$rel")
+      val tmp = new java.io.File(s"$tmpRoot/$rel")
+      val bak = new java.io.File(s"$bakRoot/$rel")
+      bak.getParentFile.mkdirs()
+      if (live.exists() && !live.renameTo(bak))
+        throw new java.io.IOException(s"failed to move leaf aside: $live")
+      if (!tmp.renameTo(live))
+        throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
+      rmTree(bak)
+    }
+    rmTree(tmpRoot)
+    if (bakRoot.exists()) rmTree(bakRoot)
+  }
+
+  /** Read-side half of [[compact]]'s crash safety: restore any leaf
+    * stranded in the backup tree (crash between swing-aside and swing-in
+    * — without this, schema-pinned reads would silently serve a HOLE, not
+    * an error); drop backups whose live leaf exists (crash after swing-in,
+    * where the live data is the newer compacted file). No-op (one exists()
+    * check) when no compaction ever crashed.
+    */
+  def recoverParts(path: String): Unit = {
+    val bakRoot = new java.io.File(s"$path.graft-parts-bak")
+    if (!bakRoot.exists()) return
+    leaves(bakRoot).map(_._1).foreach { rel =>
+      val live = new java.io.File(s"$path/$rel")
+      val bak = new java.io.File(s"$bakRoot/$rel")
+      if (live.exists()) rmTree(bak)
+      else {
+        live.getParentFile.mkdirs()
+        if (!bak.renameTo(live))
+          throw new java.io.IOException(s"failed to recover leaf $bak")
+      }
+    }
+    rmTree(bakRoot)
+  }
 
   /** Replace the table contents with `df`, crash-safely: write tmp, rename
     * the current table ASIDE (never delete-then-rename — a crash in that

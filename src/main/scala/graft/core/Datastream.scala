@@ -739,13 +739,21 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     DatapointStore.expire(rollupsPath, key, depth = 2)
   }
 
-  /** Rewrite the main datapoints root (raw + rollup levels) to one sorted
-    * file per (granularity, ymd) partition — the off-peak maintenance job
-    * that undoes append fragmentation. Derived roots are excluded: their
-    * per-stream partitions are replaced wholesale on every recompute, so
-    * they never fragment.
+  /** Rewrite fragmented partitions (>= `minFiles` files) across all three
+    * store roots to one sorted file each — the off-peak maintenance job
+    * that undoes append fragmentation. Derived roots fragment too since
+    * the incremental cascade: each wave APPENDS to the dirty window
+    * instead of replacing the stream wholesale, one file per append.
+    * Selective per-leaf rewrite: cost follows fragmentation, not store
+    * size, and a crash at any point is healed by the next read
+    * (DatapointStore.recoverParts).
     */
-  def compactStore(): Unit = DatapointStore.compact(spark, datapointsPath)
+  def compactStore(minFiles: Int = 2): Unit = {
+    DatapointStore.compact(spark, datapointsPath,
+      Seq("granularity", "ymd"), minFiles)
+    Seq(derivedRawPath, rollupsPath).foreach(p => DatapointStore.compact(
+      spark, p, Seq("stream_id", "granularity", "ymd"), minFiles))
+  }
 
   /** Fold new raw datapoints into every coarser granularity for all matched
     * streams — one distributed job per ladder level, finest→coarsest, each

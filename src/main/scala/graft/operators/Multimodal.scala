@@ -78,6 +78,40 @@ object Multimodal {
       sum / (w.toLong * h) / 255.0)
   }
 
+  /** Bilinear rescale to a w×h RGB raster — shared by [[resize]] (which
+    * re-encodes it) and the real feature extractor (which reads its luma
+    * grid).
+    */
+  private def scaleTo(img: java.awt.image.BufferedImage, w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
+  }
+
+  /** Real image feature: rescale to the smallest square grid covering
+    * `dim` cells, then emit each cell's Rec.601 luma mapped to [−1, 1) in
+    * row-major order — a deterministic perceptual downsample, the classic
+    * pre-embedding baseline.
+    */
+  private def realFeature(img: java.awt.image.BufferedImage, dim: Int)
+      : Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val grid = scaleTo(img, g, g)
+    Array.tabulate(dim) { i =>
+      val rgb = grid.getRGB(i % g, i / g)
+      val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      (luma / 127.5 - 1.0).toFloat
+    }
+  }
+
   /** ======== STUB CODEC LAYER (non-image bytes) ========
     * Deterministic fake decode derived from md5 of the content bytes —
     * md5 (not murmur) on purpose: the oracle gate can recompute every
@@ -180,7 +214,12 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => MediaFeature(r.media_id, fakeFeature(r.content, dim)))
+      rows.map { r =>
+        val feat = imageFormat(r.content).flatMap(_ => readImage(r.content))
+          .map(realFeature(_, dim))
+          .getOrElse(fakeFeature(r.content, dim))
+        MediaFeature(r.media_id, feat)
+      }
     }
   }
 
@@ -212,16 +251,8 @@ object Multimodal {
       rows.map { r =>
         val rescaled = imageFormat(r.content).flatMap(_ => readImage(r.content))
           .map { img =>
-            val out = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-            g.dispose()
             val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", buf)
+            javax.imageio.ImageIO.write(scaleTo(img, w, h), "png", buf)
             buf.toByteArray
           }
         r.copy(content = rescaled.getOrElse(r.content),

@@ -171,6 +171,81 @@ object Pipeline {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Shared tail of the two paragraph-rewrite ops: re-join each document's
+    * surviving (idx, para) windows in index order and restore docs whose
+    * every window was dropped (left join, empty text) — silently losing
+    * fully-scrubbed docs would corrupt downstream per-doc joins. Order is
+    * recovered by sorting the structs inside the group, never by trusting
+    * collect_list order (non-deterministic under shuffle).
+    */
+  private def reassemble(df: DataFrame, kept: DataFrame, words: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val rebuilt = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("para")))),
+        x => x("para")), " ").as("text_out"))
+    df.select(col(idCol),
+        expr(s"(size(split($textCol, ' ')) - 1) div $words + 1")
+          .cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_out"), lit("")).as(textCol),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  private def paragraphs(df: DataFrame, words: Int,
+      idCol: String, textCol: String): DataFrame =
+    chunkDocuments(df, words, words, idCol, textCol)
+      .select(col(idCol), col("chunk_idx").as("idx"),
+        col("chunk_text").as("para"))
+
+  /** C4-style corpus-wide paragraph dedup: split each document into
+    * consecutive `words`-token windows ("paragraphs" — the testdata has no
+    * newline structure, so a fixed window stands in for the natural split;
+    * real corpora pass their own pre-split), keep only the corpus-wide
+    * FIRST occurrence of each distinct window (lowest (doc id, index)),
+    * and reassemble what survives per document.
+    *
+    * Scale design: keeper election is a groupBy(para).min(struct) — partial
+    * aggregation absorbs hot duplicates map-side, deliberately NOT a window
+    * over the text key (which would buffer every copy of a viral paragraph
+    * on one partition); the join back on the same key AQE-skew-splits. One
+    * content-keyed shuffle + one doc-keyed reassembly shuffle total.
+    */
+  def dedupParagraphs(df: DataFrame, words: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = paragraphs(df, words, idCol, textCol)
+    val keepers = paras.groupBy("para")
+      .agg(min(struct(col(idCol), col("idx"))).as("keep"))
+    val kept = paras.join(keepers, "para")
+      .where(col(s"keep.$idCol") === col(idCol) &&
+        col("keep.idx") === col("idx"))
+      .select(col(idCol), col("idx"), col("para"))
+    reassemble(df, kept, words, idCol, textCol)
+  }
+
+  /** CCNet-style boilerplate removal: drop EVERY copy of a `words`-token
+    * window whose exact text occurs in more than `maxDocs` distinct
+    * documents (nav bars, cookie banners, license footers — text that
+    * repeats across pages regardless of content). Contrast with
+    * [[dedupParagraphs]]: rare windows keep all their copies here, frequent
+    * windows lose even the first.
+    *
+    * Scale design: doc-frequency is a groupBy(para) countDistinct(doc) —
+    * partial-aggregated; the >maxDocs survivor set is high-frequency by
+    * definition, hence tiny relative to the corpus, so the anti join
+    * broadcasts at any realistic threshold.
+    */
+  def removeBoilerplate(df: DataFrame, words: Int, maxDocs: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = paragraphs(df, words, idCol, textCol)
+    val boiler = paras.groupBy("para")
+      .agg(countDistinct(col(idCol)).as("df_docs"))
+      .where(col("df_docs") > maxDocs).select("para")
+    reassemble(df, paras.join(boiler, Seq("para"), "left_anti"),
+      words, idCol, textCol)
+  }
+
   /** Token-budget sampling: keep a reproducible pseudo-random subset of
     * each source whose cumulative token count stays within `budget`.
     * Ordering by md5(id) is the deterministic stand-in for a shuffle, so

@@ -291,16 +291,34 @@ object Streaming {
     * full overwrites. Residual caveat: a legitimately duplicated identical
     * datapoint arriving in a LATER batch is indistinguishable from a
     * retry and is dropped.
+    *
+    * Every append writes one file per touched leaf partition, so an
+    * unbounded ingest fragments the store linearly in batch count;
+    * `compactEvery = n` runs the selective [[graft.core.Datastream.compactStore]]
+    * after every n-th non-empty batch (cost ∝ fragmentation, and reads
+    * stay correct throughout via the crash-safe leaf swap), keeping
+    * per-leaf file counts bounded without an external maintenance
+    * scheduler. 0 disables it for deployments that schedule compaction
+    * off-peak themselves.
     */
   def ingest(src: DataFrame, store: graft.core.Datastream,
-      checkTimestamp: Boolean = false)
+      checkTimestamp: Boolean = false, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch closures must not capture mutable local state across
+    // restarts — the counter is advisory cadence only, so a restart
+    // resetting it is harmless
+    val sinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
     src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           store.appendMultiple(batch, checkTimestamp, dedupExisting = true)
           val hi = batch.agg(max("t")).collect().head.getTimestamp(0)
           store.downsampleStreams(hi)
+          if (compactEvery > 0 &&
+              sinceCompact.incrementAndGet() >= compactEvery) {
+            sinceCompact.set(0)
+            store.compactStore()
+          }
           ()
         }
       }

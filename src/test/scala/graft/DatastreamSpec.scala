@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.core.Datastream
+import graft.core.{Datastream, DatapointStore}
 import graft.model._
 
 /** t1-style integration suite over the full API surface (SURVEY §2.1 A1–A11
@@ -932,6 +932,65 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     ds.appendMultiple(Seq((id, ts("2024-01-01 00:09:00"), 9.0))
       .toDF("stream_id", "t", "v"), checkTimestamp = false)
     assert(ds.getData(id, Granularity.Seconds).count() == 5)
+  }
+
+  test("compaction is selective, covers derived roots, and heals a mid-swap crash") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact-sel").toString
+    val ds = new Datastream(spark, root)
+    val src = ds.ensureStream(Map("name" -> "s"))
+    val drv = ds.ensureStream(Map("name" -> "d"), deriveFrom = Seq(src),
+      deriveOp = Some(DeriveOps.Derivative))
+    // two appends into day 1 (fragments its leaf), one into day 2
+    ds.appendMultiple(Seq((src, ts("2024-01-01 00:00:10"), 1.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    ds.appendMultiple(Seq((src, ts("2024-01-01 00:01:10"), 3.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    ds.appendMultiple(Seq((src, ts("2024-01-02 00:00:10"), 7.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    def leafFiles(p: String): Map[String, Seq[String]] = {
+      def walk(f: java.io.File, rel: String): Seq[(String, Seq[String])] = {
+        val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        val own = fs.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          .map(_.getName).toSeq.sorted
+        (if (own.nonEmpty) Seq(rel -> own) else Nil) ++
+          fs.filter(_.isDirectory)
+            .flatMap(d => walk(d, s"$rel/${d.getName}")).toSeq
+      }
+      walk(new java.io.File(p), "").toMap
+    }
+    val dpRoot = s"$root/datapoints"
+    val before = leafFiles(dpRoot)
+    val k1 = DatapointStore.ymdKey(ts("2024-01-01 00:00:10"))
+    val k2 = DatapointStore.ymdKey(ts("2024-01-02 00:00:10"))
+    val day1 = before.keys.find(k => k.contains("granularity=seconds") &&
+      k.contains(s"ymd=$k1")).get
+    val day2 = before.keys.find(k => k.contains("granularity=seconds") &&
+      k.contains(s"ymd=$k2")).get
+    assert(before(day1).size == 2 && before(day2).size == 1)
+    val dataBefore = ds.datapoints.orderBy("granularity", "t", "stream_id")
+      .collect().map(_.toSeq).toSeq
+    val drvBefore = ds.getData(drv, Granularity.Seconds)
+      .orderBy("t").collect().map(_.toSeq).toSeq
+    ds.compactStore()
+    val after = leafFiles(dpRoot)
+    assert(after(day1).size == 1, "fragmented leaf not compacted")
+    // selectivity: the single-file leaf was not rewritten (same file name)
+    assert(after(day2) == before(day2))
+    // derived root compacted too (incremental appends fragment it)
+    assert(leafFiles(s"$root/derived_raw").values.forall(_.size == 1))
+    assert(ds.datapoints.orderBy("granularity", "t", "stream_id")
+      .collect().map(_.toSeq).toSeq == dataBefore)
+    assert(ds.getData(drv, Granularity.Seconds)
+      .orderBy("t").collect().map(_.toSeq).toSeq == drvBefore)
+    // crash heal: strand a leaf in the backup tree (the mid-swap window)
+    // — the next read must restore it, not serve a hole
+    val bakLeaf = new java.io.File(s"$dpRoot.graft-parts-bak/$day1")
+    bakLeaf.getParentFile.mkdirs()
+    assert(new java.io.File(s"$dpRoot/$day1").renameTo(bakLeaf))
+    assert(ds.datapoints.orderBy("granularity", "t", "stream_id")
+      .collect().map(_.toSeq).toSeq == dataBefore)
+    assert(!new java.io.File(s"$dpRoot.graft-parts-bak").exists())
   }
 
   test("duplicate-timestamp data: incremental derive == full recompute") {

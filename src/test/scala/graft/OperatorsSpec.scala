@@ -363,6 +363,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val textOut = Multimodal.resize(Seq(text).toDS(), 4, 4).collect().head
     assert(java.util.Arrays.equals(textOut.content, text.content))
     assert(textOut.meta.codec == "none")
+    // real features: uniform 0x808080 image → every luma cell is exactly
+    // 128, so each feature = 128/127.5 − 1; text bytes keep the md5 stub
+    val featIn = Seq(MediaRow(5L, flat, meta), text).toDS()
+    val feats = Multimodal.extractFeatures(featIn, dim = 9).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    val expected = (128.0 / 127.5 - 1.0).toFloat
+    assert(feats(5L).length == 9 && feats(5L).forall(_ == expected))
+    assert(feats(4L).length == 9 && feats(4L).exists(_ != expected))
   }
 
   test("similarity: ann via LSH buckets ranks identical vectors first") {
@@ -602,6 +610,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0))
     assert(a.toSeq == b.toSeq)
     assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
+  }
+
+  test("pipeline: paragraph dedup keeps the global first copy only") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // 2-word windows: doc 1 = [a b][c d], doc 2 = [c d][a b][e f] (dupes of
+    // doc 1 in later positions), doc 3 = [a b] alone (fully scrubbed), and
+    // doc 4 repeats its own window [g h][g h] (within-doc dedup)
+    val d = Seq((1L, "a b c d"), (2L, "c d a b e f"), (3L, "a b"),
+      (4L, "g h g h")).toDF("doc_id", "text")
+    val got = Pipeline.dedupParagraphs(d, words = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("a b c d", 2L, 2L)))
+    assert(got(2L) == (("e f", 3L, 1L)))
+    assert(got(3L) == (("", 1L, 0L))) // fully-scrubbed doc still present
+    assert(got(4L) == (("g h", 2L, 1L)))
+  }
+
+  test("pipeline: boilerplate removal drops every copy past the doc-freq cap") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // window [x y] appears in 3 distinct docs (> maxDocs=2) → all copies
+    // go, including doc 1's duplicate pair; [u v] in 2 docs stays
+    val d = Seq((1L, "x y x y u v"), (2L, "x y u v"), (3L, "x y"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val got = Pipeline.removeBoilerplate(d, words = 2, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("u v", 3L, 1L)))
+    assert(got(2L) == (("u v", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 0L)))
+    assert(got(4L) == (("p q", 1L, 1L)))
   }
 
   test("packSequences: packs are contiguous, ordered, and budget-aligned") {

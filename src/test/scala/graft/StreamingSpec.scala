@@ -347,6 +347,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump(s1) == dump(s2))
   }
 
+  test("ingest restarts from its checkpoint without duplicating committed batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val store = new graft.core.Datastream(spark, s"$base/store")
+    val id = store.ensureStream(Map("name" -> "resume"))
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF.toDF("sid", "t", "v")
+      .select(lit(id).as("stream_id"), col("t"), col("v"))
+    def writer = Streaming.ingest(src, store)
+      .option("checkpointLocation", s"$base/ckpt")
+    val q1 = writer.start()
+    mem.addData(Seq(("x", ts("2024-01-01 00:00:01"), 1.0)))
+    q1.processAllAvailable(); q1.stop()
+    // a point arriving while no query runs is picked up by the restarted
+    // query from the committed offset; if the engine re-delivers the
+    // first batch, dedupExisting makes it a no-op — either way the store
+    // must hold each point exactly once
+    mem.addData(Seq(("x", ts("2024-01-01 00:01:02"), 2.0)))
+    val q2 = writer.start()
+    q2.processAllAvailable(); q2.stop()
+    val raw = store.getData(id, Granularity.Seconds)
+      .select("t", "v").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1))).toSet
+    assert(raw == Set((ts("2024-01-01 00:00:01"), 1.0),
+      (ts("2024-01-01 00:01:02"), 2.0)))
+  }
+
   test("re-delivered micro-batch is idempotent (dedupExisting drops raw dupes)") {
     import spark.implicits._
     val store = new graft.core.Datastream(spark,
@@ -377,6 +405,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.appendMultiple(Seq((id, ts("2024-01-01 00:00:01"), 7.0))
       .toDF("stream_id", "t", "v"), checkTimestamp = false, dedupExisting = true)
     assert(store.getData(id, Granularity.Seconds).count() == 4)
+  }
+
+  test("ingest with compactEvery keeps per-leaf file counts bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-compact")
+    val store = new graft.core.Datastream(spark, s"$base/store")
+    val id = store.ensureStream(Map("name" -> "frag"))
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF.toDF("sid", "t", "v")
+      .select(lit(id).as("stream_id"), col("t"), col("v"))
+    val q = Streaming.ingest(src, store, compactEvery = 2)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // 6 batches into the SAME day: uncompacted that is 6 files in the
+      // seconds leaf; compactEvery=2 caps it at (cadence - 1) + 1 = 2
+      for (i <- 1 to 6) {
+        mem.addData(Seq(("x", ts(f"2024-01-01 00:0$i%d:07"), i.toDouble)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def secondsLeafFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$base/store/datapoints/granularity=seconds"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(secondsLeafFiles() <= 2,
+      s"fragmentation unbounded: ${secondsLeafFiles()} files")
+    assert(store.getData(id, Granularity.Seconds).collect()
+      .map(_.getDouble(1)).sorted.toSeq == (1 to 6).map(_.toDouble))
   }
 
   test("streaming exact dedup keeps first arrival per content hash") {
