@@ -945,7 +945,11 @@ object SparkEntry {
       try {
         val src = mem.toDF.toDF("k", "t", "v")
           .select(uuidOf(col("k")).as("stream_id"), col("t"), col("v"))
-        val q = graft.streaming.Streaming.ingest(src, ds)
+        // compactEvery exercises the selective leaf compaction inside the
+        // ingest loop under the oracle — later batches then read the
+        // compacted store (fragmentation was measurably inflating their
+        // scan task counts: 205 → 502 → 599 across the three batches)
+        val q = graft.streaming.Streaming.ingest(src, ds, compactEvery = 2)
           .option("checkpointLocation", s"$work/ckpt").start()
         try {
           val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
@@ -1383,6 +1387,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("pack_tokens"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("source", "pack_id")
+    },
+
+    "q_zorder_key" -> { (s, dir) =>
+      // Z-order layout key: bit-interleave (custkey, order-day) — the
+      // sort key that keeps parquet min/max boxes tight in BOTH filter
+      // dimensions (Layout.zorderWrite); pure codegen projection
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.operators.Layout.zorderKey(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")), 16).as("zkey"))
+        .orderBy("o_orderkey")
     },
 
     "pipe_dedup_paragraphs" -> { (s, dir) =>
@@ -2779,6 +2794,17 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM c GROUP BY source, pack_id
         |ORDER BY source, pack_id""".stripMargin,
+
+    "q_zorder_key" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((o_custkey >> i) & 1) << (2 * i + 1))
+        |    + (((d >> i) & 1) << (2 * i)))) AS BIGINT) AS zkey
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |      AS d
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "pipe_dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words

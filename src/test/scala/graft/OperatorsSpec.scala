@@ -612,6 +612,71 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
   }
 
+  test("hll rollup: folded sketches ≡ direct sketches, estimates near exact") {
+    import graft.operators.HllRollup
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts"), col("user_id"))
+    val hours = HllRollup.sketchBuckets(ev, "user_id", "ts", 3600L,
+      Seq("event_type"))
+    // ladder property: folding hour sketches to days estimates IDENTICALLY
+    // to sketching days directly — union is logically lossless (coupon-set
+    // union / register-wise max), so coarse levels never need the raw ids
+    // again. (Serialized bytes can differ: sparse-mode coupon order is
+    // insertion-order-dependent — compare estimates, not bytes.)
+    def est(df: org.apache.spark.sql.DataFrame) = HllRollup.estimate(df)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2))
+      .toMap
+    val folded = est(HllRollup.foldSketches(hours, 86400L, Seq("event_type")))
+    val direct = est(HllRollup.sketchBuckets(ev, "user_id", "ts", 86400L,
+      Seq("event_type")))
+    assert(folded == direct)
+    // accuracy: estimates within 5% of exact distinct per (type, day)
+    val exact = ev.groupBy(col("event_type"),
+        timestamp_seconds(floor(unix_timestamp(col("ts")) / 86400L) * 86400L)
+          .as("t"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2))
+      .toMap
+    assert(folded.keySet == exact.keySet && folded.nonEmpty)
+    for ((k, n) <- exact)
+      assert(math.abs(folded(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: est ${folded(k)} vs exact $n")
+  }
+
+  test("layout: zorder key interleaves exactly and clusters both dims on disk") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // hand-check: a=0b10, b=0b01 → bit0 of b at pos 0, bit1 of a at pos 3
+    val hand = Seq((2, 1)).toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b"), 2)).head().getLong(0)
+    assert(hand == 9L)
+    // 32×32 grid: keys are a bijection, and dominance (both coords <=)
+    // implies key order — the property that makes range pruning sound
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val keys = grid.select(col("x"), col("y"),
+        Layout.zorderKey(col("x"), col("y"), 5).as("k"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(keys.values.toSet.size == 1024)
+    assert(keys(( 0, 0)) == 0L && keys((31, 31)) == 1023L)
+    for (((x, y), k) <- keys if x < 31 && y < 31)
+      assert(keys((x + 1, y)) > k && keys((x, y + 1)) > k)
+    // on-disk locality: 4 z-ordered files over the grid ≈ the 4 quadrants
+    // — most files' (x, y) min/max boxes are quadrant-tight, which is
+    // what lets parquet stats skip them for predicates on EITHER column
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderWrite(grid, s"$dir/t", "x", "y", numFiles = 4, bits = 5)
+    val spreads = spark.read.parquet(s"$dir/t")
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spreads.length == 4)
+    // range-boundary sampling may let a file straddle two quadrants, but
+    // at least half must be tight in BOTH dims (single-column sorting
+    // would leave EVERY file with the full 31 spread in the other dim)
+    assert(spreads.count { case (sx, sy) => sx <= 16 && sy <= 16 } >= 2)
+  }
+
   test("pipeline: paragraph dedup keeps the global first copy only") {
     import spark.implicits._
     import graft.operators.Pipeline
