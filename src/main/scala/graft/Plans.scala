@@ -27,7 +27,8 @@ object Plans {
         "q_decimal_money", "dedup_simhash", "q_agg_filter",
         "dedup_incremental", "pipe_profile_numeric", "pipe_chunk_documents",
         "emb_near_pairs", "dedup_embedding", "store_nested_tags",
-        "mm_pipeline")
+        "mm_pipeline", "q_zorder_key", "pipe_dedup_paragraphs",
+        "pipe_boilerplate")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

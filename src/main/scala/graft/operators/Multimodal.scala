@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata, and decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real — schema, per-partition batch shape,
-  * partition sizing — and so is the IMAGE codec: content with raster
-  * magic bytes (PNG/BMP/GIF/JPEG) decodes real pixels through the
-  * JDK-builtin `javax.imageio` (decode + resize re-encode). Audio/video
-  * decode would need codec libraries this container lacks, so those paths
-  * (and non-image bytes like the documents fixture) use a deterministic
-  * md5-derived STUB; swapping in e.g. javacpp-ffmpeg only replaces the
-  * marked fallback functions.
+  * partition sizing — and so are the IMAGE and WAV-AUDIO codecs: content
+  * with raster magic bytes (PNG/BMP/GIF/JPEG) decodes real pixels through
+  * the JDK-builtin `javax.imageio` (decode + resize re-encode), and
+  * RIFF/WAVE PCM parses its real samples with plain byte arithmetic.
+  * Compressed audio and video decode would need codec libraries this
+  * container lacks, so those paths (and non-media bytes like the
+  * documents fixture) use a deterministic md5-derived STUB; swapping in
+  * e.g. javacpp-ffmpeg only replaces the marked fallback functions.
   *
   * Scale design:
   *  - media rows are large → `repartition` before decode so each task
@@ -109,6 +110,118 @@ object Multimodal {
       val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
         0.114 * (rgb & 0xff)
       (luma / 127.5 - 1.0).toFloat
+    }
+  }
+
+  /** ======== REAL CODEC LAYER (audio: RIFF/WAVE PCM) ========
+    * Canonical uncompressed WAV needs no codec library — the RIFF
+    * container and 8/16-bit PCM payload parse with plain byte arithmetic,
+    * so audio gets the same real-decode treatment as images. Compressed
+    * audio (mp3/flac/ogg) still needs libraries this container lacks and
+    * falls through to the md5 stub.
+    */
+  case class WavPcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      /** interleaved samples normalized to [-1, 1]. */
+      samples: Array[Float]) {
+    def nFrames: Int = samples.length / channels
+    def durationMs: Long =
+      if (sampleRate == 0) 0L else nFrames * 1000L / sampleRate
+  }
+
+  private[graft] def isWav(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      new String(content, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(content, 8, 4, "US-ASCII") == "WAVE"
+
+  /** Chunk-walking RIFF parser: finds `fmt ` and `data`, accepts PCM
+    * (format 1) at 8 or 16 bits. Returns None on anything malformed —
+    * callers fall back to the stub, never throw on hostile bytes.
+    */
+  private[graft] def parseWav(content: Array[Byte]): Option[WavPcm] = {
+    if (!isWav(content)) return None
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (pos + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(content, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > content.length) return None
+        if (id == "fmt " && len >= 16)
+          fmt = Some((buf.getShort(pos + 8) & 0xffff,
+            buf.getShort(pos + 10) & 0xffff, buf.getInt(pos + 12),
+            buf.getShort(pos + 22) & 0xffff))
+        else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for {
+        (format, ch, rate, bits) <- fmt
+        if format == 1 && ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+        (off, len) <- data
+      } yield {
+        val samples =
+          if (bits == 16) Array.tabulate(len / 2)(i =>
+            buf.getShort(off + 2 * i) / 32768.0f)
+          else Array.tabulate(len)(i =>
+            ((content(off + i) & 0xff) - 128) / 128.0f)
+        WavPcm(ch, rate, bits, samples)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Decoded-audio stats row (the audio analogue of [[DecodedImage]]). */
+  case class DecodedAudio(media_id: Long, channels: Int, sampleRate: Int,
+      n_frames: Int, duration_ms: Long, rms: Double)
+
+  /** Real audio decode: per-track stats from the PCM payload; non-WAV
+    * audio bytes yield a deterministic md5-stub rms (same contract as
+    * the image stub path).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseWav(r.content) match {
+          case Some(w) =>
+            var sum = 0.0
+            w.samples.foreach(s => sum += s.toDouble * s)
+            val rms = if (w.samples.isEmpty) 0.0
+              else math.sqrt(sum / w.samples.length)
+            DecodedAudio(r.media_id, w.channels, w.sampleRate, w.nFrames,
+              w.durationMs, rms)
+          case None =>
+            val b = Integer.parseInt(md5Hex(r.content).substring(0, 2), 16)
+            DecodedAudio(r.media_id, 1, r.meta.sampleRate, 0,
+              r.meta.durationMs, b / 255.0)
+        }
+      }
+    }
+  }
+
+  /** Real audio feature: mix to mono, split into `dim` equal windows,
+    * emit per-window RMS mapped to [−1, 1) — the energy-envelope
+    * downsample, the audio analogue of [[realFeature]]'s luma grid.
+    */
+  private def audioFeature(w: WavPcm, dim: Int): Array[Float] = {
+    val n = w.nFrames
+    val mono = Array.tabulate(n) { f =>
+      var s = 0.0
+      var c = 0
+      while (c < w.channels) { s += w.samples(f * w.channels + c); c += 1 }
+      s / w.channels
+    }
+    Array.tabulate(dim) { i =>
+      val lo = (i.toLong * n / dim).toInt
+      val hi = ((i + 1).toLong * n / dim).toInt
+      if (hi <= lo) -1.0f
+      else {
+        var s = 0.0
+        var j = lo
+        while (j < hi) { s += mono(j) * mono(j); j += 1 }
+        (2.0 * math.sqrt(s / (hi - lo)) - 1.0).toFloat
+      }
     }
   }
 
@@ -217,6 +330,7 @@ object Multimodal {
       rows.map { r =>
         val feat = imageFormat(r.content).flatMap(_ => readImage(r.content))
           .map(realFeature(_, dim))
+          .orElse(parseWav(r.content).map(audioFeature(_, dim)))
           .getOrElse(fakeFeature(r.content, dim))
         MediaFeature(r.media_id, feat)
       }

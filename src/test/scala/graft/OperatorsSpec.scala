@@ -612,6 +612,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq != a.sorted.toSeq) // it actually shuffles
   }
 
+  test("multimodal: real WAV decode — hand-built PCM parses to exact stats") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    // 16-bit mono 8000 Hz, 8 frames: four at +16384 (0.5 full scale),
+    // four at 0 — every downstream number is hand-computable
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    val bytes = wav(Seq[Short](16384, 16384, 16384, 16384, 0, 0, 0, 0))
+    val meta = MediaMeta("audio", 0, 0, 8000, 1L, "pcm")
+    val rows = Seq(MediaRow(1L, bytes, meta),
+      MediaRow(2L, "not audio at all".getBytes("UTF-8"), meta)).toDS()
+    val dec = Multimodal.decodeAudio(rows).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(dec(1L).channels == 1 && dec(1L).sampleRate == 8000 &&
+      dec(1L).n_frames == 8 && dec(1L).duration_ms == 1L)
+    assert(math.abs(dec(1L).rms - math.sqrt(0.125)) < 1e-6)
+    assert(dec(2L).n_frames == 0) // undecodable → md5 stub stats
+    // features: dim=2 windows → RMS [0.5, 0.0] mapped to [0.0, -1.0]
+    val feat = Multimodal.extractFeatures(rows, dim = 2).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(math.abs(feat(1L)(0) - 0.0f) < 1e-6 && feat(1L)(1) == -1.0f)
+    assert(feat(2L).length == 2) // stub path still yields the fixed width
+  }
+
   test("hll rollup: folded sketches ≡ direct sketches, estimates near exact") {
     import graft.operators.HllRollup
     val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
