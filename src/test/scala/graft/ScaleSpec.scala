@@ -183,6 +183,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.getTags(q)("note") == """say "hi" \o/""")
   }
 
+  test("paragraph ops plan skew-safe: agg keeper election, no content-key window") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // dedupParagraphs must elect keepers via groupBy (partial aggregation
+    // absorbs a viral paragraph map-side) — a Window over the text key
+    // would buffer every copy of the hottest paragraph on one partition,
+    // the boilerplate-paragraph skew bomb at corpus scale
+    for (q <- Seq("pipe_dedup_paragraphs", "pipe_boilerplate")) {
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q buffers a content-key window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$q lost its partial aggregation:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plans a pair scan:\n$p")
+    }
+  }
+
+  test("zorder key projection stays inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // spark.range (not a local Seq): LocalRelation projections constant-
+    // fold at optimize time and leave nothing physical to assert on
+    val df = spark.range(1000)
+      .select(col("id").as("a"), (col("id") * 7 % 997).as("b"))
+      .select(graft.operators.Layout.zorderKey(col("a"), col("b"), 16).as("z"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectFirst { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"zorder projection fell out of codegen:\n$plan")
+    assert(!plan.toString.contains("UDF"), s"zorder uses a UDF:\n$plan")
+  }
+
   test("approx_percentile sketch tracks the exact percentile") {
     import spark.implicits._
     // the scale path for q_percentiles: single-pass fixed-size mergeable
