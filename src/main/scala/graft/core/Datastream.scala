@@ -489,11 +489,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // NO catalog rewrite here — that was O(#streams) driver work per
     // append (the scale-killer under streaming ingest). The sidecar line
     // keeps monotonicity exact across a crash; flush() folds it in. The
-    // one exception: an appended stream whose descriptor has never been
-    // persisted forces a single flush (which also covers these bounds),
-    // so crashed appends never strand data no catalog entry explains.
+    // one exception: a never-persisted descriptor about to get DATA
+    // forces a single flush (which also covers these bounds), so crashed
+    // appends never strand data no catalog entry explains — and that must
+    // include the TRANSITIVE derived dependents the cascade below writes,
+    // not just the directly-appended ids (a derived stream ensured over a
+    // then-empty source has no flush-forcing append of its own).
     catalogDirty = true
-    if (ids.exists(unpersisted)) flush() else appendHwm(bounds)
+    val writes = ids.toSet ++ derivedInOrder(ids.toSet).map(_.stream_id)
+    if (writes.exists(unpersisted)) flush() else appendHwm(bounds)
     deriveDependents(ids.toSet, regions)
   }
 
@@ -1343,12 +1347,18 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             // a crash between these deletes and the group write would
             // serve the emptied stream to every read until then (forever,
             // for a source that never appends again). The sentinel makes
-            // healDirtyStreams repair it at the next open instead.
-            rmTree(new java.io.File(s"$derivedRawPath/stream_id=${d.stream_id}"))
-            rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
+            // healDirtyStreams repair it at the next open instead — and it
+            // must land BEFORE the deletes (the sentinel lives inside the
+            // stream dir, so delete siblings around it rather than
+            // rmTree-then-create, which leaves a sentinel-less window for
+            // the whole O(#partitions) delete).
             val dirty = dirtyFile(d.stream_id)
             dirty.getParentFile.mkdirs()
             java.nio.file.Files.write(dirty.toPath, Array.empty[Byte])
+            Option(dirty.getParentFile.listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .filterNot(_.getName == dirty.getName).foreach(rmTree)
+            rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
         }
       }
       DatapointStore.appendByStream(result, derivedRawPath)

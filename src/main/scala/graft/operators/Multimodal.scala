@@ -54,8 +54,13 @@ object Multimodal {
   }
 
   private def readImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // NonFatal, not just IOException: plugin readers throw unchecked
+    // exceptions (IndexOutOfBounds/IllegalArgument/NegativeArraySize) on
+    // garbage whose magic bytes happen to match (e.g. text starting with
+    // "BM") — the contract is None → md5-stub fallback, never a crashed
+    // task
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real decode: dimensions from the raster, channels from the color
     * model, meanLuma = mean over pixels of Rec.601 luma
@@ -148,7 +153,10 @@ object Multimodal {
       while (pos + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
         val id = new String(content, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > content.length) return None
+        // compare in Long: a hostile length near Int.MaxValue overflows
+        // `pos + 8 + len` and would slip past an Int-typed bounds check
+        // straight into a multi-GB allocation
+        if (len < 0 || pos + 8L + len > content.length) return None
         if (id == "fmt " && len >= 16)
           fmt = Some((buf.getShort(pos + 8) & 0xffff,
             buf.getShort(pos + 10) & 0xffff, buf.getInt(pos + 12),
@@ -168,7 +176,7 @@ object Multimodal {
             ((content(off + i) & 0xff) - 128) / 128.0f)
         WavPcm(ch, rate, bits, samples)
       }
-    } catch { case _: IndexOutOfBoundsException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decoded-audio stats row (the audio analogue of [[DecodedImage]]). */

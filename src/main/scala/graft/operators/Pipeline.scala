@@ -195,9 +195,14 @@ object Pipeline {
 
   private def paragraphs(df: DataFrame, words: Int,
       idCol: String, textCol: String): DataFrame =
+    // materialized once: both ops consume this frame on BOTH sides of a
+    // self-join (keeper/boiler build + probe), and without the checkpoint
+    // the full tokenize+window of the corpus re-executes per side (the
+    // self-join re-run trap CLAUDE.md pins for the sketch/index stages)
     chunkDocuments(df, words, words, idCol, textCol)
       .select(col(idCol), col("chunk_idx").as("idx"),
         col("chunk_text").as("para"))
+      .localCheckpoint(true)
 
   /** C4-style corpus-wide paragraph dedup: split each document into
     * consecutive `words`-token windows ("paragraphs" — the testdata has no

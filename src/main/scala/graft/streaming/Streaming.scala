@@ -118,7 +118,12 @@ object Streaming {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    if (!spark.conf.get(key, "").contains("RocksDBStateStoreProvider"))
+    val cur = spark.conf.get(key, "")
+    // only upgrade the stock default (HDFS-backed) — a session that chose
+    // some OTHER provider deliberately keeps it, and transformWithState
+    // raises its own clear requires-RocksDB error rather than this helper
+    // silently rewriting session config behind the user's back
+    if (cur.isEmpty || cur.contains("HDFSBackedStateStoreProvider"))
       spark.conf.set(key, rocks)
   }
 
@@ -160,7 +165,10 @@ object Streaming {
     import src.sparkSession.implicits._
     ensureRocksDbStateStore(src.sparkSession)
     val proc = new PointFoldProcessor[LastPoint]("last",
-        Encoders.product[LastPoint], p => (p.t.getTime, 0.0)) {
+        // (t, v) order, matching batch Derive.lagWindow's tie-break:
+        // duplicate-t rows folded in arrival order would diverge from the
+        // batch path on exactly the inputs the tie-break exists for
+        Encoders.product[LastPoint], p => (p.t.getTime, p.v)) {
       def fold(key: String, p: Point, prev: Option[LastPoint]) = {
         // compare/divide on floor-second resolution like the batch path:
         // sub-second pairs are dropped, never divided by 0
@@ -182,7 +190,8 @@ object Streaming {
     import src.sparkSession.implicits._
     ensureRocksDbStateStore(src.sparkSession)
     val proc = new PointFoldProcessor[LastPoint]("last",
-        Encoders.product[LastPoint], p => (p.t.getTime, 0.0)) {
+        // (t, v) tie-break ≡ batch lagWindow (see derivative above)
+        Encoders.product[LastPoint], p => (p.t.getTime, p.v)) {
       def fold(key: String, p: Point, prev: Option[LastPoint]) = {
         val sec = Math.floorDiv(p.t.getTime, 1000L)
         val emit = prev.flatMap {

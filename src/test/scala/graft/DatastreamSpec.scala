@@ -934,6 +934,31 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.getData(id, Granularity.Seconds).count() == 5)
   }
 
+  test("derived data never lands before its descriptor is on disk") {
+    import spark.implicits._
+    // the crash-orphan scenario: a source persisted by an earlier session,
+    // a derived stream ensured over it while it is still EMPTY (no
+    // flush-forcing append of its own), then an append to the source — the
+    // cascade writes the derived stream's data, so that append MUST flush
+    // the catalog first or a crash strands data no descriptor explains
+    val root = Files.createTempDirectory("graft-orphan").toString
+    val ds1 = new Datastream(spark, root)
+    val src = ds1.ensureStream(Map("name" -> "src"))
+    ds1.flush()
+    val ds2 = new Datastream(spark, root) // reopen: unpersisted = empty
+    val drv = ds2.ensureStream(Map("name" -> "drv"), deriveFrom = Seq(src),
+      deriveOp = Some(DeriveOps.Derivative))
+    ds2.appendMultiple(Seq(
+        (src, ts("2024-01-01 00:00:01"), 1.0),
+        (src, ts("2024-01-01 00:00:03"), 5.0))
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    // "crash" = reopen without flush/close: the derived descriptor AND its
+    // cascade-written data must both be visible
+    val ds3 = new Datastream(spark, root)
+    assert(ds3.getTags(drv)("name") == "drv")
+    assert(ds3.getData(drv, Granularity.Seconds).count() == 1)
+  }
+
   test("compaction is selective, covers derived roots, and heals a mid-swap crash") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact-sel").toString
