@@ -1286,6 +1286,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_spans" -> { (s, dir) =>
+      // stride-1 exact repeated-span detection (substring-dedup family):
+      // per doc, how many of its 8-token windows occur anywhere else in
+      // the corpus — catches duplicated passages that the aligned
+      // paragraph windows of pipe_dedup_paragraphs shift right past
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 8)
+        .orderBy("doc_id")
+    },
+
     "text_lang_id" -> { (s, dir) =>
       TextStats.languageId(tbl(s, dir, "documents")).orderBy("doc_id")
     },
@@ -2209,6 +2218,22 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s))
         |    / len(list_distinct(list_concat(a.s, b.s))) > 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS i, w
+        |  FROM d WHERE len(w) >= 8),
+        |hs AS (SELECT doc_id,
+        |    ('0x' || substring(md5(array_to_string(w[i : i + 7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM sp),
+        |c AS (SELECT h, count(*) AS cnt FROM hs GROUP BY h),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM hs JOIN c USING (h) GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.n_spans, 0) AS n_spans,
+        |  coalesce(r.n_dup_spans, 0) AS n_dup_spans
+        |FROM documents d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "ds_agg_minutes10" ->
       s"""WITH $srcSql,

@@ -265,4 +265,49 @@ object Dedup {
         s"diameter > $maxIter")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
+
+  /** Exact repeated-span detection (the stride-1 "substring dedup" family:
+    * dedup by exact duplicated token windows, à la suffix-array corpus
+    * dedup): for every STRIDE-1 window of `k` consecutive tokens, count
+    * corpus-wide occurrences of its exact text, and report per document
+    * how many of its windows are duplicated (occur anywhere else — in
+    * another doc or elsewhere in the same doc). Contrast with
+    * [[Pipeline.dedupParagraphs]]: that sees only aligned non-overlapping
+    * windows, so a duplicated passage shifted by one token is invisible to
+    * it but caught here.
+    *
+    * Scale design: spans never shuffle as text — each window is reduced in
+    * the scan projection to a 60-bit content hash (first 15 md5 hex chars:
+    * the cross-engine-reproducible trick CLAUDE.md pins), so the
+    * occurrence count is a groupBy over 8-byte keys, partial-aggregated
+    * map-side (a viral passage collapses to one row per map task before
+    * the shuffle). The hash frame feeds both sides of the count/probe
+    * self-join, so it is localCheckpointed (the self-join re-run trap);
+    * the join back on the hash key AQE-skew-splits. O(total_tokens)
+    * fixed-width shuffle rows — the same currency as the banded sketches.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "span width k must be positive")
+    val spans = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> conv(substring(md5(cast(array_join(slice(w, i + 1, $k), ' ')
+           |         as binary)), 1, 15), 16, 10))""".stripMargin)).as("hx"))
+      .select(col(idCol), col("hx").cast("long").as("h"))
+      .localCheckpoint(true)
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val perDoc = spans.join(counts, "h")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    // short docs (< k tokens) have zero windows but must not vanish —
+    // downstream per-doc joins key on this frame being total
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
 }

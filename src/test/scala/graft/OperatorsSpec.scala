@@ -730,6 +730,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == (("g h", 2L, 1L)))
   }
 
+  test("duplicateSpans: stride-1 windows catch shifted passages, short docs stay") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // k=3 windows. Doc 2 repeats doc 1's passage shifted by one token —
+    // invisible to aligned 3-word paragraphs, caught stride-1: doc 1's
+    // windows are [a b c][b c d], doc 2's are [z a b][a b c][b c d].
+    // Doc 3 duplicates a window WITHIN itself ([m m m] twice via
+    // m m m m m: windows [m m m][m m m][m m m] — all dup'd). Doc 4 is
+    // shorter than k (zero windows, must still be present).
+    val d = Seq((1L, "a b c d"), (2L, "z a b c d"), (3L, "m m m m m"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 2L))) // both windows also occur in doc 2
+    assert(got(2L) == ((3L, 2L))) // [z a b] is unique, other two dup'd
+    assert(got(3L) == ((3L, 3L))) // within-doc repetition counts
+    assert(got(4L) == ((0L, 0L))) // < k tokens: zero windows, not dropped
+  }
+
   test("pipeline: boilerplate removal drops every copy past the doc-freq cap") {
     import spark.implicits._
     import graft.operators.Pipeline
