@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native fns + the size(split)->graft_ntokens optimizer rule, installed
+    // up front so every query plans identically regardless of run order
+    graft.functions.GraftFunctions.register(spark)
 
     // per-query job/task counts via listener — the machine-load-immune
     // metric (BASELINE.md: wall seconds vary ±2-3× with load; task counts

@@ -16,6 +16,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
         "ds_agg_minutes10", "q_in_between", "emb_topk_cosine", "emb_ann_ivf",

@@ -89,5 +89,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_count_tokens",
       (children: Seq[Expression]) => TokenGroupCounts(children(0), children(1)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_ntokens",
+      (children: Seq[Expression]) => TokenCount(children(0)),
+      "built-in")
+    // optimizer strength reduction lives beside the functions: any session
+    // the library registers into also gets size(split(x,' ')) →
+    // graft_ntokens. Keyed removal keeps repeated register() calls from
+    // stacking duplicate rules.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ eq ReduceSplitSizeToNTokens) :+ ReduceSplitSizeToNTokens
   }
 }

@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_count_tokens",
         "graft_count_tokens(text, groups) - per-group token occurrence counts"),
       (children: Seq[Expression]) => TokenGroupCounts(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ntokens"),
+      info("graft_ntokens",
+        "graft_ntokens(text) - token count, = size(split(text, ' '))"),
+      (children: Seq[Expression]) => TokenCount(children(0))))
+    ext.injectOptimizerRule(_ => ReduceSplitSizeToNTokens)
   }
 }

@@ -145,6 +145,9 @@ object Pipeline {
 
   def packSequences(df: DataFrame, budget: Long, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // installs the size(split)->graft_ntokens strength reduction for the
+    // n_toks projection below
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val w = Window.partitionBy(sourceCol).orderBy(idCol)
     df.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
       .withColumn("cum_before", sum(col("n_toks")).over(w) - col("n_toks"))
@@ -219,6 +222,7 @@ object Pipeline {
     */
   def dedupParagraphs(df: DataFrame, words: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val paras = paragraphs(df, words, idCol, textCol)
     val keepers = paras.groupBy("para")
       .agg(min(struct(col(idCol), col("idx"))).as("keep"))
@@ -243,6 +247,7 @@ object Pipeline {
     */
   def removeBoilerplate(df: DataFrame, words: Int, maxDocs: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val paras = paragraphs(df, words, idCol, textCol)
     val boiler = paras.groupBy("para")
       .agg(countDistinct(col(idCol)).as("df_docs"))
@@ -272,6 +277,7 @@ object Pipeline {
   def sampleMixture(df: DataFrame, budgets: Map[String, Long],
       default: Long, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val budgetCol = budgets.toSeq.sortBy(_._1)
       .foldLeft(lit(default)) { case (acc, (src, b)) =>
         when(col(sourceCol) === src, lit(b)).otherwise(acc)

@@ -138,6 +138,44 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ng == 2) // "a b c", "b c d"
   }
 
+  test("graft_ntokens ≡ size(split) byte-for-byte; optimizer rule rewrites the pattern") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial tokenization shapes: empty, all-spaces, leading/trailing/
+    // consecutive spaces, multi-byte unicode (no 0x20 inside sequences),
+    // tabs/newlines (NOT separators for the single-space pattern)
+    val corpus = Seq("", " ", "  ", "a", " a", "a ", "a b", "a  b",
+      "木 漢字  ", "☃x ☃", "a\tb c", "a\nb", "ß ss", "é combining")
+    val df = corpus.toDF("text")
+    val got = df.selectExpr("text", "graft_ntokens(text) AS n").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    corpus.foreach { s =>
+      assert(got(s) == s.split(" ", -1).length,
+        s"'$s': got ${got(s)}, java ${s.split(" ", -1).length}")
+    }
+    // null in → null out (non-legacy size semantics the rule requires)
+    assert(spark.sql("SELECT graft_ntokens(CAST(NULL AS STRING)) AS n")
+      .collect().head.isNullAt(0))
+    // the rule (installed by register() via extraOptimizations) rewrites
+    // the builtin formulation — no split/array materialization survives.
+    // spark.range base: a local Seq constant-folds to a LocalRelation
+    // before the pattern is observable (the zorder guard hit the same)
+    val ranged = spark.range(100)
+      .select(concat_ws(" ", lit("w"), col("id").cast("string")).as("text"))
+    val opt = ranged.select(size(split(col("text"), " ")).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_ntokens"), s"rule did not fire:\n$opt")
+    assert(!opt.contains("split("), s"split survived the rewrite:\n$opt")
+    // and the rewritten form computes the identical counts
+    val viaRule = ranged.select(size(split(col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(viaRule.forall(_ == 2) && viaRule.length == 100)
+    // a NON-matching shape (different pattern / explicit limit) is left alone
+    val other = ranged.select(size(split(col("text"), ",")).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!other.contains("graft_ntokens"), s"over-eager rewrite:\n$other")
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
