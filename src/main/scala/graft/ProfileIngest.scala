@@ -85,22 +85,24 @@ object ProfileIngest {
 
     // batch 1: replicate Streaming.ingest's foreachBatch body phase by phase
     phase("b1 isEmpty")(b1.isEmpty)
-    phase("b1 appendMultiple")(
+    val r1 = phase("b1 appendMultiple")(
       ds.appendMultiple(b1, checkTimestamp = false, dedupExisting = true))
-    val hi1 = phase("b1 max(t)")(b1.agg(max("t")).collect().head.getTimestamp(0))
-    phase("b1 downsampleStreams")(ds.downsampleStreams(hi1))
+    phase("b1 downsampleStreams")(
+      if (r1.written > 0) r1.maxT.foreach(hi => ds.downsampleStreams(hi)))
     // batch 2
-    phase("b2 appendMultiple")(
+    val r2 = phase("b2 appendMultiple")(
       ds.appendMultiple(b2, checkTimestamp = false, dedupExisting = true))
-    val hi2 = phase("b2 max(t)")(b2.agg(max("t")).collect().head.getTimestamp(0))
-    phase("b2 downsampleStreams")(ds.downsampleStreams(hi2))
+    phase("b2 downsampleStreams")(
+      if (r2.written > 0) r2.maxT.foreach(hi => ds.downsampleStreams(hi)))
     // the gate query ingests with compactEvery=2: compaction runs after
     // the second batch, so the re-delivered batch reads a compacted store
     phase("b2 compactStore")(ds.compactStore())
-    // batch 2 re-delivered (idempotent path)
-    phase("b2r appendMultiple")(
+    // batch 2 re-delivered (idempotent path): a zero-row write skips the
+    // ladder entirely in Streaming.ingest
+    val r3 = phase("b2r appendMultiple")(
       ds.appendMultiple(b2, checkTimestamp = false, dedupExisting = true))
-    phase("b2r downsampleStreams")(ds.downsampleStreams(hi2))
+    phase("b2r downsampleStreams")(
+      if (r3.written > 0) r3.maxT.foreach(hi => ds.downsampleStreams(hi)))
     s.stop()
   }
 }

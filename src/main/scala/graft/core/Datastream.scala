@@ -39,21 +39,51 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   /** Driver-side catalog cache; persisted to parquet lazily (`flush()`).
     * Appends NEVER rewrite the catalog parquet — at 10⁶ streams that
     * would be an O(#streams) driver-side rewrite per micro-batch. Instead
-    * `finishAppend` marks the catalog dirty and records the batch's
-    * per-stream time bounds in an append-only sidecar (`streams.hwm`,
-    * one JSONL line per stream per batch — O(batch), no Spark job, the
-    * coverage-marker pattern applied to the primary root). `flush()`
-    * persists the full catalog and truncates the sidecar; `loadCatalog`
-    * replays a surviving sidecar so a crash between append and flush
-    * still reopens with exact monotonicity bounds. Stream creation stays
-    * deferred (bulk creation must not be O(#streams) rewrites each) but
-    * the FIRST append touching a never-persisted descriptor flushes once
-    * — a descriptor lost to a crash could not be rebuilt from bounds
-    * alone, and orphan data no catalog entry explains must not exist.
-    * Tag/delete admin ops flush eagerly (human-rate).
+    * `finishAppend` marks the touched streams' SHARDS dirty and records
+    * the batch's per-stream time bounds in an append-only sidecar
+    * (`streams.hwm`, one JSONL line per stream per batch — O(batch), no
+    * Spark job, the coverage-marker pattern applied to the primary root).
+    * `flush()` persists only the dirty shards and truncates the sidecar;
+    * `loadCatalog` replays a surviving sidecar so a crash between append
+    * and flush still reopens with exact monotonicity bounds. Stream
+    * creation stays deferred (bulk creation must not be O(#streams)
+    * rewrites each) but the FIRST append touching a never-persisted
+    * descriptor flushes once — a descriptor lost to a crash could not be
+    * rebuilt from bounds alone, and orphan data no catalog entry explains
+    * must not exist. Tag/delete admin ops flush eagerly (human-rate).
+    *
+    * On disk the catalog is HASH-SHARDED: `<root>/streams/shard=KKK/`
+    * (256 shards), so a flush rewrites O(changed streams + touched
+    * shards), never the whole catalog — at 10⁶ streams a single-stream
+    * tag update rewrites ~1/256th of the metastore. Pre-shard stores
+    * (one flat parquet dir) load transparently and migrate to the
+    * sharded layout on their next flush.
     */
+  // DECLARED BEFORE `catalog`: `loadCatalog()` runs in the constructor, so
+  // anything it reads or writes must already be initialized — a later
+  // textual position would read 0/false mid-construction.
+  private[graft] final val catalogShards = 256
+  /** True while the on-disk catalog is still the pre-shard flat layout —
+    * the next flush rewrites every shard and removes the legacy files. */
+  private var legacyCatalogLayout = false
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
-  private var catalogDirty = false
+  /** Shards whose in-memory state is ahead of the persisted catalog. */
+  private val dirtyShards = scala.collection.mutable.Set.empty[Int]
+  /** Per-level ladder coverage (driver-side, in-memory): `ladderFrontier`
+    * holds floor(U/g)·g for the max `until` U any unrestricted ladder run
+    * has covered at level g — every bucket ending <= U is materialized or
+    * provably empty. `ladderPendingLo` is the earliest epoch second of
+    * data written since that run (appends AND cascade rewrites, which
+    * drop rollups from their window onward), i.e. data possibly behind
+    * the frontier. A fresh open knows nothing and runs every level once.
+    * DECLARED BEFORE `healDirtyStreams()` below: the open-time heal runs
+    * the cascade, which notes its rewrite windows here.
+    */
+  private val ladderFrontier = scala.collection.mutable.Map.empty[String, Long]
+  private val ladderPendingLo = scala.collection.mutable.Map.empty[String, Long]
+  private def catalogDirty: Boolean = dirtyShards.nonEmpty
+  private def markDirty(id: String): Unit = { dirtyShards += shardOf(id); () }
+  private def markAllDirty(): Unit = { dirtyShards ++= (0 until catalogShards); () }
   // stream ids created since the last persist — their descriptors exist
   // only in memory, so data writes keyed by them must force a flush first
   private var unpersisted: Set[String] = Set.empty
@@ -66,7 +96,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   healDirtyStreams()
 
   /** Persist pending catalog changes (no-op when clean). */
-  def flush(): Unit = if (catalogDirty) { persistCatalog(); catalogDirty = false }
+  def flush(): Unit = if (catalogDirty) persistCatalog()
 
   /** Flush and release driver-side state. Idempotent. */
   def close(): Unit = flush()
@@ -76,15 +106,32 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * flushes), never O(appends). */
   private[graft] var catalogWrites: Int = 0
 
+  private def shardOf(id: String): Int = (id.hashCode & Int.MaxValue) % catalogShards
+  private def shardKey(k: Int): String = f"shard=$k%03d"
+  private def shardDir(k: Int) = new java.io.File(s"$streamsPath/${shardKey(k)}")
+  // dot-prefixed so no Spark file index ever lists a mid-swap backup
+  private def shardBak(k: Int) = new java.io.File(s"$streamsPath/.old_${shardKey(k)}")
   private def loadCatalog(): Map[String, StreamDescriptor] = {
-    // fall back to the rename-aside backup persistCatalog leaves during its
-    // swap window: a crash between (streams -> streams.old) and
-    // (streams.tmp -> streams) must not read as an empty catalog
     val p = new java.io.File(streamsPath)
-    val src = if (p.exists()) streamsPath
-              else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
-              else return Map.empty
-    val raw = spark.read.parquet(src)
+    val shardPaths = (0 until catalogShards).flatMap { k =>
+      // per-shard rename-aside fallback: a crash between (shard ->
+      // .old_shard) and (tmp -> shard) must not read as a lost shard
+      if (nonEmptyDir(shardDir(k).getPath)) Some(shardDir(k).getPath)
+      else if (nonEmptyDir(shardBak(k).getPath)) Some(shardBak(k).getPath)
+      else None
+    }
+    val raw =
+      if (shardPaths.nonEmpty) spark.read.parquet(shardPaths: _*)
+      else {
+        // legacy flat layout (or its whole-dir rename-aside backup)
+        val hasFiles = p.exists() &&
+          Option(p.listFiles()).exists(_.exists(_.isFile))
+        val src = if (hasFiles) streamsPath
+                  else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
+                  else return Map.empty
+        legacyCatalogLayout = true
+        spark.read.parquet(src)
+      }
     // catalogs persisted before value_type_options existed self-migrate
     // (the column is absent from their parquet schema)
     val migrated =
@@ -147,37 +194,87 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val w = new java.io.FileWriter(hwmPath, true)
     try w.write(sb.toString) finally w.close()
     // bound sidecar growth under continuous ingest: past the threshold,
-    // fold it into one catalog write. This amortizes the O(#streams)
-    // rewrite over many appends instead of paying it per micro-batch,
-    // and keeps open-time replay O(threshold).
+    // fold it into one catalog write. This amortizes the O(changed
+    // shards) rewrite over many appends instead of paying it per
+    // micro-batch, and keeps open-time replay O(threshold).
     if (new java.io.File(hwmPath).length() > hwmFlushBytes) flush()
   }
 
-  private val hwmFlushBytes: Long = 1L << 20
+  /** Sidecar flush threshold SCALES with catalog size: a fixed cap would
+    * quietly reintroduce a per-batch catalog rewrite once one micro-batch
+    * touches enough streams to cross it (one line is ~60 B, so 1 MiB ≈
+    * 17k streams). At ~256 B of sidecar budget per catalog stream, a
+    * batch touching every stream flushes once every ~4 batches however
+    * large the store, while small stores keep the 1 MiB floor (replay
+    * stays trivially bounded). `hwmFlushFloor` is test-visible so specs
+    * can drive the amortization without 17k-stream fixtures.
+    */
+  private[graft] var hwmFlushFloor: Long = 1L << 20
+  private[graft] def hwmFlushBytes: Long =
+    math.max(hwmFlushFloor, catalog.size.toLong * 256L)
 
   private def persistCatalog(): Unit = {
-    // crash-safe swap: never a window where no complete catalog exists on
-    // disk. Write tmp, rename current aside (NOT delete — a crash after a
-    // recursive delete would lose the catalog), swap tmp in, then drop the
-    // backup. loadCatalog falls back to the .old copy.
-    val tmp = s"$streamsPath.tmp"
-    catalog.values.toSeq.toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(streamsPath)
-    val bak = new java.io.File(s"$streamsPath.old")
-    if (bak.exists()) rmTree(bak)
-    if (dst.exists() && !dst.renameTo(bak))
-      throw new java.io.IOException(s"failed to move catalog aside: $dst -> $bak")
-    if (!new java.io.File(tmp).renameTo(dst))
-      throw new java.io.IOException(s"failed to move catalog into place: $tmp -> $dst")
-    if (bak.exists()) rmTree(bak)
+    // shard-selective crash-safe swap: only DIRTY shards rewrite — one
+    // Spark job writes their surviving descriptors partitioned by shard,
+    // then each shard directory swaps in with its own rename-aside
+    // backup (never a window where a complete copy of a shard isn't on
+    // disk; loadCatalog falls back to `.old_shard=KKK`). Flush cost is
+    // O(streams in changed shards), not O(catalog).
+    if (legacyCatalogLayout) markAllDirty()
+    val dirty = dirtyShards.toSet
+    val shardU = udf((s: String) => f"${(s.hashCode & Int.MaxValue) % catalogShards}%03d")
+    val rows = catalog.values.filter(d => dirty(shardOf(d.stream_id))).toSeq
+    val tmpRoot = new java.io.File(s"$streamsPath.tmp")
+    if (tmpRoot.exists()) rmTree(tmpRoot)
+    if (rows.nonEmpty)
+      rows.toDS().withColumn("shard", shardU(col("stream_id")))
+        .repartition(math.min(dirty.size, 32), col("shard"))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard")
+        .parquet(tmpRoot.getPath)
+    if (legacyCatalogLayout) {
+      // migration off the flat layout: every shard just wrote into
+      // tmpRoot, so swap the WHOLE directory (the pre-shard crash
+      // contract) — per-shard swaps would strand unswapped shards on a
+      // mid-migration crash, because the loader prefers shard dirs the
+      // moment any exist. loadCatalog's flat fallback covers the
+      // (streams -> streams.old) window.
+      if (!tmpRoot.exists()) tmpRoot.mkdirs() // fully-emptied catalog
+      val dst = new java.io.File(streamsPath)
+      val bak = new java.io.File(s"$streamsPath.old")
+      if (bak.exists()) rmTree(bak)
+      if (dst.exists() && !dst.renameTo(bak))
+        throw new java.io.IOException(s"failed to move catalog aside: $dst -> $bak")
+      if (!tmpRoot.renameTo(dst))
+        throw new java.io.IOException(s"failed to move catalog into place: $tmpRoot -> $dst")
+      if (bak.exists()) rmTree(bak)
+      // drop the Spark write artifacts (_SUCCESS) that rode along in the
+      // whole-dir swap — the sharded layout holds only shard=KKK dirs
+      Option(dst.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach(rmTree)
+      legacyCatalogLayout = false
+    } else {
+      new java.io.File(streamsPath).mkdirs()
+      dirty.toSeq.sorted.foreach { k =>
+        val cur = shardDir(k); val bak = shardBak(k)
+        val tmp = new java.io.File(tmpRoot, shardKey(k))
+        if (bak.exists()) rmTree(bak)
+        if (cur.exists() && !cur.renameTo(bak))
+          throw new java.io.IOException(s"failed to move shard aside: $cur -> $bak")
+        // a dirty shard with no surviving streams has no tmp dir: the
+        // rename-aside + backup drop below IS its deletion
+        if (tmp.exists() && !tmp.renameTo(cur))
+          throw new java.io.IOException(s"failed to move shard into place: $tmp -> $cur")
+        if (bak.exists()) rmTree(bak)
+      }
+      if (tmpRoot.exists()) rmTree(tmpRoot)
+    }
     // the persisted catalog covers every in-memory bound, so the sidecar
     // is now redundant — truncate it AFTER the swap (a crash in between
     // just replays already-covered lines, a no-op)
     new java.io.File(hwmPath).delete()
     // only mark clean once the data is durably in place — a failed write
-    // must leave the catalog dirty so a retried flush() actually retries
-    catalogDirty = false
+    // must leave the shards dirty so a retried flush() actually retries
+    dirtyShards.clear()
     unpersisted = Set.empty
     catalogWrites += 1
   }
@@ -268,7 +365,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           latest_ts = None,
           value_type_options = valueTypeOptions)
         catalog += id -> desc
-        catalogDirty = true
+        markDirty(id)
         unpersisted += id
         // reference parity: derive_backprocess=True (the default) computes
         // the new derived stream from whatever source history already
@@ -300,6 +397,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       checkTimestamp: Boolean = true): Unit = {
     val df = Seq((streamId, timestamp, value)).toDF("stream_id", "t", "v")
     appendMultiple(df, checkTimestamp)
+    ()
   }
 
   /** Bulk append — the engine's native shape. `df` columns:
@@ -327,7 +425,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   def appendMultiple(df: DataFrame, checkTimestamp: Boolean = true,
       dedupExisting: Boolean = false,
-      strictWithinBatch: Boolean = false): Unit = {
+      strictWithinBatch: Boolean = false): Datastream.AppendResult = {
     import spark.implicits._
     // cache the caller's batch: the ids scan, validation probes, store
     // write and bounds aggregation would otherwise re-execute its
@@ -461,13 +559,27 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           col("t"),
           col("v").cast("double").as("v_num"),
           col("v_json"))
-      DatapointStore.append(toWrite, datapointsPath)
-      finishAppend(bounds, ids)
+      // piggyback the written-row count on the write job itself
+      // (Observation = zero extra jobs): a fully-deduped re-delivery
+      // writes 0 rows, which lets finishAppend skip the derive cascade
+      // and the streaming ingest loop skip the rollup ladder — the store
+      // provably did not change
+      val obs = org.apache.spark.sql.Observation()
+      DatapointStore.append(
+        toWrite.observe(obs, count(lit(1)).as("rows")), datapointsPath)
+      // `get` returns AFTER the write's query-end event, so a missing key
+      // is not a race: it means AQE's empty-relation propagation pruned
+      // the CollectMetrics node — which only happens when the observed
+      // subtree is provably empty, i.e. zero rows written
+      val written = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
+      finishAppend(bounds, ids, written)
+      Datastream.AppendResult(written,
+        bounds.map(_.getTimestamp(2)).sortBy(_.getTime).lastOption)
     } finally if (ownCache) cached.unpersist()
   }
 
   private def finishAppend(bounds: Array[org.apache.spark.sql.Row],
-      ids: Array[String]): Unit = {
+      ids: Array[String], written: Long): Unit = {
     // capture each appended stream's changed region BEFORE advancing the
     // catalog: the incremental derive cascade needs the PRE-batch latest
     // timestamp (exact lookback partition + staleness self-heal check)
@@ -485,6 +597,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       catalog += id -> d.copy(
         earliest_ts = Some(d.earliest_ts.fold(lo)(e => if (e.before(lo)) e else lo)),
         latest_ts = Some(d.latest_ts.fold(hi)(l => if (l.after(hi)) l else hi)))
+      markDirty(id)
     }
     // NO catalog rewrite here — that was O(#streams) driver work per
     // append (the scale-killer under streaming ingest). The sidecar line
@@ -495,10 +608,35 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // include the TRANSITIVE derived dependents the cascade below writes,
     // not just the directly-appended ids (a derived stream ensured over a
     // then-empty source has no flush-forcing append of its own).
-    catalogDirty = true
-    val writes = ids.toSet ++ derivedInOrder(ids.toSet).map(_.stream_id)
+    val affected = derivedInOrder(ids.toSet)
+    val writes = ids.toSet ++ affected.map(_.stream_id)
     if (writes.exists(unpersisted)) flush() else appendHwm(bounds)
-    deriveDependents(ids.toSet, regions)
+    if (written > 0) {
+      bounds.map(r => Math.floorDiv(r.getTimestamp(1).getTime, 1000L))
+        .sorted.headOption.foreach(noteDataWritten)
+      deriveDependents(ids.toSet, regions)
+    } else if (affected.exists(d =>
+        !ids.contains(d.stream_id) && staleDependent(d))) {
+      // zero rows landed (a fully-deduped re-delivery): the store did not
+      // change, so dependents can only need work if a PREVIOUS crash left
+      // one stale — a driver-side marker check, no Spark jobs when clean
+      deriveDependents(ids.toSet, regions)
+    }
+  }
+
+  /** Driver-side staleness probe for the zero-row append fast path: does
+    * this derived stream need a derive pass even though nothing new
+    * landed? True when a crash left its dirty sentinel, it was never
+    * materialized, or a dependency's extent moved past its coverage
+    * marker (a crash between a source append and its cascade).
+    */
+  private def staleDependent(d: StreamDescriptor): Boolean = {
+    if (dirtyFile(d.stream_id).exists()) return true
+    if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return true
+    readCoverage(d.stream_id) match {
+      case None => true
+      case Some(cw) => coverageNow(d).exists(_.after(cw))
+    }
   }
 
   // ---- datapoints access ----------------------------------------------
@@ -684,6 +822,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val merged = d.tags ++ tags
     catalog += streamId -> d.copy(tags = merged, tags_json = Json.nested(merged))
+    markDirty(streamId)
     persistCatalog()
   }
 
@@ -691,12 +830,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val t2 = d.tags - tag
     catalog += streamId -> d.copy(tags = t2, tags_json = Json.nested(t2))
+    markDirty(streamId)
     persistCatalog()
   }
 
   def clearTags(streamId: String): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     catalog += streamId -> d.copy(tags = Map.empty, tags_json = "{}")
+    markDirty(streamId)
     persistCatalog()
   }
 
@@ -724,6 +865,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       DatapointStore.replace(kept, datapointsPath)
     }
     catalog --= victims
+    victims.foreach(markDirty)
     persistCatalog()
     victims.size
   }
@@ -776,7 +918,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   def downsampleStreams(until: Timestamp,
       queryTags: Map[String, String] = Map.empty,
       returnDatapoints: Boolean = false,
-      filterStream: StreamDescriptor => Boolean = _ => true)
+      filterStream: StreamDescriptor => Boolean = Datastream.AllStreams)
       : Option[DataFrame] = {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // filterStream = the reference's filter_stream callback (A10): a
@@ -790,28 +932,66 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
     val isNumeric = ids.map(id => id -> (catalog(id).value_type == ValueType.Numeric)).toMap
 
+    // level skip (driver-only, unrestricted runs): a level can produce a
+    // new COMPLETED bucket only if `until` crossed its frontier boundary
+    // or data landed behind the frontier (historical insert, cold-start
+    // stream, or a cascade rewrite that dropped rollups) whose bucket
+    // completes by `until`. Everything else is a guaranteed-empty
+    // newBuckets filter — skip the level's scan and write jobs outright.
+    // Restricted runs (tags / filter_stream) never consult or advance the
+    // frontier: it describes whole-store coverage only.
+    val unrestricted = queryTags.isEmpty && (filterStream eq Datastream.AllStreams)
+    val untilSec = Math.floorDiv(until.getTime, 1000L)
+    def levelCanAdvance(g: Granularity): Boolean =
+      !unrestricted || (ladderFrontier.get(g.name) match {
+        case None => true // no coverage knowledge for this level yet
+        case Some(f) =>
+          untilSec >= f + g.seconds ||
+            ladderPendingLo.get(g.name).exists(lo =>
+              Math.floorDiv(lo, g.seconds) * g.seconds + g.seconds <= untilSec)
+      })
+
+    val levels = Granularity.ladder.drop(1)
+      .filter(g => ids.exists(id => hgOf(id).seconds < g.seconds))
+      .filter(levelCanAdvance)
+
+    // ONE scan resolves every remaining level's per-stream high-water
+    // marks (max materialized bucket) up front — granularity is a
+    // partition column, so this prunes exactly like the old per-level
+    // scans but pays the file-listing and scan job once per ladder run,
+    // not once per level. Levels whose partitions were never materialized
+    // cost nothing (driver directory probe).
+    val scannable = levels.map(_.name).filter(granularityExists)
+    val hwmByLevel: Map[String, Seq[(String, Timestamp)]] =
+      if (scannable.isEmpty) Map.empty
+      else filterToStreams(
+          datapoints.where(col("granularity").isin(scannable: _*)), ids)
+        .groupBy("stream_id", "granularity").agg(max("t").as("hwm"))
+        .collect().toSeq
+        .groupBy(_.getString(1))
+        .map { case (g, rs) =>
+          g -> rs.map(r => (r.getString(0), r.getTimestamp(2))) }
+
     // per target level: streams that need it, split by fold source and by
     // value type (numeric folds all 10 aggregates; nominal/graph fold count
     // + time downsamplers only — SURVEY §1.4)
-    Granularity.ladder.drop(1).foreach { g =>
+    levels.foreach { g =>
       val needs = ids.filter(id => hgOf(id).seconds < g.seconds)
       if (needs.nonEmpty) {
         val prev = Granularity.ladder(Granularity.ladder.indexOf(g) - 1)
         val (fromPartials, fromRaw) =
           needs.partition(id => hgOf(id).seconds < prev.seconds)
 
-        // high-water mark per stream at this level = max materialized
-        // bucket; skipped entirely (no scan, no broadcast) when the level
-        // has never been materialized
-        val levelExists = granularityExists(g.name)
-        lazy val existing = filterToStreams(
-            datapoints.where(col("granularity") === g.name), needs)
-          .groupBy("stream_id").agg(max("t").as("hwm"))
+        // high-water mark per stream at this level, from the front-loaded
+        // scan — the broadcast builds from driver-local rows, no job
+        val levelExists = scannable.contains(g.name)
+        lazy val existing = broadcast(
+          hwmByLevel.getOrElse(g.name, Seq.empty).toDF("stream_id", "hwm"))
 
         def newBuckets(src: DataFrame): DataFrame =
           if (!levelExists) src
           else src
-            .join(broadcast(existing), Seq("stream_id"), "left")
+            .join(existing, Seq("stream_id"), "left")
             .where(col("hwm").isNull ||
                    unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
             .drop("hwm")
@@ -856,7 +1036,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           .foreach { out =>
             // derived streams' rollups go to their own roots (so a later
             // recompute never touches the primary table); materialize when
-            // splitting or returning so lineage isn't re-executed per sink
+            // splitting or returning so lineage isn't re-executed per sink.
+            // localCheckpoint, NOT persist: caching under AQE materializes
+            // as extra jobs/tasks per sink (measured: +12 jobs, +2× tasks
+            // on the ingest profile — the r2 negative result again)
             val derivedNeeds = needs.filter(id => catalog(id).derive_op.isDefined)
             val frame = if (returnDatapoints || derivedNeeds.nonEmpty)
               out.localCheckpoint(true) else out
@@ -872,9 +1055,24 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             if (returnDatapoints) emitted += DatapointStore.normalize(frame)
           }
       }
+      if (unrestricted) {
+        // frontier: every bucket ending <= until is now materialized (or
+        // provably empty); pending behind-frontier data is folded in
+        ladderFrontier(g.name) = math.max(
+          ladderFrontier.getOrElse(g.name, Long.MinValue),
+          Math.floorDiv(untilSec, g.seconds) * g.seconds)
+        ladderPendingLo.remove(g.name)
+        ()
+      }
     }
     emitted.reduceOption(_.unionByName(_))
   }
+
+  private def noteDataWritten(loSec: Long): Unit =
+    Granularity.ladder.drop(1).foreach { g =>
+      ladderPendingLo(g.name) =
+        math.min(ladderPendingLo.getOrElse(g.name, Long.MaxValue), loSec)
+    }
 
   // ---- A11 backprocess + derive ---------------------------------------
 
@@ -1369,7 +1567,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         plan(d.stream_id) match {
           case Some((w, hiKey, cw, _)) =>
             regions(d.stream_id) = Region(w, hiKey, Some(cw))
-          case None => regions.remove(d.stream_id)
+            // the rewrite dropped this stream's rollups from w onward —
+            // the next ladder run must revisit every level whose buckets
+            // from w complete, even if `until` crosses no new boundary
+            noteDataWritten(Math.floorDiv(w.getTime, 1000L))
+          case None =>
+            regions.remove(d.stream_id)
+            noteDataWritten(0L) // full rewrite: all history is "new"
         }
       }
     }
@@ -1406,6 +1610,24 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     deriveWaves(order).foreach(wave =>
       processWave(wave, regions, Set.empty, forceFull = true))
   }
+}
+
+object Datastream {
+  /** Default A10 `filter_stream` — a SHARED instance so the rollup ladder
+    * can recognize an unrestricted run (`filterStream eq AllStreams`) for
+    * its level-skip frontier; an inline `_ => true` default would allocate
+    * per call and defeat the identity check.
+    */
+  val AllStreams: StreamDescriptor => Boolean = _ => true
+
+  /** What an append actually did: `written` = rows landed in the store
+    * (0 for a fully-deduped re-delivery — the streaming ingest loop skips
+    * the rollup ladder on that), `maxT` = the batch's max timestamp
+    * floored to each stream's highest granularity (equivalent to the raw
+    * max for bucket-completeness checks, since stored rows are floored
+    * the same way) — saves the ingest loop a per-batch max(t) job.
+    */
+  case class AppendResult(written: Long, maxT: Option[Timestamp])
 }
 
 /** Minimal canonical-JSON helpers. Tag documents live in TWO synchronized
@@ -1498,12 +1720,20 @@ object Json {
     out.result()
   }
 
+  /** Top-level field lookup via Jackson (Spark's own JSON parser — no
+    * regex: an escaped quote inside a string value would make a pattern
+    * match truncate or misparse). Non-object documents and missing
+    * fields are None; scalar values coerce to their text.
+    */
   private def field(json: String, name: String): Option[String] = {
-    val p = ("\"" + java.util.regex.Pattern.quote(name) +
-      "\"\\s*:\\s*(\"([^\"]*)\"|[-0-9.eE+]+)").r
-    p.findFirstMatchIn(json).map(m =>
-      if (m.group(2) != null) m.group(2) else m.group(1))
+    val root = scala.util.Try(mapper.readTree(json)).getOrElse(null)
+    if (root == null || !root.isObject) None
+    else Option(root.get(name)).collect {
+      case n if n.isTextual => n.asText
+      case n if n.isValueNode => n.asText
+    }
   }
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
   def numField(json: String, name: String): Option[Double] =
     field(json, name).flatMap(s => scala.util.Try(s.toDouble).toOption)
   def strField(json: String, name: String): Option[String] = field(json, name)

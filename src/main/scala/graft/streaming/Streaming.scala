@@ -320,13 +320,19 @@ object Streaming {
     src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          store.appendMultiple(batch, checkTimestamp, dedupExisting = true)
-          val hi = batch.agg(max("t")).collect().head.getTimestamp(0)
-          store.downsampleStreams(hi)
-          if (compactEvery > 0 &&
-              sinceCompact.incrementAndGet() >= compactEvery) {
-            sinceCompact.set(0)
-            store.compactStore()
+          val res = store.appendMultiple(batch, checkTimestamp, dedupExisting = true)
+          // a fully-deduped re-delivery wrote nothing: the store did not
+          // change, so the ladder advance and the compaction cadence are
+          // pure fixed overhead — skip both (appendMultiple already
+          // healed any crash-stale derived stream). maxT comes from the
+          // append's own bounds aggregation, not a second max(t) job.
+          if (res.written > 0) {
+            res.maxT.foreach(hi => store.downsampleStreams(hi))
+            if (compactEvery > 0 &&
+                sinceCompact.incrementAndGet() >= compactEvery) {
+              sinceCompact.set(0)
+              store.compactStore()
+            }
           }
           ()
         }

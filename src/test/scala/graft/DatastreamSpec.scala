@@ -1126,5 +1126,110 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.getData(id, Granularity.Seconds).count() == 3)
   }
 
+  test("catalog is sharded: a single-stream update rewrites one shard") {
+    val root = Files.createTempDirectory("graft-shard1").toString
+    val ds = new Datastream(spark, root)
+    val ids = (1 to 40).map(i => ds.ensureStream(Map("name" -> s"sh$i")))
+    ds.flush()
+    val streamsDir = new java.io.File(s"$root/streams")
+    def shardDirs() = Option(streamsDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    val before = shardDirs().map(d => d.getName ->
+      Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).sorted.toSeq).toMap
+    assert(before.size > 1, "40 streams should span multiple shards")
+    // one tag update -> exactly the stream's own shard rewrites (its part
+    // file names change; every other shard's files are byte-identical names)
+    ds.updateTags(ids.head, Map("touched" -> "yes"))
+    val after = shardDirs().map(d => d.getName ->
+      Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).sorted.toSeq).toMap
+    assert(after.keySet == before.keySet)
+    val changed = before.keySet.filter(k => before(k) != after(k))
+    assert(changed.size == 1, s"expected exactly one rewritten shard, got $changed")
+    // reopen reads the sharded layout back whole
+    val d2 = new Datastream(spark, root)
+    assert(d2.streams.count() == 40)
+    assert(d2.getTags(ids.head).get("touched").contains("yes"))
+  }
+
+  test("sidecar flush threshold scales with catalog size (amortized rewrites)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-shard-amort").toString
+    val ds = new Datastream(spark, root)
+    val ids = (1 to 20).map(i => ds.ensureStream(Map("name" -> s"am$i")))
+    // drive appends through the smallest scaled threshold: with the floor
+    // at 0 the threshold is catalog.size * 256 B = 5 KiB, and each batch
+    // writes one ~60 B line per stream (~1.2 KiB) -> a flush every ~4-5
+    // batches, HOWEVER many batches run: catalogWrites must grow
+    // sublinearly in batch count, never 1:1 (the r6 scale finding)
+    ds.hwmFlushFloor = 0L
+    assert(ds.hwmFlushBytes == ds.streams.count() * 256)
+    val batches = 20
+    for (b <- 1 to batches) {
+      val df = ids.map(id => (id, ts(f"2024-01-01 00:${b}%02d:00"), b.toDouble))
+        .toDF("stream_id", "t", "v")
+      ds.appendMultiple(df)
+    }
+    val writes = ds.catalogWrites
+    assert(writes >= 2, s"scaled threshold should have forced some flushes, got $writes")
+    assert(writes <= batches / 2,
+      s"flushes must amortize over batches, got $writes for $batches batches")
+    // bounds survive exactly across reopen (sidecar + shards together)
+    val d2 = new Datastream(spark, root)
+    intercept[InvalidTimestamp] {
+      d2.append(ids.head, 0.0, ts("2024-01-01 00:10:00"))
+    }
+  }
+
+  test("pre-shard flat catalog loads and migrates on next flush") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-shard-mig").toString
+    val ds = new Datastream(spark, root)
+    val a = ds.ensureStream(Map("name" -> "mig-a"))
+    val b = ds.ensureStream(Map("name" -> "mig-b"))
+    ds.flush()
+    // rewrite the store as the PRE-SHARD layout: one flat parquet dir
+    val streamsDir = new java.io.File(s"$root/streams")
+    val flat = spark.read.parquet(
+      Option(streamsDir.listFiles()).get.filter(f =>
+        f.isDirectory && f.getName.startsWith("shard=")).map(_.getPath): _*)
+    val tmp = Files.createTempDirectory("graft-flat").toString
+    flat.coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(streamsDir)
+    assert(new java.io.File(tmp).renameTo(streamsDir))
+    // loads transparently...
+    val d2 = new Datastream(spark, root)
+    assert(d2.streams.count() == 2)
+    assert(d2.getTags(a) == Map("name" -> "mig-a"))
+    // ...and the next flush migrates to shards (legacy files gone)
+    d2.updateTags(b, Map("post" -> "migration"))
+    assert(Option(streamsDir.listFiles()).get
+      .exists(f => f.isDirectory && f.getName.startsWith("shard=")))
+    assert(!Option(streamsDir.listFiles()).get.exists(_.isFile),
+      "flat-layout files must be cleaned up after migration")
+    val d3 = new Datastream(spark, root)
+    assert(d3.streams.count() == 2)
+    assert(d3.getTags(b) == Map("name" -> "mig-b", "post" -> "migration"))
+  }
+
+  test("crash between shard rename-aside and swap-in falls back per shard") {
+    val root = Files.createTempDirectory("graft-shard-crash").toString
+    val ds = new Datastream(spark, root)
+    val ids = (1 to 10).map(i => ds.ensureStream(Map("name" -> s"cr$i")))
+    ds.flush()
+    val streamsDir = new java.io.File(s"$root/streams")
+    // simulate the crash window: one shard renamed aside, tmp never moved in
+    val shard = Option(streamsDir.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).head
+    assert(shard.renameTo(
+      new java.io.File(streamsDir, s".old_${shard.getName}")))
+    val d2 = new Datastream(spark, root)
+    assert(d2.streams.count() == 10, "backup shard must be read in place")
+    ids.foreach(id => assert(d2.getTags(id).nonEmpty))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
