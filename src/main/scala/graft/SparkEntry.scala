@@ -1290,8 +1290,11 @@ object SparkEntry {
       // stride-1 exact repeated-span detection (substring-dedup family):
       // per doc, how many of its 8-token windows occur anywhere else in
       // the corpus — catches duplicated passages that the aligned
-      // paragraph windows of pipe_dedup_paragraphs shift right past
-      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 8)
+      // paragraph windows of pipe_dedup_paragraphs shift right past.
+      // oracleHash: the 60-bit lane DuckDB can recompute in SQL; the
+      // DEFAULT 120-bit production lane is pinned ≡ to it on this corpus
+      // by OperatorsSpec (so the oracle row certifies both)
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 8, oracleHash = true)
         .orderBy("doc_id")
     },
 

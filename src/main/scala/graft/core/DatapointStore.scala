@@ -183,8 +183,17 @@ object DatapointStore {
     * either the old leaf, or a backup that [[recoverParts]] (invoked by
     * every [[read]]) restores — reads never see a hole or a double.
     */
+  /** `lenient=true` (the in-loop streaming-ingest cadence) downgrades a
+    * per-leaf rename failure (held handle on some filesystems) from an
+    * exception to a skipped leaf: compaction is maintenance, and failing
+    * the ingest micro-batch over it would trade data progress for file
+    * hygiene. The skipped leaf is left either intact or as a backup that
+    * [[recoverParts]] (run by every read and the next compact) restores —
+    * never a hole. The explicit off-peak maintenance call keeps the
+    * throw, so operators still see persistent filesystem trouble.
+    */
   def compact(spark: SparkSession, path: String, partCols: Seq[String],
-      minFiles: Int = 2): Unit = {
+      minFiles: Int = 2, lenient: Boolean = false): Unit = {
     val root = new java.io.File(path)
     if (!root.exists()) return
     recoverParts(path)
@@ -208,14 +217,34 @@ object DatapointStore {
       val tmp = new java.io.File(s"$tmpRoot/$rel")
       val bak = new java.io.File(s"$bakRoot/$rel")
       bak.getParentFile.mkdirs()
-      if (live.exists() && !live.renameTo(bak))
-        throw new java.io.IOException(s"failed to move leaf aside: $live")
-      if (!tmp.renameTo(live))
-        throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
-      rmTree(bak)
+      try {
+        if (live.exists() && !live.renameTo(bak))
+          throw new java.io.IOException(s"failed to move leaf aside: $live")
+        if (!tmp.renameTo(live))
+          throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
+        rmTree(bak)
+      } catch {
+        case e: java.io.IOException if lenient =>
+          // best effort to put the old leaf back immediately; if even that
+          // fails, recoverParts heals it at the next read
+          if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
+          System.err.println(
+            s"[graft] compact: skipping leaf $rel (${e.getMessage})")
+      }
     }
-    rmTree(tmpRoot)
-    if (bakRoot.exists()) rmTree(bakRoot)
+    try {
+      rmTree(tmpRoot)
+      if (bakRoot.exists()) {
+        // lenient skips can leave restored-backup leftovers; recoverParts
+        // both restores them and drops the backup tree. Strict mode only
+        // reaches here with every swap landed — plain cleanup.
+        if (lenient) recoverParts(path) else rmTree(bakRoot)
+      }
+    } catch {
+      case e: java.io.IOException if lenient =>
+        System.err.println(
+          s"[graft] compact: deferred cleanup under $path (${e.getMessage})")
+    }
   }
 
   /** Read-side half of [[compact]]'s crash safety: restore any leaf

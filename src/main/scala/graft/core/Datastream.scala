@@ -894,11 +894,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * size, and a crash at any point is healed by the next read
     * (DatapointStore.recoverParts).
     */
-  def compactStore(minFiles: Int = 2): Unit = {
+  def compactStore(minFiles: Int = 2, lenient: Boolean = false): Unit = {
     DatapointStore.compact(spark, datapointsPath,
-      Seq("granularity", "ymd"), minFiles)
+      Seq("granularity", "ymd"), minFiles, lenient)
     Seq(derivedRawPath, rollupsPath).foreach(p => DatapointStore.compact(
-      spark, p, Seq("stream_id", "granularity", "ymd"), minFiles))
+      spark, p, Seq("stream_id", "granularity", "ymd"), minFiles, lenient))
   }
 
   /** Fold new raw datapoints into every coarser granularity for all matched

@@ -85,7 +85,13 @@ object ReduceSplitSizeToNTokens extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Size(StringSplit(str, Literal(re: UTF8String, StringType),
-            Literal(-1, IntegerType)), false) if re == spaceRegex =>
+            Literal(-1, IntegerType)), false)
+          // default-collation strings only: TokenCount's checkInputDataTypes
+          // accepts exactly StringType, so rewriting a Spark 4 COLLATE
+          // column would plant an unresolved expression in a post-analysis
+          // plan (and a collation-aware split could disagree with the byte
+          // scan anyway) — leave the valid original in place
+          if re == spaceRegex && str.dataType == StringType =>
         TokenCount(str)
     }
 }

@@ -277,29 +277,45 @@ object Dedup {
     * it but caught here.
     *
     * Scale design: spans never shuffle as text — each window is reduced in
-    * the scan projection to a 60-bit content hash (first 15 md5 hex chars:
-    * the cross-engine-reproducible trick CLAUDE.md pins), so the
-    * occurrence count is a groupBy over 8-byte keys, partial-aggregated
-    * map-side (a viral passage collapses to one row per map task before
-    * the shuffle). The hash frame feeds both sides of the count/probe
-    * self-join, so it is localCheckpointed (the self-join re-run trap);
-    * the join back on the hash key AQE-skew-splits. O(total_tokens)
-    * fixed-width shuffle rows — the same currency as the banded sketches.
+    * the scan projection to a fixed-width content hash, so the occurrence
+    * count is a groupBy over small keys, partial-aggregated map-side (a
+    * viral passage collapses to one row per map task before the shuffle).
+    * The hash frame feeds both sides of the count/probe self-join, so it
+    * is localCheckpointed (the self-join re-run trap); the join back on
+    * the hash key AQE-skew-splits. O(total_tokens) fixed-width shuffle
+    * rows — the same currency as the banded sketches.
+    *
+    * Hash width: the DEFAULT lane keys on 120 bits of md5 (two 60-bit
+    * BIGINTs — birthday collisions become likely only around ~2⁶⁰ corpus
+    * spans, far beyond 100 TB of text). `oracleHash=true` keys on the
+    * first 60 bits alone — the cross-engine-reproducible form the DuckDB
+    * gate recomputes in SQL — which silently inflates `n_dup_spans` past
+    * ~2³⁰ corpus spans (only a few GB of text), so it exists for the
+    * oracle only; OperatorsSpec pins both lanes identical on the gate
+    * corpus.
     */
   def duplicateSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", oracleHash: Boolean = false): DataFrame = {
     require(k > 0, "span width k must be positive")
-    val spans = docs
+    // full md5 hex per window in the scan projection; the key columns
+    // project to BIGINTs before anything shuffles
+    val hexSpans = docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .where(size(col("w")) >= k)
       .select(col(idCol), explode(expr(
         s"""transform(sequence(0, size(w) - $k),
-           |  i -> conv(substring(md5(cast(array_join(slice(w, i + 1, $k), ' ')
-           |         as binary)), 1, 15), 16, 10))""".stripMargin)).as("hx"))
-      .select(col(idCol), col("hx").cast("long").as("h"))
+           |  i -> md5(cast(array_join(slice(w, i + 1, $k), ' ')
+           |         as binary)))""".stripMargin)).as("hx"))
+    val h1 = expr("cast(conv(substring(hx, 1, 15), 16, 10) as long)").as("h")
+    val keyCols = if (oracleHash) Seq("h") else Seq("h", "h2")
+    val spans = (if (oracleHash) hexSpans.select(col(idCol), h1)
+                 else hexSpans.select(col(idCol), h1,
+                   expr("cast(conv(substring(hx, 16, 15), 16, 10) as long)")
+                     .as("h2")))
       .localCheckpoint(true)
-    val counts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val perDoc = spans.join(counts, "h")
+    val counts = spans.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = spans.join(counts, keyCols)
       .groupBy(idCol).agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"))

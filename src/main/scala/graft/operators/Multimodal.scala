@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * metadata, and decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real — schema, per-partition batch shape,
-  * partition sizing — and so are the IMAGE and WAV-AUDIO codecs: content
-  * with raster magic bytes (PNG/BMP/GIF/JPEG) decodes real pixels through
-  * the JDK-builtin `javax.imageio` (decode + resize re-encode), and
-  * RIFF/WAVE PCM parses its real samples with plain byte arithmetic.
-  * Compressed audio and video decode would need codec libraries this
-  * container lacks, so those paths (and non-media bytes like the
-  * documents fixture) use a deterministic md5-derived STUB; swapping in
-  * e.g. javacpp-ffmpeg only replaces the marked fallback functions.
+  * partition sizing — and so are the IMAGE, WAV-AUDIO and MJPEG-AVI
+  * codecs: content with raster magic bytes (PNG/BMP/GIF/JPEG) decodes
+  * real pixels through the JDK-builtin `javax.imageio` (decode + resize
+  * re-encode), RIFF/WAVE PCM parses its real samples with plain byte
+  * arithmetic, and MJPEG-in-AVI splits into real per-frame JPEGs by the
+  * same RIFF chunk walk. Inter-frame-compressed audio/video (mp3, h264…)
+  * would need codec libraries this container lacks, so those paths (and
+  * non-media bytes like the documents fixture) use a deterministic
+  * md5-derived STUB; swapping in e.g. javacpp-ffmpeg only replaces the
+  * marked fallback functions.
   *
   * Scale design:
   *  - media rows are large → `repartition` before decode so each task
@@ -179,6 +181,53 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** ======== REAL CODEC LAYER (video: MJPEG-in-AVI) ========
+    * AVI is the same RIFF container as WAV; MJPEG stores each video frame
+    * as a standalone JPEG inside a `##dc`/`##db` chunk — so frame
+    * EXTRACTION is the WAV chunk walk again, and frame DECODE is the
+    * existing ImageIO JPEG path. No codec library, no new dependencies.
+    * Inter-frame-compressed video (h264 etc.) still falls to the stub.
+    */
+  private[graft] def isAvi(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      new String(content, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(content, 8, 4, "US-ASCII") == "AVI "
+
+  /** Chunk-walking AVI parser: recurses into LIST chunks (`movi` and its
+    * `rec ` groupings) and collects every video chunk (`##dc` compressed /
+    * `##db` uncompressed) whose payload starts with the JPEG SOI marker,
+    * in container order. None on non-AVI or zero decodable frames —
+    * callers fall back to the stub, never throw on hostile bytes.
+    */
+  private[graft] def parseAviFrames(content: Array[Byte])
+      : Option[Vector[Array[Byte]]] = {
+    if (!isAvi(content)) return None
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = Vector.newBuilder[Array[Byte]]
+    try {
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = new String(content, pos, 4, "US-ASCII")
+          val len = buf.getInt(pos + 4)
+          // Long bounds check: a hostile length near Int.MaxValue must not
+          // overflow past the end check (same defense as parseWav)
+          if (len < 0 || pos + 8L + len > end) return
+          if (id == "LIST" && len >= 4) walk(pos + 12, pos + 8 + len)
+          else if ((id.endsWith("dc") || id.endsWith("db")) && len >= 2 &&
+              (content(pos + 8) & 0xff) == 0xff &&
+              (content(pos + 9) & 0xff) == 0xd8)
+            frames += content.slice(pos + 8, pos + 8 + len)
+          pos += 8 + len + (len & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, content.length)
+      val v = frames.result()
+      if (v.isEmpty) None else Some(v)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decoded-audio stats row (the audio analogue of [[DecodedImage]]). */
   case class DecodedAudio(media_id: Long, channels: Int, sampleRate: Int,
       n_frames: Int, duration_ms: Long, rms: Double)
@@ -339,6 +388,10 @@ object Multimodal {
         val feat = imageFormat(r.content).flatMap(_ => readImage(r.content))
           .map(realFeature(_, dim))
           .orElse(parseWav(r.content).map(audioFeature(_, dim)))
+          // MJPEG video: perceptual feature of the first frame — the
+          // standard thumbnail-embedding baseline
+          .orElse(parseAviFrames(r.content)
+            .flatMap(f => readImage(f.head)).map(realFeature(_, dim)))
           .getOrElse(fakeFeature(r.content, dim))
         MediaFeature(r.media_id, feat)
       }
@@ -347,16 +400,27 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled frame — a flatMap, so a
     * 2-hour video becomes many small rows instead of one huge one.
+    * MJPEG-in-AVI content yields REAL JPEG frames (each decodable by the
+    * ImageIO image path), sampled evenly across the container's frame
+    * list at the `everyMs` cadence; anything else keeps the deterministic
+    * byte-slice stub (the oracle-recomputable lane).
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
       val n = math.min(r.meta.durationMs / everyMs, 32L).toInt
-      // real impl: seek + decode each frame; stub slices the content bytes
-      (0 until n).map { i =>
-        val start = (i * math.max(r.content.length / math.max(n, 1), 1))
-          .min(math.max(r.content.length - 1, 0))
-        Frame(r.media_id, i, r.content.slice(start, start + 16))
+      parseAviFrames(r.content) match {
+        case Some(frames) =>
+          (0 until n).map { i =>
+            Frame(r.media_id, i, frames((i.toLong * frames.length / n).toInt))
+          }
+        case None =>
+          // stub slices the content bytes (deterministic, md5-free)
+          (0 until n).map { i =>
+            val start = (i * math.max(r.content.length / math.max(n, 1), 1))
+              .min(math.max(r.content.length - 1, 0))
+            Frame(r.media_id, i, r.content.slice(start, start + 16))
+          }
       }
     }
   }

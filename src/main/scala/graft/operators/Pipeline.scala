@@ -182,15 +182,27 @@ object Pipeline {
     * collect_list order (non-deterministic under shuffle).
     */
   private def reassemble(df: DataFrame, kept: DataFrame, words: Int,
+      idCol: String, textCol: String): DataFrame =
+    reassembleWith(df, kept,
+      expr(s"(size(split($textCol, ' ')) - 1) div $words + 1"),
+      " ", idCol, textCol)
+
+  /** Generalized reassembly: `nParas` counts each document's windows (the
+    * fixed-window formula or a natural-split size), `joinSep` restores
+    * the document with the same separator the split used.
+    */
+  private def reassembleWith(df: DataFrame, kept: DataFrame,
+      nParas: org.apache.spark.sql.Column, joinSep: String,
       idCol: String, textCol: String): DataFrame = {
+    // installs the size(split)->graft_ntokens strength reduction for the
+    // fixed-window n_paras projection (no-op for natural separators)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rebuilt = kept.groupBy(idCol).agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("para")))),
-        x => x("para")), " ").as("text_out"))
-    df.select(col(idCol),
-        expr(s"(size(split($textCol, ' ')) - 1) div $words + 1")
-          .cast("long").as("n_paras"))
+        x => x("para")), joinSep).as("text_out"))
+    df.select(col(idCol), nParas.cast("long").as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_out"), lit("")).as(textCol),
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
@@ -221,17 +233,46 @@ object Pipeline {
     * content-keyed shuffle + one doc-keyed reassembly shuffle total.
     */
   def dedupParagraphs(df: DataFrame, words: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val paras = paragraphs(df, words, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    reassemble(df,
+      electKeepers(paragraphs(df, words, idCol, textCol), idCol),
+      words, idCol, textCol)
+
+  /** [[dedupParagraphs]] over the document's NATURAL paragraphs — the
+    * caller-supplied split (C4 splits on blank lines) rather than fixed
+    * token windows. Same keeper election and reassembly; documents are
+    * restored with the same separator. Consecutive separators yield empty
+    * paragraphs, which dedup like any other window (all but the corpus
+    * first disappear) — pre-clean with regexp_replace if that matters.
+    */
+  def dedupParagraphsNatural(df: DataFrame, sep: String = "\n\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    reassembleWith(df,
+      electKeepers(naturalParagraphs(df, sep, idCol, textCol), idCol),
+      size(split(col(textCol), java.util.regex.Pattern.quote(sep))),
+      sep, idCol, textCol)
+
+  /** Corpus-wide FIRST-occurrence election over a (id, idx, para) frame —
+    * groupBy + min(struct), deliberately not a window over the text key
+    * (a viral paragraph would buffer every copy on one partition).
+    */
+  private def electKeepers(paras: DataFrame, idCol: String): DataFrame = {
     val keepers = paras.groupBy("para")
       .agg(min(struct(col(idCol), col("idx"))).as("keep"))
-    val kept = paras.join(keepers, "para")
+    paras.join(keepers, "para")
       .where(col(s"keep.$idCol") === col(idCol) &&
         col("keep.idx") === col("idx"))
       .select(col(idCol), col("idx"), col("para"))
-    reassemble(df, kept, words, idCol, textCol)
   }
+
+  private def naturalParagraphs(df: DataFrame, sep: String,
+      idCol: String, textCol: String): DataFrame =
+    // literal (quoted) separator — split() takes a regex; localCheckpoint
+    // for the same self-join re-run reason as the fixed-window path
+    df.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos").as("idx"), col("col").as("para"))
+      .localCheckpoint(true)
 
   /** CCNet-style boilerplate removal: drop EVERY copy of a `words`-token
     * window whose exact text occurs in more than `maxDocs` distinct
@@ -249,11 +290,26 @@ object Pipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val paras = paragraphs(df, words, idCol, textCol)
+    reassemble(df, dropBoiler(paras, maxDocs, idCol), words, idCol, textCol)
+  }
+
+  /** [[removeBoilerplate]] over natural (caller-split) paragraphs — see
+    * [[dedupParagraphsNatural]] for the split/reassembly contract.
+    */
+  def removeBoilerplateNatural(df: DataFrame, maxDocs: Int,
+      sep: String = "\n\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    reassembleWith(df,
+      dropBoiler(naturalParagraphs(df, sep, idCol, textCol), maxDocs, idCol),
+      size(split(col(textCol), java.util.regex.Pattern.quote(sep))),
+      sep, idCol, textCol)
+
+  private def dropBoiler(paras: DataFrame, maxDocs: Int,
+      idCol: String): DataFrame = {
     val boiler = paras.groupBy("para")
       .agg(countDistinct(col(idCol)).as("df_docs"))
       .where(col("df_docs") > maxDocs).select("para")
-    reassemble(df, paras.join(boiler, Seq("para"), "left_anti"),
-      words, idCol, textCol)
+    paras.join(boiler, Seq("para"), "left_anti")
   }
 
   /** Token-budget sampling: keep a reproducible pseudo-random subset of

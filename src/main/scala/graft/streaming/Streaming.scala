@@ -113,6 +113,13 @@ object Streaming {
     * Set the provider once per session, before the query plan is built —
     * it also serves the window/session/dedup state stores fine, so one
     * session-wide provider keeps every stateful query on the same engine.
+    *
+    * RESTART CAVEAT: provider formats are not interchangeable. A stateful
+    * query whose checkpoint was written under the stock HDFS-backed
+    * provider cannot restore after this flips the session to RocksDB —
+    * restart such queries from a fresh checkpoint, or keep them in a
+    * separate session. New deployments are unaffected (the flip happens
+    * before any state exists).
     */
   private def ensureRocksDbStateStore(spark: SparkSession): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -331,7 +338,9 @@ object Streaming {
             if (compactEvery > 0 &&
                 sinceCompact.incrementAndGet() >= compactEvery) {
               sinceCompact.set(0)
-              store.compactStore()
+              // lenient: a maintenance-only rename failure must not fail
+              // the data micro-batch (recoverParts heals at next read)
+              store.compactStore(lenient = true)
             }
           }
           ()

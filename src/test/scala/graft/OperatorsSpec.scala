@@ -749,6 +749,103 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((0L, 0L))) // < k tokens: zero windows, not dropped
   }
 
+  test("duplicateSpans: 120-bit production lane ≡ 60-bit oracle lane on the gate corpus") {
+    // the oracle query keys on 60 bits (DuckDB-recomputable); production
+    // defaults to 120 bits so corpus-scale span counts can't birthday-
+    // collide. On the gate corpus both must agree exactly — this is the
+    // pin that lets the oracle row certify the production lane too.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def run(oracle: Boolean) =
+      graft.operators.Dedup.duplicateSpans(docs, k = 8, oracleHash = oracle)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(oracle = false) == run(oracle = true))
+  }
+
+  test("pipeline: natural-paragraph dedup and boilerplate split on the caller's separator") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val d = Seq(
+      (1L, "intro one\n\nshared para\n\nunique tail"),
+      (2L, "shared para\n\nanother body"),
+      (3L, "solo doc")).toDF("doc_id", "text")
+    // dedup: doc 1 owns the corpus-first "shared para"; doc 2 loses it
+    val dd = Pipeline.dedupParagraphsNatural(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(dd(1L) == (("intro one\n\nshared para\n\nunique tail", 3L, 3L)))
+    assert(dd(2L) == (("another body", 2L, 1L)))
+    assert(dd(3L) == (("solo doc", 1L, 1L)))
+    // boilerplate: "shared para" occurs in 2 docs > maxDocs=1 — every copy
+    // goes, including doc 1's
+    val bp = Pipeline.removeBoilerplateNatural(d, maxDocs = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(bp(1L) == (("intro one\n\nunique tail", 3L, 2L)))
+    assert(bp(2L) == (("another body", 2L, 1L)))
+    assert(bp(3L) == (("solo doc", 1L, 1L)))
+  }
+
+  test("multimodal: MJPEG-in-AVI frames extract and decode to real pixels") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    // hand-built 2-frame MJPEG AVI: RIFF('AVI ') { LIST('movi') {
+    // '00dc' jpeg(red), '00dc' jpeg(blue) } } — the LIST nesting and the
+    // word-aligned chunk walk are exactly what real muxers emit
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    val red = jpeg(0xff0000); val blue = jpeg(0x0000ff)
+    val movi = "movi".getBytes("US-ASCII") ++
+      chunk("00dc", red) ++ chunk("00dc", blue)
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    val avi = java.nio.ByteBuffer
+      .allocate(8 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body).array()
+
+    // parser: two frames, byte-identical to the muxed JPEGs, that decode
+    // through ImageIO to the right colors (lossy: mean luma tolerance)
+    val frames = Multimodal.parseAviFrames(avi).get
+    assert(frames.length == 2)
+    assert(frames(0).sameElements(red) && frames(1).sameElements(blue))
+    def luma(bytes: Array[Byte]): Double = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val rgb = img.getRGB(4, 4)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    }
+    assert(math.abs(luma(frames(0)) - 0.299 * 255) < 20) // red frame
+    assert(math.abs(luma(frames(1)) - 0.114 * 255) < 20) // blue frame
+    assert(Multimodal.parseAviFrames("not avi".getBytes("UTF-8")).isEmpty)
+
+    // sampleFrames: real frames ride the Dataset path in container order;
+    // non-AVI video bytes keep the stub slice lane
+    val meta = MediaMeta("video", 0, 0, 0, 2000L, "mjpeg")
+    val rows = Seq(MediaRow(1L, avi, meta),
+      MediaRow(2L, "plain text stand-in".getBytes("UTF-8"), meta)).toDS()
+    val sampled = Multimodal.sampleFrames(rows, everyMs = 1000L).collect()
+      .groupBy(_.media_id)
+    val real = sampled(1L).sortBy(_.frame_idx)
+    assert(real.length == 2)
+    assert(real(0).content.sameElements(red) &&
+      real(1).content.sameElements(blue))
+    assert(sampled(2L).length == 2 && sampled(2L).head.content.length <= 16)
+  }
+
   test("pipeline: boilerplate removal drops every copy past the doc-freq cap") {
     import spark.implicits._
     import graft.operators.Pipeline
