@@ -72,15 +72,27 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   /** Per-level ladder coverage (driver-side, in-memory): `ladderFrontier`
     * holds floor(U/g)·g for the max `until` U any unrestricted ladder run
     * has covered at level g — every bucket ending <= U is materialized or
-    * provably empty. `ladderPendingLo` is the earliest epoch second of
-    * data written since that run (appends AND cascade rewrites, which
-    * drop rollups from their window onward), i.e. data possibly behind
-    * the frontier. A fresh open knows nothing and runs every level once.
-    * DECLARED BEFORE `healDirtyStreams()` below: the open-time heal runs
-    * the cascade, which notes its rewrite windows here.
+    * provably empty. `ladderPendingLo`/`ladderPendingIds` record the
+    * earliest epoch second and the STREAMS of data written since that run
+    * (appends AND cascade rewrites, which drop rollups from their window
+    * onward), i.e. data possibly behind the frontier. Together with the
+    * catalog's per-stream extents these let each ladder run prune to the
+    * ACTIVE stream set — at 10⁶ streams with 10² appending, the fold
+    * scans and HWM scan are semi-joined down to the 10², never the store.
+    * A fresh open knows nothing and runs every level over every stream
+    * once. DECLARED BEFORE `healDirtyStreams()` below: the open-time heal
+    * runs the cascade, which notes its rewrite windows here.
     */
   private val ladderFrontier = scala.collection.mutable.Map.empty[String, Long]
   private val ladderPendingLo = scala.collection.mutable.Map.empty[String, Long]
+  private val ladderPendingIds =
+    scala.collection.mutable.Map.empty[String, Set[String]]
+  /** Derived streams' data extents (epoch sec), mirroring their coverage
+    * markers — lazily read once, then maintained by writeCoverage — so
+    * the ladder's active-set check never re-reads marker files per run.
+    */
+  private val derivedExtentCache =
+    scala.collection.mutable.Map.empty[String, Option[Long]]
   private def catalogDirty: Boolean = dirtyShards.nonEmpty
   private def markDirty(id: String): Unit = { dirtyShards += shardOf(id); () }
   private def markAllDirty(): Unit = { dirtyShards ++= (0 until catalogShards); () }
@@ -613,7 +625,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     if (writes.exists(unpersisted)) flush() else appendHwm(bounds)
     if (written > 0) {
       bounds.map(r => Math.floorDiv(r.getTimestamp(1).getTime, 1000L))
-        .sorted.headOption.foreach(noteDataWritten)
+        .sorted.headOption.foreach(lo => noteDataWritten(lo, ids))
       deriveDependents(ids.toSet, regions)
     } else if (affected.exists(d =>
         !ids.contains(d.stream_id) && staleDependent(d))) {
@@ -932,40 +944,60 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
     val isNumeric = ids.map(id => id -> (catalog(id).value_type == ValueType.Numeric)).toMap
 
-    // level skip (driver-only, unrestricted runs): a level can produce a
-    // new COMPLETED bucket only if `until` crossed its frontier boundary
-    // or data landed behind the frontier (historical insert, cold-start
-    // stream, or a cascade rewrite that dropped rollups) whose bucket
-    // completes by `until`. Everything else is a guaranteed-empty
-    // newBuckets filter — skip the level's scan and write jobs outright.
-    // Restricted runs (tags / filter_stream) never consult or advance the
-    // frontier: it describes whole-store coverage only.
+    // ACTIVE-SET pruning (driver-only, unrestricted runs): a stream can
+    // contribute a new COMPLETED bucket at level g only if
+    //  (a) data was written for it since the level's last run whose
+    //      bucket completes by `until` (pendingIds — appends, historical
+    //      inserts, cascade rewrites that dropped rollups), or
+    //  (b) its data extent (catalog latest_ts / derived coverage marker)
+    //      reaches into a completed bucket beyond the level's frontier.
+    // Everything else is a guaranteed-empty newBuckets filter, so it is
+    // pruned from the level's fold scans and the HWM scan outright — at
+    // 10⁶ streams with 10² appending, per-batch ladder work follows the
+    // ACTIVE set; a level with no active streams skips entirely.
+    // Restricted runs (tags / filter_stream) never consult or advance
+    // the frontier: it describes whole-store coverage only.
     val unrestricted = queryTags.isEmpty && (filterStream eq Datastream.AllStreams)
     val untilSec = Math.floorDiv(until.getTime, 1000L)
-    def levelCanAdvance(g: Granularity): Boolean =
-      !unrestricted || (ladderFrontier.get(g.name) match {
-        case None => true // no coverage knowledge for this level yet
+    def activeAt(g: Granularity): Seq[String] = {
+      val base = ids.filter(id => hgOf(id).seconds < g.seconds)
+      if (!unrestricted) return base
+      ladderFrontier.get(g.name) match {
+        case None => base // no coverage knowledge for this level yet
         case Some(f) =>
-          untilSec >= f + g.seconds ||
-            ladderPendingLo.get(g.name).exists(lo =>
-              Math.floorDiv(lo, g.seconds) * g.seconds + g.seconds <= untilSec)
-      })
-
-    val levels = Granularity.ladder.drop(1)
-      .filter(g => ids.exists(id => hgOf(id).seconds < g.seconds))
-      .filter(levelCanAdvance)
+          // pending writes count once their earliest bucket completes;
+          // un-refilled later buckets stay covered by the extent check
+          val pend: Set[String] =
+            if (ladderPendingLo.get(g.name).exists(lo =>
+                Math.floorDiv(lo, g.seconds) * g.seconds + g.seconds <= untilSec))
+              ladderPendingIds.getOrElse(g.name, Set.empty)
+            else Set.empty
+          base.filter { id =>
+            pend(id) || extentSec(id).exists { e =>
+              // end of the last bucket that both holds data and completes
+              // by `until`; beyond the frontier ⇒ not yet materialized
+              (math.min(Math.floorDiv(e, g.seconds),
+                Math.floorDiv(untilSec, g.seconds) - 1) + 1) * g.seconds > f
+            }
+          }
+      }
+    }
+    val needsAt: Map[String, Seq[String]] =
+      Granularity.ladder.drop(1).map(g => g.name -> activeAt(g)).toMap
+    val levels = Granularity.ladder.drop(1).filter(g => needsAt(g.name).nonEmpty)
 
     // ONE scan resolves every remaining level's per-stream high-water
     // marks (max materialized bucket) up front — granularity is a
-    // partition column, so this prunes exactly like the old per-level
-    // scans but pays the file-listing and scan job once per ladder run,
-    // not once per level. Levels whose partitions were never materialized
-    // cost nothing (driver directory probe).
+    // partition column and the union of active sets prunes stream_id, so
+    // this pays the file-listing and scan job once per ladder run, not
+    // once per level, and only over active streams. Levels whose
+    // partitions were never materialized cost nothing (directory probe).
     val scannable = levels.map(_.name).filter(granularityExists)
+    val scanIds = levels.flatMap(g => needsAt(g.name)).distinct
     val hwmByLevel: Map[String, Seq[(String, Timestamp)]] =
       if (scannable.isEmpty) Map.empty
       else filterToStreams(
-          datapoints.where(col("granularity").isin(scannable: _*)), ids)
+          datapoints.where(col("granularity").isin(scannable: _*)), scanIds)
         .groupBy("stream_id", "granularity").agg(max("t").as("hwm"))
         .collect().toSeq
         .groupBy(_.getString(1))
@@ -976,7 +1008,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // value type (numeric folds all 10 aggregates; nominal/graph fold count
     // + time downsamplers only — SURVEY §1.4)
     levels.foreach { g =>
-      val needs = ids.filter(id => hgOf(id).seconds < g.seconds)
+      val needs = needsAt(g.name)
       if (needs.nonEmpty) {
         val prev = Granularity.ladder(Granularity.ladder.indexOf(g) - 1)
         val (fromPartials, fromRaw) =
@@ -1057,22 +1089,39 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       }
       if (unrestricted) {
         // frontier: every bucket ending <= until is now materialized (or
-        // provably empty); pending behind-frontier data is folded in
+        // provably empty); pending behind-frontier data is folded in, and
+        // pending data in still-open buckets stays reachable through the
+        // extent check at the next boundary crossing
         ladderFrontier(g.name) = math.max(
           ladderFrontier.getOrElse(g.name, Long.MinValue),
           Math.floorDiv(untilSec, g.seconds) * g.seconds)
         ladderPendingLo.remove(g.name)
+        ladderPendingIds.remove(g.name)
         ()
       }
     }
     emitted.reduceOption(_.unionByName(_))
   }
 
-  private def noteDataWritten(loSec: Long): Unit =
+  private def noteDataWritten(loSec: Long, ids: Iterable[String]): Unit =
     Granularity.ladder.drop(1).foreach { g =>
       ladderPendingLo(g.name) =
         math.min(ladderPendingLo.getOrElse(g.name, Long.MaxValue), loSec)
+      ladderPendingIds(g.name) =
+        ladderPendingIds.getOrElse(g.name, Set.empty) ++ ids
     }
+
+  /** A stream's data extent in epoch seconds: catalog latest_ts for raw
+    * streams, the (cached) coverage marker for derived ones. None = no
+    * data known.
+    */
+  private def extentSec(id: String): Option[Long] = {
+    val d = catalog(id)
+    if (d.derive_op.isDefined)
+      derivedExtentCache.getOrElseUpdate(id,
+        readCoverage(id).map(t => Math.floorDiv(t.getTime, 1000L)))
+    else d.latest_ts.map(t => Math.floorDiv(t.getTime, 1000L))
+  }
 
   // ---- A11 backprocess + derive ---------------------------------------
 
@@ -1225,6 +1274,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       java.nio.file.Files.move(tmp.toPath, f.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      derivedExtentCache(id) = Some(Math.floorDiv(t.getTime, 1000L))
     }
 
   /** Drop a derived stream's (granularity, ymd) partition directories with
@@ -1570,10 +1620,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             // the rewrite dropped this stream's rollups from w onward —
             // the next ladder run must revisit every level whose buckets
             // from w complete, even if `until` crosses no new boundary
-            noteDataWritten(Math.floorDiv(w.getTime, 1000L))
+            noteDataWritten(Math.floorDiv(w.getTime, 1000L), Seq(d.stream_id))
           case None =>
             regions.remove(d.stream_id)
-            noteDataWritten(0L) // full rewrite: all history is "new"
+            // full rewrite: all history is "new"
+            noteDataWritten(0L, Seq(d.stream_id))
         }
       }
     }

@@ -420,6 +420,51 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump(inc) == dump(full))
   }
 
+  test("active-set ladder pruning: staggered multi-stream appends == all-at-once") {
+    import spark.implicits._
+    // three streams appending at DIFFERENT times + one cold stream whose
+    // late append carries historical (behind-frontier) timestamps — the
+    // per-stream active-set pruning must still materialize exactly what
+    // an all-at-once store does, including the pendingIds lane for the
+    // historical insert and the extent lane for still-open buckets
+    val inc = freshDs()
+    val names = Seq("act-a", "act-b", "act-c", "act-cold")
+    val ids = names.map(n => n -> inc.ensureStream(Map("name" -> n))).toMap
+    def rows(id: String, day: String, hours: Range, base: Double) =
+      hours.map(h => (id, ts(f"2024-02-0$day $h%02d:15:00"), base + h))
+    val a1 = rows(ids("act-a"), "1", 0 until 10, 0.0)
+    val b1 = rows(ids("act-b"), "1", 0 until 6, 100.0)
+    val c1 = rows(ids("act-c"), "1", 0 until 3, 200.0)
+    val a2 = rows(ids("act-a"), "2", 0 until 8, 50.0)
+    val cold = rows(ids("act-cold"), "1", 2 until 5, 900.0) // historical
+    inc.appendMultiple((a1 ++ b1 ++ c1).toDF("stream_id", "t", "v"))
+    inc.downsampleStreams(ts("2024-02-01 07:00:00"))
+    // only stream a appends next (b and c must be pruned, not corrupted)
+    inc.appendMultiple(a2.toDF("stream_id", "t", "v"), checkTimestamp = false)
+    inc.downsampleStreams(ts("2024-02-02 05:00:00"))
+    // cold stream lands entirely BEHIND the ladder frontier
+    inc.appendMultiple(cold.toDF("stream_id", "t", "v"), checkTimestamp = false)
+    inc.downsampleStreams(ts("2024-02-02 06:00:00"))
+    // boundary crossing with no new data: extent lane only
+    inc.downsampleStreams(ts("2024-02-03 00:00:00"))
+
+    val full = freshDs()
+    val fids = names.map(n => n -> full.ensureStream(Map("name" -> n))).toMap
+    val remap = ids.map { case (n, id) => id -> fids(n) }
+    full.appendMultiple((a1 ++ b1 ++ c1 ++ a2 ++ cold)
+      .map { case (id, t, v) => (remap(id), t, v) }
+      .toDF("stream_id", "t", "v"), checkTimestamp = false)
+    full.downsampleStreams(ts("2024-02-03 00:00:00"))
+
+    def dump(ds: graft.core.Datastream, m: Map[String, String]) =
+      m.toSeq.flatMap { case (n, id) => ds.datapoints
+        .where(col("stream_id") === id)
+        .select("granularity", "t", "v_num", "c", "s", "l", "u")
+        .collect().map(r => (n, r.toSeq)) }.toSet
+    assert(dump(inc, ids) == dump(full, fids))
+    assert(dump(inc, ids).exists(_._2.head == "days"), "ladder reached days")
+  }
+
   test("incremental derive on append == full recompute, all four ops") {
     import spark.implicits._
     // one store driven by staged appends (incremental cascade), compared
