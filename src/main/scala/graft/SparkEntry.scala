@@ -1291,10 +1291,10 @@ object SparkEntry {
       // per doc, how many of its 8-token windows occur anywhere else in
       // the corpus — catches duplicated passages that the aligned
       // paragraph windows of pipe_dedup_paragraphs shift right past.
-      // oracleHash: the 60-bit lane DuckDB can recompute in SQL; the
-      // DEFAULT 120-bit production lane is pinned ≡ to it on this corpus
-      // by OperatorsSpec (so the oracle row certifies both)
-      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 8, oracleHash = true)
+      // The DEFAULT 120-bit production lane runs UNDER THE ORACLE (DuckDB
+      // recomputes both md5 halves); the 60-bit oracleHash lane is pinned
+      // ≡ to it on this corpus by OperatorsSpec
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 8)
         .orderBy("doc_id")
     },
 
@@ -1425,6 +1425,19 @@ object SparkEntry {
       // window seen in more than 3 distinct docs, reassemble
       graft.operators.Pipeline.removeBoilerplate(
           tbl(s, dir, "documents"), words = 3, maxDocs = 3)
+        .orderBy("doc_id")
+    },
+
+    "pipe_paragraphs_natural" -> { (s, dir) =>
+      // the NATURAL-separator paragraph lane under the oracle: the corpus
+      // has no newline structure, so both engines first inject identical
+      // paragraph breaks (literal replace of a common token boundary —
+      // replace() scans left-to-right non-overlapping in both), then
+      // C4-dedup on the '\n\n' split: caller-split paragraphs, corpus-
+      // first election, same-separator reassembly
+      val docs = tbl(s, dir, "documents")
+        .withColumn("text", replace(col("text"), lit(" the "), lit("\n\n")))
+      graft.operators.Pipeline.dedupParagraphsNatural(docs)
         .orderBy("doc_id")
     },
 
@@ -2227,12 +2240,13 @@ object SparkEntry {
         |sp AS (SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS i, w
         |  FROM d WHERE len(w) >= 8),
         |hs AS (SELECT doc_id,
-        |    ('0x' || substring(md5(array_to_string(w[i : i + 7], ' ')), 1, 15))::BIGINT AS h
+        |    ('0x' || substring(md5(array_to_string(w[i : i + 7], ' ')), 1, 15))::BIGINT AS h,
+        |    ('0x' || substring(md5(array_to_string(w[i : i + 7], ' ')), 16, 15))::BIGINT AS h2
         |  FROM sp),
-        |c AS (SELECT h, count(*) AS cnt FROM hs GROUP BY h),
+        |c AS (SELECT h, h2, count(*) AS cnt FROM hs GROUP BY h, h2),
         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-        |  FROM hs JOIN c USING (h) GROUP BY doc_id)
+        |  FROM hs JOIN c USING (h, h2) GROUP BY doc_id)
         |SELECT d2.doc_id, coalesce(r.n_spans, 0) AS n_spans,
         |  coalesce(r.n_dup_spans, 0) AS n_dup_spans
         |FROM documents d2 LEFT JOIN r USING (doc_id)
@@ -2850,6 +2864,24 @@ object SparkEntry {
         |  (len(string_split(d2.text, ' ')) - 1) // 3 + 1 AS n_paras,
         |  coalesce(r.n_kept, 0) AS n_kept
         |FROM documents d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_paragraphs_natural" ->
+      """WITH d AS (SELECT doc_id,
+        |    replace(text, ' the ', e'\n\n') AS text FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, e'\n\n') AS ps FROM d),
+        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, ps[i] AS para
+        |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+        |        FROM sp)),
+        |k AS (SELECT doc_id, idx, para, row_number()
+        |    OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(para, e'\n\n' ORDER BY idx) AS text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text, '') AS text,
+        |  CAST(len(string_split(d2.text, e'\n\n')) AS BIGINT) AS n_paras,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM d d2 LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "pipe_boilerplate" ->

@@ -84,9 +84,9 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * runs the cascade, which notes its rewrite windows here.
     */
   private val ladderFrontier = scala.collection.mutable.Map.empty[String, Long]
-  private val ladderPendingLo = scala.collection.mutable.Map.empty[String, Long]
-  private val ladderPendingIds =
-    scala.collection.mutable.Map.empty[String, Set[String]]
+  /** level -> (stream id -> earliest unmaterialized epoch sec). */
+  private val ladderPending =
+    scala.collection.mutable.Map.empty[String, Map[String, Long]]
   /** Derived streams' data extents (epoch sec), mirroring their coverage
     * markers — lazily read once, then maintained by writeCoverage — so
     * the ladder's active-set check never re-reads marker files per run.
@@ -965,15 +965,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       ladderFrontier.get(g.name) match {
         case None => base // no coverage knowledge for this level yet
         case Some(f) =>
-          // pending writes count once their earliest bucket completes;
-          // un-refilled later buckets stay covered by the extent check
-          val pend: Set[String] =
-            if (ladderPendingLo.get(g.name).exists(lo =>
-                Math.floorDiv(lo, g.seconds) * g.seconds + g.seconds <= untilSec))
-              ladderPendingIds.getOrElse(g.name, Set.empty)
-            else Set.empty
+          // a pending write counts once ITS earliest bucket completes
+          // (per-stream gate — the pending map survives runs that leave a
+          // stream's tail bucket open, see the post-run retention below)
+          val pend = ladderPending.getOrElse(g.name, Map.empty)
           base.filter { id =>
-            pend(id) || extentSec(id).exists { e =>
+            pend.get(id).exists(lo =>
+              Math.floorDiv(lo, g.seconds) * g.seconds + g.seconds <= untilSec) ||
+            extentSec(id).exists { e =>
               // end of the last bucket that both holds data and completes
               // by `until`; beyond the frontier ⇒ not yet materialized
               (math.min(Math.floorDiv(e, g.seconds),
@@ -1089,14 +1088,24 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       }
       if (unrestricted) {
         // frontier: every bucket ending <= until is now materialized (or
-        // provably empty); pending behind-frontier data is folded in, and
-        // pending data in still-open buckets stays reachable through the
-        // extent check at the next boundary crossing
+        // provably empty)
         ladderFrontier(g.name) = math.max(
           ladderFrontier.getOrElse(g.name, Long.MinValue),
           Math.floorDiv(untilSec, g.seconds) * g.seconds)
-        ladderPendingLo.remove(g.name)
-        ladderPendingIds.remove(g.name)
+        // pending retention: a stream whose data reaches into the bucket
+        // still OPEN at this until keeps its entry (advanced to the open
+        // bucket's start) — with a frontier parked AHEAD of event time
+        // (a wall-clock `downsampleStreams()` on a past-data store), the
+        // extent check can't re-discover it, so dropping it here would
+        // strand that final bucket forever once it completes
+        val openStart = Math.floorDiv(untilSec, g.seconds) * g.seconds
+        ladderPending(g.name) = ladderPending.getOrElse(g.name, Map.empty)
+          .flatMap { case (id, lo) =>
+            if (!catalog.contains(id)) None
+            else if (extentSec(id).exists(_ >= openStart))
+              Some(id -> math.max(lo, openStart))
+            else None
+          }
         ()
       }
     }
@@ -1105,10 +1114,9 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   private def noteDataWritten(loSec: Long, ids: Iterable[String]): Unit =
     Granularity.ladder.drop(1).foreach { g =>
-      ladderPendingLo(g.name) =
-        math.min(ladderPendingLo.getOrElse(g.name, Long.MaxValue), loSec)
-      ladderPendingIds(g.name) =
-        ladderPendingIds.getOrElse(g.name, Set.empty) ++ ids
+      val cur = ladderPending.getOrElse(g.name, Map.empty)
+      ladderPending(g.name) = cur ++ ids.map(id =>
+        id -> math.min(cur.getOrElse(id, Long.MaxValue), loSec))
     }
 
   /** A stream's data extent in epoch seconds: catalog latest_ts for raw

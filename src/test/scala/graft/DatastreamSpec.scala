@@ -465,6 +465,37 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump(inc, ids).exists(_._2.head == "days"), "ladder reached days")
   }
 
+  test("wall-clock ladder run does not strand a later event-time stream's final bucket") {
+    import spark.implicits._
+    // a reference-parity caller runs downsample_streams() (until = NOW,
+    // far ahead of event time) and parks every level frontier in the
+    // future; a stream ingested afterwards with historical timestamps
+    // must still materialize its LAST bucket once an event-time until
+    // crosses that bucket's end — the per-stream pending retention lane
+    val inc = freshDs()
+    val warm = inc.ensureStream(Map("name" -> "warm"))
+    inc.appendMultiple(Seq((warm, ts("2024-03-01 00:00:30"), 1.0))
+      .toDF("stream_id", "t", "v"))
+    inc.downsampleStreams() // until = wall now: frontiers jump to 2026+
+    val s = inc.ensureStream(Map("name" -> "hist"))
+    val s2 = inc.ensureStream(Map("name" -> "hist2"))
+    // s2's 09:00 hour bucket COMPLETES by the first event-time until, so
+    // the hour level genuinely runs (and, pre-fix, cleared the whole
+    // pending set) while s's 10:00 bucket is still open — the exact
+    // stranding window
+    val pts = Seq(15, 30, 45).map(m => (s, ts(f"2024-03-01 10:$m%02d:00"), m.toDouble)) :+
+      ((s2, ts("2024-03-01 09:30:00"), 5.0))
+    inc.appendMultiple(pts.toDF("stream_id", "t", "v"))
+    inc.downsampleStreams(ts("2024-03-01 10:59:00")) // s's hour bucket open
+    inc.downsampleStreams(ts("2024-03-01 11:05:00")) // now it completes
+    val hourRows = inc.datapoints
+      .where(col("stream_id") === s && col("granularity") === "hours")
+      .select("t", "c", "s").collect()
+    assert(hourRows.map(_.getTimestamp(0)).toSeq == Seq(ts("2024-03-01 10:00:00")),
+      s"hour bucket must materialize after the crossing, got ${hourRows.toSeq}")
+    assert(hourRows.head.getLong(1) == 3 && hourRows.head.getDouble(2) == 90.0)
+  }
+
   test("incremental derive on append == full recompute, all four ops") {
     import spark.implicits._
     // one store driven by staged appends (incremental cascade), compared
