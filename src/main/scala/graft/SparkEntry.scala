@@ -26,19 +26,37 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet holds INT64 TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively — pin the schema to read nanos as long, then surface a
-    * proper micros timestamp. Works under any SparkSession (no legacy
-    * config needed), so the driver's own session can call entry().
+  /** events.parquet's ts encoding has varied across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false). Sniff
+    * the footer via schema inference: a timestamp-typed ts reads natively
+    * (NTZ cast to LTZ under the UTC session TZ, matching DuckDB's
+    * naive-as-UTC epoch()); anything else takes the pinned long-read
+    * nanos path. Output schema is identical either way.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    s.read.schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val inferredTs =
+      try Some(s.read.parquet(path).schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
+    inferredTs match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        s.read.parquet(path).select(
+          col("event_id").cast(LongType),
+          col("ts").cast(TimestampType).as("ts"),
+          col("user_id").cast(LongType),
+          col("event_type").cast(StringType),
+          col("value").cast(DoubleType),
+          col("props").cast(StringType))
+      case _ =>
+        s.read.schema(StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType))))
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** The dedup fixtures' injected near-duplicates (FIXTURES §2): each doc
