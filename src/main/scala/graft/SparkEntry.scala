@@ -1285,6 +1285,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "emb_semdedup" -> { (s, dir) =>
+      // SemDeDup: stride-sampled coarse cells (centroids from the BASE
+      // corpus, ids = sampled vec_ids) + intra-cell cosine collapse at
+      // tau=0.95; the only >=tau pairs are the injected +100000 variants
+      // (cosine >= 0.9987; organic max cross-sim ~0.51)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val all = withInjectedEmbVariants(e)
+      val cents = Similarity.strideCentroids(e, 50)
+      Similarity.semDedup(all, cents, 0.95)
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       // exact word-3gram Jaccard over all pairs of the first 50 docs plus
       // injected variants of the first 10 (corpus has no real near-dups in
@@ -2129,6 +2144,37 @@ object SparkEntry {
         |  FROM a x, a y WHERE x.vec_id < y.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim > 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup brute-force recomputation: same stride centroids (BASE
+    // corpus vec_id % 50 = 0, ids = the sampled vec_ids), argmax-cosine
+    // assignment with ties to the lowest centroid id, then keeper =
+    // smallest same-cell vec_id within tau. arg_min(sim, o_id) mirrors
+    // Spark's min(struct(o_id, sim)).
+    "emb_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |asg AS (SELECT vec_id, emb, cell FROM (
+        |    SELECT x.vec_id, x.emb, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.emb, c.cemb)
+        |          / (sqrt(list_dot_product(x.emb, x.emb))
+        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM a x, cents c) WHERE rn = 1),
+        |pairs AS (SELECT y.vec_id, x.vec_id AS o_id,
+        |    list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb))
+        |         * sqrt(list_dot_product(y.emb, y.emb))) AS sim
+        |  FROM asg x, asg y WHERE x.cell = y.cell AND x.vec_id < y.vec_id),
+        |d AS (SELECT vec_id, min(o_id) AS dup_of,
+        |    round(arg_min(sim, o_id), 6) AS sim
+        |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
+        |SELECT g.vec_id, g.cell, d.dup_of, d.sim
+        |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
 
     "dedup_minhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

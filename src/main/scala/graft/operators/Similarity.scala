@@ -297,6 +297,52 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
+    * corpus scale: coarse-cluster every vector with the IVF quantizer
+    * (argmax-cosine cell over metadata-scale centroids — the same
+    * zero-shuffle codegen projection as [[ivfTopKWith]]'s assignment,
+    * ties to the lowest centroid id), then collapse near-identical
+    * vectors WITHIN each cell: a vector is a semantic duplicate iff some
+    * smaller-vec_id vector in its cell has cosine >= tau, and its keeper
+    * (`dup_of`) is the smallest such id — the paper's "keep one per
+    * epsilon-ball" rule made deterministic and oracle-reproducible.
+    * The intra-cell scan is an equi-join on cell — one shuffle of
+    * (cell, id, emb, norm) rows, never an all-pairs corpus join; pair
+    * work is quadratic only in cell size, which the paper's regime keeps
+    * ~N/K bounded by scaling K with the corpus. Output: every corpus
+    * vector as (vec_id, cell, dup_of, sim); dup_of/sim are null for
+    * keepers, so survivors = `dup_of IS NULL`.
+    */
+  def semDedup(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
+      tau: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centNorms = cents.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
+    val n = withNorm(corpus, "emb", "norm")
+    val simCols = cents.indices.map { i =>
+      call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
+        (col("norm") * lit(centNorms(i)))
+    }
+    // materialize the assignment once: the intra-cell self-join below
+    // would otherwise re-run the K centroid dots per join side
+    val assigned = n.withColumn("cell",
+        element_at(typedLit(cents.map(_._1).toSeq),
+          array_position(array(simCols: _*),
+            array_max(array(simCols: _*))).cast("int")))
+      .select(col("vec_id"), col("emb"), col("norm"), col("cell"))
+      .localCheckpoint(true)
+    val smaller = assigned.select(col("cell"), col("vec_id").as("o_id"),
+      col("emb").as("o_emb"), col("norm").as("o_norm"))
+    val dupOf = assigned.join(smaller, Seq("cell"))
+      .where(col("o_id") < col("vec_id"))
+      .withColumn("sim", dot("emb", "o_emb") / (col("norm") * col("o_norm")))
+      .where(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(min(struct(col("o_id"), col("sim"))).as("k"))
+      .select(col("vec_id"), col("k.o_id").as("dup_of"), col("k.sim").as("sim"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+  }
+
   /** ANN cosine top-k via LSH buckets: exact rerank inside each bucket —
     * the join is an equi-join on bucket (one shuffle), never all-pairs.
     */

@@ -239,6 +239,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semDedup collapses exactly the same-cell injected variants on EVERY gate corpus (pins emb_semdedup oracle)") {
+    // On the gate recipe the only >=tau pairs are variant↔original
+    // (cosine >= 0.9987; organic max cross-sim ~0.51), so SemDeDup's dup
+    // set must be exactly the injected variants that share a coarse cell
+    // with their original — a variant whose +0.05 shift flips a close
+    // centroid argmax is a genuine cluster-boundary miss (the paper's
+    // known recall gap) and must surface as a keeper, never as a dup of
+    // anything else. Deterministic corpus × deterministic stride
+    // centroids ⇒ a green run is stable, not a coin flip. This is the
+    // semantic pin behind the emb_semdedup gate query.
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/embeddings.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      val e = spark.read.parquet(path)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val all = SparkEntry.withInjectedEmbVariants(e)
+      val cents = Similarity.strideCentroids(e, 50)
+      val out = Similarity.semDedup(all, cents, 0.95)
+        .select("vec_id", "cell", "dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      val variants = out.filter(_._1 >= 100000)
+      assert(variants.size == 20, s"$path: expected 20 injected variants")
+      var sameCell = 0
+      variants.foreach { case (id, (cell, dupOf)) =>
+        if (cell == out(id - 100000)._1) {
+          sameCell += 1
+          assert(dupOf.contains(id - 100000),
+            s"$path: same-cell variant $id should collapse onto ${id - 100000}, got $dupOf")
+        } else
+          assert(dupOf.isEmpty,
+            s"$path: cross-cell variant $id wrongly marked dup of $dupOf")
+      }
+      // the recipe would be vacuous if boundary flips swallowed the dup set
+      assert(sameCell >= 15, s"$path: only $sameCell/20 variants share cells")
+      val organicDups = out.filter { case (id, (_, d)) => id < 100000 && d.isDefined }
+      assert(organicDups.isEmpty,
+        s"$path: organic vectors wrongly marked dup: ${organicDups.take(5)}")
+    }
+  }
+
   test("connectedComponents == driver union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {
