@@ -1285,6 +1285,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_stream_near" -> { (s, dir) =>
+      // STREAMING near-dedup under the oracle: the gate corpus replayed
+      // doc_id-ordered through Streaming.dedupNear in three micro-batches,
+      // then the final batch RE-SENT (at-least-once at the data level —
+      // every re-sent doc is an exact dup of its first arrival, so the
+      // survivor set must not change). First-arrival-wins + id-ordered
+      // arrival ⇒ survivors equal the batch rule "drop every doc_b of a
+      // qualifying (doc_a < doc_b) pair", which the oracle recomputes by
+      // exact all-pairs Jaccard.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-neardedup-q").toString
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      val rows = corpus.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF.toDF("doc_id", "text")
+        val q = graft.streaming.Streaming
+          .dedupNear(src, s"$work/state", s"$work/out", threshold = 0.3)
+          .option("checkpointLocation", s"$work/ckpt").start()
+        try {
+          val (b1, rest) = rows.splitAt(rows.length / 3)
+          val (b2, b3) = rest.splitAt(rest.length / 2)
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // re-sent data
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$work/out").select("doc_id").orderBy("doc_id")
+    },
+
     "emb_semdedup" -> { (s, dir) =>
       // SemDeDup: stride-sampled coarse cells (centroids from the BASE
       // corpus, ids = sampled vec_ids) + intra-cell cosine collapse at
@@ -2144,6 +2182,28 @@ object SparkEntry {
         |  FROM a x, a y WHERE x.vec_id < y.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim > 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // streaming near-dedup survivors, recomputed batch-style: with
+    // id-ordered arrival, first-arrival-wins ≡ "drop every doc_b of a
+    // qualifying (doc_a < doc_b) pair" at exact Jaccard >= 0.3 (banding
+    // recall is total on the gate corpus — OperatorsSpec pin)
+    "dedup_stream_near" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |dups AS (SELECT DISTINCT b.doc_id
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3)
+        |SELECT d.doc_id FROM docs d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // SemDeDup brute-force recomputation: same stride centroids (BASE
     // corpus vec_id % 50 = 0, ids = the sampled vec_ids), argmax-cosine

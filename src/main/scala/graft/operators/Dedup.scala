@@ -172,20 +172,50 @@ object Dedup {
   def incrementalNearDuplicates(corpus: DataFrame, batch: DataFrame,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalNearDuplicatesPrebanded(corpus,
+      bandTable(corpus, n, numHashes, bands, idCol, textCol),
+      batch, n, numHashes, bands, threshold, idCol, textCol)
+
+  /** The LSH band table (doc_id, band, bh) of a document set — the
+    * persistent index a steady-state ingest maintains: computed once per
+    * accepted batch, appended, and handed back to
+    * [[incrementalNearDuplicatesPrebanded]] so the corpus is never
+    * re-sketched. Fixed-size rows (3 longs), independent of text length.
+    */
+  def bandTable(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
-    def banded(docs: DataFrame): DataFrame = docs
+    docs
       .select(col(idCol).as("doc_id"),
         expr(s"graft_minhash(graft_ngrams($textCol, $n), $numHashes)").as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("doc_id", "band", "bh")
-    // corpus side: one sketch pass (precomputed in production); batch
-    // side checkpointed because it feeds the join probe AND the verify
-    val cb = banded(corpus).localCheckpoint(true)
-    val bb = banded(batch).localCheckpoint(true)
+  }
+
+  /** [[incrementalNearDuplicates]] with the corpus's band table supplied
+    * instead of re-derived — the true 100 TB steady state: per batch, the
+    * corpus contributes only its (pre-materialized) band index to the
+    * candidate equi-join plus the text of the few candidate hits to the
+    * verify stage; corpus text is never re-scanned wholesale.
+    */
+  def incrementalNearDuplicatesPrebanded(corpus: DataFrame,
+      corpusBands: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // batch side checkpointed because it feeds the join probe AND the
+    // verify; the corpus band table is the caller's (usually already on
+    // disk or checkpointed)
+    val cb = corpusBands
+    val bb = bandTable(batch, n, numHashes, bands, idCol, textCol)
+      .localCheckpoint(true)
     val cand = bb.as("b")
       .join(cb.as("c"),
         col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))

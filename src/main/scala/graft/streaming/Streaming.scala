@@ -399,4 +399,80 @@ object Streaming {
     docs.withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming NEAR-dup dedup (MinHash+LSH) — the in-flight variant of
+    * [[graft.operators.Dedup.incrementalNearDuplicatesPrebanded]], with
+    * first-arrival-wins keeper election. A document is a duplicate iff it
+    * verifies (banding candidate + exact shingle Jaccard >= threshold)
+    * against ANY document seen earlier: a prior micro-batch's doc (dup or
+    * not — every seen doc indexes, so A~B~C chains with A≁C collapse the
+    * same way regardless of how batches split) or a smaller-id doc of its
+    * own batch. Survivors land in `outDir`; the state under `stateDir` is
+    * the seen-document store (`docs/`, the ingest corpus itself) plus the
+    * LSH band index (`bands/`, 3 longs per (doc, band) — sketch-scale).
+    *
+    * Scale design: per batch, the corpus contributes only its band index
+    * partitions to the candidate equi-join and the text of candidate hits
+    * to the verify semi-join — corpus text is never re-scanned wholesale,
+    * so per-batch work is O(|batch| + candidates), the steady-state 100 TB
+    * ingest shape. All three sinks partition by batch_id with dynamic
+    * overwrite, and state reads filter `batch_id < current`, so an
+    * at-least-once re-delivery recomputes identical survivors and replaces
+    * its own partitions — idempotent end to end.
+    *
+    * Determinism note: results are arrival-order dependent by design
+    * (first arrival wins). When arrival order is doc_id order, the
+    * survivor set equals the batch rule "drop every doc_b of a qualifying
+    * (doc_a < doc_b) pair" regardless of batch boundaries — the
+    * batch≡streaming equivalence StreamingSpec pins and the
+    * dedup_stream_near oracle recomputes.
+    */
+  def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("batch_id", LongType)))
+    val bandSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("bh", LongType), StructField("batch_id", LongType)))
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // the batch feeds four consumers (band sketch, within-batch pairs,
+        // verify, state/survivor writes) — truncate lineage once
+        val b = batch.select(col("doc_id").cast("long"), col("text"))
+          .localCheckpoint(true)
+        def readState(sub: String, schema: StructType): DataFrame =
+          if (new java.io.File(s"$stateDir/$sub").exists())
+            s.read.schema(schema).parquet(s"$stateDir/$sub")
+              .where(col("batch_id") < batchId) // re-delivery: self invisible
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        val seen = readState("docs", docSchema).select("doc_id", "text")
+        val seenBands = readState("bands", bandSchema)
+          .select("doc_id", "band", "bh")
+        // within-batch: doc_b of any verified smaller-id pair is a dup
+        val within = Dedup.nearDuplicates(b, n, numHashes, bands, threshold)
+          .select(col("doc_b").as("doc_id"))
+        // cross-batch: batch vs the prebanded seen corpus
+        val cross = Dedup.incrementalNearDuplicatesPrebanded(
+          seen, seenBands, b, n, numHashes, bands, threshold)
+          .select("doc_id")
+        val dups = within.union(cross).distinct()
+        val survivors = b.join(dups, Seq("doc_id"), "left_anti")
+        def sink(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId)).write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite").parquet(dir)
+        sink(survivors, outDir)
+        // state indexes EVERY seen doc (dups included): chains must
+        // collapse batch-split-independently
+        sink(b, s"$stateDir/docs")
+        sink(Dedup.bandTable(b, n, numHashes, bands), s"$stateDir/bands")
+      }
+  }
 }

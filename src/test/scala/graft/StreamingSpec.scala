@@ -439,6 +439,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(1)).sorted.toSeq == (1 to 6).map(_.toDouble))
   }
 
+  test("streaming near-dedup == batch rule, split-invariant, chains collapse across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // hand-built jaccards (3-gram shingles): a~b = 10/11 ≈ 0.909,
+    // b~c = 10/12 ≈ 0.833, a~c = 9/12 = 0.75 — at threshold 0.8 the
+    // qualifying pairs are exactly (a,b) and (b,c): an a~b~c chain whose
+    // ends do NOT match each other
+    val toks = (1 to 12).map(i => s"t$i")
+    val a = toks.mkString(" ")
+    val b = (toks :+ "x").mkString(" ")
+    val c = (("y" +: toks.tail) :+ "x").mkString(" ")
+    val d = (1 to 12).map(i => s"u$i").mkString(" ")
+    val e = (1 to 12).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e))
+
+    val pairs = graft.operators.Dedup.nearDuplicates(
+      docs.toDF("doc_id", "text"), threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture drifted: $pairs")
+    // batch rule: every doc_b of a qualifying pair drops -> {2, 3}; doc 3
+    // drops even though its only match (2) is itself a dup
+    val expected = Set(1L, 4L, 5L)
+
+    def run(splits: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-neardedup-spec").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.dedupNear(mem.toDF.toDF("doc_id", "text"),
+          s"$work/state", s"$work/out", threshold = 0.8)
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try splits.foreach { bd => mem.addData(bd); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(s"$work/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(run(Seq(docs)) == expected, "single-batch replay")
+    // the chain splits across three batches: 2 must die within-batch
+    // against 1, and 3 must die against the ALREADY-DEAD 2 in state —
+    // proving dups index too (split-invariance); the re-sent final batch
+    // is all exact dups of its first arrival, so no new survivors
+    val split3 = Seq(docs.take(2), Seq(docs(2)), docs.drop(3),
+      docs.drop(3))
+    assert(run(split3) == expected, "3-batch + re-sent replay")
+  }
+
   test("streaming exact dedup keeps first arrival per content hash") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -15,7 +15,8 @@ import duckdb
 # embeddings x embeddings with no pre-limit) — O(n^2) list_intersect /
 # dot-product work in DuckDB. dedup_ngram_jaccard (doc_id<50),
 # dedup_survivors (<200) and dedup_incremental (batch x corpus) stay in.
-QUADRATIC = {"dedup_minhash", "dedup_simhash", "dedup_clusters",
+QUADRATIC = {"dedup_stream_near",
+             "dedup_minhash", "dedup_simhash", "dedup_clusters",
              "dedup_embedding", "emb_near_pairs", "emb_clusters"}
 
 argv = sys.argv[1:]
