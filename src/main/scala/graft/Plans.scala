@@ -29,7 +29,8 @@ object Plans {
         "dedup_incremental", "pipe_profile_numeric", "pipe_chunk_documents",
         "emb_near_pairs", "dedup_embedding", "store_nested_tags",
         "mm_pipeline", "q_zorder_key", "pipe_dedup_paragraphs",
-        "pipe_boilerplate", "dedup_spans", "pipe_paragraphs_natural")
+        "pipe_boilerplate", "dedup_spans", "pipe_paragraphs_natural",
+        "emb_semdedup")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -34,12 +34,18 @@ object SparkEntry {
     * naive-as-UTC epoch()); anything else takes the pinned long-read
     * nanos path. Output schema is identical either way.
     */
+  // per-path sniff cache: 100+ gate queries read the same file, no need
+  // to re-infer the footer each time (testdata is read-only)
+  private val eventsTsType =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Option[org.apache.spark.sql.types.DataType]]()
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = s"$dir/events.parquet"
-    val inferredTs =
-      try Some(s.read.parquet(path).schema("ts").dataType)
-      catch { case scala.util.control.NonFatal(_) => None }
+    val inferredTs = eventsTsType.computeIfAbsent(path, p =>
+      try Some(s.read.parquet(p).schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None })
     inferredTs match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
         s.read.parquet(path).select(

@@ -204,6 +204,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("semDedup plans cell equi-joins — never a cartesian, assignment stays codegen") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the intra-cell pair scan must be a key equi-join on cell and the
+    // keeper join an equi-join on vec_id; a BroadcastNestedLoop or
+    // CartesianProduct would mean the all-pairs scan crept in — at corpus
+    // scale SemDeDup's whole point is that only same-cell pairs meet
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("emb_semdedup")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"emb_semdedup plans a pair scan:\n$p")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findAllIn(p).nonEmpty, s"emb_semdedup lost its equi-joins:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("nested-tag json-path stream lookup") {
     val store = new graft.core.Datastream(spark,
       java.nio.file.Files.createTempDirectory("graft-nested").toString)
