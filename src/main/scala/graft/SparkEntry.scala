@@ -1344,6 +1344,25 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "emb_semdedup_incr" -> { (s, dir) =>
+      // incremental SemDeDup: the 20 injected variants arrive as a batch
+      // against the BASE corpus's pre-assigned cell index; a variant
+      // whose +0.05 shift keeps it in its original's cell collapses onto
+      // it, a cell-boundary flip surfaces as a keeper
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val batch = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) + 0.05),
+          expr("slice(emb, 2, 63)")).as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      val idx = Similarity.assignCells(e, cents).localCheckpoint(true)
+      Similarity.semDedupIncremental(idx, batch, cents, 0.95)
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       // exact word-3gram Jaccard over all pairs of the first 50 docs plus
       // injected variants of the first 10 (corpus has no real near-dups in
@@ -2240,6 +2259,42 @@ object SparkEntry {
         |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
         |SELECT g.vec_id, g.cell, d.dup_of, d.sim
         |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // incremental SemDeDup: variants-vs-base with the same centroid/
+    // assignment rules as emb_semdedup; batch vector dups iff a same-cell
+    // BASE vector is within tau
+    "emb_semdedup_incr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |asgc AS (SELECT vec_id, emb, cell FROM (
+        |    SELECT x.vec_id, x.emb, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.emb, c.cemb)
+        |          / (sqrt(list_dot_product(x.emb, x.emb))
+        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e x, cents c) WHERE rn = 1),
+        |asgb AS (SELECT vec_id, emb, cell FROM (
+        |    SELECT x.vec_id, x.emb, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.emb, c.cemb)
+        |          / (sqrt(list_dot_product(x.emb, x.emb))
+        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM v x, cents c) WHERE rn = 1),
+        |pairs AS (SELECT b.vec_id, o.vec_id AS o_id,
+        |    list_dot_product(b.emb, o.emb)
+        |      / (sqrt(list_dot_product(b.emb, b.emb))
+        |         * sqrt(list_dot_product(o.emb, o.emb))) AS sim
+        |  FROM asgb b, asgc o WHERE b.cell = o.cell),
+        |d AS (SELECT vec_id, min(o_id) AS dup_of,
+        |    round(arg_min(sim, o_id), 6) AS sim
+        |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
+        |SELECT g.vec_id, g.cell, d.dup_of, d.sim
+        |FROM asgb g LEFT JOIN d ON g.vec_id = d.vec_id
         |ORDER BY g.vec_id""".stripMargin,
 
     "dedup_minhash" ->

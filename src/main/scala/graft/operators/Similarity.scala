@@ -313,23 +313,34 @@ object Similarity {
     * vector as (vec_id, cell, dup_of, sim); dup_of/sim are null for
     * keepers, so survivors = `dup_of IS NULL`.
     */
-  def semDedup(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
-      tau: Double): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
+  /** Coarse-cell assignment (the SemDeDup/IVF index build): every vector
+    * gets its argmax-cosine cell over the metadata-scale centroids — a
+    * zero-shuffle codegen projection, ties to the lowest centroid id.
+    * Output: (vec_id, emb, norm, cell). Production persists this beside
+    * the vectors and reuses it across [[semDedup]] /
+    * [[semDedupIncremental]] runs.
+    */
+  def assignCells(vectors: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val centNorms = cents.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
-    val n = withNorm(corpus, "emb", "norm")
+    val n = withNorm(vectors, "emb", "norm")
     val simCols = cents.indices.map { i =>
       call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
         (col("norm") * lit(centNorms(i)))
     }
-    // materialize the assignment once: the intra-cell self-join below
-    // would otherwise re-run the K centroid dots per join side
-    val assigned = n.withColumn("cell",
+    n.withColumn("cell",
         element_at(typedLit(cents.map(_._1).toSeq),
           array_position(array(simCols: _*),
             array_max(array(simCols: _*))).cast("int")))
       .select(col("vec_id"), col("emb"), col("norm"), col("cell"))
-      .localCheckpoint(true)
+  }
+
+  def semDedup(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
+      tau: Double): DataFrame = {
+    // materialize the assignment once: the intra-cell self-join below
+    // would otherwise re-run the K centroid dots per join side
+    val assigned = assignCells(corpus, cents).localCheckpoint(true)
     val smaller = assigned.select(col("cell"), col("vec_id").as("o_id"),
       col("emb").as("o_emb"), col("norm").as("o_norm"))
     val dupOf = assigned.join(smaller, Seq("cell"))
@@ -340,6 +351,32 @@ object Similarity {
       .agg(min(struct(col("o_id"), col("sim"))).as("k"))
       .select(col("vec_id"), col("k.o_id").as("dup_of"), col("k.sim").as("sim"))
     assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+  }
+
+  /** Incremental (batch-vs-corpus) SemDeDup — the steady-state ingest
+    * shape: an arriving batch is checked against the existing corpus's
+    * PRE-ASSIGNED cells (`corpusAssigned` = [[assignCells]] output, a
+    * persistent index), never corpus-vs-corpus. A batch vector is a
+    * semantic duplicate iff some corpus vector in its cell has cosine >=
+    * tau; `dup_of` is the smallest such corpus id. Work ∝ |batch| +
+    * same-cell candidates: the batch assignment is a zero-shuffle
+    * projection and the pair scan an equi-join on cell. Output: every
+    * batch vector as (vec_id, cell, dup_of, sim), dup_of/sim null for
+    * batch vectors with no corpus-side match; survivors = dup_of IS NULL.
+    */
+  def semDedupIncremental(corpusAssigned: DataFrame, batch: DataFrame,
+      cents: Array[(Long, Seq[Double])], tau: Double): DataFrame = {
+    val b = assignCells(batch, cents).localCheckpoint(true)
+    val c = corpusAssigned.select(col("cell"), col("vec_id").as("o_id"),
+      col("emb").as("o_emb"), col("norm").as("o_norm"))
+    val dupOf = b.join(c, Seq("cell"))
+      .withColumn("sim", dot("emb", "o_emb") / (col("norm") * col("o_norm")))
+      .where(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(min(struct(col("o_id"), col("sim"))).as("k"))
+      .select(col("vec_id"), col("k.o_id").as("dup_of"), col("k.sim").as("sim"))
+    b.select(col("vec_id"), col("cell"))
       .join(dupOf, Seq("vec_id"), "left")
   }
 

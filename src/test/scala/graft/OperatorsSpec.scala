@@ -280,6 +280,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val organicDups = out.filter { case (id, (_, d)) => id < 100000 && d.isDefined }
       assert(organicDups.isEmpty,
         s"$path: organic vectors wrongly marked dup: ${organicDups.take(5)}")
+      // incremental ≡ full on the batch rows: checking the variants
+      // against the pre-assigned BASE cell index must reproduce exactly
+      // what the full corpus run decided for them (organics never pair
+      // with each other at tau, so the base index is the only dup source)
+      val batch = SparkEntry.withInjectedEmbVariants(e)
+        .where(col("vec_id") >= 100000)
+      val idx = Similarity.assignCells(e, cents).localCheckpoint(true)
+      val inc = Similarity.semDedupIncremental(idx, batch, cents, 0.95)
+        .select("vec_id", "cell", "dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(inc == variants,
+        s"$path: incremental SemDeDup diverges from the full run")
     }
   }
 

@@ -143,5 +143,45 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, 3.0)))
   }
 
+  test("events() reads NANOS and MICROS ts encodings identically") {
+    // the driver's testdata generator has emitted BOTH encodings across
+    // rounds (r1-r7: INT64 TIMESTAMP(NANOS), r9 regen: TIMESTAMP(MICROS)
+    // NTZ) — the r7/r8 correctness boards went red because the pinned
+    // nanos reader interpreted micros as nanos (timestamps shrank 1000×).
+    // events() must sniff the footer and produce identical rows either
+    // way. Fixture: src/test/resources/events_nanos.parquet (pyarrow,
+    // timestamp[ns], no arrow schema sidecar).
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val nanosDir = JF.createTempDirectory("graft-events-nanos").toString
+    JF.copy(Paths.get("src/test/resources/events_nanos.parquet"),
+      Paths.get(nanosDir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val microsDir = JF.createTempDirectory("graft-events-micros").toString
+    val rows = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01.5"), 3L,
+        "click", 1.5, """{"k": 1}"""),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02.25"), 4L,
+        "view", 2.5, """{"k": 2}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 12:30:00"), 3L,
+        "error", -1.0, """{"k": 3}"""))
+    import spark.implicits._
+    // Spark writes TIMESTAMP(MICROS) — exactly the r9 generator encoding
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$microsDir/events.parquet")
+    def dump(dir: String) = SparkEntry.events(spark, dir)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5))).toSeq
+    val n = dump(nanosDir)
+    val m = dump(microsDir)
+    assert(n == m, s"encodings diverge:\nnanos : $n\nmicros: $m")
+    assert(n == rows, s"decoded rows drifted from fixture:\n$n")
+    // schema parity: downstream is pinned on (long, TIMESTAMP_LTZ, long,
+    // string, double, string) regardless of source encoding
+    assert(SparkEntry.events(spark, nanosDir).schema ==
+      SparkEntry.events(spark, microsDir).schema)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
