@@ -1363,6 +1363,63 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "emb_semdedup_stream" -> { (s, dir) =>
+      // STREAMING semantic dedup under the oracle: the emb_semdedup gate
+      // corpus replayed vec_id-ordered in three micro-batches + a re-sent
+      // final batch (every re-sent vector is an exact dup of its first
+      // arrival — decisions must not change). First-arrival-wins +
+      // ordered arrival ⇒ the decision table equals batch semDedup, so
+      // this query shares emb_semdedup's oracle SQL verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-semstream-q").toString
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      val rows = withInjectedEmbVariants(e).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF.toDF("vec_id", "emb")
+        val q = graft.streaming.Streaming
+          .semDedupStream(src, cents, s"$work/state", s"$work/out", 0.95)
+          .option("checkpointLocation", s"$work/ckpt").start()
+        try {
+          val (b1, rest) = rows.splitAt(rows.length / 3)
+          val (b2, b3) = rest.splitAt(rest.length / 2)
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // re-sent data
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // re-sent rows duplicate their vec_ids in the decision log (new
+      // batch_id, all marked dup): keep each vector's FIRST decision
+      s.read.parquet(s"$work/out")
+        .groupBy("vec_id")
+        .agg(min(struct(col("batch_id"), col("cell"), col("dup_of"),
+          col("sim"))).as("k"))
+        .select(col("vec_id"), col("k.cell").as("cell"),
+          col("k.dup_of").as("dup_of"), round(col("k.sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    },
+
+    "emb_prototypes" -> { (s, dir) =>
+      // prototypicality sampling (SSL-prune/D4 family): top-3 most
+      // prototypical vectors per coarse cell by cosine-to-centroid
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      Similarity.prototypes(e, cents, 3)
+        .select(col("cell"), col("vec_id"), round(col("csim"), 6).as("csim"),
+          col("rnk"))
+        .orderBy("cell", "rnk")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       // exact word-3gram Jaccard over all pairs of the first 50 docs plus
       // injected variants of the first 10 (corpus has no real near-dups in
@@ -1830,6 +1887,36 @@ object SparkEntry {
         .orderBy("media_id")
     })
 
+  /** SemDeDup brute-force recomputation, shared VERBATIM by the
+    * emb_semdedup (batch) and emb_semdedup_stream (ordered-replay
+    * first-decision table ≡ batch) gate queries.
+    */
+  private val semDedupOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |v AS (SELECT vec_id + 100000 AS vec_id,
+      |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
+      |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, emb, cell FROM (
+      |    SELECT x.vec_id, x.emb, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY list_dot_product(x.emb, c.cemb)
+      |          / (sqrt(list_dot_product(x.emb, x.emb))
+      |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+      |        c.cent_id) AS rn
+      |    FROM a x, cents c) WHERE rn = 1),
+      |pairs AS (SELECT y.vec_id, x.vec_id AS o_id,
+      |    list_dot_product(x.emb, y.emb)
+      |      / (sqrt(list_dot_product(x.emb, x.emb))
+      |         * sqrt(list_dot_product(y.emb, y.emb))) AS sim
+      |  FROM asg x, asg y WHERE x.cell = y.cell AND x.vec_id < y.vec_id),
+      |d AS (SELECT vec_id, min(o_id) AS dup_of,
+      |    round(arg_min(sim, o_id), 6) AS sim
+      |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
+      |SELECT g.vec_id, g.cell, d.dup_of, d.sim
+      |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
+      |ORDER BY g.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -2235,31 +2322,11 @@ object SparkEntry {
     // assignment with ties to the lowest centroid id, then keeper =
     // smallest same-cell vec_id within tau. arg_min(sim, o_id) mirrors
     // Spark's min(struct(o_id, sim)).
-    "emb_semdedup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |v AS (SELECT vec_id + 100000 AS vec_id,
-        |    list_concat([emb[1] + 0.05], emb[2:64]) AS emb FROM e WHERE vec_id < 20),
-        |a AS (SELECT * FROM e UNION ALL SELECT * FROM v),
-        |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
-        |asg AS (SELECT vec_id, emb, cell FROM (
-        |    SELECT x.vec_id, x.emb, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY list_dot_product(x.emb, c.cemb)
-        |          / (sqrt(list_dot_product(x.emb, x.emb))
-        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM a x, cents c) WHERE rn = 1),
-        |pairs AS (SELECT y.vec_id, x.vec_id AS o_id,
-        |    list_dot_product(x.emb, y.emb)
-        |      / (sqrt(list_dot_product(x.emb, x.emb))
-        |         * sqrt(list_dot_product(y.emb, y.emb))) AS sim
-        |  FROM asg x, asg y WHERE x.cell = y.cell AND x.vec_id < y.vec_id),
-        |d AS (SELECT vec_id, min(o_id) AS dup_of,
-        |    round(arg_min(sim, o_id), 6) AS sim
-        |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
-        |SELECT g.vec_id, g.cell, d.dup_of, d.sim
-        |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
-        |ORDER BY g.vec_id""".stripMargin,
+    "emb_semdedup" -> semDedupOracleSql,
+
+    // the streaming replay's first-decision table ≡ batch SemDeDup under
+    // vec_id-ordered arrival — SAME oracle SQL, shared verbatim
+    "emb_semdedup_stream" -> semDedupOracleSql,
 
     // incremental SemDeDup: variants-vs-base with the same centroid/
     // assignment rules as emb_semdedup; batch vector dups iff a same-cell
@@ -2296,6 +2363,28 @@ object SparkEntry {
         |SELECT g.vec_id, g.cell, d.dup_of, d.sim
         |FROM asgb g LEFT JOIN d ON g.vec_id = d.vec_id
         |ORDER BY g.vec_id""".stripMargin,
+
+    // prototypicality: same assignment CTE as emb_semdedup, the argmax
+    // row's sim IS the cosine-to-own-centroid; rank desc per cell
+    "emb_prototypes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |asg AS (SELECT vec_id, cell, csim FROM (
+        |    SELECT x.vec_id, c.cent_id AS cell,
+        |      list_dot_product(x.emb, c.cemb)
+        |        / (sqrt(list_dot_product(x.emb, x.emb))
+        |           * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.emb, c.cemb)
+        |          / (sqrt(list_dot_product(x.emb, x.emb))
+        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e x, cents c) WHERE rn = 1),
+        |r AS (SELECT cell, vec_id, csim,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY csim DESC, vec_id) AS rnk FROM asg)
+        |SELECT cell, vec_id, round(csim, 6) AS csim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY cell, rnk""".stripMargin,
 
     "dedup_minhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

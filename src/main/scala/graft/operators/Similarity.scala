@@ -316,9 +316,11 @@ object Similarity {
   /** Coarse-cell assignment (the SemDeDup/IVF index build): every vector
     * gets its argmax-cosine cell over the metadata-scale centroids — a
     * zero-shuffle codegen projection, ties to the lowest centroid id.
-    * Output: (vec_id, emb, norm, cell). Production persists this beside
-    * the vectors and reuses it across [[semDedup]] /
-    * [[semDedupIncremental]] runs.
+    * Output: (vec_id, emb, norm, cell, csim) where csim is the cosine to
+    * the OWN cell's centroid (free — it is the argmax value), the
+    * prototypicality signal [[prototypes]] ranks on. Production persists
+    * this beside the vectors and reuses it across [[semDedup]] /
+    * [[semDedupIncremental]] / [[prototypes]] runs.
     */
   def assignCells(vectors: DataFrame,
       cents: Array[(Long, Seq[Double])]): DataFrame = {
@@ -329,11 +331,33 @@ object Similarity {
       call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
         (col("norm") * lit(centNorms(i)))
     }
-    n.withColumn("cell",
+    n.withColumn("sims", array(simCols: _*))
+      .withColumn("cell",
         element_at(typedLit(cents.map(_._1).toSeq),
-          array_position(array(simCols: _*),
-            array_max(array(simCols: _*))).cast("int")))
-      .select(col("vec_id"), col("emb"), col("norm"), col("cell"))
+          array_position(col("sims"), array_max(col("sims"))).cast("int")))
+      .select(col("vec_id"), col("emb"), col("norm"), col("cell"),
+        array_max(col("sims")).as("csim"))
+  }
+
+  /** Prototypicality sampling over the coarse cells (the SSL-prune / D4
+    * data-curation family): rank every vector inside its cell by cosine
+    * to the cell centroid and keep the top `k` — `mostProto = true`
+    * keeps the most prototypical (cluster cores), `false` the least
+    * (the hard/diverse tail that prototype-pruning papers keep for
+    * training value). One window over the (cell) partition after a
+    * zero-shuffle assignment — WindowGroupLimit pushes the rank cut
+    * below the sort at scale. Ties break to the lowest vec_id. Output:
+    * (cell, vec_id, csim, rnk).
+    */
+  def prototypes(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
+      k: Int, mostProto: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = if (mostProto) col("csim").desc else col("csim").asc
+    val w = Window.partitionBy("cell").orderBy(order, col("vec_id"))
+    assignCells(corpus, cents)
+      .select(col("cell"), col("vec_id"), col("csim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
   }
 
   def semDedup(corpus: DataFrame, cents: Array[(Long, Seq[Double])],

@@ -427,6 +427,77 @@ object Streaming {
     * batch≡streaming equivalence StreamingSpec pins and the
     * dedup_stream_near oracle recomputes.
     */
+  /** Streaming SEMANTIC dedup — [[graft.operators.Similarity.semDedup]]'s
+    * first-arrival-wins in-flight variant, completing the semantic family
+    * (batch / incremental / streaming) the way [[dedupNear]] completes
+    * MinHash. Each arriving vector is cell-assigned (zero-shuffle argmax
+    * projection over the metadata-scale centroids) and is a duplicate iff
+    * some same-cell vector within `tau` was seen earlier — a prior
+    * batch's vector (dup or not: every seen vector indexes, so chains
+    * collapse batch-split-independently) or a smaller-vec_id vector of
+    * its own batch. `outDir` receives every batch row as (vec_id, cell,
+    * dup_of, sim) — dup_of null for keepers — and `stateDir/vectors`
+    * holds the persistent cell index ([[Similarity.assignCells]] rows).
+    * Both sinks partition by batch_id with dynamic overwrite and state
+    * reads filter batch_id < current: re-delivery idempotent.
+    *
+    * With vec_id-ordered arrival the decision table equals the batch
+    * [[Similarity.semDedup]] output exactly (earlier arrival ⇔ smaller
+    * id) — the emb_semdedup_stream gate query shares emb_semdedup's
+    * oracle SQL verbatim, and StreamingSpec pins split-invariance.
+    */
+  def semDedupStream(vecs: DataFrame, cents: Array[(Long, Seq[Double])],
+      stateDir: String, outDir: String, tau: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    val stateSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("norm", DoubleType),
+      StructField("cell", LongType),
+      StructField("batch_id", LongType)))
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = Similarity.assignCells(batch, cents)
+          .select("vec_id", "emb", "norm", "cell")
+          .localCheckpoint(true)
+        val seen =
+          if (new java.io.File(s"$stateDir/vectors").exists())
+            s.read.schema(stateSchema).parquet(s"$stateDir/vectors")
+              .where(col("batch_id") < batchId) // re-delivery: self invisible
+              .drop("batch_id")
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(stateSchema.dropRight(1)))
+        def other(df: DataFrame) = df.select(col("cell"),
+          col("vec_id").as("o_id"), col("emb").as("o_emb"),
+          col("norm").as("o_norm"))
+        // same-cell candidates: smaller-id within the batch, ANY id from
+        // earlier batches (ordered arrival makes those smaller anyway)
+        val cand = b.join(other(b), Seq("cell"))
+            .where(col("o_id") < col("vec_id"))
+          .unionByName(b.join(other(seen), Seq("cell")))
+        val dupOf = cand
+          .withColumn("sim",
+            graft.operators.Similarity.dot("emb", "o_emb") /
+              (col("norm") * col("o_norm")))
+          .where(col("sim") >= tau)
+          .groupBy("vec_id")
+          .agg(min(struct(col("o_id"), col("sim"))).as("k"))
+          .select(col("vec_id"), col("k.o_id").as("dup_of"),
+            col("k.sim").as("sim"))
+        def sink(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId)).write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite").parquet(dir)
+        sink(b.select("vec_id", "cell").join(dupOf, Seq("vec_id"), "left"),
+          outDir)
+        sink(b, s"$stateDir/vectors") // EVERY seen vector indexes
+      }
+  }
+
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5)

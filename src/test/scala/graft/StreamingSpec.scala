@@ -485,6 +485,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(split3) == expected, "3-batch + re-sent replay")
   }
 
+  test("streaming semantic dedup decisions == batch semDedup, split-invariant") {
+    // the gate corpus replayed in ordered micro-batches must reproduce
+    // Similarity.semDedup's decision table exactly — within-batch
+    // smaller-id election and the cross-batch cell index have to compose
+    // into the same "smallest same-cell id within tau" rule regardless
+    // of where the batch boundary falls
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val all = SparkEntry.withInjectedEmbVariants(e)
+    val cents = graft.operators.Similarity.strideCentroids(e, 50)
+    def decisions(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "dup_of").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    val batchRef = decisions(
+      graft.operators.Similarity.semDedup(all, cents, 0.95))
+    val rows = all.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (nBatches <- Seq(1, 3)) {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-semstream-spec").toString
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = Streaming.semDedupStream(mem.toDF.toDF("vec_id", "emb"),
+          cents, s"$work/state", s"$work/out", 0.95)
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try {
+        val size = math.max(1, rows.length / nBatches)
+        rows.grouped(size).foreach { bd =>
+          mem.addData(bd.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = decisions(spark.read.parquet(s"$work/out"))
+      assert(streamed == batchRef,
+        s"$nBatches-batch replay diverges from batch semDedup")
+    }
+  }
+
   test("streaming exact dedup keeps first arrival per content hash") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
