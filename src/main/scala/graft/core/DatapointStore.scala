@@ -123,7 +123,7 @@ object DatapointStore {
     * backup half-disappear with no error — subsequent reads would return a
     * silently partial table. Shared by replace(), expire() and Datastream.
     */
-  private[core] def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     if (!f.delete() && f.exists())
       throw new java.io.IOException(s"failed to delete $f")

@@ -400,33 +400,78 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Streaming NEAR-dup dedup (MinHash+LSH) — the in-flight variant of
-    * [[graft.operators.Dedup.incrementalNearDuplicatesPrebanded]], with
-    * first-arrival-wins keeper election. A document is a duplicate iff it
-    * verifies (banding candidate + exact shingle Jaccard >= threshold)
-    * against ANY document seen earlier: a prior micro-batch's doc (dup or
-    * not — every seen doc indexes, so A~B~C chains with A≁C collapse the
-    * same way regardless of how batches split) or a smaller-id doc of its
-    * own batch. Survivors land in `outDir`; the state under `stateDir` is
-    * the seen-document store (`docs/`, the ingest corpus itself) plus the
-    * LSH band index (`bands/`, 3 longs per (doc, band) — sketch-scale).
-    *
-    * Scale design: per batch, the corpus contributes only its band index
-    * partitions to the candidate equi-join and the text of candidate hits
-    * to the verify semi-join — corpus text is never re-scanned wholesale,
-    * so per-batch work is O(|batch| + candidates), the steady-state 100 TB
-    * ingest shape. All three sinks partition by batch_id with dynamic
-    * overwrite, and state reads filter `batch_id < current`, so an
-    * at-least-once re-delivery recomputes identical survivors and replaces
-    * its own partitions — idempotent end to end.
-    *
-    * Determinism note: results are arrival-order dependent by design
-    * (first arrival wins). When arrival order is doc_id order, the
-    * survivor set equals the batch rule "drop every doc_b of a qualifying
-    * (doc_a < doc_b) pair" regardless of batch boundaries — the
-    * batch≡streaming equivalence StreamingSpec pins and the
-    * dedup_stream_near oracle recomputes.
+  /** Resolve a streaming-dedup state subdirectory for reading: the live
+    * dir, or the `.compact_old` backup a crashed [[compactDedupState]]
+    * swap left behind, or empty. Rows of batches >= `maxBatchExclusive`
+    * are filtered out (re-delivery: a batch must not see its own earlier
+    * write); the compacted base partition (batch_id = -1) survives every
+    * filter because -1 < any real batch id.
     */
+  private def stateOrEmpty(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxBatchExclusive: Long): DataFrame = {
+    val live = new java.io.File(dir)
+    val bak = new java.io.File(s"$dir.compact_old")
+    val src = if (live.exists()) Some(dir)
+      else if (bak.exists()) Some(bak.getPath)
+      else None
+    src match {
+      case Some(p) => s.read.schema(schema).parquet(p)
+        .where(col("batch_id") < maxBatchExclusive)
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  /** Compact the per-batch state partitions of a STOPPED streaming-dedup
+    * query ([[dedupNear]] / [[semDedupStream]]): every `batch_id=N`
+    * partition under each state subdirectory folds into one base
+    * partition `batch_id=-1`, so partition/file counts stay bounded on
+    * long-running queries instead of growing one directory per
+    * micro-batch (the listing cost that would otherwise dominate state
+    * reads after ~10⁴ triggers). The base id -1 is smaller than every
+    * real batch id, so the readers' `batch_id < current` re-delivery
+    * filter keeps working unchanged after a restart.
+    *
+    * Crash safety: the new base is fully written to `<sub>.compact_tmp`
+    * first, then the live dir swaps away to `<sub>.compact_old`, the tmp
+    * promotes, and the backup is deleted. A crash at any point leaves
+    * either the live dir or the backup intact — readers fall back to
+    * `.compact_old` when the live dir is missing, and the next
+    * compactDedupState call heals the half-swap before re-compacting.
+    */
+  def compactDedupState(s: SparkSession, stateDir: String): Unit = {
+    val root = new java.io.File(stateDir)
+    if (!root.isDirectory) return
+    // discover subs from live dirs AND orphaned .compact_old backups — a
+    // crash between the two swap renames leaves ONLY the backup, which
+    // must still be found so the heal below can promote it
+    val subs = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.endsWith(".compact_tmp"))
+      .map(_.stripSuffix(".compact_old"))
+      .distinct
+      .map(n => new java.io.File(root, n))
+    subs.foreach { sub =>
+      val tmp = new java.io.File(s"${sub.getPath}.compact_tmp")
+      val old = new java.io.File(s"${sub.getPath}.compact_old")
+      // heal a half-swap: promote the backup if the live dir vanished,
+      // drop an incomplete tmp from a crashed write
+      if (!sub.exists() && old.exists() && !old.renameTo(sub))
+        throw new java.io.IOException(s"cannot heal ${old.getPath}")
+      if (tmp.exists()) graft.core.DatapointStore.rmTree(tmp)
+      if (old.exists()) graft.core.DatapointStore.rmTree(old)
+      s.read.parquet(sub.getPath)
+        .withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(tmp.getPath)
+      if (!sub.renameTo(old))
+        throw new java.io.IOException(s"cannot back up ${sub.getPath}")
+      if (!tmp.renameTo(sub))
+        throw new java.io.IOException(s"cannot promote ${tmp.getPath}")
+      graft.core.DatapointStore.rmTree(old)
+    }
+  }
+
   /** Streaming SEMANTIC dedup — [[graft.operators.Similarity.semDedup]]'s
     * first-arrival-wins in-flight variant, completing the semantic family
     * (batch / incremental / streaming) the way [[dedupNear]] completes
@@ -463,14 +508,8 @@ object Streaming {
         val b = Similarity.assignCells(batch, cents)
           .select("vec_id", "emb", "norm", "cell")
           .localCheckpoint(true)
-        val seen =
-          if (new java.io.File(s"$stateDir/vectors").exists())
-            s.read.schema(stateSchema).parquet(s"$stateDir/vectors")
-              .where(col("batch_id") < batchId) // re-delivery: self invisible
-              .drop("batch_id")
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(stateSchema.dropRight(1)))
+        val seen = stateOrEmpty(s, s"$stateDir/vectors", stateSchema, batchId)
+          .drop("batch_id")
         def other(df: DataFrame) = df.select(col("cell"),
           col("vec_id").as("o_id"), col("emb").as("o_emb"),
           col("norm").as("o_norm"))
@@ -498,6 +537,34 @@ object Streaming {
       }
   }
 
+  /** Streaming NEAR-dup dedup (MinHash+LSH) — the in-flight variant of
+    * [[graft.operators.Dedup.incrementalNearDuplicatesPrebanded]], with
+    * first-arrival-wins keeper election. A document is a duplicate iff it
+    * verifies (banding candidate + exact shingle Jaccard >= threshold)
+    * against ANY document seen earlier: a prior micro-batch's doc (dup or
+    * not — every seen doc indexes, so A~B~C chains with A≁C collapse the
+    * same way regardless of how batches split) or a smaller-id doc of its
+    * own batch. Survivors land in `outDir`; the state under `stateDir` is
+    * the seen-document store (`docs/`, the ingest corpus itself) plus the
+    * LSH band index (`bands/`, 3 longs per (doc, band) — sketch-scale).
+    *
+    * Scale design: per batch, the corpus contributes only its band index
+    * partitions to the candidate equi-join and the text of candidate hits
+    * to the verify semi-join — corpus text is never re-scanned wholesale,
+    * so per-batch work is O(|batch| + candidates), the steady-state 100 TB
+    * ingest shape. All three sinks partition by batch_id with dynamic
+    * overwrite, and state reads filter `batch_id < current`, so an
+    * at-least-once re-delivery recomputes identical survivors and replaces
+    * its own partitions — idempotent end to end. Long-running queries
+    * compact the per-batch state partitions with [[compactDedupState]].
+    *
+    * Determinism note: results are arrival-order dependent by design
+    * (first arrival wins). When arrival order is doc_id order, the
+    * survivor set equals the batch rule "drop every doc_b of a qualifying
+    * (doc_a < doc_b) pair" regardless of batch boundaries — the
+    * batch≡streaming equivalence StreamingSpec pins and the
+    * dedup_stream_near oracle recomputes.
+    */
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5)
@@ -517,14 +584,9 @@ object Streaming {
         // verify, state/survivor writes) — truncate lineage once
         val b = batch.select(col("doc_id").cast("long"), col("text"))
           .localCheckpoint(true)
-        def readState(sub: String, schema: StructType): DataFrame =
-          if (new java.io.File(s"$stateDir/$sub").exists())
-            s.read.schema(schema).parquet(s"$stateDir/$sub")
-              .where(col("batch_id") < batchId) // re-delivery: self invisible
-          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            schema)
-        val seen = readState("docs", docSchema).select("doc_id", "text")
-        val seenBands = readState("bands", bandSchema)
+        val seen = stateOrEmpty(s, s"$stateDir/docs", docSchema, batchId)
+          .select("doc_id", "text")
+        val seenBands = stateOrEmpty(s, s"$stateDir/bands", bandSchema, batchId)
           .select("doc_id", "band", "bh")
         // within-batch: doc_b of any verified smaller-id pair is a dup
         val within = Dedup.nearDuplicates(b, n, numHashes, bands, threshold)

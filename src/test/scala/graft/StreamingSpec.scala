@@ -526,6 +526,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup state compaction folds batch partitions, heals crashes, keeps dedup semantics") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-dedupstate").toString
+    val d1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val d2 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val d3 = (1 to 12).map(i => s"c$i").mkString(" ")
+    // each replay generation gets its own out dir + checkpoint (fresh
+    // batch ids restart at 0 and would dynamic-overwrite an older
+    // generation's survivor partitions); the STATE dir is the shared,
+    // long-lived artifact under test
+    def replay(gen: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.dedupNear(mem.toDF.toDF("doc_id", "text"),
+          s"$work/state", s"$work/out_$gen", threshold = 0.8)
+        .option("checkpointLocation", s"$work/ckpt_$gen").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    replay("g1", Seq(Seq((1L, d1)), Seq((2L, d2))))
+    // two batches -> two batch_id partitions per state sub; compaction
+    // folds them into the single batch_id=-1 base
+    Streaming.compactDedupState(spark, s"$work/state")
+    def parts(sub: String) = new java.io.File(s"$work/state/$sub").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts("docs") == Set("batch_id=-1"), parts("docs"))
+    assert(parts("bands") == Set("batch_id=-1"), parts("bands"))
+    assert(spark.read.parquet(s"$work/state/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a FRESH query (batch ids restart at 0) against the compacted state:
+    // base -1 < 0 stays visible, so the re-sent d2 dups and d3 survives
+    replay("g2", Seq(Seq((3L, d2), (4L, d3))))
+    val survivors = spark.read.parquet(s"$work/out_g2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(4L), survivors)
+    // crash heal: live dir swapped away, only the backup remains — the
+    // reader and the next compaction must both recover it
+    val docs = new java.io.File(s"$work/state/docs")
+    assert(docs.renameTo(new java.io.File(s"$work/state/docs.compact_old")))
+    Streaming.compactDedupState(spark, s"$work/state")
+    assert(parts("docs") == Set("batch_id=-1"))
+    assert(spark.read.parquet(s"$work/state/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming exact dedup keeps first arrival per content hash") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
