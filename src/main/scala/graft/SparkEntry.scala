@@ -1461,6 +1461,12 @@ object SparkEntry {
       TextStats.unigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "text_bigram_lm" -> { (s, dir) =>
+      // self-trained bigram LM with additive smoothing (CCNet-style
+      // perplexity-filter signal): mean ln P(w2|w1) per doc
+      TextStats.bigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
     "text_lang_confusion" -> { (s, dir) =>
       // classifier eval against the ground-truth lang column: confusion
       // matrix of (actual, predicted) with per-cell counts
@@ -2886,6 +2892,25 @@ object SparkEntry {
         |SELECT t.doc_id, avg(ln(f.n / tot.total)) AS logprob
         |FROM toks t JOIN freq f ON t.tok = f.tok, tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // bigram LM: conditionals smoothed against the bigram-left counts;
+    // n_bigrams cast to BIGINT on both engines; logprob is fp-only (sum
+    // order differs across engines at ~1e-15 rel)
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+        |cnt AS (SELECT bg, count(*) AS c FROM bgl GROUP BY bg),
+        |leftc AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |    CAST(sum(c) AS BIGINT) AS lc FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(toks) AS tok FROM d) t)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  avg(ln((cnt.c + 0.5) / (leftc.lc + 0.5 * v.v))) AS logprob
+        |FROM bgl b JOIN cnt ON b.bg = cnt.bg
+        |JOIN leftc ON string_split(b.bg, ' ')[1] = leftc.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT user_id, event_id,

@@ -86,6 +86,52 @@ object TextStats {
       .agg(avg(log(col("n") / col("total"))).as("logprob"))
   }
 
+  /** Bigram-LM log-probability scoring — the CCNet-style "filter by LM
+    * perplexity" signal, self-trained on the corpus: additive-smoothing
+    * conditionals P(w2|w1) = (c(w1 w2) + alpha) / (cLeft(w1) + alpha·V),
+    * with cLeft folded from the bigram table itself and V the corpus
+    * vocabulary size; each document scores the average ln P over its
+    * bigrams (perplexity = exp(−logprob)). Documents with fewer than two
+    * tokens have no bigrams and drop out, matching the oracle's inner
+    * joins.
+    *
+    * Scale: the count tables are vocabulary-scale groupBys of fixed-size
+    * keys (never document text beyond the token stream) and the scoring
+    * pass is an equi-join of the bigram stream against them; the bigram
+    * array builds from ONE materialized token split via zip_with (an
+    * index lambda re-evaluating split() per element is the documented
+    * O(len²) trap).
+    */
+  def bigramLogProb(docs: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr("""zip_with(slice(toks, 1, size(toks) - 1),
+                |        slice(toks, 2, size(toks) - 1),
+                |        (a, b) -> concat(a, ' ', b))""".stripMargin)
+          .as("bigrams"))
+    // the bigram stream feeds the count table AND the scoring join —
+    // checkpoint once (CLAUDE.md: checkpoint multiply-read stages)
+    val bg = base.select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .localCheckpoint(true)
+    val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val leftc = cnt
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum("c").as("lc"))
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    bg.join(cnt, "bg")
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(leftc, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c") + lit(alpha)) /
+          (col("lc") + lit(alpha) * col("v")))).as("logprob"))
+  }
+
   /** Repetition signals (the Gopher-style quality filters): fraction of
     * duplicated words and duplicated bigrams per document. High values
     * flag boilerplate/spam for corpus filtering. String bigrams (not the
