@@ -30,7 +30,7 @@ object Plans {
         "emb_near_pairs", "dedup_embedding", "store_nested_tags",
         "mm_pipeline", "q_zorder_key", "pipe_dedup_paragraphs",
         "pipe_boilerplate", "dedup_spans", "pipe_paragraphs_natural",
-        "emb_semdedup", "emb_prototypes")
+        "emb_semdedup", "emb_prototypes", "text_bigram_lm")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
