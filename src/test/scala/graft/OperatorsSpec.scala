@@ -1045,5 +1045,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fg == fw)
   }
 
+  test("bigramLogProb matches hand-computed smoothing on a tiny corpus") {
+    import spark.implicits._
+    // corpus: d1 = "a b a b" -> bigrams (a b)(b a)(a b); d2 = "a b c" ->
+    // (a b)(b c). counts: (a b)=3, (b a)=1, (b c)=1; left counts: a=3,
+    // b=2; vocab = {a, b, c} -> V=3, alpha=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // P(b|a)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 3) // P(a|b)
+    val pBC = (1 + 0.5) / (2 + 0.5 * 3) // P(c|b)
+    val d1 = (math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3
+    val d2 = (math.log(pAB) + math.log(pBC)) / 2
+    assert(got(1L)._1 == 3 && got(2L)._1 == 2)
+    assert(math.abs(got(1L)._2 - d1) < 1e-12, s"${got(1L)._2} vs $d1")
+    assert(math.abs(got(2L)._2 - d2) < 1e-12, s"${got(2L)._2} vs $d2")
+    // a single-token doc has no bigrams and drops out entirely
+    val withShort = docs.union(Seq((3L, "zz")).toDF("doc_id", "text"))
+    assert(graft.operators.TextStats.bigramLogProb(withShort)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("prototypes: both lanes match a driver-side rank over assignCells") {
+    // emb_prototypes gates mostProto=true; this pins the least-proto lane
+    // and the exact rank/tie rule of both against an independent driver
+    // recomputation from the assignment table
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = Similarity.strideCentroids(e, 50)
+    val asg = Similarity.assignCells(e, cents)
+      .select("vec_id", "cell", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def expected(most: Boolean, k: Int): Set[(Long, Long, Long)] =
+      asg.groupBy(_._2).toSeq.flatMap { case (cell, rows) =>
+        val sorted = rows.sortBy(r =>
+          (if (most) -r._3 else r._3, r._1)).take(k)
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          (cell, id, i.toLong + 1) }
+      }.toSet
+    for (most <- Seq(true, false)) {
+      val got = Similarity.prototypes(e, cents, 4, most)
+        .select("cell", "vec_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected(most, 4), s"mostProto=$most diverges")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
