@@ -1467,6 +1467,13 @@ object SparkEntry {
       TextStats.bigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "text_kl_by_source" -> { (s, dir) =>
+      // per-source token-distribution drift vs the corpus mixture:
+      // KL(P(tok|source) || P(tok)) per source
+      TextStats.tokenKlDivergence(tbl(s, dir, "documents"))
+        .orderBy("source")
+    },
+
     "text_lang_confusion" -> { (s, dir) =>
       // classifier eval against the ground-truth lang column: confusion
       // matrix of (actual, predicted) with per-cell counts
@@ -2892,6 +2899,24 @@ object SparkEntry {
         |SELECT t.doc_id, avg(ln(f.n / tot.total)) AS logprob
         |FROM toks t JOIN freq f ON t.tok = f.tok, tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // per-source KL drift: group/global token count tables off one token
+    // stream; kl is fp-only (sum order differs across engines)
+    "text_kl_by_source" ->
+      """WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bygrp AS (SELECT grp, tok, count(*) AS c_gt FROM toks GROUP BY grp, tok),
+        |gall AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+        |grptot AS (SELECT grp, count(*) AS n_g FROM toks GROUP BY grp),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT b.grp AS source, CAST(g2.n_g AS BIGINT) AS n_tokens,
+        |  sum((b.c_gt / CAST(g2.n_g AS DOUBLE)) *
+        |      ln((b.c_gt / CAST(g2.n_g AS DOUBLE))
+        |         / (g.c_t / CAST(tot.n AS DOUBLE)))) AS kl
+        |FROM bygrp b JOIN gall g ON b.tok = g.tok
+        |JOIN grptot g2 ON b.grp = g2.grp CROSS JOIN tot
+        |GROUP BY b.grp, g2.n_g
+        |ORDER BY source""".stripMargin,
 
     // bigram LM: conditionals smoothed against the bigram-left counts;
     // n_bigrams cast to BIGINT on both engines; logprob is fp-only (sum

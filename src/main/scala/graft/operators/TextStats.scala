@@ -132,6 +132,38 @@ object TextStats {
           (col("lc") + lit(alpha) * col("v")))).as("logprob"))
   }
 
+  /** Per-group token-distribution drift: KL(P(token|group) ‖ P(token))
+    * for each value of `groupCol` — the corpus-profiling signal that
+    * flags a source/shard whose language drifted from the mixture (high
+    * KL = distinctive vocabulary; near 0 = indistinguishable from the
+    * pool). No smoothing needed: every token observed in a group is
+    * observed globally, so P(t) > 0 wherever the sum has weight.
+    *
+    * Scale: two vocabulary-scale count tables (group×token and token)
+    * off ONE materialized token stream, an equi-join on token, and a
+    * per-group agg — token text never shuffles more than once. Output:
+    * (group, n_tokens, kl).
+    */
+  def tokenKlDivergence(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .localCheckpoint(true) // feeds the group AND global count tables
+    val byGrp = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c_gt"))
+    val glob = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val grpTot = toks.groupBy("grp").agg(count(lit(1)).as("n_g"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    byGrp.join(glob, "tok")
+      .join(broadcast(grpTot), "grp")
+      .crossJoin(broadcast(total))
+      .groupBy("grp")
+      .agg(first("n_g").as("n_tokens"),
+        sum((col("c_gt") / col("n_g")) *
+          log((col("c_gt") / col("n_g")) / (col("c_t") / col("n"))))
+          .as("kl"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("kl"))
+  }
+
   /** Repetition signals (the Gopher-style quality filters): fraction of
     * duplicated words and duplicated bigrams per document. High values
     * flag boilerplate/spam for corpus filtering. String bigrams (not the

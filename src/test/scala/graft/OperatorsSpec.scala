@@ -1067,6 +1067,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("tokenKlDivergence matches hand-computed KL on a tiny corpus") {
+    import spark.implicits._
+    // s1 = "a a b" (P: a=2/3, b=1/3), s2 = "b c" (P: b=1/2, c=1/2);
+    // global over 5 tokens: a=2/5, b=2/5, c=1/5
+    val docs = Seq(("s1", "a a b"), ("s2", "b c")).toDF("source", "text")
+    val got = graft.operators.TextStats.tokenKlDivergence(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (2.0 / 5))
+    val kl2 = 1.0 / 2 * math.log((1.0 / 2) / (2.0 / 5)) +
+      1.0 / 2 * math.log((1.0 / 2) / (1.0 / 5))
+    assert(got("s1")._1 == 3 && got("s2")._1 == 2)
+    assert(math.abs(got("s1")._2 - kl1) < 1e-12, s"${got("s1")._2} vs $kl1")
+    assert(math.abs(got("s2")._2 - kl2) < 1e-12, s"${got("s2")._2} vs $kl2")
+    // a group identical to the pool has KL ~ 0
+    val uniform = Seq(("u1", "x y"), ("u2", "x y")).toDF("source", "text")
+    graft.operators.TextStats.tokenKlDivergence(uniform).collect()
+      .foreach(r => assert(math.abs(r.getDouble(2)) < 1e-12))
+  }
+
   test("prototypes: both lanes match a driver-side rank over assignCells") {
     // emb_prototypes gates mostProto=true; this pins the least-proto lane
     // and the exact rank/tie rule of both against an independent driver
