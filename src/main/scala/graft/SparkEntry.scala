@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Granularity
-import graft.operators.{Dedup, Derive, Downsample, Graphs, Similarity, TextStats}
+import graft.operators.{Dedup, Derive, Downsample, Graphs, Retrieval, Similarity, TextStats}
 
 /** Driver contract (SURVEY §7): one `queries` entry per implemented
   * operator, each with a DuckDB-equivalent `oracleSql` on the same parquet
@@ -1474,6 +1474,34 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "q_bm25_topk" -> { (s, dir) =>
+      // keyword retrieval: BM25 top-5 per query (queries = the first 5
+      // docs' own text; each recalls itself at rank 1), inverted-index
+      // equi-join on token — no doc×query cartesian
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopK(docs, broadcast(queries), 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_hybrid_rrf" -> { (s, dir) =>
+      // hybrid search: reciprocal-rank fusion of the BM25 top-20 and the
+      // exact-cosine top-20 per query (doc_id ≡ vec_id in the testdata);
+      // rrf sums two exact rationals in fixed order — hash-exact oracle
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val b20 = Retrieval.bm25TopK(docs, broadcast(queries), 20)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qv = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val c20 = Similarity.cosineTopK(e, broadcast(qv), 20)
+        .select(col("qid"), col("cid").as("doc_id"), col("rnk"))
+      Retrieval.hybridRrf(b20, c20, 10).orderBy("qid", "rnk")
+    },
+
     "text_lang_confusion" -> { (s, dir) =>
       // classifier eval against the ground-truth lang column: confusion
       // matrix of (actual, predicted) with per-cell counts
@@ -2899,6 +2927,84 @@ object SparkEntry {
         |SELECT t.doc_id, avg(ln(f.n / tot.total)) AS logprob
         |FROM toks t JOIN freq f ON t.tok = f.tok, tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // BM25: Lucene-form idf; score rounded to 6 before ranking (with
+    // doc_id tie-break) so last-ulp ln/sum-order differences can't flip
+    // ranks; the score column itself is fp-only
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // hybrid RRF: same BM25 CTEs at top-20 + exact-cosine top-20, fused
+    // as 1/(60+rank) sums — exact rationals, hash-exact
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |b20 AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |  WHERE rnk <= 20),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < 5),
+        |cs AS (SELECT qv.qid, e.vec_id AS doc_id,
+        |    list_dot_product(qv.qemb, e.emb)
+        |      / (sqrt(list_dot_product(qv.qemb, qv.qemb))
+        |         * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+        |  FROM qv, emb e WHERE e.vec_id <> qv.qid),
+        |c20 AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk FROM cs)
+        |  WHERE rnk <= 20),
+        |f AS (SELECT coalesce(b.qid, c.qid) AS qid,
+        |    coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + b.rnk), 0) + coalesce(1.0 / (60 + c.rnk), 0)
+        |      AS rrf
+        |  FROM b20 b FULL OUTER JOIN c20 c
+        |    ON b.qid = c.qid AND b.doc_id = c.doc_id),
+        |r AS (SELECT qid, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT qid, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     // per-source KL drift: group/global token count tables off one token
     // stream; kl is fp-only (sum order differs across engines)
