@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Granularity
-import graft.operators.{Dedup, Derive, Downsample, Graphs, Retrieval, Similarity, TextStats}
+import graft.operators.{Dedup, Derive, Downsample, Graphs, HistRollup, Retrieval, Similarity, TextStats}
 
 /** Driver contract (SURVEY §7): one `queries` entry per implemented
   * operator, each with a DuckDB-equivalent `oracleSql` on the same parquet
@@ -1021,6 +1021,26 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "ds_hist_quantile_rollup" -> { (s, dir) =>
+      // deterministic mergeable quantile ladder (HistRollup): hour-level
+      // fixed-bin histograms folded to days (fold is EXACT — bin counts
+      // are sums), interpolated p50/p95 extracted at read time. The only
+      // sound quantile rollup at 100 TB: coarse levels never re-read raw
+      // history, and unlike KLL/t-digest the fold is deterministic so
+      // the oracle recomputes it bit-for-bit.
+      val spec = HistRollup.HistSpec(0.0, 512.0, 64)
+      val ev = events(s, dir).select(col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value").as("v"))
+      val hours = HistRollup.histBuckets(ev, "v", "sec", 3600,
+        Seq("event_type"), spec)
+      val days = HistRollup.fold(hours, 86400, Seq("event_type"))
+      HistRollup.quantiles(days, Seq("event_type"),
+          Seq("p50" -> 0.5, "p95" -> 0.95), spec)
+        .select(col("event_type"), col("t"), col("n"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"))
+        .orderBy("event_type", "t")
+    },
+
     "ds_agg_sliding" -> { (s, dir) =>
       // sliding (hopping) windows: 10-minute buckets every 5 minutes —
       // each point lands in width/slide = 2 buckets. Spark's window()
@@ -1644,6 +1664,72 @@ object SparkEntry {
           docs.where(col("doc_id") % 97 =!= 0),
           docs.where(col("doc_id") % 97 === 0))
         .orderBy("doc_id")
+    },
+
+    "pipe_contam_bloom" -> { (s, dir) =>
+      // bloom-prefilter contamination lane: same audit as
+      // pipe_contamination but the benchmark gram set reaches the train
+      // side as a Bloom filter (bench too big to broadcast at scale);
+      // exact-confirm join makes the result identical to the broadcast
+      // lane, so the oracle is the plain exact SQL. Different bench slice
+      // (% 89) than pipe_contamination so the two rows are independent.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Pipeline.contaminationScoresBloom(
+          docs.where(col("doc_id") % 89 =!= 0),
+          docs.where(col("doc_id") % 89 === 0))
+        .orderBy("doc_id")
+    },
+
+    "pipe_shuffle_shards" -> { (s, dir) =>
+      // epoch-seeded reproducible global shuffle: 60-bit md5 key from
+      // (seed, doc_id), shard = h % 8, per-shard training positions
+      graft.operators.Pipeline.shuffleShards(
+          tbl(s, dir, "documents"), "ep1", 8)
+        .orderBy("shard", "pos")
+    },
+
+    "q_merge_upsert" -> { (s, dir) =>
+      // copy-on-write MERGE: a deterministic changelog (updates, a
+      // higher-version overwrite, deletes, inserts) applied to a
+      // key-bucketed parquet table; only changelog-named buckets are
+      // read/rewritten (Mutations.mergeIntoPartitioned), read back under
+      // the oracle's pure last-write-wins SQL
+      import graft.operators.Mutations
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-merge-q").toString + "/tbl"
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val pexpr = pmod(col("o_orderkey"), lit(8L))
+      o.withColumn("bucket", pexpr).repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(work)
+      val upd = o.where(col("o_orderkey") % 7 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(1L))
+      val upd2 = o.where(col("o_orderkey") % 21 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(2L))
+      val del = o.where(col("o_orderkey") % 7 === 2)
+        .withColumn("op", lit("D")).withColumn("version", lit(1L))
+      val ins = o.where(col("o_orderkey") % 7 === 3)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit(42.0).as("o_totalprice"),
+          lit("N").as("o_orderstatus"),
+          lit("U").as("op"), lit(1L).as("version"))
+      Mutations.mergeIntoPartitioned(s, work,
+        upd.unionByName(upd2).unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), pexpr)
+      Mutations.readPartitioned(s, work, o.schema).orderBy("o_orderkey")
+    },
+
+    "q_scd2_intervals" -> { (s, dir) =>
+      // gaps-and-islands / SCD2: collapse each user's consecutive equal
+      // event_types into validity intervals with exclusive handoff
+      graft.operators.Temporal.scd2(
+          events(s, dir).select(col("user_id"),
+            unix_timestamp(col("ts")).as("sec"), col("event_id"),
+            col("event_type")),
+          Seq("user_id"), Seq("sec", "event_id"), "sec", "event_type")
+        .orderBy("user_id", "island")
     },
 
     "pipe_sample_budget" -> { (s, dir) =>
@@ -2605,6 +2691,28 @@ object SparkEntry {
         |FROM b GROUP BY stream_id, be
         |ORDER BY stream_id, be""".stripMargin,
 
+    "ds_hist_quantile_rollup" ->
+      // day-level bins computed directly from raw — legal because the
+      // engine's hour→day fold is exact (bin counts are sums); quantile
+      // interpolation mirrors HistRollup.quantiles op-for-op
+      """WITH src AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value AS v FROM events),
+        |b AS (SELECT event_type, (sec // 86400) * 86400 AS t,
+        |    CAST(least(greatest(floor((v - 0.0) / 8.0), 0), 63) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM src GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, t, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, t ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, t) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT event_type, t, n,
+        |  round(max(CASE WHEN (cum - cnt) < 0.5 * n AND 0.5 * n <= cum
+        |    THEN 0.0 + 8.0 * (bin + (0.5 * n - (cum - cnt)) / cnt) END), 6) AS p50,
+        |  round(max(CASE WHEN (cum - cnt) < 0.95 * n AND 0.95 * n <= cum
+        |    THEN 0.0 + 8.0 * (bin + (0.95 * n - (cum - cnt)) / cnt) END), 6) AS p95
+        |FROM c GROUP BY event_type, t, n
+        |ORDER BY event_type, t""".stripMargin,
+
     "drv_derivative" ->
       s"""WITH $srcSql, $pointSql,
         |d AS (SELECT stream_id, t, v,
@@ -3342,6 +3450,76 @@ object SparkEntry {
         |FROM gr JOIN bg USING (g)
         |WHERE doc_id % 97 <> 0
         |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_contam_bloom" ->
+      // exact contamination SQL — the bloom is candidate pruning only,
+      // the exact-confirm join makes the engine result identical
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g FROM t),
+        |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 89 = 0)
+        |SELECT gr.doc_id, count(*) AS n_shared
+        |FROM gr JOIN bg USING (g)
+        |WHERE doc_id % 89 <> 0
+        |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(concat('ep1', ':', doc_id)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "q_merge_upsert" ->
+      // pure last-write-wins SQL over the same deterministic changelog;
+      // the engine side applies it copy-on-write per bucket — results
+      // must be identical
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |    FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |      o_orderstatus, 'U' AS op, 1 AS version
+        |    FROM o WHERE o_orderkey % 7 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 5000.0, o_orderstatus,
+        |      'U', 2 FROM o WHERE o_orderkey % 21 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D', 1
+        |    FROM o WHERE o_orderkey % 7 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 42.0, 'N', 'U', 1
+        |    FROM o WHERE o_orderkey % 7 = 3),
+        |latest AS (SELECT * FROM ch QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY version DESC, op DESC,
+        |      o_custkey DESC, o_totalprice DESC, o_orderstatus DESC) = 1)
+        |SELECT coalesce(c.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.o_custkey ELSE o.o_custkey END AS o_custkey,
+        |  CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE o.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.op = 'U' THEN c.o_orderstatus ELSE o.o_orderstatus END AS o_orderstatus
+        |FROM o FULL OUTER JOIN latest c ON o.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op = 'U'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, event_type FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |g AS (SELECT *, CAST(sum(chg)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT) - 1
+        |      AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(event_type) AS event_type,
+        |    min(sec) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, island, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+        |  n_events
+        |FROM i ORDER BY user_id, island""".stripMargin,
 
     "pipe_sample_budget" ->
       """WITH t AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,

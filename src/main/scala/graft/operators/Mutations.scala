@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.core.DatapointStore
+
+/** MERGE INTO / upsert semantics over immutable parquet — the lakehouse
+  * row-mutation primitive a training-data pipeline needs for label fixes,
+  * takedowns, and metadata backfills without an O(table) rewrite.
+  *
+  * Two layers:
+  *  - [[mergeFrame]] — the pure last-write-wins changelog semantics as a
+  *    single declarative plan (one shuffle on the merge key; AQE
+  *    broadcasts the reduced changelog when it is small, the common case).
+  *  - [[mergeIntoPartitioned]] — copy-on-write against a key-bucketed
+  *    parquet table: ONLY partitions named by the changelog are read,
+  *    merged, and swapped; untouched partitions see zero I/O. The bucket
+  *    column must be a pure function of the merge key (the standard
+  *    upsert-table layout) — that is exactly what makes the affected set
+  *    computable from the changes alone, with no base-table scan. Swap
+  *    reuses the store's crash-safe leaf protocol (write tmp, swing the
+  *    old leaf aside, swing the new one in; `recoverParts` heals a
+  *    mid-swap crash on next access), so a crash anywhere leaves a
+  *    readable table and the merge re-runs idempotently.
+  */
+object Mutations {
+
+  /** Apply a changelog to a base table, last-write-wins.
+    *
+    * `changes` carries the key columns, every base payload column, an
+    * `opCol` ('U' upsert — insert or replace; 'D' delete — drop if
+    * present, no-op otherwise) and a `versionCol`. Per key the row with
+    * the highest (version, op, payload…) struct wins — the full-struct
+    * tie-break makes equal-version re-deliveries collapse
+    * deterministically instead of nondeterministically.
+    */
+  def mergeFrame(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String = "op", versionCol: String = "version"): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    val pick = struct((versionCol +: opCol +: payload).map(col): _*)
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(max(pick).as("_ch"))
+      .select(keyCols.map(col) ++
+        (col(s"_ch.$opCol").as("_op") +:
+          payload.map(p => col(s"_ch.$p").as(s"_c_$p"))): _*)
+    base.join(latest, keyCols, "full_outer")
+      .where(col("_op").isNull || col("_op") === "U")
+      .select(keyCols.map(col) ++ payload.map(p =>
+        when(col("_op") === "U", col(s"_c_$p")).otherwise(col(p)).as(p)): _*)
+  }
+
+  /** Copy-on-write merge into `root`, a parquet table laid out as
+    * `root/<partCol>=<bucket>` where bucket = `partExpr` (a LONG-typed
+    * pure function of the key columns, e.g. `pmod(key, 256)`).
+    *
+    * Reads ONLY the buckets the changelog names, merges them via
+    * [[mergeFrame]], and swaps just those leaf dirs; a bucket whose merged
+    * content is empty (every row deleted) is removed. Returns the number
+    * of buckets rewritten.
+    */
+  def mergeIntoPartitioned(spark: SparkSession, root: String,
+      changes: DataFrame, keyCols: Seq[String], partExpr: Column,
+      partCol: String = "bucket", opCol: String = "op",
+      versionCol: String = "version"): Int = {
+    DatapointStore.recoverParts(root)
+    // changelog is consumed three times (affected list, merge, write) —
+    // checkpoint per the self-join re-run rule; changelogs are small
+    // relative to the table by the premise of a merge
+    val ch = changes.withColumn(partCol, partExpr).localCheckpoint(true)
+    val affected = ch.select(partCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return 0
+    val payloadSchema = StructType(
+      changes.schema.filterNot(f => f.name == opCol || f.name == versionCol))
+    val liveDirs = affected.map(v => new java.io.File(s"$root/$partCol=$v"))
+      .filter(_.exists).map(_.getPath)
+    val base =
+      if (liveDirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          payloadSchema)
+      else
+        spark.read.option("basePath", root)
+          .schema(payloadSchema.add(partCol, LongType))
+          .parquet(liveDirs: _*).drop(partCol)
+    val merged = mergeFrame(base, ch.drop(partCol), keyCols, opCol, versionCol)
+      .withColumn(partCol, partExpr)
+    val tmpRoot = new java.io.File(s"$root.graft-parts-tmp")
+    if (tmpRoot.exists()) DatapointStore.rmTree(tmpRoot)
+    merged.repartition(col(partCol)).sortWithinPartitions(keyCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(tmpRoot.getPath)
+    // crash-safe per-leaf swap, compact's protocol: aside → in → drop.
+    // An affected bucket absent from tmp was fully deleted — its live
+    // leaf swings aside and is dropped with the backups.
+    val bakRoot = new java.io.File(s"$root.graft-parts-bak")
+    affected.foreach { v =>
+      val rel = s"$partCol=$v"
+      val live = new java.io.File(s"$root/$rel")
+      val tmp = new java.io.File(s"$tmpRoot/$rel")
+      val bak = new java.io.File(s"$bakRoot/$rel")
+      bak.getParentFile.mkdirs()
+      if (live.exists() && !live.renameTo(bak))
+        throw new java.io.IOException(s"failed to move leaf aside: $live")
+      if (tmp.exists() && !tmp.renameTo(live))
+        throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
+      DatapointStore.rmTree(bak)
+    }
+    DatapointStore.rmTree(tmpRoot)
+    if (bakRoot.exists()) DatapointStore.rmTree(bakRoot)
+    affected.length
+  }
+
+  /** Read a [[mergeIntoPartitioned]] table (heals any crashed swap
+    * first). Schema-pinned so an empty or missing root is an empty frame,
+    * never an inference failure.
+    */
+  def readPartitioned(spark: SparkSession, root: String,
+      payloadSchema: StructType, partCol: String = "bucket"): DataFrame = {
+    DatapointStore.recoverParts(root)
+    if (!new java.io.File(root).exists())
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), payloadSchema)
+    spark.read.option("basePath", root)
+      .schema(payloadSchema.add(partCol, LongType))
+      .parquet(root).drop(partCol)
+  }
+}

@@ -165,13 +165,73 @@ object Pipeline {
     */
   def contaminationScores(train: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol),
-        explode(array_distinct(TextStats.wordTrigrams(col("toks")))).as("g"))
-    val benchGrams = grams(bench).select("g").distinct()
-    grams(train).join(broadcast(benchGrams), "g")
+    val benchGrams = docTrigrams(bench, idCol, textCol).select("g").distinct()
+    docTrigrams(train, idCol, textCol).join(broadcast(benchGrams), "g")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-doc distinct word trigrams — the shared probe stream of both
+    * contamination lanes. */
+  private def docTrigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), split(col(textCol), " ").as("toks"))
+    .select(col(idCol),
+      explode(array_distinct(TextStats.wordTrigrams(col("toks")))).as("g"))
+
+  /** [[contaminationScores]] for benchmark sets too big to broadcast as a
+    * hash relation: a Bloom filter over the benchmark trigrams (~1.2
+    * bytes/gram at 1% fpp vs ~50+ for a broadcast hash map — 10⁹ grams
+    * fit in ~1.2 GB) prefilters the train-gram stream MAP-SIDE, and only
+    * the surviving candidates pay the shuffled exact-confirm join. The
+    * bloom is candidate pruning ONLY — false positives die in the exact
+    * join, so the result is bit-identical to the broadcast lane (pinned
+    * in OperatorsSpec) and the same oracle SQL applies.
+    */
+  def contaminationScoresBloom(train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    // three consumers (count, bloom build, confirm join) — checkpoint or
+    // the bench tokenize+explode re-runs per consumer (CLAUDE.md self-join
+    // re-run trap)
+    val benchGrams = docTrigrams(bench, idCol, textCol).select("g")
+      .distinct().localCheckpoint(true)
+    val bloom = benchGrams.stat.bloomFilter("g",
+      math.max(benchGrams.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    docTrigrams(train, idCol, textCol)
+      .where(mightContain(col("g")))
+      // shuffle_hash pins the at-scale join shape (bench side too big to
+      // broadcast — that's this lane's premise); shuffle volume is
+      // candidates + bench grams, never the raw train-gram stream
+      .join(benchGrams.hint("shuffle_hash"), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Reproducible epoch-seeded global shuffle + sharding — the "shuffle
+    * the corpus between training epochs" primitive. Each row hashes to a
+    * 60-bit key from (seed, id), lands in `h % nShards`, and gets its
+    * within-shard position; training consumes shards in (shard, pos)
+    * order. Changing the seed re-deals the entire order; the same seed
+    * reproduces it on any engine (the md5 arithmetic is the
+    * oracle-portable 15-hex-char BIGINT lane).
+    *
+    * Scale shape: the hash is a pure projection; position is a window per
+    * SHARD, so parallelism = nShards (pick shards ≫ cores; a shard's rows
+    * are a 1/nShards sample of the corpus — balanced by construction, no
+    * skew key exists). No global sort, no single-partition window.
+    */
+  def shuffleShards(df: DataFrame, seed: String, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))
+          .cast("binary")), 1, 15),
+      16, 10).cast("long")
+    df.select(col(idCol), h.as("h"),
+        pmod(h, lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("h", idCol)).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
   }
 
   /** Shared tail of the two paragraph-rewrite ops: re-join each document's

@@ -1114,5 +1114,152 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hist rollup: fold is EXACT (≡ direct coarse build), quantiles within a bin width") {
+    import graft.operators.HistRollup
+    val spec = HistRollup.HistSpec(0.0, 512.0, 64)
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+        col("value").as("v"))
+    val hours = HistRollup.histBuckets(ev, "v", "sec", 3600L,
+      Seq("event_type"), spec)
+    // the whole point vs KLL/t-digest: the fold is DETERMINISTIC and
+    // byte-exact — folded day bins are identical rows to a direct
+    // day-level build, so the ladder can materialize any level from the
+    // one below with zero accuracy loss and the oracle can recompute it
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val folded = rows(HistRollup.fold(hours, 86400L, Seq("event_type")))
+    val direct = rows(HistRollup.histBuckets(ev, "v", "sec", 86400L,
+      Seq("event_type"), spec))
+    assert(folded == direct && folded.nonEmpty)
+    // structural accuracy: the estimate lands in the bin CONTAINING the
+    // order statistic at rank ceil(p·n) — within one bin width of it,
+    // guaranteed, at any n. (Comparing against percentile()'s
+    // p·(n−1)+1 interpolation convention instead is NOT bounded: on a
+    // 7-row group the two conventions straddle adjacent order statistics
+    // across a 30-wide data gap — observed, and expected of any
+    // fixed-rank estimator.)
+    val est = HistRollup.quantiles(
+        HistRollup.fold(hours, 86400L, Seq("event_type")),
+        Seq("event_type"), Seq("p50" -> 0.5, "p95" -> 0.95), spec)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val orderStats = ev.groupBy(col("event_type"),
+        ((col("sec") / 86400L).cast("long") * 86400L).as("t"))
+      .agg(sort_array(collect_list("v")).as("vs"))
+      .collect().map { r =>
+        val vs = r.getSeq[Double](2)
+        def at(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+        (r.getString(0), r.getLong(1)) -> (at(0.5), at(0.95))
+      }.toMap
+    assert(est.keySet == orderStats.keySet)
+    for ((k, (e50, e95)) <- orderStats) {
+      val (h50, h95) = est(k)
+      assert(math.abs(h50 - e50) <= spec.width, s"$k p50 $h50 vs $e50")
+      assert(math.abs(h95 - e95) <= spec.width, s"$k p95 $h95 vs $e95")
+      assert(h50 <= h95, s"$k quantiles not monotone")
+    }
+  }
+
+  test("contamination bloom lane ≡ broadcast lane, and the bloom actually prunes") {
+    import graft.operators.Pipeline
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where(col("doc_id") % 13 =!= 0)
+    val bench = docs.where(col("doc_id") % 13 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bloom is candidate pruning only — false positives die in the
+    // exact-confirm join, so the two lanes must be bit-identical
+    assert(rows(Pipeline.contaminationScoresBloom(train, bench))
+      == rows(Pipeline.contaminationScores(train, bench)))
+    // and at a tight fpp the filter really prunes: a disjoint-vocabulary
+    // train side yields zero candidates → zero result rows, no join work
+    import spark.implicits._
+    val disjoint = Seq((900001L, "zzqx wwvk yyrn ttpl zzqx wwvk yyrn"))
+      .toDF("doc_id", "text")
+    assert(Pipeline.contaminationScoresBloom(disjoint, bench).count() == 0L)
+  }
+
+  test("shuffleShards: deterministic permutation, balanced shards, seed re-deals") {
+    import graft.operators.Pipeline
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val a = Pipeline.shuffleShards(docs, "ep1", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every doc exactly once, each shard's positions are
+    // exactly 1..|shard| (training consumes (shard, pos) order gap-free)
+    assert(a.map(_._1).distinct.length == n)
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // deterministic: same seed reproduces the identical deal
+    val a2 = Pipeline.shuffleShards(docs, "ep1", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet == a2.toSet)
+    // different seed re-deals (some doc moves shard or position)
+    val b = Pipeline.shuffleShards(docs, "ep2", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.toSet != a.toSet)
+    // md5 balance: no shard holds more than 3x its fair share
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * n / 8)
+  }
+
+  test("scd2: hand-computed islands, exclusive handoff, null-safe values") {
+    import graft.operators.Temporal
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 30L, 4L, "b"), (1L, 40L, 5L, "a"),
+      (2L, 10L, 6L, "x")).toDF("user_id", "sec", "event_id", "event_type")
+    val got = Temporal.scd2(ev, Seq("user_id"), Seq("sec", "event_id"),
+        "sec", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, "a", 10L, 30L, 2L),   // valid_to = next island's start
+      (1L, 1L, "b", 30L, 40L, 2L),   // same-sec rows collapse into one island
+      (1L, 2L, "a", 40L, -1L, 1L),   // current interval: open-ended
+      (2L, 0L, "x", 10L, -1L, 1L)))
+  }
+
+  test("merge COW: only changelog buckets rewritten, empty bucket dropped, idempotent") {
+    import graft.operators.Mutations
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-merge-spec").toString + "/tbl"
+    // 4 buckets of 3 keys each (k % 4)
+    val base = (0L until 12L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val pexpr = pmod(col("k"), lit(4L))
+    base.withColumn("bucket", pexpr).repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(work)
+    def leafFiles(b: Long) =
+      new java.io.File(s"$work/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val untouched0 = leafFiles(0L)
+    val untouched3 = leafFiles(3L)
+    // bucket 1: update k=1; bucket 2: delete ALL of {2, 6, 10}
+    val ch = (Seq((1L, "V1", "U", 1L)) ++
+        Seq(2L, 6L, 10L).map(k => (k, "", "D", 1L)))
+      .toDF("k", "payload", "op", "version")
+    val n = Mutations.mergeIntoPartitioned(spark, work, ch, Seq("k"), pexpr)
+    assert(n == 2) // buckets 1 and 2 only
+    // untouched buckets: same files, same mtimes — zero I/O on them
+    assert(leafFiles(0L) == untouched0 && leafFiles(3L) == untouched3)
+    // fully-deleted bucket is gone from disk
+    assert(!new java.io.File(s"$work/bucket=2").exists())
+    val read = Mutations.readPartitioned(spark, work, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (0L until 12L).filterNot(Seq(2L, 6L, 10L).contains)
+      .map(k => k -> (if (k == 1L) "V1" else s"v$k")).toMap
+    assert(read == expect)
+    // re-applying the same changelog converges to the same table
+    Mutations.mergeIntoPartitioned(spark, work, ch, Seq("k"), pexpr)
+    val read2 = Mutations.readPartitioned(spark, work, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(read2 == expect)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
