@@ -1824,6 +1824,18 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivfpq" -> { (s, dir) =>
+      // ANN scale path #3: IVF + product quantization — coarse cells
+      // bound the candidates, PQ asymmetric distance (16 subspaces × a
+      // dense stride-5 codebook) scores them from codes alone; the
+      // billion-vector memory shape (Similarity.ivfpqTopK)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.ivfpqTopK(e, k = 3, stride = 50, nprobe = 2, m = 16)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_centroids" -> { (s, dir) =>
       // per-label centroid (element-wise mean) via posexplode → one hash
       // aggregation on (label, dim) — the shuffle-parallel formulation; a
@@ -1996,6 +2008,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("out_degree"),
           countDistinct("edge_to").as("n_targets"))
         .orderBy("edge_from")
+    },
+
+    "graph_pagerank" -> { (s, dir) =>
+      // link analysis over the event-type transition graph: damped
+      // weighted PageRank by INTEGER-exact power iteration (BIGINT
+      // fixed-point, floor division — Graphs.pageRank) so the oracle
+      // reproduces every step bit-for-bit; float ranks would diverge in
+      // summation order across engines
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).where(col("user_id") < 8)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id", "day").orderBy("event_id")
+      val edges = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graphs.pageRank(edges, iters = 3).orderBy("v")
+    },
+
+    "pipe_sample_weighted" -> { (s, dir) =>
+      // deterministic PPS sample: priority = md5-uniform div weight —
+      // integer-only weighted sampling (no libm) that any engine
+      // reproduces exactly; global top-k compiles to
+      // TakeOrderedAndProject, never a full corpus sort
+      graft.operators.Pipeline.sampleWeighted(
+          tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          k = 40, seed = "ws1", weightCol = "n_chars")
+        .orderBy("priority", "doc_id")
     },
 
     "mm_frames" -> { (s, dir) =>
@@ -3310,6 +3351,58 @@ object SparkEntry {
         |FROM seq WHERE prev IS NOT NULL
         |GROUP BY prev ORDER BY edge_from""".stripMargin,
 
+    "graph_pagerank" ->
+      // integer-exact damped power iteration (3 rounds), mirrored
+      // division-for-division: rank0 = scale//n, contrib = (r*w)//out_w,
+      // r' = base + (85*inflow)//100. DuckDB's sum() widens to HUGEINT —
+      // exact, cast back to BIGINT at the edges.
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                          ORDER BY event_id) AS prev
+        |  FROM events WHERE user_id < 8),
+        |ed AS (SELECT prev AS src, event_type AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+        |  FROM ed GROUP BY src),
+        |vs AS (SELECT DISTINCT v FROM
+        |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+        |pr AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0,
+        |    CAST(((1000000000000 // count(*)) * 15) // 100 AS BIGINT) AS base
+        |  FROM vs),
+        |it0 AS (SELECT v, r0 AS rank FROM vs CROSS JOIN pr),
+        |f1 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it0 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it1 AS (SELECT vs.v,
+        |    CAST(pr.base + (85 * coalesce(f1.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vs CROSS JOIN pr LEFT JOIN f1 ON f1.v = vs.v),
+        |f2 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it1 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it2 AS (SELECT vs.v,
+        |    CAST(pr.base + (85 * coalesce(f2.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vs CROSS JOIN pr LEFT JOIN f2 ON f2.v = vs.v),
+        |f3 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it2 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it3 AS (SELECT vs.v,
+        |    CAST(pr.base + (85 * coalesce(f3.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vs CROSS JOIN pr LEFT JOIN f3 ON f3.v = vs.v)
+        |SELECT v, rank FROM it3 ORDER BY v""".stripMargin,
+
+    "pipe_sample_weighted" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substring(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      // CAST(n_chars AS BIGINT) AS priority
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, priority FROM t
+        |ORDER BY priority, doc_id LIMIT 40""".stripMargin,
+
     "pipe_split_hash" ->
       """WITH s AS (SELECT *,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
@@ -3670,6 +3763,57 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
         |  FROM p)
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "emb_ann_ivfpq" ->
+      // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ
+      // codebook = the stride-5 sample's 4-dim slices; subspace L2²
+      // = (dot(a,a) - 2*dot(a,b)) + dot(b,b); adist = fixed left-assoc
+      // chain of the 16 single-valued conditional sums
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |pqc AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 5 = 0),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, cent_id AS cell FROM r WHERE crnk <= 2),
+        |sub AS (SELECT unnest(range(0, 16)) AS s),
+        |cb AS (SELECT pqc.cent_id, sub.s,
+        |    pqc.cemb[sub.s * 4 + 1 : sub.s * 4 + 4] AS csub FROM pqc CROSS JOIN sub),
+        |vsub AS (SELECT e.vec_id, sub.s,
+        |    e.emb[sub.s * 4 + 1 : sub.s * 4 + 4] AS vs FROM e CROSS JOIN sub),
+        |dist AS (SELECT v.vec_id, v.s, cb.cent_id,
+        |    (list_dot_product(v.vs, v.vs) - 2 * list_dot_product(v.vs, cb.csub))
+        |      + list_dot_product(cb.csub, cb.csub) AS d2
+        |  FROM vsub v JOIN cb ON cb.s = v.s),
+        |codes AS (SELECT vec_id AS cid, s, cent_id FROM (
+        |    SELECT vec_id, s, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cand AS (SELECT p.qid, cl.vec_id AS cid
+        |  FROM probes p JOIN cells cl USING (cell) WHERE cl.vec_id <> p.qid),
+        |adc AS (SELECT cand.qid, cand.cid, co.s, d.d2
+        |  FROM cand JOIN codes co ON co.cid = cand.cid
+        |  JOIN dist d ON d.vec_id = cand.qid AND d.s = co.s AND d.cent_id = co.cent_id),
+        |ad AS (SELECT qid, cid,
+        |    ((((((((((((((sum(CASE WHEN s = 0 THEN d2 END) + sum(CASE WHEN s = 1 THEN d2 END))
+        |      + sum(CASE WHEN s = 2 THEN d2 END)) + sum(CASE WHEN s = 3 THEN d2 END))
+        |      + sum(CASE WHEN s = 4 THEN d2 END)) + sum(CASE WHEN s = 5 THEN d2 END))
+        |      + sum(CASE WHEN s = 6 THEN d2 END)) + sum(CASE WHEN s = 7 THEN d2 END))
+        |      + sum(CASE WHEN s = 8 THEN d2 END)) + sum(CASE WHEN s = 9 THEN d2 END))
+        |      + sum(CASE WHEN s = 10 THEN d2 END)) + sum(CASE WHEN s = 11 THEN d2 END))
+        |      + sum(CASE WHEN s = 12 THEN d2 END)) + sum(CASE WHEN s = 13 THEN d2 END))
+        |      + sum(CASE WHEN s = 14 THEN d2 END)) + sum(CASE WHEN s = 15 THEN d2 END) AS adist
+        |  FROM adc GROUP BY qid, cid),
+        |t AS (SELECT qid, cid, adist,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS BIGINT) AS rnk
+        |  FROM ad)
+        |SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
 
     "emb_centroids" ->

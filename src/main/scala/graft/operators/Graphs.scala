@@ -71,4 +71,54 @@ object Graphs {
           .otherwise(size(array_except(col("__prev"), col("__es"))).cast("long")))
       .drop("__es", "__prev")
   }
+
+  /** Weighted PageRank by integer-exact power iteration. Floats are
+    * banned on purpose: cross-engine float summation order differs, so an
+    * auditable rank needs arithmetic any engine reproduces bit-for-bit.
+    * Ranks live on a fixed-point scale (default 10^12); every step is
+    * BIGINT floor division:
+    *
+    *   n        = |vertices|,  r0(v) = scale div n
+    *   contrib  = (r(u) * w(u->v)) div outW(u)
+    *   r'(v)    = ((scale div n) * (dampDen - dampNum)) div dampDen
+    *              + (dampNum * sum(contrib into v)) div dampDen
+    *
+    * Dangling vertices (no out-edges) leak their mass — the standard
+    * "leaky" simplification; ranks then UNDER-estimate slightly but stay
+    * deterministic and monotone in link structure. Overflow-safe while
+    * scale * max(w) < 2^63 and dampNum * scale * n_in < 2^63.
+    *
+    * Scale shape: each iteration is one equi-join of ranks to edges on
+    * src + one hash aggregation on dst — O(E) shuffled per round, no
+    * driver iteration over vertices; the edge/out-weight frame is
+    * localCheckpoint'd once (it is re-read every round — the self-join
+    * re-run rule). Input: (src, dst, w:<BIGINT-able>); output (v, rank).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val ew = e.join(outW, "src").localCheckpoint(true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+    val n = verts.count()
+    val basePart = (scale / n) * (dampDen - dampNum) / dampDen
+    var ranks = verts.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"),
+          expr("(rank * w) div out_w").as("contrib"))
+        .groupBy("v").agg(sum("contrib").as("inflow"))
+      ranks = verts.join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (lit(basePart) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -383,6 +383,33 @@ object Pipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     sampleMixture(df, Map.empty, budget, sourceCol, idCol, textCol)
 
+  /** Deterministic weighted priority sample (PPS-style, k rows): each row
+    * draws u = 60-bit md5(seed:id) — uniform over [0, 2^60) — and its
+    * priority is `u div weight` (BIGINT floor division), so doubling a
+    * row's weight halves its expected priority and the k SMALLEST
+    * priorities are a probability-proportional-to-size sample. Integer
+    * arithmetic only (no exp/ln, whose last-ulp varies across libm
+    * implementations), so any engine reproduces the exact sample from the
+    * same (seed, id, weight) triples.
+    *
+    * Scale shape: priority is a pure projection; the global top-k compiles
+    * to TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), never a full sort of the corpus. Weights must be >= 1.
+    */
+  def sampleWeighted(df: DataFrame, k: Int, seed: String,
+      weightCol: String, idCol: String = "doc_id"): DataFrame = {
+    val u = conv(substring(md5(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))
+          .cast("binary")), 1, 15),
+      16, 10).cast("long")
+    df.withColumn("__u", u)
+      .withColumn("priority",
+        expr(s"__u div CAST($weightCol AS BIGINT)"))
+      .drop("__u")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Mixture reweighting: [[sampleBudget]] with a per-source token budget
     * so the sampled corpus hits a TARGET source mix (upweight curated
     * sources, cap the crawl) instead of equal shares. Budgets compile to

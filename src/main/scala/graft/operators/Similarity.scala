@@ -246,12 +246,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2): DataFrame =
     ivfTopKWith(corpus, strideCentroids(corpus, stride), k, nprobe)
 
-  private def ivfTopKWith(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
-      k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared IVF probe assignment: every vector gets `probes` — its nprobe
+    * best cells by cosine (probes[0] is the argmax HOME cell), computed
+    * from ONE materialized cell-similarity array (the index build; both
+    * the corpus side and the probe side derive from it, and without the
+    * checkpoint each would re-run the K graft_dot calls per vector).
+    * Output: (vec_id, emb, norm, probes), localCheckpoint'd.
+    */
+  private def withProbes(corpus: DataFrame,
+      cents: Array[(Long, Seq[Double])], nprobe: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(cents.length >= nprobe,
-      s"ivfTopK needs >= $nprobe centroids, got ${cents.length}")
+      s"IVF needs >= $nprobe centroids, got ${cents.length}")
     // driver-side left-fold sum matches the sequential dot the engines use,
     // so the literal norms are bit-identical to sqrt(graft_dot(c, c))
     val centNorms = cents.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
@@ -262,9 +268,6 @@ object Similarity {
       call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
         (col("norm") * lit(centNorms(i)))
     }
-    // materialize the cell-similarity array once (the IVF index build):
-    // both the corpus side and the probe side derive from it, and without
-    // this each would re-run the K graft_dot calls per vector
     val withSims = n.withColumn("sims", array(simCols: _*))
       .localCheckpoint(true)
 
@@ -279,13 +282,19 @@ object Similarity {
         (x, i) => when(i.cast("long") === pos, lit(Double.NegativeInfinity))
           .otherwise(x))
     }
-    val allProbes = probeCells.result()
+    withSims.withColumn("probes", array(probeCells.result(): _*))
+      .select(col("vec_id"), col("emb"), col("norm"), col("probes"))
+  }
 
-    val corpusSide = withSims
-      .withColumn("cell", allProbes.head) // argmax cell: each vector in ONE cell
+  private def ivfTopKWith(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = withProbes(corpus, cents, nprobe)
+    val corpusSide = assigned
+      .withColumn("cell", element_at(col("probes"), 1)) // argmax: ONE home cell
       .select(col("vec_id"), col("emb"), col("norm"), col("cell"))
-    val probeSide = withSims
-      .withColumn("cell", explode(array(allProbes: _*)))
+    val probeSide = assigned
+      .withColumn("cell", explode(col("probes")))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("norm").as("q_norm"), col("cell"))
     val pairs = probeSide.join(corpusSide, Seq("cell"))
@@ -295,6 +304,97 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
+  /** IVF+PQ ANN top-k (FAISS-style IVFPQ, PQ over raw vectors — no
+    * residual encoding): the coarse IVF quantizer bounds each query's
+    * candidates to its nprobe cells, and candidates are scored by PQ
+    * ASYMMETRIC distance (ADC) — each corpus vector is represented by m
+    * per-subspace code ids, and a query scores a candidate by summing its
+    * per-subspace distance-table entries. This is the memory/bandwidth
+    * shape that makes billion-vector search feasible: the search never
+    * touches candidate raw vectors (codes are m small ints vs dim
+    * doubles), the per-query distance table is m×ksub doubles, and
+    * encode (corpus × broadcast codebook) and search (probe equi-join +
+    * code/table equi-joins) are all broadcast- or shuffle-bounded — no
+    * all-pairs anywhere.
+    *
+    * Deterministic / oracle-reproducible by construction:
+    *  - codebook for subspace s = the stride-sampled vectors' s-th dim/m
+    *    slice (entry ids = sampled vec_ids), so any engine rebuilds it;
+    *  - subspace L2² is (dot(a,a) − 2·dot(a,b)) + dot(b,b), with that
+    *    exact parenthesization mirrored in the oracle SQL;
+    *  - code assignment ties break to the lowest codebook entry id;
+    *  - adist sums the m subspace terms in a fixed left-assoc chain of
+    *    single-valued conditional aggregates ((d0+d1)+d2)+d3, so
+    *    cross-engine float summation order can't diverge;
+    *  - ranking is (adist asc, cid asc) on the raw double.
+    *
+    * Output: (qid, cid, rnk, adist) — approximate squared L2, rnk <= k.
+    */
+  def ivfpqTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2,
+      m: Int = 16, pqStride: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val cents = strideCentroids(corpus, stride)
+    // the PQ codebook samples DENSER than the coarse quantizer (ksub ≫ K
+    // is the FAISS norm — subspace quantization error, not cell recall,
+    // dominates ADC quality)
+    val pqSample = strideCentroids(corpus, pqStride)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    val assigned = withProbes(corpus, cents, nprobe).localCheckpoint(true)
+
+    // PQ codebook: (cent_id, s, csub, |csub|²) — metadata-scale, broadcast
+    import spark.implicits._
+    val cb = (for { (cid, c) <- pqSample.toSeq; s0 <- 0 until m } yield {
+        val cs = c.slice(s0 * sub, s0 * sub + sub)
+        (cid, s0, cs, cs.map(x => x * x).sum)
+      }).toDF("cent_id", "s", "csub", "cn2")
+
+    // dist(vec_id, s, cent_id, d2): corpus × broadcast codebook — serves
+    // BOTH as the encoder input (argmin per (vec, s) = the code) and as
+    // every query's ADC distance table, so it is computed once and
+    // checkpointed (two consumers — the self-join re-run rule)
+    val dist = assigned
+      .withColumn("subs", array((0 until m).map(s0 =>
+        slice(col("emb"), s0 * sub + 1, sub)): _*))
+      .withColumn("selfd", expr("transform(subs, x -> graft_dot(x, x))"))
+      .select(col("vec_id"), col("subs"), col("selfd"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("s"), col("cent_id"),
+        ((element_at(col("selfd"), col("s") + 1)
+          - lit(2.0) * expr("graft_dot(element_at(subs, s + 1), csub)"))
+          + col("cn2")).as("d2"))
+      .localCheckpoint(true)
+
+    val wCode = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2"), col("cent_id"))
+    val codes = dist.withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("s"), col("cent_id"))
+
+    val corpusSide = assigned.select(col("vec_id"),
+      element_at(col("probes"), 1).as("cell"))
+    val probeSide = assigned.select(col("vec_id").as("qid"),
+      explode(col("probes")).as("cell"))
+    val cand = probeSide.join(corpusSide, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+
+    val adc = cand.join(codes, Seq("cid"))
+      .join(dist.select(col("vec_id").as("qid"), col("s"), col("cent_id"),
+        col("d2")), Seq("qid", "s", "cent_id"))
+    def dPart(i: Int): Column = sum(when(col("s") === i, col("d2")))
+    val ad = adc.groupBy("qid", "cid")
+      .agg((0 until m).map(dPart).reduceLeft(_ + _).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    ad.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"), col("adist"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at

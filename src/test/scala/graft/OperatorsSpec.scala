@@ -1261,5 +1261,97 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read2 == expect)
   }
 
+  test("pageRank: integer-exact recurrence matches hand-computed fixture") {
+    // A→B, A→C, B→A (w=1 each), scale 10^12, damping 85/100, 3 rounds —
+    // expected values derived by hand from the documented recurrence
+    // (r0 = scale//n, contrib = (r*w)//outW, r' = base + (85*in)//100);
+    // any drift in division order or damping arithmetic breaks these
+    // literals AND the graph_pagerank oracle identically.
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r = graft.operators.Graphs.pageRank(edges, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A" -> 212916666664L, "B" -> 140489583331L,
+      "C" -> 140489583331L))
+    // leaky-dangling design: total mass never exceeds the scale
+    assert(r.values.sum <= 1000000000000L)
+  }
+
+  test("ivfpqTopK: ADC retrieves semantic neighbors on clustered data; carries signal on the gate corpus") {
+    import spark.implicits._
+    // 1) PQ's design regime — clustered embeddings: 40 tight clusters of
+    // 12 on the unit sphere (fixed seed → deterministic forever). The
+    // semantic property ADC must deliver: retrieved top-3 are CLUSTER
+    // MATES. (Exact top-3 set-identity is the wrong bar inside a tight
+    // cluster: mates are equidistant to within the quantization error.)
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(40)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until 40; j <- 0 until 12) yield {
+      val v = unit(centers(c).map(_ + 0.05 * rnd.nextGaussian()))
+      (c * 12L + j, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "emb")
+    val top = Similarity.ivfpqTopK(corpus, k = 3, stride = 50, nprobe = 2,
+        m = 16, pqStride = 5)
+      .select("qid", "cid").collect()
+    val sameCluster = top.count(r => r.getLong(0) / 12 == r.getLong(1) / 12)
+    val frac = sameCluster.toDouble / top.length
+    assert(frac >= 0.9, s"clustered corpus: same-cluster top-3 frac = $frac")
+
+    // 2) gate corpus (RANDOM unit vectors — PQ's worst case by distance
+    // concentration: quantization error ~ inter-point distances, so
+    // absolute recall is structurally modest; the clustered pin above is
+    // the quality bar). Sanity floor: far above the 3/499 chance level.
+    val path = "/root/testdata/sf0.001/embeddings.parquet"
+    assume(new java.io.File(path).exists())
+    val e = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pq = Similarity.ivfpqTopK(e, k = 3, stride = 50, nprobe = 2, m = 16)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var hit = 0; var tot = 0
+    vecs.keys.foreach { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (l2(vecs(q), vecs(c)), c)).take(3).toSet
+      tot += 3; hit += exact.count(pq.getOrElse(q, Set.empty).contains)
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.15,
+      s"$path: IVFPQ recall vs exact-L2 top-3 = $recall (chance ~ 0.006)")
+  }
+
+  test("sampleWeighted: deterministic PPS — heavy rows dominate, formula is engine-portable") {
+    import spark.implicits._
+    // one 10^9-weight row among 200 weight-1 rows: its priority is u//1e9
+    // (≲ 1.2e9) vs ~1e16 for the best weight-1 row — with the fixed seed
+    // this is a stable outcome, not a probabilistic claim
+    val df = (0L until 201L).map(i => (i, if (i == 0) 1000000000L else 1L))
+      .toDF("doc_id", "wt")
+    val top = graft.operators.Pipeline.sampleWeighted(df, k = 1, seed = "t",
+      weightCol = "wt").collect()
+    assert(top.length == 1 && top(0).getLong(0) == 0L)
+    // priority formula spot-check: u = first 15 md5 hex chars of
+    // "t:7" as a BIGINT, floor-divided by the weight
+    val u = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("t:7").take(15), 16)
+    val p7 = graft.operators.Pipeline.sampleWeighted(df, k = 201, seed = "t",
+      weightCol = "wt").where(col("doc_id") === 7L)
+      .select("priority").head().getLong(0)
+    assert(p7 == u / 1L)
+    // k smallest by priority, exactly k rows, stable across runs
+    val a = graft.operators.Pipeline.sampleWeighted(df, k = 40, seed = "s2",
+      weightCol = "wt").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = graft.operators.Pipeline.sampleWeighted(df, k = 40, seed = "s2",
+      weightCol = "wt").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 40)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
