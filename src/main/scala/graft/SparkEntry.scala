@@ -1721,6 +1721,42 @@ object SparkEntry {
       Mutations.readPartitioned(s, work, o.schema).orderBy("o_orderkey")
     },
 
+    "q_time_travel" -> { (s, dir) =>
+      // lakehouse time travel: three committed versions of a bucketed
+      // orders table (init → update+delete → update+insert), every
+      // snapshot re-read BY VERSION from the transaction log — unchanged
+      // buckets are shared across versions, never rewritten
+      // (VersionedTable). Money is exact integer cents (BIGINT) per the
+      // cross-engine decimal invariant.
+      import graft.operators.VersionedTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-tt-q").toString + "/tbl"
+      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val pexpr = pmod(col("k"), lit(16L))
+      VersionedTable.init(s, work, base, pexpr)
+      val upd1 = base.where(col("k") % 7 === 1)
+        .withColumn("cents", col("cents") + 1000L)
+        .withColumn("op", lit("U")).withColumn("version", lit(1L))
+      val del1 = base.where(col("k") % 7 === 2)
+        .withColumn("op", lit("D")).withColumn("version", lit(1L))
+      VersionedTable.merge(s, work, upd1.unionByName(del1), Seq("k"), pexpr)
+      val upd2 = base.where(col("k") % 21 === 1)
+        .withColumn("cents", col("cents") + 6000L)
+        .withColumn("op", lit("U")).withColumn("version", lit(2L))
+      val ins2 = base.where(col("k") % 7 === 3)
+        .select((col("k") + 100000000L).as("k"), lit(4242L).as("cents"),
+          lit("U").as("op"), lit(2L).as("version"))
+      VersionedTable.merge(s, work, upd2.unionByName(ins2), Seq("k"), pexpr)
+      val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
+      (0L to 2L).map { v =>
+        VersionedTable.readAt(s, work, schema, v)
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
     "q_scd2_intervals" -> { (s, dir) =>
       // gaps-and-islands / SCD2: collapse each user's consecutive equal
       // event_types into validity intervals with exclusive handoff
@@ -3594,6 +3630,32 @@ object SparkEntry {
         |FROM o FULL OUTER JOIN latest c ON o.o_orderkey = c.o_orderkey
         |WHERE c.op IS NULL OR c.op = 'U'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_time_travel" ->
+      // relational recomputation of each committed snapshot: v1 =
+      // update(%7=1, +1000) + delete(%7=2); v2 = v1 + update(%21=1, a
+      // further +5000 on the ORIGINAL cents => +6000) + inserts(%7=3)
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN cents + 1000 ELSE cents END AS cents
+        |  FROM base WHERE k % 7 <> 2),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 21 = 1 THEN cents + 6000
+        |                 WHEN k % 7 = 1 THEN cents + 1000
+        |                 ELSE cents END AS cents
+        |    FROM base WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k + 100000000, 4242 FROM base WHERE k % 7 = 3)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |      CAST(sum(cents) AS BIGINT) AS sum_cents FROM base
+        |  UNION ALL
+        |  SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+        |  UNION ALL
+        |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2)
+        |ORDER BY version""".stripMargin,
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

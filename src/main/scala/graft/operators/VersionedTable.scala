@@ -1,0 +1,223 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.DatapointStore
+
+/** Time-travel table: [[Mutations]]' bucket-granular copy-on-write plus a
+  * transaction log, so every historical snapshot stays readable — the
+  * lakehouse property a training-data pipeline needs for reproducibility
+  * ("train exactly on the corpus as of version N") and for auditable
+  * takedowns.
+  *
+  * Layout:
+  * {{{
+  *   root/_log/<%020d>.json      one commit record per version
+  *   root/_log/_horizon          oldest version still readable (vacuum)
+  *   root/data/v=N/<partCol>=B/  bucket files WRITTEN BY commit N
+  * }}}
+  *
+  * A commit record lists the buckets its version rewrote (`buckets`) and
+  * the buckets it deleted entirely (`dropped`). A snapshot at version V
+  * resolves, per bucket, the latest commit <= V that mentions it — so
+  * unchanged buckets are SHARED across versions (no duplication), and a
+  * merge's I/O is O(affected buckets), never O(table).
+  *
+  * Crash safety is commit-record-last: data files are written first, the
+  * record is renamed into `_log/` atomically afterwards. A crash anywhere
+  * leaves either a fully-committed version or an orphaned `data/v=N` dir
+  * that no record references — readers never see it and [[heal]] removes
+  * it before the next write reuses the version number. Single-writer by
+  * design (the store's driver owns the log), matching the reference's
+  * one-owner stream-store model.
+  *
+  * At 100 TB: the log is metadata (one tiny JSON per commit, resolved
+  * driver-side); reads list O(buckets) directories and prune to the
+  * buckets a query names; [[vacuum]] bounds storage by dropping bucket
+  * dirs no retained snapshot references, in O(dirs) metadata work.
+  */
+object VersionedTable {
+
+  final case class Commit(version: Long, buckets: Seq[Long], dropped: Seq[Long])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private def logDir(root: String) = new File(s"$root/_log")
+
+  private def commitPath(root: String, v: Long) =
+    new File(logDir(root), f"$v%020d.json")
+
+  /** All committed versions, ascending. */
+  def commits(root: String): Seq[Commit] = {
+    val dir = logDir(root)
+    if (!dir.exists()) return Seq.empty
+    dir.listFiles().filter(f => f.getName.endsWith(".json")).sorted.toSeq
+      .map { f =>
+        val n = mapper.readTree(Files.readString(f.toPath))
+        def longs(field: String): Seq[Long] = {
+          val arr = n.get(field)
+          (0 until arr.size()).map(arr.get(_).asLong())
+        }
+        Commit(n.get("version").asLong(), longs("buckets"), longs("dropped"))
+      }
+  }
+
+  def latestVersion(root: String): Long =
+    commits(root).lastOption.map(_.version).getOrElse(-1L)
+
+  /** Oldest version [[readAt]] may still serve (advanced by [[vacuum]]). */
+  def horizon(root: String): Long = {
+    val f = new File(logDir(root), "_horizon")
+    if (f.exists()) Files.readString(f.toPath).trim.toLong else 0L
+  }
+
+  /** Remove data dirs no commit record references (a crashed writer's
+    * leftovers — invisible to readers, but their version number is about
+    * to be reused).
+    */
+  def heal(root: String): Unit = {
+    val committed = commits(root).map(_.version).toSet
+    val data = new File(s"$root/data")
+    if (!data.exists()) return
+    data.listFiles().filter(_.getName.startsWith("v="))
+      .filterNot(d => committed(d.getName.drop(2).toLong))
+      .foreach(DatapointStore.rmTree)
+  }
+
+  private def writeCommit(root: String, c: Commit): Unit = {
+    logDir(root).mkdirs()
+    val json = s"""{"version":${c.version},""" +
+      s""""buckets":[${c.buckets.mkString(",")}],""" +
+      s""""dropped":[${c.dropped.mkString(",")}]}"""
+    val tmp = new File(logDir(root), s".tmp-${c.version}.json")
+    Files.writeString(tmp.toPath, json)
+    Files.move(tmp.toPath, commitPath(root, c.version).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def bucketsWritten(root: String, v: Long, partCol: String): Seq[Long] = {
+    val d = new File(s"$root/data/v=$v")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.getName.startsWith(s"$partCol="))
+      .map(_.getName.drop(partCol.length + 1).toLong).sorted.toSeq
+  }
+
+  /** Create version 0 from `df`. `partExpr` must be a LONG-typed pure
+    * function of the key columns (the same premise as
+    * [[Mutations.mergeIntoPartitioned]]).
+    */
+  def init(spark: SparkSession, root: String, df: DataFrame,
+      partExpr: Column, partCol: String = "bucket"): Long = {
+    require(latestVersion(root) < 0, s"versioned table already exists: $root")
+    heal(root)
+    df.withColumn(partCol, partExpr).repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$root/data/v=0")
+    writeCommit(root, Commit(0L, bucketsWritten(root, 0L, partCol), Seq.empty))
+    0L
+  }
+
+  /** Per-bucket leaf dir of the snapshot at `version` (latest commit
+    * <= version wins per bucket; a bucket whose winning commit dropped it
+    * is absent).
+    */
+  private def snapshotDirs(root: String, version: Long,
+      partCol: String): Seq[(Long, String)] = {
+    val upTo = commits(root).filter(_.version <= version)
+    require(upTo.nonEmpty, s"no commit at or before version $version in $root")
+    val latest = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    upTo.foreach { c =>
+      c.buckets.foreach(b => latest(b) = (c.version, true))
+      c.dropped.foreach(b => latest(b) = (c.version, false))
+    }
+    latest.toSeq.collect { case (b, (v, true)) =>
+      b -> s"$root/data/v=$v/$partCol=$b"
+    }.sortBy(_._1)
+  }
+
+  /** Read the table as of `version` (-1 = latest). Payload schema is
+    * pinned so an empty snapshot is an empty frame, never an inference
+    * failure.
+    */
+  def readAt(spark: SparkSession, root: String, payloadSchema: StructType,
+      version: Long = -1L, partCol: String = "bucket"): DataFrame = {
+    val v = if (version < 0) latestVersion(root) else version
+    require(v >= horizon(root),
+      s"version $v vacuumed (horizon ${horizon(root)}) in $root")
+    val dirs = snapshotDirs(root, v, partCol).map(_._2)
+      .filter(d => new File(d).exists())
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        payloadSchema)
+    else spark.read.schema(payloadSchema).parquet(dirs: _*)
+  }
+
+  /** Apply a changelog (op 'U'/'D' + version column, the
+    * [[Mutations.mergeFrame]] contract) as a NEW table version: only the
+    * changelog-named buckets are read from the current snapshot, merged
+    * and rewritten under `data/v=N`; every other bucket is inherited by
+    * the log. Returns the committed version.
+    */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+      keyCols: Seq[String], partExpr: Column, partCol: String = "bucket",
+      opCol: String = "op", versionCol: String = "version"): Long = {
+    heal(root)
+    val prev = latestVersion(root)
+    require(prev >= 0, s"init() the table before merging: $root")
+    val v = prev + 1
+    val ch = changes.withColumn(partCol, partExpr).localCheckpoint(true)
+    val affected = ch.select(partCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return prev
+    val payloadSchema = StructType(
+      changes.schema.filterNot(f => f.name == opCol || f.name == versionCol))
+    val affectedSet = affected.toSet
+    val baseDirs = snapshotDirs(root, prev, partCol)
+      .collect { case (b, d) if affectedSet(b) => d }
+      .filter(d => new File(d).exists())
+    val base =
+      if (baseDirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          payloadSchema)
+      else spark.read.schema(payloadSchema).parquet(baseDirs: _*)
+    Mutations.mergeFrame(base, ch.drop(partCol), keyCols, opCol, versionCol)
+      .withColumn(partCol, partExpr)
+      .repartition(col(partCol)).sortWithinPartitions(keyCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$root/data/v=$v")
+    val written = bucketsWritten(root, v, partCol)
+    val dropped = affected.filterNot(written.contains).toSeq
+    writeCommit(root, Commit(v, written, dropped))
+    v
+  }
+
+  /** Keep the last `keep` versions readable; drop every bucket dir only
+    * older snapshots reference and advance the horizon. Metadata-only
+    * work: the log names every candidate dir.
+    */
+  def vacuum(root: String, keep: Int, partCol: String = "bucket"): Int = {
+    val all = commits(root)
+    if (all.length <= keep) return 0
+    val newHorizon = all(all.length - keep).version
+    val live = (all.length - keep until all.length)
+      .flatMap(i => snapshotDirs(root, all(i).version, partCol))
+      .map(_._2).toSet
+    var removed = 0
+    val data = new File(s"$root/data")
+    if (data.exists()) data.listFiles().filter(_.getName.startsWith("v="))
+      .filter(_.getName.drop(2).toLong < newHorizon)
+      .foreach { vd =>
+        vd.listFiles().filter(_.getName.startsWith(s"$partCol=")).foreach { bd =>
+          if (!live(bd.getPath)) { DatapointStore.rmTree(bd); removed += 1 }
+        }
+      }
+    val hf = new File(logDir(root), "_horizon")
+    Files.writeString(hf.toPath, newHorizon.toString)
+    removed
+  }
+}

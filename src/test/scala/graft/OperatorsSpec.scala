@@ -1261,6 +1261,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read2 == expect)
   }
 
+  test("VersionedTable: snapshots share unchanged buckets, crashes heal, vacuum bounds storage") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt").toString + "/tbl"
+    val base = (0L until 12L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    assert(VersionedTable.init(spark, work, base, pexpr) == 0L)
+    def snap(v: Long): Map[Long, String] =
+      VersionedTable.readAt(spark, work, base.schema, v)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = (0L until 12L).map(k => k -> s"v$k").toMap
+
+    // v1: update k=1 (bucket 1), delete k=2 (bucket 2): ONLY those two
+    // buckets are rewritten — the other two are shared from v0
+    val ch1 = Seq((1L, "V1", "U", 1L), (2L, "v2", "D", 1L))
+      .toDF("k", "value", "op", "version")
+    assert(VersionedTable.merge(spark, work, ch1, Seq("k"), pexpr) == 1L)
+    val v1dirs = new java.io.File(s"$work/data/v=1").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(v1dirs == Set("bucket=1", "bucket=2"))
+    assert(snap(0) == all)
+    assert(snap(1) == all - 2L + (1L -> "V1"))
+
+    // v2: delete ALL of bucket 3 — recorded as a dropped bucket
+    val ch2 = Seq((3L, "x", "D", 2L), (7L, "x", "D", 2L), (11L, "x", "D", 2L))
+      .toDF("k", "value", "op", "version")
+    assert(VersionedTable.merge(spark, work, ch2, Seq("k"), pexpr) == 2L)
+    assert(snap(2) == all - 2L + (1L -> "V1") - 3L - 7L - 11L)
+    assert(VersionedTable.commits(work).last.dropped == Seq(3L))
+
+    // crashed writer: an orphan data/v=3 dir with no commit record is
+    // invisible and healed before the version number is reused
+    val orphan = new java.io.File(s"$work/data/v=3/bucket=0")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "garbage.parquet").toPath, "not parquet")
+    assert(VersionedTable.latestVersion(work) == 2L)
+    assert(snap(2) == all - 2L + (1L -> "V1") - 3L - 7L - 11L) // unaffected
+    val ch3 = Seq((0L, "V0", "U", 3L)).toDF("k", "value", "op", "version")
+    assert(VersionedTable.merge(spark, work, ch3, Seq("k"), pexpr) == 3L)
+    assert(!new java.io.File(orphan, "garbage.parquet").exists())
+    assert(snap(3) == all - 2L + (1L -> "V1") - 3L - 7L - 11L + (0L -> "V0"))
+
+    // vacuum to the last 2 versions: v0's superseded buckets go, shared
+    // buckets old snapshots still reference stay, horizon advances
+    val removed = VersionedTable.vacuum(work, keep = 2)
+    assert(removed == 3) // v0 buckets 1,2,3 (0 is still live via snap(2))
+    assert(snap(2) == all - 2L + (1L -> "V1") - 3L - 7L - 11L)
+    assert(snap(3)(0L) == "V0")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAt(spark, work, base.schema, 0L)
+    }
+  }
+
   test("pageRank: integer-exact recurrence matches hand-computed fixture") {
     // A→B, A→C, B→A (w=1 each), scale 10^12, damping 85/100, 3 rounds —
     // expected values derived by hand from the documented recurrence
