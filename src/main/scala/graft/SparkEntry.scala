@@ -2075,6 +2075,23 @@ object SparkEntry {
         .orderBy("priority", "doc_id")
     },
 
+    "pipe_split_leakage" -> { (s, dir) =>
+      // leakage-safe splits: the split unit is the near-dup CLUSTER
+      // (minhash pair graph → CC representative), so a near-duplicate
+      // pair can never straddle train/eval — the contamination a
+      // doc-keyed hashSplit can't prevent. Oracle recomputes the exact
+      // all-pairs Jaccard clusters relationally.
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      graft.operators.Pipeline.leakageSafeSplit(corpus,
+          Dedup.nearDuplicates(corpus, threshold = 0.3))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("group_id").as("n_groups"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+
     "mm_frames" -> { (s, dir) =>
       // frame-sampling + resize plumbing over the media table — per-video
       // frame counts and sampled byte volume after a metadata resize
@@ -3438,6 +3455,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, priority FROM t
         |ORDER BY priority, doc_id LIMIT 40""".stripMargin,
+
+    "pipe_split_leakage" ->
+      // dedup_clusters' exact pair graph + transitive closure, then the
+      // split of each doc's cluster representative (singletons = self)
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id
+        |  FROM reach GROUP BY u),
+        |g AS (SELECT d.doc_id, coalesce(cc.rep_id, d.doc_id) AS group_id
+        |  FROM docs d LEFT JOIN cc USING (doc_id)),
+        |sp AS (SELECT *,
+        |    CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split FROM g)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "pipe_split_hash" ->
       """WITH s AS (SELECT *,

@@ -383,6 +383,34 @@ object Pipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     sampleMixture(df, Map.empty, budget, sourceCol, idCol, textCol)
 
+  /** Cluster-aware train/val/test split: near-duplicate CLUSTERS, not
+    * documents, are the split unit — each doc gets the [[hashSplit]] of
+    * its cluster REPRESENTATIVE, so a near-dup pair can never straddle
+    * train and eval (the leakage a doc-keyed split cannot prevent: a
+    * crawl dup of an eval doc landing in train). `pairs` is any near-dup
+    * pair set (doc_a, doc_b) — minhash, simhash or embedding detector,
+    * caller's choice; docs in no pair group as themselves, so adding
+    * clean docs never reassigns existing splits.
+    *
+    * Scale shape: label propagation runs on the PAIR graph
+    * (sketch-derived, tiny vs the corpus), labels join back to the
+    * corpus by id (broadcast-able — clustered docs are the minority by
+    * the premise of dedup), and the split itself stays a pure
+    * projection. Output adds (group_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", trainHex: String = "e6",
+      valHex: String = "f3"): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("rep_id"))
+    val grouped = df.join(cc, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("rep_id"), col(idCol)))
+      .drop("rep_id")
+    val b = hexBucket(col("group_id"))
+    grouped.withColumn("split",
+      when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
+  }
+
   /** Deterministic weighted priority sample (PPS-style, k rows): each row
     * draws u = 60-bit md5(seed:id) — uniform over [0, 2^60) — and its
     * priority is `u div weight` (BIGINT floor division), so doubling a

@@ -1261,6 +1261,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read2 == expect)
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles splits on any gate corpus") {
+    // THE semantic guarantee of the cluster-keyed split (and the reason
+    // pipe_split_leakage exists): every detected near-dup pair lands in
+    // ONE split — zero train/eval contamination by construction. Checked
+    // at every testdata SF with the same detector the gate query uses.
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/documents.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      val corpus = SparkEntry.withInjectedVariants(
+        spark.read.parquet(path).select("doc_id", "text"))
+      val pairs = Dedup.nearDuplicates(corpus, threshold = 0.3)
+        .localCheckpoint(true)
+      val split = graft.operators.Pipeline.leakageSafeSplit(corpus, pairs)
+        .select("doc_id", "split").localCheckpoint(true)
+      val crossing = pairs
+        .join(split.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+        .where(col("split_a") =!= col("split_b")).count()
+      assert(crossing == 0L, s"$path: $crossing near-dup pairs cross splits")
+      // injected variants co-split with their originals in particular
+      val m = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      m.keys.filter(_ >= 1000000).foreach { v =>
+        assert(m(v) == m(v - 1000000), s"$path: variant $v split apart")
+      }
+    }
+  }
+
   test("VersionedTable: snapshots share unchanged buckets, crashes heal, vacuum bounds storage") {
     import spark.implicits._
     import graft.operators.VersionedTable

@@ -17,7 +17,8 @@ import duckdb
 # dedup_survivors (<200) and dedup_incremental (batch x corpus) stay in.
 QUADRATIC = {"dedup_stream_near",
              "dedup_minhash", "dedup_simhash", "dedup_clusters",
-             "dedup_embedding", "emb_near_pairs", "emb_clusters"}
+             "dedup_embedding", "emb_near_pairs", "emb_clusters",
+             "pipe_split_leakage"}
 
 argv = sys.argv[1:]
 skip_quadratic = "--skip-quadratic" in argv
