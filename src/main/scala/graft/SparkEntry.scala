@@ -175,6 +175,39 @@ object SparkEntry {
           col("es").as("e"))).as("v_json"))
   }
 
+  /** The versioned-table gate fixture shared by q_time_travel and
+    * q_table_cdc (ONE definition so the change recipe the oracles mirror
+    * can't drift): orders as (k, cents), bucketed pmod(k, 16), three
+    * commits — v0 init; v1 = update(%7=1, +1000) + delete(%7=2); v2 =
+    * update(%21=1, original+6000) + insert(%7=3 as k+1e8, cents 4242).
+    * Returns (table root, payload schema).
+    */
+  private def timeTravelTable(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-tt-q").toString + "/tbl"
+    val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val pexpr = pmod(col("k"), lit(16L))
+    VersionedTable.init(s, work, base, pexpr)
+    val upd1 = base.where(col("k") % 7 === 1)
+      .withColumn("cents", col("cents") + 1000L)
+      .withColumn("op", lit("U")).withColumn("version", lit(1L))
+    val del1 = base.where(col("k") % 7 === 2)
+      .withColumn("op", lit("D")).withColumn("version", lit(1L))
+    VersionedTable.merge(s, work, upd1.unionByName(del1), Seq("k"), pexpr)
+    val upd2 = base.where(col("k") % 21 === 1)
+      .withColumn("cents", col("cents") + 6000L)
+      .withColumn("op", lit("U")).withColumn("version", lit(2L))
+    val ins2 = base.where(col("k") % 7 === 3)
+      .select((col("k") + 100000000L).as("k"), lit(4242L).as("cents"),
+        lit("U").as("op"), lit(2L).as("version"))
+    VersionedTable.merge(s, work, upd2.unionByName(ins2), Seq("k"), pexpr)
+    (work, org.apache.spark.sql.types.StructType(base.schema.fields))
+  }
+
   private val srcSql =
     """src AS (SELECT concat(user_id, ':', event_type) AS stream_id,
       |  CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS t, value AS v
@@ -1729,32 +1762,24 @@ object SparkEntry {
       // (VersionedTable). Money is exact integer cents (BIGINT) per the
       // cross-engine decimal invariant.
       import graft.operators.VersionedTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-tt-q").toString + "/tbl"
-      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("long").as("cents"))
-      val pexpr = pmod(col("k"), lit(16L))
-      VersionedTable.init(s, work, base, pexpr)
-      val upd1 = base.where(col("k") % 7 === 1)
-        .withColumn("cents", col("cents") + 1000L)
-        .withColumn("op", lit("U")).withColumn("version", lit(1L))
-      val del1 = base.where(col("k") % 7 === 2)
-        .withColumn("op", lit("D")).withColumn("version", lit(1L))
-      VersionedTable.merge(s, work, upd1.unionByName(del1), Seq("k"), pexpr)
-      val upd2 = base.where(col("k") % 21 === 1)
-        .withColumn("cents", col("cents") + 6000L)
-        .withColumn("op", lit("U")).withColumn("version", lit(2L))
-      val ins2 = base.where(col("k") % 7 === 3)
-        .select((col("k") + 100000000L).as("k"), lit(4242L).as("cents"),
-          lit("U").as("op"), lit(2L).as("version"))
-      VersionedTable.merge(s, work, upd2.unionByName(ins2), Seq("k"), pexpr)
-      val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
+      val (work, schema) = timeTravelTable(s, dir)
       (0L to 2L).map { v =>
         VersionedTable.readAt(s, work, schema, v)
           .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
       }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    "q_table_cdc" -> { (s, dir) =>
+      // change-data-capture between snapshots v0 → v2 of the same
+      // versioned table: the log names the buckets the window touched,
+      // so the diff scans the churn, never the table; per-key I/U/D rows
+      // with before/after payloads
+      import graft.operators.VersionedTable
+      val (work, schema) = timeTravelTable(s, dir)
+      VersionedTable.changes(s, work, schema, Seq("k"), 0L, 2L)
+        .select("k", "change_op", "before_cents", "after_cents")
+        .orderBy("k")
     },
 
     "q_scd2_intervals" -> { (s, dir) =>
@@ -3706,6 +3731,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2)
         |ORDER BY version""".stripMargin,
+
+    "q_table_cdc" ->
+      // the v0→v2 diff is closed-form from the same change recipe:
+      // %7=1 updated (+1000, +6000 where %21=1), %7=2 deleted, %7=3
+      // cloned to k+1e8 as inserts; all other keys untouched
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT k, 'U' AS change_op, cents AS before_cents,
+        |      cents + CASE WHEN k % 21 = 1 THEN 6000 ELSE 1000 END AS after_cents
+        |    FROM base WHERE k % 7 = 1
+        |  UNION ALL
+        |  SELECT k, 'D', cents, CAST(NULL AS BIGINT) FROM base WHERE k % 7 = 2
+        |  UNION ALL
+        |  SELECT k + 100000000, 'I', CAST(NULL AS BIGINT), 4242
+        |    FROM base WHERE k % 7 = 3)
+        |ORDER BY k""".stripMargin,
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

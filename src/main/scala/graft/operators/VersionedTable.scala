@@ -196,6 +196,47 @@ object VersionedTable {
     v
   }
 
+  /** Change-data-capture between two committed snapshots: one row per
+    * key whose payload differs, tagged 'I' (only in `to`), 'D' (only in
+    * `from`) or 'U' (present in both, payload changed). The diff reads
+    * ONLY buckets some commit in (from, to] rewrote or dropped — the log
+    * names them — so consuming a day of versions on a 100 TB table scans
+    * the day's churn, not the table. Output: key columns + change_op +
+    * each payload column as before_<c>/after_<c>.
+    */
+  def changes(spark: SparkSession, root: String, payloadSchema: StructType,
+      keyCols: Seq[String], fromVersion: Long, toVersion: Long,
+      partCol: String = "bucket"): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val touched = commits(root)
+      .filter(c => c.version > fromVersion && c.version <= toVersion)
+      .flatMap(c => c.buckets ++ c.dropped).toSet
+    val payload = payloadSchema.fieldNames.filterNot(keyCols.contains).toSeq
+    def side(v: Long, tag: String): DataFrame = {
+      val dirs = snapshotDirs(root, v, partCol)
+        .collect { case (b, d) if touched(b) => d }
+        .filter(d => new File(d).exists())
+      val df = if (dirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          payloadSchema)
+      else spark.read.schema(payloadSchema).parquet(dirs: _*)
+      df.select(keyCols.map(col) ++
+        (lit(true).as(s"_in_$tag") +:
+          payload.map(p => col(p).as(s"${tag}_$p"))): _*)
+    }
+    side(fromVersion, "before").join(side(toVersion, "after"), keyCols, "full_outer")
+      .withColumn("change_op",
+        when(col("_in_before").isNull, "I")
+          .when(col("_in_after").isNull, "D")
+          .otherwise("U"))
+      // null-safe payload compare: a null column value must not make a
+      // genuinely-changed row vanish from the feed
+      .where(col("change_op") =!= "U" ||
+        !(struct(payload.map(p => col(s"before_$p")): _*) <=>
+          struct(payload.map(p => col(s"after_$p")): _*)))
+      .drop("_in_before", "_in_after")
+  }
+
   /** Keep the last `keep` versions readable; drop every bucket dir only
     * older snapshots reference and advance the horizon. Metadata-only
     * work: the log names every candidate dir.

@@ -1336,6 +1336,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(orphan, "garbage.parquet").exists())
     assert(snap(3) == all - 2L + (1L -> "V1") - 3L - 7L - 11L + (0L -> "V0"))
 
+    // CDC: v0 → v2 must surface exactly the update, the single delete
+    // and the dropped bucket's three deletes — nothing from untouched
+    // buckets, payload-identical keys suppressed
+    val diff = VersionedTable.changes(spark, work, base.schema, Seq("k"),
+        0L, 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), Option(r.getString(1)), Option(r.getString(2))))
+      .toMap
+    assert(diff == Map(
+      1L -> (("U", Some("v1"), Some("V1"))),
+      2L -> (("D", Some("v2"), None)),
+      3L -> (("D", Some("v3"), None)),
+      7L -> (("D", Some("v7"), None)),
+      11L -> (("D", Some("v11"), None))))
+    // and a window that skips the churn (v2 → v3) sees only v3's update
+    val d23 = VersionedTable.changes(spark, work, base.schema, Seq("k"),
+        2L, 3L).collect()
+    assert(d23.length == 1 && d23(0).getLong(0) == 0L &&
+      d23(0).getString(3) == "U")
+
     // vacuum to the last 2 versions: v0's superseded buckets go, shared
     // buckets old snapshots still reference stay, horizon advances
     val removed = VersionedTable.vacuum(work, keep = 2)
