@@ -1770,6 +1770,28 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    "q_dq_report" -> { (s, dir) =>
+      // declarative data-quality report (the Deequ/expectations family):
+      // four row rules fold into ONE conditional-agg scan, uniqueness is
+      // one count-vs-distinct aggregate, referential integrity one
+      // equi-join vs the deduped parent keys; report rows are
+      // metadata-scale (Quality)
+      import graft.operators.Quality
+      val l = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      Quality.report(Seq(
+        Quality.rowRules(l, Seq(
+          "l1_qty_above_45" -> (col("l_quantity") > 45),
+          "l2_discount_above_7pct" -> (col("l_discount") > 0.07),
+          "l3_null_returnflag" -> col("l_returnflag").isNull,
+          "l4_flag_domain" -> (col("l_returnflag").isNotNull &&
+            !col("l_returnflag").isin("A", "N", "R")))),
+        Quality.uniquenessRule(l, "l5_uniq_line",
+          Seq("l_orderkey", "l_linenumber")),
+        Quality.referentialRule(l, "l_orderkey", o, "o_orderkey",
+          "l6_ref_orderkey")))
+    },
+
     "q_table_cdc" -> { (s, dir) =>
       // change-data-capture between snapshots v0 → v2 of the same
       // versioned table: the log names the buckets the window touched,
@@ -3731,6 +3753,37 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2)
         |ORDER BY version""".stripMargin,
+
+    "q_dq_report" ->
+      """SELECT * FROM (
+        |  SELECT 'l1_qty_above_45' AS rule,
+        |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    count(*) AS n_checked FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l2_discount_above_7pct',
+        |    CAST(sum(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l3_null_returnflag',
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l4_flag_domain',
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |        AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l5_uniq_line',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l6_ref_orderkey',
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*)
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |ORDER BY rule""".stripMargin,
 
     "q_table_cdc" ->
       // the v0→v2 diff is closed-form from the same change recipe:

@@ -1367,6 +1367,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Quality rules: hand-built fixture with known violations of every rule family") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val child = Seq(
+      (1L, 1, 10.0, "A"), (1L, 1, 20.0, "N"),  // dup key
+      (2L, 1, -5.0, "X"),                      // range + domain violation
+      (3L, 1, 7.0, null.asInstanceOf[String]), // null flag (not domain)
+      (9L, 1, 1.0, "R"))                       // orphan parent ref
+      .toDF("k", "line", "qty", "flag")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rep = Quality.report(Seq(
+      Quality.rowRules(child, Seq(
+        "r1_neg_qty" -> (col("qty") < 0),
+        "r2_null_flag" -> col("flag").isNull,
+        "r3_domain" -> (col("flag").isNotNull &&
+          !col("flag").isin("A", "N", "R")))),
+      Quality.uniquenessRule(child, "r4_uniq", Seq("k", "line")),
+      Quality.referentialRule(child, "k", parent, "pk", "r5_ref")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == Map(
+      "r1_neg_qty" -> ((1L, 5L)), "r2_null_flag" -> ((1L, 5L)),
+      "r3_domain" -> ((1L, 5L)), "r4_uniq" -> ((1L, 5L)),
+      "r5_ref" -> ((1L, 5L))))
+  }
+
   test("pageRank: integer-exact recurrence matches hand-computed fixture") {
     // A→B, A→C, B→A (w=1 each), scale 10^12, damping 85/100, 3 rounds —
     // expected values derived by hand from the documented recurrence
