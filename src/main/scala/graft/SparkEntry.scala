@@ -498,6 +498,29 @@ object SparkEntry {
         .orderBy("a_user_id", "a_sess_id", "b_user_id", "b_sess_id")
     },
 
+    "drv_mad_outliers" -> { (s, dir) =>
+      // robust per-stream anomaly detection: median/MAD with the
+      // 3×1.4826 consistency cut — immune to the outliers that poison a
+      // mean/σ rule. Exact percentile (deterministic interpolation, no
+      // float-summation-order noise), two keyed aggs + joins on
+      // stream_id — the same partitioning throughout, so streams shard
+      // across executors
+      val pts = pointStreams(s, dir)
+      val med = pts.groupBy("stream_id")
+        .agg(expr("percentile(v, 0.5D)").as("med"))
+      val dev = pts.join(med, "stream_id")
+        .withColumn("adev", abs(col("v") - col("med")))
+      val mad = dev.groupBy("stream_id")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(mad, "stream_id")
+        .groupBy("stream_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max("med").as("med"), max("mad").as("mad"))
+        .orderBy("stream_id")
+    },
+
     "drv_zscore" -> { (s, dir) =>
       // rolling z-score anomaly detection: each point scored against the
       // trailing 10 points' mean/σ (naive sum-of-squares σ, the engine's
@@ -1492,6 +1515,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_containment" -> { (s, dir) =>
+      // asymmetric n-gram CONTAINMENT |A∩B| / |A| — quote/excerpt
+      // detection: a short doc embedded in a longer one scores ~1 where
+      // symmetric Jaccard stays tiny and minhash never fires. Exact
+      // all-pairs on the bounded 50-doc slice + injected 8-word prefix
+      // excerpts of the first 5 docs (each contained in its original).
+      val base = tbl(s, dir, "documents").where(col("doc_id") < 50)
+        .select("doc_id", "text")
+      val excerpts = base.where(col("doc_id") < 5)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 8))").as("text"))
+      val sh = Dedup.shingles(base.unionByName(excerpts))
+      val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      a.join(b, col("id_a") =!= col("id_b"))
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))) / size(col("sh_a")))
+        .where(col("containment") >= 0.8)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_spans" -> { (s, dir) =>
       // stride-1 exact repeated-span detection (substring-dedup family):
       // per doc, how many of its 8-token windows occur anywhere else in
@@ -1518,6 +1563,24 @@ object SparkEntry {
       // self-trained bigram LM with additive smoothing (CCNet-style
       // perplexity-filter signal): mean ln P(w2|w1) per doc
       TextStats.bigramLogProb(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    "text_ppl_buckets" -> { (s, dir) =>
+      // CCNet's head/middle/tail split: per-source perplexity tertiles
+      // from the self-trained bigram LM (bucket 1 = most fluent). Ranks
+      // run on round(logprob, 6) with a doc_id tiebreak — the raw avg is
+      // float-summation-order noisy across engines, the rounded key is
+      // stable; per-source window, so parallelism = #sources
+      import org.apache.spark.sql.expressions.Window
+      val lp = TextStats.bigramLogProb(tbl(s, dir, "documents"))
+        .withColumn("lp6", round(col("logprob"), 6))
+      val d = tbl(s, dir, "documents").select("doc_id", "source")
+      val w = Window.partitionBy("source").orderBy(col("lp6").desc, col("doc_id"))
+      lp.join(d, "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"))
+        .orderBy("source", "bucket")
     },
 
     "text_kl_by_source" -> { (s, dir) =>
@@ -2479,6 +2542,21 @@ object SparkEntry {
         |FROM src WHERE stream_id LIKE '7:%'
         |GROUP BY 2 ORDER BY t""".stripMargin,
 
+    "drv_mad_outliers" ->
+      s"""WITH $srcSql, $pointSql,
+        |med AS (SELECT stream_id, quantile_cont(v, 0.5) AS med
+        |  FROM pts GROUP BY stream_id),
+        |dev AS (SELECT p.stream_id, abs(p.v - m.med) AS adev, m.med
+        |  FROM pts p JOIN med m USING (stream_id)),
+        |mad AS (SELECT stream_id, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY stream_id)
+        |SELECT d.stream_id, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(d.med) AS med, max(m.mad) AS mad
+        |FROM dev d JOIN mad m USING (stream_id)
+        |GROUP BY d.stream_id ORDER BY d.stream_id""".stripMargin,
+
     "drv_zscore" ->
       s"""WITH $srcSql, $pointSql,
         |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
@@ -2775,6 +2853,22 @@ object SparkEntry {
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s))
         |    / len(list_distinct(list_concat(a.s, b.s))) > 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |exc AS (SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS text
+        |  FROM base WHERE doc_id < 5),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) / len(a.s) AS containment
+        |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+        |  AND len(list_intersect(a.s, b.s)) / len(a.s) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_spans" ->
@@ -3291,6 +3385,31 @@ object SparkEntry {
         |JOIN leftc ON string_split(b.bg, ' ')[1] = leftc.w1
         |CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "text_ppl_buckets" ->
+      // text_bigram_lm's LM CTEs + per-source tertiles on the
+      // round(·, 6) key (same smoothing, same 0.5-alpha)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+        |cnt AS (SELECT bg, count(*) AS c FROM bgl GROUP BY bg),
+        |leftc AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |    CAST(sum(c) AS BIGINT) AS lc FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(toks) AS tok FROM d) t),
+        |lp AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(ln((cnt.c + 0.5) / (leftc.lc + 0.5 * v.v))), 6) AS lp6
+        |  FROM bgl b JOIN cnt ON b.bg = cnt.bg
+        |  JOIN leftc ON string_split(b.bg, ' ')[1] = leftc.w1
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id),
+        |t AS (SELECT doc.source, lp.n_bigrams,
+        |    CAST(ntile(3) OVER (PARTITION BY doc.source
+        |      ORDER BY lp.lp6 DESC, lp.doc_id) AS BIGINT) AS bucket
+        |  FROM lp JOIN documents doc USING (doc_id))
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+        |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT user_id, event_id,
@@ -3980,7 +4099,8 @@ object SparkEntry {
       // chain of the 16 single-valued conditional sums
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
-        |pqc AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 5 = 0),
+        |pqc AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+        |  WHERE vec_id % 5 = 0 AND vec_id < 640),
         |s AS (SELECT e.vec_id, e.emb, c.cent_id,
         |    list_dot_product(e.emb, c.cemb)
         |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim

@@ -333,43 +333,119 @@ object Similarity {
     * Output: (qid, cid, rnk, adist) — approximate squared L2, rnk <= k.
     */
   def ivfpqTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2,
-      m: Int = 16, pqStride: Long = 5): DataFrame = {
+      m: Int = 16, pqStride: Long = 5, ksubMax: Int = 128): DataFrame = {
+    // the PQ codebook samples DENSER than the coarse quantizer (ksub ≫ K
+    // is the FAISS norm — subspace quantization error, not cell recall,
+    // dominates ADC quality) but is CAPPED at ksubMax (FAISS uses a fixed
+    // 256): a codebook that grew with the corpus would make the encode
+    // O(n × ksub × m) = O(n²) — the first ksubMax sampled vectors keep it
+    // O(n), and the "first" rule stays oracle-expressible
+    val pqSample = strideCentroids(corpus, pqStride).take(ksubMax)
+    val dim = pqSample.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codebooks = (0 until m).map(s0 =>
+      pqSample.toSeq.map { case (_, c) => c.slice(s0 * sub, s0 * sub + sub) })
+    ivfpqTopKWith(corpus, k, stride, nprobe, m, codebooks)
+  }
+
+  /** [[ivfpqTopK]] with Lloyd-TRAINED subspace codebooks (the FAISS
+    * production shape): k-means per subspace on the stride sample, run
+    * driver-side — PQ training is metadata-scale by design (FAISS trains
+    * on a corpus sample too); the ENCODE and SEARCH stay distributed.
+    * Deterministic: stride-sample init, argmin ties to the lowest entry,
+    * empty entries keep their previous centroid.
+    */
+  def ivfpqTopKTrained(corpus: DataFrame, k: Int, stride: Long,
+      nprobe: Int = 2, m: Int = 16, pqStride: Long = 5,
+      iters: Int = 5, trainStride: Long = 1, ksubMax: Int = 128): DataFrame = {
+    // training sample: driver-side, BOUNDED — raise trainStride at scale
+    // so Lloyd sees a fixed-size sample, never the corpus
+    val sample = corpus.where(col("vec_id") % trainStride === 0)
+      .orderBy("vec_id").select("emb").collect()
+      .map(r => r.getSeq[Double](0).toArray)
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val init = strideCentroids(corpus, pqStride).take(ksubMax)
+    val codebooks = (0 until m).map { s0 =>
+      val subVecs = sample.map(v => v.slice(s0 * sub, s0 * sub + sub))
+      var cents = init.map { case (_, c) =>
+        c.slice(s0 * sub, s0 * sub + sub).toArray }
+      for (_ <- 0 until iters) {
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        }
+        val assign = subVecs.map { v =>
+          var best = 0; var bd = Double.MaxValue
+          for (j <- cents.indices) {
+            val d = d2(v, cents(j)); if (d < bd) { bd = d; best = j }
+          }
+          best
+        }
+        cents = cents.indices.map { j =>
+          val mine = subVecs.indices.filter(assign(_) == j)
+          if (mine.isEmpty) cents(j)
+          else {
+            val acc = new Array[Double](sub)
+            mine.foreach { i =>
+              var t = 0; while (t < sub) { acc(t) += subVecs(i)(t); t += 1 }
+            }
+            acc.map(_ / mine.length)
+          }
+        }.toArray
+      }
+      cents.toIndexedSeq.map(_.toSeq)
+    }
+    ivfpqTopKWith(corpus, k, stride, nprobe, m, codebooks)
+  }
+
+  /** Shared IVFPQ search: coarse probes + ADC over the given per-subspace
+    * codebooks (`codebooks(s)(j)` = entry j of subspace s; entry ids are
+    * the positions 0..ksub-1 for trained books, so both lanes rank with
+    * the same lowest-entry tie-break).
+    */
+  private def ivfpqTopKWith(corpus: DataFrame, k: Int, stride: Long,
+      nprobe: Int, m: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val cents = strideCentroids(corpus, stride)
-    // the PQ codebook samples DENSER than the coarse quantizer (ksub ≫ K
-    // is the FAISS norm — subspace quantization error, not cell recall,
-    // dominates ADC quality)
-    val pqSample = strideCentroids(corpus, pqStride)
-    val dim = cents.headOption.map(_._2.length).getOrElse(0)
-    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
+    val sub = codebooks.head.head.length
 
     val assigned = withProbes(corpus, cents, nprobe).localCheckpoint(true)
 
     // PQ codebook: (cent_id, s, csub, |csub|²) — metadata-scale, broadcast
     import spark.implicits._
-    val cb = (for { (cid, c) <- pqSample.toSeq; s0 <- 0 until m } yield {
-        val cs = c.slice(s0 * sub, s0 * sub + sub)
-        (cid, s0, cs, cs.map(x => x * x).sum)
+    val cb = (for { s0 <- 0 until m; (cs, j) <- codebooks(s0).zipWithIndex }
+      yield {
+        (j.toLong, s0, cs, cs.map(x => x * x).sum)
       }).toDF("cent_id", "s", "csub", "cn2")
 
-    // dist(vec_id, s, cent_id, d2): corpus × broadcast codebook — serves
-    // BOTH as the encoder input (argmin per (vec, s) = the code) and as
-    // every query's ADC distance table, so it is computed once and
-    // checkpointed (two consumers — the self-join re-run rule)
-    val dist = assigned
+    // slices + per-subspace self-dots MATERIALIZED before the codebook
+    // join (the derived-expression rule: left unmaterialized, Catalyst
+    // collapses the array(slice...) projection into the join output and
+    // rebuilds all m slices PER dist ROW — measured 219 CPU s at sf0.1
+    // vs single-digit after); n rows × m×(sub+1) doubles, tiny
+    val vecs = assigned
       .withColumn("subs", array((0 until m).map(s0 =>
         slice(col("emb"), s0 * sub + 1, sub)): _*))
       .withColumn("selfd", expr("transform(subs, x -> graft_dot(x, x))"))
       .select(col("vec_id"), col("subs"), col("selfd"))
+      .localCheckpoint(true)
+    // dist(vec_id, s, cent_id, d2): corpus × broadcast codebook — serves
+    // BOTH as the encoder input (argmin per (vec, s) = the code) and as
+    // every query's ADC distance table; after the vecs checkpoint it is
+    // a cheap projection, so recomputing per consumer beats materializing
+    // n × ksub × m rows
+    val dist = vecs
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("s"), col("cent_id"),
         ((element_at(col("selfd"), col("s") + 1)
           - lit(2.0) * expr("graft_dot(element_at(subs, s + 1), csub)"))
           + col("cn2")).as("d2"))
-      .localCheckpoint(true)
 
     val wCode = Window.partitionBy("vec_id", "s")
       .orderBy(col("d2"), col("cent_id"))

@@ -1367,6 +1367,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("VersionedTable: schema evolution — new payload column reads null on old files, merges forward") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.types._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt-evo").toString + "/tbl"
+    val base = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    VersionedTable.init(spark, work, base, pexpr)
+    // evolve: changes carry a NEW payload column; only affected buckets
+    // are rewritten under the evolved schema — old files stay untouched
+    // and read as null through the pinned evolved schema
+    val ch = Seq((1L, "V1", 0.9, "U", 1L))
+      .toDF("k", "value", "score", "op", "version")
+    VersionedTable.merge(spark, work, ch, Seq("k"), pexpr)
+    val evolved = StructType(Seq(StructField("k", LongType),
+      StructField("value", StringType), StructField("score", DoubleType)))
+    val v1 = VersionedTable.readAt(spark, work, evolved, 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(v1(1L) == (("V1", Some(0.9))))
+    assert(v1(0L) == (("v0", None)) && v1.size == 8)
+    // the pre-evolution snapshot reads under the evolved schema too
+    val v0 = VersionedTable.readAt(spark, work, evolved, 0L).collect()
+    assert(v0.length == 8 && v0.forall(_.isNullAt(2)))
+  }
+
   test("Quality rules: hand-built fixture with known violations of every rule family") {
     import spark.implicits._
     import graft.operators.Quality
@@ -1432,6 +1460,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sameCluster = top.count(r => r.getLong(0) / 12 == r.getLong(1) / 12)
     val frac = sameCluster.toDouble / top.length
     assert(frac >= 0.9, s"clustered corpus: same-cluster top-3 frac = $frac")
+    // Lloyd-trained codebooks (production lane) must not regress the
+    // sampled-codebook baseline on its design regime
+    val trained = Similarity.ivfpqTopKTrained(corpus, k = 3, stride = 50,
+        nprobe = 2, m = 16, pqStride = 5)
+      .select("qid", "cid").collect()
+    val fracT = trained.count(r => r.getLong(0) / 12 == r.getLong(1) / 12)
+      .toDouble / trained.length
+    assert(fracT >= frac - 0.02,
+      s"trained PQ regressed: $fracT vs untrained $frac")
 
     // 2) gate corpus (RANDOM unit vectors — PQ's worst case by distance
     // concentration: quantization error ~ inter-point distances, so
