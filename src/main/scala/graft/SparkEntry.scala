@@ -2216,6 +2216,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("content"))).as("sampled_bytes"))
         .orderBy("media_id")
+    },
+
+    "mm_phash_dedup" -> { (s, dir) =>
+      // perceptual image near-dup: 64-bit average-hash over decoded
+      // pixels, 4×16-bit banded equi-join + exact hamming (pigeonhole-
+      // total recall at maxHamming 3). Real raster bytes hash the true
+      // 8×8 luma grid (spec-pinned on BMP fixtures); the gate's
+      // text-derived bytes take the md5-chain stub lane the oracle
+      // recomputes in SQL.
+      // identical-byte clones of the first 10 docs at +4000000: stub
+      // md5 hashes collide only on identical content, so these pin the
+      // hamming-0 path (organic md5 near-collisions don't exist)
+      val base = tbl(s, dir, "documents").where(col("doc_id") < 300)
+      val clones = base.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 4000000)
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        base.unionByName(clones))
+      graft.operators.Multimodal.phashNearDuplicates(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
     })
 
   /** SemDeDup brute-force recomputation, shared VERBATIM by the
@@ -4046,6 +4065,34 @@ object SparkEntry {
         |SELECT media_id, CAST(n AS BIGINT) AS n_frames,
         |  CAST(sampled_bytes AS BIGINT) AS sampled_bytes
         |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_phash_dedup" ->
+      // stub-lane aHash recomputed from the md5 feature-byte chain:
+      // byte i = md5(text || '#' || i//16) hex pair i%16; bit i set iff
+      // 64*b_i > sum(b); halves packed little-endian into two 32-bit
+      // BIGINTs; hamming = bit_count(xor) on each half
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+        |    WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id < 10),
+        |b AS (SELECT media_id, sub.i,
+        |    ('0x' || substring(md5(text || '#' || CAST(sub.i // 16 AS VARCHAR)),
+        |      (sub.i % 16) * 2 + 1, 2))::BIGINT AS v
+        |  FROM m CROSS JOIN (SELECT unnest(range(0, 64)) AS i) sub),
+        |s AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS tot
+        |  FROM b GROUP BY media_id),
+        |bits AS (SELECT b.media_id, b.i,
+        |    CASE WHEN 64 * b.v > s.tot THEN 1 ELSE 0 END AS bit
+        |  FROM b JOIN s USING (media_id)),
+        |h AS (SELECT media_id,
+        |    CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS media_a, b2.media_id AS media_b,
+        |  CAST(bit_count(xor(a.h1, b2.h1)) + bit_count(xor(a.h2, b2.h2)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b2 ON a.media_id < b2.media_id
+        |WHERE bit_count(xor(a.h1, b2.h1)) + bit_count(xor(a.h2, b2.h2)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "emb_ann_lsh" -> {
       // generated with the SAME plane-component literals the Spark operator

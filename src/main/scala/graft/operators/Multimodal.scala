@@ -310,15 +310,17 @@ object Multimodal {
     * `CAST(('0x' || substring(md5(text || '#b'), 2i+1, 2))::INT / 127.5
     * - 1 AS FLOAT)`.
     */
-  private def fakeFeature(content: Array[Byte], dim: Int): Array[Float] = {
+  private def fakeBytes(content: Array[Byte], dim: Int): Array[Int] = {
     val blocks = (0 to (dim - 1) / 16)
       .map(b => md5Hex(content ++ s"#$b".getBytes("UTF-8")))
     Array.tabulate(dim) { i =>
-      val hex = blocks(i / 16)
-      val b = Integer.parseInt(hex.substring((i % 16) * 2, (i % 16) * 2 + 2), 16)
-      (b / 127.5 - 1.0).toFloat
+      Integer.parseInt(
+        blocks(i / 16).substring((i % 16) * 2, (i % 16) * 2 + 2), 16)
     }
   }
+
+  private def fakeFeature(content: Array[Byte], dim: Int): Array[Float] =
+    fakeBytes(content, dim).map(b => (b / 127.5 - 1.0).toFloat)
   /** ======== END STUB CODEC LAYER ======== */
 
   /** Build a media table from a binaryFile scan ([[graft.sources.Sources.readBinary]]):
@@ -396,6 +398,73 @@ object Multimodal {
         MediaFeature(r.media_id, feat)
       }
     }
+  }
+
+  case class MediaPhash(media_id: Long, h1: Long, h2: Long)
+
+  /** 64-bit average-hash (aHash) per media row, split into two 32-bit
+    * halves so hamming distance stays plain `bit_count(xor(...))` BIGINT
+    * arithmetic on any engine. Real images: bilinear 8×8 Rec.601 luma
+    * grid in INTEGER milli-luma (299R+587G+114B), bit i set iff
+    * 64·cell_i > Σcells — integer compares, so the hash is reproducible
+    * bit-for-bit with no float-rounding boundary. Stub lane (non-raster
+    * bytes): the same rule over the 64 md5-chain feature bytes, which the
+    * oracle recomputes from `md5(text || '#b')` hex. mapPartitions codec
+    * shape, one row in → one 16-byte row out.
+    */
+  def imagePhash(media: Dataset[MediaRow]): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val cells: Array[Long] =
+        imageFormat(r.content).flatMap(_ => readImage(r.content)) match {
+          case Some(img) =>
+            val grid = scaleTo(img, 8, 8)
+            Array.tabulate(64) { i =>
+              val rgb = grid.getRGB(i % 8, i / 8)
+              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+            }
+          case None => fakeBytes(r.content, 64).map(_.toLong)
+        }
+      val tot = cells.sum
+      var h1 = 0L; var h2 = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * cells(i) > tot) {
+          if (i < 32) h1 |= 1L << i else h2 |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      MediaPhash(r.media_id, h1, h2)
+    })
+  }
+
+  /** Perceptual near-dup pairs over [[imagePhash]] hashes: 4×16-bit band
+    * equi-join (one shuffle of 24-byte rows, never all-pairs) + exact
+    * hamming cut. maxHamming <= 3 < 4 bands ⇒ recall is structurally
+    * total by pigeonhole — the same argument as simhash banding.
+    */
+  def phashNearDuplicates(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole recall needs maxHamming < #bands")
+    val h = imagePhash(media).toDF.localCheckpoint(true)
+    val banded = h.select(col("media_id"), col("h1"), col("h2"),
+        posexplode(array(
+          col("h1") % 65536, expr("h1 div 65536"),
+          col("h2") % 65536, expr("h2 div 65536"))))
+      .toDF("media_id", "h1", "h2", "band", "bv")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.h1").as("a1"), col("a.h2").as("a2"),
+        col("b.h1").as("b1"), col("b.h2").as("b2"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        (bit_count(expr("a1 ^ b1")) + bit_count(expr("a2 ^ b2"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
   }
 
   /** Frame sampling: one output row per sampled frame — a flatMap, so a

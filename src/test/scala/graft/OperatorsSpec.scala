@@ -1261,6 +1261,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read2 == expect)
   }
 
+  test("imagePhash: cross-format identity, single-cell flips, banded recall on real rasters") {
+    import spark.implicits._
+    import Multimodal.{MediaMeta, MediaRow}
+    def encode(fmt: String, cell: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, cell(x / 2, y / 2))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val white = 0xffffff; val black = 0x000000
+    val a: (Int, Int) => Int = (cx, _) => if (cx >= 4) white else black
+    val b: (Int, Int) => Int = // one hash cell flipped black -> white
+      (cx, cy) => if (cx >= 4 || (cx == 0 && cy == 0)) white else black
+    val c: (Int, Int) => Int = (cx, _) => if (cx < 4) white else black
+    val meta = MediaMeta("image", 16, 16, 0, 0L, "none")
+    val media = Seq(
+      MediaRow(1L, encode("png", a), meta),
+      MediaRow(2L, encode("bmp", a), meta), // same raster, other container
+      MediaRow(3L, encode("png", b), meta),
+      MediaRow(4L, encode("png", c), meta), // inverse: hamming 64 to a
+      MediaRow(5L, "not an image at all".getBytes("UTF-8"), meta)).toDS()
+    val h = Multimodal.imagePhash(media).collect()
+      .map(p => p.media_id -> (p.h1, p.h2)).toMap
+    assert(h(1L) == h(2L)) // perceptual identity survives re-encoding
+    assert(h.size == 5)    // stub lane hashed the non-raster bytes too
+    val pairs = Multimodal.phashNearDuplicates(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles splits on any gate corpus") {
     // THE semantic guarantee of the cluster-keyed split (and the reason
     // pipe_split_leakage exists): every detected near-dup pair lands in
