@@ -30,7 +30,11 @@ object Plans {
         "emb_near_pairs", "dedup_embedding", "store_nested_tags",
         "mm_pipeline", "q_zorder_key", "pipe_dedup_paragraphs",
         "pipe_boilerplate", "dedup_spans", "pipe_paragraphs_natural",
-        "emb_semdedup", "emb_prototypes", "text_bigram_lm")
+        "emb_semdedup", "emb_prototypes", "text_bigram_lm",
+        "graph_pagerank", "pipe_sample_weighted", "emb_ann_ivfpq",
+        "pipe_split_leakage", "q_dq_report", "q_table_cdc",
+        "drv_mad_outliers", "text_ppl_buckets", "dedup_containment",
+        "mm_phash_dedup")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
