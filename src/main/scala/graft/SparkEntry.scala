@@ -1833,6 +1833,35 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    "q_funnel_pattern" -> { (s, dir) =>
+      // ordered-sequence funnel (MATCH_RECOGNIZE staple): per user the
+      // earliest view → click-after-view → purchase-after-click chain;
+      // greedy-earliest semantics, one keyed agg + join per step
+      // (Temporal.funnel) — no whole-stream window, no per-key loop
+      graft.operators.Temporal.funnel(
+          events(s, dir).select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec")),
+          steps = Seq("view", "click", "purchase"),
+          keyCol = "user_id", typeCol = "event_type", secCol = "sec")
+        .orderBy("user_id")
+    },
+
+    "q_cohort_retention" -> { (s, dir) =>
+      // cohort retention: users grouped by first-activity day, distinct
+      // active users per (cohort, day offset) — two keyed aggs and one
+      // join on user_id; day arithmetic via datediff (DATE-DATE is an
+      // INTERVAL in DuckDB, so both engines use explicit day counts)
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("offset_days"))
+        .distinct()
+        .groupBy("cohort_day", "offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    },
+
     "q_dq_report" -> { (s, dir) =>
       // declarative data-quality report (the Deequ/expectations family):
       // four row rules fold into ONE conditional-agg scan, uniqueness is
@@ -3891,6 +3920,38 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2)
         |ORDER BY version""".stripMargin,
+
+    "q_funnel_pattern" ->
+      // greedy-earliest chain mirrored step by step; steps_completed
+      // counts non-null stage times
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s1 AS (SELECT user_id, min(sec) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |    min(CASE WHEN e.sec > s1.t1 THEN e.sec END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click'
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |    min(CASE WHEN e.sec > s2.t2 THEN e.sec END) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+        |    + (t3 IS NOT NULL)::INT AS BIGINT) AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, c.cohort_day,
+        |    CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS offset_days
+        |  FROM e JOIN c USING (user_id))
+        |SELECT cohort_day, offset_days, count(*) AS n_users
+        |FROM a GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
 
     "q_dq_report" ->
       """SELECT * FROM (

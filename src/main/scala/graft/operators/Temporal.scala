@@ -49,4 +49,38 @@ object Temporal {
       .select(keys ++ Seq(col("island"), col(valueCol), col("valid_from"),
         col("valid_to"), col("n_events")): _*)
   }
+
+  /** Ordered-sequence funnel (the MATCH_RECOGNIZE staple Spark lacks):
+    * per key, the earliest time each step of `steps` can complete given
+    * the previous step's completion time — t1 = min time of step 1,
+    * t_i = min time of step i STRICTLY AFTER t_{i-1}. Greedy-earliest is
+    * the standard funnel semantics and is provably optimal (taking the
+    * earliest feasible t_{i-1} never excludes a later step).
+    *
+    * Scale shape: one filtered keyed aggregation + one keyed join per
+    * step — everything shuffles on the entity key, no window over the
+    * whole event stream, no per-key iteration. Output: (key, t1..tn,
+    * steps_completed) with nulls from the first missed step on.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], keyCol: String,
+      typeCol: String, secCol: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(secCol)).as("t1"))
+    for (i <- 2 to steps.length) {
+      val next = events.where(col(typeCol) === steps(i - 1))
+        .select(col(keyCol), col(secCol).as("__s"))
+      // left join keeps every key; rows at-or-before t_{i-1} (and keys
+      // whose t_{i-1} is null) contribute null to the min, so a missed
+      // step yields t_i = null instead of dropping the key
+      acc = acc.join(next, Seq(keyCol), "left")
+        .groupBy((keyCol +: (1 until i).map(j => s"t$j")).map(col): _*)
+        .agg(min(when(col("__s") > col(s"t${i - 1}"), col("__s")))
+          .as(s"t$i"))
+    }
+    val completed = (1 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    acc.withColumn("steps_completed", completed)
+  }
 }

@@ -1428,6 +1428,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v0.length == 8 && v0.forall(_.isNullAt(2)))
   }
 
+  test("funnel: greedy-earliest chain, missed steps cascade to null, pre-step events ignored") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: clean A(10) -> B(20) -> C(30)
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // u2: B BEFORE A only — step 2 missed, C after must not count
+      (2L, "A", 50L), (2L, "B", 40L), (2L, "C", 60L),
+      // u3: ties — B at exactly t1 is NOT after (strict >); later B ok
+      (3L, "A", 10L), (3L, "B", 10L), (3L, "B", 15L),
+      // u4: never does A at all — absent from the funnel
+      (4L, "B", 5L), (4L, "C", 6L),
+      // u5: greedy-earliest matters: A(10), B(12), C(11) -> C missed
+      (5L, "A", 10L), (5L, "B", 12L), (5L, "C", 11L))
+      .toDF("user_id", "event_type", "sec")
+    val out = graft.operators.Temporal
+      .funnel(ev, Seq("A", "B", "C"), "user_id", "event_type", "sec")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))),
+          r.getLong(4))).toMap
+    assert(out(1L) == (((Some(10L), Some(20L), Some(30L)), 3L)))
+    assert(out(2L) == (((Some(50L), None, None), 1L)))
+    assert(out(3L) == (((Some(10L), Some(15L), None), 2L)))
+    assert(!out.contains(4L))
+    assert(out(5L) == (((Some(10L), Some(12L), None), 2L)))
+  }
+
   test("Quality rules: hand-built fixture with known violations of every rule family") {
     import spark.implicits._
     import graft.operators.Quality
