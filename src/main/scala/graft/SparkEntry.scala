@@ -1601,6 +1601,22 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_bm25_indexed" -> { (s, dir) =>
+      // BM25 through a MATERIALIZED inverted index: bucketed postings +
+      // doclens on disk, search reads ONLY the query tokens' bucket dirs
+      // (I/O ∝ matched vocabulary, not corpus) and recomputes df exactly
+      // from them; identical scores to q_bm25_topk by construction —
+      // same oracle verbatim
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-idx").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Retrieval.buildIndex(docs, work)
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, work, queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
     "q_hybrid_rrf" -> { (s, dir) =>
       // hybrid search: reciprocal-rank fusion of the BM25 top-20 and the
       // exact-cosine top-20 per query (doc_id ≡ vec_id in the testdata);
@@ -2265,6 +2281,36 @@ object SparkEntry {
       graft.operators.Multimodal.phashNearDuplicates(media, maxHamming = 3)
         .orderBy("media_a", "media_b")
     })
+
+  /** BM25 brute-force recomputation, shared VERBATIM by q_bm25_topk
+    * (direct inverted stream) and q_bm25_indexed (materialized
+    * bucket-pruned index) — the index changes I/O, never scores.
+    */
+  private val bm25TopkOracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+      |t AS (SELECT * FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |st AS (SELECT (SELECT count(*) FROM d) AS n,
+      |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+      |      / (SELECT count(*) FROM d) AS avgdl),
+      |q AS (SELECT doc_id AS qid,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM d WHERE doc_id < 5),
+      |qq AS (SELECT * FROM q WHERE tok <> ''),
+      |scored AS (SELECT qq.qid, tf.doc_id,
+      |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY qq.qid, tf.doc_id),
+      |r AS (SELECT qid, doc_id, score, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+      |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** SemDeDup brute-force recomputation, shared VERBATIM by the
     * emb_semdedup (batch) and emb_semdedup_stream (ordered-replay
@@ -3322,31 +3368,12 @@ object SparkEntry {
     // BM25: Lucene-form idf; score rounded to 6 before ranking (with
     // doc_id tie-break) so last-ulp ln/sum-order differences can't flip
     // ranks; the score column itself is fp-only
-    "q_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
-        |t AS (SELECT * FROM toks WHERE tok <> ''),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-        |st AS (SELECT (SELECT count(*) FROM d) AS n,
-        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
-        |      / (SELECT count(*) FROM d) AS avgdl),
-        |q AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM d WHERE doc_id < 5),
-        |qq AS (SELECT * FROM q WHERE tok <> ''),
-        |scored AS (SELECT qq.qid, tf.doc_id,
-        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
-        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |  GROUP BY qq.qid, tf.doc_id),
-        |r AS (SELECT qid, doc_id, score, row_number() OVER (
-        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
-        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q_bm25_topk" -> bm25TopkOracleSql,
+
+    // identical results by construction: the materialized index changes
+    // the I/O path (bucket-pruned postings), never the scoring — so the
+    // direct lane's oracle applies VERBATIM
+    "q_bm25_indexed" -> bm25TopkOracleSql,
 
     // hybrid RRF: same BM25 CTEs at top-20 + exact-cosine top-20, fused
     // as 1/(60+rank) sums — exact rationals, hash-exact

@@ -58,6 +58,94 @@ object Retrieval {
       .where(col("rnk") <= k)
   }
 
+  /** Materialized inverted index (the production form of [[bm25TopK]]'s
+    * ad-hoc inverted stream): postings (tok, doc_id, tf) live under
+    * `root/postings/bucket=B` with B = pmod(xxhash64(tok), nBuckets), and
+    * per-doc lengths under `root/doclens`. A token's postings live
+    * WHOLLY in its bucket, so a search reads only its query tokens'
+    * bucket directories — partition-pruned I/O ∝ matched vocabulary, not
+    * corpus — and document frequencies are recomputed exactly from those
+    * pruned buckets (no separate df table to keep in sync). Both tables
+    * are append-only: [[appendToIndex]] adds a NEW batch of docs as new
+    * files in the same buckets, making incremental index maintenance a
+    * pure append (the caller owns doc-id dedup, as everywhere in the
+    * engine).
+    */
+  def buildIndex(docs: DataFrame, root: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = true)
+
+  def appendToIndex(docs: DataFrame, root: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = false)
+
+  private def writeIndex(docs: DataFrame, root: String, nBuckets: Int,
+      idCol: String, textCol: String, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // feeds postings AND doclens off one explode
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .coalesce(1)
+      .write.mode(mode).parquet(s"$root/doclens")
+  }
+
+  /** BM25 top-k against a [[buildIndex]] index — scoring identical to
+    * [[bm25TopK]] (same formula, same round-6 rank key), I/O pruned to
+    * the query tokens' buckets. Queries are metadata-scale by premise
+    * (their tokens drive the bucket list driver-side).
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types._
+    val qtoks = queries.select(col("qid"),
+        explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // buckets collect + probe join off one explode
+    val buckets = qtoks
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val postSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", StringType), StructField("tf", LongType)))
+    val dirs = buckets.map(v => s"$root/postings/bucket=$v")
+      .filter(d => new java.io.File(d).exists())
+    val postings =
+      if (dirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          postSchema)
+      else spark.read.schema(postSchema).parquet(dirs.toSeq: _*)
+    val postingsCk = postings.localCheckpoint(true) // df AND probe join
+    // df for the probed tokens, EXACT from their home buckets
+    val df = postingsCk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val dl = spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("dl", LongType))))
+      .parquet(s"$root/doclens")
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    qtoks.join(postingsCk, "tok")
+      .join(broadcast(df), "tok")
+      // doclens joins UN-broadcast: it is corpus-sized (unlike the
+      // probed-vocab df) — AQE broadcasts it when it is actually small
+      .join(dl, "doc_id")
+      .withColumn("term",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("term"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion of two rankings (the standard hybrid-search
     * combiner): `rrf = 1/(c + rank_a) + 1/(c + rank_b)` per (qid, doc),
     * a doc absent from one list contributing only the other term. The

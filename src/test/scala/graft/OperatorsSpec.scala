@@ -1428,6 +1428,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v0.length == 8 && v0.forall(_.isNullAt(2)))
   }
 
+  test("inverted index: incremental append ≡ full rebuild; search prunes to query-token buckets") {
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    def search(root: String) = Retrieval.bm25TopKIndexed(spark, root, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-idx-full").toString + "/idx"
+    Retrieval.buildIndex(docs, full)
+    val incr = java.nio.file.Files
+      .createTempDirectory("graft-idx-incr").toString + "/idx"
+    Retrieval.buildIndex(docs.where(col("doc_id") < 250), incr)
+    Retrieval.appendToIndex(docs.where(col("doc_id") >= 250), incr)
+    assert(search(full) == search(incr))
+    // direct lane agreement (the property the shared oracle rests on)
+    val direct = Retrieval.bm25TopK(docs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+    assert(search(full) == direct)
+    // pruning proof by demolition: delete every postings bucket EXCEPT
+    // the probe token's home bucket — the search still answers, because
+    // it never lists the other directories
+    import spark.implicits._
+    val tok = docs.select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").head().getString(0)
+    val home = Seq(tok).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(64L))).head().getLong(0)
+    new java.io.File(s"$full/postings").listFiles()
+      .filter(f => f.getName.startsWith("bucket=") &&
+        f.getName != s"bucket=$home")
+      .foreach(graft.core.DatapointStore.rmTree)
+    val oneTok = Seq((99L, tok)).toDF("qid", "qtext")
+    val hits = Retrieval.bm25TopKIndexed(spark, full, oneTok, 5).collect()
+    assert(hits.nonEmpty && hits.forall(_.getLong(0) == 99L))
+  }
+
   test("funnel: greedy-earliest chain, missed steps cascade to null, pre-step events ignored") {
     import spark.implicits._
     val ev = Seq(
