@@ -1339,6 +1339,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_topk_mips" -> { (s, dir) =>
+      // max-inner-product retrieval (unnormalized relevance embeddings):
+      // same broadcast-NLJ shape as cosine, ranked on the raw dot —
+      // magnitude is signal, so no norm division
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.mipsTopK(e, broadcast(q), 5)
+        .withColumn("ip", round(col("ip"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_topk_filtered" -> { (s, dir) =>
       // hybrid search: top-3 cosine neighbors restricted to the query's
       // own label — equi-join on the filter key, never a cross join
@@ -2228,6 +2241,23 @@ object SparkEntry {
           tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
           k = 40, seed = "ws1", weightCol = "n_chars")
         .orderBy("priority", "doc_id")
+    },
+
+    "pipe_winsorize" -> { (s, dir) =>
+      // per-source outlier clamping (feature winsorization): n_chars
+      // clamped to the source's own [p05, p95] rounded to integer bounds
+      // so every sum stays exact BIGINT; one percentile agg + one keyed
+      // join (Pipeline.winsorize)
+      graft.operators.Pipeline.winsorize(
+          tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "n_chars", "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") < col("lo_b"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("n_chars") > col("hi_b"), 1L).otherwise(0L)).as("n_hi"),
+          sum("n_chars").as("sum_raw"),
+          sum("clamped").as("sum_clamped"))
+        .orderBy("source")
     },
 
     "pipe_split_leakage" -> { (s, dir) =>
@@ -3262,6 +3292,19 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
 
+    "emb_topk_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |p AS (SELECT qid, e.vec_id AS cid,
+        |    list_dot_product(qemb, emb) AS ip
+        |  FROM q, e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, cid, ip,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, round(ip, 6) AS ip
+        |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     "emb_topk_filtered" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
         |  FROM embeddings),
@@ -3696,6 +3739,22 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, priority FROM t
         |ORDER BY priority, doc_id LIMIT 40""".stripMargin,
+
+    "pipe_winsorize" ->
+      """WITH b AS (SELECT source,
+        |    CAST(round(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo_b,
+        |    CAST(round(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi_b
+        |  FROM documents GROUP BY source),
+        |c AS (SELECT d.source, d.n_chars,
+        |    least(greatest(d.n_chars, b.lo_b), b.hi_b) AS cl,
+        |    b.lo_b, b.hi_b
+        |  FROM documents d JOIN b USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars < lo_b THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN n_chars > hi_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_raw,
+        |  CAST(sum(cl) AS BIGINT) AS sum_clamped
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_split_leakage" ->
       // dedup_clusters' exact pair graph + transitive closure, then the

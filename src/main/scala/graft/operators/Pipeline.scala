@@ -383,6 +383,26 @@ object Pipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     sampleMixture(df, Map.empty, budget, sourceCol, idCol, textCol)
 
+  /** Per-group winsorization (outlier clamping) of an integral feature:
+    * clamp to [round(p_lo), round(p_hi)] of the group's own distribution.
+    * Bounds round to INTEGERS on purpose: interpolated quantiles can
+    * differ in the last ulp across engines (different lerp forms), and an
+    * integer bound keeps every downstream sum exact BIGINT arithmetic.
+    * One exact-percentile aggregation per group + one keyed join back —
+    * at extreme group sizes swap percentile for approx_percentile, same
+    * call shape (the q_percentiles trade documented in BASELINE notes).
+    * Output adds (lo_b, hi_b, clamped).
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, ${lo}D)")).cast("long").as("lo_b"),
+      round(expr(s"percentile($valueCol, ${hi}D)")).cast("long").as("hi_b"))
+    df.join(bounds, groupCol)
+      .withColumn("clamped",
+        least(greatest(col(valueCol).cast("long"), col("lo_b")), col("hi_b")))
+  }
+
   /** Cluster-aware train/val/test split: near-duplicate CLUSTERS, not
     * documents, are the split unit — each doc gets the [[hashSplit]] of
     * its cluster REPRESENTATIVE, so a near-dup pair can never straddle

@@ -52,6 +52,23 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKWith(corpus, queries, k, col("vec_id") =!= col("qid"), Nil)
 
+  /** Exact maximum-inner-product top-k (MIPS — the retrieval scoring for
+    * unnormalized embeddings, where magnitude IS signal, e.g. learned
+    * relevance embeddings): same broadcast-NLJ shape as [[cosineTopK]]
+    * but ranked on the raw dot product (bit-identical across engines —
+    * the graft_dot fold ≡ list_dot_product). Output: (qid, cid, rnk, ip).
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val scored = queries.join(corpus, col("vec_id") =!= col("qid"))
+      .withColumn("ip", dot("qemb", "emb"))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("ip"))
+  }
+
   /** Exact all-pairs near-duplicate search: pairs with cosine similarity
     * above `threshold`. Norms precomputed per side; the pair loop is the
     * native codegen dot. Output: (id_a, id_b, sim), id_a < id_b.
