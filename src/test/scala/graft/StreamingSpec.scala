@@ -645,5 +645,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == Set((2L, 0L), (4L, 1L), (6L, 1L)))
   }
 
+  test("streaming inverted-index maintenance: per-batch appends converge to the batch-built index") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 200)
+      .as[(Long, String)].collect().toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-idx-stream").toString + "/idx"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retrieval.appendToIndex(df, root)
+      }.start()
+    docs.grouped(70).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-idx-batch").toString + "/idx"
+    Retrieval.buildIndex(docs.toDF("doc_id", "text"), full)
+    val queries = docs.take(3).map { case (id, t) => (id, t) }
+      .toDF("qid", "qtext")
+    def res(r: String) = Retrieval.bm25TopKIndexed(spark, r, queries, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+    assert(res(root) == res(full))
+  }
+
+  test("CDC feed reconstructs a replica: applying changes(v, v+1) converges to the primary") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val primary = java.nio.file.Files
+      .createTempDirectory("graft-cdc-p").toString + "/tbl"
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft-cdc-r").toString + "/tbl"
+    val base = (0L until 40L).map(k => (k, k * 10)).toDF("k", "v")
+    val pexpr = pmod(col("k"), lit(8L))
+    VersionedTable.init(spark, primary, base, pexpr)
+    VersionedTable.init(spark, replica, base, pexpr)
+    // three change generations on the primary
+    val gens = Seq(
+      Seq((1L, 111L, "U"), (2L, 0L, "D")),
+      Seq((3L, 333L, "U"), (1L, 112L, "U"), (50L, 500L, "U")),
+      Seq((50L, 0L, "D"), (0L, 1L, "U")))
+    gens.zipWithIndex.foreach { case (g, i) =>
+      VersionedTable.merge(spark, primary,
+        g.toDF("k", "v", "op").withColumn("version", lit(i + 1L)),
+        Seq("k"), pexpr)
+    }
+    // replicate: each round reads ONLY the CDC diff of (v, v+1) and
+    // applies it as a merge — the consumer never sees the primary's data
+    // files, just the changes feed
+    for (v <- 0L until 3L) {
+      val diff = VersionedTable.changes(spark, primary, base.schema,
+        Seq("k"), v, v + 1)
+      val asChanges = diff.select(col("k"),
+        coalesce(col("after_v"), lit(0L)).as("v"),
+        when(col("change_op") === "D", "D").otherwise("U").as("op"),
+        lit(v + 1).as("version"))
+      VersionedTable.merge(spark, replica, asChanges, Seq("k"), pexpr)
+    }
+    def snap(root: String) = VersionedTable
+      .readAt(spark, root, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap(replica) == snap(primary))
+    assert(snap(primary)(1L) == 112L && !snap(primary).contains(2L) &&
+      !snap(primary).contains(50L) && snap(primary)(0L) == 1L)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
