@@ -1596,6 +1596,24 @@ object SparkEntry {
         .orderBy("source", "bucket")
     },
 
+    "text_bpe_encode" -> { (s, dir) =>
+      // BPE tokenizer training at corpus scale: 40 merges learned on the
+      // word-frequency table (training never iterates the corpus — one
+      // groupBy collapses it to vocabulary scale), then replayed over
+      // the docs; per-source compression stats. Iterative merge argmax
+      // has no SQL mirror, so this is the gate's one rows-only entry —
+      // the algorithm itself is pinned by the hand-computed
+      // Sennrich-corpus spec (OperatorsSpec).
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      val merges = graft.operators.Bpe.train(docs, nMerges = 40)
+      graft.operators.Bpe.encodeStats(docs, merges)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_subwords").as("n_subwords"))
+        .orderBy("source")
+    },
+
     "text_kl_by_source" -> { (s, dir) =>
       // per-source token-distribution drift vs the corpus mixture:
       // KL(P(tok|source) || P(tok)) per source

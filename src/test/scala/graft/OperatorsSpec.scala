@@ -1428,6 +1428,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v0.length == 8 && v0.forall(_.isNullAt(2)))
   }
 
+  test("BPE training reproduces the hand-computed Sennrich merges; encoder replays to the trained vocab") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // the published worked example: low×5 lower×2 newest×6 widest×3;
+    // expected merges verified against an independent reference
+    // implementation of (max freq, lexicographic tie, strict
+    // left-to-right overlap rule)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 8)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w"), ("ew", "est</w>"),
+      ("n", "ewest</w>")))
+    // greedy-by-rank encoding lands every training word in its final
+    // vocab form: newest→1 symbol, low→2, lower→4, widest→4
+    val enc = Bpe.encodeStats(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc(0L) == 2L && enc(5L) == 4L && enc(7L) == 1L && enc(13L) == 4L)
+    // determinism: a second training run yields the identical table
+    assert(Bpe.train(docs, nMerges = 8) == merges)
+    // minFreq floor: singleton pairs never become merges
+    val tiny = Seq((0L, "ab")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, nMerges = 5).isEmpty)
+  }
+
   test("inverted index: incremental append ≡ full rebuild; search prunes to query-token buckets") {
     import graft.operators.Retrieval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
