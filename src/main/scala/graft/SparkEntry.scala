@@ -2278,6 +2278,19 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "pipe_dsir" -> { (s, dir) =>
+      // DSIR data selection (hashed-ngram importance weights, target =
+      // English docs): fixed-point ratio weights over 512 md5 buckets,
+      // broadcast weight table, top-60 most target-like docs. Integer
+      // arithmetic end-to-end so the selected SET is engine-independent
+      // (Pipeline.dsirScores).
+      graft.operators.Pipeline.dsirScores(
+          tbl(s, dir, "documents").select("doc_id", "lang", "text"),
+          target = col("lang") === "en")
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(60)
+    },
+
     "pipe_split_leakage" -> { (s, dir) =>
       // leakage-safe splits: the split unit is the near-dup CLUSTER
       // (minhash pair graph → CC representative), so a near-duplicate
@@ -3773,6 +3786,22 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_raw,
         |  CAST(sum(cl) AS BIGINT) AS sum_clamped
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_dsir" ->
+      // same hashed-bucket fixed-point weights: md5-60 token hash mod 512
+      // (≡ graft_md5_tokens), Laplace-smoothed ratio in integer floor
+      // division, HUGEINT sum cast back to BIGINT
+      """WITH toks AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 512 AS b
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+        |bc AS (SELECT b, count(*) AS r,
+        |    count(*) FILTER (WHERE lang = 'en') AS t
+        |  FROM toks GROUP BY b),
+        |w AS (SELECT b, (1000000 * (t + 1)) // (r + 1) AS wt FROM bc)
+        |SELECT doc_id, CAST(sum(wt) AS BIGINT) AS dsir_score
+        |FROM toks JOIN w USING (b)
+        |GROUP BY doc_id
+        |ORDER BY dsir_score DESC, doc_id LIMIT 60""".stripMargin,
 
     "pipe_split_leakage" ->
       // dedup_clusters' exact pair graph + transitive closure, then the

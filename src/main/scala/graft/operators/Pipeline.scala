@@ -479,4 +479,46 @@ object Pipeline {
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .where(col("cum_toks") <= budgetCol)
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * how target-like its HASHED n-gram feature distribution is, using
+    * per-bucket importance weights estimated from the corpus itself.
+    *
+    *   bucket(tok) = md5_60(tok) mod `buckets`
+    *   w(b)        = (scale * (target_count(b)+1)) div (raw_count(b)+1)
+    *   score(doc)  = Σ_tokens w(bucket(tok))
+    *
+    * The paper's weight is the LOG likelihood ratio and selection is
+    * Gumbel resampling; this variant keeps the hashed-feature estimator
+    * but uses FIXED-POINT ratio weights and top-k selection, because
+    * log/exp reproduce differently in the last ulp across libm
+    * implementations — integer floor division makes the scores (and
+    * therefore the selected set) bit-identical on any engine, which is
+    * what lets a 100 TB selection be audited by an independent system.
+    * Laplace +1 smoothing keeps empty buckets finite.
+    *
+    * Scale shape: the weight table is `buckets` rows — broadcast — so
+    * scoring is scan → explode → broadcast-join → one (doc_id) hash agg;
+    * nothing shuffles document text. The corpus is scanned twice (count
+    * pass + scoring pass); at 100 TB that beats materializing the
+    * exploded token stream, and both bucket counts (raw + target) come
+    * out of the SAME first pass via a conditional aggregate.
+    * Output: (idCol, dsir_score BIGINT).
+    */
+  def dsirScores(df: DataFrame, target: Column, buckets: Int = 512,
+      scale: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def toks = df.select(col(idCol), target.as("__tgt"),
+        explode(expr(s"graft_md5_tokens($textCol)")).as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val weights = toks.groupBy("__b")
+      .agg(count(lit(1)).as("__r"), count_if(col("__tgt")).as("__t"))
+      .select(col("__b"),
+        expr(s"($scale * (__t + 1L)) div (__r + 1L)").as("__w"))
+    toks.join(broadcast(weights), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("dsir_score"))
+  }
 }

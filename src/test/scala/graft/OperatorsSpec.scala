@@ -1646,5 +1646,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.length == 40)
   }
 
+  test("dsirScores: hashed-feature importance weights rank target-like docs first") {
+    import spark.implicits._
+    // two disjoint vocabularies: target docs draw from alpha*, background
+    // from beta*. A doc's score must be monotone in its target-vocab
+    // fraction — and an UNLABELED doc written in the target vocabulary
+    // must score like the target (DSIR selects by distribution, not by
+    // label; that's the whole point of importance resampling).
+    val tv = (0 until 8).map(i => s"alpha$i")
+    val ov = (0 until 8).map(i => s"beta$i")
+    def words(v: Seq[String], n: Int, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(v(r.nextInt(v.length))).mkString(" ")
+    }
+    val rows =
+      (0L until 6L).map(i => (i, "tt", words(tv, 20, i.toInt))) ++
+      (10L until 16L).map(i => (i, "xx", words(ov, 20, i.toInt))) ++
+      Seq((20L, "xx", words(tv, 20, 99)),
+          (21L, "xx", words(tv, 10, 7) + " " + words(ov, 10, 8)))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val sc = graft.operators.Pipeline
+      .dsirScores(df, col("lang") === "tt", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc.size == rows.size)
+    val pureTarget = (0L until 6L) :+ 20L
+    val background = 10L until 16L
+    assert(pureTarget.map(sc).min > sc(21L),
+      "every pure-target-vocab doc (incl. the unlabeled one) outranks half-half")
+    assert(sc(21L) > background.map(sc).max,
+      "half-half outranks every pure-background doc")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
