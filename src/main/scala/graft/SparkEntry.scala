@@ -2250,6 +2250,39 @@ object SparkEntry {
       Graphs.pageRank(edges, iters = 3).orderBy("v")
     },
 
+    "graph_triangles" -> { (s, dir) =>
+      // co-purchase affinity triangles: parts sharing an order become an
+      // edge at support>=2 (sparsifies 1.2M -> 3.6k edges at sf0.1), then
+      // exact per-vertex triangle counts via the degree-ordered two-join
+      // (out-degree bounded O(sqrt E) — the orientation that survives
+      // power-law hubs). Top-30 corners, total (n_tri desc, vertex) order.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graphs.triangleCounts(edges)
+        .orderBy(col("n_tri").desc, col("vertex"))
+        .limit(30)
+    },
+
+    "er_fuzzy_parts" -> { (s, dir) =>
+      // fuzzy entity resolution on the part-name VALUE space: block on
+      // the product noun (last token), length-band prefilter, then
+      // levenshtein <= 2 — "cold widget"~"old widget" style variants
+      // match, cross-noun pairs are never even candidates. Record counts
+      // join back per matched value (Resolve.fuzzyValuePairs).
+      val parts = tbl(s, dir, "part").select("p_partkey", "p_name")
+      val vals = parts.withColumn("blk",
+        element_at(split(col("p_name"), " "), -1))
+      val pairs = graft.operators.Resolve
+        .fuzzyValuePairs(vals, "p_name", "blk", maxDist = 2)
+        .withColumn("dist", col("dist").cast("long"))
+      val cnt = parts.groupBy("p_name").agg(count(lit(1)).as("n"))
+      pairs
+        .join(cnt.select(col("p_name").as("val_a"), col("n").as("n_a")), "val_a")
+        .join(cnt.select(col("p_name").as("val_b"), col("n").as("n_b")), "val_b")
+        .select("val_a", "val_b", "dist", "n_a", "n_b")
+        .orderBy("val_a", "val_b")
+    },
+
     "pipe_sample_weighted" -> { (s, dir) =>
       // deterministic PPS sample: priority = md5-uniform div weight —
       // integer-only weighted sampling (no libm) that any engine
@@ -3762,6 +3795,48 @@ object SparkEntry {
         |    CAST(pr.base + (85 * coalesce(f3.inflow, 0)) // 100 AS BIGINT) AS rank
         |  FROM vs CROSS JOIN pr LEFT JOIN f3 ON f3.v = vs.v)
         |SELECT v, rank FROM it3 ORDER BY v""".stripMargin,
+
+    "graph_triangles" ->
+      // same support-2 sparsification and (deg, id) orientation; the
+      // row-tuple compare mirrors Spark's struct ordering
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT k, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS k FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY k),
+        |e AS (SELECT
+        |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.u ELSE e0.v END AS s,
+        |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN d du ON du.k = e0.u JOIN d dv ON dv.k = e0.v),
+        |tri AS (SELECT p1.s AS a, p1.t AS b, p2.t AS c
+        |  FROM e p1 JOIN e p2 ON p2.s = p1.t
+        |  JOIN e p3 ON p3.s = p1.s AND p3.t = p2.t)
+        |SELECT vertex, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT a AS vertex FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY vertex ORDER BY n_tri DESC, vertex LIMIT 30""".stripMargin,
+
+    "er_fuzzy_parts" ->
+      // same blocking (last token) + length band + levenshtein <= 2 on
+      // distinct names; DuckDB's levenshtein is the same unit-cost edit
+      // distance as Spark's
+      """WITH v AS (SELECT DISTINCT p_name AS val,
+        |    string_split(p_name, ' ')[-1] AS blk FROM part),
+        |pairs AS (SELECT a.val AS val_a, b.val AS val_b,
+        |    CAST(levenshtein(a.val, b.val) AS BIGINT) AS dist
+        |  FROM v a JOIN v b ON a.blk = b.blk AND a.val < b.val
+        |    AND abs(length(a.val) - length(b.val)) <= 2
+        |  WHERE levenshtein(a.val, b.val) <= 2),
+        |cnt AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY p_name)
+        |SELECT val_a, val_b, dist, ca.n AS n_a, cb.n AS n_b
+        |FROM pairs JOIN cnt ca ON ca.p_name = val_a
+        |JOIN cnt cb ON cb.p_name = val_b
+        |ORDER BY val_a, val_b""".stripMargin,
 
     "pipe_sample_weighted" ->
       """WITH t AS (SELECT doc_id, source, n_chars,

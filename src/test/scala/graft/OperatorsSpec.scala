@@ -1677,5 +1677,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "half-half outranks every pure-background doc")
   }
 
+  test("triangleCounts: K4 + pendant — exact per-vertex corners, pendant sees none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every vertex corners C(3,2)=3 triangles (4 total);
+    // pendant edge 4-5 adds no triangle and vertex 5 must not appear
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))
+      .toDF("u", "v")
+    val tc = graft.operators.Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("cooccurrenceEdges: support threshold and basket purge") {
+    import spark.implicits._
+    // baskets: (g1: a,b,c) (g2: a,b) (g3: a,b,c) — (a,b) support 3,
+    // (a,c)/(b,c) support 2; g4 is an oversized basket that must be
+    // purged entirely (block-purging guard)
+    val rows = Seq(("g1","a"),("g1","b"),("g1","c"),("g2","a"),("g2","b"),
+      ("g3","a"),("g3","b"),("g3","c")) ++
+      (0 until 50).map(i => ("g4", s"x$i"))
+    val df = rows.toDF("g", "item")
+    val e = graft.operators.Graphs
+      .cooccurrenceEdges(df, "g", "item", minSupport = 2, maxBasket = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e == Map(("a","b") -> 3L, ("a","c") -> 2L, ("b","c") -> 2L))
+  }
+
+  test("resolveEntities: typo variants collapse, near-names outside the gate stay apart") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "acme corp"), (2L, "acme corp"), (3L, "acmee corp"), // 1-edit typo
+      (4L, "ajax corp"),                                        // dist 3 > gate
+      (5L, "zeta ltd"), (6L, "zeta ltd."))                      // block miss: noun differs
+      .toDF("id", "name")
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    val r = graft.operators.Resolve
+      .resolveEntities(df, "name", "blk", maxDist = 2)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[String]("entity_id")).toMap
+    assert(r(1L) == "acme corp" && r(2L) == "acme corp" && r(3L) == "acme corp",
+      "typo cluster collapses to its min value")
+    assert(r(4L) == "ajax corp", "dist-3 neighbor stays its own entity")
+    // blocking is a recall/cost trade: variant nouns land in different
+    // blocks and are never candidates — documented behavior, pinned here
+    assert(r(5L) == "zeta ltd" && r(6L) == "zeta ltd.")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
