@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Granularity
-import graft.operators.{Dedup, Derive, Downsample, Graphs, HistRollup, Retrieval, Similarity, TextStats}
+import graft.operators.{Dedup, Derive, Downsample, FreqRollup, Graphs, HistRollup, Retrieval, Similarity, TextStats}
 
 /** Driver contract (SURVEY §7): one `queries` entry per implemented
   * operator, each with a DuckDB-equivalent `oracleSql` on the same parquet
@@ -1138,6 +1138,25 @@ object SparkEntry {
       Downsample.toGranularity(eventStreams(s, dir), Granularity.Hours6)
         .select("stream_id", "t", "c", "l", "u", "t_first")
         .orderBy("stream_id", "t")
+    },
+
+    "ds_freq_hitters" -> { (s, dir) =>
+      // heavy-hitters rollup ladder: one mergeable frequent-items sketch
+      // per hour (native TypedImperativeAggregate — live sketch per
+      // group, serialize only at shuffles), folded to days by sketch
+      // UNION (never re-reads raw events), top-3 per day at read time.
+      // event_type cardinality sits inside the sketch's map capacity, so
+      // estimates are exact and merge-order-independent — which is what
+      // lets DuckDB oracle them; past-capacity behavior is pinned by the
+      // OperatorsSpec bound tests instead.
+      val ev = events(s, dir).select(
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"),
+        col("event_type"))
+      val hourly = FreqRollup.sketchBuckets(ev, "event_type", "tsec", 3600L)
+      val daily = FreqRollup.foldSketches(hourly, 86400L)
+      FreqRollup.topK(daily, 3)
+        .select("t", "item", "est")
+        .orderBy(col("t"), col("est").desc, col("item"))
     },
 
     "ds_nominal_count_days" -> { (s, dir) =>
@@ -2805,6 +2824,19 @@ object SparkEntry {
         |  count(v) AS c, min(v) AS l, max(v) AS u, min(t) AS t_first
         |FROM b GROUP BY stream_id, be
         |ORDER BY stream_id, be""".stripMargin,
+
+    "ds_freq_hitters" ->
+      // exact-mode sketch ≡ plain counts; same (est desc, item) tie-break
+      """WITH b AS (SELECT
+        |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS be,
+        |    event_type FROM events),
+        |c AS (SELECT be, event_type AS item, CAST(count(*) AS BIGINT) AS est
+        |  FROM b GROUP BY be, event_type),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY be ORDER BY est DESC, item) AS rn FROM c)
+        |SELECT CAST(to_timestamp(be) AS TIMESTAMP) AS t, item, est
+        |FROM r WHERE rn <= 3
+        |ORDER BY t, est DESC, item""".stripMargin,
 
     "ds_nominal_count_days" ->
       """WITH nsrc AS (SELECT concat('u', user_id) AS stream_id,

@@ -92,6 +92,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ntokens",
       (children: Seq[Expression]) => TokenCount(children(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_freq_agg",
+      (children: Seq[Expression]) => FreqItemsAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_freq_union",
+      (children: Seq[Expression]) => FreqUnionAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_freq_topk",
+      (children: Seq[Expression]) => FreqTopK(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     // optimizer strength reduction lives beside the functions: any session
     // the library registers into also gets size(split(x,' ')) →
     // graft_ntokens. Keyed removal keeps repeated register() calls from

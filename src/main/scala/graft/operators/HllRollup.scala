@@ -48,3 +48,56 @@ object HllRollup {
     sketched.withColumn("n_distinct", hll_sketch_estimate(col("sketch")))
       .drop("sketch")
 }
+
+/** Mergeable HEAVY-HITTERS rollups — the frequent-items companion to
+  * [[HllRollup]]: "top items per bucket" has no exact partial aggregate
+  * either (a locally light item can be globally heavy), so the ladder
+  * stores one Misra-Gries-family sketch per (key, bucket) and folds
+  * coarser levels by sketch union. Built on the engine's native
+  * `graft_freq_agg` / `graft_freq_union` / `graft_freq_topk`
+  * TypedImperativeAggregates ([[graft.functions.FreqItemsAgg]]) — live
+  * sketch per group, serialization only at shuffle boundaries.
+  *
+  * While distinct items stay within `maxMapSize` capacity the estimates
+  * are exact and merge-order-independent (that's what the oracle gate
+  * pins); past capacity the published no-false-negatives bound takes
+  * over (pinned in OperatorsSpec).
+  */
+object FreqRollup {
+
+  private def bucket(tsCol: Column, granSeconds: Long): Column =
+    timestamp_seconds(
+      floor(unix_timestamp(tsCol) / granSeconds) * granSeconds)
+
+  /** One frequent-items sketch of `itemCol` per (`keyCols`, bucket). */
+  def sketchBuckets(df: DataFrame, itemCol: String, tsCol: String,
+      granSeconds: Long, keyCols: Seq[String] = Nil,
+      maxMapSize: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(keyCols.map(col) :+ bucket(col(tsCol), granSeconds).as("t"): _*)
+      .agg(expr(s"graft_freq_agg($itemCol, $maxMapSize)").as("sketch"))
+  }
+
+  /** Fold sketched buckets into coarser ones by sketch union. */
+  def foldSketches(sketched: DataFrame, granSeconds: Long,
+      keyCols: Seq[String] = Nil, maxMapSize: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(sketched.sparkSession)
+    sketched
+      .groupBy(keyCols.map(col) :+ bucket(col("t"), granSeconds).as("t"): _*)
+      .agg(expr(s"graft_freq_union(sketch, $maxMapSize)").as("sketch"))
+  }
+
+  /** Read-time top-k: one row per heavy hitter, (est desc, item) within
+    * each bucket; lb/ub are the sketch's error bounds (lb = ub = est in
+    * exact mode).
+    */
+  def topK(sketched: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sketched.sparkSession)
+    sketched
+      .withColumn("__hit", explode(expr(s"graft_freq_topk(sketch, $k)")))
+      .select(col("*"), col("__hit.item").as("item"),
+        col("__hit.est").as("est"), col("__hit.lb").as("lb"),
+        col("__hit.ub").as("ub"))
+      .drop("__hit", "sketch")
+  }
+}

@@ -1722,5 +1722,63 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(5L) == "zeta ltd" && r(6L) == "zeta ltd.")
   }
 
+  test("FreqRollup exact mode: fold≡direct≡groupBy while distinct fits capacity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val items = Array("a", "b", "c", "d", "e", "f")
+    val rows = (0 until 2000).map { i =>
+      val sec = 1700000000L + rnd.nextInt(3 * 86400)
+      (new java.sql.Timestamp(sec * 1000L), items(rnd.nextInt(items.length)))
+    }
+    val df = rows.toDF("tsec", "event_type")
+    val hourly = graft.operators.FreqRollup
+      .sketchBuckets(df, "event_type", "tsec", 3600L)
+    val viaFold = graft.operators.FreqRollup
+      .topK(graft.operators.FreqRollup.foldSketches(hourly, 86400L), 10)
+      .select("t", "item", "est")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = graft.operators.FreqRollup
+      .topK(graft.operators.FreqRollup.sketchBuckets(df, "event_type", "tsec", 86400L), 10)
+      .select("t", "item", "est")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = df.groupBy(
+        timestamp_seconds(expr("CAST(floor(unix_timestamp(tsec) / 86400) * 86400 AS BIGINT)")).as("t"),
+        col("event_type"))
+      .count()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaFold == exact, "folded sketch estimates are exact counts")
+    assert(direct == exact, "direct sketch estimates are exact counts")
+  }
+
+  test("FreqRollup past capacity: no false negatives, bounds bracket truth") {
+    import spark.implicits._
+    // 500 distinct items >> map capacity 64; three planted heavy hitters
+    // carry ~45% of the stream. The published guarantee: under
+    // NO_FALSE_NEGATIVES every item with true count above the error
+    // bound is returned, and lb <= true <= ub for returned items.
+    val rnd = new scala.util.Random(11)
+    val n = 6000
+    val rows = (0 until n).map { i =>
+      val item =
+        if (i % 20 < 3) s"hot${i % 20}"          // hot0/hot1/hot2: 300 each... 3/20 of 6000 = 900 total
+        else s"cold${rnd.nextInt(500)}"
+      (new java.sql.Timestamp(1700000000L * 1000L), item)
+    }
+    val df = rows.toDF("tsec", "item")
+    val hits = graft.operators.FreqRollup
+      .topK(graft.operators.FreqRollup.sketchBuckets(df, "item", "tsec", 86400L,
+        maxMapSize = 64), 1000)
+      .select("item", "est", "lb", "ub")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val hot = Seq("hot0", "hot1", "hot2")
+    hot.foreach { h =>
+      assert(hits.contains(h), s"$h (true=${truth(h)}) must survive the sketch")
+      val (_, lb, ub) = hits(h)
+      assert(lb <= truth(h) && truth(h) <= ub, s"$h bounds bracket truth")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
