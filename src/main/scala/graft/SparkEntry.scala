@@ -1159,6 +1159,33 @@ object SparkEntry {
         .orderBy(col("t"), col("est").desc, col("item"))
     },
 
+    "ds_theta_overlap" -> { (s, dir) =>
+      // audience overlap via theta-sketch SET ALGEBRA — the question HLL
+      // rollups cannot answer (HLL unions but never intersects): distinct
+      // users who clicked, purchased, did BOTH, did EITHER, per day. One
+      // scan, one shuffle: two conditional sketches per day (null inputs
+      // skipped), then intersection/union at read time. Exact while daily
+      // distincts fit 2^12 nominal entries (they do at every test SF) —
+      // that's what lets DuckDB pin it; estimation-mode error is pinned
+      // in OperatorsSpec.
+      val ev = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(timestamp_seconds(
+            expr("CAST(floor(unix_timestamp(ts) / 86400) * 86400 AS BIGINT)"))
+          .as("t"), col("event_type"), col("user_id"))
+      ev.groupBy("t").agg(
+          expr("graft_theta_agg(CASE WHEN event_type = 'click' THEN user_id END, 12)")
+            .as("cs"),
+          expr("graft_theta_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 12)")
+            .as("ps"))
+        .select(col("t"),
+          expr("graft_theta_est(cs)").as("n_click"),
+          expr("graft_theta_est(ps)").as("n_purchase"),
+          expr("graft_theta_est(graft_theta_and(cs, ps))").as("n_both"),
+          expr("graft_theta_est(graft_theta_or(cs, ps))").as("n_either"))
+        .orderBy("t")
+    },
+
     "ds_nominal_count_days" -> { (s, dir) =>
       // nominal streams (one per user, value = event_type JSON-ish) get
       // count-only downsampling (SURVEY §1.4)
@@ -2837,6 +2864,23 @@ object SparkEntry {
         |SELECT CAST(to_timestamp(be) AS TIMESTAMP) AS t, item, est
         |FROM r WHERE rn <= 3
         |ORDER BY t, est DESC, item""".stripMargin,
+
+    "ds_theta_overlap" ->
+      // exact-mode theta algebra ≡ per-user boolean flags
+      """WITH b AS (SELECT
+        |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS be,
+        |    user_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |u AS (SELECT be, user_id,
+        |    bool_or(event_type = 'click') AS c,
+        |    bool_or(event_type = 'purchase') AS p
+        |  FROM b GROUP BY be, user_id)
+        |SELECT CAST(to_timestamp(be) AS TIMESTAMP) AS t,
+        |  CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (WHERE c AND p) AS BIGINT) AS n_both,
+        |  CAST(count(*) AS BIGINT) AS n_either
+        |FROM u GROUP BY be ORDER BY t""".stripMargin,
 
     "ds_nominal_count_days" ->
       """WITH nsrc AS (SELECT concat('u', user_id) AS stream_id,

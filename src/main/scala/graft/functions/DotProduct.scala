@@ -104,6 +104,26 @@ object GraftFunctions {
       (children: Seq[Expression]) => FreqTopK(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_agg",
+      (children: Seq[Expression]) => ThetaAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_union",
+      (children: Seq[Expression]) => ThetaUnionAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_and",
+      (children: Seq[Expression]) => ThetaCombine(children(0), children(1), "and"),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_or",
+      (children: Seq[Expression]) => ThetaCombine(children(0), children(1), "or"),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_not",
+      (children: Seq[Expression]) => ThetaCombine(children(0), children(1), "not"),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_theta_est",
+      (children: Seq[Expression]) => ThetaEstimate(children(0)),
+      "built-in")
     // optimizer strength reduction lives beside the functions: any session
     // the library registers into also gets size(split(x,' ')) →
     // graft_ntokens. Keyed removal keeps repeated register() calls from

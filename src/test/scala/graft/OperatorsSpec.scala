@@ -1780,5 +1780,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theta sketches exact mode: and/or/not reproduce true set algebra") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // A = [0, 300), B = [200, 500): |A|=300 |B|=300 |A∩B|=100 |A∪B|=500
+    // |A\B|=200 — all under 2^12 nominal entries, so exact
+    val df = ((0L until 300L).map(("a", _)) ++ (200L until 500L).map(("b", _)))
+      .toDF("seg", "id")
+    val sk = df.groupBy().agg(
+      expr("graft_theta_agg(CASE WHEN seg = 'a' THEN id END, 12)").as("sa"),
+      expr("graft_theta_agg(CASE WHEN seg = 'b' THEN id END, 12)").as("sb"))
+    val r = sk.select(
+      expr("graft_theta_est(sa)"), expr("graft_theta_est(sb)"),
+      expr("graft_theta_est(graft_theta_and(sa, sb))"),
+      expr("graft_theta_est(graft_theta_or(sa, sb))"),
+      expr("graft_theta_est(graft_theta_not(sa, sb))")).head()
+    assert((0 until 5).map(r.getLong) == Seq(300L, 300L, 100L, 500L, 200L))
+  }
+
+  test("theta sketches: fold over partial sketches ≡ direct, estimation error bounded") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 120k distinct ids >> 2^12 entries — estimation mode. RSE at lgK=12
+    // is ~1/sqrt(4096) ≈ 1.6%; assert within 5σ. Fold path: 24 partial
+    // sketches unioned ≡ one direct sketch (same theta, same hash set
+    // semantics — estimates must agree to the same bound).
+    val n = 120000L
+    val df = (0L until n).map(i => (i % 24, i)).toDF("part", "id")
+    val partials = df.groupBy("part").agg(expr("graft_theta_agg(id, 12)").as("sk"))
+    val folded = partials.agg(expr("graft_theta_union(sk, 12)").as("sk"))
+      .select(expr("graft_theta_est(sk)")).head().getLong(0)
+    val direct = df.agg(expr("graft_theta_agg(id, 12)").as("sk"))
+      .select(expr("graft_theta_est(sk)")).head().getLong(0)
+    val tol = 5 * 0.016 * n
+    assert(math.abs(folded - n) <= tol, s"folded=$folded vs n=$n")
+    assert(math.abs(direct - n) <= tol, s"direct=$direct vs n=$n")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
