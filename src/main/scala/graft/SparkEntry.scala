@@ -484,6 +484,25 @@ object SparkEntry {
       sessionIntervals(s, dir).orderBy("user_id", "sess_id")
     },
 
+    "q_streaks" -> { (s, dir) =>
+      // gaps-and-islands: per-user consecutive-PURCHASE-day streaks via
+      // the day − row_number() island key (constant within a run of
+      // consecutive days, jumps across gaps). One shuffle by user_id;
+      // both the window and the two aggs reuse that partitioning.
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val islands = d.withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id").agg(
+          sum("len").as("n_days"), count(lit(1)).as("n_streaks"),
+          max("len").as("longest"))
+        .orderBy("user_id")
+    },
+
     "q_interval_overlap" -> { (s, dir) =>
       // interval-overlap join via bucketed range join (Intervals): pairs
       // of cross-user sessions active at the same time — the equi-join-
@@ -3717,6 +3736,20 @@ object SparkEntry {
         |WHERE (a.user_id, a.sess_id) < (b.user_id, b.sess_id)
         |  AND a.t0 <= b.t1 AND b.t0 <= a.t1
         |ORDER BY a_user_id, a_sess_id, b_user_id, b_sess_id""".stripMargin,
+
+    "q_streaks" ->
+      // same day − row_number() island key
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks, max(len) AS longest
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ds_gapfill_hours" ->
       """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
