@@ -2376,6 +2376,20 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "emb_linear_probe" -> { (s, dir) =>
+      // linear-probe training as an ORACLE-CHECKABLE step: the one
+      // distributed pass emits the exact fixed-point sufficient
+      // statistics (upper-tri Gram + moments + n, Probe.gramStats) —
+      // BIGINT sums, associative under any partition order, so DuckDB
+      // pins a model-training pass bit-for-bit; only the 64×64 ridge
+      // solve is driver-side (metadata-scale), pinned by OperatorsSpec
+      // ground-truth-recovery instead.
+      graft.operators.Probe.gramStats(
+          tbl(s, dir, "embeddings").select("embedding", "label"),
+          "embedding", (col("label") === 0).cast("long"), dims = 64)
+        .orderBy("idx")
+    },
+
     "pipe_dsir" -> { (s, dir) =>
       // DSIR data selection (hashed-ngram importance weights, target =
       // English docs): fixed-point ratio weights over 512 md5 buckets,
@@ -3970,6 +3984,25 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_raw,
         |  CAST(sum(cl) AS BIGINT) AS sum_clamped
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "emb_linear_probe" ->
+      // same floor(x·2^16) quantization; HUGEINT sums cast back
+      """WITH q AS (SELECT vec_id, CAST(label = 0 AS BIGINT) AS y,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 65536) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |g AS (SELECT CAST(i*64 - (i*(i-1))//2 + (j - i) AS BIGINT) AS idx,
+        |    CAST(sum(qv[i+1] * qv[j+1]) AS BIGINT) AS val
+        |  FROM q, unnest(range(0, 64)) AS ti(i), unnest(range(0, 64)) AS tj(j)
+        |  WHERE i <= j GROUP BY 1),
+        |b AS (SELECT CAST(2080 + i AS BIGINT) AS idx,
+        |    CAST(sum(qv[i+1] * y) AS BIGINT) AS val
+        |  FROM q, unnest(range(0, 64)) AS ti(i) GROUP BY 1),
+        |n AS (SELECT CAST(2144 AS BIGINT) AS idx,
+        |    CAST(count(*) AS BIGINT) AS val FROM q)
+        |SELECT idx, val FROM
+        |  (SELECT * FROM g UNION ALL SELECT * FROM b UNION ALL SELECT * FROM n)
+        |ORDER BY idx""".stripMargin,
 
     "pipe_dsir" ->
       // same hashed-bucket fixed-point weights: md5-60 token hash mod 512

@@ -124,6 +124,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_theta_est",
       (children: Seq[Expression]) => ThetaEstimate(children(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_agg",
+      (children: Seq[Expression]) => GramAgg(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     // optimizer strength reduction lives beside the functions: any session
     // the library registers into also gets size(split(x,' ')) →
     // graft_ntokens. Keyed removal keeps repeated register() calls from

@@ -1817,5 +1817,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(direct - n) <= tol, s"direct=$direct vs n=$n")
   }
 
+  test("linearProbe: recovers a planted linear separator from sufficient statistics") {
+    import spark.implicits._
+    // ground truth: w_true on 16 dims, y = 1[x·w_true > 0] on pseudo-
+    // random unit-ish features. Ridge on 0/1 targets learns a direction
+    // proportional to w_true — sign accuracy at the 0.5 threshold must
+    // be near-perfect on separable data.
+    val dims = 16
+    val rnd = new scala.util.Random(42)
+    val wTrue = Array.tabulate(dims)(i => if (i % 2 == 0) 1.0 else -0.5)
+    val rows = (0 until 2000).map { i =>
+      val x = Array.fill(dims)(rnd.nextDouble() * 2 - 1)
+      val y = if (x.zip(wTrue).map(p => p._1 * p._2).sum > 0) 1L else 0L
+      (i.toLong, x.toSeq, y)
+    }
+    val df = rows.toDF("id", "emb", "y")
+    val w = graft.operators.Probe.linearProbe(df, "emb",
+      col("y") === 1L, dims, lambda = 1e-4)
+    val scored = graft.operators.Probe.score(df, w, "emb")
+      .select(col("y"), (col("score") > 0.5).cast("long").as("pred"))
+      .collect()
+    val acc = scored.count(r => r.getLong(0) == r.getLong(1)).toDouble / scored.length
+    assert(acc >= 0.93, s"probe sign accuracy $acc")
+  }
+
+  test("Probe.solve: Gaussian elimination inverts a known system") {
+    val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0))
+    val x = Array(1.0, -2.0, 3.0)
+    val b = a.map(row => row.zip(x).map(p => p._1 * p._2).sum)
+    val got = graft.operators.Probe.solve(a.map(_.clone()), b.clone())
+    x.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-9) }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
