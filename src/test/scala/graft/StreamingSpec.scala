@@ -713,5 +713,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       !snap(primary).contains(50L) && snap(primary)(0L) == 1L)
   }
 
+  test("streaming sketch maintenance: per-batch partials fold to the exact batch answer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // the 100 TB streaming-rollup shape: each micro-batch appends one
+    // PARTIAL sketch row per (day) — theta for distinct users, freq for
+    // hot event types — and the serving read folds partials by sketch
+    // union. Exact mode (cardinalities under capacity) makes the fold
+    // comparable to ground truth with == not tolerance; users deliberately
+    // recur across batches so naive count-summing would double-count.
+    val dir = java.nio.file.Files.createTempDirectory("sk_stream").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val src = mem.toDF.toDF("t", "user_id", "event_type")
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        batch.groupBy(
+            expr("CAST(floor(unix_timestamp(t) / 86400) * 86400 AS BIGINT)").as("be"))
+          .agg(expr("graft_theta_agg(user_id, 12)").as("theta"),
+            expr("graft_freq_agg(event_type, 64)").as("freq"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(dir)
+        ()
+      }.start()
+    val rnd = new scala.util.Random(5)
+    val types = Array("click", "view", "purchase")
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Long, String)]
+    for (b <- 0 until 3) {
+      val rows = (0 until 200).map { _ =>
+        val day = rnd.nextInt(2)
+        (ts(s"2024-03-0${day + 1} 10:00:00"), rnd.nextInt(40).toLong,
+          types(rnd.nextInt(types.length)))
+      }
+      all ++= rows
+      mem.addData(rows); q.processAllAvailable()
+    }
+    q.stop()
+
+    val folded = spark.read.parquet(dir).groupBy("be")
+      .agg(expr("graft_theta_union(theta, 12)").as("theta"),
+        expr("graft_freq_union(freq, 64)").as("freq"))
+      .select(col("be"), expr("graft_theta_est(theta)").as("nd"),
+        expr("graft_freq_topk(freq, 10)").as("top"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(h => h.getString(0) -> h.getLong(1)).toMap)
+      }.toMap
+    val byDay = all.groupBy(x => Math.floorDiv(x._1.getTime / 1000L, 86400L) * 86400L)
+    assert(folded.keySet == byDay.keySet)
+    byDay.foreach { case (day, rows) =>
+      val (nd, top) = folded(day)
+      assert(nd == rows.map(_._2).distinct.size.toLong,
+        s"day $day distinct users exact under fold")
+      val exactTypes = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      assert(top == exactTypes, s"day $day type counts exact under fold")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
