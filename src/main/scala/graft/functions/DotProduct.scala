@@ -128,6 +128,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => GramAgg(children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_multi",
+      (children: Seq[Expression]) => MultiGramAgg(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue(),
+        children(3).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     // optimizer strength reduction lives beside the functions: any session
     // the library registers into also gets size(split(x,' ')) →
     // graft_ntokens. Keyed removal keeps repeated register() calls from

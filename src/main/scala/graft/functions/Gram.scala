@@ -109,3 +109,100 @@ case class GramAgg(emb: Expression, y: Expression, dims: Int,
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GramAgg = copy(emb = l, y = r)
 }
+
+/** `graft_gram_multi(embedding, cls, dims, nClasses)` — the multi-class
+  * generalization of [[GramAgg]]: ONE data pass yields the shared Gram
+  * matrix plus a one-vs-rest moment vector and count PER CLASS, i.e.
+  * everything needed to train `nClasses` ridge heads (they share the
+  * G factorization; only the right-hand sides differ). Layout:
+  *
+  *   [0, T)                 upper-triangle G           (T = dims(dims+1)/2)
+  *   [T + c·dims, +dims)    b_c = Σ_{y=c} q   for class c
+  *   [T + C·dims + c]       n_c per-class row count
+  *
+  * Same fixed-point exactness and map-side-combine shape as [[GramAgg]].
+  */
+case class MultiGramAgg(emb: Expression, cls: Expression, dims: Int,
+    nClasses: Int, mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+  private val tri = dims * (dims + 1) / 2
+  private val len = tri + nClasses * dims + nClasses
+  private val isFloat = emb.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def left: Expression = emb
+  override def right: Expression = cls
+  override def checkInputDataTypes(): TypeCheckResult =
+    (emb.dataType, cls.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_multi expects (array<float|double>, int|bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gram_multi"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val e = emb.eval(input)
+    val cv = cls.eval(input)
+    if (e != null && cv != null) {
+      val c = cv.asInstanceOf[Number].intValue()
+      if (c >= 0 && c < nClasses) {
+        val arr = e.asInstanceOf[ArrayData]
+        val n = math.min(dims, arr.numElements())
+        val q = new Array[Long](dims)
+        var i = 0
+        while (i < n) {
+          val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          q(i) = math.floor(v * 65536.0).toLong
+          i += 1
+        }
+        var idx = 0
+        i = 0
+        while (i < dims) {
+          val qi = q(i)
+          var j = i
+          while (j < dims) { buf(idx) += qi * q(j); idx += 1; j += 1 }
+          buf(tri + c * dims + i) += qi
+          i += 1
+        }
+        buf(tri + nClasses * dims + c) += 1L
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(len * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](len)
+    java.nio.ByteBuffer.wrap(b).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MultiGramAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MultiGramAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MultiGramAgg = copy(emb = l, cls = r)
+}

@@ -87,6 +87,56 @@ object Probe {
     w
   }
 
+  /** One-vs-rest heads for ALL classes from ONE data pass
+    * ([[graft.functions.MultiGramAgg]]): the Gram matrix is shared
+    * across heads — only the right-hand sides differ — so training C
+    * classifiers costs one scan + C driver-side dims×dims solves, not C
+    * scans. Returns one (dims+1)-long weight vector per class (last =
+    * intercept), ≡ calling [[linearProbe]] per class.
+    */
+  def multiProbe(df: DataFrame, embCol: String, clsCol: Column,
+      dims: Int, nClasses: Int,
+      lambda: Double = 1e-3): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val d1 = dims + 1
+    val row = df
+      .select(
+        expr(s"concat(CAST($embCol AS ARRAY<DOUBLE>), array(1.0D))").as("__e"),
+        clsCol.cast("long").as("__c"))
+      .agg(expr(s"graft_gram_multi(__e, __c, $d1, $nClasses)").as("g"))
+      .head().getSeq[Long](0).toArray
+    val tri = d1 * (d1 + 1) / 2
+    val s = 65536.0
+    val a0 = Array.ofDim[Double](d1, d1)
+    var idx = 0
+    for (i <- 0 until d1; j <- i until d1) {
+      val v = row(idx) / (s * s); a0(i)(j) = v; a0(j)(i) = v; idx += 1
+    }
+    for (i <- 0 until dims) a0(i)(i) += lambda
+    Array.tabulate(nClasses) { c =>
+      val b = Array.tabulate(d1)(i => row(tri + c * d1 + i) / s)
+      solve(a0.map(_.clone()), b)
+    }
+  }
+
+  /** Argmax-head classification with [[multiProbe]] weights: adds
+    * `pred_class` (ties break to the LOWEST class index — the
+    * array_position-of-max rule every gate argmax uses).
+    */
+  def scoreMulti(df: DataFrame, heads: Array[Array[Double]],
+      embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val scores = heads.map { w =>
+      call_function("graft_dot",
+        col(embCol).cast("array<double>"),
+        array(w.init.map(lit).toSeq: _*)) + lit(w.last)
+    }
+    df.withColumn("__s", array(scores.toSeq: _*))
+      .withColumn("pred_class",
+        (expr("array_position(__s, array_max(__s))") - 1L).cast("long"))
+      .drop("__s")
+  }
+
   /** Score rows with [[linearProbe]] weights: adds `score` = x·w + bias
     * via the codegen dot kernel (weights broadcast as a literal array —
     * no join). `w` is the (dims+1)-long probe output, last = intercept.

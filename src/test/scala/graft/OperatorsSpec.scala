@@ -1841,6 +1841,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc >= 0.93, s"probe sign accuracy $acc")
   }
 
+  test("multiProbe: one pass ≡ per-class linearProbe; planted 3-class recovery") {
+    import spark.implicits._
+    val dims = 12
+    val rnd = new scala.util.Random(9)
+    // planted heads: class = argmax_c (x · h_c)
+    val hTrue = Array.tabulate(3, dims)((c, i) =>
+      math.sin(c * 5 + i * 1.7) * (if (i % 3 == c % 3) 1.5 else 0.3))
+    val rows = (0 until 1500).map { i =>
+      val x = Array.fill(dims)(rnd.nextDouble() * 2 - 1)
+      val cls = (0 until 3).maxBy(c => x.zip(hTrue(c)).map(p => p._1 * p._2).sum)
+      (i.toLong, x.toSeq, cls.toLong)
+    }
+    val df = rows.toDF("id", "emb", "cls")
+    val heads = graft.operators.Probe.multiProbe(df, "emb", col("cls"), dims, 3)
+    // head c from the shared-Gram pass must equal the standalone probe
+    for (c <- 0 until 3) {
+      val solo = graft.operators.Probe.linearProbe(df, "emb",
+        col("cls") === c.toLong, dims)
+      heads(c).zip(solo).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"head $c diverges from solo probe")
+      }
+    }
+    val scored = graft.operators.Probe.scoreMulti(df, heads, "emb")
+      .select("cls", "pred_class").collect()
+    val acc = scored.count(r => r.getLong(0) == r.getLong(1)).toDouble / scored.length
+    assert(acc >= 0.85, s"argmax-head accuracy $acc")
+  }
+
   test("Probe.solve: Gaussian elimination inverts a known system") {
     val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0))
     val x = Array(1.0, -2.0, 3.0)
