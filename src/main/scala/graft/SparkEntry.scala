@@ -2138,6 +2138,125 @@ object SparkEntry {
         .orderBy("label", "dim")
     },
 
+    "emb_dim_stats" -> { (s, dir) =>
+      // corpus-wide per-dimension stats via ONE mergeable typed
+      // Aggregator (DimStats): the vector stays whole in the partial
+      // buffer, so the shuffle is O(#partitions x d) — not the n x d
+      // rows a posexplode/groupBy(dim) ships (that formulation is
+      // emb_centroids', fine per-label; this is the global-profile
+      // shape). BIGINT fixed-point sums make mean/std bit-identical
+      // cross-engine with no rounding lane.
+      graft.operators.DimStats
+        .dimStats(tbl(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    },
+
+    "graph_bfs_hops" -> { (s, dir) =>
+      // multi-source BFS over the co-purchase graph (same support-2
+      // edge recipe as graph_triangles): hop distances from the
+      // partkey%50==0 seed set, depth-capped at 3. Frontier-expansion
+      // equi-joins — per round only frontier-adjacent edges move, never
+      // a transitive closure; distances are exact integers (no
+      // fixed-point lane needed, unlike pagerank's ranks).
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds seeds + both BFS sides once
+      val seeds = edges.select(col("u").as("v"))
+        .unionAll(edges.select(col("v")))
+        .where(col("v") % 50 === 0).distinct()
+      Graphs.bfsDistances(edges, seeds, maxHops = 3).orderBy("v")
+    },
+
+    "pipe_k_anonymity" -> { (s, dir) =>
+      // privacy audit before a training-data release: quasi-identifiers
+      // (nation, acctbal kilo-bucket), sensitive attribute mktsegment;
+      // per equivalence class: size, l-diversity, suppressed (size < k).
+      // One hash aggregation (Pipeline.kAnonymityReport) — audit cost is
+      // a groupBy count at any corpus size.
+      val c = tbl(s, dir, "customer")
+        .withColumn("bal_kb", floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.Pipeline
+        .kAnonymityReport(c, Seq("c_nationkey", "bal_kb"),
+          sensitive = "c_mktsegment", k = 5)
+        .orderBy("c_nationkey", "bal_kb")
+    },
+
+    "q_bucket_join" -> { (s, dir) =>
+      // co-located join: both sides persisted BUCKETED on the join key
+      // (bucketBy + sortBy at write time), then joined with the merge
+      // hint — the executed plan reads Bucketed: true and has ZERO
+      // exchange under the join (ScaleSpec pins it). The 100 TB
+      // repeated-join story: pay the layout shuffle once when writing,
+      // every downstream join on that key is shuffle-free.
+      val suf = java.lang.Long.toHexString(System.nanoTime())
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt")
+        .toString
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$base/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"graft_bo_$suf")
+      tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("path", s"$base/c")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"graft_bc_$suf")
+      s.table(s"graft_bo_$suf").hint("merge")
+        .join(s.table(s"graft_bc_$suf"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .orderBy("c_mktsegment")
+    },
+
+    "ds_resample_linear" -> { (s, dir) =>
+      // linear-interpolation RESAMPLING onto a regular 10-minute grid —
+      // the upsampling sibling of ds_gapfill_hours' carry-forward:
+      // per-stream grid explode inside the data extent, bracket every
+      // grid instant with its neighbor points via two IGNORE NULLS
+      // window passes over the points-union-grid frame (no self-join,
+      // no per-instant range join), interpolate in closed form.
+      val pts = events(s, dir).where(col("user_id") < 5)
+        .select(concat_ws(":", col("user_id"), col("event_type"))
+            .as("stream_id"),
+          unix_timestamp(col("ts")).as("t"), col("value").as("v"))
+      // collapse duplicate seconds to the rounded mean (gapfill's
+      // convention); checkpoint — grid derives FROM secs (self-join rule)
+      val secs = pts.groupBy("stream_id", "t")
+        .agg(round(avg("v"), 6).as("v")).localCheckpoint(true)
+      val ext = secs.groupBy("stream_id")
+        .agg(min("t").as("t0"), max("t").as("t1"))
+        .withColumn("g0", expr("((t0 + 599) div 600) * 600"))
+        .withColumn("g1", expr("(t1 div 600) * 600"))
+        .where(col("g0") <= col("g1"))
+      val grid = ext.select(col("stream_id"),
+        explode(sequence(col("g0"), col("g1"), lit(600L))).as("t"))
+      // points sort BEFORE the grid instant at equal t (srt 0 < 1), so a
+      // grid instant landing exactly on a point takes that point's value
+      val u = secs.select(col("stream_id"), col("t"), col("v"),
+          lit(0).as("srt"), col("t").as("pt"))
+        .unionAll(grid.select(col("stream_id"), col("t"),
+          lit(null).cast("double").as("v"), lit(1).as("srt"),
+          lit(null).cast("long").as("pt")))
+      val wPrev = Window.partitionBy("stream_id").orderBy("t", "srt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("stream_id").orderBy("t", "srt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      u.withColumn("prev_v", last("v", ignoreNulls = true).over(wPrev))
+        .withColumn("prev_t", last("pt", ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first("v", ignoreNulls = true).over(wNext))
+        .withColumn("next_t", first("pt", ignoreNulls = true).over(wNext))
+        .where(col("srt") === 1)
+        .select(col("stream_id"), col("t"),
+          round(when(col("prev_t") === col("t"), col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("t") - col("prev_t")).cast("double") /
+                (col("next_t") - col("prev_t")).cast("double"))), 6)
+            .as("v_interp"))
+        .orderBy("stream_id", "t")
+    },
+
     "emb_quantize" -> { (s, dir) =>
       // int8 symmetric quantization audit: per-vector scale, Σq and max
       // dequantization error — shuffle-free projection over the corpus
@@ -4610,6 +4729,102 @@ object SparkEntry {
         |SELECT label, dim, round(avg(v), 6) AS centroid
         |FROM x GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    "emb_dim_stats" ->
+      // same BIGINT fixed-point (floor(v*1e6)) sums; mean/std derive
+      // from the exact integer sums in identical double arithmetic, so
+      // no rounding lane is needed
+      """WITH e AS (SELECT list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |x AS (SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+        |    unnest(v) AS raw FROM e),
+        |f AS (SELECT dim, raw,
+        |    CAST(floor(raw * 1000000.0) AS BIGINT) AS fp FROM x),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(fp) AS BIGINT) AS sum_fp,
+        |    CAST(sum(fp * fp) AS BIGINT) AS sumsq_fp,
+        |    min(raw) AS vmin, max(raw) AS vmax
+        |  FROM f GROUP BY dim)
+        |SELECT dim, n, sum_fp, sumsq_fp,
+        |  CAST(sum_fp AS DOUBLE) / (n * 1000000.0) AS mean,
+        |  sqrt(greatest(0.0,
+        |    CAST(sumsq_fp AS DOUBLE) / (n * 1000000000000.0)
+        |      - (CAST(sum_fp AS DOUBLE) / (n * 1000000.0))
+        |        * (CAST(sum_fp AS DOUBLE) / (n * 1000000.0)))) AS std_dev,
+        |  vmin, vmax
+        |FROM a ORDER BY dim""".stripMargin,
+
+    "graph_bfs_hops" ->
+      // same support-2 co-purchase edges as graph_triangles; the
+      // UNION-dedup recursion keeps state bounded by V x maxHops, and
+      // min(dist) over enumerated (v, dist) pairs IS the BFS hop count
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |seeds AS (SELECT DISTINCT k AS v FROM
+        |    (SELECT u AS k FROM e UNION ALL SELECT v FROM e)
+        |  WHERE k % 50 = 0),
+        |walk AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT und.v, walk.dist + 1 FROM walk
+        |  JOIN und ON und.u = walk.v WHERE walk.dist < 3)
+        |SELECT v, min(dist) AS dist FROM walk GROUP BY v
+        |ORDER BY v""".stripMargin,
+
+    "pipe_k_anonymity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
+        |  count(*) < 5 AS suppressed
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_kb""".stripMargin,
+
+    "q_bucket_join" ->
+      // the bucketed layout is a Spark-side physical property; the
+      // oracle sees the same logical join on the raw tables
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "ds_resample_linear" ->
+      // identical bracketing: points sort before the grid instant at
+      // equal t, closed-form interpolation with the same operation order
+      """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+        |  FROM events WHERE user_id < 5),
+        |sec AS (SELECT stream_id, t, round(avg(v), 6) AS v
+        |  FROM p GROUP BY 1, 2),
+        |ext AS (SELECT stream_id,
+        |    ((min(t) + 599) // 600) * 600 AS g0,
+        |    (max(t) // 600) * 600 AS g1
+        |  FROM sec GROUP BY stream_id),
+        |g AS (SELECT stream_id, unnest(range(g0, g1 + 1, 600)) AS t
+        |  FROM ext WHERE g0 <= g1),
+        |u AS (SELECT stream_id, t, v, 0 AS srt, t AS pt FROM sec
+        |  UNION ALL SELECT stream_id, t, NULL, 1, NULL FROM g),
+        |b AS (SELECT stream_id, t, srt,
+        |    last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(pt IGNORE NULLS) OVER wp AS prev_t,
+        |    first_value(v IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(pt IGNORE NULLS) OVER wn AS next_t
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY stream_id ORDER BY t, srt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY stream_id ORDER BY t, srt
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT stream_id, t,
+        |  round(CASE WHEN prev_t = t THEN prev_v
+        |    ELSE prev_v + (next_v - prev_v) *
+        |      (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+        |    END, 6) AS v_interp
+        |FROM b WHERE srt = 1 ORDER BY stream_id, t""".stripMargin,
 
     "emb_quantize" ->
       """WITH v AS (SELECT vec_id,

@@ -184,4 +184,40 @@ object Graphs {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Multi-source BFS hop distances on an undirected graph, depth-bounded.
+    * Input: distinct edges (u, v); seeds (v). Output (v, dist) for every
+    * vertex reachable within `maxHops` (seeds at dist 0, first-discovery
+    * hop = shortest-path hop count — exact integers, so the result is
+    * engine- and partitioning-independent with no fixed-point tricks).
+    *
+    * Scale shape: frontier expansion — each round equi-joins ONLY the
+    * current frontier (not the visited set) against the edge list, then
+    * anti-joins the visited set; per-round work is O(frontier-adjacent
+    * edges), rounds are bounded by `maxHops`, and the undirected edge
+    * list is localCheckpoint'd once (it feeds every round — the
+    * iterative self-join re-run rule). The per-round driver emptiness
+    * probe is a count on the (small) frontier, not a collect of it.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var visited = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("v")
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = und.join(frontier.withColumnRenamed("v", "u"), "u")
+        .select(col("v")).distinct()
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next.select("v")
+      hop += 1
+    }
+    visited
+  }
 }

@@ -521,4 +521,23 @@ object Pipeline {
       .groupBy(col(idCol))
       .agg(sum(col("__w")).as("dsir_score"))
   }
+
+  /** k-anonymity / l-diversity audit: group rows by their quasi-
+    * identifier columns and report, per equivalence class, the class
+    * size, the number of distinct sensitive values (l-diversity), and
+    * whether the class must be suppressed (size < k) before release —
+    * the standard privacy gate a training-data export runs before
+    * shipping user-derived records.
+    *
+    * Scale shape: ONE hash aggregation on the QI key (count +
+    * count-distinct partial-aggregate map-side); nothing is sorted or
+    * windowed, no self-joins — the audit costs the same as a groupBy
+    * count at any corpus size.
+    */
+  def kAnonymityReport(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Long): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_diversity"))
+      .withColumn("suppressed", col("class_size") < k)
 }

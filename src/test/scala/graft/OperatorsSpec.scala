@@ -1877,5 +1877,83 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     x.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-9) }
   }
 
+  test("DimStats: aggregator path equals the posexplode/groupBy formulation") {
+    import spark.implicits._
+    // 7 rows x 3 dims, repartitioned so merge() runs across real partials
+    val rows = (0 until 7).map(i =>
+      Tuple1(Seq(i * 0.31 - 1.0, math.sin(i.toDouble), 0.001 * i)))
+    val df = rows.toDF("embedding").repartition(3)
+    val got = graft.operators.DimStats.dimStats(df, "embedding")
+      .orderBy("dim").collect()
+    // explode formulation with the SAME fixed-point recipe
+    val exp = df.select(posexplode(col("embedding").cast("array<double>")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("raw"))
+      .withColumn("fp", floor(col("raw") * lit(1000000.0)).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("fp").as("sum_fp"),
+        sum(col("fp") * col("fp")).as("sumsq_fp"),
+        min("raw").as("vmin"), max("raw").as("vmax"))
+      .orderBy("dim").collect()
+    assert(got.length == 3)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0), "dim")
+      assert(g.getLong(1) == e.getLong(1), "n")
+      assert(g.getLong(2) == e.getAs[Long]("sum_fp"), "sum_fp")
+      assert(g.getLong(3) == e.getAs[Long]("sumsq_fp"), "sumsq_fp")
+      assert(g.getDouble(6) == e.getAs[Double]("vmin"), "vmin")
+      assert(g.getDouble(7) == e.getAs[Double]("vmax"), "vmax")
+      val mean = e.getAs[Long]("sum_fp").toDouble / (e.getAs[Long]("n") * 1e6)
+      assert(g.getDouble(4) == mean, "mean")
+    }
+  }
+
+  test("DimStats: empty input yields zero rows, single row yields zero std") {
+    import spark.implicits._
+    val empty = Seq.empty[Tuple1[Seq[Double]]].toDF("embedding")
+    assert(graft.operators.DimStats.dimStats(empty, "embedding").count() == 0)
+    val one = Seq(Tuple1(Seq(0.5, -0.25))).toDF("embedding")
+    val r = graft.operators.DimStats.dimStats(one, "embedding")
+      .orderBy("dim").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // exact fixed-point: floor(0.5e6)=500000, mean exactly 0.5, std 0
+    assert(r(0).getAs[Long]("sum_fp") == 500000L)
+    assert(r(0).getAs[Double]("mean") == 0.5)
+    assert(r.forall(_.getAs[Double]("std_dev") == 0.0))
+  }
+
+  test("bfsDistances: hop counts on a hand graph, depth cap, multi-source min") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus branch 2-6, isolated edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("u", "v")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val d = graft.operators.Graphs.bfsDistances(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L),
+      s"depth-2 BFS from 1: $d") // 4 is 3 hops (capped), 8/9 unreachable
+    // multi-source: nearest seed wins (5 is 1 hop from seed 4, not 4 from 1)
+    val seeds2 = Seq(Tuple1(1L), Tuple1(4L)).toDF("v")
+    val d2 = graft.operators.Graphs.bfsDistances(edges, seeds2, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(5L) == 1L && d2(3L) == 1L && d2(2L) == 1L && d2(6L) == 2L)
+  }
+
+  test("kAnonymityReport: class sizes, l-diversity, suppression flag") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      ("b", 2, "x"), ("b", 2, "x")).toDF("qi1", "qi2", "sens")
+    val r = graft.operators.Pipeline
+      .kAnonymityReport(df, Seq("qi1", "qi2"), "sens", k = 3)
+      .orderBy("qi1").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("class_size") == 3L &&
+      r(0).getAs[Long]("l_diversity") == 2L &&
+      !r(0).getAs[Boolean]("suppressed"))
+    assert(r(1).getAs[Long]("class_size") == 2L &&
+      r(1).getAs[Long]("l_diversity") == 1L &&
+      r(1).getAs[Boolean]("suppressed"))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -87,6 +87,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q_bucket_join: the gate query's join itself is shuffle-free") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val df = SparkEntry.queries("q_bucket_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucketing unused in:\n$plan")
+    // exactly ONE hash exchange: the groupBy AFTER the join — the join
+    // reads both bucketed sides co-located, shuffle-free
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"expected 1 exchange (the groupBy), got $ex in:\n$plan")
+  }
+
   test("salted distinct count is exact under a hot key") {
     import spark.implicits._
     // hot key "h" carries 10k distinct values; cold keys carry few
