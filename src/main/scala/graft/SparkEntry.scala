@@ -2062,6 +2062,48 @@ object SparkEntry {
         .orderBy("stage")
     },
 
+    "pipe_e2e_curation" -> { (s, dir) =>
+      // END-TO-END curation pipeline as ONE oracled query — the
+      // composition story: lang filter → quality gate → exact dedup
+      // (keep-lowest-id) → benchmark decontamination (≥3 shared
+      // trigrams) → per-source cap, reporting docs + token budget after
+      // every stage. The pure-predicate stages could fold into one
+      // conditional agg (pipe_quality_funnel's shape); dedup/decontam/
+      // cap each need a window or join, so the base is checkpointed
+      // once and every stage narrows the previous survivor frame —
+      // six metadata-sized aggs, not six corpus rescans.
+      val raw = tbl(s, dir, "documents")
+      val bench = raw.where(col("doc_id") % 97 === 0) // held-out benchmark
+      val c0 = raw.where(col("doc_id") % 97 =!= 0)
+      val corpus = c0.unionByName(
+          c0.where(col("doc_id") < 25) // injected exact dupes
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .localCheckpoint(true)
+      val s1 = corpus.where(col("lang").isin("en", "de", "fr"))
+      val s2 = s1.where(col("n_chars") >= 150 && col("n_toks") >= 20)
+      val wd = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val s3 = s2.withColumn("rn", row_number().over(wd))
+        .where(col("rn") === 1).drop("rn").localCheckpoint(true)
+      val contam = graft.operators.Pipeline.contaminationScores(s3, bench)
+        .where(col("n_shared") >= 3)
+      val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val wc = Window.partitionBy("source").orderBy("doc_id")
+      val s5 = s4.withColumn("rn", row_number().over(wc))
+        .where(col("rn") <= 12)
+      def stat(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stat("s0_all", corpus).unionByName(stat("s1_lang", s1))
+        .unionByName(stat("s2_quality", s2))
+        .unionByName(stat("s3_dedup", s3))
+        .unionByName(stat("s4_decontam", s4))
+        .unionByName(stat("s5_cap", s5))
+        .orderBy("stage")
+    },
+
     "doc_fingerprint" -> { (s, dir) =>
       // rolling-hash content fingerprint → duplicate pairs. The oracle
       // checks the PAIR STRUCTURE via md5 equality (DuckDB has no
@@ -4301,6 +4343,51 @@ object SparkEntry {
         |  coalesce(r.n_kept, 0) AS n_kept
         |FROM documents d2 LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_e2e_curation" ->
+      // same stage recipe end-to-end; every branch casts so DuckDB's
+      // HUGEINT sums can't drift the union's column type
+      """WITH c0 AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |cor AS (SELECT doc_id, text, lang, source, n_chars FROM c0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source, n_chars
+        |  FROM c0 WHERE doc_id < 25),
+        |ct AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n_toks FROM cor),
+        |s1 AS (SELECT * FROM ct WHERE lang IN ('en', 'de', 'fr')),
+        |s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND n_toks >= 20),
+        |s3 AS (SELECT * FROM s2 QUALIFY
+        |  row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |tg AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s3)),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 = 0)),
+        |contam AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
+        |  GROUP BY tg.doc_id HAVING count(*) >= 3),
+        |s4 AS (SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |s5 AS (SELECT * FROM s4 QUALIFY
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 12)
+        |SELECT stage, n_docs, n_tokens FROM (
+        |  SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM ct
+        |  UNION ALL SELECT 's1_lang', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's3_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 's4_decontam', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 's5_cap', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s5)
+        |ORDER BY stage""".stripMargin,
 
     "pipe_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
