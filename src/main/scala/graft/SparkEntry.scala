@@ -561,6 +561,54 @@ object SparkEntry {
         .orderBy("stream_id", "sec")
     },
 
+    "drv_seasonal_baseline" -> { (s, dir) =>
+      // seasonal decomposition, hour-of-day profile: each stream's
+      // 24-slot baseline (one hash agg, O(#streams x 24) output)
+      // broadcast-joins back onto the points; residual = value − slot
+      // mean. The profile side is metadata-sized no matter how long the
+      // history grows — the scale-correct seasonal op (a window over
+      // the raw stream would sort the full history per stream).
+      val pts = pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("hod", expr("(sec % 86400) div 3600"))
+        .localCheckpoint(true) // profile derives FROM pts (self-join rule)
+      val prof = pts.groupBy("stream_id", "hod")
+        .agg(avg("v").as("b"))
+      pts.join(broadcast(prof), Seq("stream_id", "hod"))
+        .select(col("stream_id"), col("sec"), col("hod"),
+          round(col("b"), 6).as("baseline"),
+          round(col("v") - col("b"), 6).as("resid"))
+        .orderBy("stream_id", "sec")
+    },
+
+    "q_skyline_pareto" -> { (s, dir) =>
+      // 2D Pareto frontier (skyline): parts with no other part both
+      // smaller and cheaper. Two phases, each ONE sort + two RANGE-frame
+      // running minima — never the O(n²) NOT-EXISTS self-join: phase 1
+      // prunes per hash bucket IN PARALLEL (local non-dominated ⊇ global
+      // frontier, dominance is transitive), phase 2 runs the same
+      // two-window trick on the tiny survivor set. keep ⟺ no
+      // smaller-or-equal size is strictly cheaper (min_le = price) and
+      // no strictly-smaller size is cheaper-or-equal (min_lt > price).
+      def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+        val w1 = Window.partitionBy(part.map(col): _*).orderBy("p_size")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val w2 = Window.partitionBy(part.map(col): _*).orderBy("p_size")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("min_lt", min("p_retailprice").over(w1))
+          .withColumn("min_le", min("p_retailprice").over(w2))
+          .where(col("min_le") === col("p_retailprice") &&
+            (col("min_lt").isNull || col("min_lt") > col("p_retailprice")))
+          .drop("min_lt", "min_le")
+      }
+      val p = tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice"))
+        .withColumn("bkt", pmod(col("p_partkey"), lit(32)))
+      frontier(frontier(p, Seq("bkt")).drop("bkt"), Seq.empty)
+        .orderBy("p_size", "p_retailprice", "p_partkey")
+    },
+
     "q_first_last_window" -> { (s, dir) =>
       // value-position window functions (first/last/nth over an unbounded
       // frame): each user-day's opening, closing and second event type
@@ -3001,6 +3049,36 @@ object SparkEntry {
         |SELECT stream_id, sec, v, round((v - m) / sd, 6) AS z
         |FROM r WHERE n >= 10 AND sd > 0 AND abs(round((v - m) / sd, 6)) > 3
         |ORDER BY stream_id, sec""".stripMargin,
+
+    "drv_seasonal_baseline" ->
+      s"""WITH $srcSql, $pointSql,
+        |h AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v,
+        |    (CAST(floor(epoch(t)) AS BIGINT) % 86400) // 3600 AS hod
+        |  FROM pts),
+        |prof AS (SELECT stream_id, hod, avg(v) AS b
+        |  FROM h GROUP BY stream_id, hod)
+        |SELECT h.stream_id, h.sec, h.hod, round(prof.b, 6) AS baseline,
+        |  round(h.v - prof.b, 6) AS resid
+        |FROM h JOIN prof
+        |  ON h.stream_id = prof.stream_id AND h.hod = prof.hod
+        |ORDER BY h.stream_id, sec""".stripMargin,
+
+    "q_skyline_pareto" ->
+      // the bucketed local-prune phase is a Spark-side parallelism
+      // device; frontier(frontier(X)) = frontier(X), so the oracle is
+      // the direct global two-window skyline
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    p_retailprice FROM part),
+        |w AS (SELECT *,
+        |    min(p_retailprice) OVER (ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt,
+        |    min(p_retailprice) OVER (ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_le
+        |  FROM p)
+        |SELECT p_partkey, p_size, p_retailprice FROM w
+        |WHERE min_le = p_retailprice
+        |  AND (min_lt IS NULL OR min_lt > p_retailprice)
+        |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin,
 
     "q_first_last_window" ->
       """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
