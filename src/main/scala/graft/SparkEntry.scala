@@ -2329,14 +2329,20 @@ object SparkEntry {
         .unionAll(grid.select(col("stream_id"), col("t"),
           lit(null).cast("double").as("v"), lit(1).as("srt"),
           lit(null).cast("long").as("pt")))
+      // both window frames GROW (unbounded-preceding → current): Spark
+      // evaluates growing frames incrementally O(n) per partition, but a
+      // (current → unbounded-FOLLOWING) frame SHRINKS and is recomputed
+      // per row — O(n²) per stream (measured: 12.6 CPU s vs 0.6 at
+      // sf0.1). "next" is therefore a DESC-ordered growing frame.
       val wPrev = Window.partitionBy("stream_id").orderBy("t", "srt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy("stream_id").orderBy("t", "srt")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wNext = Window.partitionBy("stream_id")
+        .orderBy(col("t").desc, col("srt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       u.withColumn("prev_v", last("v", ignoreNulls = true).over(wPrev))
         .withColumn("prev_t", last("pt", ignoreNulls = true).over(wPrev))
-        .withColumn("next_v", first("v", ignoreNulls = true).over(wNext))
-        .withColumn("next_t", first("pt", ignoreNulls = true).over(wNext))
+        .withColumn("next_v", last("v", ignoreNulls = true).over(wNext))
+        .withColumn("next_t", last("pt", ignoreNulls = true).over(wNext))
         .where(col("srt") === 1)
         .select(col("stream_id"), col("t"),
           round(when(col("prev_t") === col("t"), col("prev_v"))

@@ -118,6 +118,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_theta_or",
       (children: Seq[Expression]) => ThetaCombine(children(0), children(1), "or"),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      (children: Seq[Expression]) => PqEncode(children(0), children(1),
+        children(2), children(3)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      (children: Seq[Expression]) => PqAdc(children(0), children(1),
+        children(2), children(3), children(4)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_theta_not",
       (children: Seq[Expression]) => ThetaCombine(children(0), children(1), "not"),
       "built-in")

@@ -434,17 +434,16 @@ object Similarity {
 
     val assigned = withProbes(corpus, cents, nprobe).localCheckpoint(true)
 
-    // PQ codebook: (cent_id, s, csub, |csub|²) — metadata-scale, broadcast
-    import spark.implicits._
-    val cb = (for { s0 <- 0 until m; (cs, j) <- codebooks(s0).zipWithIndex }
-      yield {
-        (j.toLong, s0, cs, cs.map(x => x * x).sum)
-      }).toDF("cent_id", "s", "csub", "cn2")
+    // codebook + per-entry self-dots as LITERALS: metadata-scale
+    // (m × ksub × sub doubles), decoded once per executor by the fused
+    // PQ kernels — never joined, never shuffled
+    val cbLit = typedLit(codebooks)
+    val cn2Lit = typedLit(codebooks.map(_.map(cs => cs.map(x => x * x).sum)))
 
-    // slices + per-subspace self-dots MATERIALIZED before the codebook
-    // join (the derived-expression rule: left unmaterialized, Catalyst
+    // slices + per-subspace self-dots MATERIALIZED before downstream
+    // joins (the derived-expression rule: left unmaterialized, Catalyst
     // collapses the array(slice...) projection into the join output and
-    // rebuilds all m slices PER dist ROW — measured 219 CPU s at sf0.1
+    // rebuilds all m slices PER JOINED ROW — measured 219 CPU s at sf0.1
     // vs single-digit after); n rows × m×(sub+1) doubles, tiny
     val vecs = assigned
       .withColumn("subs", array((0 until m).map(s0 =>
@@ -452,23 +451,17 @@ object Similarity {
       .withColumn("selfd", expr("transform(subs, x -> graft_dot(x, x))"))
       .select(col("vec_id"), col("subs"), col("selfd"))
       .localCheckpoint(true)
-    // dist(vec_id, s, cent_id, d2): corpus × broadcast codebook — serves
-    // BOTH as the encoder input (argmin per (vec, s) = the code) and as
-    // every query's ADC distance table; after the vecs checkpoint it is
-    // a cheap projection, so recomputing per consumer beats materializing
-    // n × ksub × m rows
-    val dist = vecs
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("s"), col("cent_id"),
-        ((element_at(col("selfd"), col("s") + 1)
-          - lit(2.0) * expr("graft_dot(element_at(subs, s + 1), csub)"))
-          + col("cn2")).as("d2"))
-
-    val wCode = Window.partitionBy("vec_id", "s")
-      .orderBy(col("d2"), col("cent_id"))
-    val codes = dist.withColumn("rn", row_number().over(wCode))
-      .where(col("rn") === 1)
-      .select(col("vec_id").as("cid"), col("s"), col("cent_id"))
+    // PQ ENCODE: one fused argmin kernel per row (graft_pq_encode, m ×
+    // ksub sub-dots in a tight loop). The declarative alternative
+    // materialized the n × m × ksub distance relation (corpus ×
+    // broadcast codebook) and ranked it with a (vec, s) window — 10M+
+    // rows, a sort, and a three-way join at sf0.1: 59 CPU s measured,
+    // ~2 after. The kernel emits the same codes bit-for-bit: identical
+    // (self − 2·dot) + |c|² parenthesization, strict-< ascending scan
+    // = the window's (d2, cent_id) tie order.
+    val codes = vecs.select(col("vec_id").as("cid"),
+      call_function("graft_pq_encode", col("subs"), col("selfd"),
+        cbLit, cn2Lit).as("codes"))
 
     val corpusSide = assigned.select(col("vec_id"),
       element_at(col("probes"), 1).as("cell"))
@@ -478,12 +471,16 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"))
 
-    val adc = cand.join(codes, Seq("cid"))
-      .join(dist.select(col("vec_id").as("qid"), col("s"), col("cent_id"),
-        col("d2")), Seq("qid", "s", "cent_id"))
-    def dPart(i: Int): Column = sum(when(col("s") === i, col("d2")))
-    val ad = adc.groupBy("qid", "cid")
-      .agg((0 until m).map(dPart).reduceLeft(_ + _).as("adist"))
+    // ADC per candidate pair: join the candidate's codes (m ints) and
+    // the query's own subs/selfd, then one fused kernel — subspace
+    // terms accumulate 0..m−1 left-assoc, identical to the fixed
+    // conditional-aggregate chain it replaces (oracle SQL unchanged)
+    val qside = vecs.select(col("vec_id").as("qid"),
+      col("subs").as("qsubs"), col("selfd").as("qselfd"))
+    val ad = cand.join(codes, Seq("cid")).join(qside, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        call_function("graft_pq_adc", col("qsubs"), col("qselfd"),
+          col("codes"), cbLit, cn2Lit).as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
     ad.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
