@@ -2257,6 +2257,19 @@ object SparkEntry {
       Graphs.bfsDistances(edges, seeds, maxHops = 3).orderBy("v")
     },
 
+    "graph_jaccard_links" -> { (s, dir) =>
+      // link prediction on the co-purchase graph (same support-2 edges):
+      // neighbor-set Jaccard over unlinked 2-path pairs, top 20 — the
+      // "customers who bought X also bought Y" candidate scorer. Exact
+      // BIGINT counts + one IEEE division ⇒ raw-double ranking is safe
+      // cross-engine (no rounding lane needed).
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds the und list AND the anti side
+      Graphs.jaccardLinks(edges)
+        .orderBy(col("jaccard").desc, col("a"), col("c")).limit(20)
+    },
+
     "pipe_k_anonymity" -> { (s, dir) =>
       // privacy audit before a training-data release: quasi-identifiers
       // (nation, acctbal kilo-bucket), sensitive attribute mktsegment;
@@ -4945,6 +4958,28 @@ object SparkEntry {
         |  JOIN und ON und.u = walk.v WHERE walk.dist < 3)
         |SELECT v, min(dist) AS dist FROM walk GROUP BY v
         |ORDER BY v""".stripMargin,
+
+    "graph_jaccard_links" ->
+      // same support-2 edges; exact integer counts, one division
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY u),
+        |paths AS (SELECT x.u AS a, y.v AS c FROM und x
+        |  JOIN und y ON x.v = y.u WHERE x.u < y.v),
+        |cnt AS (SELECT a, c, CAST(count(*) AS BIGINT) AS cn
+        |  FROM paths GROUP BY a, c),
+        |nl AS (SELECT cnt.a, cnt.c, cnt.cn FROM cnt
+        |  LEFT JOIN e0 ON e0.u = cnt.a AND e0.v = cnt.c
+        |  WHERE e0.u IS NULL)
+        |SELECT nl.a, nl.c, nl.cn,
+        |  CAST(nl.cn AS DOUBLE) / (da.deg + dc.deg - nl.cn) AS jaccard
+        |FROM nl JOIN deg da ON da.u = nl.a JOIN deg dc ON dc.u = nl.c
+        |ORDER BY jaccard DESC, a, c LIMIT 20""".stripMargin,
 
     "pipe_k_anonymity" ->
       """SELECT c_nationkey,

@@ -185,6 +185,39 @@ object Graphs {
       .groupBy("vertex").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Link prediction by neighbor-set Jaccard: for every UNLINKED vertex
+    * pair with at least one common neighbor, |N(a)∩N(c)| /
+    * |N(a)∪N(c)| — the classic similarity-based candidate scorer.
+    * Input: distinct edges (u, v) with u < v. Output (a, c, cn, jaccard)
+    * with a < c.
+    *
+    * Scale shape: common neighbors come from the 2-path equi-join
+    * (und ⋈ und on the middle vertex) — work is Σ deg(b)², bounded by
+    * the same support-threshold sparsification the edge builders apply,
+    * never corpus²; linked pairs leave via a left-anti join; degrees
+    * attach by two metadata-scale joins. The undirected list is
+    * localCheckpoint'd once (three consumers — the self-join re-run
+    * rule). The single division makes the score bit-identical on any
+    * engine (exact BIGINT counts in, one IEEE op out).
+    */
+  def jaccardLinks(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("u"), col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val paths = und.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+      .where(col("x.u") < col("y.v"))
+      .select(col("x.u").as("a"), col("y.v").as("c"))
+    val cn = paths.groupBy("a", "c").agg(count(lit(1)).as("cn"))
+    cn.join(e0.select(col("u").as("a"), col("v").as("c")),
+        Seq("a", "c"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("c"), col("deg").as("dc")), "c")
+      .select(col("a"), col("c"), col("cn"),
+        (col("cn").cast("double") / (col("da") + col("dc") - col("cn")))
+          .as("jaccard"))
+  }
+
   /** Multi-source BFS hop distances on an undirected graph, depth-bounded.
     * Input: distinct edges (u, v); seeds (v). Output (v, dist) for every
     * vertex reachable within `maxHops` (seeds at dist 0, first-discovery
