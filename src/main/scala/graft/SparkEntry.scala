@@ -2241,6 +2241,18 @@ object SparkEntry {
         .orderBy("dim")
     },
 
+    "emb_ood_score" -> { (s, dir) =>
+      // embedding-space outlier flag: diagonal-Mahalanobis novelty
+      // score against the DimStats corpus profile (exact fixed-point
+      // μ/σ ⇒ bit-identical profile cross-engine; scoring is a
+      // shuffle-free projection). Ordered by id, NOT by score — the
+      // float sum is the one order-sensitive step and stays inside the
+      // fp lane instead of becoming a row-order hazard.
+      graft.operators.DimStats
+        .oodScores(tbl(s, dir, "embeddings"), "embedding")
+        .orderBy("vec_id")
+    },
+
     "graph_bfs_hops" -> { (s, dir) =>
       // multi-source BFS over the co-purchase graph (same support-2
       // edge recipe as graph_triangles): hop distances from the
@@ -4937,6 +4949,33 @@ object SparkEntry {
         |        * (CAST(sum_fp AS DOUBLE) / (n * 1000000.0)))) AS std_dev,
         |  vmin, vmax
         |FROM a ORDER BY dim""".stripMargin,
+
+    "emb_ood_score" ->
+      // same fixed-point profile; the per-vector sum is unordered here
+      // vs graft_dot's ascending loop — fp-lane-only difference
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT)
+        |    AS dim, unnest(v) AS raw FROM e),
+        |f AS (SELECT vec_id, dim, raw,
+        |    CAST(floor(raw * 1000000.0) AS BIGINT) AS fp FROM x),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(fp) AS BIGINT) AS sum_fp,
+        |    CAST(sum(fp * fp) AS BIGINT) AS sumsq_fp
+        |  FROM f GROUP BY dim),
+        |st AS (SELECT dim,
+        |    CAST(sum_fp AS DOUBLE) / (n * 1000000.0) AS mean,
+        |    sqrt(greatest(0.0,
+        |      CAST(sumsq_fp AS DOUBLE) / (n * 1000000000000.0)
+        |        - (CAST(sum_fp AS DOUBLE) / (n * 1000000.0))
+        |          * (CAST(sum_fp AS DOUBLE) / (n * 1000000.0)))) AS sd
+        |  FROM a),
+        |z AS (SELECT f.vec_id,
+        |    CASE WHEN st.sd = 0 THEN 0.0
+        |      ELSE (f.raw - st.mean) / st.sd END AS zv
+        |  FROM f JOIN st ON f.dim = st.dim)
+        |SELECT vec_id, round(sum(zv * zv), 6) AS ood
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "graph_bfs_hops" ->
       // same support-2 co-purchase edges as graph_triangles; the

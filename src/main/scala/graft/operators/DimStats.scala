@@ -109,4 +109,33 @@ object DimStats {
       .select("dim", "n", "sum_fp", "sumsq_fp", "mean", "std_dev",
         "vmin", "vmax")
   }
+
+  /** Out-of-distribution / novelty score per vector: the squared
+    * z-normalized L2 to the corpus profile, Σ_d ((x_d − μ_d)/σ_d)² —
+    * diagonal-covariance Mahalanobis, the standard embedding-space
+    * outlier flag a curation pipeline runs before training.
+    *
+    * The profile comes from [[dimStats]] (collected: d rows, metadata-
+    * scale) and is exact fixed-point-derived, so μ/σ are bit-identical
+    * cross-engine; scoring is then a shuffle-free projection over the
+    * corpus. σ = 0 dimensions contribute 0 (constant dims carry no
+    * novelty signal). Scores round(6): the final sum is the one
+    * float-order-sensitive step, inside the gate's fp tolerance.
+    */
+  def oodScores(emb: DataFrame, vecCol: String,
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val st = dimStats(emb, vecCol).orderBy("dim")
+      .select("mean", "std_dev").collect()
+    val means = st.map(_.getDouble(0)).toSeq
+    val stds = st.map(_.getDouble(1)).toSeq
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+      .withColumn("__z", zip_with(
+        zip_with(col("__e"), typedLit(means), (x, m) => x - m),
+        typedLit(stds),
+        (d, sd) => when(sd === 0.0, lit(0.0)).otherwise(d / sd)))
+      .select(col(idCol),
+        round(call_function("graft_dot", col("__z"), col("__z")), 6)
+          .as("ood"))
+  }
 }
