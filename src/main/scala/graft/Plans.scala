@@ -34,7 +34,10 @@ object Plans {
         "graph_pagerank", "pipe_sample_weighted", "emb_ann_ivfpq",
         "pipe_split_leakage", "q_dq_report", "q_table_cdc",
         "drv_mad_outliers", "text_ppl_buckets", "dedup_containment",
-        "mm_phash_dedup")
+        "mm_phash_dedup", "emb_dim_stats", "emb_ood_score",
+        "graph_bfs_hops", "graph_jaccard_links", "pipe_k_anonymity",
+        "q_bucket_join", "ds_resample_linear", "pipe_e2e_curation",
+        "drv_seasonal_baseline", "q_skyline_pareto")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
