@@ -2336,10 +2336,12 @@ object SparkEntry {
         .select(concat_ws(":", col("user_id"), col("event_type"))
             .as("stream_id"),
           unix_timestamp(col("ts")).as("t"), col("value").as("v"))
-      // collapse duplicate seconds to the rounded mean (gapfill's
-      // convention); checkpoint — grid derives FROM secs (self-join rule)
+      // collapse duplicate seconds by SUM (pointStreams' determinism
+      // convention — a rounded mean can flip a 1e-6 boundary between
+      // engines and quantize ulp noise into a hard diff; raw sums keep
+      // the noise in the fp lane); checkpoint — grid derives FROM secs
       val secs = pts.groupBy("stream_id", "t")
-        .agg(round(avg("v"), 6).as("v")).localCheckpoint(true)
+        .agg(sum("v").as("v")).localCheckpoint(true)
       val ext = secs.groupBy("stream_id")
         .agg(min("t").as("t0"), max("t").as("t1"))
         .withColumn("g0", expr("((t0 + 599) div 600) * 600"))
@@ -2370,10 +2372,10 @@ object SparkEntry {
         .withColumn("next_t", last("pt", ignoreNulls = true).over(wNext))
         .where(col("srt") === 1)
         .select(col("stream_id"), col("t"),
-          round(when(col("prev_t") === col("t"), col("prev_v"))
+          when(col("prev_t") === col("t"), col("prev_v"))
             .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
               ((col("t") - col("prev_t")).cast("double") /
-                (col("next_t") - col("prev_t")).cast("double"))), 6)
+                (col("next_t") - col("prev_t")).cast("double")))
             .as("v_interp"))
         .orderBy("stream_id", "t")
     },
@@ -5044,7 +5046,7 @@ object SparkEntry {
       """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
         |  FROM events WHERE user_id < 5),
-        |sec AS (SELECT stream_id, t, round(avg(v), 6) AS v
+        |sec AS (SELECT stream_id, t, sum(v) AS v
         |  FROM p GROUP BY 1, 2),
         |ext AS (SELECT stream_id,
         |    ((min(t) + 599) // 600) * 600 AS g0,
@@ -5065,10 +5067,10 @@ object SparkEntry {
         |    wn AS (PARTITION BY stream_id ORDER BY t, srt
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT stream_id, t,
-        |  round(CASE WHEN prev_t = t THEN prev_v
+        |  CASE WHEN prev_t = t THEN prev_v
         |    ELSE prev_v + (next_v - prev_v) *
         |      (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
-        |    END, 6) AS v_interp
+        |    END AS v_interp
         |FROM b WHERE srt = 1 ORDER BY stream_id, t""".stripMargin,
 
     "emb_quantize" ->

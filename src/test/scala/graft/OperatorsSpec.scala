@@ -1877,6 +1877,60 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     x.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-9) }
   }
 
+  test("PQ kernels reproduce the declarative encode/ADC semantics exactly") {
+    import spark.implicits._
+    // fused graft_pq_encode/graft_pq_adc vs a driver-side reference of
+    // the semantics they replaced: argmin over (self − 2·dot) + |c|²
+    // with ties to the lowest entry, ADC summed s ascending left-assoc.
+    // Bit-equality (==) on the doubles, not tolerance — the oracle SQL
+    // depends on it.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian())))
+    val corpus = rows.toDF("vec_id", "emb")
+    val m = 4
+    val sub = 4
+    val got = Similarity.ivfpqTopK(corpus, k = 3, stride = 10, nprobe = 2,
+        m = m, pqStride = 3, ksubMax = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // reference: rebuild codebook (stride-3 sample, first 8), encode all,
+    // ADC per pair — plain Scala, no Spark
+    val vecs = rows.toMap
+    val books = (0 until m).map { s0 =>
+      rows.filter(_._1 % 3 == 0).take(8)
+        .map(_._2.slice(s0 * sub, s0 * sub + sub).toArray)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def codeOf(v: Seq[Double], s0: Int): Int = {
+      val q = v.slice(s0 * sub, s0 * sub + sub).toArray
+      val self = dot(q, q)
+      var best = 0; var bd = Double.PositiveInfinity
+      for (j <- books(s0).indices) {
+        val c = books(s0)(j)
+        val d2 = (self - 2.0 * dot(q, c)) + c.map(x => x * x).sum
+        if (d2 < bd) { bd = d2; best = j }
+      }
+      best
+    }
+    def adcOf(q: Seq[Double], cid: Long): Double = {
+      var acc = 0.0
+      for (s0 <- 0 until m) {
+        val qs = q.slice(s0 * sub, s0 * sub + sub).toArray
+        val c = books(s0)(codeOf(vecs(cid), s0))
+        acc += (dot(qs, qs) - 2.0 * dot(qs, c)) + c.map(x => x * x).sum
+      }
+      acc
+    }
+    assert(got.nonEmpty)
+    got.foreach { case ((qid, cid), adist) =>
+      assert(adist == adcOf(vecs(qid), cid),
+        s"ADC mismatch for ($qid,$cid)")
+    }
+  }
+
   test("DimStats: aggregator path equals the posexplode/groupBy formulation") {
     import spark.implicits._
     // 7 rows x 3 dims, repartitioned so merge() runs across real partials
