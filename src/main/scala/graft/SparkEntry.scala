@@ -581,6 +581,46 @@ object SparkEntry {
         .orderBy("stream_id", "sec")
     },
 
+    "ds_profile_similarity" -> { (s, dir) =>
+      // time-series similarity search (the EDBT'19 streaming-TS-search
+      // family): each stream's 24-slot hour-of-day energy profile as an
+      // exact BIGINT fixed-point vector (per-slot sums of floor(v·1e6)
+      // — order-independent), then cosine top-3 neighbors per stream.
+      // Profiles are metadata-scale (#streams × 24), so the pair scan
+      // crosses profile rows, never raw history; graft_dot ≡ DuckDB's
+      // list_dot_product ascending fold, so raw-double ranking is safe
+      // (round(6) applied to the OUTPUT after ranking, emb_* style).
+      val pts = pointStreams(s, dir)
+        .withColumn("sid", split(col("stream_id"), ":").getItem(0))
+        .where(col("sid").cast("long") < 12).drop("sid")
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("hod", expr("(sec % 86400) div 3600"))
+        .withColumn("fp", expr("CAST(floor(v * 1000000) AS BIGINT)"))
+      val slot = pts.groupBy("stream_id", "hod").agg(sum("fp").as("sl"))
+      val prof = slot.groupBy("stream_id")
+        .agg(map_from_entries(collect_list(
+          struct(col("hod"), col("sl")))).as("m"))
+        .select(col("stream_id"), expr(
+          "transform(sequence(0L, 23L), " +
+            "h -> CAST(coalesce(element_at(m, h), 0L) AS DOUBLE))")
+          .as("vec"))
+        .withColumn("nrm", sqrt(expr("graft_dot(vec, vec)")))
+        .where(col("nrm") > 0)
+        .localCheckpoint(true) // feeds both sides of the pair cross
+      val pairs = prof.select(col("stream_id").as("a"),
+          col("vec").as("va"), col("nrm").as("na"))
+        .join(broadcast(prof.select(col("stream_id").as("b"),
+          col("vec").as("vb"), col("nrm").as("nb"))),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos"))
+      val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a", "rnk")
+    },
+
     "q_skyline_pareto" -> { (s, dir) =>
       // 2D Pareto frontier (skyline): parts with no other part both
       // smaller and cheaper. Two phases, each ONE sort + two RANGE-frame
@@ -3095,6 +3135,37 @@ object SparkEntry {
         |FROM h JOIN prof
         |  ON h.stream_id = prof.stream_id AND h.hod = prof.hod
         |ORDER BY h.stream_id, sec""".stripMargin,
+
+    "ds_profile_similarity" ->
+      // same exact fixed-point profiles; list(x ORDER BY hod) mirrors
+      // the transform-over-sequence slot order; cosine ranked raw
+      s"""WITH $srcSql, $pointSql,
+        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
+        |  FROM pts
+        |  WHERE CAST(string_split(stream_id, ':')[1] AS BIGINT) < 12),
+        |h AS (SELECT stream_id, (sec % 86400) // 3600 AS hod,
+        |    CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT) AS sl
+        |  FROM p GROUP BY 1, 2),
+        |grid AS (SELECT s.stream_id, g.hod
+        |  FROM (SELECT DISTINCT stream_id FROM h) s,
+        |    (SELECT unnest(range(0, 24)) AS hod) g),
+        |f AS (SELECT grid.stream_id, grid.hod,
+        |    CAST(coalesce(h.sl, 0) AS DOUBLE) AS x
+        |  FROM grid LEFT JOIN h
+        |    ON h.stream_id = grid.stream_id AND h.hod = grid.hod),
+        |v AS (SELECT stream_id, list(x ORDER BY hod) AS vec
+        |  FROM f GROUP BY stream_id),
+        |n AS (SELECT stream_id, vec,
+        |    sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+        |  WHERE sqrt(list_dot_product(vec, vec)) > 0),
+        |pr AS (SELECT a.stream_id AS a, b.stream_id AS b,
+        |    list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.stream_id <> b.stream_id),
+        |r AS (SELECT a, b, cos, CAST(row_number() OVER
+        |    (PARTITION BY a ORDER BY cos DESC, b) AS BIGINT) AS rnk
+        |  FROM pr)
+        |SELECT a, b, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 3
+        |ORDER BY a, rnk""".stripMargin,
 
     "q_skyline_pareto" ->
       // the bucketed local-prune phase is a Spark-side parallelism
