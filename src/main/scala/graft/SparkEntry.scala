@@ -581,6 +581,27 @@ object SparkEntry {
         .orderBy("stream_id", "sec")
     },
 
+    "q_salted_join" -> { (s, dir) =>
+      // manual skew-spread equi-join (Skew.saltedJoin): the probe side
+      // salts deterministically from l_orderkey, the build side
+      // replicates ×8, the join runs on (key, salt) — row-identical to
+      // the plain join, so the oracle is the plain SQL; the plan-level
+      // spread (Generate on the build side, salt in the join key) is
+      // pinned in ScaleSpec with auto-broadcast off.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_quantity"))
+      val sup = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.Skew
+        .saltedJoin(li, sup, "suppkey", col("l_orderkey"), 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+            .as("qty_cents"))
+        .orderBy("s_name")
+    },
+
     "ds_profile_similarity" -> { (s, dir) =>
       // time-series similarity search (the EDBT'19 streaming-TS-search
       // family): each stream's 24-slot hour-of-day energy profile as an
@@ -3135,6 +3156,15 @@ object SparkEntry {
         |FROM h JOIN prof
         |  ON h.stream_id = prof.stream_id AND h.hod = prof.hod
         |ORDER BY h.stream_id, sec""".stripMargin,
+
+    "q_salted_join" ->
+      // the salt is a Spark-side physical device; the oracle sees the
+      // plain equi-join
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "ds_profile_similarity" ->
       // same exact fixed-point profiles; list(x ORDER BY hod) mirrors

@@ -37,4 +37,24 @@ object Skew {
     */
   def saltKey(key: Column, buckets: Int, entropy: Column): Column =
     concat_ws("#", key, pmod(xxhash64(entropy), lit(buckets)))
+
+  /** Skew-safe equi-join: spread a HOT join key across `buckets` salt
+    * shards. The big (probe) side salts each row deterministically from
+    * a caller-named `entropy` column (any well-distributed per-row
+    * value); the small (build) side replicates each row into every
+    * bucket, so the join key becomes (key, salt) and a hot key's probe
+    * rows land on `buckets` reducers instead of one. The build side
+    * grows ×buckets — size it accordingly. Result ≡ the plain equi-join
+    * row-for-row (ScaleSpec pins it); reach for this where AQE's
+    * runtime skew split can't help (broadcast-ineligible build side in
+    * a non-sort-merge path, or pre-AQE stages).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      entropy: Column, buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(entropy), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -99,6 +99,29 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex == 1, s"expected 1 exchange (the groupBy), got $ex in:\n$plan")
   }
 
+  test("saltedJoin spreads the hot key in-plan and matches the plain join") {
+    import spark.implicits._
+    // hot key 1 carries 10% of the probe side
+    val big = (1 to 20000).map(i =>
+      (if (i % 10 == 0) 1L else (i % 50).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sj = graft.operators.Skew.saltedJoin(big, small, "k",
+        col("payload"), 8)
+      val plan = sj.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+      assert(plan.contains("Generate"),
+        s"build side not replicated (no Generate):\n$plan")
+      val a = sj.groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = big.join(small, "k").groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, "salted join result diverges from the plain join")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("salted distinct count is exact under a hot key") {
     import spark.implicits._
     // hot key "h" carries 10k distinct values; cold keys carry few
