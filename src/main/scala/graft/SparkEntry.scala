@@ -581,6 +581,30 @@ object SparkEntry {
         .orderBy("stream_id", "sec")
     },
 
+    "ds_autocorr" -> { (s, dir) =>
+      // lag-k autocorrelation per stream (Temporal.autocorr): the
+      // sufficient statistics are exact BIGINT fixed-point sums from ONE
+      // window pass (all three leads share a sort) + one keyed hash agg;
+      // the Pearson ACF derives from those integers in a fixed-shape
+      // double expression, so even the float lane is bit-identical
+      // cross-engine.
+      graft.operators.Temporal.autocorr(
+          pointStreams(s, dir).withColumn("sec", unix_timestamp(col("t"))),
+          "stream_id", "sec", "v", Seq(1, 2, 3))
+        .orderBy("stream_id", "lag")
+    },
+
+    "ds_changepoint" -> { (s, dir) =>
+      // single level-shift changepoint per stream (Temporal.changepoint):
+      // every split position scored in O(n) per key via BIGINT prefix
+      // sums; argmax ranked on round(score, 6) with the split position
+      // as tiebreak (CLAUDE float-rank rule).
+      graft.operators.Temporal.changepoint(
+          pointStreams(s, dir).withColumn("sec", unix_timestamp(col("t"))),
+          "stream_id", "sec", "v")
+        .orderBy("stream_id")
+    },
+
     "q_salted_join" -> { (s, dir) =>
       // manual skew-spread equi-join (Skew.saltedJoin): the probe side
       // salts deterministically from l_orderkey, the build side
@@ -2314,6 +2338,28 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "emb_pca_gram" -> { (s, dir) =>
+      // the exact sufficient statistics behind PCA: one-pass mergeable
+      // graft_gram_multi buffer (shuffle = one ~17 KB buffer per
+      // partition, never rows), exploded to (i, j) upper-triangle cells
+      // — integer-exact, so the oracle recomputes it cell-for-cell.
+      graft.operators.Pca
+        .gramUpper(tbl(s, dir, "embeddings"), "embedding", 64)
+        .orderBy("i", "j")
+    },
+
+    "emb_pca" -> { (s, dir) =>
+      // corpus-map coordinates: top-2 principal components fitted from
+      // the exact Gram statistics (driver-side 64x64 Jacobi eigensolve,
+      // deterministic sweep order + sign convention), then a
+      // shuffle-free projection. Eigenvectors aren't SQL-expressible →
+      // rows-only gate; determinism + residual properties are pinned in
+      // OperatorsSpec.
+      graft.operators.Pca
+        .project(tbl(s, dir, "embeddings"), "embedding", "vec_id", 64, 2)
+        .orderBy("vec_id")
+    },
+
     "graph_bfs_hops" -> { (s, dir) =>
       // multi-source BFS over the co-purchase graph (same support-2
       // edge recipe as graph_triangles): hop distances from the
@@ -3156,6 +3202,78 @@ object SparkEntry {
         |FROM h JOIN prof
         |  ON h.stream_id = prof.stream_id AND h.hod = prof.hod
         |ORDER BY h.stream_id, sec""".stripMargin,
+
+    "ds_autocorr" ->
+      // exact BIGINT fixed-point sufficient statistics (floor(v*1000));
+      // the ACF double derives from the integers in the identical
+      // expression shape, so no fp lane is needed
+      s"""WITH $srcSql, $pointSql,
+        |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+        |    CAST(floor(v * 1000.0) AS BIGINT) AS q FROM pts),
+        |l AS (SELECT stream_id, q,
+        |    lead(q, 1) OVER w AS l1, lead(q, 2) OVER w AS l2,
+        |    lead(q, 3) OVER w AS l3
+        |  FROM q WINDOW w AS (PARTITION BY stream_id ORDER BY sec)),
+        |u AS (
+        |  SELECT stream_id, CAST(1 AS INT) AS lag, q, l1 AS lq
+        |  FROM l WHERE l1 IS NOT NULL
+        |  UNION ALL SELECT stream_id, CAST(2 AS INT), q, l2
+        |  FROM l WHERE l2 IS NOT NULL
+        |  UNION ALL SELECT stream_id, CAST(3 AS INT), q, l3
+        |  FROM l WHERE l3 IS NOT NULL),
+        |a AS (SELECT stream_id, lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(q * lq) AS BIGINT) AS c_fp,
+        |    CAST(sum(q) AS BIGINT) AS sa_fp,
+        |    CAST(sum(lq) AS BIGINT) AS sb_fp,
+        |    CAST(sum(q * q) AS BIGINT) AS sqa_fp,
+        |    CAST(sum(lq * lq) AS BIGINT) AS sqb_fp
+        |  FROM u GROUP BY stream_id, lag)
+        |SELECT stream_id, lag, n_pairs, c_fp, sa_fp, sb_fp, sqa_fp,
+        |  sqb_fp,
+        |  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE)) > 0
+        |    AND (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
+        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE)) > 0
+        |  THEN round((CAST(n_pairs AS DOUBLE) * CAST(c_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))
+        |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE))
+        |      * (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
+        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
+        |  END AS acf
+        |FROM a ORDER BY stream_id, lag""".stripMargin,
+
+    "ds_changepoint" ->
+      // BIGINT prefix-sum split scan; rank on round(score, 6) with the
+      // split position as tiebreak (CLAUDE float-rank rule)
+      s"""WITH $srcSql, $pointSql,
+        |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+        |    CAST(floor(v * 1000.0) AS BIGINT) AS q FROM pts),
+        |c AS (SELECT stream_id, sec,
+        |    CAST(row_number() OVER (PARTITION BY stream_id ORDER BY sec)
+        |      AS BIGINT) AS p,
+        |    CAST(sum(q) OVER (PARTITION BY stream_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s_p,
+        |    CAST(count(*) OVER (PARTITION BY stream_id) AS BIGINT) AS n,
+        |    CAST(sum(q) OVER (PARTITION BY stream_id) AS BIGINT) AS s_n
+        |  FROM q),
+        |s AS (SELECT stream_id, sec, p, n,
+        |    s_p * (n - p) - (s_n - s_p) * p AS diff_fp,
+        |    round(abs(CAST(s_p * (n - p) - (s_n - s_p) * p AS DOUBLE))
+        |      / sqrt(CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE)
+        |        * CAST(n AS DOUBLE)) / 1000.0, 6) AS score,
+        |    round(CAST(s_p AS DOUBLE) / (CAST(p AS DOUBLE) * 1000.0), 6)
+        |      AS mean_left,
+        |    round(CAST(s_n - s_p AS DOUBLE)
+        |      / (CAST(n - p AS DOUBLE) * 1000.0), 6) AS mean_right
+        |  FROM c WHERE p < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY stream_id
+        |    ORDER BY score DESC, p) AS rk FROM s)
+        |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
+        |  score, mean_left, mean_right
+        |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
 
     "q_salted_join" ->
       // the salt is a Spark-side physical device; the oracle sees the
@@ -5079,6 +5197,24 @@ object SparkEntry {
         |  FROM f JOIN st ON f.dim = st.dim)
         |SELECT vec_id, round(sum(zv * zv), 6) AS ood
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "emb_pca_gram" ->
+      // Gram scale is 2^16 (shared with graft_gram_agg); the float-
+      // widening to double is exact, so floor matches bit-for-bit
+      """WITH f AS (SELECT list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT))
+        |      AS q FROM embeddings),
+        |pairs AS (SELECT a.i, b.j FROM
+        |    (SELECT unnest(range(0, 64)) AS i) a,
+        |    (SELECT unnest(range(0, 64)) AS j) b
+        |  WHERE a.i <= b.j),
+        |s AS (SELECT p.i, p.j,
+        |    CAST(sum(q[p.i + 1] * q[p.j + 1]) AS BIGINT) AS gram_fp
+        |  FROM f, pairs p GROUP BY p.i, p.j),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+        |  s.gram_fp, cnt.n
+        |FROM s, cnt ORDER BY i, j""".stripMargin,
 
     "graph_bfs_hops" ->
       // same support-2 co-purchase edges as graph_triangles; the

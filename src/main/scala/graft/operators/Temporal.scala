@@ -83,4 +83,111 @@ object Temporal {
       .reduceLeft(_ + _)
     acc.withColumn("steps_completed", completed)
   }
+
+  /** Per-key lag-k autocorrelation (ACF) — the standard "does this
+    * telemetry stream have short-range memory / periodicity" diagnostic a
+    * time-series user runs before choosing a model or a downsample rate.
+    *
+    * Exactness: values quantize to BIGINT fixed-point `floor(v·1000)`
+    * (milli-units) and every sufficient statistic (pair count, Σq·q₊ₖ,
+    * Σq, Σq₊ₖ, Σq², Σq₊ₖ²) is an INTEGER sum — associative under any
+    * partitioning and reproducible by any engine (CLAUDE.md cross-engine
+    * rule). The Pearson ACF then derives from those exact integers in one
+    * fixed-shape double expression, so even the float is bit-identical
+    * cross-engine. Overflow headroom (ANSI-safe): |q| ≤ 5·10⁵ here, so a
+    * product is ≤ 2.4·10¹¹ and ~3.8·10⁷ rows per stream fit a signed
+    * 64-bit sum; the final n·Σ products are computed in DOUBLE so stream
+    * length never overflows the derivation.
+    *
+    * Scale shape: ONE window pass per key (all lead(q, k) share one
+    * window spec → one sort) + one keyed hash agg with map-side partials;
+    * the tiny aggregated row then unpivots via `stack` into one row per
+    * lag. Nothing shuffles more than (key, 6·|lags| longs).
+    */
+  def autocorr(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val q = df.withColumn("__q",
+      floor(col(valueCol) * 1000.0).cast("long"))
+    val withLeads = lags.foldLeft(q)((d, k) =>
+      d.withColumn(s"__l$k", lead(col("__q"), k).over(w)))
+    val aggs = lags.flatMap { k =>
+      val l = col(s"__l$k")
+      Seq(
+        sum(when(l.isNotNull, 1L)).as(s"n$k"),
+        sum(col("__q") * l).as(s"c$k"),
+        sum(when(l.isNotNull, col("__q"))).as(s"sa$k"),
+        sum(l).as(s"sb$k"),
+        sum(when(l.isNotNull, col("__q") * col("__q"))).as(s"sqa$k"),
+        sum(l * l).as(s"sqb$k"))
+    }
+    val stackArgs = lags
+      .map(k => s"$k, n$k, c$k, sa$k, sb$k, sqa$k, sqb$k")
+      .mkString(", ")
+    val num = col("n_pairs").cast("double") * col("c_fp").cast("double") -
+      col("sa_fp").cast("double") * col("sb_fp").cast("double")
+    val da = col("n_pairs").cast("double") * col("sqa_fp").cast("double") -
+      col("sa_fp").cast("double") * col("sa_fp").cast("double")
+    val db = col("n_pairs").cast("double") * col("sqb_fp").cast("double") -
+      col("sb_fp").cast("double") * col("sb_fp").cast("double")
+    withLeads
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), expr(s"stack(${lags.size}, $stackArgs) as " +
+        "(lag, n_pairs, c_fp, sa_fp, sb_fp, sqa_fp, sqb_fp)"))
+      .where(col("n_pairs").isNotNull && col("n_pairs") > 0)
+      .withColumn("acf",
+        when(da > 0.0 && db > 0.0, round(num / sqrt(da * db), 6)))
+  }
+
+  /** Single changepoint detection per key: the split position maximizing
+    * the two-sample mean-shift statistic |μ_L − μ_R|·√(p·(n−p)/n) — the
+    * CUSUM-equivalent scan statistic, evaluated at EVERY split in O(n)
+    * per key via prefix sums (a recurrence-style CUSUM is not
+    * window-expressible; the split-scan form is, and detects the same
+    * single level shift).
+    *
+    * Exactness: prefix sums are BIGINT fixed-point (`floor(v·1000)`), so
+    * the cross-multiplied mean difference `diff = S_p·(n−p) − (S_n−S_p)·p`
+    * is exact (headroom: |S_n|·n ≤ 9.2·10¹⁸ ⇒ ~4·10⁶ rows per stream at
+    * |v| ≤ 500). The score is one fixed-shape double expression over those
+    * integers; ranking follows the CLAUDE.md float-rank rule — on
+    * `round(score, 6)` with the split position as tiebreak.
+    *
+    * Scale shape: two same-partition window passes (ordered prefix sums +
+    * partition-constant totals share one sort; the rank is a second sort
+    * over the same key partitioning) — no self-join, no driver state.
+    */
+  def changepoint(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = df
+      .withColumn("__q", floor(col(valueCol) * 1000.0).cast("long"))
+      .withColumn("p", row_number().over(w).cast("long"))
+      .withColumn("s_p", sum("__q").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_n", sum("__q").over(wAll))
+      .where(col("p") < col("n"))
+      .withColumn("diff_fp", col("s_p") * (col("n") - col("p")) -
+        (col("s_n") - col("s_p")) * col("p"))
+      .withColumn("score", round(
+        abs(col("diff_fp")).cast("double") /
+          sqrt(col("p").cast("double") * (col("n") - col("p")).cast("double")
+            * col("n").cast("double")) / 1000.0, 6))
+    scored
+      .withColumn("__rk", row_number().over(Window.partitionBy(keyCol)
+        .orderBy(col("score").desc, col("p"))))
+      .where(col("__rk") === 1)
+      .select(col(keyCol), col("n"), col("p").as("split_pos"),
+        col(orderCol).as("split_at"), col("diff_fp"), col("score"),
+        round(col("s_p").cast("double") /
+          (col("p").cast("double") * 1000.0), 6).as("mean_left"),
+        round((col("s_n") - col("s_p")).cast("double") /
+          ((col("n") - col("p")).cast("double") * 1000.0), 6)
+          .as("mean_right"))
+  }
 }

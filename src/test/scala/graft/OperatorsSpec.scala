@@ -2009,5 +2009,117 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(1).getAs[Boolean]("suppressed"))
   }
 
+  test("autocorr: a perfectly periodic series has ACF(+period)=1, half-period=-1") {
+    import spark.implicits._
+    // period-2 alternation 10,20,10,20,… → r1 = −1, r2 = +1
+    val df = (0 until 40)
+      .map(i => ("s", i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("k", "sec", "v")
+    val r = graft.operators.Temporal.autocorr(df, "k", "sec", "v", Seq(1, 2))
+      .collect().map(x => x.getAs[Int]("lag") -> x.getAs[Double]("acf")).toMap
+    assert(r(1) == -1.0, s"lag-1 on alternating series: ${r(1)}")
+    assert(r(2) == 1.0, s"lag-2 on alternating series: ${r(2)}")
+    // constant series: zero variance → acf is null on every lag
+    val const = (0 until 10).map(i => ("c", i.toLong, 5.0)).toDF("k", "sec", "v")
+    val rc = graft.operators.Temporal.autocorr(const, "k", "sec", "v", Seq(1))
+      .collect()
+    assert(rc.length == 1 && rc(0).isNullAt(rc(0).fieldIndex("acf")))
+  }
+
+  test("changepoint: recovers an injected level shift at the exact split") {
+    import spark.implicits._
+    // 20 points at 10.0 then 20 points at 50.0 → split after p=20
+    val df = (0 until 40)
+      .map(i => ("s", i.toLong, if (i < 20) 10.0 else 50.0))
+      .toDF("k", "sec", "v")
+    val r = graft.operators.Temporal.changepoint(df, "k", "sec", "v")
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("split_pos") == 20L, s"split: ${r(0)}")
+    assert(r(0).getAs[Long]("split_at") == 19L)
+    assert(r(0).getAs[Double]("mean_left") == 10.0)
+    assert(r(0).getAs[Double]("mean_right") == 50.0)
+    // all-equal series: every split scores 0 → tiebreak picks p=1
+    val const = (0 until 8).map(i => ("c", i.toLong, 3.0)).toDF("k", "sec", "v")
+    val rc = graft.operators.Temporal.changepoint(const, "k", "sec", "v")
+      .collect()
+    assert(rc.length == 1 && rc(0).getAs[Long]("split_pos") == 1L &&
+      rc(0).getAs[Double]("score") == 0.0)
+  }
+
+  test("pca: eigenpairs satisfy Cv=λv, components are orthonormal, runs are deterministic") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (evals, comps, mean) = graft.operators.Pca.fit(emb, "embedding", 64, 4)
+    assert(evals.length == 4 && comps.length == 4)
+    // eigenvalues sorted desc and non-negative (covariance is PSD)
+    assert(evals.sliding(2).forall(p => p(0) >= p(1)))
+    assert(evals.forall(_ >= -1e-12))
+    // orthonormal components
+    for (a <- comps.indices; b <- comps.indices) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<c$a,c$b> = $dot")
+    }
+    // residual ‖Cv − λv‖∞ small: rebuild C exactly as fit does
+    val rows = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length.toDouble
+    val d = 64
+    val q = rows.map(_.map(x => math.floor(x * 65536.0)))
+    val mu = Array.tabulate(d)(i => q.map(_(i)).sum / (65536.0 * n))
+    val cov = Array.tabulate(d, d)((i, j) =>
+      q.map(r => r(i) * r(j)).sum / (65536.0 * 65536.0 * n) - mu(i) * mu(j))
+    assert(mu.zip(mean).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    for (e <- comps.indices) {
+      val cv = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * comps(e)(j)).sum)
+      val resid = cv.zip(comps(e)).map { case (x, v) =>
+        math.abs(x - evals(e) * v) }.max
+      assert(resid < 1e-9, s"‖Cv−λv‖∞ for component $e: $resid")
+    }
+    // top eigenvalue dominates the average variance (it's the max of a
+    // Rayleigh quotient whose trace-average is a lower bound)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(evals(0) >= trace / d - 1e-12)
+    // determinism: a second fit is bit-identical
+    val (e2, c2, m2) = graft.operators.Pca.fit(emb, "embedding", 64, 4)
+    assert(evals.sameElements(e2) && m2.sameElements(mean) &&
+      comps.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // sign convention: each component's largest-|x| entry is positive
+    for (c <- comps) assert(c(c.map(math.abs).zipWithIndex.maxBy(t => (t._1, -t._2))._2) > 0)
+  }
+
+  test("pca projection: matches the driver-side model applied by hand") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 50)
+    val (_, comps, mean) = graft.operators.Pca.fit(emb, "embedding", 64, 2)
+    val proj = graft.operators.Pca.project(emb, "embedding", "vec_id", 64, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("pc1"), r.getAs[Double]("pc2"))).toMap
+    val byHand = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val c = v.indices.map(i => v(i) - mean(i)).toArray
+        def dot(w: Array[Double]) = {
+          // graft_dot folds ascending — mirror it for bit-identity
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += c(i) * w(i); i += 1 }
+          s
+        }
+        r.getLong(0) -> (BigDecimal(dot(comps(0))).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(dot(comps(1))).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(proj.keySet == byHand.keySet)
+    for ((k, (a, b)) <- proj) {
+      assert(math.abs(a - byHand(k)._1) < 1e-9, s"pc1 of $k: $a vs ${byHand(k)._1}")
+      assert(math.abs(b - byHand(k)._2) < 1e-9, s"pc2 of $k")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
