@@ -2348,6 +2348,25 @@ object SparkEntry {
         .orderBy("i", "j")
     },
 
+    "emb_mmr" -> { (s, dir) =>
+      // diversified retrieval: exact-cosine top-30 candidates for the
+      // vec_id=0 query (distributed TakeOrderedAndProject), then greedy
+      // MMR (λ=0.7, k=10) driver-side over the metadata-scale candidate
+      // block — picks are engine-reproducible because every dot folds
+      // ascending (graft_dot ≡ list_dot_product) and the MMR combine is
+      // one fixed-shape double expression.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("emb").as("qemb"))
+      Similarity.mmrSelect(e.where(col("vec_id") =!= 0), q,
+          candN = 30, k = 10, lambda = 0.7)
+        .withColumn("rel", round(col("rel"), 6))
+        .withColumn("mmr_score", round(col("mmr"), 6))
+        .select("rnk", "vec_id", "rel", "mmr_score")
+        .orderBy("rnk")
+    },
+
     "emb_pca" -> { (s, dir) =>
       // corpus-map coordinates: top-2 principal components fitted from
       // the exact Gram statistics (driver-side 64x64 Jacobi eigensolve,
@@ -5215,6 +5234,42 @@ object SparkEntry {
         |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
         |  s.gram_fp, cnt.n
         |FROM s, cnt ORDER BY i, j""".stripMargin,
+
+    "emb_mmr" ->
+      // greedy MMR unrolled to 10 explicit steps (a recurrence isn't
+      // plain-SQL-expressible); MATERIALIZED pins each step to one
+      // evaluation — without it the u-chain re-inlines exponentially
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |    FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |scored AS (SELECT e.vec_id, e.emb,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb))
+        |        * sqrt(list_dot_product(emb, emb))) AS rel
+        |  FROM e, qv WHERE e.vec_id <> 0),
+        |cand AS MATERIALIZED (SELECT vec_id, emb, rel FROM scored
+        |  ORDER BY rel DESC, vec_id LIMIT 30),
+        |p1 AS (SELECT vec_id, emb, rel, 0.7 * rel AS mmr FROM cand
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |u1 AS MATERIALIZED (SELECT vec_id, emb, rel, mmr, 1 AS rnk
+        |  FROM p1),
+        |""".stripMargin +
+        (2 to 10).map(i =>
+          s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.emb, c.rel,
+             |    0.7 * c.rel - 0.3 * (SELECT max(list_dot_product(c.emb, u.emb)
+             |      / (sqrt(list_dot_product(c.emb, c.emb))
+             |        * sqrt(list_dot_product(u.emb, u.emb))))
+             |      FROM u${i - 1} u) AS mmr
+             |  FROM cand c
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+             |u$i AS MATERIALIZED (SELECT * FROM u${i - 1}
+             |  UNION ALL SELECT vec_id, emb, rel, mmr, $i FROM p$i)"""
+            .stripMargin).mkString(",\n") +
+        """
+        |SELECT rnk, vec_id, round(rel, 6) AS rel,
+        |  round(mmr, 6) AS mmr_score
+        |FROM u10 ORDER BY rnk""".stripMargin),
 
     "graph_bfs_hops" ->
       // same support-2 co-purchase edges as graph_triangles; the

@@ -656,4 +656,66 @@ object Similarity {
         expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("sum_q"),
         expr("array_max(zip_with(q, v, (qi, xi) -> abs(qi * scale - xi)))")
           .as("max_err"))
+
+  /** Maximal-marginal-relevance diversified top-k — the retrieval
+    * re-rank that trades pure relevance for coverage (the standard
+    * "don't return 10 near-duplicates" step between ANN and the user):
+    * greedily pick argmax λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s),
+    * ties to the lowest id.
+    *
+    * Scale shape: candidate generation is the distributed part — an
+    * exact cosine scan ranked (rel desc, id) truncated to `candN` (a
+    * TakeOrderedAndProject, no global sort materialization). The greedy
+    * selection is inherently sequential, so it runs DRIVER-SIDE over the
+    * collected candN×d candidate block — metadata scale by contract
+    * (candN ≲ 10³), the same trade as IVF's centroid training. All dots
+    * fold ascending (≡ graft_dot ≡ list_dot_product), so scores and
+    * therefore picks are engine-reproducible; MMR combine is the one
+    * fixed-shape double expression `λ·rel − (1−λ)·maxsim`.
+    *
+    * Output: (rnk 1-based, vec_id, rel, mmr) — mmr of rank 1 is λ·rel
+    * (empty picked set).
+    */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, candN: Int, k: Int,
+      lambda: Double): DataFrame = {
+    val ss = corpus.sparkSession
+    GraftFunctions.register(ss)
+    val c = withNorm(corpus, "emb", "c_norm")
+    val q = withNorm(query, "qemb", "q_norm")
+    val cand = c.join(broadcast(q))
+      .withColumn("rel", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(candN)
+      .select("vec_id", "emb", "rel")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)] // (rnk, id, rel, mmr)
+    val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(t => t._1 -> t): _*)
+    while (picked.length < k && remaining.nonEmpty) {
+      var best: (Long, Array[Double], Double, Double) = null
+      for ((_, (id, e, rel)) <- remaining) {
+        val maxSim =
+          if (pickedEmb.isEmpty) 0.0
+          else pickedEmb.iterator.map(s => cos(e, s)).max
+        val mmr = lambda * rel - (1.0 - lambda) * maxSim
+        if (best == null || mmr > best._4 ||
+          (mmr == best._4 && id < best._1)) best = (id, e, rel, mmr)
+      }
+      picked += ((picked.length + 1, best._1, best._3, best._4))
+      pickedEmb += best._2
+      remaining.remove(best._1)
+    }
+    import ss.implicits._
+    picked.toSeq.toDF("rnk", "vec_id", "rel", "mmr")
+  }
 }

@@ -2090,6 +2090,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (c <- comps) assert(c(c.map(math.abs).zipWithIndex.maxBy(t => (t._1, -t._2))._2) > 0)
   }
 
+  test("mmr: diversifies away near-duplicate candidates, pure-relevance at lambda=1") {
+    import spark.implicits._
+    // corpus: two tight clusters near the query + one distant-but-relevant
+    // lone vector. Pure top-3 = the near cluster (ids 1,2,3); MMR at
+    // λ=0.5 must break out of the cluster after one pick.
+    val mk = (id: Long, v: Seq[Double]) => (id, v)
+    val corpus = Seq(
+      mk(1L, Seq(1.0, 0.01, 0.0)), mk(2L, Seq(1.0, 0.02, 0.0)),
+      mk(3L, Seq(1.0, 0.03, 0.0)),
+      mk(4L, Seq(0.6, 0.8, 0.0)), mk(5L, Seq(0.6, 0.81, 0.0)),
+      mk(6L, Seq(0.5, 0.0, 0.87))).toDF("vec_id", "emb")
+    val q = Seq(Tuple1(Seq(1.0, 0.1, 0.1))).toDF("qemb")
+    val pure = graft.operators.Similarity
+      .mmrSelect(corpus, q, candN = 6, k = 3, lambda = 1.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(pure == Seq(3L, 2L, 1L), s"λ=1 is pure relevance order: $pure")
+    val div = graft.operators.Similarity
+      .mmrSelect(corpus, q, candN = 6, k = 3, lambda = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(div.head == 3L, "first pick is always the most relevant")
+    assert(Set(4L, 5L, 6L).intersect(div.tail.toSet).nonEmpty,
+      s"λ=0.5 escapes the near cluster: $div")
+    assert(div.toSet.size == 3, "picks never repeat")
+    // k beyond the candidate pool just exhausts it
+    val all = graft.operators.Similarity
+      .mmrSelect(corpus, q, candN = 4, k = 10, lambda = 0.7)
+      .collect()
+    assert(all.length == 4 &&
+      all.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("pca projection: matches the driver-side model applied by hand") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
