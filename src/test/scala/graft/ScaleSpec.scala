@@ -315,5 +315,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx_percentile drifted: ${r.getDouble(1)} vs ${r.getDouble(0)}")
   }
 
+  test("autocorr/changepoint/gram plans keep their one-pass scale shapes") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val dir = "/root/testdata/sf0.001"
+    // autocorr: ALL lead(k) columns share one Window node (one sort, one
+    // shuffle); the stats aggregate two-stage with map-side partials and
+    // the stack unpivot runs AFTER the aggregation (post-agg row count =
+    // #streams × #lags, never #points × #lags)
+    val ac = SparkEntry.queries("ds_autocorr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(ac).length == 1,
+      s"autocorr leads must share one Window:\n$ac")
+    assert(ac.contains("partial_sum"), s"no map-side partials:\n$ac")
+    // changepoint: the prefix-sum window and the partition-total window
+    // share one partitioning; the final top-1 rank is group-limited (no
+    // per-key full rank materialization)
+    val cp = SparkEntry.queries("ds_changepoint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("WindowGroupLimit"),
+      s"top-1 split must plan as WindowGroupLimit:\n$cp")
+    assert("Exchange hashpartitioning".r.findAllIn(cp).length == 2,
+      s"expected 2 hash exchanges (point-dedup agg + stream window):\n$cp")
+    // gram: one ObjectHashAggregate pair around ONE exchange — the
+    // shuffle carries one buffer per partition, never rows
+    val gr = SparkEntry.queries("emb_pca_gram")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(gr).length == 2,
+      s"gram must aggregate two-stage:\n$gr")
+    assert("Exchange".r.findAllIn(gr).length == 1,
+      s"gram shuffle must be the single partial-buffer exchange:\n$gr")
+    assert(!gr.contains("Generate ") || gr.indexOf("Generate") <
+      gr.indexOf("ObjectHashAggregate"),
+      s"explode must run after the aggregation:\n$gr")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
