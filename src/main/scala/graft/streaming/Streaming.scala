@@ -239,6 +239,81 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-(stream, lag) ACF sufficient statistics — mirrors the batch
+    * [[graft.operators.Temporal.autocorr]] integer sums exactly.
+    */
+  case class AcfStat(stream_id: String, lag: Int, n_pairs: Long,
+      c_fp: Long, sa_fp: Long, sb_fp: Long, sqa_fp: Long, sqb_fp: Long)
+
+  /** ACF maintenance state: the last `maxLag` quantized values (most
+    * recent LAST) plus the running sums per lag, flattened lag-major in
+    * the same (n, c, sa, sb, sqa, sqb) order the batch op aggregates.
+    */
+  case class AcfState(ring: Seq[Long], sums: Seq[Long])
+
+  /** Streaming lag-k autocorrelation maintenance — the incremental form
+    * of the batch [[graft.operators.Temporal.autocorr]]: state per stream
+    * is a `max(lags)`-deep ring of quantized values plus 6 integer sums
+    * per lag — O(maxLag) regardless of history length, the only ACF
+    * shape that survives an unbounded stream. Because the sufficient
+    * statistics are BIGINT fixed-point sums (associative, order-fixed by
+    * the same (t, v) in-batch sort as the other derive ops), in-order
+    * delivery reproduces the batch op's statistics EXACTLY — pinned in
+    * StreamingSpec.
+    *
+    * Emits the refreshed per-lag statistics rows for each key once per
+    * micro-batch (the "current ACF" snapshot a monitoring sink wants);
+    * the latest row per (stream, lag) is the live value.
+    */
+  def autocorrStats(src: Dataset[Point], lags: Seq[Int]): Dataset[AcfStat] = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val maxLag = lags.max
+    val proc = new StatefulProcessor[String, Point, AcfStat] {
+      @transient private var state: ValueState[AcfState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[AcfState]("acf",
+          Encoders.product[AcfState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[AcfStat] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        val st = if (state.exists()) state.get()
+          else AcfState(Seq.empty, Seq.fill(lags.length * 6)(0L))
+        val ring = scala.collection.mutable.ArrayBuffer(st.ring: _*)
+        val sums = st.sums.toArray
+        sorted.foreach { p =>
+          val q = math.floor(p.v * 1000.0).toLong
+          var li = 0
+          while (li < lags.length) {
+            val k = lags(li)
+            if (ring.length >= k) {
+              val a = ring(ring.length - k) // value k steps earlier
+              val o = li * 6
+              sums(o) += 1L        // n_pairs
+              sums(o + 1) += a * q // c  = Σ q_i·q_{i+k}
+              sums(o + 2) += a     // sa = Σ earlier
+              sums(o + 3) += q     // sb = Σ later
+              sums(o + 4) += a * a // sqa
+              sums(o + 5) += q * q // sqb
+            }
+            li += 1
+          }
+          ring += q
+          if (ring.length > maxLag) ring.remove(0)
+        }
+        state.update(AcfState(ring.toSeq, sums.toSeq))
+        lags.indices.iterator.map { li =>
+          val o = li * 6
+          AcfStat(key, lags(li), sums(o), sums(o + 1), sums(o + 2),
+            sums(o + 3), sums(o + 4), sums(o + 5))
+        }
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming gap-based sessionization — the incremental form of the
     * batch q_sessionize (lag + running-sum) shape: Spark's native
     * `session_window` merges per-key events within `gap` of each other;

@@ -86,6 +86,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
   }
 
+  test("streaming ACF sufficient statistics == batch autocorr across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.autocorrStats(mem.toDS(), Seq(1, 3))
+      .writeStream.format("memory").queryName("acf_out")
+      .outputMode("append").start()
+    // deterministic wavy series over two streams; the 3-batch split cuts
+    // mid-stream so ring state must carry pairs ACROSS batch boundaries
+    val pts = (0 until 30).map { i =>
+      val sid = if (i % 2 == 0) "a" else "b"
+      Streaming.Point(sid, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        10.0 + 7.0 * math.sin(i.toDouble) + i * 0.3)
+    }
+    pts.grouped(11).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // live value per (stream, lag) = the LAST emitted snapshot — compare
+    // against the batch op's exact integer sums (n may be null batch-side
+    // only for streams shorter than the lag; none here)
+    // snapshots are cumulative: the live row per (stream, lag) is the one
+    // with max n_pairs (ties are bit-identical rows, so max(struct) is
+    // deterministic where last() would not be)
+    val got = spark.table("acf_out")
+      .groupBy("stream_id", "lag")
+      .agg(max(struct(col("n_pairs"), col("c_fp"), col("sa_fp"),
+        col("sb_fp"), col("sqa_fp"), col("sqb_fp"))).as("s"))
+      .select(col("stream_id"), col("lag"), col("s.*"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val batch = graft.operators.Temporal.autocorr(
+        pts.toDF("stream_id", "t", "v")
+          .withColumn("sec", unix_timestamp(col("t"))),
+        "stream_id", "sec", "v", Seq(1, 3))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(got == batch, s"streaming $got\nvs batch $batch")
+    assert(got.size == 4) // 2 streams × 2 lags
+  }
+
   test("stateful streaming ewma == batch ewma across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
