@@ -605,6 +605,24 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "ds_cusum" -> { (s, dir) =>
+      // two-sided CUSUM drift summary per stream (Temporal.cusumPoints):
+      // the recurrence runs as its prefix closed form — two growing-frame
+      // window passes, all-integer, O(n) per key; target = per-stream
+      // integer-div mean, threshold 5.0 (5000 milli-units). Aggregated to
+      // one row per stream: peak excursions + first alarm second.
+      val pts = graft.operators.Temporal.cusumPoints(
+        pointStreams(s, dir).withColumn("sec", unix_timestamp(col("t"))),
+        "stream_id", "sec", "v", None, 5000L)
+      pts.groupBy("stream_id")
+        .agg(count(lit(1)).as("n"),
+          min("target_fp").as("target_fp"), // constant per stream
+          max("s_plus_fp").as("s_plus_max"),
+          max("s_minus_fp").as("s_minus_max"),
+          min(when(col("alarm"), col("sec"))).as("first_alarm_sec"))
+        .orderBy("stream_id")
+    },
+
     "q_salted_join" -> { (s, dir) =>
       // manual skew-spread equi-join (Skew.saltedJoin): the probe side
       // salts deterministically from l_orderkey, the build side
@@ -3293,6 +3311,34 @@ object SparkEntry {
         |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
         |  score, mean_left, mean_right
         |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
+
+    "ds_cusum" ->
+      // same integer closed form: P = prefix sum of (q − target),
+      // S⁺ = P − min(0, min P), S⁻ = max(0, max P) − P
+      s"""WITH $srcSql, $pointSql,
+        |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+        |    CAST(floor(v * 1000.0) AS BIGINT) AS q FROM pts),
+        |tg AS (SELECT stream_id, sec, q,
+        |    CAST(sum(q) OVER (PARTITION BY stream_id) AS BIGINT)
+        |      // CAST(count(*) OVER (PARTITION BY stream_id) AS BIGINT)
+        |      AS target_fp
+        |  FROM q),
+        |p AS (SELECT stream_id, sec, q, target_fp,
+        |    CAST(sum(q - target_fp) OVER w AS BIGINT) AS pp
+        |  FROM tg WINDOW w AS (PARTITION BY stream_id ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT stream_id, sec, target_fp,
+        |    pp - least(CAST(0 AS BIGINT), min(pp) OVER w) AS s_plus,
+        |    greatest(CAST(0 AS BIGINT), max(pp) OVER w) - pp AS s_minus
+        |  FROM p WINDOW w AS (PARTITION BY stream_id ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT stream_id, CAST(count(*) AS BIGINT) AS n,
+        |  min(target_fp) AS target_fp,
+        |  CAST(max(s_plus) AS BIGINT) AS s_plus_max,
+        |  CAST(max(s_minus) AS BIGINT) AS s_minus_max,
+        |  min(CASE WHEN s_plus > 5000 OR s_minus > 5000 THEN sec END)
+        |    AS first_alarm_sec
+        |FROM s GROUP BY stream_id ORDER BY stream_id""".stripMargin,
 
     "q_salted_join" ->
       // the salt is a Spark-side physical device; the oracle sees the

@@ -141,6 +141,51 @@ object Temporal {
         when(da > 0.0 && db > 0.0, round(num / sqrt(da * db), 6)))
   }
 
+  /** Per-point one-sided CUSUM pair (Page's test) — the classic online
+    * drift detector, via its prefix closed form: the recurrence
+    * `S⁺_i = max(0, S⁺_{i-1} + d_i)` equals `P_i − min(0, min_{j≤i} P_j)`
+    * where `P` is the prefix sum of deviations `d = q − target`, so the
+    * whole statistic is two growing-frame window passes — O(n) per key,
+    * batch-expressible, and EXACT (all integers; the same closed form the
+    * streaming twin [[graft.streaming.Streaming.cusum]] maintains with
+    * O(1) state, pinned equal in StreamingSpec).
+    *
+    * `targetFp`: the reference level in fixed-point milli-units; None
+    * derives it per key as `floor-div(Σq, n)` (integer division — exact
+    * and engine-identical, unlike a float mean).
+    *
+    * Output per row: (key, order, q_fp, target_fp, s_plus_fp,
+    * s_minus_fp, alarm) — alarm once either side exceeds `thresholdFp`.
+    */
+  def cusumPoints(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, targetFp: Option[Long],
+      thresholdFp: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val q = df.withColumn("q_fp", floor(col(valueCol) * 1000.0).cast("long"))
+    val withTarget = targetFp match {
+      case Some(t) => q.withColumn("target_fp", lit(t))
+      case None => q
+        .withColumn("__s_all", sum("q_fp").over(wAll))
+        .withColumn("__n_all", count(lit(1)).over(wAll))
+        // integer floor division (Spark `div` ≡ DuckDB `//`) — a float
+        // mean would put a rounding lane in every downstream integer
+        .withColumn("target_fp", expr("__s_all div __n_all"))
+    }
+    withTarget
+      .withColumn("__p", sum(col("q_fp") - col("target_fp")).over(wRun))
+      .withColumn("s_plus_fp",
+        col("__p") - least(lit(0L), min("__p").over(wRun)))
+      .withColumn("s_minus_fp",
+        greatest(lit(0L), max("__p").over(wRun)) - col("__p"))
+      .withColumn("alarm", col("s_plus_fp") > thresholdFp ||
+        col("s_minus_fp") > thresholdFp)
+      .select(col(keyCol), col(orderCol), col("q_fp"), col("target_fp"),
+        col("s_plus_fp"), col("s_minus_fp"), col("alarm"))
+  }
+
   /** Single changepoint detection per key: the split position maximizing
     * the two-sample mean-shift statistic |μ_L − μ_R|·√(p·(n−p)/n) — the
     * CUSUM-equivalent scan statistic, evaluated at EVERY split in O(n)

@@ -314,6 +314,53 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-point CUSUM output row (fixed-point milli-units). */
+  case class CusumPoint(stream_id: String, t: Timestamp, q_fp: Long,
+      s_plus_fp: Long, s_minus_fp: Long, alarm: Boolean)
+
+  /** CUSUM state: prefix sum of deviations + its running min/max. The
+    * min/max initialize at 0 — the empty prefix the closed form's
+    * `min(0, …)` term represents. */
+  case class CusumState(p: Long, minP: Long, maxP: Long)
+
+  /** Streaming two-sided CUSUM drift detector — O(1) integer state per
+    * stream (prefix sum + running min/max), emitting per point the same
+    * `S⁺ = P − min(0, min P)` / `S⁻ = max(0, max P) − P` closed form the
+    * batch [[graft.operators.Temporal.cusumPoints]] computes with window
+    * functions — bit-equal under in-order delivery (StreamingSpec).
+    * `targetFp`/`thresholdFp` in fixed-point milli-units; streaming needs
+    * the target up front (a global mean doesn't exist mid-stream).
+    */
+  def cusum(src: Dataset[Point], targetFp: Long,
+      thresholdFp: Long): Dataset[CusumPoint] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, CusumPoint] {
+      @transient private var state: ValueState[CusumState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[CusumState]("cusum",
+          Encoders.product[CusumState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[CusumPoint] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        var st = if (state.exists()) state.get() else CusumState(0L, 0L, 0L)
+        val out = sorted.map { pt =>
+          val q = math.floor(pt.v * 1000.0).toLong
+          val p = st.p + (q - targetFp)
+          st = CusumState(p, math.min(st.minP, p), math.max(st.maxP, p))
+          val sPlus = p - st.minP
+          val sMinus = st.maxP - p
+          CusumPoint(key, pt.t, q, sPlus, sMinus,
+            sPlus > thresholdFp || sMinus > thresholdFp)
+        }
+        state.update(st)
+        out.iterator
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming gap-based sessionization — the incremental form of the
     * batch q_sessionize (lag + running-sum) shape: Spark's native
     * `session_window` merges per-key events within `gap` of each other;

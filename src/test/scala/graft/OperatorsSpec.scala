@@ -2047,6 +2047,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rc(0).getAs[Double]("score") == 0.0)
   }
 
+  test("cusum: closed form equals the recurrence; alarms fire after an injected drift") {
+    import spark.implicits._
+    // series drifts +8.0 above target from i=30 on; threshold 20.0
+    val vals = (0 until 60).map(i => if (i < 30) 10.0 else 18.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "sec", "v")
+    val r = graft.operators.Temporal
+      .cusumPoints(df, "k", "sec", "v", Some(10000L), 20000L)
+      .orderBy("sec").collect()
+    // reference recurrence, folded by hand
+    var sP = 0L; var sM = 0L
+    val want = vals.map { v =>
+      val d = math.floor(v * 1000.0).toLong - 10000L
+      sP = math.max(0L, sP + d); sM = math.max(0L, sM - d)
+      (sP, sM)
+    }
+    assert(r.map(x => (x.getAs[Long]("s_plus_fp"),
+      x.getAs[Long]("s_minus_fp"))).toSeq == want,
+      "closed form must equal the max(0, S+d) recurrence")
+    val firstAlarm = r.find(_.getAs[Boolean]("alarm")).map(_.getAs[Long]("sec"))
+    // drift 8.0/point over threshold 20.0 → 3rd drifted point (sec 32)
+    assert(firstAlarm.contains(32L), s"alarm at $firstAlarm")
+    assert(!r.take(30).exists(_.getAs[Boolean]("alarm")),
+      "no alarm before the drift")
+  }
+
   test("pca: eigenpairs satisfy Cv=λv, components are orthonormal, runs are deterministic") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

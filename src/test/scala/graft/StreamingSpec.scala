@@ -129,6 +129,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4) // 2 streams × 2 lags
   }
 
+  test("streaming CUSUM == batch closed form across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.cusum(mem.toDS(), targetFp = 12000L,
+        thresholdFp = 9000L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    val pts = (0 until 24).map { i =>
+      val sid = if (i % 3 == 0) "x" else "y"
+      Streaming.Point(sid, ts(f"2024-01-01 00:00:${i * 2}%02d"),
+        12.0 + (if (i > 12) 4.5 else -1.5) + (i % 5) * 0.7)
+    }
+    pts.grouped(7).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("cusum_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val batch = graft.operators.Temporal.cusumPoints(
+        pts.toDF("stream_id", "t", "v")
+          .withColumn("sec", unix_timestamp(col("t"))),
+        "stream_id", "sec", "v", Some(12000L), 9000L)
+      .collect().map(r => (r.getString(0), r.getLong(1) * 1000L) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got.size == 24 && got == batch,
+      s"streaming $got\nvs batch $batch")
+  }
+
   test("stateful streaming ewma == batch ewma across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
