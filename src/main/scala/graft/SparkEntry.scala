@@ -623,6 +623,31 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "ds_staleness" -> { (s, dir) =>
+      // per-stream freshness audit — the ops query behind "which feeds
+      // died": median inter-arrival gap vs time since the last point,
+      // stale when silence exceeds 3x the stream's own cadence. Median
+      // ONLY (an interpolated p90 of integers is not ulp-safe across
+      // engines; the 0.5 quantile is a midpoint of two BIGINTs — exact).
+      // One window pass + one keyed agg; "now" = corpus max second
+      // broadcast back (a real deployment passes the clock instead).
+      val w = Window.partitionBy("stream_id").orderBy("sec")
+      val secs = pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+      val gaps = secs
+        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      val perStream = gaps.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_points"), max("sec").as("last_sec"),
+          expr("percentile(gap, 0.5)").as("med_gap"))
+      val now = secs.agg(max("sec").as("now_sec"))
+      perStream.crossJoin(broadcast(now))
+        .withColumn("staleness_sec", col("now_sec") - col("last_sec"))
+        .withColumn("stale", col("staleness_sec") > lit(3.0) * col("med_gap"))
+        .select("stream_id", "n_points", "last_sec", "med_gap",
+          "staleness_sec", "stale")
+        .orderBy("stream_id")
+    },
+
     "q_salted_join" -> { (s, dir) =>
       // manual skew-spread equi-join (Skew.saltedJoin): the probe side
       // salts deterministically from l_orderkey, the build side
@@ -3311,6 +3336,25 @@ object SparkEntry {
         |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
         |  score, mean_left, mean_right
         |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
+
+    "ds_staleness" ->
+      // quantile_cont(·, 0.5) ≡ Spark percentile at the exact BIGINT
+      // midpoint; 3·med and the > compare are then exact both sides
+      s"""WITH $srcSql, $pointSql,
+        |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec
+        |  FROM pts),
+        |g AS (SELECT stream_id, sec,
+        |    sec - lag(sec) OVER (PARTITION BY stream_id ORDER BY sec)
+        |      AS gap
+        |  FROM q),
+        |a AS (SELECT stream_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    max(sec) AS last_sec, quantile_cont(gap, 0.5) AS med_gap
+        |  FROM g GROUP BY stream_id),
+        |nw AS (SELECT max(sec) AS now_sec FROM q)
+        |SELECT stream_id, n_points, last_sec, med_gap,
+        |  now_sec - last_sec AS staleness_sec,
+        |  (now_sec - last_sec) > 3.0 * med_gap AS stale
+        |FROM a, nw ORDER BY stream_id""".stripMargin,
 
     "ds_cusum" ->
       // same integer closed form: P = prefix sum of (q − target),
