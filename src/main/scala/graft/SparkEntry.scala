@@ -2847,6 +2847,27 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    "mm_tone_detect" -> { (s, dir) =>
+      // END-TO-END REAL audio DSP under the exact gate: synthesize a
+      // per-doc sine WAV (frequency = 300 + (doc_id % 8)·200 Hz, real
+      // RIFF bytes), round-trip it through the production parseWav, and
+      // detect the dominant tone with Goertzel over the 8 candidates.
+      // The oracle predicts the tone ANALYTICALLY from doc_id — the row
+      // only matches if synthesis + container parse + detector all work.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 200).select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal
+            .sineWav(300.0 + (id % 8) * 200.0, 2000, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal
+        .dominantTone(media, (0 to 7).map(i => 300.0 + i * 200.0))
+        .select(col("media_id").as("doc_id"),
+          col("dom_freq").cast("long").as("dom_freq"))
+        .orderBy("doc_id")
+    },
+
     "mm_phash_dedup" -> { (s, dir) =>
       // perceptual image near-dup: 64-bit average-hash over decoded
       // pixels, 4×16-bit banded equi-join + exact hamming (pigeonhole-
@@ -5121,6 +5142,13 @@ object SparkEntry {
         |SELECT media_id, CAST(n AS BIGINT) AS n_frames,
         |  CAST(sampled_bytes AS BIGINT) AS sampled_bytes
         |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_tone_detect" ->
+      // the analytic prediction of the synth recipe — pure doc_id
+      // arithmetic, no audio on the oracle side by construction
+      """SELECT doc_id, CAST(300 + (doc_id % 8) * 200 AS BIGINT)
+        |  AS dom_freq
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "mm_phash_dedup" ->
       // stub-lane aHash recomputed from the md5 feature-byte chain:

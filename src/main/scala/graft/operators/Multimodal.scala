@@ -181,6 +181,87 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** 16-bit mono PCM WAV bytes of a pure sine at 0.6 full-scale — the
+    * synthesis half of the tone-detection gate: the bytes are a REAL
+    * RIFF container, round-tripped through [[parseWav]] like any
+    * ingested audio (never handed to the analyzer as raw samples).
+    */
+  private[graft] def sineWav(freq: Double, nSamples: Int,
+      rate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((19660.8 *
+        math.sin(2.0 * math.Pi * freq * i / rate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Goertzel single-bin power at (the nearest DFT bin to) `freq` —
+    * the classic O(n)-per-tone detector; no FFT dependency. Returns
+    * power normalized by n² so it is amplitude-scaled, length-free.
+    */
+  private[graft] def goertzelPower(mono: Array[Double], rate: Int,
+      freq: Double): Double = {
+    val n = mono.length
+    if (n == 0 || rate <= 0) return 0.0
+    val k = math.round(freq * n / rate).toDouble
+    val w = 2.0 * math.Pi * k / n
+    val coeff = 2.0 * math.cos(w)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      val s0 = mono(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n)
+  }
+
+  /** Dominant tone per track: parse the RIFF bytes, mix to mono, score
+    * every candidate frequency with Goertzel, argmax (ties → lowest
+    * frequency). Non-WAV bytes emit dom_freq = −1. Pure mapPartitions
+    * projection — the codec-per-partition shape of the other decoders;
+    * candidate list rides along as a closure constant (metadata scale).
+    */
+  def dominantTone(media: DataFrame, freqs: Seq[Double]): DataFrame = {
+    require(freqs.nonEmpty, "need at least one candidate frequency")
+    val ss = media.sparkSession
+    import ss.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseWav(bytes) match {
+            case Some(w) if w.nFrames > 0 =>
+              val n = w.nFrames
+              val mono = Array.tabulate(n) { f =>
+                var s = 0.0
+                var c = 0
+                while (c < w.channels) {
+                  s += w.samples(f * w.channels + c); c += 1
+                }
+                s / w.channels
+              }
+              val powers =
+                freqs.map(fr => goertzelPower(mono, w.sampleRate, fr))
+              val best = powers.zipWithIndex
+                .maxBy { case (p, i) => (p, -i) }._2
+              (id, freqs(best), powers(best))
+            case _ => (id, -1.0, 0.0)
+          }
+        }
+      }.toDF("media_id", "dom_freq", "power")
+  }
+
   /** ======== REAL CODEC LAYER (video: MJPEG-in-AVI) ========
     * AVI is the same RIFF container as WAV; MJPEG stores each video frame
     * as a standalone JPEG inside a `##dc`/`##db` chunk — so frame

@@ -25,8 +25,12 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the previous merge) — no fixed-depth SQL mirror exists; its
     // semantics are pinned by the hand-computed Sennrich-corpus spec
     // instead. Growing this list is a deliberate decision, not a silent
-    // default.
-    val rowsOnly = Set("text_bpe_encode")
+    // default. emb_pca is rows-only for the same reason: eigenvectors of
+    // the covariance have no SQL mirror — the projection's determinism,
+    // residual and by-hand-equality properties are pinned in
+    // OperatorsSpec, and the EXACT sufficient statistics behind it are
+    // fully oracled as emb_pca_gram.
+    val rowsOnly = Set("text_bpe_encode", "emb_pca")
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query (typo?): $orphanOracles")

@@ -2047,6 +2047,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rc(0).getAs[Double]("score") == 0.0)
   }
 
+  test("goertzel tone detection: synthesized sines round-trip the WAV parser to the right bin") {
+    import spark.implicits._
+    val m = graft.operators.Multimodal
+    // the synthesized container must parse back through the PRODUCTION
+    // RIFF walker with the expected shape
+    val bytes = m.sineWav(440.0, 2000, 8000)
+    val w = m.parseWav(bytes).get
+    assert(w.channels == 1 && w.sampleRate == 8000 &&
+      w.bitsPerSample == 16 && w.nFrames == 2000)
+    // amplitude 0.6 FS survives the int16 round-trip
+    assert(math.abs(w.samples.map(math.abs(_)).max - 0.6) < 0.01)
+    // tone power dominates off-tone bins by orders of magnitude
+    val mono = w.samples.map(_.toDouble)
+    val on = m.goertzelPower(mono, 8000, 440.0)
+    val off = m.goertzelPower(mono, 8000, 1000.0)
+    assert(on > 0.05, s"on-bin power $on") // ≈ (0.6/2)² = 0.09
+    assert(off < on / 1000.0, s"off-bin leakage $off vs $on")
+    // end-to-end dataset op: two tracks, distinct tones, non-WAV bytes
+    val media = Seq(
+      (1L, m.sineWav(700.0, 2000, 8000)),
+      (2L, m.sineWav(1500.0, 2000, 8000)),
+      (3L, "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = m.dominantTone(media, Seq(300.0, 700.0, 1100.0, 1500.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 700.0, 2L -> 1500.0, 3L -> -1.0))
+  }
+
   test("cusum: closed form equals the recurrence; alarms fire after an injected drift") {
     import spark.implicits._
     // series drifts +8.0 above target from i=30 on; threshold 20.0
