@@ -38,7 +38,8 @@ object Plans {
         "graph_bfs_hops", "graph_jaccard_links", "pipe_k_anonymity",
         "q_bucket_join", "ds_resample_linear", "pipe_e2e_curation",
         "drv_seasonal_baseline", "q_skyline_pareto", "ds_autocorr",
-        "ds_changepoint", "emb_pca_gram", "emb_pca")
+        "ds_changepoint", "emb_pca_gram", "emb_pca", "ds_cusum",
+        "ds_staleness", "emb_mmr", "mm_tone_detect")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
