@@ -623,6 +623,39 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "ds_xcorr" -> { (s, dir) =>
+      // cross-stream correlation: does a user's daily click volume move
+      // with their view volume? Values quantize to BIGINT BEFORE any
+      // summing (a float sum drifts in the last ulp per partitioning);
+      // day alignment + both aggregations are keyed hash aggs, Pearson
+      // derives from the exact integer sums in one fixed-shape double
+      // expression (bit-identical cross-engine, like ds_autocorr).
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+        .withColumn("q", floor(col("value") * 1000.0).cast("long"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(sum(when(col("event_type") === "click", col("q"))).as("a"),
+          sum(when(col("event_type") === "view", col("q"))).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+      val agg = daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum("a").as("sa_fp"), sum("b").as("sb_fp"),
+          sum(col("a") * col("a")).as("saa_fp"),
+          sum(col("b") * col("b")).as("sbb_fp"),
+          sum(col("a") * col("b")).as("sab_fp"))
+        .where(col("n_days") >= 3)
+      val num = col("n_days").cast("double") * col("sab_fp").cast("double") -
+        col("sa_fp").cast("double") * col("sb_fp").cast("double")
+      val da = col("n_days").cast("double") * col("saa_fp").cast("double") -
+        col("sa_fp").cast("double") * col("sa_fp").cast("double")
+      val db = col("n_days").cast("double") * col("sbb_fp").cast("double") -
+        col("sb_fp").cast("double") * col("sb_fp").cast("double")
+      agg.withColumn("xcorr",
+          when(da > 0.0 && db > 0.0, round(num / sqrt(da * db), 6)))
+        .select("user_id", "n_days", "sa_fp", "sb_fp", "sab_fp", "xcorr")
+        .orderBy("user_id")
+    },
+
     "ds_staleness" -> { (s, dir) =>
       // per-stream freshness audit — the ops query behind "which feeds
       // died": median inter-arrival gap vs time since the last point,
@@ -3357,6 +3390,40 @@ object SparkEntry {
         |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
         |  score, mean_left, mean_right
         |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
+
+    "ds_xcorr" ->
+      // same quantize-then-sum discipline; Pearson from exact BIGINTs
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |d AS (SELECT user_id, day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN q END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN q END)
+        |      AS BIGINT) AS b
+        |  FROM e GROUP BY user_id, day
+        |  HAVING a IS NOT NULL AND b IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(a) AS BIGINT) AS sa_fp,
+        |    CAST(sum(b) AS BIGINT) AS sb_fp,
+        |    CAST(sum(a * a) AS BIGINT) AS saa_fp,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb_fp,
+        |    CAST(sum(a * b) AS BIGINT) AS sab_fp
+        |  FROM d GROUP BY user_id HAVING count(*) >= 3)
+        |SELECT user_id, n_days, sa_fp, sb_fp, sab_fp,
+        |  CASE WHEN (CAST(n_days AS DOUBLE) * CAST(saa_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE)) > 0
+        |    AND (CAST(n_days AS DOUBLE) * CAST(sbb_fp AS DOUBLE)
+        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE)) > 0
+        |  THEN round((CAST(n_days AS DOUBLE) * CAST(sab_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))
+        |    / sqrt((CAST(n_days AS DOUBLE) * CAST(saa_fp AS DOUBLE)
+        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE))
+        |      * (CAST(n_days AS DOUBLE) * CAST(sbb_fp AS DOUBLE)
+        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
+        |  END AS xcorr
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "ds_staleness" ->
       // quantile_cont(·, 0.5) ≡ Spark percentile at the exact BIGINT
