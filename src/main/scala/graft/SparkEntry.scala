@@ -2767,6 +2767,11 @@ object SparkEntry {
       // power-law hubs). Top-30 corners, total (n_tri desc, vertex) order.
       val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        // 3 consumers inside triangleCounts (degree agg + both endpoint
+        // joins) — without the barrier the expensive per-order self-join
+        // lineage re-runs per consumer (measured 16.9 CPU s at sf0.1;
+        // the other co-purchase queries already checkpoint)
+        .localCheckpoint(true)
       Graphs.triangleCounts(edges)
         .orderBy(col("n_tri").desc, col("vertex"))
         .limit(30)
