@@ -2047,6 +2047,51 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rc(0).getAs[Double]("score") == 0.0)
   }
 
+  test("acf/changepoint invariances hold EXACTLY in the integer lane") {
+    import spark.implicits._
+    // deterministic LCG series over two streams — irregular but fixed
+    var seed = 12345L
+    def next(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) >>> 1
+      // DYADIC values (m/8): v, v+7 and 3v are all exactly representable
+      // and scale to exact integers under ·1000 — decimal fractions like
+      // k/100 are NOT binary-exact and would leak ulp noise into floor()
+      (seed % 8000L) / 8.0 // [0, 1000) in eighths
+    }
+    val base = (0 until 80).map(i => (s"s${i % 2}", i.toLong, next()))
+    def acf(rows: Seq[(String, Long, Double)]) =
+      graft.operators.Temporal
+        .autocorr(rows.toDF("k", "sec", "v"), "k", "sec", "v", Seq(1, 2))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("acf"))
+        .toMap
+    def cp(rows: Seq[(String, Long, Double)]) =
+      graft.operators.Temporal
+        .changepoint(rows.toDF("k", "sec", "v"), "k", "sec", "v")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("split_pos"), r.getAs[Long]("diff_fp"),
+            r.getAs[Double]("score"))).toMap
+    // Pearson ACF is shift-invariant, and for INTEGER-MILLI shifts the
+    // fixed-point lane preserves that invariance EXACTLY (q -> q + s
+    // cancels algebraically in n·C − SA·SB and both denominators)
+    val shifted = base.map { case (k, t, v) => (k, t, v + 7.0) }
+    assert(acf(base) == acf(shifted),
+      "ACF must be bit-identical under an integer-milli shift")
+    // changepoint diff_fp = S_p(n−p) − (S_n−S_p)p is shift-invariant by
+    // the same cancellation; score and split follow
+    assert(cp(base) == cp(shifted),
+      "changepoint must be bit-identical under an integer-milli shift")
+    // and the SPLIT (argmax) is scale-invariant: v -> 3v scales every
+    // diff by 3, never reordering candidates
+    val scaled = base.map { case (k, t, v) => (k, t, v * 3.0) }
+    val (b, s3) = (cp(base), cp(scaled))
+    assert(b.keySet == s3.keySet &&
+      b.forall { case (k, (pos, diff, _)) =>
+        s3(k)._1 == pos && s3(k)._2 == 3L * diff },
+      "changepoint split is scale-invariant, diff scales exactly 3x")
+  }
+
   test("goertzel tone detection: synthesized sines round-trip the WAV parser to the right bin") {
     import spark.implicits._
     val m = graft.operators.Multimodal
