@@ -784,6 +784,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       !snap(primary).contains(50L) && snap(primary)(0L) == 1L)
   }
 
+  test("streaming PCA maintenance: per-batch Gram partials fold to the exact corpus buffer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // the incremental-PCA contract: graft_gram_multi's buffer is a pure
+    // integer sum, so per-micro-batch partials folded ELEMENTWISE equal
+    // the one-shot corpus buffer bit-for-bit — a model refresh never
+    // re-reads history, it adds the new batch's 17 KB buffer. (Same
+    // 100 TB shape as the theta/freq rollup test above.)
+    val dims = 16
+    val dir = java.nio.file.Files.createTempDirectory("gram_stream").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF.toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        batch.agg(expr(s"graft_gram_multi(embedding, 0, $dims, 1)").as("g"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(dir)
+        ()
+      }.start()
+    val rnd = new scala.util.Random(11)
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    for (b <- 0 until 3) {
+      val rows = (0 until 100).map { i =>
+        ((b * 100 + i).toLong, Seq.fill(dims)(rnd.nextDouble() - 0.5))
+      }
+      all ++= rows
+      mem.addData(rows); q.processAllAvailable()
+    }
+    q.stop()
+    val partials = spark.read.parquet(dir)
+      .select("g").collect().map(_.getSeq[Long](0).toArray)
+    assert(partials.length == 3)
+    val folded = partials.reduce { (a, b) =>
+      a.zip(b).map { case (x, y) => x + y }
+    }
+    val direct = all.toSeq.toDF("vec_id", "embedding")
+      .agg(expr(s"graft_gram_multi(embedding, 0, $dims, 1)").as("g"))
+      .head().getSeq[Long](0).toArray
+    assert(folded.sameElements(direct),
+      "folded per-batch Gram partials must equal the one-shot buffer bit-for-bit")
+  }
+
   test("streaming sketch maintenance: per-batch partials fold to the exact batch answer") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
