@@ -623,6 +623,28 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "q_skew_report" -> { (s, dir) =>
+      // the pre-flight skew diagnostic a join/groupBy tuner runs before
+      // choosing salting factors: top-20 heaviest keys with exact
+      // integer basis-point shares (cnt·10000 div total — no float
+      // lane) and the cumulative concentration curve. One keyed agg +
+      // one ORDER-limited window over the (small) key histogram.
+      val hist = tbl(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.agg(sum("cnt").as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 20)
+        .withColumn("share_bps", expr("cnt * 10000 div total"))
+        .withColumn("cum_bps", expr(
+          "sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+            " * 10000 div total"))
+        .select("rnk", "l_suppkey", "cnt", "share_bps", "cum_bps")
+        .orderBy("rnk")
+    },
+
     "ds_xcorr" -> { (s, dir) =>
       // cross-stream correlation: does a user's daily click volume move
       // with their view volume? Values quantize to BIGINT BEFORE any
@@ -3395,6 +3417,21 @@ object SparkEntry {
         |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
         |  score, mean_left, mean_right
         |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH h AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+        |r AS (SELECT l_suppkey, cnt, total,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey)
+        |      AS BIGINT) AS rnk,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h, t)
+        |SELECT rnk, l_suppkey, cnt, cnt * 10000 // total AS share_bps,
+        |  cum * 10000 // total AS cum_bps
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "ds_xcorr" ->
       // same quantize-then-sum discipline; Pearson from exact BIGINTs
