@@ -2120,6 +2120,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 700.0, 2L -> 1500.0, 3L -> -1.0))
   }
 
+  test("riff parser survives hostile bytes; mmr candidate scan plans as a top-k, not a global sort") {
+    val m = graft.operators.Multimodal
+    // fuzz: random bytes, truncated/corrupted real containers — parseWav
+    // must return None or a valid parse, never throw (decoders run on
+    // untrusted corpus bytes by contract)
+    val rnd = new scala.util.Random(7)
+    val real = m.sineWav(500.0, 400, 8000)
+    val cases =
+      (0 until 200).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte)) ++
+      (0 until 50).map(_ => real.take(rnd.nextInt(real.length))) ++
+      (0 until 50).map { _ =>
+        val b = real.clone(); b(12 + rnd.nextInt(b.length - 12)) = rnd.nextInt().toByte; b
+      }
+    cases.foreach { b => m.parseWav(b); m.parseAviFrames(b) } // must not throw
+    // plan guard: emb_mmr's distributed half is orderBy+limit — Spark
+    // must plan TakeOrderedAndProject (streaming top-k), never a global
+    // Sort materialization of the scored corpus
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.where(col("vec_id") === 0).select(col("emb").as("qemb"))
+    // mirror mmrSelect's candidate stage (its collect() hides the plan)
+    graft.functions.GraftFunctions.register(spark)
+    val scored = e.where(col("vec_id") =!= 0).join(broadcast(q))
+      .withColumn("rel", org.apache.spark.sql.functions.expr(
+        "graft_dot(qemb, emb) / (sqrt(graft_dot(qemb, qemb))" +
+          " * sqrt(graft_dot(emb, emb)))"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(30)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate top-k must stream, got:\n$plan")
+  }
+
   test("cusum: closed form equals the recurrence; alarms fire after an injected drift") {
     import spark.implicits._
     // series drifts +8.0 above target from i=30 on; threshold 20.0
