@@ -623,6 +623,33 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_seasonal_anomaly" -> { (s, dir) =>
+      // seasonally-adjusted robust anomaly flags: remove each stream's
+      // hour-of-day baseline, then flag residuals beyond 3x the MAD.
+      // FULLY exact: baseline = integer-div of fixed-point sums (a float
+      // mean would make the >3·MAD boolean a ulp coin flip), residuals
+      // are BIGINTs, and MAD = median of BIGINTs (an exact midpoint —
+      // the ds_staleness median rule). Profile join is broadcast
+      // (O(#streams × 24)); everything else is keyed aggs.
+      val pts = pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("hod", expr("(sec % 86400) div 3600"))
+        .withColumn("q", floor(col("v") * 1000.0).cast("long"))
+        .localCheckpoint(true) // profile derives FROM pts (self-join rule)
+      val prof = pts.groupBy("stream_id", "hod")
+        .agg(expr("sum(q) div count(1)").as("baseline_fp"))
+      val resid = pts.join(broadcast(prof), Seq("stream_id", "hod"))
+        .withColumn("residual_fp", col("q") - col("baseline_fp"))
+      val mad = resid.groupBy("stream_id")
+        .agg(expr("percentile(abs(residual_fp), 0.5)").as("mad_fp"))
+      resid.join(broadcast(mad), "stream_id")
+        .where(abs(col("residual_fp")).cast("double") >
+          lit(3.0) * col("mad_fp"))
+        .select(col("stream_id"), col("sec"), col("hod"),
+          col("residual_fp"), col("mad_fp"))
+        .orderBy("stream_id", "sec")
+    },
+
     "q_skew_report" -> { (s, dir) =>
       // the pre-flight skew diagnostic a join/groupBy tuner runs before
       // choosing salting factors: top-20 heaviest keys with exact
@@ -3417,6 +3444,29 @@ object SparkEntry {
         |SELECT stream_id, n, p AS split_pos, sec AS split_at, diff_fp,
         |  score, mean_left, mean_right
         |FROM r WHERE rk = 1 ORDER BY stream_id""".stripMargin,
+
+    "drv_seasonal_anomaly" ->
+      // integer-div baseline, BIGINT residuals, exact-midpoint MAD
+      s"""WITH $srcSql, $pointSql,
+        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+        |    (CAST(floor(epoch(t)) AS BIGINT) % 86400) // 3600 AS hod,
+        |    CAST(floor(v * 1000.0) AS BIGINT) AS q
+        |  FROM pts),
+        |prof AS (SELECT stream_id, hod,
+        |    CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS baseline_fp
+        |  FROM p GROUP BY stream_id, hod),
+        |r AS (SELECT p.stream_id, p.sec, p.hod,
+        |    p.q - prof.baseline_fp AS residual_fp
+        |  FROM p JOIN prof
+        |    ON p.stream_id = prof.stream_id AND p.hod = prof.hod),
+        |m AS (SELECT stream_id, quantile_cont(abs(residual_fp), 0.5)
+        |    AS mad_fp
+        |  FROM r GROUP BY stream_id)
+        |SELECT r.stream_id, r.sec, r.hod, r.residual_fp, m.mad_fp
+        |FROM r JOIN m ON r.stream_id = m.stream_id
+        |WHERE CAST(abs(r.residual_fp) AS DOUBLE) > 3.0 * m.mad_fp
+        |ORDER BY r.stream_id, r.sec""".stripMargin,
 
     "q_skew_report" ->
       """WITH h AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
