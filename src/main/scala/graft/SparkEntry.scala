@@ -705,6 +705,35 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    "ds_burstiness" -> { (s, dir) =>
+      // per-stream burstiness audit: Fano factor (variance/mean) of
+      // per-minute event counts over the stream's ACTIVE minutes —
+      // Poisson-like arrivals sit near 10000 bp, bursty feeds far above.
+      // Counts are integers, the naive-variance sums stay BIGINT, and the
+      // bp ratio is one integer division: fano_bp =
+      // 10000·(n·Σc² − (Σc)²) div (n·Σc) — non-negative by
+      // Cauchy-Schwarz, so trunc ≡ floor and the row is exact
+      // cross-engine. Two keyed hash aggs, no window, no shuffle of raw
+      // events beyond the (stream, minute) key.
+      val perMin = events(s, dir)
+        .select(concat_ws(":", col("user_id"), col("event_type"))
+            .as("stream_id"),
+          expr("unix_timestamp(ts) div 60").as("minute"))
+        .groupBy("stream_id", "minute")
+        .agg(count(lit(1)).as("c"))
+      perMin.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_minutes"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("q"))
+        .where(col("n_minutes") >= 5)
+        .select(col("stream_id"), col("n_minutes"),
+          col("s").as("total_events"),
+          expr("(10000L * (n_minutes * q - s * s)) div (n_minutes * s)")
+            .as("fano_bp"))
+        .withColumn("bursty",
+          when(col("fano_bp") > 12000L, 1L).otherwise(0L))
+        .orderBy("stream_id")
+    },
+
     "ds_staleness" -> { (s, dir) =>
       // per-stream freshness audit — the ops query behind "which feeds
       // died": median inter-arrival gap vs time since the last point,
@@ -925,6 +954,31 @@ object SparkEntry {
         .agg(max("c_acctbal").as("top_bal"),
           max_by(col("c_custkey"), col("c_acctbal")).as("top_cust"))
         .orderBy("c_nationkey")
+    },
+
+    "q_benford_digits" -> { (s, dir) =>
+      // first-digit Benford audit on order totals — the classic
+      // anomalous-amounts data-quality probe. The leading digit comes
+      // from the BIGINT floor (decimal formatting never crosses engines),
+      // the observed share and its deviation from the Benford expectation
+      // are exact integer basis points (share_bp = 10000·n div total; the
+      // expected bps are shared literals summing to 10000). One hash agg
+      // over the scan + a broadcast of the single-row total.
+      val digits = tbl(s, dir, "orders")
+        .where(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum("n").as("total"))
+      val benford = typedLit(Map(
+        "1" -> 3010L, "2" -> 1761L, "3" -> 1249L, "4" -> 969L,
+        "5" -> 792L, "6" -> 669L, "7" -> 580L, "8" -> 512L, "9" -> 458L))
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("(10000L * n) div total").as("share_bp"),
+          benford(col("digit")).as("benford_bp"))
+        .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+        .orderBy("digit")
     },
 
     "q_cube_orders" -> { (s, dir) =>
@@ -1567,6 +1621,20 @@ object SparkEntry {
       Dedup.exact(tbl(s, dir, "documents")).orderBy("h")
     },
 
+    "dedup_normalized" -> { (s, dir) =>
+      // normalization-keyed exact dedup (the C4/Gopher "fuzzy-exact" lane):
+      // case/punctuation/whitespace variants collapse to one key. Variants
+      // injected deterministically: docs 0..19 get an UPPERCASED copy with
+      // trailing " !!" at doc_id+4000000 — byte-distinct (invisible to
+      // dedup_exact), normalization-equal. Text never shuffles: only the
+      // 16-byte md5 of the normalized form + the id leave the scan.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      Dedup.normalized(corpus).orderBy("h")
+    },
+
     "dedup_minhash" -> { (s, dir) =>
       // oracled: the operator is LSH-candidates -> exact-Jaccard verify, so
       // its output equals the exact >= threshold pair set whenever banding
@@ -1686,6 +1754,30 @@ object SparkEntry {
       Similarity.cosineTopKGrouped(e, broadcast(q), 3)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rnk")
+    },
+
+    "emb_knn_label" -> { (s, dir) =>
+      // kNN label propagation: held-out queries (vec_id < 15) classified
+      // by majority vote of their 7 exact-cosine nearest labeled corpus
+      // neighbors (vote ties -> smallest label). Neighbor sets are pinned
+      // by the shared (sim desc, vec_id) tie-break, votes are integers —
+      // the whole row is exact cross-engine. Scoring join = the same
+      // broadcast NLJ as emb_topk_cosine; at corpus-scale query sets the
+      // IVF/LSH candidate generators slot in for the NLJ.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+          col("label").cast("long").as("label"))
+      val corpus = e.where(col("vec_id") >= 15)
+      val q = e.where(col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.knnClassify(corpus, broadcast(q), 7)
+        .join(e.select(col("vec_id").as("qid"), col("label").as("true_label")),
+          "qid")
+        .select(col("qid"), col("pred_label"), col("votes"),
+          col("true_label"),
+          when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+            .as("hit"))
+        .orderBy("qid")
     },
 
     "emb_near_pairs" -> { (s, dir) =>
@@ -2826,6 +2918,19 @@ object SparkEntry {
         .limit(30)
     },
 
+    "graph_kcore" -> { (s, dir) =>
+      // k-core peeling profile of the co-purchase graph: 4 fixed peel
+      // rounds at k=6 — the standard "dense-core extraction" pass before
+      // community/embedding work. Fixed rounds (not run-to-fixpoint) keep
+      // the output a deterministic unrollable function of the input; a
+      // converged round shows n_removed = 0. k=6 bites at every testdata
+      // SF (the support-2 graph's degree profile shifts with SF: median
+      // 23 at sf0.001, 3 at sf0.01, 1 at sf0.1). All-integer row, exact.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graphs.kCorePeel(edges, k = 6, rounds = 4).orderBy("round")
+    },
+
     "er_fuzzy_parts" -> { (s, dir) =>
       // fuzzy entity resolution on the part-name VALUE space: block on
       // the product noun (last token), length-band prefilter, then
@@ -3194,6 +3299,27 @@ object SparkEntry {
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    "q_benford_digits" ->
+      // leading digit from the BIGINT floor (never decimal formatting);
+      // shares and deviations in exact integer basis points, Benford
+      // expectation as shared literals summing to 10000
+      """WITH d AS (SELECT substring(
+        |    CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |b AS (SELECT digit, n, (10000 * n) // total AS share_bp,
+        |    CAST(CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761
+        |      WHEN '3' THEN 1249 WHEN '4' THEN 969 WHEN '5' THEN 792
+        |      WHEN '6' THEN 669 WHEN '7' THEN 580 WHEN '8' THEN 512
+        |      WHEN '9' THEN 458 END AS BIGINT) AS benford_bp
+        |  FROM g, t)
+        |SELECT digit, n, share_bp, benford_bp,
+        |  share_bp - benford_bp AS dev_bp
+        |FROM b ORDER BY digit""".stripMargin,
+
     "q_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  sum(o_totalprice) AS total
@@ -3516,6 +3642,24 @@ object SparkEntry {
         |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
         |  END AS xcorr
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ds_burstiness" ->
+      // Fano factor of per-minute counts in exact integer bp:
+      // 10000·(n·Σc² − (Σc)²) // (n·Σc); the numerator is non-negative
+      // (Cauchy-Schwarz), so DuckDB's floor-div ≡ Spark's trunc-div
+      """WITH pm AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT stream_id, CAST(count(*) AS BIGINT) AS n_minutes,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM pm GROUP BY stream_id HAVING count(*) >= 5)
+        |SELECT stream_id, n_minutes, s AS total_events,
+        |  (10000 * (n_minutes * q - s * s)) // (n_minutes * s) AS fano_bp,
+        |  CAST(CASE WHEN (10000 * (n_minutes * q - s * s))
+        |      // (n_minutes * s) > 12000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bursty
+        |FROM g ORDER BY stream_id""".stripMargin,
 
     "ds_staleness" ->
       // quantile_cont(·, 0.5) ≡ Spark percentile at the exact BIGINT
@@ -4231,6 +4375,23 @@ object SparkEntry {
         |GROUP BY md5(text)
         |ORDER BY h""".stripMargin,
 
+    "dedup_normalized" ->
+      // same normalization recipe; DuckDB regexp_replace needs the 'g'
+      // flag (Spark replaces globally by default), and both regexes stay
+      // in the RE2 ⊆ Java-regex common subset
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id < 20),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM corpus)
+        |SELECT md5(norm) AS h, CAST(count(*) AS BIGINT) AS dup_count,
+        |  min(doc_id) AS keep_id
+        |FROM n GROUP BY md5(norm) ORDER BY h""".stripMargin,
+
     "emb_topk_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
@@ -4257,6 +4418,34 @@ object SparkEntry {
         |SELECT qid, cid, rnk, round(ip, 6) AS ip
         |FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+
+    "emb_knn_label" ->
+      // same (sim desc, cid) neighbor tie-break and (votes desc, label)
+      // vote tie-break; every output column is an exact integer
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 15),
+        |c AS (SELECT * FROM e WHERE vec_id >= 15),
+        |p AS (SELECT qid, c.vec_id AS cid, c.label,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb))
+        |         * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM q, c),
+        |r AS (SELECT qid, label,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS rnk
+        |  FROM p),
+        |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM r WHERE rnk <= 7 GROUP BY qid, label),
+        |w AS (SELECT qid, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label)
+        |      AS vr
+        |  FROM v)
+        |SELECT w.qid, w.pred_label, w.votes, t.label AS true_label,
+        |  CAST(CASE WHEN w.pred_label = t.label THEN 1 ELSE 0 END
+        |    AS BIGINT) AS hit
+        |FROM w JOIN e t ON t.vec_id = w.qid
+        |WHERE w.vr = 1 ORDER BY w.qid""".stripMargin,
 
     "emb_topk_filtered" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
@@ -4722,6 +4911,59 @@ object SparkEntry {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY vertex ORDER BY n_tri DESC, vertex LIMIT 30""".stripMargin,
+
+    "graph_kcore" ->
+      // same support-2 co-purchase edges; 4 peel rounds unrolled as
+      // MATERIALIZED CTEs (a re-inlined chain re-runs the edge build
+      // exponentially) — every count is an exact BIGINT
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d1 AS MATERIALIZED (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY vtx),
+        |k1 AS MATERIALIZED (SELECT vtx FROM d1 WHERE deg >= 6),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT vtx FROM k1) AND v IN (SELECT vtx FROM k1)),
+        |d2 AS MATERIALIZED (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY vtx),
+        |k2 AS MATERIALIZED (SELECT vtx FROM d2 WHERE deg >= 6),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT vtx FROM k2) AND v IN (SELECT vtx FROM k2)),
+        |d3 AS MATERIALIZED (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY vtx),
+        |k3 AS MATERIALIZED (SELECT vtx FROM d3 WHERE deg >= 6),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT vtx FROM k3) AND v IN (SELECT vtx FROM k3)),
+        |d4 AS MATERIALIZED (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY vtx),
+        |k4 AS MATERIALIZED (SELECT vtx FROM d4 WHERE deg >= 6),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3
+        |  WHERE u IN (SELECT vtx FROM k4) AND v IN (SELECT vtx FROM k4))
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_active,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1 WHERE deg < 6)
+        |    AS n_removed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges_left
+        |UNION ALL SELECT 2,
+        |  (SELECT count(*) FROM d2),
+        |  (SELECT count(*) FROM d2 WHERE deg < 6),
+        |  (SELECT count(*) FROM e2)
+        |UNION ALL SELECT 3,
+        |  (SELECT count(*) FROM d3),
+        |  (SELECT count(*) FROM d3 WHERE deg < 6),
+        |  (SELECT count(*) FROM e3)
+        |UNION ALL SELECT 4,
+        |  (SELECT count(*) FROM d4),
+        |  (SELECT count(*) FROM d4 WHERE deg < 6),
+        |  (SELECT count(*) FROM e4)
+        |ORDER BY round""".stripMargin,
 
     "er_fuzzy_parts" ->
       // same blocking (last token) + length band + levenshtein <= 2 on

@@ -150,6 +150,35 @@ object DatapointStore {
     if (root.exists()) walk(root, depth)
   }
 
+  /** Per-granularity retention — the RRD ladder semantic (raw data kept
+    * briefly, coarser rollups kept long): like [[expire]], but the ymd
+    * cutoff is chosen by the enclosing `granularity=g` directory;
+    * granularities absent from `cutoffs` are kept whole. Still pure
+    * partition-directory removal (O(#partitions), no rewrite). `depth` is
+    * the number of partition levels above the granularity level (0 for
+    * granularity=g/ymd=k roots, 1 for stream_id=s/granularity=g/ymd=k
+    * derived roots).
+    */
+  def expireByGranularity(path: String, cutoffs: Map[String, String],
+      depth: Int): Unit = {
+    def dropOld(gDir: java.io.File, cutoffKey: String): Unit =
+      Option(gDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("ymd=") &&
+          f.getName.stripPrefix("ymd=") < cutoffKey) rmTree(f)
+      }
+    def walk(dir: java.io.File, level: Int): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) {
+          if (level == 0 && f.getName.startsWith("granularity=")) {
+            cutoffs.get(f.getName.stripPrefix("granularity="))
+              .foreach(dropOld(f, _))
+          } else if (level > 0) walk(f, level - 1)
+        }
+      }
+    val root = new java.io.File(path)
+    if (root.exists()) walk(root, depth)
+  }
+
   /** Leaf partition dirs (dirs directly holding .parquet files) with
     * their parquet file counts, as root-relative paths.
     */

@@ -897,6 +897,22 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     DatapointStore.expire(rollupsPath, key, depth = 2)
   }
 
+  /** Per-granularity retention — the RRD ladder semantic the reference's
+    * multi-granularity model implies: raw seconds kept briefly, each
+    * coarser rollup level kept longer (often forever). `horizons` maps a
+    * granularity to its cutoff; levels not named are kept whole. Same
+    * O(#partitions) directory-drop shape as [[expireData]], applied to
+    * all three roots (raw, derived raw, rollups).
+    */
+  def expireData(horizons: Map[Granularity, Timestamp]): Unit = {
+    val cutoffs = horizons.map { case (g, t) =>
+      g.name -> DatapointStore.ymdKey(t)
+    }
+    DatapointStore.expireByGranularity(datapointsPath, cutoffs, depth = 0)
+    DatapointStore.expireByGranularity(derivedRawPath, cutoffs, depth = 1)
+    DatapointStore.expireByGranularity(rollupsPath, cutoffs, depth = 1)
+  }
+
   /** Rewrite fragmented partitions (>= `minFiles` files) across all three
     * store roots to one sorted file each — the off-peak maintenance job
     * that undoes append fragmentation. Derived roots fragment too since

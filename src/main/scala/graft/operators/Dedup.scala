@@ -356,4 +356,24 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
+
+  /** Normalization-keyed exact dedup — the "fuzzy-exact" lane every web
+    * pipeline runs before near-dup (C4/Gopher style): lowercase, strip
+    * non-[a-z0-9 space], collapse runs of spaces, trim, then group on the
+    * md5 of the normalized text. Catches case/punctuation/whitespace
+    * variants that byte-exact dedup misses at zero candidate-generation
+    * cost. Same scale shape as [[exact]]: only (16-byte hash, id) pairs
+    * shuffle — the normalization runs in the scan projection and the
+    * normalized text itself never leaves the map side; map-side partial
+    * agg absorbs viral duplicates. Both regexes stay inside the common
+    * RE2 ⊆ Java-regex subset so DuckDB reproduces the key byte-for-byte.
+    * Output: (h, dup_count, keep_id) per normalized-distinct text.
+    */
+  def normalized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs.groupBy(md5(norm.cast("binary")).as("h"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+  }
 }

@@ -232,6 +232,55 @@ object Graphs {
     * iterative self-join re-run rule). The per-round driver emptiness
     * probe is a count on the (small) frontier, not a collect of it.
     */
+  /** Fixed-round k-core peeling profile on an undirected graph. Each
+    * round drops every vertex whose CURRENT degree is below `k` along
+    * with its incident edges; after enough rounds the survivor set is
+    * exactly the k-core. The round count is FIXED (not
+    * run-until-fixpoint) so the result is a deterministic function of
+    * the input that any engine reproduces by unrolling the same rounds —
+    * a round past convergence simply removes nothing, which the profile
+    * makes visible. Input: distinct edges (u, v) with u < v. Output one
+    * row per round: (round, n_active, n_removed, n_edges_left), where
+    * n_active counts vertices with ≥1 edge entering the round.
+    *
+    * Scale shape: per round one degree hash-agg plus two semi-joins on
+    * the vertex key — O(E) per round with a fixed round bound, the
+    * textbook distributed peeling step. The edge list is
+    * localCheckpoint'd every round (it feeds the degree agg, both
+    * semi-joins, and the next round — the iterative self-join re-run
+    * rule), so lineage stays flat across rounds. Counts aggregate
+    * distributed; nothing collects to the driver.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var profile: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      val deg = e.select(col("u").as("vtx"))
+        .unionAll(e.select(col("v").as("vtx")))
+        .groupBy("vtx").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val keep = deg.where(col("deg") >= k).select("vtx")
+      val e2 = e
+        .join(keep.withColumnRenamed("vtx", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("vtx", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      // coalesce: a fully-peeled (empty) graph must report 0, not the
+      // NULL that sum() returns over zero rows
+      val row = deg.agg(count(lit(1)).as("n_active"),
+          coalesce(sum(when(col("deg") < k, 1L).otherwise(0L)), lit(0L))
+            .as("n_removed"))
+        .crossJoin(e2.agg(count(lit(1)).as("n_edges_left")))
+        .select(lit(r.toLong).as("round"), col("n_active"),
+          col("n_removed"), col("n_edges_left"))
+      profile = if (profile == null) row else profile.unionAll(row)
+      e = e2
+      r += 1
+    }
+    profile
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     val und = edges.select(col("u"), col("v"))

@@ -633,6 +633,35 @@ object Similarity {
       col("q_grp") === col(groupCol) && col("vec_id") =!= col("qid"),
       Seq(col(groupCol)))
 
+  /** kNN label classification over embeddings — the standard
+    * annotate-by-neighbors pass of a training-data pipeline (label
+    * propagation from a small labeled seed set to unlabeled corpus
+    * members). For each query, take the exact cosine top-k among the
+    * labeled corpus and majority-vote the neighbor labels; vote ties
+    * break to the smallest label, so the prediction is a deterministic
+    * integer function of the neighbor set (neighbor sets themselves are
+    * pinned by the shared (sim desc, vec_id) tie-break in [[cosineTopK]]).
+    * Queries: (qid, qemb); corpus: (vec_id, emb, labelCol). Output:
+    * (qid, pred_label, votes). Scale shape: the scoring join is the same
+    * broadcast NLJ as [[cosineTopK]] (queries tiny by contract; swap in
+    * the IVF/LSH candidate generators for corpus-scale query sets), and
+    * the vote is a per-query hash agg over k rows — never a shuffle of
+    * embeddings.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = topKWith(corpus, queries, k,
+      col("vec_id") =!= col("qid"), Seq(col(labelCol)))
+    val votes = nbrs.groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col(labelCol))
+    votes.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("qid"), col(labelCol).cast("long").as("pred_label"),
+        col("votes"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * memory/IO reduction that keeps a 100 TB vector corpus scannable:
     * per-vector scale = max|v| / 127, stored values round(v / scale) ∈

@@ -980,6 +980,28 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.getData(id, Granularity.Seconds).count() == 3)
   }
 
+  test("per-granularity retention: raw expires on its own horizon, rollups keep theirs") {
+    import spark.implicits._
+    val ds = freshDs()
+    val id = ds.ensureStream(Map("name" -> "rrd"))
+    ds.appendMultiple(Seq(
+      (id, ts("2024-01-01 00:00:01"), 1.0),
+      (id, ts("2024-01-05 00:00:01"), 2.0),
+      (id, ts("2024-01-09 00:00:01"), 3.0)).toDF("stream_id", "t", "v"),
+      checkTimestamp = false)
+    ds.downsampleStreams(ts("2024-02-01 00:00:00"))
+    // RRD ladder: raw seconds keep 1 window (cutoff Jan 8), days keep
+    // everything from Jan 2, granularities not named keep all
+    ds.expireData(Map[Granularity, java.sql.Timestamp](
+      Granularity.Seconds -> ts("2024-01-08 00:00:00"),
+      Granularity.Days -> ts("2024-01-02 00:00:00")))
+    assert(ds.getData(id, Granularity.Seconds).collect()
+      .map(_.getDouble(1)).toSeq == Seq(3.0))
+    assert(ds.getData(id, Granularity.Days).count() == 2)
+    // hours weren't named -> all three buckets still there
+    assert(ds.getData(id, Granularity.Hours).count() == 3)
+  }
+
   test("compactStore merges append fragments without changing data") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString

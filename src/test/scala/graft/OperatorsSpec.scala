@@ -2285,5 +2285,66 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("normalized dedup: case/punct/whitespace variants collapse, distinct texts do not") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "Hello, World!  This is FINE."),
+      (1L, "hello world this is fine"),
+      (2L, "HELLO   world... THIS is fine?!"),
+      (3L, "hello world this is not fine"),
+      (4L, "an entirely different document")).toDF("doc_id", "text")
+    val groups = Dedup.normalized(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length == 3)
+    val byKeeper = groups.map(g => g._3 -> g._2).toMap
+    // 0,1,2 normalize to the same key; keeper is the lowest id
+    assert(byKeeper(0L) == 3L)
+    assert(byKeeper(3L) == 1L && byKeeper(4L) == 1L)
+  }
+
+  test("knn classify: majority vote wins, vote ties break to the smallest label") {
+    import spark.implicits._
+    // axis-aligned corpus: qemb ~ e1 has 3 neighbors labeled 7 and 2
+    // labeled 2 in its top-5 (votes 3-2 -> 7); q2 sits between two
+    // 2-vote labels (1 and 9) plus a 1-vote label -> tie breaks to 1
+    val corpus = Seq(
+      (100L, Array(1.0, 0.0, 0.0), 7L), (101L, Array(0.99, 0.1, 0.0), 7L),
+      (102L, Array(0.98, 0.15, 0.0), 7L), (103L, Array(0.9, 0.4, 0.0), 2L),
+      (104L, Array(0.88, 0.45, 0.0), 2L), (105L, Array(0.0, 1.0, 0.0), 9L),
+      (106L, Array(0.1, 0.99, 0.0), 9L), (107L, Array(0.0, 0.9, 0.4), 1L),
+      (108L, Array(0.1, 0.9, 0.35), 1L), (109L, Array(0.3, 0.8, 0.5), 5L))
+      .toDF("vec_id", "emb", "label")
+    val q = Seq((0L, Array(1.0, 0.05, 0.0)), (1L, Array(0.05, 1.0, 0.2)))
+      .toDF("qid", "qemb")
+    val out = Similarity.knnClassify(corpus, q, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == 7L && out(0L)._2 == 3L)
+    // q1's top-5: 105,106 (label 9) + 107,108 (label 1) + 109 (label 5)
+    // -> 2-2-1, tie between labels 1 and 9 breaks to 1
+    assert(out(1L)._1 == 1L && out(1L)._2 == 2L)
+  }
+
+  test("k-core peel: tail strips round by round, the clique survives, empty graph reports zeros") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} (deg 3 each) + a path 3-4-5 hanging off it
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val prof = graft.operators.Graphs.kCorePeel(edges, k = 2, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: 6 active, vertex 5 (deg 1) peels, its edge goes
+    assert(prof(0) == ((1L, 6L, 1L, 7L)))
+    // round 2: 4 now orphaned at deg 1, peels -> the pure 4-clique
+    assert(prof(1) == ((2L, 5L, 1L, 6L)))
+    // round 3: converged — every clique vertex has deg 3 >= 2
+    assert(prof(2) == ((3L, 4L, 0L, 6L)))
+    // k high enough to shred everything: final rounds report zeros, not
+    // nulls (the empty-graph coalesce)
+    val gone = graft.operators.Graphs.kCorePeel(edges, k = 4, rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gone(1) == ((2L, 0L, 0L, 0L)))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
