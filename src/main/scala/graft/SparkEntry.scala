@@ -2515,6 +2515,29 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_recall" -> { (s, dir) =>
+      // the evaluation harness every ANN deployment needs: recall@3 of
+      // the IVF path vs the exact top-3, per query, as exact integers
+      // (overlap count + bp). Brute force restricted to 20 queries (the
+      // exact lane is the expensive one — that's the point of ANN); the
+      // IVF side is the same index build as emb_ann_ivf. Both top-3 sets
+      // are fully rank-pinned, so the overlap is deterministic.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val exact = Similarity.cosineTopK(e, broadcast(q), 3)
+        .select("qid", "cid")
+      val ivf = Similarity.ivfTopK(e, k = 3, stride = 50, nprobe = 2)
+        .where(col("qid") < 20).select("qid", "cid")
+      val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      q.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_bp", expr("(10000L * n_hits) div 3L"))
+        .orderBy("qid")
+    },
+
     "emb_centroids" -> { (s, dir) =>
       // per-label centroid (element-wise mean) via posexplode → one hash
       // aggregation on (label, dim) — the shuffle-parallel formulation; a
@@ -5623,6 +5646,44 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
+
+    "emb_ann_recall" ->
+      // IVF lane = emb_ann_ivf's CTE chain with probes restricted to the
+      // 20 eval queries; exact lane = brute-force top-3 for the same
+      // queries; overlap and bp are exact integers
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell
+        |  FROM r WHERE crnk <= 2 AND vec_id < 20),
+        |p AS (SELECT qid, cells.vec_id AS cid,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
+        |ivf AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |  FROM p) WHERE rnk <= 3),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+        |xp AS (SELECT qid, e.vec_id AS cid,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM q, e WHERE e.vec_id <> qid),
+        |exact AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |  FROM xp) WHERE rnk <= 3),
+        |h AS (SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM exact JOIN ivf ON ivf.qid = exact.qid AND ivf.cid = exact.cid
+        |  GROUP BY exact.qid)
+        |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  (10000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // 3 AS recall_bp
+        |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
 
     "emb_ann_ivfpq" ->
       // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ

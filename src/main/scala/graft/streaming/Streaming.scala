@@ -314,6 +314,65 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Burstiness snapshot row — mirrors the batch ds_burstiness columns:
+    * Fano factor of per-minute event counts in exact integer bp. */
+  case class BurstStat(stream_id: String, n_minutes: Long,
+      total_events: Long, q_sum: Long, fano_bp: Long)
+
+  /** Burstiness maintenance state: the in-progress minute bucket plus
+    * the folded (n, Σc, Σc²) sufficient statistics over CLOSED minutes —
+    * O(1) per stream regardless of history length. */
+  case class BurstState(curMin: Long, curCnt: Long, n: Long, s: Long,
+      q: Long)
+
+  /** Streaming burstiness (Fano factor) maintenance — the incremental
+    * twin of the ds_burstiness gate query: per stream, the per-minute
+    * event counts' variance/mean ratio in exact integer basis points
+    * (10000·(n·Σc² − (Σc)²) div (n·Σc)). State is one open minute bucket
+    * + three BIGINT sums; snapshots emitted per key per micro-batch
+    * INCLUDE the open minute (folded virtually at emit, not committed),
+    * so the latest snapshot always equals the batch op over everything
+    * delivered so far — bit-equal under in-order delivery, pinned in
+    * StreamingSpec. Out-of-order events within the open minute are fine;
+    * an event for an already-closed minute is counted into the current
+    * one (monotonicity is the store's ingest gate's job, not this op's).
+    */
+  def burstinessStats(src: Dataset[Point]): Dataset[BurstStat] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, BurstStat] {
+      @transient private var state: ValueState[BurstState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[BurstState]("burst",
+          Encoders.product[BurstState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[BurstStat] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        var st = if (state.exists()) state.get()
+          else BurstState(Long.MinValue, 0L, 0L, 0L, 0L)
+        sorted.foreach { p =>
+          val m = Math.floorDiv(p.t.getTime / 1000L, 60L)
+          if (m == st.curMin || st.curMin == Long.MinValue)
+            st = st.copy(curMin = m, curCnt = st.curCnt + 1L)
+          else // minute advanced: fold the closed bucket, open the new one
+            st = BurstState(m, 1L, st.n + 1L, st.s + st.curCnt,
+              st.q + st.curCnt * st.curCnt)
+        }
+        state.update(st)
+        // snapshot includes the open minute
+        val (n, s, q) =
+          if (st.curMin == Long.MinValue) (st.n, st.s, st.q)
+          else (st.n + 1L, st.s + st.curCnt,
+            st.q + st.curCnt * st.curCnt)
+        val fano = if (n > 0L && s > 0L) (10000L * (n * q - s * s)) / (n * s)
+          else 0L
+        Iterator.single(BurstStat(key, n, s, q, fano))
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-point CUSUM output row (fixed-point milli-units). */
   case class CusumPoint(stream_id: String, t: Timestamp, q_fp: Long,
       s_plus_fp: Long, s_minus_fp: Long, alarm: Boolean)

@@ -349,5 +349,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"explode must run after the aggregation:\n$gr")
   }
 
+  test("normalized dedup: partial agg before the one (hash, id) shuffle; text stays map-side") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val p = SparkEntry.queries("dedup_normalized")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // exactly one exchange below the final sort (the md5-key agg);
+    // map-side partial agg must absorb viral duplicates pre-shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert("HashAggregate.*partial_count|partial_min".r.findAllIn(p).nonEmpty
+      || p.contains("partial_"), s"no map-side partial agg:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      s"raw text must never be a shuffle key:\n$p")
+  }
+
+  test("knn classify: the vote is a keyed agg over top-k rows, never a second vector pass") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val p = SparkEntry.queries("emb_knn_label")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the scoring join is the deliberate broadcast NLJ of the tiny query
+    // set (same shape as emb_topk_cosine); it must appear exactly once —
+    // a second NLJ would mean the corpus is rescanned for the vote
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj == 1, s"expected exactly 1 broadcast NLJ, got $nlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -129,6 +129,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4) // 2 streams × 2 lags
   }
 
+  test("streaming burstiness snapshot == batch Fano stats across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.burstinessStats(mem.toDS())
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    // bursty stream "a" (9 events in minute 0, then 1/minute), regular
+    // stream "b" (one per minute); the batch split cuts INSIDE a's
+    // minute 0, so the open bucket must carry across the boundary
+    val pts =
+      (((0 to 8) ++ Seq(60, 120, 180)).map(sec =>
+        Streaming.Point("a", ts(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"), 1.0)) ++
+       Seq(0, 60, 120, 180, 240).map(sec =>
+        Streaming.Point("b", ts(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"), 1.0)))
+        .sortBy(_.t.getTime)
+    pts.grouped(6).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // live snapshot per stream = the one with max n/total (cumulative)
+    val got = spark.table("burst_out")
+      .groupBy("stream_id")
+      .agg(max(struct(col("total_events"), col("n_minutes"), col("q_sum"),
+        col("fano_bp"))).as("s"))
+      .select(col("stream_id"), col("s.*"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // batch mirror of the ds_burstiness pipeline over the same points
+    val batch = pts.toDF("stream_id", "t", "v")
+      .select(col("stream_id"), expr("unix_timestamp(t) div 60").as("m"))
+      .groupBy("stream_id", "m").agg(count(lit(1)).as("c"))
+      .groupBy("stream_id")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .select(col("stream_id"), col("n"), col("s"), col("q"),
+        expr("(10000L * (n * q - s * s)) div (n * s)").as("fano_bp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // got: (n_minutes, total, q_sum, fano) == batch (n, s, q, fano)
+    assert(got == batch, s"streaming $got\nvs batch $batch")
+    assert(got("a")._4 > 10000L && got("b")._4 == 0L)
+  }
+
   test("streaming CUSUM == batch closed form across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
