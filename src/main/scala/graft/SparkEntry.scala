@@ -1617,6 +1617,24 @@ object SparkEntry {
       TextStats.repetitionStats(tbl(s, dir, "documents")).orderBy("doc_id")
     },
 
+    "text_readability" -> { (s, dir) =>
+      // syllable-density readability proxy (the Flesch family's
+      // syllables-per-word term; the corpus has no sentence punctuation,
+      // so the sentence term is out of scope by construction): vowel
+      // GROUPS approximate syllables, one regex pass per document, all
+      // ratios in exact integer bp (10000·n div d). Pure projection —
+      // no shuffle at all; the regex class [aeiou]+ sits in the
+      // RE2 ⊆ Java common subset.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+            .cast("long").as("n_syl"))
+        .withColumn("syl_per_word_bp", expr("(10000L * n_syl) div n_words"))
+        .withColumn("vowel_density_bp", expr("(10000L * n_syl) div n_chars"))
+        .orderBy("doc_id")
+    },
+
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(tbl(s, dir, "documents")).orderBy("h")
     },
@@ -1633,6 +1651,30 @@ object SparkEntry {
         .select((col("doc_id") + 4000000L).as("doc_id"),
           concat(upper(col("text")), lit(" !!")).as("text")))
       Dedup.normalized(corpus).orderBy("h")
+    },
+
+    "pipe_dedup_priority" -> { (s, dir) =>
+      // cross-source dedup with SOURCE-PRIORITY keeper election — the
+      // real pipeline rule ("prefer the curated mirror over the crawl
+      // copy"), not min-id. Election key packs (priority, id) into one
+      // BIGINT (prio·10⁸ + id) so both min() and min_by() stay
+      // single-key exact cross-engine. Injected: docs 0..19 get a
+      // 'curated' mirror at id+5000000 with priority 0 < crawl 1 — the
+      // keeper is the MIRROR despite its higher id. Same one-shuffle
+      // hash-groupBy shape as dedup_exact.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text", "source")
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+          lit("curated").as("source")))
+      corpus
+        .withColumn("ekey",
+          (when(col("source") === "curated", 0L).otherwise(1L) * 100000000L)
+            + col("doc_id"))
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("dup_count"),
+          (min("ekey") % 100000000L).as("keep_id"),
+          min_by(col("source"), col("ekey")).as("keep_source"))
+        .orderBy("h")
     },
 
     "dedup_minhash" -> { (s, dir) =>
@@ -4392,6 +4434,19 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "text_readability" ->
+      // vowel-group count via one regexp_extract_all pass; bp ratios by
+      // integer division (numerators non-negative, so // ≡ div)
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syl,
+        |  (10000 * CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT))
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS syl_per_word_bp,
+        |  (10000 * CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT))
+        |    // n_chars AS vowel_density_bp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS dup_count, min(doc_id) AS keep_id
         |FROM documents
@@ -4414,6 +4469,23 @@ object SparkEntry {
         |SELECT md5(norm) AS h, CAST(count(*) AS BIGINT) AS dup_count,
         |  min(doc_id) AS keep_id
         |FROM n GROUP BY md5(norm) ORDER BY h""".stripMargin,
+
+    "pipe_dedup_priority" ->
+      // same packed (prio·10⁸ + id) election key; arg_min carries the
+      // source along the single-BIGINT ordering
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text, 'curated'
+        |  FROM documents WHERE doc_id < 20),
+        |p AS (SELECT doc_id, text, source,
+        |    (CASE WHEN source = 'curated' THEN 0 ELSE 1 END) * 100000000
+        |      + doc_id AS ekey
+        |  FROM corpus)
+        |SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS dup_count,
+        |  CAST(min(ekey) % 100000000 AS BIGINT) AS keep_id,
+        |  arg_min(source, ekey) AS keep_source
+        |FROM p GROUP BY md5(text) ORDER BY h""".stripMargin,
 
     "emb_topk_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

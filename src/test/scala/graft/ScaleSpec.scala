@@ -375,5 +375,41 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // Spark's runtime row-level filtering: a selective filter on the
+    // build side injects a bloom-filter predicate into the fact scan, so
+    // at 100 TB the shuffle carries only rows that can possibly join.
+    // Thresholds are lowered to trigger at test scale; semantics are
+    // unchanged (the bloom is a pre-filter), so no oracle is needed —
+    // the join row count is asserted against the unfiltered plan.
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$p")
+      val n = joined.collect().map(_.getLong(1)).sum
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sum
+      assert(n == n0 && n > 0, s"bloom filter changed results: $n vs $n0")
+    } finally {
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
