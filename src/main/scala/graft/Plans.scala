@@ -39,7 +39,10 @@ object Plans {
         "q_bucket_join", "ds_resample_linear", "pipe_e2e_curation",
         "drv_seasonal_baseline", "q_skyline_pareto", "ds_autocorr",
         "ds_changepoint", "emb_pca_gram", "emb_pca", "ds_cusum",
-        "ds_staleness", "emb_mmr", "mm_tone_detect")
+        "ds_staleness", "emb_mmr", "mm_tone_detect",
+        "dedup_normalized", "emb_knn_label", "graph_kcore",
+        "ds_burstiness", "q_benford_digits", "emb_ann_recall",
+        "pipe_dedup_priority", "text_readability")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

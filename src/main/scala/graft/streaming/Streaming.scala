@@ -581,6 +581,23 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming twin of [[graft.operators.Dedup.normalized]]: exact dedup
+    * on the NORMALIZED content key (lowercase, strip non-[a-z0-9 space],
+    * collapse spaces, trim), so case/punctuation/whitespace variants
+    * arriving in different micro-batches still collapse to one survivor.
+    * Same bounded-state shape as [[dedupExact]] — the state store keeps
+    * only 16-byte hashes inside the watermark.
+    */
+  def dedupNormalized(docs: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs.withColumn("content_hash", md5(norm.cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Resolve a streaming-dedup state subdirectory for reading: the live
     * dir, or the `.compact_old` backup a crashed [[compactDedupState]]
     * swap left behind, or empty. Rows of batches >= `maxBatchExclusive`

@@ -713,6 +713,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("streaming normalized dedup collapses case/punct variants across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.dedupNormalized(mem.toDF.toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("ddn_out")
+      .outputMode("append").start()
+    mem.addData(Seq(
+      (1L, ts("2024-01-01 00:00:01"), "Hello, World!"),
+      (2L, ts("2024-01-01 00:00:02"), "other doc")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (3L, ts("2024-01-01 00:00:10"), "hello   world"), // variant of 1
+      (4L, ts("2024-01-01 00:00:11"), "OTHER doc."),    // variant of 2
+      (5L, ts("2024-01-01 00:00:12"), "a new one")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ddn_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("stream-static join enriches points with catalog tags per batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
