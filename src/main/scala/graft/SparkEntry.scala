@@ -1562,6 +1562,47 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "ds_stream_burstiness" -> { (s, dir) =>
+      // batch≡streaming Fano: replay the full corpus TIME-ORDERED through
+      // the O(1)-state streaming twin in 3 micro-batches (cuts land
+      // mid-minute for many streams, so open buckets must carry across
+      // batch boundaries), then take each stream's LAST snapshot — which
+      // by construction equals the batch op, so the oracle SQL is
+      // ds_burstiness's verbatim. Global time order mirrors a real
+      // source's per-key in-order delivery.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val name = s"burst_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.burstinessStats(mem.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val rows = eventStreams(s, dir).orderBy("t", "stream_id").collect()
+            .map(r => graft.streaming.Streaming.Point(
+              r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          rows.grouped(rows.length / 3 + 1).foreach { b =>
+            mem.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name)
+        .groupBy("stream_id")
+        .agg(max(struct(col("total_events"), col("n_minutes"),
+          col("q_sum"), col("fano_bp"))).as("snap"))
+        .select(col("stream_id"), col("snap.n_minutes").as("n_minutes"),
+          col("snap.total_events").as("total_events"),
+          col("snap.fano_bp").as("fano_bp"))
+        .where(col("n_minutes") >= 5)
+        .withColumn("bursty",
+          when(col("fano_bp") > 12000L, 1L).otherwise(0L))
+        .orderBy("stream_id")
+    },
+
     "ds_stream_sessions" -> { (s, dir) =>
       // batch≡streaming sessionization: replay events through
       // Streaming.sessionize (session_window, Append mode) — the oracle
@@ -3712,6 +3753,23 @@ object SparkEntry {
       // Fano factor of per-minute counts in exact integer bp:
       // 10000·(n·Σc² − (Σc)²) // (n·Σc); the numerator is non-negative
       // (Cauchy-Schwarz), so DuckDB's floor-div ≡ Spark's trunc-div
+      """WITH pm AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT stream_id, CAST(count(*) AS BIGINT) AS n_minutes,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM pm GROUP BY stream_id HAVING count(*) >= 5)
+        |SELECT stream_id, n_minutes, s AS total_events,
+        |  (10000 * (n_minutes * q - s * s)) // (n_minutes * s) AS fano_bp,
+        |  CAST(CASE WHEN (10000 * (n_minutes * q - s * s))
+        |      // (n_minutes * s) > 12000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bursty
+        |FROM g ORDER BY stream_id""".stripMargin,
+
+    "ds_stream_burstiness" ->
+      // the streaming snapshot is batch-equivalent by construction, so
+      // the oracle is ds_burstiness's SQL verbatim
       """WITH pm AS (SELECT concat(user_id, ':', event_type) AS stream_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
         |    CAST(count(*) AS BIGINT) AS c
