@@ -397,6 +397,23 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "q_asof_tolerance" -> { (s, dir) =>
+      // tolerance-bounded as-of: the last purchase counts only if it is
+      // at most 1 hour old at click time ("last reading unless stale") —
+      // the alignment rule sensor/feature pipelines actually need. Same
+      // union + running-last window as q_asof_last_purchase (one
+      // shuffle); staleness in floored epoch seconds on both engines.
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pv"))
+      graft.operators.AsOf.joinWithin(clicks, purchases,
+          key = "user_id", tCol = "ts", valueCol = "pv",
+          out = "recent_purchase", toleranceSec = 3600L)
+        .orderBy("event_id")
+    },
+
     "q_distinct_counts" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -3358,6 +3375,21 @@ object SparkEntry {
         |r AS (SELECT user_id, ts, max(value) AS pv FROM events
         |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.pv AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      // ASOF LEFT JOIN exposes the matched right ts; the staleness bound
+      // applies on floored epoch seconds (≡ Spark unix_timestamp)
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pv FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN r.ts IS NOT NULL
+        |    AND CAST(floor(epoch(l.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(r.ts)) AS BIGINT) <= 3600
+        |    THEN r.pv END AS recent_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 

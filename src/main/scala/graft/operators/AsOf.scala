@@ -39,4 +39,35 @@ object AsOf {
       .where(col("__is_left") === 1)
       .select(leftCols.map(col) :+ col(out): _*)
   }
+
+  /** Tolerance-bounded as-of join: like [[join]], but the match is only
+    * kept when the right row is at most `toleranceSec` seconds older than
+    * the left row — the sensor/feature-alignment rule ("use the last
+    * reading unless it's stale"). Same union + running-last shape (one
+    * shuffle, no candidate explosion); the matched right TIMESTAMP rides
+    * along so the staleness bound is applied per row after the window.
+    * `tCol` must be a timestamp column on both sides.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+      tCol: String, valueCol: String, out: String,
+      toleranceSec: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rt", lit(null).cast("timestamp"))
+    val r = right.select(col(key), col(tCol), col(valueCol).as("__rv"))
+      .withColumn("__rt", col(tCol))
+      .withColumn("__is_left", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(tCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__lv", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__lt", last(col("__rt"), ignoreNulls = true).over(w))
+      .where(col("__is_left") === 1)
+      .withColumn(out, when(col("__lt").isNotNull &&
+        unix_timestamp(col(tCol)) - unix_timestamp(col("__lt"))
+          <= toleranceSec, col("__lv")))
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
 }

@@ -2346,5 +2346,67 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gone(1) == ((2L, 0L, 0L, 0L)))
   }
 
+  test("k-core properties on random graphs: converged survivors all have degree >= k") {
+    import spark.implicits._
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 120).map { _ =>
+        val u = rnd.nextInt(40).toLong; val v = rnd.nextInt(40).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct.toDF("u", "v")
+      val prof = graft.operators.Graphs.kCorePeel(edges, k = 3, rounds = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getLong(2), r.getLong(3))) // (n_removed, n_edges_left)
+      // 8 rounds is enough to converge a 40-vertex graph: the last round
+      // must remove nothing, and from the first zero-removal round on the
+      // profile is constant (peeling is monotone)
+      assert(prof.last._1 == 0L, s"not converged: ${prof.toSeq}")
+      val settled = prof.dropWhile(_._1 > 0L)
+      assert(settled.nonEmpty && settled.forall(_ == settled.head),
+        s"profile changed after convergence: ${prof.toSeq}")
+      // survivors of the converged peel really are a 3-core: recompute
+      // degrees over the surviving edge set by hand
+      var e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= 3L).keySet
+        val e2 = e.filter(p => keep(p._1) && keep(p._2))
+        changed = e2 != e; e = e2
+      }
+      assert(prof.last._2 == e.size.toLong,
+        s"surviving edges ${prof.last._2} != hand-peeled ${e.size}")
+    }
+  }
+
+  test("normalization is idempotent and insensitive to case/punct/space noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x9", "z")
+    val docs = (0L until 40L).map { i =>
+      val base = Seq.fill(3 + rnd.nextInt(5))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      // noisy variant: random case flips + injected punctuation + extra spaces
+      val noisy = base.flatMap { c =>
+        val cc = if (rnd.nextBoolean()) c.toUpper else c
+        if (c == ' ' && rnd.nextBoolean()) s"  ${if (rnd.nextBoolean()) "," else "!"} "
+        else cc.toString
+      }
+      (i, base, noisy)
+    }.toDF("id", "base", "noisy")
+    val normExpr = "trim(regexp_replace(regexp_replace(lower(%s), '[^a-z0-9 ]', ''), ' +', ' '))"
+    val out = docs.selectExpr("id",
+        normExpr.format("base") + " as nb",
+        normExpr.format("noisy") + " as nn",
+        normExpr.format(normExpr.format("noisy")) + " as nnn")
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"noise changed the key: '${r.getString(1)}' vs '${r.getString(2)}'")
+      assert(r.getString(2) == r.getString(3), "normalization not idempotent")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
