@@ -3054,6 +3054,24 @@ object SparkEntry {
       Graphs.kCorePeel(edges, k = 6, rounds = 4).orderBy("round")
     },
 
+    "graph_degree_dist" -> { (s, dir) =>
+      // power-of-two degree histogram of the co-purchase graph — the
+      // skew diagnostic you run BEFORE choosing join strategies (a heavy
+      // tail here is what forces the degree-ordered orientation in
+      // graph_triangles). Bucket = bit-length of the degree
+      // (length(bin(deg)) ≡ floor(log2)+1, exact integers both engines —
+      // no float log anywhere). One degree hash-agg + one 9-row agg.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val deg = edges.select(col("u").as("vtx"))
+        .unionAll(edges.select(col("v").as("vtx")))
+        .groupBy("vtx").agg(count(lit(1)).as("deg"))
+      deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"), min("deg").as("min_deg"),
+          max("deg").as("max_deg"))
+        .orderBy("bucket")
+    },
+
     "er_fuzzy_parts" -> { (s, dir) =>
       // fuzzy entity resolution on the part-name VALUE space: block on
       // the product noun (last token), length-band prefilter, then
@@ -3072,6 +3090,26 @@ object SparkEntry {
         .join(cnt.select(col("p_name").as("val_b"), col("n").as("n_b")), "val_b")
         .select("val_a", "val_b", "dist", "n_a", "n_b")
         .orderBy("val_a", "val_b")
+    },
+
+    "pipe_feature_bins" -> { (s, dir) =>
+      // per-source equi-width feature discretization (8 bins over the
+      // source's own [min, max]) — the binning step before mixture /
+      // curriculum decisions. Bin index is pure integer arithmetic
+      // (((x − lo) · 8) div (hi − lo + 1), always < 8 since x ≤ hi), so
+      // the histogram is exact cross-engine. One keyed bounds agg
+      // broadcast back + one hash agg; the fact side never shuffles
+      // twice.
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val bounds = docs.groupBy("source")
+        .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      docs.join(broadcast(bounds), "source")
+        .withColumn("bin",
+          least(lit(7L), expr("((n_chars - lo) * 8) div (hi - lo + 1)")))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("bin_min"),
+          max("n_chars").as("bin_max"))
+        .orderBy("source", "bin")
     },
 
     "pipe_sample_weighted" -> { (s, dir) =>
@@ -5150,6 +5188,21 @@ object SparkEntry {
         |  (SELECT count(*) FROM e4)
         |ORDER BY round""".stripMargin,
 
+    "graph_degree_dist" ->
+      // same support-2 edges; bucket = bit-length of the degree
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY vtx)
+        |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vertices,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "er_fuzzy_parts" ->
       // same blocking (last token) + length band + levenshtein <= 2 on
       // distinct names; DuckDB's levenshtein is the same unit-cost edit
@@ -5167,6 +5220,18 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.p_name = val_a
         |JOIN cnt cb ON cb.p_name = val_b
         |ORDER BY val_a, val_b""".stripMargin,
+
+    "pipe_feature_bins" ->
+      // same integer bin arithmetic; window bounds ≡ the broadcast agg
+      """WITH b AS (SELECT source, min(n_chars) AS lo, max(n_chars) AS hi
+        |  FROM documents GROUP BY source),
+        |x AS (SELECT d.source, d.n_chars,
+        |    CAST(least(7, ((d.n_chars - b.lo) * 8) // (b.hi - b.lo + 1))
+        |      AS BIGINT) AS bin
+        |  FROM documents d JOIN b USING (source))
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(n_chars) AS bin_min, max(n_chars) AS bin_max
+        |FROM x GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "pipe_sample_weighted" ->
       """WITH t AS (SELECT doc_id, source, n_chars,
