@@ -3092,6 +3092,36 @@ object SparkEntry {
         .orderBy("val_a", "val_b")
     },
 
+    "pipe_dataset_card" -> { (s, dir) =>
+      // one-stop corpus "dataset card": the headline numbers a corpus
+      // release ships with, as (metric, value BIGINT) rows — docs,
+      // token/char volume, source/lang diversity, exact-dup pressure,
+      // length extremes. Two passes total: one scan-side agg (token
+      // counts ride the graft_ntokens strength reduction) + one dedup
+      // hash agg; every value is an exact integer.
+      graft.functions.GraftFunctions.register(s)
+      val docs = tbl(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum("n_chars").as("n_chars_total"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      val dup = Dedup.exact(docs)
+        .agg(coalesce(sum(when(col("dup_count") > 1,
+            col("dup_count") - 1)), lit(0L)).as("n_exact_dups"))
+      val card = base.crossJoin(dup)
+      card.selectExpr("stack(8, " +
+          "'n_docs', n_docs, 'n_tokens', n_tokens, " +
+          "'n_chars_total', n_chars_total, 'n_sources', n_sources, " +
+          "'n_langs', n_langs, 'min_chars', min_chars, " +
+          "'max_chars', max_chars, 'n_exact_dups', n_exact_dups) " +
+          "as (metric, value)")
+        .orderBy("metric")
+    },
+
     "pipe_feature_bins" -> { (s, dir) =>
       // per-source equi-width feature discretization (8 bins over the
       // source's own [min, max]) — the binning step before mixture /
@@ -5220,6 +5250,29 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.p_name = val_a
         |JOIN cnt cb ON cb.p_name = val_b
         |ORDER BY val_a, val_b""".stripMargin,
+
+    "pipe_dataset_card" ->
+      // UNION mirror of the stack(); DuckDB sum(BIGINT) → HUGEINT casts
+      """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents),
+        |dup AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)
+        |    AS BIGINT) AS n_exact_dups
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text)))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+        |  UNION ALL SELECT 'n_chars_total', n_chars_total FROM base
+        |  UNION ALL SELECT 'n_sources', n_sources FROM base
+        |  UNION ALL SELECT 'n_langs', n_langs FROM base
+        |  UNION ALL SELECT 'min_chars', min_chars FROM base
+        |  UNION ALL SELECT 'max_chars', max_chars FROM base
+        |  UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM dup)
+        |ORDER BY metric""".stripMargin,
 
     "pipe_feature_bins" ->
       // same integer bin arithmetic; window bounds ≡ the broadcast agg
