@@ -3094,6 +3094,36 @@ object SparkEntry {
         .orderBy("val_a", "val_b")
     },
 
+    "pipe_bootstrap" -> { (s, dir) =>
+      // deterministic POISSON bootstrap — the distributed-scale
+      // resampling formulation (each row independently appears
+      // Poisson(1) times per replica, so no global row index, no draw
+      // join, no shuffle beyond the 10-row final agg): per (doc,
+      // replica) the md5 of "r:doc_id" gives 60 uniform bits, inverted
+      // through the Poisson(1) CDF as shared integer thresholds
+      // (floor(CDF·2⁶⁰) literals) — any engine reproduces the exact
+      // same resample counts. Replica fan-out is a map-side explode;
+      // per-replica sums stay BIGINT exact.
+      val t = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+        1152236456152946176L, 1152825534095764608L)
+      tbl(s, dir, "documents").select("doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0L, 9L)")).as("r"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat(r, ':', doc_id)), 1, 15), 16, 10) as long)"))
+        .withColumn("c", expr(
+          s"CASE WHEN u < ${t(0)}L THEN 0L WHEN u < ${t(1)}L THEN 1L " +
+          s"WHEN u < ${t(2)}L THEN 2L WHEN u < ${t(3)}L THEN 3L " +
+          s"WHEN u < ${t(4)}L THEN 4L WHEN u < ${t(5)}L THEN 5L " +
+          s"WHEN u < ${t(6)}L THEN 6L ELSE 7L END"))
+        .groupBy("r")
+        .agg(sum("c").as("n_draws"),
+          sum(col("c") * col("n_chars")).as("sum_chars"))
+        .withColumn("mean_chars_x100", expr("(100L * sum_chars) div n_draws"))
+        .orderBy("r")
+    },
+
     "pipe_dataset_card" -> { (s, dir) =>
       // one-stop corpus "dataset card": the headline numbers a corpus
       // release ships with, as (metric, value BIGINT) rows — docs,
@@ -5252,6 +5282,29 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.p_name = val_a
         |JOIN cnt cb ON cb.p_name = val_b
         |ORDER BY val_a, val_b""".stripMargin,
+
+    "pipe_bootstrap" ->
+      // same md5-uniform → Poisson(1)-CDF integer thresholds; DuckDB's
+      // 15-hex-char prefix cast is the shared 60-bit uniform lane
+      """WITH g AS (SELECT doc_id, n_chars, unnest(range(0, 10)) AS r
+        |  FROM documents),
+        |u AS (SELECT r, n_chars,
+        |    ('0x' || substring(md5(r || ':' || doc_id), 1, 15))::BIGINT AS u
+        |  FROM g),
+        |c AS (SELECT r, n_chars,
+        |    CASE WHEN u < 424136118829305344 THEN 0
+        |      WHEN u < 848272237658610688 THEN 1
+        |      WHEN u < 1060340297073263360 THEN 2
+        |      WHEN u < 1131029650211480960 THEN 3
+        |      WHEN u < 1148701988496035328 THEN 4
+        |      WHEN u < 1152236456152946176 THEN 5
+        |      WHEN u < 1152825534095764608 THEN 6 ELSE 7 END AS c
+        |  FROM u)
+        |SELECT r, CAST(sum(c) AS BIGINT) AS n_draws,
+        |  CAST(sum(c * n_chars) AS BIGINT) AS sum_chars,
+        |  (100 * CAST(sum(c * n_chars) AS BIGINT))
+        |    // CAST(sum(c) AS BIGINT) AS mean_chars_x100
+        |FROM c GROUP BY r ORDER BY r""".stripMargin,
 
     "pipe_dataset_card" ->
       // UNION mirror of the stack(); DuckDB sum(BIGINT) → HUGEINT casts
