@@ -132,6 +132,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_theta_est",
       (children: Seq[Expression]) => ThetaEstimate(children(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_pairs",
+      (children: Seq[Expression]) => PairCombinations(children(0)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_gram_agg",
       (children: Seq[Expression]) => GramAgg(children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue()),

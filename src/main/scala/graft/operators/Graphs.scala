@@ -148,14 +148,25 @@ object Graphs {
     // queries. maxBasket still bounds the per-row pair fan-out (k²/2),
     // which is the skew guard that makes the explode safe on power-law
     // baskets.
-    val baskets = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // integer item ids (the fact-table case) take the native
+    // graft_pairs codegen loop; other item types fall back to the
+    // equivalent higher-order-function pair generation (same sorted
+    // u < v contract), trading speed for genericity
+    val itemT = df.schema(itemCol).dataType
+    val fastPath = itemT == org.apache.spark.sql.types.LongType ||
+      itemT == org.apache.spark.sql.types.IntegerType
+    val itemCast = if (fastPath) col(itemCol).cast("long") else col(itemCol)
+    val baskets = df.select(col(groupCol).as("__g"), itemCast.as("__i"))
       .groupBy("__g").agg(sort_array(collect_set(col("__i"))).as("__items"))
       .where(size(col("__items")).between(2, maxBasket))
-    baskets
-      .select(explode(expr(
+    val pairs =
+      if (fastPath) baskets.select(explode(expr("graft_pairs(__items)")).as("p"))
+      else baskets.select(explode(expr(
         """flatten(transform(__items,
           |  (x, i) -> transform(slice(__items, i + 2, size(__items)),
           |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+    pairs
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)

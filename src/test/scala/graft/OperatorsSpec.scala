@@ -2380,6 +2380,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_pairs matches the lambda pair generation on every basket size") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val baskets = (0 until 30).map { i =>
+      (i.toLong, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(i)).shuffle((0L until (2 + rnd.nextInt(8))).toList)
+        .map(_ * 7 + i).sorted.distinct)
+    }.toDF("g", "items")
+    val native = baskets.select(col("g"),
+        explode(expr("graft_pairs(items)")).as("p"))
+      .select(col("g"), col("p.u"), col("p.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lambda = baskets.select(col("g"), explode(expr(
+        """flatten(transform(items,
+          |  (x, i) -> transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("g"), col("p.u"), col("p.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == lambda && native.nonEmpty)
+    // u < v on every pair (sorted-input contract)
+    assert(native.forall(p => p._2 < p._3))
+  }
+
   test("normalization is idempotent and insensitive to case/punct/space noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
