@@ -43,7 +43,8 @@ object Plans {
         "dedup_normalized", "emb_knn_label", "graph_kcore",
         "ds_burstiness", "q_benford_digits", "emb_ann_recall",
         "pipe_dedup_priority", "text_readability", "q_asof_tolerance",
-        "graph_degree_dist", "pipe_feature_bins", "pipe_dataset_card")
+        "graph_degree_dist", "pipe_feature_bins", "pipe_dataset_card",
+        "pipe_bootstrap")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
