@@ -2404,6 +2404,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native.forall(p => p._2 < p._3))
   }
 
+  test("asof joinWithin: staleness bound is inclusive, same-second match visible, no prior row -> null") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k", ts("2024-01-01 00:10:00")),  // right at 00:00 -> gap 600 == tol (kept)
+      (2L, "k", ts("2024-01-01 00:10:01")),  // gap 601 > tol (nulled)
+      (3L, "k", ts("2024-01-01 00:00:00")),  // same-second right row visible (<=)
+      (4L, "j", ts("2024-01-01 00:05:00")))  // no right rows at all
+      .toDF("id", "key", "t")
+    val right = Seq(("k", ts("2024-01-01 00:00:00"), 42.0))
+      .toDF("key", "t", "rv")
+    val out = graft.operators.AsOf.joinWithin(left, right,
+        key = "key", tCol = "t", valueCol = "rv", out = "v",
+        toleranceSec = 600L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(42.0), "gap == tolerance must be kept (inclusive)")
+    assert(out(2L).isEmpty, "gap just past tolerance must null out")
+    assert(out(3L).contains(42.0), "same-timestamp right row is visible (asof <=)")
+    assert(out(4L).isEmpty, "no prior right row -> null")
+  }
+
   test("normalization is idempotent and insensitive to case/punct/space noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
