@@ -260,6 +260,58 @@ object Similarity {
       nprobe: Int = 2, iters: Int = 3): DataFrame =
     ivfTopKWith(corpus, kmeansCentroids(corpus, stride, iters), k, nprobe)
 
+  /** Lloyd training in the CROSS-ENGINE-EXACT integer lane: same
+    * assignment as [[kmeansCentroids]] (cosine argmax, ties to the
+    * lowest centroid id — the first-max-over-ascending-ids rule ≡ SQL
+    * `ORDER BY csim DESC, cent_id`), but recentering quantizes elements
+    * to floor(el·10⁶) BIGINTs, divides with truncating integer division
+    * (Spark `div` ≡ DuckDB `//`, verified including negatives) and
+    * returns q/10⁶ doubles. Every iteration is then a deterministic
+    * function of exact integers, so the whole training loop — and any
+    * search built on it — reproduces bit-for-bit on any engine and can
+    * sit under the DuckDB gate (the float-mean [[kmeansCentroids]]
+    * cannot: avg() summation order differs per partitioning). Centroid
+    * ids stay the stride-sample vec_ids so the oracle can rebuild the
+    * init set. Per round the driver receives only the K×dim integer
+    * recenter result; the corpus is never collected.
+    */
+  def kmeansCentroidsExact(corpus: DataFrame, stride: Long,
+      iters: Int): Array[(Long, Seq[Double])] = {
+    GraftFunctions.register(corpus.sparkSession)
+    var cents: Array[(Long, Seq[Double])] = strideCentroids(corpus, stride)
+    for (_ <- 0 until iters) {
+      val n = withNorm(corpus, "emb", "norm")
+      val simCols = cents.indices.map { i =>
+        call_function("graft_dot", col("emb"), typedLit(cents(i)._2)) /
+          (col("norm") * lit(math.sqrt(cents(i)._2.map(x => x * x).sum)))
+      }
+      val assigned = n.withColumn("cell",
+        element_at(typedLit(cents.map(_._1).toSeq),
+          array_position(array(simCols: _*),
+            array_max(array(simCols: _*))).cast("int")))
+      val sums = assigned.select(col("cell"), posexplode(col("emb")))
+        .select(col("cell"), col("pos"),
+          expr("cast(floor(col * 1000000.0) as long)").as("q"))
+        .groupBy("cell", "pos")
+        .agg(expr("sum(q) div count(1)").as("qm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      cents = cents.map { case (id, old) =>
+        if (sums.contains((id, 0)))
+          (id, old.indices.map(j => sums((id, j)).toDouble / 1e6))
+        else (id, old) // empty cell: keep previous centroid
+      }
+    }
+    cents
+  }
+
+  /** Trained-IVF search in the exact lane — [[ivfTopKWith]] over
+    * [[kmeansCentroidsExact]] centroids; the one trained-index variant
+    * whose results are DuckDB-oracle-reproducible end to end.
+    */
+  def ivfTopKTrainedExact(corpus: DataFrame, k: Int, stride: Long,
+      nprobe: Int = 2, iters: Int = 2): DataFrame =
+    ivfTopKWith(corpus, kmeansCentroidsExact(corpus, stride, iters), k, nprobe)
+
   def ivfTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2): DataFrame =
     ivfTopKWith(corpus, strideCentroids(corpus, stride), k, nprobe)
 

@@ -2404,6 +2404,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native.forall(p => p._2 < p._3))
   }
 
+  test("exact-lane kmeans: deterministic across runs, trained centroids sit on the 1e-6 grid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 90L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian()))
+    }.toDF("vec_id", "emb").select(col("vec_id"),
+      col("emb").cast("array<double>").as("emb"))
+    val a = Similarity.kmeansCentroidsExact(corpus, stride = 30, iters = 2)
+    val b = Similarity.kmeansCentroidsExact(corpus, stride = 30, iters = 2)
+    assert(a.map(_._2.toList).toList == b.map(_._2.toList).toList,
+      "training must be bit-deterministic")
+    // every trained (non-empty-cell) element is q/1e6 for integer q —
+    // the property that makes the whole loop engine-independent
+    val init = Similarity.strideCentroids(corpus, 30).map(_._2.toList).toSet
+    a.filterNot(c => init(c._2.toList)).flatMap(_._2).foreach { x =>
+      val q = x * 1e6
+      assert(math.abs(q - math.rint(q)) < 1e-6, s"off-grid element $x")
+    }
+    assert(a.exists(c => !init(c._2.toList)), "no cell actually trained")
+  }
+
   test("asof joinWithin: staleness bound is inclusive, same-second match visible, no prior row -> null") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
