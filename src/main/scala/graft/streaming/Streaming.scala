@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model.Granularity
 import graft.operators.Downsample
@@ -312,6 +312,62 @@ object Streaming {
     }
     src.groupByKey(_.stream_id)
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Silence alert: the stream went quiet — no event for `gap_sec`
+    * seconds of EVENT time past `last_seen`. */
+  case class SilenceAlert(stream_id: String, last_seen: Timestamp,
+      gap_sec: Long)
+
+  /** Silence-watch state: last-seen event time + the armed timer (0 =
+    * fired, awaiting re-arm). Public: Spark's state-encoder codegen
+    * needs constructor/accessor visibility (a private class silently
+    * falls back to interpreted projections). */
+  case class SilenceState(lastSeenMs: Long, timerMs: Long)
+
+  /** Dead-feed detection with EVENT-TIME TIMERS — the push-based twin of
+    * the batch ds_staleness audit: per stream, a timer is (re)armed at
+    * `last event + gapSec`; when the WATERMARK passes it without new
+    * data, one [[SilenceAlert]] fires. This is the only shape that
+    * alerts without polling: state is O(1) per stream (last-seen + one
+    * armed timer), nothing scans idle streams, and the watermark — not
+    * wall clock — drives expiry, so replays and live runs alert
+    * identically (deterministic, testable). A new event after an alert
+    * re-arms the timer, so each silence window alerts once.
+    */
+  def silenceAlerts(src: Dataset[Point], gapSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SilenceAlert] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, SilenceAlert] {
+      @transient private var state: ValueState[SilenceState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[SilenceState]("silence",
+          Encoders.product[SilenceState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[SilenceAlert] = {
+        val maxMs = rows.map(_.t.getTime).max
+        val prev = if (state.exists()) Some(state.get()) else None
+        val last = math.max(maxMs, prev.map(_.lastSeenMs).getOrElse(Long.MinValue))
+        // re-arm: one live timer per stream
+        prev.filter(_.timerMs > 0L).foreach(p => getHandle.deleteTimer(p.timerMs))
+        val timer = last + gapSec * 1000L
+        getHandle.registerTimer(timer)
+        state.update(SilenceState(last, timer))
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[SilenceAlert] = {
+        val st = state.get()
+        // the timer that fired is the armed one (stale timers are deleted
+        // on re-arm); leave state so a later event can re-arm
+        state.update(st.copy(timerMs = 0L))
+        Iterator.single(SilenceAlert(key, new Timestamp(st.lastSeenMs), gapSec))
+      }
+    }
+    src.withWatermark("t", watermarkDelay)
+      .groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Burstiness snapshot row — mirrors the batch ds_burstiness columns:

@@ -129,6 +129,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4) // 2 streams × 2 lags
   }
 
+  test("event-time timers: silence alerts fire when the watermark passes last_seen + gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.silenceAlerts(mem.toDS(), gapSec = 30L)
+      .writeStream.format("memory").queryName("silence_out")
+      .outputMode("append").start()
+    // batch 1: a and b seen; watermark advances to 00:00:40 at batch end
+    mem.addData(Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:40"), 1.0)))
+    q.processAllAvailable()
+    // batch 2 runs with watermark 40s: a's timer (0+30) fires, b's (70) not
+    mem.addData(Seq(Streaming.Point("c", ts("2024-01-01 00:02:00"), 1.0)))
+    q.processAllAvailable()
+    // batch 3 runs with watermark 120s: b fires; Spark then schedules the
+    // no-data timer-flush batch at the advanced watermark 180s, which
+    // fires c (150). d's timer (210) stays armed; a does NOT fire again
+    // (one alert per silence window)
+    mem.addData(Seq(Streaming.Point("d", ts("2024-01-01 00:03:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("silence_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    assert(alerts.toSet == Set(
+      ("a", ts("2024-01-01 00:00:00"), 30L),
+      ("b", ts("2024-01-01 00:00:40"), 30L),
+      ("c", ts("2024-01-01 00:02:00"), 30L)), alerts.toSeq.toString)
+    assert(alerts.length == 3, "each silence window must alert exactly once")
+  }
+
   test("streaming burstiness snapshot == batch Fano stats across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
