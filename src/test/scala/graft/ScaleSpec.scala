@@ -375,6 +375,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("AQE skew join splits the hot partition at runtime (no manual salt)") {
+    import spark.implicits._
+    // 80% of the probe side lands on one key — the runtime complement to
+    // the manual saltedJoin: AQE detects the oversized shuffle partition
+    // after materialization and splits it, so the plan shows skew=true
+    // on the sort-merge join. Thresholds lowered to bite at test scale.
+    val big = (1 to 60000).map(i =>
+      (if (i % 5 != 0) 7L else (i % 40).toLong, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      // no keyed agg downstream: a groupBy(k) right after the join would
+      // demand hash distribution on k, and OptimizeSkewedJoin refuses to
+      // split when that would force an extra shuffle
+      val joined = big.join(dim, "k").select("k", "payload", "name")
+      // execute THIS queryExecution (count() would plan a separate query
+      // and leave this AdaptiveSparkPlan un-finalized)
+      assert(joined.collect().length == 60000, "join result wrong under skew split")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     // Spark's runtime row-level filtering: a selective filter on the
