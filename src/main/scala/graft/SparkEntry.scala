@@ -722,6 +722,21 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    "ds_heatmap" -> { (s, dir) =>
+      // hour-of-day × day-of-week occupancy heatmap — the ops-dashboard
+      // view of load shape. Day-of-week derives from the epoch day
+      // ((day + 4) % 7, 1970-01-01 = Thursday ⇒ 0 = Sunday) because the
+      // engines' dayofweek() builtins disagree on origin (Spark 1-7
+      // Sun-first vs DuckDB 0-6); epoch arithmetic is engine-neutral.
+      // One hash agg over the scan; counts are exact integers.
+      events(s, dir)
+        .select(expr("unix_timestamp(ts)").as("sec"))
+        .select(expr("((sec div 86400) + 4) % 7").as("dow"),
+          expr("(sec % 86400) div 3600").as("hod"))
+        .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+        .orderBy("dow", "hod")
+    },
+
     "ds_burstiness" -> { (s, dir) =>
       // per-stream burstiness audit: Fano factor (variance/mean) of
       // per-minute event counts over the stream's ACTIVE minutes —
@@ -3896,6 +3911,14 @@ object SparkEntry {
         |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
         |  END AS xcorr
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ds_heatmap" ->
+      // same epoch-day arithmetic; both operands non-negative so % ≡ %
+      """WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT ((sec // 86400) + 4) % 7 AS dow,
+        |  (sec % 86400) // 3600 AS hod, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
 
     "ds_burstiness" ->
       // Fano factor of per-minute counts in exact integer bp:
