@@ -3331,6 +3331,120 @@ object SparkEntry {
         base.unionByName(clones))
       graft.operators.Multimodal.phashNearDuplicates(media, maxHamming = 3)
         .orderBy("media_a", "media_b")
+    },
+
+    "ds_downtime" -> { (s, dir) =>
+      // per-stream OUTAGE summary — the SRE view beside ds_staleness'
+      // freshness view: count/extent of silence gaps > 1 h between
+      // consecutive points. Pure integer seconds (exact cross-engine);
+      // one lag window + one keyed agg, both partitioned by stream_id —
+      // the same shuffle serves both, streams shard across executors.
+      val w = Window.partitionBy("stream_id").orderBy("sec")
+      pointStreams(s, dir)
+        .withColumn("sec", unix_timestamp(col("t")))
+        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .groupBy("stream_id")
+        .agg(
+          sum(when(col("gap") > 3600, 1L).otherwise(0L)).as("n_outages"),
+          coalesce(max(when(col("gap") > 3600, col("gap"))), lit(0L))
+            .as("max_outage_sec"),
+          coalesce(sum(when(col("gap") > 3600, col("gap"))), lit(0L))
+            .as("downtime_sec"))
+        .orderBy("stream_id")
+    },
+
+    "pipe_ks_drift" -> { (s, dir) =>
+      // per-source distribution-drift audit: EXACT two-sample
+      // Kolmogorov–Smirnov statistic of each source's doc-length
+      // distribution vs the rest of the corpus (one-vs-rest), the
+      // nonparametric complement of text_kl_by_source's token-level KL.
+      // The KS supremum runs on integer counts only — D's numerator is
+      // max |c1·n2 − c2·n1| over the combined support, reported in exact
+      // basis points ((10000·num) div (n1·n2)) — bit-identical on any
+      // engine, no float CDFs anywhere. Scale shape: the evaluation
+      // grid is (distinct length × source) — metadata-scale — built
+      // from one count agg and a broadcast cross join; raw docs scan
+      // once. The global-cumulative window is single-partition over
+      // distinct lengths only (bounded, q_ntile_cume-style).
+      val d = tbl(s, dir, "documents").select("source", "n_chars")
+      val cnt = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n1"))
+      val allCum = d.groupBy("n_chars").agg(count(lit(1)).as("ca"))
+        .withColumn("c_all", sum("ca").over(Window.orderBy("n_chars")))
+        .select("n_chars", "c_all")
+      val grid = ns.crossJoin(broadcast(allCum))
+        .join(cnt, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+      grid.withColumn("c1", sum("c").over(w))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+        .withColumn("c2", col("c_all") - col("c1"))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("dev", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .groupBy("source", "n1", "n2")
+        .agg(max("dev").as("ks_num"))
+        .withColumn("ks_bp", expr("(10000 * ks_num) div (n1 * n2)"))
+        .select("source", "n1", "ks_num", "ks_bp")
+        .orderBy("source")
+    },
+
+    "q_percentile_disc" -> { (s, dir) =>
+      // exact DISCRETE percentiles (type-1 order statistics) per group:
+      // the element at rank ceil(p·n) — an actual data value, so
+      // arbitrary p is cross-engine-safe where interpolated quantiles
+      // are not (the CLAUDE invariant: only p50 midpoints of BIGINTs
+      // are ulp-safe). Rank arithmetic is pure integer:
+      // ceil(a·n/b) = (a·n + b − 1) div b — never a float p·n (0.9·n
+      // rounds UP through IEEE on some n). One sort-window per group +
+      // one agg; groups are the 3 returnflags, so the per-group sort is
+      // the classic order-statistics shuffle.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val ranked = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy("cents")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      ranked.groupBy("flag")
+        .agg(max("n").as("n_rows"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
+            .as("p25_cents"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+            .as("p90_cents"))
+        .orderBy("flag")
+    },
+
+    "q_attribution" -> { (s, dir) =>
+      // last-touch marketing attribution: each purchase is credited to
+      // the most recent PRECEDING click/view by the same user within a
+      // 30-min lookback; older or absent touches credit 'none'. The
+      // candidate touch rides as ONE packed BIGINT (sec·4 + type code)
+      // through last(IGNORE NULLS) over a ROWS frame ending 1 PRECEDING
+      // — exact integers end-to-end, and the (sec, event_id) order
+      // makes "most recent" deterministic under same-second ties.
+      // Revenue stays exact via floor(value·100) cents. One window
+      // shuffle on user_id + a 3-row agg.
+      val ev = events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = when(col("event_type") === "click", col("sec") * 4 + 1)
+        .when(col("event_type") === "view", col("sec") * 4 + 2)
+      ev.withColumn("touch", last(packed, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("attr",
+          when(col("touch").isNull ||
+            col("sec") - expr("touch div 4") > 1800, lit("none"))
+          .when(expr("touch % 4") === 1, lit("click"))
+          .otherwise(lit("view")))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("revenue_cents"))
+        .orderBy("attr")
     })
 
   /** BM25 brute-force recomputation, shared VERBATIM by q_bm25_topk
@@ -6455,5 +6569,90 @@ object SparkEntry {
         |  round(o_totalprice * 0.1, 4) AS fee,
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "ds_downtime" ->
+      // exact integer seconds; gaps from the per-(stream, second)
+      // deduped points, outage threshold 1 h
+      s"""WITH $srcSql, $pointSql,
+        |g AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+        |    lag(CAST(floor(epoch(t)) AS BIGINT))
+        |      OVER (PARTITION BY stream_id ORDER BY t) AS prev
+        |  FROM pts)
+        |SELECT stream_id,
+        |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN 1 END), 0)
+        |    AS BIGINT) AS n_outages,
+        |  CAST(coalesce(max(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
+        |    AS BIGINT) AS max_outage_sec,
+        |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
+        |    AS BIGINT) AS downtime_sec
+        |FROM g GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+
+    "pipe_ks_drift" ->
+      // one-vs-rest KS on integer counts: the supremum is evaluated
+      // just after each step of the combined empirical CDF — i.e. at
+      // every distinct length — which is where a max of right-
+      // continuous step functions lives
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |cnt AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY source, n_chars),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
+        |  FROM d GROUP BY source),
+        |ac AS (SELECT n_chars, CAST(sum(count(*))
+        |    OVER (ORDER BY n_chars) AS BIGINT) AS c_all
+        |  FROM d GROUP BY n_chars),
+        |grid AS (SELECT ns.source, ns.n1, ac.n_chars, ac.c_all,
+        |    coalesce(cnt.c, 0) AS c
+        |  FROM ns CROSS JOIN ac
+        |  LEFT JOIN cnt ON cnt.source = ns.source
+        |    AND cnt.n_chars = ac.n_chars),
+        |cum AS (SELECT source, n1, c_all,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) AS c1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_total
+        |  FROM grid)
+        |SELECT source, n1,
+        |  max(abs(c1 * (n_total - n1) - (c_all - c1) * n1)) AS ks_num,
+        |  (10000 * max(abs(c1 * (n_total - n1) - (c_all - c1) * n1)))
+        |    // (n1 * (n_total - n1)) AS ks_bp
+        |FROM cum GROUP BY source, n1, n_total ORDER BY source""".stripMargin,
+
+    "q_percentile_disc" ->
+      // identical integer rank arithmetic: ceil(a*n/b) = (a*n+b-1)//b
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT flag, cents,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY cents)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM li)
+        |SELECT flag, max(n) AS n_rows,
+        |  max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25_cents,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q_attribution" ->
+      // same packed-BIGINT last-touch carry; floor(epoch()) pins the
+      // fractional-seconds invariant, floor(value*100) the cents lane
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT *, last_value(
+        |      CASE WHEN event_type = 'click' THEN sec * 4 + 1
+        |           WHEN event_type = 'view' THEN sec * 4 + 2 END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev),
+        |p AS (SELECT CASE
+        |      WHEN touch IS NULL OR sec - touch // 4 > 1800 THEN 'none'
+        |      WHEN touch % 4 = 1 THEN 'click' ELSE 'view' END AS attr,
+        |    cents
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT attr, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM p GROUP BY attr ORDER BY attr""".stripMargin)
 }
