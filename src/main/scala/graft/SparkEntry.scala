@@ -3366,10 +3366,16 @@ object SparkEntry {
       // from one count agg and a broadcast cross join; raw docs scan
       // once. The global-cumulative window is single-partition over
       // distinct lengths only (bounded, q_ntile_cume-style).
+      // The (source, n_chars) histogram is the ONE corpus scan; every
+      // other relation (per-source totals, global cumulative, grand
+      // total) derives from that metadata-scale table, localCheckpoint'd
+      // so the shared subtree is not re-planned (and the docs not
+      // re-scanned) once per use.
       val d = tbl(s, dir, "documents").select("source", "n_chars")
       val cnt = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
-      val ns = d.groupBy("source").agg(count(lit(1)).as("n1"))
-      val allCum = d.groupBy("n_chars").agg(count(lit(1)).as("ca"))
+        .localCheckpoint(true)
+      val ns = cnt.groupBy("source").agg(sum("c").as("n1"))
+      val allCum = cnt.groupBy("n_chars").agg(sum("c").as("ca"))
         .withColumn("c_all", sum("ca").over(Window.orderBy("n_chars")))
         .select("n_chars", "c_all")
       val grid = ns.crossJoin(broadcast(allCum))
@@ -3377,7 +3383,7 @@ object SparkEntry {
         .na.fill(0L, Seq("c"))
       val w = Window.partitionBy("source").orderBy("n_chars")
       grid.withColumn("c1", sum("c").over(w))
-        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+        .crossJoin(broadcast(cnt.agg(sum("c").as("n_total"))))
         .withColumn("c2", col("c_all") - col("c1"))
         .withColumn("n2", col("n_total") - col("n1"))
         .withColumn("dev", abs(col("c1") * col("n2") - col("c2") * col("n1")))
@@ -3397,14 +3403,18 @@ object SparkEntry {
       // ceil(a·n/b) = (a·n + b − 1) div b — never a float p·n (0.9·n
       // rounds UP through IEEE on some n). One sort-window per group +
       // one agg; groups are the 3 returnflags, so the per-group sort is
-      // the classic order-statistics shuffle.
+      // the classic order-statistics shuffle. Group sizes come from a
+      // separate partial-agg count broadcast back onto the ranked rows —
+      // a count().over(partitionBy) window would buffer every group
+      // whole a second time just to stamp a constant on each row.
       val li = tbl(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
       val ranked = li
         .withColumn("rn", row_number().over(
           Window.partitionBy("flag").orderBy("cents")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+        .join(broadcast(counts), Seq("flag"))
       ranked.groupBy("flag")
         .agg(max("n").as("n_rows"),
           max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))

@@ -42,3 +42,7 @@ case class AppendToDerivedStreamNotAllowed(streamId: String)
 
 case class InvalidOperatorArguments(detail: String)
   extends DatastreamException(s"invalid operator arguments: $detail")
+
+case class ConcurrentCommit(root: String, version: Long)
+  extends DatastreamException(
+    s"version $version already committed by another writer: $root")

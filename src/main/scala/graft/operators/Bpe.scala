@@ -59,12 +59,114 @@ object Bpe {
   /** Learn up to `nMerges` merges; stops early when the best pair's
     * corpus frequency falls below `minFreq` (a merge seen once carries no
     * generalization). Returns merges in rank order.
+    *
+    * Job-count contract: the cluster collapses the corpus to its
+    * word-frequency table ONCE; when that table fits `driverLocalMaxWords`
+    * rows (the common case — web-scale English is ~10⁷ distinct words,
+    * vocabulary-scale by construction) the merge loop runs driver-local
+    * with incremental pair-count maintenance, so total Spark jobs are
+    * O(1) in the merge count instead of 2 per merge (a 32k-merge vocab
+    * was ~64k sequential jobs of pure scheduler latency on the
+    * distributed loop). Oversized vocabularies fall back to
+    * [[trainDistributed]], whose per-merge jobs stay vocabulary-scale.
+    * Both paths produce the identical merge table (same argmax, same
+    * tie order — pinned old≡new in OperatorsSpec on the gate corpus).
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-      minFreq: Long = 2): Seq[(String, String)] = {
-    val spark = docs.sparkSession
+      minFreq: Long = 2, driverLocalMaxWords: Int = 1000000)
+      : Seq[(String, String)] = {
+    val words = wordTable(docs, textCol)
+    val head = words.limit(driverLocalMaxWords + 1).collect()
+    if (head.length <= driverLocalMaxWords) trainLocal(head, nMerges, minFreq)
+    else trainDistributed(words.localCheckpoint(true), nMerges, minFreq)
+  }
+
+  /** Spark string ORDER BY is UTF8String order = unsigned-BYTE
+    * lexicographic; Java String.compareTo is UTF-16 code units, which
+    * disagrees above the BMP — the driver-local tie-break must compare
+    * UTF-8 bytes or the two training paths could diverge on exotic text.
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def pairLess(p: (String, String), q: (String, String)): Boolean =
+    if (p._1 != q._1) utf8Less(p._1, q._1) else utf8Less(p._2, q._2)
+
+  /** Driver-local merge loop over a collected word-frequency table —
+    * Sennrich's reference algorithm with incremental maintenance: each
+    * merge updates pair counts only for the words that CONTAIN the merged
+    * pair (found via an inverted pair→words index; stale index entries —
+    * words whose copy of the pair was consumed by an earlier overlap —
+    * are harmless, their remove-then-re-add is a no-op). Argmax is a
+    * full scan of the pair-count map with the (count desc, pair asc)
+    * total order — O(#pairs) driver CPU per merge, zero Spark jobs.
+    */
+  private[graft] def trainLocal(table: Array[WordFreq], nMerges: Int,
+      minFreq: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[Seq[String]] = table.map(_.syms)
+    val freq: Array[Long] = table.map(_.freq)
+    val pairCount = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def rescan(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, mutable.Set[Int]()) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(rescan(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var continue = true
+    while (continue && it < nMerges) {
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null && pairLess(p, best))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < minFreq) continue = false
+      else {
+        merges += best
+        val (a, b) = best
+        val ab = a + b
+        pairWords.get(best).foreach(_.toArray.foreach { i =>
+          rescan(i, -1L)
+          syms(i) = mergePair(syms(i), a, b, ab)
+          rescan(i, 1L)
+        })
+        pairWords.remove(best)
+        it += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The original distributed merge loop (2 vocabulary-scale jobs per
+    * merge) — the fallback lane for word tables too large to collect.
+    */
+  private[graft] def trainDistributed(words0: Dataset[WordFreq],
+      nMerges: Int, minFreq: Long): Seq[(String, String)] = {
+    val spark = words0.sparkSession
     import spark.implicits._
-    var words = wordTable(docs, textCol).localCheckpoint(true)
+    var words = words0
     val merges = Seq.newBuilder[(String, String)]
     var it = 0
     var continue = true
@@ -88,6 +190,12 @@ object Bpe {
     }
     merges.result()
   }
+
+  /** Test hook: the word table for a corpus (the [[trainDistributed]]
+    * input), exposed so the old≡new pin can drive both lanes.
+    */
+  private[graft] def wordTableFor(docs: DataFrame,
+      textCol: String = "text"): Dataset[WordFreq] = wordTable(docs, textCol)
 
   /** Encode a corpus with a learned merge table: per doc, every word is
     * split to chars+`</w>` and the merges replay in rank order (the

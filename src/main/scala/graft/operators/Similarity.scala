@@ -215,6 +215,20 @@ object Similarity {
     corpus.where(col("vec_id") % stride === 0).orderBy("vec_id")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
 
+  /** Sampling stride that bounds a stride-collected sample to `budget`
+    * rows at ANY corpus size: ceil(n / budget) from one cheap count job.
+    * With dense vec_ids the `% stride == 0` sample is ceil(n/stride) <=
+    * budget rows; sparse ids only shrink it further. Deriving the stride
+    * here makes the driver-side training collect an operator INVARIANT
+    * instead of a caller burden — the sample stays ~budget rows at
+    * sf0.001 and at 100 TB alike (pinned across SFs in OperatorsSpec).
+    */
+  def boundedStride(corpus: DataFrame, budget: Long): Long = {
+    require(budget > 0, s"sample budget must be positive: $budget")
+    val n = corpus.count()
+    math.max(1L, (n + budget - 1) / budget)
+  }
+
   /** Deterministic Lloyd training of the IVF coarse quantizer: init with
     * the stride sample, then `iters` rounds of cosine-argmax assignment
     * (a zero-shuffle projection, exactly the search-time assignment) and
@@ -224,10 +238,12 @@ object Similarity {
     * centroid. Returned ids are the cell indices 0..K-1.
     */
   def kmeansCentroids(corpus: DataFrame, stride: Long,
-      iters: Int): Array[(Long, Seq[Double])] = {
+      iters: Int, centroidBudget: Long = 1024): Array[(Long, Seq[Double])] = {
     GraftFunctions.register(corpus.sparkSession)
+    // stride <= 0 = auto: bound K by centroidBudget at any corpus size
+    val st = if (stride > 0) stride else boundedStride(corpus, centroidBudget)
     var cents: Array[(Long, Seq[Double])] =
-      strideCentroids(corpus, stride).zipWithIndex
+      strideCentroids(corpus, st).zipWithIndex
         .map { case ((_, c), i) => (i.toLong, c) }
     for (_ <- 0 until iters) {
       val n = withNorm(corpus, "emb", "norm")
@@ -276,9 +292,11 @@ object Similarity {
     * recenter result; the corpus is never collected.
     */
   def kmeansCentroidsExact(corpus: DataFrame, stride: Long,
-      iters: Int): Array[(Long, Seq[Double])] = {
+      iters: Int, centroidBudget: Long = 1024): Array[(Long, Seq[Double])] = {
     GraftFunctions.register(corpus.sparkSession)
-    var cents: Array[(Long, Seq[Double])] = strideCentroids(corpus, stride)
+    // stride <= 0 = auto: bound K by centroidBudget at any corpus size
+    val st = if (stride > 0) stride else boundedStride(corpus, centroidBudget)
+    var cents: Array[(Long, Seq[Double])] = strideCentroids(corpus, st)
     for (_ <- 0 until iters) {
       val n = withNorm(corpus, "emb", "norm")
       val simCols = cents.indices.map { i =>
@@ -427,10 +445,16 @@ object Similarity {
     */
   def ivfpqTopKTrained(corpus: DataFrame, k: Int, stride: Long,
       nprobe: Int = 2, m: Int = 16, pqStride: Long = 5,
-      iters: Int = 5, trainStride: Long = 1, ksubMax: Int = 128): DataFrame = {
-    // training sample: driver-side, BOUNDED — raise trainStride at scale
-    // so Lloyd sees a fixed-size sample, never the corpus
-    val sample = corpus.where(col("vec_id") % trainStride === 0)
+      iters: Int = 5, trainStride: Long = 0, ksubMax: Int = 128,
+      trainBudget: Long = 10000): DataFrame = {
+    // training sample: driver-side and BOUNDED BY CONSTRUCTION — the
+    // default (trainStride <= 0) derives the stride from a corpus count
+    // so Lloyd sees <= trainBudget vectors at any scale; an explicit
+    // positive trainStride is still honored for callers that manage
+    // their own sampling
+    val ts = if (trainStride > 0) trainStride
+             else boundedStride(corpus, trainBudget)
+    val sample = corpus.where(col("vec_id") % ts === 0)
       .orderBy("vec_id").select("emb").collect()
       .map(r => r.getSeq[Double](0).toArray)
     val dim = sample.headOption.map(_.length).getOrElse(0)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,7 +34,11 @@ import graft.core.DatapointStore
   * that no record references — readers never see it and [[heal]] removes
   * it before the next write reuses the version number. Single-writer by
   * design (the store's driver owns the log), matching the reference's
-  * one-owner stream-store model.
+  * one-owner stream-store model — and GUARDED: two writers racing the
+  * same version number resolve by commit-record CAS (atomic create-new);
+  * the loser raises [[graft.model.ConcurrentCommit]] instead of silently
+  * last-wins-overwriting the winner's record, and its orphaned data dir
+  * is healed by the next writer.
   *
   * At 100 TB: the log is metadata (one tiny JSON per commit, resolved
   * driver-side); reads list O(buckets) directories and prune to the
@@ -89,15 +93,29 @@ object VersionedTable {
       .foreach(DatapointStore.rmTree)
   }
 
-  private def writeCommit(root: String, c: Commit): Unit = {
+  /** Publish a commit record via compare-and-swap: the content is staged
+    * to a tmp file, then hard-LINKED to the final name — link creation is
+    * atomic create-new on POSIX, so if another writer already committed
+    * this version number the link fails and we raise [[graft.model
+    * .ConcurrentCommit]] instead of silently last-wins-overwriting their
+    * record (rename() would replace). The loser's orphaned `data/v=N` dir
+    * is invisible to readers (no record references it) and the next
+    * writer's [[heal]] removes it — the table stays readable throughout.
+    */
+  private[graft] def writeCommit(root: String, c: Commit): Unit = {
     logDir(root).mkdirs()
     val json = s"""{"version":${c.version},""" +
       s""""buckets":[${c.buckets.mkString(",")}],""" +
       s""""dropped":[${c.dropped.mkString(",")}]}"""
     val tmp = new File(logDir(root), s".tmp-${c.version}.json")
     Files.writeString(tmp.toPath, json)
-    Files.move(tmp.toPath, commitPath(root, c.version).toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(commitPath(root, c.version).toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw graft.model.ConcurrentCommit(root, c.version)
+    }
+    Files.delete(tmp.toPath)
   }
 
   private def bucketsWritten(root: String, v: Long, partCol: String): Seq[Long] = {

@@ -1455,6 +1455,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.train(tiny, nMerges = 5).isEmpty)
   }
 
+  test("BPE: driver-local trainer ≡ distributed trainer on the gate corpus (bit-identical merge table)") {
+    import graft.operators.Bpe
+    // the r10 job-count fix routes train() driver-local (one corpus
+    // collapse, zero per-merge jobs); this pins its merge table to the
+    // original distributed loop's, old≡new, at the gate query's exact
+    // parameters (nMerges=40 on sf0.001 documents)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val local = Bpe.train(docs, nMerges = 40)
+    val dist = Bpe.trainDistributed(
+      Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 40, minFreq = 2L)
+    assert(local == dist)
+    assert(local.length == 40)
+    // and the tiny-threshold path still routes distributed, same table
+    assert(Bpe.train(docs, nMerges = 5, driverLocalMaxWords = 1) ==
+      dist.take(5))
+  }
+
+  test("VersionedTable: commit CAS — a racing second writer errors cleanly, winner's record survives, table readable") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt-cas").toString + "/tbl"
+    val base = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    VersionedTable.init(spark, work, base, pexpr)
+    // writer A wins version 1 (an empty commit — data-first ordering
+    // means A's data, here none, is on disk before its record lands)
+    VersionedTable.writeCommit(work,
+      VersionedTable.Commit(1L, Seq.empty, Seq.empty))
+    // writer B — which also computed next=1 before A committed — must
+    // fail its CAS, not overwrite A's record
+    intercept[graft.model.ConcurrentCommit] {
+      VersionedTable.writeCommit(work,
+        VersionedTable.Commit(1L, Seq(1L, 2L), Seq.empty))
+    }
+    // A's record survived verbatim (B's buckets nowhere in the log)
+    assert(VersionedTable.commits(work)
+      .find(_.version == 1L).get.buckets.isEmpty)
+    // the table stays writable and readable: the next writer proceeds
+    val ch = Seq((4L, "V4", "U", 2L)).toDF("k", "value", "op", "version")
+    assert(VersionedTable.merge(spark, work, ch, Seq("k"), pexpr) == 2L)
+    val latest = VersionedTable.readAt(spark, work, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest(4L) == "V4" && latest.size == 8)
+  }
+
   test("inverted index: incremental append ≡ full rebuild; search prunes to query-token buckets") {
     import graft.operators.Retrieval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1560,6 +1607,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "C" -> 140489583331L))
     // leaky-dangling design: total mass never exceeds the scale
     assert(r.values.sum <= 1000000000000L)
+  }
+
+  test("ANN training samples are row-budget-bounded at every SF (stride derived from a corpus count, not caller-supplied)") {
+    // the r9 verdict's ask: the driver-side Lloyd training collect must
+    // be an operator invariant, never a caller burden. boundedStride
+    // keeps the stride-sample within the budget at sf0.001/0.01/0.1
+    // alike — same code, 100× data, same sample size.
+    val sizes = Seq("sf0.001", "sf0.01", "sf0.1").flatMap { sf =>
+      val p = s"/root/testdata/$sf/embeddings.parquet"
+      if (!new java.io.File(p).exists()) None
+      else {
+        val e = spark.read.parquet(p).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        val st = Similarity.boundedStride(e, budget = 64)
+        val n = e.where(col("vec_id") % st === 0).count()
+        assert(n <= 64 && n > 32, s"$sf: sample $n rows for budget 64")
+        Some(n)
+      }
+    }
+    assert(sizes.nonEmpty)
+    // near-constant across 100× of corpus growth (ceil rounding slack)
+    assert(sizes.max - sizes.min <= 2, s"sample sizes drift: $sizes")
   }
 
   test("ivfpqTopK: ADC retrieves semantic neighbors on clustered data; carries signal on the gate corpus") {
