@@ -2742,11 +2742,16 @@ object SparkEntry {
       // corpus-map coordinates: top-2 principal components fitted from
       // the exact Gram statistics (driver-side 64x64 Jacobi eigensolve,
       // deterministic sweep order + sign convention), then a
-      // shuffle-free projection. Eigenvectors aren't SQL-expressible →
-      // rows-only gate; determinism + residual properties are pinned in
-      // OperatorsSpec.
+      // shuffle-free projection. The fitted model is CAPTURED so the
+      // oracle dump can recompute the projection from the same
+      // eigenvector literals (see pcaOracle) — emb_pca sits under the
+      // full hash gate since r10; determinism + residual properties
+      // stay pinned in OperatorsSpec.
+      val e = tbl(s, dir, "embeddings")
+      val (_, comps, mean) = graft.operators.Pca.fit(e, "embedding", 64, 2)
+      pcaFitted = Some((mean, comps))
       graft.operators.Pca
-        .project(tbl(s, dir, "embeddings"), "embedding", "vec_id", 64, 2)
+        .projectWith(e, "embedding", "vec_id", comps, mean)
         .orderBy("vec_id")
     },
 
@@ -6664,5 +6669,38 @@ object SparkEntry {
         |  FROM t WHERE event_type = 'purchase')
         |SELECT attr, CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
-        |FROM p GROUP BY attr ORDER BY attr""".stripMargin)
+        |FROM p GROUP BY attr ORDER BY attr""".stripMargin) ++ pcaOracle
+
+  /** Fitted PCA model captured by the emb_pca query run. Verify writes
+    * oracle_sql.json AFTER the queries execute in the same JVM, so the
+    * driver-side Jacobi eigenvectors can ride into the oracle as double
+    * literals — the same literal-injection trick as the PQ codebooks,
+    * which closes the one eigensolve gap that kept emb_pca rows-only.
+    */
+  @volatile private var pcaFitted
+      : Option[(Array[Double], Array[Array[Double]])] = None
+
+  /** The emb_pca oracle, generated from the captured model: per
+    * component, an explicit `0.0 + (x1−m1)·w1 + …` left-associated chain
+    * — EXACTLY graft_dot's ascending fold over the zip_with-centered
+    * vector, so the doubles match bit-for-bit before the shared
+    * round(·, 6). Literals are Double.toString shortest round-trip reprs
+    * (both engines parse them back to the identical double). Absent
+    * until the emb_pca query has run (a filtered Verify dump that skips
+    * it simply records no oracle, as before).
+    */
+  private def pcaOracle: Map[String, String] = pcaFitted.map {
+    case (mean, comps) =>
+      def chain(w: Array[Double]): String =
+        w.indices.map { i =>
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - (${mean(i)})) * (${w(i)})"
+        }.mkString("0.0 + ", " + ", "")
+      val pcs = comps.zipWithIndex.map { case (w, i) =>
+        s"round(${chain(w)}, 6) AS pc${i + 1}"
+      }.mkString(",\n  ")
+      "emb_pca" ->
+        s"""SELECT vec_id,
+           |  $pcs
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+  }.toMap
 }

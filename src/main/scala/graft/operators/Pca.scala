@@ -174,6 +174,16 @@ object Pca {
   def project(emb: DataFrame, vecCol: String, idCol: String, dims: Int,
       k: Int): DataFrame = {
     val (_, comps, mean) = fit(emb, vecCol, dims, k)
+    projectWith(emb, vecCol, idCol, comps, mean)
+  }
+
+  /** [[project]] with an already-fitted model riding along as literals —
+    * lets a caller capture (comps, mean) for an external recompute (the
+    * gate splices them into the DuckDB oracle) while projecting with the
+    * exact same expressions.
+    */
+  def projectWith(emb: DataFrame, vecCol: String, idCol: String,
+      comps: Array[Array[Double]], mean: Array[Double]): DataFrame = {
     val centered = zip_with(col(vecCol).cast("array<double>"),
       typedLit(mean.toSeq), (x, m) => x - m)
     val cols = comps.zipWithIndex.map { case (w, i) =>

@@ -25,12 +25,14 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the previous merge) — no fixed-depth SQL mirror exists; its
     // semantics are pinned by the hand-computed Sennrich-corpus spec
     // instead. Growing this list is a deliberate decision, not a silent
-    // default. emb_pca is rows-only for the same reason: eigenvectors of
-    // the covariance have no SQL mirror — the projection's determinism,
-    // residual and by-hand-equality properties are pinned in
-    // OperatorsSpec, and the EXACT sufficient statistics behind it are
-    // fully oracled as emb_pca_gram.
-    val rowsOnly = Set("text_bpe_encode", "emb_pca")
+    // default. emb_pca LEFT this list in r10: its oracle splices the
+    // run-captured Jacobi eigenvectors in as literals (pcaOracle), so
+    // the projection hashes under the full gate — Verify dumps
+    // oracle_sql.json after the queries run, which this test mirrors by
+    // running emb_pca first.
+    val rowsOnly = Set("text_bpe_encode")
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001").count()
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query (typo?): $orphanOracles")
