@@ -677,24 +677,36 @@ object Streaming {
     }
   }
 
-  /** Compact the per-batch state partitions of a STOPPED streaming-dedup
-    * query ([[dedupNear]] / [[semDedupStream]]): every `batch_id=N`
-    * partition under each state subdirectory folds into one base
-    * partition `batch_id=-1`, so partition/file counts stay bounded on
-    * long-running queries instead of growing one directory per
-    * micro-batch (the listing cost that would otherwise dominate state
-    * reads after ~10⁴ triggers). The base id -1 is smaller than every
-    * real batch id, so the readers' `batch_id < current` re-delivery
-    * filter keeps working unchanged after a restart.
+  /** Compact the per-batch state partitions of a streaming-dedup query
+    * ([[dedupNear]] / [[semDedupStream]]): `batch_id=N` partitions under
+    * each state subdirectory fold into one base partition `batch_id=-1`,
+    * so partition/file counts stay bounded on long-running queries
+    * instead of growing one directory per micro-batch (the listing cost
+    * that would otherwise dominate state reads after ~10⁴ triggers). The
+    * base id -1 is smaller than every real batch id, so the readers'
+    * `batch_id < current` re-delivery filter keeps working unchanged
+    * after a restart.
     *
-    * Crash safety: the new base is fully written to `<sub>.compact_tmp`
-    * first, then the live dir swaps away to `<sub>.compact_old`, the tmp
-    * promotes, and the backup is deleted. A crash at any point leaves
-    * either the live dir or the backup intact — readers fall back to
-    * `.compact_old` when the live dir is missing, and the next
-    * compactDedupState call heals the half-swap before re-compacting.
+    * `keepSince` makes the fold safe MID-STREAM (r10): only partitions
+    * with `batch_id < keepSince` fold into the base; later partitions are
+    * carried through unchanged. Called from inside batch N's foreachBatch
+    * with `keepSince = N`, this folds exactly the COMMITTED horizon —
+    * batches 0..N-1 can never be re-delivered once N is running, while a
+    * crash-re-delivered batch N still excludes its own rows via the
+    * `batch_id < N` filter (folding N into -1 would smuggle them past
+    * it). The default (MaxValue) is the original stopped-query fold-all.
+    * Re-compacting at the same horizon is idempotent.
+    *
+    * Crash safety (unchanged): the new layout is fully written to
+    * `<sub>.compact_tmp` first, then the live dir swaps away to
+    * `<sub>.compact_old`, the tmp promotes, and the backup is deleted. A
+    * crash at any point leaves either the live dir or the backup intact —
+    * readers fall back to `.compact_old` when the live dir is missing,
+    * and the next compactDedupState call heals the half-swap before
+    * re-compacting.
     */
-  def compactDedupState(s: SparkSession, stateDir: String): Unit = {
+  def compactDedupState(s: SparkSession, stateDir: String,
+      keepSince: Long = Long.MaxValue): Unit = {
     val root = new java.io.File(stateDir)
     if (!root.isDirectory) return
     // discover subs from live dirs AND orphaned .compact_old backups — a
@@ -715,7 +727,9 @@ object Streaming {
       if (tmp.exists()) graft.core.DatapointStore.rmTree(tmp)
       if (old.exists()) graft.core.DatapointStore.rmTree(old)
       s.read.parquet(sub.getPath)
-        .withColumn("batch_id", lit(-1L))
+        .withColumn("batch_id",
+          when(col("batch_id").cast("long") < keepSince, lit(-1L))
+            .otherwise(col("batch_id").cast("long")))
         .write.partitionBy("batch_id").mode("overwrite")
         .parquet(tmp.getPath)
       if (!sub.renameTo(old))
@@ -746,7 +760,8 @@ object Streaming {
     * oracle SQL verbatim, and StreamingSpec pins split-invariance.
     */
   def semDedupStream(vecs: DataFrame, cents: Array[(Long, Seq[Double])],
-      stateDir: String, outDir: String, tau: Double)
+      stateDir: String, outDir: String, tau: Double,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     import graft.operators.Similarity
@@ -788,6 +803,11 @@ object Streaming {
         sink(b.select("vec_id", "cell").join(dupOf, Seq("vec_id"), "left"),
           outDir)
         sink(b, s"$stateDir/vectors") // EVERY seen vector indexes
+        // in-loop maintenance: fold the committed horizon (< batchId) at a
+        // deterministic batch-counter cadence — re-delivery re-compacts
+        // the same horizon, idempotent
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactDedupState(s, stateDir, keepSince = batchId)
       }
   }
 
@@ -810,7 +830,10 @@ object Streaming {
     * overwrite, and state reads filter `batch_id < current`, so an
     * at-least-once re-delivery recomputes identical survivors and replaces
     * its own partitions — idempotent end to end. Long-running queries
-    * compact the per-batch state partitions with [[compactDedupState]].
+    * bound their state partition counts with [[compactDedupState]] —
+    * either stopped (fold-all) or IN-LOOP via `compactEvery = n`, which
+    * folds the committed horizon every n batches without pausing the
+    * query.
     *
     * Determinism note: results are arrival-order dependent by design
     * (first arrival wins). When arrival order is doc_id order, the
@@ -821,7 +844,7 @@ object Streaming {
     */
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     import graft.operators.Dedup
@@ -860,6 +883,11 @@ object Streaming {
         // collapse batch-split-independently
         sink(b, s"$stateDir/docs")
         sink(Dedup.bandTable(b, n, numHashes, bands), s"$stateDir/bands")
+        // in-loop maintenance: fold the committed horizon (< batchId) at a
+        // deterministic batch-counter cadence — re-delivery re-compacts
+        // the same horizon, idempotent
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactDedupState(s, stateDir, keepSince = batchId)
       }
   }
 }

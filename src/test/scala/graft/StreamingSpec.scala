@@ -720,6 +720,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("in-loop dedup-state compaction: long run stays partition-bounded, survivors identical to uncompacted") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 5 near-dup pairs (jaccard 10/11 within each pair, disjoint tokens
+    // across pairs), one doc per micro-batch — every dup is CROSS-batch,
+    // so compaction mid-stream must preserve the band index semantics
+    val docs = (1 to 5).flatMap { k =>
+      val toks = (1 to 12).map(i => s"p${k}t$i")
+      Seq((2L * k - 1, toks.mkString(" ")),
+        (2L * k, (toks :+ "x").mkString(" ")))
+    }
+    def run(compactEvery: Int): (Set[Long], Int) = {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-inloop-compact").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.dedupNear(mem.toDF.toDF("doc_id", "text"),
+          s"$work/state", s"$work/out", threshold = 0.8,
+          compactEvery = compactEvery)
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try docs.foreach { d => mem.addData(Seq(d)); q.processAllAvailable() }
+      finally q.stop()
+      val survivors = spark.read.parquet(s"$work/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val parts = new java.io.File(s"$work/state/docs").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      (survivors, parts)
+    }
+    val (plain, plainParts) = run(0)
+    val (compacted, compactedParts) = run(3)
+    assert(plain == (1 to 9 by 2).map(_.toLong).toSet, plain)
+    assert(compacted == plain, "in-loop compaction changed survivors")
+    // 10 batches uncompacted = 10 partitions; compactEvery=3 folds the
+    // committed horizon at batches 2/5/8 -> base + the tail batches only
+    assert(plainParts == 10, s"fixture drifted: $plainParts")
+    assert(compactedParts <= 3,
+      s"state partitions unbounded under in-loop compaction: $compactedParts")
+  }
+
   test("streaming exact dedup keeps first arrival per content hash") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
