@@ -459,6 +459,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       val aggCols = Seq(min("t").as("lo_raw"), max("t").as("hi_raw")) ++
         (if (hasJ) Seq(max(col("v_json").isNotNull).as("has_json")) else Nil) ++
         (if (hasV) Seq(max(col("v").isNotNull).as("has_num")) else Nil)
+      spark.sparkContext.setJobDescription("append:checks")
       val checks = cached.groupBy("stream_id")
         .agg(aggCols.head, aggCols.tail: _*).collect()
 
@@ -577,8 +578,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // and the streaming ingest loop skip the rollup ladder — the store
       // provably did not change
       val obs = org.apache.spark.sql.Observation()
+      spark.sparkContext.setJobDescription("append:write")
       DatapointStore.append(
         toWrite.observe(obs, count(lit(1)).as("rows")), datapointsPath)
+      spark.sparkContext.setJobDescription(null)
       // `get` returns AFTER the write's query-end event, so a missing key
       // is not a race: it means AQE's empty-relation propagation pruned
       // the CollectMetrics node — which only happens when the observed
@@ -1009,6 +1012,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // partitions were never materialized cost nothing (directory probe).
     val scannable = levels.map(_.name).filter(granularityExists)
     val scanIds = levels.flatMap(g => needsAt(g.name)).distinct
+    spark.sparkContext.setJobDescription("ladder:hwm-scan")
     val hwmByLevel: Map[String, Seq[(String, Timestamp)]] =
       if (scannable.isEmpty) Map.empty
       else filterToStreams(
@@ -1021,9 +1025,26 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
     // per target level: streams that need it, split by fold source and by
     // value type (numeric folds all 10 aggregates; nominal/graph fold count
-    // + time downsamplers only — SURVEY §1.4)
+    // + time downsamplers only — SURVEY §1.4).
+    //
+    // r10 job-count shape: the per-level loop CHAINS — level g+1 folds
+    // from the on-disk prev-level partials UNION level g's just-computed
+    // checkpointed frame — and ALL writes defer to ONE union write per
+    // root after the loop. The r9 per-level write-then-reread loop cost
+    // 6-7 jobs per level (checkpoint + two partitioned writes each);
+    // deferred, a ladder run is one checkpoint per level + 2 writes
+    // total. (Distinct from the r2 negative result, which chained
+    // persist()-cached levels with per-level writes: localCheckpoint
+    // chaining with deferred writes adds no cache-materialization jobs.)
+    // Frontier/pending advance only AFTER the union write lands — a
+    // crash mid-ladder leaves store and coverage maps at the pre-run
+    // state together.
+    val newByLevel = scala.collection.mutable.Map[String, DataFrame]()
+    val pendingWrites =
+      scala.collection.mutable.ArrayBuffer[(DataFrame, Seq[String])]()
     levels.foreach { g =>
       val needs = needsAt(g.name)
+      spark.sparkContext.setJobDescription(s"ladder:${g.name}")
       if (needs.nonEmpty) {
         val prev = Granularity.ladder(Granularity.ladder.indexOf(g) - 1)
         val (fromPartials, fromRaw) =
@@ -1048,6 +1069,19 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             col("granularity").isin(idsSel.map(hgOf(_).name).distinct: _*)),
           idsSel)
 
+        // fold source: disk partials of the previous level plus — writes
+        // being deferred — the previous level's in-memory new rows
+        def fineOf(idsSel: Seq[String], cols: Seq[String]): DataFrame = {
+          val disk = filterToStreams(
+              datapoints.where(col("granularity") === prev.name), idsSel)
+            .select(cols.map(col): _*)
+          newByLevel.get(prev.name) match {
+            case Some(mem) => disk.unionByName(
+              filterToStreams(mem, idsSel).select(cols.map(col): _*))
+            case None => disk
+          }
+        }
+
         val (rawNum, rawCnt) = fromRaw.partition(isNumeric)
         val (partNum, partCnt) = fromPartials.partition(isNumeric)
         val parts = Seq(
@@ -1062,18 +1096,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
                 col("v_json"))), g, Some(until)))
           else None,
           if (partNum.nonEmpty) {
-            val fine = filterToStreams(
-                datapoints.where(col("granularity") === prev.name), partNum)
-              .select(col("stream_id"), col("t"), col("c"), col("s"), col("q"),
-                col("l"), col("u"), col("t_first"), col("t_last"), col("t_mean"))
+            val fine = fineOf(partNum, Seq("stream_id", "t", "c", "s", "q",
+              "l", "u", "t_first", "t_last", "t_mean"))
             Some(Downsample.foldToCoarser(newBuckets(fine), g)
               .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L)))
           } else None,
           if (partCnt.nonEmpty) {
-            val fine = filterToStreams(
-                datapoints.where(col("granularity") === prev.name), partCnt)
-              .select(col("stream_id"), col("t"), col("c"),
-                col("t_first"), col("t_last"), col("t_mean"))
+            val fine = fineOf(partCnt, Seq("stream_id", "t", "c",
+              "t_first", "t_last", "t_mean"))
             Some(Downsample.countOnlyFold(newBuckets(fine), g)
               .where(unix_timestamp(col("t")) + g.seconds <= lit(until.getTime / 1000L)))
           } else None
@@ -1081,50 +1111,59 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
         parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
           .foreach { out =>
-            // derived streams' rollups go to their own roots (so a later
-            // recompute never touches the primary table); materialize when
-            // splitting or returning so lineage isn't re-executed per sink.
-            // localCheckpoint, NOT persist: caching under AQE materializes
-            // as extra jobs/tasks per sink (measured: +12 jobs, +2× tasks
-            // on the ingest profile — the r2 negative result again)
-            val derivedNeeds = needs.filter(id => catalog(id).derive_op.isDefined)
-            val frame = if (returnDatapoints || derivedNeeds.nonEmpty)
-              out.localCheckpoint(true) else out
-            if (derivedNeeds.nonEmpty) {
-              DatapointStore.append(
-                frame.where(!col("stream_id").isin(derivedNeeds: _*)),
-                datapointsPath)
-              // ALL derived streams' rollups in one partitioned write
-              DatapointStore.appendByStream(
-                frame.where(col("stream_id").isin(derivedNeeds: _*)),
-                rollupsPath)
-            } else DatapointStore.append(frame, datapointsPath)
+            // ALWAYS checkpoint: the frame is the next level's chained
+            // fold source and the deferred write source. localCheckpoint,
+            // NOT persist: caching under AQE materializes as extra
+            // jobs/tasks per consumer (measured r2/r7)
+            val frame = out.localCheckpoint(true)
+            newByLevel(g.name) = frame
+            // derived streams' rollups go to their own root (so a later
+            // recompute never touches the primary table)
+            pendingWrites +=
+              ((frame, needs.filter(id => catalog(id).derive_op.isDefined)))
             if (returnDatapoints) emitted += DatapointStore.normalize(frame)
           }
       }
-      if (unrestricted) {
-        // frontier: every bucket ending <= until is now materialized (or
-        // provably empty)
-        ladderFrontier(g.name) = math.max(
-          ladderFrontier.getOrElse(g.name, Long.MinValue),
-          Math.floorDiv(untilSec, g.seconds) * g.seconds)
-        // pending retention: a stream whose data reaches into the bucket
-        // still OPEN at this until keeps its entry (advanced to the open
-        // bucket's start) — with a frontier parked AHEAD of event time
-        // (a wall-clock `downsampleStreams()` on a past-data store), the
-        // extent check can't re-discover it, so dropping it here would
-        // strand that final bucket forever once it completes
-        val openStart = Math.floorDiv(untilSec, g.seconds) * g.seconds
-        ladderPending(g.name) = ladderPending.getOrElse(g.name, Map.empty)
-          .flatMap { case (id, lo) =>
-            if (!catalog.contains(id)) None
-            else if (extentSec(id).exists(_ >= openStart))
-              Some(id -> math.max(lo, openStart))
-            else None
-          }
-        ()
-      }
     }
+
+    // the whole ladder's output lands in ONE union write per root
+    if (pendingWrites.nonEmpty) {
+      spark.sparkContext.setJobDescription("ladder:write")
+      val union = pendingWrites.map(_._1)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val derived = pendingWrites.flatMap(_._2).distinct.toSeq
+      if (derived.nonEmpty) {
+        DatapointStore.append(
+          union.where(!col("stream_id").isin(derived: _*)), datapointsPath)
+        // ALL derived streams' rollups (all levels) in one write
+        DatapointStore.appendByStream(
+          union.where(col("stream_id").isin(derived: _*)), rollupsPath)
+      } else DatapointStore.append(union, datapointsPath)
+    }
+
+    if (unrestricted) levels.foreach { g =>
+      // frontier: every bucket ending <= until is now materialized (or
+      // provably empty) — advanced only after the union write succeeded
+      ladderFrontier(g.name) = math.max(
+        ladderFrontier.getOrElse(g.name, Long.MinValue),
+        Math.floorDiv(untilSec, g.seconds) * g.seconds)
+      // pending retention: a stream whose data reaches into the bucket
+      // still OPEN at this until keeps its entry (advanced to the open
+      // bucket's start) — with a frontier parked AHEAD of event time
+      // (a wall-clock `downsampleStreams()` on a past-data store), the
+      // extent check can't re-discover it, so dropping it here would
+      // strand that final bucket forever once it completes
+      val openStart = Math.floorDiv(untilSec, g.seconds) * g.seconds
+      ladderPending(g.name) = ladderPending.getOrElse(g.name, Map.empty)
+        .flatMap { case (id, lo) =>
+          if (!catalog.contains(id)) None
+          else if (extentSec(id).exists(_ >= openStart))
+            Some(id -> math.max(lo, openStart))
+          else None
+        }
+      ()
+    }
+    spark.sparkContext.setJobDescription(null)
     emitted.reduceOption(_.unionByName(_))
   }
 
@@ -1420,25 +1459,39 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           }
       }
     }
-    specs.groupBy(sp => (sp.loKey, sp.hiKey, sp.w)).foreach {
-      case ((loKey, hiKey, _), group) =>
-        val cond = group.map(sp =>
-          col("stream_id") === sp.srcId &&
-            col("granularity") === sp.gname && col("t") < lit(sp.w))
-          .reduce(_ || _)
-        val rows = datapoints
-          .where(col("ymd") >= loKey && col("ymd") <= hiKey && cond)
-          .select(col("stream_id"), col("t"), col("v_num").as("v"))
-          .withColumn("__mx",
-            max("t").over(Window.partitionBy("stream_id")))
-          .where(col("t") === col("__mx")).drop("__mx")
-          .collect()
-        val bySrc = rows.groupBy(_.getString(0))
-        group.foreach { sp =>
-          val got = bySrc.getOrElse(sp.srcId, Array.empty)
-          resolved((sp.srcId, sp.w)) =
-            if (got.isEmpty && sp.giveUpIfEmpty) None else Some(got)
-        }
+    if (specs.nonEmpty) {
+      import spark.implicits._
+      // ONE scan + one (stream, w) window resolves EVERY spec (r10): the
+      // per-spec day ranges ride in as a broadcast frame, so job count is
+      // constant in the number of distinct (loKey, hiKey, w) groups —
+      // the per-group loop cost ~4 jobs per distinct day-window (8 of
+      // the 20 append jobs on the ingest profile's historical batch).
+      // The outer ymd range is the union of the per-spec ranges (prunes
+      // partitions); the join re-applies each spec's exact bounds. All
+      // max-t rows per (src, w) are kept — duplicate floored timestamps
+      // must all feed the recompute exactly as a full scan would.
+      val specDf = broadcast(specs.toSeq
+        .map(sp => (sp.srcId, sp.gname, sp.loKey, sp.hiKey, sp.w))
+        .toDF("__src", "__g", "__lo", "__hi", "__w"))
+      val rows = datapoints
+        .where(col("ymd") >= specs.map(_.loKey).min &&
+               col("ymd") <= specs.map(_.hiKey).max)
+        .join(specDf, col("stream_id") === col("__src") &&
+          col("granularity") === col("__g") &&
+          col("ymd") >= col("__lo") && col("ymd") <= col("__hi") &&
+          col("t") < col("__w"))
+        .select(col("stream_id"), col("t"), col("v_num").as("v"), col("__w"))
+        .withColumn("__mx",
+          max("t").over(Window.partitionBy("stream_id", "__w")))
+        .where(col("t") === col("__mx"))
+        .collect()
+      val byKey = rows.groupBy(r => (r.getString(0), r.getTimestamp(3)))
+      specs.foreach { sp =>
+        val got = byKey.getOrElse((sp.srcId, sp.w), Array.empty[org.apache.spark.sql.Row])
+          .map(r => org.apache.spark.sql.Row(r.getString(0), r.getTimestamp(1), r.get(2)))
+        resolved((sp.srcId, sp.w)) =
+          if (got.isEmpty && sp.giveUpIfEmpty) None else Some(got)
+      }
     }
     resolved.toMap
   }
@@ -1469,7 +1522,9 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         (srcId, w, regions.get(srcId).map(_.extentBefore)
           .getOrElse(catalog(srcId).latest_ts))
     }.toSeq
+    spark.sparkContext.setJobDescription("cascade:lookback")
     val lookups = batchedLookbacks(lagNeeds)
+    spark.sparkContext.setJobDescription("cascade:wave")
 
     // final plan per stream: Some((w, hiKey, cw, lookbackRows)) or None=full
     val plan: Map[String, Option[(Timestamp, Option[String], Timestamp,
