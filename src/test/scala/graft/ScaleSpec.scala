@@ -20,6 +20,48 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("rollup ladder job count stays bounded (defer-write chained shape, r10)") {
+    import spark.implicits._
+    // the r9 per-level write-then-reread loop cost 6-7 Spark jobs per
+    // ladder level (36-44 per live ingest batch); the r10 defer-write
+    // chain is ~2-3 per level + one union write per root. This pins the
+    // shape: a reintroduced per-level write would trip the bound.
+    val work = Files.createTempDirectory("graft-ladderjobs").toString
+    val ds = new graft.core.Datastream(spark, work)
+    val ids = (0 until 4).map(i => ds.ensureStream(Map("lj" -> s"s$i")))
+    def batch(dayOffset: Int) = (for {
+      id <- ids; h <- 0 until 24; m <- Seq(0, 30)
+    } yield (id, java.sql.Timestamp.valueOf(
+        f"2024-02-${10 + dayOffset}%02d $h%02d:$m%02d:00"), 1.0 * h + m))
+      .toDF("stream_id", "t", "v")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // batch 1 primes the store (first-materialization paths skip the HWM
+    // scan); batch 2 is the steady-state live shape under test
+    val r1 = ds.appendMultiple(batch(0), checkTimestamp = false)
+    r1.maxT.foreach(hi => ds.downsampleStreams(hi))
+    val r2 = ds.appendMultiple(batch(1), checkTimestamp = false)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      r2.maxT.foreach(hi => ds.downsampleStreams(hi))
+      // listener events are async; settle before reading the counter
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(100) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    val n = jobs.get()
+    assert(n > 0 && n <= 30, s"steady-state ladder run used $n jobs (bound 30)")
+    // and the rollups are complete: day 1 is the only COMPLETED day
+    // bucket (day 2's bucket ends after until=23:30, the completed-bucket
+    // rule holds it back)
+    val days = ds.getData(ids.head, graft.model.Granularity.Days).count()
+    assert(days == 1L, s"days rollup rows: $days")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     val orders = (1L to 1000L).map(i => (i, s"o$i")).toDF("okey", "odata")
