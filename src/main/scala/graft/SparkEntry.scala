@@ -3110,6 +3110,101 @@ object SparkEntry {
         .orderBy("bucket")
     },
 
+    "graph_lpa_communities" -> { (s, dir) =>
+      // community detection on the co-purchase graph: 2 fixed rounds of
+      // synchronous label propagation (most-frequent neighbor label,
+      // ties to the smallest — the packed-BIGINT election). Fixed rounds
+      // keep the result an unrollable deterministic function of the
+      // edge set; output is the community-size table.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graphs.labelPropagation(edges, rounds = 2)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    },
+
+    "q_rfm_segments" -> { (s, dir) =>
+      // RFM customer segmentation over purchase events: recency in days
+      // vs the corpus's last purchase date, frequency count, monetary
+      // exact cents; each metric quintiled by ntile(5) over a TOTAL
+      // order (metric, user_id) so bucket assignment is deterministic
+      // and engine-identical. The three global ntile windows are
+      // single-partition by design — user-dimension scale, the
+      // q_ntile_cume precedent.
+      val ev = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val agg = ev.groupBy("user_id").agg(max("d").as("last_d"),
+        count(lit(1)).as("f_cnt"), sum("cents").as("m_cents"))
+      val ref = ev.agg(max("d").as("ref_d"))
+      agg.crossJoin(broadcast(ref))
+        .withColumn("r_days", datediff(col("ref_d"), col("last_d")).cast("long"))
+        .withColumn("r_b", ntile(5).over(
+          Window.orderBy(col("r_days").desc, col("user_id"))).cast("long"))
+        .withColumn("f_b", ntile(5).over(
+          Window.orderBy(col("f_cnt"), col("user_id"))).cast("long"))
+        .withColumn("m_b", ntile(5).over(
+          Window.orderBy(col("m_cents"), col("user_id"))).cast("long"))
+        .withColumn("segment", col("r_b") * 100 + col("f_b") * 10 + col("m_b"))
+        .select("user_id", "r_days", "f_cnt", "m_cents", "r_b", "f_b",
+          "m_b", "segment")
+        .orderBy("user_id")
+    },
+
+    "text_ngram_novelty" -> { (s, dir) =>
+      // per-doc n-gram novelty (curriculum/dup-pressure signal): the
+      // fraction of a doc's distinct word-3-grams whose global FIRST
+      // occurrence (min doc_id) is this doc. Grams shuffle as 60-bit
+      // md5-prefix BIGINTs (the oracle-reproducible hash lane), never
+      // strings; the words array is materialized ONCE and indexed (the
+      // higher-order-lambda O(n²) trap). One explode + two keyed aggs +
+      // one equi-join — corpus-linear.
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+      val grams = d.where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)")
+            .as("gh"))
+        .distinct()
+      val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_bp", expr("(10000 * n_novel) div n_grams"))
+        .orderBy("doc_id")
+    },
+
+    "emb_matryoshka_recall" -> { (s, dir) =>
+      // Matryoshka-style prefix-dimension retrieval audit: top-3 by the
+      // 16-dim PREFIX cosine vs top-3 by the full 64-dim cosine, overlap
+      // per query as exact integers — the evaluation that decides
+      // whether truncated embeddings are servable. Sliced arrays are
+      // localCheckpoint'd BEFORE the broadcast NLJ (CollapseProject
+      // would rebuild every slice per joined row).
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val full = Similarity.cosineTopK(e, broadcast(q), 3).select("qid", "cid")
+      val ep = e.select(col("vec_id"), expr("slice(emb, 1, 16)").as("emb"))
+        .localCheckpoint(true)
+      val qp = ep.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val pref = Similarity.cosineTopK(ep, broadcast(qp), 3).select("qid", "cid")
+      val hits = full.join(pref, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      q.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("overlap_bp", expr("(10000L * n_overlap) div 3L"))
+        .orderBy("qid")
+    },
+
     "er_fuzzy_parts" -> { (s, dir) =>
       // fuzzy entity resolution on the part-name VALUE space: block on
       // the product noun (last token), length-band prefilter, then
@@ -5432,6 +5527,114 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vertices,
         |  min(deg) AS min_deg, max(deg) AS max_deg
         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "graph_lpa_communities" ->
+      // same support-2 edges; 2 synchronous LPA rounds unrolled as
+      // MATERIALIZED CTEs with the identical packed (count, label)
+      // election key
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT vtx,
+        |  CAST(vtx AS BIGINT) AS label FROM und),
+        |c1 AS MATERIALIZED (SELECT und.vtx, l0.label,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM und JOIN l0 ON und.nbr = l0.vtx GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT vtx, 999999999 -
+        |    (max(cnt * 1000000000 + (999999999 - label)) % 1000000000)
+        |    AS label
+        |  FROM c1 GROUP BY vtx),
+        |c2 AS MATERIALIZED (SELECT und.vtx, l1.label,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM und JOIN l1 ON und.nbr = l1.vtx GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT vtx, 999999999 -
+        |    (max(cnt * 1000000000 + (999999999 - label)) % 1000000000)
+        |    AS label
+        |  FROM c2 GROUP BY vtx)
+        |SELECT CAST(label AS BIGINT) AS community,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM l2 GROUP BY label ORDER BY community""".stripMargin,
+
+    "q_rfm_segments" ->
+      // identical total orders under ntile(5); datediff ≡
+      // date_diff('day', a, b); exact cents
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT user_id, max(d) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS f_cnt,
+        |    CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM ev GROUP BY user_id),
+        |r AS (SELECT *, CAST(date_diff('day', last_d,
+        |    (SELECT max(d) FROM ev)) AS BIGINT) AS r_days FROM a),
+        |b AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT)
+        |      AS r_b,
+        |    CAST(ntile(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_b,
+        |    CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_b
+        |  FROM r)
+        |SELECT user_id, r_days, f_cnt, m_cents, r_b, f_b, m_b,
+        |  r_b * 100 + f_b * 10 + m_b AS segment
+        |FROM b ORDER BY user_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      // same 60-bit md5-prefix gram hashes; DuckDB list indexing is
+      // 1-based and range() is the scalar-list lateral workaround
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w,
+        |    unnest(range(0, len(w) - 2)) AS i
+        |  FROM d WHERE len(w) >= 3),
+        |g AS (SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(
+        |      md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15))
+        |      AS BIGINT) AS gh
+        |  FROM ix),
+        |f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+        |n AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gh) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  (10000 * n_novel) // n_grams AS novelty_bp
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "emb_matryoshka_recall" ->
+      // both top-3 sets fully rank-pinned ((sim desc, cid)); slicing is
+      // exact, so the prefix cosines fold bit-identically too
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+        |pf AS (SELECT qid, e.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qemb, emb)
+        |        / (sqrt(list_dot_product(qemb, qemb))
+        |           * sqrt(list_dot_product(emb, emb))) DESC, e.vec_id)
+        |      AS rnk
+        |  FROM q, e WHERE e.vec_id <> qid),
+        |full3 AS (SELECT qid, cid FROM pf WHERE rnk <= 3),
+        |ep AS (SELECT vec_id, emb[1:16] AS emb FROM e),
+        |qp AS (SELECT vec_id AS qid, emb AS qemb FROM ep WHERE vec_id < 20),
+        |pp AS (SELECT qid, ep.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qemb, emb)
+        |        / (sqrt(list_dot_product(qemb, qemb))
+        |           * sqrt(list_dot_product(emb, emb))) DESC, ep.vec_id)
+        |      AS rnk
+        |  FROM qp, ep WHERE ep.vec_id <> qid),
+        |pref3 AS (SELECT qid, cid FROM pp WHERE rnk <= 3),
+        |h AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM full3 f JOIN pref3 p ON f.qid = p.qid AND f.cid = p.cid
+        |  GROUP BY f.qid)
+        |SELECT q.qid, coalesce(h.n_overlap, 0) AS n_overlap,
+        |  (10000 * coalesce(h.n_overlap, 0)) // 3 AS overlap_bp
+        |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
 
     "er_fuzzy_parts" ->
       // same blocking (last token) + length band + levenshtein <= 2 on

@@ -324,4 +324,40 @@ object Graphs {
     }
     visited
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over an undirected edge list, run for `rounds` FIXED rounds:
+    * every vertex starts labeled with its own id; each round it adopts
+    * the most frequent label among its neighbors, ties to the smallest
+    * label. Fixed rounds + the packed (count, label) BIGINT election key
+    * make the result a deterministic integer function of the edge set —
+    * unrollable as SQL CTEs for the oracle — where run-to-convergence
+    * LPA oscillates order-dependently. Requires vertex ids < 10⁹ (the
+    * pack reserves 9 digits for the label; co-purchase part keys are
+    * ≤10⁶ at every SF). Per round: one neighbor-label equi-join + two
+    * keyed aggs — O(E) with no per-vertex loop; lineage is checkpointed
+    * per round (iterative rule). Returns (vtx, label).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("vtx"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("vtx"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var labels = und.select(col("vtx")).distinct()
+      .withColumn("label", col("vtx").cast("long")).localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      labels = und
+        .join(labels.select(col("vtx").as("nbr"), col("label")), "nbr")
+        .groupBy("vtx", "label").agg(count(lit(1)).as("cnt"))
+        // (count desc, label asc) election as ONE max over a packed key:
+        // 9 label digits under the count — exact cross-engine, no
+        // arg_max struct ordering needed (the DuckDB invariant)
+        .withColumn("pack",
+          col("cnt") * 1000000000L + (lit(999999999L) - col("label")))
+        .groupBy("vtx").agg(max("pack").as("p"))
+        .select(col("vtx"),
+          (lit(999999999L) - col("p") % 1000000000L).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -1609,6 +1609,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.values.sum <= 1000000000000L)
   }
 
+  test("label propagation: hand-computed synchronous rounds (most-frequent neighbor, ties to smallest)") {
+    import spark.implicits._
+    // triangle 1-2-3 + pendant 4 on 3. Round 1 (all labels distinct, so
+    // every election is a tie -> min neighbor): 1->2, 2->1, 3->1, 4->3.
+    // Round 2: v1 sees {1,1} -> 1 by count; v2 sees {2,1} tie -> 1;
+    // v3 sees {2,1,3} tie -> 1; v4 sees {1} -> 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    def lbls(rounds: Int) = graft.operators.Graphs
+      .labelPropagation(edges, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbls(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(lbls(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("ANN training samples are row-budget-bounded at every SF (stride derived from a corpus count, not caller-supplied)") {
     // the r9 verdict's ask: the driver-side Lloyd training collect must
     // be an operator invariant, never a caller burden. boundedStride
