@@ -339,8 +339,13 @@ object Graphs {
     * per round (iterative rule). Returns (vtx, label).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val und = edges.select(col("u").as("vtx"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("vtx"), col("u").as("nbr")))
+    // both directions in ONE pass over the edge subtree — a Union of two
+    // selects would plan (and run) an expensive uncheckpointed edge
+    // build twice (the graph_degree_dist lesson)
+    val und = edges.select(explode(array(
+        struct(col("u").as("vtx"), col("v").as("nbr")),
+        struct(col("v").as("vtx"), col("u").as("nbr")))).as("p"))
+      .select(col("p.vtx").as("vtx"), col("p.nbr").as("nbr"))
       .localCheckpoint(true)
     var labels = und.select(col("vtx")).distinct()
       .withColumn("label", col("vtx").cast("long")).localCheckpoint(true)
