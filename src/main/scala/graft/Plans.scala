@@ -44,7 +44,9 @@ object Plans {
         "ds_burstiness", "q_benford_digits", "emb_ann_recall",
         "pipe_dedup_priority", "text_readability", "q_asof_tolerance",
         "graph_degree_dist", "pipe_feature_bins", "pipe_dataset_card",
-        "pipe_bootstrap")
+        "pipe_bootstrap", "graph_lpa_communities", "q_rfm_segments",
+        "text_ngram_novelty", "emb_matryoshka_recall", "q_percentile_disc",
+        "pipe_ks_drift")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

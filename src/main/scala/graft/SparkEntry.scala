@@ -3162,6 +3162,9 @@ object SparkEntry {
       // one equi-join — corpus-linear.
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+      // the 16-byte-per-gram (doc_id, gh) table feeds two consumers
+      // (first-occurrence agg + attribution join) — checkpoint it so the
+      // corpus is scanned and md5'd ONCE, not once per consumer
       val grams = d.where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w) - 3), " +
@@ -3170,6 +3173,7 @@ object SparkEntry {
           expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)")
             .as("gh"))
         .distinct()
+        .localCheckpoint(true)
       val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
       grams.join(first, "gh")
         .groupBy("doc_id")
