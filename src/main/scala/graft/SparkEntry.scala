@@ -3184,6 +3184,61 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_novelty_stream" -> { (s, dir) =>
+      // STREAMING n-gram novelty under the oracle: the documents corpus
+      // replayed doc_id-ordered through Streaming.ngramNoveltyStream in
+      // three micro-batches. First-arrival-wins + ordered arrival ⇒ the
+      // gram attribution equals global min(doc_id), so this shares
+      // text_ngram_novelty's oracle SQL verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-novelty-q").toString
+      val rows = tbl(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF.toDF("doc_id", "text")
+        val q = graft.streaming.Streaming
+          .ngramNoveltyStream(src, s"$work/state", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt").start()
+        try {
+          val (b1, rest) = rows.splitAt(rows.length / 3)
+          val (b2, b3) = rest.splitAt(rest.length / 2)
+          Seq(b1, b2, b3).foreach { bd =>
+            mem.addData(bd.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$work/out")
+        .select("doc_id", "n_grams", "n_novel", "novelty_bp")
+        .orderBy("doc_id")
+    },
+
+    "text_lang_fertility" -> { (s, dir) =>
+      // per-language token-density profile (tokenizer-budget planning):
+      // docs, whitespace tokens, chars, and exact-integer bp ratios.
+      // size(split(text,' ')) is declarative — the
+      // ReduceSplitSizeToNTokens rule strength-reduces it to the
+      // graft_ntokens byte scan, no token array materialized.
+      tbl(s, dir, "documents")
+        .select(col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ntok"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+          sum("n_chars").as("n_chars_total"))
+        .withColumn("tok_per_doc_bp",
+          expr("(10000 * n_tokens) div n_docs"))
+        .withColumn("tok_per_100chars_bp",
+          expr("(1000000 * n_tokens) div n_chars_total"))
+        .orderBy("lang")
+    },
+
     "emb_matryoshka_recall" -> { (s, dir) =>
       // Matryoshka-style prefix-dimension retrieval audit: top-3 by the
       // 16-dim PREFIX cosine vs top-3 by the full 64-dim cosine, overlap
@@ -3620,6 +3675,33 @@ object SparkEntry {
       |SELECT g.vec_id, g.cell, d.dup_of, d.sim
       |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
       |ORDER BY g.vec_id""".stripMargin
+
+  /** Per-doc n-gram novelty recomputation, shared VERBATIM by the batch
+    * text_ngram_novelty and streaming text_novelty_stream (ordered-replay
+    * first-arrival attribution ≡ global min doc_id) gate queries. Same
+    * 60-bit md5-prefix gram hashes; DuckDB list indexing is 1-based and
+    * unnest(range(...)) is the scalar-list lateral workaround.
+    */
+  private val ngramNoveltyOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |ix AS (SELECT doc_id, w,
+      |    unnest(range(0, len(w) - 2)) AS i
+      |  FROM d WHERE len(w) >= 3),
+      |g AS (SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substring(
+      |      md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15))
+      |      AS BIGINT) AS gh
+      |  FROM ix),
+      |f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+      |n AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_novel
+      |  FROM g JOIN f USING (gh) GROUP BY g.doc_id)
+      |SELECT doc_id, n_grams, n_novel,
+      |  (10000 * n_novel) // n_grams AS novelty_bp
+      |FROM n ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5586,28 +5668,27 @@ object SparkEntry {
         |  r_b * 100 + f_b * 10 + m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
 
-    "text_ngram_novelty" ->
-      // same 60-bit md5-prefix gram hashes; DuckDB list indexing is
-      // 1-based and range() is the scalar-list lateral workaround
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |ix AS (SELECT doc_id, w,
-        |    unnest(range(0, len(w) - 2)) AS i
-        |  FROM d WHERE len(w) >= 3),
-        |g AS (SELECT DISTINCT doc_id,
-        |    CAST(('0x' || substring(
-        |      md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15))
-        |      AS BIGINT) AS gh
-        |  FROM ix),
-        |f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
-        |n AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_novel
-        |  FROM g JOIN f USING (gh) GROUP BY g.doc_id)
-        |SELECT doc_id, n_grams, n_novel,
-        |  (10000 * n_novel) // n_grams AS novelty_bp
-        |FROM n ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" -> ngramNoveltyOracleSql,
+
+    // streaming twin: first-arrival-wins + doc_id-ordered replay ⇒ the
+    // decision table equals the batch lane exactly — same SQL verbatim
+    "text_novelty_stream" -> ngramNoveltyOracleSql,
+
+    "text_lang_fertility" ->
+      // identical whitespace-token count: Spark size(split) ≡ DuckDB
+      // len(string_split) (both count empty tokens); exact integer bp
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  (10000 * CAST(sum(ntok) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS tok_per_doc_bp,
+        |  (1000000 * CAST(sum(ntok) AS BIGINT))
+        |    // CAST(sum(n_chars) AS BIGINT) AS tok_per_100chars_bp
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "emb_matryoshka_recall" ->
       // both top-3 sets fully rank-pinned ((sim desc, cid)); slicing is

@@ -811,6 +811,75 @@ object Streaming {
       }
   }
 
+  /** Streaming n-gram NOVELTY scoring — the in-flight variant of the
+    * text_ngram_novelty lane: each arriving document is scored by the
+    * fraction of its distinct word-3-grams whose global FIRST occurrence
+    * is this document, against everything seen earlier (prior batches via
+    * the persistent gram index, smaller doc_ids within its own batch).
+    * The curriculum/dup-pressure signal, computed as data lands instead
+    * of in a nightly sweep.
+    *
+    * State (`stateDir/grams`) holds one row per DISTINCT gram ever seen —
+    * (gh, first_doc), written only in the batch that first sees the gram
+    * — so state size is corpus-distinct-gram scale and per-batch state
+    * writes are novel-grams-only, never a rewrite. Grams travel as
+    * 60-bit md5-prefix BIGINTs (the oracle-reproducible hash lane).
+    * Sinks partition by batch_id with dynamic overwrite and state reads
+    * filter batch_id < current: at-least-once re-delivery recomputes
+    * identical rows and replaces its own partitions. First-arrival-wins
+    * makes the scores batch-split-invariant, and under doc_id-ordered
+    * replay the output equals the batch lane exactly — the
+    * text_novelty_stream gate query shares text_ngram_novelty's oracle
+    * SQL verbatim. [[compactDedupState]] folds the per-batch state
+    * partitions like every other streaming-dedup state dir.
+    */
+  def ngramNoveltyStream(docs: DataFrame, stateDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val gramSchema = StructType(Seq(
+      StructField("gh", LongType), StructField("first_doc", LongType),
+      StructField("batch_id", LongType)))
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long"), col("text"))
+          .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), " +
+              "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)")
+              .as("gh"))
+          .distinct()
+          .localCheckpoint(true)
+        val seen = stateOrEmpty(s, s"$stateDir/grams", gramSchema, batchId)
+          .select(col("gh"), col("first_doc"))
+        // per gram: the smallest doc_id in THIS batch, and whether an
+        // earlier batch already owns it
+        val batchFirst = b.groupBy("gh").agg(min("doc_id").as("batch_first"))
+        val attributed = batchFirst
+          .join(seen, Seq("gh"), "left")
+          .withColumn("owner", coalesce(col("first_doc"), col("batch_first")))
+          .localCheckpoint(true)
+        val scored = b.join(attributed.select("gh", "owner"), Seq("gh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_bp", expr("(10000 * n_novel) div n_grams"))
+        def sink(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId)).write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite").parquet(dir)
+        sink(scored, outDir)
+        // index only the grams this batch saw FIRST
+        sink(attributed.where(col("first_doc").isNull)
+          .select(col("gh"), col("batch_first").as("first_doc")),
+          s"$stateDir/grams")
+      }
+  }
+
   /** Streaming NEAR-dup dedup (MinHash+LSH) — the in-flight variant of
     * [[graft.operators.Dedup.incrementalNearDuplicatesPrebanded]], with
     * first-arrival-wins keeper election. A document is a duplicate iff it

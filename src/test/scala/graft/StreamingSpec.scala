@@ -720,6 +720,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming n-gram novelty == batch scoring, split-invariant under ordered replay") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // batch reference = the text_ngram_novelty gate lane
+    val batchRef = SparkEntry.queries("text_ngram_novelty")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (nBatches <- Seq(1, 4)) {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-noveltystream-spec").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.ngramNoveltyStream(mem.toDF.toDF("doc_id", "text"),
+          s"$work/state", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try {
+        val size = math.max(1, rows.length / nBatches)
+        rows.grouped(size).foreach { bd =>
+          mem.addData(bd.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$work/out")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+      assert(streamed == batchRef,
+        s"$nBatches-batch novelty replay diverges from the batch lane")
+    }
+  }
+
   test("in-loop dedup-state compaction: long run stays partition-bounded, survivors identical to uncompacted") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
