@@ -1051,18 +1051,29 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           needs.partition(id => hgOf(id).seconds < prev.seconds)
 
         // high-water mark per stream at this level, from the front-loaded
-        // scan — the broadcast builds from driver-local rows, no job
+        // scan. Small active sets inline as a literal map filter (no join
+        // stage, one fewer AQE job per level); large ones ride a
+        // broadcast join (a million-entry literal would explode the
+        // plan) — the filterToStreams tiering.
         val levelExists = scannable.contains(g.name)
-        lazy val existing = broadcast(
-          hwmByLevel.getOrElse(g.name, Seq.empty).toDF("stream_id", "hwm"))
+        val hwms = hwmByLevel.getOrElse(g.name, Seq.empty)
 
         def newBuckets(src: DataFrame): DataFrame =
-          if (!levelExists) src
-          else src
-            .join(existing, Seq("stream_id"), "left")
-            .where(col("hwm").isNull ||
-                   unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
-            .drop("hwm")
+          if (!levelExists || hwms.isEmpty) src
+          else if (hwms.size <= 256) {
+            val m = typedLit(hwms.map { case (id, t) =>
+              id -> Math.floorDiv(t.getTime, 1000L)
+            }.toMap)
+            src.where(element_at(m, col("stream_id")).isNull ||
+              unix_timestamp(col("t")) >=
+                element_at(m, col("stream_id")) + g.seconds)
+          } else {
+            val existing = broadcast(hwms.toDF("stream_id", "hwm"))
+            src.join(existing, Seq("stream_id"), "left")
+              .where(col("hwm").isNull ||
+                     unix_timestamp(col("t")) >= unix_timestamp(col("hwm")) + g.seconds)
+              .drop("hwm")
+          }
 
         def rawOf(idsSel: Seq[String]): DataFrame = filterToStreams(
           datapoints.where(
