@@ -3124,6 +3124,36 @@ object SparkEntry {
         .orderBy("community")
     },
 
+    "graph_lpa_modularity" -> { (s, dir) =>
+      // partition-quality audit for the LPA communities: per community,
+      // intra-community edge count e_c, total degree d_c, and the EXACT
+      // modularity numerator 4·m·e_c − d_c² (global Q = Σ/(4m²) — an
+      // exact BIGINT fraction, no float division anywhere; headroom:
+      // m ≤ 10⁶ edges ⇒ |terms| ≤ 4·10¹²). Edge list and label table
+      // are checkpointed once for their 3 consumers each.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .select("u", "v").localCheckpoint(true)
+      val lab = Graphs.labelPropagation(edges, rounds = 2)
+      val intra = edges
+        .join(lab.select(col("vtx").as("u"), col("label").as("lu")), "u")
+        .join(lab.select(col("vtx").as("v"), col("label").as("lv")), "v")
+        .where(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_intra"))
+      val degs = edges.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .join(lab, "vtx")
+        .groupBy(col("label").as("community")).agg(count(lit(1)).as("d_total"))
+      val mem = lab.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      mem.join(intra, Seq("community"), "left").na.fill(0L, Seq("e_intra"))
+        .join(degs, "community")
+        .crossJoin(broadcast(m))
+        .withColumn("q_num", expr("4 * m * e_intra - d_total * d_total"))
+        .select("community", "n_members", "e_intra", "d_total", "q_num")
+        .orderBy("community")
+    },
+
     "q_rfm_segments" -> { (s, dir) =>
       // RFM customer segmentation over purchase events: recency in days
       // vs the corpus's last purchase date, frequency count, monetary
@@ -5645,6 +5675,54 @@ object SparkEntry {
         |SELECT CAST(label AS BIGINT) AS community,
         |  CAST(count(*) AS BIGINT) AS n_members
         |FROM l2 GROUP BY label ORDER BY community""".stripMargin,
+
+    "graph_lpa_modularity" ->
+      // the LPA chain (identical packed election) extended with the
+      // exact-integer modularity accounting
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT vtx,
+        |  CAST(vtx AS BIGINT) AS label FROM und),
+        |c1 AS MATERIALIZED (SELECT und.vtx, l0.label,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM und JOIN l0 ON und.nbr = l0.vtx GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT vtx, 999999999 -
+        |    (max(cnt * 1000000000 + (999999999 - label)) % 1000000000)
+        |    AS label
+        |  FROM c1 GROUP BY vtx),
+        |c2 AS MATERIALIZED (SELECT und.vtx, l1.label,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM und JOIN l1 ON und.nbr = l1.vtx GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT vtx, CAST(999999999 -
+        |    (max(cnt * 1000000000 + (999999999 - label)) % 1000000000)
+        |    AS BIGINT) AS label
+        |  FROM c2 GROUP BY vtx),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        |intra AS (SELECT la.label AS community,
+        |    CAST(count(*) AS BIGINT) AS e_intra
+        |  FROM e0 JOIN l2 la ON e0.u = la.vtx JOIN l2 lb ON e0.v = lb.vtx
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |degs AS (SELECT la.label AS community,
+        |    CAST(count(*) AS BIGINT) AS d_total
+        |  FROM (SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0) x
+        |  JOIN l2 la ON x.vtx = la.vtx GROUP BY 1),
+        |mem AS (SELECT label AS community,
+        |    CAST(count(*) AS BIGINT) AS n_members FROM l2 GROUP BY 1)
+        |SELECT mem.community, mem.n_members,
+        |  CAST(coalesce(intra.e_intra, 0) AS BIGINT) AS e_intra,
+        |  degs.d_total,
+        |  4 * m.m * CAST(coalesce(intra.e_intra, 0) AS BIGINT)
+        |    - degs.d_total * degs.d_total AS q_num
+        |FROM mem
+        |LEFT JOIN intra ON intra.community = mem.community
+        |JOIN degs ON degs.community = mem.community, m
+        |ORDER BY mem.community""".stripMargin,
 
     "q_rfm_segments" ->
       // identical total orders under ntile(5); datediff ≡

@@ -1621,6 +1621,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lbls(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
     assert(lbls(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // modularity sanity on the converged single community: Q of the
+    // whole-graph partition is exactly 0 (e_c = m, d_c = 2m ⇒
+    // 4·m·m − (2m)² = 0) — the integer lane must land exactly there
+    // m=4: q_num = 4·4·4 − 8² = 0
   }
 
   test("ANN training samples are row-budget-bounded at every SF (stride derived from a corpus count, not caller-supplied)") {
