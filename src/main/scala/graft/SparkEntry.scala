@@ -414,6 +414,23 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "q_asof_nearest" -> { (s, dir) =>
+      // nearest-event join: each click aligned to its CLOSEST purchase
+      // in either direction (seconds-floored distance, ties backward) —
+      // the alignment rule when "latest before" is too strict and the
+      // next reading is closer. Union + both-direction running windows,
+      // one shuffle.
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pv"))
+      graft.operators.AsOf.joinNearest(clicks, purchases,
+          key = "user_id", tCol = "ts", valueCol = "pv",
+          out = "nearest_purchase")
+        .orderBy("event_id")
+    },
+
     "q_distinct_counts" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -3863,6 +3880,31 @@ object SparkEntry {
         |    THEN r.pv END AS recent_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      // two ASOF joins (DuckDB supports both inequality directions);
+      // nearer wins on floored-epoch distance, ties backward
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pv FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT l.event_id, l.user_id, l.ts, l.value,
+        |    r.ts AS bt, r.pv AS bv
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND r.ts <= l.ts),
+        |f AS (SELECT l.event_id, r.ts AS ft, r.pv AS fv
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND r.ts >= l.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN bt IS NULL THEN fv
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN CAST(floor(epoch(b.ts)) AS BIGINT)
+        |           - CAST(floor(epoch(bt)) AS BIGINT)
+        |         <= CAST(floor(epoch(ft)) AS BIGINT)
+        |           - CAST(floor(epoch(b.ts)) AS BIGINT) THEN bv
+        |       ELSE fv END AS nearest_purchase
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin,
 
     "q_distinct_counts" ->
       """SELECT l_returnflag,

@@ -48,6 +48,48 @@ object AsOf {
     * along so the staleness bound is applied per row after the window.
     * `tCol` must be a timestamp column on both sides.
     */
+  /** Nearest-event join (either direction): for each left row, the right
+    * value whose timestamp is CLOSEST in floored epoch seconds; distance
+    * ties break BACKWARD (the last reading wins over the next one — the
+    * convention that keeps `r.t == l.t` matches identical to [[join]]).
+    * Same union + running-window shape as [[join]], run in BOTH
+    * directions over one shuffle (the forward lane is a DESC-ordered
+    * GROWING frame — a CURRENT→FOLLOWING frame would shrink and
+    * re-evaluate per row, the O(n²) trap). Seconds-floored distance is
+    * the cross-engine-exact comparison (DuckDB epoch() is fractional).
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+      tCol: String, valueCol: String, out: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rt", lit(null).cast("timestamp"))
+    val r = right.select(col(key), col(tCol), col(valueCol).as("__rv"))
+      .withColumn("__rt", col(tCol))
+      .withColumn("__is_left", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // rights sort before lefts at equal t in BOTH directions, so an
+    // exactly-aligned right row is visible to each lane
+    val wb = Window.partitionBy(key).orderBy(col(tCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(key).orderBy(col(tCol).desc, col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__bv", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+      .withColumn("__fv", last(col("__rv"), ignoreNulls = true).over(wf))
+      .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wf))
+      .where(col("__is_left") === 1)
+      .withColumn(out,
+        when(col("__bt").isNull, col("__fv"))
+          .when(col("__ft").isNull, col("__bv"))
+          .when(unix_timestamp(col(tCol)) - unix_timestamp(col("__bt")) <=
+                unix_timestamp(col("__ft")) - unix_timestamp(col(tCol)),
+            col("__bv"))
+          .otherwise(col("__fv")))
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
+
   def joinWithin(left: DataFrame, right: DataFrame, key: String,
       tCol: String, valueCol: String, out: String,
       toleranceSec: Long): DataFrame = {

@@ -1609,6 +1609,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.values.sum <= 1000000000000L)
   }
 
+  test("joinNearest: backward/forward election, exact-midpoint tie breaks backward, one-sided edges") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val right = Seq(("k", ts(100), 1.0), ("k", ts(200), 2.0))
+      .toDF("key", "ts", "v")
+    val left = Seq(
+      ("k", ts(140)), // Δ40 back vs Δ60 fwd -> 1.0
+      ("k", ts(160)), // Δ60 back vs Δ40 fwd -> 2.0
+      ("k", ts(150)), // exact midpoint -> backward 1.0
+      ("k", ts(50)),  // nothing behind -> forward 1.0
+      ("k", ts(250)), // nothing ahead -> backward 2.0
+      ("z", ts(100))  // no rights at all -> null
+    ).toDF("key", "ts")
+    val out = graft.operators.AsOf.joinNearest(left, right,
+        "key", "ts", "v", "nearest")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.get(2)))).toSet
+    assert(out == Set(
+      ("k", 140L, Some(1.0)), ("k", 160L, Some(2.0)),
+      ("k", 150L, Some(1.0)), ("k", 50L, Some(1.0)),
+      ("k", 250L, Some(2.0)), ("z", 100L, None)))
+  }
+
   test("label propagation: hand-computed synchronous rounds (most-frequent neighbor, ties to smallest)") {
     import spark.implicits._
     // triangle 1-2-3 + pendant 4 on 3. Round 1 (all labels distinct, so
