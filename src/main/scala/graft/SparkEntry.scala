@@ -551,6 +551,51 @@ object SparkEntry {
         .orderBy("a_user_id", "a_sess_id", "b_user_id", "b_sess_id")
     },
 
+    "drv_iqr_outliers" -> { (s, dir) =>
+      // Tukey-fence anomaly counts per stream on DISCRETE quartiles
+      // (type-1 order statistics — actual data values, rank arithmetic
+      // pure integer like q_percentile_disc). The 1.5×IQR fences compare
+      // as `2v > 2q3 + 3(q3−q1)` — one fixed expression shape, never a
+      // 1.5 float literal, so the doubles agree bit-for-bit. pts is
+      // checkpointed once for its three consumers.
+      val pts = pointStreams(s, dir).localCheckpoint(true)
+      val counts = pts.groupBy("stream_id").agg(count(lit(1)).as("n"))
+      val ranked = pts.withColumn("rn", row_number().over(
+          Window.partitionBy("stream_id").orderBy("v", "t")))
+        .join(broadcast(counts), "stream_id")
+      val quarts = ranked.groupBy("stream_id").agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"),
+        max("n").as("n"))
+      pts.join(broadcast(quarts), "stream_id")
+        .groupBy("stream_id")
+        .agg(max("n").as("n"),
+          sum(when(
+            col("v") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3 ||
+            col("v") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3,
+            1L).otherwise(0L)).as("n_outliers"),
+          max("q1").as("q1"), max("q3").as("q3"))
+        .orderBy("stream_id")
+    },
+
+    "q_next_event_probs" -> { (s, dir) =>
+      // first-order journey model: the event-type transition matrix over
+      // (sec, event_id)-ordered per-user sequences, probabilities in
+      // exact integer bp. One window shuffle on user_id + two tiny aggs.
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+      val pairs = ev.groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val totals = pairs.groupBy("cur").agg(sum("n_pairs").as("n_total"))
+      pairs.join(totals, "cur")
+        .withColumn("p_bp", expr("(10000 * n_pairs) div n_total"))
+        .select("cur", "nxt", "n_pairs", "n_total", "p_bp")
+        .orderBy("cur", "nxt")
+    },
+
     "drv_mad_outliers" -> { (s, dir) =>
       // robust per-stream anomaly detection: median/MAD with the
       // 3×1.4826 consistency cut — immune to the outliers that poison a
@@ -4104,6 +4149,44 @@ object SparkEntry {
         |  sum(v) AS v
         |FROM src WHERE stream_id LIKE '7:%'
         |GROUP BY 2 ORDER BY t""".stripMargin,
+
+    "drv_iqr_outliers" ->
+      // identical rank arithmetic ((n+3)//4, (3n+3)//4) and the same
+      // doubled-fence expression shape
+      s"""WITH $srcSql, $pointSql,
+        |c AS (SELECT stream_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM pts GROUP BY stream_id),
+        |r AS (SELECT p.stream_id, p.v, c.n,
+        |    CAST(row_number() OVER (PARTITION BY p.stream_id
+        |      ORDER BY p.v, p.t) AS BIGINT) AS rn
+        |  FROM pts p JOIN c USING (stream_id)),
+        |q AS (SELECT stream_id,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3,
+        |    max(n) AS n
+        |  FROM r GROUP BY stream_id)
+        |SELECT p.stream_id, max(q.n) AS n,
+        |  CAST(sum(CASE WHEN p.v * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+        |              OR p.v * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(q.q1) AS q1, max(q.q3) AS q3
+        |FROM pts p JOIN q USING (stream_id)
+        |GROUP BY p.stream_id ORDER BY p.stream_id""".stripMargin,
+
+    "q_next_event_probs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |t AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS nxt
+        |  FROM e),
+        |p AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM t WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, CAST(sum(n_pairs) AS BIGINT) AS n_total
+        |  FROM p GROUP BY cur)
+        |SELECT p.cur, p.nxt, p.n_pairs, tot.n_total,
+        |  (10000 * p.n_pairs) // tot.n_total AS p_bp
+        |FROM p JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin,
 
     "drv_mad_outliers" ->
       s"""WITH $srcSql, $pointSql,
