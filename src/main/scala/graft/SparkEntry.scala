@@ -1275,6 +1275,40 @@ object SparkEntry {
         .orderBy("m")
     },
 
+    "q_mom_growth" -> { (s, dir) =>
+      // month-over-month revenue growth in exact integer bp: BIGINT
+      // cents, lag over the (bounded) month dimension, and the division
+      // runs on a NON-NEGATIVE numerator with the sign re-applied after
+      // — `div`/`//` truncation semantics on negatives never enter.
+      val monthly = tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+      monthly
+        .withColumn("prev_cents", lag("cents", 1).over(Window.orderBy("m")))
+        .withColumn("growth_bp", expr(
+          "CASE WHEN prev_cents IS NOT NULL THEN " +
+            "((10000 * abs(cents - prev_cents)) div prev_cents) * " +
+            "(CASE WHEN cents >= prev_cents THEN 1 ELSE -1 END) END"))
+        .orderBy("m")
+    },
+
+    "pipe_class_balance" -> { (s, dir) =>
+      // deterministic minority-class oversampling to the majority count:
+      // per-language repeat factor = max_n div n (integer floor), each
+      // doc emitted with copy ids 1..factor — the class-balancing pass
+      // before fine-tuning on skewed label distributions. Factors ride a
+      // broadcast; the explode is a generator, no shuffle of copies.
+      val d = tbl(s, dir, "documents").select("doc_id", "lang")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val factors = counts.crossJoin(broadcast(counts.agg(max("n").as("max_n"))))
+        .withColumn("factor", expr("max_n div n"))
+      d.join(broadcast(factors.select("lang", "factor")), "lang")
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1L, factor)")).as("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
     "q_ts_range_reverse" -> { (s, dir) =>
       // get_data A4 semantics: time-range scan, reverse order, projection
       events(s, dir)
@@ -4135,6 +4169,33 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
         |  count(*) AS n_orders, sum(o_totalprice) AS revenue
         |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    "q_mom_growth" ->
+      // same sign-split division: non-negative numerator, sign after
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)
+        |      AS TIMESTAMP) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT m, cents,
+        |    lag(cents) OVER (ORDER BY m) AS prev_cents FROM m)
+        |SELECT m, cents, prev_cents,
+        |  CASE WHEN prev_cents IS NOT NULL THEN
+        |    ((10000 * abs(cents - prev_cents)) // prev_cents) *
+        |    (CASE WHEN cents >= prev_cents THEN 1 ELSE -1 END) END
+        |    AS growth_bp
+        |FROM l ORDER BY m""".stripMargin,
+
+    "pipe_class_balance" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY lang),
+        |f AS (SELECT lang, (SELECT max(n) FROM c) // n AS factor FROM c)
+        |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    unnest(range(1, f.factor + 1)) AS copy
+        |  FROM d JOIN f USING (lang))
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q_ts_range_reverse" ->
       """SELECT event_id, ts, value FROM events
