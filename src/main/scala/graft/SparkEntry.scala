@@ -3365,6 +3365,52 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "emb_cluster_purity" -> { (s, dir) =>
+      // cluster-quality audit: per coarse IVF cell, the majority LABEL
+      // and its share in exact bp — the purity check that decides
+      // whether cells are usable as pseudo-labels. Majority election is
+      // the packed (count, label) BIGINT max (labels < 10⁶); assignment
+      // is the zero-shuffle codegen argmax projection shared with
+      // SemDeDup/prototypes.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+          col("label").cast("long").as("label"))
+      val cents = Similarity.strideCentroids(e.select("vec_id", "emb"), 50)
+      val asg = Similarity.assignCells(e.select("vec_id", "emb"), cents)
+        .select("vec_id", "cell")
+        .join(e.select("vec_id", "label"), "vec_id")
+      val g = asg.groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+      g.withColumn("pack",
+          col("cnt") * 1000000L + (lit(999999L) - col("label")))
+        .groupBy("cell")
+        .agg(sum("cnt").as("n_members"), max("pack").as("p"))
+        .select(col("cell"), col("n_members"),
+          (lit(999999L) - col("p") % 1000000L).as("top_label"),
+          expr("p div 1000000").as("n_top"))
+        .withColumn("purity_bp", expr("(10000 * n_top) div n_members"))
+        .orderBy("cell")
+    },
+
+    "graph_assortativity" -> { (s, dir) =>
+      // degree-assortativity SUFFICIENT STATISTICS of the co-purchase
+      // graph, all exact BIGINTs (Pearson r over edge-endpoint degrees
+      // derives as (m·s_prod − (s_sum/2)²·…)/… downstream — the float
+      // step stays out of the gate): m, Σd_u·d_v, Σ(d_u+d_v),
+      // Σ(d_u²+d_v²). One degree agg + two broadcast-joins + one row.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .select("u", "v").localCheckpoint(true)
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .groupBy("vtx").agg(count(lit(1)).as("deg"))
+      edges
+        .join(broadcast(deg.select(col("vtx").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("vtx").as("v"), col("deg").as("dv"))), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(col("du") * col("dv")).as("s_prod"),
+          sum(col("du") + col("dv")).as("s_sum"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("s_sq"))
+    },
+
     "emb_matryoshka_recall" -> { (s, dir) =>
       // Matryoshka-style prefix-dimension retrieval audit: top-3 by the
       // 16-dim PREFIX cosine vs top-3 by the full 64-dim cosine, overlap
@@ -5953,6 +5999,47 @@ object SparkEntry {
         |  (1000000 * CAST(sum(ntok) AS BIGINT))
         |    // CAST(sum(n_chars) AS BIGINT) AS tok_per_100chars_bp
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "emb_cluster_purity" ->
+      // same argmax cell CTE as emb_prototypes; same packed election
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+        |  WHERE vec_id % 50 = 0),
+        |asg AS (SELECT vec_id, cell, label FROM (
+        |    SELECT x.vec_id, c.cent_id AS cell, x.label,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.emb, c.cemb)
+        |          / (sqrt(list_dot_product(x.emb, x.emb))
+        |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e x, cents c) WHERE rn = 1),
+        |g AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM asg GROUP BY cell, label),
+        |el AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members,
+        |    max(cnt * 1000000 + (999999 - label)) AS p
+        |  FROM g GROUP BY cell)
+        |SELECT cell, n_members, 999999 - (p % 1000000) AS top_label,
+        |  p // 1000000 AS n_top,
+        |  (10000 * (p // 1000000)) // n_members AS purity_bp
+        |FROM el ORDER BY cell""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY vtx)
+        |SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(du.deg * dv.deg) AS BIGINT) AS s_prod,
+        |  CAST(sum(du.deg + dv.deg) AS BIGINT) AS s_sum,
+        |  CAST(sum(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS s_sq
+        |FROM e0
+        |JOIN d du ON e0.u = du.vtx
+        |JOIN d dv ON e0.v = dv.vtx""".stripMargin,
 
     "emb_matryoshka_recall" ->
       // both top-3 sets fully rank-pinned ((sim desc, cid)); slicing is
