@@ -833,7 +833,8 @@ object Streaming {
     * SQL verbatim. [[compactDedupState]] folds the per-batch state
     * partitions like every other streaming-dedup state dir.
     */
-  def ngramNoveltyStream(docs: DataFrame, stateDir: String, outDir: String)
+  def ngramNoveltyStream(docs: DataFrame, stateDir: String, outDir: String,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val gramSchema = StructType(Seq(
@@ -877,6 +878,9 @@ object Streaming {
         sink(attributed.where(col("first_doc").isNull)
           .select(col("gh"), col("batch_first").as("first_doc")),
           s"$stateDir/grams")
+        // same committed-horizon in-loop fold as the dedup streams
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactDedupState(s, stateDir, keepSince = batchId)
       }
   }
 
