@@ -46,7 +46,10 @@ object Plans {
         "graph_degree_dist", "pipe_feature_bins", "pipe_dataset_card",
         "pipe_bootstrap", "graph_lpa_communities", "q_rfm_segments",
         "text_ngram_novelty", "emb_matryoshka_recall", "q_percentile_disc",
-        "pipe_ks_drift")
+        "pipe_ks_drift", "graph_lpa_modularity", "q_asof_nearest",
+        "text_lang_fertility", "drv_iqr_outliers", "q_next_event_probs",
+        "q_mom_growth", "pipe_class_balance", "emb_cluster_purity",
+        "graph_assortativity")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
