@@ -1293,6 +1293,32 @@ object SparkEntry {
         .orderBy("m")
     },
 
+    "q_gini_revenue" -> { (s, dir) =>
+      // revenue-concentration audit per market segment: EXACT integer
+      // Gini. Sort per-customer revenue cents ascending, then
+      // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — numerator and denominator
+      // are BIGINTs (ties in x are permutation-invariant under
+      // row_number: Σi over a tied block is fixed), the bp lane floors a
+      // NON-NEGATIVE numerator (Chebyshev sum inequality on sorted x).
+      // Headroom: 10⁴·2·wsum needs n·total ≤ 4.6e14 — at larger group
+      // sizes consumers should divide num/den themselves.
+      val cust = tbl(s, dir, "orders").groupBy("o_custkey")
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+      val seg = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg"))
+      cust.join(seg, "o_custkey")
+        .withColumn("i", row_number().over(
+          Window.partitionBy("seg").orderBy(col("cents"), col("o_custkey"))))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+          sum(expr("CAST(i AS BIGINT) * cents")).as("wsum"))
+        .withColumn("gini_bp", expr(
+          "(10000 * (2 * wsum - (n + 1) * total_cents)) div (n * total_cents)"))
+        .orderBy("seg")
+    },
+
     "pipe_class_balance" -> { (s, dir) =>
       // deterministic minority-class oversampling to the majority count:
       // per-language repeat factor = max_n div n (integer floor), each
@@ -2880,6 +2906,20 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("a"), col("c")).limit(20)
     },
 
+    "graph_ra_links" -> { (s, dir) =>
+      // link prediction #2 on the same co-purchase graph: the
+      // resource-allocation index (Σ 1/deg over common neighbors) —
+      // degree-penalized where Jaccard is size-normalized, so hub
+      // midpoints stop dominating. Scored entirely in the exact integer
+      // lane (10⁹ div deg per midpoint, BIGINT sum): no ln, no float
+      // summation order, same 2-path + left-anti plan as jaccardLinks.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds the und list AND the anti side
+      Graphs.resourceAllocationLinks(edges)
+        .orderBy(col("ra_ppb").desc, col("a"), col("c")).limit(20)
+    },
+
     "pipe_k_anonymity" -> { (s, dir) =>
       // privacy audit before a training-data release: quasi-identifiers
       // (nation, acctbal kilo-bucket), sensitive attribute mktsegment;
@@ -4231,6 +4271,28 @@ object SparkEntry {
         |    (CASE WHEN cents >= prev_cents THEN 1 ELSE -1 END) END
         |    AS growth_bp
         |FROM l ORDER BY m""".stripMargin,
+
+    "q_gini_revenue" ->
+      // exact integer Gini: ascending row_number rank (tie blocks are
+      // permutation-invariant), BIGINT casts off DuckDB's HUGEINT sums,
+      // floor division on a provably non-negative numerator
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT c_mktsegment AS seg, cents, o_custkey
+        |  FROM cust JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, cents, CAST(row_number() OVER (
+        |    PARTITION BY seg ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM x),
+        |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    CAST(sum(i * cents) AS BIGINT) AS wsum
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n, total_cents, wsum,
+        |  (10000 * (2 * wsum - (n + 1) * total_cents))
+        |    // (n * total_cents) AS gini_bp
+        |FROM g ORDER BY seg""".stripMargin,
 
     "pipe_class_balance" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
@@ -7114,6 +7176,26 @@ object SparkEntry {
         |  CAST(nl.cn AS DOUBLE) / (da.deg + dc.deg - nl.cn) AS jaccard
         |FROM nl JOIN deg da ON da.u = nl.a JOIN deg dc ON dc.u = nl.c
         |ORDER BY jaccard DESC, a, c LIMIT 20""".stripMargin,
+
+    "graph_ra_links" ->
+      // same support-2 edges; midpoint degree joins BEFORE the per-pair
+      // agg, score is the exact 10⁹-div-deg BIGINT sum
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY u),
+        |paths AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM und x
+        |  JOIN und y ON x.v = y.u WHERE x.u < y.v),
+        |sc AS (SELECT p.a, p.c, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1000000000 // d.deg) AS BIGINT) AS ra_ppb
+        |  FROM paths p JOIN deg d ON d.u = p.b GROUP BY p.a, p.c)
+        |SELECT sc.a, sc.c, sc.cn, sc.ra_ppb FROM sc
+        |LEFT JOIN e0 ON e0.u = sc.a AND e0.v = sc.c WHERE e0.u IS NULL
+        |ORDER BY ra_ppb DESC, a, c LIMIT 20""".stripMargin,
 
     "pipe_k_anonymity" ->
       """SELECT c_nationkey,

@@ -240,6 +240,40 @@ object Graphs {
           .as("jaccard"))
   }
 
+  /** Link prediction by the resource-allocation index (Zhou/Lü/Zhang
+    * 2009): for every UNLINKED pair with a common neighbor,
+    * RA(a,c) = Σ_{b ∈ N(a)∩N(c)} 1/deg(b) — like Adamic-Adar but with a
+    * raw (not log) degree penalty, which is what makes an EXACT integer
+    * lane possible: each midpoint contributes `10⁹ div deg(b)` and the
+    * per-pair score is a BIGINT sum — no `ln`, no float summation order,
+    * bit-identical on any engine. Input: distinct edges (u, v) with
+    * u < v. Output (a, c, cn, ra_ppb) with a < c; ra_ppb is the score in
+    * parts-per-billion of a unit midpoint contribution.
+    *
+    * Scale shape: identical to [[jaccardLinks]] — the 2-path equi-join
+    * keeps its midpoint, the midpoint's degree attaches BEFORE the
+    * per-pair aggregation (one extra metadata-scale join against the
+    * degree table), linked pairs leave via left-anti. Work is Σ deg(b)²
+    * under the callers' support sparsification, never corpus².
+    */
+  def resourceAllocationLinks(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("u"), col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val paths = und.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+      .where(col("x.u") < col("y.v"))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val scored = paths
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000L div db")).as("ra_ppb"))
+    scored.join(e0.select(col("u").as("a"), col("v").as("c")),
+        Seq("a", "c"), "left_anti")
+      .select(col("a"), col("c"), col("cn"), col("ra_ppb"))
+  }
+
   /** Multi-source BFS hop distances on an undirected graph, depth-bounded.
     * Input: distinct edges (u, v); seeds (v). Output (v, dist) for every
     * vertex reachable within `maxHops` (seeds at dist 0, first-discovery
