@@ -1319,6 +1319,42 @@ object SparkEntry {
         .orderBy("seg")
     },
 
+    "q_phrase_search" -> { (s, dir) =>
+      // exact two-token phrase search ("sort merge") by token-position
+      // adjacency: the token array materializes as a COLUMN first (the
+      // derived-expr-in-lambda rule), then adjacent pairs come from
+      // zipping two slices of that column — overlapping matches counted,
+      // no regex (engine regex dialects diverge; token positions don't).
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      d.withColumn("hits", expr(
+          "CAST(size(filter(zip_with(slice(w, 1, size(w) - 1), " +
+            "slice(w, 2, size(w) - 1), " +
+            "(x, y) -> x = 'sort' AND y = 'merge'), b -> b)) AS BIGINT)"))
+        .where(col("hits") > 0)
+        .select("doc_id", "hits")
+        .orderBy(col("hits").desc, col("doc_id")).limit(20)
+    },
+
+    "q_decay_popularity" -> { (s, dir) =>
+      // exponentially time-decayed popularity per event type, EXACT
+      // integer lane: half-life = 1 day over a 30-day horizon, so each
+      // event's weight is the BIGINT 2^(30 − age_days) — powers of two
+      // need no float pow and sum exactly on any engine. The horizon cap
+      // is also the overflow bound (2³⁰·n events fits BIGINT at any
+      // realistic n) and the scan prune (only the trailing window reads).
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("event_type"))
+      val maxd = e.agg(max(col("d")).as("maxd"))
+      e.crossJoin(broadcast(maxd))
+        .withColumn("age", datediff(col("maxd"), col("d")))
+        .where(col("age") <= 30)
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), 30 - age)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("wt").as("decay_score"))
+        .orderBy(col("decay_score").desc, col("event_type"))
+    },
+
     "pipe_class_balance" -> { (s, dir) =>
       // deterministic minority-class oversampling to the majority count:
       // per-language repeat factor = max_n div n (integer floor), each
@@ -4293,6 +4329,31 @@ object SparkEntry {
         |  (10000 * (2 * wsum - (n + 1) * total_cents))
         |    // (n * total_cents) AS gini_bp
         |FROM g ORDER BY seg""".stripMargin,
+
+    "q_phrase_search" ->
+      // 1-based list indexing; range(1, len) is end-exclusive, so i+1
+      // stays in bounds — same overlapping-adjacency count
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)),
+        |    i -> w[i] = 'sort' AND w[i + 1] = 'merge')) AS BIGINT) AS hits
+        |  FROM d)
+        |SELECT doc_id, hits FROM h WHERE hits > 0
+        |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_decay_popularity" ->
+      // CAST(ts AS DATE) on the NTZ micros lane ≡ Spark to_date under
+      // the UTC session; 2^(30−age) via BIGINT shift, no float pow
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+        |m AS (SELECT max(d) AS maxd FROM e),
+        |x AS (SELECT event_type,
+        |    date_diff('day', d, maxd) AS age FROM e, m
+        |  WHERE date_diff('day', d, maxd) <= 30)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER))
+        |    AS BIGINT) AS decay_score
+        |FROM x GROUP BY event_type
+        |ORDER BY decay_score DESC, event_type""".stripMargin,
 
     "pipe_class_balance" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
