@@ -2631,6 +2631,28 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    "q_mv_incremental" -> { (s, dir) =>
+      // incremental materialized-view maintenance: a per-bucket
+      // (count, sum-cents) metric view initialized at v0, then refreshed
+      // TWICE from the v0→v1 and v1→v2 CDC feeds — each refresh scans
+      // only the churn and joins at MV (dimension) scale
+      // (Mutations.maintainSumCount). The oracle recomputes the final
+      // aggregate closed-form from the change recipe, so a green hash
+      // proves incremental ≡ recompute across both refresh steps.
+      import graft.operators.{Mutations, VersionedTable}
+      val (work, schema) = timeTravelTable(s, dir)
+      val bucket = pmod(col("k"), lit(16L))
+      val mv0 = VersionedTable.readAt(s, work, schema, 0L)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      val mv2 = Seq((0L, 1L), (1L, 2L)).foldLeft(mv0) { case (mv, (a, b)) =>
+        Mutations.maintainSumCount(mv,
+          VersionedTable.changes(s, work, schema, Seq("k"), a, b),
+          bucket, col("before_cents"), col("after_cents"))
+      }
+      mv2.orderBy("bucket")
+    },
+
     "q_scd2_intervals" -> { (s, dir) =>
       // gaps-and-islands / SCD2: collapse each user's consecutive equal
       // event_types into validity intervals with exclusive handoff
@@ -6706,6 +6728,23 @@ object SparkEntry {
         |  SELECT k + 100000000, 'I', CAST(NULL AS BIGINT), 4242
         |    FROM base WHERE k % 7 = 3)
         |ORDER BY k""".stripMargin,
+
+    "q_mv_incremental" ->
+      // final v2 state closed-form from the same recipe (%21=1 takes the
+      // v2 update, which overwrites v1's +1000; %7=2 deleted; %7=3
+      // cloned as inserts), aggregated per k%16 bucket
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 21 = 1 THEN cents + 6000
+        |      WHEN k % 7 = 1 THEN cents + 1000 ELSE cents END AS cents
+        |    FROM base WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k + 100000000, 4242 FROM base WHERE k % 7 = 3)
+        |SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

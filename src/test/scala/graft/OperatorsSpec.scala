@@ -2584,5 +2584,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintainSumCount: deltas apply per group, emptied groups leave the view, unseen groups appear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mv = Seq((0L, 2L, 100L), (1L, 1L, 50L), (2L, 3L, 30L))
+      .toDF("bucket", "n_rows", "sum_cents")
+    // group 0: one update (+5); group 1: its only row deleted -> vanishes;
+    // group 3: brand-new insert -> appears; group 2: untouched
+    val cdc = Seq(
+      (0L, "U", Some(40L), Some(45L)),
+      (1L, "D", Some(50L), None),
+      (3L, "I", None, Some(7L)))
+      .toDF("k", "change_op", "before_cents", "after_cents")
+    val out = graft.operators.Mutations.maintainSumCount(
+        mv, cdc, col("k"), col("before_cents"), col("after_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (2L, 105L), "update adjusts sum, not count")
+    assert(!out.contains(1L), "a group whose count reaches 0 leaves the view")
+    assert(out(2L) == (3L, 30L), "untouched group unchanged")
+    assert(out(3L) == (1L, 7L), "insert into an unseen group creates it")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
