@@ -2653,6 +2653,51 @@ object SparkEntry {
       mv2.orderBy("bucket")
     },
 
+    "q_mv_stream" -> { (s, dir) =>
+      // STREAMING twin of q_mv_incremental: the same three CDC feeds
+      // (v0 snapshot as inserts, v0→v1, v1→v2) replayed as micro-batches
+      // through Streaming.mvStream — each batch folds into the parquet
+      // MV under the batch-id commit gate (a replayed id is skipped, so
+      // a delta can never double-apply). Final view ≡ batch recompute ⇒
+      // shares q_mv_incremental's oracle SQL verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      import graft.operators.{Mutations, VersionedTable}
+      val (work, schema) = timeTravelTable(s, dir)
+      val mvRoot = java.nio.file.Files
+        .createTempDirectory("graft-mvstream-q").toString + "/mv"
+      def cdcRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "change_op", "before_cents", "after_cents")
+          .orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+      val b0 = cdcRows(VersionedTable.readAt(s, work, schema, 0L)
+        .select(col("k"), lit("I").as("change_op"),
+          lit(null).cast("long").as("before_cents"),
+          col("cents").as("after_cents")))
+      val b1 = cdcRows(VersionedTable.changes(s, work, schema, Seq("k"), 0L, 1L))
+      val b2 = cdcRows(VersionedTable.changes(s, work, schema, Seq("k"), 1L, 2L))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Long], Option[Long])]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF
+          .toDF("k", "change_op", "before_cents", "after_cents")
+        val q = graft.streaming.Streaming
+          .mvStream(src, mvRoot, pmod(col("k"), lit(16L)),
+            col("before_cents"), col("after_cents"))
+          .option("checkpointLocation", s"$mvRoot/../ckpt").start()
+        try {
+          mem.addData(b0.toSeq); q.processAllAvailable()
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Mutations.readMv(s, mvRoot).orderBy("bucket")
+    },
+
     "q_scd2_intervals" -> { (s, dir) =>
       // gaps-and-islands / SCD2: collapse each user's consecutive equal
       // event_types into validity intervals with exclusive handoff
@@ -3920,6 +3965,24 @@ object SparkEntry {
     * emb_semdedup (batch) and emb_semdedup_stream (ordered-replay
     * first-decision table ≡ batch) gate queries.
     */
+  // shared by q_mv_incremental and its streaming twin q_mv_stream: final
+  // v2 state closed-form from the timeTravelTable change recipe (%21=1
+  // takes the v2 update, which overwrites v1's +1000; %7=2 deleted;
+  // %7=3 cloned as inserts), aggregated per k%16 bucket
+  private val mvOracleSql: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, CASE WHEN k % 21 = 1 THEN cents + 6000
+      |      WHEN k % 7 = 1 THEN cents + 1000 ELSE cents END AS cents
+      |    FROM base WHERE k % 7 <> 2
+      |  UNION ALL
+      |  SELECT k + 100000000, 4242 FROM base WHERE k % 7 = 3)
+      |SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin
+
   private val semDedupOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |v AS (SELECT vec_id + 100000 AS vec_id,
@@ -6729,22 +6792,8 @@ object SparkEntry {
         |    FROM base WHERE k % 7 = 3)
         |ORDER BY k""".stripMargin,
 
-    "q_mv_incremental" ->
-      // final v2 state closed-form from the same recipe (%21=1 takes the
-      // v2 update, which overwrites v1's +1000; %7=2 deleted; %7=3
-      // cloned as inserts), aggregated per k%16 bucket
-      """WITH base AS (SELECT o_orderkey AS k,
-        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-        |  FROM orders),
-        |final AS (
-        |  SELECT k, CASE WHEN k % 21 = 1 THEN cents + 6000
-        |      WHEN k % 7 = 1 THEN cents + 1000 ELSE cents END AS cents
-        |    FROM base WHERE k % 7 <> 2
-        |  UNION ALL
-        |  SELECT k + 100000000, 4242 FROM base WHERE k % 7 = 3)
-        |SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_mv_incremental" -> mvOracleSql,
+    "q_mv_stream" -> mvOracleSql,
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

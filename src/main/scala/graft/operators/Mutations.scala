@@ -85,6 +85,59 @@ object Mutations {
       .where(col(nCol) > 0)
   }
 
+  /** Latest committed micro-batch id of a streaming MV root, or -1.
+    * Commit markers are `_commit_<id>` files written AFTER the version's
+    * data dir (commit-record-last, like [[graft.operators.VersionedTable]]) —
+    * a crash between data and marker leaves an unreferenced dir that the
+    * next apply simply overwrites.
+    */
+  def mvCommitted(mvRoot: String): Long = {
+    val fs = Option(new java.io.File(mvRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val ids = fs.map(_.getName).collect {
+      case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
+    }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
+  /** Read the current content of a streaming MV (empty view before the
+    * first commit). Schema is the integer-lane (group, count, sum) shape
+    * [[maintainSumCount]] maintains.
+    */
+  def readMv(spark: SparkSession, mvRoot: String, groupCol: String = "bucket",
+      nCol: String = "n_rows", sumCol: String = "sum_cents"): DataFrame = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, LongType),
+      org.apache.spark.sql.types.StructField(nCol, LongType),
+      org.apache.spark.sql.types.StructField(sumCol, LongType)))
+    val v = mvCommitted(mvRoot)
+    if (v < 0)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else spark.read.schema(schema).parquet(s"$mvRoot/v=$v")
+  }
+
+  /** Fold ONE micro-batch of CDC rows into a streaming MV, exactly-once:
+    * a batch id at or below the committed horizon is a checkpoint-replay
+    * re-delivery and is SKIPPED (applying a delta twice corrupts a
+    * self-maintained aggregate — idempotence must come from the id gate,
+    * not the algebra). Data dir `v=<id>` writes first, the `_commit_<id>`
+    * marker last. Returns true when the batch was applied.
+    */
+  def applyMvBatch(spark: SparkSession, mvRoot: String, batch: DataFrame,
+      batchId: Long, groupExpr: Column, beforeVal: Column, afterVal: Column,
+      groupCol: String = "bucket", nCol: String = "n_rows",
+      sumCol: String = "sum_cents"): Boolean = {
+    val committed = mvCommitted(mvRoot)
+    if (batchId <= committed) return false
+    val next = maintainSumCount(readMv(spark, mvRoot, groupCol, nCol, sumCol),
+      batch, groupExpr, beforeVal, afterVal, groupCol, nCol, sumCol)
+    next.write.mode(SaveMode.Overwrite).parquet(s"$mvRoot/v=$batchId")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$mvRoot/_commit_$batchId"))
+    true
+  }
+
   /** Copy-on-write merge into `root`, a parquet table laid out as
     * `root/<partCol>=<bucket>` where bucket = `partExpr` (a LONG-typed
     * pure function of the key columns, e.g. `pmod(key, 256)`).

@@ -915,6 +915,26 @@ object Streaming {
     * batch≡streaming equivalence StreamingSpec pins and the
     * dedup_stream_near oracle recomputes.
     */
+  /** Streaming materialized view over a CDC feed: each micro-batch of
+    * I/U/D change rows folds into a parquet (group, count, sum) view via
+    * [[graft.operators.Mutations.maintainSumCount]] — churn-sized delta
+    * agg + MV-sized merge join per batch, never a base-table scan.
+    * Exactly-once comes from the batch-id commit gate in
+    * [[graft.operators.Mutations.applyMvBatch]]: a checkpoint-replayed
+    * batch id is skipped, so crash/restart never double-applies a delta.
+    */
+  def mvStream(cdc: DataFrame, mvRoot: String,
+      groupExpr: org.apache.spark.sql.Column,
+      beforeVal: org.apache.spark.sql.Column,
+      afterVal: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdc.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Mutations.applyMvBatch(batch.sparkSession, mvRoot,
+          batch, batchId, groupExpr, beforeVal, afterVal)
+        ()
+      }
+
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, compactEvery: Int = 0)

@@ -2605,5 +2605,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == (1L, 7L), "insert into an unseen group creates it")
   }
 
+  test("applyMvBatch: replayed batch ids are skipped, so a delta never double-applies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-t")
+      .toString + "/mv"
+    def batch(rows: Seq[(Long, String, Option[Long], Option[Long])]) =
+      rows.toDF("k", "change_op", "before_cents", "after_cents")
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.operators.Mutations.applyMvBatch(spark, root, b, id,
+        pmod(col("k"), lit(4L)), col("before_cents"), col("after_cents"))
+    val b0 = batch(Seq((0L, "I", None, Some(10L)), (1L, "I", None, Some(20L))))
+    val b1 = batch(Seq((0L, "U", Some(10L), Some(15L))))
+    assert(apply(b0, 0L), "fresh batch applies")
+    assert(apply(b1, 1L), "next batch applies")
+    def readState() = graft.operators.Mutations.readMv(spark, root)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val after = readState()
+    // checkpoint-replay re-delivery of both ids: MUST be a no-op
+    assert(!apply(b0, 0L) && !apply(b1, 1L), "replayed ids must be skipped")
+    assert(readState() == after, "re-delivery changed the view")
+    assert(after(0L) == (1L, 15L) && after(1L) == (1L, 20L))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
