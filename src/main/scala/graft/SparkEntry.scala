@@ -1319,6 +1319,25 @@ object SparkEntry {
         .orderBy("seg")
     },
 
+    "text_token_gini" -> { (s, dir) =>
+      // lexical-diversity scoring by Gini impurity of each doc's token
+      // distribution: 1 − Σ(cᵢ/n)² — no logs (unlike entropy), so the
+      // whole score is exact rational arithmetic: ppm lane =
+      // (10⁶·(n² − Σcᵢ²)) div n², BIGINT end to end. Plan is
+      // explode → two hash aggs keyed on (doc_id, tok) then doc_id —
+      // fully codegen, partial aggs before each shuffle.
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_distinct"),
+          sum(expr("c * c")).as("sq"))
+        .withColumn("gini_ppm", expr(
+          "(1000000 * (n_toks * n_toks - sq)) div (n_toks * n_toks)"))
+        .select("doc_id", "n_toks", "n_distinct", "gini_ppm")
+        .orderBy("doc_id")
+    },
+
     "q_phrase_search" -> { (s, dir) =>
       // exact two-token phrase search ("sort merge") by token-position
       // adjacency: the token array materializes as a COLUMN first (the
@@ -4414,6 +4433,21 @@ object SparkEntry {
         |  (10000 * (2 * wsum - (n + 1) * total_cents))
         |    // (n * total_cents) AS gini_bp
         |FROM g ORDER BY seg""".stripMargin,
+
+    "text_token_gini" ->
+      // same exact rational ppm lane; BIGINT casts off HUGEINT sums
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_toks, n_distinct,
+        |  (1000000 * (n_toks * n_toks - sq)) // (n_toks * n_toks)
+        |    AS gini_ppm
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_phrase_search" ->
       // 1-based list indexing; range(1, len) is end-exclusive, so i+1
