@@ -489,5 +489,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dynamic partition pruning: a selective dim join prunes the ymd-partitioned scan") {
+    // The store lays datapoints out as ymd=<epoch-day> partition dirs; a
+    // join against a selective date dimension must reach the scan as a
+    // DynamicPruning partition filter — at 100 TB that is the difference
+    // between reading the days the dim names and reading the table.
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    import spark.implicits._
+    (0L until 20L).flatMap(d => (0L until 50L).map(i => (d, d * 1000 + i)))
+      .toDF("ymd", "v")
+      .write.partitionBy("ymd").parquet(s"$root/fact")
+    Seq((3L, "a"), (7L, "b")).toDF("ymd", "tag")
+      .write.parquet(s"$root/dim")
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim").where(col("tag") === "a")
+    val j = fact.join(dim, Seq("ymd")).groupBy("ymd")
+      .agg(count(lit(1)).as("n"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the ymd scan:\n$p")
+    val rows = j.collect()
+    // the partition column reads back via directory-name inference (int)
+    assert(rows.length == 1 &&
+      rows.head.getAs[Number]("ymd").longValue == 3L &&
+      rows.head.getAs[Number]("n").longValue == 50L, rows.mkString(","))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
