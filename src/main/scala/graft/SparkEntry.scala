@@ -1355,6 +1355,47 @@ object SparkEntry {
         .orderBy(col("hits").desc, col("doc_id")).limit(20)
     },
 
+    "q_seq_patterns" -> { (s, dir) =>
+      // sequential-pattern support: users exhibiting "t1 then t2" =
+      // users where min_sec(t1) < max_sec(t2) — EXISTS over ordered
+      // occurrence collapses to one per-(user, type) min/max agg + a
+      // tiny per-user type-pair join (|types|² rows/user), never a
+      // per-user event scan. t1 = t2 counts repeat patterns (≥2 events
+      // at distinct seconds). Strict < on floor-epoch seconds is the
+      // cross-engine tie rule.
+      val ext = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .groupBy("user_id", "event_type")
+        .agg(min("sec").as("first_sec"), max("sec").as("last_sec"))
+      val a = ext.select(col("user_id"), col("event_type").as("t1"),
+        col("first_sec"))
+      val b = ext.select(col("user_id"), col("event_type").as("t2"),
+        col("last_sec"))
+      a.join(b, "user_id").where(col("first_sec") < col("last_sec"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("t1"), col("t2"))
+    },
+
+    "ds_rolling_actives" -> { (s, dir) =>
+      // 7-day rolling distinct active users per observed day. COUNT
+      // (DISTINCT) can't ride a window frame on either engine, and a
+      // range join is a nested loop — instead each (user, day) activity
+      // EXPLODES to the 7 target days it covers (a generator, no
+      // shuffle), then one distinct-agg per day; a semi join keeps only
+      // days that exist in the data. Work is 7×|activity| rows into a
+      // hash agg — linear, window-free.
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .localCheckpoint(true) // feeds the day grid AND the explode
+      val days = ud.select(col("d").as("day")).distinct()
+      ud.withColumn("off", explode(sequence(lit(0), lit(6))))
+        .withColumn("day", expr("date_add(d, off)"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct("user_id").as("n_active"))
+        .orderBy("day")
+    },
+
     "q_decay_popularity" -> { (s, dir) =>
       // exponentially time-decayed popularity per event type, EXACT
       // integer lane: half-life = 1 day over a 30-day horizon, so each
@@ -4459,6 +4500,30 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, hits FROM h WHERE hits > 0
         |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_seq_patterns" ->
+      // same min/max-extent EXISTS collapse; floor-epoch strict <
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |x AS (SELECT user_id, event_type, min(sec) AS first_sec,
+        |    max(sec) AS last_sec FROM e GROUP BY 1, 2)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM x a JOIN x b ON a.user_id = b.user_id
+        |WHERE a.first_sec < b.last_sec
+        |GROUP BY 1, 2 ORDER BY n_users DESC, t1, t2""".stripMargin,
+
+    "ds_rolling_actives" ->
+      // unnest(range()) explode (scalar range returns a list), DATE +
+      // INTEGER day arithmetic ≡ Spark date_add
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |x AS (SELECT user_id, d + CAST(o AS INTEGER) AS day
+        |  FROM (SELECT user_id, d, unnest(range(0, 7)) AS o FROM ud))
+        |SELECT x.day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_active
+        |FROM x JOIN days ON x.day = days.d
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_decay_popularity" ->
       // CAST(ts AS DATE) on the NTZ micros lane ≡ Spark to_date under
