@@ -3848,6 +3848,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "mm_scene_cut" -> { (s, dir) =>
+      // END-TO-END REAL video under the exact gate: per doc, mux 8 real
+      // JPEG frames into an MJPEG-in-AVI container with ONE hard cut at
+      // frame p = 1 + doc_id % 7 (gray 64 before, 192 after), then run
+      // the production parse → decode → luma → cut detector. The oracle
+      // predicts the cut index ANALYTICALLY from doc_id — a green row
+      // needs muxer, chunk walker, JPEG decode, and detector all right.
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val p = 1 + (id % 7).toInt
+        val frames = (0 until 8)
+          .map(j => Multimodal.solidJpeg(if (j < p) 64 else 192))
+        Multimodal.MediaRow(id, Multimodal.muxMjpegAvi(frames),
+          Multimodal.MediaMeta("video", 16, 16, 0, 8000L, "mjpeg"))
+      })
+      Multimodal.sceneCuts(media, threshold = 64).toDF
+        .select(col("media_id").as("doc_id"),
+          col("cut_idx").cast("long").as("cut_idx"))
+        .orderBy("doc_id")
+    },
+
     "mm_phash_dedup" -> { (s, dir) =>
       // perceptual image near-dup: 64-bit average-hash over decoded
       // pixels, 4×16-bit banded equi-join + exact hamming (pigeonhole-
@@ -7025,6 +7049,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(300 + (doc_id % 8) * 200 AS BIGINT)
         |  AS dom_freq
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "mm_scene_cut" ->
+      // the analytic prediction of the synth recipe: exactly one cut,
+      // at 1 + doc_id % 7 — no video on the oracle side by construction
+      """SELECT doc_id, CAST(1 + doc_id % 7 AS BIGINT) AS cut_idx
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
 
     "mm_phash_dedup" ->
       // stub-lane aHash recomputed from the md5 feature-byte chain:

@@ -575,6 +575,85 @@ object Multimodal {
     }
   }
 
+  /** Mux pre-encoded JPEG frames into a minimal MJPEG-in-AVI RIFF
+    * container — the mirror of [[parseAviFrames]] (same LIST('movi') /
+    * '00dc' chunk layout and word alignment real muxers emit). Test and
+    * synthesis helper: it makes end-to-end video assertions analytic
+    * (build → parse → decode round-trips in-process).
+    */
+  private[graft] def muxMjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.toArray.flatMap(f => chunk("00dc", f))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      .array()
+  }
+
+  /** Solid-gray JPEG frame (real ImageIO encode). */
+  private[graft] def solidJpeg(gray: Int, wh: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until wh; x <- 0 until wh) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  /** Mean integer luma (BT.601 fixed-point) of a decoded frame; None
+    * when the bytes don't decode.
+    */
+  private def meanLuma(jpeg: Array[Byte]): Option[Int] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))).map { img =>
+      var sum = 0L; var n = 0; var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)) / 1000L
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      (sum / n).toInt
+    }
+
+  case class SceneCut(media_id: Long, cut_idx: Int, luma_delta: Int)
+
+  /** Hard-cut (scene-change) detection over MJPEG-in-AVI video: mean
+    * integer luma per decoded frame, a cut at frame j (≥ 1) when
+    * |luma(j) − luma(j−1)| > threshold. Real-decode only — non-AVI rows
+    * yield no cuts (scene structure is undefined for the stub lane), and
+    * undecodable frames drop out of the luma sequence rather than faking
+    * a delta. Codec work rides the same per-partition flatMap shape as
+    * the other decode stages — one partition, one codec context, no
+    * whole-partition materialization.
+    */
+  def sceneCuts(media: Dataset[MediaRow], threshold: Int = 64)
+      : Dataset[SceneCut] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "video").flatMap { r =>
+      parseAviFrames(r.content).toSeq.flatMap { frames =>
+        val lumas = frames.flatMap(meanLuma)
+        (1 until lumas.length).collect {
+          case j if (lumas(j) - lumas(j - 1)).abs > threshold =>
+            SceneCut(r.media_id, j, (lumas(j) - lumas(j - 1)).abs)
+        }
+      }
+    }
+  }
+
   /** Resize stage: decodable raster content is genuinely rescaled
     * (bilinear `Graphics2D.drawImage`) and re-encoded as PNG; anything
     * ImageIO cannot parse (audio/video/stub text bytes) keeps its content

@@ -2628,5 +2628,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after(0L) == (1L, 15L) && after(1L) == (1L, 20L))
   }
 
+  test("sceneCuts: uniform video has none, a hard cut lands at its frame, garbage frames drop out") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    val meta = MediaMeta("video", 16, 16, 0, 4000L, "mjpeg")
+    def vid(levels: Seq[Int]) =
+      Multimodal.muxMjpegAvi(levels.map(Multimodal.solidJpeg(_)))
+    val uniform = MediaRow(1L, vid(Seq(90, 90, 90, 90)), meta)
+    val cutAt2 = MediaRow(2L, vid(Seq(30, 30, 220, 220)), meta)
+    // an undecodable middle frame must vanish from the luma sequence,
+    // leaving the 30→220 delta adjacent (cut shifts to index 1)
+    val garbage = MediaRow(3L, Multimodal.muxMjpegAvi(Seq(
+      Multimodal.solidJpeg(30), "not a jpeg".getBytes("UTF-8"),
+      Multimodal.solidJpeg(220))), meta)
+    val notVideo = MediaRow(4L, "plain bytes".getBytes("UTF-8"),
+      meta.copy(kind = "image"))
+    val out = Multimodal.sceneCuts(
+        Seq(uniform, cutAt2, garbage, notVideo).toDS(), threshold = 64)
+      .collect().map(c => c.media_id -> c.cut_idx).toSet
+    assert(out == Set(2L -> 2, 3L -> 1), s"got $out")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
