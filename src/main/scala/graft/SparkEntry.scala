@@ -3659,6 +3659,27 @@ object SparkEntry {
         .orderBy("val_a", "val_b")
     },
 
+    "er_entity_clusters" -> { (s, dir) =>
+      // record-level entity resolution end-to-end: the er_fuzzy_parts
+      // pair graph collapsed to entities (connected components on the
+      // VALUE space, entity label = min member value) and joined back to
+      // records; per multi-variant entity: record count, variant count,
+      // min record key. Oracle replays the components as 8 unrolled
+      // min-label rounds (diameter of typo-variant chains is far below
+      // that; converged rounds are no-ops).
+      val parts = tbl(s, dir, "part").select("p_partkey", "p_name")
+      val vals = parts.withColumn("blk",
+        element_at(split(col("p_name"), " "), -1))
+      graft.operators.Resolve
+        .resolveEntities(vals, "p_name", "blk", maxDist = 2)
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct("p_name").as("n_variants"),
+          min("p_partkey").as("min_key"))
+        .where(col("n_variants") > 1)
+        .orderBy("entity_id")
+    },
+
     "pipe_bootstrap" -> { (s, dir) =>
       // deterministic POISSON bootstrap — the distributed-scale
       // resampling formulation (each row independently appears
@@ -6420,6 +6441,49 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.p_name = val_a
         |JOIN cnt cb ON cb.p_name = val_b
         |ORDER BY val_a, val_b""".stripMargin,
+
+    "er_entity_clusters" ->
+      // components by 8 unrolled min-label rounds over the same blocked
+      // fuzzy pairs (self-loop row makes one join cover own + neighbor
+      // labels); every CTE MATERIALIZED per the unrolled-chain rule
+      """WITH v AS (SELECT DISTINCT p_name AS val,
+        |    string_split(p_name, ' ')[-1] AS blk FROM part),
+        |pairs AS MATERIALIZED (SELECT a.val AS val_a, b.val AS val_b
+        |  FROM v a JOIN v b ON a.blk = b.blk AND a.val < b.val
+        |    AND abs(length(a.val) - length(b.val)) <= 2
+        |  WHERE levenshtein(a.val, b.val) <= 2),
+        |mv AS MATERIALIZED (SELECT DISTINCT val FROM (
+        |  SELECT val_a AS val FROM pairs
+        |  UNION ALL SELECT val_b FROM pairs)),
+        |und AS MATERIALIZED (
+        |  SELECT val_a AS vv, val_b AS nb FROM pairs
+        |  UNION ALL SELECT val_b, val_a FROM pairs
+        |  UNION ALL SELECT val, val FROM mv),
+        |l0 AS MATERIALIZED (SELECT val, val AS lbl FROM mv),
+        |l1 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l0 x ON x.val = u.nb GROUP BY u.vv),
+        |l2 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l1 x ON x.val = u.nb GROUP BY u.vv),
+        |l3 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l2 x ON x.val = u.nb GROUP BY u.vv),
+        |l4 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l3 x ON x.val = u.nb GROUP BY u.vv),
+        |l5 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l4 x ON x.val = u.nb GROUP BY u.vv),
+        |l6 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l5 x ON x.val = u.nb GROUP BY u.vv),
+        |l7 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l6 x ON x.val = u.nb GROUP BY u.vv),
+        |l8 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l7 x ON x.val = u.nb GROUP BY u.vv),
+        |rec AS (SELECT p.p_partkey, p.p_name,
+        |    coalesce(e.lbl, p.p_name) AS entity_id
+        |  FROM part p LEFT JOIN l8 e ON e.val = p.p_name)
+        |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(count(DISTINCT p_name) AS BIGINT) AS n_variants,
+        |  CAST(min(p_partkey) AS BIGINT) AS min_key
+        |FROM rec GROUP BY 1 HAVING count(DISTINCT p_name) > 1
+        |ORDER BY entity_id""".stripMargin,
 
     "pipe_bootstrap" ->
       // same md5-uniform → Poisson(1)-CDF integer thresholds; DuckDB's
