@@ -1355,6 +1355,35 @@ object SparkEntry {
         .orderBy(col("hits").desc, col("doc_id")).limit(20)
     },
 
+    "ds_trend_ols" -> { (s, dir) =>
+      // per-(event_type, user-cohort) least-squares DAILY TREND in the
+      // exact integer lane: center days at the group's min, lift values
+      // to milli-units, then slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)
+      // where every sufficient statistic is a BIGINT (t ≤ days, mv ≤
+      // 10⁶-ish ⇒ products sit far under the 2⁶³ line at gate SFs).
+      // Division is the sign-split floor (never raw negative div across
+      // engines); groups with a degenerate design (one distinct day)
+      // report NULL. Two hash aggs + a broadcast min-day join — no
+      // window, no per-stream loop.
+      val e = events(s, dir).select(col("event_type"),
+        pmod(col("user_id"), lit(10L)).as("cohort"),
+        to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("mv"))
+      val m = e.groupBy("event_type", "cohort").agg(min("d").as("d0"))
+      e.join(broadcast(m), Seq("event_type", "cohort"))
+        .withColumn("t", datediff(col("d"), col("d0")).cast("long"))
+        .groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("mv").as("sv"),
+          sum(expr("t * mv")).as("stv"), sum(expr("t * t")).as("stt"))
+        .withColumn("num", expr("n * stv - st * sv"))
+        .withColumn("den", expr("n * stt - st * st"))
+        .withColumn("slope_mpd", expr(
+          "CASE WHEN den > 0 THEN (abs(num) div den) * " +
+            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END) END"))
+        .select("event_type", "cohort", "n", "num", "den", "slope_mpd")
+        .orderBy("event_type", "cohort")
+    },
+
     "q_seq_patterns" -> { (s, dir) =>
       // sequential-pattern support: users exhibiting "t1 then t2" =
       // users where min_sec(t1) < max_sec(t2) — EXISTS over ordered
@@ -4545,6 +4574,30 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, hits FROM h WHERE hits > 0
         |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ds_trend_ols" ->
+      // same centered integer sufficient statistics; round(v*1000) is
+      // away-from-zero on both engines for the non-negative value lane
+      """WITH e AS (SELECT event_type, user_id % 10 AS cohort,
+        |    CAST(ts AS DATE) AS d,
+        |    CAST(round(value * 1000) AS BIGINT) AS mv FROM events),
+        |m AS (SELECT event_type, cohort, min(d) AS d0
+        |  FROM e GROUP BY 1, 2),
+        |x AS (SELECT e.event_type, e.cohort,
+        |    date_diff('day', d0, d) AS t, mv
+        |  FROM e JOIN m USING (event_type, cohort)),
+        |g AS (SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(mv) AS BIGINT) AS sv,
+        |    CAST(sum(t * mv) AS BIGINT) AS stv,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM x GROUP BY 1, 2)
+        |SELECT event_type, cohort, n,
+        |  n * stv - st * sv AS num, n * stt - st * st AS den,
+        |  CASE WHEN n * stt - st * st > 0 THEN
+        |    (abs(n * stv - st * sv) // (n * stt - st * st)) *
+        |    (CASE WHEN n * stv - st * sv >= 0 THEN 1 ELSE -1 END) END
+        |    AS slope_mpd
+        |FROM g ORDER BY event_type, cohort""".stripMargin,
 
     "q_seq_patterns" ->
       // same min/max-extent EXISTS collapse; floor-epoch strict <
