@@ -1444,6 +1444,59 @@ object SparkEntry {
         .orderBy(col("decay_score").desc, col("event_type"))
     },
 
+    "q_decay_popularity_stream" -> { (s, dir) =>
+      // batch≡streaming decayed popularity: replay events TIME-ORDERED
+      // through Streaming.decayPopularity (O(horizon) integer state per
+      // type — trailing per-day counts, pruned against the key's own max
+      // day) in 3 micro-batches, elect each type's final snapshot by its
+      // strictly-increasing version, then apply the GLOBAL horizon cut +
+      // power-of-2 weights batch-side. The global cut is only knowable
+      // at read time (a global max day doesn't exist mid-stream), and
+      // per-key pruning provably keeps a superset of the globally-live
+      // days — so the result is bit-equal to q_decay_popularity and the
+      // oracle SQL is shared verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.KeyDay]
+      val name = s"decay_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.decayPopularity(mem.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val rows = events(s, dir)
+            .select(col("event_type"),
+              expr("unix_timestamp(ts) div 86400").as("day"),
+              col("event_id"))
+            .orderBy("day", "event_id").collect()
+            .map(r => graft.streaming.Streaming.KeyDay(
+              r.getString(0), r.getLong(1)))
+          rows.grouped(rows.length / 3 + 1).foreach { b =>
+            mem.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val fin = s.table(name)
+        .groupBy("key")
+        .agg(max(struct(col("version"), col("packed"))).as("snap"))
+        .select(col("key").as("event_type"),
+          explode(col("snap.packed")).as("p"))
+        .withColumn("day", expr("p div 1000000000000"))
+        .withColumn("cnt", expr("p % 1000000000000"))
+      fin.crossJoin(broadcast(fin.agg(max("day").as("maxd"))))
+        .withColumn("age", col("maxd") - col("day"))
+        .where(col("age") <= 30)
+        .withColumn("wt",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("n_events"),
+          sum(col("cnt") * col("wt")).as("decay_score"))
+        .orderBy(col("decay_score").desc, col("event_type"))
+    },
+
     "pipe_class_balance" -> { (s, dir) =>
       // deterministic minority-class oversampling to the majority count:
       // per-language repeat factor = max_n div n (integer floor), each
@@ -3898,6 +3951,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      // END-TO-END AUDIO WATERMARK under the exact gate: per doc,
+      // synthesize a 4-segment tone sequence encoding doc_id's base-8
+      // digits (segment k's frequency = 300 + digit_k·200 Hz, real RIFF
+      // bytes), then run the production parse → mono → frame-wise
+      // Goertzel fingerprint. The packed base-8 fingerprint literally
+      // DECODES the id: it equals doc_id % 4096, which is the oracle's
+      // pure-arithmetic prediction — a green row needs synthesis,
+      // container parse, segmentation, and all four per-frame detections
+      // right (one flipped digit shifts the fingerprint).
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 150).select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          val freqs = (0 until 4).map(k =>
+            300.0 + ((id >> (3 * k)) & 7L) * 200.0)
+          (id, graft.operators.Multimodal
+            .toneSequenceWav(freqs, 1000, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal
+        .toneFingerprint(media, (0 to 7).map(i => 300.0 + i * 200.0), 4)
+        .select(col("media_id").as("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    },
+
     "mm_scene_cut" -> { (s, dir) =>
       // END-TO-END REAL video under the exact gate: per doc, mux 8 real
       // JPEG frames into an MJPEG-in-AVI container with ONE hard cut at
@@ -4034,6 +4112,193 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    "q_weighted_median" -> { (s, dir) =>
+      // weighted order statistics per group: the lower/upper WEIGHTED
+      // median of price-cents with quantity weights — the smallest value
+      // whose cumulative weight reaches half the group total. All
+      // integer: cents and qty are exact BIGINTs, the crossing test is
+      // `2·cumw >= totw` (never 0.5·totw), and the cumulative window
+      // uses an explicit RANGE frame so peers (equal cents) share one
+      // deterministic cumw on both engines. Group totals ride a
+      // broadcast (the q_percentile_disc shape — no second
+      // whole-partition window just to stamp a constant).
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
+      val w = Window.partitionBy("flag").orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("cumw", sum("qty").over(w))
+        .join(broadcast(tot), Seq("flag"))
+        .groupBy("flag")
+        .agg(max("totw").as("total_weight"),
+          min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+            .as("wmed_lo_cents"),
+          min(when(col("cumw") * 2 > col("totw"), col("cents")))
+            .as("wmed_hi_cents"))
+        .orderBy("flag")
+    },
+
+    "pipe_curriculum" -> { (s, dir) =>
+      // staged curriculum ordering for training: per-language difficulty
+      // quartile (short docs first) = stage, deterministic md5 shuffle
+      // WITHIN each stage — easy→hard phases whose internal order is
+      // reproducible across runs and engines. Stage comes from the
+      // per-language rank (4·(rn−1)) div n — pure integers, no ntile
+      // float boundaries; the shuffle key is the 60-bit md5 lane
+      // (conv(substring(md5,1,15)) ≡ DuckDB ('0x'||…)::BIGINT). Windows
+      // partition by language (and stage), never a global single
+      // partition; counts ride a broadcast.
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val staged = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+        .join(broadcast(n), Seq("lang"))
+        .withColumn("stage", expr("(4 * (rn - 1)) div n"))
+        .withColumn("shuf", expr(
+          "CAST(conv(substring(md5(concat('cur:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      staged
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("lang", "stage").orderBy("shuf", "doc_id"))
+          .cast("long"))
+        .select("lang", "stage", "pos", "doc_id")
+        .orderBy("lang", "stage", "pos")
+    },
+
+    "ds_motifs" -> { (s, dir) =>
+      // SAX-style motif discovery over event streams: hourly activity
+      // counts per event type are symbolized into per-type quartile
+      // symbols 0..3 by RANK (never float breakpoints — (4·(rn−1)) div
+      // nh), then contiguous 3-hour windows pack into a base-4 motif id
+      // (s₁·16 + s₂·4 + s₃), and the top-5 recurring motifs per type
+      // are reported. Gaps in the hour sequence never fabricate motifs:
+      // both lagged hours must be exactly hr−2/hr−1. One events scan →
+      // a metadata-scale (type × hour) table; every window partitions
+      // by event type.
+      val hc = events(s, dir)
+        .select(col("event_type").as("etype"),
+          expr("unix_timestamp(ts) div 3600").as("hr"))
+        .groupBy("etype", "hr").agg(count(lit(1)).as("cnt"))
+      val n = hc.groupBy("etype").agg(count(lit(1)).as("nh"))
+      val hw = Window.partitionBy("etype").orderBy("hr")
+      val sym = hc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("etype").orderBy("cnt", "hr")))
+        .join(broadcast(n), Seq("etype"))
+        .withColumn("sym", expr("(4 * (rn - 1)) div nh"))
+      val motifs = sym
+        .withColumn("s1", lag("sym", 2).over(hw))
+        .withColumn("s2", lag("sym", 1).over(hw))
+        .withColumn("h1", lag("hr", 2).over(hw))
+        .withColumn("h2", lag("hr", 1).over(hw))
+        .where(col("h1") === col("hr") - 2 && col("h2") === col("hr") - 1)
+        .withColumn("motif", col("s1") * 16 + col("s2") * 4 + col("sym"))
+      motifs.groupBy("etype", "motif").agg(count(lit(1)).as("n_occ"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("etype")
+            .orderBy(col("n_occ").desc, col("motif"))).cast("long"))
+        .where(col("rk") <= 5)
+        .select("etype", "rk", "motif", "n_occ")
+        .orderBy("etype", "rk")
+    },
+
+    "q_assoc_rules" -> { (s, dir) =>
+      // market-basket association rules over co-purchased parts:
+      // directed rules a→b with support (co-basket count, from the
+      // basket-collect cooccurrence shape — ONE collect_set shuffle +
+      // map-side pair explode, never a basket self-join), confidence
+      // = support/n(a) and lift = support·N/(n(a)·n(b)), both in exact
+      // integer ppm (1e6-scaled floor division — no float ratios cross
+      // engines). Item base counts and the basket total come from the
+      // same distinct (basket, item) projection; the expensive pair
+      // subtree is localCheckpoint'd so the two rule directions don't
+      // re-plan it (the Union-replans-the-subtree trap). Overflow
+      // headroom: 1e6·support·N ≤ ~1e15 at sf0.1 « 2⁶³.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = graft.operators.Graphs
+        .cooccurrenceEdges(li, "ok", "pk", minSupport = 2L)
+        .localCheckpoint(true)
+      val base = li.distinct()
+      val itemN = base.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val totB = base.select("ok").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val rules = pairs.select(col("u").as("a"), col("v").as("b"),
+          col("support"))
+        .unionAll(pairs.select(col("v").as("a"), col("u").as("b"),
+          col("support")))
+      rules
+        .join(itemN.select(col("pk").as("a"), col("n_item").as("n_a")),
+          Seq("a"))
+        .join(itemN.select(col("pk").as("b"), col("n_item").as("n_b")),
+          Seq("b"))
+        .crossJoin(broadcast(totB))
+        .withColumn("conf_ppm", expr("(1000000 * support) div n_a"))
+        .withColumn("lift_ppm",
+          expr("(1000000 * support * n_baskets) div (n_a * n_b)"))
+        .select("a", "b", "support", "n_a", "n_b", "conf_ppm", "lift_ppm")
+        .orderBy("a", "b")
+    },
+
+    "q_cohort_ltv" -> { (s, dir) =>
+      // cohort lifetime-value curves: users cohorted by FIRST-event
+      // epoch-week, purchase revenue accumulated per cohort over
+      // week-age, reported as exact cumulative cents and floor-divided
+      // cents-per-user. Week index = epoch-seconds div 604800 on both
+      // engines (never date_trunc — the events span ~1 month, so weekly
+      // cohorts give a real curve where monthly would give one row).
+      // Cohort sizes ride a broadcast; the running sum's window is
+      // (cohort × age) — metadata scale.
+      val ev = events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("wk"),
+        col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("w0"))
+      val sizes = first.groupBy("w0").agg(count(lit(1)).as("n_users"))
+      val rev = ev.where(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .withColumn("age", col("wk") - col("w0"))
+        .groupBy("w0", "age").agg(sum("cents").as("week_cents"))
+      rev
+        .withColumn("cum_cents", sum("week_cents").over(
+          Window.partitionBy("w0").orderBy("age")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(sizes), Seq("w0"))
+        .withColumn("ltv_cents", expr("cum_cents div n_users"))
+        .select(col("w0").as("cohort_week"), col("age"), col("n_users"),
+          col("cum_cents"), col("ltv_cents"))
+        .orderBy("cohort_week", "age")
+    },
+
+    "text_rake_keywords" -> { (s, dir) =>
+      // RAKE keyword extraction: candidate phrases are maximal runs of
+      // non-stopwords (the pos − row_number island trick, per doc),
+      // word degree = Σ length of phrases it appears in, word score =
+      // degree/frequency in exact integer ppm, global top-25 (TakeOrdered
+      // — never a full sort). The phrase-length window partitions by
+      // (doc, island) — island-sized buffers; positions index the
+      // FILTERED word array on both engines so empty tokens never shift
+      // the island structure.
+      val stops = Seq("the", "a", "fast", "slow", "big", "small")
+      val words = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      val ns = words.where(!col("word").isInCollection(stops))
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+      ns.withColumn("len", count(lit(1)).over(
+          Window.partitionBy("doc_id", "grp")))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+        .withColumn("score_ppm", expr("(1000000 * deg) div freq"))
+        .select("word", "freq", "deg", "score_ppm")
+        .orderBy(col("score_ppm").desc, col("freq").desc, col("word"))
+        .limit(25)
+    },
+
     "q_attribution" -> { (s, dir) =>
       // last-touch marketing attribution: each purchase is credited to
       // the most recent PRECEDING click/view by the same user within a
@@ -4142,6 +4407,23 @@ object SparkEntry {
       |SELECT g.vec_id, g.cell, d.dup_of, d.sim
       |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
       |ORDER BY g.vec_id""".stripMargin
+
+  /** Exponentially time-decayed popularity, shared VERBATIM by the batch
+    * q_decay_popularity and streaming q_decay_popularity_stream (trailing
+    * per-day count state, final global horizon cut) gate queries.
+    * CAST(ts AS DATE) on the NTZ micros lane ≡ Spark to_date under the
+    * UTC session; 2^(30−age) via BIGINT shift, no float pow. */
+  private val decayPopularityOracleSql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |m AS (SELECT max(d) AS maxd FROM e),
+      |x AS (SELECT event_type,
+      |    date_diff('day', d, maxd) AS age FROM e, m
+      |  WHERE date_diff('day', d, maxd) <= 30)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER))
+      |    AS BIGINT) AS decay_score
+      |FROM x GROUP BY event_type
+      |ORDER BY decay_score DESC, event_type""".stripMargin
 
   /** Per-doc n-gram novelty recomputation, shared VERBATIM by the batch
     * text_ngram_novelty and streaming text_novelty_stream (ordered-replay
@@ -4623,19 +4905,8 @@ object SparkEntry {
         |FROM x JOIN days ON x.day = days.d
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
-    "q_decay_popularity" ->
-      // CAST(ts AS DATE) on the NTZ micros lane ≡ Spark to_date under
-      // the UTC session; 2^(30−age) via BIGINT shift, no float pow
-      """WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
-        |m AS (SELECT max(d) AS maxd FROM e),
-        |x AS (SELECT event_type,
-        |    date_diff('day', d, maxd) AS age FROM e, m
-        |  WHERE date_diff('day', d, maxd) <= 30)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER))
-        |    AS BIGINT) AS decay_score
-        |FROM x GROUP BY event_type
-        |ORDER BY decay_score DESC, event_type""".stripMargin,
+    "q_decay_popularity" -> decayPopularityOracleSql,
+    "q_decay_popularity_stream" -> decayPopularityOracleSql,
 
     "pipe_class_balance" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
@@ -7167,6 +7438,12 @@ object SparkEntry {
         |  AS dom_freq
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
+    "mm_audio_fingerprint" ->
+      // the watermark round-trip's analytic prediction: 4 base-8 digits
+      // recovered from audio ≡ doc_id mod 8⁴
+      """SELECT doc_id, CAST(doc_id % 4096 AS BIGINT) AS fingerprint
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
     "mm_scene_cut" ->
       // the analytic prediction of the synth recipe: exactly one cut,
       // at 1 + doc_id % 7 — no video on the oracle side by construction
@@ -7763,6 +8040,137 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents
         |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q_weighted_median" ->
+      // same integer crossing test; RANGE frame pins peer handling,
+      // CASTs collapse DuckDB's HUGEINT sums back to BIGINT
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |tot AS (SELECT flag, CAST(sum(qty) AS BIGINT) AS totw
+        |  FROM li GROUP BY flag),
+        |c AS (SELECT flag, cents, CAST(sum(qty) OVER (
+        |      PARTITION BY flag ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cumw
+        |  FROM li)
+        |SELECT c.flag, max(totw) AS total_weight,
+        |  min(CASE WHEN 2 * cumw >= totw THEN cents END) AS wmed_lo_cents,
+        |  min(CASE WHEN 2 * cumw > totw THEN cents END) AS wmed_hi_cents
+        |FROM c JOIN tot ON c.flag = tot.flag
+        |GROUP BY c.flag ORDER BY c.flag""".stripMargin,
+
+    "pipe_curriculum" ->
+      // identical rank-quartile staging + 60-bit md5 shuffle lane
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY lang),
+        |staged AS (SELECT d.doc_id, d.lang,
+        |    (4 * (CAST(row_number() OVER (PARTITION BY d.lang
+        |        ORDER BY n_chars, doc_id) AS BIGINT) - 1)) // n AS stage,
+        |    ('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS shuf
+        |  FROM d JOIN n ON d.lang = n.lang)
+        |SELECT lang, stage,
+        |  CAST(row_number() OVER (PARTITION BY lang, stage
+        |    ORDER BY shuf, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM staged ORDER BY lang, stage, pos""".stripMargin,
+
+    "ds_motifs" ->
+      // same rank symbolization + contiguity guard; floor(epoch()) is
+      // the event-seconds invariant
+      """WITH e AS (SELECT event_type AS etype,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+        |hc AS (SELECT etype, hr, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY etype, hr),
+        |n AS (SELECT etype, CAST(count(*) AS BIGINT) AS nh
+        |  FROM hc GROUP BY etype),
+        |sym AS (SELECT hc.etype, hr,
+        |    (4 * (CAST(row_number() OVER (PARTITION BY hc.etype
+        |        ORDER BY cnt, hr) AS BIGINT) - 1)) // nh AS sym
+        |  FROM hc JOIN n ON hc.etype = n.etype),
+        |m AS (SELECT etype, hr, sym,
+        |    lag(sym, 2) OVER w AS s1, lag(sym, 1) OVER w AS s2,
+        |    lag(hr, 2) OVER w AS h1, lag(hr, 1) OVER w AS h2
+        |  FROM sym WINDOW w AS (PARTITION BY etype ORDER BY hr)),
+        |mot AS (SELECT etype, s1 * 16 + s2 * 4 + sym AS motif
+        |  FROM m WHERE h1 = hr - 2 AND h2 = hr - 1),
+        |cc AS (SELECT etype, motif, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM mot GROUP BY etype, motif)
+        |SELECT etype, rk, motif, n_occ FROM (
+        |  SELECT etype, motif, n_occ,
+        |    CAST(row_number() OVER (PARTITION BY etype
+        |      ORDER BY n_occ DESC, motif) AS BIGINT) AS rk
+        |  FROM cc) WHERE rk <= 5 ORDER BY etype, rk""".stripMargin,
+
+    "q_assoc_rules" ->
+      // distinct (basket, item) base; pair support via the u<v
+      // self-join; HUGEINT counts cast back; ppm = 1e6 floor division
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |p AS (SELECT a.pk AS u, b.pk AS v,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM lp GROUP BY pk),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+        |  FROM lp),
+        |r AS (SELECT u AS a, v AS b, support FROM p
+        |  UNION ALL SELECT v AS a, u AS b, support FROM p)
+        |SELECT r.a, r.b, r.support, na.n_item AS n_a, nb.n_item AS n_b,
+        |  (1000000 * r.support) // na.n_item AS conf_ppm,
+        |  (1000000 * r.support * tot.n_baskets)
+        |    // (na.n_item * nb.n_item) AS lift_ppm
+        |FROM r JOIN n na ON na.pk = r.a JOIN n nb ON nb.pk = r.b, tot
+        |ORDER BY a, b""".stripMargin,
+
+    "q_cohort_ltv" ->
+      // same epoch-week cohorting; floor(epoch()) is the event-seconds
+      // invariant, floor(value·100) the cents lane
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+        |    event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id),
+        |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY w0),
+        |rev AS (SELECT f.w0, ev.wk - f.w0 AS age,
+        |    CAST(sum(cents) AS BIGINT) AS week_cents
+        |  FROM ev JOIN f ON ev.user_id = f.user_id
+        |  WHERE ev.event_type = 'purchase'
+        |  GROUP BY f.w0, ev.wk - f.w0),
+        |c AS (SELECT w0, age, CAST(sum(week_cents) OVER (
+        |      PARTITION BY w0 ORDER BY age
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT c.w0 AS cohort_week, c.age, sz.n_users, c.cum_cents,
+        |  c.cum_cents // sz.n_users AS ltv_cents
+        |FROM c JOIN sz ON c.w0 = sz.w0
+        |ORDER BY cohort_week, age""".stripMargin,
+
+    "text_rake_keywords" ->
+      // same filtered-array positions + island grouping; HUGEINT sums
+      // cast back, ppm floor division
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w[i + 1] AS word, i AS p FROM (
+        |    SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d)),
+        |ns AS (SELECT doc_id, p, word,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM ix
+        |  WHERE word NOT IN ('the', 'a', 'fast', 'slow', 'big', 'small')),
+        |pl AS (SELECT word,
+        |    count(*) OVER (PARTITION BY doc_id, grp) AS len FROM ns),
+        |st AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(len) AS BIGINT) AS deg FROM pl GROUP BY word)
+        |SELECT word, freq, deg, (1000000 * deg) // freq AS score_ppm
+        |FROM st ORDER BY score_ppm DESC, freq DESC, word
+        |LIMIT 25""".stripMargin,
 
     "q_attribution" ->
       // same packed-BIGINT last-touch carry; floor(epoch()) pins the

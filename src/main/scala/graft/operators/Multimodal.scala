@@ -262,6 +262,84 @@ object Multimodal {
       }.toDF("media_id", "dom_freq", "power")
   }
 
+  /** 16-bit mono PCM WAV of a TONE SEQUENCE — one sine segment per
+    * entry of `freqs`, `samplesPerSeg` samples each, phase reset at
+    * segment boundaries. Same real RIFF container as [[sineWav]]; the
+    * synthesis half of the audio-fingerprint gate. */
+  private[graft] def toneSequenceWav(freqs: Seq[Double],
+      samplesPerSeg: Int, rate: Int): Array[Byte] = {
+    val nSamples = freqs.length * samplesPerSeg
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    freqs.foreach { freq =>
+      var i = 0
+      while (i < samplesPerSeg) {
+        bb.putShort((19660.8 *
+          math.sin(2.0 * math.Pi * freq * i / rate)).toShort)
+        i += 1
+      }
+    }
+    bb.array()
+  }
+
+  /** Acoustic fingerprint per track: parse the RIFF bytes, mix to mono,
+    * cut into `nSegs` equal frames, detect each frame's dominant tone
+    * among `freqs` by Goertzel argmax (ties → lowest index), and pack
+    * the per-frame symbol sequence into ONE BIGINT fingerprint
+    * `Σ sym_k · |freqs|^k` (frame 0 = least-significant digit). The
+    * frame-wise twin of [[dominantTone]] — same mapPartitions
+    * codec-per-partition shape, candidates as a closure constant.
+    * Non-WAV / too-short tracks emit fingerprint = −1. */
+  def toneFingerprint(media: DataFrame, freqs: Seq[Double],
+      nSegs: Int): DataFrame = {
+    require(freqs.nonEmpty, "need at least one candidate frequency")
+    require(nSegs > 0, "need at least one segment")
+    val ss = media.sparkSession
+    import ss.implicits._
+    val base = freqs.length.toLong
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseWav(bytes) match {
+            case Some(w) if w.nFrames >= nSegs =>
+              val n = w.nFrames
+              val mono = Array.tabulate(n) { f =>
+                var s = 0.0
+                var c = 0
+                while (c < w.channels) {
+                  s += w.samples(f * w.channels + c); c += 1
+                }
+                s / w.channels
+              }
+              val segLen = n / nSegs
+              var fp = 0L
+              var mult = 1L
+              var k = 0
+              while (k < nSegs) {
+                val frame = java.util.Arrays
+                  .copyOfRange(mono, k * segLen, (k + 1) * segLen)
+                val powers =
+                  freqs.map(fr => goertzelPower(frame, w.sampleRate, fr))
+                val sym = powers.zipWithIndex
+                  .maxBy { case (p, i) => (p, -i) }._2
+                fp += sym.toLong * mult
+                mult *= base
+                k += 1
+              }
+              (id, fp)
+            case _ => (id, -1L)
+          }
+        }
+      }.toDF("media_id", "fingerprint")
+  }
+
   /** ======== REAL CODEC LAYER (video: MJPEG-in-AVI) ========
     * AVI is the same RIFF container as WAV; MJPEG stores each video frame
     * as a standalone JPEG inside a `##dc`/`##db` chunk — so frame

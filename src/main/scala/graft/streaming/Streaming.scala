@@ -429,6 +429,58 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One keyed event day for decayed-popularity maintenance. */
+  case class KeyDay(key: String, day: Long)
+
+  /** Decayed-popularity state/snapshot: trailing per-day event counts,
+    * packed `day·10¹² + cnt` (cnt < 10¹² per key·day — comfortably above
+    * any real per-type daily volume; epoch-day ~2·10⁴ keeps the pack
+    * under 2·10¹⁶). `version` counts events ever seen for the key — it
+    * strictly increases on every batch that touches the key, so
+    * `max(struct(version, …))` elects the final snapshot on replay. */
+  case class DecaySnap(key: String, version: Long, packed: Array[Long])
+
+  /** Streaming twin of the q_decay_popularity batch op: per key, the
+    * trailing `horizonDays`-day per-day event counts, pruned relative to
+    * the KEY's own max day. Pruning per key is safe for a later GLOBAL
+    * horizon cut: global max ≥ key max, so the global window
+    * `d ≥ gmax − horizon` is a subset of the kept `d ≥ kmax − horizon`
+    * — the reader applies the final global cut and the power-of-2
+    * weights (`2^(horizon − age)`, exact BIGINTs) batch-side, which is
+    * what lets the gate query share q_decay_popularity's oracle SQL
+    * verbatim. State is O(horizon) integers per key. */
+  def decayPopularity(src: Dataset[KeyDay],
+      horizonDays: Int = 30): Dataset[DecaySnap] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val PACK = 1000000000000L
+    val proc = new StatefulProcessor[String, KeyDay, DecaySnap] {
+      @transient private var state: ValueState[DecaySnap] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[DecaySnap]("decay",
+          Encoders.product[DecaySnap], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[KeyDay],
+          timerValues: TimerValues): Iterator[DecaySnap] = {
+        val prev = if (state.exists()) state.get()
+          else DecaySnap(key, 0L, Array.empty[Long])
+        var m = prev.packed.iterator
+          .map(p => (p / PACK) -> (p % PACK)).toMap
+        var n = prev.version
+        rows.foreach { r =>
+          m = m.updated(r.day, m.getOrElse(r.day, 0L) + 1L); n += 1L
+        }
+        val maxDay = m.keysIterator.max
+        m = m.filter { case (d, _) => d >= maxDay - horizonDays }
+        val snap = DecaySnap(key, n,
+          m.toArray.sortBy(_._1).map { case (d, c) => d * PACK + c })
+        state.update(snap)
+        Iterator.single(snap)
+      }
+    }
+    src.groupByKey(_.key)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-point CUSUM output row (fixed-point milli-units). */
   case class CusumPoint(stream_id: String, t: Timestamp, q_fp: Long,
       s_plus_fp: Long, s_minus_fp: Long, alarm: Boolean)

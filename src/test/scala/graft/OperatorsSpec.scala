@@ -2230,6 +2230,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 700.0, 2L -> 1500.0, 3L -> -1.0))
   }
 
+  test("tone-sequence fingerprint decodes every base-8 watermark digit") {
+    import spark.implicits._
+    val m = graft.operators.Multimodal
+    val cands = (0 to 7).map(i => 300.0 + i * 200.0)
+    // every digit value in every segment slot round-trips: ids chosen so
+    // segment digits cover 0..7 incl. repeated and descending patterns
+    val ids = Seq(0L, 7L, 8L, 63L, 511L, 4095L, 1234L, 2923L)
+    val media = ids.map { id =>
+      val freqs = (0 until 4).map(k => 300.0 + ((id >> (3 * k)) & 7L) * 200.0)
+      (id, m.toneSequenceWav(freqs, 1000, 8000))
+    }.toDF("media_id", "content")
+    val got = m.toneFingerprint(media, cands, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id => assert(got(id) == id % 4096, s"id $id") }
+    // degenerate inputs: non-audio bytes and a track shorter than the
+    // segment count both emit the -1 sentinel, never throw
+    val bad = Seq((1L, "junk".getBytes("UTF-8")),
+      (2L, m.sineWav(500.0, 2, 8000)))
+      .toDF("media_id", "content")
+    val sent = m.toneFingerprint(bad, cands, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sent == Map(1L -> -1L, 2L -> -1L))
+  }
+
   test("riff parser survives hostile bytes; mmr candidate scan plans as a top-k, not a global sort") {
     val m = graft.operators.Multimodal
     // fuzz: random bytes, truncated/corrupted real containers — parseWav

@@ -1056,5 +1056,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming decayed-popularity state: split replay == single batch, horizon pruned") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def replay(batches: Seq[Seq[Streaming.KeyDay]], name: String) = {
+      val mem = MemoryStream[Streaming.KeyDay]
+      val q = Streaming.decayPopularity(mem.toDS(), horizonDays = 30)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // final snapshot per key = max version (strictly increasing)
+      spark.table(name).collect()
+        .groupBy(_.getString(0)).map { case (k, rows) =>
+          val last = rows.maxBy(_.getLong(1))
+          k -> (last.getLong(1), last.getSeq[Long](2).toList)
+        }
+    }
+    // key "a": days spanning 40 — early days must prune out of state;
+    // key "b": a re-touched day must accumulate, not overwrite
+    val pts = Seq(("a", 100L), ("a", 101L), ("b", 100L), ("a", 120L),
+      ("b", 100L), ("a", 141L), ("b", 105L), ("a", 141L))
+      .map { case (k, d) => Streaming.KeyDay(k, d) }
+    val whole = replay(Seq(pts), "decay_whole").toMap
+    val split = replay(Seq(pts.take(3), pts.slice(3, 6), pts.drop(6)),
+      "decay_split").toMap
+    assert(whole == split, "batch-split invariance")
+    val PACK = 1000000000000L
+    // a: maxDay 141, horizon 30 → days 100/101 pruned (< 111); 120 and
+    // 141 (count 2) kept; version counts every event ever seen (5)
+    assert(split("a") == (5L, List(120L * PACK + 1L, 141L * PACK + 2L)))
+    assert(split("b") == (3L, List(100L * PACK + 2L, 105L * PACK + 1L)))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
