@@ -49,7 +49,9 @@ object Plans {
         "pipe_ks_drift", "graph_lpa_modularity", "q_asof_nearest",
         "text_lang_fertility", "drv_iqr_outliers", "q_next_event_probs",
         "q_mom_growth", "pipe_class_balance", "emb_cluster_purity",
-        "graph_assortativity")
+        "graph_assortativity", "q_weighted_median", "pipe_curriculum",
+        "ds_motifs", "q_assoc_rules", "q_cohort_ltv",
+        "text_rake_keywords", "mm_audio_fingerprint")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
