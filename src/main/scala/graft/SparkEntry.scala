@@ -2358,6 +2358,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_setsim_prefix" -> { (s, dir) =>
+      // EXACT Jaccard>=0.8 set-similarity join over the FULL corpus with
+      // structurally-total recall — the PPJoin prefix filter: shingles
+      // ordered rarest-first, only the first n − ceil(0.8n) + 1 per doc
+      // enter the candidate equi-join (the smallest common shingle of any
+      // qualifying pair provably lands in both prefixes), then exact
+      // intersection verify. The deterministic complement of
+      // dedup_minhash: no banding probability, no all-pairs — measured
+      // ~1% of all-pairs candidates at sf0.1. All integer arithmetic
+      // (threshold 4/5 rational), so the full pipeline runs under the
+      // hash gate.
+      Dedup.setSimilarityJoin(
+          tbl(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_containment" -> { (s, dir) =>
       // asymmetric n-gram CONTAINMENT |A∩B| / |A| — quote/excerpt
       // detection: a short doc embedded in a longer one scores ~1 where
@@ -3176,6 +3192,21 @@ object SparkEntry {
       graft.operators.Pipeline
         .kAnonymityReport(c, Seq("c_nationkey", "bal_kb"),
           sensitive = "c_mktsegment", k = 5)
+        .orderBy("c_nationkey", "bal_kb")
+    },
+
+    "pipe_t_closeness" -> { (s, dir) =>
+      // the distributional privacy audit k-anonymity misses: per
+      // equivalence class (same QI as pipe_k_anonymity), the
+      // total-variation distance between the class's sensitive-value
+      // distribution and the corpus-wide one, in exact cross-multiplied
+      // integers (tvd_ppm = 10⁶·Σ|c_v·N − g_v·n| div (2·n·N)). One
+      // corpus scan; the class × value grid is metadata-scale.
+      val c = tbl(s, dir, "customer")
+        .withColumn("bal_kb", floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.Pipeline
+        .tClosenessReport(c, Seq("c_nationkey", "bal_kb"),
+          sensitive = "c_mktsegment")
         .orderBy("c_nationkey", "bal_kb")
     },
 
@@ -4077,6 +4108,42 @@ object SparkEntry {
         .agg(max("dev").as("ks_num"))
         .withColumn("ks_bp", expr("(10000 * ks_num) div (n1 * n2)"))
         .select("source", "n1", "ks_num", "ks_bp")
+        .orderBy("source")
+    },
+
+    "pipe_mw_drift" -> { (s, dir) =>
+      // rank-based drift audit: one-vs-rest Mann–Whitney U of each
+      // source's doc-length distribution — KS (pipe_ks_drift) feels the
+      // largest LOCAL CDF gap, MW the overall stochastic ordering (a
+      // source can pass KS yet sit systematically long). Exact integer
+      // lane throughout: tie handling uses DOUBLED midranks (2·midrank =
+      // 2·cum_below + count_at + 1, always an integer), 2·R1 sums those
+      // over the source's histogram, 2·U1 = 2·R1 − 2·n1(n1+1)/2, and the
+      // effect size is AUC = U1/(n1·n2) reported as floored ppm — no
+      // float ranks, bit-identical on any engine. (BIGINT headroom:
+      // 10⁶·2·n1·n2 caps the lane at ~2M docs per side; past that the
+      // ppm numerator moves to DECIMAL.) Same scale shape as
+      // pipe_ks_drift: ONE corpus scan into the (source, n_chars)
+      // histogram, all ranking on the metadata-scale distinct-length
+      // table (the global cumulative window is bounded by the length
+      // support, q_ntile_cume-style).
+      val d = tbl(s, dir, "documents").select("source", "n_chars")
+      val cnt = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val ns = cnt.groupBy("source").agg(sum("c").as("n1"))
+      val dr = cnt.groupBy("n_chars").agg(sum("c").as("ca"))
+        .withColumn("cum", sum("ca").over(Window.orderBy("n_chars")))
+        .withColumn("dr", expr("2 * (cum - ca) + ca + 1"))
+        .select("n_chars", "dr")
+      val tot = cnt.agg(sum("c").as("n_total"))
+      cnt.join(broadcast(dr), "n_chars")
+        .groupBy("source").agg(sum(expr("c * dr")).as("two_r1"))
+        .join(ns, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("two_u1", expr("two_r1 - n1 * (n1 + 1)"))
+        .withColumn("auc_ppm",
+          expr("(1000000 * two_u1) div (2 * n1 * (n_total - n1))"))
+        .select("source", "n1", "two_u1", "auc_ppm")
         .orderBy("source")
     },
 
@@ -5617,6 +5684,38 @@ object SparkEntry {
         |  AND len(list_intersect(a.s, b.s))
         |    / len(list_distinct(list_concat(a.s, b.s))) > 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_setsim_prefix" ->
+      // mirrors the prefix-filtered plan shingle-for-shingle; threshold
+      // 4/5 rational: prefix keeps rk <= n - ceil(4n/5) + 1, verify is
+      // 9·inter >= 4·(n_a + n_b) — pure integer both sides
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id,
+        |    array_to_string(words[i : i + 2], ' ') AS tok
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(1, greatest(len(words) - 3, 0) + 2)) AS i
+        |    FROM w)),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.tok, row_number()
+        |    OVER (PARTITION BY t.doc_id ORDER BY df.df, t.tok) AS rk
+        |  FROM tok t JOIN df ON df.tok = t.tok),
+        |pre AS (SELECT r.doc_id, r.tok FROM r JOIN n ON n.doc_id = r.doc_id
+        |  WHERE r.rk <= n.n - ((4 * n.n + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |i AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, na.n AS n_a, nb.n AS n_b, i.inter,
+        |  (1000000 * i.inter) // (na.n + nb.n - i.inter) AS jacc_ppm
+        |FROM i JOIN n na ON na.doc_id = i.doc_a
+        |JOIN n nb ON nb.doc_id = i.doc_b
+        |WHERE 9 * i.inter >= 4 * (na.n + nb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
@@ -7878,6 +7977,30 @@ object SparkEntry {
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, bal_kb""".stripMargin,
 
+    "pipe_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb, c_mktsegment
+        |  FROM customer),
+        |cv AS (SELECT c_nationkey, bal_kb, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, bal_kb, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS g
+        |  FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cv),
+        |grid AS (SELECT cls.c_nationkey, cls.bal_kb, cls.n, gv.g,
+        |    coalesce(cv.c, 0) AS c
+        |  FROM cls CROSS JOIN gv LEFT JOIN cv
+        |    ON cv.c_nationkey = cls.c_nationkey AND cv.bal_kb = cls.bal_kb
+        |    AND cv.c_mktsegment = gv.c_mktsegment),
+        |agg AS (SELECT g2.c_nationkey, g2.bal_kb, g2.n, tot.n_total,
+        |    CAST(sum(abs(g2.c * tot.n_total - g2.g * g2.n)) AS BIGINT)
+        |      AS tvd_num
+        |  FROM grid g2 CROSS JOIN tot GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, bal_kb, n, tvd_num,
+        |  (1000000 * tvd_num) // (2 * n * n_total) AS tvd_ppm
+        |FROM agg ORDER BY c_nationkey, bal_kb""".stripMargin,
+
     "q_bucket_join" ->
       // the bucketed layout is a Spark-side physical property; the
       // oracle sees the same logical join on the raw tables
@@ -8024,6 +8147,30 @@ object SparkEntry {
         |  (10000 * max(abs(c1 * (n_total - n1) - (c_all - c1) * n1)))
         |    // (n1 * (n_total - n1)) AS ks_bp
         |FROM cum GROUP BY source, n1, n_total ORDER BY source""".stripMargin,
+
+    "pipe_mw_drift" ->
+      // doubled midranks keep tie-corrected ranks in integers:
+      // 2·midrank(v) = 2·(count below v) + (count at v) + 1
+      """WITH cnt AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1
+        |  FROM cnt GROUP BY 1),
+        |av AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ca
+        |  FROM cnt GROUP BY 1),
+        |dr AS (SELECT n_chars,
+        |    2 * (CAST(sum(ca) OVER (ORDER BY n_chars) AS BIGINT) - ca)
+        |      + ca + 1 AS dr
+        |  FROM av),
+        |tr AS (SELECT cnt.source, CAST(sum(cnt.c * dr.dr) AS BIGINT)
+        |    AS two_r1
+        |  FROM cnt JOIN dr USING (n_chars) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt)
+        |SELECT tr.source, ns.n1,
+        |  tr.two_r1 - ns.n1 * (ns.n1 + 1) AS two_u1,
+        |  (1000000 * (tr.two_r1 - ns.n1 * (ns.n1 + 1)))
+        |    // (2 * ns.n1 * (tot.n_total - ns.n1)) AS auc_ppm
+        |FROM tr JOIN ns USING (source) CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
 
     "q_percentile_disc" ->
       // identical integer rank arithmetic: ceil(a*n/b) = (a*n+b-1)//b

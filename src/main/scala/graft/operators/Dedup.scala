@@ -376,4 +376,76 @@ object Dedup {
     docs.groupBy(md5(norm.cast("binary")).as("h"))
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
   }
+
+  /** EXACT set-similarity join with prefix filtering (the PPJoin family):
+    * every pair of documents whose distinct word-n-gram sets have Jaccard
+    * >= tNum/tDen, with NO probabilistic candidate stage. Where
+    * [[nearDuplicates]] trades recall for speed via MinHash banding, this
+    * lane's recall is STRUCTURAL: order each document's shingles by a
+    * global total order (document frequency asc, then shingle — rarest
+    * first), keep only the first n − ceil(t·n) + 1 as the document's
+    * prefix, and the prefix-filter theorem guarantees any pair with
+    * Jaccard >= t shares at least one PREFIX shingle (if two sets
+    * disagree on all of each other's prefixes, their overlap is bounded
+    * below t by construction). Candidates = equi-join on prefix shingles;
+    * verification counts the exact intersection. The threshold is a
+    * RATIONAL tNum/tDen so both the prefix length (ceil(t·n) =
+    * (tNum·n + tDen − 1) div tDen) and the verify test
+    * ((tDen + tNum)·|A∩B| >= tNum·(|A|+|B|)) stay in exact integer
+    * arithmetic — bit-identical on any engine, no float Jaccard cut.
+    *
+    * Scale shape: one corpus scan explodes shingles; the shuffles key on
+    * (shingle) for document frequency and on (prefix shingle) for the
+    * candidate join — rare-first prefixes mean high-df shingles almost
+    * never enter the join, which is what bounds candidate fan-out (the
+    * measured gate corpus: ~1% of all-pairs at sf0.1). The exploded
+    * shingle table and the prefix table are localCheckpoint'd: both feed
+    * SELF-joins, which would otherwise re-run the upstream scan + window
+    * once per side. Per-doc prefix ranking is a per-document window, not
+    * a global sort.
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, inter, jacc_ppm) with doc_a < doc_b,
+    * jacc_ppm = (10⁶·|A∩B|) div (|A|+|B|−|A∩B|).
+    */
+  def setSimilarityJoin(docs: DataFrame, n: Int = 3, tNum: Int = 4,
+      tDen: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // distinct shingles, one row per (doc, shingle); feeds df, the prefix
+    // ranking, and BOTH sides of the verify join
+    val tok = shingles(docs, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .localCheckpoint(true)
+    val nsz = tok.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rank within each doc by the GLOBAL (df, tok) total order — a
+    // per-doc window realizes the global ordering without a global sort
+    val pre = tok.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+      .join(nsz, "doc_id")
+      .where(col("rk") <= col("n") -
+        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "tok")
+      .localCheckpoint(true) // self-joined below
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(nsz.select(col("doc_id"), col("n").as("n_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(nsz.select(col("doc_id"), col("n").as("n_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .where(expr(s"(${tDen + tNum}) * inter >= $tNum * (n_a + n_b)"))
+      .withColumn("jacc_ppm",
+        expr("(1000000 * inter) div (n_a + n_b - inter)"))
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter", "jacc_ppm")
+  }
 }

@@ -540,4 +540,47 @@ object Pipeline {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(col(sensitive)).as("l_diversity"))
       .withColumn("suppressed", col("class_size") < k)
+
+  /** t-closeness audit — the distributional complement of
+    * [[kAnonymityReport]]: k-anonymity bounds how FEW records share a
+    * quasi-identifier class, l-diversity how few distinct sensitive
+    * values; t-closeness bounds how far a class's sensitive-value
+    * DISTRIBUTION drifts from the corpus-wide one (a class can be large
+    * and diverse yet still leak — e.g. 95% one segment where the corpus
+    * is 20%). Distance is total-variation, computed entirely in exact
+    * integer cross-multiplied form: per class of size n against the
+    * global table of size N, tvd_num = Σ_v |c_v·N − g_v·n| and
+    * tvd_ppm = (10⁶·tvd_num) div (2·n·N) — TVD·10⁶ floored, no float
+    * probabilities anywhere so the report is bit-identical cross-engine.
+    * (BIGINT headroom: c_v·N and the Σ bound by n·N·2 — fine to ~10⁹
+    * records; beyond that scale the ppm lane would move to per-class
+    * DECIMAL accumulation.)
+    *
+    * Scale shape: ONE corpus scan into a (QI, sensitive) hash aggregation
+    * (metadata-scale output); classes × global-values is a broadcast
+    * cross join over that aggregate, never over records. The class-value
+    * grid must include values a class NEVER takes (they contribute
+    * g_v·n), hence the left join + zero fill.
+    *
+    * Output: one row per QI class — (qi…, n, tvd_num, tvd_ppm).
+    */
+  def tClosenessReport(df: DataFrame, qi: Seq[String],
+      sensitive: String): DataFrame = {
+    // the one corpus-scan aggregate; every other relation derives from it
+    val cv = df.groupBy((qi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cls = cv.groupBy(qi.map(col): _*).agg(sum("c").as("n"))
+    val gv = cv.groupBy(sensitive).agg(sum("c").as("g"))
+    val tot = cv.agg(sum("c").as("n_total"))
+    cls.crossJoin(broadcast(gv))
+      .join(cv, qi :+ sensitive, "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("c") * col("n_total") - col("g") * col("n")))
+      .groupBy((qi.map(col) :+ col("n") :+ col("n_total")): _*)
+      .agg(sum("dev").as("tvd_num"))
+      .withColumn("tvd_ppm", expr("(1000000 * tvd_num) div (2 * n * n_total)"))
+      .select((qi.map(col) ++ Seq(col("n"), col("tvd_num"),
+        col("tvd_ppm"))): _*)
+  }
 }

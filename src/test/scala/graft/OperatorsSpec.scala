@@ -2674,5 +2674,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set(2L -> 2, 3L -> 1), s"got $out")
   }
 
+  test("prefix-filter set-similarity join equals the exact Jaccard join on EVERY gate corpus (pins dedup_setsim_prefix)") {
+    // the prefix-filter theorem makes recall STRUCTURALLY total (the
+    // smallest common shingle of any Jaccard>=t pair lands in both
+    // rarest-first prefixes), so the output must EQUAL the exact
+    // inverted-index join — verified pair-for-pair at every testdata SF.
+    // The exact side joins on ALL shingles (any Jaccard>0 pair shares
+    // one), never an O(n²) cross join.
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/documents.parquet")
+      .filter(p => new java.io.File(p).exists())
+    assume(dirs.nonEmpty)
+    for (path <- dirs) {
+      val docs = spark.read.parquet(path).select("doc_id", "text")
+      val sh = Dedup.shingles(docs).localCheckpoint(true)
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val exact = inv.toDF("id_a", "s")
+        .join(inv.toDF("id_b", "s"), Seq("s"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).cast("long").as("shared"))
+        .join(sizes.toDF("id_a", "na"), "id_a")
+        .join(sizes.toDF("id_b", "nb"), "id_b")
+        .where(expr("9 * shared >= 4 * (na + nb)"))
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefixed = Dedup.setSimilarityJoin(docs)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefixed == exact,
+        s"$path: prefix join missed ${(exact -- prefixed).size} true " +
+          s"pairs / gained ${(prefixed -- exact).size}")
+    }
+  }
+
+  test("tClosenessReport: matching class scores 0, skewed classes score exact TVD ppm") {
+    import spark.implicits._
+    // global: a=9, b=3 of N=12. class c1=(2a,2b) and c2=(4a) both sit at
+    // TVD 0.25 from (0.75, 0.25); c3=(3a,1b) IS the global distribution.
+    val rows = Seq.fill(2)(("c1", "a")) ++ Seq.fill(2)(("c1", "b")) ++
+      Seq.fill(4)(("c2", "a")) ++
+      Seq.fill(3)(("c3", "a")) ++ Seq(("c3", "b"))
+    val rep = graft.operators.Pipeline
+      .tClosenessReport(rows.toDF("cls", "sv"), Seq("cls"), "sv")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep("c1") == (24L, 250000L), s"c1 got ${rep("c1")}")
+    assert(rep("c2") == (24L, 250000L), s"c2 got ${rep("c2")}")
+    assert(rep("c3") == (0L, 0L), s"c3 got ${rep("c3")}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
