@@ -2511,6 +2511,29 @@ object SparkEntry {
       Retrieval.hybridRrf(b20, c20, 10).orderBy("qid", "rnk")
     },
 
+    "q_mrr_eval" -> { (s, dir) =>
+      // the retrieval eval harness (emb_ann_recall's keyword sibling):
+      // queries are 8-word MID-SLICES (words 5..12) of the first 20
+      // docs, ground truth = the source doc; report the source doc's
+      // rank in the BM25 top-10, MRR in exact ppm (10⁶ div rank, 0 on
+      // miss), and hit@3. Rank ties resolve on the rounded score with
+      // the doc_id tiebreak — the bm25TopK convention — so the rank is
+      // deterministic cross-engine.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          expr("concat_ws(' ', slice(split(text, ' '), 5, 8))").as("qtext"))
+      val rel = Retrieval.bm25TopK(docs, broadcast(queries), 10)
+        .where(col("doc_id") === col("qid"))
+        .select(col("qid"), col("rnk").as("rel_rank"))
+      queries.select("qid").join(rel, Seq("qid"), "left")
+        .withColumn("rel_rank", coalesce(col("rel_rank"), lit(0L)))
+        .withColumn("mrr_ppm", when(col("rel_rank") > 0,
+          expr("1000000 div rel_rank")).otherwise(lit(0L)))
+        .withColumn("hit3", col("rel_rank").between(1, 3))
+        .orderBy("qid")
+    },
+
     "text_lang_confusion" -> { (s, dir) =>
       // classifier eval against the ground-truth lang column: confusion
       // matrix of (actual, predicted) with per-cell counts
@@ -2990,6 +3013,21 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_binary" -> { (s, dir) =>
+      // ANN scale path #4: binary (sign) quantization — the first pass
+      // ranks by Hamming distance over 64 packed sign bits (16 bytes a
+      // vector, codes-only scan), the exact cosine rerank touches only
+      // the 10 survivors per query. Deterministic end to end: integer
+      // Hamming with id tiebreak, then the cosineTopK rank convention.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.binaryTopK(e, q, k = 3, rerankDepth = 10)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf" -> { (s, dir) =>
       // ANN scale path #2: IVF — inlined stride-sampled centroids, zero-
       // shuffle cell assignment, nprobe=2 probe, equi-join inverted-file
@@ -3208,6 +3246,44 @@ object SparkEntry {
         .tClosenessReport(c, Seq("c_nationkey", "bal_kb"),
           sensitive = "c_mktsegment")
         .orderBy("c_nationkey", "bal_kb")
+    },
+
+    "pipe_quota_split" -> { (s, dir) =>
+      // EXACT stratified 80/10/10 split by largest-remainder quotas —
+      // per source the allocation error vs true proportions is < 1 row
+      // by construction (pipe_split_hash is only proportional in
+      // expectation; binomial noise on a small stratum can starve a dev
+      // set). Integer quota arithmetic + id-ordered assignment = a pure
+      // function of the data, bit-identical cross-engine.
+      graft.operators.Pipeline.quotaSplit(
+          tbl(s, dir, "documents").select("doc_id", "source"),
+          Seq("train" -> 80L, "dev" -> 10L, "test" -> 10L))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    "pipe_target_encode" -> { (s, dir) =>
+      // leave-one-out smoothed target encoding (the leakage-safe form:
+      // each row's own target is excluded from its category mean) —
+      // enc = (Σcat − own + m·prior) div (n−1+m), m = 100, prior = the
+      // global integer mean. Exact BIGINT cents everywhere; stats come
+      // from one full-table agg, the per-row encode is a broadcast-join
+      // projection. Output restricted to o_orderkey < 5000 to bound the
+      // gate dump — the encode itself is a constant-cost projection per
+      // row at any scale.
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val stats = o.groupBy("cat")
+        .agg(sum("cents").as("csum"), count(lit(1)).as("n"))
+      val g = o.agg(expr("sum(cents) div count(1)").as("prior_cents"))
+      o.where(col("o_orderkey") < 5000)
+        .join(broadcast(stats), "cat")
+        .crossJoin(broadcast(g))
+        .withColumn("enc_cents",
+          expr("(csum - cents + 100 * prior_cents) div (n - 1 + 100)"))
+        .select("o_orderkey", "cat", "enc_cents")
+        .orderBy("o_orderkey")
     },
 
     "q_bucket_join" -> { (s, dir) =>
@@ -6231,6 +6307,41 @@ object SparkEntry {
     // direct lane's oracle applies VERBATIM
     "q_bm25_indexed" -> bm25TopkOracleSql,
 
+    "q_mrr_eval" ->
+      // bm25TopkOracleSql's CTE chain with mid-slice queries (words
+      // 5..12 of the first 20 docs), evaluated against the source doc
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(
+        |    string_split(array_to_string(string_split(text, ' ')[5:12], ' '),
+        |      ' '))) AS tok
+        |  FROM d WHERE doc_id < 20),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored),
+        |rel AS (SELECT qid, CAST(rnk AS BIGINT) AS rel_rank FROM r
+        |  WHERE doc_id = qid AND rnk <= 10),
+        |qs AS (SELECT DISTINCT doc_id AS qid FROM d WHERE doc_id < 20)
+        |SELECT qs.qid, coalesce(rel.rel_rank, 0) AS rel_rank,
+        |  CASE WHEN coalesce(rel.rel_rank, 0) > 0
+        |    THEN 1000000 // rel.rel_rank ELSE 0 END AS mrr_ppm,
+        |  coalesce(rel.rel_rank, 0) BETWEEN 1 AND 3 AS hit3
+        |FROM qs LEFT JOIN rel ON rel.qid = qs.qid ORDER BY qs.qid""".stripMargin,
+
     // hybrid RRF: same BM25 CTEs at top-20 + exact-cosine top-20, fused
     // as 1/(60+rank) sums — exact rationals, hash-exact
     "q_hybrid_rrf" ->
@@ -7600,6 +7711,32 @@ object SparkEntry {
         |ORDER BY qid, rnk""".stripMargin
     },
 
+    "emb_ann_binary" ->
+      // the oracle needn't pack bits: xor+popcount over two 32-bit
+      // halves == counting dims whose (x > 0) sign test disagrees
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+        |h AS (SELECT q.qid, e.vec_id AS cid, e.emb, q.qemb,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CASE WHEN (q.qemb[j] > 0) <> (e.emb[j] > 0)
+        |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM q JOIN e ON e.vec_id <> q.qid),
+        |c AS (SELECT qid, cid, emb, qemb, hamming,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, cid)
+        |      AS crnk
+        |  FROM h),
+        |r AS (SELECT qid, cid, hamming,
+        |    list_dot_product(qemb, emb) / (sqrt(list_dot_product(qemb, qemb))
+        |      * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM c WHERE crnk <= 10),
+        |t AS (SELECT qid, cid, hamming, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS BIGINT) AS rnk
+        |  FROM r)
+        |SELECT qid, cid, rnk, hamming, round(sim, 6) AS sim FROM t
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     "emb_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
@@ -8000,6 +8137,49 @@ object SparkEntry {
         |SELECT c_nationkey, bal_kb, n, tvd_num,
         |  (1000000 * tvd_num) // (2 * n * n_total) AS tvd_ppm
         |FROM agg ORDER BY c_nationkey, bal_kb""".stripMargin,
+
+    "pipe_quota_split" ->
+      """WITH ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('train', 80, 0), ('dev', 10, 1),
+        |    ('test', 10, 2)) AS t(split, w, ord)),
+        |q0 AS (SELECT ns.source, ns.n_s, w.split, w.ord,
+        |    (ns.n_s * w.w) // 100 AS base, (ns.n_s * w.w) % 100 AS frac
+        |  FROM ns CROSS JOIN w),
+        |q1 AS (SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY frac DESC, ord) AS rem_rank,
+        |    n_s - CAST(sum(base) OVER (PARTITION BY source) AS BIGINT)
+        |      AS rem_total
+        |  FROM q0),
+        |q2 AS (SELECT source, split, ord, base +
+        |    CASE WHEN rem_rank <= rem_total THEN 1 ELSE 0 END AS quota
+        |  FROM q1),
+        |qb AS (SELECT source, split,
+        |    CAST(sum(quota) OVER (PARTITION BY source ORDER BY ord)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(quota) OVER (PARTITION BY source ORDER BY ord)
+        |      AS BIGINT) - quota AS lo
+        |  FROM q2),
+        |rn AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+        |SELECT rn.doc_id, rn.source, qb.split
+        |FROM rn JOIN qb ON qb.source = rn.source
+        |  AND rn.rn > qb.lo AND rn.rn <= qb.hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_target_encode" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |stats AS (SELECT cat, CAST(sum(cents) AS BIGINT) AS csum,
+        |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS prior_cents FROM o)
+        |SELECT o.o_orderkey, o.cat,
+        |  (stats.csum - o.cents + 100 * g.prior_cents) // (stats.n - 1 + 100)
+        |    AS enc_cents
+        |FROM o JOIN stats USING (cat) CROSS JOIN g
+        |WHERE o.o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin,
 
     "q_bucket_join" ->
       // the bucketed layout is a Spark-side physical property; the

@@ -62,6 +62,61 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packs 32 sign bits of an array<double> into a long: bit j is set iff
+  * `arr[offset + j] > 0` (strict — zeros and negatives clear). Two calls
+  * (offset 0 and 32) binary-quantize a 64-dim embedding into two
+  * BIGINT halves; 32-bit halves keep every packed value positive, so
+  * the DuckDB oracle recomputes them with plain integer arithmetic (no
+  * 1<<63 sign-bit wraparound question on either engine). Native codegen
+  * for the same reason as [[DotProduct]]: this runs once per corpus row
+  * in the quantization scan — a 32-step interpreted lambda per row is
+  * the slow path.
+  */
+case class SignBits(child: Expression, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_signbits expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_signbits"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0L
+    var j = 0
+    while (j < 32) {
+      val i = offset + j
+      if (i < n && x.getDouble(i) > 0) s |= (1L << j)
+      j += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  int $i = $offset + $j;
+         |  if ($i < $n && $a.getDouble($i) > 0) $s |= (1L << $j);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBits = copy(child = newChild)
+}
+
 /** Session registration for the engine's native SQL functions. */
 object GraftFunctions {
   /** Idempotent: makes `graft_dot(a, b)`, `graft_minhash(hs, n)` and
@@ -134,6 +189,10 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_pairs",
       (children: Seq[Expression]) => PairCombinations(children(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_signbits",
+      (children: Seq[Expression]) => SignBits(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     reg.createOrReplaceTempFunction("graft_gram_agg",
       (children: Seq[Expression]) => GramAgg(children(0), children(1),

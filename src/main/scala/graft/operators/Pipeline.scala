@@ -541,6 +541,54 @@ object Pipeline {
         countDistinct(col(sensitive)).as("l_diversity"))
       .withColumn("suppressed", col("class_size") < k)
 
+  /** Largest-remainder (Hamilton) quota split: assign every row of a
+    * stratum to one of the weighted splits so each stratum's allocation
+    * is EXACTLY proportional — base quota floor(n_s·w_i / Σw), then the
+    * leftover seats go to the splits with the largest remainders
+    * (n_s·w_i mod Σw, ties to declaration order). [[hashSplit]] is only
+    * proportional in expectation; this is the lane for small strata
+    * where a hash split's binomial noise can starve a 10% dev set.
+    * All quota arithmetic is integer, so the assignment is a pure
+    * function of (counts, weights, in-stratum order) — bit-identical on
+    * any engine.
+    *
+    * In-stratum order is `idCol` ascending (any total order works; ids
+    * keep it reproducible across runs). Scale shape: quotas come from
+    * one metadata-scale count agg; the assignment is one per-stratum
+    * sort window (the order-statistics shuffle — inherent to exact
+    * allocation) plus a broadcast range join of the quota boundaries.
+    *
+    * Output: input rows + `split`.
+    */
+  def quotaSplit(df: DataFrame, weights: Seq[(String, Long)],
+      stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = weights.map(_._2).sum
+    val wdf = weights.zipWithIndex
+      .map { case ((name, w), i) => (name, w, i.toLong) }
+      .toDF("split", "w", "ord")
+    val ns = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val wS = Window.partitionBy(stratumCol)
+    val quotas = ns.crossJoin(broadcast(wdf))
+      .withColumn("base", expr(s"(n_s * w) div $total"))
+      .withColumn("frac", expr(s"(n_s * w) % $total"))
+      .withColumn("rem_rank", row_number().over(
+        wS.orderBy(col("frac").desc, col("ord"))))
+      .withColumn("rem_total", col("n_s") - sum("base").over(wS))
+      .withColumn("quota", col("base") +
+        when(col("rem_rank") <= col("rem_total"), 1L).otherwise(0L))
+      .withColumn("hi", sum("quota").over(wS.orderBy("ord")))
+      .withColumn("lo", col("hi") - col("quota"))
+      .select(col(stratumCol), col("split"), col("lo"), col("hi"))
+    df.withColumn("rn", row_number().over(wS.orderBy(idCol)))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .where(col("rn") > col("lo") && col("rn") <= col("hi"))
+      .drop("rn", "lo", "hi")
+  }
+
   /** t-closeness audit — the distributional complement of
     * [[kAnonymityReport]]: k-anonymity bounds how FEW records share a
     * quasi-identifier class, l-diversity how few distinct sensitive

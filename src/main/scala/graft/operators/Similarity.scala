@@ -44,6 +44,59 @@ object Similarity {
         col("rnk") :+ col("sim"): _*)
   }
 
+  /** Binary-quantization ANN (the SQ/BQ two-stage every modern vector
+    * store runs): corpus vectors collapse to 64 SIGN BITS packed into two
+    * positive 32-bit halves ([[graft.functions.SignBits]] — oracle-safe,
+    * no 1<<63 wraparound), the first pass ranks candidates by Hamming
+    * distance computed from those two BIGINTs alone, and only the
+    * `rerankDepth` best per query are re-scored with exact float cosine.
+    *
+    * The 100 TB shape is the point of the first pass: it reads a
+    * CODES-ONLY projection — (vec_id, h1, h2), 16 bytes a vector instead
+    * of 64 doubles (32× less I/O and memory) — with the distance two
+    * xor+popcounts inside whole-stage codegen; column pruning keeps the
+    * float vectors out of the scan entirely. The rerank then point-joins
+    * the ~queries×rerankDepth survivor ids back to the corpus for exact
+    * scoring — candidate traffic, not corpus traffic. Ties: equal Hamming
+    * resolves to the lower vec_id; the rerank reuses the (sim desc,
+    * vec_id) convention of [[cosineTopK]].
+    *
+    * Output: (qid, cid, rnk, hamming, sim) — hamming kept so recall
+    * quality is visible next to the exact score.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankDepth: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val codes = corpus.select(col("vec_id"),
+      expr("graft_signbits(emb, 0)").as("h1"),
+      expr("graft_signbits(emb, 32)").as("h2"))
+    val qcodes = queries.select(col("qid"),
+      expr("graft_signbits(qemb, 0)").as("qh1"),
+      expr("graft_signbits(qemb, 32)").as("qh2"))
+    val cand = codes.crossJoin(broadcast(qcodes))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        expr("bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2)").cast("long"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))))
+      .where(col("crnk") <= rerankDepth)
+      .select("qid", "vec_id", "hamming")
+    // exact rerank: fetch the survivors' float vectors (a broadcast of
+    // ~|queries|·rerankDepth ids against the corpus) and cosine-score
+    val qn = withNorm(queries, "qemb", "q_norm")
+    val scored = corpus.join(broadcast(cand), "vec_id")
+      .join(broadcast(qn), "qid")
+      .withColumn("c_norm", sqrt(expr("graft_dot(emb, emb)")))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("c_norm")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id")))
+        .cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"),
+        col("hamming"), col("sim"))
+  }
+
   /** Exact cosine top-k: for each row of `queries` (qid, qemb), the k
     * nearest rows of `corpus` (vec_id, emb) by cosine similarity.
     * Output: (qid, cid, rnk, sim). The join is a broadcast NLJ — the

@@ -2708,6 +2708,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quotaSplit: every stratum's allocation is exactly largest-remainder proportional") {
+    import spark.implicits._
+    // strata sized so 80/10/10 forces remainder seats: 7 rows → base
+    // (5,0,0) + 2 remainder seats (frac 60,70,70 → dev,test by order)
+    val rows = (0L until 7L).map(i => (i, "s7")) ++
+      (100L until 110L).map(i => (i, "s10")) ++
+      (200L until 223L).map(i => (i, "s23"))
+    val out = graft.operators.Pipeline.quotaSplit(
+        rows.toDF("doc_id", "source"),
+        Seq("train" -> 80L, "dev" -> 10L, "test" -> 10L))
+      .groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("s7", "train") -> 5L, ("s7", "dev") -> 1L, ("s7", "test") -> 1L,
+      ("s10", "train") -> 8L, ("s10", "dev") -> 1L, ("s10", "test") -> 1L,
+      ("s23", "train") -> 19L, ("s23", "dev") -> 2L, ("s23", "test") -> 2L),
+      s"got $out")
+    // in-stratum order: lowest ids land in train (id-ordered assignment)
+    val s7 = graft.operators.Pipeline.quotaSplit(
+        rows.toDF("doc_id", "source"),
+        Seq("train" -> 80L, "dev" -> 10L, "test" -> 10L))
+      .where(col("source") === "s7").orderBy("doc_id")
+      .collect().map(_.getString(2))
+    assert(s7.toSeq == Seq("train", "train", "train", "train", "train",
+      "dev", "test"))
+  }
+
+  test("binaryTopK: identical vector wins the Hamming pass and the exact rerank") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(j => if (j % 3 == 0) 1.0 else -1.0)
+    val flipped = base.clone(); flipped(5) = -flipped(5) // hamming 1
+    val far = base.map(-_)
+    val corpus = Seq((0L, base.toSeq), (1L, flipped.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "emb")
+    val q = Seq((0L, base.toSeq)).toDF("qid", "qemb")
+    val out = Similarity.binaryTopK(corpus, q, k = 2, rerankDepth = 2)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 64L)), s"got ${out.toSeq}")
+  }
+
   test("tClosenessReport: matching class scores 0, skewed classes score exact TVD ppm") {
     import spark.implicits._
     // global: a=9, b=3 of N=12. class c1=(2a,2b) and c2=(4a) both sit at
