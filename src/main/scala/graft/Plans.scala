@@ -51,7 +51,10 @@ object Plans {
         "q_mom_growth", "pipe_class_balance", "emb_cluster_purity",
         "graph_assortativity", "q_weighted_median", "pipe_curriculum",
         "ds_motifs", "q_assoc_rules", "q_cohort_ltv",
-        "text_rake_keywords", "mm_audio_fingerprint")
+        "text_rake_keywords", "mm_audio_fingerprint",
+        "dedup_setsim_prefix", "pipe_mw_drift", "pipe_t_closeness",
+        "emb_ann_binary", "q_mrr_eval", "pipe_quota_split",
+        "pipe_target_encode")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -2526,7 +2526,7 @@ object SparkEntry {
       val rel = Retrieval.bm25TopK(docs, broadcast(queries), 10)
         .where(col("doc_id") === col("qid"))
         .select(col("qid"), col("rnk").as("rel_rank"))
-      queries.select("qid").join(rel, Seq("qid"), "left")
+      queries.select("qid").join(broadcast(rel), Seq("qid"), "left")
         .withColumn("rel_rank", coalesce(col("rel_rank"), lit(0L)))
         .withColumn("mrr_ppm", when(col("rel_rank") > 0,
           expr("1000000 div rel_rank")).otherwise(lit(0L)))
