@@ -3192,6 +3192,22 @@ object SparkEntry {
       Graphs.bfsDistances(edges, seeds, maxHops = 3).orderBy("v")
     },
 
+    "graph_sssp" -> { (s, dir) =>
+      // WEIGHTED shortest paths on the co-purchase graph (the weighted
+      // sibling of graph_bfs_hops): edge length 10⁶ div support — strong
+      // links are short — 4 fixed Bellman–Ford rounds from the smallest
+      // vertex. Integer lengths keep every relaxation exact; fixed
+      // rounds make it a deterministic function of the edge set
+      // (unrolled AS MATERIALIZED CTEs on the oracle side). O(E) per
+      // round — relax-and-min, never path enumeration.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .withColumn("w", expr("1000000 div support"))
+        .localCheckpoint(true) // feeds seeds + 4 relaxation rounds
+      val seeds = edges.agg(min("u").as("v"))
+      Graphs.ssspDistances(edges, seeds, rounds = 4).orderBy("v")
+    },
+
     "graph_jaccard_links" -> { (s, dir) =>
       // link prediction on the co-purchase graph (same support-2 edges):
       // neighbor-set Jaccard over unlinked 2-path pairs, top 20 — the
@@ -3246,6 +3262,53 @@ object SparkEntry {
         .tClosenessReport(c, Seq("c_nationkey", "bal_kb"),
           sensitive = "c_mktsegment")
         .orderBy("c_nationkey", "bal_kb")
+    },
+
+    "pipe_pii_scan" -> { (s, dir) =>
+      // PII release audit over a corpus with DETERMINISTIC injected PII
+      // (docs < 30 gain an email / phone / URL by doc_id % 3 — the
+      // withInjectedVariants pattern: the recipe is mirrored in the
+      // oracle, so the regex detectors are exercised on known-positive
+      // rows instead of vacuously counting zeros).
+      val base = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      val injected = base.withColumn("text",
+        when(col("doc_id") < 30, concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact me at user"),
+              col("doc_id").cast("string"), lit("@example.com today")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" call 555-"),
+              (col("doc_id") + 1000).cast("string"), lit(" extension now")))
+          .otherwise(concat(lit(" see https://example.org/page"),
+            col("doc_id").cast("string"), lit(" info")))))
+        .otherwise(col("text")))
+      graft.operators.Pipeline.piiScan(injected).orderBy("source")
+    },
+
+    "q_fuzzy_match" -> { (s, dir) =>
+      // typo-tolerant term lookup, the SymSpell shape: both vocabulary
+      // and query tokens explode into their 1-DELETION neighborhoods
+      // (term itself + term minus each char), candidates are an
+      // equi-join on deletion keys — covering edit distance <= 1
+      // COMPLETELY (equal / insert / delete / substitute all share a
+      // deletion) at index cost O(vocab × len) instead of
+      // O(vocab × queries) brute levenshtein — then exact-verified with
+      // levenshtein (bit-identical integer DP on both engines). Queries
+      // are deterministic misspellings: the 10 most frequent len>=5
+      // tokens with their 3rd char dropped.
+      val toks = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds vocab AND the query ranking
+      val queries = toks.where(length(col("tok")) >= 5)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .where(col("rk") <= 10)
+        .select(concat(expr("substring(tok, 1, 2)"),
+          expr("substring(tok, 4)")).as("qtok"))
+      Retrieval.fuzzyTermLookup(toks.select(col("tok").as("term")), queries)
+        .orderBy("qtok", "term")
     },
 
     "pipe_quota_split" -> { (s, dir) =>
@@ -8063,6 +8126,38 @@ object SparkEntry {
         |SELECT v, min(dist) AS dist FROM walk GROUP BY v
         |ORDER BY v""".stripMargin,
 
+    "graph_sssp" ->
+      // 4 unrolled Bellman–Ford rounds (fixed-round iterative rule); a
+      // bounded recursion would enumerate PATHS — combinatorial on this
+      // graph — where relax-and-min keeps state V-bounded per round
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |    1000000 // CAST(count(*) AS BIGINT) AS w
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u, v, w FROM e0
+        |  UNION ALL SELECT v AS u, u AS v, w FROM e0),
+        |d0 AS MATERIALIZED (SELECT min(u) AS v, CAST(0 AS BIGINT) AS dist
+        |  FROM und),
+        |d1 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d0 UNION ALL
+        |  SELECT und.v, d0.dist + und.w FROM und JOIN d0 ON und.u = d0.v)
+        |  GROUP BY v),
+        |d2 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d1 UNION ALL
+        |  SELECT und.v, d1.dist + und.w FROM und JOIN d1 ON und.u = d1.v)
+        |  GROUP BY v),
+        |d3 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d2 UNION ALL
+        |  SELECT und.v, d2.dist + und.w FROM und JOIN d2 ON und.u = d2.v)
+        |  GROUP BY v),
+        |d4 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d3 UNION ALL
+        |  SELECT und.v, d3.dist + und.w FROM und JOIN d3 ON und.u = d3.v)
+        |  GROUP BY v)
+        |SELECT v, dist FROM d4 ORDER BY v""".stripMargin,
+
     "graph_jaccard_links" ->
       // same support-2 edges; exact integer counts, one division
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -8137,6 +8232,54 @@ object SparkEntry {
         |SELECT c_nationkey, bal_kb, n, tvd_num,
         |  (1000000 * tvd_num) // (2 * n * n_total) AS tvd_ppm
         |FROM agg ORDER BY c_nationkey, bal_kb""".stripMargin,
+
+    "pipe_pii_scan" ->
+      """WITH inj AS (SELECT source,
+        |  CASE WHEN doc_id < 30 THEN text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact me at user'
+        |        || CAST(doc_id AS VARCHAR) || '@example.com today'
+        |      WHEN doc_id % 3 = 1 THEN ' call 555-'
+        |        || CAST(doc_id + 1000 AS VARCHAR) || ' extension now'
+        |      ELSE ' see https://example.org/page'
+        |        || CAST(doc_id AS VARCHAR) || ' info' END
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{3}-[0-9]{4}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'https?://[^ ]+')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_url
+        |FROM inj GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+        |  GROUP BY 1),
+        |q AS (SELECT substring(tok, 1, 2) || substring(tok, 4) AS qtok
+        |  FROM (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok)
+        |      AS rk FROM t WHERE length(tok) >= 5)
+        |  WHERE rk <= 10),
+        |vk AS (SELECT tok AS term, unnest(list_distinct(list_transform(
+        |    range(0, length(tok) + 1),
+        |    i -> CASE WHEN i = 0 THEN tok
+        |      ELSE substring(tok, 1, i - 1) || substring(tok, i + 1) END)))
+        |    AS key
+        |  FROM t),
+        |qk AS (SELECT qtok, unnest(list_distinct(list_transform(
+        |    range(0, length(qtok) + 1),
+        |    i -> CASE WHEN i = 0 THEN qtok
+        |      ELSE substring(qtok, 1, i - 1) || substring(qtok, i + 1) END)))
+        |    AS key
+        |  FROM q),
+        |cand AS (SELECT DISTINCT qk.qtok, vk.term
+        |  FROM qk JOIN vk USING (key))
+        |SELECT qtok, term, CAST(levenshtein(qtok, term) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(qtok, term) <= 1
+        |ORDER BY qtok, term""".stripMargin,
 
     "pipe_quota_split" ->
       """WITH ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s

@@ -359,6 +359,37 @@ object Graphs {
     visited
   }
 
+  /** Fixed-round weighted single-source shortest paths: `rounds` rounds
+    * of Bellman–Ford relaxation over an undirected integer-weighted edge
+    * list. Each round relaxes EVERY settled vertex (one equi-join + one
+    * min agg, O(E) per round — never a path enumeration, which explodes
+    * combinatorially on dense graphs), so after r rounds the distances
+    * are exactly the r-hop-bounded shortest paths — a deterministic
+    * integer function of the edge set, unrollable as SQL CTEs for the
+    * oracle (the same fixed-round contract as [[labelPropagation]] /
+    * kcore). Integer weights keep the min() election exact; lineage is
+    * checkpointed per round (iterative rule). Unreached vertices are
+    * absent. Input: (u, v, w) with one row per undirected edge; seeds:
+    * (v) at distance 0. Output: (v, dist).
+    */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(col("u"), col("v"), col("w"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = und
+        .join(dist.select(col("v").as("u"), col("dist").as("du")), "u")
+        .select(col("v"), (col("du") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over an undirected edge list, run for `rounds` FIXED rounds:
     * every vertex starts labeled with its own id; each round it adopts

@@ -541,6 +541,27 @@ object Pipeline {
         countDistinct(col(sensitive)).as("l_diversity"))
       .withColumn("suppressed", col("class_size") < k)
 
+  /** PII release audit: per source, how many documents contain an
+    * email / phone / URL pattern — the scan a pipeline runs BEFORE
+    * shipping a corpus (the detection complement of [[redact]], which
+    * rewrites). One conditional-agg pass over the corpus; the regexes
+    * stay inside the common RE2 ⊆ Java-regex subset so the report is
+    * reproducible on any engine. Counts are per-document (a doc with
+    * three emails counts once per family).
+    */
+  def piiScan(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val url = "https?://[^ ]+"
+    def hits(p: String) = sum(when(col(textCol).rlike(p), 1L).otherwise(0L))
+    df.groupBy(sourceCol).agg(
+      count(lit(1)).as("n_docs"),
+      hits(email).as("n_email"),
+      hits(phone).as("n_phone"),
+      hits(url).as("n_url"))
+  }
+
   /** Largest-remainder (Hamilton) quota split: assign every row of a
     * stratum to one of the weighted splits so each stratum's allocation
     * is EXACTLY proportional — base quota floor(n_s·w_i / Σw), then the

@@ -167,4 +167,30 @@ object Retrieval {
       .where(col("rnk") <= k)
       .select(col("qid"), col("doc_id"), col("rrf"), col("rnk"))
   }
+
+  /** Typo-tolerant term lookup via a 1-deletion neighborhood index (the
+    * SymSpell construction): every string's neighborhood is itself plus
+    * each single-character deletion; two strings are within edit
+    * distance 1 iff their neighborhoods intersect (equality shares the
+    * identity key, an insertion/deletion shares the shorter string, a
+    * substitution shares the both-sides deletion at the edited
+    * position). Candidates are therefore an EQUI-join on deletion keys
+    * — index size O(vocab × len), query cost ∝ matched keys, never the
+    * brute vocab × queries levenshtein matrix — exact-verified with the
+    * integer levenshtein DP, identical on any engine.
+    *
+    * Input: vocab (term), queries (qtok). Output: (qtok, term, dist<=1).
+    */
+  def fuzzyTermLookup(vocab: DataFrame, queries: DataFrame): DataFrame = {
+    def dels(df: DataFrame, c: String) =
+      df.select(col(c), explode(expr(
+        s"""array_distinct(transform(sequence(0, length($c)),
+           |  i -> CASE WHEN i = 0 THEN $c
+           |    ELSE concat(substring($c, 1, i - 1), substring($c, i + 1))
+           |    END))""".stripMargin)).as("key"))
+    dels(vocab, "term").join(broadcast(dels(queries, "qtok")), "key")
+      .select("qtok", "term").distinct()
+      .withColumn("dist", expr("CAST(levenshtein(qtok, term) AS BIGINT)"))
+      .where(col("dist") <= 1)
+  }
 }

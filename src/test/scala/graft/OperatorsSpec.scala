@@ -2750,6 +2750,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 1L), (2L, 64L)), s"got ${out.toSeq}")
   }
 
+  test("ssspDistances: relax-and-min finds the cheaper 2-hop route within fixed rounds") {
+    import spark.implicits._
+    // 1→2 direct costs 10; 1→3→2 costs 2+3=5; 4 reachable only via 2
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
+      (2L, 4L, 1L)).toDF("u", "v", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val out = graft.operators.Graphs.ssspDistances(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L), s"got $out")
+    // round-bounded: 1 round can't see the 2-hop shortcut yet
+    val r1 = graft.operators.Graphs.ssspDistances(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(2L) == 10L && r1(3L) == 2L && !r1.contains(4L), s"got $r1")
+  }
+
+  test("fuzzyTermLookup: deletion index covers equal/insert/delete/substitute, rejects distance 2") {
+    import spark.implicits._
+    val vocab = Seq("spark", "spar", "sparkle", "stark", "shard", "spork")
+      .map(Tuple1(_)).toDF("term")
+    val q = Seq(Tuple1("spark")).toDF("qtok")
+    val out = graft.operators.Retrieval.fuzzyTermLookup(vocab, q)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // spark=0, spar(del)=1, stark(sub)=1, spork(sub)=1; sparkle is
+    // distance 2 (two inserts), shard distance 2 — both excluded
+    assert(out == Map("spark" -> 0L, "spar" -> 1L, "stark" -> 1L,
+      "spork" -> 1L), s"got $out")
+  }
+
   test("tClosenessReport: matching class scores 0, skewed classes score exact TVD ppm") {
     import spark.implicits._
     // global: a=9, b=3 of N=12. class c1=(2a,2b) and c2=(4a) both sit at
