@@ -433,16 +433,22 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .join(broadcast(nsz.select(col("doc_id"), col("n").as("n_a"))),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(nsz.select(col("doc_id"), col("n").as("n_b"))),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      // PPJoin LENGTH filter, applied BEFORE the intersection join:
+      // J(A,B) <= min/max, so J >= t forces tDen·min >= tNum·max — a
+      // sound prune (output invariant; the oracle skips it) that cut
+      // the gate corpus's sf0.1 candidates 119k -> 44k measured
+      .where(expr(s"$tDen * least(n_a, n_b) >= $tNum * greatest(n_a, n_b)"))
     val inter = cand
       .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(tok.as("tb"),
         col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("long").as("inter"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).cast("long").as("inter"))
     inter
-      .join(nsz.select(col("doc_id"), col("n").as("n_a")),
-        col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(nsz.select(col("doc_id"), col("n").as("n_b")),
-        col("doc_b") === col("doc_id")).drop("doc_id")
       .where(expr(s"(${tDen + tNum}) * inter >= $tNum * (n_a + n_b)"))
       .withColumn("jacc_ppm",
         expr("(1000000 * inter) div (n_a + n_b - inter)"))
