@@ -1964,6 +1964,45 @@ object SparkEntry {
         .orderBy("stream_id", "sess_start")
     },
 
+    "ds_stream_join" -> { (s, dir) =>
+      // STREAM-STREAM interval join replay (Streaming.intervalJoin): the
+      // click stream enriched with same-user purchases within ±1 h. Both
+      // sides are watermarked and the join bounds event time in BOTH
+      // directions — the state-expiry contract that keeps the join
+      // runnable on unbounded streams; inner-join rows emit as matched,
+      // so a single-batch replay equals the batch interval join (the
+      // oracle). user_id < 30 bounds the pair volume.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val memL = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val memR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"sjoin_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val joined = graft.streaming.Streaming.intervalJoin(
+          memL.toDF.toDF("stream_id", "t", "v"),
+          memR.toDF.toDF("stream_id", "rt", "rv"),
+          before = "3600 seconds", after = "3600 seconds")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          def side(tp: String) = events(s, dir)
+            .where(col("event_type") === tp && col("user_id") < 30)
+            .select(col("user_id").cast("string"),
+              timestamp_seconds(unix_timestamp(col("ts"))), col("value"))
+            .collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          memL.addData(side("click").toSeq)
+          memR.addData(side("purchase").toSeq)
+          q.processAllAvailable()
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).orderBy("stream_id", "t", "rt", "v", "rv")
+    },
+
     // ---- LLM-pipeline surface (north-star extras) ---------------------
 
     "doc_stats" -> { (s, dir) =>
@@ -3157,6 +3196,19 @@ object SparkEntry {
         .withColumn("mmr_score", round(col("mmr"), 6))
         .select("rnk", "vec_id", "rel", "mmr_score")
         .orderBy("rnk")
+    },
+
+    "emb_kcenter" -> { (s, dir) =>
+      // coreset selection: 10 farthest-first picks over the FULL corpus
+      // (never collected, unlike emb_mmr's bounded candidate block) —
+      // the diversity sample + coverage-radius report a curation
+      // pipeline runs before labeling. Radius only rounds in the OUTPUT
+      // lane; selection compares the raw fold-exact doubles.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.kcenterGreedy(e, k = 10)
+        .withColumn("radius", round(col("radius"), 6))
+        .orderBy("pick")
     },
 
     "emb_pca" -> { (s, dir) =>
@@ -4540,6 +4592,45 @@ object SparkEntry {
     * (direct inverted stream) and q_bm25_indexed (materialized
     * bucket-pruned index) — the index changes I/O, never scores.
     */
+  /** emb_kcenter oracle: 10 unrolled farthest-first picks. Every step CTE
+    * is AS MATERIALIZED (the emb_mmr rule — DuckDB re-inlines plain CTE
+    * chains exponentially); the d² formula and the CARRIED self-product
+    * `cp` mirror Similarity.kcenterGreedy double-for-double.
+    */
+  private val kcenterOracleSql: String = {
+    val k = 10
+    val steps = (2 to k).map { i =>
+      val pick =
+        s"""c$i AS MATERIALIZED (SELECT vec_id, emb, cp, md FROM m${i - 1}
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      if (i == k) pick
+      else pick + ",\n" +
+        s"""m$i AS MATERIALIZED (SELECT m.vec_id, m.emb, m.cp,
+           |    least(m.md,
+           |      (m.cp - 2 * list_dot_product(m.emb, c$i.emb)) + c$i.cp)
+           |      AS md
+           |  FROM m${i - 1} m CROSS JOIN c$i)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to k)
+      .map(i => s"SELECT vec_id, $i AS pick, md AS radius FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, emb,
+       |    list_dot_product(emb, emb) AS cp
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings)),
+       |c1 AS MATERIALIZED (SELECT vec_id, emb, cp FROM e
+       |  ORDER BY vec_id LIMIT 1),
+       |m1 AS MATERIALIZED (SELECT e.vec_id, e.emb, e.cp,
+       |    (e.cp - 2 * list_dot_product(e.emb, c1.emb)) + c1.cp AS md
+       |  FROM e CROSS JOIN c1),
+       |$steps,
+       |picks AS (SELECT vec_id, 1 AS pick, 0.0 AS radius FROM c1
+       |  UNION ALL $picks)
+       |SELECT vec_id, CAST(pick AS BIGINT) AS pick,
+       |  round(radius, 6) AS radius
+       |FROM picks ORDER BY pick""".stripMargin
+  }
+
   private val bm25TopkOracleSql: String =
     """WITH d AS (SELECT doc_id, text FROM documents),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
@@ -6080,6 +6171,23 @@ object SparkEntry {
         |GROUP BY stream_id, be, mx.m
         |HAVING be + 60 <= mx.m
         |ORDER BY stream_id, be""".stripMargin,
+
+    "ds_stream_join" ->
+      // the batch interval join the single-batch streaming replay must
+      // equal; both sides floor ts to seconds (the Point convention)
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS stream_id,
+        |    CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS t,
+        |    value AS v
+        |  FROM events WHERE event_type = 'click' AND user_id < 30),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS stream_id,
+        |    CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS rt,
+        |    value AS rv
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30)
+        |SELECT l.stream_id, l.t, l.v, r.rt, r.rv
+        |FROM l JOIN r ON r.stream_id = l.stream_id
+        |  AND r.rt BETWEEN l.t - INTERVAL 3600 SECOND
+        |    AND l.t + INTERVAL 3600 SECOND
+        |ORDER BY l.stream_id, l.t, r.rt, l.v, r.rv""".stripMargin,
 
     "ds_stream_sessions" ->
       // session boundary: a gap of >= 1800s starts a new session (Spark
@@ -8068,6 +8176,8 @@ object SparkEntry {
         |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
         |  s.gram_fp, cnt.n
         |FROM s, cnt ORDER BY i, j""".stripMargin,
+
+    "emb_kcenter" -> kcenterOracleSql,
 
     "emb_mmr" ->
       // greedy MMR unrolled to 10 explicit steps (a recurrence isn't

@@ -97,6 +97,49 @@ object Similarity {
         col("hamming"), col("sim"))
   }
 
+  /** Farthest-first (k-center greedy, Gonzalez 1985) coreset selection —
+    * the diversity-sampling complement of [[mmrTopK]]'s relevance-
+    * diversity mix: seed with the lowest vec_id, then k−1 times pick the
+    * point FARTHEST from the chosen set (max over the running
+    * min-squared-distance, ties to the lowest id). A 2-approximation of
+    * the optimal k-center cover; the emitted radius sequence is the
+    * coverage guarantee a curation pipeline reports next to the sample.
+    *
+    * Fully distributed: the corpus is never collected — each step is one
+    * broadcast of the single new center, a projection that folds
+    * `least(md, d²(p, c))` into the running min, and a limit(1) argmax.
+    * O(k·n) total. Determinism is the PQ-kernel discipline: d² =
+    * `(cp − 2·dot) + cc` with that exact parenthesization and the
+    * precomputed self-products CARRIED (never recomputed), so every
+    * double matches the unrolled-CTE oracle bit-for-bit; argmax ties
+    * break on vec_id. Output: (vec_id, pick 1..k, radius) — radius is
+    * the min-d² of the pick at selection time (0 for the seed).
+    */
+  def kcenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val pts = corpus.select(col("vec_id"), col("emb"),
+      expr("graft_dot(emb, emb)").as("cp")).localCheckpoint(true)
+    val seed = pts.orderBy("vec_id").limit(1).localCheckpoint(true)
+    var picks = seed.select(col("vec_id"), lit(1L).as("pick"),
+      lit(0.0).as("radius"))
+    var md = pts.crossJoin(broadcast(
+        seed.select(col("emb").as("cemb"), col("cp").as("cc"))))
+      .withColumn("md", expr("(cp - 2 * graft_dot(emb, cemb)) + cc"))
+      .select("vec_id", "emb", "cp", "md").localCheckpoint(true)
+    for (i <- 2 to k) {
+      val next = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .localCheckpoint(true)
+      picks = picks.unionByName(next.select(col("vec_id"),
+        lit(i.toLong).as("pick"), col("md").as("radius")))
+      md = md.crossJoin(broadcast(
+          next.select(col("emb").as("cemb"), col("cp").as("cc"))))
+        .withColumn("md",
+          least(col("md"), expr("(cp - 2 * graft_dot(emb, cemb)) + cc")))
+        .select("vec_id", "emb", "cp", "md").localCheckpoint(true)
+    }
+    picks
+  }
+
   /** Exact cosine top-k: for each row of `queries` (qid, qemb), the k
     * nearest rows of `corpus` (vec_id, emb) by cosine similarity.
     * Output: (qid, cid, rnk, sim). The join is a broadcast NLJ — the

@@ -2750,6 +2750,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 1L), (2L, 64L)), s"got ${out.toSeq}")
   }
 
+  test("kcenterGreedy: farthest-first picks spread the line, ties break to lower id") {
+    import spark.implicits._
+    // points on a line at 0, 1, 10, 11, 20 — seed id 0, then 20 (d²=400),
+    // then 10 (min-d² 100), then the md=1 tie (ids 1 and 3) lower-id first
+    val pts = Seq((0L, 0.0), (1L, 1.0), (2L, 10.0), (3L, 11.0), (4L, 20.0))
+      .map { case (id, x) => (id, Seq(x, 0.0)) }.toDF("vec_id", "emb")
+    val out = Similarity.kcenterGreedy(pts, k = 5)
+      .orderBy("pick")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0.0), (2L, 4L, 400.0), (3L, 2L, 100.0),
+      (4L, 1L, 1.0), (5L, 3L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("ssspDistances: relax-and-min finds the cheaper 2-hop route within fixed rounds") {
     import spark.implicits._
     // 1→2 direct costs 10; 1→3→2 costs 2+3=5; 4 reachable only via 2
