@@ -4173,6 +4173,55 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "mm_vad_segments" -> { (s, dir) =>
+      // VOICE-ACTIVITY segmentation under the exact gate: per doc,
+      // synthesize a 6-segment WAV whose segment k is SILENT iff bit k
+      // of doc_id is set (freq 0 = flat zeros; else a 500 Hz tone), run
+      // the production parse → windowed integer-energy VAD (200-sample
+      // windows = 4 per segment), and report voiced runs. The oracle
+      // predicts everything ANALYTICALLY from doc_id's 6-bit mask — a
+      // green row needs synthesis, RIFF parse, exact Int16 recovery,
+      // and the run-length logic all correct.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 150).select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          val freqs = (0 until 6).map(k =>
+            if (((id >> k) & 1L) == 1L) 0.0 else 500.0)
+          (id, graft.operators.Multimodal.toneSequenceWav(freqs, 800, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal
+        .vadSegments(media, windowSamples = 200, meanSqThreshold = 1000000L)
+        .select(col("media_id").as("doc_id"), col("n_segments"),
+          col("n_voiced"), col("first_voiced"))
+        .orderBy("doc_id")
+    },
+
+    "pipe_dedup_eval" -> { (s, dir) =>
+      // the dedup EVAL harness (emb_ann_recall's near-dup sibling):
+      // precision/recall of the MinHash-LSH detector against the
+      // injected ground truth, restricted to pairs involving a variant
+      // id (the labeled subset — corpus-native near-dups would otherwise
+      // pollute "false" positives). Exact integer ppm metrics; the
+      // detector's recall totality on these corpora is the
+      // OperatorsSpec-pinned property that keeps this oracle exact.
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      Dedup.nearDuplicates(corpus, threshold = 0.3)
+        .where(col("doc_b") >= 1000000L)
+        .withColumn("is_tp",
+          col("doc_b") === col("doc_a") + 1000000L && col("doc_a") < 20)
+        .agg(count(lit(1)).as("n_pred"),
+          sum(when(col("is_tp"), 1L).otherwise(0L)).as("tp"))
+        .withColumn("n_true", lit(20L))
+        .withColumn("fp", col("n_pred") - col("tp"))
+        .withColumn("fn", col("n_true") - col("tp"))
+        .withColumn("precision_ppm", expr("(1000000 * tp) div n_pred"))
+        .withColumn("recall_ppm", expr("(1000000 * tp) div n_true"))
+        .select("n_true", "n_pred", "tp", "fp", "fn",
+          "precision_ppm", "recall_ppm")
+    },
+
     "mm_audio_fingerprint" -> { (s, dir) =>
       // END-TO-END AUDIO WATERMARK under the exact gate: per doc,
       // synthesize a 4-segment tone sequence encoding doc_id's base-8
@@ -8178,6 +8227,56 @@ object SparkEntry {
         |FROM s, cnt ORDER BY i, j""".stripMargin,
 
     "emb_kcenter" -> kcenterOracleSql,
+
+    "mm_vad_segments" ->
+      // pure doc_id arithmetic: segment k is silent iff bit k is set;
+      // each 800-sample segment is exactly 4 VAD windows
+      """WITH b AS (SELECT doc_id,
+        |    (doc_id >> 0) & 1 AS b0, (doc_id >> 1) & 1 AS b1,
+        |    (doc_id >> 2) & 1 AS b2, (doc_id >> 3) & 1 AS b3,
+        |    (doc_id >> 4) & 1 AS b4, (doc_id >> 5) & 1 AS b5
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN b0 = 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b1 = 0 AND b0 = 1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b2 = 0 AND b1 = 1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b3 = 0 AND b2 = 1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b4 = 0 AND b3 = 1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b5 = 0 AND b4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_segments,
+        |  CAST(4 * (6 - b0 - b1 - b2 - b3 - b4 - b5) AS BIGINT) AS n_voiced,
+        |  CAST(CASE WHEN b0 = 0 THEN 0 WHEN b1 = 0 THEN 4
+        |    WHEN b2 = 0 THEN 8 WHEN b3 = 0 THEN 12 WHEN b4 = 0 THEN 16
+        |    WHEN b5 = 0 THEN 20 ELSE -1 END AS BIGINT) AS first_voiced
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "pipe_dedup_eval" ->
+      // predicted = exact >=0.3 Jaccard pairs INVOLVING a variant
+      // (variants x corpus — bounded, never all-pairs); truth is the
+      // injected (i, i+1000000) set
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |shv AS (SELECT * FROM sh WHERE doc_id >= 1000000),
+        |pred AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a, shv b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN db = da + 1000000 AND da < 20
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM pred)
+        |SELECT CAST(20 AS BIGINT) AS n_true, n_pred, tp,
+        |  n_pred - tp AS fp, CAST(20 AS BIGINT) - tp AS fn,
+        |  (1000000 * tp) // n_pred AS precision_ppm,
+        |  (1000000 * tp) // 20 AS recall_ppm
+        |FROM m""".stripMargin,
 
     "emb_mmr" ->
       // greedy MMR unrolled to 10 explicit steps (a recurrence isn't

@@ -262,6 +262,67 @@ object Multimodal {
       }.toDF("media_id", "dom_freq", "power")
   }
 
+  /** Voice-activity segmentation by windowed PCM energy (the silence-
+    * trimming primitive of speech-data curation): cut the mono track
+    * into fixed windows of `windowSamples`, mark a window VOICED when
+    * its integer mean-square energy exceeds `meanSqThreshold`
+    * (Σ s² > threshold · window — pure Int16→Long arithmetic, no
+    * floats, so the decision is exact on any engine), and report the
+    * maximal voiced runs: run count, voiced-window total, and the first
+    * voiced window index (−1 when fully silent). Multi-channel tracks
+    * sum channels per frame BEFORE squaring (still integer). parseWav
+    * normalizes by a POWER OF TWO (s/32768), so `round(s·32768)`
+    * recovers the original Int16 units exactly — the energy lane never
+    * leaves integer arithmetic. Same mapPartitions codec-per-partition
+    * shape as [[dominantTone]]; non-WAV bytes emit (−1, −1, −1).
+    */
+  def vadSegments(media: DataFrame, windowSamples: Int,
+      meanSqThreshold: Long): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val ss = media.sparkSession
+    import ss.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseWav(bytes) match {
+            case Some(w) if w.nFrames >= windowSamples =>
+              val nWin = w.nFrames / windowSamples
+              var segs = 0L
+              var voiced = 0L
+              var first = -1L
+              var prevVoiced = false
+              var wi = 0
+              while (wi < nWin) {
+                var e = 0L
+                var f = wi * windowSamples
+                val end = f + windowSamples
+                while (f < end) {
+                  var s = 0L
+                  var c = 0
+                  while (c < w.channels) {
+                    s += Math.round(w.samples(f * w.channels + c) * 32768f)
+                      .toLong
+                    c += 1
+                  }
+                  e += s * s; f += 1
+                }
+                val isVoiced = e > meanSqThreshold * windowSamples
+                if (isVoiced) {
+                  voiced += 1
+                  if (first < 0) first = wi
+                  if (!prevVoiced) segs += 1
+                }
+                prevVoiced = isVoiced
+                wi += 1
+              }
+              (id, segs, voiced, first)
+            case _ => (id, -1L, -1L, -1L)
+          }
+        }
+      }.toDF("media_id", "n_segments", "n_voiced", "first_voiced")
+  }
+
   /** 16-bit mono PCM WAV of a TONE SEQUENCE — one sine segment per
     * entry of `freqs`, `samplesPerSeg` samples each, phase reset at
     * segment boundaries. Same real RIFF container as [[sineWav]]; the

@@ -2750,6 +2750,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 1L), (2L, 64L)), s"got ${out.toSeq}")
   }
 
+  test("vadSegments: silence/tone runs segment exactly, hostile bytes emit -1") {
+    import spark.implicits._
+    // tone(4 windows) silence(4) tone(4) -> 2 segments, 8 voiced, first 0
+    val wav = Multimodal.toneSequenceWav(Seq(500.0, 0.0, 500.0), 800, 8000)
+    val rows = Seq((1L, wav), (2L, "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.vadSegments(rows, 200, 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 8L, 0L), s"got ${out(1L)}")
+    assert(out(2L) == (-1L, -1L, -1L), s"got ${out(2L)}")
+  }
+
   test("kcenterGreedy: farthest-first picks spread the line, ties break to lower id") {
     import spark.implicits._
     // points on a line at 0, 1, 10, 11, 20 — seed id 0, then 20 (d²=400),
