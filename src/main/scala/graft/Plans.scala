@@ -54,7 +54,8 @@ object Plans {
         "text_rake_keywords", "mm_audio_fingerprint",
         "dedup_setsim_prefix", "pipe_mw_drift", "pipe_t_closeness",
         "emb_ann_binary", "q_mrr_eval", "pipe_quota_split",
-        "pipe_target_encode")
+        "pipe_target_encode", "graph_sssp", "q_fuzzy_match",
+        "pipe_pii_scan", "pipe_dedup_eval", "mm_vad_segments")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -3363,6 +3363,55 @@ object SparkEntry {
         .orderBy("qtok", "term")
     },
 
+    "pipe_quantile_norm" -> { (s, dir) =>
+      // cross-source distribution balancing: quantile-normalize each
+      // source's doc-length distribution onto the global one (type-1
+      // order statistics, integer rank arithmetic — see the operator
+      // scaladoc for why there is deliberately NO global per-row
+      // window).
+      graft.operators.Pipeline.quantileNormalize(
+          tbl(s, dir, "documents"), valueCol = "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "emb_hard_negatives" -> { (s, dir) =>
+      // triplet mining for contrastive training: per anchor (vec_id <
+      // 20), the HARDEST NEGATIVE (most similar vector with a different
+      // label) and HARDEST POSITIVE (least similar same-label vector) —
+      // the two elections that decide whether a margin loss sees any
+      // gradient. One broadcast-anchors × corpus scan, two
+      // WindowGroupLimit rank-1 picks; sims rank raw (graft_dot ≡
+      // list_dot_product), ties to the lower cid.
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("label").as("qlabel"))
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("sim", expr("graft_dot(qemb, emb)") /
+          (sqrt(expr("graft_dot(qemb, qemb)")) *
+            sqrt(expr("graft_dot(emb, emb)"))))
+        // drop the vectors BEFORE materializing: the checkpoint (which
+        // feeds BOTH elections) carries 5 scalars per pair, not 128
+        // doubles
+        .select("qid", "qlabel", "vec_id", "label", "sim")
+        .localCheckpoint(true)
+      val hn = scored.where(col("label") =!= col("qlabel"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("qlabel"), col("vec_id").as("hn_id"),
+          round(col("sim"), 6).as("hn_sim"))
+      val hp = scored.where(col("label") === col("qlabel"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("sim"), col("vec_id"))))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("hp_id"),
+          round(col("sim"), 6).as("hp_sim"))
+      hn.join(hp, "qid").orderBy("qid")
+    },
+
     "pipe_quota_split" -> { (s, dir) =>
       // EXACT stratified 80/10/10 split by largest-remainder quotas —
       // per source the allocation error vs true proportions is < 1 row
@@ -8489,6 +8538,51 @@ object SparkEntry {
         |SELECT qtok, term, CAST(levenshtein(qtok, term) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(qtok, term) <= 1
         |ORDER BY qtok, term""".stripMargin,
+
+    "pipe_quantile_norm" ->
+      // same CDF-join semantics: g = ceil(r*N/n_g) in integer form,
+      // qnorm = the distinct value whose cumulative span covers g
+      """WITH rows_ AS (SELECT doc_id, source, n_chars FROM documents),
+        |cnt AS (SELECT n_chars AS qnorm,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS hi,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT)
+        |      - CAST(count(*) AS BIGINT) AS lo
+        |  FROM rows_ GROUP BY n_chars),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+        |  FROM rows_ GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rows_),
+        |r AS (SELECT doc_id, source, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r
+        |  FROM rows_),
+        |g AS (SELECT r.doc_id, r.source, r.n_chars,
+        |    (r.r * tot.n_total + ns.n_g - 1) // ns.n_g AS g
+        |  FROM r JOIN ns USING (source) CROSS JOIN tot)
+        |SELECT g.doc_id, g.source, g.n_chars, cnt.qnorm
+        |FROM g JOIN cnt ON g.g > cnt.lo AND g.g <= cnt.hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "emb_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, label AS qlabel FROM e
+        |  WHERE vec_id < 20),
+        |scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    list_dot_product(q.qemb, e.emb)
+        |      / (sqrt(list_dot_product(q.qemb, q.qemb))
+        |        * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.qid),
+        |hn AS (SELECT qid, qlabel, vec_id AS hn_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+        |      AS rn
+        |  FROM scored WHERE label <> qlabel),
+        |hp AS (SELECT qid, vec_id AS hp_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim, vec_id)
+        |      AS rn
+        |  FROM scored WHERE label = qlabel)
+        |SELECT hn.qid, hn.qlabel, hn.hn_id, round(hn.sim, 6) AS hn_sim,
+        |  hp.hp_id, round(hp.sim, 6) AS hp_sim
+        |FROM hn JOIN hp ON hp.qid = hn.qid AND hn.rn = 1 AND hp.rn = 1
+        |ORDER BY hn.qid""".stripMargin,
 
     "pipe_quota_split" ->
       """WITH ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s

@@ -541,6 +541,44 @@ object Pipeline {
         countDistinct(col(sensitive)).as("l_diversity"))
       .withColumn("suppressed", col("class_size") < k)
 
+  /** Quantile normalization across groups (the microarray classic, here
+    * for balancing per-source length/score distributions): every row's
+    * value is replaced by the GLOBAL value at the same relative rank —
+    * qnorm = v(g) with g = ceil(r·N / n_g), r the row's 1-based rank
+    * inside its group (ties by id) and v(·) the global type-1 order
+    * statistic. Pure integer rank arithmetic ((r·N + n_g − 1) div n_g,
+    * never a float quantile), so the mapping is bit-identical
+    * cross-engine.
+    *
+    * Scale shape — deliberately NO global per-row window: the per-group
+    * rank is a group-partitioned window (the inherent order-statistics
+    * shuffle), and the global CDF is built on the DISTINCT-VALUE
+    * histogram (metadata-scale; its cumulative window is bounded by the
+    * value support, q_ntile_cume-style), then applied with a broadcast
+    * range join `lo < g <= hi`. A naive global row_number would funnel
+    * the corpus through one partition.
+    *
+    * Output: input id/group/value + `qnorm`.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val rows = df.select(col(idCol), col(groupCol), col(valueCol))
+    val cnt = rows.groupBy(valueCol).agg(count(lit(1)).as("ca"))
+      .withColumn("hi", sum("ca").over(Window.orderBy(valueCol)))
+      .withColumn("lo", col("hi") - col("ca"))
+      .select(col(valueCol).as("qnorm"), col("lo"), col("hi"))
+    val ns = rows.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+    val tot = rows.agg(count(lit(1)).as("n_total"))
+    rows
+      .withColumn("r", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))))
+      .join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("g", expr("(r * n_total + n_g - 1) div n_g"))
+      .join(broadcast(cnt), col("g") > col("lo") && col("g") <= col("hi"))
+      .select(col(idCol), col(groupCol), col(valueCol), col("qnorm"))
+  }
+
   /** PII release audit: per source, how many documents contain an
     * email / phone / URL pattern — the scan a pipeline runs BEFORE
     * shipping a corpus (the detection complement of [[redact]], which

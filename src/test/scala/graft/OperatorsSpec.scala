@@ -2750,6 +2750,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 1L), (2L, 64L)), s"got ${out.toSeq}")
   }
 
+  test("quantileNormalize: groups map onto the shared global distribution") {
+    import spark.implicits._
+    // A={1,2}, B={100,200}: both groups must land on the same 2-point
+    // global quantile set {2, 200} (type-1, max maps to max)
+    val df = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "B", 100L),
+      (4L, "B", 200L)).toDF("doc_id", "source", "v")
+    val out = graft.operators.Pipeline.quantileNormalize(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 200L, 3L -> 2L, 4L -> 200L),
+      s"got $out")
+    // identical groups are a fixed point: qnorm == own value
+    val same = (Seq.tabulate(5)(i => (i.toLong, "X", (i * 7).toLong)) ++
+      Seq.tabulate(5)(i => (i + 10L, "Y", (i * 7).toLong)))
+      .toDF("doc_id", "source", "v")
+    val fix = graft.operators.Pipeline.quantileNormalize(same, "v")
+      .collect()
+    assert(fix.forall(r => r.getLong(2) == r.getLong(3)),
+      fix.mkString(","))
+  }
+
   test("vadSegments: silence/tone runs segment exactly, hostile bytes emit -1") {
     import spark.implicits._
     // tone(4 windows) silence(4) tone(4) -> 2 segments, 8 voiced, first 0
