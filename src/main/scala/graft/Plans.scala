@@ -55,7 +55,8 @@ object Plans {
         "dedup_setsim_prefix", "pipe_mw_drift", "pipe_t_closeness",
         "emb_ann_binary", "q_mrr_eval", "pipe_quota_split",
         "pipe_target_encode", "graph_sssp", "q_fuzzy_match",
-        "pipe_pii_scan", "pipe_dedup_eval", "mm_vad_segments")
+        "pipe_pii_scan", "pipe_dedup_eval", "mm_vad_segments",
+        "pipe_quantile_norm", "emb_hard_negatives")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
