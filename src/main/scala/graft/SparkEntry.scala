@@ -3363,6 +3363,63 @@ object SparkEntry {
         .orderBy("qtok", "term")
     },
 
+    "text_collocations" -> { (s, dir) =>
+      // collocation extraction (PMI family) in the EXACT integer lane:
+      // instead of log p(xy)/(p(x)p(y)) — whose ln diverges by libm —
+      // rank bigrams by integer LIFT ppm = (10⁶·c_xy·N) div (c_x·c_y),
+      // a monotone transform of PMI, with min-support 5 and the
+      // (lift, w1, w2) total order. One corpus scan explodes adjacent
+      // pairs (the words array is materialized BEFORE the lambda — the
+      // per-element re-split trap); counts are two hash aggs; the
+      // unigram joins key on the word. BIGINT headroom: 10⁶·c_xy·N
+      // caps the lane at ~10⁵ corpus tokens per 10⁷ bigram count —
+      // fine to ~10⁹ tokens with c_xy ≤ 10⁴.
+      val w = tbl(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+      val bi = w.where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> struct(ws[i - 1] AS w1, ws[i] AS w2))""".stripMargin))
+          .as("b"))
+        .select("b.w1", "b.w2")
+        .where(col("w1") =!= "" && col("w2") =!= "")
+      val toks = w.select(explode(col("ws")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // keys BOTH unigram joins
+      val ntot = toks.agg(sum("c").as("n_total"))
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+        .join(toks.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(toks.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(ntot))
+        .withColumn("lift_ppm",
+          expr("(1000000 * cxy * n_total) div (c1 * c2)"))
+        .select("w1", "w2", "cxy", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
+    "pipe_dataset_fingerprint" -> { (s, dir) =>
+      // reproducibility audit: an ORDER-INVARIANT per-source dataset
+      // fingerprint — xor plus a mod-10⁹ sum of 60-bit md5 row hashes
+      // over (doc_id, text) — any changed/added/dropped row flips it,
+      // and shuffle order cannot (commutative aggs). The xor lane alone
+      // would miss a row duplicated an even number of times; the count
+      // + modsum lanes close that. One scan, one hash agg — the
+      // fingerprint costs a groupBy at any corpus size.
+      tbl(s, dir, "documents")
+        .withColumn("h", expr(
+          """CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING),
+            |  ':', text) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"""
+            .stripMargin))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(expr("h % 1000000000")).as("modsum_fp"))
+        .orderBy("source")
+    },
+
     "pipe_quantile_norm" -> { (s, dir) =>
       // cross-source distribution balancing: quantile-normalize each
       // source's doc-length distribution onto the global one (type-1
@@ -8538,6 +8595,34 @@ object SparkEntry {
         |SELECT qtok, term, CAST(levenshtein(qtok, term) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(qtok, term) <= 1
         |ORDER BY qtok, term""".stripMargin,
+
+    "text_collocations" ->
+      // DuckDB arrays are 1-based: words[i] || ' ' pairs with words[i+1]
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+        |    WHERE len(ws) >= 2)
+        |  WHERE ws[i] <> '' AND ws[i + 1] <> ''),
+        |toks AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(ws) AS tok FROM w) WHERE tok <> '' GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM toks),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT cxy.w1, cxy.w2, cxy.cxy,
+        |  (1000000 * cxy.cxy * ntot.n_total) // (t1.c * t2.c) AS lift_ppm
+        |FROM cxy JOIN toks t1 ON t1.tok = cxy.w1
+        |JOIN toks t2 ON t2.tok = cxy.w2 CROSS JOIN ntot
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "pipe_dataset_fingerprint" ->
+      """WITH h AS (SELECT source,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+        |      1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  bit_xor(h) AS xor_fp,
+        |  CAST(sum(h % 1000000000) AS BIGINT) AS modsum_fp
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_quantile_norm" ->
       // same CDF-join semantics: g = ceil(r*N/n_g) in integer form,

@@ -412,14 +412,22 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    // distinct shingles, one row per (doc, shingle); feeds df, the prefix
-    // ranking, and BOTH sides of the verify join
+    // distinct shingles HASHED to longs, one row per (doc, hash): every
+    // downstream shuffle/join/window keys on 8 bytes instead of a
+    // ~20-byte string. The prefix theorem only needs SOME consistent
+    // global total order, so (df, hash) works as well as (df, string);
+    // the verified output is candidate-scheme-invariant, and the
+    // intersection counts equal the string counts because xxhash64 is
+    // collision-free on every gate corpus — pinned per SF by the
+    // OperatorsSpec distinct-count check (a collision would also break
+    // the equality-vs-exact cross-check itself).
     val tok = shingles(docs, n, idCol, textCol)
-      .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("tok"))
       .localCheckpoint(true)
     val nsz = tok.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    // rank within each doc by the GLOBAL (df, tok) total order — a
+    // rank within each doc by the GLOBAL (df, hash) total order — a
     // per-doc window realizes the global ordering without a global sort
     val pre = tok.join(dfreq, "tok")
       .withColumn("rk", row_number().over(

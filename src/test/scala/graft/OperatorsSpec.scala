@@ -2690,6 +2690,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sh = Dedup.shingles(docs).localCheckpoint(true)
       val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
       val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      // the operator runs on xxhash64(shingle) longs; its output equals
+      // the string-keyed result only while the hash is collision-free
+      // on the corpus — pin that per SF (deterministic data + hash)
+      val Array(nStr, nHash) = inv
+        .agg(countDistinct(col("s")), countDistinct(xxhash64(col("s"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(nStr == nHash, s"$path: xxhash64 shingle collision " +
+        s"($nStr distinct strings vs $nHash hashes)")
       val exact = inv.toDF("id_a", "s")
         .join(inv.toDF("id_b", "s"), Seq("s"))
         .where(col("id_a") < col("id_b"))
