@@ -4328,6 +4328,51 @@ object SparkEntry {
           "precision_ppm", "recall_ppm")
     },
 
+    "mm_patch_grid" -> { (s, dir) =>
+      // REAL image patch extraction under the exact gate: synthesize a
+      // 32×32 gradient PNG per doc (pixel(x,y) = (doc_id + 7x + 13y) %
+      // 256, lossless RGB), decode through the production ImageIO path,
+      // and emit the 4×4 patch grid's integer mean-luma tensor. The
+      // oracle recomputes every patch mean from the gradient formula —
+      // a green row needs encode, decode, patch indexing, and the
+      // integer-luma arithmetic all exact.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 100).select(col("doc_id").cast("long"))
+      val meta = graft.operators.Multimodal
+        .MediaMeta("image", 32, 32, 0, 0L, "png")
+      val media = ids.as[Long].map { id =>
+        graft.operators.Multimodal.MediaRow(id,
+          graft.operators.Multimodal.grayscalePng(32,
+            (x, y) => ((id + 7L * x + 13L * y) % 256L).toInt), meta)
+      }
+      graft.operators.Multimodal.patchLumaGrid(media, grid = 4)
+        .select(col("media_id").as("doc_id"), col("px"), col("py"),
+          col("luma_pm"))
+        .orderBy("doc_id", "py", "px")
+    },
+
+    "pipe_bounded_contrib" -> { (s, dir) =>
+      // user-level contribution bounding — the pre-noise half of any
+      // user-level DP release: keep each user's FIRST 10 events (by
+      // time, event_id tiebreak — deterministic cap), clamp the value
+      // to [0, 20000] integer cents, then aggregate per event type.
+      // The clamp + cap bound each user's influence on every output
+      // cell; one window + one agg.
+      val ev = events(s, dir).select(col("user_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("t"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("t"), col("event_id"))))
+        .where(col("rn") <= 10)
+        .withColumn("clamped", expr("greatest(0L, least(20000L, cents))"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_contrib"),
+          sum("clamped").as("sum_clamped_cents"))
+        .orderBy("event_type")
+    },
+
     "mm_audio_fingerprint" -> { (s, dir) =>
       // END-TO-END AUDIO WATERMARK under the exact gate: per doc,
       // synthesize a 4-segment tone sequence encoding doc_id's base-8
@@ -8333,6 +8378,35 @@ object SparkEntry {
         |FROM s, cnt ORDER BY i, j""".stripMargin,
 
     "emb_kcenter" -> kcenterOracleSql,
+
+    "mm_patch_grid" ->
+      // each 8x8 patch mean recomputed from the gradient formula;
+      // grayscale pixels contribute 299+587+114 = 1000 x v to the luma
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, unnest(range(0, 4)) AS px FROM ids),
+        |pxy AS (SELECT doc_id, px, unnest(range(0, 4)) AS py FROM px),
+        |cells AS (SELECT doc_id, px, py,
+        |    unnest(range(8 * px, 8 * px + 8)) AS x FROM pxy),
+        |pix AS (SELECT doc_id, px, py, x,
+        |    unnest(range(8 * py, 8 * py + 8)) AS y FROM cells)
+        |SELECT doc_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |  CAST(sum(1000 * ((doc_id + 7 * x + 13 * y) % 256)) // 64
+        |    AS BIGINT) AS luma_pm
+        |FROM pix GROUP BY doc_id, px, py
+        |ORDER BY doc_id, py, px""".stripMargin,
+
+    "pipe_bounded_contrib" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_contrib,
+        |  CAST(sum(greatest(0, least(20000, cents))) AS BIGINT)
+        |    AS sum_clamped_cents
+        |FROM ev WHERE rn <= 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mm_vad_segments" ->
       // pure doc_id arithmetic: segment k is silent iff bit k is set;

@@ -262,6 +262,72 @@ object Multimodal {
       }.toDF("media_id", "dom_freq", "power")
   }
 
+  /** Lossless grayscale-as-RGB PNG of a computed pixel field — the
+    * synthesis half of the patch-grid gate. TYPE_INT_RGB (not
+    * TYPE_BYTE_GRAY, whose gray→sRGB color-space conversion shifts
+    * values) + PNG's losslessness means decode returns the exact bytes
+    * `f` produced, so patch statistics are analytically predictable.
+    */
+  private[graft] def grayscalePng(wh: Int,
+      f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(wh, wh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < wh) {
+      var x = 0
+      while (x < wh) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ViT-style patch grid: decode the image, cut it into grid×grid
+    * equal patches, and emit each patch's INTEGER mean luma in permille
+    * (Σ(299R + 587G + 114B) over the patch, div pixel count — the
+    * imagePhash integer-luma lane, so grayscale pixels contribute
+    * exactly 1000·v and the statistic is analytically oracle-able).
+    * The patch tensor every vision pipeline feeds its encoder, as a
+    * long-form (media_id, px, py, luma_pm) relation. Images whose
+    * dimensions don't divide the grid, and undecodable bytes, emit no
+    * rows. mapPartitions codec-per-partition like the other decoders.
+    */
+  def patchLumaGrid(media: Dataset[MediaRow], grid: Int): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      imageFormat(r.content).flatMap(_ => readImage(r.content)) match {
+        case Some(img)
+            if img.getWidth % grid == 0 && img.getHeight % grid == 0 =>
+          val (pw, ph) = (img.getWidth / grid, img.getHeight / grid)
+          for {
+            py <- 0 until grid
+            px <- 0 until grid
+          } yield {
+            var sum = 0L
+            var y = py * ph
+            while (y < (py + 1) * ph) {
+              var x = px * pw
+              while (x < (px + 1) * pw) {
+                val rgb = img.getRGB(x, y)
+                sum += 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, px, py, sum / (pw.toLong * ph))
+          }
+        case _ => Seq.empty
+      }
+    }.toDF("media_id", "px", "py", "luma_pm")
+  }
+
   /** Voice-activity segmentation by windowed PCM energy (the silence-
     * trimming primitive of speech-data curation): cut the mono track
     * into fixed windows of `windowSamples`, mark a window VOICED when
