@@ -2851,6 +2851,38 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    "q_fingerprint_incremental" -> { (s, dir) =>
+      // versioned-table audit WITHOUT a rescan: the xor row-hash
+      // fingerprint is mergeable, so fp(v2) = fp(v0) xor
+      // fold(before-hash xor after-hash over the v0→v2 CDC) — the
+      // 100 TB story is auditing a new version by folding the churn,
+      // never re-reading the table. Both lanes computed and compared:
+      // a green row proves direct ≡ incremental on real CDC output.
+      import graft.operators.VersionedTable
+      val (work, schema) = timeTravelTable(s, dir)
+      def h(k: String, cents: String): org.apache.spark.sql.Column =
+        expr(s"CAST(conv(substring(md5(CAST(concat(CAST($k AS STRING), " +
+          s"':', CAST($cents AS STRING)) AS BINARY)), 1, 15), 16, 10) " +
+          "AS BIGINT)")
+      def fp(df: DataFrame, out: String) =
+        df.withColumn("h", h("k", "cents"))
+          .agg(expr("bit_xor(h)").as(out))
+      val fp0 = fp(VersionedTable.readAt(s, work, schema, 0L), "fp_v0")
+      val fpd = fp(VersionedTable.readAt(s, work, schema, 2L),
+        "fp_v2_direct")
+      val delta = VersionedTable.changes(s, work, schema, Seq("k"), 0L, 2L)
+        .withColumn("hb", when(col("before_cents").isNotNull,
+          h("k", "before_cents")).otherwise(lit(0L)))
+        .withColumn("ha", when(col("after_cents").isNotNull,
+          h("k", "after_cents")).otherwise(lit(0L)))
+        .agg(expr("bit_xor(hb ^ ha)").as("delta"))
+      fp0.crossJoin(fpd).crossJoin(delta)
+        .withColumn("fp_v2_incremental", expr("fp_v0 ^ delta"))
+        .withColumn("consistent",
+          col("fp_v2_direct") === col("fp_v2_incremental"))
+        .select("fp_v0", "fp_v2_direct", "fp_v2_incremental", "consistent")
+    },
+
     "q_mv_incremental" -> { (s, dir) =>
       // incremental materialized-view maintenance: a per-bucket
       // (count, sum-cents) metric view initialized at v0, then refreshed
@@ -3361,6 +3393,29 @@ object SparkEntry {
           expr("substring(tok, 4)")).as("qtok"))
       Retrieval.fuzzyTermLookup(toks.select(col("tok").as("term")), queries)
         .orderBy("qtok", "term")
+    },
+
+    "text_oov_rate" -> { (s, dir) =>
+      // tokenizer-coverage audit: per source, the fraction of token
+      // occurrences outside the global top-1000 vocabulary (count desc,
+      // token tiebreak), in exact ppm — the first number checked before
+      // committing to a fixed vocab. The vocab ranking window runs on
+      // the DISTINCT-token table (vocabulary-scale, q_ntile_cume-style);
+      // the corpus joins against the broadcast vocab once.
+      val t = tbl(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .localCheckpoint(true) // feeds the vocab ranking AND the probe
+      val vocab = t.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .where(col("rk") <= 1000)
+        .select(col("tok"), lit(1L).as("iv"))
+      t.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source").agg(count(lit(1)).as("n_toks"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_toks"))
+        .orderBy("source")
     },
 
     "text_collocations" -> { (s, dir) =>
@@ -8669,6 +8724,60 @@ object SparkEntry {
         |SELECT qtok, term, CAST(levenshtein(qtok, term) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(qtok, term) <= 1
         |ORDER BY qtok, term""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT * FROM t WHERE tok <> ''),
+        |cnts AS (SELECT tok, count(*) AS c FROM tt GROUP BY tok),
+        |v AS (SELECT tok FROM (SELECT tok,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rk FROM cnts)
+        |  WHERE rk <= 1000)
+        |SELECT tt.source, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (1000000 * CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS oov_ppm
+        |FROM tt LEFT JOIN v ON v.tok = tt.tok
+        |GROUP BY tt.source ORDER BY tt.source""".stripMargin,
+
+    "q_fingerprint_incremental" ->
+      // both lanes closed-form from the change recipe; xor() is the
+      // DuckDB spelling of bitwise xor (its ^ is exponentiation)
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 21 = 1 THEN cents + 6000
+        |      WHEN k % 7 = 1 THEN cents + 1000 ELSE cents END AS cents
+        |    FROM base WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k + 100000000, 4242 FROM base WHERE k % 7 = 3),
+        |fp0 AS (SELECT bit_xor(('0x' || substring(md5(
+        |    CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+        |    1, 15))::BIGINT) AS fp_v0 FROM base),
+        |fp2 AS (SELECT bit_xor(('0x' || substring(md5(
+        |    CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+        |    1, 15))::BIGINT) AS fp_v2 FROM final),
+        |chg AS (
+        |  SELECT k, cents AS bc, CASE WHEN k % 21 = 1 THEN cents + 6000
+        |      ELSE cents + 1000 END AS ac
+        |    FROM base WHERE k % 7 = 1
+        |  UNION ALL SELECT k, cents, CAST(NULL AS BIGINT)
+        |    FROM base WHERE k % 7 = 2
+        |  UNION ALL SELECT k + 100000000, CAST(NULL AS BIGINT), 4242
+        |    FROM base WHERE k % 7 = 3),
+        |d AS (SELECT bit_xor(xor(
+        |    coalesce(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' ||
+        |      CAST(bc AS VARCHAR)), 1, 15))::BIGINT, 0),
+        |    coalesce(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' ||
+        |      CAST(ac AS VARCHAR)), 1, 15))::BIGINT, 0))) AS delta
+        |  FROM chg)
+        |SELECT fp0.fp_v0, fp2.fp_v2 AS fp_v2_direct,
+        |  xor(fp0.fp_v0, d.delta) AS fp_v2_incremental,
+        |  fp2.fp_v2 = xor(fp0.fp_v0, d.delta) AS consistent
+        |FROM fp0 CROSS JOIN fp2 CROSS JOIN d""".stripMargin,
 
     "text_collocations" ->
       // DuckDB arrays are 1-based: words[i] || ' ' pairs with words[i+1]
