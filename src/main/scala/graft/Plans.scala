@@ -56,7 +56,10 @@ object Plans {
         "emb_ann_binary", "q_mrr_eval", "pipe_quota_split",
         "pipe_target_encode", "graph_sssp", "q_fuzzy_match",
         "pipe_pii_scan", "pipe_dedup_eval", "mm_vad_segments",
-        "pipe_quantile_norm", "emb_hard_negatives")
+        "pipe_quantile_norm", "emb_hard_negatives", "text_collocations",
+        "pipe_dataset_fingerprint", "text_oov_rate",
+        "q_fingerprint_incremental", "pipe_bounded_contrib",
+        "mm_patch_grid")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -182,7 +182,17 @@ object SparkEntry {
     * update(%21=1, original+6000) + insert(%7=3 as k+1e8, cents 4242).
     * Returns (table root, payload schema).
     */
+  // four gate queries (cdc, both MV lanes, the incremental fingerprint)
+  // read this identical deterministic fixture — build it once per JVM
+  // per sf dir (the eventsTsType pattern); it is immutable after init
+  private val ttTables = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
   private def timeTravelTable(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) =
+    ttTables.computeIfAbsent(dir, _ => buildTimeTravelTable(s, dir))
+
+  private def buildTimeTravelTable(s: SparkSession,
       dir: String): (String, org.apache.spark.sql.types.StructType) = {
     import graft.operators.VersionedTable
     val work = java.nio.file.Files
