@@ -1974,6 +1974,48 @@ object SparkEntry {
         .orderBy("stream_id", "sess_start")
     },
 
+    "dedup_stream_exact" -> { (s, dir) =>
+      // watermark-bounded streaming EXACT dedup
+      // (dropDuplicatesWithinWatermark — state holds 16-byte hashes
+      // inside the horizon, never the corpus) under the gate: batch 1
+      // delivers the distinct-text corpus (min-doc_id survivor prep
+      // keeps the replay deterministic — cross-doc duplicate texts
+      // would otherwise elect an arrival-order survivor), batch 2
+      // RE-DELIVERS every row; in-horizon copies drop as duplicates and
+      // out-of-horizon copies drop as late — either way batch 2 emits
+      // nothing, so the output is exactly batch 1.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val name = s"dexact_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming
+          .dedupExact(mem.toDF.toDF("doc_id", "ts", "text"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          // +1 day: a ts at exactly epoch 0 sits ON the initial
+          // watermark and is dropped as late before it ever reaches
+          // the dedup state
+          val rows = tbl(s, dir, "documents").select("doc_id", "text")
+            .groupBy("text").agg(min("doc_id").as("doc_id"))
+            .select(col("doc_id"),
+              timestamp_seconds(col("doc_id") + 86400L).as("ts"),
+              col("text"))
+            .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+              r.getString(2))).toSeq
+          mem.addData(rows)
+          q.processAllAvailable()
+          mem.addData(rows) // full re-delivery
+          q.processAllAvailable()
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).select("doc_id", "content_hash").orderBy("doc_id")
+    },
+
     "ds_stream_join" -> { (s, dir) =>
       // STREAM-STREAM interval join replay (Streaming.intervalJoin): the
       // click stream enriched with same-user purchases within ±1 h. Both
@@ -6436,6 +6478,12 @@ object SparkEntry {
         |GROUP BY stream_id, be, mx.m
         |HAVING be + 60 <= mx.m
         |ORDER BY stream_id, be""".stripMargin,
+
+    "dedup_stream_exact" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id, text FROM documents
+        |  GROUP BY text)
+        |SELECT doc_id, md5(text) AS content_hash FROM k
+        |ORDER BY doc_id""".stripMargin,
 
     "ds_stream_join" ->
       // the batch interval join the single-batch streaming replay must
