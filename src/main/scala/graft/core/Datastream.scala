@@ -1042,7 +1042,23 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val newByLevel = scala.collection.mutable.Map[String, DataFrame]()
     val pendingWrites =
       scala.collection.mutable.ArrayBuffer[(DataFrame, Seq[String])]()
-    levels.foreach { g =>
+    // AQE OFF for the per-level fold checkpoints: AQE executes each
+    // checkpoint as shuffle-stage job + result-stage job (2 jobs/level,
+    // measured); these folds are fixed-shape small aggregates whose
+    // partition sizing is already pinned by the session conf, so
+    // runtime re-planning buys nothing here and doubles the per-batch
+    // scheduler floor. Restored before the union write (writes keep
+    // AQE: partition coalescing DOES matter for output file counts).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // a 1/16 slice of the session's shuffle width stands in for AQE's
+    // coalescing on these metadata-scale folds — scales with a real
+    // deployment's conf while keeping the local replay's reduce tasks
+    // near what AQE-on produced
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2, prevParts.toInt / 16).toString)
+    try levels.foreach { g =>
       val needs = needsAt(g.name)
       spark.sparkContext.setJobDescription(s"ladder:${g.name}")
       if (needs.nonEmpty) {
@@ -1135,6 +1151,9 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             if (returnDatapoints) emitted += DatapointStore.normalize(frame)
           }
       }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
     // the whole ladder's output lands in ONE union write per root
