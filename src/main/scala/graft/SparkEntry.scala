@@ -3162,6 +3162,23 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_indexed" -> { (s, dir) =>
+      // IVF through a MATERIALIZED index (the q_bm25_indexed move for
+      // vectors): centroids + home-cell PARTITION DIRS with stored
+      // norms persisted once; the search probe-assigns only the query
+      // side and reads only probed cell dirs — identical results to
+      // emb_ann_ivf by construction, same oracle verbatim.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.buildIvfIndex(e, work, stride = 50)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_trained" -> { (s, dir) =>
       // trained-index ANN under the EXACT gate: 2 Lloyd iterations in
       // the integer lane (floor(el·1e6) BIGINT recentering, truncating
@@ -4937,6 +4954,30 @@ object SparkEntry {
        |  round(radius, 6) AS radius
        |FROM picks ORDER BY pick""".stripMargin
   }
+
+  /** shared by emb_ann_ivf and emb_ann_ivf_indexed — the persisted index
+    * computes the identical search through `root/cells` partition dirs */
+  private val ivfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+      |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+      |    list_dot_product(e.emb, c.cemb)
+      |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+      |  FROM e, c),
+      |r AS (SELECT vec_id, emb, cent_id, csim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+      |  FROM s),
+      |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r WHERE crnk = 1),
+      |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell FROM r WHERE crnk <= 2),
+      |p AS (SELECT qid, cells.vec_id AS cid,
+      |    list_dot_product(qemb, emb)
+      |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+      |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
+      |t AS (SELECT qid, cid, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
 
   private val bm25TopkOracleSql: String =
     """WITH d AS (SELECT doc_id, text FROM documents),
@@ -8221,27 +8262,10 @@ object SparkEntry {
         |SELECT qid, cid, rnk, hamming, round(sim, 6) AS sim FROM t
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
-    "emb_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
-        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
-        |    list_dot_product(e.emb, c.cemb)
-        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
-        |  FROM e, c),
-        |r AS (SELECT vec_id, emb, cent_id, csim,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
-        |  FROM s),
-        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell FROM r WHERE crnk <= 2),
-        |p AS (SELECT qid, cells.vec_id AS cid,
-        |    list_dot_product(qemb, emb)
-        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
-        |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
-        |t AS (SELECT qid, cid, sim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
-        |  FROM p)
-        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin,
+    "emb_ann_ivf" -> ivfOracleSql,
+
+    // identical computation through the PERSISTED index — same oracle
+    "emb_ann_ivf_indexed" -> ivfOracleSql,
 
     "emb_ann_recall" ->
       // IVF lane = emb_ann_ivf's CTE chain with probes restricted to the

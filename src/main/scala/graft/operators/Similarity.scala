@@ -429,6 +429,81 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, k: Int, stride: Long, nprobe: Int = 2): DataFrame =
     ivfTopKWith(corpus, strideCentroids(corpus, stride), k, nprobe)
 
+  /** Ad-hoc IVF search under an EXTERNAL coarse quantizer (pre-trained
+    * or from another corpus slice) — the reference lane the persisted
+    * index's append-maintenance is pinned against. */
+  def ivfTopKWithCentroids(corpus: DataFrame,
+      cents: Array[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(corpus, cents, k, nprobe)
+
+  /** MATERIALIZED IVF index (the production form of [[ivfTopK]]'s
+    * ad-hoc build, the [[Retrieval.buildIndex]] move for vectors):
+    * centroids land under `root/centroids` (metadata-scale) and every
+    * corpus vector lands under `root/cells/cell=K` — its argmax home
+    * cell as a PARTITION DIRECTORY, norms precomputed. A search then
+    * touches only its queries' probed cell directories (I/O ∝ probed
+    * cells, not corpus) and never recomputes corpus-side assignment or
+    * norms. Append-only maintenance: [[appendToIvfIndex]] assigns a new
+    * batch against the SAME persisted centroids and appends new files
+    * into the same cell dirs — index growth is a pure append, no
+    * rebuild (searches stay exact vs a fresh ad-hoc build; pinned in
+    * OperatorsSpec).
+    */
+  def buildIvfIndex(corpus: DataFrame, root: String, stride: Long): Unit = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val cents = strideCentroids(corpus, stride)
+    cents.toSeq.toDF("cent_id", "cemb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    appendToIvfIndex(corpus, root)
+  }
+
+  /** Assign `batch` to the index's persisted centroids and append its
+    * vectors into their home-cell partition dirs. */
+  def appendToIvfIndex(batch: DataFrame, root: String): Unit = {
+    val cents = readIvfCentroids(batch.sparkSession, root)
+    withProbes(batch, cents, 1)
+      .select(col("vec_id"), col("emb"), col("norm"),
+        element_at(col("probes"), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+  }
+
+  private def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Array[(Long, Seq[Double])] =
+    spark.read.parquet(s"$root/centroids").orderBy("cent_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Search the materialized index: probe assignment runs only on the
+    * (small) query side; the corpus side is a partition-pruned read of
+    * the probed cell dirs with stored norms — same scoring, tie, and
+    * self-exclusion rules as [[ivfTopKWith]], so a search over an index
+    * built with the same stride equals [[ivfTopK]] row-for-row.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = readIvfCentroids(spark, root)
+    val probeSide = withProbes(
+        queries.select(col("qid").as("vec_id"), col("qemb").as("emb")),
+        cents, nprobe)
+      .withColumn("cell", explode(col("probes")))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("q_norm"), col("cell"))
+      .localCheckpoint(true) // read twice: cell list + the probe join
+    val probedCells = probeSide.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$root/cells")
+      .where(col("cell").isin(probedCells: _*))
+    val pairs = probeSide.join(cells, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
   /** Shared IVF probe assignment: every vector gets `probes` — its nprobe
     * best cells by cosine (probes[0] is the argmax HOME cell), computed
     * from ONE materialized cell-similarity array (the index build; both

@@ -2791,6 +2791,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (-1L, -1L, -1L), s"got ${out(2L)}")
   }
 
+  test("persisted IVF index: build+append search equals the ad-hoc search under the same centroids") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val base = e.where(col("vec_id") < 250)
+    val batch = e.where(col("vec_id") >= 250)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString + "/idx"
+    // index trained on the BASE slice, then grown by pure append
+    Similarity.buildIvfIndex(base, root, stride = 50)
+    Similarity.appendToIvfIndex(batch, root)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val viaIndex = Similarity.ivfIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._3))
+    val adHoc = Similarity.ivfTopKWithCentroids(e,
+        Similarity.strideCentroids(base, 50), k = 3, nprobe = 2)
+      .where(col("qid") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._3))
+    assert(viaIndex.toSeq == adHoc.toSeq,
+      s"index search diverged: ${viaIndex.toSeq.diff(adHoc.toSeq)}")
+  }
+
   test("kcenterGreedy: farthest-first picks spread the line, ties break to lower id") {
     import spark.implicits._
     // points on a line at 0, 1, 10, 11, 20 — seed id 0, then 20 (d²=400),
