@@ -29,6 +29,17 @@ object Sources {
         .option("header", "true").option("mode", mode).csv(path)
       case "jsonl" => spark.read.schema(schema)
         .option("mode", mode).json(path)
+      // raw line corpus (one document per line — the commonest LLM text
+      // drop): the source's schema is fixed at (value STRING); the
+      // pinned-schema contract is honored by selecting INTO the caller's
+      // single string column
+      case "text" =>
+        require(schema.fields.length == 1 &&
+          schema.fields.head.dataType == org.apache.spark.sql.types.StringType,
+          s"text source needs a single string column, got $schema")
+        spark.read.text(path)
+          .select(org.apache.spark.sql.functions.col("value")
+            .as(schema.fields.head.name))
       case other => throw new IllegalArgumentException(
         s"unsupported source format: $other")
     }
@@ -54,6 +65,17 @@ object Sources {
       case "orc" => r.orc(dir)
       case "csv" => r.option("header", "true").option("mode", mode).csv(dir)
       case "jsonl" => r.option("mode", mode).json(dir)
+      case "text" =>
+        require(schema.fields.length == 1 &&
+          schema.fields.head.dataType == org.apache.spark.sql.types.StringType,
+          s"text source needs a single string column, got $schema")
+        // fresh builder: the text source's schema is fixed at (value) —
+        // pinning the caller's schema on the reader would be rejected
+        spark.readStream
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .text(dir)
+          .select(org.apache.spark.sql.functions.col("value")
+            .as(schema.fields.head.name))
       case other => throw new IllegalArgumentException(
         s"unsupported source format: $other")
     }

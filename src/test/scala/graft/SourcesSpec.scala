@@ -51,6 +51,26 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
   }
 
+  test("text source: one document per line, batch and streaming") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-txt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"),
+      "first doc\nsecond doc\n".getBytes("UTF-8"))
+    val sch = StructType(Seq(StructField("text", StringType)))
+    val got = Sources.read(spark, dir, "text", sch)
+    assert(got.schema.fieldNames.toSeq == Seq("text"))
+    assert(got.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("first doc", "second doc"))
+    // wrong-shape schema rejected up front
+    intercept[IllegalArgumentException] {
+      Sources.read(spark, dir, "text", StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType))))
+    }
+    // streaming lane: same rename contract
+    val stream = Sources.stream(spark, dir, "text", sch)
+    assert(stream.isStreaming && stream.schema.fieldNames.toSeq == Seq("text"))
+  }
+
   test("strict csv read fails fast on malformed rows") {
     val dir = Files.createTempDirectory("graft-badcsv").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.csv"),
