@@ -3179,6 +3179,112 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_maintained" -> { (s, dir) =>
+      // the persisted index under its FULL LIFECYCLE: build on ⅔ of the
+      // corpus plus 100 decoy vectors (shifted-id copies — the rows a
+      // takedown/dedup pass later removes) under a FROZEN external
+      // quantizer, append the remaining ⅓, then DELETE the decoys via
+      // the touched-cells-only COW lane. Final index content ≡ the full
+      // corpus, so the search matches emb_ann_ivf row-for-row — same
+      // oracle verbatim; post-delete ≡ fresh-build is additionally
+      // pinned in OperatorsSpec.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-mnt").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      val decoys = e.where(col("vec_id") < 100)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("emb"))
+      Similarity.buildIvfIndexWith(
+        e.where(col("vec_id") % 3 < 2).unionByName(decoys), work, cents)
+      Similarity.appendToIvfIndex(e.where(col("vec_id") % 3 === 2), work)
+      Similarity.deleteFromIvfIndex(s, work,
+        (10000000L until 10000100L).toSeq)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivf_stream" -> { (s, dir) =>
+      // STREAMING maintenance of the persisted IVF index (the
+      // q_bm25_indexed streaming move for vectors): embedding
+      // micro-batches replay through foreachBatch → applyIvfBatch,
+      // which scrubs-then-appends under a batch-id commit gate — a
+      // checkpoint-replayed batch is skipped, a crashed half-append is
+      // repaired, never duplicated (batch 1 is re-delivered here to
+      // prove it). Final search ≡ the batch build ⇒ shares
+      // emb_ann_ivf's oracle verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-stream").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      def rows(m: Long) = e.where(col("vec_id") % 3 === m)
+        .as[(Long, Seq[Double])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDF.toDF("vec_id", "emb")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.applyIvfBatch(s, work, b, id, cents); ()
+        }
+        .option("checkpointLocation", s"$work/../ckpt").start()
+      try {
+        mem.addData(rows(0)); q.processAllAvailable()
+        mem.addData(rows(1)); q.processAllAvailable()
+        // at-least-once: re-deliver batch 1's rows under a NEW batch id —
+        // the scrub-then-append makes the re-apply idempotent by content
+        mem.addData(rows(1)); q.processAllAvailable()
+        mem.addData(rows(2)); q.processAllAvailable()
+      } finally q.stop()
+      val qs = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, work, qs, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivf_stats" -> { (s, dir) =>
+      // per-cell observability for the persisted index — the balance
+      // stats that feed auditIvfIndex's rebuild trigger (a hot cell
+      // degrades its probes toward a scan; you want to see it BEFORE
+      // recall drifts). Counts are home-cell assignment cardinalities,
+      // exactly reproducible in SQL; file bytes stay Spark-side (ops
+      // signal, not oracle material).
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-stats").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.buildIvfIndex(e, work, stride = 50)
+      Similarity.ivfIndexStats(s, work)
+        .select(col("cell"), col("n_vecs"))
+        .orderBy("cell")
+    },
+
+    "q_bm25_index_stats" -> { (s, dir) =>
+      // corpus-level index observability for the BM25 postings tree:
+      // total postings / distinct vocabulary / doc count / token mass.
+      // Per-bucket skew (bucket = pmod(xxhash64(tok), 64) — not SQL-
+      // reproducible) stays in indexStats for the ScaleSpec skew guard;
+      // the gate pins the bucket-independent sums, which a token living
+      // WHOLLY in one bucket makes exact.
+      import org.apache.spark.sql.types._
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stats").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Retrieval.buildIndex(docs, work)
+      val stats = Retrieval.indexStats(s, work)
+        .agg(sum("n_postings").as("n_postings"),
+          sum("n_tokens").as("n_tokens"))
+      val dl = s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("dl", LongType))))
+        .parquet(s"$work/doclens")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      stats.crossJoin(dl)
+    },
+
     "emb_ann_ivf_trained" -> { (s, dir) =>
       // trained-index ANN under the EXACT gate: 2 Lloyd iterations in
       // the integer lane (floor(el·1e6) BIGINT recentering, truncating
@@ -8266,6 +8372,42 @@ object SparkEntry {
 
     // identical computation through the PERSISTED index — same oracle
     "emb_ann_ivf_indexed" -> ivfOracleSql,
+
+    // build+append+delete lifecycle nets out to the full corpus under
+    // the same frozen quantizer — same oracle verbatim
+    "emb_ann_ivf_maintained" -> ivfOracleSql,
+
+    // streaming scrub-then-append maintenance converges to the batch
+    // build (re-delivered batch included) — same oracle verbatim
+    "emb_ann_ivf_stream" -> ivfOracleSql,
+
+    "emb_ann_ivf_stats" ->
+      // home-cell assignment cardinalities: the crnk=1 cells of the
+      // shared IVF chain, counted per centroid
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s)
+        |SELECT cent_id AS cell, count(*) AS n_vecs
+        |FROM r WHERE crnk = 1 GROUP BY cent_id ORDER BY cell""".stripMargin,
+
+    "q_bm25_index_stats" ->
+      // bucket-independent index totals: a token's postings live wholly
+      // in its bucket, so the per-bucket sums equal these corpus counts
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |t AS (SELECT * FROM t0 WHERE tok <> '')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT doc_id, tok FROM t))
+        |    AS n_postings,
+        |  (SELECT count(DISTINCT tok) FROM t) AS n_tokens,
+        |  (SELECT count(DISTINCT doc_id) FROM t) AS n_docs,
+        |  (SELECT count(*) FROM t) AS total_len""".stripMargin,
 
     "emb_ann_recall" ->
       // IVF lane = emb_ann_ivf's CTE chain with probes restricted to the

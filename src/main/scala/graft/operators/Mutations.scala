@@ -127,7 +127,7 @@ object Mutations {
   def applyMvBatch(spark: SparkSession, mvRoot: String, batch: DataFrame,
       batchId: Long, groupExpr: Column, beforeVal: Column, afterVal: Column,
       groupCol: String = "bucket", nCol: String = "n_rows",
-      sumCol: String = "sum_cents"): Boolean = {
+      sumCol: String = "sum_cents", keepVersions: Int = 2): Boolean = {
     val committed = mvCommitted(mvRoot)
     if (batchId <= committed) return false
     val next = maintainSumCount(readMv(spark, mvRoot, groupCol, nCol, sumCol),
@@ -135,7 +135,38 @@ object Mutations {
     next.write.mode(SaveMode.Overwrite).parquet(s"$mvRoot/v=$batchId")
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$mvRoot/_commit_$batchId"))
+    pruneMvVersions(mvRoot, keepVersions)
     true
+  }
+
+  /** Drop MV versions superseded past the newest `keep` committed ones —
+    * without this a long-running mvStream grows one full view copy per
+    * micro-batch and [[mvCommitted]] re-lists an ever-growing directory.
+    * Only versions BELOW the retained horizon go; marker deletes first
+    * (so a crash mid-prune leaves at worst an unreferenced data dir that
+    * the next prune sweeps), and the committed maximum is never touched.
+    */
+  def pruneMvVersions(mvRoot: String, keep: Int): Unit = {
+    val files = Option(new java.io.File(mvRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val committedIds = files.map(_.getName).collect {
+      case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
+    }.sorted
+    if (committedIds.length <= keep) return
+    val horizon = committedIds(committedIds.length - keep)
+    files.foreach { f =>
+      val n = f.getName
+      val id =
+        if (n.startsWith("_commit_")) Some(n.stripPrefix("_commit_").toLong)
+        else if (n.startsWith("v=")) Some(n.stripPrefix("v=").toLong)
+        else None
+      id.filter(_ < horizon).foreach { _ =>
+        val marker = new java.io.File(mvRoot, s"_commit_${id.get}")
+        if (marker.exists()) marker.delete()
+        val dir = new java.io.File(mvRoot, s"v=${id.get}")
+        if (dir.exists()) DatapointStore.rmTree(dir)
+      }
+    }
   }
 
   /** Copy-on-write merge into `root`, a parquet table laid out as

@@ -95,6 +95,37 @@ object Retrieval {
       .write.mode(mode).parquet(s"$root/doclens")
   }
 
+  /** Per-bucket observability for a [[buildIndex]] index — the postings
+    * skew a 100× deployment watches: (bucket, n_postings, n_tokens,
+    * bytes). A hot bucket (one token's postings dominating) degrades its
+    * searches toward a scan; this is the signal that picks a larger
+    * nBuckets on rebuild. One partition-pruned aggregate over the
+    * postings tree plus a driver file listing.
+    */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", StringType), StructField("tf", LongType),
+      StructField("bucket", LongType)))
+    val counts = spark.read.option("basePath", s"$root/postings")
+      .schema(schema).parquet(s"$root/postings")
+      .groupBy("bucket").agg(count(lit(1)).as("n_postings"),
+        countDistinct("tok").as("n_tokens"))
+    val dir = new java.io.File(s"$root/postings")
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map { f =>
+        val sz = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(_.length).sum
+        (f.getName.stripPrefix("bucket=").toLong, sz)
+      }.toSeq
+    import spark.implicits._
+    counts.join(bytes.toDF("bucket", "bytes"), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_postings"), col("n_tokens"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
   /** BM25 top-k against a [[buildIndex]] index — scoring identical to
     * [[bm25TopK]] (same formula, same round-6 rank key), I/O pruned to
     * the query tokens' buckets. Queries are metadata-scale by premise

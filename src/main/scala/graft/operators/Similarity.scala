@@ -449,10 +449,27 @@ object Similarity {
     * rebuild (searches stay exact vs a fresh ad-hoc build; pinned in
     * OperatorsSpec).
     */
-  def buildIvfIndex(corpus: DataFrame, root: String, stride: Long): Unit = {
+  def buildIvfIndex(corpus: DataFrame, root: String, stride: Long,
+      centroidBudget: Long = 1024): Unit = {
+    // stride <= 0 = auto: bound the centroid count (and with it the
+    // driver-side readIvfCentroids collect every append/search pays) by
+    // centroidBudget at any corpus size — the same internally-derived
+    // sampling discipline as kmeansCentroids; explicit strides remain
+    // for gate reproducibility
+    val st = if (stride > 0) stride else boundedStride(corpus, centroidBudget)
+    buildIvfIndexWith(corpus, root, strideCentroids(corpus, st))
+  }
+
+  /** [[buildIvfIndex]] under an EXTERNAL coarse quantizer (a pre-trained
+    * codebook, or centroids sampled from a wider corpus than the first
+    * indexed batch — the production shape: the quantizer is trained once
+    * and the index fills in over many appends against those FROZEN
+    * centroids).
+    */
+  def buildIvfIndexWith(corpus: DataFrame, root: String,
+      cents: Array[(Long, Seq[Double])]): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
-    val cents = strideCentroids(corpus, stride)
     cents.toSeq.toDF("cent_id", "cemb")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     appendToIvfIndex(corpus, root)
@@ -467,6 +484,185 @@ object Similarity {
         element_at(col("probes"), 1).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
   }
+
+  /** Delete vectors from the persisted index by id — the tombstone-free
+    * COW lane: one column-pruned scan of (vec_id, cell) locates the
+    * touched cells (parquet row-group stats skip untouched files), then
+    * ONLY those cell dirs are rewritten without the deleted ids. I/O is
+    * ∝ touched cells, never the index. The swap per cell is crash-safe
+    * in the VersionedTable discipline (new data first, then a rename
+    * window healable from either side): data lands complete in a hidden
+    * `.ivf_tmp_<cell>` dir, the live dir moves to `.ivf_old_<cell>`, tmp
+    * moves in, old is dropped — [[healIvfIndex]] (run by every search)
+    * finishes or rolls back any interrupted swap, and the hidden names
+    * keep partition discovery from ever seeing a half-state.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfIndexFrame(spark, root, ids.toDF("vec_id"))
+  }
+
+  /** [[deleteFromIvfIndex]] with the ids as a DataFrame — the shape a
+    * micro-batch or a dedup survivor-complement feeds in without ever
+    * collecting ids to the driver; the only driver materialization is
+    * the touched CELL list (bounded by K by construction).
+    */
+  def deleteFromIvfIndexFrame(spark: org.apache.spark.sql.SparkSession,
+      root: String, idsDf: DataFrame): Unit = {
+    healIvfIndex(spark, root)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/cells"))) return
+    // consumed once per touched cell plus the touch scan — checkpoint
+    val ids = idsDf.select(col("vec_id")).localCheckpoint(true)
+    // partition discovery types small cell values as INT — pin to long
+    val touched = spark.read.parquet(s"$root/cells")
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0))
+    touched.foreach { cellId =>
+      val live = new org.apache.hadoop.fs.Path(s"$root/cells/cell=$cellId")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_tmp_$cellId")
+      val old = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_old_$cellId")
+      spark.read.parquet(live.toString)
+        .join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"ivf delete: cannot stage $live")
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"ivf delete: cannot publish $tmp")
+      fs.delete(old, true)
+    }
+  }
+
+  /** Finish or roll back an interrupted [[deleteFromIvfIndex]] swap.
+    * States (per cell): tmp + live ⇒ the swap never started its rename —
+    * tmp may be incomplete, drop it; tmp alone ⇒ data was complete and
+    * the live dir was already staged away — publish tmp; old alone or
+    * old + live ⇒ the publish succeeded — drop old. Idempotent; cheap
+    * (one directory listing) so every reader runs it.
+    */
+  def healIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
+    if (!fs.exists(cellsDir)) return
+    fs.listStatus(cellsDir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".ivf_tmp_")) {
+        val live = new org.apache.hadoop.fs.Path(cellsDir,
+          s"cell=${n.stripPrefix(".ivf_tmp_")}")
+        if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
+      } else if (n.startsWith(".ivf_old_")) fs.delete(p, true)
+    }
+  }
+
+  /** Per-cell observability for the persisted index — the stats a 100×
+    * deployment watches BEFORE recall drifts: (cell, n_vecs, bytes),
+    * one partition-pruned count per cell dir plus a driver file listing.
+    * Skew (a hot cell degrading toward a scan) shows up here first.
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    healIvfIndex(spark, root)
+    // partition discovery types small cell values as INT — pin to long
+    val counts = spark.read.parquet(s"$root/cells")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val fs = hadoopFs(spark, root)
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
+    val bytes = fs.listStatus(cellsDir).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("cell="))
+      .map { p =>
+        (p.getName.stripPrefix("cell=").toLong,
+          fs.getContentSummary(p).getLength)
+      }.toSeq
+    import spark.implicits._
+    counts.join(bytes.toDF("cell", "bytes"), Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
+  /** Drift audit for the persisted index: per-cell balance plus a
+    * sampled recall@k of the index search vs exact brute force — the
+    * signal that triggers a centroid retrain/rebuild as appends shift
+    * the data distribution away from the build-time quantizer. The
+    * recall sample is stride-bounded to `sampleBudget` queries (the
+    * exact side is the expensive one); both top-k sets are fully
+    * rank-pinned so the audit is deterministic. Output is one row:
+    * (n_cells, n_vecs, max_cell_n, max_cell_ppm, sampled_n, recall_bp,
+    * rebuild) with rebuild = recall_bp < minRecallBp OR max_cell_ppm >
+    * maxCellPpm.
+    */
+  def auditIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      k: Int, nprobe: Int = 2, sampleBudget: Long = 20,
+      minRecallBp: Long = 8000, maxCellPpm: Long = 500000): DataFrame = {
+    val cells = spark.read.parquet(s"$root/cells")
+      .select(col("vec_id"), col("emb"), col("cell")).localCheckpoint(true)
+    val st = boundedStride(cells, sampleBudget)
+    val q = cells.where(col("vec_id") % st === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    val exact = cosineTopK(cells.select("vec_id", "emb"), broadcast(q), k)
+      .select("qid", "cid")
+    val approx = ivfIndexTopK(spark, root, q, k, nprobe)
+      .select("qid", "cid")
+    val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+    val nq = q.count()
+    val perCell = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vecs"),
+        max("n").as("max_cell_n")).head()
+    val (nCells, nVecs, maxCell) =
+      (perCell.getLong(0), perCell.getLong(1), perCell.getLong(2))
+    val maxPpm = if (nVecs == 0) 0L else 1000000L * maxCell / nVecs
+    val recallBp = if (nq == 0) 10000L else 10000L * hits / (nq * k)
+    import spark.implicits._
+    Seq((nCells, nVecs, maxCell, maxPpm, nq, recallBp,
+      recallBp < minRecallBp || maxPpm > maxCellPpm))
+      .toDF("n_cells", "n_vecs", "max_cell_n", "max_cell_ppm",
+        "sampled_n", "recall_bp", "rebuild")
+  }
+
+  /** Fold ONE micro-batch of vectors into a persisted IVF index,
+    * exactly-once under foreachBatch's at-least-once delivery — the
+    * [[Mutations.applyMvBatch]] commit-gate discipline applied to an
+    * APPEND-shaped maintenance op. A batch id at or below the committed
+    * horizon is a checkpoint-replay re-delivery and is skipped. Because
+    * an append is not naturally idempotent (a crash between the cell
+    * writes and the marker leaves partial rows that a blind re-append
+    * would duplicate), a live apply first SCRUBS its own batch's ids via
+    * [[deleteFromIvfIndex]] (touched-cells-only COW, a no-op on the
+    * clean path's empty index intersection is still one pruned scan) —
+    * re-delivery therefore repairs, never duplicates. The first applied
+    * batch bootstraps the index under the caller's frozen centroids.
+    * Returns true when the batch was applied.
+    */
+  def applyIvfBatch(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, batchId: Long,
+      cents: Array[(Long, Seq[Double])]): Boolean = {
+    val fs = hadoopFs(spark, root)
+    val committed = {
+      val dir = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_ivf_commit_") =>
+          n.stripPrefix("_ivf_commit_").toLong }
+        .foldLeft(-1L)(math.max)
+    }
+    if (batchId <= committed) return false
+    deleteFromIvfIndexFrame(spark, root, batch.select("vec_id"))
+    if (committed < 0 &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids")))
+      buildIvfIndexWith(batch, root, cents)
+    else appendToIvfIndex(batch, root)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_ivf_commit_$batchId"),
+      true).close()
+    true
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readIvfCentroids(
       spark: org.apache.spark.sql.SparkSession,
@@ -483,6 +679,7 @@ object Similarity {
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    healIvfIndex(spark, root) // finish/roll back any interrupted delete
     val cents = readIvfCentroids(spark, root)
     val probeSide = withProbes(
         queries.select(col("qid").as("vec_id"), col("qemb").as("emb")),

@@ -2816,6 +2816,159 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"index search diverged: ${viaIndex.toSeq.diff(adHoc.toSeq)}")
   }
 
+  private def searchTriples(root: String,
+      q: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    Similarity.ivfIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+
+  test("persisted IVF index delete: post-delete search equals a fresh build without the deleted rows") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val decoys = e.where(col("vec_id") < 60)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("emb"))
+    val cents = Similarity.strideCentroids(e, 50)
+    val dirty = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString + "/idx"
+    Similarity.buildIvfIndexWith(e.unionByName(decoys), dirty, cents)
+    Similarity.deleteFromIvfIndex(spark, dirty, (5000L until 5060L).toSeq)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-fresh").toString + "/idx"
+    Similarity.buildIvfIndexWith(e, fresh, cents)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    assert(searchTriples(dirty, q) == searchTriples(fresh, q),
+      "post-delete search diverged from a fresh build")
+    // deleted ids are gone from the cell dirs, survivors intact
+    val left = spark.read.parquet(s"$dirty/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.exists(_ >= 5000L) && left.size == e.count())
+  }
+
+  test("persisted IVF index heal: every interrupted delete swap state repairs on the next read") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = Similarity.strideCentroids(e, 50)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-heal").toString + "/idx"
+    Similarity.buildIvfIndexWith(e, root, cents)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    val want = searchTriples(root, q)
+    val cells = new java.io.File(s"$root/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .sortBy(_.getName)
+    val Array(c0, c1, c2, _*) = cells
+    // crash state 1: tmp written but live never staged away — tmp may be
+    // incomplete and must be DROPPED (live copy stays authoritative)
+    val tmp0 = new java.io.File(c0.getParent,
+      s".ivf_tmp_${c0.getName.stripPrefix("cell=")}")
+    tmp0.mkdirs() // an empty (incomplete) rewrite attempt
+    // crash state 2: live staged to old, tmp complete but unpublished —
+    // tmp must be PUBLISHED (it is the post-delete truth). Simulate a
+    // delete-nothing rewrite: the cell content itself stands in for tmp.
+    val id1 = c1.getName.stripPrefix("cell=")
+    val tmp1 = new java.io.File(c1.getParent, s".ivf_tmp_$id1")
+    assert(c1.renameTo(tmp1))
+    // crash state 3: published but old not yet dropped — old must go
+    val id2 = c2.getName.stripPrefix("cell=")
+    val old2 = new java.io.File(c2.getParent, s".ivf_old_$id2")
+    old2.mkdirs()
+    assert(searchTriples(root, q) == want, "heal-on-read changed results")
+    assert(!tmp0.exists() && !tmp1.exists() && !old2.exists() && c1.exists(),
+      "heal left swap debris behind")
+  }
+
+  test("applyIvfBatch: commit gate skips replayed ids; scrub-then-append repairs a crashed half-append") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = Similarity.strideCentroids(e, 50)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-batch").toString + "/idx"
+    val b0 = e.where(col("vec_id") % 3 === 0)
+    val b1 = e.where(col("vec_id") % 3 === 1)
+    val b2 = e.where(col("vec_id") % 3 === 2)
+    assert(Similarity.applyIvfBatch(spark, root, b0, 0L, cents))
+    assert(Similarity.applyIvfBatch(spark, root, b1, 1L, cents))
+    // checkpoint-replay re-delivery of a committed id: MUST be a no-op
+    assert(!Similarity.applyIvfBatch(spark, root, b1, 1L, cents))
+    // crashed half-append of batch 2: some rows landed, no marker. The
+    // re-delivered apply must scrub them first — never duplicate.
+    Similarity.appendToIvfIndex(b2.where(col("vec_id") < 100), root)
+    assert(Similarity.applyIvfBatch(spark, root, b2, 2L, cents))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-ivf-batch-f").toString + "/idx"
+    Similarity.buildIvfIndexWith(e, fresh, cents)
+    assert(searchTriples(root, q) == searchTriples(fresh, q),
+      "batched maintenance diverged from the batch build")
+    assert(spark.read.parquet(s"$root/cells").count() == e.count(),
+      "half-append rows were duplicated")
+  }
+
+  test("auditIvfIndex: balanced gate fixture passes; a one-cell-degenerate corpus trips the rebuild trigger") {
+    import spark.implicits._
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-audit").toString + "/idx"
+    Similarity.buildIvfIndex(e, root, stride = 50)
+    // the untrained stride quantizer recalls ~72% @3 on this corpus —
+    // under a policy that accepts that, the audit passes; under a
+    // strict-recall policy it correctly demands a retrain
+    val ok = Similarity.auditIvfIndex(spark, root, k = 3,
+      minRecallBp = 6500L).head()
+    assert(!ok.getBoolean(6),
+      s"gate fixture should not demand a rebuild at its policy: $ok")
+    assert(ok.getLong(5) >= 6500L, s"sampled recall collapsed: $ok")
+    val strict = Similarity.auditIvfIndex(spark, root, k = 3,
+      minRecallBp = 9900L).head()
+    assert(strict.getBoolean(6), s"strict recall policy must trigger: $strict")
+    // degenerate corpus: identical vectors ⇒ every assignment ties and
+    // first-max sends ALL rows to cell 0 ⇒ max_cell_ppm trips the bound
+    val hot = (0L until 120L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val hotRoot = java.nio.file.Files
+      .createTempDirectory("graft-ivf-hot").toString + "/idx"
+    Similarity.buildIvfIndex(hot, hotRoot, stride = 50)
+    val bad = Similarity.auditIvfIndex(spark, hotRoot, k = 3).head()
+    assert(bad.getBoolean(6) && bad.getLong(3) > 500000L,
+      s"hot-cell corpus must trip the rebuild trigger: $bad")
+  }
+
+  test("applyMvBatch prunes superseded MV versions past the retained horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-prune")
+      .toString + "/mv"
+    def apply(rows: Seq[(Long, String, Option[Long], Option[Long])], id: Long) =
+      graft.operators.Mutations.applyMvBatch(spark, root,
+        rows.toDF("k", "change_op", "before_cents", "after_cents"), id,
+        pmod(col("k"), lit(4L)), col("before_cents"), col("after_cents"))
+    apply(Seq((0L, "I", None, Some(10L))), 0L)
+    apply(Seq((1L, "I", None, Some(20L))), 1L)
+    apply(Seq((0L, "U", Some(10L), Some(15L))), 2L)
+    apply(Seq((2L, "I", None, Some(5L))), 3L)
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    // keepVersions=2 (default): v=3 (live) + v=2 retained; 0 and 1 swept
+    assert(names.contains("v=3") && names.contains("_commit_3"))
+    assert(names.contains("v=2") && names.contains("_commit_2"))
+    assert(!names.exists(n => n == "v=0" || n == "v=1" ||
+      n == "_commit_0" || n == "_commit_1"), s"stale versions survive: $names")
+    val out = graft.operators.Mutations.readMv(spark, root)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> (1L, 15L), 1L -> (1L, 20L), 2L -> (1L, 5L)),
+      s"pruned MV lost state: $out")
+  }
+
   test("kcenterGreedy: farthest-first picks spread the line, ties break to lower id") {
     import spark.implicits._
     // points on a line at 0, 1, 10, 11, 20 — seed id 0, then 20 (d²=400),

@@ -545,5 +545,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("materialized index skew guard: gate fixtures stay balanced (IVF cells, BM25 buckets)") {
+    // the observability lane (ivfIndexStats / indexStats) exists so a
+    // hot cell/bucket is SEEN before it degrades a probe toward a scan;
+    // this pins that the gate fixtures themselves sit under sane skew —
+    // a testdata regen or assignment-rule edit that concentrates the
+    // index shows up here, not in a silent bench regression
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val ivfRoot = Files.createTempDirectory("graft-skew-ivf").toString + "/idx"
+    graft.operators.Similarity.buildIvfIndex(e, ivfRoot, stride = 50)
+    val cells = graft.operators.Similarity.ivfIndexStats(spark, ivfRoot)
+      .collect().map(r => r.getLong(1))
+    assert(cells.max * 1000000L / cells.sum <= 500000L,
+      s"one IVF cell holds >50% of the corpus: ${cells.toSeq}")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bmRoot = Files.createTempDirectory("graft-skew-bm").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(docs, bmRoot)
+    val buckets = graft.operators.Retrieval.indexStats(spark, bmRoot)
+      .collect().map(r => r.getLong(1))
+    // the fixture vocabulary is ~31 tokens over 64 buckets — the bound
+    // is deliberately loose (no bucket above half the postings mass)
+    assert(buckets.max * 1000000L / buckets.sum <= 500000L,
+      s"one BM25 bucket holds >50% of the postings: ${buckets.toSeq}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -22,7 +22,10 @@ QUADRATIC = {"dedup_stream_near",
 
 argv = sys.argv[1:]
 skip_quadratic = "--skip-quadratic" in argv
-argv = [a for a in argv if a != "--skip-quadratic"]
+# --present-only: check only queries with a dump dir (local iteration on
+# a filtered Verify run; the full sweep still uses the default)
+present_only = "--present-only" in argv
+argv = [a for a in argv if a not in ("--skip-quadratic", "--present-only")]
 sfdir, outdir = argv[0], argv[1]
 con = duckdb.connect()
 con.sql("SET TimeZone='UTC'")
@@ -53,6 +56,8 @@ for name in sorted(oracle):
         print(f"{name:24s} SKIP quadratic-oracle"); skipped += 1; continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
+        if present_only:
+            skipped += 1; continue
         print(f"{name:24s} NO-SPARK-OUTPUT"); fails += 1; continue
     try:
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
