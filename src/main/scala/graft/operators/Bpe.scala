@@ -68,9 +68,11 @@ object Bpe {
     * O(1) in the merge count instead of 2 per merge (a 32k-merge vocab
     * was ~64k sequential jobs of pure scheduler latency on the
     * distributed loop). Oversized vocabularies fall back to
-    * [[trainDistributed]], whose per-merge jobs stay vocabulary-scale.
-    * Both paths produce the identical merge table (same argmax, same
-    * tie order — pinned old≡new in OperatorsSpec on the gate corpus).
+    * [[trainDistributed]] — distributed words, driver-resident pair
+    * counts maintained by per-merge deltas from affected words only
+    * (two narrow jobs per merge, zero per-merge shuffles). All lanes
+    * produce the identical merge table (same argmax, same tie order —
+    * pinned three-way in OperatorsSpec on the gate corpus).
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
       minFreq: Long = 2, driverLocalMaxWords: Int = 1000000)
@@ -159,10 +161,113 @@ object Bpe {
     merges.result()
   }
 
-  /** The original distributed merge loop (2 vocabulary-scale jobs per
-    * merge) — the fallback lane for word tables too large to collect.
+  private def containsPair(s: Seq[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i + 1 < s.length) {
+      if (s(i) == a && s(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  private def addPairs(m: scala.collection.mutable.HashMap[(String, String), Long],
+      s: Seq[String], delta: Long): Unit = {
+    var i = 0
+    while (i + 1 < s.length) {
+      val p = (s(i), s(i + 1))
+      val c = m.getOrElse(p, 0L) + delta
+      if (c == 0L) m.remove(p) else m(p) = c
+      i += 1
+    }
+  }
+
+  /** Distributed fallback lane for word tables too large to collect —
+    * the scale split that makes 100 TB training feasible: the WORD table
+    * (the big thing — tens of millions of rows) stays distributed, the
+    * PAIR-COUNT table (bounded by adjacent-symbol combinatorics — orders
+    * of magnitude smaller, and grown only ~1 pair per merge) lives on
+    * the driver and is maintained INCREMENTALLY, exactly like
+    * [[trainLocal]]'s delta algorithm. Per merge:
+    *   - argmax = a driver map scan, ZERO jobs (the naive lane's
+    *     vocabulary-scale count + TakeOrdered shuffle per merge is gone);
+    *   - delta = one NARROW mapPartitions job that touches pair math
+    *     only for words CONTAINING the merged pair (per-partition
+    *     HashMaps, merged driver-side — a tree-aggregate shape);
+    *   - apply = one narrow map + localCheckpoint (unaffected words pass
+    *     through untouched).
+    * The single shuffle in the whole train is the initial corpus-wide
+    * pair count. If even the pair-count TABLE exceeds `maxDriverPairs`
+    * (degenerate symbol inventories), the per-merge [[trainDistributedNaive]]
+    * loop remains as the last-resort lane. All lanes produce the
+    * identical merge table (same argmax, same UTF-8-byte tie order) —
+    * pinned three-way in OperatorsSpec.
     */
   private[graft] def trainDistributed(words0: Dataset[WordFreq],
+      nMerges: Int, minFreq: Long,
+      maxDriverPairs: Int = 20000000): Seq[(String, String)] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    // ONE corpus-wide pair count — the only shuffle in the whole train
+    val init = words0.flatMap(wf =>
+        wf.syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p(1), wf.freq)).toSeq)
+      .toDF("a", "b", "f")
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+      .as[(String, String, Long)]
+      .limit(maxDriverPairs + 1).collect()
+    if (init.length > maxDriverPairs)
+      return trainDistributedNaive(words0, nMerges, minFreq)
+    val pairCount = mutable.HashMap[(String, String), Long]()
+    init.foreach { case (a, b, c) => pairCount((a, b)) = c }
+    var words = words0
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var continue = true
+    while (continue && it < nMerges) {
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null && pairLess(p, best))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < minFreq) continue = false
+      else {
+        merges += best
+        val (a, b) = best
+        val ab = a + b
+        // delta from AFFECTED words only: per-partition maps, no shuffle
+        val deltas = words.rdd.mapPartitions { part =>
+          val m = mutable.HashMap[(String, String), Long]()
+          part.foreach { wf =>
+            if (containsPair(wf.syms, a, b)) {
+              addPairs(m, wf.syms, -wf.freq)
+              addPairs(m, mergePair(wf.syms, a, b, ab), wf.freq)
+            }
+          }
+          Iterator.single(m)
+        }.collect()
+        deltas.foreach(_.foreach { case (p, d) =>
+          val c = pairCount.getOrElse(p, 0L) + d
+          if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        })
+        words = words.map(wf =>
+            if (containsPair(wf.syms, a, b))
+              WordFreq(mergePair(wf.syms, a, b, ab), wf.freq)
+            else wf)
+          .localCheckpoint(true)
+        it += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The original distributed merge loop (2 vocabulary-scale jobs per
+    * merge) — last-resort lane, engaged only when even the pair-count
+    * table overflows the driver budget.
+    */
+  private[graft] def trainDistributedNaive(words0: Dataset[WordFreq],
       nMerges: Int, minFreq: Long): Seq[(String, String)] = {
     val spark = words0.sparkSession
     import spark.implicits._

@@ -1455,22 +1455,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.train(tiny, nMerges = 5).isEmpty)
   }
 
-  test("BPE: driver-local trainer ≡ distributed trainer on the gate corpus (bit-identical merge table)") {
+  test("BPE: driver-local ≡ distributed-delta ≡ naive trainer on the gate corpus (bit-identical merge table)") {
     import graft.operators.Bpe
-    // the r10 job-count fix routes train() driver-local (one corpus
-    // collapse, zero per-merge jobs); this pins its merge table to the
-    // original distributed loop's, old≡new, at the gate query's exact
-    // parameters (nMerges=40 on sf0.001 documents)
+    // three lanes, one merge table: the driver-local incremental trainer
+    // (the default), the r11 distributed-delta fallback (driver pair
+    // counts + narrow per-merge delta jobs), and the per-merge naive
+    // loop (last resort) — pinned at the gate query's exact parameters
+    // (nMerges=40 on sf0.001 documents)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val local = Bpe.train(docs, nMerges = 40)
-    val dist = Bpe.trainDistributed(
+    val delta = Bpe.trainDistributed(
       Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 40, minFreq = 2L)
-    assert(local == dist)
+    val naive = Bpe.trainDistributedNaive(
+      Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 40, minFreq = 2L)
+    assert(local == delta && delta == naive)
     assert(local.length == 40)
     // and the tiny-threshold path still routes distributed, same table
     assert(Bpe.train(docs, nMerges = 5, driverLocalMaxWords = 1) ==
-      dist.take(5))
+      delta.take(5))
+    // a pair-count budget of 0 forces the naive last resort — same table
+    assert(Bpe.trainDistributed(
+      Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 5,
+      minFreq = 2L, maxDriverPairs = 0) == delta.take(5))
+  }
+
+  test("BPE lanes agree above the BMP (UTF-8-byte tie order, not UTF-16)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // U+10000 (surrogate pair in UTF-16) vs U+FF01: UTF-16 code-unit
+    // comparison orders them OPPOSITE to UTF-8 bytes — equal-count pair
+    // ties on this corpus diverge if any lane compares Java Strings.
+    // NOTE: the word splitter iterates UTF-16 code units, so astral
+    // chars split into surrogate halves IDENTICALLY in every lane; the
+    // tie-break is the only place encodings could disagree.
+    val astral = new String(Character.toChars(0x10000))
+    val docs = Seq((0L, s"$astral！ ！$astral $astral！ ！$astral"))
+      .toDF("doc_id", "text")
+    val local = Bpe.train(docs, nMerges = 6)
+    val delta = Bpe.trainDistributed(
+      Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 6, minFreq = 2L)
+    val naive = Bpe.trainDistributedNaive(
+      Bpe.wordTableFor(docs).localCheckpoint(true), nMerges = 6, minFreq = 2L)
+    assert(local == delta && delta == naive, s"$local vs $delta vs $naive")
   }
 
   test("VersionedTable: commit CAS — a racing second writer errors cleanly, winner's record survives, table readable") {

@@ -545,6 +545,41 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {
+    // the r11 fallback keeps pair counts driver-resident: per merge =
+    // one mapPartitions delta job + one checkpoint job, both narrow.
+    // A reintroduced per-merge pair-count groupBy / TakeOrdered (the
+    // naive lane's shape) adds a shuffle stage per merge — stages would
+    // outgrow jobs by ~#merges and trip this pin.
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val words = graft.operators.Bpe.wordTableFor(docs).localCheckpoint(true)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val m = graft.operators.Bpe.trainDistributed(words, nMerges = 10,
+        minFreq = 2L)
+      assert(m.length == 10)
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(100) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    val (j, st) = (jobs.get(), stages.get())
+    // init pair count is the ONLY shuffle: 2 narrow jobs per merge plus
+    // a small constant for the init agg under AQE
+    assert(j <= 2 * 10 + 4, s"delta BPE lane ran $j jobs for 10 merges")
+    assert(st - j <= 2,
+      s"per-merge shuffles crept back in: $st stages over $j jobs")
+  }
+
   test("materialized index skew guard: gate fixtures stay balanced (IVF cells, BM25 buckets)") {
     // the observability lane (ivfIndexStats / indexStats) exists so a
     // hot cell/bucket is SEEN before it degrades a probe toward a scan;
