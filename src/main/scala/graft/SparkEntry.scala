@@ -2537,12 +2537,15 @@ object SparkEntry {
       // BPE tokenizer training at corpus scale: 40 merges learned on the
       // word-frequency table (training never iterates the corpus — one
       // groupBy collapses it to vocabulary scale), then replayed over
-      // the docs; per-source compression stats. Iterative merge argmax
-      // has no SQL mirror, so this is the gate's one rows-only entry —
-      // the algorithm itself is pinned by the hand-computed
-      // Sennrich-corpus spec (OperatorsSpec).
+      // the docs; per-source compression stats. The iterative merge
+      // argmax has no fixed-depth SQL mirror, but the ENCODE does: the
+      // learned merge table rides into the oracle as literals
+      // (bpeOracle — the emb_pca move) where a chr(31)-framed replace()
+      // chain replays it exactly, so the query hashes under the full
+      // gate since r11.
       val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
       val merges = graft.operators.Bpe.train(docs, nMerges = 40)
+      bpeFitted = Some(merges)
       graft.operators.Bpe.encodeStats(docs, merges)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -9458,7 +9461,8 @@ object SparkEntry {
         |  FROM t WHERE event_type = 'purchase')
         |SELECT attr, CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
-        |FROM p GROUP BY attr ORDER BY attr""".stripMargin) ++ pcaOracle
+        |FROM p GROUP BY attr ORDER BY attr""".stripMargin) ++ pcaOracle ++
+    bpeOracle
 
   /** Fitted PCA model captured by the emb_pca query run. Verify writes
     * oracle_sql.json AFTER the queries execute in the same JVM, so the
@@ -9491,5 +9495,51 @@ object SparkEntry {
         s"""SELECT vec_id,
            |  $pcs
            |FROM embeddings ORDER BY vec_id""".stripMargin
+  }.toMap
+
+  /** Learned BPE merge table captured by the text_bpe_encode query run
+    * (the [[pcaFitted]] discipline — Verify dumps oracle_sql.json after
+    * the queries execute, so the table rides into the oracle as
+    * literals).
+    */
+  @volatile private[graft] var bpeFitted: Option[Seq[(String, String)]] = None
+
+  /** The text_bpe_encode oracle, generated from the captured merges.
+    * Encoding replays in SQL through a SEPARATOR-FRAMED replace chain:
+    * a word becomes `␟c1␟␟c2␟…␟</w>␟` (each symbol individually wrapped
+    * in chr(31), which the ASCII corpus never contains), and merge
+    * (a,b)→ab is `replace(s, '␟a␟␟b␟', '␟ab␟')` — SQL replace scans
+    * left-to-right, non-overlapping, resuming AFTER each replacement,
+    * which is EXACTLY mergePair's skip-after-merge rule (pinned in
+    * OperatorsSpec on adversarial overlap corpora). Per-symbol framing
+    * (not shared boundaries) is what lets a later occurrence in the
+    * same word still match after an earlier replacement consumed its
+    * neighbor's separator. Symbol count = #chr(31) / 2. Absent until
+    * the query has run, exactly like emb_pca.
+    */
+  private def bpeOracle: Map[String, String] = bpeFitted.map { merges =>
+    val S = "chr(31)"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val s0 = s"$S || array_to_string(string_split(w, ''), $S || $S) || " +
+      s"$S || $S || '</w>' || $S"
+    val chain = merges.foldLeft(s0) { case (acc, (a, b)) =>
+      s"replace($acc, $S || ${lit(a)} || $S || $S || ${lit(b)} || $S, " +
+        s"$S || ${lit(a + b)} || $S)"
+    }
+    "text_bpe_encode" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |enc AS (SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_transform(ws, w -> $chain),
+         |      s -> (length(s) - length(replace(s, chr(31), ''))) // 2)),
+         |      0) AS BIGINT) AS n_subwords
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+         |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }.toMap
 }

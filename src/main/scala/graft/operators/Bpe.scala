@@ -33,7 +33,7 @@ object Bpe {
     * skipping past each merge (so "aaa" under (a,a) → "aa a", never
     * "a aa" or a chain).
     */
-  private[operators] def mergePair(syms: Seq[String], a: String, b: String,
+  private[graft] def mergePair(syms: Seq[String], a: String, b: String,
       ab: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0

@@ -20,19 +20,20 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("every query is oracled unless on the explicit rows-only list") {
     // rows-only means the op is genuinely not SQL-expressible in DuckDB.
     // Since r5 the multimodal stub codec is md5-derived, so even mm_* are
-    // oracled. text_bpe_encode is rows-only by necessity: BPE training is
-    // an ITERATIVE argmax (each merge depends on the pair counts AFTER
-    // the previous merge) — no fixed-depth SQL mirror exists; its
-    // semantics are pinned by the hand-computed Sennrich-corpus spec
-    // instead. Growing this list is a deliberate decision, not a silent
-    // default. emb_pca LEFT this list in r10: its oracle splices the
-    // run-captured Jacobi eigenvectors in as literals (pcaOracle), so
-    // the projection hashes under the full gate — Verify dumps
-    // oracle_sql.json after the queries run, which this test mirrors by
-    // running emb_pca first.
-    val rowsOnly = Set("text_bpe_encode")
+    // oracled. The list is EMPTY since r11: emb_pca left in r10 via
+    // run-captured eigenvector literals (pcaOracle), and text_bpe_encode
+    // left in r11 the same way — the trained merge table rides into the
+    // oracle as literals and a chr(31)-framed replace chain replays the
+    // encode (bpeOracle); only the TRAINING argmax has no SQL mirror,
+    // and the oracle doesn't need it once the table is literal. Growing
+    // this list is a deliberate decision, not a silent default. Verify
+    // dumps oracle_sql.json after the queries run, which this test
+    // mirrors by running both capture queries first.
+    val rowsOnly = Set.empty[String]
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("text_bpe_encode")(spark, "/root/testdata/sf0.001")
+      .count()
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query (typo?): $orphanOracles")

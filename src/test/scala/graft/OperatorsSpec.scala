@@ -1480,6 +1480,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       minFreq = 2L, maxDriverPairs = 0) == delta.take(5))
   }
 
+  test("BPE oracle framing: separator replace-chain ≡ mergePair on exhaustive overlap corpora") {
+    // the text_bpe_encode oracle replays the encode in SQL as
+    // replace(s, '␟a␟␟b␟', '␟ab␟') over per-symbol-framed words; SQL
+    // replace and Java String.replace share the same left-to-right
+    // non-overlapping scan that resumes AFTER each replacement — which
+    // must equal mergePair's skip-after-merge rule on EVERY input,
+    // overlaps included ("aaa" under (a,a) → [aa, a], never a chain).
+    // Exhaustive over all {a,b} words to length 8 × three merge chains.
+    import graft.operators.Bpe
+    val SEP = "\u001f"
+    def frame(syms: Seq[String]): String =
+      syms.map(s => SEP + s + SEP).mkString
+    val chains = Seq(
+      Seq(("a", "a")),
+      Seq(("a", "b"), ("ab", "ab")),
+      Seq(("a", "a"), ("aa", "b"), ("aab", "aab"), ("b", "b")))
+    for {
+      len <- 1 to 8
+      n <- 0 until (1 << len)
+      chain <- chains
+    } {
+      val word = (0 until len).map(i => if (((n >> i) & 1) == 0) "a" else "b")
+      var bySpark: Seq[String] = word
+      var bySql: String = frame(word)
+      chain.foreach { case (a, b) =>
+        bySpark = Bpe.mergePair(bySpark, a, b, a + b)
+        bySql = bySql.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+      }
+      assert(frame(bySpark) == bySql,
+        s"word=$word chain=$chain: mergePair=$bySpark vs sql=$bySql")
+    }
+  }
+
   test("BPE lanes agree above the BMP (UTF-8-byte tie order, not UTF-16)") {
     import spark.implicits._
     import graft.operators.Bpe
