@@ -210,8 +210,59 @@ object VersionedTable {
       .parquet(s"$root/data/v=$v")
     val written = bucketsWritten(root, v, partCol)
     val dropped = affected.filterNot(written.contains).toSeq
+    commitInterceptor.foreach(_(v))
     writeCommit(root, Commit(v, written, dropped))
     v
+  }
+
+  /** Test seam: runs right before [[merge]]'s commit record lands, so a
+    * spec can deterministically interleave a "foreign" writer into the
+    * CAS window. Never set outside tests.
+    */
+  private[graft] var commitInterceptor: Option[Long => Unit] = None
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(new File(root).getAbsolutePath,
+      _ => new Object)
+
+  /** [[merge]] with optimistic-retry semantics — the loop callers need
+    * now that the commit CAS DETECTS a race: on [[graft.model
+    * .ConcurrentCommit]], re-read HEAD, re-validate the changelog
+    * against the winner's snapshot (merge() recomputes its base from
+    * the new latest version — last-write-wins re-derives against the
+    * winner's data, serializable-append), and re-attempt under a
+    * bounded retry budget.
+    *
+    * Concurrency model, honestly stated: writers WITHIN this driver
+    * serialize on a per-root lock (the engine's one-owner store model —
+    * concurrent Spark jobs in one driver are the realistic writers), so
+    * in-process contenders never even trip the CAS. The CAS + retry
+    * handles a FOREIGN process racing the log; its commit record is
+    * guaranteed present when ConcurrentCommit raises, so the retry's
+    * re-read sees its snapshot. Foreign writers racing the DATA staging
+    * window remain out of contract (single writing driver per table),
+    * as documented on the object.
+    */
+  def mergeWithRetry(spark: SparkSession, root: String, changes: DataFrame,
+      keyCols: Seq[String], partExpr: Column, partCol: String = "bucket",
+      opCol: String = "op", versionCol: String = "version",
+      maxRetries: Int = 5): Long = {
+    val lock = lockFor(root)
+    var attempt = 0
+    while (true) {
+      lock.synchronized {
+        try return merge(spark, root, changes, keyCols, partExpr, partCol,
+          opCol, versionCol)
+        catch {
+          case e: graft.model.ConcurrentCommit =>
+            if (attempt >= maxRetries) throw e
+        }
+      }
+      attempt += 1
+    }
+    -1L // unreachable
   }
 
   /** Change-data-capture between two committed snapshots: one row per

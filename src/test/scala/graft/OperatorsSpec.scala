@@ -1562,6 +1562,81 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest(4L) == "V4" && latest.size == 8)
   }
 
+  test("mergeWithRetry: a foreign commit stealing the version triggers re-validate-and-retry; both land") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt-retry").toString + "/tbl"
+    val base = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    VersionedTable.init(spark, work, base, pexpr)
+    // a "foreign process" wins version 1 INSIDE our CAS window: its own
+    // data-first write updates k=0 (staged under data/v=1 before our
+    // interceptor-simulated record lands — the commit-record-last rule)
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VersionedTable.commitInterceptor = Some { v =>
+      if (stolen.compareAndSet(false, true)) {
+        val d = new java.io.File(s"$work/data/v=$v")
+        // the foreign writer rewrote bucket 0: k=0 updated, k=4 carried
+        // (a bucket rewrite replaces the WHOLE bucket)
+        Seq((0L, "FOREIGN"), (4L, "v4")).toDF("k", "value")
+          .withColumn("bucket", pexpr).coalesce(1)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(d.getPath)
+        VersionedTable.writeCommit(work,
+          VersionedTable.Commit(v, Seq(0L), Seq.empty))
+      }
+    }
+    try {
+      val ch = Seq((1L, "MINE", "U", 9L)).toDF("k", "value", "op", "version")
+      val v = VersionedTable.mergeWithRetry(spark, work, ch, Seq("k"), pexpr)
+      // our writer lost v=1, re-validated against the foreign snapshot,
+      // landed at v=2 — BOTH row sets present
+      assert(v == 2L, s"retry landed at $v")
+      val latest = VersionedTable.readAt(spark, work, base.schema)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(latest(0L) == "FOREIGN" && latest(1L) == "MINE" &&
+        latest.size == 8, s"lost an update: $latest")
+      // nothing orphaned: heal() deletes no referenced data
+      val before = new java.io.File(s"$work/data").listFiles().map(_.getName).toSet
+      VersionedTable.heal(work)
+      val after = new java.io.File(s"$work/data").listFiles().map(_.getName).toSet
+      assert(before == after && after == Set("v=0", "v=1", "v=2"),
+        s"heal changed $before -> $after")
+    } finally VersionedTable.commitInterceptor = None
+  }
+
+  test("mergeWithRetry: concurrent in-driver writers serialize — every changelog lands exactly once") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt-conc").toString + "/tbl"
+    val base = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    VersionedTable.init(spark, work, base, pexpr)
+    // two writers x two merges each, disjoint keys, overlapping buckets
+    def writer(keys: Seq[Long], tag: String) = Future {
+      keys.map { k =>
+        val ch = Seq((k, s"$tag$k", "U", 99L))
+          .toDF("k", "value", "op", "version")
+        VersionedTable.mergeWithRetry(spark, work, ch, Seq("k"), pexpr)
+      }
+    }
+    val (va, vb) = (writer(Seq(0L, 1L), "A"), writer(Seq(4L, 5L), "B"))
+    val versions = Await.result(va, 120.seconds) ++ Await.result(vb, 120.seconds)
+    assert(versions.sorted == Seq(1L, 2L, 3L, 4L), s"versions: $versions")
+    val latest = VersionedTable.readAt(spark, work, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest(0L) == "A0" && latest(1L) == "A1" &&
+      latest(4L) == "B4" && latest(5L) == "B5" && latest.size == 8,
+      s"lost an update: $latest")
+    VersionedTable.heal(work)
+    assert(VersionedTable.latestVersion(work) == 4L)
+  }
+
   test("inverted index: incremental append ≡ full rebuild; search prunes to query-token buckets") {
     import graft.operators.Retrieval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
