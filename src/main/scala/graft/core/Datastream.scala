@@ -1049,6 +1049,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // runtime re-planning buys nothing here and doubles the per-batch
     // scheduler floor. Restored before the union write (writes keep
     // AQE: partition coalescing DOES matter for output file counts).
+    // SCOPE CAVEAT: spark.conf is session-global, so any query PLANNED
+    // on this SparkSession while the fold loop runs inherits AQE-off
+    // and the shrunken shuffle width. That is inside this store's
+    // contract — the owning driver runs ingest/downsample synchronously
+    // (the one-owner model every mutation path here assumes) — but a
+    // deployment sharing the session with ad-hoc readers should run
+    // ladders on a cloned session (SparkSession.cloneSession gives a
+    // separate conf over the same shared state) if concurrent planning
+    // matters.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -119,6 +119,28 @@ case class SignBits(child: Expression, offset: Int)
 
 /** Session registration for the engine's native SQL functions. */
 object GraftFunctions {
+
+  /** Literal-integer argument extraction for registration-time-bound
+    * parameters (bit widths, n-gram sizes): a non-foldable or
+    * non-numeric argument would otherwise surface as an opaque
+    * ClassCastException/NPE from eval() during expression expansion —
+    * fail instead with an error that names the function and position,
+    * matching the expressions' own input-type error style.
+    */
+  private def litInt(fn: String, pos: Int,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a literal integer, got non-foldable " +
+          s"expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument $pos must be a literal integer, got " +
+            s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+  }
   /** Idempotent: makes `graft_dot(a, b)`, `graft_minhash(hs, n)` and
     * `graft_simhash(hs)` available to `expr(...)`/SQL.
     */
@@ -192,16 +214,16 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_signbits",
       (children: Seq[Expression]) => SignBits(children(0),
-        children(1).eval().asInstanceOf[Number].intValue()),
+        litInt("graft_signbits", 2, children(1))),
       "built-in")
     reg.createOrReplaceTempFunction("graft_gram_agg",
       (children: Seq[Expression]) => GramAgg(children(0), children(1),
-        children(2).eval().asInstanceOf[Number].intValue()),
+        litInt("graft_gram_agg", 3, children(2))),
       "built-in")
     reg.createOrReplaceTempFunction("graft_gram_multi",
       (children: Seq[Expression]) => MultiGramAgg(children(0), children(1),
-        children(2).eval().asInstanceOf[Number].intValue(),
-        children(3).eval().asInstanceOf[Number].intValue()),
+        litInt("graft_gram_multi", 3, children(2)),
+        litInt("graft_gram_multi", 4, children(3))),
       "built-in")
     // optimizer strength reduction lives beside the functions: any session
     // the library registers into also gets size(split(x,' ')) →

@@ -472,7 +472,17 @@ object Streaming {
         val maxDay = m.keysIterator.max
         m = m.filter { case (d, _) => d >= maxDay - horizonDays }
         val snap = DecaySnap(key, n,
-          m.toArray.sortBy(_._1).map { case (d, c) => d * PACK + c })
+          m.toArray.sortBy(_._1).map { case (d, c) =>
+            // pack invariants enforced, not assumed: a count reaching
+            // 10¹² or a day outside the pack's headroom (negative, or
+            // ≥ ~9.2·10⁶ ≈ year 27k) would silently corrupt the packed
+            // snapshot and every downstream horizon cut — fail loudly
+            require(c < PACK, s"decayPopularity: per-day count $c for " +
+              s"key=$key day=$d overflows the $PACK pack")
+            require(d >= 0 && d < Long.MaxValue / PACK,
+              s"decayPopularity: epoch-day $d outside pack headroom")
+            d * PACK + c
+          })
         state.update(snap)
         Iterator.single(snap)
       }

@@ -213,6 +213,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ng = spark.sql("SELECT size(graft_ngrams('a b c d', 3)) AS n")
       .collect().head.getInt(0)
     assert(ng == 2) // "a b c", "b c d"
+    // registration-time-bound args must be LITERAL ints: a column there
+    // fails with an error naming the function, never an opaque CCE/NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_signbits(array(1.0d), id) FROM range(1)")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+        c.getMessage != null && c.getMessage.contains("graft_signbits") &&
+          c.getMessage.contains("literal integer")),
+      s"wanted a named literal-arg error, got: $err")
   }
 
   test("graft_ntokens ≡ size(split) byte-for-byte; optimizer rule rewrites the pattern") {
