@@ -456,56 +456,100 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // (flooring is monotone), any(wrong-kind value) ⇔ kind-presence flag.
       val hasV = cached.columns.contains("v")
       val hasJ = cached.columns.contains("v_json")
-      val aggCols = Seq(min("t").as("lo_raw"), max("t").as("hi_raw")) ++
-        (if (hasJ) Seq(max(col("v_json").isNotNull).as("has_json")) else Nil) ++
-        (if (hasV) Seq(max(col("v").isNotNull).as("has_num")) else Nil)
+      // ONE NARROW job folds the per-stream extrema + kind flags: a
+      // per-partition HashMap merged driver-side (the r11 shape — the
+      // groupBy.agg.collect it replaced billed 3 jobs under AQE for the
+      // shuffle stage, result stage, and persist materialization; this
+      // runs shuffle-free and materializes the persist in the same pass)
       spark.sparkContext.setJobDescription("append:checks")
-      val checks = cached.groupBy("stream_id")
-        .agg(aggCols.head, aggCols.tail: _*).collect()
+      val checkCols = Seq(col("stream_id"),
+        unix_timestamp(col("t")).as("_tsec")) ++
+        (if (hasV) Seq(col("v").isNotNull.as("_nv")) else Nil) ++
+        (if (hasJ) Seq(col("v_json").isNotNull.as("_nj")) else Nil)
+      val partChecks = cached.select(checkCols: _*).rdd.mapPartitions { it =>
+        // (minSec, maxSec, hasNum, hasJson) per stream
+        val m = scala.collection.mutable.HashMap[String, Array[Long]]()
+        it.foreach { r =>
+          if (r.isNullAt(1))
+            throw InvalidTimestamp("append batch contains a NULL timestamp")
+          val sec = r.getLong(1)
+          var i = 2
+          var nv = false; var nj = false
+          if (hasV) { nv = !r.isNullAt(i) && r.getBoolean(i); i += 1 }
+          if (hasJ) { nj = !r.isNullAt(i) && r.getBoolean(i) }
+          val e = m.getOrElseUpdate(r.getString(0),
+            Array(Long.MaxValue, Long.MinValue, 0L, 0L))
+          if (sec < e(0)) e(0) = sec
+          if (sec > e(1)) e(1) = sec
+          if (nv) e(2) = 1L
+          if (nj) e(3) = 1L
+        }
+        Iterator.single(m)
+      }.collect()
+      val checks = {
+        val m = scala.collection.mutable.HashMap[String, Array[Long]]()
+        partChecks.foreach(_.foreach { case (id, e) =>
+          val t = m.getOrElseUpdate(id,
+            Array(Long.MaxValue, Long.MinValue, 0L, 0L))
+          if (e(0) < t(0)) t(0) = e(0)
+          if (e(1) > t(1)) t(1) = e(1)
+          t(2) |= e(2); t(3) |= e(3)
+        })
+        m.toArray.sortBy(_._1)
+      }
 
       // per-stream time bounds of the batch, floored to the stream's
       // highest granularity (advance catalog bounds in finishAppend —
       // taken from the PRE-dedup frame on purpose: on a retried delivery
       // the timestamps are in the store either way, and a crash between
       // last round's write and catalog persist must still advance)
-      val bounds = checks.map { r =>
-        val id = r.getString(0)
+      val bounds = checks.map { case (id, e) =>
         val d = catalog.getOrElse(id, throw StreamNotFound(id))
         if (d.derive_op.isDefined) throw AppendToDerivedStreamNotAllowed(id)
-        if (d.value_type == ValueType.Numeric && hasJ &&
-            r.getAs[Boolean]("has_json"))
+        if (d.value_type == ValueType.Numeric && hasJ && e(3) == 1L)
           throw IncompatibleTypes(
             s"value kind does not match stream $id's value_type")
-        if (d.value_type != ValueType.Numeric && hasV &&
-            r.getAs[Boolean]("has_num"))
+        if (d.value_type != ValueType.Numeric && hasV && e(2) == 1L)
           throw IncompatibleTypes(
             s"value kind does not match stream $id's value_type")
         val gsec = Granularity(d.highest_granularity).seconds
-        // floorDiv at BOTH steps: `getTime / 1000` truncates toward zero,
-        // which for pre-epoch timestamps floors differently than the Spark
-        // write path's unix_timestamp and would desync the monotonicity
-        // check / dedup window from the stored data
-        def floorTs(ts: Timestamp): Timestamp =
-          new Timestamp(
-            Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), gsec) * gsec * 1000)
-        val lo = floorTs(r.getAs[Timestamp]("lo_raw"))
+        // epoch seconds come from unix_timestamp (Spark's own flooring —
+        // the same function the write path rounds with), then floorDiv to
+        // the granularity: pre-epoch timestamps floor identically to the
+        // stored data, keeping the monotonicity check / dedup window in
+        // sync
+        def floorTs(sec: Long): Timestamp =
+          new Timestamp(Math.floorDiv(sec, gsec) * gsec * 1000)
+        val lo = floorTs(e(0))
         if (checkTimestamp && d.latest_ts.exists(l => lo.getTime < l.getTime))
           // a strict decrease versus the stream's last stored timestamp is
           // a monotonicity violation (the reference's check_timestamp=True)
           throw InvalidTimestamp(s"non-monotonic append for stream $id")
-        org.apache.spark.sql.Row(id, lo, floorTs(r.getAs[Timestamp]("hi_raw")))
+        org.apache.spark.sql.Row(id, lo, floorTs(e(1)))
       }
-      val ids = checks.map(_.getString(0))
+      val ids = checks.map(_._1)
 
-      // per-stream config joins in as a BROADCAST metadata frame (never a
-      // typedLit map of the whole catalog — that would inline a
-      // million-stream catalog into the plan); only the WRITE path needs
-      // the per-row join now (granularity name + per-row rounding)
-      val meta = broadcast(ids.toSeq.map { id =>
+      // per-stream config reaches the write path by the filterToStreams
+      // tiering: a SMALL batch id set inlines as literal maps (zero join,
+      // zero broadcast-exchange job — one fewer job per append); a large
+      // one joins as a BROADCAST metadata frame (never a typedLit map of
+      // the whole catalog — a million-stream literal would explode the
+      // plan). Only the WRITE path needs the per-row values
+      // (granularity name + per-row rounding).
+      val metaRows = ids.toSeq.map { id =>
         val d = catalog(id)
         (id, Granularity(d.highest_granularity).seconds, d.highest_granularity)
-      }.toDF("stream_id", "gsec", "gname"))
-      val rounded = cached.join(meta, "stream_id")
+      }
+      val withMeta =
+        if (ids.length <= 256) {
+          val gsecLit = typedLit(metaRows.map(m => m._1 -> m._2).toMap)
+          val gnameLit = typedLit(metaRows.map(m => m._1 -> m._3).toMap)
+          cached.withColumn("gsec", gsecLit(col("stream_id")))
+            .withColumn("gname", gnameLit(col("stream_id")))
+        } else
+          cached.join(broadcast(
+            metaRows.toDF("stream_id", "gsec", "gname")), "stream_id")
+      val rounded = withMeta
         .withColumn("t", timestamp_seconds(
           floor(unix_timestamp(col("t")) / col("gsec")) * col("gsec")))
 
@@ -576,15 +620,33 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // (Observation = zero extra jobs): a fully-deduped re-delivery
       // writes 0 rows, which lets finishAppend skip the derive cascade
       // and the streaming ingest loop skip the rollup ladder — the store
-      // provably did not change
+      // provably did not change.
+      // The dedup-probe + repartition + write execute under the ladder's
+      // AQE-off discipline (r11): AQE billed the write's repartition
+      // exchange and the dedup join's stages as separate jobs (3-4 per
+      // append, measured); statically planned they are ONE job.
+      // repartition-by-key puts each (granularity, ymd) wholly in one
+      // reduce task, so output file counts don't need AQE coalescing,
+      // and the 1/16 width slice keeps the local replay's reduce tasks
+      // near what AQE produced. Same single-writer scope caveat as the
+      // ladder flip (documented there).
       val obs = org.apache.spark.sql.Observation()
+      val prevAqeW = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevPartsW = spark.conf.get("spark.sql.shuffle.partitions")
       spark.sparkContext.setJobDescription("append:write")
-      DatapointStore.append(
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(2, prevPartsW.toInt / 16).toString)
+      try DatapointStore.append(
         toWrite.observe(obs, count(lit(1)).as("rows")), datapointsPath)
-      spark.sparkContext.setJobDescription(null)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqeW)
+        spark.conf.set("spark.sql.shuffle.partitions", prevPartsW)
+        spark.sparkContext.setJobDescription(null)
+      }
       // `get` returns AFTER the write's query-end event, so a missing key
-      // is not a race: it means AQE's empty-relation propagation pruned
-      // the CollectMetrics node — which only happens when the observed
+      // is not a race: it means empty-relation propagation pruned the
+      // CollectMetrics node — which only happens when the observed
       // subtree is provably empty, i.e. zero rows written
       val written = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
       finishAppend(bounds, ids, written)
