@@ -304,6 +304,28 @@ object SparkEntry {
         .orderBy("n_name")
     },
 
+    "q_pareto_front" -> { (s, dir) =>
+      // 2-D Pareto frontier (skyline): maximize p_size, minimize price.
+      // Scale-correct two-level shape — min price per size is a parallel
+      // groupBy, the running strictly-better min is a window over the
+      // DISTINCT-size table only (dimension-scale, never a global per-row
+      // window), broadcast back to the fact rows. A part survives iff it
+      // holds its size's min price and no strictly larger size is
+      // cheaper-or-equal. Comparisons only on the raw double — no float
+      // arithmetic lane needed.
+      val parts = tbl(s, dir, "part")
+      val bySize = parts.groupBy("p_size")
+        .agg(min("p_retailprice").as("mn"))
+      val run = bySize.withColumn("mn_gt",
+        min("mn").over(Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      parts.join(broadcast(run), Seq("p_size"))
+        .where(col("p_retailprice") === col("mn") &&
+          (col("mn_gt").isNull || col("mn_gt") > col("p_retailprice")))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(desc("p_size"), col("p_partkey"))
+    },
+
     "q_window_top_orders" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1507,6 +1529,17 @@ object SparkEntry {
         .orderBy(col("decay_score").desc, col("event_type"))
     },
 
+    "pipe_perceptron" -> { (s, dir) =>
+      // trainable quality classifier, the curation-pipeline front filter:
+      // 3 rounds of BATCH perceptron w += Σ_{y·(w·x)≤0} y·x on integer
+      // quality features — pure integer (no lr, no sigmoid), one
+      // aggregate job per round over a localCheckpointed feature frame;
+      // the oracle replays the exact weight trajectory as unrolled CTEs
+      graft.operators.Pipeline
+        .perceptron(tbl(s, dir, "documents"))
+        .orderBy("round")
+    },
+
     "pipe_class_balance" -> { (s, dir) =>
       // deterministic minority-class oversampling to the majority count:
       // per-language repeat factor = max_n div n (integer floor), each
@@ -2465,6 +2498,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_winnow" -> { (s, dir) =>
+      // MOSS winnowing fingerprint overlap: min-of-window over positional
+      // md5 4-gram hashes (window 8), full windows only, boilerplate
+      // fingerprints (df > 20) pruned before the pair equi-join. The
+      // CONTIGUOUS-overlap complement of the set-based lanes: any shared
+      // run of >= w+n-1 = 11 words is structurally guaranteed to share a
+      // fingerprint (winnowing theorem), at ~2/(w+1) fingerprint density.
+      Dedup.winnowPairs(tbl(s, dir, "documents").select("doc_id", "text"))
+        .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
+    },
+
     "dedup_containment" -> { (s, dir) =>
       // asymmetric n-gram CONTAINMENT |A∩B| / |A| — quote/excerpt
       // detection: a short doc embedded in a longer one scores ~1 where
@@ -3354,6 +3398,15 @@ object SparkEntry {
         .orderBy("label", "dim")
     },
 
+    "emb_sq8_topk" -> { (s, dir) =>
+      // int8 scalar quantization (FAISS-SQ8 style): per-dim (min, span)
+      // from the one-pass DimStats profile, codes = min(255, floor((x −
+      // min)·255/span)), top-k MIPS on the QUANTIZED codes — the 4×
+      // storage lane. Integer-valued code dot ⇒ hash-exact cross-engine.
+      graft.operators.Similarity
+        .sq8TopK(tbl(s, dir, "embeddings"), queryId = 7L)
+    },
+
     "emb_dim_stats" -> { (s, dir) =>
       // corpus-wide per-dimension stats via ONE mergeable typed
       // Aggregator (DimStats): the vector stays whole in the partial
@@ -3571,6 +3624,18 @@ object SparkEntry {
           expr("substring(tok, 4)")).as("qtok"))
       Retrieval.fuzzyTermLookup(toks.select(col("tok").as("term")), queries)
         .orderBy("qtok", "term")
+    },
+
+    "text_heavy_hitters" -> { (s, dir) =>
+      // exact heavy hitters (count > total/64) through a Misra–Gries
+      // candidate pass: per-partition MG summaries (shuffle-free, <= 128
+      // candidates each) + an exact recount of the candidate union only —
+      // recall structurally total by pigeonhole, output ≡ the oracle's
+      // direct full-vocabulary groupBy at O(counters × partitions)
+      // shuffle instead of O(vocab)
+      graft.operators.TextStats
+        .heavyHitters(tbl(s, dir, "documents"))
+        .orderBy(desc("cnt"), col("tok"))
     },
 
     "text_oov_rate" -> { (s, dir) =>
@@ -5245,6 +5310,20 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
 
+    "q_pareto_front" ->
+      // skyline membership is comparison-only on the raw doubles; the
+      // running min walks the distinct-size table exactly as Spark does
+      """WITH s AS (SELECT p_size, min(p_retailprice) AS mn
+        |  FROM part GROUP BY p_size),
+        |r AS (SELECT p_size, mn, min(mn) OVER (ORDER BY p_size DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn_gt
+        |  FROM s)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN r USING (p_size)
+        |WHERE p.p_retailprice = r.mn
+        |  AND (r.mn_gt IS NULL OR r.mn_gt > p.p_retailprice)
+        |ORDER BY p_size DESC, p_partkey""".stripMargin,
+
     "q_window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -5661,6 +5740,64 @@ object SparkEntry {
 
     "q_decay_popularity" -> decayPopularityOracleSql,
     "q_decay_popularity_stream" -> decayPopularityOracleSql,
+
+    "pipe_perceptron" ->
+      // pure-integer weight trajectory, unrolled; every round CTE AS
+      // MATERIALIZED (the emb_mmr rule); sum(BIGINT) is HUGEINT → cast.
+      // Round r reports weights AFTER its update, n_mis under the
+      // weights BEFORE it (w = 0 in round 1 ⇒ everything misclassified)
+      """WITH f AS MATERIALIZED (SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    least(n_chars // 100, 10) AS x1,
+        |    least(CAST(len(string_split(text, ' ')) AS BIGINT) // 10, 10)
+        |      AS x2,
+        |    least(CAST(len(string_split(text, '.')) AS BIGINT) - 1, 10)
+        |      AS x3
+        |  FROM documents),
+        |r1 AS MATERIALIZED (SELECT
+        |    CAST(sum(y * x0) AS BIGINT) AS w0,
+        |    CAST(sum(y * x1) AS BIGINT) AS w1,
+        |    CAST(sum(y * x2) AS BIGINT) AS w2,
+        |    CAST(sum(y * x3) AS BIGINT) AS w3,
+        |    CAST(count(*) AS BIGINT) AS n_mis
+        |  FROM f),
+        |r2 AS MATERIALIZED (SELECT
+        |    r1.w0 + CAST(sum(CASE WHEN y * (r1.w0*x0 + r1.w1*x1 +
+        |      r1.w2*x2 + r1.w3*x3) <= 0 THEN y * x0 ELSE 0 END)
+        |      AS BIGINT) AS w0,
+        |    r1.w1 + CAST(sum(CASE WHEN y * (r1.w0*x0 + r1.w1*x1 +
+        |      r1.w2*x2 + r1.w3*x3) <= 0 THEN y * x1 ELSE 0 END)
+        |      AS BIGINT) AS w1,
+        |    r1.w2 + CAST(sum(CASE WHEN y * (r1.w0*x0 + r1.w1*x1 +
+        |      r1.w2*x2 + r1.w3*x3) <= 0 THEN y * x2 ELSE 0 END)
+        |      AS BIGINT) AS w2,
+        |    r1.w3 + CAST(sum(CASE WHEN y * (r1.w0*x0 + r1.w1*x1 +
+        |      r1.w2*x2 + r1.w3*x3) <= 0 THEN y * x3 ELSE 0 END)
+        |      AS BIGINT) AS w3,
+        |    CAST(sum(CASE WHEN y * (r1.w0*x0 + r1.w1*x1 + r1.w2*x2 +
+        |      r1.w3*x3) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+        |  FROM f, r1 GROUP BY r1.w0, r1.w1, r1.w2, r1.w3),
+        |r3 AS MATERIALIZED (SELECT
+        |    r2.w0 + CAST(sum(CASE WHEN y * (r2.w0*x0 + r2.w1*x1 +
+        |      r2.w2*x2 + r2.w3*x3) <= 0 THEN y * x0 ELSE 0 END)
+        |      AS BIGINT) AS w0,
+        |    r2.w1 + CAST(sum(CASE WHEN y * (r2.w0*x0 + r2.w1*x1 +
+        |      r2.w2*x2 + r2.w3*x3) <= 0 THEN y * x1 ELSE 0 END)
+        |      AS BIGINT) AS w1,
+        |    r2.w2 + CAST(sum(CASE WHEN y * (r2.w0*x0 + r2.w1*x1 +
+        |      r2.w2*x2 + r2.w3*x3) <= 0 THEN y * x2 ELSE 0 END)
+        |      AS BIGINT) AS w2,
+        |    r2.w3 + CAST(sum(CASE WHEN y * (r2.w0*x0 + r2.w1*x1 +
+        |      r2.w2*x2 + r2.w3*x3) <= 0 THEN y * x3 ELSE 0 END)
+        |      AS BIGINT) AS w3,
+        |    CAST(sum(CASE WHEN y * (r2.w0*x0 + r2.w1*x1 + r2.w2*x2 +
+        |      r2.w3*x3) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+        |  FROM f, r2 GROUP BY r2.w0, r2.w1, r2.w2, r2.w3)
+        |SELECT 1 AS round, w0, w1, w2, w3, n_mis FROM r1
+        |UNION ALL SELECT 2, w0, w1, w2, w3, n_mis FROM r2
+        |UNION ALL SELECT 3, w0, w1, w2, w3, n_mis FROM r3
+        |ORDER BY round""".stripMargin,
 
     "pipe_class_balance" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
@@ -6403,6 +6540,32 @@ object SparkEntry {
         |JOIN n nb ON nb.doc_id = i.doc_b
         |WHERE 9 * i.inter >= 4 * (na.n + nb.n)
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_winnow" ->
+      // same md5-15-hex gram lane as dedup_spans; the window min is a
+      // BOUNDED sliding frame on both engines, full windows only
+      // (pos <= ng - 8), df <= 20 prune before the pair join
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(len(words) - 3 AS BIGINT) AS ng,
+        |    ('0x' || substring(md5(
+        |      array_to_string(words[i + 1 : i + 4], ' ')), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words) - 3)) AS i FROM w)),
+        |m AS (SELECT doc_id, ng, pos, min(hv) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 8),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS shared_fps
+        |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared_fps FROM p
+        |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
@@ -8590,6 +8753,26 @@ object SparkEntry {
         |FROM x GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
 
+    "emb_sq8_topk" ->
+      // min/max of doubles are order-insensitive; the quantize keeps the
+      // Spark parenthesization (x − vmin) * 255.0 / span; code dots are
+      // integer-valued sums, exact at any order
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT)
+        |    AS dim, unnest(v) AS raw FROM e),
+        |p AS (SELECT dim, min(raw) AS vmin, max(raw) - min(raw) AS sp
+        |  FROM x GROUP BY dim),
+        |q AS (SELECT vec_id, x.dim,
+        |    CASE WHEN sp = 0 THEN 0.0
+        |      ELSE least(255.0, floor((raw - vmin) * 255.0 / sp)) END AS qv
+        |  FROM x JOIN p USING (dim)),
+        |qq AS (SELECT dim, qv FROM q WHERE vec_id = 7),
+        |d AS (SELECT q.vec_id, CAST(sum(q.qv * qq.qv) AS BIGINT) AS dot
+        |  FROM q JOIN qq USING (dim) GROUP BY q.vec_id)
+        |SELECT vec_id, dot FROM d
+        |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin,
+
     "emb_dim_stats" ->
       // same BIGINT fixed-point (floor(v*1e6)) sums; mean/std derive
       // from the exact integer sums in identical double arithmetic, so
@@ -8951,6 +9134,18 @@ object SparkEntry {
         |SELECT qtok, term, CAST(levenshtein(qtok, term) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(qtok, term) <= 1
         |ORDER BY qtok, term""".stripMargin,
+
+    "text_heavy_hitters" ->
+      // direct full groupBy — the MG candidate pass is output-invariant
+      // (structural recall + exact recount)
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY tok)
+        |SELECT tok, cnt, (1000000 * cnt) // n AS freq_ppm
+        |FROM c, tot WHERE cnt * 64 > n
+        |ORDER BY cnt DESC, tok""".stripMargin,
 
     "text_oov_rate" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok

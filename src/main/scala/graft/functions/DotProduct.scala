@@ -159,6 +159,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_md5_tokens",
       (children: Seq[Expression]) => Md5TokenHashes(children(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_ngrams",
+      (children: Seq[Expression]) => Md5NgramHashes(children(0),
+        litInt("graft_md5_ngrams", 2, children(1))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
       (children: Seq[Expression]) => NgramHashes(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),

@@ -140,10 +140,70 @@ case class Md5TokenHashes(child: Expression)
 
 object Md5TokenHashes {
   // MessageDigest is stateful and not thread-safe; one per task thread
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** POSITIONAL 60-bit MD5 word n-gram hashes: splits on single spaces
+  * (empty tokens included), hashes every FULL n-word window (joined by
+  * single spaces — i.e. the original byte span) to the first 15 hex
+  * chars of its MD5, in position order, duplicates kept. Texts with
+  * fewer than n words produce an EMPTY array.
+  *
+  * This is the winnowing-front-end counterpart of [[NgramHashes]]: that
+  * one is FNV-64, deduped and length-folded for MinHash shingles (cheap,
+  * Spark-only); this one keeps positions and uses the oracle-reproducible
+  * md5 lane (DuckDB: `('0x' || substring(md5(array_to_string(
+  * words[i+1:i+n], ' ')), 1, 15))::BIGINT`) so a fingerprint query can be
+  * hash-matched end-to-end. CodegenFallback as for [[NgramHashes]].
+  */
+case class Md5NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_ngrams expects n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_ngrams expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_ngrams"
+
+  override def nullSafeEval(in: Any): Any = {
+    val bytes = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nWords = starts.length
+    def wordEnd(w: Int): Int = if (w + 1 < nWords) starts(w + 1) - 1 else bytes.length
+    if (nWords < n) return new GenericArrayData(Array.empty[Long])
+    val md = Md5TokenHashes.digest.get()
+    val out = new Array[Long](nWords - n + 1)
+    var w = 0
+    while (w <= nWords - n) {
+      val from = starts(w)
+      val until = wordEnd(w + n - 1)
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      out(w) = h >>> 4 // first 15 hex chars of md5, as in Md5TokenHashes
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5NgramHashes =
+    copy(child = c)
 }
 
 /** MinHash signature: array of `numHashes` minima of the affine-mixed

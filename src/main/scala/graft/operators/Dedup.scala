@@ -462,4 +462,64 @@ object Dedup {
         expr("(1000000 * inter) div (n_a + n_b - inter)"))
       .select("doc_a", "doc_b", "n_a", "n_b", "inter", "jacc_ppm")
   }
+
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    * hash every word `n`-gram (positional, 60-bit md5 lane so the oracle
+    * recomputes it in SQL), slide a window of `w` consecutive gram hashes
+    * and keep each window's MINIMUM as a fingerprint; distinct
+    * fingerprints per doc. The winnowing guarantee: any shared run of at
+    * least `w + n - 1` words between two docs yields at least one SHARED
+    * fingerprint — detection of long verbatim overlaps is structural, not
+    * probabilistic, at a fingerprint density of ~2/(w+1) per token.
+    *
+    * Scale shape: the gram hashes never leave the scan projection
+    * (`graft_md5_ngrams` is one native call per row); the only shuffle is
+    * the per-doc window partition (O(tokens) fixed-width rows), and the
+    * sliding frame is BOUNDED (`ROWS BETWEEN CURRENT ROW AND w-1
+    * FOLLOWING`, O(n·w) per doc) — never a shrinking to-unbounded frame.
+    * Only FULL windows fingerprint (`pos <= n_grams - w`), so short docs
+    * contribute nothing and both engines agree without a tail rule.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 4, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && w >= 1, "winnowing needs n >= 1 and w >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs.select(col(idCol),
+      (expr(s"graft_ntokens($textCol)") - (n - 1)).as("ng"),
+      posexplode(expr(s"graft_md5_ngrams($textCol, $n)")).as(Seq("pos", "hv")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min("hv").over(win))
+      .where(col("pos") <= col("ng") - w)
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Doc pairs sharing >= `minShared` winnowing fingerprints — the
+    * verbatim-overlap (plagiarism / quote / mirrored-page) detector that
+    * complements set-based MinHash: it keys on CONTIGUOUS runs, so two
+    * docs that share one long paragraph inside otherwise-different text
+    * light up here while their global Jaccard stays far below any LSH
+    * threshold. Fingerprints with document frequency > `maxDf` (boilerplate
+    * phrases) are dropped BEFORE the pair join on both engines — the
+    * standard winnowing index prune that keeps the equi-join's per-key
+    * fan-out bounded at scale. The fingerprint table is localCheckpointed:
+    * it feeds both the df count and the two self-join sides.
+    */
+  def winnowPairs(docs: DataFrame, n: Int = 4, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w, idCol, textCol)
+      .localCheckpoint(true)
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    rare.select(col("fp"), col(idCol).as("doc_a"))
+      .join(rare.select(col("fp"), col(idCol).as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

@@ -690,4 +690,52 @@ object Pipeline {
       .select((qi.map(col) ++ Seq(col("n"), col("tvd_num"),
         col("tvd_ppm"))): _*)
   }
+
+  /** Batch perceptron trained on integer quality features — the
+    * cheap-trainable document quality classifier every curation pipeline
+    * keeps in front of the expensive model (fastText-style): label
+    * y ∈ {+1, −1} (lang == 'en'), features (bias, capped n_chars/100,
+    * capped tokens/10, capped sentence count), and per round the CLASSIC
+    * batch update w += Σ_{y·(w·x) ≤ 0} y·x — one aggregate job per round
+    * over a localCheckpointed feature frame, no shuffle beyond the agg's
+    * partials.
+    *
+    * The whole trainer is PURE INTEGER (no learning rate, no sigmoid, no
+    * division), so the weight trajectory is exact cross-engine and the
+    * oracle replays it as fixed-round unrolled AS MATERIALIZED CTEs.
+    * Headroom: |w_j| grows ≤ Σ|x_j| ≤ 10·n per round ⇒ predictions stay
+    * ≤ 4·10·(rounds·10·n) ≪ 2⁶³ for any corpus this library targets.
+    * Output: one row per round — weights AFTER the update, n_mis under
+    * the weights BEFORE it.
+    */
+  def perceptron(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = docs.select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      expr("least(n_chars div 100, 10L)").as("x1"),
+      expr("least(cast(size(split(text, ' ')) as bigint) div 10, 10L)")
+        .as("x2"),
+      expr("least(cast(size(split(text, '\\\\.')) as bigint) - 1, 10L)")
+        .as("x3"))
+      .localCheckpoint(true) // feeds `rounds` sequential aggregates
+    var wv = Array(0L, 0L, 0L, 0L)
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val pred = expr(
+        s"${wv(0)}L * x0 + ${wv(1)}L * x1 + ${wv(2)}L * x2 + ${wv(3)}L * x3")
+      val mis = (col("y") * pred) <= 0
+      val row = f.select(
+        sum(when(mis, col("y") * col("x0")).otherwise(0L)).as("g0"),
+        sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("g1"),
+        sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("g2"),
+        sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("g3"),
+        sum(when(mis, 1L).otherwise(0L)).as("n_mis")).head()
+      wv = wv.zipWithIndex.map { case (w0, j) => w0 + row.getLong(j) }
+      hist += ((r, wv(0), wv(1), wv(2), wv(3), row.getLong(4)))
+    }
+    hist.toSeq.toDF("round", "w0", "w1", "w2", "w3", "n_mis")
+  }
 }

@@ -1191,4 +1191,44 @@ object Similarity {
     import ss.implicits._
     picked.toSeq.toDF("rnk", "vec_id", "rel", "mmr")
   }
+
+  /** int8 scalar quantization (SQ8) search lane: per-dim (min, span) from
+    * the DimStats corpus profile, code = min(255, floor((x − min)·255 /
+    * span)) — the standard 4× storage cut vs float32 that ANN systems
+    * (FAISS SQ8) apply before IVF/PQ — and top-k MIPS scored on the
+    * QUANTIZED codes. The profile is one mergeable whole-vector Aggregator
+    * pass (collected: d rows, metadata-scale); quantize + dot run in the
+    * scan projection; top-k is a TakeOrdered, so nothing but k rows ever
+    * leaves the executors.
+    *
+    * Exactness discipline: min/max of doubles are order-insensitive, the
+    * quantize arithmetic keeps the oracle's parenthesization
+    * `(x − vmin) * 255.0 / span`, and the code dot is a sum of integers
+    * ≤ 255²·d — exact in doubles at any summation order — cast to BIGINT.
+    * The whole lane is hash-exact cross-engine with no fp tolerance.
+    */
+  def sq8TopK(embs: DataFrame, queryId: Long, k: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val prof = DimStats.dimStats(embs, vecCol).orderBy("dim")
+      .select("vmin", "vmax").collect()
+    val vmin = prof.map(_.getDouble(0))
+    val span = prof.map(r => r.getDouble(1) - r.getDouble(0))
+    def quant(x: Double, i: Int): Double =
+      if (span(i) == 0.0) 0.0
+      else math.min(255.0, math.floor((x - vmin(i)) * 255.0 / span(i)))
+    val qraw = embs.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+    val qq = qraw.toArray.zipWithIndex.map { case (x, i) => quant(x, i) }.toSeq
+    val codes = zip_with(
+      zip_with(col("__e"), typedLit(vmin.toSeq), (x, mn) => x - mn),
+      typedLit(span.toSeq),
+      (d, sp) => when(sp === 0.0, lit(0.0)).otherwise(
+        least(lit(255.0), floor(d * lit(255.0) / sp).cast("double"))))
+    embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+      .select(col(idCol),
+        call_function("graft_dot", codes, typedLit(qq)).cast("long").as("dot"))
+      .orderBy(desc("dot"), col(idCol))
+      .limit(k)
+  }
 }

@@ -248,4 +248,55 @@ object TextStats {
       when(greatest(score: _*) > 0,
         greatest(best: _*).getField("lang")).otherwise(lit("und")).as("lang_pred"))
   }
+
+  /** EXACT corpus heavy hitters (tokens with frequency > total/k) via a
+    * Misra–Gries candidate pass: pass 1 runs an MG summary of `counters`
+    * counters per partition (shuffle-free; only <= counters candidate
+    * tokens + a token total leave each partition), pass 2 exact-counts
+    * the candidate union alone (a broadcast semi-join keeps the groupBy's
+    * shuffle at candidate tokens only, never the full vocabulary).
+    *
+    * Recall is STRUCTURAL, not probabilistic: a token with global count
+    * > n/k has count_p > n_p/k in at least one partition (pigeonhole),
+    * and MG with `counters` >= k counters keeps every token with
+    * partition count > n_p/(counters+1) ⊇ > n_p/k. The exact recount
+    * then makes the output independent of partitioning/stream order —
+    * identical to the oracle's direct full groupBy, at a shuffle volume
+    * of O(counters × partitions) instead of O(vocabulary).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 64, counters: Int = 128,
+      textCol: String = "text"): DataFrame = {
+    require(counters >= k, "MG needs counters >= k for total recall")
+    val spark = docs.sparkSession
+    val texts = docs.select(col(textCol).cast("string").as("t")).na.drop()
+    val partials = texts.rdd.mapPartitions { it =>
+      val cnt = scala.collection.mutable.HashMap[String, Long]()
+      var total = 0L
+      it.foreach { r =>
+        // split(" ", -1) ≡ Spark split(text, ' '): empties kept
+        r.getString(0).split(" ", -1).foreach { tok =>
+          total += 1
+          cnt.get(tok) match {
+            case Some(c) => cnt(tok) = c + 1
+            case None if cnt.size < counters => cnt(tok) = 1L
+            case None => // decrement-all step (amortized O(1) per token)
+              val dead = cnt.iterator.flatMap { case (t, c) =>
+                if (c == 1L) Some(t) else { cnt(t) = c - 1; None }
+              }.toArray
+              dead.foreach(cnt.remove)
+          }
+        }
+      }
+      Iterator.single((cnt.keys.toArray, total))
+    }.collect()
+    val total = partials.map(_._2).sum
+    val cand = partials.flatMap(_._1).distinct // <= counters × partitions
+    import spark.implicits._
+    val candDf = cand.toSeq.toDF("tok")
+    texts.select(explode(split(col("t"), " ")).as("tok"))
+      .join(broadcast(candDf), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > total)
+      .withColumn("freq_ppm", expr(s"(1000000 * cnt) div ${total}L"))
+  }
 }

@@ -3161,5 +3161,102 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep("c3") == (0L, 0L), s"c3 got ${rep("c3")}")
   }
 
+  test("winnowing: shared run >= w+n-1 words guarantees a shared fingerprint; partitioning-invariant") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    // 11-word run (w+n-1 = 8+4-1) spliced into otherwise-disjoint docs
+    val d = Seq(
+      (10L, s"one two three four five six seven $run eight nine ten eleven twelve"),
+      (11L, s"$run uno dos tres cuatro cinco seis siete ocho nueve diez once"),
+      (12L, "entirely unrelated filler text with nothing in common at all here now"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(d)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((byDoc(10L) & byDoc(11L)).nonEmpty,
+      "winnowing theorem: an 11-word shared run must share a fingerprint")
+    assert((byDoc(10L) & byDoc(12L)).isEmpty)
+    // fingerprint SET is a pure function of the text — not of layout
+    val again = graft.operators.Dedup
+      .winnowFingerprints(d.repartition(7)).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(again == byDoc)
+  }
+
+  test("heavyHitters == direct exact groupBy on EVERY gate corpus layout (pins text_heavy_hitters oracle)") {
+    import spark.implicits._
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def direct(dd: org.apache.spark.sql.DataFrame): Set[(String, Long)] = {
+      val t = dd.select(explode(split(col("text"), " ")).as("tok"))
+      val n = t.count()
+      t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * 64 > n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    def mg(dd: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      graft.operators.TextStats.heavyHitters(dd)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = direct(d)
+    assert(want.nonEmpty)
+    // MG candidates depend on layout; the OUTPUT must not
+    assert(mg(d) == want)
+    assert(mg(d.repartition(13)) == want)
+    assert(mg(d.coalesce(1)) == want)
+  }
+
+  test("sq8 codes are integers in [0,255]; max-value rows land on 255; self is top-1") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(0.0f, 1.0f, -1.0f)),
+      (1L, Array(1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val top = graft.operators.Similarity.sq8TopK(e, queryId = 0L, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 0 and 3 are identical vectors → identical codes → tied dot, id asc
+    assert(top.take(2).map(_._1).toSeq == Seq(0L, 3L), top.toSeq.toString)
+    val dots = top.map(_._2)
+    val dMax = 3L * 255L * 255L
+    assert(dots.forall(v => v >= 0L && v <= dMax))
+  }
+
+  test("perceptron: round-1 weights are the full signed feature sums; trajectory is layout-invariant") {
+    import spark.implicits._
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Pipeline.perceptron(d).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    val byRound = out.toMap
+    // w=0 in round 1 ⇒ every doc misclassified ⇒ w1 = Σ y·x, n_mis = n
+    val n = d.count()
+    assert(byRound(1)._5 == n)
+    val again = graft.operators.Pipeline.perceptron(d.repartition(9))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(again == byRound, "integer trajectory must not depend on layout")
+  }
+
+  test("paretoFront query shape: survivors undominated, excluded dominated (brute force)") {
+    import spark.implicits._
+    val rows = Seq((1L, 3, 10.0), (2L, 3, 7.0), (3L, 5, 9.0), (4L, 5, 9.0),
+      (5L, 7, 12.0), (6L, 2, 6.0), (7L, 7, 11.0), (8L, 1, 6.0))
+    val parts = rows.toDF("p_partkey", "p_size", "p_retailprice")
+    val bySize = parts.groupBy("p_size").agg(min("p_retailprice").as("mn"))
+    val run = bySize.withColumn("mn_gt",
+      min("mn").over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_size").desc)
+        .rowsBetween(Long.MinValue, -1)))
+    val sky = parts.join(broadcast(run), Seq("p_size"))
+      .where(col("p_retailprice") === col("mn") &&
+        (col("mn_gt").isNull || col("mn_gt") > col("p_retailprice")))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    def dominated(p: (Long, Int, Double)) = rows.exists(q => q._1 != p._1 &&
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3))
+    val want = rows.filterNot(dominated).map(_._1).toSet
+    assert(sky == want, s"got $sky want $want")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
