@@ -2509,6 +2509,16 @@ object SparkEntry {
         .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
     },
 
+    "dedup_cdc_chunks" -> { (s, dir) =>
+      // content-defined chunking (rsync/borg boundaries at word level):
+      // a chunk starts where the 4-gram ending just before it hashes
+      // ≡ 0 mod 16 (expected ~16-word chunks that RE-ALIGN after
+      // insertions, unlike fixed spans); shared chunk hashes counted
+      // across docs — the shifted/edited near-copy detector
+      Dedup.cdcSharedChunks(tbl(s, dir, "documents").select("doc_id", "text"))
+        .orderBy(desc("n_occ"), col("h"))
+    },
+
     "dedup_containment" -> { (s, dir) =>
       // asymmetric n-gram CONTAINMENT |A∩B| / |A| — quote/excerpt
       // detection: a short doc embedded in a longer one scores ~1 where
@@ -2626,6 +2636,32 @@ object SparkEntry {
         .createTempDirectory("graft-bm25-idx").toString + "/idx"
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       Retrieval.buildIndex(docs, work)
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, work, queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_bm25_maintained" -> { (s, dir) =>
+      // the inverted index under its FULL LIFECYCLE (the
+      // emb_ann_ivf_maintained move for text): build on ⅔ of the corpus
+      // plus 100 decoy docs (shifted-id copies — the rows a takedown /
+      // dedup purge later removes), append the remaining ⅓, DELETE the
+      // decoys via the touched-buckets-only COW lane, then search.
+      // Final index content ≡ the full corpus, so scores match
+      // q_bm25_topk verbatim — same oracle; post-delete ≡ fresh-build
+      // is additionally pinned in OperatorsSpec.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-mnt").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val decoys = docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Retrieval.buildIndex(
+        docs.where(col("doc_id") % 3 < 2).unionByName(decoys), work)
+      Retrieval.appendToIndex(docs.where(col("doc_id") % 3 === 2), work)
+      import s.implicits._
+      Retrieval.deleteFromIndex(s, work,
+        (10000000L until 10000100L).toDF("doc_id"))
       val queries = docs.where(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       Retrieval.bm25TopKIndexed(s, work, queries, 5)
@@ -3488,6 +3524,28 @@ object SparkEntry {
       pcaFitted = Some((mean, comps))
       graft.operators.Pca
         .projectWith(e, "embedding", "vec_id", comps, mean)
+        .orderBy("vec_id")
+    },
+
+    "emb_whiten" -> { (s, dir) =>
+      // PCA WHITENING: coordinates scaled to unit variance along each
+      // principal axis, w_j = (x−μ)·(v_j/√λ_j) — the normalization
+      // retrieval/OOD pipelines apply before cosine so high-variance
+      // axes stop dominating. The 1/√λ scaling folds into the
+      // eigenvector literals DRIVER-side, so the projection stays the
+      // same shuffle-free graft_dot chain as emb_pca and the oracle
+      // splices the SCALED literals — zero new cross-engine machinery.
+      val e = tbl(s, dir, "embeddings")
+      val (eig, comps, mean) = graft.operators.Pca.fit(e, "embedding", 64, 2)
+      val scaled = comps.zip(eig).map { case (w, l) =>
+        require(l > 0, "whitening needs strictly positive eigenvalues")
+        val sInv = 1.0 / math.sqrt(l)
+        w.map(_ * sInv)
+      }
+      whitenFitted = Some((mean, scaled))
+      graft.operators.Pca
+        .projectWith(e, "embedding", "vec_id", scaled, mean)
+        .select(col("vec_id"), col("pc1").as("w1"), col("pc2").as("w2"))
         .orderBy("vec_id")
     },
 
@@ -6567,6 +6625,35 @@ object SparkEntry {
         |SELECT doc_a, doc_b, shared_fps FROM p
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
 
+    "dedup_cdc_chunks" ->
+      // boundary flags from the same positional md5 4-gram lane; chunk
+      // id = growing-frame running sum; chunk text re-joined in pos
+      // order (string_agg ORDER BY ≡ Spark's sorted collect_list)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws, list_transform(range(0, len(ws) - 3),
+        |    i -> ('0x' || substring(md5(
+        |      array_to_string(ws[i + 1 : i + 4], ' ')), 1, 15))::BIGINT)
+        |    AS gh FROM d),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i + 1] AS w,
+        |    CASE WHEN i >= 4 AND gh[i - 4 + 1] % 16 = 0
+        |      THEN 1 ELSE 0 END AS f
+        |  FROM (SELECT doc_id, ws, gh, unnest(range(0, len(ws))) AS i
+        |    FROM g)),
+        |c AS (SELECT doc_id, pos, w, sum(f) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) AS chunk FROM w),
+        |ch AS (SELECT doc_id, chunk,
+        |    string_agg(w, ' ' ORDER BY pos) AS ctext,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM c GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(ctext), 1, 15))::BIGINT AS h, n_words
+        |  FROM ch)
+        |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ, min(n_words) AS n_words
+        |FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, h""".stripMargin,
+
     "dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |exc AS (SELECT doc_id + 3000000 AS doc_id,
@@ -7103,6 +7190,8 @@ object SparkEntry {
     // the I/O path (bucket-pruned postings), never the scoring — so the
     // direct lane's oracle applies VERBATIM
     "q_bm25_indexed" -> bm25TopkOracleSql,
+    // maintained index ≡ full corpus after the decoy delete — same oracle
+    "q_bm25_maintained" -> bm25TopkOracleSql,
 
     "q_mrr_eval" ->
       // bm25TopkOracleSql's CTE chain with mid-slice queries (words
@@ -9657,7 +9746,7 @@ object SparkEntry {
         |SELECT attr, CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM p GROUP BY attr ORDER BY attr""".stripMargin) ++ pcaOracle ++
-    bpeOracle
+    whitenOracle ++ bpeOracle
 
   /** Fitted PCA model captured by the emb_pca query run. Verify writes
     * oracle_sql.json AFTER the queries execute in the same JVM, so the
@@ -9677,19 +9766,41 @@ object SparkEntry {
     * until the emb_pca query has run (a filtered Verify dump that skips
     * it simply records no oracle, as before).
     */
+  /** Shared literal-injection oracle generator for shuffle-free centered
+    * projections: per output column an explicit left-associated
+    * `0.0 + (x1−m1)·w1 + …` chain — EXACTLY graft_dot's ascending fold
+    * over the zip_with-centered vector.
+    */
+  private def projOracleSql(mean: Array[Double],
+      comps: Array[Array[Double]], aliases: Seq[String]): String = {
+    def chain(w: Array[Double]): String =
+      w.indices.map { i =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) - (${mean(i)})) * (${w(i)})"
+      }.mkString("0.0 + ", " + ", "")
+    val pcs = comps.zip(aliases).map { case (w, a) =>
+      s"round(${chain(w)}, 6) AS $a"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $pcs
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   private def pcaOracle: Map[String, String] = pcaFitted.map {
     case (mean, comps) =>
-      def chain(w: Array[Double]): String =
-        w.indices.map { i =>
-          s"(CAST(embedding[${i + 1}] AS DOUBLE) - (${mean(i)})) * (${w(i)})"
-        }.mkString("0.0 + ", " + ", "")
-      val pcs = comps.zipWithIndex.map { case (w, i) =>
-        s"round(${chain(w)}, 6) AS pc${i + 1}"
-      }.mkString(",\n  ")
-      "emb_pca" ->
-        s"""SELECT vec_id,
-           |  $pcs
-           |FROM embeddings ORDER BY vec_id""".stripMargin
+      "emb_pca" -> projOracleSql(mean, comps, Seq("pc1", "pc2"))
+  }.toMap
+
+  /** Whitened-projection model captured by the emb_whiten query run —
+    * the [[pcaFitted]] discipline with the 1/√λ scaling already FOLDED
+    * INTO the eigenvector literals driver-side, so query and oracle
+    * share the identical scaled doubles.
+    */
+  @volatile private var whitenFitted
+      : Option[(Array[Double], Array[Array[Double]])] = None
+
+  private def whitenOracle: Map[String, String] = whitenFitted.map {
+    case (mean, scaled) =>
+      "emb_whiten" -> projOracleSql(mean, scaled, Seq("w1", "w2"))
   }.toMap
 
   /** Learned BPE merge table captured by the text_bpe_encode query run

@@ -495,6 +495,50 @@ object Dedup {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Content-defined chunking (the rsync/borg boundary trick at word
+    * level): a new chunk starts BEFORE word p when the g-gram ENDING at
+    * word p−1 hashes ≡ 0 (mod `mask`) — so chunk boundaries re-align
+    * after insertions/deletions (expected chunk length ≈ `mask` words),
+    * which is what fixed-width spans can't do. Chunks are hashed on the
+    * 60-bit md5 lane and shared chunks counted across docs: the
+    * shared-content detector for shifted/edited near-copies.
+    *
+    * Scale shape: boundary flags derive from the SAME positional
+    * `graft_md5_ngrams` array the winnowing lane uses (one native call
+    * per row, never an array-per-word-row blowup — flags compute inside
+    * `transform` before the one posexplode); chunk ids are a growing-
+    * frame running sum per doc; everything after is hash-keyed groupBys.
+    */
+  def cdcSharedChunks(docs: DataFrame, g: Int = 4, mask: Int = 16,
+      minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(g >= 1 && mask >= 1, "cdc needs g >= 1 and mask >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("ws"),
+      expr(s"graft_md5_ngrams($textCol, $g)").as("gh"))
+    val flagged = base.select(col(idCol), posexplode(expr(
+      s"""zip_with(ws, transform(ws, (x, i) ->
+         |  CASE WHEN i >= $g AND pmod(element_at(gh, i - $g + 1), $mask) = 0
+         |  THEN 1L ELSE 0L END), (w, f) -> struct(w, f))""".stripMargin))
+      .as(Seq("pos", "wf")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val chunks = flagged
+      .withColumn("chunk", sum(col("wf.f")).over(win))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(expr("""cast(conv(substring(md5(cast(array_join(transform(
+          |  array_sort(collect_list(struct(pos, wf.w as w))), s -> s.w),
+          |  ' ') as binary)), 1, 15), 16, 10) as long)""".stripMargin)
+          .as("h"),
+        count(lit(1)).as("n_words"))
+    chunks.groupBy("h")
+      .agg(countDistinct(idCol).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("n_words").as("n_words"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Doc pairs sharing >= `minShared` winnowing fingerprints — the
     * verbatim-overlap (plagiarism / quote / mirrored-page) detector that
     * complements set-based MinHash: it keys on CONTIGUOUS runs, so two

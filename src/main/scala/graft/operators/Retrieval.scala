@@ -95,6 +95,87 @@ object Retrieval {
       .write.mode(mode).parquet(s"$root/doclens")
   }
 
+  private def retrievalFs(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delete documents from a [[buildIndex]] index — the takedown /
+    * dedup-purge lane that completes the append-only lifecycle, same
+    * crash-safe COW discipline as the IVF index's cell swap: only the
+    * postings BUCKET dirs that actually contain a deleted doc's tokens
+    * are rewritten (anti-join against the id set), staged to a hidden
+    * `.bm25_tmp_<b>` dir and swapped live; [[healIndex]] (run here and
+    * by [[bm25TopKIndexed]]) finishes or rolls back an interrupted swap.
+    * The doclens sidecar is one slim row per doc (written coalesced), so
+    * it COW-rewrites wholesale under the same swap — O(#docs) rows of
+    * two columns, not O(postings).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, idsDf: DataFrame): Unit = {
+    healIndex(spark, root)
+    val fs = retrievalFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings"))) return
+    val ids = idsDf.select(col("doc_id")).localCheckpoint(true)
+    def swap(live: org.apache.hadoop.fs.Path, tag: String)(
+        write: org.apache.hadoop.fs.Path => Unit): Unit = {
+      val parent = live.getParent
+      val tmp = new org.apache.hadoop.fs.Path(parent, s".bm25_tmp_$tag")
+      val old = new org.apache.hadoop.fs.Path(parent, s".bm25_old_$tag")
+      write(tmp)
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"bm25 delete: cannot stage $live")
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"bm25 delete: cannot publish $tmp")
+      fs.delete(old, true)
+    }
+    // touched buckets only — bounded by nBuckets by construction
+    val touched = spark.read.parquet(s"$root/postings")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
+      swap(live, b.toString) { tmp =>
+        spark.read.parquet(live.toString)
+          .join(broadcast(ids), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+    val dl = new org.apache.hadoop.fs.Path(s"$root/doclens")
+    if (fs.exists(dl)) swap(dl, "doclens") { tmp =>
+      spark.read.parquet(dl.toString)
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+  }
+
+  /** Finish or roll back an interrupted [[deleteFromIndex]] swap — the
+    * IVF heal state machine verbatim: tmp + live ⇒ swap never started
+    * (tmp may be incomplete — drop it); tmp alone ⇒ live was staged away
+    * after a complete write — publish tmp; old (± live) ⇒ publish
+    * happened — drop old. Idempotent, one listing per level.
+    */
+  def healIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = retrievalFs(spark, root)
+    def healDir(dir: org.apache.hadoop.fs.Path,
+        liveName: String => String): Unit = {
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith(".bm25_tmp_")) {
+          val live = new org.apache.hadoop.fs.Path(dir,
+            liveName(n.stripPrefix(".bm25_tmp_")))
+          if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
+        } else if (n.startsWith(".bm25_old_")) fs.delete(p, true)
+      }
+    }
+    healDir(new org.apache.hadoop.fs.Path(s"$root/postings"),
+      tag => s"bucket=$tag")
+    // doclens' swap tags live in the index ROOT (doclens is itself the dir)
+    healDir(new org.apache.hadoop.fs.Path(root), _ => "doclens")
+  }
+
   /** Per-bucket observability for a [[buildIndex]] index — the postings
     * skew a 100× deployment watches: (bucket, n_postings, n_tokens,
     * bytes). A hot bucket (one token's postings dominating) degrades its
@@ -135,6 +216,7 @@ object Retrieval {
       queries: DataFrame, k: Int, nBuckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.types._
+    healIndex(spark, root) // finish/roll back any interrupted delete swap
     val qtoks = queries.select(col("qid"),
         explode(array_distinct(split(col("qtext"), " "))).as("tok"))
       .where(col("tok") =!= "")

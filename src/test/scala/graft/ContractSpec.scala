@@ -28,10 +28,12 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the oracle doesn't need it once the table is literal. Growing
     // this list is a deliberate decision, not a silent default. Verify
     // dumps oracle_sql.json after the queries run, which this test
-    // mirrors by running both capture queries first.
+    // mirrors by running the capture queries (emb_pca, emb_whiten,
+    // text_bpe_encode) first.
     val rowsOnly = Set.empty[String]
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("emb_whiten")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("text_bpe_encode")(spark, "/root/testdata/sf0.001")
       .count()
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

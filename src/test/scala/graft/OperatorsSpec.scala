@@ -3258,5 +3258,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sky == want, s"got $sky want $want")
   }
 
+  test("bm25 deleteFromIndex: post-delete search == fresh build; heal publishes an interrupted swap") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val decoys = d.where(col("doc_id") < 10)
+      .select((col("doc_id") + 500L).as("doc_id"), col("text"))
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-bm25-del").toString + "/idx"
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fresh").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d.unionByName(decoys), rootA)
+    graft.operators.Retrieval.deleteFromIndex(spark, rootA,
+      (500L until 510L).toDF("doc_id"))
+    graft.operators.Retrieval.buildIndex(d, rootB)
+    val q = d.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    def search(root: String) = graft.operators.Retrieval
+      .bm25TopKIndexed(spark, root, q, 5)
+      .select("qid", "doc_id", "rnk", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(search(rootA) == search(rootB),
+      "post-delete index must score identically to a fresh build")
+    // postings content identical too, not just top-k
+    def posts(root: String) = spark.read.parquet(s"$root/postings")
+      .select("doc_id", "tok", "tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(posts(rootA) == posts(rootB))
+    // interrupted swap: live staged away, tmp complete → heal publishes
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$rootA/postings")).map(_.getPath).filter(_.getName.startsWith("bucket="))
+    val victim = buckets.head
+    val tag = victim.getName.stripPrefix("bucket=")
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(
+      victim.getParent, s".bm25_tmp_$tag")))
+    assert(search(rootA) == search(rootB),
+      "search must heal-publish the staged bucket before reading")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
