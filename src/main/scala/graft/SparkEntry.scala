@@ -3289,6 +3289,29 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_rebuilt" -> { (s, dir) =>
+      // the drift remedy closing the index lifecycle: build under a
+      // frozen stride quantizer, append the rest of the corpus, then
+      // REBUILD — retrain the exact-integer Lloyd recipe on the index's
+      // own content and re-cell into a v2 root (caller flips the
+      // pointer). Content ≡ corpus, so the rebuilt search coincides
+      // with the ad-hoc trained lane — emb_ann_ivf_trained's oracle
+      // verbatim; rebuilt ≡ ad-hoc is also pinned in OperatorsSpec.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivf-rb").toString
+      val (idx1, idx2) = (s"$base/v1", s"$base/v2")
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.buildIvfIndex(e.where(col("vec_id") % 3 < 2), idx1,
+        stride = 50)
+      Similarity.appendToIvfIndex(e.where(col("vec_id") % 3 === 2), idx1)
+      Similarity.rebuildIvfIndex(s, idx1, idx2, stride = 50, iters = 2)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, idx2, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_stream" -> { (s, dir) =>
       // STREAMING maintenance of the persisted IVF index (the
       // q_bm25_indexed streaming move for vectors): embedding
@@ -5186,6 +5209,88 @@ object SparkEntry {
        |  round(radius, 6) AS radius
        |FROM picks ORDER BY pick""".stripMargin
   }
+
+  /** shared by emb_ann_ivf_trained and emb_ann_ivf_rebuilt — a rebuild
+    * retrains the SAME exact-integer Lloyd recipe from the index's own
+    * content (= the corpus), so the searches coincide */
+  private val ivfTrainedOracleSql: String =
+    // 2 unrolled Lloyd rounds: assignment ties break to the lowest
+    // cent_id (≡ Spark's first-max over ascending ids), recentering
+    // in BIGINT fixed point with truncating //, centroids rebuilt as
+    // q/1e6 doubles; empty cells keep the previous centroid
+    """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s1 AS MATERIALIZED (SELECT e.vec_id, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb))
+        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c0 c),
+        |a1 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |x1 AS MATERIALIZED (SELECT a1.cell,
+        |    CAST(generate_subscripts(e.emb, 1) AS BIGINT) AS dim,
+        |    unnest(e.emb) AS v
+        |  FROM e JOIN a1 USING (vec_id)),
+        |m1 AS MATERIALIZED (SELECT cell, dim,
+        |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS qm
+        |  FROM x1 GROUP BY cell, dim),
+        |t1 AS MATERIALIZED (SELECT cell AS cent_id,
+        |    list(CAST(qm AS DOUBLE) / 1000000.0 ORDER BY dim) AS cemb
+        |  FROM m1 GROUP BY cell),
+        |c1 AS MATERIALIZED (SELECT c0.cent_id,
+        |    COALESCE(t1.cemb, c0.cemb) AS cemb
+        |  FROM c0 LEFT JOIN t1 USING (cent_id)),
+        |s2 AS MATERIALIZED (SELECT e.vec_id, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb))
+        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c1 c),
+        |a2 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |x2 AS MATERIALIZED (SELECT a2.cell,
+        |    CAST(generate_subscripts(e.emb, 1) AS BIGINT) AS dim,
+        |    unnest(e.emb) AS v
+        |  FROM e JOIN a2 USING (vec_id)),
+        |m2 AS MATERIALIZED (SELECT cell, dim,
+        |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS qm
+        |  FROM x2 GROUP BY cell, dim),
+        |t2 AS MATERIALIZED (SELECT cell AS cent_id,
+        |    list(CAST(qm AS DOUBLE) / 1000000.0 ORDER BY dim) AS cemb
+        |  FROM m2 GROUP BY cell),
+        |c2 AS MATERIALIZED (SELECT c1.cent_id,
+        |    COALESCE(t2.cemb, c1.cemb) AS cemb
+        |  FROM c1 LEFT JOIN t2 USING (cent_id)),
+        |s3 AS MATERIALIZED (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb))
+        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c2 c),
+        |r3 AS MATERIALIZED (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s3),
+        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r3 WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell
+        |  FROM r3 WHERE crnk <= 2),
+        |p AS (SELECT qid, cells.vec_id AS cid,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb))
+        |         * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
+        |t AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
 
   /** shared by emb_ann_ivf and emb_ann_ivf_indexed — the persisted index
     * computes the identical search through `root/cells` partition dirs */
@@ -8702,84 +8807,8 @@ object SparkEntry {
         |  (10000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // 3 AS recall_bp
         |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
 
-    "emb_ann_ivf_trained" ->
-      // 2 unrolled Lloyd rounds: assignment ties break to the lowest
-      // cent_id (≡ Spark's first-max over ascending ids), recentering
-      // in BIGINT fixed point with truncating //, centroids rebuilt as
-      // q/1e6 doubles; empty cells keep the previous centroid
-      """WITH e AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS MATERIALIZED (
-        |  SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
-        |s1 AS MATERIALIZED (SELECT e.vec_id, c.cent_id,
-        |    list_dot_product(e.emb, c.cemb)
-        |      / (sqrt(list_dot_product(e.emb, e.emb))
-        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
-        |  FROM e, c0 c),
-        |a1 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT vec_id, cent_id, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-        |    FROM s1) WHERE rn = 1),
-        |x1 AS MATERIALIZED (SELECT a1.cell,
-        |    CAST(generate_subscripts(e.emb, 1) AS BIGINT) AS dim,
-        |    unnest(e.emb) AS v
-        |  FROM e JOIN a1 USING (vec_id)),
-        |m1 AS MATERIALIZED (SELECT cell, dim,
-        |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
-        |      // CAST(count(*) AS BIGINT) AS qm
-        |  FROM x1 GROUP BY cell, dim),
-        |t1 AS MATERIALIZED (SELECT cell AS cent_id,
-        |    list(CAST(qm AS DOUBLE) / 1000000.0 ORDER BY dim) AS cemb
-        |  FROM m1 GROUP BY cell),
-        |c1 AS MATERIALIZED (SELECT c0.cent_id,
-        |    COALESCE(t1.cemb, c0.cemb) AS cemb
-        |  FROM c0 LEFT JOIN t1 USING (cent_id)),
-        |s2 AS MATERIALIZED (SELECT e.vec_id, c.cent_id,
-        |    list_dot_product(e.emb, c.cemb)
-        |      / (sqrt(list_dot_product(e.emb, e.emb))
-        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
-        |  FROM e, c1 c),
-        |a2 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT vec_id, cent_id, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-        |    FROM s2) WHERE rn = 1),
-        |x2 AS MATERIALIZED (SELECT a2.cell,
-        |    CAST(generate_subscripts(e.emb, 1) AS BIGINT) AS dim,
-        |    unnest(e.emb) AS v
-        |  FROM e JOIN a2 USING (vec_id)),
-        |m2 AS MATERIALIZED (SELECT cell, dim,
-        |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
-        |      // CAST(count(*) AS BIGINT) AS qm
-        |  FROM x2 GROUP BY cell, dim),
-        |t2 AS MATERIALIZED (SELECT cell AS cent_id,
-        |    list(CAST(qm AS DOUBLE) / 1000000.0 ORDER BY dim) AS cemb
-        |  FROM m2 GROUP BY cell),
-        |c2 AS MATERIALIZED (SELECT c1.cent_id,
-        |    COALESCE(t2.cemb, c1.cemb) AS cemb
-        |  FROM c1 LEFT JOIN t2 USING (cent_id)),
-        |s3 AS MATERIALIZED (SELECT e.vec_id, e.emb, c.cent_id,
-        |    list_dot_product(e.emb, c.cemb)
-        |      / (sqrt(list_dot_product(e.emb, e.emb))
-        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
-        |  FROM e, c2 c),
-        |r3 AS MATERIALIZED (SELECT vec_id, emb, cent_id, csim,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, cent_id) AS crnk
-        |  FROM s3),
-        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r3 WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell
-        |  FROM r3 WHERE crnk <= 2),
-        |p AS (SELECT qid, cells.vec_id AS cid,
-        |    list_dot_product(qemb, emb)
-        |      / (sqrt(list_dot_product(qemb, qemb))
-        |         * sqrt(list_dot_product(emb, emb))) AS sim
-        |  FROM probes JOIN cells USING (cell) WHERE cells.vec_id <> qid),
-        |t AS (SELECT qid, cid, sim,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY sim DESC, cid) AS BIGINT) AS rnk
-        |  FROM p)
-        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin,
+    "emb_ann_ivf_trained" -> ivfTrainedOracleSql,
+    "emb_ann_ivf_rebuilt" -> ivfTrainedOracleSql,
 
     "emb_ann_ivfpq" ->
       // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ

@@ -133,13 +133,34 @@ object Retrieval {
     val touched = spark.read.parquet(s"$root/postings")
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
-    touched.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
-      swap(live, b.toString) { tmp =>
-        spark.read.parquet(live.toString)
-          .join(broadcast(ids), Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(tmp.toString)
+    if (touched.nonEmpty) {
+      // ONE staged job rewrites ALL touched buckets (partition-pruned
+      // read → anti-join → partitionBy(bucket) into a hidden stage
+      // tree): the per-bucket read+write loop billed 2-3 jobs per
+      // bucket (103 jobs / 986 tasks on the sf0.1 maintained gate
+      // fixture); staged, the job count is constant and only renames
+      // remain. Leftover stage = pre-publish state, healed away.
+      val stage = new org.apache.hadoop.fs.Path(s"$root/.bm25_stage")
+      spark.read.parquet(s"$root/postings")
+        .where(col("bucket").isin(touched: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
+        val staged = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
+        if (fs.exists(staged))
+          swap(live, b.toString)(tmp =>
+            if (!fs.rename(staged, tmp))
+              throw new java.io.IOException(s"bm25 delete: cannot move $staged"))
+        else {
+          // bucket fully emptied — retire through the healable old state
+          val old = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_old_$b")
+          if (!fs.rename(live, old))
+            throw new java.io.IOException(s"bm25 delete: cannot retire $live")
+          fs.delete(old, true)
+        }
       }
+      fs.delete(stage, true)
     }
     val dl = new org.apache.hadoop.fs.Path(s"$root/doclens")
     if (fs.exists(dl)) swap(dl, "doclens") { tmp =>
@@ -158,6 +179,9 @@ object Retrieval {
   def healIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = retrievalFs(spark, root)
+    // leftover stage tree = pre-publish state of an interrupted batched
+    // delete — dropping it rolls that delete back wholesale
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.bm25_stage"), true)
     def healDir(dir: org.apache.hadoop.fs.Path,
         liveName: String => String): Unit = {
       if (!fs.exists(dir)) return

@@ -513,25 +513,69 @@ object Similarity {
     healIvfIndex(spark, root)
     val fs = hadoopFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/cells"))) return
-    // consumed once per touched cell plus the touch scan — checkpoint
+    // consumed by the touch scan and the staged rewrite — checkpoint
     val ids = idsDf.select(col("vec_id")).localCheckpoint(true)
     // partition discovery types small cell values as INT — pin to long
     val touched = spark.read.parquet(s"$root/cells")
       .join(ids, Seq("vec_id"), "left_semi")
       .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    // ONE staged job rewrites ALL touched cells (partition-pruned read,
+    // anti-join, partitionBy(cell) into a hidden stage tree) — the r11
+    // per-cell read+write loop billed 2-3 jobs per touched cell (152
+    // jobs / 1603 tasks on the sf0.1 maintained gate fixture); staged,
+    // the job count is constant in touched-cell count and only renames
+    // remain per cell. The stage dir is pre-publish state: heal deletes
+    // it wholesale, so a crash before any swap rolls the delete back.
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$IvfStageDir")
+    spark.read.parquet(s"$root/cells")
+      .where(col("cell").isin(touched: _*))
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
     touched.foreach { cellId =>
       val live = new org.apache.hadoop.fs.Path(s"$root/cells/cell=$cellId")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_tmp_$cellId")
       val old = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_old_$cellId")
-      spark.read.parquet(live.toString)
-        .join(broadcast(ids), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"ivf delete: cannot stage $live")
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"ivf delete: cannot publish $tmp")
-      fs.delete(old, true)
+      val staged = new org.apache.hadoop.fs.Path(stage, s"cell=$cellId")
+      if (fs.exists(staged)) {
+        // per-cell swap is the same crash window as before (tmp/old
+        // states heal from either side)
+        if (!fs.rename(staged, tmp))
+          throw new java.io.IOException(s"ivf delete: cannot move $staged")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"ivf delete: cannot stage $live")
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"ivf delete: cannot publish $tmp")
+        fs.delete(old, true)
+      } else {
+        // every row of the cell was deleted — the staged write emitted
+        // no dir; retire the live dir through the healable old state
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"ivf delete: cannot retire $live")
+        fs.delete(old, true)
+      }
     }
+    fs.delete(stage, true)
+  }
+
+  /** Retrain + re-cell the persisted index — the remedy
+    * [[auditIvfIndex]]'s rebuild flag calls for once appends have
+    * drifted away from the build-time quantizer. Trains the
+    * exact-integer Lloyd recipe ([[kmeansCentroidsExact]]) on the
+    * index's OWN current content and builds the v2 index at `newRoot`
+    * (production shape: the caller flips its root pointer as the one
+    * atomic step; a crashed rebuild leaves the live index untouched and
+    * the incomplete newRoot is simply rebuilt). stride <= 0 derives the
+    * training sample from centroidBudget, as everywhere.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      oldRoot: String, newRoot: String, stride: Long, iters: Int = 2,
+      centroidBudget: Long = 1024): Unit = {
+    healIvfIndex(spark, oldRoot)
+    val content = spark.read.parquet(s"$oldRoot/cells")
+      .select("vec_id", "emb").localCheckpoint(true) // trains + re-cells
+    buildIvfIndexWith(content, newRoot,
+      kmeansCentroidsExact(content, stride, iters, centroidBudget))
   }
 
   /** Finish or roll back an interrupted [[deleteFromIvfIndex]] swap.
@@ -544,6 +588,10 @@ object Similarity {
   def healIvfIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = hadoopFs(spark, root)
+    // a leftover stage tree is pre-publish state from an interrupted
+    // batched delete — dropping it rolls that delete back wholesale
+    // (per-cell dirs already swapped out of it heal below as usual)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$IvfStageDir"), true)
     val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
     if (!fs.exists(cellsDir)) return
     fs.listStatus(cellsDir).map(_.getPath).foreach { p =>
@@ -658,6 +706,10 @@ object Similarity {
       true).close()
     true
   }
+
+  /** Hidden staging tree for the batched COW delete — pre-publish state,
+    * healed away wholesale. */
+  private val IvfStageDir = ".ivf_stage"
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
       root: String): org.apache.hadoop.fs.FileSystem =

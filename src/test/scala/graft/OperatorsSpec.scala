@@ -3299,5 +3299,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "search must heal-publish the staged bucket before reading")
   }
 
+  test("ivf rebuild: retrained v2 index search == ad-hoc exact-Lloyd search") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-rb-spec").toString
+    graft.operators.Similarity.buildIvfIndex(
+      e.where(col("vec_id") % 2 === 0), s"$base/v1", stride = 20)
+    graft.operators.Similarity.appendToIvfIndex(
+      e.where(col("vec_id") % 2 === 1), s"$base/v1")
+    graft.operators.Similarity.rebuildIvfIndex(
+      spark, s"$base/v1", s"$base/v2", stride = 20)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val rebuilt = graft.operators.Similarity
+      .ivfIndexTopK(spark, s"$base/v2", q, 3, 2)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ad-hoc: the same exact-integer Lloyd recipe trained on the corpus
+    // directly (index content == corpus, so the samples coincide)
+    val adhoc = graft.operators.Similarity
+      .ivfTopKWithCentroids(e,
+        graft.operators.Similarity.kmeansCentroidsExact(e, 20, 2), 3, 2)
+      .where(col("qid") < 10)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rebuilt == adhoc,
+      "rebuild from index content must equal the ad-hoc trained search")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
