@@ -620,5 +620,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one BM25 bucket holds >50% of the postings: ${buckets.toSeq}")
   }
 
+  test("batched IVF COW delete job count is constant in touched-cell count") {
+    import spark.implicits._
+    // the r11 pre-fix loop ran 2-3 jobs PER touched cell (152 jobs on
+    // the sf0.1 maintained fixture); the staged shape is one anti-join
+    // write + renames — a reintroduced per-cell loop trips the bound
+    val root = Files.createTempDirectory("graft-ivf-stagejobs").toString + "/idx"
+    val e = (0L until 400L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 7 + d) % 13).toDouble - 6.0)))
+      .toDF("vec_id", "emb")
+    graft.operators.Similarity.buildIvfIndex(e, root, stride = 20) // ~20 cells
+    val nCells = spark.read.parquet(s"$root/cells")
+      .select("cell").distinct().count()
+    assert(nCells >= 10, s"fixture should spread cells, got $nCells")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // every 3rd id: touches essentially every cell
+      graft.operators.Similarity.deleteFromIvfIndex(spark, root,
+        (0L until 400L by 3).toSeq)
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(100) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    val n = jobs.get()
+    assert(n > 0 && n <= 10,
+      s"staged delete over $nCells cells used $n jobs (bound 10)")
+    // and the delete is correct: only non-multiples-of-3 remain
+    val left = spark.read.parquet(s"$root/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 400L).filter(_ % 3 != 0).toSet)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
