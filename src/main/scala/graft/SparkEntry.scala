@@ -1634,6 +1634,38 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "t")
     },
 
+    "store_stats" -> { (s, dir) =>
+      // store observability (the indexStats move for the datapoint
+      // store): per granularity level, datapoint count, stream count
+      // and bucket-start bounds after the standard ingest+ladder
+      // fixture — the size/skew dashboard a 100× deployment reads
+      // before touching compaction or retention. One grouped aggregate
+      // over the partition-pruned datapoints tree; the oracle
+      // recomputes every level analytically from events (rollup rows =
+      // distinct completed buckets per stream, base rows = raw appends).
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-store-stats").toString
+      val ds = new graft.core.Datastream(s, work)
+      val ev = events(s, dir).where(col("user_id") < 5)
+      val keys = ev.select("user_id", "event_type").distinct().collect()
+      val idOf = keys.map { r =>
+        val (u, et) = (r.getLong(0).toString, r.getString(1))
+        s"$u:$et" -> ds.ensureStream(Map("user" -> u, "type" -> et))
+      }.toMap
+      val uuidOf = typedLit(idOf)
+      ds.appendMultiple(ev.select(
+        uuidOf(concat_ws(":", col("user_id"), col("event_type")))
+          .as("stream_id"),
+        col("ts").as("t"), col("value").as("v")), checkTimestamp = false)
+      ds.downsampleStreams(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      ds.datapoints.groupBy("granularity").agg(
+          count(lit(1)).as("n_points"),
+          countDistinct("stream_id").as("n_streams"),
+          min(unix_timestamp(col("t"))).as("lo_sec"),
+          max(unix_timestamp(col("t"))).as("hi_sec"))
+        .orderBy("granularity")
+    },
+
     "store_nested_tags" -> { (s, dir) =>
       // nested tag documents end-to-end (SURVEY §1.2): one stream per
       // nation carrying a NESTED tag doc {"meta": {"nation","region"}}
@@ -6951,6 +6983,31 @@ object SparkEntry {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'
         |ORDER BY n_name""".stripMargin,
+
+    "store_stats" ->
+      // rollup rows = distinct completed buckets per stream (bucket end
+      // <= until = 1706745600, the ladder's completed-bucket rule);
+      // base 'seconds' rows = every appended row (same-second events
+      // stay separate datapoints — store_pipeline's c counts prove it)
+      """WITH src AS (SELECT
+        |    CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE user_id < 5),
+        |g(granularity, secs) AS (VALUES ('seconds10', 10),
+        |  ('minutes', 60), ('minutes10', 600), ('hours', 3600),
+        |  ('hours6', 21600), ('days', 86400)),
+        |roll AS (SELECT g.granularity, k, (sec // g.secs) * g.secs AS b
+        |  FROM src, g WHERE (sec // g.secs + 1) * g.secs <= 1706745600
+        |  GROUP BY 1, 2, 3),
+        |rs AS (SELECT granularity, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_streams,
+        |    min(b) AS lo_sec, max(b) AS hi_sec FROM roll GROUP BY 1),
+        |base AS (SELECT 'seconds' AS granularity,
+        |    CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_streams,
+        |    min(sec) AS lo_sec, max(sec) AS hi_sec FROM src)
+        |SELECT * FROM base UNION ALL SELECT * FROM rs
+        |ORDER BY granularity""".stripMargin,
 
     "store_pipeline" ->
       """WITH src AS (SELECT user_id, event_type,
