@@ -2235,6 +2235,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_clusters_incr" -> { (s, dir) =>
+      // INCREMENTAL cluster maintenance: the standing label map folds a
+      // new batch of near-dup edges by label-space collapse (full
+      // propagation only on the batch-sized collapsed graph, never the
+      // corpus) — output ≡ from-scratch CC on the union, so it shares
+      // dedup_clusters' oracle verbatim; equivalence additionally
+      // pinned on random graphs in OperatorsSpec.
+      val corpus = withInjectedVariants(
+        tbl(s, dir, "documents").select("doc_id", "text"))
+      val pairs = Dedup.nearDuplicates(corpus, threshold = 0.3)
+        .localCheckpoint(true) // split into the two delivery halves
+      val half1 = pairs.where((col("doc_a") + col("doc_b")) % 2 === 0)
+      val half2 = pairs.where((col("doc_a") + col("doc_b")) % 2 =!= 0)
+      Dedup.connectedComponentsIncremental(
+          Dedup.connectedComponents(half1), half2)
+        .orderBy("doc_id")
+    },
+
     "emb_clusters" -> { (s, dir) =>
       // embedding-space cluster collapse: banded-LSH near-pair graph
       // (equi-join candidates, exact rerank) -> distributed min-label
@@ -5324,6 +5342,29 @@ object SparkEntry {
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
 
+  /** shared by dedup_clusters and dedup_clusters_incr — the incremental
+    * label-space fold reproduces the from-scratch labeling exactly */
+  private val ccClustersOracleSql: String =
+    """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |vars AS (SELECT doc_id + 1000000 AS doc_id,
+        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
+        |  FROM base WHERE doc_id < 20),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 3, 0) + 2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS rep_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   /** shared by emb_ann_ivf and emb_ann_ivf_indexed — the persisted index
     * computes the identical search through `root/cells` partition dirs */
   private val ivfOracleSql: String =
@@ -6650,26 +6691,8 @@ object SparkEntry {
         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_clusters" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
-        |vars AS (SELECT doc_id + 1000000 AS doc_id,
-        |    concat('zz yy ', array_to_string(string_split(text, ' ')[3:], ' ')) AS text
-        |  FROM base WHERE doc_id < 20),
-        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(words) - 3, 0) + 2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.s, b.s))
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(u, v) AS (SELECT u, v FROM edges
-        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-        |SELECT u AS doc_id, least(u, min(v)) AS rep_id
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> ccClustersOracleSql,
+    "dedup_clusters_incr" -> ccClustersOracleSql,
 
     "emb_clusters" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -296,6 +296,50 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
 
+  /** Fold a batch of NEW edges into an existing component labeling —
+    * the incremental maintenance lane for a standing dedup-cluster map
+    * (a 100 TB corpus re-clusters per ingest batch, never from
+    * scratch). The trick is LABEL-SPACE collapse: each new edge's
+    * endpoints map to their current representative (new nodes map to
+    * themselves), and full min-label propagation runs only on that
+    * collapsed graph — bounded by touched components + batch nodes, not
+    * the corpus. The result is EXACTLY the from-scratch labeling:
+    * every rep is the min id of its sub-component, so the min over
+    * merged reps is the global component min.
+    */
+  def connectedComponentsIncremental(prev: DataFrame, newPairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val prevCk = prev.select(col("doc_id"), col("rep_id"))
+      .localCheckpoint(true) // feeds both endpoint maps + the final remap
+    val ends = newPairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true) // feeds the collapse + the new-node scan
+    val collapsed = ends
+      .join(prevCk.select(col("doc_id").as("u"), col("rep_id").as("ru")),
+        Seq("u"), "left")
+      .join(prevCk.select(col("doc_id").as("v"), col("rep_id").as("rv")),
+        Seq("v"), "left")
+      .select(coalesce(col("ru"), col("u")).as("doc_a"),
+        coalesce(col("rv"), col("v")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    // full propagation, but on the batch-sized collapsed graph
+    val remap = connectedComponents(collapsed)
+      .select(col("doc_id").as("rep_id"), col("rep_id").as("new_rep"))
+      .localCheckpoint(true)
+    val updatedPrev = prevCk.join(remap, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_rep"), col("rep_id")).as("rep_id"))
+    val newNodes = ends.select(col("u").as("doc_id"))
+      .union(ends.select(col("v").as("doc_id"))).distinct()
+      .join(prevCk.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newLabeled = newNodes
+      .join(remap.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // isolated-in-collapse new nodes (edge collapsed to a self-loop,
+        // e.g. both endpoints already shared a component) keep their id
+        coalesce(col("new_rep"), col("doc_id")).as("rep_id"))
+    updatedPrev.unionByName(newLabeled)
+  }
+
   /** Exact repeated-span detection (the stride-1 "substring dedup" family:
     * dedup by exact duplicated token windows, à la suffix-array corpus
     * dedup): for every STRIDE-1 window of `k` consecutive tokens, count

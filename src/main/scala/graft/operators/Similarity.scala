@@ -482,6 +482,13 @@ object Similarity {
     withProbes(batch, cents, 1)
       .select(col("vec_id"), col("emb"), col("norm"),
         element_at(col("probes"), 1).as("cell"))
+      // repartition-by-cell (the DatapointStore discipline): each cell
+      // lands wholly in one reduce task ⇒ ONE file per cell per append,
+      // not one per input partition — without it a rebuild re-celling a
+      // K-dir content read writes up to K files into EVERY cell and the
+      // next search pays a task per tiny file (the sf0.1 rebuilt fixture
+      // measured 300 tasks / 29 CPU s from exactly this)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
   }
 

@@ -3329,5 +3329,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild from index content must equal the ad-hoc trained search")
   }
 
+  test("incremental connected components == from-scratch on random graphs, any batch split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      val n = 40
+      val edges = (0 until 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("doc_a", "doc_b").localCheckpoint(true)
+      val full = graft.operators.Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cut = trial % 3 // vary the split rule across trials
+      val h1 = df.where((col("doc_a") + col("doc_b")) % 3 === cut)
+      val h2 = df.where((col("doc_a") + col("doc_b")) % 3 =!= cut)
+      val incr = graft.operators.Dedup.connectedComponentsIncremental(
+          graft.operators.Dedup.connectedComponents(h1), h2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == full, s"trial $trial: incremental != from-scratch")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -17,6 +17,7 @@ import duckdb
 # dedup_survivors (<200) and dedup_incremental (batch x corpus) stay in.
 QUADRATIC = {"dedup_stream_near",
              "dedup_minhash", "dedup_simhash", "dedup_clusters",
+             "dedup_clusters_incr",
              "dedup_embedding", "emb_near_pairs", "emb_clusters",
              "pipe_split_leakage"}
 
