@@ -3339,6 +3339,28 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_compacted" -> { (s, dir) =>
+      // the small-file remedy under the gate: the index fills in over
+      // FOUR append batches (one file per touched cell each), then
+      // compactIvfIndex rewrites every multi-file cell to one file via
+      // the staged COW machinery. Content-preserving, so the search
+      // matches emb_ann_ivf row-for-row — same oracle; the file-count
+      // drop + pre≡post search are pinned in OperatorsSpec.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-cpt").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      Similarity.buildIvfIndexWith(e.where(col("vec_id") % 4 === 0), work, cents)
+      (1 to 3).foreach(i =>
+        Similarity.appendToIvfIndex(e.where(col("vec_id") % 4 === i), work))
+      Similarity.compactIvfIndex(s, work, maxFilesPerCell = 1)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_rebuilt" -> { (s, dir) =>
       // the drift remedy closing the index lifecycle: build under a
       // frozen stride quantizer, append the rest of the corpus, then
@@ -8816,6 +8838,8 @@ object SparkEntry {
     // build+append+delete lifecycle nets out to the full corpus under
     // the same frozen quantizer — same oracle verbatim
     "emb_ann_ivf_maintained" -> ivfOracleSql,
+    // compaction is content-preserving — same search, same oracle
+    "emb_ann_ivf_compacted" -> ivfOracleSql,
 
     // streaming scrub-then-append maintenance converges to the batch
     // build (re-delivered batch included) — same oracle verbatim

@@ -170,6 +170,48 @@ object Retrieval {
     }
   }
 
+  /** Merge small files inside hot postings buckets — the small-file
+    * remedy for an append-maintained index (every [[appendToIndex]]
+    * batch adds one file per touched bucket; a search in a
+    * long-maintained index pays a task per tiny file). Buckets holding
+    * more than `maxFilesPerBucket` data files rewrite through the same
+    * staged COW machinery as [[deleteFromIndex]]: one partition-pruned,
+    * repartition-by-bucket job, then rename swaps. Content-preserving;
+    * crash-safe via the stage/tmp/old heal states.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxFilesPerBucket: Int = 4): Unit = {
+    healIndex(spark, root)
+    val fs = retrievalFs(spark, root)
+    val postings = new org.apache.hadoop.fs.Path(s"$root/postings")
+    if (!fs.exists(postings)) return
+    val hot = fs.listStatus(postings)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
+    if (hot.isEmpty) return
+    val stage = new org.apache.hadoop.fs.Path(s"$root/.bm25_stage")
+    spark.read.parquet(s"$root/postings")
+      .where(col("bucket").isin(hot: _*))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    hot.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
+      val tmp = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_tmp_$b")
+      val old = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_old_$b")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
+      if (!fs.rename(staged, tmp))
+        throw new java.io.IOException(s"bm25 compact: cannot move $staged")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"bm25 compact: cannot stage $live")
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"bm25 compact: cannot publish $tmp")
+      fs.delete(old, true)
+    }
+    fs.delete(stage, true)
+  }
+
   /** Finish or roll back an interrupted [[deleteFromIndex]] swap — the
     * IVF heal state machine verbatim: tmp + live ⇒ swap never started
     * (tmp may be incomplete — drop it); tmp alone ⇒ live was staged away

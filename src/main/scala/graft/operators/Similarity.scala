@@ -539,30 +539,67 @@ object Similarity {
       .where(col("cell").isin(touched: _*))
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    touched.foreach { cellId =>
+    publishStagedCells(fs, root, stage, touched)
+  }
+
+  /** Swap every staged cell dir live (tmp/old crash windows heal from
+    * either side); a cell ABSENT from the stage tree was fully emptied
+    * by the rewrite and retires through the healable old state. Shared
+    * by the batched delete and [[compactIvfIndex]].
+    */
+  private def publishStagedCells(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, stage: org.apache.hadoop.fs.Path,
+      cells: Seq[Long]): Unit = {
+    cells.foreach { cellId =>
       val live = new org.apache.hadoop.fs.Path(s"$root/cells/cell=$cellId")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_tmp_$cellId")
       val old = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_old_$cellId")
       val staged = new org.apache.hadoop.fs.Path(stage, s"cell=$cellId")
       if (fs.exists(staged)) {
-        // per-cell swap is the same crash window as before (tmp/old
-        // states heal from either side)
         if (!fs.rename(staged, tmp))
-          throw new java.io.IOException(s"ivf delete: cannot move $staged")
+          throw new java.io.IOException(s"ivf publish: cannot move $staged")
         if (!fs.rename(live, old))
-          throw new java.io.IOException(s"ivf delete: cannot stage $live")
+          throw new java.io.IOException(s"ivf publish: cannot stage $live")
         if (!fs.rename(tmp, live))
-          throw new java.io.IOException(s"ivf delete: cannot publish $tmp")
+          throw new java.io.IOException(s"ivf publish: cannot publish $tmp")
         fs.delete(old, true)
       } else {
-        // every row of the cell was deleted — the staged write emitted
-        // no dir; retire the live dir through the healable old state
         if (!fs.rename(live, old))
-          throw new java.io.IOException(s"ivf delete: cannot retire $live")
+          throw new java.io.IOException(s"ivf publish: cannot retire $live")
         fs.delete(old, true)
       }
     }
     fs.delete(stage, true)
+  }
+
+  /** Merge small files inside hot cell dirs — the small-file remedy for
+    * an append-maintained index (every [[appendToIvfIndex]] batch adds
+    * one file per touched cell; after thousands of micro-batches a
+    * search pays a task per tiny file). Cells holding more than
+    * `maxFilesPerCell` data files rewrite through the SAME staged COW
+    * machinery as the batched delete: one partition-pruned,
+    * repartition-by-cell job → one file per compacted cell → rename
+    * swaps. Content-preserving by construction; crash-safe via the
+    * stage/tmp/old heal states.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxFilesPerCell: Int = 4): Unit = {
+    healIvfIndex(spark, root)
+    val fs = hadoopFs(spark, root)
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
+    if (!fs.exists(cellsDir)) return
+    val hot = fs.listStatus(cellsDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).toSeq
+    if (hot.isEmpty) return
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$IvfStageDir")
+    spark.read.parquet(s"$root/cells")
+      .where(col("cell").isin(hot: _*))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    publishStagedCells(fs, root, stage, hot)
   }
 
   /** Retrain + re-cell the persisted index — the remedy

@@ -3351,5 +3351,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index compaction: file counts collapse, content and searches unchanged (ivf + bm25)") {
+    import spark.implicits._
+    def files(dir: java.io.File): Int = Option(dir.listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    // --- IVF: 4 appends -> multi-file cells -> compact to 1 file/cell
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val iroot = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cpt-spec").toString + "/idx"
+    val cents = graft.operators.Similarity.strideCentroids(e, 40)
+    graft.operators.Similarity.buildIvfIndexWith(
+      e.where(col("vec_id") % 4 === 0), iroot, cents)
+    (1 to 3).foreach(i => graft.operators.Similarity.appendToIvfIndex(
+      e.where(col("vec_id") % 4 === i), iroot))
+    val cellDirs = new java.io.File(s"$iroot/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.exists(files(_) > 1), "appends should leave multi-file cells")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def isearch() = graft.operators.Similarity
+      .ivfIndexTopK(spark, iroot, q, 3, 2).select("qid", "cid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = isearch()
+    graft.operators.Similarity.compactIvfIndex(spark, iroot, maxFilesPerCell = 1)
+    assert(cellDirs.forall(d => !d.exists() || files(d) <= 1),
+      "compaction must leave at most one file per cell")
+    assert(isearch() == before, "compaction must not change search results")
+    // --- BM25: 3 appends -> compact -> identical postings
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft-bm25-cpt-spec").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d.where(col("doc_id") % 3 === 0), broot)
+    (1 to 2).foreach(i => graft.operators.Retrieval.appendToIndex(
+      d.where(col("doc_id") % 3 === i), broot))
+    def posts() = spark.read.parquet(s"$broot/postings")
+      .select("doc_id", "tok", "tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val pBefore = posts()
+    graft.operators.Retrieval.compactIndex(spark, broot, maxFilesPerBucket = 1)
+    val bucketDirs = new java.io.File(s"$broot/postings").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.forall(files(_) <= 1),
+      "compaction must leave at most one file per bucket")
+    assert(posts() == pBefore, "compaction must not change postings")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
