@@ -3407,7 +3407,14 @@ object SparkEntry {
       val q = mem.toDF.toDF("vec_id", "emb")
         .writeStream.outputMode("append")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          Similarity.applyIvfBatch(s, work, b, id, cents); ()
+          Similarity.applyIvfBatch(s, work, b, id, cents)
+          // in-loop small-file maintenance (the dedup-state compactEvery
+          // move): every 2nd batch, hot cells merge through the staged
+          // COW lane — content-preserving, so the commit gate and the
+          // scrub-by-content re-delivery repair are unaffected
+          if (id % 2 == 1)
+            Similarity.compactIvfIndex(s, work, maxFilesPerCell = 2)
+          ()
         }
         .option("checkpointLocation", s"$work/../ckpt").start()
       try {
