@@ -514,6 +514,13 @@ object Similarity {
     * micro-batch or a dedup survivor-complement feeds in without ever
     * collecting ids to the driver; the only driver materialization is
     * the touched CELL list (bounded by K by construction).
+    *
+    * Single-writer assumption (shared by [[compactIvfIndex]] and
+    * [[appendToIvfIndex]]): index mutations are crash-safe against
+    * READERS (heal-on-read) but not against a CONCURRENT writer — an
+    * append racing a cell swap could land files in the retired dir.
+    * Serialize mutations per index root (the streaming lane's
+    * foreachBatch does this naturally).
     */
   def deleteFromIvfIndexFrame(spark: org.apache.spark.sql.SparkSession,
       root: String, idsDf: DataFrame): Unit = {
