@@ -2559,6 +2559,18 @@ object SparkEntry {
         .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
     },
 
+    "pipe_contam_winnow" -> { (s, dir) =>
+      // FUZZY decontamination: training docs sharing winnowing
+      // fingerprints with the eval set (doc_id < 5 stands in for the
+      // benchmark) — catches a verbatim run >= 11 words inside edited
+      // text, the leakage mode exact n-gram containment misses. The
+      // eval side is metadata-scale and broadcasts; df > 20 boilerplate
+      // fingerprints pruned on the corpus side only (both engines).
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Dedup.winnowContamination(docs, docs.where(col("doc_id") < 5))
+        .orderBy(desc("n_shared_fps"), col("doc_id"))
+    },
+
     "dedup_cdc_chunks" -> { (s, dir) =>
       // content-defined chunking (rsync/borg boundaries at word level):
       // a chunk starts where the 4-gram ending just before it hashes
@@ -6813,6 +6825,33 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT doc_a, doc_b, shared_fps FROM p
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
+
+    "pipe_contam_winnow" ->
+      // same fingerprint CTEs as dedup_winnow; eval fps come UNPRUNED
+      // from the per-doc fingerprint function (fingerprints depend only
+      // on a doc's own text, so filtering the full-corpus table ≡
+      // computing on the eval set alone), corpus side df-pruned
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(len(words) - 3 AS BIGINT) AS ng,
+        |    ('0x' || substring(md5(
+        |      array_to_string(words[i + 1 : i + 4], ' ')), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words) - 3)) AS i FROM w)),
+        |m AS (SELECT doc_id, ng, pos, min(hv) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 8),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+        |e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id < 5)
+        |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps,
+        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM r JOIN e USING (fp) WHERE r.doc_id <> e.eval_id
+        |GROUP BY r.doc_id HAVING count(*) >= 1
+        |ORDER BY n_shared_fps DESC, doc_id""".stripMargin,
 
     "dedup_cdc_chunks" ->
       // boundary flags from the same positional md5 4-gram lane; chunk

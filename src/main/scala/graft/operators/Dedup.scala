@@ -296,6 +296,35 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_id"))
   }
 
+  /** Fuzzy decontamination against an eval/benchmark set via winnowing
+    * fingerprints — the near-match complement of exact n-gram
+    * contamination checks: a training doc sharing >= `minShared`
+    * fingerprints with any eval doc contains a verbatim run of at least
+    * w+n−1 words from it (structural, per the winnowing guarantee),
+    * even when the surrounding text was edited — exactly the leakage
+    * mode exact n-gram containment misses. Boilerplate fingerprints
+    * (corpus df > maxDf) are pruned on both engines; the eval side is
+    * metadata-scale by premise and broadcasts.
+    */
+  def winnowContamination(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 4, w: Int = 8, minShared: Int = 1, maxDf: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w, idCol, textCol)
+      .localCheckpoint(true) // feeds the df count + the probe join
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val evalFps = winnowFingerprints(evalDocs, n, w, idCol, textCol)
+      .select(col("fp"), col(idCol).as("eval_id"))
+    rare.join(broadcast(evalFps), Seq("fp"))
+      .where(col(idCol) =!= col("eval_id"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_fps"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .where(col("n_shared_fps") >= minShared)
+  }
+
   /** Fold a batch of NEW edges into an existing component labeling —
     * the incremental maintenance lane for a standing dedup-cluster map
     * (a 100 TB corpus re-clusters per ingest batch, never from
