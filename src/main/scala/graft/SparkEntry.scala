@@ -1862,6 +1862,63 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "drv_counter_derivative_stream" -> { (s, dir) =>
+      // TWO-INPUT streaming V4: the wrapping counter stream plus a LIVE
+      // reset stream (deterministic subset of counter points: floor(v)%10
+      // = 3, so many resets tie a source timestamp exactly — the
+      // reset-first tie rule is load-bearing) replayed through
+      // Streaming.counterDerivativeWithResets in 3 micro-batches. Both
+      // streams cut on COMMON time boundaries (per-key in-order delivery
+      // across the union — the twin's documented contract); the oracle is
+      // the batch reset-suppression core (union + running reset max +
+      // ignore-nulls lag) in DuckDB SQL.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val memS = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val memR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.ResetEvent]
+      val name = s"cdrst_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming
+          .counterDerivativeWithResets(memS.toDS(), memR.toDS(), Some(1000.0))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val ctr = counterStreams(s, dir).localCheckpoint(true)
+          val srcRows = ctr.orderBy("t", "stream_id").collect()
+            .map(r => graft.streaming.Streaming.Point(
+              r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          val rstRows = ctr
+            .where(floor(col("v")).cast("long") % 10 === 3)
+            .select("stream_id", "t").orderBy("t", "stream_id").collect()
+            .map(r => graft.streaming.Streaming.ResetEvent(
+              r.getString(0), r.getTimestamp(1)))
+          // common strict time cuts: every row with t < c1 lands in
+          // slice 1 on BOTH streams — same-t rows never split. Resets
+          // enqueue BEFORE sources per slice (the twin's early-not-late
+          // delivery contract: the engine may fold the two feeds'
+          // blocks in separate micro-batches, so enqueue order makes
+          // "early" the only possible skew).
+          val secs = srcRows.map(_.t.getTime).distinct.sorted
+          val cuts = Seq(secs(secs.length / 3), secs(2 * secs.length / 3),
+            Long.MaxValue)
+          var lo = Long.MinValue
+          cuts.foreach { hi =>
+            memR.addData(rstRows.filter(p =>
+              p.t.getTime >= lo && p.t.getTime < hi).toSeq)
+            memS.addData(srcRows.filter(p =>
+              p.t.getTime >= lo && p.t.getTime < hi).toSeq)
+            q.processAllAvailable()
+            lo = hi
+          }
+        } finally q.stop() // never leak a running query into later queries
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).orderBy("stream_id", "t")
+    },
+
     "drv_sum" -> { (s, dir) =>
       // V1: one derived stream = pointwise sum of user 7's five per-type
       // streams, aligned on Minutes buckets
@@ -7004,6 +7061,36 @@ object SparkEntry {
         |  (CASE WHEN v >= pv THEN v - pv ELSE 1000 - pv + v END)
         |    / (epoch(t) - epoch(pt)) AS v
         |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
+        |ORDER BY stream_id, t""".stripMargin,
+
+    // the batch V4 reset-suppression core verbatim (union + running
+    // reset max + ignore-nulls lag over (t, reset-first, v) order) —
+    // what the two-input streaming twin must reproduce bit-for-bit
+    "drv_counter_derivative_stream" ->
+      s"""WITH $srcSql, $pointSql, $counterSql,
+        |rs AS (SELECT stream_id, t FROM ctr
+        |  WHERE CAST(floor(v) AS BIGINT) % 10 = 3),
+        |u AS (SELECT stream_id, t, v, FALSE AS is_reset FROM ctr
+        |  UNION ALL
+        |  SELECT stream_id, t, NULL AS v, TRUE AS is_reset FROM rs),
+        |d AS (SELECT stream_id, t, v, is_reset,
+        |    max(CASE WHEN is_reset THEN t END) OVER
+        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_reset_t,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN NOT is_reset THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+        |  FROM u)
+        |SELECT stream_id, t,
+        |  (CASE WHEN v >= pv THEN v - pv ELSE 1000 - pv + v END)
+        |    / (epoch(t) - epoch(pt)) AS v
+        |FROM d
+        |WHERE NOT is_reset AND pv IS NOT NULL AND epoch(t) != epoch(pt)
+        |  AND (last_reset_t IS NULL OR last_reset_t <= pt)
         |ORDER BY stream_id, t""".stripMargin,
 
     "q_above_cust_avg" ->

@@ -628,8 +628,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // repartition-by-key puts each (granularity, ymd) wholly in one
       // reduce task, so output file counts don't need AQE coalescing,
       // and the 1/16 width slice keeps the local replay's reduce tasks
-      // near what AQE produced. Same single-writer scope caveat as the
-      // ladder flip (documented there).
+      // near what AQE produced. SESSION-SCOPE CAVEAT (same as the ladder
+      // flip, documented there): these conf flips are visible to any
+      // query planned concurrently on the SAME SparkSession during the
+      // write — a deployment sharing the session between an ingest
+      // writer and ad-hoc readers should give the writer its own
+      // spark.cloneSession() (confs are per-clone; the store paths are
+      // the shared state, not the session).
       val obs = org.apache.spark.sql.Observation()
       val prevAqeW = spark.conf.get("spark.sql.adaptive.enabled", "true")
       val prevPartsW = spark.conf.get("spark.sql.shuffle.partitions")

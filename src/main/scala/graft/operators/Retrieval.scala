@@ -259,13 +259,16 @@ object Retrieval {
       .schema(schema).parquet(s"$root/postings")
       .groupBy("bucket").agg(count(lit(1)).as("n_postings"),
         countDistinct("tok").as("n_tokens"))
-    val dir = new java.io.File(s"$root/postings")
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map { f =>
-        val sz = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .map(_.length).sum
-        (f.getName.stripPrefix("bucket=").toLong, sz)
+    // bytes via the Hadoop FS like everything else in this file — a
+    // java.io.File listing is silently empty on any non-local FS and
+    // would report bytes=0 (ivfIndexStats' getContentSummary discipline)
+    val fs = retrievalFs(spark, root)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/postings"))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .map { p =>
+        (p.getName.stripPrefix("bucket=").toLong,
+          fs.getContentSummary(p).getLength)
       }.toSeq
     import spark.implicits._
     counts.join(bytes.toDF("bucket", "bytes"), Seq("bucket"), "left")

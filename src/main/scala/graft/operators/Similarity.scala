@@ -701,11 +701,19 @@ object Similarity {
     val q = cells.where(col("vec_id") % st === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
       .localCheckpoint(true)
+    // checkpointed: feeds the denominator count AND the hit join (the
+    // exact brute-force side is the expensive half of the audit)
     val exact = cosineTopK(cells.select("vec_id", "emb"), broadcast(q), k)
-      .select("qid", "cid")
+      .select("qid", "cid").localCheckpoint(true)
     val approx = ivfIndexTopK(spark, root, q, k, nprobe)
       .select("qid", "cid")
     val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+    // recall denominator = what the exact side ACTUALLY returned, not
+    // nq*k: on a corpus smaller than k+1 (or sparse cells) exact yields
+    // fewer than k non-self neighbors per query, and a perfect index
+    // would otherwise report recall_bp < 10000 and spuriously trip the
+    // rebuild flag
+    val exactN = exact.count()
     val nq = q.count()
     val perCell = cells.groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vecs"),
@@ -713,7 +721,7 @@ object Similarity {
     val (nCells, nVecs, maxCell) =
       (perCell.getLong(0), perCell.getLong(1), perCell.getLong(2))
     val maxPpm = if (nVecs == 0) 0L else 1000000L * maxCell / nVecs
-    val recallBp = if (nq == 0) 10000L else 10000L * hits / (nq * k)
+    val recallBp = if (exactN == 0) 10000L else 10000L * hits / exactN
     import spark.implicits._
     Seq((nCells, nVecs, maxCell, maxPpm, nq, recallBp,
       recallBp < minRecallBp || maxPpm > maxCellPpm))
@@ -755,6 +763,16 @@ object Similarity {
     else appendToIvfIndex(batch, root)
     fs.create(new org.apache.hadoop.fs.Path(s"$root/_ivf_commit_$batchId"),
       true).close()
+    // prune markers below the new horizon (keep only the max): a
+    // long-running stream would otherwise grow the root listing every
+    // batch — the same unbounded-version pattern pruneMvVersions fixes
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("_ivf_commit_") &&
+            n.stripPrefix("_ivf_commit_").toLong < batchId)
+          fs.delete(p, false)
+      }
     true
   }
 

@@ -215,6 +215,125 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** A reset event on a stream (the second input of the two-stream V4). */
+  case class ResetEvent(stream_id: String, t: Timestamp)
+
+  /** Union row of the two V4 inputs; reset rows carry v = 0 (unused).
+    * (private[streaming], not private: Spark codegen instantiates the
+    * encoder's deserialized class reflectively — object-private compiles
+    * to bytecode janino cannot reference.)
+    */
+  private[streaming] case class TaggedPoint(stream_id: String, t: Timestamp,
+      v: Double, is_reset: Boolean)
+
+  /** Two-input V4 state: last SOURCE point (reset rows never become the
+    * lag baseline, matching the batch op's ignoreNulls lag), the latest
+    * APPLIED reset time, and the buffered not-yet-applied reset times
+    * (resets may be delivered ahead of the source rows they precede; a
+    * pending reset applies once a source row at or past its timestamp
+    * folds). Sentinel Long.MinValue = "none yet". Times are epoch millis.
+    */
+  private[streaming] case class CounterResetState(prevT: Long, prevV: Double,
+      lastResetT: Long, pending: Seq[Long])
+
+  /** Stateful streaming V4 `counter_derivative` with a LIVE reset stream
+    * — the composed two-input twin of the batch
+    * [[graft.operators.Derive.counterDerivative]] with `reset = Some(_)`:
+    * measurement and reset streams UNION into one keyed fold (the same
+    * one-shuffle shape as the batch union + running-max core, never a
+    * stream-stream join — reset state is one timestamp per stream, not a
+    * buffered interval window), and an interval whose baseline point
+    * predates the latest reset is suppressed instead of emitted.
+    *
+    * Semantics, bit-matching the batch core (StreamingSpec pins
+    * batch≡streaming on a wrapping counter with mid-stream resets):
+    *  - rows fold in (t, reset-first, v) order within each micro-batch —
+    *    a reset at EXACTLY a source row's timestamp suppresses the
+    *    interval ending at that row (the batch `is_reset DESC` tie rule);
+    *  - a source row emits iff a previous source point exists, they fall
+    *    in different floor-seconds, and no reset landed strictly after
+    *    that previous point (`lastResetT <= prevT`);
+    *  - delta: v >= prev ⇒ v − prev; wrapped ⇒ (m − prev) + v with
+    *    maxValue m, skipped without one;
+    *  - EVERY source row becomes the new baseline, emitted or not.
+    *
+    * Cross-micro-batch delivery contract (the two-stream refinement of
+    * the other twins' per-key in-order rule): each input is in-order per
+    * key, SOURCE rows never run ahead of unfolded earlier rows, and a
+    * reset may arrive EARLY — in an earlier micro-batch than source rows
+    * it precedes in event time — but never LATE (after a source row with
+    * a later-or-equal timestamp has folded). Early resets buffer in
+    * per-stream state and apply by timestamp as source rows fold, so the
+    * output is exactly the batch op's under any such delivery; a replay
+    * feeds each common time slice resets-first (the gate query does).
+    * Early-not-late is the natural contract: micro-batch sources pick up
+    * the two streams' blocks at independent trigger boundaries, so
+    * same-slice rows can land in either order — enqueueing the reset
+    * feed first makes "early" the only possible skew. State is O(1 +
+    * pending resets) per stream.
+    *
+    * API note: this twin folds through `flatMapGroupsWithState`, not the
+    * siblings' `transformWithState` (the two-child union makes the v2
+    * operator's per-run grouping deliver a key's rows in more than one
+    * handleInputRows call; the classic API sort-merges them).
+    */
+  def counterDerivativeWithResets(src: Dataset[Point],
+      resets: Dataset[ResetEvent], maxValue: Option[Double])
+      : Dataset[Point] = {
+    import src.sparkSession.implicits._
+    val none = Long.MinValue
+    val tagged = src.map(p => TaggedPoint(p.stream_id, p.t, p.v, is_reset = false))
+      .unionByName(resets.map(r =>
+        TaggedPoint(r.stream_id, r.t, 0.0, is_reset = true)))
+    def fold(key: String, rows: Iterator[TaggedPoint],
+        gs: org.apache.spark.sql.streaming.GroupState[CounterResetState])
+        : Iterator[Point] = {
+      // (t, !is_reset, v): false < true puts reset rows FIRST at a tied
+      // timestamp ≡ the batch core's (t, is_reset DESC, v) sort
+      val sorted = rows.toSeq.sortBy(p => (p.t.getTime, !p.is_reset, p.v))
+      var st = gs.getOption.getOrElse(CounterResetState(none, 0.0, none, Nil))
+      var pending = st.pending
+      val out = sorted.flatMap { p =>
+        if (p.is_reset) {
+          pending = pending :+ p.t.getTime
+          None
+        } else {
+          val tMs = p.t.getTime
+          // apply every buffered reset at or before this row (<= = the
+          // reset-first tie rule: a reset ON this timestamp suppresses
+          // the interval ending here)
+          val (due, later) = pending.partition(_ <= tMs)
+          if (due.nonEmpty)
+            st = st.copy(lastResetT = math.max(st.lastResetT, due.max))
+          pending = later
+          val sec = Math.floorDiv(tMs, 1000L)
+          val emit =
+            if (st.prevT == none) None
+            else {
+              val prevSec = Math.floorDiv(st.prevT, 1000L)
+              val suppressed =
+                st.lastResetT != none && st.lastResetT > st.prevT
+              if (prevSec == sec || suppressed) None
+              else {
+                val dt = sec - prevSec
+                if (p.v >= st.prevV)
+                  Some(Point(key, p.t, (p.v - st.prevV) / dt))
+                else maxValue.map(m =>
+                  Point(key, p.t, (m - st.prevV + p.v) / dt))
+              }
+            }
+          st = st.copy(prevT = tMs, prevV = p.v)
+          emit
+        }
+      }
+      gs.update(st.copy(pending = pending))
+      out.iterator
+    }
+    tagged.groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** EWMA state: the running smoothed value of one stream. */
   case class EwmaState(value: Double)
 

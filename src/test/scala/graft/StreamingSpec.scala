@@ -276,6 +276,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((ts("2024-01-01 00:00:10"), 2.0)))
   }
 
+  test("two-input streaming counter_derivative with live resets == batch V4") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // wrapping counter over two streams with mid-stream resets: one reset
+    // BETWEEN points (suppresses the next interval), one reset exactly ON
+    // a source timestamp (tie rule: suppresses the interval ending there),
+    // one reset on stream b only, one wrap AFTER a reset (the first
+    // emission post-reset must baseline on the suppressed point). The
+    // 3-batch replay cuts both streams on common time boundaries so a
+    // reset and its suppressed interval land in DIFFERENT micro-batches —
+    // the reset timestamp must persist in state.
+    val srcPts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 90.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:10"), 95.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:20"), 5.0),  // wrap
+      Streaming.Point("a", ts("2024-01-01 00:00:30"), 15.0), // reset at same t
+      Streaming.Point("a", ts("2024-01-01 00:00:40"), 20.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:50"), 3.0),  // wrap after reset
+      Streaming.Point("b", ts("2024-01-01 00:00:05"), 10.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:25"), 40.0), // suppressed
+      Streaming.Point("b", ts("2024-01-01 00:00:45"), 50.0))
+    val rstPts = Seq(
+      Streaming.ResetEvent("a", ts("2024-01-01 00:00:30")), // ties src t
+      Streaming.ResetEvent("b", ts("2024-01-01 00:00:15"))) // between pts
+    val memS = MemoryStream[Streaming.Point]
+    val memR = MemoryStream[Streaming.ResetEvent]
+    val q = Streaming
+      .counterDerivativeWithResets(memS.toDS(), memR.toDS(), Some(100.0))
+      .writeStream.format("memory").queryName("cdr_out")
+      .outputMode("append").start()
+    // common cuts at :15 and :35, resets enqueued BEFORE sources per
+    // slice (the early-not-late delivery contract: the engine may fold
+    // the two feeds' blocks in separate micro-batches, so a slice's
+    // resets can only arrive EARLY — the pending-reset buffer applies
+    // them by timestamp). b's reset lands ahead of its suppressed point;
+    // a's tied reset + point exercise the reset-first tie rule.
+    val cuts = Seq(ts("2024-01-01 00:00:15").getTime,
+      ts("2024-01-01 00:00:35").getTime, Long.MaxValue)
+    var lo = Long.MinValue
+    cuts.foreach { hi =>
+      memR.addData(rstPts.filter(p => p.t.getTime >= lo && p.t.getTime < hi))
+      memS.addData(srcPts.filter(p => p.t.getTime >= lo && p.t.getTime < hi))
+      q.processAllAvailable()
+      lo = hi
+    }
+    q.stop()
+    val got = spark.table("cdr_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    val batch = Derive.counterDerivative(
+        srcPts.map(p => (p.stream_id, p.t, p.v)).toDF("stream_id", "t", "v"),
+        Some(100.0),
+        Some(rstPts.map(r => (r.stream_id, r.t)).toDF("stream_id", "t")))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    assert(got == batch)
+    // hand-checked shape: a emits at :10 (0.5), :20 (wrap 1.0), :40
+    // (suppressed at :30 by the tied reset, then baseline = the :30
+    // point → (20-15)/10), :50 (wrap (100-20+3)/10); b emits at :45
+    // only ((50-40)/20 — :25 suppressed by the :15 reset)
+    assert(got == Set(
+      ("a", ts("2024-01-01 00:00:10"), 0.5),
+      ("a", ts("2024-01-01 00:00:20"), 1.0),
+      ("a", ts("2024-01-01 00:00:40"), 0.5),
+      ("a", ts("2024-01-01 00:00:50"), 8.3),
+      ("b", ts("2024-01-01 00:00:45"), 0.5)))
+  }
+
   test("stream-stream interval join == batch interval join across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
