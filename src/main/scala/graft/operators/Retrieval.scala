@@ -61,15 +61,20 @@ object Retrieval {
   /** Materialized inverted index (the production form of [[bm25TopK]]'s
     * ad-hoc inverted stream): postings (tok, doc_id, tf) live under
     * `root/postings/bucket=B` with B = pmod(xxhash64(tok), nBuckets), and
-    * per-doc lengths under `root/doclens`. A token's postings live
+    * per-doc lengths under `root/doclens/bucket=B` with B =
+    * pmod(xxhash64(doc_id), nBuckets). A token's postings live
     * WHOLLY in its bucket, so a search reads only its query tokens'
     * bucket directories — partition-pruned I/O ∝ matched vocabulary, not
     * corpus — and document frequencies are recomputed exactly from those
-    * pruned buckets (no separate df table to keep in sync). Both tables
-    * are append-only: [[appendToIndex]] adds a NEW batch of docs as new
-    * files in the same buckets, making incremental index maintenance a
-    * pure append (the caller owns doc-id dedup, as everywhere in the
-    * engine).
+    * pruned buckets (no separate df table to keep in sync). The doclens
+    * sidecar is corpus-sized, which is exactly why it is bucketed like
+    * the postings: builds/appends write it through a distributed
+    * repartition-by-bucket (one file per bucket per append, never a
+    * single-task coalesce funnel), and a delete COW-rewrites ONLY the
+    * buckets holding a deleted doc. Both tables are append-only:
+    * [[appendToIndex]] adds a NEW batch of docs as new files in the same
+    * buckets, making incremental index maintenance a pure append (the
+    * caller owns doc-id dedup, as everywhere in the engine).
     */
   def buildIndex(docs: DataFrame, root: String, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
@@ -91,8 +96,9 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
     toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .coalesce(1)
-      .write.mode(mode).parquet(s"$root/doclens")
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$root/doclens")
   }
 
   private def retrievalFs(spark: org.apache.spark.sql.SparkSession,
@@ -100,74 +106,105 @@ object Retrieval {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hidden pre-publish trees + the durable delete-intent marker. A
+    * leftover stage/tmp tree is pre-publish state (healed away = rolled
+    * back); the PENDING marker is post-publish intent (healed = the
+    * delete COMPLETES — see [[healIndex]]).
+    */
+  private val StageDir = ".bm25_stage"
+  private val DlStageDir = ".bm25_dlstage"
+  private val PendingTmp = ".bm25_pending_tmp"
+  private val PendingDelete = "_bm25_pending_delete"
+
   /** Delete documents from a [[buildIndex]] index — the takedown /
     * dedup-purge lane that completes the append-only lifecycle, same
-    * crash-safe COW discipline as the IVF index's cell swap: only the
-    * postings BUCKET dirs that actually contain a deleted doc's tokens
-    * are rewritten (anti-join against the id set), staged to a hidden
-    * `.bm25_tmp_<b>` dir and swapped live; [[healIndex]] (run here and
-    * by [[bm25TopKIndexed]]) finishes or rolls back an interrupted swap.
-    * The doclens sidecar is one slim row per doc (written coalesced), so
-    * it COW-rewrites wholesale under the same swap — O(#docs) rows of
-    * two columns, not O(postings).
+    * crash-safe COW discipline as the IVF index's cell swap, applied to
+    * BOTH trees: only the postings buckets containing a deleted doc's
+    * tokens and the doclens buckets containing the doc rows themselves
+    * are rewritten (anti-join against the id set), staged hidden and
+    * swapped live by rename.
+    *
+    * Atomicity ACROSS the two trees: the id set is made durable first
+    * (written complete to a hidden tmp dir, renamed to the
+    * `_bm25_pending_delete` marker — the VersionedTable data-first
+    * ordering), and the marker is removed only after every swap
+    * published. A crash mid-publish therefore leaves the intent on disk
+    * and [[healIndex]] — run by every search — COMPLETES the delete
+    * instead of silently keeping deleted docs in unswapped buckets /
+    * the N & avgdl statistics (completion is idempotent: an
+    * already-swapped bucket no longer matches any pending id, so only
+    * the remaining buckets rewrite).
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, idsDf: DataFrame): Unit = {
-    healIndex(spark, root)
+    healIndex(spark, root) // completes any prior pending delete first
     val fs = retrievalFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings"))) return
-    val ids = idsDf.select(col("doc_id")).localCheckpoint(true)
-    def swap(live: org.apache.hadoop.fs.Path, tag: String)(
-        write: org.apache.hadoop.fs.Path => Unit): Unit = {
-      val parent = live.getParent
-      val tmp = new org.apache.hadoop.fs.Path(parent, s".bm25_tmp_$tag")
-      val old = new org.apache.hadoop.fs.Path(parent, s".bm25_old_$tag")
-      write(tmp)
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"bm25 delete: cannot stage $live")
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"bm25 delete: cannot publish $tmp")
-      fs.delete(old, true)
-    }
-    // touched buckets only — bounded by nBuckets by construction
-    val touched = spark.read.parquet(s"$root/postings")
+    val tmp = new org.apache.hadoop.fs.Path(root, PendingTmp)
+    idsDf.select(col("doc_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, PendingDelete)))
+      throw new java.io.IOException(s"bm25 delete: cannot publish intent")
+    runPendingDelete(spark, root)
+  }
+
+  /** Execute (or re-execute after a crash) the delete recorded in the
+    * pending marker, then clear it. ONE staged job per tree rewrites ALL
+    * its touched buckets (partition-pruned read → anti-join →
+    * partitionBy(bucket) into a hidden stage tree): the per-bucket
+    * read+write loop billed 2-3 jobs per bucket (103 jobs / 986 tasks on
+    * the sf0.1 maintained gate fixture); staged, the job count is
+    * constant and only renames remain.
+    */
+  private def runPendingDelete(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = retrievalFs(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(root, PendingDelete)
+    val ids = spark.read.parquet(marker.toString).localCheckpoint(true)
+    stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
+    stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids)
+    fs.delete(marker, true)
+  }
+
+  /** Shared staged COW delete over one bucket-partitioned tree: find the
+    * touched buckets (bounded by nBuckets by construction), rewrite them
+    * minus `ids` into `stagePath` in one job, swap each live. A bucket
+    * fully emptied by the rewrite is absent from the stage and retires
+    * through the healable old state.
+    */
+  private def stagedBucketDelete(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      stagePath: String, ids: DataFrame): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) return
+    val touched = spark.read.parquet(tableDir)
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
-    if (touched.nonEmpty) {
-      // ONE staged job rewrites ALL touched buckets (partition-pruned
-      // read → anti-join → partitionBy(bucket) into a hidden stage
-      // tree): the per-bucket read+write loop billed 2-3 jobs per
-      // bucket (103 jobs / 986 tasks on the sf0.1 maintained gate
-      // fixture); staged, the job count is constant and only renames
-      // remain. Leftover stage = pre-publish state, healed away.
-      val stage = new org.apache.hadoop.fs.Path(s"$root/.bm25_stage")
-      spark.read.parquet(s"$root/postings")
-        .where(col("bucket").isin(touched: _*))
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-      touched.foreach { b =>
-        val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
-        val staged = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
-        if (fs.exists(staged))
-          swap(live, b.toString)(tmp =>
-            if (!fs.rename(staged, tmp))
-              throw new java.io.IOException(s"bm25 delete: cannot move $staged"))
-        else {
-          // bucket fully emptied — retire through the healable old state
-          val old = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_old_$b")
-          if (!fs.rename(live, old))
-            throw new java.io.IOException(s"bm25 delete: cannot retire $live")
-          fs.delete(old, true)
-        }
+    if (touched.isEmpty) return
+    val stage = new org.apache.hadoop.fs.Path(stagePath)
+    spark.read.parquet(tableDir)
+      .where(col("bucket").isin(touched: _*))
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_tmp_$b")
+      val old = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_old_$b")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, tmp))
+          throw new java.io.IOException(s"bm25 delete: cannot move $staged")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"bm25 delete: cannot stage $live")
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"bm25 delete: cannot publish $tmp")
+        fs.delete(old, true)
+      } else {
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"bm25 delete: cannot retire $live")
+        fs.delete(old, true)
       }
-      fs.delete(stage, true)
     }
-    val dl = new org.apache.hadoop.fs.Path(s"$root/doclens")
-    if (fs.exists(dl)) swap(dl, "doclens") { tmp =>
-      spark.read.parquet(dl.toString)
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    }
+    fs.delete(stage, true)
   }
 
   /** Merge small files inside hot postings buckets — the small-file
@@ -183,23 +220,33 @@ object Retrieval {
       root: String, maxFilesPerBucket: Int = 4): Unit = {
     healIndex(spark, root)
     val fs = retrievalFs(spark, root)
-    val postings = new org.apache.hadoop.fs.Path(s"$root/postings")
-    if (!fs.exists(postings)) return
-    val hot = fs.listStatus(postings)
+    compactTree(spark, fs, s"$root/postings", s"$root/$StageDir",
+      maxFilesPerBucket)
+    // appends grow doclens one file per bucket per batch too
+    compactTree(spark, fs, s"$root/doclens", s"$root/$DlStageDir",
+      maxFilesPerBucket)
+  }
+
+  private def compactTree(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      stagePath: String, maxFilesPerBucket: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(dir)) return
+    val hot = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .filter(d => fs.listStatus(d.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
       .map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
     if (hot.isEmpty) return
-    val stage = new org.apache.hadoop.fs.Path(s"$root/.bm25_stage")
-    spark.read.parquet(s"$root/postings")
+    val stage = new org.apache.hadoop.fs.Path(stagePath)
+    spark.read.parquet(tableDir)
       .where(col("bucket").isin(hot: _*))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     hot.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
-      val tmp = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_tmp_$b")
-      val old = new org.apache.hadoop.fs.Path(live.getParent, s".bm25_old_$b")
+      val live = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_tmp_$b")
+      val old = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_old_$b")
       val staged = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
       if (!fs.rename(staged, tmp))
         throw new java.io.IOException(s"bm25 compact: cannot move $staged")
@@ -212,34 +259,40 @@ object Retrieval {
     fs.delete(stage, true)
   }
 
-  /** Finish or roll back an interrupted [[deleteFromIndex]] swap — the
-    * IVF heal state machine verbatim: tmp + live ⇒ swap never started
-    * (tmp may be incomplete — drop it); tmp alone ⇒ live was staged away
-    * after a complete write — publish tmp; old (± live) ⇒ publish
-    * happened — drop old. Idempotent, one listing per level.
+  /** Finish or roll back an interrupted [[deleteFromIndex]] /
+    * [[compactIndex]] swap — the IVF heal state machine verbatim per
+    * bucket, on both trees: tmp + live ⇒ swap never started (tmp may be
+    * incomplete — drop it); tmp alone ⇒ live was staged away after a
+    * complete write — publish tmp; old (± live) ⇒ publish happened —
+    * drop old. Then, if a durable `_bm25_pending_delete` marker remains,
+    * the delete crashed between publishing its intent and finishing its
+    * swaps: COMPLETE it (idempotent — already-swapped buckets no longer
+    * match any pending id), so a partial delete can never persist
+    * silently across the two trees. Idempotent, one listing per level.
     */
   def healIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = retrievalFs(spark, root)
-    // leftover stage tree = pre-publish state of an interrupted batched
-    // delete — dropping it rolls that delete back wholesale
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.bm25_stage"), true)
-    def healDir(dir: org.apache.hadoop.fs.Path,
-        liveName: String => String): Unit = {
+    // leftover stage/pending-tmp trees = pre-publish state of an
+    // interrupted batched delete — dropping them rolls that phase back
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$StageDir"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$DlStageDir"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, PendingTmp), true)
+    def healDir(dir: org.apache.hadoop.fs.Path): Unit = {
       if (!fs.exists(dir)) return
       fs.listStatus(dir).map(_.getPath).foreach { p =>
         val n = p.getName
         if (n.startsWith(".bm25_tmp_")) {
           val live = new org.apache.hadoop.fs.Path(dir,
-            liveName(n.stripPrefix(".bm25_tmp_")))
+            s"bucket=${n.stripPrefix(".bm25_tmp_")}")
           if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
         } else if (n.startsWith(".bm25_old_")) fs.delete(p, true)
       }
     }
-    healDir(new org.apache.hadoop.fs.Path(s"$root/postings"),
-      tag => s"bucket=$tag")
-    // doclens' swap tags live in the index ROOT (doclens is itself the dir)
-    healDir(new org.apache.hadoop.fs.Path(root), _ => "doclens")
+    healDir(new org.apache.hadoop.fs.Path(s"$root/postings"))
+    healDir(new org.apache.hadoop.fs.Path(s"$root/doclens"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, PendingDelete)))
+      runPendingDelete(spark, root)
   }
 
   /** Per-bucket observability for a [[buildIndex]] index — the postings

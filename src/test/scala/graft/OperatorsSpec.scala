@@ -3299,6 +3299,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "search must heal-publish the staged bucket before reading")
   }
 
+  test("bm25 doclens delete rewrites only touched buckets; heal completes a crashed delete") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-dl").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d, root, nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dlFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/doclens"))
+        .filter(_.getPath.getName.startsWith("bucket=")).map { b =>
+          b.getPath.getName -> fs.listStatus(b.getPath)
+            .map(_.getPath.getName).toSet
+        }.toMap
+    val before = dlFiles()
+    // the sidecar is distributed, not a coalesce(1) funnel: multiple
+    // bucket dirs, each its own file set
+    assert(before.size > 1, s"doclens should span buckets, got $before")
+    val ids = Seq(3L, 7L)
+    val touched = ids.map(id => "bucket=" + spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(8L))).head().getLong(0)).toSet
+    graft.operators.Retrieval.deleteFromIndex(spark, root, ids.toDF("doc_id"))
+    val after = dlFiles()
+    // untouched buckets keep their exact files; touched ones rewrote
+    before.foreach { case (b, fls) =>
+      if (touched(b)) assert(after(b) != fls, s"$b should have rewritten")
+      else assert(after(b) == fls, s"$b rewrote without containing a deleted id")
+    }
+    assert(spark.read.parquet(s"$root/doclens")
+      .where(col("doc_id").isin(ids: _*)).count() == 0)
+    // crashed delete: intent marker durable, NO swaps ran — healIndex
+    // (every search runs it) must COMPLETE the delete on both trees
+    val ids2 = Seq(11L, 12L)
+    ids2.toDF("doc_id").write.parquet(s"$root/_bm25_pending_delete")
+    graft.operators.Retrieval.healIndex(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_bm25_pending_delete")), "heal must clear the completed intent")
+    assert(spark.read.parquet(s"$root/doclens")
+      .where(col("doc_id").isin(ids2: _*)).count() == 0)
+    assert(spark.read.parquet(s"$root/postings")
+      .where(col("doc_id").isin(ids2: _*)).count() == 0)
+    // and the healed index scores like a fresh build without those docs
+    val q = d.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-bm25-dl-fresh").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(
+      d.where(!col("doc_id").isin((ids ++ ids2): _*)), fresh, nBuckets = 8)
+    def search(r: String) = graft.operators.Retrieval
+      .bm25TopKIndexed(spark, r, q, 5, nBuckets = 8)
+      .collect().map(_.toSeq).toSet
+    assert(search(root) == search(fresh))
+  }
+
   test("ivf rebuild: retrained v2 index search == ad-hoc exact-Lloyd search") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
