@@ -3500,6 +3500,49 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_audited" -> { (s, dir) =>
+      // the CLOSED drift loop (the piece emb_ann_ivf_stream leaves to
+      // the operator): the family bootstraps under a deliberately BIASED
+      // frozen quantizer (5 centroids sampled from one corner of the
+      // corpus — appends immediately drift from it), micro-batches fold
+      // in through maintainIvfBatch, and the wired-in audit on the final
+      // batch trips rebuild (recall decay / cell skew) → exact-Lloyd
+      // retrain on the accumulated content → generation flip. Content ≡
+      // corpus by then, so the post-flip search is the trained lane —
+      // ivfTrainedOracleSql verbatim. The oracle is what pins that the
+      // audit FIRED: without the rebuild the biased-quantizer search
+      // diverges from the trained oracle.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivf-aud").toString + "/fam"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val biased = Similarity.strideCentroids(e.where(col("vec_id") < 40), 8)
+      def rows(m: Long) = e.where(col("vec_id") % 3 === m)
+        .as[(Long, Seq[Double])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDF.toDF("vec_id", "emb")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.maintainIvfBatch(s, base, b, id, biased,
+            auditEvery = 3, k = 3, nprobe = 2, rebuildStride = 50)
+          ()
+        }
+        .option("checkpointLocation", s"$base/../ckpt").start()
+      try {
+        mem.addData(rows(0)); q.processAllAvailable()
+        mem.addData(rows(1)); q.processAllAvailable()
+        mem.addData(rows(2)); q.processAllAvailable()
+      } finally q.stop()
+      val qs = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, Similarity.ivfCurrentRoot(s, base),
+          qs, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_stats" -> { (s, dir) =>
       // per-cell observability for the persisted index — the balance
       // stats that feed auditIvfIndex's rebuild trigger (a hot cell
@@ -3537,6 +3580,20 @@ object SparkEntry {
         .parquet(s"$work/doclens")
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
       stats.crossJoin(dl)
+    },
+
+    "q_bm25_audit" -> { (s, dir) =>
+      // relevance-drift audit on a fresh consistent index: the sampled
+      // direct-vs-indexed MRR row must come back perfect — (n_q, n_q,
+      // 10000, false) — which only happens if the whole chain agrees
+      // (sampling rule, both scoring lanes, doclens stats, rank ties).
+      // The analytic oracle recomputes n_q from the stride rule; the
+      // gutted-bucket detection lane is pinned in OperatorsSpec.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-audit").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Retrieval.buildIndex(docs, work)
+      Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
     "emb_ann_ivf_trained" -> { (s, dir) =>
@@ -7533,6 +7590,17 @@ object SparkEntry {
     // maintained index ≡ full corpus after the decoy delete — same oracle
     "q_bm25_maintained" -> bm25TopkOracleSql,
 
+    // analytic: a consistent index's sampled MRR audit is exactly
+    // (n_q, n_q, 10000, false); n_q follows the stride-sample rule
+    // max(1, ceil(n/20)) — the row only matches if both scoring lanes,
+    // the doclens stats, and the rank tie rules all agree
+    "q_bm25_audit" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |q AS (SELECT count(*) AS n_q FROM documents, nn
+        |      WHERE doc_id % greatest(1, (n + 19) // 20) = 0)
+        |SELECT n_q, n_q AS n_top1_agree, CAST(10000 AS BIGINT) AS mrr_bp,
+        |  FALSE AS stale FROM q""".stripMargin,
+
     "q_mrr_eval" ->
       // bm25TopkOracleSql's CTE chain with mid-slice queries (words
       // 5..12 of the first 20 docs), evaluated against the source doc
@@ -9046,6 +9114,9 @@ object SparkEntry {
 
     "emb_ann_ivf_trained" -> ivfTrainedOracleSql,
     "emb_ann_ivf_rebuilt" -> ivfTrainedOracleSql,
+    // audit-triggered rebuild on full content ⇒ the trained lane exactly;
+    // a silent non-firing audit would hash-diverge from this oracle
+    "emb_ann_ivf_audited" -> ivfTrainedOracleSql,
 
     "emb_ann_ivfpq" ->
       // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ

@@ -329,6 +329,45 @@ object Retrieval {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
   }
 
+  /** Relevance-drift audit for a [[buildIndex]] index — the quality
+    * signal [[indexStats]]' counts/bytes lack, mirroring
+    * [[Similarity.auditIvfIndex]] for the text side: a stride-bounded
+    * sample of corpus docs replays as queries through BOTH lanes —
+    * direct [[bm25TopK]] over the ground-truth corpus and the index's
+    * [[bm25TopKIndexed]] — and the audit scores the index by the
+    * reciprocal rank of each direct top-1 doc within the indexed list
+    * (the MRR-vs-truth shape of the `q_mrr_eval` gate). All-integer
+    * scoring (per-query rr_bp = 10000 div rank, absent ⇒ 0; mrr_bp =
+    * Σ div n_q) keeps the row engine-exact. A consistent index reports
+    * (n_q, n_q, 10000, false); lost postings (a gutted bucket, a
+    * half-applied delete the marker machinery missed) surface as
+    * disagreement and `stale = mrr_bp < minMrrBp` — the signal to
+    * compact/rebuild from the source corpus. Cost: one direct scoring
+    * of ~sampleBudget queries + one pruned index search.
+    */
+  def auditIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      docs: DataFrame, k: Int = 5, sampleBudget: Long = 20,
+      nBuckets: Int = 64, minMrrBp: Long = 9000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val st = math.max(1L, (n + sampleBudget - 1) / sampleBudget)
+    val q = docs.where(col(idCol) % st === 0)
+      .select(col(idCol).as("qid"), col(textCol).as("qtext"))
+      .localCheckpoint(true) // feeds both lanes
+    val direct = bm25TopK(docs, q, k, idCol = idCol, textCol = textCol)
+    val indexed = bm25TopKIndexed(spark, root, q, k, nBuckets)
+    val rr = direct.where(col("rnk") === 1).select(col("qid"), col("doc_id"))
+      .join(indexed.select(col("qid"), col("doc_id"), col("rnk")),
+        Seq("qid", "doc_id"), "left")
+      .select(col("qid"),
+        coalesce(expr("10000L div rnk"), lit(0L)).as("rr_bp"))
+    rr.agg(count(lit(1)).as("n_q"),
+        sum(when(col("rr_bp") === 10000L, 1L).otherwise(0L))
+          .as("n_top1_agree"),
+        expr("sum(rr_bp) div count(1)").as("mrr_bp"))
+      .withColumn("stale", col("mrr_bp") < minMrrBp)
+  }
+
   /** BM25 top-k against a [[buildIndex]] index — scoring identical to
     * [[bm25TopK]] (same formula, same round-6 rank key), I/O pruned to
     * the query tokens' buckets. Queries are metadata-scale by premise

@@ -776,6 +776,77 @@ object Similarity {
     true
   }
 
+  /** Resolve the live generation of a MAINTAINED index family under
+    * `base`: generations live at `base/gen=N`, and generation N is live
+    * iff an `_ivf_gen_N` marker exists — the resolved root is the MAX
+    * marked generation (none marked = the bootstrap `gen=0`). A rebuild
+    * publishes by creating the next marker AFTER its index is complete
+    * (single atomic create, the commit-record-last ordering), so a crash
+    * mid-rebuild leaves an unmarked orphan dir and readers stay on the
+    * old generation; there is no delete-then-rename pointer window.
+    */
+  def ivfCurrentRoot(spark: org.apache.spark.sql.SparkSession,
+      base: String): String = s"$base/gen=${ivfCurrentGen(spark, base)}"
+
+  private def ivfCurrentGen(spark: org.apache.spark.sql.SparkSession,
+      base: String): Long = {
+    val fs = hadoopFs(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_ivf_gen_") =>
+        n.stripPrefix("_ivf_gen_").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** One foreachBatch step of the FULLY-WIRED streaming maintenance
+    * loop: exactly-once apply ([[applyIvfBatch]]) into the family's live
+    * generation, in-loop compaction every `compactEvery` batches, and —
+    * the drift-audit wiring — [[auditIvfIndex]] every `auditEvery`
+    * batches with an automatic [[rebuildIvfIndex]] + generation flip
+    * when the audit raises its rebuild flag (recall decay or cell skew:
+    * appends have drifted from the build-time quantizer). The retrained
+    * generation inherits the commit horizon, so re-deliveries stay
+    * skipped across the flip; a crash mid-rebuild leaves the family on
+    * the old generation and the next triggering audit retries into the
+    * same (cleared) target. Returns true when the batch was applied.
+    */
+  def maintainIvfBatch(spark: org.apache.spark.sql.SparkSession,
+      base: String, batch: DataFrame, batchId: Long,
+      cents: Array[(Long, Seq[Double])], compactEvery: Int = 0,
+      auditEvery: Int = 0, k: Int = 3, nprobe: Int = 2,
+      rebuildStride: Long = 0, centroidBudget: Long = 1024,
+      sampleBudget: Long = 20, minRecallBp: Long = 8000,
+      maxCellPpm: Long = 500000): Boolean = {
+    val gen = ivfCurrentGen(spark, base)
+    val cur = s"$base/gen=$gen"
+    val applied = applyIvfBatch(spark, cur, batch, batchId, cents)
+    if (!applied) return false
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactIvfIndex(spark, cur, maxFilesPerCell = 2)
+    if (auditEvery > 0 && batchId % auditEvery == auditEvery - 1) {
+      val a = auditIvfIndex(spark, cur, k, nprobe, sampleBudget,
+        minRecallBp, maxCellPpm).head()
+      if (a.getBoolean(6)) {
+        val fs = hadoopFs(spark, base)
+        val next = s"$base/gen=${gen + 1}"
+        // a crashed earlier attempt leaves an unmarked half-built dir —
+        // clear it or the rebuild's appends would double its content
+        fs.delete(new org.apache.hadoop.fs.Path(next), true)
+        rebuildIvfIndex(spark, cur, next, rebuildStride, 2, centroidBudget)
+        // carry the exactly-once horizon into the new generation BEFORE
+        // it becomes visible (a re-delivered pre-flip batch must skip)
+        fs.create(new org.apache.hadoop.fs.Path(next,
+          s"_ivf_commit_$batchId"), true).close()
+        // publish = single marker create, then prune superseded markers
+        fs.create(new org.apache.hadoop.fs.Path(base,
+          s"_ivf_gen_${gen + 1}"), true).close()
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"_ivf_gen_$gen"), false)
+      }
+    }
+    applied
+  }
+
   /** Hidden staging tree for the batched COW delete — pre-publish state,
     * healed away wholesale. */
   private val IvfStageDir = ".ivf_stage"

@@ -3384,6 +3384,93 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild from index content must equal the ad-hoc trained search")
   }
 
+  test("bm25 index audit: perfect on a consistent index, detects a gutted bucket") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-audit-spec").toString + "/idx"
+    // 2 buckets: gutting one loses ~half the vocabulary — an effect no
+    // sampled audit can miss
+    graft.operators.Retrieval.buildIndex(d, root, nBuckets = 2)
+    def audit() = graft.operators.Retrieval
+      .auditIndex(spark, root, d, k = 5, sampleBudget = 20, nBuckets = 2,
+        minMrrBp = 9999)
+      .head()
+    val healthy = audit()
+    assert(healthy.getLong(0) == healthy.getLong(1) &&
+      healthy.getLong(2) == 10000L && !healthy.getBoolean(3),
+      s"consistent index must audit perfect: $healthy")
+    // gut a bucket (lost postings no heal state can recover — the
+    // failure indexStats' counts/bytes would report as merely 'smaller')
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$root/postings/bucket=0"), true))
+    val gutted = audit()
+    assert(gutted.getLong(2) < 10000L && gutted.getBoolean(3),
+      s"gutted bucket must surface as stale: $gutted")
+  }
+
+  test("maintained IVF family: drift audit trips automatic rebuild + generation flip") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-fam").toString + "/fam"
+    // 5 centroids all sampled from one corner — appends drift immediately
+    val biased = graft.operators.Similarity
+      .strideCentroids(e.where(col("vec_id") < 20), 4)
+    graft.operators.Similarity.maintainIvfBatch(spark, base,
+      e.where(col("vec_id") % 2 === 0), 0, biased,
+      auditEvery = 2, k = 3, nprobe = 2, rebuildStride = 20)
+    assert(graft.operators.Similarity.ivfCurrentRoot(spark, base)
+      == s"$base/gen=0", "no audit yet -> bootstrap generation")
+    // crashed-rebuild orphan: a half-built unmarked gen=1 must be
+    // cleared by the retry, not doubled into
+    val orphan = new java.io.File(s"$base/gen=1/cells")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/gen=1/junk.txt"), "stale")
+    graft.operators.Similarity.maintainIvfBatch(spark, base,
+      e.where(col("vec_id") % 2 === 1), 1, biased,
+      auditEvery = 2, k = 3, nprobe = 2, rebuildStride = 20)
+    val cur = graft.operators.Similarity.ivfCurrentRoot(spark, base)
+    assert(cur == s"$base/gen=1", "drift audit must flip the generation")
+    assert(!new java.io.File(s"$base/gen=1/junk.txt").exists(),
+      "retry must clear the crashed orphan before rebuilding")
+    // the retrained generation measurably improves on the biased one it
+    // replaced (gen=0 still holds the full content under the biased
+    // quantizer — audit both with identical params). An absolute
+    // "healthy" bar would be wrong here: a well-trained IVF at
+    // nprobe=2-of-10 legitimately sits below the 8000bp default, which
+    // is tuned for the gate's 5-cell probes — minRecallBp is a per-
+    // deployment dial, the pinned invariant is the IMPROVEMENT.
+    val a0 = graft.operators.Similarity
+      .auditIvfIndex(spark, s"$base/gen=0", 3, 2).head()
+    val a1 = graft.operators.Similarity
+      .auditIvfIndex(spark, cur, 3, 2).head()
+    assert(a1.getLong(5) > a0.getLong(5),
+      s"retrained recall must beat the biased quantizer: $a0 -> $a1")
+    // ...and searches exactly like the ad-hoc exact-Lloyd lane
+    // (content == corpus at rebuild time)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val got = graft.operators.Similarity.ivfIndexTopK(spark, cur, q, 3, 2)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adhoc = graft.operators.Similarity
+      .ivfTopKWithCentroids(e,
+        graft.operators.Similarity.kmeansCentroidsExact(e, 20, 2), 3, 2)
+      .where(col("qid") < 10)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == adhoc)
+    // a re-delivered pre-flip batch skips (horizon carried across the flip)
+    assert(!graft.operators.Similarity.maintainIvfBatch(spark, base,
+      e.where(col("vec_id") % 2 === 1), 1, biased,
+      auditEvery = 2, k = 3, nprobe = 2, rebuildStride = 20))
+  }
+
   test("incremental connected components == from-scratch on random graphs, any batch split") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
