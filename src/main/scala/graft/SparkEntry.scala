@@ -2628,6 +2628,47 @@ object SparkEntry {
         .orderBy(desc("n_shared_fps"), col("doc_id"))
     },
 
+    "pipe_contam_winnow_stream" -> { (s, dir) =>
+      // STREAMING decontamination under the oracle: the corpus replayed
+      // in three micro-batches through winnowContaminationStream, with
+      // the eval set (doc_id < 5) and the corpus's own df>20 boilerplate
+      // tail as the broadcast screening inputs. The per-doc decision is
+      // a pure function of the doc against those fixed sets, so the
+      // flagged rows are batch-split-invariant and share
+      // pipe_contam_winnow's oracle SQL verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-contamw-q").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val boil = Dedup.winnowFingerprints(docs)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") > 20).select("fp")
+      val rows = docs.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = mem.toDF.toDF("doc_id", "text")
+        val q = graft.streaming.Streaming
+          .winnowContaminationStream(src, docs.where(col("doc_id") < 5),
+            boil, s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt").start()
+        try {
+          val (b1, rest) = rows.splitAt(rows.length / 3)
+          val (b2, b3) = rest.splitAt(rest.length / 2)
+          Seq(b1, b2, b3).foreach { bd =>
+            mem.addData(bd.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$work/out")
+        .select("doc_id", "n_shared_fps", "n_eval_docs")
+        .orderBy(desc("n_shared_fps"), col("doc_id"))
+    },
+
     "dedup_cdc_chunks" -> { (s, dir) =>
       // content-defined chunking (rsync/borg boundaries at word level):
       // a chunk starts where the 4-gram ending just before it hashes
@@ -5418,6 +5459,34 @@ object SparkEntry {
   /** shared by emb_ann_ivf_trained and emb_ann_ivf_rebuilt — a rebuild
     * retrains the SAME exact-integer Lloyd recipe from the index's own
     * content (= the corpus), so the searches coincide */
+  // same fingerprint CTEs as dedup_winnow; eval fps come UNPRUNED from
+  // the per-doc fingerprint function (fingerprints depend only on a
+  // doc's own text, so filtering the full-corpus table ≡ computing on
+  // the eval set alone), corpus side df-pruned. Shared by the batch
+  // lane and its streaming twin.
+  private val contamWinnowOracleSql: String =
+    """WITH w AS MATERIALIZED (SELECT doc_id,
+      |    string_split(text, ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    CAST(len(words) - 3 AS BIGINT) AS ng,
+      |    ('0x' || substring(md5(
+      |      array_to_string(words[i + 1 : i + 4], ' ')), 1, 15))::BIGINT
+      |      AS hv
+      |  FROM (SELECT doc_id, words,
+      |      unnest(range(0, len(words) - 3)) AS i FROM w)),
+      |m AS (SELECT doc_id, ng, pos, min(hv) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      |  FROM g),
+      |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 8),
+      |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+      |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+      |e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id < 5)
+      |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps,
+      |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM r JOIN e USING (fp) WHERE r.doc_id <> e.eval_id
+      |GROUP BY r.doc_id HAVING count(*) >= 1
+      |ORDER BY n_shared_fps DESC, doc_id""".stripMargin
+
   private val ivfTrainedOracleSql: String =
     // 2 unrolled Lloyd rounds: assignment ties break to the lowest
     // cent_id (≡ Spark's first-max over ascending ids), recentering
@@ -6940,32 +7009,11 @@ object SparkEntry {
         |SELECT doc_a, doc_b, shared_fps FROM p
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
 
-    "pipe_contam_winnow" ->
-      // same fingerprint CTEs as dedup_winnow; eval fps come UNPRUNED
-      // from the per-doc fingerprint function (fingerprints depend only
-      // on a doc's own text, so filtering the full-corpus table ≡
-      // computing on the eval set alone), corpus side df-pruned
-      """WITH w AS MATERIALIZED (SELECT doc_id,
-        |    string_split(text, ' ') AS words FROM documents),
-        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    CAST(len(words) - 3 AS BIGINT) AS ng,
-        |    ('0x' || substring(md5(
-        |      array_to_string(words[i + 1 : i + 4], ' ')), 1, 15))::BIGINT
-        |      AS hv
-        |  FROM (SELECT doc_id, words,
-        |      unnest(range(0, len(words) - 3)) AS i FROM w)),
-        |m AS (SELECT doc_id, ng, pos, min(hv) OVER (PARTITION BY doc_id
-        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-        |  FROM g),
-        |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 8),
-        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
-        |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
-        |e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id < 5)
-        |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps,
-        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
-        |FROM r JOIN e USING (fp) WHERE r.doc_id <> e.eval_id
-        |GROUP BY r.doc_id HAVING count(*) >= 1
-        |ORDER BY n_shared_fps DESC, doc_id""".stripMargin,
+    "pipe_contam_winnow" -> contamWinnowOracleSql,
+    // same decision as batch: the per-doc flag is a pure function of the
+    // doc against the fixed eval + boilerplate sets, so the 3-batch
+    // replay shares the batch oracle verbatim
+    "pipe_contam_winnow_stream" -> contamWinnowOracleSql,
 
     "dedup_cdc_chunks" ->
       // boundary flags from the same positional md5 4-gram lane; chunk

@@ -992,6 +992,57 @@ object Streaming {
       }
   }
 
+  /** Streaming winnow DECONTAMINATION — the in-flight variant of
+    * [[graft.operators.Dedup.winnowContamination]], closing the curation
+    * funnel's streaming story: every arriving micro-batch of documents
+    * is screened against the eval set's winnowing fingerprints, and a
+    * doc sharing >= `minShared` non-boilerplate fingerprints with any
+    * eval doc is flagged (it contains a verbatim run of >= w+n−1 eval
+    * words — the leakage mode exact containment misses — structurally,
+    * per the winnowing theorem).
+    *
+    * The batch op's boilerplate prune (corpus fingerprint df > maxDf) is
+    * corpus-GLOBAL, so the streaming lane takes the boilerplate
+    * fingerprint set as a REFERENCE INPUT — the deployment computes it
+    * from the standing corpus snapshot it already maintains — instead of
+    * accreting df in flight (an in-flight df would un-flag docs
+    * retroactively as counts cross the threshold: not split-invariant).
+    * Both screening inputs are metadata-scale by premise (the eval set
+    * is a benchmark, boilerplate is the df tail) and broadcast; the
+    * per-doc decision is then a pure function of the doc itself, so the
+    * output is batch-split-invariant, and with boilerplate = the
+    * replayed corpus's own df tail it equals the batch op row-for-row
+    * (the pipe_contam_winnow_stream gate shares the batch oracle
+    * verbatim; StreamingSpec pins split invariance). Sinks partition by
+    * batch_id with dynamic overwrite: at-least-once re-delivery
+    * recomputes identical rows and replaces its own partitions.
+    */
+  def winnowContaminationStream(docs: DataFrame, evalDocs: DataFrame,
+      boilerplateFps: DataFrame, outDir: String, n: Int = 4, w: Int = 8,
+      minShared: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // fixed screening inputs, computed ONCE per stream start
+    val evalFps = graft.operators.Dedup.winnowFingerprints(evalDocs, n, w)
+      .select(col("fp"), col("doc_id").as("eval_id")).localCheckpoint(true)
+    val boil = boilerplateFps.select("fp").localCheckpoint(true)
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = graft.operators.Dedup
+          .winnowFingerprints(
+            batch.select(col("doc_id").cast("long"), col("text")), n, w)
+          .join(broadcast(boil), Seq("fp"), "left_anti")
+          .join(broadcast(evalFps), Seq("fp"))
+          .where(col("doc_id") =!= col("eval_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_fps"),
+            countDistinct("eval_id").as("n_eval_docs"))
+          .where(col("n_shared_fps") >= minShared)
+        flagged.withColumn("batch_id", lit(batchId)).write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").mode("overwrite").parquet(outDir)
+      }
+  }
+
   /** Streaming n-gram NOVELTY scoring — the in-flight variant of the
     * text_ngram_novelty lane: each arriving document is scored by the
     * fraction of its distinct word-3-grams whose global FIRST occurrence

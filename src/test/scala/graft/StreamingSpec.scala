@@ -344,6 +344,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", ts("2024-01-01 00:00:45"), 0.5)))
   }
 
+  test("streaming winnow decontamination == batch op, any batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 120)
+      .localCheckpoint(true)
+    val evalDocs = docs.where(col("doc_id") < 5)
+    val boil = graft.operators.Dedup.winnowFingerprints(docs)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > 20).select("fp").localCheckpoint(true)
+    val batchRows = graft.operators.Dedup
+      .winnowContamination(docs, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // two different splits (1 batch; 3 uneven batches) — the flagged set
+    // must be identical and equal the batch op (pure per-doc decision
+    // against fixed broadcast screening sets)
+    val splits = Seq(Seq(rows.toSeq),
+      Seq(rows.take(17).toSeq, rows.slice(17, 80).toSeq, rows.drop(80).toSeq))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-contamw-$i").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming
+        .winnowContaminationStream(mem.toDF.toDF("doc_id", "text"),
+          evalDocs, boil, s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val got = spark.read.parquet(s"$work/out")
+        .select("doc_id", "n_shared_fps", "n_eval_docs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batchRows, s"split $i diverged from the batch op")
+    }
+  }
+
   test("stream-stream interval join == batch interval join across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
