@@ -87,10 +87,17 @@ object Retrieval {
   private def writeIndex(docs: DataFrame, root: String, nBuckets: Int,
       idCol: String, textCol: String, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    val fs = retrievalFs(docs.sparkSession, root)
+    val gen = graft.operators.IndexGen.current(fs, root)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
       .localCheckpoint(true) // feeds postings AND doclens off one explode
+    // an append's write IS its publish — CAS before files land so a
+    // racing delete/compact swap can't receive them into a retired dir
+    // (same IndexGen discipline as the IVF lanes; loser raises with
+    // nothing written)
+    graft.operators.IndexGen.advance(fs, root, gen)
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
@@ -140,9 +147,14 @@ object Retrieval {
     healIndex(spark, root) // completes any prior pending delete first
     val fs = retrievalFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings"))) return
+    val gen = graft.operators.IndexGen.current(fs, root)
     val tmp = new org.apache.hadoop.fs.Path(root, PendingTmp)
     idsDf.select(col("doc_id"))
       .write.mode("overwrite").parquet(tmp.toString)
+    // CAS before the intent marker becomes durable: the marker is this
+    // delete's commitment point (heal COMPLETES from it) — a loser must
+    // raise with only the hidden tmp written, which heal rolls back
+    graft.operators.IndexGen.advance(fs, root, gen)
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, PendingDelete)))
       throw new java.io.IOException(s"bm25 delete: cannot publish intent")
     runPendingDelete(spark, root)
@@ -220,6 +232,11 @@ object Retrieval {
       root: String, maxFilesPerBucket: Int = 4): Unit = {
     healIndex(spark, root)
     val fs = retrievalFs(spark, root)
+    // CAS baseline before observing either tree; advance here rather
+    // than per-tree — compaction is content-preserving, so the earliest
+    // publish point keeps it one generation
+    graft.operators.IndexGen.advance(fs, root,
+      graft.operators.IndexGen.current(fs, root))
     compactTree(spark, fs, s"$root/postings", s"$root/$StageDir",
       maxFilesPerBucket)
     // appends grow doclens one file per bucket per batch too

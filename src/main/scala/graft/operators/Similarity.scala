@@ -478,8 +478,10 @@ object Similarity {
   /** Assign `batch` to the index's persisted centroids and append its
     * vectors into their home-cell partition dirs. */
   def appendToIvfIndex(batch: DataFrame, root: String): Unit = {
+    val fs = hadoopFs(batch.sparkSession, root)
+    val gen = IndexGen.current(fs, root)
     val cents = readIvfCentroids(batch.sparkSession, root)
-    withProbes(batch, cents, 1)
+    val assigned = withProbes(batch, cents, 1)
       .select(col("vec_id"), col("emb"), col("norm"),
         element_at(col("probes"), 1).as("cell"))
       // repartition-by-cell (the DatapointStore discipline): each cell
@@ -489,7 +491,13 @@ object Similarity {
       // next search pays a task per tiny file (the sf0.1 rebuilt fixture
       // measured 300 tasks / 29 CPU s from exactly this)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+    // CAS immediately before the files land (an append's write IS its
+    // publish): a delete/compact that advanced the generation since we
+    // read it would otherwise receive our files into a retired dir —
+    // the r11 single-writer hazard. The loser raises ConcurrentCommit
+    // with nothing written.
+    IndexGen.advance(fs, root, gen)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$root/cells")
   }
 
   /** Delete vectors from the persisted index by id — the tombstone-free
@@ -515,18 +523,25 @@ object Similarity {
     * collecting ids to the driver; the only driver materialization is
     * the touched CELL list (bounded by K by construction).
     *
-    * Single-writer assumption (shared by [[compactIvfIndex]] and
-    * [[appendToIvfIndex]]): index mutations are crash-safe against
-    * READERS (heal-on-read) but not against a CONCURRENT writer — an
-    * append racing a cell swap could land files in the retired dir.
-    * Serialize mutations per index root (the streaming lane's
-    * foreachBatch does this naturally).
+    * Concurrency (shared by [[compactIvfIndex]] and
+    * [[appendToIvfIndex]]): every mutation is guarded by the
+    * [[IndexGen]] generation CAS — it reads the root's generation
+    * before observing any state and atomically advances it at its
+    * publish point, so two mutations that planned against the same
+    * observed state cannot both land: the loser raises
+    * [[graft.model.ConcurrentCommit]] with only hidden stage output
+    * written (healed away on the next read). Mutations are crash-safe
+    * against READERS throughout (heal-on-read). Residual caveat: a
+    * mutation beginning inside another's post-CAS rename window still
+    * needs external serialization — the streaming lane's foreachBatch
+    * provides it naturally.
     */
   def deleteFromIvfIndexFrame(spark: org.apache.spark.sql.SparkSession,
       root: String, idsDf: DataFrame): Unit = {
     healIvfIndex(spark, root)
     val fs = hadoopFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/cells"))) return
+    val gen = IndexGen.current(fs, root) // CAS baseline: state as planned
     // consumed by the touch scan and the staged rewrite — checkpoint
     val ids = idsDf.select(col("vec_id")).localCheckpoint(true)
     // partition discovery types small cell values as INT — pin to long
@@ -546,6 +561,10 @@ object Similarity {
       .where(col("cell").isin(touched: _*))
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    // publish gate: if another mutation advanced the generation since we
+    // planned against it, raise with only hidden stage state written —
+    // the next heal-on-read rolls it back; live cells were never touched
+    IndexGen.advance(fs, root, gen)
     publishStagedCells(fs, root, stage, touched)
   }
 
@@ -595,6 +614,7 @@ object Similarity {
     val fs = hadoopFs(spark, root)
     val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
     if (!fs.exists(cellsDir)) return
+    val gen = IndexGen.current(fs, root) // CAS baseline BEFORE observing
     val hot = fs.listStatus(cellsDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(d => fs.listStatus(d.getPath)
@@ -606,6 +626,7 @@ object Similarity {
       .where(col("cell").isin(hot: _*))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    IndexGen.advance(fs, root, gen) // same publish gate as the delete
     publishStagedCells(fs, root, stage, hot)
   }
 

@@ -3384,6 +3384,69 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild from index content must equal the ad-hoc trained search")
   }
 
+  test("index mutation CAS: of two mutators that planned on the same generation, one lands and one raises") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 150)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cas").toString + "/idx"
+    graft.operators.Similarity.buildIvfIndex(e, root, stride = 30)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every mutation advances the generation (append did during build)
+    val g0 = graft.operators.IndexGen.current(fs, root)
+    assert(g0 > 0, "build's append must have published a generation")
+    // mutator B enters and observes g0 (its CAS baseline); mutator A
+    // then runs a COMPLETE delete — the interleave the r11 verdict
+    // flagged, held at the deterministic point: B planned on state A is
+    // about to invalidate
+    val bBaseline = g0
+    graft.operators.Similarity.deleteFromIvfIndex(spark, root, Seq(3L, 9L))
+    assert(graft.operators.IndexGen.current(fs, root) == g0 + 1)
+    // B reaches its publish gate with hidden stage output only — the
+    // exact call deleteFromIvfIndexFrame/compactIvfIndex make before
+    // their first destructive rename — and must raise, not last-wins
+    val orphanStage = new java.io.File(s"$root/.ivf_stage/cell=0")
+    orphanStage.mkdirs()
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(fs, root, bBaseline)
+    }
+    // the loser's pre-publish state heals away; the index reads whole:
+    // exactly A's delete applied, nothing lost
+    graft.operators.Similarity.healIvfIndex(spark, root)
+    assert(!new java.io.File(s"$root/.ivf_stage").exists())
+    val left = spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 150L).toSet -- Set(3L, 9L))
+    // an append that planned on the stale generation also raises BEFORE
+    // writing any file (its CAS runs pre-write)
+    val nFiles0 = spark.read.parquet(s"$root/cells").inputFiles.length
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(fs, root, bBaseline)
+    }
+    assert(spark.read.parquet(s"$root/cells").inputFiles.length == nFiles0)
+    // same discipline on the BM25 root
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 40)
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft-cas-bm25").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d, broot, nBuckets = 4)
+    val bfs = new org.apache.hadoop.fs.Path(broot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bg = graft.operators.IndexGen.current(bfs, broot)
+    assert(bg > 0)
+    graft.operators.Retrieval.deleteFromIndex(spark, broot,
+      Seq(1L).toDF("doc_id"))
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(bfs, broot, bg)
+    }
+    val q = d.where(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    assert(graft.operators.Retrieval
+      .bm25TopKIndexed(spark, broot, q, 3, nBuckets = 4).count() > 0)
+  }
+
   test("bm25 index audit: perfect on a consistent index, detects a gutted bucket") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").where(col("doc_id") < 100)
