@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.core.DatapointStore
+
 /** Byte-pair-encoding tokenizer TRAINING over the corpus (Sennrich et al.
   * 2016 — the subword algorithm behind GPT-2/RoBERTa vocabularies), as a
   * distributed pipeline op: learning the merge table from 100 TB of text
@@ -183,44 +185,81 @@ object Bpe {
 
   /** Distributed fallback lane for word tables too large to collect —
     * the scale split that makes 100 TB training feasible: the WORD table
-    * (the big thing — tens of millions of rows) stays distributed, the
-    * PAIR-COUNT table (bounded by adjacent-symbol combinatorics — orders
-    * of magnitude smaller, and grown only ~1 pair per merge) lives on
-    * the driver and is maintained INCREMENTALLY, exactly like
-    * [[trainLocal]]'s delta algorithm. Per merge:
-    *   - argmax = a driver map scan, ZERO jobs (the naive lane's
-    *     vocabulary-scale count + TakeOrdered shuffle per merge is gone);
-    *   - delta = one NARROW mapPartitions job that touches pair math
-    *     only for words CONTAINING the merged pair (per-partition
-    *     HashMaps, merged driver-side — a tree-aggregate shape);
-    *   - apply = one narrow map + localCheckpoint (unaffected words pass
-    *     through untouched).
-    * The single shuffle in the whole train is the initial corpus-wide
-    * pair count. If even the pair-count TABLE exceeds `maxDriverPairs`
-    * (degenerate symbol inventories), the per-merge [[trainDistributedNaive]]
-    * loop remains as the last-resort lane. All lanes produce the
-    * identical merge table (same argmax, same UTF-8-byte tie order) —
-    * pinned three-way in OperatorsSpec.
+    * (the big thing — tens of millions of rows) lives on disk SHARDED
+    * by a stable hash of the original word (64 partition dirs, the
+    * store's pruning discipline), the PAIR-COUNT table (bounded by
+    * adjacent-symbol combinatorics — orders of magnitude smaller) lives
+    * on the driver, and BESIDE each pair's count sits its pair→shard
+    * POSTING as a single 64-bit presence mask. Per merge:
+    *   - argmax = a driver map scan, ZERO jobs;
+    *   - delta + rewrite = two jobs that READ ONLY THE SHARDS IN THE
+    *     MERGED PAIR'S POSTING MASK (parquet partition pruning), so
+    *     per-merge task counts are ∝ words actually containing the pair
+    *     — the long tail of a 32k-merge vocabulary touches 1-2 shards,
+    *     not the full vocabulary (the r11 full-vocab-scan-per-merge
+    *     watch item);
+    *   - the rewrite lands via dynamic partition overwrite, replacing
+    *     only the scanned shard dirs.
+    * Posting maintenance is SUPERSET-safe, mirroring trainLocal's stale
+    * inverted-index rule: a pair's mask ORs in every shard whose
+    * rewritten words contain it post-merge (a word can only COME to
+    * contain a pair by being rewritten, and rewrites happen only in
+    * scanned shards — so the mask always covers every containing word;
+    * stale bits merely scan a shard that no longer matches). The single
+    * shuffle in the whole train is the initial corpus-wide pair count,
+    * which also seeds the masks exactly (bit_or of shard bits). If even
+    * the pair-count TABLE exceeds `maxDriverPairs` (degenerate symbol
+    * inventories), the per-merge [[trainDistributedNaive]] loop remains
+    * as the last-resort lane. All lanes produce the identical merge
+    * table (same argmax, same UTF-8-byte tie order) — pinned three-way
+    * in OperatorsSpec, which also pins tail-merge scan counts via
+    * `onMergeScan`.
     */
   private[graft] def trainDistributed(words0: Dataset[WordFreq],
       nMerges: Int, minFreq: Long,
-      maxDriverPairs: Int = 20000000): Seq[(String, String)] = {
+      maxDriverPairs: Int = 20000000,
+      onMergeScan: Int => Unit = _ => ()): Seq[(String, String)] = {
     val spark = words0.sparkSession
     import spark.implicits._
     import scala.collection.mutable
-    // ONE corpus-wide pair count — the only shuffle in the whole train
-    val init = words0.flatMap(wf =>
-        wf.syms.iterator.sliding(2).withPartial(false)
-          .map(p => (p.head, p(1), wf.freq)).toSeq)
-      .toDF("a", "b", "f")
-      .groupBy("a", "b").agg(sum("f").as("cnt"))
-      .as[(String, String, Long)]
+    val NShards = 64 // one Long posting mask per pair
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-bpe-words").toString
+    val dir = s"$work/words"
+    // shard = stable hash of the ORIGINAL word (its init symbol split) —
+    // carried as a partition column through every rewrite
+    words0.toDF()
+      .withColumn("shard",
+        pmod(xxhash64(concat_ws(" ", col("syms"))), lit(NShards.toLong))
+          .cast("int"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    def shardTable(shards: Seq[Int]): Dataset[(Seq[String], Long, Int)] =
+      spark.read.parquet(dir)
+        .where(col("shard").isin(shards.map(Int.box): _*))
+        .select("syms", "freq", "shard").as[(Seq[String], Long, Int)]
+    def allShards: Seq[Int] = 0 until NShards
+    // ONE corpus-wide pair count + posting mask — the only shuffle
+    val init = spark.read.parquet(dir)
+      .select("syms", "freq", "shard").as[(Seq[String], Long, Int)]
+      .flatMap { case (syms, f, sh) =>
+        syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p(1), f, sh)).toSeq
+      }
+      .toDF("a", "b", "f", "shard")
+      .groupBy("a", "b").agg(sum("f").as("cnt"),
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), shard))").as("mask"))
+      .as[(String, String, Long, Long)]
       .limit(maxDriverPairs + 1).collect()
-    if (init.length > maxDriverPairs)
+    if (init.length > maxDriverPairs) {
+      DatapointStore.rmTree(new java.io.File(work))
       return trainDistributedNaive(words0, nMerges, minFreq)
+    }
     val pairCount = mutable.HashMap[(String, String), Long]()
-    init.foreach { case (a, b, c) => pairCount((a, b)) = c }
-    var words = words0
+    val pairMask = mutable.HashMap[(String, String), Long]()
+    init.foreach { case (a, b, c, m) =>
+      pairCount((a, b)) = c; pairMask((a, b)) = m
+    }
     val merges = Seq.newBuilder[(String, String)]
     var it = 0
     var continue = true
@@ -237,29 +276,56 @@ object Bpe {
         merges += best
         val (a, b) = best
         val ab = a + b
-        // delta from AFFECTED words only: per-partition maps, no shuffle
-        val deltas = words.rdd.mapPartitions { part =>
-          val m = mutable.HashMap[(String, String), Long]()
-          part.foreach { wf =>
-            if (containsPair(wf.syms, a, b)) {
-              addPairs(m, wf.syms, -wf.freq)
-              addPairs(m, mergePair(wf.syms, a, b, ab), wf.freq)
+        val mask = pairMask.getOrElse(best, -1L)
+        val shards = allShards.filter(s => (mask & (1L << s)) != 0L)
+        onMergeScan(shards.length)
+        // delta from the posted shards only: per-partition maps keyed
+        // (pair → (count delta, post-merge presence mask)), no shuffle
+        val deltas = shardTable(shards).rdd.mapPartitions { part =>
+          val m = mutable.HashMap[(String, String), (Long, Long)]()
+          def fold(s: Seq[String], d: Long, bit: Long): Unit = {
+            var i = 0
+            while (i + 1 < s.length) {
+              val p = (s(i), s(i + 1))
+              val (c0, m0) = m.getOrElse(p, (0L, 0L))
+              m(p) = (c0 + d, m0 | bit)
+              i += 1
+            }
+          }
+          part.foreach { case (syms, f, sh) =>
+            if (containsPair(syms, a, b)) {
+              fold(syms, -f, 0L)
+              fold(mergePair(syms, a, b, ab), f, 1L << sh)
             }
           }
           Iterator.single(m)
         }.collect()
-        deltas.foreach(_.foreach { case (p, d) =>
+        deltas.foreach(_.foreach { case (p, (d, bits)) =>
           val c = pairCount.getOrElse(p, 0L) + d
-          if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+          if (c == 0L) { pairCount.remove(p); pairMask.remove(p) }
+          else {
+            pairCount(p) = c
+            pairMask(p) = pairMask.getOrElse(p, 0L) | bits
+          }
         })
-        words = words.map(wf =>
-            if (containsPair(wf.syms, a, b))
-              WordFreq(mergePair(wf.syms, a, b, ab), wf.freq)
-            else wf)
+        pairMask.remove(best)
+        // rewrite ONLY the posted shards; localCheckpoint disconnects
+        // the plan from the source files so the dynamic partition
+        // overwrite may land on the same table
+        shardTable(shards)
+          .map { case (syms, f, sh) =>
+            if (containsPair(syms, a, b)) (mergePair(syms, a, b, ab), f, sh)
+            else (syms, f, sh)
+          }
           .localCheckpoint(true)
+          .toDF("syms", "freq", "shard")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(dir)
         it += 1
       }
     }
+    DatapointStore.rmTree(new java.io.File(work))
     merges.result()
   }
 

@@ -1480,6 +1480,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       minFreq = 2L, maxDriverPairs = 0) == delta.take(5))
   }
 
+  test("BPE distributed deltas: tail merges scan only the posted shards") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // skewed corpus: 240 five-letter words over {a..f} (their pairs live
+    // in most of the 64 shards, frequency 3 each) + one word with a
+    // PRIVATE alphabet at frequency 500 — its pairs out-count everything,
+    // merge first, and post to exactly ONE shard, so those merges'
+    // delta/rewrite jobs must read 1 shard while the common merges that
+    // follow fan out across the table.
+    val rnd = new scala.util.Random(7)
+    val common = (0 until 240).map { _ =>
+      (0 until 5).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }
+    val text = (common.flatMap(w => Seq(w, w, w)) ++ Seq.fill(500)("QZXW"))
+      .mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val scans = scala.collection.mutable.ArrayBuffer[Int]()
+    val table = Bpe.wordTableFor(docs).localCheckpoint(true)
+    val merges = Bpe.trainDistributed(table, nMerges = 40, minFreq = 2L,
+      onMergeScan = scans += _)
+    // the private-alphabet pair merged (first, at count 500)...
+    assert(merges.head == ("Q", "Z"), s"rare pair should lead: $merges")
+    // ...scanning only its posted shard, while common merges fan out
+    assert(scans.head <= 2, s"posted merge must prune to its shard: $scans")
+    assert(scans.max > 16, s"common merges should span shards: $scans")
+    // pruning never changes the answer: identical to the local trainer
+    val local = Bpe.train(docs, nMerges = 40)
+    assert(merges == local)
+  }
+
   test("BPE oracle framing: separator replace-chain ≡ mergePair on exhaustive overlap corpora") {
     // the text_bpe_encode oracle replays the encode in SQL as
     // replace(s, '␟a␟␟b␟', '␟ab␟') over per-symbol-framed words; SQL
