@@ -62,6 +62,81 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(days == 1L, s"days rollup rows: $days")
   }
 
+  test("10k-stream ingest smoke: ladder jobs constant, append:checks one job, dirty-shard-only flush") {
+    import spark.implicits._
+    // the catalog/ladder scale argument, measured instead of argued: at
+    // 10,000 streams a live batch must cost the SAME job counts as the
+    // 4-stream ladder test (per-level folds are one job regardless of
+    // stream count; the append checks fold is ONE shuffle-free job), and
+    // a catalog flush after one stream's mutation must rewrite exactly
+    // one of the 256 hash shards.
+    val work = Files.createTempDirectory("graft-10k").toString
+    val ds = new graft.core.Datastream(spark, work)
+    val n = 10000
+    val ids = (0 until n).map(i => ds.ensureStream(Map("m10k" -> s"s$i")))
+    def batch(day: Int) = ids.flatMap(id => Seq(
+        (id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), 1.0),
+        (id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:30:00"), 2.0)))
+      .toDF("stream_id", "t", "v")
+    // prime the store; batch 2 is the steady-state shape under test
+    val r1 = ds.appendMultiple(batch(1), checkTimestamp = false)
+    r1.maxT.foreach(hi => ds.downsampleStreams(hi))
+    val byTag = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val total = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        total.incrementAndGet()
+        val d = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        val tag = if (d == null) "untagged" else d.takeWhile(_ != ':')
+        byTag.merge(tag, 1, (a, b) => a + b)
+        ()
+      }
+    }
+    val b2 = batch(2)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r2 = ds.appendMultiple(b2, checkTimestamp = false)
+      r2.maxT.foreach(hi => ds.downsampleStreams(hi))
+      var prev = -1
+      while (total.get() != prev) { prev = total.get(); Thread.sleep(100) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    val tags = {
+      import scala.jdk.CollectionConverters._
+      byTag.asScala.map { case (k, v) => k -> v.toInt }.toMap
+    }
+    info(s"10k-stream live batch: ${total.get()} jobs by phase $tags")
+    // (a) same bound the 4-stream ladder test pins — job counts are a
+    // function of ladder LEVELS, not stream count
+    assert(total.get() <= 30,
+      s"10k-stream live batch used ${total.get()} jobs ($tags)")
+    assert(tags.filter(_._1 == "ladder").values.sum <= 14,
+      s"ladder jobs grew with stream count: $tags")
+    // (b) the per-stream checks/extrema fold stays ONE job at 10k streams
+    assert(tags.getOrElse("append", 0) <= 4 && tags.nonEmpty, s"append phase: $tags")
+    // (c) dirty-shard-selective flush: after a full persist, mutating one
+    // stream's tags rewrites exactly its own shard dir
+    ds.flush()
+    def shardFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$work/streams")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).toSet)
+        .toMap
+    }
+    val before = shardFiles()
+    assert(before.size > 1, s"10k streams should span shards: ${before.size}")
+    ds.updateTags(ids.head, Map("touched" -> "1")) // persists immediately
+    val after = shardFiles()
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set()))
+    assert(changed.size == 1,
+      s"one-stream mutation rewrote ${changed.size} shards: $changed")
+    // and the rollups exist for the completed day at this scale
+    assert(ds.getData(ids.head, graft.model.Granularity.Days).count() == 1L)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     val orders = (1L to 1000L).map(i => (i, s"o$i")).toDF("okey", "odata")
