@@ -3637,6 +3637,28 @@ object SparkEntry {
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
+    "mm_resample" -> { (s, dir) =>
+      // rational-ratio PCM resampling (8 kHz → 3 kHz, factor 3/8) under
+      // the exact gate: per-doc integer SAWTOOTH WAVs (every sample a
+      // closed form of doc_id — the analytic-synthesis move) round-trip
+      // through the RIFF container + parseWav, then linear-interpolate
+      // on offset-binary Int16 units with floor division only. The
+      // oracle recomputes every output sample from doc_id arithmetic —
+      // the row matches only if container write, parse, exact sample
+      // recovery, and interpolation all agree.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 200).select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal
+            .sawWav(257L + (id % 7) * 31L, 2000, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.resamplePcmStats(media, l = 3, m = 8)
+        .select(col("media_id").as("doc_id"), col("n_out"),
+          col("sum_amp"), col("min_amp"), col("max_amp"))
+        .orderBy("doc_id")
+    },
+
     "emb_ann_ivf_trained" -> { (s, dir) =>
       // trained-index ANN under the EXACT gate: 2 Lloyd iterations in
       // the integer lane (floor(el·1e6) BIGINT recentering, truncating
@@ -4391,6 +4413,24 @@ object SparkEntry {
         .groupBy(col("prev").as("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("w"))
       Graphs.pageRank(edges, iters = 3).orderBy("v")
+    },
+
+    "graph_hits" -> { (s, dir) =>
+      // hubs & authorities over the same event-type transition graph —
+      // the directed-asymmetry question PageRank can't answer (a type
+      // that FOLLOWS many types vs one many types LEAD TO). Two rounds
+      // of the integer-exact mutual recursion (BIGINT floor-div
+      // renormalization per side) so the oracle replays every round.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).where(col("user_id") < 8)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id", "day").orderBy("event_id")
+      val edges = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graphs.hits(edges, iters = 2).orderBy("v")
     },
 
     "graph_triangles" -> { (s, dir) =>
@@ -7638,6 +7678,25 @@ object SparkEntry {
     // maintained index ≡ full corpus after the decoy delete — same oracle
     "q_bm25_maintained" -> bm25TopkOracleSql,
 
+    // closed-form resample: u_k = (k·step) mod 65536 (the sawtooth synth
+    // in offset-binary units), amp = (u_k·(3−r) + u_{k+1}·r) // 3 at
+    // k = (j·8)//3, r = (j·8)%3 — all non-negative, // ≡ Spark div
+    "mm_resample" ->
+      """WITH d AS (SELECT doc_id, 257 + (doc_id % 7) * 31 AS st
+        |  FROM documents WHERE doc_id < 200),
+        |j AS (SELECT doc_id, st,
+        |    unnest(range(0, ((2000 - 1) * 3) // 8 + 1)) AS jj FROM d),
+        |a AS (SELECT doc_id, CAST(CASE WHEN (jj * 8) % 3 = 0
+        |      THEN (((jj * 8) // 3) * st) % 65536
+        |      ELSE (((((jj * 8) // 3) * st) % 65536) * (3 - (jj * 8) % 3)
+        |        + ((((jj * 8) // 3 + 1) * st) % 65536) * ((jj * 8) % 3)) // 3
+        |      END AS BIGINT) AS amp
+        |  FROM j)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |  min(amp) AS min_amp, max(amp) AS max_amp
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // analytic: a consistent index's sampled MRR audit is exactly
     // (n_q, n_q, 10000, false); n_q follows the stride-sample rule
     // max(1, ceil(n/20)) — the row only matches if both scoring lanes,
@@ -8011,6 +8070,54 @@ object SparkEntry {
         |    CAST(pr.base + (85 * coalesce(f3.inflow, 0)) // 100 AS BIGINT) AS rank
         |  FROM vs CROSS JOIN pr LEFT JOIN f3 ON f3.v = vs.v)
         |SELECT v, rank FROM it3 ORDER BY v""".stripMargin,
+
+    // HITS: 2 unrolled rounds of the integer mutual recursion, each side
+    // renormalized by x // greatest(1, sum(x) // scale) — mirrored
+    // division-for-division (all terms non-negative, so DuckDB // ≡
+    // Spark div)
+    "graph_hits" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                          ORDER BY event_id) AS prev
+        |  FROM events WHERE user_id < 8),
+        |ed AS (SELECT prev AS src, event_type AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |vs AS (SELECT DISTINCT v FROM
+        |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+        |h0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS hub FROM vs),
+        |a1r AS (SELECT ed.dst AS v, CAST(sum(ed.w * h.hub) AS BIGINT) AS auth
+        |  FROM ed JOIN h0 h ON h.v = ed.src GROUP BY ed.dst),
+        |qa1 AS (SELECT greatest(1, CAST(sum(auth) AS BIGINT) // 1000000000) AS q
+        |  FROM a1r),
+        |a1 AS (SELECT vs.v,
+        |    CAST(coalesce(a1r.auth, 0) // qa1.q AS BIGINT) AS auth
+        |  FROM vs CROSS JOIN qa1 LEFT JOIN a1r ON a1r.v = vs.v),
+        |h1r AS (SELECT ed.src AS v, CAST(sum(ed.w * a.auth) AS BIGINT) AS hub
+        |  FROM ed JOIN a1 a ON a.v = ed.dst GROUP BY ed.src),
+        |qh1 AS (SELECT greatest(1, CAST(sum(hub) AS BIGINT) // 1000000000) AS q
+        |  FROM h1r),
+        |h1 AS (SELECT vs.v,
+        |    CAST(coalesce(h1r.hub, 0) // qh1.q AS BIGINT) AS hub
+        |  FROM vs CROSS JOIN qh1 LEFT JOIN h1r ON h1r.v = vs.v),
+        |a2r AS (SELECT ed.dst AS v, CAST(sum(ed.w * h.hub) AS BIGINT) AS auth
+        |  FROM ed JOIN h1 h ON h.v = ed.src GROUP BY ed.dst),
+        |qa2 AS (SELECT greatest(1, CAST(sum(auth) AS BIGINT) // 1000000000) AS q
+        |  FROM a2r),
+        |a2 AS (SELECT vs.v,
+        |    CAST(coalesce(a2r.auth, 0) // qa2.q AS BIGINT) AS auth
+        |  FROM vs CROSS JOIN qa2 LEFT JOIN a2r ON a2r.v = vs.v),
+        |h2r AS (SELECT ed.src AS v, CAST(sum(ed.w * a.auth) AS BIGINT) AS hub
+        |  FROM ed JOIN a2 a ON a.v = ed.dst GROUP BY ed.src),
+        |qh2 AS (SELECT greatest(1, CAST(sum(hub) AS BIGINT) // 1000000000) AS q
+        |  FROM h2r),
+        |h2 AS (SELECT vs.v,
+        |    CAST(coalesce(h2r.hub, 0) // qh2.q AS BIGINT) AS hub
+        |  FROM vs CROSS JOIN qh2 LEFT JOIN h2r ON h2r.v = vs.v)
+        |SELECT vs.v, h2.hub, a2.auth
+        |FROM vs JOIN h2 ON h2.v = vs.v JOIN a2 ON a2.v = vs.v
+        |ORDER BY vs.v""".stripMargin,
 
     "graph_triangles" ->
       // same support-2 sparsification and (deg, id) orientation; the

@@ -234,14 +234,22 @@ object Bpe {
           .cast("int"))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    // schema pinned so per-merge reads never pay a footer-inference job
+    val tableSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("syms",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType)))
     def shardTable(shards: Seq[Int]): Dataset[(Seq[String], Long, Int)] =
-      spark.read.parquet(dir)
+      spark.read.schema(tableSchema).parquet(dir)
         .where(col("shard").isin(shards.map(Int.box): _*))
         .select("syms", "freq", "shard").as[(Seq[String], Long, Int)]
     def allShards: Seq[Int] = 0 until NShards
     // ONE corpus-wide pair count + posting mask — the only shuffle
-    val init = spark.read.parquet(dir)
-      .select("syms", "freq", "shard").as[(Seq[String], Long, Int)]
+    val init = shardTable(0 until NShards)
       .flatMap { case (syms, f, sh) =>
         syms.iterator.sliding(2).withPartial(false)
           .map(p => (p.head, p(1), f, sh)).toSeq
@@ -309,19 +317,32 @@ object Bpe {
           }
         })
         pairMask.remove(best)
-        // rewrite ONLY the posted shards; localCheckpoint disconnects
-        // the plan from the source files so the dynamic partition
-        // overwrite may land on the same table
+        // rewrite ONLY the posted shards: ONE narrow job into a stage
+        // sibling, then rename the shard dirs in (zero jobs — writing
+        // the live table directly would need a plan-disconnecting
+        // checkpoint job per merge to dodge the self-overwrite check;
+        // the table is private session scratch, so plain renames serve)
+        val stage = s"$work/stage"
         shardTable(shards)
           .map { case (syms, f, sh) =>
             if (containsPair(syms, a, b)) (mergePair(syms, a, b, ab), f, sh)
             else (syms, f, sh)
           }
-          .localCheckpoint(true)
           .toDF("syms", "freq", "shard")
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard").parquet(dir)
+          .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        shards.foreach { sh =>
+          val live = new java.io.File(dir, s"shard=$sh")
+          val staged = new java.io.File(stage, s"shard=$sh")
+          // rewrites preserve row counts, so every scanned shard that
+          // held rows restages; a stale-mask shard that was never
+          // written (posting superset) keeps its live dir untouched
+          if (staged.exists()) {
+            DatapointStore.rmTree(live)
+            if (!staged.renameTo(live))
+              throw new java.io.IOException(s"bpe rewrite: cannot swap $staged")
+          }
+        }
+        DatapointStore.rmTree(new java.io.File(stage))
         it += 1
       }
     }

@@ -122,6 +122,58 @@ object Graphs {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg) by INTEGER-exact power
+    * iteration — the [[pageRank]] discipline applied to the two-score
+    * mutual recursion: `auth_v = Σ_{u→v} w·hub_u`, `hub_u = Σ_{u→v}
+    * w·auth_v`, each side renormalized to ~`scale` total per round with
+    * BIGINT floor division ONLY (`x div greatest(1, Σx div scale)`), so
+    * every intermediate is a deterministic integer and the DuckDB
+    * oracle replays the rounds bit-for-bit (float normalization would
+    * diverge by summation order). Magnitude audit: scores ≤ ~scale
+    * after each renorm, so per-round products are ≤ Σw·scale — with
+    * the default 1e9 scale that leaves 9 orders of headroom in a Long
+    * for Σw (edge-weight mass), far above any per-graph weight total
+    * the engine's bounded-basket edge builders produce.
+    *
+    * Scale shape: two keyed join+agg shuffles per round on the edge
+    * list, rank state is one row per vertex, each round's frames
+    * localCheckpoint (iterative-lineage rule); the 1-row total joins in
+    * by broadcast cross join.
+    */
+  def hits(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+    var hubs = verts.withColumn("hub", lit(scale)).localCheckpoint(true)
+    var auths = verts.withColumn("auth", lit(0L))
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val total = raw.agg(
+        expr(s"greatest(1L, sum($c) div $scale)").as("q"))
+      verts.join(raw, Seq("v"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("v"),
+          expr(s"coalesce($c, 0L) div q").as(c))
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to iters) {
+      auths = renorm(
+        e.join(hubs.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v"), (col("w") * col("hub")).as("auth"))
+          .groupBy("v").agg(sum("auth").as("auth")),
+        "auth")
+      hubs = renorm(
+        e.join(auths.withColumnRenamed("v", "dst"), "dst")
+          .select(col("src").as("v"), (col("w") * col("auth")).as("hub"))
+          .groupBy("v").agg(sum("hub").as("hub")),
+        "hub")
+    }
+    verts.join(hubs, "v").join(auths, "v")
+      .select(col("v"), col("hub"), col("auth"))
+  }
+
   /** Co-occurrence (market-basket) edges: items sharing a group become an
     * undirected edge (u < v) kept when it appears in >= `minSupport`
     * groups. The support threshold is what keeps the graph sparse as the

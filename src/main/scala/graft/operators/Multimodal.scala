@@ -205,6 +205,82 @@ object Multimodal {
     bb.array()
   }
 
+  /** 16-bit mono PCM WAV bytes of an integer sawtooth
+    * (`s_i = (i·step) mod 65536 − 32768`) — the ANALYTIC-synthesis
+    * counterpart of [[sineWav]]: every sample is a closed-form integer
+    * of (i, step), so downstream integer DSP (the resampler) can be
+    * oracled per-sample in SQL, not just per-decision like the tone
+    * detector.
+    */
+  private[graft] def sawWav(step: Long, nSamples: Int,
+      rate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(((i * step) % 65536L - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Rational-ratio linear PCM resampler statistics, EXACT on Int16
+    * units: output index j maps to input position `j·m/l` (resample by
+    * factor l/m — e.g. l=3, m=8 takes 8 kHz to 3 kHz), and the
+    * interpolated amplitude is computed in OFFSET-BINARY integer units
+    * (`u = round(s·32768) + 32768 ∈ [0, 65535]`, the exact-recovery
+    * lane [[parseWav]]'s power-of-two normalization guarantees) with
+    * floor division only: `amp = (u_k·(l−r) + u_{k+1}·r) div l`,
+    * k = (j·m) div l, r = (j·m) mod l — non-negative throughout, so
+    * Spark `div` ≡ DuckDB `//` and the whole chain (container parse →
+    * sample recovery → interpolation → aggregation) reproduces
+    * bit-for-bit in SQL. Emits one row per media: (media_id, n_out,
+    * sum_amp, min_amp, max_amp). Codec work runs per partition
+    * ([[mapInPandas]]-shaped batch loop, no per-row JVM↔anything hops);
+    * media never shuffles — one scan, one row out per asset.
+    */
+  def resamplePcmStats(media: DataFrame, l: Int, m: Int,
+      idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    require(l > 0 && m > 0, "resample ratio must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).collect {
+          case WavPcm(ch, _, 16, samples) if ch == 1 && samples.length >= 2 =>
+            val u = samples.map(s => math.round(s * 32768f).toLong + 32768L)
+            val n = u.length
+            val nOut = ((n - 1).toLong * l) / m + 1
+            var j = 0L
+            var sum = 0L
+            var min = Long.MaxValue
+            var max = Long.MinValue
+            while (j < nOut) {
+              val t = j * m
+              val k = (t / l).toInt
+              val r = t % l
+              val amp =
+                if (r == 0L) u(k)
+                else (u(k) * (l - r) + u(k + 1) * r) / l
+              sum += amp
+              if (amp < min) min = amp
+              if (amp > max) max = amp
+              j += 1
+            }
+            (id, nOut, sum, min, max)
+        }
+      })
+      .toDF(idCol, "n_out", "sum_amp", "min_amp", "max_amp")
+  }
+
   /** Goertzel single-bin power at (the nearest DFT bin to) `freq` —
     * the classic O(n)-per-tone detector; no FFT dependency. Returns
     * power normalized by n² so it is amplitude-scaled, length-free.
