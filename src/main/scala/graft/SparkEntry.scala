@@ -2096,6 +2096,41 @@ object SparkEntry {
         .orderBy("stream_id", "sess_start")
     },
 
+    "ds_stream_gapfill" -> { (s, dir) =>
+      // STREAMING gap-fill: the ds_gapfill_hours lane in flight — each
+      // closed hour emits its mean, skipped hours emit immediately with
+      // the last mean carried forward. The final open hour of each
+      // stream never closes, so the oracle is the batch SQL with an
+      // END-EXCLUSIVE grid (range(h0, h1)); 3 time-ordered micro-batches
+      // cut mid-hour, so open-hour partial means must carry in state.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val name = s"gapf_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.gapFillHours(mem.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val rows = events(s, dir).where(col("user_id") < 5)
+            .select(concat_ws(":", col("user_id"), col("event_type"))
+                .as("stream_id"),
+              timestamp_seconds(unix_timestamp(col("ts"))).as("t"),
+              col("value").as("v"))
+            .orderBy("t", "stream_id", "v").collect()
+            .map(r => graft.streaming.Streaming.Point(
+              r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+          rows.grouped(rows.length / 3 + 1).foreach { b =>
+            mem.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).orderBy("stream_id", "hr")
+    },
+
     "dedup_stream_exact" -> { (s, dir) =>
       // watermark-bounded streaming EXACT dedup
       // (dropDuplicatesWithinWatermark — state holds 16-byte hashes
@@ -3621,6 +3656,23 @@ object SparkEntry {
         .parquet(s"$work/doclens")
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
       stats.crossJoin(dl)
+    },
+
+    "q_bm25f" -> { (s, dir) =>
+      // field-weighted retrieval: docs split into title (first 8 words,
+      // weight 3) and body (the rest, weight 1) — a title hit outranks
+      // the same hit in the body. Integer field weights keep wtf/wdl
+      // exact BIGINTs; scoring/ties are the bm25 lane's verbatim.
+      val base = tbl(s, dir, "documents").select("doc_id", "text")
+      val fdocs = base.select(col("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 8))").as("title"),
+        expr("concat_ws(' ', slice(split(text, ' '), 9, 1000000))")
+          .as("body"))
+      val queries = base.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25fTopK(fdocs, broadcast(queries), 5,
+          Seq("title" -> 3L, "body" -> 1L))
+        .orderBy("qid", "rnk")
     },
 
     "q_bm25_audit" -> { (s, dir) =>
@@ -7697,6 +7749,42 @@ object SparkEntry {
         |  min(amp) AS min_amp, max(amp) AS max_amp
         |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // BM25F: per-field token melt under integer weights (title ws[1:8]
+    // ×3, body ws[9:] ×1), wtf/wdl exact BIGINT sums, scoring identical
+    // to the bm25 lane (round-6 + doc_id tie)
+    "q_bm25f" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |ft AS (SELECT doc_id, unnest(ws[1:8]) AS tok,
+        |    CAST(3 AS BIGINT) AS fw FROM d
+        |  UNION ALL SELECT doc_id, unnest(ws[9:]) AS tok,
+        |    CAST(1 AS BIGINT) AS fw FROM d),
+        |t AS (SELECT * FROM ft WHERE tok <> ''),
+        |wtf AS (SELECT doc_id, tok, CAST(sum(fw) AS BIGINT) AS wtf
+        |  FROM t GROUP BY doc_id, tok),
+        |wdl AS (SELECT doc_id, CAST(sum(fw) AS BIGINT) AS wdl
+        |  FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(wdl) AS DOUBLE) FROM wdl)
+        |      / (SELECT count(*) FROM d) AS avgwdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, wtf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (wtf.wtf * 2.2)
+        |      / (wtf.wtf + 1.2 * (0.25 + 0.75 * wdl.wdl / st.avgwdl))), 6)
+        |      AS score
+        |  FROM qq JOIN wtf ON qq.tok = wtf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN wdl ON wtf.doc_id = wdl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, wtf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     // analytic: a consistent index's sampled MRR audit is exactly
     // (n_q, n_q, 10000, false); n_q follows the stride-sample rule
     // max(1, ceil(n/20)) — the row only matches if both scoring lanes,
@@ -7926,6 +8014,25 @@ object SparkEntry {
         |sp AS (SELECT stream_id, min(hr) AS h0, max(hr) AS h1
         |  FROM h GROUP BY stream_id),
         |g AS (SELECT stream_id, unnest(range(h0, h1 + 1)) AS hr FROM sp),
+        |j AS (SELECT g.stream_id, g.hr, h.m
+        |  FROM g LEFT JOIN h ON g.stream_id = h.stream_id AND g.hr = h.hr)
+        |SELECT stream_id, hr,
+        |  last_value(m IGNORE NULLS) OVER (PARTITION BY stream_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  m IS NULL AS is_gap
+        |FROM j ORDER BY stream_id, hr""".stripMargin,
+
+    // the batch gap-fill SQL with an END-EXCLUSIVE grid (range(h0, h1)):
+    // the streaming twin's final open hour per stream never closes
+    "ds_stream_gapfill" ->
+      """WITH p AS (SELECT concat(user_id, ':', event_type) AS stream_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, value AS v
+        |  FROM events WHERE user_id < 5),
+        |h AS (SELECT stream_id, hr, round(avg(v), 6) AS m
+        |  FROM p GROUP BY stream_id, hr),
+        |sp AS (SELECT stream_id, min(hr) AS h0, max(hr) AS h1
+        |  FROM h GROUP BY stream_id),
+        |g AS (SELECT stream_id, unnest(range(h0, h1)) AS hr FROM sp),
         |j AS (SELECT g.stream_id, g.hr, h.m
         |  FROM g LEFT JOIN h ON g.stream_id = h.stream_id AND g.hr = h.hr)
         |SELECT stream_id, hr,

@@ -58,6 +58,52 @@ object Retrieval {
       .where(col("rnk") <= k)
   }
 
+  /** BM25F (the simple weighted-field variant, Robertson/Zaragoza): the
+    * multi-field document shape real retrieval corpora have — a title
+    * hit should outweigh a body hit. Term frequency and document length
+    * both aggregate across fields under INTEGER field weights
+    * (`wtf = Σ_f w_f·tf_f`, `wdl = Σ_f w_f·len_f` — exact BIGINTs, so
+    * the only doubles are the same idf/saturation terms [[bm25TopK]]
+    * already reproduces cross-engine), idf counts docs containing the
+    * term in ANY field, and scoring/rank/tie rules are bm25TopK's
+    * verbatim (round-6 + doc_id). Same scale shape too: the melted
+    * (doc, tok, field-weight) stream is one union of per-field explodes
+    * feeding wtf, wdl AND df off one checkpoint; candidates are an
+    * equi-join on token, never a doc×query cartesian.
+    */
+  def bm25fTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      fields: Seq[(String, Long)], k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "bm25f needs at least one field")
+    val tokw = fields.map { case (c, wgt) =>
+        docs.select(col(idCol).as("doc_id"),
+          explode(split(col(c), " ")).as("tok"), lit(wgt).as("fw"))
+      }.reduce(_ unionByName _)
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // feeds wtf, wdl AND df off one melt
+    val wtf = tokw.groupBy("doc_id", "tok").agg(sum("fw").as("wtf"))
+    val wdl = tokw.groupBy("doc_id").agg(sum("fw").as("wdl"))
+    val df = tokw.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = docs.count()
+    val avgwdl = wdl.agg(sum("wdl")).head().getLong(0).toDouble / n
+    val qtoks = queries.select(col("qid"),
+        explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      .where(col("tok") =!= "")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    qtoks.join(wtf, "tok")
+      .join(broadcast(df), "tok")
+      .join(wdl, "doc_id")
+      .withColumn("term",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("wtf") * lit(k1 + 1)) /
+          (col("wtf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("wdl") / lit(avgwdl))))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("term"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Materialized inverted index (the production form of [[bm25TopK]]'s
     * ad-hoc inverted stream): postings (tok, doc_id, tf) live under
     * `root/postings/bucket=B` with B = pmod(xxhash64(tok), nBuckets), and

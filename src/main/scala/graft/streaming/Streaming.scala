@@ -334,6 +334,61 @@ object Streaming {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** One emitted gap-fill row (real closed hour or filled gap hour). */
+  case class GapRow(stream_id: String, hr: Long, filled: Double,
+      is_gap: Boolean)
+
+  /** Gap-fill fold state: the OPEN hour's partial mean. Sentinel
+    * curHr = Long.MinValue = no hour open yet. */
+  private[streaming] case class GapFillState(curHr: Long, sum: Double,
+      cnt: Long)
+
+  /** Streaming forward-fill gap detection — the in-flight variant of
+    * the ds_gapfill_hours batch lane: per stream, each CLOSED hour
+    * emits its rounded mean, and when a new point skips hours the
+    * intervening grid rows emit immediately with the last closed mean
+    * carried forward (`is_gap = true`). An hour closes when the first
+    * point of a LATER hour arrives, so the final (still-open) hour of
+    * each stream never emits — exactly the batch grid minus each
+    * stream's last hour, which is what the gate oracle pins (the batch
+    * SQL with an end-exclusive grid). State is O(1) per stream: the
+    * open hour's (sum, count). Per-key in-order delivery, like every
+    * derive twin; mean rounding replicates Spark `round` (HALF_UP) so
+    * ordered replay equals the batch op bit-for-bit.
+    */
+  def gapFillHours(src: Dataset[Point]): Dataset[GapRow] = {
+    import src.sparkSession.implicits._
+    val none = Long.MinValue
+    def close(sum: Double, cnt: Long): Double =
+      BigDecimal(sum / cnt)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fold(key: String, rows: Iterator[Point],
+        gs: org.apache.spark.sql.streaming.GroupState[GapFillState])
+        : Iterator[GapRow] = {
+      val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+      var st = gs.getOption.getOrElse(GapFillState(none, 0.0, 0L))
+      val out = Seq.newBuilder[GapRow]
+      sorted.foreach { p =>
+        val hr = Math.floorDiv(Math.floorDiv(p.t.getTime, 1000L), 3600L)
+        if (st.curHr == none || hr == st.curHr)
+          st = GapFillState(hr, st.sum + p.v, st.cnt + 1)
+        else if (hr > st.curHr) {
+          val m = close(st.sum, st.cnt)
+          out += GapRow(key, st.curHr, m, is_gap = false)
+          var g = st.curHr + 1
+          while (g < hr) { out += GapRow(key, g, m, is_gap = true); g += 1 }
+          st = GapFillState(hr, p.v, 1L)
+        }
+        // hr < curHr would be out-of-order delivery — contract-excluded
+      }
+      gs.update(st)
+      out.result().iterator
+    }
+    src.groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** EWMA state: the running smoothed value of one stream. */
   case class EwmaState(value: Double)
 

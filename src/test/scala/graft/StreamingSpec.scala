@@ -344,6 +344,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", ts("2024-01-01 00:00:45"), 0.5)))
   }
 
+  test("streaming gap-fill: closed hours + carried-forward gaps, split-invariant") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // stream a: hours 0 (two points, mean 1.5), 1, then a 2-hour gap to
+    // hour 4 (still open, never emits); stream b: single hour (nothing
+    // closes). The 2-batch replay cuts MID-hour-1 so the open hour's
+    // partial (sum, cnt) must carry in state.
+    val pts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:10:00"), 1.0),
+      Streaming.Point("a", ts("2024-01-01 00:40:00"), 2.0),
+      Streaming.Point("a", ts("2024-01-01 01:05:00"), 5.0),
+      Streaming.Point("a", ts("2024-01-01 01:55:00"), 7.0),
+      Streaming.Point("a", ts("2024-01-01 04:30:00"), 9.0),
+      Streaming.Point("b", ts("2024-01-01 02:00:00"), 3.0))
+    val expected = Set(
+      ("a", 473352L, 1.5, false), // hour 0 of 2024-01-01 = epoch-hr 473352
+      ("a", 473353L, 6.0, false),
+      ("a", 473354L, 6.0, true),
+      ("a", 473355L, 6.0, true))
+    for ((cut, i) <- Seq(6, 4).zipWithIndex) {
+      val mem = MemoryStream[Streaming.Point]
+      val q = Streaming.gapFillHours(mem.toDS())
+        .writeStream.format("memory").queryName(s"gapf_out_$i")
+        .outputMode("append").start()
+      mem.addData(pts.take(cut)); q.processAllAvailable()
+      mem.addData(pts.drop(cut)); q.processAllAvailable()
+      q.stop()
+      val got = spark.table(s"gapf_out_$i")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(got == expected, s"split at $cut diverged: $got")
+    }
+  }
+
   test("streaming winnow decontamination == batch op, any batch split") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
