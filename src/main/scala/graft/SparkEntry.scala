@@ -1021,6 +1021,20 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_holt" -> { (s, dir) =>
+      // Holt level+trend smoother (α=0.3, β=0.2), final state per
+      // stream — the trend-aware forecast EWMA flattens out of. The
+      // oracle replays the identical fold as a DuckDB struct
+      // list_reduce; round(4) for the same ulp-amplification reason as
+      // drv_ewma
+      Derive.holt(pointStreams(s, dir), alpha = 0.3, beta = 0.2)
+        .select(col("stream_id"),
+          round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"),
+          round(col("level") + col("trend"), 4).as("forecast_1"))
+        .orderBy("stream_id")
+    },
+
     "ds_gapfill_hours" -> { (s, dir) =>
       // gap filling with forward fill: per-stream hourly grid (sequence
       // explode between first and last active hour), left join the hourly
@@ -6785,6 +6799,35 @@ object SparkEntry {
         |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
         |    AS ewma_last
         |FROM l ORDER BY stream_id""".stripMargin,
+
+    // Holt fold as a RECURSIVE CTE over per-stream row indexes — NOT a
+    // struct list_reduce: DuckDB 1.0 aliases a struct accumulator's
+    // fields from the second reduction step on (probe: {'a': acc.a+10,
+    // 'b': acc.a} over 3+ elements yields a == b), so two-field state
+    // must advance through the recursion join instead. All streams
+    // advance one index per iteration; the b term recomputes l_t inline
+    // exactly as the Spark fold writes it.
+    "drv_holt" ->
+      s"""WITH RECURSIVE $srcSql, $pointSql,
+        |p AS (SELECT stream_id, v, row_number() OVER (
+        |    PARTITION BY stream_id
+        |    ORDER BY CAST(floor(epoch(t)) AS BIGINT)) AS i
+        |  FROM pts),
+        |n AS (SELECT stream_id, count(*) AS nn FROM p GROUP BY stream_id),
+        |hol AS (
+        |  SELECT stream_id, i, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM p WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.stream_id, s.i,
+        |    0.3 * s.v + 0.7 * (h.l + h.b),
+        |    0.2 * ((0.3 * s.v + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+        |  FROM hol h JOIN p s
+        |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
+        |f AS (SELECT hol.stream_id, arg_max(l, i) AS l, arg_max(b, i) AS b
+        |  FROM hol GROUP BY hol.stream_id)
+        |SELECT stream_id, round(l, 4) AS level, round(b, 4) AS trend,
+        |  round(l + b, 4) AS forecast_1
+        |FROM f ORDER BY stream_id""".stripMargin,
 
     "ds_agg_hours6" ->
       s"""WITH $srcSql,

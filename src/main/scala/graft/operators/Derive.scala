@@ -176,6 +176,56 @@ object Derive {
     * fine for the reference's bounded per-stream history; an unbounded
     * stream belongs on the streaming path, whose GroupState fold is O(1).
     */
+  /** Holt double exponential smoothing (level + trend) per stream:
+    * `l_1 = x_1, b_1 = 0`; `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}` — the trend-aware
+    * smoother EWMA flattens out of. Emits each stream's FINAL
+    * (level, trend) — the monitoring forecast state (`level + h·trend`
+    * is the h-step forecast). Same fold shape and bounded-history
+    * guard as [[ewma]]; the cross-engine oracle replays the identical
+    * arithmetic as a DuckDB struct `list_reduce` (drv_holt), with the
+    * standard round(4) on the emitted values only. An unbounded stream
+    * belongs on [[graft.streaming.Streaming.holt]]'s O(1) state.
+    */
+  def holt(source: DataFrame, alpha: Double, beta: Double,
+      maxPointsPerStream: Int = 4_000_000): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source.select(col("stream_id"), col("t"), col("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, rows) =>
+        val buf = scala.collection.immutable.IndexedSeq.newBuilder[
+          (String, java.sql.Timestamp, Double)]
+        var n = 0
+        rows.foreach { r =>
+          n += 1
+          if (n > maxPointsPerStream)
+            throw graft.model.InvalidOperatorArguments(
+              s"holt: stream $sid exceeds $maxPointsPerStream points in one " +
+                "batch — use graft.streaming.Streaming.holt (O(1) state) or " +
+                "raise maxPointsPerStream")
+          buf += r
+        }
+        val sorted = buf.result().sortBy(r => (r._2.getTime, r._3))
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        sorted.foreach { case (_, _, x) =>
+          if (first) { l = x; b = 0.0; first = false }
+          else {
+            // lt inline-recomputed in the bt term EXACTLY as the oracle
+            // lambda writes it — same expression, same bits
+            val lt = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (lt - l) + (1 - beta) * b
+            l = lt
+          }
+        }
+        (sid, l, b)
+      }
+      .toDF("stream_id", "level", "trend")
+  }
+
   def ewma(source: DataFrame, alpha: Double,
       maxPointsPerStream: Int = 4_000_000): DataFrame = {
     val spark = source.sparkSession

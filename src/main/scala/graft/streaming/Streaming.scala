@@ -413,6 +413,51 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One Holt smoother snapshot: the stream's state after this point. */
+  case class HoltRow(stream_id: String, t: Timestamp, level: Double,
+      trend: Double)
+
+  private[streaming] case class HoltState(level: Double, trend: Double)
+
+  /** Stateful streaming Holt (level + trend) — the O(1)-state twin of
+    * [[graft.operators.Derive.holt]]: two doubles per stream, identical
+    * fold arithmetic (the bt term recomputes lt inline exactly like the
+    * batch fold and the oracle lambda), per-batch rows sorted (t, v)
+    * like every derive twin. Emits the refreshed (level, trend) after
+    * each point; the latest row per stream is the live forecast state.
+    * In-order delivery reproduces the batch op bit-for-bit (pinned in
+    * StreamingSpec).
+    */
+  def holt(src: Dataset[Point], alpha: Double, beta: Double)
+      : Dataset[HoltRow] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, HoltRow] {
+      @transient private var state: ValueState[HoltState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HoltState]("holt",
+          Encoders.product[HoltState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[HoltRow] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        var st = if (state.exists()) Some(state.get()) else None
+        val out = sorted.map { p =>
+          st = st match {
+            case None => Some(HoltState(p.v, 0.0))
+            case Some(HoltState(l, b)) =>
+              val lt = alpha * p.v + (1 - alpha) * (l + b)
+              Some(HoltState(lt, beta * (lt - l) + (1 - beta) * b))
+          }
+          HoltRow(key, p.t, st.get.level, st.get.trend)
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-(stream, lag) ACF sufficient statistics — mirrors the batch
     * [[graft.operators.Temporal.autocorr]] integer sums exactly.
     */

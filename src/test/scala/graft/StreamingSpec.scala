@@ -258,6 +258,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 5)
   }
 
+  test("stateful streaming holt == batch holt (final state, bit-equal)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.holt(mem.toDS(), 0.3, 0.2)
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    val pts = Seq(
+      Streaming.Point("a", ts("2024-01-01 00:00:00"), 10.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:10"), 12.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:00"), 5.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:20"), 14.0),
+      Streaming.Point("a", ts("2024-01-01 00:00:30"), 13.0),
+      Streaming.Point("b", ts("2024-01-01 00:00:40"), 6.5))
+    mem.addData(pts.take(3)); q.processAllAvailable()
+    mem.addData(pts.drop(3)); q.processAllAvailable()
+    q.stop()
+    // live state per stream = the snapshot at max t
+    val got = spark.table("holt_out")
+      .groupBy("stream_id")
+      .agg(max(struct(col("t"), col("level"), col("trend"))).as("s"))
+      .select(col("stream_id"), col("s.level"), col("s.trend"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val batch = graft.operators.Derive
+      .holt(pts.map(p => (p.stream_id, p.t, p.v)).toDF("stream_id", "t", "v"),
+        0.3, 0.2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got == batch) // identical fold arithmetic -> bit-equal doubles
+    assert(got.keySet == Set("a", "b"))
+  }
+
   test("stateful streaming counter_derivative handles wrap across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
