@@ -1707,6 +1707,53 @@ object SparkEntry {
         .orderBy("nation")
     },
 
+    "store_retention" -> { (s, dir) =>
+      // TIERED RETENTION (the RRD ladder semantic) under the oracle:
+      // build the store, materialize the ladder, then expire raw
+      // seconds at Jan 20 but keep Days back to Jan 10 — the classic
+      // metrics policy (raw short, aggregates long). Expiry is whole
+      // ymd-partition drops, so the read-back below also pins that
+      // reads survive missing historical partitions. Oracle = events
+      // under the two cutoffs.
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-retention-q").toString
+      val ds = new graft.core.Datastream(s, work)
+      val ev = events(s, dir).where(col("user_id") < 3)
+      val keys = ev.select("user_id", "event_type").distinct().collect()
+      val idOf = keys.map { r =>
+        val (u, et) = (r.getLong(0).toString, r.getString(1))
+        s"$u:$et" -> ds.ensureStream(Map("user" -> u, "type" -> et))
+      }.toMap
+      val uuidOf = typedLit(idOf)
+      ds.appendMultiple(ev.select(
+        uuidOf(concat_ws(":", col("user_id"), col("event_type"))).as("stream_id"),
+        col("ts").as("t"), col("value").as("v")), checkTimestamp = false)
+      ds.downsampleStreams(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      ds.expireData(Map[graft.model.Granularity, java.sql.Timestamp](
+        graft.model.Granularity.Seconds ->
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+        graft.model.Granularity.Days ->
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      val tags = ds.streams.select(col("stream_id"), col("tags"))
+      val dp = ds.datapoints
+      // count/min/max only: order-independent (associative-exact) under
+      // the ladder fold, unlike s whose partial-sum order is layout-
+      // dependent at the last ulp — retention is about WHICH rows
+      // survive, which (t, c, l, u) pins completely
+      val secs = dp.where(col("granularity") === "seconds")
+        .select(col("stream_id"), col("granularity"), col("t"),
+          lit(1L).as("c"), col("v_num").as("l"), col("v_num").as("u"))
+      val days = dp.where(col("granularity") === "days")
+        .select(col("stream_id"), col("granularity"), col("t"),
+          col("c"), col("l"), col("u"))
+      secs.unionByName(days).join(tags, "stream_id")
+        .select(
+          element_at(col("tags"), "user").cast("long").as("user_id"),
+          element_at(col("tags"), "type").as("event_type"),
+          col("granularity"), col("t"), col("c"), col("l"), col("u"))
+        .orderBy("user_id", "event_type", "granularity", "t", "l")
+    },
+
     "store_derive_pipeline" -> { (s, dir) =>
       // the INCREMENTAL derive-on-append path under the oracle: per-key
       // source+derivative stream pairs, three staged monotonic appends
@@ -7332,6 +7379,30 @@ object SparkEntry {
         |WHERE NOT is_reset AND pv IS NOT NULL AND epoch(t) != epoch(pt)
         |  AND (last_reset_t IS NULL OR last_reset_t <= pt)
         |ORDER BY stream_id, t""".stripMargin,
+
+    // tiered retention: raw seconds survive from their Jan 20 horizon,
+    // day rollups from Jan 10 (ymd-partition drops at midnight cutoffs
+    // ⇒ plain t/bucket filters); event data ends in January, so every
+    // day bucket closed under until = Feb 1
+    "store_retention" ->
+      """WITH src AS (SELECT user_id, event_type,
+        |    CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS t,
+        |    value AS v FROM events WHERE user_id < 3),
+        |sec AS (SELECT user_id, event_type, 'seconds' AS granularity, t,
+        |    CAST(1 AS BIGINT) AS c, v AS l, v AS u
+        |  FROM src WHERE t >= TIMESTAMP '2024-01-20 00:00:00'),
+        |b AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(t) / 86400) * 86400 AS BIGINT) AS be, v
+        |  FROM src),
+        |d AS (SELECT user_id, event_type, 'days' AS granularity,
+        |    CAST(to_timestamp(be) AS TIMESTAMP) AS t,
+        |    count(v) AS c, min(v) AS l, max(v) AS u
+        |  FROM b
+        |  WHERE be >= CAST(floor(epoch(TIMESTAMP '2024-01-10 00:00:00'))
+        |    AS BIGINT)
+        |  GROUP BY user_id, event_type, be)
+        |SELECT * FROM (SELECT * FROM sec UNION ALL SELECT * FROM d)
+        |ORDER BY user_id, event_type, granularity, t, l""".stripMargin,
 
     "q_above_cust_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
