@@ -59,7 +59,8 @@ object Plans {
         "pipe_quantile_norm", "emb_hard_negatives", "text_collocations",
         "pipe_dataset_fingerprint", "text_oov_rate",
         "q_fingerprint_incremental", "pipe_bounded_contrib",
-        "mm_patch_grid", "emb_ann_ivf_indexed")
+        "mm_patch_grid", "emb_ann_ivf_indexed",
+        "graph_hits", "mm_resample", "q_bm25f", "drv_holt", "q_bm25_audit")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
