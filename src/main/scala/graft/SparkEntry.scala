@@ -3637,6 +3637,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_sq8" -> { (s, dir) =>
+      // ANN scale path: IVF cell pruning composed with int8 scalar-
+      // quantized scoring (FAISS IndexIVFScalarQuantizer) — candidates
+      // bounded by nprobe equi-joins, scored on integer code dots
+      // (exact at any summation order, BIGINT) instead of raw floats.
+      // Completes the family: LSH / IVF / IVF-PQ / binary / SQ8 /
+      // IVF-SQ8.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.ivfSq8TopK(e, k = 3, stride = 50, nprobe = 2)
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_audited" -> { (s, dir) =>
       // the CLOSED drift loop (the piece emb_ann_ivf_stream leaves to
       // the operator): the family bootstraps under a deliberately BIASED
@@ -9487,6 +9500,49 @@ object SparkEntry {
         |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  (10000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // 3 AS recall_bp
         |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
+
+    // IVF probe skeleton (stride-50 centroids, float-cosine argmax,
+    // nprobe 2) + the SQ8 quantization CTEs; scoring = integer code
+    // dots, rank (dot desc, cid) — no fp tolerance anywhere
+    "emb_ann_ivf_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+        |  WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb))
+        |         * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+        |  WHERE crnk <= 2),
+        |x AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) AS BIGINT)
+        |    AS dim, unnest(emb) AS raw FROM e),
+        |pr AS (SELECT dim, min(raw) AS vmin, max(raw) - min(raw) AS sp
+        |  FROM x GROUP BY dim),
+        |q8 AS (SELECT vec_id, x.dim,
+        |    CASE WHEN sp = 0 THEN 0.0
+        |      ELSE least(255.0, floor((raw - vmin) * 255.0 / sp)) END AS qv
+        |  FROM x JOIN pr USING (dim)),
+        |code AS (SELECT vec_id, list(qv ORDER BY dim) AS qc
+        |  FROM q8 GROUP BY vec_id),
+        |p AS (SELECT probes.qid, cells.vec_id AS cid,
+        |    CAST(list_dot_product(qa.qc, ca.qc) AS BIGINT) AS dot
+        |  FROM probes JOIN cells USING (cell)
+        |  JOIN code qa ON qa.vec_id = probes.qid
+        |  JOIN code ca ON ca.vec_id = cells.vec_id
+        |  WHERE cells.vec_id <> probes.qid),
+        |t AS (SELECT qid, cid, dot,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, dot FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
 
     "emb_ann_ivf_trained" -> ivfTrainedOracleSql,
     "emb_ann_ivf_rebuilt" -> ivfTrainedOracleSql,

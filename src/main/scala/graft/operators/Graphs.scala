@@ -149,13 +149,15 @@ object Graphs {
       .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
     var hubs = verts.withColumn("hub", lit(scale)).localCheckpoint(true)
     var auths = verts.withColumn("auth", lit(0L))
-    def renorm(raw: DataFrame, c: String): DataFrame = {
-      val total = raw.agg(
-        expr(s"greatest(1L, sum($c) div $scale)").as("q"))
+    def renorm(raw0: DataFrame, c: String): DataFrame = {
+      // raw feeds the total AND the join — checkpoint or its join+agg
+      // subtree plans twice (the Union-subtree rule); the 1-row total
+      // then rides as a driver literal, no broadcast exchange
+      val raw = raw0.localCheckpoint(true)
+      val q = raw.agg(expr(s"greatest(1L, sum($c) div $scale)"))
+        .head().getLong(0)
       verts.join(raw, Seq("v"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("v"),
-          expr(s"coalesce($c, 0L) div q").as(c))
+        .select(col("v"), expr(s"coalesce($c, 0L) div ${q}L").as(c))
         .localCheckpoint(true)
     }
     for (_ <- 1 to iters) {

@@ -1420,6 +1420,51 @@ object Similarity {
     * ≤ 255²·d — exact in doubles at any summation order — cast to BIGINT.
     * The whole lane is hash-exact cross-engine with no fp tolerance.
     */
+  /** IVF-SQ8 ANN top-k (the FAISS IndexIVFScalarQuantizer shape):
+    * coarse IVF cells bound each query's candidates (nprobe equi-join,
+    * exactly [[ivfTopK]]'s pruning) and the candidates are scored on
+    * their int8 SQ codes instead of raw floats — the 4× memory cut of
+    * [[sq8TopK]] composed with cell pruning, completing the ANN family
+    * (LSH / IVF / IVF-PQ / binary / SQ8 / IVF-SQ8). Code dots are sums
+    * of integers ≤ 255²·d — exact in doubles at any order, cast BIGINT,
+    * so ranking is (dot desc, cid) with no fp tolerance and the whole
+    * lane is hash-exact cross-engine. The per-dim (min, span) profile is
+    * one mergeable whole-vector Aggregator pass; codes materialize ONCE
+    * before the cell join (the CollapseProject derived-array rule —
+    * inlined, the zip_with quantizer would rebuild per joined pair).
+    */
+  def ivfSq8TopK(corpus: DataFrame, k: Int, stride: Long,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val prof = DimStats.dimStats(corpus, "emb").orderBy("dim")
+      .select("vmin", "vmax").collect()
+    val vmin = prof.map(_.getDouble(0)).toSeq
+    val span = prof.map(r => r.getDouble(1) - r.getDouble(0)).toSeq
+    val codeExpr = zip_with(
+      zip_with(col("emb"), typedLit(vmin), (x, mn) => x - mn),
+      typedLit(span),
+      (d, sp) => when(sp === 0.0, lit(0.0)).otherwise(
+        least(lit(255.0), floor(d * lit(255.0) / sp).cast("double"))))
+    val assigned = withProbes(corpus, strideCentroids(corpus, stride), nprobe)
+      .withColumn("qc", codeExpr)
+      .localCheckpoint(true)
+    val corpusSide = assigned
+      .withColumn("cell", element_at(col("probes"), 1))
+      .select(col("vec_id"), col("cell"), col("qc"))
+    val probeSide = assigned
+      .withColumn("cell", explode(col("probes")))
+      .select(col("vec_id").as("qid"), col("qc").as("qqc"), col("cell"))
+    val pairs = probeSide.join(corpusSide, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        call_function("graft_dot", col("qqc"), col("qc")).cast("long"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("dot"))
+  }
+
   def sq8TopK(embs: DataFrame, queryId: Long, k: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)
