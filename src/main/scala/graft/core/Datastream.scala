@@ -67,6 +67,55 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * the next flush rewrites every shard and removes the legacy files. */
   private var legacyCatalogLayout = false
   private var catalog: Map[String, StreamDescriptor] = loadCatalog()
+  /** Inverted (tag key, value) → stream-id index over the FLAT tag maps —
+    * what makes A1's existing-stream check and A5's find O(matched ids)
+    * instead of O(catalog) per call (measured: 10k ensureStream calls
+    * spent ~10 s in the linear scans; a 10⁶-stream catalog would make
+    * every declaration a full sweep). Maintained solely through the
+    * [[putStream]]/[[dropStreams]] mutation choke points; nested
+    * json-path finds (free-form tags_json) still scan by design.
+    * DECLARED (and populated) immediately after `catalog`: anything
+    * `healDirtyStreams()` below reaches must already be indexed.
+    */
+  private val tagIndex = scala.collection.mutable.Map
+    .empty[(String, String), scala.collection.mutable.Set[String]]
+  private def indexTags(d: StreamDescriptor): Unit =
+    d.tags.foreach { case (k, v) =>
+      tagIndex.getOrElseUpdate((k, v),
+        scala.collection.mutable.Set.empty[String]) += d.stream_id
+    }
+  private def unindexTags(d: StreamDescriptor): Unit =
+    d.tags.foreach { case (k, v) =>
+      tagIndex.get((k, v)).foreach { s =>
+        s -= d.stream_id
+        if (s.isEmpty) tagIndex.remove((k, v))
+      }
+    }
+  catalog.values.foreach(indexTags)
+  /** The ONLY ways the catalog map may change — they keep [[tagIndex]]
+    * consistent (re-puts unindex the old descriptor first; bound-only
+    * updates re-index identical tags, a no-op-shaped cheap pass). */
+  private def putStream(d: StreamDescriptor): Unit = {
+    catalog.get(d.stream_id).foreach(unindexTags)
+    catalog += d.stream_id -> d
+    indexTags(d)
+  }
+  private def dropStreams(ids: Iterable[String]): Unit = {
+    ids.foreach(id => catalog.get(id).foreach(unindexTags))
+    catalog --= ids
+  }
+  /** Ids whose flat tags contain EVERY (k, v) of `queryTags` — posting
+    * intersection from the smallest list; empty query = whole catalog
+    * (the forall-over-empty semantics of the scan it replaces). */
+  private def idsByTags(queryTags: Map[String, String]): Seq[String] =
+    if (queryTags.isEmpty) catalog.keys.toSeq
+    else {
+      val posts = queryTags.iterator
+        .map(kv => tagIndex.getOrElse((kv._1, kv._2),
+          scala.collection.mutable.Set.empty[String])).toSeq
+      val smallest = posts.minBy(_.size)
+      smallest.iterator.filter(id => posts.forall(_.contains(id))).toSeq
+    }
   /** Shards whose in-memory state is ahead of the persisted catalog. */
   private val dirtyShards = scala.collection.mutable.Set.empty[Int]
   /** Per-level ladder coverage (driver-side, in-memory): `ladderFrontier`
@@ -344,8 +393,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       }
     }
 
-    val existing = catalog.values.filter(d =>
-      queryTags.forall { case (k, v) => d.tags.get(k).contains(v) }).toList
+    val existing = idsByTags(queryTags).map(catalog).toList
     existing match {
       case d :: Nil =>
         // immutable config — conflicting re-declaration is an error
@@ -376,7 +424,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           earliest_ts = None,
           latest_ts = None,
           value_type_options = valueTypeOptions)
-        catalog += id -> desc
+        putStream(desc)
         markDirty(id)
         unpersisted += id
         // reference parity: derive_backprocess=True (the default) computes
@@ -676,6 +724,9 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       val id = r.getString(0)
       val d = catalog(id)
       val lo = r.getTimestamp(1); val hi = r.getTimestamp(2)
+      // direct put (not putStream): tags are UNCHANGED by a bounds
+      // advance, so the tag index stays consistent and the hot append
+      // path skips the unindex/reindex pass per stream
       catalog += id -> d.copy(
         earliest_ts = Some(d.earliest_ts.fold(lo)(e => if (e.before(lo)) e else lo)),
         latest_ts = Some(d.latest_ts.fold(hi)(l => if (l.after(hi)) l else hi)))
@@ -893,9 +944,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     catalog.getOrElse(streamId, throw StreamNotFound(streamId)).tags_json
 
   def findStreamIds(queryTags: Map[String, String]): Seq[String] =
-    catalog.values.filter(d =>
-      queryTags.forall { case (k, v) => d.tags.get(k).contains(v) })
-      .map(_.stream_id).toSeq
+    idsByTags(queryTags)
 
   def getTags(streamId: String): Map[String, String] =
     catalog.getOrElse(streamId, throw StreamNotFound(streamId)).tags
@@ -903,7 +952,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   def updateTags(streamId: String, tags: Map[String, String]): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val merged = d.tags ++ tags
-    catalog += streamId -> d.copy(tags = merged, tags_json = Json.nested(merged))
+    putStream(d.copy(tags = merged, tags_json = Json.nested(merged)))
     markDirty(streamId)
     persistCatalog()
   }
@@ -911,14 +960,14 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   def removeTag(streamId: String, tag: String): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
     val t2 = d.tags - tag
-    catalog += streamId -> d.copy(tags = t2, tags_json = Json.nested(t2))
+    putStream(d.copy(tags = t2, tags_json = Json.nested(t2)))
     markDirty(streamId)
     persistCatalog()
   }
 
   def clearTags(streamId: String): Unit = {
     val d = catalog.getOrElse(streamId, throw StreamNotFound(streamId))
-    catalog += streamId -> d.copy(tags = Map.empty, tags_json = "{}")
+    putStream(d.copy(tags = Map.empty, tags_json = "{}"))
     markDirty(streamId)
     persistCatalog()
   }
@@ -946,8 +995,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         .where(!col("stream_id").isin(rawVictims.toSeq: _*))
       DatapointStore.replace(kept, datapointsPath)
     }
-    catalog --= victims
+    // markDirty BEFORE the drop: shardOf needs only the id, and the
+    // drop must also unindex the victims' tags
     victims.foreach(markDirty)
+    dropStreams(victims)
     persistCatalog()
     victims.size
   }
