@@ -3504,6 +3504,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gutted bucket must surface as stale: $gutted")
   }
 
+  test("PCM resampler: exact integer interpolation both directions (up and down)") {
+    import spark.implicits._
+    // hand-checkable ramp: samples 0, 1000, 2000, 3000 (Int16 units) at
+    // 4 kHz. Downsample 1/2 keeps every other sample; upsample 2/1
+    // inserts exact midpoints — all integer arithmetic, no fp anywhere.
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(4000).putInt(8000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(0).putShort(1000).putShort(2000).putShort(3000)
+    val media = Seq((1L, bb.array())).toDF("media_id", "content")
+    // offset-binary units: u = s + 32768
+    val down = graft.operators.Multimodal.resamplePcmStats(media, 1, 2)
+      .head()
+    // kept samples: u(0), u(2) = 32768, 34768
+    assert((down.getLong(1), down.getLong(2), down.getLong(3),
+      down.getLong(4)) == (2L, 32768L + 34768L, 32768L, 34768L))
+    val up = graft.operators.Multimodal.resamplePcmStats(media, 2, 1)
+      .head()
+    // out positions j/2: 0, .5, 1, 1.5, 2, 2.5, 3 -> 7 samples, exact
+    // midpoints 33268, 34268, 35268; sum = 4*ramp + 3 midpoints
+    val expectUp = Seq(32768L, 33268L, 33768L, 34268L, 34768L, 35268L,
+      35768L)
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getLong(4))
+      == (7L, expectUp.sum, expectUp.min, expectUp.max))
+  }
+
   test("maintained IVF family: drift audit trips automatic rebuild + generation flip") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
