@@ -3732,6 +3732,59 @@ object SparkEntry {
       stats.crossJoin(dl)
     },
 
+    "q_bm25_rebuilt" -> { (s, dir) =>
+      // the skew remedy indexStats points at: re-shard a cramped 4-bucket
+      // index into 32 buckets from the index's OWN tables (postings +
+      // doclens carry everything; doc text never re-tokenizes), caller
+      // flips the root pointer. Scoring is bucket-count-invariant, so
+      // the rebuilt search shares the direct lane's oracle verbatim.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bm25-rb").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Retrieval.buildIndex(docs, s"$base/v1", nBuckets = 4)
+      Retrieval.rebuildIndex(s, s"$base/v1", s"$base/v2", nBuckets = 32)
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, s"$base/v2", queries, 5, nBuckets = 32)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_bm25_stream" -> { (s, dir) =>
+      // STREAMING maintenance of the text index (emb_ann_ivf_stream's
+      // move for BM25): document micro-batches fold through
+      // applyIndexBatch — scrub-by-id then append under a batch-id
+      // commit gate, so the re-delivered batch here repairs rather than
+      // duplicates postings. Final search ≡ a fresh build ⇒ the direct
+      // lane's oracle verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stream").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      def rows(m: Long) = docs.where(col("doc_id") % 3 === m)
+        .as[(Long, String)].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = mem.toDF.toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Retrieval.applyIndexBatch(s, work, b, id)
+          ()
+        }
+        .option("checkpointLocation", s"$work/../ckpt").start()
+      try {
+        mem.addData(rows(0)); q.processAllAvailable()
+        mem.addData(rows(1)); q.processAllAvailable()
+        // at-least-once: re-deliver batch 1's rows under a NEW batch id
+        mem.addData(rows(1)); q.processAllAvailable()
+        mem.addData(rows(2)); q.processAllAvailable()
+      } finally q.stop()
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, work, queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
     "q_bm25f" -> { (s, dir) =>
       // field-weighted retrieval: docs split into title (first 8 words,
       // weight 3) and body (the rest, weight 1) — a title hit outranks
@@ -7856,6 +7909,11 @@ object SparkEntry {
     "q_bm25_indexed" -> bm25TopkOracleSql,
     // maintained index ≡ full corpus after the decoy delete — same oracle
     "q_bm25_maintained" -> bm25TopkOracleSql,
+    // re-sharding changes bucket membership, never scoring — same oracle
+    "q_bm25_rebuilt" -> bm25TopkOracleSql,
+    // streamed build ≡ fresh build (scrub-then-append, commit-gated) —
+    // same oracle
+    "q_bm25_stream" -> bm25TopkOracleSql,
 
     // closed-form resample: u_k = (k·step) mod 65536 (the sawtooth synth
     // in offset-binary units), amp = (u_k·(3−r) + u_{k+1}·r) // 3 at

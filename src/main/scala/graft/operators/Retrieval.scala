@@ -322,6 +322,71 @@ object Retrieval {
     fs.delete(stage, true)
   }
 
+  /** Re-shard the index into `newRoot` with a different bucket count —
+    * the remedy [[indexStats]]' skew signal calls for (a hot bucket
+    * degrading searches toward a scan picks a larger nBuckets), the
+    * [[Similarity.rebuildIvfIndex]] discipline for the text side: the
+    * postings and doclens tables carry everything a rebuild needs (doc
+    * text is never required), each re-buckets in one
+    * repartition-by-bucket job, and the caller flips its root pointer
+    * as the one atomic step — a crashed rebuild leaves the live index
+    * untouched and the incomplete newRoot is simply rebuilt.
+    */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession,
+      oldRoot: String, newRoot: String, nBuckets: Int = 64): Unit = {
+    healIndex(spark, oldRoot)
+    spark.read.parquet(s"$oldRoot/postings")
+      .select("doc_id", "tok", "tf")
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$newRoot/postings")
+    spark.read.parquet(s"$oldRoot/doclens")
+      .select("doc_id", "dl")
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$newRoot/doclens")
+  }
+
+  /** Fold ONE micro-batch of documents into a [[buildIndex]] index,
+    * exactly-once under foreachBatch's at-least-once delivery — the
+    * [[Similarity.applyIvfBatch]] commit-gate discipline for the text
+    * index: a batch id at or below the committed horizon is a
+    * checkpoint-replay re-delivery and skips; a live apply SCRUBS its
+    * own batch's doc ids first (the touched-bucket COW delete — a
+    * no-op-shaped pruned scan on the clean path), so re-delivery
+    * repairs a crashed half-append instead of duplicating postings.
+    * Returns true when the batch was applied.
+    */
+  def applyIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame, batchId: Long,
+      nBuckets: Int = 64): Boolean = {
+    val fs = retrievalFs(spark, root)
+    val committed = {
+      val dir = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_bm25_commit_") =>
+          n.stripPrefix("_bm25_commit_").toLong }
+        .foldLeft(-1L)(math.max)
+    }
+    if (batchId <= committed) return false
+    val b = batch.localCheckpoint(true) // scrub ids + the append
+    deleteFromIndex(spark, root, b.select("doc_id"))
+    appendToIndex(b, root, nBuckets)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_bm25_commit_$batchId"),
+      true).close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("_bm25_commit_") &&
+            n.stripPrefix("_bm25_commit_").toLong < batchId)
+          fs.delete(p, false)
+      }
+    true
+  }
+
   /** Finish or roll back an interrupted [[deleteFromIndex]] /
     * [[compactIndex]] swap — the IVF heal state machine verbatim per
     * bucket, on both trees: tmp + live ⇒ swap never started (tmp may be
