@@ -60,7 +60,8 @@ object Plans {
         "pipe_dataset_fingerprint", "text_oov_rate",
         "q_fingerprint_incremental", "pipe_bounded_contrib",
         "mm_patch_grid", "emb_ann_ivf_indexed",
-        "graph_hits", "mm_resample", "q_bm25f", "drv_holt", "q_bm25_audit")
+        "graph_hits", "mm_resample", "q_bm25f", "drv_holt", "q_bm25_audit",
+        "emb_ann_ivf_sq8", "q_bm25_rebuilt")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
