@@ -3477,6 +3477,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .bm25TopKIndexed(spark, broot, q, 3, nBuckets = 4).count() > 0)
   }
 
+  test("bm25 applyIndexBatch: re-delivery repairs, never duplicates; horizon skips") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-apply").toString + "/idx"
+    def posts() = spark.read.parquet(s"$root/postings")
+      .select("doc_id", "tok", "tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(graft.operators.Retrieval.applyIndexBatch(spark, root,
+      d.where(col("doc_id") < 30), 0))
+    assert(graft.operators.Retrieval.applyIndexBatch(spark, root,
+      d.where(col("doc_id") >= 30), 1))
+    val whole = posts()
+    // horizon: a checkpoint-replayed batch id skips outright
+    assert(!graft.operators.Retrieval.applyIndexBatch(spark, root,
+      d.where(col("doc_id") >= 30), 1))
+    assert(posts() == whole)
+    // crash window: the apply landed but its commit marker was lost
+    // (crash between append and marker create) — the re-delivered batch
+    // re-applies, and the scrub-then-append makes that a repair, not a
+    // duplication
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/_bm25_commit_1"),
+      false))
+    assert(graft.operators.Retrieval.applyIndexBatch(spark, root,
+      d.where(col("doc_id") >= 30), 1))
+    assert(posts() == whole, "re-apply must repair by content")
+    // and the streamed index scores like a fresh batch build
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-bm25-apply-fresh").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d, fresh)
+    val q = d.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    def search(r: String) = graft.operators.Retrieval
+      .bm25TopKIndexed(spark, r, q, 5).collect().map(_.toSeq).toSet
+    assert(search(root) == search(fresh))
+  }
+
   test("bm25 index audit: perfect on a consistent index, detects a gutted bucket") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").where(col("doc_id") < 100)
