@@ -2192,6 +2192,42 @@ object SparkEntry {
       s.table(name).orderBy("stream_id", "hr")
     },
 
+    "ds_stream_downtime" -> { (s, dir) =>
+      // STREAMING outage detection: the silence interval emits the
+      // moment the stream's next point arrives (the alerting view);
+      // aggregating the emitted events per stream — zero-filled over
+      // the replayed stream universe — reproduces the batch ds_downtime
+      // summary, so the oracle is shared verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val name = s"down_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val rows = pointStreams(s, dir).orderBy("t", "stream_id").collect()
+        .map(r => graft.streaming.Streaming.Point(
+          r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      try {
+        val q = graft.streaming.Streaming.downtime(mem.toDS(), 3600L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try rows.grouped(rows.length / 3 + 1).foreach { b =>
+          mem.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val universe = rows.map(_.stream_id).distinct.toSeq.toDF("stream_id")
+      val agg = s.table(name).groupBy("stream_id")
+        .agg(count(lit(1)).as("n"), max("outage_sec").as("mx"),
+          sum("outage_sec").as("sm"))
+      universe.join(agg, Seq("stream_id"), "left")
+        .select(col("stream_id"),
+          coalesce(col("n"), lit(0L)).as("n_outages"),
+          coalesce(col("mx"), lit(0L)).as("max_outage_sec"),
+          coalesce(col("sm"), lit(0L)).as("downtime_sec"))
+        .orderBy("stream_id")
+    },
+
     "dedup_stream_exact" -> { (s, dir) =>
       // watermark-bounded streaming EXACT dedup
       // (dropDuplicatesWithinWatermark — state holds 16-byte hashes
@@ -5705,6 +5741,24 @@ object SparkEntry {
       |FROM r JOIN e USING (fp) WHERE r.doc_id <> e.eval_id
       |GROUP BY r.doc_id HAVING count(*) >= 1
       |ORDER BY n_shared_fps DESC, doc_id""".stripMargin
+
+  // exact integer seconds; gaps from the per-(stream, second) deduped
+  // points, outage threshold 1 h. Shared by the batch summary and its
+  // streaming outage-event twin.
+  private val downtimeOracleSql: String =
+    s"""WITH $srcSql, $pointSql,
+      |g AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+      |    lag(CAST(floor(epoch(t)) AS BIGINT))
+      |      OVER (PARTITION BY stream_id ORDER BY t) AS prev
+      |  FROM pts)
+      |SELECT stream_id,
+      |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN 1 END), 0)
+      |    AS BIGINT) AS n_outages,
+      |  CAST(coalesce(max(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
+      |    AS BIGINT) AS max_outage_sec,
+      |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
+      |    AS BIGINT) AS downtime_sec
+      |FROM g GROUP BY stream_id ORDER BY stream_id""".stripMargin
 
   private val ivfTrainedOracleSql: String =
     // 2 unrolled Lloyd rounds: assignment ties break to the lowest
@@ -10334,22 +10388,11 @@ object SparkEntry {
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
-    "ds_downtime" ->
-      // exact integer seconds; gaps from the per-(stream, second)
-      // deduped points, outage threshold 1 h
-      s"""WITH $srcSql, $pointSql,
-        |g AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
-        |    lag(CAST(floor(epoch(t)) AS BIGINT))
-        |      OVER (PARTITION BY stream_id ORDER BY t) AS prev
-        |  FROM pts)
-        |SELECT stream_id,
-        |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN 1 END), 0)
-        |    AS BIGINT) AS n_outages,
-        |  CAST(coalesce(max(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
-        |    AS BIGINT) AS max_outage_sec,
-        |  CAST(coalesce(sum(CASE WHEN sec - prev > 3600 THEN sec - prev END), 0)
-        |    AS BIGINT) AS downtime_sec
-        |FROM g GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+    "ds_downtime" -> downtimeOracleSql,
+    // outage events aggregate to EXACTLY the batch summary (an outage is
+    // only knowable when the next point arrives, in both lanes) — the
+    // streaming replay shares the oracle verbatim
+    "ds_stream_downtime" -> downtimeOracleSql,
 
     "pipe_ks_drift" ->
       // one-vs-rest KS on integer counts: the supremum is evaluated

@@ -413,6 +413,54 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One detected silence outage on a stream. */
+  case class Outage(stream_id: String, outage_start: Timestamp,
+      outage_end: Timestamp, outage_sec: Long)
+
+  /** Streaming OUTAGE detection — the in-flight view of the batch
+    * ds_downtime summary: when a point arrives more than `gapSec`
+    * seconds (floor-second resolution, exact integers) after its
+    * stream's previous point, the silence interval emits immediately as
+    * an [[Outage]] event — the alerting shape; the batch lane's
+    * per-stream summary is exactly the aggregate of these events (the
+    * gate query pins that against ds_downtime's oracle verbatim). An
+    * outage is only knowable when the NEXT point arrives, matching the
+    * batch lag semantics — a currently-silent stream has no emission
+    * (that live view is ds_staleness' job). State is one (t, v) pair
+    * per stream; per-key in-order delivery as everywhere.
+    */
+  def downtime(src: Dataset[Point], gapSec: Long = 3600)
+      : Dataset[Outage] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, Outage] {
+      @transient private var state: ValueState[LastPoint] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[LastPoint]("last",
+          Encoders.product[LastPoint], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[Outage] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        var prev = if (state.exists()) Some(state.get()) else None
+        val out = sorted.flatMap { p =>
+          val sec = Math.floorDiv(p.t.getTime, 1000L)
+          val emit = prev.collect {
+            case LastPoint(lt, _)
+                if sec - Math.floorDiv(lt, 1000L) > gapSec =>
+              Outage(key, new Timestamp(lt), p.t,
+                sec - Math.floorDiv(lt, 1000L))
+          }
+          prev = Some(LastPoint(p.t.getTime, p.v))
+          emit
+        }
+        prev.foreach(state.update)
+        out.iterator
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** One Holt smoother snapshot: the stream's state after this point. */
   case class HoltRow(stream_id: String, t: Timestamp, level: Double,
       trend: Double)

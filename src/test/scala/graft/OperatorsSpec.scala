@@ -3477,6 +3477,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .bm25TopKIndexed(spark, broot, q, 3, nBuckets = 4).count() > 0)
   }
 
+  test("bm25f ≡ bm25 over the virtual doc with fields repeated by weight") {
+    import spark.implicits._
+    // the semantic identity that pins BM25F's integer-weight variant:
+    // wtf/wdl/df of (title w=3, body w=1) equal plain BM25 statistics of
+    // a document whose title text is repeated 3 times — so the two
+    // lanes must score identically, ties included
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val fdocs = d.select(col("doc_id"),
+      expr("concat_ws(' ', slice(split(text, ' '), 1, 8))").as("title"),
+      expr("concat_ws(' ', slice(split(text, ' '), 9, 1000000))").as("body"))
+    val virtual = fdocs.select(col("doc_id"),
+      concat_ws(" ", col("title"), col("title"), col("title"), col("body"))
+        .as("text"))
+    val q = d.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val f = graft.operators.Retrieval
+      .bm25fTopK(fdocs, broadcast(q), 5, Seq("title" -> 3L, "body" -> 1L))
+      .collect().map(_.toSeq).toSet
+    val v = graft.operators.Retrieval.bm25TopK(virtual, broadcast(q), 5)
+      .collect().map(_.toSeq).toSet
+    assert(f == v)
+  }
+
   test("bm25 applyIndexBatch: re-delivery repairs, never duplicates; horizon skips") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
