@@ -1035,6 +1035,40 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_holt_stream" -> { (s, dir) =>
+      // STREAMING Holt under the gate: the O(1)-state twin replayed
+      // over the full point set in GLOBAL time order (3 micro-batches
+      // cut on the sorted sequence — the ordered-replay rule), final
+      // snapshot per stream elected at max t (unique per stream:
+      // pointStreams pre-aggregates (stream, t)). Identical fold
+      // arithmetic ⇒ bit-equal doubles ⇒ drv_holt's oracle verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val name = s"holt_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val rows = pointStreams(s, dir).orderBy("t", "stream_id").collect()
+        .map(r => graft.streaming.Streaming.Point(
+          r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      try {
+        val q = graft.streaming.Streaming.holt(mem.toDS(), 0.3, 0.2)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try rows.grouped(rows.length / 3 + 1).foreach { b =>
+          mem.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).groupBy("stream_id")
+        .agg(max(struct(col("t"), col("level"), col("trend"))).as("st"))
+        .select(col("stream_id"),
+          round(col("st.level"), 4).as("level"),
+          round(col("st.trend"), 4).as("trend"),
+          round(col("st.level") + col("st.trend"), 4).as("forecast_1"))
+        .orderBy("stream_id")
+    },
+
     "ds_gapfill_hours" -> { (s, dir) =>
       // gap filling with forward fill: per-stream hourly grid (sequence
       // explode between first and last active hour), left join the hourly
@@ -1384,6 +1418,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_entropy" -> { (s, dir) =>
+      // Shannon entropy of each doc's token distribution in BITS — the
+      // log-lane sibling of text_token_gini (quality filters threshold
+      // on it; low-entropy docs are boilerplate/spam): H = (ln n −
+      // Σ cᵢ·ln cᵢ / n) / ln 2. Counts stay exact BIGINTs; the one
+      // float step is ln + divide, and round(4) absorbs the
+      // cross-engine libm + summation-order ulps (the drv_ewma rule).
+      // Same explode → two hash aggs plan as the gini.
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_distinct"),
+          sum(expr("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")).as("sclc"))
+        .withColumn("ent_bits", round(
+          (log(col("n_toks").cast("double")) -
+            col("sclc") / col("n_toks").cast("double")) /
+            log(lit(2.0)), 4))
+        .select("doc_id", "n_toks", "n_distinct", "ent_bits")
+        .orderBy("doc_id")
+    },
+
     "q_phrase_search" -> { (s, dir) =>
       // exact two-token phrase search ("sort merge") by token-position
       // adjacency: the token array materializes as a COLUMN first (the
@@ -1427,6 +1483,43 @@ object SparkEntry {
           "CASE WHEN den > 0 THEN (abs(num) div den) * " +
             "(CASE WHEN num >= 0 THEN 1 ELSE -1 END) END"))
         .select("event_type", "cohort", "n", "num", "den", "slope_mpd")
+        .orderBy("event_type", "cohort")
+    },
+
+    "ds_theil_sen" -> { (s, dir) =>
+      // Theil–Sen robust daily trend per (event_type, cohort): the
+      // median of pairwise slopes between DAILY integer sums — the
+      // estimator outlier days can't drag the way they drag OLS
+      // (ds_trend_ols). The pair join is per-group quadratic in the
+      // DATE RANGE (time-bounded), never the corpus — the first daily
+      // rollup collapses corpus growth into at most one row per day.
+      // Each slope is ONE IEEE division of two BIGINTs (bit-identical
+      // cross-engine, the jaccard_links rule); the median is the
+      // ELEMENT at rank (n+1) div 2 under (slope, d1, d2) order —
+      // discrete lower median, no float midpoint averaging.
+      val e = events(s, dir).select(col("event_type"),
+        pmod(col("user_id"), lit(10L)).as("cohort"),
+        to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("mv"))
+      val daily = e.groupBy("event_type", "cohort", "d")
+        .agg(sum("mv").as("sv"))
+      val a = daily.select(col("event_type"), col("cohort"),
+        col("d").as("d1"), col("sv").as("v1"))
+      val b = daily.select(col("event_type"), col("cohort"),
+        col("d").as("d2"), col("sv").as("v2"))
+      val pairs = a.join(b, Seq("event_type", "cohort"))
+        .where(col("d1") < col("d2"))
+        .withColumn("slope",
+          (col("v2") - col("v1")).cast("double") /
+            datediff(col("d2"), col("d1")).cast("double"))
+      val grp = Window.partitionBy("event_type", "cohort")
+      pairs
+        .withColumn("rn", row_number().over(
+          grp.orderBy(col("slope"), col("d1"), col("d2"))))
+        .withColumn("n_pairs", count(lit(1)).over(grp))
+        .where(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("cohort"), col("n_pairs"),
+          col("slope").as("slope_mpd"))
         .orderBy("event_type", "cohort")
     },
 
@@ -2624,6 +2717,27 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"), col("dup_of"),
           round(col("sim"), 6).as("sim"))
         .orderBy("vec_id")
+    },
+
+    "emb_cluster_stats" -> { (s, dir) =>
+      // cluster observability over the coarse cells (the k-means QA
+      // view run before SemDeDup/prototype passes — spot dead, loose,
+      // or skewed cells): per cell n_vecs, summed member→centroid
+      // cosine in exact fixed point (floor(csim·10⁶) per member —
+      // csim doubles are bit-identical cross-engine via the graft_dot
+      // ≡ list_dot_product fold, and BIGINT sums are order-free), and
+      // the weakest member's cosine (min — order-free, emitted raw).
+      // Zero-shuffle codegen assignment + ONE hash agg.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      Similarity.assignCells(e, cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(floor(csim * 1000000) AS BIGINT)"))
+            .as("cohesion_fp"),
+          min("csim").as("min_csim"))
+        .orderBy("cell")
     },
 
     "emb_semdedup_incr" -> { (s, dir) =>
@@ -4648,6 +4762,41 @@ object SparkEntry {
       Graphs.hits(edges, iters = 2).orderBy("v")
     },
 
+    "graph_ppr" -> { (s, dir) =>
+      // personalized PageRank from the 'signup' seed over the same
+      // event-type transition graph: "relevance to the signup flow" —
+      // the seed-restarted random walk. Integer-exact power iteration
+      // (BIGINT fixed point, floor division, teleport mass on the seed
+      // set only) so the oracle replays all 3 rounds bit-for-bit.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).where(col("user_id") < 8)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id", "day").orderBy("event_id")
+      val edges = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = s.createDataFrame(Seq(Tuple1("signup"))).toDF("v")
+      Graphs.personalizedPageRank(edges, seeds, iters = 3).orderBy("v")
+    },
+
+    "graph_closeness" -> { (s, dir) =>
+      // landmark closeness over the co-purchase graph (same support-2
+      // edges): hop distances from the partkey%50==0 landmark set via
+      // ONE label-carrying multi-source BFS (state (v, lm, dist) — job
+      // count independent of |L|), folded per vertex into n_reached /
+      // sum_dist / the integer harmonic-permille sum. All-integer row.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds landmark scan + both BFS sides
+      val landmarks = edges.select(col("u").as("v"))
+        .unionAll(edges.select(col("v")))
+        .where(col("v") % 50 === 0).distinct()
+      Graphs.landmarkCloseness(edges, landmarks, maxHops = 3)
+        .orderBy("v")
+    },
+
     "graph_triangles" -> { (s, dir) =>
       // co-purchase affinity triangles: parts sharing an order become an
       // edge at support>=2 (sparsifies 1.2M -> 3.6k edges at sf0.1), then
@@ -5232,6 +5381,30 @@ object SparkEntry {
         .orderBy("doc_id", "py", "px")
     },
 
+    "mm_img_hist" -> { (s, dir) =>
+      // REAL image exposure histogram under the exact gate: the same
+      // 32×32 gradient PNGs as mm_patch_grid, decoded through the
+      // production ImageIO path, binned into 8 equal luma cells (bin =
+      // luma_pm·8 div 256000 ≡ v div 32 on grayscale — pure integer).
+      // The oracle recomputes every pixel from the gradient formula, so
+      // a green row needs encode, decode, the luma lane, and the bin
+      // arithmetic all exact. The curation use: all-dark / blown-out /
+      // low-dynamic-range frame filtering.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 100).select(col("doc_id").cast("long"))
+      val meta = graft.operators.Multimodal
+        .MediaMeta("image", 32, 32, 0, 0L, "png")
+      val media = ids.as[Long].map { id =>
+        graft.operators.Multimodal.MediaRow(id,
+          graft.operators.Multimodal.grayscalePng(32,
+            (x, y) => ((id + 7L * x + 13L * y) % 256L).toInt), meta)
+      }
+      graft.operators.Multimodal.lumaHistogram(media, bins = 8)
+        .select(col("media_id").as("doc_id"), col("bin"), col("n_px"))
+        .orderBy("doc_id", "bin")
+    },
+
     "pipe_bounded_contrib" -> { (s, dir) =>
       // user-level contribution bounding — the pre-noise half of any
       // user-level DP release: keep each user's FIRST 10 events (by
@@ -5745,6 +5918,31 @@ object SparkEntry {
   // exact integer seconds; gaps from the per-(stream, second) deduped
   // points, outage threshold 1 h. Shared by the batch summary and its
   // streaming outage-event twin.
+  // shared by drv_holt (batch) and drv_holt_stream (the O(1)-state
+  // streaming twin): identical fold arithmetic makes the doubles
+  // bit-equal, so both gate rows replay the same recursive CTE
+  private val holtOracleSql: String =
+    s"""WITH RECURSIVE $srcSql, $pointSql,
+      |p AS (SELECT stream_id, v, row_number() OVER (
+      |    PARTITION BY stream_id
+      |    ORDER BY CAST(floor(epoch(t)) AS BIGINT)) AS i
+      |  FROM pts),
+      |n AS (SELECT stream_id, count(*) AS nn FROM p GROUP BY stream_id),
+      |hol AS (
+      |  SELECT stream_id, i, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM p WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.stream_id, s.i,
+      |    0.3 * s.v + 0.7 * (h.l + h.b),
+      |    0.2 * ((0.3 * s.v + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+      |  FROM hol h JOIN p s
+      |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
+      |f AS (SELECT hol.stream_id, arg_max(l, i) AS l, arg_max(b, i) AS b
+      |  FROM hol GROUP BY hol.stream_id)
+      |SELECT stream_id, round(l, 4) AS level, round(b, 4) AS trend,
+      |  round(l + b, 4) AS forecast_1
+      |FROM f ORDER BY stream_id""".stripMargin
+
   private val downtimeOracleSql: String =
     s"""WITH $srcSql, $pointSql,
       |g AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
@@ -5959,6 +6157,30 @@ object SparkEntry {
       |SELECT g.vec_id, g.cell, d.dup_of, d.sim
       |FROM asg g LEFT JOIN d ON g.vec_id = d.vec_id
       |ORDER BY g.vec_id""".stripMargin
+
+  // cell assignment replayed like semDedupOracleSql (first-max ≡
+  // ORDER BY csim DESC, cent_id), then exact integer cohesion sums
+  private val clusterStatsOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+      |  WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, cell, csim FROM (
+      |    SELECT x.vec_id, c.cent_id AS cell,
+      |      list_dot_product(x.emb, c.cemb)
+      |        / (sqrt(list_dot_product(x.emb, x.emb))
+      |           * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY list_dot_product(x.emb, c.cemb)
+      |          / (sqrt(list_dot_product(x.emb, x.emb))
+      |             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+      |        c.cent_id) AS rn
+      |    FROM e x, cents c) WHERE rn = 1)
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CAST(floor(csim * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS cohesion_fp,
+      |  min(csim) AS min_csim
+      |FROM asg GROUP BY cell ORDER BY cell""".stripMargin
 
   /** Exponentially time-decayed popularity, shared VERBATIM by the batch
     * q_decay_popularity and streaming q_decay_popularity_stream (trailing
@@ -6412,6 +6634,22 @@ object SparkEntry {
         |    AS gini_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "text_entropy" ->
+      // same count CTEs; the one float step mirrors term-for-term and
+      // round(4) absorbs libm/summation-order ulps
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_toks, n_distinct,
+        |  round((ln(CAST(n_toks AS DOUBLE)) - sclc / CAST(n_toks AS DOUBLE))
+        |    / ln(CAST(2 AS DOUBLE)), 4) AS ent_bits
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_phrase_search" ->
       // 1-based list indexing; range(1, len) is end-exclusive, so i+1
       // stays in bounds — same overlapping-adjacency count
@@ -6446,6 +6684,33 @@ object SparkEntry {
         |    (CASE WHEN n * stv - st * sv >= 0 THEN 1 ELSE -1 END) END
         |    AS slope_mpd
         |FROM g ORDER BY event_type, cohort""".stripMargin,
+
+    "ds_theil_sen" ->
+      // daily BIGINT sums collapse the corpus first (pairs are then
+      // quadratic in the date range only); each slope is one IEEE
+      // division of two BIGINTs — bit-identical cross-engine — and the
+      // median is the discrete element at rank (n+1)//2 under
+      // (slope, d1, d2) order
+      """WITH e AS (SELECT event_type, user_id % 10 AS cohort,
+        |    CAST(ts AS DATE) AS d,
+        |    CAST(round(value * 1000) AS BIGINT) AS mv FROM events),
+        |daily AS (SELECT event_type, cohort, d,
+        |    CAST(sum(mv) AS BIGINT) AS sv FROM e GROUP BY 1, 2, 3),
+        |p AS (SELECT a.event_type, a.cohort, a.d AS d1, b.d AS d2,
+        |    CAST(b.sv - a.sv AS DOUBLE)
+        |      / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.cohort = b.cohort
+        |    AND a.d < b.d),
+        |r AS (SELECT event_type, cohort, slope,
+        |    row_number() OVER (PARTITION BY event_type, cohort
+        |      ORDER BY slope, d1, d2) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type, cohort)
+        |      AS BIGINT) AS n_pairs
+        |  FROM p)
+        |SELECT event_type, cohort, n_pairs, slope AS slope_mpd
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type, cohort""".stripMargin,
 
     "q_seq_patterns" ->
       // same min/max-extent EXISTS collapse; floor-epoch strict <
@@ -6974,27 +7239,9 @@ object SparkEntry {
     // must advance through the recursion join instead. All streams
     // advance one index per iteration; the b term recomputes l_t inline
     // exactly as the Spark fold writes it.
-    "drv_holt" ->
-      s"""WITH RECURSIVE $srcSql, $pointSql,
-        |p AS (SELECT stream_id, v, row_number() OVER (
-        |    PARTITION BY stream_id
-        |    ORDER BY CAST(floor(epoch(t)) AS BIGINT)) AS i
-        |  FROM pts),
-        |n AS (SELECT stream_id, count(*) AS nn FROM p GROUP BY stream_id),
-        |hol AS (
-        |  SELECT stream_id, i, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
-        |  FROM p WHERE i = 1
-        |  UNION ALL
-        |  SELECT s.stream_id, s.i,
-        |    0.3 * s.v + 0.7 * (h.l + h.b),
-        |    0.2 * ((0.3 * s.v + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
-        |  FROM hol h JOIN p s
-        |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
-        |f AS (SELECT hol.stream_id, arg_max(l, i) AS l, arg_max(b, i) AS b
-        |  FROM hol GROUP BY hol.stream_id)
-        |SELECT stream_id, round(l, 4) AS level, round(b, 4) AS trend,
-        |  round(l + b, 4) AS forecast_1
-        |FROM f ORDER BY stream_id""".stripMargin,
+    "drv_holt" -> holtOracleSql,
+
+    "drv_holt_stream" -> holtOracleSql,
 
     "ds_agg_hours6" ->
       s"""WITH $srcSql,
@@ -7085,6 +7332,8 @@ object SparkEntry {
     // smallest same-cell vec_id within tau. arg_min(sim, o_id) mirrors
     // Spark's min(struct(o_id, sim)).
     "emb_semdedup" -> semDedupOracleSql,
+
+    "emb_cluster_stats" -> clusterStatsOracleSql,
 
     // the streaming replay's first-decision table ≡ batch SemDeDup under
     // vec_id-ordered arrival — SAME oracle SQL, shared verbatim
@@ -8465,6 +8714,86 @@ object SparkEntry {
         |FROM vs JOIN h2 ON h2.v = vs.v JOIN a2 ON a2.v = vs.v
         |ORDER BY vs.v""".stripMargin,
 
+    "graph_ppr" ->
+      // personalized teleport: r0/base mass lands on the seed set only;
+      // same mirrored floor divisions as graph_pagerank (all terms
+      // non-negative, so DuckDB // ≡ Spark div; sums widen to HUGEINT —
+      // cast back at the edges)
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                          ORDER BY event_id) AS prev
+        |  FROM events WHERE user_id < 8),
+        |ed AS (SELECT prev AS src, event_type AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+        |  FROM ed GROUP BY src),
+        |vs AS (SELECT DISTINCT v FROM
+        |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+        |sd AS (SELECT 'signup' AS v),
+        |vf AS (SELECT vs.v,
+        |    CASE WHEN sd.v IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |  FROM vs LEFT JOIN sd ON sd.v = vs.v),
+        |pr AS (SELECT
+        |    CAST(1000000000000 // sum(is_seed) AS BIGINT) AS r0,
+        |    CAST(((1000000000000 // sum(is_seed)) * 15) // 100 AS BIGINT)
+        |      AS base
+        |  FROM vf),
+        |it0 AS (SELECT v, CAST(is_seed * r0 AS BIGINT) AS rank
+        |  FROM vf CROSS JOIN pr),
+        |f1 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it0 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it1 AS (SELECT vf.v,
+        |    CAST(vf.is_seed * pr.base
+        |      + (85 * coalesce(f1.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vf CROSS JOIN pr LEFT JOIN f1 ON f1.v = vf.v),
+        |f2 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it1 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it2 AS (SELECT vf.v,
+        |    CAST(vf.is_seed * pr.base
+        |      + (85 * coalesce(f2.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vf CROSS JOIN pr LEFT JOIN f2 ON f2.v = vf.v),
+        |f3 AS (SELECT ed.dst AS v,
+        |    CAST(sum((it.rank * ed.w) // ow.out_w) AS BIGINT) AS inflow
+        |  FROM ed JOIN ow USING (src) JOIN it2 it ON it.v = ed.src
+        |  GROUP BY ed.dst),
+        |it3 AS (SELECT vf.v,
+        |    CAST(vf.is_seed * pr.base
+        |      + (85 * coalesce(f3.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM vf CROSS JOIN pr LEFT JOIN f3 ON f3.v = vf.v)
+        |SELECT v, rank FROM it3 ORDER BY v""".stripMargin,
+
+    "graph_closeness" ->
+      // label-carrying BFS: the recursion walks (v, landmark, dist)
+      // tuples (UNION-deduped, V×L×hops bounded), min(dist) per (v, lm)
+      // is the hop distance, then the per-vertex closeness fold —
+      // integer harmonic permille via 1000 // dist
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |lms AS (SELECT DISTINCT k AS lm FROM
+        |    (SELECT u AS k FROM e UNION ALL SELECT v FROM e)
+        |  WHERE k % 50 = 0),
+        |walk AS (SELECT lm AS v, lm, CAST(0 AS BIGINT) AS dist FROM lms
+        |  UNION
+        |  SELECT und.v, walk.lm, walk.dist + 1 FROM walk
+        |  JOIN und ON und.u = walk.v WHERE walk.dist < 3),
+        |d AS (SELECT v, lm, min(dist) AS dist FROM walk GROUP BY v, lm)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+        |  CAST(sum(CASE WHEN dist > 0 THEN 1000 // dist ELSE 0 END)
+        |    AS BIGINT) AS harmonic_pm
+        |FROM d GROUP BY v ORDER BY v""".stripMargin,
+
     "graph_triangles" ->
       // same support-2 sparsification and (deg, id) orientation; the
       // row-tuple compare mirrors Spark's struct ordering
@@ -9829,6 +10158,18 @@ object SparkEntry {
         |    AS BIGINT) AS luma_pm
         |FROM pix GROUP BY doc_id, px, py
         |ORDER BY doc_id, py, px""".stripMargin,
+
+    "mm_img_hist" ->
+      // every pixel recomputed from the gradient formula; grayscale
+      // luma_pm = 1000·v so bin = (1000·v·8) // 256000 = v // 32 exactly
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |xs AS (SELECT doc_id, unnest(range(0, 32)) AS x FROM ids),
+        |pix AS (SELECT doc_id, x, unnest(range(0, 32)) AS y FROM xs)
+        |SELECT doc_id,
+        |  CAST(((doc_id + 7 * x + 13 * y) % 256) // 32 AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_px
+        |FROM pix GROUP BY 1, 2
+        |ORDER BY doc_id, bin""".stripMargin,
 
     "pipe_bounded_contrib" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -391,6 +391,59 @@ object Graphs {
     profile
   }
 
+  /** Personalized PageRank: the [[pageRank]] integer-exact power
+    * iteration with the teleport vector concentrated on a SEED set
+    * instead of uniform — the standard "relevance to these nodes"
+    * variant (seed-biased random walk with restart). Same BIGINT
+    * floor-division discipline, so the DuckDB oracle replays every
+    * round bit-for-bit:
+    *
+    *   r0(v)   = scale div |S|          if v ∈ S else 0
+    *   base(v) = (r0(v) * (dampDen - dampNum)) div dampDen
+    *   r'(v)   = base(v) + (dampNum * sum(contrib into v)) div dampDen
+    *
+    * Dangling leakage and overflow bounds are [[pageRank]]'s. Scale
+    * shape is identical — one rank-to-edge equi-join + one hash agg per
+    * round over a checkpointed edge frame; the seed set rides as a
+    * broadcast semi-join, never a driver loop.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val ew = e.join(outW, "src").localCheckpoint(true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val sd = seeds.select(col("v")).distinct()
+    // seed flag materialized on the vertex frame once; |S| is a driver
+    // literal so per-round arithmetic stays a pure column expression
+    val vflag = verts.join(sd.withColumn("__s", lit(1)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__s"), lit(0)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = vflag.agg(sum("is_seed")).head().getLong(0)
+    require(nSeeds > 0, "personalizedPageRank needs >=1 seed in the graph")
+    val r0 = scale / nSeeds
+    val base = r0 * (dampDen - dampNum) / dampDen
+    var ranks = vflag.select(col("v"),
+      (col("is_seed").cast("long") * lit(r0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"),
+          expr("(rank * w) div out_w").as("contrib"))
+        .groupBy("v").agg(sum("contrib").as("inflow"))
+      ranks = vflag.join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (col("is_seed").cast("long") * lit(base) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     val und = edges.select(col("u"), col("v"))
@@ -411,6 +464,47 @@ object Graphs {
       hop += 1
     }
     visited
+  }
+
+  /** Landmark closeness centrality: label-carrying multi-source BFS —
+    * state rows are (v, landmark, dist), so ONE frontier expansion per
+    * hop serves EVERY landmark (per-landmark BFS loops would be
+    * O(|L|) driver-scheduled jobs; this is the composite-key form that
+    * stays |L|-independent in job count). After `maxHops` rounds each
+    * vertex aggregates its per-landmark hop distances into the standard
+    * landmark estimate: n_reached + sum(dist) + the harmonic sum (in
+    * exact permille — BIGINT `1000 div dist`, integer-exact on both
+    * engines; the true-closeness ratio needs a float so the HARMONIC
+    * integer lane is the cross-engine one). Landmarks report themselves
+    * at dist 0 (excluded from the harmonic sum's 1/d terms). State is
+    * bounded by V × |L|; per hop one equi-join + one distinct — the
+    * [[bfsDistances]] shape with the landmark label along for the ride.
+    */
+  def landmarkCloseness(edges: DataFrame, landmarks: DataFrame,
+      maxHops: Int): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var visited = landmarks.select(col("v")).distinct()
+      .withColumn("lm", col("v"))
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select(col("v"), col("lm"))
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = und.join(frontier.withColumnRenamed("v", "u"), "u")
+        .select(col("v"), col("lm")).distinct()
+        .join(visited.select("v", "lm"), Seq("v", "lm"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("v"), col("lm"))
+      hop += 1
+    }
+    visited.groupBy("v")
+      .agg(count(lit(1)).as("n_reached"),
+        sum("dist").as("sum_dist"),
+        sum(when(col("dist") > 0, expr("1000L div dist"))
+          .otherwise(lit(0L))).as("harmonic_pm"))
   }
 
   /** Fixed-round weighted single-source shortest paths: `rounds` rounds

@@ -404,6 +404,46 @@ object Multimodal {
     }.toDF("media_id", "px", "py", "luma_pm")
   }
 
+  /** Integer luma histogram per image — the exposure/contrast profile
+    * a vision-data curation pass filters on (all-dark / blown-out /
+    * low-dynamic-range frames). Pixels bin on the permille-luma scale
+    * (299R + 587G + 114B, the [[patchLumaGrid]] lane): bin =
+    * luma_pm · bins div 256000 — pure integer, so for grayscale pixels
+    * (luma_pm = 1000·v) the bin is exactly v div (256/bins) and the
+    * statistic is analytically oracle-able. `bins` must divide 256 to
+    * keep that identity. Output long-form (media_id, bin, n_px); empty
+    * bins carry no rows; undecodable bytes emit none. Same
+    * codec-per-partition mapPartitions shape as the other decoders —
+    * the histogram is computed inside the scan, so only (id, bin,
+    * count) rows ever shuffle.
+    */
+  def lumaHistogram(media: Dataset[MediaRow], bins: Int): DataFrame = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      imageFormat(r.content).flatMap(_ => readImage(r.content)) match {
+        case Some(img) =>
+          val counts = new Array[Long](bins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lumaPm = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              val b = (lumaPm * bins / 256000L).toInt
+              counts(math.min(b, bins - 1)) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (0 until bins).filter(counts(_) > 0L)
+            .map(b => (r.media_id, b, counts(b)))
+        case None => Seq.empty
+      }
+    }.toDF("media_id", "bin", "n_px")
+  }
+
   /** Voice-activity segmentation by windowed PCM energy (the silence-
     * trimming primitive of speech-data curation): cut the mono track
     * into fixed windows of `windowSamples`, mark a window VOICED when

@@ -1774,6 +1774,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.values.sum <= 1000000000000L)
   }
 
+  test("personalizedPageRank: seed-teleport recurrence matches hand-computed fixture") {
+    // A→B, B→C, C→A (w=1), seed {A}, 2 rounds, scale 10^12:
+    //   r0 = (A: 10^12, B/C: 0); base(A) = (10^12·15)//100
+    //   round 1: inflow(B) = 10^12     → A 150e9, B 850e9, C 0
+    //   round 2: inflow(B) = 150e9, inflow(C) = 850e9
+    //            → A 150e9, B 127.5e9, C 722.5e9
+    // Any drift in the seed-restricted teleport or division order breaks
+    // these literals AND the graph_ppr oracle identically.
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("A").toDF("v")
+    val r = graft.operators.Graphs
+      .personalizedPageRank(edges, seeds, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A" -> 150000000000L, "B" -> 127500000000L,
+      "C" -> 722500000000L))
+    // seed-teleport mass conservation: never exceeds the scale
+    assert(r.values.sum <= 1000000000000L)
+    // a seed absent from the graph must be rejected, not silently div/0
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.personalizedPageRank(edges,
+        Seq("Z").toDF("v"), iters = 1)
+    }
+  }
+
+  test("landmarkCloseness: path-graph distances, harmonic permille, hop cap") {
+    // path A-B-C-D, landmarks {A, D}: every vertex reaches both within
+    // 3 hops; dist sums are all 3, harmonic_pm distinguishes center
+    // (1000+500) from ends (1000//3, self at dist 0 excluded)
+    import spark.implicits._
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("u", "v")
+    val lms = Seq("A", "D").toDF("v")
+    val out = graft.operators.Graphs.landmarkCloseness(edges, lms, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("A", 2L, 3L, 333L), ("B", 2L, 3L, 1500L),
+      ("C", 2L, 3L, 1500L), ("D", 2L, 3L, 333L)))
+    // hop cap bites: at maxHops=1 the ends see only themselves + one
+    val capped = graft.operators.Graphs.landmarkCloseness(edges, lms, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped == Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("lumaHistogram: exact bins on a synthetic gradient, junk bytes emit nothing") {
+    import spark.implicits._
+    // 4×4 gray column gradient v = 64·x → luma_pm = 64000·x → with 4
+    // bins each column lands in its own bin, 4 px apiece
+    val png = graft.operators.Multimodal.grayscalePng(4, (x, _) => 64 * x)
+    val meta = graft.operators.Multimodal.MediaMeta("image", 4, 4, 0, 0L, "png")
+    val media = Seq(
+      graft.operators.Multimodal.MediaRow(1L, png, meta),
+      graft.operators.Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), meta))
+      .toDS()
+    val out = graft.operators.Multimodal.lumaHistogram(media, bins = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L), (1L, 3, 4L)))
+  }
+
   test("joinNearest: backward/forward election, exact-midpoint tie breaks backward, one-sided edges") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
