@@ -122,6 +122,36 @@ object SparkEntry {
   private def pointStreams(s: SparkSession, dir: String): DataFrame =
     eventStreams(s, dir).groupBy("stream_id", "t").agg(sum("v").as("v"))
 
+  /** MemoryStream replay harness for the point-stream gate twins: feeds
+    * [[pointStreams]] rows in GLOBAL (t, stream_id) order cut into
+    * `nBatches` micro-batches (the ordered-replay rule — open-bucket
+    * state assumes per-key in-order delivery), runs `op` on the live
+    * Dataset, and returns the memory-sink table of everything emitted.
+    */
+  private def replayPointStream(s: SparkSession, dir: String,
+      nBatches: Int)(
+      op: org.apache.spark.sql.Dataset[graft.streaming.Streaming.Point] =>
+        org.apache.spark.sql.Dataset[_]): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streaming.Point]
+    val name = s"replay_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val rows = pointStreams(s, dir).orderBy("t", "stream_id").collect()
+      .map(r => graft.streaming.Streaming.Point(
+        r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    try {
+      val q = op(mem.toDS()).toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try rows.grouped(rows.length / nBatches + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+  }
+
   /** Gap-based user sessions over events: a session breaks after >30 min
     * of silence; one row per session with count and [start, end] seconds.
     * Shared by q_sessionize and the interval-overlap join.
@@ -1042,30 +1072,73 @@ object SparkEntry {
       // snapshot per stream elected at max t (unique per stream:
       // pointStreams pre-aggregates (stream, t)). Identical fold
       // arithmetic ⇒ bit-equal doubles ⇒ drv_holt's oracle verbatim.
-      import s.implicits._
-      implicit val ctx = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.Streaming.Point]
-      val name = s"holt_replay_${System.nanoTime()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val rows = pointStreams(s, dir).orderBy("t", "stream_id").collect()
-        .map(r => graft.streaming.Streaming.Point(
-          r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-      try {
-        val q = graft.streaming.Streaming.holt(mem.toDS(), 0.3, 0.2)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try rows.grouped(rows.length / 3 + 1).foreach { b =>
-          mem.addData(b.toSeq); q.processAllAvailable()
-        } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name).groupBy("stream_id")
+      replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.holt(ds, 0.3, 0.2))
+        .groupBy("stream_id")
         .agg(max(struct(col("t"), col("level"), col("trend"))).as("st"))
         .select(col("stream_id"),
           round(col("st.level"), 4).as("level"),
           round(col("st.trend"), 4).as("trend"),
           round(col("st.level") + col("st.trend"), 4).as("forecast_1"))
+        .orderBy("stream_id")
+    },
+
+    "drv_ewma_stream" -> { (s, dir) =>
+      // STREAMING EWMA under the gate: the O(1)-state smoother replayed
+      // in global time order, last value per stream elected at max t
+      // (unique — pointStreams pre-aggregates (stream, t)); identical
+      // fold arithmetic ⇒ drv_ewma's list_reduce oracle verbatim.
+      replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.ewma(ds, 0.3))
+        .groupBy("stream_id")
+        .agg(max(struct(col("t"), col("v"))).as("st"))
+        .select(col("stream_id"), round(col("st.v"), 4).as("ewma_last"))
+        .orderBy("stream_id")
+    },
+
+    "ds_stream_acf" -> { (s, dir) =>
+      // STREAMING ACF maintenance under the gate: the O(maxLag)-state
+      // twin replayed in global time order; the final per-(stream, lag)
+      // snapshot (max n_pairs — snapshots only grow, and equal-pair
+      // snapshots are identical rows) carries the exact BIGINT
+      // sufficient statistics, and the Pearson double derives in the
+      // identical expression shape — ds_autocorr's oracle verbatim.
+      val fin = replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.autocorrStats(ds, Seq(1, 2, 3)))
+        .groupBy("stream_id", "lag")
+        .agg(max(struct(col("n_pairs"), col("c_fp"), col("sa_fp"),
+          col("sb_fp"), col("sqa_fp"), col("sqb_fp"))).as("st"))
+        .select(col("stream_id"), col("lag"),
+          col("st.n_pairs").as("n_pairs"), col("st.c_fp").as("c_fp"),
+          col("st.sa_fp").as("sa_fp"), col("st.sb_fp").as("sb_fp"),
+          col("st.sqa_fp").as("sqa_fp"), col("st.sqb_fp").as("sqb_fp"))
+        .where(col("n_pairs") > 0)
+      val num = col("n_pairs").cast("double") * col("c_fp").cast("double") -
+        col("sa_fp").cast("double") * col("sb_fp").cast("double")
+      val da = col("n_pairs").cast("double") * col("sqa_fp").cast("double") -
+        col("sa_fp").cast("double") * col("sa_fp").cast("double")
+      val db = col("n_pairs").cast("double") * col("sqb_fp").cast("double") -
+        col("sb_fp").cast("double") * col("sb_fp").cast("double")
+      fin.withColumn("acf",
+          when(da > 0.0 && db > 0.0, round(num / sqrt(da * db), 6)))
+        .orderBy("stream_id", "lag")
+    },
+
+    "ds_stream_cusum" -> { (s, dir) =>
+      // STREAMING CUSUM under the gate: O(1) integer state per stream
+      // (prefix sum + running extrema — the closed form ds_cusum
+      // derives with window functions), fixed target 10.0 (10000 fp;
+      // streaming needs the target up front — a global mean doesn't
+      // exist mid-stream), threshold 5.0. Same summary shape as
+      // ds_cusum against the constant-target oracle.
+      replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.cusum(ds, 10000L, 5000L))
+        .groupBy("stream_id")
+        .agg(count(lit(1)).as("n"),
+          max("s_plus_fp").as("s_plus_max"),
+          max("s_minus_fp").as("s_minus_max"),
+          min(when(col("alarm"), unix_timestamp(col("t"))))
+            .as("first_alarm_sec"))
         .orderBy("stream_id")
     },
 
@@ -5918,6 +5991,62 @@ object SparkEntry {
   // exact integer seconds; gaps from the per-(stream, second) deduped
   // points, outage threshold 1 h. Shared by the batch summary and its
   // streaming outage-event twin.
+  // shared by drv_ewma (batch) and drv_ewma_stream (the O(1)-state
+  // streaming smoother): identical fold ⇒ bit-equal doubles, one
+  // list_reduce replay
+  private val ewmaOracleSql: String =
+    s"""WITH $srcSql, $pointSql,
+      |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
+      |  FROM pts),
+      |l AS (SELECT stream_id, list(v ORDER BY sec) AS vs
+      |  FROM p GROUP BY stream_id)
+      |SELECT stream_id,
+      |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
+      |    AS ewma_last
+      |FROM l ORDER BY stream_id""".stripMargin
+
+  // shared by ds_autocorr (batch) and ds_stream_acf (the O(maxLag)-state
+  // maintenance twin): exact BIGINT fixed-point sufficient statistics
+  // (floor(v*1000)); the ACF double derives from the integers in the
+  // identical expression shape, so no fp lane is needed
+  private val acfOracleSql: String =
+    s"""WITH $srcSql, $pointSql,
+      |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
+      |    CAST(floor(v * 1000.0) AS BIGINT) AS q FROM pts),
+      |l AS (SELECT stream_id, q,
+      |    lead(q, 1) OVER w AS l1, lead(q, 2) OVER w AS l2,
+      |    lead(q, 3) OVER w AS l3
+      |  FROM q WINDOW w AS (PARTITION BY stream_id ORDER BY sec)),
+      |u AS (
+      |  SELECT stream_id, CAST(1 AS INT) AS lag, q, l1 AS lq
+      |  FROM l WHERE l1 IS NOT NULL
+      |  UNION ALL SELECT stream_id, CAST(2 AS INT), q, l2
+      |  FROM l WHERE l2 IS NOT NULL
+      |  UNION ALL SELECT stream_id, CAST(3 AS INT), q, l3
+      |  FROM l WHERE l3 IS NOT NULL),
+      |a AS (SELECT stream_id, lag,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(q * lq) AS BIGINT) AS c_fp,
+      |    CAST(sum(q) AS BIGINT) AS sa_fp,
+      |    CAST(sum(lq) AS BIGINT) AS sb_fp,
+      |    CAST(sum(q * q) AS BIGINT) AS sqa_fp,
+      |    CAST(sum(lq * lq) AS BIGINT) AS sqb_fp
+      |  FROM u GROUP BY stream_id, lag)
+      |SELECT stream_id, lag, n_pairs, c_fp, sa_fp, sb_fp, sqa_fp,
+      |  sqb_fp,
+      |  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
+      |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE)) > 0
+      |    AND (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
+      |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE)) > 0
+      |  THEN round((CAST(n_pairs AS DOUBLE) * CAST(c_fp AS DOUBLE)
+      |        - CAST(sa_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
+      |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE))
+      |      * (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
+      |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
+      |  END AS acf
+      |FROM a ORDER BY stream_id, lag""".stripMargin
+
   // shared by drv_holt (batch) and drv_holt_stream (the O(1)-state
   // streaming twin): identical fold arithmetic makes the doubles
   // bit-equal, so both gate rows replay the same recursive CTE
@@ -6905,46 +7034,32 @@ object SparkEntry {
         |  ON h.stream_id = prof.stream_id AND h.hod = prof.hod
         |ORDER BY h.stream_id, sec""".stripMargin,
 
-    "ds_autocorr" ->
-      // exact BIGINT fixed-point sufficient statistics (floor(v*1000));
-      // the ACF double derives from the integers in the identical
-      // expression shape, so no fp lane is needed
+    "ds_autocorr" -> acfOracleSql,
+
+    "ds_stream_acf" -> acfOracleSql,
+
+    "ds_stream_cusum" ->
+      // the ds_cusum closed form with the CONSTANT target the streaming
+      // op is handed up front (10000 fp): P = prefix sum of (q − 10000),
+      // S⁺ = P − min(0, min P), S⁻ = max(0, max P) − P
       s"""WITH $srcSql, $pointSql,
         |q AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec,
         |    CAST(floor(v * 1000.0) AS BIGINT) AS q FROM pts),
-        |l AS (SELECT stream_id, q,
-        |    lead(q, 1) OVER w AS l1, lead(q, 2) OVER w AS l2,
-        |    lead(q, 3) OVER w AS l3
-        |  FROM q WINDOW w AS (PARTITION BY stream_id ORDER BY sec)),
-        |u AS (
-        |  SELECT stream_id, CAST(1 AS INT) AS lag, q, l1 AS lq
-        |  FROM l WHERE l1 IS NOT NULL
-        |  UNION ALL SELECT stream_id, CAST(2 AS INT), q, l2
-        |  FROM l WHERE l2 IS NOT NULL
-        |  UNION ALL SELECT stream_id, CAST(3 AS INT), q, l3
-        |  FROM l WHERE l3 IS NOT NULL),
-        |a AS (SELECT stream_id, lag,
-        |    CAST(count(*) AS BIGINT) AS n_pairs,
-        |    CAST(sum(q * lq) AS BIGINT) AS c_fp,
-        |    CAST(sum(q) AS BIGINT) AS sa_fp,
-        |    CAST(sum(lq) AS BIGINT) AS sb_fp,
-        |    CAST(sum(q * q) AS BIGINT) AS sqa_fp,
-        |    CAST(sum(lq * lq) AS BIGINT) AS sqb_fp
-        |  FROM u GROUP BY stream_id, lag)
-        |SELECT stream_id, lag, n_pairs, c_fp, sa_fp, sb_fp, sqa_fp,
-        |  sqb_fp,
-        |  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
-        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE)) > 0
-        |    AND (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
-        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE)) > 0
-        |  THEN round((CAST(n_pairs AS DOUBLE) * CAST(c_fp AS DOUBLE)
-        |        - CAST(sa_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))
-        |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sqa_fp AS DOUBLE)
-        |        - CAST(sa_fp AS DOUBLE) * CAST(sa_fp AS DOUBLE))
-        |      * (CAST(n_pairs AS DOUBLE) * CAST(sqb_fp AS DOUBLE)
-        |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
-        |  END AS acf
-        |FROM a ORDER BY stream_id, lag""".stripMargin,
+        |p AS (SELECT stream_id, sec,
+        |    CAST(sum(q - 10000) OVER w AS BIGINT) AS pp
+        |  FROM q WINDOW w AS (PARTITION BY stream_id ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT stream_id, sec,
+        |    pp - least(CAST(0 AS BIGINT), min(pp) OVER w) AS s_plus,
+        |    greatest(CAST(0 AS BIGINT), max(pp) OVER w) - pp AS s_minus
+        |  FROM p WINDOW w AS (PARTITION BY stream_id ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT stream_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(s_plus) AS BIGINT) AS s_plus_max,
+        |  CAST(max(s_minus) AS BIGINT) AS s_minus_max,
+        |  min(CASE WHEN s_plus > 5000 OR s_minus > 5000 THEN sec END)
+        |    AS first_alarm_sec
+        |FROM s GROUP BY stream_id ORDER BY stream_id""".stripMargin,
 
     "ds_changepoint" ->
       // BIGINT prefix-sum split scan; rank on round(score, 6) with the
@@ -7221,16 +7336,9 @@ object SparkEntry {
         |FROM l WHERE next_sec IS NOT NULL
         |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
 
-    "drv_ewma" ->
-      s"""WITH $srcSql, $pointSql,
-        |p AS (SELECT stream_id, CAST(floor(epoch(t)) AS BIGINT) AS sec, v
-        |  FROM pts),
-        |l AS (SELECT stream_id, list(v ORDER BY sec) AS vs
-        |  FROM p GROUP BY stream_id)
-        |SELECT stream_id,
-        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
-        |    AS ewma_last
-        |FROM l ORDER BY stream_id""".stripMargin,
+    "drv_ewma" -> ewmaOracleSql,
+
+    "drv_ewma_stream" -> ewmaOracleSql,
 
     // Holt fold as a RECURSIVE CTE over per-stream row indexes — NOT a
     // struct list_reduce: DuckDB 1.0 aliases a struct accumulator's
