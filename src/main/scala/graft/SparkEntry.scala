@@ -4870,6 +4870,38 @@ object SparkEntry {
         .orderBy("v")
     },
 
+    "graph_betweenness" -> { (s, dir) =>
+      // landmark betweenness (truncated Brandes) on the co-purchase
+      // graph: σ path counts forward, dependencies backward in
+      // fixed-point ppm with floor division only — the δ recurrence
+      // replays level-for-level in the oracle's unrolled CTEs. The
+      // "broker" products no degree rank can see. depth 3, same
+      // partkey%50==0 landmark set as graph_closeness.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds landmark scan + both BFS passes
+      val landmarks = edges.select(col("u").as("v"))
+        .unionAll(edges.select(col("v")))
+        .where(col("v") % 50 === 0).distinct()
+      Graphs.betweenness(edges, landmarks, depth = 3).orderBy("v")
+    },
+
+    "graph_walks" -> { (s, dir) =>
+      // derandomized random-walk corpus over the co-purchase graph
+      // (the DeepWalk/node2vec sampling step as a deterministic md5
+      // election — same 15-hex-char BIGINT lane as the dedup hashes):
+      // 3 hops from every partkey%50==0 start; each hop is one
+      // frontier join + one (h, v) struct-min election.
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // feeds start scan + every hop
+      val starts = edges.select(col("u").as("v"))
+        .unionAll(edges.select(col("v")))
+        .where(col("v") % 50 === 0).distinct()
+      Graphs.hashWalks(edges, starts, steps = 3)
+        .orderBy("start", "step")
+    },
+
     "graph_triangles" -> { (s, dir) =>
       // co-purchase affinity triangles: parts sharing an order become an
       // edge at support>=2 (sparsifies 1.2M -> 3.6k edges at sf0.1), then
@@ -8901,6 +8933,111 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist > 0 THEN 1000 // dist ELSE 0 END)
         |    AS BIGINT) AS harmonic_pm
         |FROM d GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_betweenness" ->
+      // truncated Brandes unrolled: 3 forward σ levels (anti-joined
+      // against all shallower levels), then δ folds backward with the
+      // mirrored floor division (σ_parent · (10⁶ + δ_child)) // σ_child;
+      // BC sums δ over sources excluding v = s
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u, v FROM e
+        |  UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT k AS s, k AS v,
+        |    CAST(1 AS BIGINT) AS sigma FROM
+        |    (SELECT u AS k FROM e UNION ALL SELECT v FROM e)
+        |  WHERE k % 50 = 0),
+        |l1 AS MATERIALIZED (SELECT x.s, x.v,
+        |    CAST(sum(x.sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l0.s, und.v, l0.sigma
+        |        FROM l0 JOIN und ON und.u = l0.v) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |  GROUP BY x.s, x.v),
+        |l2 AS MATERIALIZED (SELECT x.s, x.v,
+        |    CAST(sum(x.sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l1.s, und.v, l1.sigma
+        |        FROM l1 JOIN und ON und.u = l1.v) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |   AND NOT EXISTS (SELECT 1 FROM l1 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |  GROUP BY x.s, x.v),
+        |l3 AS MATERIALIZED (SELECT x.s, x.v,
+        |    CAST(sum(x.sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l2.s, und.v, l2.sigma
+        |        FROM l2 JOIN und ON und.u = l2.v) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |   AND NOT EXISTS (SELECT 1 FROM l1 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |   AND NOT EXISTS (SELECT 1 FROM l2 p
+        |    WHERE p.s = x.s AND p.v = x.v)
+        |  GROUP BY x.s, x.v),
+        |d3 AS MATERIALIZED (SELECT s, v, sigma,
+        |    CAST(0 AS BIGINT) AS delta FROM l3),
+        |d2 AS MATERIALIZED (SELECT l2.s, l2.v, l2.sigma,
+        |    CAST(coalesce(sum((l2.sigma * (1000000 + c.delta))
+        |      // c.sigma), 0) AS BIGINT) AS delta
+        |  FROM l2 LEFT JOIN (
+        |    SELECT d3.s, und.u AS pv, d3.sigma, d3.delta
+        |    FROM und JOIN d3 ON und.v = d3.v) c
+        |  ON c.s = l2.s AND c.pv = l2.v
+        |  GROUP BY l2.s, l2.v, l2.sigma),
+        |d1 AS MATERIALIZED (SELECT l1.s, l1.v, l1.sigma,
+        |    CAST(coalesce(sum((l1.sigma * (1000000 + c.delta))
+        |      // c.sigma), 0) AS BIGINT) AS delta
+        |  FROM l1 LEFT JOIN (
+        |    SELECT d2.s, und.u AS pv, d2.sigma, d2.delta
+        |    FROM und JOIN d2 ON und.v = d2.v) c
+        |  ON c.s = l1.s AND c.pv = l1.v
+        |  GROUP BY l1.s, l1.v, l1.sigma)
+        |SELECT v, CAST(sum(delta) AS BIGINT) AS bc_ppm FROM (
+        |  SELECT s, v, delta FROM d1 UNION ALL
+        |  SELECT s, v, delta FROM d2 UNION ALL
+        |  SELECT s, v, delta FROM d3)
+        |WHERE v <> s GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_walks" ->
+      // same md5→BIGINT election per hop: row_number over (hash, v) ≡
+      // Spark's struct min; BIGINT || VARCHAR concatenation renders
+      // identically on both engines
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u, v FROM e
+        |  UNION ALL SELECT v AS u, u AS v FROM e),
+        |w0 AS MATERIALIZED (SELECT DISTINCT k AS start, k AS node FROM
+        |    (SELECT u AS k FROM e UNION ALL SELECT v FROM e)
+        |  WHERE k % 50 = 0),
+        |w1 AS MATERIALIZED (SELECT start, node FROM (
+        |  SELECT w0.start, und.v AS node, row_number() OVER (
+        |      PARTITION BY w0.start ORDER BY
+        |      ('0x' || substring(md5(w0.start || ':1:' || und.v), 1, 15))
+        |        ::BIGINT, und.v) AS rn
+        |  FROM w0 JOIN und ON und.u = w0.node) WHERE rn = 1),
+        |w2 AS MATERIALIZED (SELECT start, node FROM (
+        |  SELECT w1.start, und.v AS node, row_number() OVER (
+        |      PARTITION BY w1.start ORDER BY
+        |      ('0x' || substring(md5(w1.start || ':2:' || und.v), 1, 15))
+        |        ::BIGINT, und.v) AS rn
+        |  FROM w1 JOIN und ON und.u = w1.node) WHERE rn = 1),
+        |w3 AS MATERIALIZED (SELECT start, node FROM (
+        |  SELECT w2.start, und.v AS node, row_number() OVER (
+        |      PARTITION BY w2.start ORDER BY
+        |      ('0x' || substring(md5(w2.start || ':3:' || und.v), 1, 15))
+        |        ::BIGINT, und.v) AS rn
+        |  FROM w2 JOIN und ON und.u = w2.node) WHERE rn = 1)
+        |SELECT start, CAST(0 AS INT) AS step, node FROM w0
+        |UNION ALL SELECT start, CAST(1 AS INT), node FROM w1
+        |UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
+        |UNION ALL SELECT start, CAST(3 AS INT), node FROM w3
+        |ORDER BY start, step""".stripMargin,
 
     "graph_triangles" ->
       // same support-2 sparsification and (deg, id) orientation; the

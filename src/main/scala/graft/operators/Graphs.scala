@@ -507,6 +507,117 @@ object Graphs {
           .otherwise(lit(0L))).as("harmonic_pm"))
   }
 
+  /** Landmark betweenness centrality — truncated Brandes (Brandes &
+    * Pich's source-sampled estimator) in EXACT integer arithmetic:
+    * from each landmark, a label-carrying level-synchronous BFS
+    * accumulates shortest-path counts σ (integer sums over the parent
+    * frontier), then dependencies fold backward level by level in
+    * fixed-point ppm with floor division ONLY —
+    *
+    *   δ(v) = Σ_{(v,w) tree edge} (σ(v) · (scale + δ(w))) div σ(w)
+    *
+    * — so the DuckDB oracle replays every level bit-for-bit (float δ
+    * would diverge by summation order). BC(v) = Σ_s δ_s(v) over v≠s.
+    * Truncation at `depth` bounds both state (V × |L| rows) and the
+    * unrolled oracle; the deepest level's δ is 0 by construction.
+    * Overflow bound: σ · (scale + δ) must sit under 2⁶³ — δ ≤ scale ·
+    * reachable-set size, fine for ppm scale on graphs up to ~10⁹/σ
+    * vertices per component.
+    *
+    * Scale shape: one equi-join + one hash agg per level in each
+    * direction (2·depth joins total), job count independent of |L|
+    * (the landmark label rides in the composite key); every level
+    * frame localCheckpoints (iterative-lineage rule). Input: (u, v)
+    * one row per undirected edge; sources: (v). Output: (v, bc_ppm)
+    * for every vertex reached at depth ≥ 1 (zero rows kept — absence
+    * means "never on a sampled shortest path").
+    */
+  def betweenness(edges: DataFrame, sources: DataFrame, depth: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    val und = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    // forward: levels.head is the deepest; each frame (s, v, sigma)
+    var levels = List(sources.select(col("v")).distinct()
+      .withColumn("s", col("v"))
+      .select(col("s"), col("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true))
+    var visited = levels.head.select("s", "v").localCheckpoint(true)
+    for (_ <- 1 to depth) {
+      val next = und.join(levels.head.withColumnRenamed("v", "u")
+          .withColumnRenamed("s", "ss"), "u")
+        .groupBy(col("ss").as("s"), col("v"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      levels = next :: levels
+      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(true)
+    }
+    // backward: deepest level's delta is 0; each shallower level folds
+    // its tree-children's (scale + delta) through the sigma ratio
+    var lower = levels.head
+      .select(col("s"), col("v"), col("sigma"), lit(0L).as("delta_fp"))
+      .localCheckpoint(true)
+    var out = lower.select("s", "v", "delta_fp")
+    for (lv <- levels.tail) {
+      val kids = lower.select(col("s").as("ks"), col("v").as("kv"),
+        col("sigma").as("sigw"), col("delta_fp").as("dw"))
+      val contrib = und.join(kids, col("v") === col("kv"))
+        .select(col("ks").as("s"), col("u").as("v"),
+          col("sigw"), col("dw"))
+      val d = lv.join(contrib, Seq("s", "v"))
+        .select(col("s"), col("v"),
+          expr(s"(sigma * ($scale + dw)) div sigw").as("c"))
+        .groupBy("s", "v").agg(sum("c").as("dsum"))
+      lower = lv.join(d, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("dsum"), lit(0L)).as("delta_fp"))
+        .localCheckpoint(true)
+      out = out.unionAll(lower.select("s", "v", "delta_fp"))
+    }
+    out.where(col("v") =!= col("s"))
+      .groupBy("v").agg(sum("delta_fp").as("bc_ppm"))
+  }
+
+  /** Deterministic hash-walks — the derandomized random-walk corpus
+    * generator (DeepWalk/node2vec's sampling step): from every start
+    * vertex, `steps` hops where hop `i` moves to the neighbor
+    * minimizing (md5-hash(start:i:neighbor), neighbor) — a fixed
+    * pseudo-random choice any engine reproduces (the 15-hex-char md5 →
+    * signed-BIGINT lane; the step index in the key decorrelates
+    * successive hops, so walks don't ping-pong 2-cycles). Walks are
+    * NOT self-avoiding (matching the sampled-walk semantics). Output:
+    * (start, step, node), step 0 = the start itself; a walk ends early
+    * only at an isolated vertex.
+    *
+    * Scale shape: per hop ONE frontier-to-edges equi-join + one
+    * per-start min election (struct min ≡ ORDER BY (h, v) — the packed
+    * election discipline), state one row per start; job count
+    * independent of |starts|.
+    */
+  def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val und = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var cur = starts.select(col("v").as("start")).distinct()
+      .withColumn("node", col("start"))
+    var out = cur.withColumn("step", lit(0))
+    for (i <- 1 to steps) {
+      val cand = und.join(cur.withColumnRenamed("node", "u"), "u")
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat(CAST(start AS STRING), " +
+            s"':$i:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      cur = cand.groupBy("start")
+        .agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("start"), col("m.v").as("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(cur.withColumn("step", lit(i)))
+    }
+    out.select("start", "step", "node")
+  }
+
   /** Fixed-round weighted single-source shortest paths: `rounds` rounds
     * of Bellman–Ford relaxation over an undirected integer-weighted edge
     * list. Each round relaxes EVERY settled vertex (one equi-join + one

@@ -1818,6 +1818,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
   }
 
+  test("betweenness: path and diamond fixtures match hand-computed Brandes deltas") {
+    import spark.implicits._
+    // path A-B-C-D, landmarks {A, D}, depth 3: from A, δ(C)=10⁶,
+    // δ(B)=2·10⁶ (one path each); symmetric from D; ends sit at the
+    // far level-3 with δ=0 ⇒ BC rows (A,0), (D,0)
+    val path = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("u", "v")
+    val lms = Seq("A", "D").toDF("v")
+    val bc = graft.operators.Graphs.betweenness(path, lms, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bc == Map("A" -> 0L, "B" -> 3000000L, "C" -> 3000000L,
+      "D" -> 0L))
+    // diamond A-B, A-C, B-D, C-D, landmark {A}, depth 2: σ(D)=2 splits
+    // the dependency — δ(B) = (1·10⁶)//2 = 500000 = δ(C)
+    val dia = Seq(("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"))
+      .toDF("u", "v")
+    val bc2 = graft.operators.Graphs
+      .betweenness(dia, Seq("A").toDF("v"), depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bc2 == Map("B" -> 500000L, "C" -> 500000L, "D" -> 0L))
+  }
+
   test("lumaHistogram: exact bins on a synthetic gradient, junk bytes emit nothing") {
     import spark.implicits._
     // 4×4 gray column gradient v = 64·x → luma_pm = 64000·x → with 4
