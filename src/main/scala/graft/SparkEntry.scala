@@ -1083,6 +1083,36 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_holt_winters" -> { (s, dir) =>
+      // additive Holt–Winters (α=0.3, β=0.2, γ=0.4, period 4): the
+      // seasonal forecaster holt flattens out of. Zero-init seasonal
+      // ring; final state + 1-step forecast per stream; oracle replays
+      // the fold as a recursive CTE carrying the ring as a LIST.
+      Derive.holtWinters(pointStreams(s, dir),
+          alpha = 0.3, beta = 0.2, gamma = 0.4, period = 4)
+        .select(col("stream_id"),
+          round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"),
+          round(col("forecast_1"), 4).as("forecast_1"))
+        .orderBy("stream_id")
+    },
+
+    "drv_holt_winters_stream" -> { (s, dir) =>
+      // STREAMING Holt–Winters under the gate: O(period)-state twin
+      // replayed in global time order, final snapshot at max t;
+      // identical fold ⇒ drv_holt_winters' oracle verbatim.
+      replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.holtWinters(ds, 0.3, 0.2, 0.4, 4))
+        .groupBy("stream_id")
+        .agg(max(struct(col("t"), col("level"), col("trend"),
+          col("forecast_1"))).as("st"))
+        .select(col("stream_id"),
+          round(col("st.level"), 4).as("level"),
+          round(col("st.trend"), 4).as("trend"),
+          round(col("st.forecast_1"), 4).as("forecast_1"))
+        .orderBy("stream_id")
+    },
+
     "drv_ewma_stream" -> { (s, dir) =>
       // STREAMING EWMA under the gate: the O(1)-state smoother replayed
       // in global time order, last value per stream elected at max t
@@ -5486,6 +5516,42 @@ object SparkEntry {
         .orderBy("doc_id", "py", "px")
     },
 
+    "pipe_span_corrupt" -> { (s, dir) =>
+      // T5-style denoising input builder: deterministic md5 span mask
+      // (span k of doc d corrupts iff hash(d:k) % 5 == 0), corrupted
+      // spans collapse to one <X> sentinel, targets carry the masked
+      // tokens — a pure function of (doc_id, position), so epochs,
+      // retries, and engines agree on every mask. One posexplode + one
+      // keyed agg; re-assembly sorts inside the aggregated array.
+      graft.operators.Pipeline.spanCorrupt(tbl(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
+    "mm_resize_img" -> { (s, dir) =>
+      // REAL resize under the exact gate: the mm_patch_grid gradient
+      // corpus, NN-resized 32→16 through the production decode →
+      // integer-index resize → lossless re-encode path, then the
+      // production 4×4 patch grid on the RESIZED rows. NN at 2:1 maps
+      // output (x,y) to source (2x,2y), so every patch mean recomputes
+      // analytically from the gradient at doubled coordinates — a green
+      // row needs both codec trips and the index arithmetic exact.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 100).select(col("doc_id").cast("long"))
+      val meta = graft.operators.Multimodal
+        .MediaMeta("image", 32, 32, 0, 0L, "png")
+      val media = ids.as[Long].map { id =>
+        graft.operators.Multimodal.MediaRow(id,
+          graft.operators.Multimodal.grayscalePng(32,
+            (x, y) => ((id + 7L * x + 13L * y) % 256L).toInt), meta)
+      }
+      val resized = graft.operators.Multimodal.resizeNN(media, 16, 16)
+      graft.operators.Multimodal.patchLumaGrid(resized, grid = 4)
+        .select(col("media_id").as("doc_id"), col("px"), col("py"),
+          col("luma_pm"))
+        .orderBy("doc_id", "py", "px")
+    },
+
     "mm_img_hist" -> { (s, dir) =>
       // REAL image exposure histogram under the exact gate: the same
       // 32×32 gradient PNGs as mm_patch_grid, decoded through the
@@ -6078,6 +6144,41 @@ object SparkEntry {
       |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
       |  END AS acf
       |FROM a ORDER BY stream_id, lag""".stripMargin
+
+  // shared by drv_holt_winters (batch) and drv_holt_winters_stream:
+  // the drv_holt recursion with the seasonal ring carried as a LIST
+  // column (probed bit-exact; only struct list_reduce has the DuckDB
+  // aliasing bug). Phase of 1-based point i is (i−1) % 4; 1-based list
+  // slicing/indexing throughout.
+  private val holtWintersOracleSql: String =
+    s"""WITH RECURSIVE $srcSql, $pointSql,
+      |p AS (SELECT stream_id, v, row_number() OVER (
+      |    PARTITION BY stream_id
+      |    ORDER BY CAST(floor(epoch(t)) AS BIGINT)) AS i
+      |  FROM pts),
+      |n AS (SELECT stream_id, count(*) AS nn FROM p GROUP BY stream_id),
+      |hw AS (
+      |  SELECT stream_id, i, CAST(v AS DOUBLE) AS l,
+      |    CAST(0 AS DOUBLE) AS b,
+      |    [CAST(0 AS DOUBLE), 0, 0, 0] AS sl
+      |  FROM p WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.stream_id, s.i,
+      |    0.3 * (s.v - h.sl[(s.i - 1) % 4 + 1]) + 0.7 * (h.l + h.b),
+      |    0.2 * ((0.3 * (s.v - h.sl[(s.i - 1) % 4 + 1])
+      |      + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b,
+      |    list_concat(list_concat(
+      |      h.sl[1:((s.i - 1) % 4)],
+      |      [0.4 * (s.v - (0.3 * (s.v - h.sl[(s.i - 1) % 4 + 1])
+      |        + 0.7 * (h.l + h.b))) + 0.6 * h.sl[(s.i - 1) % 4 + 1]]),
+      |      h.sl[((s.i - 1) % 4 + 2):4])
+      |  FROM hw h JOIN p s
+      |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
+      |f AS (SELECT h.stream_id, h.l, h.b, h.sl[(n.nn % 4) + 1] AS snext
+      |  FROM hw h JOIN n ON n.stream_id = h.stream_id AND h.i = n.nn)
+      |SELECT stream_id, round(l, 4) AS level, round(b, 4) AS trend,
+      |  round(l + b + snext, 4) AS forecast_1
+      |FROM f ORDER BY stream_id""".stripMargin
 
   // shared by drv_holt (batch) and drv_holt_stream (the O(1)-state
   // streaming twin): identical fold arithmetic makes the doubles
@@ -7382,6 +7483,10 @@ object SparkEntry {
     "drv_holt" -> holtOracleSql,
 
     "drv_holt_stream" -> holtOracleSql,
+
+    "drv_holt_winters" -> holtWintersOracleSql,
+
+    "drv_holt_winters_stream" -> holtWintersOracleSql,
 
     "ds_agg_hours6" ->
       s"""WITH $srcSql,
@@ -10400,6 +10505,46 @@ object SparkEntry {
         |    unnest(range(8 * py, 8 * py + 8)) AS y FROM cells)
         |SELECT doc_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
         |  CAST(sum(1000 * ((doc_id + 7 * x + 13 * y) % 256)) // 64
+        |    AS BIGINT) AS luma_pm
+        |FROM pix GROUP BY doc_id, px, py
+        |ORDER BY doc_id, py, px""".stripMargin,
+
+    "pipe_span_corrupt" ->
+      // same md5→BIGINT span mask; string_agg ORDER BY pos skips NULL
+      // placeholders exactly like Spark's array_join; target coalesces
+      // to '' for mask-free docs (string_agg of no rows is NULL where
+      // array_join of an all-null array is '')
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |pt AS (SELECT doc_id, unnest(tk) AS tok,
+        |    CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos FROM t),
+        |x AS (SELECT doc_id, tok, pos, pos // 3 AS span,
+        |    (('0x' || substring(md5(doc_id || ':' || (pos // 3)), 1, 15))
+        |      ::BIGINT % 5 = 0) AS flag
+        |  FROM pt)
+        |SELECT doc_id,
+        |  CAST(max(span) + 1 AS BIGINT) AS n_spans,
+        |  CAST(count(DISTINCT CASE WHEN flag THEN span END) AS BIGINT)
+        |    AS n_corrupted,
+        |  string_agg(CASE WHEN NOT flag THEN tok
+        |    WHEN pos % 3 = 0 THEN '<X>' END, ' ' ORDER BY pos)
+        |    AS corrupted,
+        |  coalesce(string_agg(CASE WHEN flag THEN tok END, ' '
+        |    ORDER BY pos), '') AS target
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_img" ->
+      // NN 2:1 maps output (x,y) to source (2x,2y): the 16×16 image is
+      // the gradient at doubled coordinates; 4×4 patches of 4×4 px
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, unnest(range(0, 4)) AS px FROM ids),
+        |pxy AS (SELECT doc_id, px, unnest(range(0, 4)) AS py FROM px),
+        |cells AS (SELECT doc_id, px, py,
+        |    unnest(range(4 * px, 4 * px + 4)) AS x FROM pxy),
+        |pix AS (SELECT doc_id, px, py, x,
+        |    unnest(range(4 * py, 4 * py + 4)) AS y FROM cells)
+        |SELECT doc_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |  CAST(sum(1000 * ((doc_id + 14 * x + 26 * y) % 256)) // 16
         |    AS BIGINT) AS luma_pm
         |FROM pix GROUP BY doc_id, px, py
         |ORDER BY doc_id, py, px""".stripMargin,

@@ -226,6 +226,71 @@ object Derive {
       .toDF("stream_id", "level", "trend")
   }
 
+  /** Additive Holt–Winters (level + trend + seasonal, period `m`): the
+    * seasonal extension of [[holt]] —
+    *
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+    *
+    * with `l_1 = x_1, b_1 = 0` and a ZERO-initialized seasonal ring —
+    * the deterministic reference-free init both engines replay (a
+    * first-season-mean init would work too, but adds nothing the gate
+    * can distinguish). Emits each stream's FINAL state plus the 1-step
+    * forecast `l + b + s_{next phase}`. The oracle replays the fold as
+    * a recursive CTE whose state row carries the ring as a LIST (the
+    * drv_holt recursion with a list column — probed: DuckDB list
+    * slicing/concat in recursive CTEs is bit-exact; only struct
+    * list_reduce has the aliasing bug). Same bounded-history guard as
+    * [[holt]]; unbounded streams belong on
+    * [[graft.streaming.Streaming.holtWinters]]'s O(m) state.
+    */
+  def holtWinters(source: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, period: Int,
+      maxPointsPerStream: Int = 4_000_000): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val spark = source.sparkSession
+    import spark.implicits._
+    source.select(col("stream_id"), col("t"), col("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, rows) =>
+        val buf = scala.collection.immutable.IndexedSeq.newBuilder[
+          (String, java.sql.Timestamp, Double)]
+        var n = 0
+        rows.foreach { r =>
+          n += 1
+          if (n > maxPointsPerStream)
+            throw graft.model.InvalidOperatorArguments(
+              s"holtWinters: stream $sid exceeds $maxPointsPerStream points " +
+                "in one batch — use graft.streaming.Streaming.holtWinters " +
+                "(O(period) state) or raise maxPointsPerStream")
+          buf += r
+        }
+        val sorted = buf.result().sortBy(r => (r._2.getTime, r._3))
+        var l = 0.0
+        var b = 0.0
+        val ring = Array.fill(period)(0.0)
+        var idx = 0 // 0-based point index; phase of point i is i % period
+        sorted.foreach { case (_, _, x) =>
+          if (idx == 0) { l = x; b = 0.0 }
+          else {
+            val ph = idx % period
+            val sOld = ring(ph)
+            // lt inline-recomputed in the bt and ring terms EXACTLY as
+            // the oracle recursion writes it — same expression, same bits
+            val lt = alpha * (x - sOld) + (1 - alpha) * (l + b)
+            b = beta * (lt - l) + (1 - beta) * b
+            ring(ph) = gamma * (x - lt) + (1 - gamma) * sOld
+            l = lt
+          }
+          idx += 1
+        }
+        (sid, l, b, l + b + ring(idx % period))
+      }
+      .toDF("stream_id", "level", "trend", "forecast_1")
+  }
+
   def ewma(source: DataFrame, alpha: Double,
       maxPointsPerStream: Int = 4_000_000): DataFrame = {
     val spark = source.sparkSession

@@ -404,6 +404,43 @@ object Multimodal {
     }.toDF("media_id", "px", "py", "luma_pm")
   }
 
+  /** Nearest-neighbor image resize — the standardize-resolution step of
+    * a vision-data pipeline, kept EXACT on purpose: output pixel (x, y)
+    * copies input pixel (x·w_in div w_out, y·h_in div h_out) — pure
+    * integer index arithmetic, no interpolation floats — and re-encodes
+    * losslessly (TYPE_INT_RGB + PNG, the grayscalePng discipline), so
+    * downstream decode ops ([[patchLumaGrid]], [[lumaHistogram]])
+    * compose on the resized rows under analytic oracles. Bilinear lives
+    * behind real codec stacks; NN is the deterministic cross-engine
+    * lane. Undecodable bytes drop. Same mapPartitions codec shape.
+    */
+  def resizeNN(media: Dataset[MediaRow], outW: Int, outH: Int)
+      : Dataset[MediaRow] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      imageFormat(r.content).flatMap(_ => readImage(r.content)).map { img =>
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            out.setRGB(x, y, img.getRGB(
+              (x.toLong * img.getWidth / outW).toInt,
+              (y.toLong * img.getHeight / outH).toInt))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(r.media_id, bos.toByteArray,
+          r.meta.copy(width = outW, height = outH, codec = "png"))
+      }
+    }
+  }
+
   /** Integer luma histogram per image — the exposure/contrast profile
     * a vision-data curation pass filters on (all-dark / blown-out /
     * low-dynamic-range frames). Pixels bin on the permille-luma scale

@@ -53,6 +53,45 @@ object Pipeline {
       when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
   }
 
+  /** T5-style deterministic span corruption — the denoising-objective
+    * input builder: cut each document's token stream into fixed `spanLen`
+    * spans, corrupt span k of doc d iff the 15-hex-char md5 BIGINT of
+    * "d:k" ≡ 0 (mod `oneInK`) (the reproducible-sampling lane every
+    * pipeline op uses — any engine re-derives the same mask), collapse
+    * each corrupted span to one `sentinel` token, and emit the corrupted
+    * text beside the masked-out target tokens. Determinism is the point:
+    * the corruption is a pure function of (doc_id, position), so epochs,
+    * retries, and engines agree on every mask.
+    *
+    * Scale shape: one posexplode + one keyed hash agg; the re-assembly
+    * sorts each doc's token structs INSIDE the aggregated array
+    * (sort_array — no window, no per-row global ordering), and
+    * array_join drops the null placeholders of masked positions. Output:
+    * (id, n_spans, n_corrupted, corrupted, target).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanLen: Int = 3, oneInK: Int = 5,
+      sentinel: String = "<X>"): DataFrame = {
+    require(spanLen >= 1 && oneInK >= 1, "spanLen/oneInK must be >= 1")
+    val pt = docs.select(col(idCol), posexplode(split(col(textCol), " ")))
+      .withColumn("span", expr(s"pos div $spanLen"))
+      .withColumn("flag", expr(
+        "CAST(conv(substring(md5(concat(CAST(" + idCol + " AS STRING), " +
+          s"':', CAST(span AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+          s"% $oneInK = 0"))
+      .withColumn("out_tok",
+        when(!col("flag"), col("col"))
+          .when(expr(s"pos % $spanLen = 0"), lit(sentinel)))
+      .withColumn("tgt_tok", when(col("flag"), col("col")))
+    pt.groupBy(col(idCol))
+      .agg((max("span") + 1).cast("long").as("n_spans"),
+        countDistinct(when(col("flag"), col("span"))).as("n_corrupted"),
+        array_join(expr("transform(sort_array(collect_list(" +
+          "struct(pos, out_tok))), s -> s.out_tok)"), " ").as("corrupted"),
+        array_join(expr("transform(sort_array(collect_list(" +
+          "struct(pos, tgt_tok))), s -> s.tgt_tok)"), " ").as("target"))
+  }
+
   /** Keep at most `n` rows per source, preferring the longest documents
     * (n_chars desc, id asc tiebreak). The row_number filter compiles to a
     * WindowGroupLimit: each shuffle partition retains only its top-n heap

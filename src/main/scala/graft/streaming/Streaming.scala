@@ -506,6 +506,61 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One Holt–Winters snapshot: state + 1-step forecast after a point. */
+  case class HwRow(stream_id: String, t: Timestamp, level: Double,
+      trend: Double, forecast_1: Double)
+
+  private[streaming] case class HwState(level: Double, trend: Double,
+      ring: Seq[Double], n: Long)
+
+  /** Stateful streaming additive Holt–Winters — the O(period)-state
+    * twin of [[graft.operators.Derive.holtWinters]]: level + trend +
+    * the seasonal ring per stream, identical fold arithmetic
+    * (zero-init ring, lt recomputed inline in the bt/ring terms), rows
+    * sorted (t, v) per batch like every derive twin. Emits the
+    * refreshed state and 1-step forecast after each point; the latest
+    * row per stream is the live forecast. In-order delivery reproduces
+    * the batch op bit-for-bit (StreamingSpec).
+    */
+  def holtWinters(src: Dataset[Point], alpha: Double, beta: Double,
+      gamma: Double, period: Int): Dataset[HwRow] = {
+    require(period >= 2, "period must be >= 2")
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, HwRow] {
+      @transient private var state: ValueState[HwState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HwState]("hw",
+          Encoders.product[HwState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[HwRow] = {
+        val sorted = rows.toSeq.sortBy(p => (p.t.getTime, p.v))
+        var st = if (state.exists()) Some(state.get()) else None
+        val out = sorted.map { p =>
+          st = st match {
+            case None =>
+              Some(HwState(p.v, 0.0, Seq.fill(period)(0.0), 1L))
+            case Some(HwState(l, b, ring, n)) =>
+              val ph = (n % period).toInt
+              val sOld = ring(ph)
+              val lt = alpha * (p.v - sOld) + (1 - alpha) * (l + b)
+              val bt = beta * (lt - l) + (1 - beta) * b
+              Some(HwState(lt, bt,
+                ring.updated(ph, gamma * (p.v - lt) + (1 - gamma) * sOld),
+                n + 1))
+          }
+          val cur = st.get
+          HwRow(key, p.t, cur.level, cur.trend,
+            cur.level + cur.trend + cur.ring((cur.n % period).toInt))
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-(stream, lag) ACF sufficient statistics — mirrors the batch
     * [[graft.operators.Temporal.autocorr]] integer sums exactly.
     */

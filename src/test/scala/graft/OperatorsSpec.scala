@@ -1854,6 +1854,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L), (1L, 3, 4L)))
   }
 
+  test("spanCorrupt: mask structure — sentinels count spans, tokens partition exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.spanCorrupt(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    // structural invariants (the md5 mask itself is pinned by the
+    // pipe_span_corrupt oracle): corrupted ∪ target re-partitions the
+    // original tokens with one sentinel per corrupted span
+    for ((id, (nSpans, nCorr, corrupted, target)) <- out) {
+      val orig = docs.where(col("doc_id") === id)
+        .head().getString(1).split(" ", -1).toSeq
+      assert(nSpans == (orig.size + 2) / 3)
+      val sentinels = corrupted.split(" ", -1).count(_ == "<X>")
+      assert(sentinels == nCorr)
+      val kept = corrupted.split(" ", -1).filterNot(_ == "<X>")
+        .filterNot(_.isEmpty)
+      val masked = target.split(" ", -1).filterNot(_.isEmpty)
+      assert((kept ++ masked).sorted.toSeq ==
+        orig.filterNot(_.isEmpty).sorted.toSeq)
+      if (nCorr == 0) assert(target.isEmpty)
+    }
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("resizeNN: 2:1 downscale copies even-indexed pixels exactly, composes with patch grid") {
+    import spark.implicits._
+    // 4×4 column gradient v=64x → resized 2×2 pixel (x,y) = src(2x,2y)
+    // = 128x; 1×1 patches read the pixels back verbatim
+    val png = graft.operators.Multimodal.grayscalePng(4, (x, _) => 64 * x)
+    val meta = graft.operators.Multimodal.MediaMeta("image", 4, 4, 0, 0L, "png")
+    val media = Seq(graft.operators.Multimodal.MediaRow(1L, png, meta)).toDS()
+    val resized = graft.operators.Multimodal.resizeNN(media, 2, 2)
+    val m = resized.collect().head.meta
+    assert(m.width == 2 && m.height == 2 && m.codec == "png")
+    val grid = graft.operators.Multimodal.patchLumaGrid(resized, grid = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(grid == Map((0, 0) -> 0L, (0, 1) -> 0L,
+      (1, 0) -> 128000L, (1, 1) -> 128000L))
+  }
+
   test("joinNearest: backward/forward election, exact-midpoint tie breaks backward, one-sided edges") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)

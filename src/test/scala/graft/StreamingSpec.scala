@@ -291,6 +291,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set("a", "b"))
   }
 
+  test("stateful streaming holt_winters == batch (final state, bit-equal, ring survives batch cuts)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val q = Streaming.holtWinters(mem.toDS(), 0.3, 0.2, 0.4, 3)
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    // 7 points on one stream (phase wraps the period-3 ring twice,
+    // split mid-ring across batches) + a 2-point stream
+    val pts = (0 until 7).map(i =>
+      Streaming.Point("a", ts(f"2024-01-01 00:0$i:00"), 10.0 + 3.0 * i)) ++
+      Seq(Streaming.Point("b", ts("2024-01-01 00:00:00"), 5.0),
+        Streaming.Point("b", ts("2024-01-01 00:01:00"), 8.0))
+    val ordered = pts.sortBy(p => (p.t.getTime, p.v))
+    mem.addData(ordered.take(4)); q.processAllAvailable()
+    mem.addData(ordered.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hw_out")
+      .groupBy("stream_id")
+      .agg(max(struct(col("t"), col("level"), col("trend"),
+        col("forecast_1"))).as("s"))
+      .select(col("stream_id"), col("s.level"), col("s.trend"),
+        col("s.forecast_1"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val batch = graft.operators.Derive
+      .holtWinters(pts.map(p => (p.stream_id, p.t, p.v))
+        .toDF("stream_id", "t", "v"), 0.3, 0.2, 0.4, 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got == batch) // identical fold arithmetic -> bit-equal doubles
+    assert(got.keySet == Set("a", "b"))
+    // sanity vs a driver-side reference fold for stream a
+    val xs = (0 until 7).map(i => 10.0 + 3.0 * i)
+    var (l, b) = (xs.head, 0.0)
+    val ring = Array.fill(3)(0.0)
+    for (i <- 1 until xs.size) {
+      val ph = i % 3; val sOld = ring(ph)
+      val lt = 0.3 * (xs(i) - sOld) + 0.7 * (l + b)
+      b = 0.2 * (lt - l) + 0.8 * b
+      ring(ph) = 0.4 * (xs(i) - lt) + 0.6 * sOld
+      l = lt
+    }
+    assert(got("a") == ((l, b, l + b + ring(7 % 3))))
+  }
+
   test("stateful streaming counter_derivative handles wrap across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
