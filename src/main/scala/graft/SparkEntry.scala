@@ -1083,6 +1083,16 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "drv_forecast_eval" -> { (s, dir) =>
+      // rolling-origin backtest of the Holt forecaster: every point
+      // predicted by the state BEFORE it, errors quantized to
+      // floor(e·10⁶) BIGINTs before summing (order-free, oracle-exact);
+      // per-stream MAE + signed bias in micro-units. The "should I
+      // trust drv_holt's forecast_1" gate a monitoring stack runs.
+      Derive.holtBacktest(pointStreams(s, dir), alpha = 0.3, beta = 0.2)
+        .orderBy("stream_id")
+    },
+
     "drv_holt_winters" -> { (s, dir) =>
       // additive Holt–Winters (α=0.3, β=0.2, γ=0.4, period 4): the
       // seasonal forecaster holt flattens out of. Zero-init seasonal
@@ -7483,6 +7493,40 @@ object SparkEntry {
     "drv_holt" -> holtOracleSql,
 
     "drv_holt_stream" -> holtOracleSql,
+
+    "drv_forecast_eval" ->
+      // the drv_holt recursion joined ONE STEP AHEAD: row i's state
+      // predicts point i+1; errors quantize to BIGINT micro-units
+      // before the sums (order-free); single-point streams report zeros
+      s"""WITH RECURSIVE $srcSql, $pointSql,
+        |p AS (SELECT stream_id, v, row_number() OVER (
+        |    PARTITION BY stream_id
+        |    ORDER BY CAST(floor(epoch(t)) AS BIGINT)) AS i
+        |  FROM pts),
+        |hol AS (
+        |  SELECT stream_id, i, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM p WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.stream_id, s.i,
+        |    0.3 * s.v + 0.7 * (h.l + h.b),
+        |    0.2 * ((0.3 * s.v + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+        |  FROM hol h JOIN p s
+        |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
+        |e AS (SELECT s.stream_id, s.v - (h.l + h.b) AS err
+        |  FROM hol h JOIN p s
+        |    ON s.stream_id = h.stream_id AND s.i = h.i + 1),
+        |g AS (SELECT stream_id, CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CAST(floor(abs(err) * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS mae_fp,
+        |    CAST(sum(CAST(floor(err * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS bias_fp
+        |  FROM e GROUP BY stream_id),
+        |ss AS (SELECT DISTINCT stream_id FROM p)
+        |SELECT ss.stream_id, coalesce(g.n_eval, 0) AS n_eval,
+        |  coalesce(g.mae_fp, 0) AS mae_fp,
+        |  coalesce(g.bias_fp, 0) AS bias_fp
+        |FROM ss LEFT JOIN g ON g.stream_id = ss.stream_id
+        |ORDER BY ss.stream_id""".stripMargin,
 
     "drv_holt_winters" -> holtWintersOracleSql,
 

@@ -226,6 +226,61 @@ object Derive {
       .toDF("stream_id", "level", "trend")
   }
 
+  /** Rolling-origin one-step-ahead backtest of the [[holt]] smoother —
+    * the "is this forecaster any good on this stream" evaluation loop:
+    * each point from the second on is predicted by the state BEFORE it
+    * (`f_i = l_{i−1} + b_{i−1}`), and the per-stream error profile
+    * folds in EXACT fixed point — every error quantizes to
+    * `floor(e·10⁶)` / `floor(|e|·10⁶)` BIGINTs before summing, so the
+    * sums are order-free and the oracle (the drv_holt recursion joined
+    * one step ahead) replays them bit-for-bit. Output per stream:
+    * (n_eval, mae_fp, bias_fp) — mean absolute error and signed bias,
+    * both in micro-units; callers divide by n_eval.
+    * Same fold/bounded-history shape as [[holt]].
+    */
+  def holtBacktest(source: DataFrame, alpha: Double, beta: Double,
+      maxPointsPerStream: Int = 4_000_000): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source.select(col("stream_id"), col("t"), col("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, rows) =>
+        val buf = scala.collection.immutable.IndexedSeq.newBuilder[
+          (String, java.sql.Timestamp, Double)]
+        var n = 0
+        rows.foreach { r =>
+          n += 1
+          if (n > maxPointsPerStream)
+            throw graft.model.InvalidOperatorArguments(
+              s"holtBacktest: stream $sid exceeds $maxPointsPerStream " +
+                "points in one batch — raise maxPointsPerStream")
+          buf += r
+        }
+        val sorted = buf.result().sortBy(r => (r._2.getTime, r._3))
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        var nEval = 0L
+        var mae = 0L
+        var bias = 0L
+        sorted.foreach { case (_, _, x) =>
+          if (first) { l = x; b = 0.0; first = false }
+          else {
+            val e = x - (l + b)
+            nEval += 1
+            mae += math.floor(math.abs(e) * 1000000.0).toLong
+            bias += math.floor(e * 1000000.0).toLong
+            val lt = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (lt - l) + (1 - beta) * b
+            l = lt
+          }
+        }
+        (sid, nEval, mae, bias)
+      }
+      .toDF("stream_id", "n_eval", "mae_fp", "bias_fp")
+  }
+
   /** Additive Holt–Winters (level + trend + seasonal, period `m`): the
     * seasonal extension of [[holt]] —
     *
