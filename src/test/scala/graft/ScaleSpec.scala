@@ -732,5 +732,45 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left == (0L until 400L).filter(_ % 3 != 0).toSet)
   }
 
+  test("landmark graph ops schedule jobs independent of landmark count") {
+    // the composite-key design claim, measured: closeness / betweenness /
+    // hash-walks carry the landmark label in the key, so quadrupling |L|
+    // must not add Spark jobs (a per-landmark driver loop would be O(|L|))
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v").localCheckpoint(true)
+    def jobsOf(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1
+        while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(100) }
+      } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    def lms(n: Int) = (0 until n).map(_.toLong).toDF("v")
+    val g = graft.operators.Graphs
+    for ((name, run) <- Seq[(String, Int => Unit)](
+        ("closeness", n => g.landmarkCloseness(edges, lms(n), 3).count()),
+        ("betweenness", n => g.betweenness(edges, lms(n), 3).count()),
+        ("hashWalks", n => g.hashWalks(edges, lms(n), 3).count()))) {
+      val j2 = jobsOf(run(2))
+      val j8 = jobsOf(run(8))
+      assert(j2 == j8,
+        s"$name: jobs grew with landmark count ($j2 at |L|=2 vs $j8 at |L|=8)")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
