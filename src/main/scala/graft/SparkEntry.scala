@@ -218,6 +218,25 @@ object SparkEntry {
   private val ttTables = new java.util.concurrent.ConcurrentHashMap[
     String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** The support-2 co-purchase edge list shared by the THIRTEEN graph
+    * gate queries — built (and localCheckpoint'd) once per context per
+    * sf dir (the ttTables pattern; immutable after build). Before this
+    * memo every graph query independently re-ran the 1.2M-candidate
+    * basket-collect explode over 600k lineitem rows at sf0.1 — the
+    * family's dominant shared cost. Keyed on the SparkContext identity
+    * so a checkpointed frame never leaks across contexts.
+    */
+  private val coEdges = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coEdges.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}:$dir", _ => {
+        val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+          .localCheckpoint(true)
+      })
+
   private def timeTravelTable(s: SparkSession,
       dir: String): (String, org.apache.spark.sql.types.StructType) =
     ttTables.computeIfAbsent(dir, _ => buildTimeTravelTable(s, dir))
@@ -4289,9 +4308,7 @@ object SparkEntry {
       // equi-joins — per round only frontier-adjacent edges move, never
       // a transitive closure; distances are exact integers (no
       // fixed-point lane needed, unlike pagerank's ranks).
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds seeds + both BFS sides once
+      val edges = copurchaseEdges(s, dir)
       val seeds = edges.select(col("u").as("v"))
         .unionAll(edges.select(col("v")))
         .where(col("v") % 50 === 0).distinct()
@@ -4306,8 +4323,7 @@ object SparkEntry {
       // rounds make it a deterministic function of the edge set
       // (unrolled AS MATERIALIZED CTEs on the oracle side). O(E) per
       // round — relax-and-min, never path enumeration.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = copurchaseEdges(s, dir)
         .withColumn("w", expr("1000000 div support"))
         .localCheckpoint(true) // feeds seeds + 4 relaxation rounds
       val seeds = edges.agg(min("u").as("v"))
@@ -4320,9 +4336,7 @@ object SparkEntry {
       // "customers who bought X also bought Y" candidate scorer. Exact
       // BIGINT counts + one IEEE division ⇒ raw-double ranking is safe
       // cross-engine (no rounding lane needed).
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds the und list AND the anti side
+      val edges = copurchaseEdges(s, dir)
       Graphs.jaccardLinks(edges)
         .orderBy(col("jaccard").desc, col("a"), col("c")).limit(20)
     },
@@ -4334,9 +4348,7 @@ object SparkEntry {
       // midpoints stop dominating. Scored entirely in the exact integer
       // lane (10⁹ div deg per midpoint, BIGINT sum): no ln, no float
       // summation order, same 2-path + left-anti plan as jaccardLinks.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds the und list AND the anti side
+      val edges = copurchaseEdges(s, dir)
       Graphs.resourceAllocationLinks(edges)
         .orderBy(col("ra_ppb").desc, col("a"), col("c")).limit(20)
     },
@@ -4900,9 +4912,7 @@ object SparkEntry {
       // ONE label-carrying multi-source BFS (state (v, lm, dist) — job
       // count independent of |L|), folded per vertex into n_reached /
       // sum_dist / the integer harmonic-permille sum. All-integer row.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds landmark scan + both BFS sides
+      val edges = copurchaseEdges(s, dir)
       val landmarks = edges.select(col("u").as("v"))
         .unionAll(edges.select(col("v")))
         .where(col("v") % 50 === 0).distinct()
@@ -4917,9 +4927,7 @@ object SparkEntry {
       // replays level-for-level in the oracle's unrolled CTEs. The
       // "broker" products no degree rank can see. depth 3, same
       // partkey%50==0 landmark set as graph_closeness.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds landmark scan + both BFS passes
+      val edges = copurchaseEdges(s, dir)
       val landmarks = edges.select(col("u").as("v"))
         .unionAll(edges.select(col("v")))
         .where(col("v") % 50 === 0).distinct()
@@ -4932,9 +4940,7 @@ object SparkEntry {
       // election — same 15-hex-char BIGINT lane as the dedup hashes):
       // 3 hops from every partkey%50==0 start; each hop is one
       // frontier join + one (h, v) struct-min election.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // feeds start scan + every hop
+      val edges = copurchaseEdges(s, dir)
       val starts = edges.select(col("u").as("v"))
         .unionAll(edges.select(col("v")))
         .where(col("v") % 50 === 0).distinct()
@@ -4948,13 +4954,11 @@ object SparkEntry {
       // exact per-vertex triangle counts via the degree-ordered two-join
       // (out-degree bounded O(sqrt E) — the orientation that survives
       // power-law hubs). Top-30 corners, total (n_tri desc, vertex) order.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        // 3 consumers inside triangleCounts (degree agg + both endpoint
-        // joins) — without the barrier the expensive per-order self-join
-        // lineage re-runs per consumer (measured 16.9 CPU s at sf0.1;
-        // the other co-purchase queries already checkpoint)
-        .localCheckpoint(true)
+      // the memoized fixture is already checkpointed, so triangleCounts'
+      // 3 consumers (degree agg + both endpoint joins) read the
+      // materialized frame — the 16.9 CPU s lineage re-run this barrier
+      // originally fixed can't recur
+      val edges = copurchaseEdges(s, dir)
       Graphs.triangleCounts(edges)
         .orderBy(col("n_tri").desc, col("vertex"))
         .limit(30)
@@ -4968,8 +4972,7 @@ object SparkEntry {
       // converged round shows n_removed = 0. k=6 bites at every testdata
       // SF (the support-2 graph's degree profile shifts with SF: median
       // 23 at sf0.001, 3 at sf0.01, 1 at sf0.1). All-integer row, exact.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = copurchaseEdges(s, dir)
       Graphs.kCorePeel(edges, k = 6, rounds = 4).orderBy("round")
     },
 
@@ -4980,8 +4983,7 @@ object SparkEntry {
       // graph_triangles). Bucket = bit-length of the degree
       // (length(bin(deg)) ≡ floor(log2)+1, exact integers both engines —
       // no float log anywhere). One degree hash-agg + one 9-row agg.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = copurchaseEdges(s, dir)
       // explode both endpoints in ONE pass — a union of edges.select(u)
       // and edges.select(v) would plan the edge build TWICE (Union =
       // two full subtrees; measured +40% CPU at sf0.1)
@@ -4999,8 +5001,7 @@ object SparkEntry {
       // ties to the smallest — the packed-BIGINT election). Fixed rounds
       // keep the result an unrollable deterministic function of the
       // edge set; output is the community-size table.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = copurchaseEdges(s, dir)
       Graphs.labelPropagation(edges, rounds = 2)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
@@ -5014,9 +5015,7 @@ object SparkEntry {
       // exact BIGINT fraction, no float division anywhere; headroom:
       // m ≤ 10⁶ edges ⇒ |terms| ≤ 4·10¹²). Edge list and label table
       // are checkpointed once for their 3 consumers each.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .select("u", "v").localCheckpoint(true)
+      val edges = copurchaseEdges(s, dir)
       val lab = Graphs.labelPropagation(edges, rounds = 2)
       val intra = edges
         .join(lab.select(col("vtx").as("u"), col("label").as("lu")), "u")
@@ -5184,9 +5183,7 @@ object SparkEntry {
       // derives as (m·s_prod − (s_sum/2)²·…)/… downstream — the float
       // step stays out of the gate): m, Σd_u·d_v, Σ(d_u+d_v),
       // Σ(d_u²+d_v²). One degree agg + two broadcast-joins + one row.
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        .select("u", "v").localCheckpoint(true)
+      val edges = copurchaseEdges(s, dir)
       val deg = edges.select(explode(array(col("u"), col("v"))).as("vtx"))
         .groupBy("vtx").agg(count(lit(1)).as("deg"))
       edges
@@ -5560,6 +5557,30 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("px"), col("py"),
           col("luma_pm"))
         .orderBy("doc_id", "py", "px")
+    },
+
+    "mm_augment" -> { (s, dir) =>
+      // REAL augmentation under the exact gate: identity + rot90 +
+      // flipH of the gradient corpus (doc_id < 50), each re-encoded
+      // losslessly and pushed through the production patch grid; the
+      // oracle recomputes every patch from the permuted gradient
+      // formulas (rot90: in(y, 31−x); flipH: in(31−x, y)). Variant ids
+      // pack as doc_id·10 + k.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents")
+        .where(col("doc_id") < 50).select(col("doc_id").cast("long"))
+      val meta = graft.operators.Multimodal
+        .MediaMeta("image", 32, 32, 0, 0L, "png")
+      val media = ids.as[Long].map { id =>
+        graft.operators.Multimodal.MediaRow(id,
+          graft.operators.Multimodal.grayscalePng(32,
+            (x, y) => ((id + 7L * x + 13L * y) % 256L).toInt), meta)
+      }
+      val aug = graft.operators.Multimodal.augmentGeom(media)
+      graft.operators.Multimodal.patchLumaGrid(aug, grid = 4)
+        .select(col("media_id").as("variant_id"), col("px"), col("py"),
+          col("luma_pm"))
+        .orderBy("variant_id", "py", "px")
     },
 
     "mm_img_hist" -> { (s, dir) =>
@@ -10592,6 +10613,30 @@ object SparkEntry {
         |    AS BIGINT) AS luma_pm
         |FROM pix GROUP BY doc_id, px, py
         |ORDER BY doc_id, py, px""".stripMargin,
+
+    "mm_augment" ->
+      // permuted gradient per variant k: identity (d+7x+13y), rot90
+      // (d+403+7y−13x — in(y,31−x)), flipH (d+217−7x+13y — in(31−x,y));
+      // all operands non-negative so % is safe on both engines
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |vk AS (SELECT doc_id, unnest(range(0, 3)) AS k FROM ids),
+        |px AS (SELECT doc_id, k, unnest(range(0, 4)) AS px FROM vk),
+        |pxy AS (SELECT doc_id, k, px, unnest(range(0, 4)) AS py FROM px),
+        |cells AS (SELECT doc_id, k, px, py,
+        |    unnest(range(8 * px, 8 * px + 8)) AS x FROM pxy),
+        |pix AS (SELECT doc_id, k, px, py, x,
+        |    unnest(range(8 * py, 8 * py + 8)) AS y FROM cells),
+        |v AS (SELECT doc_id * 10 + k AS variant_id, px, py,
+        |    CASE k
+        |      WHEN 0 THEN (doc_id + 7 * x + 13 * y) % 256
+        |      WHEN 1 THEN (doc_id + 403 + 7 * y - 13 * x) % 256
+        |      ELSE (doc_id + 217 - 7 * x + 13 * y) % 256
+        |    END AS pv
+        |  FROM pix)
+        |SELECT variant_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |  CAST(sum(1000 * pv) // 64 AS BIGINT) AS luma_pm
+        |FROM v GROUP BY variant_id, px, py
+        |ORDER BY variant_id, py, px""".stripMargin,
 
     "mm_img_hist" ->
       // every pixel recomputed from the gradient formula; grayscale

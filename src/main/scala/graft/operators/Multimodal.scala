@@ -441,6 +441,50 @@ object Multimodal {
     }
   }
 
+  /** Deterministic geometric augmentation — the vision-training
+    * expansion pass (identity + 90° clockwise rotation + horizontal
+    * flip), kept EXACT: both transforms are pure index permutations
+    * (rot90: out(x,y) = in(y, H−1−x); flipH: out(x,y) = in(W−1−x, y))
+    * re-encoded losslessly, so downstream decode ops compose under
+    * analytic oracles ([[resizeNN]]'s discipline — no interpolation,
+    * no randomness: the "random" augmentation choice belongs to the
+    * trainer's sampler, not the data layer). Variant ids pack as
+    * `media_id·10 + {0 identity, 1 rot90, 2 flipH}` (documented
+    * contract; callers recover the source id with div 10). Undecodable
+    * bytes drop. Same mapPartitions codec shape.
+    */
+  def augmentGeom(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      imageFormat(r.content).flatMap(_ => readImage(r.content)) match {
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          def mk(ow: Int, oh: Int, f: (Int, Int) => Int): Array[Byte] = {
+            val o = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) { o.setRGB(x, y, f(x, y)); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(o, "png", bos)
+            bos.toByteArray
+          }
+          val rot = mk(h, w, (x, y) => img.getRGB(y, h - 1 - x))
+          val flip = mk(w, h, (x, y) => img.getRGB(w - 1 - x, y))
+          Seq(
+            MediaRow(r.media_id * 10, r.content, r.meta),
+            MediaRow(r.media_id * 10 + 1, rot,
+              r.meta.copy(width = h, height = w, codec = "png")),
+            MediaRow(r.media_id * 10 + 2, flip, r.meta.copy(codec = "png")))
+        case None => Seq.empty
+      }
+    }
+  }
+
   /** Integer luma histogram per image — the exposure/contrast profile
     * a vision-data curation pass filters on (all-dark / blown-out /
     * low-dynamic-range frames). Pixels bin on the permille-luma scale

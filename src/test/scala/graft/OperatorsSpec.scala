@@ -1880,6 +1880,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.keySet == Set(1L, 2L, 3L))
   }
 
+  test("augmentGeom: rot90/flipH are exact index permutations, ids pack by variant") {
+    import spark.implicits._
+    // 4×4 column gradient v=64x: rot90 → row gradient 64y, flipH →
+    // reversed columns 64(3−x); 1×1 patches read pixels back verbatim
+    val png = graft.operators.Multimodal.grayscalePng(4, (x, _) => 64 * x)
+    val meta = graft.operators.Multimodal.MediaMeta("image", 4, 4, 0, 0L, "png")
+    val media = Seq(graft.operators.Multimodal.MediaRow(1L, png, meta)).toDS()
+    val out = graft.operators.Multimodal
+      .patchLumaGrid(graft.operators.Multimodal.augmentGeom(media), grid = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    for (x <- 0 until 4; y <- 0 until 4) {
+      assert(out((10L, x, y)) == 64000L * x)       // identity
+      assert(out((11L, x, y)) == 64000L * y)       // rot90: in(y, 3−x)
+      assert(out((12L, x, y)) == 64000L * (3 - x)) // flipH: in(3−x, y)
+    }
+  }
+
   test("resizeNN: 2:1 downscale copies even-indexed pixels exactly, composes with patch grid") {
     import spark.implicits._
     // 4×4 column gradient v=64x → resized 2×2 pixel (x,y) = src(2x,2y)
