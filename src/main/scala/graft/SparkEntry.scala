@@ -131,6 +131,16 @@ object SparkEntry {
   private def replayPointStream(s: SparkSession, dir: String,
       nBatches: Int)(
       op: org.apache.spark.sql.Dataset[graft.streaming.Streaming.Point] =>
+        org.apache.spark.sql.Dataset[_]): DataFrame =
+    replayStream(s, pointStreams(s, dir), nBatches)(op)
+
+  /** Like [[replayPointStream]] but over any (stream_id, t, v) frame —
+    * the counter-stream twins replay the same derived counter the batch
+    * gates read.
+    */
+  private def replayStream(s: SparkSession, input: DataFrame,
+      nBatches: Int)(
+      op: org.apache.spark.sql.Dataset[graft.streaming.Streaming.Point] =>
         org.apache.spark.sql.Dataset[_]): DataFrame = {
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -139,7 +149,8 @@ object SparkEntry {
     val name = s"replay_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val rows = pointStreams(s, dir).orderBy("t", "stream_id").collect()
+    val rows = input.select("stream_id", "t", "v")
+      .orderBy("t", "stream_id").collect()
       .map(r => graft.streaming.Streaming.Point(
         r.getString(0), r.getTimestamp(1), r.getDouble(2)))
     try {
@@ -2141,6 +2152,25 @@ object SparkEntry {
 
     "drv_counter_reset" -> { (s, dir) =>
       Derive.counterReset(counterStreams(s, dir)).orderBy("stream_id", "t")
+    },
+
+    "drv_derivative_stream" -> { (s, dir) =>
+      // STREAMING V2 under the gate: the O(1)-state rate twin replayed
+      // in global time order emits exactly the batch rows (floor-second
+      // division, duplicate-second drop) — drv_derivative's oracle
+      // verbatim.
+      replayPointStream(s, dir, 3)(
+          ds => graft.streaming.Streaming.derivative(ds))
+        .orderBy("stream_id", "t")
+    },
+
+    "drv_counter_reset_stream" -> { (s, dir) =>
+      // STREAMING V3 under the gate: reset flags from the O(1)-state
+      // twin over the replayed counter — drv_counter_reset's oracle
+      // verbatim.
+      replayStream(s, counterStreams(s, dir), 3)(
+          ds => graft.streaming.Streaming.counterReset(ds))
+        .orderBy("stream_id", "t")
     },
 
     "drv_counter_derivative" -> { (s, dir) =>
@@ -6120,6 +6150,27 @@ object SparkEntry {
   // exact integer seconds; gaps from the per-(stream, second) deduped
   // points, outage threshold 1 h. Shared by the batch summary and its
   // streaming outage-event twin.
+  // shared by drv_derivative / drv_counter_reset and their streaming
+  // replay gates (identical per-row emissions under ordered delivery)
+  private val derivativeOracleSql: String =
+    s"""WITH $srcSql, $pointSql,
+      |d AS (SELECT stream_id, t, v,
+      |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv,
+      |    lag(t) OVER (PARTITION BY stream_id ORDER BY t) AS pt
+      |  FROM pts)
+      |SELECT stream_id, t, (v - pv) / (epoch(t) - epoch(pt)) AS v
+      |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
+      |ORDER BY stream_id, t""".stripMargin
+
+  private val counterResetOracleSql: String =
+    s"""WITH $srcSql, $pointSql, $counterSql,
+      |d AS (SELECT stream_id, t, v,
+      |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv
+      |  FROM ctr)
+      |SELECT stream_id, t, CAST(1.0 AS DOUBLE) AS v
+      |FROM d WHERE pv IS NOT NULL AND v < pv
+      |ORDER BY stream_id, t""".stripMargin
+
   // shared by drv_ewma (batch) and drv_ewma_stream (the O(1)-state
   // streaming smoother): identical fold ⇒ bit-equal doubles, one
   // list_reduce replay
@@ -7998,24 +8049,13 @@ object SparkEntry {
         |FROM c GROUP BY event_type, t, n
         |ORDER BY event_type, t""".stripMargin,
 
-    "drv_derivative" ->
-      s"""WITH $srcSql, $pointSql,
-        |d AS (SELECT stream_id, t, v,
-        |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv,
-        |    lag(t) OVER (PARTITION BY stream_id ORDER BY t) AS pt
-        |  FROM pts)
-        |SELECT stream_id, t, (v - pv) / (epoch(t) - epoch(pt)) AS v
-        |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
-        |ORDER BY stream_id, t""".stripMargin,
+    "drv_derivative" -> derivativeOracleSql,
 
-    "drv_counter_reset" ->
-      s"""WITH $srcSql, $pointSql, $counterSql,
-        |d AS (SELECT stream_id, t, v,
-        |    lag(v) OVER (PARTITION BY stream_id ORDER BY t) AS pv
-        |  FROM ctr)
-        |SELECT stream_id, t, CAST(1.0 AS DOUBLE) AS v
-        |FROM d WHERE pv IS NOT NULL AND v < pv
-        |ORDER BY stream_id, t""".stripMargin,
+    "drv_derivative_stream" -> derivativeOracleSql,
+
+    "drv_counter_reset" -> counterResetOracleSql,
+
+    "drv_counter_reset_stream" -> counterResetOracleSql,
 
     "drv_counter_derivative" ->
       s"""WITH $srcSql, $pointSql, $counterSql,

@@ -191,6 +191,27 @@ object Streaming {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Stateful streaming V3 `counter_reset`: emit 1 wherever a
+    * monotonically-increasing counter decreased — the O(1)-state twin
+    * of [[graft.operators.Derive.counterReset]] (same predicate, no
+    * time condition), carrying the last point across micro-batches.
+    */
+  def counterReset(src: Dataset[Point]): Dataset[Point] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new PointFoldProcessor[LastPoint]("last",
+        Encoders.product[LastPoint], p => (p.t.getTime, p.v)) {
+      def fold(key: String, p: Point, prev: Option[LastPoint]) = {
+        val emit = prev.collect {
+          case LastPoint(_, lv) if p.v < lv => Point(key, p.t, 1.0)
+        }
+        (emit, LastPoint(p.t.getTime, p.v))
+      }
+    }
+    src.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful streaming V4 `counter_derivative` (wrap-aware rate). */
   def counterDerivative(src: Dataset[Point], maxValue: Option[Double])
       : Dataset[Point] = {
