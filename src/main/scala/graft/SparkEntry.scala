@@ -240,6 +240,36 @@ object SparkEntry {
   private val coEdges = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
 
+  /** Base READ-ONLY index fixtures, built once per sf dir (ttTables
+    * pattern): the three BM25 read gates (indexed / stats / audit) and
+    * the two IVF read gates (indexed / stats) search or inspect an
+    * identical freshly-built index — only the mutation-lifecycle gates
+    * (maintained / rebuilt / stream / compacted) need private copies.
+    * Consumers are read paths; nothing writes under these roots.
+    */
+  private val roIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  private def bm25BaseIndex(s: SparkSession, dir: String): String =
+    roIndexes.computeIfAbsent(s"bm25:$dir", _ => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-base").toString + "/idx"
+      Retrieval.buildIndex(tbl(s, dir, "documents")
+        .select("doc_id", "text"), work)
+      work
+    })
+
+  private def ivfBaseIndex(s: SparkSession, dir: String): String =
+    roIndexes.computeIfAbsent(s"ivf:$dir", _ => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-base").toString + "/idx"
+      Similarity.buildIvfIndex(tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")),
+        work, stride = 50)
+      work
+    })
+
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coEdges.computeIfAbsent(
       s"${System.identityHashCode(s.sparkContext)}:$dir", _ => {
@@ -3200,10 +3230,8 @@ object SparkEntry {
       // (I/O ∝ matched vocabulary, not corpus) and recomputes df exactly
       // from them; identical scores to q_bm25_topk by construction —
       // same oracle verbatim
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bm25-idx").toString + "/idx"
+      val work = bm25BaseIndex(s, dir)
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      Retrieval.buildIndex(docs, work)
       val queries = docs.where(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       Retrieval.bm25TopKIndexed(s, work, queries, 5)
@@ -3819,11 +3847,9 @@ object SparkEntry {
       // norms persisted once; the search probe-assigns only the query
       // side and reads only probed cell dirs — identical results to
       // emb_ann_ivf by construction, same oracle verbatim.
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ivf-idx").toString + "/idx"
+      val work = ivfBaseIndex(s, dir)
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      Similarity.buildIvfIndex(e, work, stride = 50)
       val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
       Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
         .withColumn("sim", round(col("sim"), 6))
@@ -4012,11 +4038,7 @@ object SparkEntry {
       // recall drifts). Counts are home-cell assignment cardinalities,
       // exactly reproducible in SQL; file bytes stay Spark-side (ops
       // signal, not oracle material).
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ivf-stats").toString + "/idx"
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      Similarity.buildIvfIndex(e, work, stride = 50)
+      val work = ivfBaseIndex(s, dir)
       Similarity.ivfIndexStats(s, work)
         .select(col("cell"), col("n_vecs"))
         .orderBy("cell")
@@ -4030,10 +4052,7 @@ object SparkEntry {
       // the gate pins the bucket-independent sums, which a token living
       // WHOLLY in one bucket makes exact.
       import org.apache.spark.sql.types._
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bm25-stats").toString + "/idx"
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      Retrieval.buildIndex(docs, work)
+      val work = bm25BaseIndex(s, dir)
       val stats = Retrieval.indexStats(s, work)
         .agg(sum("n_postings").as("n_postings"),
           sum("n_tokens").as("n_tokens"))
@@ -4121,10 +4140,8 @@ object SparkEntry {
       // (sampling rule, both scoring lanes, doclens stats, rank ties).
       // The analytic oracle recomputes n_q from the stride rule; the
       // gutted-bucket detection lane is pinned in OperatorsSpec.
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bm25-audit").toString + "/idx"
+      val work = bm25BaseIndex(s, dir)
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      Retrieval.buildIndex(docs, work)
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
