@@ -259,6 +259,17 @@ object SparkEntry {
       work
     })
 
+  private def ivfpqBaseIndex(s: SparkSession, dir: String): String =
+    roIndexes.computeIfAbsent(s"ivfpq:$dir", _ => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-base").toString + "/idx"
+      Similarity.buildIvfPqIndex(tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")),
+        work, stride = 50, m = 16)
+      work
+    })
+
   private def ivfBaseIndex(s: SparkSession, dir: String): String =
     roIndexes.computeIfAbsent(s"ivf:$dir", _ => {
       val work = java.nio.file.Files
@@ -4195,6 +4206,22 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivfpq_indexed" -> { (s, dir) =>
+      // the PERSISTED codes-only IVF-PQ index (the compressed disk
+      // shape: ~m ints per vector + metadata sidecars), searched with
+      // the corpus as queries — identical sampling, encode kernel, and
+      // ADC arithmetic as the in-memory lane, so emb_ann_ivfpq's oracle
+      // is shared verbatim; search I/O is the probed cell partitions
+      // of codes only.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = ivfpqBaseIndex(s, dir)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_recall" -> { (s, dir) =>
       // the evaluation harness every ANN deployment needs: recall@3 of
       // the IVF path vs the exact top-3, per query, as exact integers
@@ -6243,6 +6270,61 @@ object SparkEntry {
       |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
       |  END AS acf
       |FROM a ORDER BY stream_id, lag""".stripMargin
+
+  // shared by emb_ann_ivfpq (in-memory) and emb_ann_ivfpq_indexed
+  // (the persisted codes-only index): identical sampling, encode kernel,
+  // and ADC arithmetic
+  private val ivfpqOracleSql: String =
+      // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ
+      // codebook = the stride-5 sample's 4-dim slices; subspace L2²
+      // = (dot(a,a) - 2*dot(a,b)) + dot(b,b); adist = fixed left-assoc
+      // chain of the 16 single-valued conditional sums
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |pqc AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+        |  WHERE vec_id % 5 = 0 AND vec_id < 640),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, cent_id AS cell FROM r WHERE crnk <= 2),
+        |sub AS (SELECT unnest(range(0, 16)) AS s),
+        |cb AS (SELECT pqc.cent_id, sub.s,
+        |    pqc.cemb[sub.s * 4 + 1 : sub.s * 4 + 4] AS csub FROM pqc CROSS JOIN sub),
+        |vsub AS (SELECT e.vec_id, sub.s,
+        |    e.emb[sub.s * 4 + 1 : sub.s * 4 + 4] AS vs FROM e CROSS JOIN sub),
+        |dist AS (SELECT v.vec_id, v.s, cb.cent_id,
+        |    (list_dot_product(v.vs, v.vs) - 2 * list_dot_product(v.vs, cb.csub))
+        |      + list_dot_product(cb.csub, cb.csub) AS d2
+        |  FROM vsub v JOIN cb ON cb.s = v.s),
+        |codes AS (SELECT vec_id AS cid, s, cent_id FROM (
+        |    SELECT vec_id, s, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cand AS (SELECT p.qid, cl.vec_id AS cid
+        |  FROM probes p JOIN cells cl USING (cell) WHERE cl.vec_id <> p.qid),
+        |adc AS (SELECT cand.qid, cand.cid, co.s, d.d2
+        |  FROM cand JOIN codes co ON co.cid = cand.cid
+        |  JOIN dist d ON d.vec_id = cand.qid AND d.s = co.s AND d.cent_id = co.cent_id),
+        |ad AS (SELECT qid, cid,
+        |    ((((((((((((((sum(CASE WHEN s = 0 THEN d2 END) + sum(CASE WHEN s = 1 THEN d2 END))
+        |      + sum(CASE WHEN s = 2 THEN d2 END)) + sum(CASE WHEN s = 3 THEN d2 END))
+        |      + sum(CASE WHEN s = 4 THEN d2 END)) + sum(CASE WHEN s = 5 THEN d2 END))
+        |      + sum(CASE WHEN s = 6 THEN d2 END)) + sum(CASE WHEN s = 7 THEN d2 END))
+        |      + sum(CASE WHEN s = 8 THEN d2 END)) + sum(CASE WHEN s = 9 THEN d2 END))
+        |      + sum(CASE WHEN s = 10 THEN d2 END)) + sum(CASE WHEN s = 11 THEN d2 END))
+        |      + sum(CASE WHEN s = 12 THEN d2 END)) + sum(CASE WHEN s = 13 THEN d2 END))
+        |      + sum(CASE WHEN s = 14 THEN d2 END)) + sum(CASE WHEN s = 15 THEN d2 END) AS adist
+        |  FROM adc GROUP BY qid, cid),
+        |t AS (SELECT qid, cid, adist,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS BIGINT) AS rnk
+        |  FROM ad)
+        |SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
 
   // shared by drv_holt_winters (batch) and drv_holt_winters_stream:
   // the drv_holt recursion with the seasonal ring carried as a LIST
@@ -10463,57 +10545,9 @@ object SparkEntry {
     // a silent non-firing audit would hash-diverge from this oracle
     "emb_ann_ivf_audited" -> ivfTrainedOracleSql,
 
-    "emb_ann_ivfpq" ->
-      // IVFPQ mirror: coarse cells/probes exactly as emb_ann_ivf; PQ
-      // codebook = the stride-5 sample's 4-dim slices; subspace L2²
-      // = (dot(a,a) - 2*dot(a,b)) + dot(b,b); adist = fixed left-assoc
-      // chain of the 16 single-valued conditional sums
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
-        |pqc AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
-        |  WHERE vec_id % 5 = 0 AND vec_id < 640),
-        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
-        |    list_dot_product(e.emb, c.cemb)
-        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
-        |  FROM e, c),
-        |r AS (SELECT vec_id, emb, cent_id, csim,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
-        |  FROM s),
-        |cells AS (SELECT vec_id, cent_id AS cell FROM r WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS qid, cent_id AS cell FROM r WHERE crnk <= 2),
-        |sub AS (SELECT unnest(range(0, 16)) AS s),
-        |cb AS (SELECT pqc.cent_id, sub.s,
-        |    pqc.cemb[sub.s * 4 + 1 : sub.s * 4 + 4] AS csub FROM pqc CROSS JOIN sub),
-        |vsub AS (SELECT e.vec_id, sub.s,
-        |    e.emb[sub.s * 4 + 1 : sub.s * 4 + 4] AS vs FROM e CROSS JOIN sub),
-        |dist AS (SELECT v.vec_id, v.s, cb.cent_id,
-        |    (list_dot_product(v.vs, v.vs) - 2 * list_dot_product(v.vs, cb.csub))
-        |      + list_dot_product(cb.csub, cb.csub) AS d2
-        |  FROM vsub v JOIN cb ON cb.s = v.s),
-        |codes AS (SELECT vec_id AS cid, s, cent_id FROM (
-        |    SELECT vec_id, s, cent_id,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |cand AS (SELECT p.qid, cl.vec_id AS cid
-        |  FROM probes p JOIN cells cl USING (cell) WHERE cl.vec_id <> p.qid),
-        |adc AS (SELECT cand.qid, cand.cid, co.s, d.d2
-        |  FROM cand JOIN codes co ON co.cid = cand.cid
-        |  JOIN dist d ON d.vec_id = cand.qid AND d.s = co.s AND d.cent_id = co.cent_id),
-        |ad AS (SELECT qid, cid,
-        |    ((((((((((((((sum(CASE WHEN s = 0 THEN d2 END) + sum(CASE WHEN s = 1 THEN d2 END))
-        |      + sum(CASE WHEN s = 2 THEN d2 END)) + sum(CASE WHEN s = 3 THEN d2 END))
-        |      + sum(CASE WHEN s = 4 THEN d2 END)) + sum(CASE WHEN s = 5 THEN d2 END))
-        |      + sum(CASE WHEN s = 6 THEN d2 END)) + sum(CASE WHEN s = 7 THEN d2 END))
-        |      + sum(CASE WHEN s = 8 THEN d2 END)) + sum(CASE WHEN s = 9 THEN d2 END))
-        |      + sum(CASE WHEN s = 10 THEN d2 END)) + sum(CASE WHEN s = 11 THEN d2 END))
-        |      + sum(CASE WHEN s = 12 THEN d2 END)) + sum(CASE WHEN s = 13 THEN d2 END))
-        |      + sum(CASE WHEN s = 14 THEN d2 END)) + sum(CASE WHEN s = 15 THEN d2 END) AS adist
-        |  FROM adc GROUP BY qid, cid),
-        |t AS (SELECT qid, cid, adist,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS BIGINT) AS rnk
-        |  FROM ad)
-        |SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin,
+    "emb_ann_ivfpq" -> ivfpqOracleSql,
+
+    "emb_ann_ivfpq_indexed" -> ivfpqOracleSql,
 
     "emb_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

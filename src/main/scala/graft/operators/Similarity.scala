@@ -1076,6 +1076,102 @@ object Similarity {
     ivfpqTopKWith(corpus, k, stride, nprobe, m, codebooks)
   }
 
+  /** Persisted IVF-PQ index build — the compressed billion-vector DISK
+    * shape: cell partitions store CODES ONLY (m small ints per vector —
+    * the ~32-byte-per-vector footprint that makes 100 TB of embeddings
+    * searchable from a fraction of the space), while the coarse
+    * centroids and per-subspace codebooks persist as metadata-scale
+    * sidecars. The build freezes [[ivfpqTopK]]'s exact sampling rule
+    * (stride coarse centroids; pqStride sample capped at ksubMax for
+    * the codebooks) and the same fused `graft_pq_encode` kernel, so
+    * [[ivfPqIndexTopK]] over the indexed corpus reproduces the
+    * in-memory lane bit-for-bit (the emb_ann_ivfpq oracle is shared
+    * verbatim). Codes repartition by home cell before the partitioned
+    * write — ONE file per cell (the appendToIvfIndex discipline).
+    * Mutation lifecycle (append/delete/compact/audit) belongs to the
+    * flat [[buildIvfIndex]] lane; a PQ index re-encodes on rebuild —
+    * codes are derived data, never the source of truth.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, root: String, stride: Long,
+      m: Int = 16, pqStride: Long = 5, ksubMax: Int = 128): Unit = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    GraftFunctions.register(ss)
+    val cents = strideCentroids(corpus, stride)
+    cents.toSeq.toDF("cent_id", "cemb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    val pqSample = strideCentroids(corpus, pqStride).take(ksubMax)
+    val dim = pqSample.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codebooks = (0 until m).map(s0 =>
+      pqSample.toSeq.map { case (_, c) => c.slice(s0 * sub, s0 * sub + sub) })
+    codebooks.zipWithIndex.flatMap { case (cb, s0) =>
+      cb.zipWithIndex.map { case (c, j) => (s0, j, c) } }
+      .toDF("s", "entry", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    val cbLit = typedLit(codebooks)
+    val cn2Lit = typedLit(codebooks.map(_.map(cs => cs.map(x => x * x).sum)))
+    val vecs = withProbes(corpus, cents, 1)
+      .withColumn("subs", array((0 until m).map(s0 =>
+        slice(col("emb"), s0 * sub + 1, sub)): _*))
+      .withColumn("selfd", expr("transform(subs, x -> graft_dot(x, x))"))
+      .select(col("vec_id"), element_at(col("probes"), 1).as("cell"),
+        col("subs"), col("selfd"))
+      .localCheckpoint(true) // slices feed the encode projection below
+    vecs.select(col("vec_id"), col("cell"),
+        call_function("graft_pq_encode", col("subs"), col("selfd"),
+          cbLit, cn2Lit).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/pqcells")
+  }
+
+  /** Search the persisted IVF-PQ index: probe the queries against the
+    * frozen coarse centroids, read ONLY the probed cell partitions
+    * (I/O ∝ nprobe cells of codes, never the index), and score by the
+    * same fused `graft_pq_adc` asymmetric distance as the in-memory
+    * lane — query slices against candidate codes, codebook as a
+    * broadcast-free literal. Output: (qid, cid, rnk, adist).
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val cents = readIvfCentroids(spark, root)
+    val cbRows = spark.read.parquet(s"$root/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = (0 until m).map(s0 =>
+      cbRows.filter(_._1 == s0).sortBy(_._2).map(_._3).toSeq)
+    val sub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks)
+    val cn2Lit = typedLit(codebooks.map(_.map(cs => cs.map(x => x * x).sum)))
+    val probeSide = withProbes(
+        queries.select(col("qid").as("vec_id"), col("qemb").as("emb")),
+        cents, nprobe)
+      .withColumn("qsubs", array((0 until m).map(s0 =>
+        slice(col("emb"), s0 * sub + 1, sub)): _*))
+      .withColumn("qselfd", expr("transform(qsubs, x -> graft_dot(x, x))"))
+      .withColumn("cell", explode(col("probes")))
+      .select(col("vec_id").as("qid"), col("qsubs"), col("qselfd"),
+        col("cell"))
+      .localCheckpoint(true) // read twice: probed-cell list + the join
+    val probedCells = probeSide.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$root/pqcells")
+      .where(col("cell").isin(probedCells: _*))
+    val ad = probeSide.join(codes, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        call_function("graft_pq_adc", col("qsubs"), col("qselfd"),
+          col("codes"), cbLit, cn2Lit).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    ad.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"), col("adist"))
+  }
+
   /** Shared IVFPQ search: coarse probes + ADC over the given per-subspace
     * codebooks (`codebooks(s)(j)` = entry j of subspace s; entry ids are
     * the positions 0..ksub-1 for trained books, so both lanes rank with

@@ -1978,6 +1978,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.max - sizes.min <= 2, s"sample sizes drift: $sizes")
   }
 
+  test("persisted IVF-PQ index == in-memory ivfpqTopK row-for-row; codes-only cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(20)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until 20; j <- 0 until 10) yield {
+      val v = unit(centers(c).map(_ + 0.05 * rnd.nextGaussian()))
+      (c * 10L + j, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "emb").localCheckpoint(true)
+    val mem = Similarity.ivfpqTopK(corpus, k = 3, stride = 50, nprobe = 2,
+        m = 16, pqStride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("pq-idx-spec").toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus, root, stride = 50, m = 16)
+    val q = corpus.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val disk = Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(disk == mem) // same sampling + kernels -> bit-equal adist
+    // the index stores CODES, never embeddings — the compressed shape
+    val cellCols = spark.read.parquet(s"$root/pqcells").columns.toSet
+    assert(cellCols == Set("vec_id", "codes", "cell"))
+  }
+
   test("ivfpqTopK: ADC retrieves semantic neighbors on clustered data; carries signal on the gate corpus") {
     import spark.implicits._
     // 1) PQ's design regime — clustered embeddings: 40 tight clusters of
