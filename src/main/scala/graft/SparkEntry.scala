@@ -4222,6 +4222,27 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivfpq_appended" -> { (s, dir) =>
+      // the frozen-quantizer APPEND lifecycle: quantizer sidecars train
+      // on the full corpus once (writeIvfPqQuantizers — the production
+      // split), then the cells fill through TWO appends (vec_id parity
+      // halves) under the generation CAS. Content ≡ corpus and the
+      // quantizers match the oracle's sampling, so the search shares
+      // emb_ann_ivfpq's oracle verbatim — a lost or double-encoded
+      // append hash-diverges.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-app").toString + "/idx"
+      Similarity.writeIvfPqQuantizers(e, work, stride = 50, m = 16)
+      Similarity.appendToIvfPqIndex(e.where(col("vec_id") % 2 === 0), work)
+      Similarity.appendToIvfPqIndex(e.where(col("vec_id") % 2 === 1), work)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_recall" -> { (s, dir) =>
       // the evaluation harness every ANN deployment needs: recall@3 of
       // the IVF path vs the exact top-3, per query, as exact integers
@@ -10548,6 +10569,8 @@ object SparkEntry {
     "emb_ann_ivfpq" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_indexed" -> ivfpqOracleSql,
+
+    "emb_ann_ivfpq_appended" -> ivfpqOracleSql,
 
     "emb_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

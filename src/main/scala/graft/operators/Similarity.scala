@@ -1094,6 +1094,18 @@ object Similarity {
     */
   def buildIvfPqIndex(corpus: DataFrame, root: String, stride: Long,
       m: Int = 16, pqStride: Long = 5, ksubMax: Int = 128): Unit = {
+    writeIvfPqQuantizers(corpus, root, stride, m, pqStride, ksubMax)
+    appendToIvfPqIndex(corpus, root)
+  }
+
+  /** Train-and-freeze the PQ index's quantizer sidecars WITHOUT filling
+    * cells — the production split: quantizers come from a training
+    * corpus once, then [[appendToIvfPqIndex]] fills the index over many
+    * batches against those frozen sidecars. `root` must be fresh (cells
+    * append-only; a PQ rebuild re-encodes into a new root).
+    */
+  def writeIvfPqQuantizers(corpus: DataFrame, root: String, stride: Long,
+      m: Int = 16, pqStride: Long = 5, ksubMax: Int = 128): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
     GraftFunctions.register(ss)
@@ -1110,20 +1122,43 @@ object Similarity {
       cb.zipWithIndex.map { case (c, j) => (s0, j, c) } }
       .toDF("s", "entry", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Append a batch into the persisted IVF-PQ index: encode against the
+    * FROZEN sidecar quantizers (coarse centroids for the home cell,
+    * codebooks for the codes — the production shape: quantizers train
+    * once, cells fill over many appends) and land one file per cell
+    * (repartition-by-cell). Guarded by the same [[IndexGen]] generation
+    * CAS as the flat lane's mutations — a concurrent rebuild retires
+    * the loser with ConcurrentCommit before any files land.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, root: String): Unit = {
+    val ss = batch.sparkSession
+    GraftFunctions.register(ss)
+    val fs = hadoopFs(ss, root)
+    val gen = IndexGen.current(fs, root)
+    val cents = readIvfCentroids(ss, root)
+    val cbRows = ss.read.parquet(s"$root/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = (0 until m).map(s0 =>
+      cbRows.filter(_._1 == s0).sortBy(_._2).map(_._3).toSeq)
+    val sub = codebooks.head.head.length
     val cbLit = typedLit(codebooks)
     val cn2Lit = typedLit(codebooks.map(_.map(cs => cs.map(x => x * x).sum)))
-    val vecs = withProbes(corpus, cents, 1)
+    val vecs = withProbes(batch, cents, 1)
       .withColumn("subs", array((0 until m).map(s0 =>
         slice(col("emb"), s0 * sub + 1, sub)): _*))
       .withColumn("selfd", expr("transform(subs, x -> graft_dot(x, x))"))
       .select(col("vec_id"), element_at(col("probes"), 1).as("cell"),
         col("subs"), col("selfd"))
       .localCheckpoint(true) // slices feed the encode projection below
+    IndexGen.advance(fs, root, gen)
     vecs.select(col("vec_id"), col("cell"),
         call_function("graft_pq_encode", col("subs"), col("selfd"),
           cbLit, cn2Lit).as("codes"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/pqcells")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/pqcells")
   }
 
   /** Search the persisted IVF-PQ index: probe the queries against the
