@@ -4222,6 +4222,44 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivfpq_stream" -> { (s, dir) =>
+      // STREAMING maintenance of the codes-only PQ index: frozen
+      // quantizers up front, then foreachBatch → applyIvfPqBatch (batch
+      // commit gate + crashed-dir repair + first-arrival-wins content
+      // anti-join). Batch 1's rows are re-delivered under a NEW id to
+      // prove the content gate. Final content ≡ corpus ⇒ shares
+      // emb_ann_ivfpq's oracle verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-stream").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.writeIvfPqQuantizers(e, work, stride = 50, m = 16)
+      def rows(m0: Long) = e.where(col("vec_id") % 3 === m0)
+        .as[(Long, Seq[Double])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDF.toDF("vec_id", "emb")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.applyIvfPqBatch(s, work, b, id); ()
+        }
+        .option("checkpointLocation", s"$work/../ckpt").start()
+      try {
+        mem.addData(rows(0)); q.processAllAvailable()
+        mem.addData(rows(1)); q.processAllAvailable()
+        // at-least-once: re-deliver batch 1's rows under a NEW batch id
+        // — the touched-cell anti-join drops every one by content
+        mem.addData(rows(1)); q.processAllAvailable()
+        mem.addData(rows(2)); q.processAllAvailable()
+      } finally q.stop()
+      val qs = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, work, qs, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivfpq_appended" -> { (s, dir) =>
       // the frozen-quantizer APPEND lifecycle: quantizer sidecars train
       // on the full corpus once (writeIvfPqQuantizers — the production
@@ -10571,6 +10609,8 @@ object SparkEntry {
     "emb_ann_ivfpq_indexed" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_appended" -> ivfpqOracleSql,
+
+    "emb_ann_ivfpq_stream" -> ivfpqOracleSql,
 
     "emb_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

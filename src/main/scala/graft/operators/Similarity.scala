@@ -1133,10 +1133,26 @@ object Similarity {
     * the loser with ConcurrentCommit before any files land.
     */
   def appendToIvfPqIndex(batch: DataFrame, root: String): Unit = {
+    val fs = hadoopFs(batch.sparkSession, root)
+    val gen = IndexGen.current(fs, root)
+    val enc = encodeIvfPqBatch(batch, root)
+    IndexGen.advance(fs, root, gen)
+    // cells live under per-append batch dirs (label = the CAS'd
+    // generation, unique by construction): search discovers (batch,
+    // cell) partitions and prunes on cell; the streaming lane's
+    // crashed-batch repair deletes exactly one batch dir. One root is
+    // managed by ONE lane (plain appends or applyIvfPqBatch) — labels
+    // would collide across lanes.
+    enc.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/pqcells/batch=${gen + 1}")
+  }
+
+  /** Encode a batch against the frozen sidecar quantizers:
+    * (vec_id, cell, codes), localCheckpoint'd. */
+  private def encodeIvfPqBatch(batch: DataFrame, root: String): DataFrame = {
     val ss = batch.sparkSession
     GraftFunctions.register(ss)
-    val fs = hadoopFs(ss, root)
-    val gen = IndexGen.current(fs, root)
     val cents = readIvfCentroids(ss, root)
     val cbRows = ss.read.parquet(s"$root/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -1153,12 +1169,62 @@ object Similarity {
       .select(col("vec_id"), element_at(col("probes"), 1).as("cell"),
         col("subs"), col("selfd"))
       .localCheckpoint(true) // slices feed the encode projection below
-    IndexGen.advance(fs, root, gen)
     vecs.select(col("vec_id"), col("cell"),
         call_function("graft_pq_encode", col("subs"), col("selfd"),
           cbLit, cn2Lit).as("codes"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$root/pqcells")
+      .localCheckpoint(true) // feeds touched-cell list + the write
+  }
+
+  /** Exactly-once streaming maintenance of the PQ index — the
+    * [[applyIvfBatch]] discipline for the codes-only lane: a batch-id
+    * commit gate skips checkpoint-replayed batches, a crashed same-id
+    * attempt's (uncommitted) batch dir is deleted before the rewrite,
+    * and at-least-once re-delivery under a NEW id folds to
+    * first-arrival-wins by an anti-join against the ids already present
+    * in the batch's touched cells (I/O ∝ touched cells — the
+    * column-pruned vec_id scan skips every other cell dir). Markers
+    * prune below the committed horizon like the flat lane. Returns
+    * false iff skipped.
+    */
+  def applyIvfPqBatch(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame, batchId: Long): Boolean = {
+    val fs = hadoopFs(spark, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val committed =
+      if (!fs.exists(rootP)) -1L
+      else fs.listStatus(rootP).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_ivfpq_commit_") =>
+          n.stripPrefix("_ivfpq_commit_").toLong }
+        .foldLeft(-1L)(math.max)
+    if (batchId <= committed) return false
+    val bdir = new org.apache.hadoop.fs.Path(s"$root/pqcells/batch=$batchId")
+    if (fs.exists(bdir)) fs.delete(bdir, true) // crashed attempt: pre-publish
+    val enc = encodeIvfPqBatch(batch, root)
+    val touched = enc.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pq = new org.apache.hadoop.fs.Path(s"$root/pqcells")
+    val hasContent = fs.exists(pq) &&
+      fs.listStatus(pq).exists(_.getPath.getName.startsWith("batch="))
+    val fresh =
+      if (!hasContent) enc
+      else enc.join(
+        spark.read.parquet(s"$root/pqcells")
+          .where(col("cell").isin(touched: _*)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val gen = IndexGen.current(fs, root)
+    IndexGen.advance(fs, root, gen)
+    fresh.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/pqcells/batch=$batchId")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/_ivfpq_commit_$batchId"), true).close()
+    fs.listStatus(rootP).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_ivfpq_commit_") &&
+          n.stripPrefix("_ivfpq_commit_").toLong < batchId)
+        fs.delete(p, false)
+    }
+    true
   }
 
   /** Search the persisted IVF-PQ index: probe the queries against the

@@ -2003,8 +2003,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(3))).toSet
     assert(disk == mem) // same sampling + kernels -> bit-equal adist
     // the index stores CODES, never embeddings — the compressed shape
+    // ((batch, cell) are partition-dir labels, not data)
     val cellCols = spark.read.parquet(s"$root/pqcells").columns.toSet
-    assert(cellCols == Set("vec_id", "codes", "cell"))
+    assert(cellCols == Set("vec_id", "codes", "cell", "batch"))
+  }
+
+  test("applyIvfPqBatch: commit gate, crashed-dir repair, and new-id content re-delivery fold to exactly-once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian()).toSeq))
+    val corpus = rows.toDF("vec_id", "emb").localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("pq-apply-spec").toString + "/idx"
+    Similarity.writeIvfPqQuantizers(corpus, root, stride = 10, m = 16)
+    val h1 = corpus.where(col("vec_id") < 20)
+    val h2 = corpus.where(col("vec_id") >= 20)
+    assert(Similarity.applyIvfPqBatch(spark, root, h1, 0L))
+    def ids() = spark.read.parquet(s"$root/pqcells")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids().sorted == (0L until 20L))
+    // simulate a CRASHED batch-1 attempt: half-landed files, no marker
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/pqcells/batch=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/pqcells/batch=1"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // the retry repairs the crashed dir, then lands batch 1 cleanly
+    assert(Similarity.applyIvfPqBatch(spark, root, h2, 1L))
+    assert(ids().sorted == (0L until 40L)) // no dupes from the crash
+    // checkpoint replay of a committed id: skipped outright
+    assert(!Similarity.applyIvfPqBatch(spark, root, h2, 1L))
+    // at-least-once under a NEW id: every row drops by content
+    assert(Similarity.applyIvfPqBatch(spark, root, h1, 2L))
+    assert(ids().sorted == (0L until 40L))
   }
 
   test("ivfpqTopK: ADC retrieves semantic neighbors on clustered data; carries signal on the gate corpus") {
