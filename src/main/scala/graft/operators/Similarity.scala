@@ -1148,6 +1148,23 @@ object Similarity {
       .parquet(s"$root/pqcells/batch=${gen + 1}")
   }
 
+  /** PQ cell tree schema, PINNED on every read: partition-type
+    * inference would type small `cell`/`batch` dir values as INT, and
+    * the probed-cell `isin(longs)` filter then carries a cast that can
+    * defeat partition pruning at scale (observed via the demolition
+    * spec's getLong blowing up on an inferred Integer).
+    */
+  private val pqCellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
   /** Encode a batch against the frozen sidecar quantizers:
     * (vec_id, cell, codes), localCheckpoint'd. */
   private def encodeIvfPqBatch(batch: DataFrame, root: String): DataFrame = {
@@ -1208,7 +1225,7 @@ object Similarity {
     val fresh =
       if (!hasContent) enc
       else enc.join(
-        spark.read.parquet(s"$root/pqcells")
+        spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
           .where(col("cell").isin(touched: _*)).select("vec_id"),
         Seq("vec_id"), "left_anti")
     val gen = IndexGen.current(fs, root)
@@ -1260,7 +1277,8 @@ object Similarity {
       .localCheckpoint(true) // read twice: probed-cell list + the join
     val probedCells = probeSide.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$root/pqcells")
+    val codes = spark.read.schema(pqCellsSchema)
+      .parquet(s"$root/pqcells")
       .where(col("cell").isin(probedCells: _*))
     val ad = probeSide.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))

@@ -2040,6 +2040,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids().sorted == (0L until 40L))
   }
 
+  test("ivfPqIndexTopK prunes to probed cells — demolition proof") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // well-separated clusters so the probe list is stable
+    val centers = Array.fill(10)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until 10; j <- 0 until 10) yield {
+      val v = unit(centers(c).map(_ + 0.02 * rnd.nextGaussian()))
+      (c * 10L + j, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "emb").localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("pq-prune-spec").toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus, root, stride = 10, m = 16)
+    val q = corpus.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val before = Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // demolition: delete every cell dir whose content the answer does
+    // not depend on — the search must answer identically afterwards
+    // (its candidate scan is the probed-cell partition filter; nothing
+    // outside it can matter, deleted or not)
+    val keepCells = spark.read.parquet(s"$root/pqcells")
+      .where(col("vec_id").isin(
+        (before.map(_._2) + 0L).toSeq.map(Long.box): _*))
+      // partition-discovered `cell` infers as INT on small dir values
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    new java.io.File(s"$root/pqcells").listFiles()
+      .filter(_.getName.startsWith("batch=")).flatMap(_.listFiles())
+      .filter(d => d.getName.startsWith("cell=") &&
+        !keepCells.contains(d.getName.stripPrefix("cell=").toLong))
+      .foreach(graft.core.DatapointStore.rmTree)
+    val after = Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+  }
+
   test("ivfpqTopK: ADC retrieves semantic neighbors on clustered data; carries signal on the gate corpus") {
     import spark.implicits._
     // 1) PQ's design regime — clustered embeddings: 40 tight clusters of
