@@ -515,8 +515,12 @@ object Retrieval {
       .distinct().collect().map(_.getLong(0)).sorted
     val postSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("tok", StringType), StructField("tf", LongType)))
+    // existence via the Hadoop FS, not java.io.File — on any non-local
+    // FS a File check is silently false and every probed bucket would
+    // be skipped (the indexStats bytes-listing bug class, fixed r12)
+    val bfs = retrievalFs(spark, root)
     val dirs = buckets.map(v => s"$root/postings/bucket=$v")
-      .filter(d => new java.io.File(d).exists())
+      .filter(d => bfs.exists(new org.apache.hadoop.fs.Path(d)))
     val postings =
       if (dirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
