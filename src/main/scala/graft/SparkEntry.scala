@@ -4222,6 +4222,22 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivfpq_refined" -> { (s, dir) =>
+      // the FAISS serving topology end-to-end: top-10 ADC candidates
+      // from the codes-only PQ index, exact-cosine rerank from the
+      // FLAT index's raw cells (both memoized read-only fixtures) —
+      // rerank work ∝ queries × 10, never the corpus. The oracle runs
+      // the full ADC chain to the SAME candidate cut, then the exact
+      // rerank.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopKRefined(s, ivfpqBaseIndex(s, dir),
+          ivfBaseIndex(s, dir), q, k = 3, rerankR = 10, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivfpq_stream" -> { (s, dir) =>
       // STREAMING maintenance of the codes-only PQ index: frozen
       // quantizers up front, then foreachBatch → applyIvfPqBatch (batch
@@ -6384,6 +6400,30 @@ object SparkEntry {
         |  FROM ad)
         |SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
+
+  // the refined two-stage lane: the FULL ivfpq ADC chain cut at the
+  // rerank budget (rnk <= 10), then the exact-cosine rerank over just
+  // those candidates
+  private val ivfpqRefinedOracleSql: String = {
+    val finalSelect =
+      "SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3\nORDER BY qid, rnk"
+    require(ivfpqOracleSql.endsWith(finalSelect),
+      "ivfpq oracle tail drifted — update the refined extension")
+    ivfpqOracleSql.stripSuffix(finalSelect).stripSuffix("\n") + ",\n" +
+      """c10 AS (SELECT qid, cid FROM t WHERE rnk <= 10),
+        |rr AS (SELECT c10.qid, c10.cid,
+        |    list_dot_product(q.emb, d.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb))
+        |         * sqrt(list_dot_product(d.emb, d.emb))) AS sim
+        |  FROM c10 JOIN e q ON q.vec_id = c10.qid
+        |  JOIN e d ON d.vec_id = c10.cid),
+        |f AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM rr)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM f WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
+  }
 
   // shared by drv_holt_winters (batch) and drv_holt_winters_stream:
   // the drv_holt recursion with the seasonal ring carried as a LIST
@@ -10611,6 +10651,8 @@ object SparkEntry {
     "emb_ann_ivfpq_appended" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_stream" -> ivfpqOracleSql,
+
+    "emb_ann_ivfpq_refined" -> ivfpqRefinedOracleSql,
 
     "emb_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

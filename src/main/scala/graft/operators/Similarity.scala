@@ -903,7 +903,10 @@ object Similarity {
       .localCheckpoint(true) // read twice: cell list + the probe join
     val probedCells = probeSide.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$root/cells")
+    // pinned schema: inferred INT cell values + isin(longs) would wrap
+    // the partition filter in a cast (the pqCellsSchema rationale)
+    val cells = spark.read.schema(flatCellsSchema)
+      .parquet(s"$root/cells")
       .where(col("cell").isin(probedCells: _*))
     val pairs = probeSide.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
@@ -1146,6 +1149,56 @@ object Similarity {
     enc.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/pqcells/batch=${gen + 1}")
+  }
+
+  /** Flat IVF cell tree schema — pinned for the same reason as
+    * [[pqCellsSchema]]. */
+  private val flatCellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("emb",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("norm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Two-stage refined search — the FAISS serving topology
+    * (IndexIVFPQ + IndexRefine): stage 1 pulls `rerankR` candidates
+    * per query from the codes-only PQ index (compressed, cheap,
+    * approximate), stage 2 reranks EXACTLY those candidates by true
+    * cosine against the FLAT index's raw vectors (a column-pruned
+    * (vec_id, emb, norm) read joined on candidate id — work ∝
+    * queries × rerankR, never the corpus). The two roots hold the
+    * same content in the production pairing; norms come from the flat
+    * index (bit-identical to sqrt(graft_dot) by the withProbes
+    * discipline). Output: (qid, cid, rnk, sim) — exact cosines over
+    * the ADC-selected candidate set.
+    */
+  def ivfPqIndexTopKRefined(spark: org.apache.spark.sql.SparkSession,
+      pqRoot: String, flatRoot: String, queries: DataFrame, k: Int,
+      rerankR: Int = 10, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val cand = ivfPqIndexTopK(spark, pqRoot, queries, rerankR, nprobe)
+      .select(col("qid"), col("cid"))
+    healIvfIndex(spark, flatRoot)
+    val raw = spark.read.schema(flatCellsSchema)
+      .parquet(s"$flatRoot/cells")
+      .select(col("vec_id").as("cid"), col("emb").as("demb"),
+        col("norm").as("dnorm"))
+    val qk = queries.select(col("qid"), col("qemb"))
+      .withColumn("qnorm", sqrt(call_function("graft_dot",
+        col("qemb"), col("qemb"))))
+    val rr = cand.join(raw, Seq("cid")).join(qk, Seq("qid"))
+      .withColumn("sim",
+        call_function("graft_dot", col("qemb"), col("demb")) /
+          (col("qnorm") * col("dnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    rr.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"), col("sim"))
   }
 
   /** PQ cell tree schema, PINNED on every read: partition-type
