@@ -1602,6 +1602,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_hash_features" -> { (s, dir) =>
+      // the hashing trick (Weinberger et al.) — fixed-dimension token
+      // featurization with no vocabulary artifact: token → md5 15-hex
+      // BIGINT % 64 bucket, per-doc bucket counts. The featurizer
+      // behind linear probes / DSIR-style scoring at corpus scale;
+      // emitted long-form (doc, bucket, cnt) — exact integers, and the
+      // sparse relational shape IS the scale form (a dense array column
+      // would carry 64 values per doc through every shuffle).
+      val tok = tbl(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+      tok.withColumn("bucket", expr(
+          "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 64"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    },
+
     "text_entropy" -> { (s, dir) =>
       // Shannon entropy of each doc's token distribution in BITS — the
       // log-lane sibling of text_token_gini (quality filters threshold
@@ -7175,6 +7194,16 @@ object SparkEntry {
         |  (1000000 * (n_toks * n_toks - sq)) // (n_toks * n_toks)
         |    AS gini_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_hash_features" ->
+      // same 15-hex md5 → BIGINT bucket lane as the dedup hashes
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM t WHERE tok <> '')
+        |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "text_entropy" ->
       // same count CTEs; the one float step mirrors term-for-term and
