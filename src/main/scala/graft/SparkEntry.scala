@@ -5429,6 +5429,27 @@ object SparkEntry {
         .orderBy("entity_id")
     },
 
+    "er_golden_record" -> { (s, dir) =>
+      // survivorship — the merge step after er_entity_clusters: per
+      // resolved entity elect ONE golden record by (longest variant
+      // name, then smallest record key) via the packed-BIGINT election
+      // (len·10⁹ + (10⁹−1−key); headroom: names ≤ ~60 chars, keys ≪
+      // 10⁹), and report the mapping every downstream join uses.
+      val parts = tbl(s, dir, "part").select("p_partkey", "p_name")
+      val vals = parts.withColumn("blk",
+        element_at(split(col("p_name"), " "), -1))
+      graft.operators.Resolve
+        .resolveEntities(vals, "p_name", "blk", maxDist = 2)
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          max(expr("CAST(length(p_name) AS BIGINT) * 1000000000L + " +
+            "(999999999L - p_partkey)")).as("pack"))
+        .select(col("entity_id"), col("n_records"),
+          expr("999999999L - pack % 1000000000L").as("golden_key"),
+          expr("pack div 1000000000L").as("golden_len"))
+        .orderBy("entity_id")
+    },
+
     "pipe_bootstrap" -> { (s, dir) =>
       // deterministic POISSON bootstrap — the distributed-scale
       // resampling formulation (each row independently appears
@@ -6364,6 +6385,46 @@ object SparkEntry {
       |        - CAST(sb_fp AS DOUBLE) * CAST(sb_fp AS DOUBLE))), 6)
       |  END AS acf
       |FROM a ORDER BY stream_id, lag""".stripMargin
+
+  // the blocked fuzzy-pair + 8-round min-label resolution shared
+  // by er_entity_clusters and er_golden_record (components by
+  // unrolled MATERIALIZED CTEs; self-loop row covers own+neighbor
+  // labels; rec = every part row tagged with its entity label)
+  private val erResolvePrefixSql: String =
+      """WITH v AS (SELECT DISTINCT p_name AS val,
+        |    string_split(p_name, ' ')[-1] AS blk FROM part),
+        |pairs AS MATERIALIZED (SELECT a.val AS val_a, b.val AS val_b
+        |  FROM v a JOIN v b ON a.blk = b.blk AND a.val < b.val
+        |    AND abs(length(a.val) - length(b.val)) <= 2
+        |  WHERE levenshtein(a.val, b.val) <= 2),
+        |mv AS MATERIALIZED (SELECT DISTINCT val FROM (
+        |  SELECT val_a AS val FROM pairs
+        |  UNION ALL SELECT val_b FROM pairs)),
+        |und AS MATERIALIZED (
+        |  SELECT val_a AS vv, val_b AS nb FROM pairs
+        |  UNION ALL SELECT val_b, val_a FROM pairs
+        |  UNION ALL SELECT val, val FROM mv),
+        |l0 AS MATERIALIZED (SELECT val, val AS lbl FROM mv),
+        |l1 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l0 x ON x.val = u.nb GROUP BY u.vv),
+        |l2 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l1 x ON x.val = u.nb GROUP BY u.vv),
+        |l3 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l2 x ON x.val = u.nb GROUP BY u.vv),
+        |l4 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l3 x ON x.val = u.nb GROUP BY u.vv),
+        |l5 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l4 x ON x.val = u.nb GROUP BY u.vv),
+        |l6 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l5 x ON x.val = u.nb GROUP BY u.vv),
+        |l7 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l6 x ON x.val = u.nb GROUP BY u.vv),
+        |l8 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
+        |  FROM und u JOIN l7 x ON x.val = u.nb GROUP BY u.vv),
+        |rec AS (SELECT p.p_partkey, p.p_name,
+        |    coalesce(e.lbl, p.p_name) AS entity_id
+        |  FROM part p LEFT JOIN l8 e ON e.val = p.p_name)
+        |""".stripMargin
 
   // shared by emb_ann_ivfpq (in-memory) and emb_ann_ivfpq_indexed
   // (the persisted codes-only index): identical sampling, encode kernel,
@@ -9783,47 +9844,24 @@ object SparkEntry {
         |ORDER BY val_a, val_b""".stripMargin,
 
     "er_entity_clusters" ->
-      // components by 8 unrolled min-label rounds over the same blocked
-      // fuzzy pairs (self-loop row makes one join cover own + neighbor
-      // labels); every CTE MATERIALIZED per the unrolled-chain rule
-      """WITH v AS (SELECT DISTINCT p_name AS val,
-        |    string_split(p_name, ' ')[-1] AS blk FROM part),
-        |pairs AS MATERIALIZED (SELECT a.val AS val_a, b.val AS val_b
-        |  FROM v a JOIN v b ON a.blk = b.blk AND a.val < b.val
-        |    AND abs(length(a.val) - length(b.val)) <= 2
-        |  WHERE levenshtein(a.val, b.val) <= 2),
-        |mv AS MATERIALIZED (SELECT DISTINCT val FROM (
-        |  SELECT val_a AS val FROM pairs
-        |  UNION ALL SELECT val_b FROM pairs)),
-        |und AS MATERIALIZED (
-        |  SELECT val_a AS vv, val_b AS nb FROM pairs
-        |  UNION ALL SELECT val_b, val_a FROM pairs
-        |  UNION ALL SELECT val, val FROM mv),
-        |l0 AS MATERIALIZED (SELECT val, val AS lbl FROM mv),
-        |l1 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l0 x ON x.val = u.nb GROUP BY u.vv),
-        |l2 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l1 x ON x.val = u.nb GROUP BY u.vv),
-        |l3 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l2 x ON x.val = u.nb GROUP BY u.vv),
-        |l4 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l3 x ON x.val = u.nb GROUP BY u.vv),
-        |l5 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l4 x ON x.val = u.nb GROUP BY u.vv),
-        |l6 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l5 x ON x.val = u.nb GROUP BY u.vv),
-        |l7 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l6 x ON x.val = u.nb GROUP BY u.vv),
-        |l8 AS MATERIALIZED (SELECT u.vv AS val, min(x.lbl) AS lbl
-        |  FROM und u JOIN l7 x ON x.val = u.nb GROUP BY u.vv),
-        |rec AS (SELECT p.p_partkey, p.p_name,
-        |    coalesce(e.lbl, p.p_name) AS entity_id
-        |  FROM part p LEFT JOIN l8 e ON e.val = p.p_name)
-        |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+      (erResolvePrefixSql +
+      """SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
         |  CAST(count(DISTINCT p_name) AS BIGINT) AS n_variants,
         |  CAST(min(p_partkey) AS BIGINT) AS min_key
         |FROM rec GROUP BY 1 HAVING count(DISTINCT p_name) > 1
-        |ORDER BY entity_id""".stripMargin,
+        |ORDER BY entity_id""".stripMargin),
+
+    "er_golden_record" ->
+      // survivorship: packed (len, inverted-key) election per entity
+      (erResolvePrefixSql +
+      """SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(999999999 - (max(CAST(length(p_name) AS BIGINT)
+        |    * 1000000000 + (999999999 - p_partkey)) % 1000000000)
+        |    AS BIGINT) AS golden_key,
+        |  CAST(max(CAST(length(p_name) AS BIGINT) * 1000000000
+        |    + (999999999 - p_partkey)) // 1000000000 AS BIGINT)
+        |    AS golden_len
+        |FROM rec GROUP BY 1 ORDER BY entity_id""".stripMargin),
 
     "pipe_bootstrap" ->
       // same md5-uniform → Poisson(1)-CDF integer thresholds; DuckDB's
