@@ -1621,6 +1621,51 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     },
 
+    "pipe_mi_features" -> { (s, dir) =>
+      // feature selection by mutual information: MI(bucket-presence;
+      // source) over the text_hash_features buckets — the filter-method
+      // ranking a probe/classifier pipeline runs before training. All
+      // probabilities derive from exact integer counts (present +
+      // absent cells per (bucket, source), zero cells skip); the one
+      // float step is ln + the per-bucket sum, ranked on round(6) with
+      // the bucket tiebreak (the float-rank rule). Top-10 buckets.
+      val d = tbl(s, dir, "documents").select("doc_id", "source", "text")
+        .localCheckpoint(true) // feeds tokenize + the doc marginals
+      val db = d.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 64"))
+        .select("doc_id", "source", "bucket").distinct()
+        .localCheckpoint(true) // feeds n_bs AND n_b
+      val nbs = db.groupBy("bucket", "source")
+        .agg(count(lit(1)).as("n_bs"))
+      val nb = db.groupBy("bucket")
+        .agg(countDistinct("doc_id").as("n_b"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nn = d.count()
+      val grid = nb.crossJoin(broadcast(ns))
+        .join(nbs, Seq("bucket", "source"), "left")
+        .withColumn("n_bs", coalesce(col("n_bs"), lit(0L)))
+        .withColumn("n", lit(nn))
+      val mi = grid.groupBy("bucket")
+        .agg(max("n_b").as("n_docs_with"),
+          round(sum(expr(
+            "CASE WHEN n_bs > 0 THEN (CAST(n_bs AS DOUBLE) / n) * " +
+              "ln(CAST(n_bs AS DOUBLE) * n / (CAST(n_b AS DOUBLE) * n_s)) " +
+              "ELSE 0.0 END + " +
+            "CASE WHEN n_s - n_bs > 0 THEN " +
+              "(CAST(n_s - n_bs AS DOUBLE) / n) * " +
+              "ln(CAST(n_s - n_bs AS DOUBLE) * n / " +
+              "(CAST(n - n_b AS DOUBLE) * n_s)) ELSE 0.0 END")), 6)
+            .as("mi_nats"))
+      val w = Window.orderBy(col("mi_nats").desc, col("bucket"))
+      mi.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("bucket"), col("n_docs_with"), col("mi_nats"))
+        .orderBy(col("mi_nats").desc, col("bucket"))
+    },
+
     "text_entropy" -> { (s, dir) =>
       // Shannon entropy of each doc's token distribution in BITS — the
       // log-lane sibling of text_token_gini (quality filters threshold
@@ -7255,6 +7300,44 @@ object SparkEntry {
         |  (1000000 * (n_toks * n_toks - sq)) // (n_toks * n_toks)
         |    AS gini_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "pipe_mi_features" ->
+      // same integer count cells; the MI double mirrors term-for-term
+      // and round(6) + the bucket tiebreak absorb the summation-order
+      // ulps (the float-rank rule)
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |db AS (SELECT DISTINCT doc_id, source,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, source,
+        |        unnest(string_split(text, ' ')) AS tok FROM d)
+        |  WHERE tok <> ''),
+        |nbs AS (SELECT bucket, source, CAST(count(*) AS BIGINT) AS n_bs
+        |  FROM db GROUP BY 1, 2),
+        |nb AS (SELECT bucket,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_b
+        |  FROM db GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM d GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |grid AS (SELECT nb.bucket, ns.source, nb.n_b, ns.n_s,
+        |    coalesce(nbs.n_bs, 0) AS n_bs, nn.n
+        |  FROM nb CROSS JOIN ns CROSS JOIN nn
+        |  LEFT JOIN nbs ON nbs.bucket = nb.bucket
+        |    AND nbs.source = ns.source),
+        |mi AS (SELECT bucket, max(n_b) AS n_docs_with, round(sum(
+        |    CASE WHEN n_bs > 0 THEN (CAST(n_bs AS DOUBLE) / n)
+        |      * ln(CAST(n_bs AS DOUBLE) * n
+        |           / (CAST(n_b AS DOUBLE) * n_s)) ELSE 0.0 END
+        |    + CASE WHEN n_s - n_bs > 0 THEN
+        |        (CAST(n_s - n_bs AS DOUBLE) / n)
+        |        * ln(CAST(n_s - n_bs AS DOUBLE) * n
+        |             / (CAST(n - n_b AS DOUBLE) * n_s)) ELSE 0.0 END), 6)
+        |    AS mi_nats
+        |  FROM grid GROUP BY bucket),
+        |r AS (SELECT bucket, n_docs_with, mi_nats, row_number() OVER (
+        |    ORDER BY mi_nats DESC, bucket) AS rn FROM mi)
+        |SELECT bucket, n_docs_with, mi_nats FROM r WHERE rn <= 10
+        |ORDER BY mi_nats DESC, bucket""".stripMargin,
 
     "text_hash_features" ->
       // same 15-hex md5 → BIGINT bucket lane as the dedup hashes
