@@ -817,6 +817,32 @@ object SparkEntry {
         .orderBy("stream_id")
     },
 
+    "ds_periodicity" -> { (s, dir) =>
+      // daily-cycle strength per stream: Goertzel power at period 24
+      // over the hourly series (the single-bin DFT probe — no spectrum
+      // materialized). Hourly sums stay BIGINT fixed point until ONE
+      // power-of-ten division, so the recurrence input is bit-exact
+      // cross-engine; coef = 2·cos(2π/24) rides as the same decimal
+      // literal in both engines. Oracle = recursive CTE (two scalar
+      // state fields, the drv_holt shape).
+      val hourly = pointStreams(s, dir)
+        .select(col("stream_id"),
+          expr("unix_timestamp(t) div 3600").as("hr"),
+          expr("CAST(round(v * 1000) AS BIGINT)").as("q"))
+        .groupBy("stream_id", "hr").agg(sum("q").as("xq"))
+        .withColumn("x", col("xq").cast("double") / 1000.0)
+      graft.operators.Temporal
+        .goertzelPower(hourly, "stream_id", "hr", "x",
+          coef = 1.9318516525781366)
+        // floor of the RAW double, never round(4): the fold is
+        // bit-identical, but engine round() implementations disagree on
+        // half-way doubles (one flip observed at sf0.01) — floor takes
+        // no multiply, so identical bits ⇒ identical integer
+        .select(col("stream_id"), col("n_points"),
+          expr("CAST(floor(power) AS BIGINT)").as("pow24_floor"))
+        .orderBy("stream_id")
+    },
+
     "ds_cusum" -> { (s, dir) =>
       // two-sided CUSUM drift summary per stream (Temporal.cusumPoints):
       // the recurrence runs as its prefix closed form — two growing-frame
@@ -7623,6 +7649,33 @@ object SparkEntry {
     "ds_autocorr" -> acfOracleSql,
 
     "ds_stream_acf" -> acfOracleSql,
+
+    "ds_periodicity" ->
+      // same fixed-point hourly series; the recurrence replays with the
+      // identical decimal-literal coefficient and left-assoc expression
+      s"""WITH RECURSIVE $srcSql, $pointSql,
+        |h AS (SELECT stream_id,
+        |    CAST(floor(epoch(t)) AS BIGINT) // 3600 AS hr,
+        |    CAST(sum(CAST(round(v * 1000) AS BIGINT)) AS BIGINT) AS xq
+        |  FROM pts GROUP BY 1, 2),
+        |p AS (SELECT stream_id, CAST(xq AS DOUBLE) / 1000.0 AS x,
+        |    row_number() OVER (PARTITION BY stream_id ORDER BY hr) AS i
+        |  FROM h),
+        |n AS (SELECT stream_id, count(*) AS nn FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT stream_id, i, x AS s1, CAST(0 AS DOUBLE) AS s2
+        |  FROM p WHERE i = 1
+        |  UNION ALL
+        |  SELECT q.stream_id, q.i,
+        |    q.x + 1.9318516525781366 * g.s1 - g.s2,
+        |    g.s1
+        |  FROM g JOIN p q ON q.stream_id = g.stream_id AND q.i = g.i + 1),
+        |f AS (SELECT g.stream_id, n.nn, g.s1, g.s2
+        |  FROM g JOIN n ON n.stream_id = g.stream_id AND g.i = n.nn)
+        |SELECT stream_id, CAST(nn AS BIGINT) AS n_points,
+        |  CAST(floor(s1 * s1 + s2 * s2 - 1.9318516525781366 * s1 * s2)
+        |    AS BIGINT) AS pow24_floor
+        |FROM f ORDER BY stream_id""".stripMargin,
 
     "ds_stream_cusum" ->
       // the ds_cusum closed form with the CONSTANT target the streaming

@@ -157,6 +157,42 @@ object Temporal {
     * Output per row: (key, order, q_fp, target_fp, s_plus_fp,
     * s_minus_fp, alarm) — alarm once either side exceeds `thresholdFp`.
     */
+  /** Goertzel periodicity power at a FIXED coefficient — the
+    * single-frequency DFT probe ("how strong is the daily cycle")
+    * without materializing a spectrum: per key, fold the ordered
+    * series through `s = x + coef·s1 − s2` (coef = 2·cos(2π/period),
+    * passed as a DECIMAL LITERAL so both engines parse the identical
+    * double — never computed from π) and report
+    * `s1² + s2² − coef·s1·s2`. Callers feed a series whose values are
+    * already cross-engine-exact (fixed-point sums divided by a power
+    * of ten); the fold is then bit-identical and the oracle replays it
+    * as a recursive CTE (two scalar state fields — the drv_holt
+    * shape). One shuffle on the key; sequential per key like every
+    * recurrence (the streaming form would keep (s1, s2) as O(1)
+    * state). Output: (key, n_points, power).
+    */
+  def goertzelPower(df: DataFrame, keyCol: String, orderCol: String,
+      xCol: String, coef: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+        col(xCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(_._2)
+        var s1 = 0.0
+        var s2 = 0.0
+        sorted.foreach { case (_, _, x) =>
+          val s = x + coef * s1 - s2
+          s2 = s1
+          s1 = s
+        }
+        (k, sorted.size.toLong, s1 * s1 + s2 * s2 - coef * s1 * s2)
+      }
+      .toDF(keyCol, "n_points", "power")
+  }
+
   def cusumPoints(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: String, targetFp: Option[Long],
       thresholdFp: Long): DataFrame = {
