@@ -1628,6 +1628,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_zipf_fit" -> { (s, dir) =>
+      // Zipf's-law fit: OLS slope/intercept in log-log (rank, freq)
+      // space over the top-1000 tokens — the corpus-health check
+      // (natural text sits near slope −1; template/spam corpora
+      // don't). Counts and ranks are exact integers; the log sums are
+      // the only float step, round(4) absorbs ulps. The rank window is
+      // GLOBAL but vocabulary-scale (the q_ntile_cume dispensation).
+      val tf = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val ranked = tf
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("t"))))
+        .where(col("r") <= 1000)
+        .select(expr("ln(CAST(r AS DOUBLE))").as("x"),
+          expr("ln(CAST(c AS DOUBLE))").as("y"))
+      ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .select(col("n").as("n_tokens"),
+          expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)")
+            .as("zipf_slope"),
+          expr("round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))" +
+            " * sx) / n, 4)").as("intercept"))
+    },
+
     "text_hash_features" -> { (s, dir) =>
       // the hashing trick (Weinberger et al.) — fixed-dimension token
       // featurization with no vocabulary artifact: token → md5 15-hex
@@ -7365,6 +7392,25 @@ object SparkEntry {
         |SELECT bucket, n_docs_with, mi_nats FROM r WHERE rn <= 10
         |ORDER BY mi_nats DESC, bucket""".stripMargin,
 
+    "text_zipf_fit" ->
+      // same integer counts/ranks; the OLS double mirrors term-for-term
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |  WHERE tok <> '' GROUP BY tok),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        |  FROM c),
+        |p AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y FROM r WHERE r <= 1000),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+        |SELECT n AS n_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    AS zipf_slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 4) AS intercept
+        |FROM g""".stripMargin,
+
     "text_hash_features" ->
       // same 15-hex md5 → BIGINT bucket lane as the dedup hashes
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -9565,7 +9611,8 @@ object SparkEntry {
         |SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
         |  CAST(sum(CASE WHEN dist > 0 THEN 1000 // dist ELSE 0 END)
-        |    AS BIGINT) AS harmonic_pm
+        |    AS BIGINT) AS harmonic_pm,
+        |  CAST(max(dist) AS BIGINT) AS ecc_hops
         |FROM d GROUP BY v ORDER BY v""".stripMargin,
 
     "graph_betweenness" ->

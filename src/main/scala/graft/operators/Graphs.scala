@@ -504,7 +504,10 @@ object Graphs {
       .agg(count(lit(1)).as("n_reached"),
         sum("dist").as("sum_dist"),
         sum(when(col("dist") > 0, expr("1000L div dist"))
-          .otherwise(lit(0L))).as("harmonic_pm"))
+          .otherwise(lit(0L))).as("harmonic_pm"),
+        // landmark eccentricity: the farthest landmark seen within the
+        // hop cap — the diameter-ish signal closeness sums hide
+        max("dist").as("ecc_hops"))
   }
 
   /** Landmark betweenness centrality — truncated Brandes (Brandes &

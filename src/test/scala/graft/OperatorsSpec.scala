@@ -1809,9 +1809,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lms = Seq("A", "D").toDF("v")
     val out = graft.operators.Graphs.landmarkCloseness(edges, lms, 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSet
-    assert(out == Set(("A", 2L, 3L, 333L), ("B", 2L, 3L, 1500L),
-      ("C", 2L, 3L, 1500L), ("D", 2L, 3L, 333L)))
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(("A", 2L, 3L, 333L, 3L), ("B", 2L, 3L, 1500L, 2L),
+      ("C", 2L, 3L, 1500L, 2L), ("D", 2L, 3L, 333L, 3L)))
     // hop cap bites: at maxHops=1 the ends see only themselves + one
     val capped = graft.operators.Graphs.landmarkCloseness(edges, lms, 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
