@@ -1674,6 +1674,35 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     },
 
+    "pipe_psi_drift" -> { (s, dir) =>
+      // population stability index per source vs the REST of the corpus
+      // — the industry drift score completing the KS/MW family: fixed
+      // integer length bins (n_chars div 200, capped at bin 9 — no
+      // quantile estimation, so the binning is exact), PSI =
+      // Σ (p−q)·ln(p/q) over bins present on BOTH sides (the standard
+      // zero-cell exclusion, documented); counts exact, ln + round(4)
+      // the only float lane. One conditional-agg scan per grid cell.
+      val d = tbl(s, dir, "documents")
+        .select(col("source"),
+          expr("least(CAST(n_chars div 200 AS BIGINT), 9L)").as("bin"))
+        .localCheckpoint(true) // feeds per-source counts AND totals
+      val bySrc = d.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+      val byBin = d.groupBy("bin").agg(count(lit(1)).as("c_b"))
+      val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = d.count()
+      val grid = bySrc.join(byBin, "bin").join(broadcast(nSrc), "source")
+        .withColumn("c_rest", col("c_b") - col("c_sb"))
+        .withColumn("n_rest", lit(nTot) - col("n_s"))
+        .where(col("c_sb") > 0 && col("c_rest") > 0)
+      grid.groupBy("source")
+        .agg(count(lit(1)).as("n_bins_used"),
+          round(sum(expr(
+            "(CAST(c_sb AS DOUBLE) / n_s - CAST(c_rest AS DOUBLE) / n_rest)" +
+              " * ln((CAST(c_sb AS DOUBLE) / n_s) / " +
+              "(CAST(c_rest AS DOUBLE) / n_rest))")), 4).as("psi"))
+        .orderBy("source")
+    },
+
     "pipe_mi_features" -> { (s, dir) =>
       // feature selection by mutual information: MI(bucket-presence;
       // source) over the text_hash_features buckets — the filter-method
@@ -7353,6 +7382,29 @@ object SparkEntry {
         |  (1000000 * (n_toks * n_toks - sq)) // (n_toks * n_toks)
         |    AS gini_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "pipe_psi_drift" ->
+      // same integer bins/counts; the PSI double mirrors term-for-term
+      """WITH d AS (SELECT source,
+        |    least(n_chars // 200, 9) AS bin FROM documents),
+        |bs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c_sb
+        |  FROM d GROUP BY 1, 2),
+        |bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM d GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM d GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |grid AS (SELECT bs.source, bs.c_sb, bb.c_b - bs.c_sb AS c_rest,
+        |    ns.n_s, nt.n - ns.n_s AS n_rest
+        |  FROM bs JOIN bb USING (bin) JOIN ns USING (source)
+        |  CROSS JOIN nt
+        |  WHERE bs.c_sb > 0 AND bb.c_b - bs.c_sb > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  round(sum((CAST(c_sb AS DOUBLE) / n_s
+        |      - CAST(c_rest AS DOUBLE) / n_rest)
+        |    * ln((CAST(c_sb AS DOUBLE) / n_s)
+        |        / (CAST(c_rest AS DOUBLE) / n_rest))), 4) AS psi
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_mi_features" ->
       // same integer count cells; the MI double mirrors term-for-term
