@@ -282,8 +282,12 @@ object SparkEntry {
     })
 
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    // keyed on (applicationId, startTime) — unique per live context, so
+    // a restarted context can never collide onto a dead checkpointed
+    // frame (identityHashCode is not unique across JVM objects)
     coEdges.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$dir", _ => {
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
+      _ => {
         val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         Graphs.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
           .localCheckpoint(true)
@@ -3438,6 +3442,28 @@ object SparkEntry {
       Retrieval.hybridRrf(b20, c20, 10).orderBy("qid", "rnk")
     },
 
+    "q_hybrid_rrf_indexed" -> { (s, dir) =>
+      // the PRODUCTION hybrid serving topology (the r12 gap: every
+      // retrieval fusion lane ran direct over the corpus): BOTH lanes
+      // come from the persisted indexes — BM25 reads only its query
+      // tokens' postings buckets + the stats sidecar marker, the dense
+      // lane reads the flat IVF cells at FULL probe (exact, stored
+      // norms) — so the fused ranking shares q_hybrid_rrf's oracle
+      // verbatim while the plan shows the index pruning.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val b20 = Retrieval.bm25TopKIndexed(s, bm25BaseIndex(s, dir),
+        queries, 20)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qv = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val c20 = Similarity.ivfIndexTopKExact(s, ivfBaseIndex(s, dir), qv, 20)
+        .select(col("qid"), col("cid").as("doc_id"), col("rnk"))
+      Retrieval.hybridRrf(b20, c20, 10).orderBy("qid", "rnk")
+    },
+
     "q_mrr_eval" -> { (s, dir) =>
       // the retrieval eval harness (emb_ann_recall's keyword sibling):
       // queries are 8-word MID-SLICES (words 5..12) of the first 20
@@ -4290,6 +4316,27 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_bm25f_indexed" -> { (s, dir) =>
+      // BM25F served from the persisted index via the virtual-doc
+      // identity (bm25f ≡ bm25 over fields repeated by weight — pinned
+      // in OperatorsSpec): index the title×3 + body virtual text once,
+      // then every search is the bucket-pruned bm25TopKIndexed lane.
+      // wtf/wdl/df/avgdl all coincide, so q_bm25f's oracle is shared
+      // verbatim.
+      val base = tbl(s, dir, "documents").select("doc_id", "text")
+      val title = "concat_ws(' ', slice(split(text, ' '), 1, 8))"
+      val body = "concat_ws(' ', slice(split(text, ' '), 9, 1000000))"
+      val virtual = base.select(col("doc_id"),
+        expr(s"concat_ws(' ', $title, $title, $title, $body)").as("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25f-idx").toString + "/idx"
+      Retrieval.buildIndex(virtual, work)
+      val queries = base.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, work, queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
     "q_bm25_audit" -> { (s, dir) =>
       // relevance-drift audit on a fresh consistent index: the sampled
       // direct-vs-indexed MRR row must come back perfect — (n_q, n_q,
@@ -4441,6 +4488,77 @@ object SparkEntry {
       Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
         .withColumn("adist", round(col("adist"), 6))
         .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivfpq_deleted" -> { (s, dir) =>
+      // deletion compliance for the codes-only index (the takedown pass
+      // every 100 TB corpus eventually gets — r12's missing lane):
+      // quantizers train on the real corpus (production split), the
+      // cells fill with corpus + id-shifted decoys, then the staged
+      // (batch, cell) COW delete purges the decoys. Surviving content ≡
+      // corpus, so the search shares emb_ann_ivfpq's oracle verbatim —
+      // leftover decoy codes OR an over-delete hash-diverges.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-del").toString + "/idx"
+      Similarity.writeIvfPqQuantizers(e, work, stride = 50, m = 16)
+      val decoys = e.where(col("vec_id") % 9 === 4)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("emb"))
+      Similarity.appendToIvfPqIndex(e.unionByName(decoys), work)
+      Similarity.deleteFromIvfPqIndexFrame(s, work, decoys.select("vec_id"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivfpq_compacted" -> { (s, dir) =>
+      // the batch-dir fold: three parity appends leave three
+      // `pqcells/batch=N` dirs (a search pays a task per dir per probed
+      // cell — the read-amplification ScaleSpec pins), compaction folds
+      // them into the max label under the durable-marker protocol.
+      // Content-preserving ⇒ emb_ann_ivfpq's oracle verbatim.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-cpt").toString + "/idx"
+      Similarity.writeIvfPqQuantizers(e, work, stride = 50, m = 16)
+      (0 to 2).foreach(i =>
+        Similarity.appendToIvfPqIndex(e.where(col("vec_id") % 3 === i), work))
+      Similarity.compactIvfPqIndex(s, work)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivfpq_stats" -> { (s, dir) =>
+      // per-cell observability for the codes-only index: counts are
+      // home-cell assignment cardinalities (SQL-reproducible, the
+      // emb_ann_ivf_stats rule); batch fan-out and file bytes stay
+      // Spark-side (ops signals, not oracle material).
+      val work = ivfpqBaseIndex(s, dir)
+      Similarity.ivfPqIndexStats(s, work)
+        .select(col("cell"), col("n_codes"))
+        .orderBy("cell")
+    },
+
+    "emb_ann_ivfpq_audited" -> { (s, dir) =>
+      // the ADC-drift audit as a FULLY-ORACLED row (stronger than the
+      // flat lane's audited gate, which pins the audit only through its
+      // rebuild side-effect): DuckDB recomputes the stride sample, the
+      // whole ADC chain for the sampled queries, the exact-cosine lane,
+      // and the integer recall/balance row. A gutted batch dir or a
+      // half-published mutation shifts recall_bp and hash-diverges.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-aud").toString + "/idx"
+      Similarity.writeIvfPqQuantizers(e, work, stride = 50, m = 16)
+      Similarity.appendToIvfPqIndex(e, work)
+      Similarity.auditIvfPqIndex(s, work, e, k = 3, nprobe = 2,
+        sampleBudget = 20, minRecallBp = 3000)
     },
 
     "emb_ann_recall" -> { (s, dir) =>
@@ -6631,6 +6749,132 @@ object SparkEntry {
         |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM f WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
   }
+
+  // the PQ drift audit, end-to-end in SQL: the full ADC chain cut to the
+  // stride-sampled queries, the exact-cosine lane for the same sample,
+  // and the audit's integer recall/balance row (floor division ≡ Spark
+  // Long division; sum cast off HUGEINT). max_batches pins the
+  // single-append fixture literally.
+  private val ivfpqAuditOracleSql: String = {
+    val finalSelect =
+      "SELECT qid, cid, rnk, round(adist, 6) AS adist FROM t WHERE rnk <= 3\nORDER BY qid, rnk"
+    require(ivfpqOracleSql.endsWith(finalSelect),
+      "ivfpq oracle tail drifted — update the audit extension")
+    ivfpqOracleSql.stripSuffix(finalSelect).stripSuffix("\n") + ",\n" +
+      """stc AS (SELECT (count(*) + 19) // 20 AS st FROM e),
+        |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e
+        |  WHERE vec_id % (SELECT st FROM stc) = 0),
+        |apx AS (SELECT t.qid, t.cid FROM t JOIN qs ON qs.qid = t.qid
+        |  WHERE t.rnk <= 3),
+        |xp AS (SELECT qs.qid, e.vec_id AS cid,
+        |    list_dot_product(qs.qemb, e.emb)
+        |      / (sqrt(list_dot_product(qs.qemb, qs.qemb))
+        |         * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+        |  FROM qs, e WHERE e.vec_id <> qs.qid),
+        |exact AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |  FROM xp) WHERE rnk <= 3),
+        |hits AS (SELECT CAST(count(*) AS BIGINT) AS h FROM exact
+        |  JOIN apx ON apx.qid = exact.qid AND apx.cid = exact.cid),
+        |exn AS (SELECT CAST(count(*) AS BIGINT) AS xn FROM exact),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qs),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n) AS BIGINT) AS n_codes, CAST(max(n) AS BIGINT) AS mx
+        |  FROM (SELECT cell, count(*) AS n FROM cells GROUP BY cell))
+        |SELECT cc.n_cells, cc.n_codes, CAST(1 AS BIGINT) AS max_batches,
+        |  (1000000 * cc.mx) // cc.n_codes AS max_cell_ppm,
+        |  nq.n_q AS sampled_n,
+        |  CASE WHEN exn.xn = 0 THEN 10000
+        |    ELSE (10000 * hits.h) // exn.xn END AS recall_bp,
+        |  (CASE WHEN exn.xn = 0 THEN 10000
+        |    ELSE (10000 * hits.h) // exn.xn END) < 3000
+        |    OR ((1000000 * cc.mx) // cc.n_codes) > 500000 AS rebuild
+        |FROM cc, nq, hits, exn""".stripMargin
+  }
+
+  // shared by q_hybrid_rrf (direct lanes) and q_hybrid_rrf_indexed
+  // (persisted bm25 postings + flat IVF cells at full probe — exact)
+  private val hybridRrfOracleSql: String =
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |b20 AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |  WHERE rnk <= 20),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < 5),
+        |cs AS (SELECT qv.qid, e.vec_id AS doc_id,
+        |    list_dot_product(qv.qemb, e.emb)
+        |      / (sqrt(list_dot_product(qv.qemb, qv.qemb))
+        |         * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+        |  FROM qv, emb e WHERE e.vec_id <> qv.qid),
+        |c20 AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk FROM cs)
+        |  WHERE rnk <= 20),
+        |f AS (SELECT coalesce(b.qid, c.qid) AS qid,
+        |    coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + b.rnk), 0) + coalesce(1.0 / (60 + c.rnk), 0)
+        |      AS rrf
+        |  FROM b20 b FULL OUTER JOIN c20 c
+        |    ON b.qid = c.qid AND b.doc_id = c.doc_id),
+        |r AS (SELECT qid, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT qid, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // shared by q_bm25f (direct) and q_bm25f_indexed (persisted index
+  // over the weighted-repeat virtual doc)
+  private val bm25fOracleSql: String =
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |ft AS (SELECT doc_id, unnest(ws[1:8]) AS tok,
+        |    CAST(3 AS BIGINT) AS fw FROM d
+        |  UNION ALL SELECT doc_id, unnest(ws[9:]) AS tok,
+        |    CAST(1 AS BIGINT) AS fw FROM d),
+        |t AS (SELECT * FROM ft WHERE tok <> ''),
+        |wtf AS (SELECT doc_id, tok, CAST(sum(fw) AS BIGINT) AS wtf
+        |  FROM t GROUP BY doc_id, tok),
+        |wdl AS (SELECT doc_id, CAST(sum(fw) AS BIGINT) AS wdl
+        |  FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(wdl) AS DOUBLE) FROM wdl)
+        |      / (SELECT count(*) FROM d) AS avgwdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, wtf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (wtf.wtf * 2.2)
+        |      / (wtf.wtf + 1.2 * (0.25 + 0.75 * wdl.wdl / st.avgwdl))), 6)
+        |      AS score
+        |  FROM qq JOIN wtf ON qq.tok = wtf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN wdl ON wtf.doc_id = wdl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, wtf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   // shared by drv_holt_winters (batch) and drv_holt_winters_stream:
   // the drv_holt recursion with the seasonal ring carried as a LIST
@@ -9112,38 +9356,11 @@ object SparkEntry {
     // BM25F: per-field token melt under integer weights (title ws[1:8]
     // ×3, body ws[9:] ×1), wtf/wdl exact BIGINT sums, scoring identical
     // to the bm25 lane (round-6 + doc_id tie)
-    "q_bm25f" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents),
-        |ft AS (SELECT doc_id, unnest(ws[1:8]) AS tok,
-        |    CAST(3 AS BIGINT) AS fw FROM d
-        |  UNION ALL SELECT doc_id, unnest(ws[9:]) AS tok,
-        |    CAST(1 AS BIGINT) AS fw FROM d),
-        |t AS (SELECT * FROM ft WHERE tok <> ''),
-        |wtf AS (SELECT doc_id, tok, CAST(sum(fw) AS BIGINT) AS wtf
-        |  FROM t GROUP BY doc_id, tok),
-        |wdl AS (SELECT doc_id, CAST(sum(fw) AS BIGINT) AS wdl
-        |  FROM t GROUP BY doc_id),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-        |st AS (SELECT (SELECT count(*) FROM d) AS n,
-        |    (SELECT CAST(sum(wdl) AS DOUBLE) FROM wdl)
-        |      / (SELECT count(*) FROM d) AS avgwdl),
-        |q AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM documents WHERE doc_id < 5),
-        |qq AS (SELECT * FROM q WHERE tok <> ''),
-        |scored AS (SELECT qq.qid, wtf.doc_id,
-        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |      * (wtf.wtf * 2.2)
-        |      / (wtf.wtf + 1.2 * (0.25 + 0.75 * wdl.wdl / st.avgwdl))), 6)
-        |      AS score
-        |  FROM qq JOIN wtf ON qq.tok = wtf.tok JOIN df ON qq.tok = df.tok
-        |  JOIN wdl ON wtf.doc_id = wdl.doc_id CROSS JOIN st
-        |  GROUP BY qq.qid, wtf.doc_id),
-        |r AS (SELECT qid, doc_id, score, row_number() OVER (
-        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
-        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q_bm25f" -> bm25fOracleSql,
+    // the virtual-doc identity (bm25f ≡ bm25 over fields repeated by
+    // weight, pinned in OperatorsSpec) carried through the persisted
+    // index: indexed(virtual) ≡ bm25(virtual) ≡ bm25f — oracle verbatim
+    "q_bm25f_indexed" -> bm25fOracleSql,
 
     // analytic: a consistent index's sampled MRR audit is exactly
     // (n_q, n_q, 10000, false); n_q follows the stride-sample rule
@@ -9193,52 +9410,10 @@ object SparkEntry {
 
     // hybrid RRF: same BM25 CTEs at top-20 + exact-cosine top-20, fused
     // as 1/(60+rank) sums — exact rationals, hash-exact
-    "q_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
-        |t AS (SELECT * FROM toks WHERE tok <> ''),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-        |st AS (SELECT (SELECT count(*) FROM d) AS n,
-        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
-        |      / (SELECT count(*) FROM d) AS avgdl),
-        |q AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM d WHERE doc_id < 5),
-        |qq AS (SELECT * FROM q WHERE tok <> ''),
-        |scored AS (SELECT qq.qid, tf.doc_id,
-        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
-        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |  GROUP BY qq.qid, tf.doc_id),
-        |b20 AS (SELECT qid, doc_id, rnk FROM (
-        |  SELECT qid, doc_id, row_number() OVER (
-        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
-        |  WHERE rnk <= 20),
-        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |qv AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < 5),
-        |cs AS (SELECT qv.qid, e.vec_id AS doc_id,
-        |    list_dot_product(qv.qemb, e.emb)
-        |      / (sqrt(list_dot_product(qv.qemb, qv.qemb))
-        |         * sqrt(list_dot_product(e.emb, e.emb))) AS sim
-        |  FROM qv, emb e WHERE e.vec_id <> qv.qid),
-        |c20 AS (SELECT qid, doc_id, rnk FROM (
-        |  SELECT qid, doc_id, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk FROM cs)
-        |  WHERE rnk <= 20),
-        |f AS (SELECT coalesce(b.qid, c.qid) AS qid,
-        |    coalesce(b.doc_id, c.doc_id) AS doc_id,
-        |    coalesce(1.0 / (60 + b.rnk), 0) + coalesce(1.0 / (60 + c.rnk), 0)
-        |      AS rrf
-        |  FROM b20 b FULL OUTER JOIN c20 c
-        |    ON b.qid = c.qid AND b.doc_id = c.doc_id),
-        |r AS (SELECT qid, doc_id, rrf, row_number() OVER (
-        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk FROM f)
-        |SELECT qid, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_hybrid_rrf" -> hybridRrfOracleSql,
+    // both lanes from the persisted indexes; bm25 indexed ≡ direct and the
+    // flat index at full probe is exact — same fusion, same oracle verbatim
+    "q_hybrid_rrf_indexed" -> hybridRrfOracleSql,
 
     // per-source KL drift: group/global token count tables off one token
     // stream; kl is fp-only (sum order differs across engines)
@@ -10955,6 +11130,28 @@ object SparkEntry {
     "emb_ann_ivfpq_stream" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_refined" -> ivfpqRefinedOracleSql,
+
+    // staged (batch, cell) COW delete of the decoys leaves content ≡
+    // corpus; compaction is content-preserving — same oracle verbatim
+    "emb_ann_ivfpq_deleted" -> ivfpqOracleSql,
+    "emb_ann_ivfpq_compacted" -> ivfpqOracleSql,
+
+    "emb_ann_ivfpq_stats" ->
+      // home-cell assignment cardinalities — the emb_ann_ivf_stats rule
+      // on the codes-only index
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s)
+        |SELECT cent_id AS cell, count(*) AS n_codes
+        |FROM r WHERE crnk = 1 GROUP BY cent_id ORDER BY cell""".stripMargin,
+
+    "emb_ann_ivfpq_audited" -> ivfpqAuditOracleSql,
 
     "emb_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

@@ -358,6 +358,79 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted,
       valueTypeOptions: Option[String] = None,
       deriveBackprocess: Boolean = true): String = {
+    val (id, created) = ensureOne(queryTags, tags, valueDownsamplers,
+      highestGranularity, deriveFrom, deriveOp, deriveArgs, valueType,
+      timeDownsamplers, valueTypeOptions)
+    created.foreach { desc =>
+      if (deriveBackprocess && deriveFrom.nonEmpty &&
+          deriveFrom.exists(hasDeriveHistory(_))) {
+        // flush FIRST: the recompute writes partition dirs keyed by
+        // this id, and a crash between that write and a later lazy
+        // flush would strand orphan data no catalog entry explains
+        flush()
+        recomputeFully(Seq(desc))
+      }
+    }
+    id
+  }
+
+  /** "history" must look THROUGH derived sources (their latest_ts is
+    * never set — only raw appends advance it), so walk the derive chain
+    * down to raw streams; catalog-only, no Spark job.
+    */
+  private def hasDeriveHistory(sid: String,
+      seen: Set[String] = Set.empty): Boolean = {
+    val d = catalog(sid)
+    d.latest_ts.isDefined || (!seen(sid) &&
+      d.derive_from.exists(hasDeriveHistory(_, seen + sid)))
+  }
+
+  /** BULK declaration — the shape a 10k-stream deployment boots with
+    * (the per-call [[ensureStream]] loop measured ~10 s for 10k specs;
+    * the cost is per-call flush/backprocess bookkeeping, not lookup):
+    * one in-order validation pass over the specs (so a derived spec may
+    * reference a stream declared EARLIER in the same batch), per-row
+    * outcomes instead of throw-on-first (the appendMultiple checks-fold
+    * reporting discipline; the §1.6 taxonomy is preserved verbatim in
+    * each row's error), then ONE catalog flush and ONE wave-batched
+    * backprocess over every created derived stream with source history
+    * — never a flush or cascade per spec.
+    */
+  def ensureStreams(specs: Seq[EnsureSpec],
+      deriveBackprocess: Boolean = true): Seq[EnsureOutcome] = {
+    val results = specs.map { sp =>
+      try {
+        val (id, created) = ensureOne(sp.queryTags, sp.tags,
+          sp.valueDownsamplers, sp.highestGranularity, sp.deriveFrom,
+          sp.deriveOp, sp.deriveArgs, sp.valueType, sp.timeDownsamplers,
+          sp.valueTypeOptions)
+        (EnsureOutcome(Some(id), None, created.isDefined), created)
+      } catch {
+        case e: DatastreamException =>
+          (EnsureOutcome(None, Some(e.getMessage), created = false), None)
+      }
+    }
+    val backprocess = results.flatMap(_._2).filter(d =>
+      deriveBackprocess && d.derive_from.nonEmpty &&
+        d.derive_from.exists(hasDeriveHistory(_)))
+    if (backprocess.nonEmpty) {
+      flush() // once, before any derived data lands (the crash contract)
+      recomputeFully(backprocess)
+    }
+    results.map(_._1)
+  }
+
+  private def ensureOne(
+      queryTags: Map[String, String],
+      tags: Map[String, String],
+      valueDownsamplers: Seq[String],
+      highestGranularity: Granularity,
+      deriveFrom: Seq[String],
+      deriveOp: Option[String],
+      deriveArgs: Option[String],
+      valueType: String,
+      timeDownsamplers: Seq[String],
+      valueTypeOptions: Option[String]): (String, Option[StreamDescriptor]) = {
     // valueTypeOptions (e.g. archived graph layouts) have no execution
     // semantics in the reference (count-only downsampling) but they ARE
     // part of the immutable stream config: persisted verbatim in the
@@ -406,7 +479,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             d.derive_args != deriveArgs ||
             d.value_type_options != valueTypeOptions)
           throw InconsistentStreamConfiguration(d.stream_id)
-        d.stream_id
+        (d.stream_id, None)
       case Nil =>
         val id = UUID.randomUUID().toString
         val allTags = queryTags ++ tags
@@ -427,26 +500,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
         putStream(desc)
         markDirty(id)
         unpersisted += id
-        // reference parity: derive_backprocess=True (the default) computes
-        // the new derived stream from whatever source history already
-        // exists, instead of leaving it empty until the next source append.
-        // "history" must look THROUGH derived sources (their latest_ts is
-        // never set — only raw appends advance it), so walk the derive
-        // chain down to raw streams; catalog-only, no Spark job.
-        def hasHistory(sid: String, seen: Set[String] = Set.empty): Boolean = {
-          val d = catalog(sid)
-          d.latest_ts.isDefined || (!seen(sid) &&
-            d.derive_from.exists(hasHistory(_, seen + sid)))
-        }
-        if (deriveBackprocess && deriveFrom.nonEmpty &&
-            deriveFrom.exists(hasHistory(_))) {
-          // flush FIRST: the recompute writes partition dirs keyed by
-          // this id, and a crash between that write and a later lazy
-          // flush would strand orphan data no catalog entry explains
-          flush()
-          recomputeFully(Seq(desc))
-        }
-        id
+        (id, Some(desc))
       case many => throw MultipleStreamsReturned(queryTags.toString)
     }
   }

@@ -63,6 +63,31 @@ object ValueType {
   val all: Set[String] = Set(Numeric, Nominal, Graph)
 }
 
+/** One declaration row for the bulk `Datastream.ensureStreams` lane —
+  * field-for-field the [[graft.core.Datastream.ensureStream]] parameters
+  * (same defaults), so a per-call loop and a batch declare identically.
+  */
+case class EnsureSpec(
+    queryTags: Map[String, String],
+    tags: Map[String, String] = Map.empty,
+    valueDownsamplers: Seq[String] = Downsamplers.allValueNames.toSeq.sorted,
+    highestGranularity: Granularity = Granularity.Seconds,
+    deriveFrom: Seq[String] = Nil,
+    deriveOp: Option[String] = None,
+    deriveArgs: Option[String] = None,
+    valueType: String = ValueType.Numeric,
+    timeDownsamplers: Seq[String] = Downsamplers.allTimeNames.toSeq.sorted,
+    valueTypeOptions: Option[String] = None)
+
+/** Per-spec outcome of the bulk declaration: the stream id (existing or
+  * created) or the §1.6-taxonomy error message for THIS row — conflicts
+  * never abort the batch (the appendMultiple checks-fold discipline).
+  */
+case class EnsureOutcome(
+    streamId: Option[String],
+    error: Option[String],
+    created: Boolean)
+
 object Downsamplers {
   /** Value downsamplers: public name -> short storage key (SURVEY §2.2). */
   val value: Map[String, String] = Map(

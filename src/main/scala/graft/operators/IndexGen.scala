@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * BM25 postings/doclens) — the [[VersionedTable]] `writeCommit`
   * hard-link CAS ported to the index mutation lanes.
   *
-  * Protocol: a mutation reads the root's generation with [[current]] at
+  * Protocol: a mutation reads the root's generation with [[begin]] at
   * entry and calls [[advance]] at its PUBLISH point (after hidden
   * staging, before the first destructive rename). Two mutators that
   * both observed generation g race to create the `_idx_mut_(g+1)`
@@ -17,16 +17,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the next heal-on-read sweeps that pre-publish state away. No live
   * state is ever touched by the loser.
   *
-  * Scope: this closes the LOST-UPDATE race — overlapping mutations that
-  * both planned against the same observed state can no longer both
-  * publish (the r11 hazard: an append racing a cell swap lands files in
-  * a retired dir). A mutation that begins INSIDE another's publish
-  * window (the sub-second span of renames after its CAS) still needs
-  * external serialization; the streaming lanes provide it naturally by
-  * mutating from one foreachBatch loop.
+  * The CAS alone closes the LOST-UPDATE race (the r11 hazard: an append
+  * racing a cell swap lands files in a retired dir) but not the
+  * RENAME-WINDOW race: a mutation beginning INSIDE another's publish
+  * window (the span of renames after its CAS) would plan against a
+  * half-swapped state. [[advance]] therefore also takes a LEASE —
+  * `_idx_lease_<gen>_<expiryMs>`, created by the CAS winner before its
+  * first rename and dropped by [[release]] after its last — and
+  * [[begin]] raises ConcurrentCommit while an unexpired lease exists.
+  * Second-writer safety is thus a mechanism, not a contract (the r12
+  * residual, closed). A crashed holder's lease expires after `ttlMs`
+  * (publication is seconds of renames; the default gives 60 s of
+  * bounded unavailability after a writer crash, never inconsistency —
+  * the interrupted state itself heals on the next read); the TTL must
+  * exceed the longest real publication, which callers doing unusually
+  * slow renames (cross-bucket object-store copies) should raise.
   */
 private[graft] object IndexGen {
   private val Prefix = "_idx_mut_"
+  private val LeasePrefix = "_idx_lease_"
 
   /** Max published generation marker under `root`; 0 when none. */
   def current(fs: FileSystem, root: String): Long = {
@@ -38,12 +47,40 @@ private[graft] object IndexGen {
       .foldLeft(0L)(math.max)
   }
 
-  /** CAS-advance `seen` → `seen + 1`. Raises ConcurrentCommit when
-    * another mutator already published that generation. Superseded
-    * markers are pruned after a win (keep only the max — the
-    * applyIvfBatch horizon discipline).
+  /** Mutation entry point: the observed generation, guarded by the
+    * rename-window lease — raises ConcurrentCommit while another
+    * writer's unexpired lease is on the root (it is mid-publication;
+    * nothing this mutation plans against is stable). Expired leases
+    * (crashed holders) are broken here.
     */
-  def advance(fs: FileSystem, root: String, seen: Long): Unit = {
+  def begin(fs: FileSystem, root: String): Long = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) return 0L
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(LeasePrefix)) {
+        val expiry = n.stripPrefix(LeasePrefix).split('_') match {
+          case Array(_, e) => try e.toLong catch {
+            case _: NumberFormatException => 0L }
+          case _ => 0L
+        }
+        if (expiry < now) fs.delete(p, false) // crashed holder: break it
+        else throw graft.model.ConcurrentCommit(root, -1L)
+      }
+    }
+    current(fs, root)
+  }
+
+  /** CAS-advance `seen` → `seen + 1` and take the publish lease. Raises
+    * ConcurrentCommit when another mutator already published that
+    * generation. Superseded markers are pruned after a win (keep only
+    * the max — the applyIvfBatch horizon discipline). The winner MUST
+    * call [[release]] after its renames; a missed release self-heals at
+    * lease expiry.
+    */
+  def advance(fs: FileSystem, root: String, seen: Long,
+      ttlMs: Long = 60000L): Unit = {
     fs.mkdirs(new Path(root))
     val name = s"$Prefix${seen + 1}"
     val won =
@@ -70,9 +107,29 @@ private[graft] object IndexGen {
         }
       }
     if (!won) throw graft.model.ConcurrentCommit(root, seen + 1)
+    // lease BEFORE the caller's first rename: begin() holds every other
+    // writer out of the rename window until release (or expiry)
+    fs.create(new Path(root,
+      s"$LeasePrefix${seen + 1}_${System.currentTimeMillis() + ttlMs}"),
+      true).close()
     fs.listStatus(new Path(root)).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(Prefix) && n.stripPrefix(Prefix).toLong < seen + 1)
+        fs.delete(p, false)
+    }
+  }
+
+  /** Drop this writer's publish lease — call after the last rename of
+    * the publication section. Idempotent (an expired-and-broken lease
+    * is simply gone).
+    */
+  def release(fs: FileSystem, root: String, gen: Long): Unit = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(LeasePrefix) &&
+          n.stripPrefix(LeasePrefix).startsWith(s"${gen}_"))
         fs.delete(p, false)
     }
   }

@@ -105,15 +105,19 @@ object Retrieval {
   }
 
   /** Materialized inverted index (the production form of [[bm25TopK]]'s
-    * ad-hoc inverted stream): postings (tok, doc_id, tf) live under
+    * ad-hoc inverted stream): postings (tok, doc_id, tf, dl) live under
     * `root/postings/bucket=B` with B = pmod(xxhash64(tok), nBuckets), and
     * per-doc lengths under `root/doclens/bucket=B` with B =
     * pmod(xxhash64(doc_id), nBuckets). A token's postings live
     * WHOLLY in its bucket, so a search reads only its query tokens'
     * bucket directories — partition-pruned I/O ∝ matched vocabulary, not
-    * corpus — and document frequencies are recomputed exactly from those
-    * pruned buckets (no separate df table to keep in sync). The doclens
-    * sidecar is corpus-sized, which is exactly why it is bucketed like
+    * corpus — document frequencies are recomputed exactly from those
+    * pruned buckets (no separate df table to keep in sync), per-doc
+    * lengths ride denormalized in the posting rows (8 bytes/posting buys
+    * the doclens join OFF the serving path entirely), and the global
+    * (N, avgdl) come from the stats sidecar marker. The doclens table is
+    * mutation-path bookkeeping (stats recounts, delete deltas, rebuild
+    * source) — corpus-sized, which is exactly why it is bucketed like
     * the postings: builds/appends write it through a distributed
     * repartition-by-bucket (one file per bucket per append, never a
     * single-task coalesce funnel), and a delete COW-rewrites ONLY the
@@ -133,8 +137,9 @@ object Retrieval {
   private def writeIndex(docs: DataFrame, root: String, nBuckets: Int,
       idCol: String, textCol: String, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
-    val fs = retrievalFs(docs.sparkSession, root)
-    val gen = graft.operators.IndexGen.current(fs, root)
+    val spark = docs.sparkSession
+    val fs = retrievalFs(spark, root)
+    val gen = graft.operators.IndexGen.begin(fs, root)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
@@ -144,14 +149,131 @@ object Retrieval {
     // (same IndexGen discipline as the IVF lanes; loser raises with
     // nothing written)
     graft.operators.IndexGen.advance(fs, root, gen)
+    // the legacy-index case: appending to an index that predates the
+    // stats sidecar — delta-maintenance has no base, so recount after
+    val mustRecount = !overwrite && readStats(fs, root).isEmpty &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/doclens"))
+    // durable append intent BEFORE data lands (data-first would leave
+    // the sidecar silently stale on a crash between the doclens write
+    // and the marker rotation): heal sees the intent and recounts
+    val pending = new org.apache.hadoop.fs.Path(root,
+      AppendPending + java.util.UUID.randomUUID().toString)
+    fs.create(pending, true).close()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true) // feeds the postings join AND the doclens write
+    // dl DENORMALIZED into every posting row: a search then reads ONLY
+    // its query tokens' postings buckets — the corpus-sized doclens
+    // table is mutation-path bookkeeping, never serving-path I/O
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
-    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+    // piggyback the batch's (n_docs, sum_dl) on the write job itself
+    // (Observation = zero extra jobs, the appendMultiple discipline)
+    val obs = org.apache.spark.sql.Observation()
+    dl.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
+      .observe(obs, count(lit(1)).as("dn"),
+        coalesce(sum("dl"), lit(0L)).as("dsdl"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/doclens")
+    // a missing Observation key means AQE pruned the empty subtree ⇒ 0
+    val got = obs.get
+    val dn = got.get("dn").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dsdl = got.get("dsdl").map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (mustRecount) recountStats(spark, fs, root)
+    else {
+      val (n0, sdl0) =
+        if (overwrite) (0L, 0L)
+        else readStats(fs, root).map(s => (s._2, s._3)).getOrElse((0L, 0L))
+      publishStats(fs, root, n0 + dn, sdl0 + dsdl)
+    }
+    fs.delete(pending, false)
+    graft.operators.IndexGen.release(fs, root, gen + 1)
+  }
+
+  /** Corpus statistics sidecar: ONE zero-byte marker file
+    * `_bm25_stats_<gen>_<n_docs>_<sum_dl>` at the index root — the two
+    * numbers every BM25 search needs (N, avgdl = sum_dl/N) read from a
+    * FILENAME instead of a corpus-sized doclens aggregation per call
+    * (at 10¹⁰ docs that scan was ~160 GB of serving-path I/O for two
+    * numbers). Maintained delta-wise: build/append add the batch's
+    * Observation totals; a delete stages gen+1 with the removed rows'
+    * totals subtracted BEFORE any bucket swap (two markers coexisting =
+    * a delete in flight; replays reuse the newest because already-
+    * swapped buckets no longer match the pending ids and a recount
+    * would under-subtract); crashed appends leave a durable
+    * `_bm25_append_pending_*` intent that heal resolves with one full
+    * recount. Highest gen wins everywhere.
+    */
+  private val StatsPrefix = "_bm25_stats_"
+  private val AppendPending = "_bm25_append_pending_"
+
+  /** All (gen, n_docs, sum_dl) markers under root, ascending by gen. */
+  private def parseStats(
+      names: Seq[String]): Seq[(Long, Long, Long)] =
+    names.filter(_.startsWith(StatsPrefix))
+      .flatMap { n =>
+        n.stripPrefix(StatsPrefix).split('_') match {
+          case Array(g, nd, sdl) =>
+            try Some((g.toLong, nd.toLong, sdl.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.sortBy(_._1)
+
+  private def rootNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+  }
+
+  /** Newest stats marker, if any. */
+  private def readStats(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(Long, Long, Long)] =
+    parseStats(rootNames(fs, root)).lastOption
+
+  /** Rotate the sidecar: create gen+1 with the given totals, retire
+    * every older marker. Crash between create and retire leaves two
+    * markers with no delete pending — heal keeps the max.
+    */
+  private def publishStats(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, n: Long, sdl: Long): Unit = {
+    val all = parseStats(rootNames(fs, root))
+    val g = all.lastOption.map(_._1).getOrElse(0L) + 1
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"$StatsPrefix${g}_${n}_$sdl"), true).close()
+    all.foreach { case (og, on, osdl) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"$StatsPrefix${og}_${on}_$osdl"), false)
+    }
+  }
+
+  /** Retire all but the newest marker (an interrupted rotation). */
+  private def cleanupStats(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val all = parseStats(rootNames(fs, root))
+    all.dropRight(1).foreach { case (og, on, osdl) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"$StatsPrefix${og}_${on}_$osdl"), false)
+    }
+  }
+
+  /** Full recount from doclens + fresh publish — the crash-recovery /
+    * legacy-migration lane only, never the serving path.
+    */
+  private def recountStats(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dlDir = s"$root/doclens"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dlDir))) return
+    val r = spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("dl", LongType))))
+      .parquet(dlDir)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+      .head()
+    publishStats(fs, root, r.getLong(0), r.getLong(1))
   }
 
   private def retrievalFs(spark: org.apache.spark.sql.SparkSession,
@@ -193,7 +315,7 @@ object Retrieval {
     healIndex(spark, root) // completes any prior pending delete first
     val fs = retrievalFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings"))) return
-    val gen = graft.operators.IndexGen.current(fs, root)
+    val gen = graft.operators.IndexGen.begin(fs, root)
     val tmp = new org.apache.hadoop.fs.Path(root, PendingTmp)
     idsDf.select(col("doc_id"))
       .write.mode("overwrite").parquet(tmp.toString)
@@ -204,6 +326,7 @@ object Retrieval {
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, PendingDelete)))
       throw new java.io.IOException(s"bm25 delete: cannot publish intent")
     runPendingDelete(spark, root)
+    graft.operators.IndexGen.release(fs, root, gen + 1)
   }
 
   /** Execute (or re-execute after a crash) the delete recorded in the
@@ -219,8 +342,27 @@ object Retrieval {
     val fs = retrievalFs(spark, root)
     val marker = new org.apache.hadoop.fs.Path(root, PendingDelete)
     val ids = spark.read.parquet(marker.toString).localCheckpoint(true)
+    // stats delta staged FIRST, durable as a gen+1 marker coexisting
+    // with gen until the swaps land: a crash-replay that sees two
+    // markers reuses the newest — already-swapped doclens buckets no
+    // longer match any pending id, so recomputing would under-subtract
+    val stats = parseStats(rootNames(fs, root))
+    val dlPath = new org.apache.hadoop.fs.Path(s"$root/doclens")
+    if (stats.size == 1 && fs.exists(dlPath)) {
+      val (g, n, sdl) = stats.head
+      val rem = spark.read.parquet(dlPath.toString)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("rn"), coalesce(sum("dl"), lit(0L)).as("rsdl"))
+        .head()
+      val (rn, rsdl) = (rem.getLong(0), rem.getLong(1))
+      if (rn > 0)
+        fs.create(new org.apache.hadoop.fs.Path(root,
+          s"$StatsPrefix${g + 1}_${n - rn}_${sdl - rsdl}"), true).close()
+    }
     stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
     stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids)
+    if (stats.isEmpty) recountStats(spark, fs, root) // pre-sidecar index
+    else cleanupStats(fs, root) // swaps published — retire the old gen
     fs.delete(marker, true)
   }
 
@@ -281,13 +423,14 @@ object Retrieval {
     // CAS baseline before observing either tree; advance here rather
     // than per-tree — compaction is content-preserving, so the earliest
     // publish point keeps it one generation
-    graft.operators.IndexGen.advance(fs, root,
-      graft.operators.IndexGen.current(fs, root))
+    val gen = graft.operators.IndexGen.begin(fs, root)
+    graft.operators.IndexGen.advance(fs, root, gen)
     compactTree(spark, fs, s"$root/postings", s"$root/$StageDir",
       maxFilesPerBucket)
     // appends grow doclens one file per bucket per batch too
     compactTree(spark, fs, s"$root/doclens", s"$root/$DlStageDir",
       maxFilesPerBucket)
+    graft.operators.IndexGen.release(fs, root, gen + 1)
   }
 
   private def compactTree(spark: org.apache.spark.sql.SparkSession,
@@ -336,17 +479,25 @@ object Retrieval {
       oldRoot: String, newRoot: String, nBuckets: Int = 64): Unit = {
     healIndex(spark, oldRoot)
     spark.read.parquet(s"$oldRoot/postings")
-      .select("doc_id", "tok", "tf")
+      .select("doc_id", "tok", "tf", "dl")
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$newRoot/postings")
+    // (n_docs, sum_dl) piggybacked on the rewrite job it already runs
+    val obs = org.apache.spark.sql.Observation()
     spark.read.parquet(s"$oldRoot/doclens")
       .select("doc_id", "dl")
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum("dl"), lit(0L)).as("sdl"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$newRoot/doclens")
+    val got = obs.get
+    publishStats(retrievalFs(spark, newRoot), newRoot,
+      got.get("n").map(_.asInstanceOf[Long]).getOrElse(0L),
+      got.get("sdl").map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
   /** Fold ONE micro-batch of documents into a [[buildIndex]] index,
@@ -421,6 +572,20 @@ object Retrieval {
     healDir(new org.apache.hadoop.fs.Path(s"$root/doclens"))
     if (fs.exists(new org.apache.hadoop.fs.Path(root, PendingDelete)))
       runPendingDelete(spark, root)
+    // stats sidecar heal (after any pending delete completed, so the
+    // recount reflects final state): a durable append intent means the
+    // sidecar may disagree with the trees — one full doclens recount
+    // republishes it; a missing marker on a populated index is a
+    // pre-sidecar layout self-migrating on first read
+    val names = rootNames(fs, root)
+    val appendPendings = names.filter(_.startsWith(AppendPending))
+    if (appendPendings.nonEmpty ||
+        (parseStats(names).isEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/doclens")))) {
+      recountStats(spark, fs, root)
+      appendPendings.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+    } else cleanupStats(fs, root) // interrupted rotation: keep the max
   }
 
   /** Per-bucket observability for a [[buildIndex]] index — the postings
@@ -496,10 +661,25 @@ object Retrieval {
       .withColumn("stale", col("mrr_bp") < minMrrBp)
   }
 
+  /** The stats sidecar's (n_docs, sum_dl) for a [[buildIndex]] index —
+    * heals first, so a crashed append/delete or a pre-sidecar layout
+    * resolves before the numbers are read. Zero jobs on the clean path.
+    */
+  def corpusStats(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Long, Long) = {
+    healIndex(spark, root)
+    readStats(retrievalFs(spark, root), root)
+      .map(s => (s._2, s._3)).getOrElse((0L, 0L))
+  }
+
   /** BM25 top-k against a [[buildIndex]] index — scoring identical to
     * [[bm25TopK]] (same formula, same round-6 rank key), I/O pruned to
     * the query tokens' buckets. Queries are metadata-scale by premise
-    * (their tokens drive the bucket list driver-side).
+    * (their tokens drive the bucket list driver-side). The serving path
+    * reads NOTHING corpus-sized: per-doc lengths ride denormalized in
+    * the posting rows and the global (N, avgdl) come from the stats
+    * sidecar marker's filename — search I/O is strictly ∝ probed
+    * buckets (the doclens table is mutation-path bookkeeping only).
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, nBuckets: Int = 64,
@@ -514,7 +694,8 @@ object Retrieval {
       .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted
     val postSchema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("tok", StringType), StructField("tf", LongType)))
+      StructField("tok", StringType), StructField("tf", LongType),
+      StructField("dl", LongType)))
     // existence via the Hadoop FS, not java.io.File — on any non-local
     // FS a File check is silently false and every probed bucket would
     // be skipped (the indexStats bytes-listing bug class, fixed r12)
@@ -529,18 +710,15 @@ object Retrieval {
     val postingsCk = postings.localCheckpoint(true) // df AND probe join
     // df for the probed tokens, EXACT from their home buckets
     val df = postingsCk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-    val dl = spark.read.schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("dl", LongType))))
-      .parquet(s"$root/doclens")
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
-    val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n
+    // (N, avgdl) from the sidecar marker — two numbers off a filename,
+    // zero jobs (healIndex above guarantees the marker on any index
+    // with a doclens tree, including pre-sidecar layouts)
+    val (n, sdl) = readStats(bfs, root)
+      .map(s => (s._2, s._3)).getOrElse((0L, 0L))
+    val avgdl = if (n > 0) sdl.toDouble / n else 0.0
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     qtoks.join(postingsCk, "tok")
       .join(broadcast(df), "tok")
-      // doclens joins UN-broadcast: it is corpus-sized (unlike the
-      // probed-vocab df) — AQE broadcasts it when it is actually small
-      .join(dl, "doc_id")
       .withColumn("term",
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * lit(k1 + 1)) /

@@ -479,7 +479,7 @@ object Similarity {
     * vectors into their home-cell partition dirs. */
   def appendToIvfIndex(batch: DataFrame, root: String): Unit = {
     val fs = hadoopFs(batch.sparkSession, root)
-    val gen = IndexGen.current(fs, root)
+    val gen = IndexGen.begin(fs, root)
     val cents = readIvfCentroids(batch.sparkSession, root)
     val assigned = withProbes(batch, cents, 1)
       .select(col("vec_id"), col("emb"), col("norm"),
@@ -498,6 +498,7 @@ object Similarity {
     // with nothing written.
     IndexGen.advance(fs, root, gen)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+    IndexGen.release(fs, root, gen + 1)
   }
 
   /** Delete vectors from the persisted index by id — the tombstone-free
@@ -531,17 +532,20 @@ object Similarity {
     * observed state cannot both land: the loser raises
     * [[graft.model.ConcurrentCommit]] with only hidden stage output
     * written (healed away on the next read). Mutations are crash-safe
-    * against READERS throughout (heal-on-read). Residual caveat: a
-    * mutation beginning inside another's post-CAS rename window still
-    * needs external serialization — the streaming lane's foreachBatch
-    * provides it naturally.
+    * against READERS throughout (heal-on-read). The post-CAS rename
+    * window is closed by the [[IndexGen]] publish LEASE (r13): `begin`
+    * raises ConcurrentCommit while another writer's unexpired lease is
+    * on the root, so a mutation can no longer plan against a
+    * half-swapped state — second-writer safety is a mechanism, not a
+    * contract. A crashed holder's lease expires (bounded
+    * unavailability, never inconsistency).
     */
   def deleteFromIvfIndexFrame(spark: org.apache.spark.sql.SparkSession,
       root: String, idsDf: DataFrame): Unit = {
     healIvfIndex(spark, root)
     val fs = hadoopFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/cells"))) return
-    val gen = IndexGen.current(fs, root) // CAS baseline: state as planned
+    val gen = IndexGen.begin(fs, root) // CAS baseline: state as planned
     // consumed by the touch scan and the staged rewrite — checkpoint
     val ids = idsDf.select(col("vec_id")).localCheckpoint(true)
     // partition discovery types small cell values as INT — pin to long
@@ -566,6 +570,7 @@ object Similarity {
     // the next heal-on-read rolls it back; live cells were never touched
     IndexGen.advance(fs, root, gen)
     publishStagedCells(fs, root, stage, touched)
+    IndexGen.release(fs, root, gen + 1)
   }
 
   /** Swap every staged cell dir live (tmp/old crash windows heal from
@@ -614,7 +619,7 @@ object Similarity {
     val fs = hadoopFs(spark, root)
     val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
     if (!fs.exists(cellsDir)) return
-    val gen = IndexGen.current(fs, root) // CAS baseline BEFORE observing
+    val gen = IndexGen.begin(fs, root) // CAS baseline BEFORE observing
     val hot = fs.listStatus(cellsDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(d => fs.listStatus(d.getPath)
@@ -628,6 +633,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
     IndexGen.advance(fs, root, gen) // same publish gate as the delete
     publishStagedCells(fs, root, stage, hot)
+    IndexGen.release(fs, root, gen + 1)
   }
 
   /** Retrain + re-cell the persisted index — the remedy
@@ -1091,9 +1097,11 @@ object Similarity {
     * in-memory lane bit-for-bit (the emb_ann_ivfpq oracle is shared
     * verbatim). Codes repartition by home cell before the partitioned
     * write — ONE file per cell (the appendToIvfIndex discipline).
-    * Mutation lifecycle (append/delete/compact/audit) belongs to the
-    * flat [[buildIvfIndex]] lane; a PQ index re-encodes on rebuild —
-    * codes are derived data, never the source of truth.
+    * Lifecycle parity with the flat lane: [[appendToIvfPqIndex]] /
+    * [[deleteFromIvfPqIndexFrame]] / [[compactIvfPqIndex]] /
+    * [[ivfPqIndexStats]] / [[auditIvfPqIndex]] / [[healIvfPqIndex]].
+    * A retrain still re-encodes into a NEW root — codes are derived
+    * data, never the source of truth.
     */
   def buildIvfPqIndex(corpus: DataFrame, root: String, stride: Long,
       m: Int = 16, pqStride: Long = 5, ksubMax: Int = 128): Unit = {
@@ -1137,7 +1145,7 @@ object Similarity {
     */
   def appendToIvfPqIndex(batch: DataFrame, root: String): Unit = {
     val fs = hadoopFs(batch.sparkSession, root)
-    val gen = IndexGen.current(fs, root)
+    val gen = IndexGen.begin(fs, root)
     val enc = encodeIvfPqBatch(batch, root)
     IndexGen.advance(fs, root, gen)
     // cells live under per-append batch dirs (label = the CAS'd
@@ -1149,6 +1157,253 @@ object Similarity {
     enc.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/pqcells/batch=${gen + 1}")
+    IndexGen.release(fs, root, gen + 1)
+  }
+
+  /** Hidden pre-publish trees + the durable compaction intent marker
+    * for the PQ index — the BM25/IVF discipline on the (batch, cell)
+    * layout: stage trees heal into ROLLBACK, the compact marker heals
+    * into COMPLETION (stage is written complete before the marker).
+    */
+  private val PqStageDir = ".ivfpq_stage"
+  private val PqCompactStage = ".ivfpq_cstage"
+  private val PqCompactMarker = "_ivfpq_compact_"
+
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfPqIndexFrame(spark, root, ids.toDF("vec_id"))
+  }
+
+  /** Delete codes from the persisted PQ index by vec_id — the takedown
+    * lane that completes the third index's lifecycle (codes are derived
+    * data, but a deletion-compliance pass must still purge them without
+    * a full re-encode). The flat lane's staged COW verbatim, applied to
+    * the two-level (batch, cell) layout: one column-pruned scan locates
+    * the touched (batch, cell) dirs, ONE partition-pruned anti-join job
+    * rewrites them all into a hidden stage tree, and per-dir tmp/old
+    * rename swaps publish — I/O ∝ touched dirs, never the index.
+    * Crash-safe via [[healIvfPqIndex]] (run by every search).
+    */
+  def deleteFromIvfPqIndexFrame(spark: org.apache.spark.sql.SparkSession,
+      root: String, idsDf: DataFrame): Unit = {
+    healIvfPqIndex(spark, root)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/pqcells"))) return
+    val gen = IndexGen.begin(fs, root) // CAS baseline BEFORE observing
+    val ids = idsDf.select(col("vec_id")).localCheckpoint(true)
+    val touched = spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select(col("batch"), col("cell")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (touched.isEmpty) return
+    // exact partition-pruned predicate: per-batch cell lists OR'd — the
+    // cross-product isin superset would rewrite untouched dirs
+    val byBatch = touched.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val pred = byBatch.map { case (b, cs) =>
+      col("batch") === b && col("cell").isin(cs: _*)
+    }.reduce(_ || _)
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$PqStageDir")
+    spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
+      .where(pred)
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(stage.toString)
+    IndexGen.advance(fs, root, gen) // publish gate
+    touched.foreach { case (b, c) =>
+      val bdir = s"$root/pqcells/batch=$b"
+      val live = new org.apache.hadoop.fs.Path(s"$bdir/cell=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$bdir/.ivfpq_tmp_$c")
+      val old = new org.apache.hadoop.fs.Path(s"$bdir/.ivfpq_old_$c")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"batch=$b/cell=$c")
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, tmp))
+          throw new java.io.IOException(s"ivfpq delete: cannot move $staged")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"ivfpq delete: cannot stage $live")
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"ivfpq delete: cannot publish $tmp")
+        fs.delete(old, true)
+      } else { // (batch, cell) fully emptied — retires via healable old
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"ivfpq delete: cannot retire $live")
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(stage, true)
+    IndexGen.release(fs, root, gen + 1)
+  }
+
+  /** Fold every per-batch dir into ONE — the read-amplification remedy
+    * for a maintained PQ index (each append/apply lands a new
+    * `pqcells/batch=N`; a search in a long-maintained index pays a task
+    * per batch dir per probed cell). The consolidated content replaces
+    * the MAX existing label (so future appends — gen- or batchId-
+    * labelled — always land above it and the exactly-once commit
+    * horizon stays meaningful), the other batch dirs retire. Publish
+    * protocol: stage written COMPLETE → generation CAS → durable
+    * `_ivfpq_compact_<keep>` marker (the commitment point: heal
+    * COMPLETES from it; without it a leftover stage rolls back) →
+    * swap + retire → marker cleared.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    healIvfPqIndex(spark, root)
+    val fs = hadoopFs(spark, root)
+    val pq = new org.apache.hadoop.fs.Path(s"$root/pqcells")
+    if (!fs.exists(pq)) return
+    val gen = IndexGen.begin(fs, root) // CAS baseline BEFORE observing
+    val labels = fs.listStatus(pq)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted.toSeq
+    if (labels.size <= 1) return
+    val keep = labels.max
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$PqCompactStage")
+    spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .repartition(col("cell")) // one file per cell, the append discipline
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    IndexGen.advance(fs, root, gen) // publish gate
+    fs.create(new org.apache.hadoop.fs.Path(root, s"$PqCompactMarker$keep"),
+      true).close()
+    finishPqCompact(fs, root, keep)
+    IndexGen.release(fs, root, gen + 1)
+  }
+
+  /** Execute (or re-execute after a crash) the compaction recorded in
+    * the marker: the complete stage replaces `batch=<keep>`, every other
+    * batch dir retires, marker clears. Idempotent — a replay where the
+    * stage already renamed just finishes the retires.
+    */
+  private def finishPqCompact(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, keep: Long): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$PqCompactStage")
+    val live = new org.apache.hadoop.fs.Path(s"$root/pqcells/batch=$keep")
+    if (fs.exists(stage)) {
+      fs.delete(live, true)
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"ivfpq compact: cannot publish $stage")
+    }
+    val pq = new org.apache.hadoop.fs.Path(s"$root/pqcells")
+    if (fs.exists(pq)) fs.listStatus(pq)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(_.getPath.getName.stripPrefix("batch=").toLong != keep)
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"$PqCompactMarker$keep"),
+      false)
+  }
+
+  /** Finish or roll back interrupted PQ mutations — the IVF heal state
+    * machine on the (batch, cell) layout: a compact marker is
+    * post-publish intent (COMPLETE it), leftover stage trees are
+    * pre-publish state (roll back), per-batch tmp/old dirs heal from
+    * either side of their rename window. Idempotent; run by every
+    * search and mutation.
+    */
+  def healIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootP)) return
+    val compactKeep = fs.listStatus(rootP).map(_.getPath.getName)
+      .collect { case n if n.startsWith(PqCompactMarker) =>
+        n.stripPrefix(PqCompactMarker).toLong }
+      .sorted.lastOption
+    compactKeep match {
+      case Some(keepL) => finishPqCompact(fs, root, keepL)
+      case None =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$PqCompactStage"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$PqStageDir"), true)
+    val pq = new org.apache.hadoop.fs.Path(s"$root/pqcells")
+    if (!fs.exists(pq)) return
+    fs.listStatus(pq)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach { bd =>
+        fs.listStatus(bd.getPath).map(_.getPath).foreach { p =>
+          val n = p.getName
+          if (n.startsWith(".ivfpq_tmp_")) {
+            val live = new org.apache.hadoop.fs.Path(bd.getPath,
+              s"cell=${n.stripPrefix(".ivfpq_tmp_")}")
+            if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
+          } else if (n.startsWith(".ivfpq_old_")) fs.delete(p, true)
+        }
+      }
+  }
+
+  /** Per-cell observability for the persisted PQ index — (cell,
+    * n_codes, n_batches, bytes): assignment cardinalities like
+    * [[ivfIndexStats]], plus the batch-dir fan-out [[compactIvfPqIndex]]
+    * exists to fold (n_batches grows one per append until compaction —
+    * the read-amplification dial) and Hadoop-FS file bytes.
+    */
+  def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    healIvfPqIndex(spark, root)
+    val counts = spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
+      .groupBy("cell").agg(count(lit(1)).as("n_codes"),
+        countDistinct("batch").as("n_batches"))
+    val fs = hadoopFs(spark, root)
+    val pq = new org.apache.hadoop.fs.Path(s"$root/pqcells")
+    val bytes = fs.listStatus(pq).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch="))
+      .flatMap { bd =>
+        fs.listStatus(bd).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("cell="))
+          .map { cd =>
+            (cd.getName.stripPrefix("cell=").toLong,
+              fs.getContentSummary(cd).getLength)
+          }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    import spark.implicits._
+    counts.join(bytes.toDF("cell", "bytes"), Seq("cell"), "left")
+      .select(col("cell"), col("n_codes"), col("n_batches"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
+  /** ADC-vs-exact drift audit for the persisted PQ index — the
+    * [[auditIvfIndex]] shape with the ground truth supplied by the
+    * CALLER's corpus (a codes-only index holds no raw vectors): a
+    * stride-bounded query sample runs through exact brute-force cosine
+    * and the index's ADC lane; recall@k in basis points plus cell/batch
+    * balance in one row. Lost codes (a gutted batch dir, a
+    * half-published delete) surface as recall decay ⇒ `rebuild` — for
+    * a PQ index the remedy is a re-encode into a new root (codes are
+    * derived data). minRecallBp is an ADC-quality dial, not a
+    * correctness bar: quantization error bounds recall below flat-IVF
+    * levels by design.
+    */
+  def auditIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, corpus: DataFrame, k: Int, nprobe: Int = 2,
+      sampleBudget: Long = 20, minRecallBp: Long = 3000,
+      maxCellPpm: Long = 500000): DataFrame = {
+    healIvfPqIndex(spark, root)
+    val c = corpus.select(col("vec_id"), col("emb")).localCheckpoint(true)
+    val st = boundedStride(c, sampleBudget)
+    val q = c.where(col("vec_id") % st === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    val exact = cosineTopK(c, broadcast(q), k)
+      .select("qid", "cid").localCheckpoint(true)
+    val approx = ivfPqIndexTopK(spark, root, q, k, nprobe)
+      .select("qid", "cid")
+    val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+    val exactN = exact.count()
+    val nq = q.count()
+    val per = spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
+      .groupBy("cell").agg(count(lit(1)).as("n"),
+        countDistinct("batch").as("nb"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_codes"),
+        max("n").as("max_cell_n"), max("nb").as("max_batches")).head()
+    val (nCells, nCodes, maxCell, maxB) =
+      (per.getLong(0), per.getLong(1), per.getLong(2), per.getLong(3))
+    val maxPpm = if (nCodes == 0) 0L else 1000000L * maxCell / nCodes
+    val recallBp = if (exactN == 0) 10000L else 10000L * hits / exactN
+    import spark.implicits._
+    Seq((nCells, nCodes, maxB, maxPpm, nq, recallBp,
+      recallBp < minRecallBp || maxPpm > maxCellPpm))
+      .toDF("n_cells", "n_codes", "max_batches", "max_cell_ppm",
+        "sampled_n", "recall_bp", "rebuild")
   }
 
   /** Flat IVF cell tree schema — pinned for the same reason as
@@ -1199,6 +1454,35 @@ object Similarity {
     rr.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("rnk"), col("sim"))
+  }
+
+  /** FULL-PROBE exact search over the persisted flat index — every cell
+    * is a candidate, scored from the STORED vectors and norms with
+    * [[cosineTopK]]'s exact formula and tie rules (a stored norm is
+    * bit-identical to sqrt(graft_dot) by the [[withProbes]] discipline),
+    * so the result equals the ad-hoc exact search over the same content
+    * bit-for-bit. This is the hybrid serving topology's dense lane when
+    * recall must be exact: queries are metadata-scale (broadcast), the
+    * corpus side streams through one scan + one top-k window — and it
+    * avoids [[ivfIndexTopK]]'s O(nprobe) probe-expression build, which
+    * is the wrong tool at nprobe ≈ K.
+    */
+  def ivfIndexTopKExact(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    healIvfIndex(spark, root)
+    val c = spark.read.schema(flatCellsSchema).parquet(s"$root/cells")
+      .select(col("vec_id"), col("emb"), col("norm").as("c_norm"))
+    val q = queries.withColumn("q_norm",
+      sqrt(call_function("graft_dot", col("qemb"), col("qemb"))))
+    val scored = broadcast(q).join(c, col("vec_id") =!= col("qid"))
+      .withColumn("sim", call_function("graft_dot", col("qemb"), col("emb")) /
+        (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
   }
 
   /** PQ cell tree schema, PINNED on every read: partition-type
@@ -1260,6 +1544,13 @@ object Similarity {
       root: String, batch: DataFrame, batchId: Long): Boolean = {
     val fs = hadoopFs(spark, root)
     val rootP = new org.apache.hadoop.fs.Path(root)
+    healIvfPqIndex(spark, root) // complete/roll back a crashed mutation
+    // gen read BEFORE observing any state (the documented CAS
+    // discipline of the other mutation lanes): a concurrent mutation
+    // finishing between the pqcells snapshot below and a later gen read
+    // would pass the CAS undetected and the re-delivery anti-join could
+    // miss its rows (duplicate encodes)
+    val gen = IndexGen.begin(fs, root)
     val committed =
       if (!fs.exists(rootP)) -1L
       else fs.listStatus(rootP).map(_.getPath.getName)
@@ -1281,8 +1572,7 @@ object Similarity {
         spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
           .where(col("cell").isin(touched: _*)).select("vec_id"),
         Seq("vec_id"), "left_anti")
-    val gen = IndexGen.current(fs, root)
-    IndexGen.advance(fs, root, gen)
+    IndexGen.advance(fs, root, gen) // publish point; gen read at entry
     fresh.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/pqcells/batch=$batchId")
@@ -1294,6 +1584,7 @@ object Similarity {
           n.stripPrefix("_ivfpq_commit_").toLong < batchId)
         fs.delete(p, false)
     }
+    IndexGen.release(fs, root, gen + 1)
     true
   }
 
@@ -1308,6 +1599,7 @@ object Similarity {
       root: String, queries: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    healIvfPqIndex(spark, root) // finish/roll back interrupted mutations
     GraftFunctions.register(spark)
     val cents = readIvfCentroids(spark, root)
     val cbRows = spark.read.parquet(s"$root/codebooks")

@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 import graft.model.Granularity
 import graft.operators.Downsample
@@ -667,6 +668,58 @@ object Streaming {
     * needs constructor/accessor visibility (a private class silently
     * falls back to interpreted projections). */
   case class SilenceState(lastSeenMs: Long, timerMs: Long)
+
+  /** Bounded-disorder tolerance for the derive twins: an EVENT-TIME
+    * reorder buffer keyed by stream_id. Every twin's contract is
+    * per-key in-order delivery (their state is one previous point —
+    * a reordered pair silently computes the wrong lag); real feeds
+    * violate order within a bounded skew. This wrapper buffers points
+    * in `ListState` and releases them in (t, v) order ONLY once the
+    * WATERMARK has passed them — the downstream twin then sees exactly
+    * the in-order feed it was pinned against, for any disorder ≤
+    * `maxDelay`. Flush is driven by event-time timers (one armed at
+    * the earliest buffered point), so a key with no further arrivals
+    * still drains as the global watermark advances; rows later than
+    * the watermark are dropped by Spark's late-row policy upstream —
+    * the standard bounded-skew contract. O(points inside the skew
+    * window) state per key, nothing corpus-sized. Compose as
+    * `derivative(reorderBuffer(src, "10 seconds"))` — the twins run
+    * TimeMode.None, so the chain is one watermark + two stateful ops.
+    */
+  def reorderBuffer(src: Dataset[Point], maxDelay: String): Dataset[Point] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, Point] {
+      @transient private var buf: ListState[Point] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[Point]("reorder",
+          Encoders.product[Point], TTLConfig.NONE)
+      private def drain(wmMs: Long): Iterator[Point] = {
+        val all = buf.get().toSeq
+        val (due, hold) = all.partition(_.t.getTime <= wmMs)
+        buf.clear()
+        if (hold.nonEmpty) {
+          buf.appendList(hold.toArray)
+          // one armed timer at the earliest held point: fires when the
+          // watermark passes it even if this key never sees another row
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(hold.map(_.t.getTime).min)
+        } else getHandle.listTimers().foreach(getHandle.deleteTimer)
+        due.sortBy(p => (p.t.getTime, p.v)).iterator
+      }
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[Point] = {
+        buf.appendList(rows.toArray)
+        drain(timerValues.getCurrentWatermarkInMs())
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[Point] =
+        drain(timerValues.getCurrentWatermarkInMs())
+    }
+    src.withWatermark("t", maxDelay)
+      .groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Dead-feed detection with EVENT-TIME TIMERS — the push-based twin of
     * the batch ds_staleness audit: per stream, a timer is (re)armed at

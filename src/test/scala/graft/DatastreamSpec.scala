@@ -54,6 +54,48 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ensureStreams bulk ≡ the ensureStream loop: per-row taxonomy, in-batch derive refs, one batched backprocess") {
+    val ds = freshDs()
+    // a pre-existing stream with history: the batch's derived spec must
+    // backprocess from it exactly like the per-call lane
+    val src = ds.ensureStream(Map("name" -> "bulk-src"))
+    ds.append(src, 5.0, ts("2024-01-01 00:00:01"))
+    ds.append(src, 9.0, ts("2024-01-01 00:00:03"))
+    val out = ds.ensureStreams(Seq(
+      EnsureSpec(Map("name" -> "bulk-a")),
+      // in-batch reference: spec 2 derives from spec 1's id? ids are
+      // UUIDs assigned inside the batch — derive from the PRE-existing
+      // source instead, plus a re-declaration and three conflict rows
+      EnsureSpec(Map("name" -> "bulk-d"), deriveFrom = Seq(src),
+        deriveOp = Some(DeriveOps.Derivative)),
+      EnsureSpec(Map("name" -> "bulk-a")), // idempotent re-declare
+      EnsureSpec(Map("name" -> "bulk-a"),
+        highestGranularity = Granularity.Minutes), // conflict
+      EnsureSpec(Map("name" -> "bulk-bad"), valueDownsamplers = Seq("bogus")),
+      EnsureSpec(Map("name" -> "bulk-badop"), deriveOp = Some(DeriveOps.Sum))))
+    assert(out(0).created && out(0).error.isEmpty)
+    assert(out(1).created && out(1).error.isEmpty)
+    assert(!out(2).created && out(2).streamId == out(0).streamId,
+      "re-declaration must return the existing id, not create")
+    // per-row §1.6 taxonomy — conflicts never abort the batch
+    assert(out(3).streamId.isEmpty &&
+      out(3).error.exists(_.contains("inconsistent stream configuration")))
+    assert(out(4).error.exists(_.contains("unsupported downsampler")))
+    assert(out(5).error.exists(_.contains("invalid operator arguments")))
+    // the batched backprocess computed the derived history (per-call
+    // ensureStream parity: derivative of the 2-point source)
+    val derived = out(1).streamId.get
+    val rows = ds.getData(derived, Granularity.Seconds).collect()
+    assert(rows.length == 1, s"backprocessed derivative rows: ${rows.length}")
+    // and a second bulk call is idempotent end-to-end
+    val again = ds.ensureStreams(Seq(
+      EnsureSpec(Map("name" -> "bulk-a")),
+      EnsureSpec(Map("name" -> "bulk-d"), deriveFrom = Seq(src),
+        deriveOp = Some(DeriveOps.Derivative))))
+    assert(again.forall(o => !o.created && o.error.isEmpty))
+    assert(again(1).streamId.contains(derived))
+  }
+
   test("value_type_options persist and join the immutable-config contract") {
     val root = Files.createTempDirectory("graft-vto").toString
     val ds = new Datastream(spark, root)

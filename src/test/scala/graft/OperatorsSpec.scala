@@ -3627,6 +3627,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(search(root) == search(fresh))
   }
 
+  test("bm25 stats sidecar ≡ doclens recount across build/append/delete/compact/rebuild; heal recovers crashed appends and legacy layouts") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stats").toString + "/idx"
+    def recount(r: String): (Long, Long) = {
+      val row = spark.read.parquet(s"$r/doclens")
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    def pin(label: String, r: String = root): Unit =
+      assert(graft.operators.Retrieval.corpusStats(spark, r) == recount(r),
+        s"sidecar diverged from a direct recount after $label")
+    graft.operators.Retrieval.buildIndex(
+      d.where(col("doc_id") < 40), root, nBuckets = 8)
+    pin("build")
+    graft.operators.Retrieval.appendToIndex(
+      d.where(col("doc_id") >= 40), root, nBuckets = 8)
+    pin("append")
+    graft.operators.Retrieval.deleteFromIndex(spark, root,
+      Seq(3L, 7L, 11L, 999L).toDF("doc_id")) // 999 absent: delta must be 0 for it
+    pin("delete")
+    graft.operators.Retrieval.compactIndex(spark, root, maxFilesPerBucket = 1)
+    pin("compact") // content-preserving: stats unchanged
+    val v2 = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stats-v2").toString + "/idx"
+    graft.operators.Retrieval.rebuildIndex(spark, root, v2, nBuckets = 16)
+    pin("rebuild", v2)
+    // crashed append: data landed, marker rotation didn't — the durable
+    // append intent makes heal recount instead of trusting a stale marker
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter(_.getName.startsWith("_bm25_stats_")).head
+    fs.delete(stale, false)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_bm25_stats_99_1_1"),
+      true).close() // wrong numbers, as a half-applied append would leave
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      "_bm25_append_pending_crashspec"), true).close()
+    pin("crashed append (pending intent + stale marker)")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("_bm25_append_pending_")),
+      "heal must clear the resolved append intent")
+    // legacy pre-sidecar index: no marker at all → heal self-migrates
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith("_bm25_stats_"))
+      .foreach(p => fs.delete(p, false))
+    pin("legacy self-migration")
+  }
+
   test("ivf rebuild: retrained v2 index search == ad-hoc exact-Lloyd search") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -3718,6 +3769,76 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     assert(graft.operators.Retrieval
       .bm25TopKIndexed(spark, broot, q, 3, nBuckets = 4).count() > 0)
+  }
+
+  test("index mutation lease: a writer starting inside another's rename window raises; expired leases break; the winner's state is exact") {
+    import spark.implicits._
+    // the r12 residual, now a mechanism: writer A's IndexGen.advance
+    // takes a lease that holds writer B out of the WHOLE publication
+    // window (not just the CAS instant) — B raises ConcurrentCommit at
+    // begin() with NOTHING written, and retries cleanly once A releases
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 150)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString + "/idx"
+    graft.operators.Similarity.buildIvfIndex(e, root, stride = 30)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leases() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_idx_lease_")).toSeq
+    assert(leases().isEmpty, "completed mutations must release their lease")
+    // simulate A mid-publication: its CAS done, renames in flight —
+    // exactly the on-disk state advance() leaves before release()
+    val g = graft.operators.IndexGen.current(fs, root)
+    val aLease = s"_idx_lease_${g + 1}_${System.currentTimeMillis() + 600000}"
+    fs.create(new org.apache.hadoop.fs.Path(root, aLease), true).close()
+    val before = spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.Similarity.deleteFromIvfIndex(spark, root, Seq(3L, 9L))
+    }
+    assert(spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == before,
+      "the held-out writer must not have touched live state")
+    // A finishes: release → B retries and lands exactly
+    graft.operators.IndexGen.release(fs, root, g + 1)
+    graft.operators.Similarity.deleteFromIvfIndex(spark, root, Seq(3L, 9L))
+    assert(spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      before -- Set(3L, 9L), "retry after release must apply exactly once")
+    assert(leases().isEmpty)
+    // a crashed holder: expired lease breaks at begin() and the writer
+    // proceeds (bounded unavailability, never deadlock)
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"_idx_lease_99_${System.currentTimeMillis() - 1000}"), true).close()
+    graft.operators.Similarity.deleteFromIvfIndex(spark, root, Seq(15L))
+    assert(!leases().exists(_.startsWith("_idx_lease_99_")),
+      "expired lease must have been broken")
+    assert(spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      before -- Set(3L, 9L, 15L))
+    // same mechanism on a BM25 root
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 40)
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft-lease-bm25").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d, broot, nBuckets = 4)
+    val bfs = new org.apache.hadoop.fs.Path(broot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bg = graft.operators.IndexGen.current(bfs, broot)
+    bfs.create(new org.apache.hadoop.fs.Path(broot,
+      s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}"),
+      true).close()
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.Retrieval.deleteFromIndex(spark, broot,
+        Seq(1L).toDF("doc_id"))
+    }
+    graft.operators.IndexGen.release(bfs, broot, bg + 1)
+    graft.operators.Retrieval.deleteFromIndex(spark, broot,
+      Seq(1L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$broot/postings")
+      .where(col("doc_id") === 1L).count() == 0)
   }
 
   test("bm25f ≡ bm25 over the virtual doc with fields repeated by weight") {
@@ -3969,6 +4090,160 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketDirs.forall(files(_) <= 1),
       "compaction must leave at most one file per bucket")
     assert(posts() == pBefore, "compaction must not change postings")
+  }
+
+  test("ivfpq delete: post-delete search == fresh index on survivors; heal publishes an interrupted swap and rolls back a pre-publish stage") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    // decoys: disjoint ids, same vectors — quantizers train on the REAL
+    // corpus only (production split), so both roots share assignment
+    val decoys = e.where(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("emb"))
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-pq-del").toString + "/idx"
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-pq-del-fresh").toString + "/idx"
+    S.writeIvfPqQuantizers(e, rootA, stride = 40, m = 16)
+    S.appendToIvfPqIndex(e.unionByName(decoys), rootA)
+    S.deleteFromIvfPqIndex(spark, rootA,
+      (0L until 30L).map(_ + 100000L))
+    S.writeIvfPqQuantizers(e, rootB, stride = 40, m = 16)
+    S.appendToIvfPqIndex(e, rootB)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def search(root: String) = S.ivfPqIndexTopK(spark, root, q, 3, 2)
+      .select("qid", "cid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(search(rootA) == search(rootB),
+      "post-delete PQ search must equal a fresh index on the survivors")
+    assert(spark.read.parquet(s"$rootA/pqcells")
+      .where(col("vec_id") >= 100000L).count() == 0,
+      "deleted codes must be purged from every (batch, cell) dir")
+    // interrupted swap: a cell staged away with its tmp complete — the
+    // next search must heal-publish it
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootA/pqcells"))
+      .map(_.getPath).filter(_.getName.startsWith("batch=")).head
+    val victim = fs.listStatus(bdir).map(_.getPath)
+      .filter(_.getName.startsWith("cell=")).head
+    val tag = victim.getName.stripPrefix("cell=")
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(bdir, s".ivfpq_tmp_$tag")))
+    assert(search(rootA) == search(rootB),
+      "search must heal-publish the staged PQ cell before reading")
+    // pre-publish stage tree (no marker): heal must roll it back
+    spark.range(1).select(lit(999999L).as("vec_id"),
+        typedLit(Seq.fill(16)(0)).as("codes"), lit(0L).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$rootA/.ivfpq_stage")
+    S.healIvfPqIndex(spark, rootA)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$rootA/.ivfpq_stage")))
+    assert(search(rootA) == search(rootB))
+  }
+
+  test("ivfpq compact: batch dirs fold to the max label, search unchanged; the marker heals into completion, a bare stage into rollback") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-cpt").toString + "/idx"
+    S.writeIvfPqQuantizers(e, root, stride = 40, m = 16)
+    (0 to 2).foreach(i =>
+      S.appendToIvfPqIndex(e.where(col("vec_id") % 3 === i), root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/pqcells"))
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSeq.sorted
+    assert(batchDirs().size == 3, s"expected 3 append dirs, got ${batchDirs()}")
+    val maxLabel = batchDirs().max
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def search() = S.ivfPqIndexTopK(spark, root, q, 3, 2)
+      .select("qid", "cid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def codes() = spark.read.parquet(s"$root/pqcells")
+      .select("vec_id", "codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val (s0, c0) = (search(), codes())
+    S.compactIvfPqIndex(spark, root)
+    assert(batchDirs() == Seq(maxLabel),
+      s"compaction must fold into the max label, got ${batchDirs()}")
+    assert(search() == s0 && codes() == c0,
+      "compaction must preserve content and searches")
+    // crash AFTER the durable marker: stage complete + marker on disk,
+    // swap never ran — heal must COMPLETE. Re-split the content first
+    // (move the odd ids into a second batch dir) so the fold has work.
+    val half = spark.read.parquet(s"$root/pqcells")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+      .where(col("vec_id") % 2 === 1).localCheckpoint(true)
+    S.deleteFromIvfPqIndexFrame(spark, root, half.select("vec_id"))
+    half.write.mode("append").partitionBy("cell")
+      .parquet(s"$root/pqcells/batch=${maxLabel + 5}")
+    val preHeal = codes()
+    spark.read.parquet(s"$root/pqcells")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/.ivfpq_cstage")
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"_ivfpq_compact_${maxLabel + 5}"), true).close()
+    S.healIvfPqIndex(spark, root)
+    assert(batchDirs() == Seq(maxLabel + 5),
+      "heal must complete a marked compaction")
+    assert(codes() == preHeal, "completed compaction must preserve content")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("_ivfpq_compact_")))
+    // crash BEFORE the marker: a bare stage tree rolls back wholesale
+    spark.range(1).select(lit(888888L).as("vec_id"),
+        typedLit(Seq.fill(16)(0)).as("codes"), lit(0L).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/.ivfpq_cstage")
+    S.healIvfPqIndex(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.ivfpq_cstage")))
+    assert(codes() == preHeal, "a pre-publish stage must roll back")
+  }
+
+  test("ivfpq stats + audit: balanced index reports sane recall; a gutted batch dir trips the rebuild flag") {
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-audit").toString + "/idx"
+    S.writeIvfPqQuantizers(e, root, stride = 40, m = 16)
+    (0 to 1).foreach(i =>
+      S.appendToIvfPqIndex(e.where(col("vec_id") % 2 === i), root))
+    val n = e.count()
+    val stats = S.ivfPqIndexStats(spark, root).collect()
+    assert(stats.map(_.getLong(1)).sum == n,
+      "per-cell n_codes must sum to the corpus")
+    assert(stats.forall(_.getLong(3) > 0L), "bytes must come from the FS")
+    assert(stats.map(_.getLong(2)).max == 2L,
+      "two appends should show as two batch dirs somewhere")
+    def audit() = S.auditIvfPqIndex(spark, root, e, k = 3, nprobe = 2,
+      sampleBudget = 20, minRecallBp = 3000).head()
+    val a0 = audit()
+    assert(a0.getLong(1) == n, s"audit n_codes: ${a0.getLong(1)} != $n")
+    assert(a0.getLong(5) >= 3000L,
+      s"consistent-index ADC recall_bp ${a0.getLong(5)} below floor")
+    assert(!a0.getBoolean(6), "consistent index must not trip rebuild")
+    // gut one batch dir — lost codes must surface as recall decay
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bd = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/pqcells"))
+      .map(_.getPath).filter(_.getName.startsWith("batch=")).head
+    fs.delete(bd, true)
+    val a1 = audit()
+    assert(a1.getLong(1) < n, "gutted dir must drop n_codes")
+    assert(a1.getLong(5) < a0.getLong(5),
+      s"gutted recall ${a1.getLong(5)} should fall below ${a0.getLong(5)}")
   }
 
   override def afterAll(): Unit = spark.stop()

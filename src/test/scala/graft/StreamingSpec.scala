@@ -86,6 +86,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
   }
 
+  test("reorder buffer: bounded-skew shuffled replay through the twins == in-order delivery (V2 / V4 / EWMA)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // every twin's contract is per-key in-order delivery; real feeds
+    // violate it within a bounded skew. The wrapper must hand the twin
+    // an in-order feed under ANY disorder <= maxDelay — pinned here by a
+    // seeded random bounded-skew shuffle across micro-batch cuts.
+    def t0 = ts("2024-01-01 00:00:00").getTime
+    val ptsA = (0 until 30).map(i => Streaming.Point("a",
+      new java.sql.Timestamp(t0 + i * 10000L), 10.0 + 7.0 * math.sin(i)))
+    // counter with a wrap at i=20 for the V4 lane
+    val ptsB = (0 until 30).map(i => Streaming.Point("b",
+      new java.sql.Timestamp(t0 + i * 10000L),
+      if (i < 20) 100.0 + i * 7 else i * 3.0))
+    val real = (ptsA ++ ptsB)
+    val rnd = new scala.util.Random(11)
+    // bounded skew: delivery order = event time + jitter in [-15s, +15s]
+    val shuffled = real.sortBy(p => p.t.getTime + (rnd.nextInt(31) - 15) * 1000L)
+    // sentinels drive the watermark past every real point so held
+    // buffers drain through their timers (distinct key; filtered below)
+    val sentinels = Seq(
+      Streaming.Point("zz", new java.sql.Timestamp(t0 + 3600 * 1000L), 1.0),
+      Streaming.Point("zz", new java.sql.Timestamp(t0 + 7200 * 1000L), 2.0))
+    def run(name: String,
+        twin: org.apache.spark.sql.Dataset[Streaming.Point] =>
+          org.apache.spark.sql.Dataset[Streaming.Point]) = {
+      val mem = MemoryStream[Streaming.Point]
+      val q = twin(Streaming.reorderBuffer(mem.toDS(), "60 seconds"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        shuffled.grouped(13).foreach { b => mem.addData(b); q.processAllAvailable() }
+        sentinels.foreach { p => mem.addData(Seq(p)); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).where(col("stream_id") =!= "zz")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        .toSet
+    }
+    def ordered(name: String,
+        twin: org.apache.spark.sql.Dataset[Streaming.Point] =>
+          org.apache.spark.sql.Dataset[Streaming.Point]) = {
+      val mem = MemoryStream[Streaming.Point]
+      val q = twin(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { mem.addData(real); q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        .toSet
+    }
+    val lanes = Seq[(String,
+        org.apache.spark.sql.Dataset[Streaming.Point] =>
+          org.apache.spark.sql.Dataset[Streaming.Point])](
+      ("v2", Streaming.derivative),
+      ("v4", s => Streaming.counterDerivative(s, Some(250.0))),
+      ("ewma", s => Streaming.ewma(s, 0.3)))
+    for ((nm, twin) <- lanes) {
+      val got = run(s"rob_$nm", twin)
+      val ref = ordered(s"rob_ref_$nm", twin)
+      assert(got == ref,
+        s"$nm under bounded-skew replay diverged from in-order delivery")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("streaming ACF sufficient statistics == batch autocorr across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
