@@ -163,6 +163,59 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** [[replayStream]] under BOUNDED-SKEW delivery — the disorder real
+    * feeds actually have: rows arrive ordered by (event time + a SEEDED
+    * ±skewSec jitter), so per-key in-order delivery is violated within
+    * the bound, and the twin runs behind
+    * [[graft.streaming.Streaming.reorderBuffer]] which restores event
+    * order at the watermark. Two sentinel-key points (filtered from the
+    * output) drive the final watermark past every real point so held
+    * buffers drain through their event-time timers. Deterministic: fixed
+    * seed, fixed batch cuts.
+    */
+  private def replayStreamSkewed(s: SparkSession, input: DataFrame,
+      nBatches: Int, skewSec: Int, maxDelay: String)(
+      op: org.apache.spark.sql.Dataset[graft.streaming.Streaming.Point] =>
+        org.apache.spark.sql.Dataset[_]): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streaming.Point]
+    val name = s"replay_skew_${System.nanoTime()}"
+    val sentinelKey = "zzz_wm_sentinel"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val rnd = new scala.util.Random(7)
+    val rows = input.select("stream_id", "t", "v")
+      .orderBy("t", "stream_id").collect()
+      .map(r => graft.streaming.Streaming.Point(
+        r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      // bounded-skew delivery order; safety: a point's arrival can trail
+      // the observed max event time by <= 2*skewSec, and the buffer's
+      // maxDelay exceeds that, so nothing is ever watermark-late
+      .map(p => (p, p.t.getTime + (rnd.nextInt(2 * skewSec + 1) - skewSec) * 1000L))
+      .sortBy { case (p, jt) => (jt, p.stream_id, p.t.getTime) }
+      .map(_._1)
+    val maxT = rows.map(_.t.getTime).max
+    val sentinels = Seq(
+      graft.streaming.Streaming.Point(sentinelKey,
+        new java.sql.Timestamp(maxT + 3600000L), 0.0),
+      graft.streaming.Streaming.Point(sentinelKey,
+        new java.sql.Timestamp(maxT + 7200000L), 1.0))
+    try {
+      val q = op(graft.streaming.Streaming.reorderBuffer(mem.toDS(), maxDelay))
+        .toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(rows.length / nBatches + 1).foreach { b =>
+          mem.addData(b.toSeq); q.processAllAvailable()
+        }
+        sentinels.foreach { p => mem.addData(Seq(p)); q.processAllAvailable() }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).where(col("stream_id") =!= sentinelKey)
+  }
+
   /** Gap-based user sessions over events: a session breaks after >30 min
     * of silence; one row per session with count and [start, end] seconds.
     * Shared by q_sessionize and the interval-overlap join.
@@ -2364,6 +2417,19 @@ object SparkEntry {
         .orderBy("stream_id", "t")
     },
 
+    "drv_derivative_stream_skewed" -> { (s, dir) =>
+      // STREAMING V2 under BOUNDED-SKEW delivery (the contract real
+      // feeds violate): rows replay in seeded ±90 s-jittered order —
+      // per-key in-order delivery broken within the bound — and the
+      // event-time reorder buffer restores order at the watermark, so
+      // the twin still emits drv_derivative's oracle verbatim. A missing
+      // or leaky buffer computes wrong lags and hash-diverges.
+      replayStreamSkewed(s, pointStreams(s, dir), 3, skewSec = 90,
+          maxDelay = "300 seconds")(
+          ds => graft.streaming.Streaming.derivative(ds))
+        .orderBy("stream_id", "t")
+    },
+
     "drv_counter_derivative" -> { (s, dir) =>
       Derive.counterDerivative(counterStreams(s, dir), Some(1000.0))
         .orderBy("stream_id", "t")
@@ -4529,6 +4595,53 @@ object SparkEntry {
       Similarity.compactIvfPqIndex(s, work)
       val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
       Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivfpq_maintained" -> { (s, dir) =>
+      // the CLOSED drift loop for the codes-only index (emb_ann_ivf_
+      // audited's shape on the PQ lane): the family bootstraps under
+      // deliberately BIASED quantizers (coarse centroids AND codebooks
+      // trained on one corner of the corpus — ADC quality on the full
+      // corpus is immediately poor), micro-batches fold through
+      // maintainIvfPqBatch with in-loop compaction, and the audit on the
+      // final batch trips rebuild → quantizers retrain at the oracle's
+      // strides on the corpus, cells re-encode, generation flips.
+      // Content ≡ corpus and the retrained sampling ≡ the oracle's, so
+      // the post-flip search shares emb_ann_ivfpq's oracle verbatim —
+      // a silent non-firing audit leaves the biased quantizers and
+      // hash-diverges.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-mnt").toString + "/fam"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.writeIvfPqQuantizers(e.where(col("vec_id") < 40),
+        s"$base/gen=0", stride = 8, m = 16, pqStride = 2)
+      def rows(m0: Long) = e.where(col("vec_id") % 3 === m0)
+        .as[(Long, Seq[Double])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDF.toDF("vec_id", "emb")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.maintainIvfPqBatch(s, base, b, id, e,
+            compactEvery = 2, auditEvery = 3, k = 3, nprobe = 2,
+            rebuildStride = 50, rebuildPqStride = 5, m = 16,
+            minRecallBp = 8000)
+          ()
+        }
+        .option("checkpointLocation", s"$base/../ckpt").start()
+      try {
+        mem.addData(rows(0)); q.processAllAvailable()
+        mem.addData(rows(1)); q.processAllAvailable()
+        mem.addData(rows(2)); q.processAllAvailable()
+      } finally q.stop()
+      val qs = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfPqIndexTopK(s, Similarity.ivfPqCurrentRoot(s, base),
+          qs, k = 3, nprobe = 2)
         .withColumn("adist", round(col("adist"), 6))
         .orderBy("qid", "rnk")
     },
@@ -8818,6 +8931,9 @@ object SparkEntry {
     "drv_derivative" -> derivativeOracleSql,
 
     "drv_derivative_stream" -> derivativeOracleSql,
+    // bounded-skew replay through the reorder buffer converges to the
+    // same in-order fold — oracle verbatim
+    "drv_derivative_stream_skewed" -> derivativeOracleSql,
 
     "drv_counter_reset" -> counterResetOracleSql,
 
@@ -11135,6 +11251,9 @@ object SparkEntry {
     // corpus; compaction is content-preserving — same oracle verbatim
     "emb_ann_ivfpq_deleted" -> ivfpqOracleSql,
     "emb_ann_ivfpq_compacted" -> ivfpqOracleSql,
+    // audit-triggered re-encode on full content ⇒ the oracle's own
+    // sampling exactly; a silent non-firing audit would hash-diverge
+    "emb_ann_ivfpq_maintained" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_stats" ->
       // home-cell assignment cardinalities — the emb_ann_ivf_stats rule

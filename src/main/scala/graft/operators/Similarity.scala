@@ -1456,6 +1456,73 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rnk"), col("sim"))
   }
 
+  /** Resolve the live generation of a MAINTAINED PQ index family under
+    * `base` — the [[ivfCurrentRoot]] discipline for the codes-only lane:
+    * generations live at `base/gen=N`, live = max `_ivfpq_gen_N` marker
+    * (none = the bootstrap gen=0), publish = single marker create after
+    * the rebuilt index is complete.
+    */
+  def ivfPqCurrentRoot(spark: org.apache.spark.sql.SparkSession,
+      base: String): String = s"$base/gen=${ivfPqCurrentGen(spark, base)}"
+
+  private def ivfPqCurrentGen(spark: org.apache.spark.sql.SparkSession,
+      base: String): Long = {
+    val fs = hadoopFs(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_ivfpq_gen_") =>
+        n.stripPrefix("_ivfpq_gen_").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** One foreachBatch step of the FULLY-WIRED PQ maintenance loop — the
+    * [[maintainIvfBatch]] shape for the codes-only index: exactly-once
+    * apply into the family's live generation, in-loop batch-dir
+    * compaction every `compactEvery` batches, and [[auditIvfPqIndex]]
+    * every `auditEvery` batches with an automatic RE-ENCODE into the
+    * next generation when the audit trips (a PQ rebuild must return to
+    * the raw vectors — codes are derived data — so the loop takes the
+    * ground-truth `corpus` the audit already needs: quantizers retrain
+    * on it with the given strides and the cells re-encode from it). The
+    * commit horizon is carried into the new generation BEFORE the
+    * single-marker publish, so pre-flip re-deliveries stay skipped.
+    */
+  def maintainIvfPqBatch(spark: org.apache.spark.sql.SparkSession,
+      base: String, batch: DataFrame, batchId: Long, corpus: DataFrame,
+      compactEvery: Int = 0, auditEvery: Int = 0, k: Int = 3,
+      nprobe: Int = 2, rebuildStride: Long = 50, rebuildPqStride: Long = 5,
+      m: Int = 16, sampleBudget: Long = 20, minRecallBp: Long = 3000,
+      maxCellPpm: Long = 500000): Boolean = {
+    val gen = ivfPqCurrentGen(spark, base)
+    val cur = s"$base/gen=$gen"
+    val applied = applyIvfPqBatch(spark, cur, batch, batchId)
+    if (!applied) return false
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactIvfPqIndex(spark, cur)
+    if (auditEvery > 0 && batchId % auditEvery == auditEvery - 1) {
+      val a = auditIvfPqIndex(spark, cur, corpus, k, nprobe, sampleBudget,
+        minRecallBp, maxCellPpm).head()
+      if (a.getBoolean(6)) {
+        val fs = hadoopFs(spark, base)
+        val next = s"$base/gen=${gen + 1}"
+        // a crashed earlier attempt leaves an unmarked half-built dir —
+        // clear it or the re-encode would double its content
+        fs.delete(new org.apache.hadoop.fs.Path(next), true)
+        writeIvfPqQuantizers(corpus, next, rebuildStride, m, rebuildPqStride)
+        appendToIvfPqIndex(corpus, next)
+        // carry the exactly-once horizon BEFORE the generation flip
+        fs.create(new org.apache.hadoop.fs.Path(next,
+          s"_ivfpq_commit_$batchId"), true).close()
+        fs.create(new org.apache.hadoop.fs.Path(base,
+          s"_ivfpq_gen_${gen + 1}"), true).close()
+        fs.delete(new org.apache.hadoop.fs.Path(base,
+          s"_ivfpq_gen_$gen"), false)
+      }
+    }
+    applied
+  }
+
   /** FULL-PROBE exact search over the persisted flat index — every cell
     * is a candidate, scored from the STORED vectors and norms with
     * [[cosineTopK]]'s exact formula and tie rules (a stored norm is

@@ -4210,6 +4210,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes() == preHeal, "a pre-publish stage must roll back")
   }
 
+  test("ivfpq maintained family: audit-triggered re-encode flips the generation, carries the horizon, equals a fresh trained index") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 300)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pq-mnt").toString + "/fam"
+    // biased bootstrap quantizers: one corner of the corpus
+    S.writeIvfPqQuantizers(e.where(col("vec_id") < 30), s"$base/gen=0",
+      stride = 8, m = 16, pqStride = 2)
+    def slice(i: Long) = e.where(col("vec_id") % 3 === i)
+    (0L to 2L).foreach { i =>
+      assert(S.maintainIvfPqBatch(spark, base, slice(i), i, e,
+        compactEvery = 2, auditEvery = 3, rebuildStride = 40,
+        minRecallBp = 9999)) // force-fire on the audit batch
+    }
+    assert(S.ivfPqCurrentRoot(spark, base) == s"$base/gen=1",
+      "the tripped audit must have flipped the generation")
+    // horizon carried: a re-delivered pre-flip batch id must skip
+    assert(!graft.operators.Similarity.applyIvfPqBatch(spark,
+      s"$base/gen=1", slice(1L), 1L),
+      "pre-flip batch ids must stay below the carried commit horizon")
+    // the re-encoded family equals a fresh index trained the same way
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-pq-mnt-fresh").toString + "/idx"
+    S.writeIvfPqQuantizers(e, fresh, stride = 40, m = 16)
+    S.appendToIvfPqIndex(e, fresh)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def search(root: String) = S.ivfPqIndexTopK(spark, root, q, 3, 2)
+      .select("qid", "cid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(search(S.ivfPqCurrentRoot(spark, base)) == search(fresh))
+  }
+
   test("ivfpq stats + audit: balanced index reports sane recall; a gutted batch dir trips the rebuild flag") {
     val S = graft.operators.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
