@@ -1844,6 +1844,20 @@ object SparkEntry {
         .orderBy(col("hits").desc, col("doc_id")).limit(20)
     },
 
+    "q_phrase_search_indexed" -> { (s, dir) =>
+      // the PHRASE lane from the persisted index: a POSITIONAL build
+      // adds a (doc_id, tok, positions) tree bucketed by token, and the
+      // search reads ONLY the phrase tokens' buckets — hits per doc =
+      // |∩_i (positions_i − i)|, the positional-postings conjunction,
+      // equal to q_phrase_search's direct adjacency count (oracle
+      // shared verbatim).
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-pos").toString + "/idx"
+      Retrieval.buildIndex(docs, work, positional = true)
+      Retrieval.phraseTopKIndexed(s, work, Seq("sort", "merge"), 20)
+    },
+
     "ds_trend_ols" -> { (s, dir) =>
       // per-(event_type, user-cohort) least-squares DAILY TREND in the
       // exact integer lane: center days at the group's min, lift values
@@ -6905,6 +6919,19 @@ object SparkEntry {
         |FROM cc, nq, hits, exn""".stripMargin
   }
 
+  // shared by q_phrase_search (direct token-position adjacency) and
+  // q_phrase_search_indexed (positional postings conjunction)
+  private val phraseOracleSql: String =
+      // 1-based list indexing; range(1, len) is end-exclusive, so i+1
+      // stays in bounds — same overlapping-adjacency count
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)),
+        |    i -> w[i] = 'sort' AND w[i + 1] = 'merge')) AS BIGINT) AS hits
+        |  FROM d)
+        |SELECT doc_id, hits FROM h WHERE hits > 0
+        |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin
+
   // shared by q_hybrid_rrf (direct lanes) and q_hybrid_rrf_indexed
   // (persisted bm25 postings + flat IVF cells at full probe — exact)
   private val hybridRrfOracleSql: String =
@@ -7846,16 +7873,9 @@ object SparkEntry {
         |    / ln(CAST(2 AS DOUBLE)), 4) AS ent_bits
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    "q_phrase_search" ->
-      // 1-based list indexing; range(1, len) is end-exclusive, so i+1
-      // stays in bounds — same overlapping-adjacency count
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)),
-        |    i -> w[i] = 'sort' AND w[i + 1] = 'merge')) AS BIGINT) AS hits
-        |  FROM d)
-        |SELECT doc_id, hits FROM h WHERE hits > 0
-        |ORDER BY hits DESC, doc_id LIMIT 20""".stripMargin,
+    "q_phrase_search" -> phraseOracleSql,
+    // positional-postings conjunction == the direct adjacency count
+    "q_phrase_search_indexed" -> phraseOracleSql,
 
     "ds_trend_ols" ->
       // same centered integer sufficient statistics; round(v*1000) is

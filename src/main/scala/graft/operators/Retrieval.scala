@@ -127,18 +127,28 @@ object Retrieval {
     * caller owns doc-id dedup, as everywhere in the engine).
     */
   def buildIndex(docs: DataFrame, root: String, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = true)
+      idCol: String = "doc_id", textCol: String = "text",
+      positional: Boolean = false): Unit =
+    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = true,
+      positional = positional)
 
+  /** Appends inherit the build's shape: the positions tree is extended
+    * iff the index was built positional. */
   def appendToIndex(docs: DataFrame, root: String, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = false)
+    writeIndex(docs, root, nBuckets, idCol, textCol, overwrite = false,
+      positional = false)
 
   private def writeIndex(docs: DataFrame, root: String, nBuckets: Int,
-      idCol: String, textCol: String, overwrite: Boolean): Unit = {
+      idCol: String, textCol: String, overwrite: Boolean,
+      positional: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val spark = docs.sparkSession
     val fs = retrievalFs(spark, root)
+    // appends extend the positions tree iff the build created it
+    val writePos = positional ||
+      (!overwrite &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/positions")))
     val gen = graft.operators.IndexGen.begin(fs, root)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
@@ -181,6 +191,18 @@ object Retrieval {
     val got = obs.get
     val dn = got.get("dn").map(_.asInstanceOf[Long]).getOrElse(0L)
     val dsdl = got.get("dsdl").map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (writePos)
+      // the PHRASE lane's sidecar: 1-based token positions per (doc, tok),
+      // bucketed by token like the postings so a phrase search reads only
+      // its tokens' buckets. Opt-in — most corpora don't pay for it.
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok")
+        .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$root/positions")
     if (mustRecount) recountStats(spark, fs, root)
     else {
       val (n0, sdl0) =
@@ -288,6 +310,7 @@ object Retrieval {
     */
   private val StageDir = ".bm25_stage"
   private val DlStageDir = ".bm25_dlstage"
+  private val PosStageDir = ".bm25_posstage"
   private val PendingTmp = ".bm25_pending_tmp"
   private val PendingDelete = "_bm25_pending_delete"
 
@@ -361,6 +384,8 @@ object Retrieval {
     }
     stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
     stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids)
+    stagedBucketDelete(spark, fs, s"$root/positions", s"$root/$PosStageDir",
+      ids) // no-op on non-positional indexes
     if (stats.isEmpty) recountStats(spark, fs, root) // pre-sidecar index
     else cleanupStats(fs, root) // swaps published — retire the old gen
     fs.delete(marker, true)
@@ -430,6 +455,8 @@ object Retrieval {
     // appends grow doclens one file per bucket per batch too
     compactTree(spark, fs, s"$root/doclens", s"$root/$DlStageDir",
       maxFilesPerBucket)
+    compactTree(spark, fs, s"$root/positions", s"$root/$PosStageDir",
+      maxFilesPerBucket) // no-op on non-positional indexes
     graft.operators.IndexGen.release(fs, root, gen + 1)
   }
 
@@ -498,6 +525,15 @@ object Retrieval {
     publishStats(retrievalFs(spark, newRoot), newRoot,
       got.get("n").map(_.asInstanceOf[Long]).getOrElse(0L),
       got.get("sdl").map(_.asInstanceOf[Long]).getOrElse(0L))
+    // a positional index re-buckets its positions tree too
+    val fs = retrievalFs(spark, oldRoot)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$oldRoot/positions")))
+      spark.read.parquet(s"$oldRoot/positions")
+        .select("doc_id", "tok", "positions")
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$newRoot/positions")
   }
 
   /** Fold ONE micro-batch of documents into a [[buildIndex]] index,
@@ -556,6 +592,7 @@ object Retrieval {
     // interrupted batched delete — dropping them rolls that phase back
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$StageDir"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$DlStageDir"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$PosStageDir"), true)
     fs.delete(new org.apache.hadoop.fs.Path(root, PendingTmp), true)
     def healDir(dir: org.apache.hadoop.fs.Path): Unit = {
       if (!fs.exists(dir)) return
@@ -570,6 +607,7 @@ object Retrieval {
     }
     healDir(new org.apache.hadoop.fs.Path(s"$root/postings"))
     healDir(new org.apache.hadoop.fs.Path(s"$root/doclens"))
+    healDir(new org.apache.hadoop.fs.Path(s"$root/positions"))
     if (fs.exists(new org.apache.hadoop.fs.Path(root, PendingDelete)))
       runPendingDelete(spark, root)
     // stats sidecar heal (after any pending delete completed, so the
@@ -728,6 +766,51 @@ object Retrieval {
       .agg(round(sum("term"), 6).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
+  }
+
+  /** Exact n-token phrase search against a POSITIONAL [[buildIndex]]
+    * index: each phrase token's (doc_id, positions) rows come from its
+    * own bucket dir (I/O ∝ phrase tokens, never corpus), and a document
+    * matches where the shifted position lists intersect —
+    * `hits = |∩_i (positions_i − i)|`, the classic positional-postings
+    * conjunction (overlapping matches counted, like the direct lane).
+    * Output: (doc_id, hits) for hits > 0, (hits desc, doc_id), top k.
+    */
+  def phraseTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      root: String, phrase: Seq[String], k: Int,
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    healIndex(spark, root)
+    val posSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", StringType),
+      StructField("positions", ArrayType(LongType))))
+    val fs = retrievalFs(spark, root)
+    def tokLane(t: String, i: Int): DataFrame = {
+      // bucket via the same xxhash64 the writer used — computed with a
+      // 1-row Spark expression so the two sides can never disagree
+      val b = spark.range(1)
+        .select(pmod(xxhash64(lit(t)), lit(nBuckets.toLong)))
+        .head().getLong(0)
+      val bdir = s"$root/positions/bucket=$b"
+      val rows =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(bdir)))
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), posSchema)
+        else spark.read.schema(posSchema).parquet(bdir)
+      rows.where(col("tok") === t)
+        .select(col("doc_id"),
+          expr(s"transform(positions, p -> p - ${i}L)").as(s"a$i"))
+    }
+    val lanes = phrase.zipWithIndex.map { case (t, i) => tokLane(t, i) }
+    val joined = lanes.reduce((l, r) => l.join(r, "doc_id"))
+    val acc = phrase.indices.map(i => s"a$i")
+      .reduce((l, r) => s"array_intersect($l, $r)")
+    joined
+      .select(col("doc_id"),
+        expr(s"CAST(size($acc) AS BIGINT)").as("hits"))
+      .where(col("hits") > 0)
+      .orderBy(col("hits").desc, col("doc_id")).limit(k)
   }
 
   /** Reciprocal-rank fusion of two rankings (the standard hybrid-search

@@ -3841,6 +3841,51 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("doc_id") === 1L).count() == 0)
   }
 
+  test("positional index: phrase conjunction == direct adjacency; append/delete/compact maintain the positions tree") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 150)
+    def direct(docs: org.apache.spark.sql.DataFrame, ph: Seq[String]) = {
+      val conds = ph.zipWithIndex
+        .map { case (t, i) => s"element_at(w, i + $i) = '$t'" }
+        .mkString(" AND ")
+      docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("hits", expr(
+          s"CAST(size(filter(sequence(1, size(w) - ${ph.size - 1}), " +
+            s"i -> $conds)) AS BIGINT)"))
+        .where(col("hits") > 0).select("doc_id", "hits")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def indexed(root: String, ph: Seq[String]) =
+      R.phraseTopKIndexed(spark, root, ph, 10000, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-posspec").toString + "/idx"
+    R.buildIndex(d.where(col("doc_id") < 80), root, nBuckets = 8,
+      positional = true)
+    // append auto-extends the positions tree on a positional index
+    R.appendToIndex(d.where(col("doc_id") >= 80), root, nBuckets = 8)
+    val ph2 = Seq("sort", "merge")
+    assert(direct(d, ph2).nonEmpty, "fixture should contain the phrase")
+    assert(indexed(root, ph2) == direct(d, ph2))
+    // a 3-token phrase exercises the shifted-intersection chain
+    val w3 = d.select(split(col("text"), " ").as("w"))
+      .select(expr("slice(w, 3, 3)").as("p")).where(size(col("p")) === 3)
+      .head().getSeq[String](0)
+    assert(indexed(root, w3) == direct(d, w3),
+      s"3-token phrase $w3 diverged")
+    // delete purges positions; compact preserves them
+    val victims = direct(d, ph2).map(_._1).take(2).toSeq
+    R.deleteFromIndex(spark, root, victims.toDF("doc_id"))
+    val surviving = d.where(!col("doc_id").isin(victims: _*))
+    assert(indexed(root, ph2) == direct(surviving, ph2),
+      "delete must purge the deleted docs' positions")
+    R.compactIndex(spark, root, maxFilesPerBucket = 1)
+    assert(indexed(root, ph2) == direct(surviving, ph2),
+      "compaction must preserve the positions tree")
+  }
+
   test("bm25f ≡ bm25 over the virtual doc with fields repeated by weight") {
     import spark.implicits._
     // the semantic identity that pins BM25F's integer-weight variant:
