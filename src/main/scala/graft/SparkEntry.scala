@@ -1712,6 +1712,43 @@ object SparkEntry {
             " * sx) / n, 4)").as("intercept"))
     },
 
+    "text_heaps_fit" -> { (s, dir) =>
+      // Heaps'-law fit (the Zipf fit's companion corpus-health check):
+      // vocabulary growth V(n) ≈ K·n^β over ten doc-prefix checkpoints —
+      // natural text sits near β ≈ 0.5; a template corpus saturates
+      // (β → 0), an id-heavy one inflates (β → 1). V_j = tokens whose
+      // FIRST document lands before cut_j (one vocab-scale min +
+      // broadcast theta-join — never a per-prefix rescan), n_j = token
+      // mass before cut_j. Counts/cuts are exact integers; ln + OLS is
+      // the zipf lane's float discipline (round(4) absorbs sum-order
+      // ulps).
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .localCheckpoint(true) // feeds first-doc AND per-doc mass
+      val mindoc = toks.groupBy("t").agg(min("doc_id").as("m"))
+      val perdoc = toks.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val nd = docs.count()
+      val cuts = (1 to 10).map(j => nd * j / 10).toDF("cut")
+      val v = mindoc.join(broadcast(cuts), col("m") < col("cut"))
+        .groupBy("cut").agg(count(lit(1)).as("v"))
+      val nj = perdoc.join(broadcast(cuts), col("doc_id") < col("cut"))
+        .groupBy("cut").agg(sum("c").as("nmass"))
+      nj.join(v, "cut")
+        .select(expr("ln(CAST(nmass AS DOUBLE))").as("x"),
+          expr("ln(CAST(v AS DOUBLE))").as("y"))
+        .agg(count(lit(1)).as("np"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .select(col("np").as("n_points"),
+          expr("round((np * sxy - sx * sy) / (np * sxx - sx * sx), 4)")
+            .as("heaps_beta"),
+          expr("round((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx))" +
+            " * sx) / np, 4)").as("intercept"))
+    },
+
     "text_hash_features" -> { (s, dir) =>
       // the hashing trick (Weinberger et al.) — fixed-dimension token
       // featurization with no vocabulary artifact: token → md5 15-hex
@@ -7845,6 +7882,33 @@ object SparkEntry {
         |    AS zipf_slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
         |    / n, 4) AS intercept
+        |FROM g""".stripMargin,
+
+    "text_heaps_fit" ->
+      // same exact-integer checkpoints; ln + OLS mirrors term-for-term
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM d),
+        |t AS (SELECT * FROM t0 WHERE tok <> ''),
+        |md AS (SELECT tok, min(doc_id) AS m FROM t GROUP BY tok),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM t
+        |  GROUP BY doc_id),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+        |cuts AS (SELECT (nd * j) // 10 AS cut
+        |  FROM nn, (SELECT unnest(range(1, 11)) AS j)),
+        |v AS (SELECT cut, CAST(count(*) AS BIGINT) AS v FROM cuts
+        |  JOIN md ON md.m < cuts.cut GROUP BY cut),
+        |nj AS (SELECT cut, CAST(sum(c) AS BIGINT) AS nmass FROM cuts
+        |  JOIN pd ON pd.doc_id < cuts.cut GROUP BY cut),
+        |p AS (SELECT ln(CAST(nmass AS DOUBLE)) AS x,
+        |    ln(CAST(v AS DOUBLE)) AS y FROM nj JOIN v USING (cut)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+        |SELECT np AS n_points,
+        |  round((np * sxy - sx * sy) / (np * sxx - sx * sx), 4)
+        |    AS heaps_beta,
+        |  round((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx)) * sx)
+        |    / np, 4) AS intercept
         |FROM g""".stripMargin,
 
     "text_hash_features" ->
