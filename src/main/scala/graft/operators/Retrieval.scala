@@ -368,22 +368,30 @@ object Retrieval {
     // stats delta staged FIRST, durable as a gen+1 marker coexisting
     // with gen until the swaps land: a crash-replay that sees two
     // markers reuses the newest — already-swapped doclens buckets no
-    // longer match any pending id, so recomputing would under-subtract
+    // longer match any pending id, so recomputing would under-subtract.
+    // The delta agg and the doclens touched-bucket discovery share ONE
+    // semi-join scan (a third full pass here would bill every
+    // applyIndexBatch scrub, clean path included).
     val stats = parseStats(rootNames(fs, root))
     val dlPath = new org.apache.hadoop.fs.Path(s"$root/doclens")
-    if (stats.size == 1 && fs.exists(dlPath)) {
-      val (g, n, sdl) = stats.head
-      val rem = spark.read.parquet(dlPath.toString)
-        .join(ids, Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)).as("rn"), coalesce(sum("dl"), lit(0L)).as("rsdl"))
-        .head()
-      val (rn, rsdl) = (rem.getLong(0), rem.getLong(1))
-      if (rn > 0)
-        fs.create(new org.apache.hadoop.fs.Path(root,
-          s"$StatsPrefix${g + 1}_${n - rn}_${sdl - rsdl}"), true).close()
-    }
+    val dlTouched: Option[Seq[Long]] =
+      if (stats.size == 1 && fs.exists(dlPath)) {
+        val (g, n, sdl) = stats.head
+        val rem = spark.read.parquet(dlPath.toString)
+          .join(ids, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("rn"),
+            coalesce(sum("dl"), lit(0L)).as("rsdl"),
+            collect_set(col("bucket").cast("long")).as("bks"))
+          .head()
+        val (rn, rsdl) = (rem.getLong(0), rem.getLong(1))
+        if (rn > 0)
+          fs.create(new org.apache.hadoop.fs.Path(root,
+            s"$StatsPrefix${g + 1}_${n - rn}_${sdl - rsdl}"), true).close()
+        Some(rem.getSeq[Long](2))
+      } else None
     stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
-    stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids)
+    stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids,
+      dlTouched)
     stagedBucketDelete(spark, fs, s"$root/positions", s"$root/$PosStageDir",
       ids) // no-op on non-positional indexes
     if (stats.isEmpty) recountStats(spark, fs, root) // pre-sidecar index
@@ -399,11 +407,13 @@ object Retrieval {
     */
   private def stagedBucketDelete(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-      stagePath: String, ids: DataFrame): Unit = {
+      stagePath: String, ids: DataFrame,
+      preTouched: Option[Seq[Long]] = None): Unit = {
     if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) return
-    val touched = spark.read.parquet(tableDir)
+    val touched = preTouched.getOrElse(spark.read.parquet(tableDir)
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+      .select(col("bucket").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq)
     if (touched.isEmpty) return
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     spark.read.parquet(tableDir)
