@@ -4096,6 +4096,40 @@ object SparkEntry {
         .orderBy("stage")
     },
 
+    "pipe_e2e_curation_stream" -> { (s, dir) =>
+      // the funnel as a LIVE pipeline: the same fixture delivered in 3
+      // doc_id-ordered micro-batches through Streaming.curateBatch —
+      // exact-dedup/cap state carries across batches, the benchmark is
+      // a standing reference input, and the per-stage deltas sum to the
+      // batch funnel exactly (pipe_e2e_curation's oracle verbatim).
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-cur-stream").toString + "/state"
+      val raw = tbl(s, dir, "documents")
+      val bench = raw.where(col("doc_id") % 97 === 0).localCheckpoint(true)
+      val c0 = raw.where(col("doc_id") % 97 =!= 0)
+      val corpus = c0.unionByName(
+          c0.where(col("doc_id") < 25)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        .select("doc_id", "source", "lang", "n_chars", "text")
+      val rows = corpus.orderBy("doc_id")
+        .as[(Long, String, String, Long, String)].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Long, String)]
+      val q = mem.toDF
+        .toDF("doc_id", "source", "lang", "n_chars", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.Streaming.curateBatch(s, stateDir, b, id, bench)
+        }
+        .option("checkpointLocation", s"$stateDir/../ckpt").start()
+      try rows.grouped(rows.length / 3 + 1).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.Streaming.curationStats(s, stateDir).orderBy("stage")
+    },
+
     "doc_fingerprint" -> { (s, dir) =>
       // rolling-hash content fingerprint → duplicate pairs. The oracle
       // checks the PAIR STRUCTURE via md5 equality (DuckDB has no
@@ -6974,6 +7008,53 @@ object SparkEntry {
         |    OR ((1000000 * cc.mx) // cc.n_codes) > 500000 AS rebuild
         |FROM cc, nq, hits, exn""".stripMargin
   }
+
+  // shared by pipe_e2e_curation (batch) and pipe_e2e_curation_stream
+  // (the stateful funnel twin)
+  private val curationOracleSql: String =
+      // same stage recipe end-to-end; every branch casts so DuckDB's
+      // HUGEINT sums can't drift the union's column type
+      """WITH c0 AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |cor AS (SELECT doc_id, text, lang, source, n_chars FROM c0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source, n_chars
+        |  FROM c0 WHERE doc_id < 25),
+        |ct AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n_toks FROM cor),
+        |s1 AS (SELECT * FROM ct WHERE lang IN ('en', 'de', 'fr')),
+        |s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND n_toks >= 20),
+        |s3 AS (SELECT * FROM s2 QUALIFY
+        |  row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |tg AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s3)),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 = 0)),
+        |contam AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
+        |  GROUP BY tg.doc_id HAVING count(*) >= 3),
+        |s4 AS (SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |s5 AS (SELECT * FROM s4 QUALIFY
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 12)
+        |SELECT stage, n_docs, n_tokens FROM (
+        |  SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM ct
+        |  UNION ALL SELECT 's1_lang', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's3_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 's4_decontam', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 's5_cap', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s5)
+        |ORDER BY stage""".stripMargin
 
   // shared by q_phrase_search (direct token-position adjacency) and
   // q_phrase_search_indexed (positional postings conjunction)
@@ -10787,50 +10868,10 @@ object SparkEntry {
         |FROM documents d2 LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    "pipe_e2e_curation" ->
-      // same stage recipe end-to-end; every branch casts so DuckDB's
-      // HUGEINT sums can't drift the union's column type
-      """WITH c0 AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |cor AS (SELECT doc_id, text, lang, source, n_chars FROM c0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text, lang, source, n_chars
-        |  FROM c0 WHERE doc_id < 25),
-        |ct AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT)
-        |    AS n_toks FROM cor),
-        |s1 AS (SELECT * FROM ct WHERE lang IN ('en', 'de', 'fr')),
-        |s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND n_toks >= 20),
-        |s3 AS (SELECT * FROM s2 QUALIFY
-        |  row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
-        |tg AS (SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s3)),
-        |bg AS (SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
-        |        WHERE doc_id % 97 = 0)),
-        |contam AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
-        |  GROUP BY tg.doc_id HAVING count(*) >= 3),
-        |s4 AS (SELECT * FROM s3
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        |s5 AS (SELECT * FROM s4 QUALIFY
-        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 12)
-        |SELECT stage, n_docs, n_tokens FROM (
-        |  SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM ct
-        |  UNION ALL SELECT 's1_lang', CAST(count(*) AS BIGINT),
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s1
-        |  UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT),
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2
-        |  UNION ALL SELECT 's3_dedup', CAST(count(*) AS BIGINT),
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s3
-        |  UNION ALL SELECT 's4_decontam', CAST(count(*) AS BIGINT),
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
-        |  UNION ALL SELECT 's5_cap', CAST(count(*) AS BIGINT),
-        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s5)
-        |ORDER BY stage""".stripMargin,
+    "pipe_e2e_curation" -> curationOracleSql,
+    // doc_id-ordered 3-batch replay through curateBatch: per-stage
+    // deltas sum to the batch funnel exactly — oracle verbatim
+    "pipe_e2e_curation_stream" -> curationOracleSql,
 
     "pipe_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -1444,6 +1444,97 @@ object Streaming {
         ()
       }
 
+  /** One micro-batch of the END-TO-END curation funnel — the streaming
+    * twin of the `pipe_e2e_curation` composition (lang filter → quality
+    * gate → exact dedup → benchmark decontamination → per-source cap),
+    * with per-stage (n_docs, n_tokens) DELTAS accumulated on disk so the
+    * running funnel report is one metadata-scale aggregation away.
+    *
+    * State (the [[dedupNear]] dynamic-partition discipline — re-running
+    * a batch under the SAME id, the checkpointed-foreachBatch contract,
+    * overwrites its own partitions and is exactly-once):
+    *  - `seen/batch_id=N`: md5 content hashes that passed the quality
+    *    gate — cross-batch first-arrival dedup (within a batch the
+    *    lowest doc_id wins, so a doc_id-ordered replay reproduces the
+    *    batch pipeline's keep-lowest rule);
+    *  - `cap/batch_id=N`: per-source admitted counts — the cap carries
+    *    across batches;
+    *  - `stats/batch_id=N`: the six stage deltas.
+    * `bench` is a REFERENCE input (the winnowContaminationStream rule) —
+    * an in-flight benchmark would un-flag docs retroactively. Content
+    * re-delivery under a NEW batch id is first-arrival-deduped from the
+    * dedup stage on, but the pre-dedup stages count it as the new
+    * delivery it is.
+    */
+  def curateBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long, bench: DataFrame,
+      langs: Seq[String] = Seq("en", "de", "fr"), minChars: Long = 150,
+      minToks: Long = 20, capPerSource: Int = 12): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val seenSchema = StructType(Seq(StructField("h", StringType),
+      StructField("batch_id", LongType)))
+    val capSchema = StructType(Seq(StructField("source", StringType),
+      StructField("n", LongType), StructField("batch_id", LongType)))
+    val s0 = batch
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint(true) // feeds every stage + the stats aggs
+    val s1 = s0.where(col("lang").isin(langs: _*))
+    val s2 = s1.where(col("n_chars") >= minChars && col("n_toks") >= minToks)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .localCheckpoint(true) // dedup window + seen-state write
+    val wd = Window.partitionBy("h").orderBy("doc_id")
+    val s3local = s2.withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 1).drop("rn")
+    val seenPrev = stateOrEmpty(spark, s"$stateDir/seen", seenSchema, batchId)
+      .select("h")
+    val s3 = s3local.join(seenPrev, Seq("h"), "left_anti")
+      .localCheckpoint(true) // decontam probe + stats
+    val contam = graft.operators.Pipeline.contaminationScores(s3, bench)
+      .where(col("n_shared") >= 3)
+    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // cap window + stats
+    val admitted = stateOrEmpty(spark, s"$stateDir/cap", capSchema, batchId)
+      .groupBy("source").agg(sum("n").as("admitted"))
+    val wc = Window.partitionBy("source").orderBy("doc_id")
+    val s5 = s4.join(broadcast(admitted), Seq("source"), "left")
+      .withColumn("admitted", coalesce(col("admitted"), lit(0L)))
+      .withColumn("rn", row_number().over(wc))
+      .where(col("rn") + col("admitted") <= capPerSource)
+      .localCheckpoint(true) // cap-state write + stats
+    def sink(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId)).write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite").parquet(dir)
+    // every QUALITY-PASSING hash joins the seen state, dups included —
+    // that is what makes the survivor set batch-split-invariant
+    sink(s2.select("h").distinct(), s"$stateDir/seen")
+    sink(s5.groupBy("source").agg(count(lit(1)).as("n")), s"$stateDir/cap")
+    def stat(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    sink(stat("s0_all", s0).unionByName(stat("s1_lang", s1))
+      .unionByName(stat("s2_quality", s2))
+      .unionByName(stat("s3_dedup", s3))
+      .unionByName(stat("s4_decontam", s4))
+      .unionByName(stat("s5_cap", s5)), s"$stateDir/stats")
+  }
+
+  /** The running funnel report of a [[curateBatch]] loop: per-stage
+    * totals over everything delivered so far — equal to the BATCH
+    * pipeline over the union under doc_id-ordered delivery (the gate
+    * pins it against pipe_e2e_curation's oracle verbatim). */
+  def curationStats(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val statsSchema = StructType(Seq(StructField("stage", StringType),
+      StructField("n_docs", LongType), StructField("n_tokens", LongType),
+      StructField("batch_id", LongType)))
+    stateOrEmpty(spark, s"$stateDir/stats", statsSchema, Long.MaxValue)
+      .groupBy("stage").agg(sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+  }
+
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, compactEvery: Int = 0)

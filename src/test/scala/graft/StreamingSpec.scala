@@ -870,6 +870,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(1)).sorted.toSeq == (1 to 6).map(_.toDouble))
   }
 
+  test("curation funnel: stage deltas sum identically under any batch split; same-id re-delivery is idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 300)
+    val bench = raw.where(col("doc_id") % 97 === 0).localCheckpoint(true)
+    val corpus = raw.where(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    def run(cuts: Int): Map[String, (Long, Long)] = {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft-cur-spec$cuts").toString + "/st"
+      corpus.grouped(corpus.length / cuts + 1).zipWithIndex.foreach {
+        case (g, i) =>
+          graft.streaming.Streaming.curateBatch(spark, stateDir,
+            g.toDF("doc_id", "source", "lang", "n_chars", "text"),
+            i.toLong, bench)
+      }
+      graft.streaming.Streaming.curationStats(spark, stateDir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    }
+    val one = run(1)
+    assert(one.keySet == Set("s0_all", "s1_lang", "s2_quality", "s3_dedup",
+      "s4_decontam", "s5_cap"))
+    assert(one == run(3) && one == run(5),
+      "funnel stats must be batch-split-invariant under ordered delivery")
+    // same-id re-delivery (the checkpointed-foreachBatch contract):
+    // re-running a batch overwrites its own partitions, never doubles
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-cur-redeliver").toString + "/st"
+    val halves = corpus.grouped(corpus.length / 2 + 1).toSeq
+    graft.streaming.Streaming.curateBatch(spark, stateDir,
+      halves(0).toDF("doc_id", "source", "lang", "n_chars", "text"), 0L, bench)
+    graft.streaming.Streaming.curateBatch(spark, stateDir,
+      halves(0).toDF("doc_id", "source", "lang", "n_chars", "text"), 0L, bench)
+    graft.streaming.Streaming.curateBatch(spark, stateDir,
+      halves(1).toDF("doc_id", "source", "lang", "n_chars", "text"), 1L, bench)
+    val redelivered = graft.streaming.Streaming.curationStats(spark, stateDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(redelivered == one,
+      "same-id re-delivery must overwrite, not double, its partitions")
+  }
+
   test("streaming near-dedup == batch rule, split-invariant, chains collapse across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
