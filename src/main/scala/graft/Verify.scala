@@ -20,7 +20,8 @@ object Verify {
     // native fns + the size(split)->graft_ntokens optimizer rule, installed
     // up front so every query plans identically regardless of run order
     graft.functions.GraftFunctions.register(spark)
-    new java.io.File(outDir).mkdirs()
+    graft.core.DatapointStore.fsFor(outDir)
+      .mkdirs(new org.apache.hadoop.fs.Path(outDir))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,6 +16,12 @@ import org.apache.spark.sql.types._
   * Partitioned by (granularity, ymd): granularity pruning reproduces the
   * per-granularity collections, ymd + parquet min/max stats on `t`
   * reproduce the timestamp-encoded-_id range scan.
+  *
+  * Filesystem access goes through the Hadoop FS API exclusively (r13):
+  * every directory swap, marker file, and partition walk works against
+  * HDFS/S3A as written — java.io.File is gone from the data paths (it is
+  * silently false/empty on any non-local FS, which turned crash-recovery
+  * backups invisible and schema-pinned reads into silent holes).
   */
 object DatapointStore {
   val dataColumns: Seq[(String, DataType)] = Seq(
@@ -37,6 +44,18 @@ object DatapointStore {
   val schema: StructType = StructType(
     (dataColumns ++ Seq("granularity" -> StringType, "ymd" -> StringType))
       .map { case (n, t) => StructField(n, t, nullable = true) })
+
+  /** Hadoop FS handle for a path — the active session's hadoopConfiguration
+    * when one exists (it carries the deployment's fs.* settings), a default
+    * Configuration otherwise (driver-side tools before a session starts).
+    */
+  private[graft] def fsFor(path: String): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new Path(path).getFileSystem(conf)
+  }
 
   /** Partition day key: UTC day index since epoch, zero-padded so string
     * order == time order. Computed from epoch seconds, NOT date_format —
@@ -87,9 +106,10 @@ object DatapointStore {
     * an error), so every read first swings a stranded backup into place.
     */
   def recoverIfNeeded(path: String): Unit = {
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(s"$path.graft-old")
-    if (!dst.exists() && bak.exists() && !bak.renameTo(dst))
+    val fs = fsFor(path)
+    val dst = new Path(path)
+    val bak = new Path(s"$path.graft-old")
+    if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
       throw new java.io.IOException(s"failed to recover $bak -> $path")
   }
 
@@ -123,10 +143,13 @@ object DatapointStore {
     * backup half-disappear with no error — subsequent reads would return a
     * silently partial table. Shared by replace(), expire() and Datastream.
     */
-  private[graft] def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    if (!f.delete() && f.exists())
-      throw new java.io.IOException(s"failed to delete $f")
+  private[graft] def rmTree(fs: FileSystem, p: Path): Unit =
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new java.io.IOException(s"failed to delete $p")
+
+  private[graft] def rmTree(path: String): Unit = {
+    val fs = fsFor(path)
+    rmTree(fs, new Path(path))
   }
 
   /** Drop every ymd partition strictly older than `cutoffKey` under a
@@ -138,16 +161,18 @@ object DatapointStore {
     * the cutoff a plain string compare.
     */
   def expire(path: String, cutoffKey: String, depth: Int): Unit = {
-    def walk(dir: java.io.File, level: Int): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+    val fs = fsFor(path)
+    def walk(dir: Path, level: Int): Unit =
+      fs.listStatus(dir).foreach { f =>
         if (f.isDirectory) {
-          if (level == 0 && f.getName.startsWith("ymd=")) {
-            if (f.getName.stripPrefix("ymd=") < cutoffKey) rmTree(f)
-          } else if (level > 0) walk(f, level - 1)
+          val n = f.getPath.getName
+          if (level == 0 && n.startsWith("ymd=")) {
+            if (n.stripPrefix("ymd=") < cutoffKey) rmTree(fs, f.getPath)
+          } else if (level > 0) walk(f.getPath, level - 1)
         }
       }
-    val root = new java.io.File(path)
-    if (root.exists()) walk(root, depth)
+    val root = new Path(path)
+    if (fs.exists(root)) walk(root, depth)
   }
 
   /** Per-granularity retention — the RRD ladder semantic (raw data kept
@@ -161,35 +186,40 @@ object DatapointStore {
     */
   def expireByGranularity(path: String, cutoffs: Map[String, String],
       depth: Int): Unit = {
-    def dropOld(gDir: java.io.File, cutoffKey: String): Unit =
-      Option(gDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory && f.getName.startsWith("ymd=") &&
-          f.getName.stripPrefix("ymd=") < cutoffKey) rmTree(f)
+    val fs = fsFor(path)
+    def dropOld(gDir: Path, cutoffKey: String): Unit =
+      fs.listStatus(gDir).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isDirectory && n.startsWith("ymd=") &&
+          n.stripPrefix("ymd=") < cutoffKey) rmTree(fs, f.getPath)
       }
-    def walk(dir: java.io.File, level: Int): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+    def walk(dir: Path, level: Int): Unit =
+      fs.listStatus(dir).foreach { f =>
         if (f.isDirectory) {
-          if (level == 0 && f.getName.startsWith("granularity=")) {
-            cutoffs.get(f.getName.stripPrefix("granularity="))
-              .foreach(dropOld(f, _))
-          } else if (level > 0) walk(f, level - 1)
+          val n = f.getPath.getName
+          if (level == 0 && n.startsWith("granularity=")) {
+            cutoffs.get(n.stripPrefix("granularity="))
+              .foreach(dropOld(f.getPath, _))
+          } else if (level > 0) walk(f.getPath, level - 1)
         }
       }
-    val root = new java.io.File(path)
-    if (root.exists()) walk(root, depth)
+    val root = new Path(path)
+    if (fs.exists(root)) walk(root, depth)
   }
 
   /** Leaf partition dirs (dirs directly holding .parquet files) with
     * their parquet file counts, as root-relative paths.
     */
-  private def leaves(root: java.io.File): Seq[(String, Int)] = {
+  private def leaves(fs: FileSystem, root: Path): Seq[(String, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-    def walk(dir: java.io.File, rel: String): Unit = {
-      val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      val n = fs.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def walk(dir: Path, rel: String): Unit = {
+      val st = fs.listStatus(dir)
+      val n = st.count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (n > 0) out += ((rel, n))
-      fs.filter(_.isDirectory).foreach(d =>
-        walk(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
+      st.filter(_.isDirectory).foreach { d =>
+        val dn = d.getPath.getName
+        walk(d.getPath, if (rel.isEmpty) dn else s"$rel/$dn")
+      }
     }
     walk(root, "")
     out.toSeq
@@ -223,12 +253,13 @@ object DatapointStore {
     */
   def compact(spark: SparkSession, path: String, partCols: Seq[String],
       minFiles: Int = 2, lenient: Boolean = false): Unit = {
-    val root = new java.io.File(path)
-    if (!root.exists()) return
+    val fs = fsFor(path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return
     recoverParts(path)
-    val tmpRoot = new java.io.File(s"$path.graft-parts-tmp")
-    if (tmpRoot.exists()) rmTree(tmpRoot) // stale from a mid-write crash
-    val frag = leaves(root).filter(_._2 >= minFiles).map(_._1)
+    val tmpRoot = new Path(s"$path.graft-parts-tmp")
+    if (fs.exists(tmpRoot)) rmTree(fs, tmpRoot) // stale from a mid-write crash
+    val frag = leaves(fs, root).filter(_._2 >= minFiles).map(_._1)
     if (frag.isEmpty) return
     // basePath keeps the partition columns; the pinned schema supplies
     // their types (and, for derived roots, fills stream_id from the dir)
@@ -239,35 +270,35 @@ object DatapointStore {
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-      .parquet(tmpRoot.getPath)
-    val bakRoot = new java.io.File(s"$path.graft-parts-bak")
-    leaves(tmpRoot).map(_._1).foreach { rel =>
-      val live = new java.io.File(s"$path/$rel")
-      val tmp = new java.io.File(s"$tmpRoot/$rel")
-      val bak = new java.io.File(s"$bakRoot/$rel")
-      bak.getParentFile.mkdirs()
+      .parquet(tmpRoot.toString)
+    val bakRoot = new Path(s"$path.graft-parts-bak")
+    leaves(fs, tmpRoot).map(_._1).foreach { rel =>
+      val live = new Path(s"$path/$rel")
+      val tmp = new Path(s"$tmpRoot/$rel")
+      val bak = new Path(s"$bakRoot/$rel")
+      fs.mkdirs(bak.getParent)
       try {
-        if (live.exists() && !live.renameTo(bak))
+        if (fs.exists(live) && !fs.rename(live, bak))
           throw new java.io.IOException(s"failed to move leaf aside: $live")
-        if (!tmp.renameTo(live))
+        if (!fs.rename(tmp, live))
           throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
-        rmTree(bak)
+        if (fs.exists(bak)) rmTree(fs, bak)
       } catch {
         case e: java.io.IOException if lenient =>
           // best effort to put the old leaf back immediately; if even that
           // fails, recoverParts heals it at the next read
-          if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
+          if (!fs.exists(live) && fs.exists(bak)) { fs.rename(bak, live); () }
           System.err.println(
             s"[graft] compact: skipping leaf $rel (${e.getMessage})")
       }
     }
     try {
-      rmTree(tmpRoot)
-      if (bakRoot.exists()) {
+      rmTree(fs, tmpRoot)
+      if (fs.exists(bakRoot)) {
         // lenient skips can leave restored-backup leftovers; recoverParts
         // both restores them and drops the backup tree. Strict mode only
         // reaches here with every swap landed — plain cleanup.
-        if (lenient) recoverParts(path) else rmTree(bakRoot)
+        if (lenient) recoverParts(path) else rmTree(fs, bakRoot)
       }
     } catch {
       case e: java.io.IOException if lenient =>
@@ -284,19 +315,20 @@ object DatapointStore {
     * check) when no compaction ever crashed.
     */
   def recoverParts(path: String): Unit = {
-    val bakRoot = new java.io.File(s"$path.graft-parts-bak")
-    if (!bakRoot.exists()) return
-    leaves(bakRoot).map(_._1).foreach { rel =>
-      val live = new java.io.File(s"$path/$rel")
-      val bak = new java.io.File(s"$bakRoot/$rel")
-      if (live.exists()) rmTree(bak)
+    val fs = fsFor(path)
+    val bakRoot = new Path(s"$path.graft-parts-bak")
+    if (!fs.exists(bakRoot)) return
+    leaves(fs, bakRoot).map(_._1).foreach { rel =>
+      val live = new Path(s"$path/$rel")
+      val bak = new Path(s"$bakRoot/$rel")
+      if (fs.exists(live)) rmTree(fs, bak)
       else {
-        live.getParentFile.mkdirs()
-        if (!bak.renameTo(live))
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(bak, live))
           throw new java.io.IOException(s"failed to recover leaf $bak")
       }
     }
-    rmTree(bakRoot)
+    rmTree(fs, bakRoot)
   }
 
   /** Replace the table contents with `df`, crash-safely: write tmp, rename
@@ -310,18 +342,19 @@ object DatapointStore {
       .sortWithinPartitions("stream_id", "t")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("granularity", "ymd").parquet(tmp)
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(s"$path.graft-old")
+    val fs = fsFor(path)
+    val dst = new Path(path)
+    val bak = new Path(s"$path.graft-old")
     // a stranded backup from a previous mid-swap crash must be restored,
     // not deleted — after recovery, bak only exists alongside a complete
     // dst (crash after swap, before cleanup), where dropping it is safe
     recoverIfNeeded(path)
-    if (bak.exists()) rmTree(bak)
-    Option(dst.getParentFile).foreach(_.mkdirs())
-    if (dst.exists() && !dst.renameTo(bak))
+    if (fs.exists(bak)) rmTree(fs, bak)
+    Option(dst.getParent).foreach(fs.mkdirs)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"failed to move table aside: $path -> $bak")
-    if (!new java.io.File(tmp).renameTo(dst))
+    if (!fs.rename(new Path(tmp), dst))
       throw new java.io.IOException(s"failed to move table into place: $tmp -> $path")
-    if (bak.exists()) rmTree(bak)
+    if (fs.exists(bak)) rmTree(fs, bak)
   }
 }

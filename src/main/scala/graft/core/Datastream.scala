@@ -62,6 +62,22 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   // DECLARED BEFORE `catalog`: `loadCatalog()` runs in the constructor, so
   // anything it reads or writes must already be initialized — a later
   // textual position would read 0/false mid-construction.
+  // Hadoop FS for every driver-side swap/marker/walk (r13): java.io.File
+  // is silently false/empty on any non-local FS — the store must run
+  // against HDFS/S3A as written. Lazy: safe under any init order.
+  private lazy val dfs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def hExists(p: String): Boolean = dfs.exists(hPath(p))
+  private def hList(p: String): Array[org.apache.hadoop.fs.FileStatus] =
+    if (hExists(p)) dfs.listStatus(hPath(p))
+    else Array.empty[org.apache.hadoop.fs.FileStatus]
+  /** Bytes recorded in the hwm sidecar since its last truncation —
+    * maintained driver-side (seeded by replayHwm at open) so the flush
+    * threshold never stats the filesystem per append. DECLARED BEFORE
+    * `catalog`: loadCatalog()/replayHwm() run in the constructor. */
+  private var hwmBytes: Long = 0L
   private[graft] final val catalogShards = 256
   /** True while the on-disk catalog is still the pre-shard flat layout —
     * the next flush rewrites every shard and removes the legacy files. */
@@ -169,26 +185,25 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   private def shardOf(id: String): Int = (id.hashCode & Int.MaxValue) % catalogShards
   private def shardKey(k: Int): String = f"shard=$k%03d"
-  private def shardDir(k: Int) = new java.io.File(s"$streamsPath/${shardKey(k)}")
+  private def shardDirPath(k: Int) = s"$streamsPath/${shardKey(k)}"
   // dot-prefixed so no Spark file index ever lists a mid-swap backup
-  private def shardBak(k: Int) = new java.io.File(s"$streamsPath/.old_${shardKey(k)}")
+  private def shardBakPath(k: Int) = s"$streamsPath/.old_${shardKey(k)}"
   private def loadCatalog(): Map[String, StreamDescriptor] = {
-    val p = new java.io.File(streamsPath)
     val shardPaths = (0 until catalogShards).flatMap { k =>
       // per-shard rename-aside fallback: a crash between (shard ->
       // .old_shard) and (tmp -> shard) must not read as a lost shard
-      if (nonEmptyDir(shardDir(k).getPath)) Some(shardDir(k).getPath)
-      else if (nonEmptyDir(shardBak(k).getPath)) Some(shardBak(k).getPath)
+      if (nonEmptyDir(shardDirPath(k))) Some(shardDirPath(k))
+      else if (nonEmptyDir(shardBakPath(k))) Some(shardBakPath(k))
       else None
     }
     val raw =
       if (shardPaths.nonEmpty) spark.read.parquet(shardPaths: _*)
       else {
         // legacy flat layout (or its whole-dir rename-aside backup)
-        val hasFiles = p.exists() &&
-          Option(p.listFiles()).exists(_.exists(_.isFile))
+        val hasFiles = hList(streamsPath)
+          .exists(f => f.isFile && !f.getPath.getName.startsWith("."))
         val src = if (hasFiles) streamsPath
-                  else if (new java.io.File(s"$streamsPath.old").exists()) s"$streamsPath.old"
+                  else if (hExists(s"$streamsPath.old")) s"$streamsPath.old"
                   else return Map.empty
         legacyCatalogLayout = true
         spark.read.parquet(src)
@@ -220,24 +235,33 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   private def replayHwm(cat: Map[String, StreamDescriptor])
       : Map[String, StreamDescriptor] = {
-    val f = new java.io.File(hwmPath)
-    if (!f.exists()) return cat
     val line = """\{"id":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
     var c = cat
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().foreach {
-      case line(id, lo, hi) =>
-        c.get(id).foreach { d =>
-          val loTs = new Timestamp(lo.toLong * 1000L)
-          val hiTs = new Timestamp(hi.toLong * 1000L)
-          c += id -> d.copy(
-            earliest_ts = Some(d.earliest_ts.fold(loTs)(e =>
-              if (e.before(loTs)) e else loTs)),
-            latest_ts = Some(d.latest_ts.fold(hiTs)(l =>
-              if (l.after(hiTs)) l else hiTs)))
-        }
-      case _ => // torn tail line — skip
-    } finally src.close()
+    def replayFile(p: org.apache.hadoop.fs.Path, len: Long): Unit = {
+      hwmBytes += len
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        dfs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).foreach {
+        case line(id, lo, hi) =>
+          c.get(id).foreach { d =>
+            val loTs = new Timestamp(lo.toLong * 1000L)
+            val hiTs = new Timestamp(hi.toLong * 1000L)
+            c += id -> d.copy(
+              earliest_ts = Some(d.earliest_ts.fold(loTs)(e =>
+                if (e.before(loTs)) e else loTs)),
+              latest_ts = Some(d.latest_ts.fold(hiTs)(l =>
+                if (l.after(hiTs)) l else hiTs)))
+          }
+        case _ => // torn tail line — skip
+      } finally in.close()
+    }
+    // legacy single-file sidecar (pre-r13 stores), then the segment dir
+    if (hExists(hwmPath))
+      replayFile(hPath(hwmPath), dfs.getFileStatus(hPath(hwmPath)).getLen)
+    hList(hwmSegDir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .foreach(st => replayFile(st.getPath, st.getLen))
     c
   }
 
@@ -252,14 +276,26 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       sb.append(s"""{"id":"${r.getString(0)}","lo":$lo,"hi":$hi}""")
         .append('\n')
     }
-    val w = new java.io.FileWriter(hwmPath, true)
-    try w.write(sb.toString) finally w.close()
+    // one SEGMENT file per batch instead of a file append: append() is
+    // unsupported on several Hadoop filesystems (S3A, ChecksumFS), and a
+    // create-new segment has the same torn-tail crash semantics the
+    // replay already tolerates. Segment count is bounded by the flush
+    // threshold below (flush truncates the whole dir).
+    val seg = hPath(s"$hwmSegDir/seg-${System.nanoTime()}")
+    dfs.mkdirs(hPath(hwmSegDir))
+    val out = dfs.create(seg, true)
+    try out.write(sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    hwmBytes += sb.length
     // bound sidecar growth under continuous ingest: past the threshold,
     // fold it into one catalog write. This amortizes the O(changed
     // shards) rewrite over many appends instead of paying it per
     // micro-batch, and keeps open-time replay O(threshold).
-    if (new java.io.File(hwmPath).length() > hwmFlushBytes) flush()
+    if (hwmBytes > hwmFlushBytes) flush()
   }
+
+  private def hwmSegDir: String = s"$hwmPath.d"
 
   /** Sidecar flush threshold SCALES with catalog size: a fixed cap would
     * quietly reintroduce a per-batch catalog rewrite once one micro-batch
@@ -285,13 +321,13 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     val dirty = dirtyShards.toSet
     val shardU = udf((s: String) => f"${(s.hashCode & Int.MaxValue) % catalogShards}%03d")
     val rows = catalog.values.filter(d => dirty(shardOf(d.stream_id))).toSeq
-    val tmpRoot = new java.io.File(s"$streamsPath.tmp")
-    if (tmpRoot.exists()) rmTree(tmpRoot)
+    val tmpRoot = s"$streamsPath.tmp"
+    if (hExists(tmpRoot)) rmTree(tmpRoot)
     if (rows.nonEmpty)
       rows.toDS().withColumn("shard", shardU(col("stream_id")))
         .repartition(math.min(dirty.size, 32), col("shard"))
         .write.mode(SaveMode.Overwrite).partitionBy("shard")
-        .parquet(tmpRoot.getPath)
+        .parquet(tmpRoot)
     if (legacyCatalogLayout) {
       // migration off the flat layout: every shard just wrote into
       // tmpRoot, so swap the WHOLE directory (the pre-shard crash
@@ -299,40 +335,42 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       // mid-migration crash, because the loader prefers shard dirs the
       // moment any exist. loadCatalog's flat fallback covers the
       // (streams -> streams.old) window.
-      if (!tmpRoot.exists()) tmpRoot.mkdirs() // fully-emptied catalog
-      val dst = new java.io.File(streamsPath)
-      val bak = new java.io.File(s"$streamsPath.old")
-      if (bak.exists()) rmTree(bak)
-      if (dst.exists() && !dst.renameTo(bak))
+      if (!hExists(tmpRoot)) dfs.mkdirs(hPath(tmpRoot)) // fully-emptied catalog
+      val dst = hPath(streamsPath)
+      val bak = hPath(s"$streamsPath.old")
+      if (dfs.exists(bak)) rmTree(bak.toString)
+      if (dfs.exists(dst) && !dfs.rename(dst, bak))
         throw new java.io.IOException(s"failed to move catalog aside: $dst -> $bak")
-      if (!tmpRoot.renameTo(dst))
+      if (!dfs.rename(hPath(tmpRoot), dst))
         throw new java.io.IOException(s"failed to move catalog into place: $tmpRoot -> $dst")
-      if (bak.exists()) rmTree(bak)
+      if (dfs.exists(bak)) rmTree(bak.toString)
       // drop the Spark write artifacts (_SUCCESS) that rode along in the
       // whole-dir swap — the sharded layout holds only shard=KKK dirs
-      Option(dst.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).foreach(rmTree)
+      hList(streamsPath).filter(_.isFile)
+        .foreach(f => dfs.delete(f.getPath, false))
       legacyCatalogLayout = false
     } else {
-      new java.io.File(streamsPath).mkdirs()
+      dfs.mkdirs(hPath(streamsPath))
       dirty.toSeq.sorted.foreach { k =>
-        val cur = shardDir(k); val bak = shardBak(k)
-        val tmp = new java.io.File(tmpRoot, shardKey(k))
-        if (bak.exists()) rmTree(bak)
-        if (cur.exists() && !cur.renameTo(bak))
+        val cur = hPath(shardDirPath(k)); val bak = hPath(shardBakPath(k))
+        val tmp = hPath(s"$tmpRoot/${shardKey(k)}")
+        if (dfs.exists(bak)) rmTree(bak.toString)
+        if (dfs.exists(cur) && !dfs.rename(cur, bak))
           throw new java.io.IOException(s"failed to move shard aside: $cur -> $bak")
         // a dirty shard with no surviving streams has no tmp dir: the
         // rename-aside + backup drop below IS its deletion
-        if (tmp.exists() && !tmp.renameTo(cur))
+        if (dfs.exists(tmp) && !dfs.rename(tmp, cur))
           throw new java.io.IOException(s"failed to move shard into place: $tmp -> $cur")
-        if (bak.exists()) rmTree(bak)
+        if (dfs.exists(bak)) rmTree(bak.toString)
       }
-      if (tmpRoot.exists()) rmTree(tmpRoot)
+      if (hExists(tmpRoot)) rmTree(tmpRoot)
     }
     // the persisted catalog covers every in-memory bound, so the sidecar
     // is now redundant — truncate it AFTER the swap (a crash in between
     // just replays already-covered lines, a no-op)
-    new java.io.File(hwmPath).delete()
+    dfs.delete(hPath(hwmPath), false)
+    dfs.delete(hPath(hwmSegDir), true)
+    hwmBytes = 0L
     // only mark clean once the data is durably in place — a failed write
     // must leave the shards dirty so a retried flush() actually retries
     dirtyShards.clear()
@@ -818,7 +856,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * marker (a crash between a source append and its cascade).
     */
   private def staleDependent(d: StreamDescriptor): Boolean = {
-    if (dirtyFile(d.stream_id).exists()) return true
+    if (dfs.exists(hPath(dirtyFile(d.stream_id)))) return true
     if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return true
     readCoverage(d.stream_id) match {
       case None => true
@@ -828,10 +866,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
 
   // ---- datapoints access ----------------------------------------------
 
-  private def nonEmptyDir(p: String): Boolean = {
-    val f = new java.io.File(p)
-    f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
-  }
+  private def nonEmptyDir(p: String): Boolean = hList(p).nonEmpty
 
   private def datapointsExist: Boolean =
     nonEmptyDir(datapointsPath) || nonEmptyDir(derivedRawPath) ||
@@ -848,12 +883,12 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
   private def granularityExists(g: String): Boolean = {
     if (nonEmptyDir(s"$datapointsPath/granularity=$g")) return true
     def anyStreamHas(root: String): Boolean =
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .exists(k => k.isDirectory && nonEmptyDir(s"${k.getPath}/granularity=$g"))
+      hList(root).exists(k => k.isDirectory &&
+        nonEmptyDir(s"${k.getPath}/granularity=$g"))
     anyStreamHas(derivedRawPath) || anyStreamHas(rollupsPath)
   }
 
-  private def rmTree(f: java.io.File): Unit = DatapointStore.rmTree(f)
+  private def rmTree(p: String): Unit = DatapointStore.rmTree(dfs, hPath(p))
 
   /** Derived streams live in two SHARED roots partitioned by stream_id
     * first (raw level and rollups): recomputing one stream deletes its two
@@ -1039,8 +1074,8 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     // derived streams: drop their raw + rollup partition directories, no
     // table rewrite
     derVictims.foreach { id =>
-      rmTree(new java.io.File(s"$derivedRawPath/stream_id=$id"))
-      rmTree(new java.io.File(s"$rollupsPath/stream_id=$id"))
+      rmTree(s"$derivedRawPath/stream_id=$id")
+      rmTree(s"$rollupsPath/stream_id=$id")
     }
     // raw streams share the primary table: rewrite it (rare admin op) —
     // scan ONLY the primary root, never the union view
@@ -1517,7 +1552,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * crash-ordering never has to reason about it.
     */
   private def coverageFile(id: String) =
-    new java.io.File(s"$derivedRawPath/stream_id=$id/_graft_coverage")
+    s"$derivedRawPath/stream_id=$id/_graft_coverage"
 
   /** In-progress sentinel for an INCREMENTAL rewrite: set before the
     * partition deletes, cleared only after the write and coverage marker
@@ -1528,26 +1563,39 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * of this stream down the self-healing full recompute.
     */
   private def dirtyFile(id: String) =
-    new java.io.File(s"$derivedRawPath/stream_id=$id/_graft_dirty")
+    s"$derivedRawPath/stream_id=$id/_graft_dirty"
 
   private def readCoverage(id: String): Option[Timestamp] = {
-    val f = coverageFile(id)
-    if (!f.exists()) None
-    else scala.util.Try(
-      new Timestamp(new String(java.nio.file.Files.readAllBytes(f.toPath))
-        .trim.toLong * 1000L)).toOption
+    val f = hPath(coverageFile(id))
+    if (!dfs.exists(f)) None
+    else scala.util.Try {
+      val in = dfs.open(f)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      new Timestamp(txt.trim.toLong * 1000L)
+    }.toOption
   }
 
   private def writeCoverage(id: String, cw: Option[Timestamp]): Unit =
     cw.foreach { t =>
-      val f = coverageFile(id)
-      f.getParentFile.mkdirs()
-      val tmp = new java.io.File(f.getPath + ".tmp")
-      java.nio.file.Files.write(tmp.toPath,
-        (t.getTime / 1000L).toString.getBytes)
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val f = hPath(coverageFile(id))
+      dfs.mkdirs(f.getParent)
+      val tmp = hPath(coverageFile(id) + ".tmp")
+      val out = dfs.create(tmp, true)
+      try out.write((t.getTime / 1000L).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // delete-then-rename (FileSystem.rename will not overwrite): a
+      // crash in the window leaves NO marker, which the eligibility
+      // check reads as "not incrementally coverable" — full-recompute
+      // self-heal, the documented safe fallback
+      dfs.delete(f, false)
+      if (!dfs.rename(tmp, f))
+        throw new java.io.IOException(s"cannot publish coverage marker $f")
       derivedExtentCache(id) = Some(Math.floorDiv(t.getTime, 1000L))
     }
 
@@ -1557,14 +1605,15 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     */
   private def deleteDerivedYmds(root: String, id: String,
       fromKey: String, toKey: Option[String]): Unit = {
-    val sdir = new java.io.File(s"$root/stream_id=$id")
-    Option(sdir.listFiles()).getOrElse(Array.empty)
+    hList(s"$root/stream_id=$id")
       .withFilter(_.isDirectory).foreach { gdir =>
-        Option(gdir.listFiles()).getOrElse(Array.empty)
-          .withFilter(f => f.isDirectory && f.getName.startsWith("ymd="))
+        dfs.listStatus(gdir.getPath)
+          .withFilter(f => f.isDirectory &&
+            f.getPath.getName.startsWith("ymd="))
           .foreach { ydir =>
-            val k = ydir.getName.stripPrefix("ymd=")
-            if (k >= fromKey && toKey.forall(k <= _)) rmTree(ydir)
+            val k = ydir.getPath.getName.stripPrefix("ymd=")
+            if (k >= fromKey && toKey.forall(k <= _))
+              rmTree(ydir.getPath.toString)
           }
       }
   }
@@ -1593,7 +1642,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       regions: Map[String, Region]): Option[(Timestamp, Option[String], Timestamp)] = {
     if (changedDeps.isEmpty || !changedDeps.forall(regions.contains)) return None
     if (!nonEmptyDir(s"$derivedRawPath/stream_id=${d.stream_id}")) return None
-    if (dirtyFile(d.stream_id).exists()) return None // crashed mid-rewrite
+    if (dfs.exists(hPath(dirtyFile(d.stream_id)))) return None // crashed mid-rewrite
     val cw = readCoverage(d.stream_id) match {
       case Some(t) => t
       case None => return None // pre-marker store or never derived: full
@@ -1641,10 +1690,10 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
       if (sd.derive_op.isDefined) {
         // derived roots partition by stream_id first: the last pre-w day
         // is an exact driver-side directory listing, no probing
-        val gdir = new java.io.File(s"$derivedRawPath/stream_id=$srcId/granularity=$hg")
-        val keys = Option(gdir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("ymd="))
-          .map(_.getName.stripPrefix("ymd=")).filter(_ < wKey)
+        val keys = hList(
+            s"$derivedRawPath/stream_id=$srcId/granularity=$hg")
+          .filter(f => f.isDirectory && f.getPath.getName.startsWith("ymd="))
+          .map(_.getPath.getName.stripPrefix("ymd=")).filter(_ < wKey)
         if (keys.isEmpty) resolved((srcId, w)) = Some(Array.empty)
         else specs += LbSpec(srcId, hg, w, keys.max, keys.max, giveUpIfEmpty = false)
       } else sd.earliest_ts match {
@@ -1872,8 +1921,7 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
           case Some((w, hiKey, _, _)) =>
             // dirty sentinel FIRST: a crash between these deletes and the
             // group write below must not read as a consistent store
-            java.nio.file.Files.write(dirtyFile(d.stream_id).toPath,
-              Array.empty[Byte])
+            dfs.create(hPath(dirtyFile(d.stream_id)), true).close()
             val wKey = DatapointStore.ymdKey(w)
             deleteDerivedYmds(derivedRawPath, d.stream_id, wKey, hiKey)
             // rollups: always from wKey onward — the downsample ladder's
@@ -1890,19 +1938,20 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
             // stream dir, so delete siblings around it rather than
             // rmTree-then-create, which leaves a sentinel-less window for
             // the whole O(#partitions) delete).
-            val dirty = dirtyFile(d.stream_id)
-            dirty.getParentFile.mkdirs()
-            java.nio.file.Files.write(dirty.toPath, Array.empty[Byte])
-            Option(dirty.getParentFile.listFiles())
-              .getOrElse(Array.empty[java.io.File])
-              .filterNot(_.getName == dirty.getName).foreach(rmTree)
-            rmTree(new java.io.File(s"$rollupsPath/stream_id=${d.stream_id}"))
+            val dirty = hPath(dirtyFile(d.stream_id))
+            dfs.mkdirs(dirty.getParent)
+            dfs.create(dirty, true).close()
+            dfs.listStatus(dirty.getParent)
+              .filterNot(_.getPath.getName == dirty.getName)
+              .foreach(f => rmTree(f.getPath.toString))
+            rmTree(s"$rollupsPath/stream_id=${d.stream_id}")
         }
       }
       DatapointStore.appendByStream(result, derivedRawPath)
       // markers last: a crash before this re-runs as full recompute
       group.foreach(d => writeCoverage(d.stream_id, coverageNow(d)))
-      group.foreach(d => dirtyFile(d.stream_id).delete())
+      group.foreach(d =>
+        dfs.delete(hPath(dirtyFile(d.stream_id)), false))
       group.foreach { d =>
         plan(d.stream_id) match {
           case Some((w, hiKey, cw, _)) =>
@@ -1934,11 +1983,11 @@ class Datastream(val spark: SparkSession, val rootDir: String) {
     * derive may have read the now-holed data or never run at all).
     */
   private def healDirtyStreams(): Unit = {
-    val root = new java.io.File(derivedRawPath)
-    val dirty = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && new java.io.File(d, "_graft_dirty").exists())
-      .map(_.getName.stripPrefix("stream_id=")).toSet
-      .filter(catalog.contains)
+    val dirty = hList(derivedRawPath)
+      .filter(d => d.isDirectory &&
+        dfs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_graft_dirty")))
+      .map(_.getPath.getName.stripPrefix("stream_id=")).toSet
+      .filter(catalog.contains(_))
     if (dirty.nonEmpty) recomputeFully(derivedInOrder(dirty))
   }
 

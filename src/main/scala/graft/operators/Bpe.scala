@@ -260,7 +260,7 @@ object Bpe {
       .as[(String, String, Long, Long)]
       .limit(maxDriverPairs + 1).collect()
     if (init.length > maxDriverPairs) {
-      DatapointStore.rmTree(new java.io.File(work))
+      DatapointStore.rmTree(work)
       return trainDistributedNaive(words0, nMerges, minFreq)
     }
     val pairCount = mutable.HashMap[(String, String), Long]()
@@ -330,23 +330,24 @@ object Bpe {
           }
           .toDF("syms", "freq", "shard")
           .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        val bfs = DatapointStore.fsFor(dir)
         shards.foreach { sh =>
-          val live = new java.io.File(dir, s"shard=$sh")
-          val staged = new java.io.File(stage, s"shard=$sh")
+          val live = new org.apache.hadoop.fs.Path(dir, s"shard=$sh")
+          val staged = new org.apache.hadoop.fs.Path(stage, s"shard=$sh")
           // rewrites preserve row counts, so every scanned shard that
           // held rows restages; a stale-mask shard that was never
           // written (posting superset) keeps its live dir untouched
-          if (staged.exists()) {
-            DatapointStore.rmTree(live)
-            if (!staged.renameTo(live))
+          if (bfs.exists(staged)) {
+            DatapointStore.rmTree(bfs, live)
+            if (!bfs.rename(staged, live))
               throw new java.io.IOException(s"bpe rewrite: cannot swap $staged")
           }
         }
-        DatapointStore.rmTree(new java.io.File(stage))
+        DatapointStore.rmTree(stage)
         it += 1
       }
     }
-    DatapointStore.rmTree(new java.io.File(work))
+    DatapointStore.rmTree(work)
     merges.result()
   }
 

@@ -92,9 +92,10 @@ object Mutations {
     * next apply simply overwrites.
     */
   def mvCommitted(mvRoot: String): Long = {
-    val fs = Option(new java.io.File(mvRoot).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val ids = fs.map(_.getName).collect {
+    val fs = DatapointStore.fsFor(mvRoot)
+    val root = new org.apache.hadoop.fs.Path(mvRoot)
+    if (!fs.exists(root)) return -1L
+    val ids = fs.listStatus(root).map(_.getPath.getName).collect {
       case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
     }
     if (ids.isEmpty) -1L else ids.max
@@ -133,8 +134,9 @@ object Mutations {
     val next = maintainSumCount(readMv(spark, mvRoot, groupCol, nCol, sumCol),
       batch, groupExpr, beforeVal, afterVal, groupCol, nCol, sumCol)
     next.write.mode(SaveMode.Overwrite).parquet(s"$mvRoot/v=$batchId")
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$mvRoot/_commit_$batchId"))
+    DatapointStore.fsFor(mvRoot).create(
+      new org.apache.hadoop.fs.Path(s"$mvRoot/_commit_$batchId"),
+      false).close()
     pruneMvVersions(mvRoot, keepVersions)
     true
   }
@@ -147,24 +149,25 @@ object Mutations {
     * the next prune sweeps), and the committed maximum is never touched.
     */
   def pruneMvVersions(mvRoot: String, keep: Int): Unit = {
-    val files = Option(new java.io.File(mvRoot).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val committedIds = files.map(_.getName).collect {
+    val fs = DatapointStore.fsFor(mvRoot)
+    val root = new org.apache.hadoop.fs.Path(mvRoot)
+    if (!fs.exists(root)) return
+    val files = fs.listStatus(root).map(_.getPath.getName)
+    val committedIds = files.collect {
       case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
     }.sorted
     if (committedIds.length <= keep) return
     val horizon = committedIds(committedIds.length - keep)
-    files.foreach { f =>
-      val n = f.getName
+    files.foreach { n =>
       val id =
         if (n.startsWith("_commit_")) Some(n.stripPrefix("_commit_").toLong)
         else if (n.startsWith("v=")) Some(n.stripPrefix("v=").toLong)
         else None
       id.filter(_ < horizon).foreach { _ =>
-        val marker = new java.io.File(mvRoot, s"_commit_${id.get}")
-        if (marker.exists()) marker.delete()
-        val dir = new java.io.File(mvRoot, s"v=${id.get}")
-        if (dir.exists()) DatapointStore.rmTree(dir)
+        val marker = new org.apache.hadoop.fs.Path(mvRoot, s"_commit_${id.get}")
+        if (fs.exists(marker)) fs.delete(marker, false)
+        val dir = new org.apache.hadoop.fs.Path(mvRoot, s"v=${id.get}")
+        if (fs.exists(dir)) DatapointStore.rmTree(fs, dir)
       }
     }
   }
@@ -192,8 +195,9 @@ object Mutations {
     if (affected.isEmpty) return 0
     val payloadSchema = StructType(
       changes.schema.filterNot(f => f.name == opCol || f.name == versionCol))
-    val liveDirs = affected.map(v => new java.io.File(s"$root/$partCol=$v"))
-      .filter(_.exists).map(_.getPath)
+    val mfs = DatapointStore.fsFor(root)
+    val liveDirs = affected.map(v => s"$root/$partCol=$v")
+      .filter(d => mfs.exists(new org.apache.hadoop.fs.Path(d)))
     val base =
       if (liveDirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -204,29 +208,29 @@ object Mutations {
           .parquet(liveDirs: _*).drop(partCol)
     val merged = mergeFrame(base, ch.drop(partCol), keyCols, opCol, versionCol)
       .withColumn(partCol, partExpr)
-    val tmpRoot = new java.io.File(s"$root.graft-parts-tmp")
-    if (tmpRoot.exists()) DatapointStore.rmTree(tmpRoot)
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$root.graft-parts-tmp")
+    if (mfs.exists(tmpRoot)) DatapointStore.rmTree(mfs, tmpRoot)
     merged.repartition(col(partCol)).sortWithinPartitions(keyCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol)
-      .parquet(tmpRoot.getPath)
+      .parquet(tmpRoot.toString)
     // crash-safe per-leaf swap, compact's protocol: aside → in → drop.
     // An affected bucket absent from tmp was fully deleted — its live
     // leaf swings aside and is dropped with the backups.
-    val bakRoot = new java.io.File(s"$root.graft-parts-bak")
+    val bakRoot = new org.apache.hadoop.fs.Path(s"$root.graft-parts-bak")
     affected.foreach { v =>
       val rel = s"$partCol=$v"
-      val live = new java.io.File(s"$root/$rel")
-      val tmp = new java.io.File(s"$tmpRoot/$rel")
-      val bak = new java.io.File(s"$bakRoot/$rel")
-      bak.getParentFile.mkdirs()
-      if (live.exists() && !live.renameTo(bak))
+      val live = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/$rel")
+      val bak = new org.apache.hadoop.fs.Path(s"$bakRoot/$rel")
+      mfs.mkdirs(bak.getParent)
+      if (mfs.exists(live) && !mfs.rename(live, bak))
         throw new java.io.IOException(s"failed to move leaf aside: $live")
-      if (tmp.exists() && !tmp.renameTo(live))
+      if (mfs.exists(tmp) && !mfs.rename(tmp, live))
         throw new java.io.IOException(s"failed to move leaf in: $tmp -> $live")
-      DatapointStore.rmTree(bak)
+      if (mfs.exists(bak)) DatapointStore.rmTree(mfs, bak)
     }
-    DatapointStore.rmTree(tmpRoot)
-    if (bakRoot.exists()) DatapointStore.rmTree(bakRoot)
+    DatapointStore.rmTree(mfs, tmpRoot)
+    if (mfs.exists(bakRoot)) DatapointStore.rmTree(mfs, bakRoot)
     affected.length
   }
 
@@ -237,7 +241,8 @@ object Mutations {
   def readPartitioned(spark: SparkSession, root: String,
       payloadSchema: StructType, partCol: String = "bucket"): DataFrame = {
     DatapointStore.recoverParts(root)
-    if (!new java.io.File(root).exists())
+    if (!DatapointStore.fsFor(root)
+        .exists(new org.apache.hadoop.fs.Path(root)))
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), payloadSchema)
     spark.read.option("basePath", root)

@@ -1,8 +1,6 @@
 package graft.operators
 
-import java.io.File
-import java.nio.file.Files
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -51,18 +49,40 @@ object VersionedTable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
-  private def logDir(root: String) = new File(s"$root/_log")
+  private def fsOf(root: String): FileSystem = DatapointStore.fsFor(root)
 
-  private def commitPath(root: String, v: Long) =
-    new File(logDir(root), f"$v%020d.json")
+  private def logDir(root: String) = new Path(s"$root/_log")
 
-  /** All committed versions, ascending. */
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** All committed versions, ascending. An EMPTY record file is skipped:
+    * on a non-local FS a create-new commit record's content becomes
+    * visible at close, so a racing reader may glimpse a zero-length file
+    * — an in-flight commit, read-committed semantics (the local-FS lane
+    * hard-links full content atomically and never hits this).
+    */
   def commits(root: String): Seq[Commit] = {
+    val fs = fsOf(root)
     val dir = logDir(root)
-    if (!dir.exists()) return Seq.empty
-    dir.listFiles().filter(f => f.getName.endsWith(".json")).sorted.toSeq
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir)
+      .filter(f => f.getPath.getName.endsWith(".json") && f.getLen > 0)
+      .sortBy(_.getPath.getName).toSeq
       .map { f =>
-        val n = mapper.readTree(Files.readString(f.toPath))
+        val n = mapper.readTree(readString(fs, f.getPath))
         def longs(field: String): Seq[Long] = {
           val arr = n.get(field)
           (0 until arr.size()).map(arr.get(_).asLong())
@@ -76,8 +96,9 @@ object VersionedTable {
 
   /** Oldest version [[readAt]] may still serve (advanced by [[vacuum]]). */
   def horizon(root: String): Long = {
-    val f = new File(logDir(root), "_horizon")
-    if (f.exists()) Files.readString(f.toPath).trim.toLong else 0L
+    val fs = fsOf(root)
+    val f = new Path(logDir(root), "_horizon")
+    if (fs.exists(f)) readString(fs, f).trim.toLong else 0L
   }
 
   /** Remove data dirs no commit record references (a crashed writer's
@@ -86,11 +107,13 @@ object VersionedTable {
     */
   def heal(root: String): Unit = {
     val committed = commits(root).map(_.version).toSet
-    val data = new File(s"$root/data")
-    if (!data.exists()) return
-    data.listFiles().filter(_.getName.startsWith("v="))
+    val fs = fsOf(root)
+    val data = new Path(s"$root/data")
+    if (!fs.exists(data)) return
+    fs.listStatus(data).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
       .filterNot(d => committed(d.getName.drop(2).toLong))
-      .foreach(DatapointStore.rmTree)
+      .foreach(DatapointStore.rmTree(fs, _))
   }
 
   /** Publish a commit record via compare-and-swap: the content is staged
@@ -103,26 +126,50 @@ object VersionedTable {
     * writer's [[heal]] removes it — the table stays readable throughout.
     */
   private[graft] def writeCommit(root: String, c: Commit): Unit = {
-    logDir(root).mkdirs()
+    val fs = fsOf(root)
+    fs.mkdirs(logDir(root))
     val json = s"""{"version":${c.version},""" +
       s""""buckets":[${c.buckets.mkString(",")}],""" +
       s""""dropped":[${c.dropped.mkString(",")}]}"""
-    val tmp = new File(logDir(root), s".tmp-${c.version}.json")
-    Files.writeString(tmp.toPath, json)
-    try Files.createLink(commitPath(root, c.version).toPath, tmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp.toPath)
-        throw graft.model.ConcurrentCommit(root, c.version)
+    val name = f"${c.version}%020d.json"
+    if (fs.getUri.getScheme == "file") {
+      // local FS: hard-link create-new is the POSIX-atomic CAS with the
+      // FULL content already durable (the IndexGen dual-path discipline)
+      val dir = logDir(root).toUri.getPath
+      val tmp = java.nio.file.Paths.get(dir, s".tmp-${c.version}.json")
+      java.nio.file.Files.writeString(tmp, json)
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dir, name), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw graft.model.ConcurrentCommit(root, c.version)
+      }
+      java.nio.file.Files.delete(tmp)
+    } else {
+      // non-local: create(overwrite = false) is the namenode-atomic CAS
+      // on EXISTENCE; content lands at close (commits() skips the
+      // zero-length window — read-committed)
+      val out =
+        try fs.create(new Path(logDir(root), name), false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw graft.model.ConcurrentCommit(root, c.version)
+          case _: java.io.IOException =>
+            throw graft.model.ConcurrentCommit(root, c.version)
+        }
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
-    Files.delete(tmp.toPath)
   }
 
   private def bucketsWritten(root: String, v: Long, partCol: String): Seq[Long] = {
-    val d = new File(s"$root/data/v=$v")
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(_.getName.startsWith(s"$partCol="))
-      .map(_.getName.drop(partCol.length + 1).toLong).sorted.toSeq
+    val fs = fsOf(root)
+    val d = new Path(s"$root/data/v=$v")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.drop(partCol.length + 1).toLong).sorted.toSeq
   }
 
   /** Create version 0 from `df`. `partExpr` must be a LONG-typed pure
@@ -167,8 +214,9 @@ object VersionedTable {
     val v = if (version < 0) latestVersion(root) else version
     require(v >= horizon(root),
       s"version $v vacuumed (horizon ${horizon(root)}) in $root")
+    val vfs = fsOf(root)
     val dirs = snapshotDirs(root, v, partCol).map(_._2)
-      .filter(d => new File(d).exists())
+      .filter(d => vfs.exists(new Path(d)))
     if (dirs.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         payloadSchema)
@@ -195,9 +243,10 @@ object VersionedTable {
     val payloadSchema = StructType(
       changes.schema.filterNot(f => f.name == opCol || f.name == versionCol))
     val affectedSet = affected.toSet
+    val mfs = fsOf(root)
     val baseDirs = snapshotDirs(root, prev, partCol)
       .collect { case (b, d) if affectedSet(b) => d }
-      .filter(d => new File(d).exists())
+      .filter(d => mfs.exists(new Path(d)))
     val base =
       if (baseDirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -224,8 +273,7 @@ object VersionedTable {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(new File(root).getAbsolutePath,
-      _ => new Object)
+    rootLocks.computeIfAbsent(new Path(root).toString, _ => new Object)
 
   /** [[merge]] with optimistic-retry semantics — the loop callers need
     * now that the commit CAS DETECTS a race: on [[graft.model
@@ -282,9 +330,10 @@ object VersionedTable {
       .flatMap(c => c.buckets ++ c.dropped).toSet
     val payload = payloadSchema.fieldNames.filterNot(keyCols.contains).toSeq
     def side(v: Long, tag: String): DataFrame = {
+      val cfs = fsOf(root)
       val dirs = snapshotDirs(root, v, partCol)
         .collect { case (b, d) if touched(b) => d }
-        .filter(d => new File(d).exists())
+        .filter(d => cfs.exists(new Path(d)))
       val df = if (dirs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           payloadSchema)
@@ -317,17 +366,24 @@ object VersionedTable {
     val live = (all.length - keep until all.length)
       .flatMap(i => snapshotDirs(root, all(i).version, partCol))
       .map(_._2).toSet
+    // compare on ROOT-RELATIVE names: Hadoop listing paths carry a
+    // scheme ("file:/..."), the snapshot-constructed strings do not
+    val liveRel = live.map(d => d.split('/').takeRight(2).mkString("/"))
     var removed = 0
-    val data = new File(s"$root/data")
-    if (data.exists()) data.listFiles().filter(_.getName.startsWith("v="))
+    val fs = fsOf(root)
+    val data = new Path(s"$root/data")
+    if (fs.exists(data)) fs.listStatus(data).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
       .filter(_.getName.drop(2).toLong < newHorizon)
       .foreach { vd =>
-        vd.listFiles().filter(_.getName.startsWith(s"$partCol=")).foreach { bd =>
-          if (!live(bd.getPath)) { DatapointStore.rmTree(bd); removed += 1 }
-        }
+        fs.listStatus(vd).map(_.getPath)
+          .filter(_.getName.startsWith(s"$partCol=")).foreach { bd =>
+            if (!liveRel(s"${vd.getName}/${bd.getName}")) {
+              DatapointStore.rmTree(fs, bd); removed += 1
+            }
+          }
       }
-    val hf = new File(logDir(root), "_horizon")
-    Files.writeString(hf.toPath, newHorizon.toString)
+    writeString(fs, new Path(logDir(root), "_horizon"), newHorizon.toString)
     removed
   }
 }

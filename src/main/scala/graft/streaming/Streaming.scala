@@ -1119,13 +1119,22 @@ object Streaming {
     * write); the compacted base partition (batch_id = -1) survives every
     * filter because -1 < any real batch id.
     */
+  private def stateFs(s: SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
   private def stateOrEmpty(s: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       maxBatchExclusive: Long): DataFrame = {
-    val live = new java.io.File(dir)
-    val bak = new java.io.File(s"$dir.compact_old")
-    val src = if (live.exists()) Some(dir)
-      else if (bak.exists()) Some(bak.getPath)
+    // Hadoop FS, never java.io.File: a File check is silently FALSE on
+    // any non-local FS, and "no state yet" here would re-admit every
+    // duplicate (the worst failure mode of this lane — silent)
+    val fs = stateFs(s, dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(s"$dir.compact_old")
+    val src = if (fs.exists(live)) Some(dir)
+      else if (fs.exists(bak)) Some(bak.toString)
       else None
     src match {
       case Some(p) => s.read.schema(schema).parquet(p)
@@ -1165,36 +1174,38 @@ object Streaming {
     */
   def compactDedupState(s: SparkSession, stateDir: String,
       keepSince: Long = Long.MaxValue): Unit = {
-    val root = new java.io.File(stateDir)
-    if (!root.isDirectory) return
+    val fs = stateFs(s, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return
     // discover subs from live dirs AND orphaned .compact_old backups — a
     // crash between the two swap renames leaves ONLY the backup, which
     // must still be found so the heal below can promote it
-    val subs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    val subs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
       .filterNot(_.endsWith(".compact_tmp"))
       .map(_.stripSuffix(".compact_old"))
       .distinct
-      .map(n => new java.io.File(root, n))
+      .map(n => new org.apache.hadoop.fs.Path(root, n))
     subs.foreach { sub =>
-      val tmp = new java.io.File(s"${sub.getPath}.compact_tmp")
-      val old = new java.io.File(s"${sub.getPath}.compact_old")
+      val tmp = new org.apache.hadoop.fs.Path(s"$sub.compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$sub.compact_old")
       // heal a half-swap: promote the backup if the live dir vanished,
       // drop an incomplete tmp from a crashed write
-      if (!sub.exists() && old.exists() && !old.renameTo(sub))
-        throw new java.io.IOException(s"cannot heal ${old.getPath}")
-      if (tmp.exists()) graft.core.DatapointStore.rmTree(tmp)
-      if (old.exists()) graft.core.DatapointStore.rmTree(old)
-      s.read.parquet(sub.getPath)
+      if (!fs.exists(sub) && fs.exists(old) && !fs.rename(old, sub))
+        throw new java.io.IOException(s"cannot heal $old")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      s.read.parquet(sub.toString)
         .withColumn("batch_id",
           when(col("batch_id").cast("long") < keepSince, lit(-1L))
             .otherwise(col("batch_id").cast("long")))
         .write.partitionBy("batch_id").mode("overwrite")
-        .parquet(tmp.getPath)
-      if (!sub.renameTo(old))
-        throw new java.io.IOException(s"cannot back up ${sub.getPath}")
-      if (!tmp.renameTo(sub))
-        throw new java.io.IOException(s"cannot promote ${tmp.getPath}")
-      graft.core.DatapointStore.rmTree(old)
+        .parquet(tmp.toString)
+      if (!fs.rename(sub, old))
+        throw new java.io.IOException(s"cannot back up $sub")
+      if (!fs.rename(tmp, sub))
+        throw new java.io.IOException(s"cannot promote $tmp")
+      fs.delete(old, true)
     }
   }
 

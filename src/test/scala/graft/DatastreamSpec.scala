@@ -1210,10 +1210,16 @@ class DatastreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("stream_id", "t", "v"))
     assert(ds.catalogWrites == 1,
       s"staged appends must not rewrite the catalog (got ${ds.catalogWrites})")
-    assert(new java.io.File(s"$root/streams.hwm").exists())
+    // r13 layout: the sidecar is a SEGMENT DIR (one create-new file per
+    // batch — append() is unsupported on several Hadoop filesystems)
+    def segs() = Option(new java.io.File(s"$root/streams.hwm.d").listFiles())
+      .getOrElse(Array.empty).count(f => f.isFile && !f.getName.startsWith("."))
+    // 5 segments: the FIRST append's descriptor-persist flush truncated
+    // its own segment; the 5 staged appends each left one
+    assert(segs() == 5, s"one sidecar segment per staged append, got ${segs()}")
     ds.flush()
     assert(ds.catalogWrites == 2)
-    assert(!new java.io.File(s"$root/streams.hwm").exists(),
+    assert(segs() == 0 && !new java.io.File(s"$root/streams.hwm.d").exists(),
       "flush truncates the sidecar")
     // the flushed catalog carries the widened bounds
     val d2 = new Datastream(spark, root)

@@ -1700,7 +1700,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.io.File(s"$full/postings").listFiles()
       .filter(f => f.getName.startsWith("bucket=") &&
         f.getName != s"bucket=$home")
-      .foreach(graft.core.DatapointStore.rmTree)
+      .foreach(f => graft.core.DatapointStore.rmTree(f.getPath))
     val oneTok = Seq((99L, tok)).toDF("qid", "qtext")
     val hits = Retrieval.bm25TopKIndexed(spark, full, oneTok, 5).collect()
     assert(hits.nonEmpty && hits.forall(_.getLong(0) == 99L))
@@ -2074,7 +2074,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.getName.startsWith("batch=")).flatMap(_.listFiles())
       .filter(d => d.getName.startsWith("cell=") &&
         !keepCells.contains(d.getName.stripPrefix("cell=").toLong))
-      .foreach(graft.core.DatapointStore.rmTree)
+      .foreach(f => graft.core.DatapointStore.rmTree(f.getPath))
     val after = Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(after == before)
