@@ -1712,25 +1712,6 @@ object SparkEntry {
             " * sx) / n, 4)").as("intercept"))
     },
 
-    "q_zorder_cluster" -> { (s, dir) =>
-      // Z-order (Morton) clustering — the multi-column data-skipping
-      // layout (Delta OPTIMIZE ZORDER): interleave the low 16 bits of
-      // (customer, order-day), then audit the curve's locality by
-      // z-bucket (2^14 curve cells each — 128×128 boxes) — every bucket's rows sit in a TIGHT box on
-      // BOTH dimensions (min/max spans per bucket are the exact ranges
-      // parquet footers would carry per file; the ScaleSpec guard
-      // measures the skipping this buys). Pure integer shifts — exact
-      // cross-engine.
-      val o = tbl(s, dir, "orders").select(col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("d"))
-      val z = graft.operators.Pipeline.zOrderKey(col("o_custkey"), col("d"), 16)
-      o.withColumn("zb", shiftrightunsigned(z, 14).cast("long"))
-        .groupBy("zb").agg(count(lit(1)).as("n"),
-          min("o_custkey").as("c_min"), max("o_custkey").as("c_max"),
-          min("d").as("d_min"), max("d").as("d_max"))
-        .orderBy("zb")
-    },
-
     "text_heaps_fit" -> { (s, dir) =>
       // Heaps'-law fit (the Zipf fit's companion corpus-health check):
       // vocabulary growth V(n) ≈ K·n^β over ten doc-prefix checkpoints —
@@ -7983,21 +7964,6 @@ object SparkEntry {
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
         |    / n, 4) AS intercept
         |FROM g""".stripMargin,
-
-    "q_zorder_cluster" ->
-      // the same bit interleave, emitted by Pipeline.zOrderKeySql so the
-      // two sides can never drift
-      s"""WITH o AS (SELECT o_custkey,
-        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
-        |      AS d FROM orders),
-        |z AS (SELECT o_custkey, d,
-        |    ${graft.operators.Pipeline.zOrderKeySql("o_custkey", "d", 16)}
-        |      >> 14 AS zb
-        |  FROM o)
-        |SELECT zb, CAST(count(*) AS BIGINT) AS n,
-        |  min(o_custkey) AS c_min, max(o_custkey) AS c_max,
-        |  min(d) AS d_min, max(d) AS d_max
-        |FROM z GROUP BY zb ORDER BY zb""".stripMargin,
 
     "text_heaps_fit" ->
       // same exact-integer checkpoints; ln + OLS mirrors term-for-term

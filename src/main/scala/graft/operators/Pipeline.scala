@@ -40,38 +40,6 @@ object Pipeline {
   private def hexBucket(idCol: Column): Column =
     substring(idHash(idCol), 1, 2)
 
-  /** Z-order (Morton) key over two non-negative integer dimensions — the
-    * multi-column data-skipping layout (Delta OPTIMIZE ZORDER, Hudi
-    * clustering): interleaving the low `bits` of each dimension makes
-    * rows close in BOTH dimensions land close on the curve, so a
-    * z-sorted parquet write gives every file TIGHT min/max ranges on
-    * BOTH columns and a 2-d box predicate prunes to ~√(selectivity)
-    * files instead of scanning one dimension's full stripes. Pure
-    * integer shifts/masks (exact on any engine — the expression is also
-    * emitted as SQL for the oracle); values are clamped into
-    * [0, 2^bits) so oversized ids degrade gracefully instead of
-    * wrapping.
-    */
-  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
-    val ca = least(greatest(a.cast("long"), lit(0L)), lit((1L << bits) - 1))
-    val cb = least(greatest(b.cast("long"), lit(0L)), lit((1L << bits) - 1))
-    (0 until bits).map { i =>
-      (shiftleft(shiftrightunsigned(ca, i) % 2, 2 * i) +
-        shiftleft(shiftrightunsigned(cb, i) % 2, 2 * i + 1)).cast("long")
-    }.reduce(_ + _)
-  }
-
-  /** The same interleave as DuckDB SQL over column exprs `a`, `b` —
-    * kept beside [[zOrderKey]] so the two can never drift. */
-  def zOrderKeySql(a: String, b: String, bits: Int = 16): String = {
-    val max = (1L << bits) - 1
-    def clamp(x: String) = s"least(greatest(CAST($x AS BIGINT), 0), $max)"
-    (0 until bits).map { i =>
-      s"(((${clamp(a)} >> $i) & 1) << ${2 * i}) + " +
-        s"(((${clamp(b)} >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " + ", ")")
-  }
-
   /** Assign each row a reproducible train/val/test split by hashing its id:
     * bucket < trainHex → train, < valHex → val, else test. Default 'e6'/'f3'
     * ≈ 90/5/5. Adding rows never reassigns existing ones (no sampling, no

@@ -819,38 +819,6 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("z-order layout skips on BOTH dimensions: second-column box predicates prune files a single-column sort cannot") {
-    // the data-skipping claim, measured on parquet footers: a layout
-    // range-partitioned on x alone gives every file the FULL y span (a
-    // y-box predicate prunes nothing), while the z-ordered layout gives
-    // every file a tight y range (most files prune). This is exactly
-    // what row-group min/max skipping sees at 100 TB.
-    import spark.implicits._
-    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
-      .toDF("x", "y")
-    val zdir = Files.createTempDirectory("graft-zorder").toString + "/t"
-    val ldir = Files.createTempDirectory("graft-linear").toString + "/t"
-    val z = graft.operators.Pipeline.zOrderKey(col("x"), col("y"), 6)
-    grid.withColumn("z", z).repartitionByRange(16, col("z"))
-      .sortWithinPartitions("z").write.parquet(zdir)
-    grid.repartitionByRange(16, col("x"), col("y"))
-      .sortWithinPartitions("x", "y").write.parquet(ldir)
-    def filesIntersectingYBox(dir: String, lo: Long, hi: Long): (Long, Long) = {
-      val spans = spark.read.parquet(dir)
-        .groupBy(input_file_name().as("f"))
-        .agg(min("y").as("ymin"), max("y").as("ymax"))
-        .collect().map(r => (r.getLong(1), r.getLong(2)))
-      (spans.count { case (a, b) => b >= lo && a <= hi }.toLong,
-        spans.length.toLong)
-    }
-    val (zHit, zTotal) = filesIntersectingYBox(zdir, 0L, 15L)
-    val (lHit, lTotal) = filesIntersectingYBox(ldir, 0L, 15L)
-    assert(lHit == lTotal,
-      s"x-sorted layout should be unprunable on y ($lHit of $lTotal)")
-    assert(zHit * 2 <= zTotal,
-      s"z-order should prune most files on a y box ($zHit of $zTotal hit)")
-  }
-
   test("pq index read amplification: batch-dir fan-out inflates search tasks; compaction folds them back") {
     // pqcells/batch=N grows one dir per applied batch with no bound —
     // every probed cell then pays a task per batch dir (the r12 judge's
