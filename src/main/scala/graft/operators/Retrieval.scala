@@ -171,6 +171,20 @@ object Retrieval {
     fs.create(pending, true).close()
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .localCheckpoint(true) // feeds the postings join AND the doclens write
+    // doclens lands FIRST: it is the delete path's WITNESS table, and
+    // writing it before the postings keeps "postings docs ⊆ doclens
+    // docs" an invariant across crashes — that is what makes the
+    // no-op-delete shortcut in runPendingDelete (skip the corpus-sized
+    // postings scan when the doclens witness is empty) safe even for a
+    // re-delivered half-crashed append.
+    // Piggyback the batch's (n_docs, sum_dl) on the write job itself
+    // (Observation = zero extra jobs, the appendMultiple discipline).
+    val obs = org.apache.spark.sql.Observation()
+    dl.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .observe(obs, count(lit(1)).as("dn"),
+        coalesce(sum("dl"), lit(0L)).as("dsdl"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$root/doclens")
     // dl DENORMALIZED into every posting row: a search then reads ONLY
     // its query tokens' postings buckets — the corpus-sized doclens
     // table is mutation-path bookkeeping, never serving-path I/O
@@ -179,14 +193,6 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
-    // piggyback the batch's (n_docs, sum_dl) on the write job itself
-    // (Observation = zero extra jobs, the appendMultiple discipline)
-    val obs = org.apache.spark.sql.Observation()
-    dl.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .observe(obs, count(lit(1)).as("dn"),
-        coalesce(sum("dl"), lit(0L)).as("dsdl"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$root/doclens")
     // a missing Observation key means AQE pruned the empty subtree ⇒ 0
     val got = obs.get
     val dn = got.get("dn").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -389,6 +395,19 @@ object Retrieval {
             s"$StatsPrefix${g + 1}_${n - rn}_${sdl - rsdl}"), true).close()
         Some(rem.getSeq[Long](2))
       } else None
+    if (dlTouched.contains(Seq.empty)) {
+      // the doclens WITNESS matched nothing, and doclens docs are a
+      // superset of postings docs by write order (doclens lands first in
+      // writeIndex) — so the postings/positions scans would match
+      // nothing either. This is applyIndexBatch's CLEAN path (the
+      // per-batch scrub of ids that are not in the index): skipping here
+      // saves a corpus-sized postings scan per micro-batch. The shortcut
+      // only fires on the single-marker fresh path — a crash replay
+      // (two markers / no marker) always takes the full scans.
+      cleanupStats(fs, root)
+      fs.delete(marker, true)
+      return
+    }
     stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
     stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids,
       dlTouched)
