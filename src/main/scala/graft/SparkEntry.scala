@@ -1797,6 +1797,32 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "pipe_psi_drift_stream" -> { (s, dir) =>
+      // the LIVE drift monitor: per-(source, bin) BIGINT counts fold in
+      // streaming state (counts commute — split-invariant under ANY
+      // delivery order, the strongest invariance class) and the final
+      // snapshot computes the batch PSI grid exactly — pipe_psi_drift's
+      // oracle verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-psi-stream").toString + "/st"
+      val rows = tbl(s, dir, "documents").select("source", "n_chars")
+        .as[(String, Long)].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = mem.toDF.toDF("source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.Streaming.psiDriftBatch(s, stateDir, b, id)
+        }
+        .option("checkpointLocation", s"$stateDir/../ckpt").start()
+      try rows.grouped(rows.length / 3 + 1).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.Streaming.psiDriftStats(s, stateDir).orderBy("source")
+    },
+
     "pipe_mi_features" -> { (s, dir) =>
       // feature selection by mutual information: MI(bucket-presence;
       // source) over the text_hash_features buckets — the filter-method
@@ -6990,6 +7016,31 @@ object SparkEntry {
         |FROM cc, nq, hits, exn""".stripMargin
   }
 
+  // shared by pipe_psi_drift (batch) and pipe_psi_drift_stream (the
+  // live count-fold monitor)
+  private val psiDriftOracleSql: String =
+      // same integer bins/counts; the PSI double mirrors term-for-term
+      """WITH d AS (SELECT source,
+        |    least(n_chars // 200, 9) AS bin FROM documents),
+        |bs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c_sb
+        |  FROM d GROUP BY 1, 2),
+        |bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM d GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM d GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |grid AS (SELECT bs.source, bs.c_sb, bb.c_b - bs.c_sb AS c_rest,
+        |    ns.n_s, nt.n - ns.n_s AS n_rest
+        |  FROM bs JOIN bb USING (bin) JOIN ns USING (source)
+        |  CROSS JOIN nt
+        |  WHERE bs.c_sb > 0 AND bb.c_b - bs.c_sb > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  round(sum((CAST(c_sb AS DOUBLE) / n_s
+        |      - CAST(c_rest AS DOUBLE) / n_rest)
+        |    * ln((CAST(c_sb AS DOUBLE) / n_s)
+        |        / (CAST(c_rest AS DOUBLE) / n_rest))), 4) AS psi
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   // shared by pipe_e2e_curation (batch) and pipe_e2e_curation_stream
   // (the stateful funnel twin)
   private val curationOracleSql: String =
@@ -7491,6 +7542,8 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // streaming count-fold == the batch grid exactly — oracle verbatim
+    "pipe_psi_drift_stream" -> psiDriftOracleSql,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
@@ -7885,28 +7938,7 @@ object SparkEntry {
         |    AS gini_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    "pipe_psi_drift" ->
-      // same integer bins/counts; the PSI double mirrors term-for-term
-      """WITH d AS (SELECT source,
-        |    least(n_chars // 200, 9) AS bin FROM documents),
-        |bs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c_sb
-        |  FROM d GROUP BY 1, 2),
-        |bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_b
-        |  FROM d GROUP BY 1),
-        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
-        |  FROM d GROUP BY 1),
-        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-        |grid AS (SELECT bs.source, bs.c_sb, bb.c_b - bs.c_sb AS c_rest,
-        |    ns.n_s, nt.n - ns.n_s AS n_rest
-        |  FROM bs JOIN bb USING (bin) JOIN ns USING (source)
-        |  CROSS JOIN nt
-        |  WHERE bs.c_sb > 0 AND bb.c_b - bs.c_sb > 0)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins_used,
-        |  round(sum((CAST(c_sb AS DOUBLE) / n_s
-        |      - CAST(c_rest AS DOUBLE) / n_rest)
-        |    * ln((CAST(c_sb AS DOUBLE) / n_s)
-        |        / (CAST(c_rest AS DOUBLE) / n_rest))), 4) AS psi
-        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_psi_drift" -> psiDriftOracleSql,
 
     "pipe_mi_features" ->
       // same integer count cells; the MI double mirrors term-for-term

@@ -1546,6 +1546,59 @@ object Streaming {
         sum("n_tokens").as("n_tokens"))
   }
 
+  /** One micro-batch of the LIVE drift monitor — the streaming twin of
+    * the pipe_psi_drift gate (population stability index per source vs
+    * the rest of the corpus): the only state is exact per-(source, bin)
+    * BIGINT counts (fixed integer length bins — no quantile estimation,
+    * so the binning is batch-independent), written as dynamic-overwrite
+    * batch partitions (same-id re-delivery replaces its own writes).
+    * Counts COMMUTE, so the monitor is split-invariant under ANY
+    * delivery order — the strongest invariance class of the streaming
+    * twins — and [[psiDriftStats]] over a full replay equals the batch
+    * op exactly (the gate shares its oracle verbatim).
+    */
+  def psiDriftBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long, binWidth: Long = 200L, maxBin: Long = 9L): Unit = {
+    batch.select(col("source"),
+        least(expr(s"CAST(n_chars div $binWidth AS BIGINT)"),
+          lit(maxBin)).as("bin")) // the batch op's exact integer binning
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("batch_id", lit(batchId))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$stateDir/bins")
+  }
+
+  /** The live PSI report over everything delivered so far: fold the
+    * per-batch count partitions (one metadata-scale aggregation — state
+    * is |sources| × |bins| rows per batch) and compute the batch op's
+    * exact grid: PSI = Σ (p−q)·ln(p/q) over bins present on BOTH sides,
+    * counts exact, ln + round(4) the only float lane. Output: (source,
+    * n_bins_used, psi).
+    */
+  def psiDriftStats(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("bin", LongType), StructField("c", LongType),
+      StructField("batch_id", LongType)))
+    val bySrc = stateOrEmpty(spark, s"$stateDir/bins", schema, Long.MaxValue)
+      .groupBy("source", "bin").agg(sum("c").as("c_sb"))
+      .localCheckpoint(true) // feeds totals AND the grid
+    val byBin = bySrc.groupBy("bin").agg(sum("c_sb").as("c_b"))
+    val nSrc = bySrc.groupBy("source").agg(sum("c_sb").as("n_s"))
+    val nTot = bySrc.agg(coalesce(sum("c_sb"), lit(0L))).head().getLong(0)
+    bySrc.join(byBin, "bin").join(broadcast(nSrc), "source")
+      .withColumn("c_rest", col("c_b") - col("c_sb"))
+      .withColumn("n_rest", lit(nTot) - col("n_s"))
+      .where(col("c_sb") > 0 && col("c_rest") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins_used"),
+        round(sum(expr(
+          "(CAST(c_sb AS DOUBLE) / n_s - CAST(c_rest AS DOUBLE) / n_rest)" +
+            " * ln((CAST(c_sb AS DOUBLE) / n_s) / " +
+            "(CAST(c_rest AS DOUBLE) / n_rest))")), 4).as("psi"))
+  }
+
   def dedupNear(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, compactEvery: Int = 0)

@@ -870,6 +870,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(1)).sorted.toSeq == (1 to 6).map(_.toDouble))
   }
 
+  test("psi drift monitor: any delivery order and split gives the batch PSI; same-id re-delivery idempotent") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "n_chars")
+    val rows = docs.as[(String, Long)].collect().toSeq
+    val batchRef = graft.streaming.Streaming // compute via the batch gate's shape
+    val expected = {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft-psi-ref").toString + "/st"
+      batchRef.psiDriftBatch(spark, st, docs, 0L)
+      batchRef.psiDriftStats(spark, st)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    }
+    def run(order: Seq[(String, Long)], cuts: Int,
+        redeliver: Boolean = false): Map[String, (Long, Double)] = {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft-psi-run").toString + "/st"
+      val groups = order.grouped(order.length / cuts + 1).toSeq
+      groups.zipWithIndex.foreach { case (g, i) =>
+        graft.streaming.Streaming.psiDriftBatch(spark, st,
+          g.toDF("source", "n_chars"), i.toLong)
+        if (redeliver && i == 0) // same-id re-run must overwrite
+          graft.streaming.Streaming.psiDriftBatch(spark, st,
+            g.toDF("source", "n_chars"), i.toLong)
+      }
+      graft.streaming.Streaming.psiDriftStats(spark, st)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    }
+    // counts commute: a seeded SHUFFLE (not just a different split) must
+    // still fold to the batch PSI — the strongest invariance class
+    val rnd = new scala.util.Random(3)
+    assert(run(rows, 3) == expected)
+    assert(run(rnd.shuffle(rows), 5) == expected)
+    assert(run(rows, 2, redeliver = true) == expected)
+  }
+
   test("curation funnel: stage deltas sum identically under any batch split; same-id re-delivery is idempotent") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
