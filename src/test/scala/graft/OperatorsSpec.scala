@@ -2060,6 +2060,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val before = Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // staged-dir guard (r13): hidden pre-publish trees from the delete/
+    // compact lanes must never reach a search — partition discovery
+    // skips dot-prefixed dirs AND the search's heal rolls them back
+    spark.range(1).select(lit(424242L).as("vec_id"),
+        typedLit(Seq.fill(16)(7)).as("codes"), lit(0L).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/.ivfpq_stage")
+    spark.range(1).select(lit(424243L).as("vec_id"),
+        typedLit(Seq.fill(16)(7)).as("codes"), lit(0L).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/.ivfpq_cstage")
+    assert(Similarity.ivfPqIndexTopK(spark, root, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == before, "staged trees leaked into a search")
+    val sfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!sfs.exists(new org.apache.hadoop.fs.Path(s"$root/.ivfpq_stage")) &&
+      !sfs.exists(new org.apache.hadoop.fs.Path(s"$root/.ivfpq_cstage")),
+      "the search's heal must roll back bare stage trees")
     // demolition: delete every cell dir whose content the answer does
     // not depend on — the search must answer identically afterwards
     // (its candidate scan is the probed-cell partition filter; nothing
