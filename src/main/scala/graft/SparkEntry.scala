@@ -3607,6 +3607,42 @@ object SparkEntry {
       Retrieval.hybridRrf(b20, c20, 10).orderBy("qid", "rnk")
     },
 
+    "q_bm25_prf" -> { (s, dir) =>
+      // pseudo-relevance feedback (the RM3-shaped expansion loop every
+      // production retrieval stack runs): first-pass BM25 top-3 are the
+      // feedback docs, the 2 most frequent feedback-doc tokens NOT in
+      // the query (exact integer counts, token-asc tie) expand it, and
+      // the expanded query re-scores. Composes bm25TopK twice — the
+      // expansion is metadata-scale (queries × top-3 docs; the token
+      // join broadcasts the feedback list against the corpus explode).
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val fb = Retrieval.bm25TopK(docs, broadcast(queries), 3)
+        .select("qid", "doc_id")
+      val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val ftf = broadcast(fb).join(toks, "doc_id")
+        .groupBy("qid", "tok").agg(count(lit(1)).as("ftf"))
+      val qtok0 = queries.select(col("qid"),
+          explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+        .where(col("tok") =!= "")
+      val wexp = Window.partitionBy("qid")
+        .orderBy(col("ftf").desc, col("tok"))
+      val exp = ftf.join(qtok0, Seq("qid", "tok"), "left_anti")
+        .withColumn("rn", row_number().over(wexp))
+        .where(col("rn") <= 2)
+        .groupBy("qid")
+        .agg(concat_ws(" ", sort_array(collect_list("tok"))).as("extra"))
+      val expanded = queries.join(broadcast(exp), Seq("qid"), "left")
+        .select(col("qid"),
+          concat_ws(" ", col("qtext"), coalesce(col("extra"), lit("")))
+            .as("qtext"))
+      Retrieval.bm25TopK(docs, broadcast(expanded), 5)
+        .orderBy("qid", "rnk")
+    },
+
     "q_mrr_eval" -> { (s, dir) =>
       // the retrieval eval harness (emb_ann_recall's keyword sibling):
       // queries are 8-word MID-SLICES (words 5..12) of the first 20
@@ -7412,6 +7448,52 @@ object SparkEntry {
       |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  // the PRF loop end-to-end: bm25TopkOracleSql's scoring body twice,
+  // with the integer (ftf desc, tok asc) expansion election between
+  private val bm25PrfOracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+      |t AS (SELECT * FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |st AS (SELECT (SELECT count(*) FROM d) AS n,
+      |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+      |      / (SELECT count(*) FROM d) AS avgdl),
+      |q0 AS (SELECT doc_id AS qid,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM d WHERE doc_id < 5),
+      |qq0 AS (SELECT * FROM q0 WHERE tok <> ''),
+      |s0 AS (SELECT qq0.qid, tf.doc_id,
+      |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM qq0 JOIN tf ON qq0.tok = tf.tok JOIN df ON qq0.tok = df.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY qq0.qid, tf.doc_id),
+      |fb AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number()
+      |    OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM s0) WHERE rnk <= 3),
+      |ftf AS (SELECT fb.qid, t.tok, CAST(count(*) AS BIGINT) AS ftf
+      |  FROM fb JOIN t ON t.doc_id = fb.doc_id GROUP BY fb.qid, t.tok),
+      |exp AS (SELECT qid, tok FROM (SELECT f.qid, f.tok, row_number()
+      |    OVER (PARTITION BY f.qid ORDER BY f.ftf DESC, f.tok) AS rn
+      |  FROM ftf f ANTI JOIN qq0 ON qq0.qid = f.qid AND qq0.tok = f.tok)
+      |  WHERE rn <= 2),
+      |qq1 AS (SELECT DISTINCT qid, tok FROM
+      |  (SELECT qid, tok FROM qq0 UNION ALL SELECT qid, tok FROM exp)),
+      |s1 AS (SELECT qq1.qid, tf.doc_id,
+      |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM qq1 JOIN tf ON qq1.tok = tf.tok JOIN df ON qq1.tok = df.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY qq1.qid, tf.doc_id),
+      |r AS (SELECT qid, doc_id, score, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM s1)
+      |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** SemDeDup brute-force recomputation, shared VERBATIM by the
     * emb_semdedup (batch) and emb_semdedup_stream (ordered-replay
     * first-decision table ≡ batch) gate queries.
@@ -9634,6 +9716,7 @@ object SparkEntry {
     // doc_id tie-break) so last-ulp ln/sum-order differences can't flip
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
+    "q_bm25_prf" -> bm25PrfOracleSql,
 
     // identical results by construction: the materialized index changes
     // the I/O path (bucket-pruned postings), never the scoring — so the
