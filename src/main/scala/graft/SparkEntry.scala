@@ -3643,6 +3643,46 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_bm25_snippets" -> { (s, dir) =>
+      // snippet extraction — the serving feature after ranking: in each
+      // query's BM25 top-1 doc, elect the 8-token window with the most
+      // query-term hits (window starts at a matched position — a
+      // maximizing window always can — ties to the earliest start).
+      // All-integer scoring: matched positions self-join within the
+      // window span, count, elect (hits desc, start asc). Work is
+      // queries × matches-in-one-doc — list-scale.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val top1 = Retrieval.bm25TopK(docs, broadcast(queries), 1)
+        .select("qid", "doc_id")
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val qtok = queries.select(col("qid"),
+          explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+        .where(col("tok") =!= "")
+      val m = broadcast(top1).join(toks, "doc_id")
+        .join(qtok, Seq("qid", "tok"))
+        .select("qid", "doc_id", "pos")
+        .localCheckpoint(true) // both sides of the window self-join
+      val w = Window.partitionBy("qid", "doc_id")
+        .orderBy(col("n_hits").desc, col("snip_start"))
+      m.as("a").join(m.as("b"),
+          col("a.qid") === col("b.qid") &&
+            col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") >= col("a.pos") &&
+            col("b.pos") < col("a.pos") + 8)
+        .groupBy(col("a.qid").as("qid"), col("a.doc_id").as("doc_id"),
+          col("a.pos").as("snip_start"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("qid")
+    },
+
     "q_mrr_eval" -> { (s, dir) =>
       // the retrieval eval harness (emb_ann_recall's keyword sibling):
       // queries are 8-word MID-SLICES (words 5..12) of the first 20
@@ -9717,6 +9757,48 @@ object SparkEntry {
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
     "q_bm25_prf" -> bm25PrfOracleSql,
+
+    "q_bm25_snippets" ->
+      // top-1 via the bm25 chain, then the all-integer window election
+      // (positions assigned BEFORE the empty-token filter on both sides)
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |t0 AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+        |      AS pos FROM d),
+        |t AS (SELECT * FROM t0 WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |top1 AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number()
+        |    OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored) WHERE rnk = 1),
+        |m AS (SELECT top1.qid, t.doc_id, t.pos
+        |  FROM top1 JOIN t ON t.doc_id = top1.doc_id
+        |  JOIN qq ON qq.qid = top1.qid AND qq.tok = t.tok),
+        |wins AS (SELECT a.qid, a.doc_id, a.pos AS snip_start,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM m a JOIN m b ON b.qid = a.qid AND b.doc_id = a.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY a.qid, a.doc_id, a.pos)
+        |SELECT qid, doc_id, snip_start, n_hits FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY qid, doc_id
+        |      ORDER BY n_hits DESC, snip_start) AS rn
+        |  FROM wins) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     // identical results by construction: the materialized index changes
     // the I/O path (bucket-pruned postings), never the scoring — so the
