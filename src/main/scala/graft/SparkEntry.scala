@@ -3683,6 +3683,47 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "q_ndcg_eval" -> { (s, dir) =>
+      // graded-relevance ranking eval (nDCG@10) — the eval the MRR/
+      // recall pair lacks: queries are the q_mrr_eval mid-slices, and
+      // relevance grades are exactly derivable on both engines (3 =
+      // the source doc itself, 1 = any doc from the same `source`
+      // corpus, 0 otherwise). DCG folds 1/log2(rank+1) over the BM25
+      // top-10; the ideal DCG is closed-form from the same-source count
+      // (one 3 plus min(9, n_same−1) ones in the best positions).
+      // round(4) absorbs sum-order ulps (the zipf float discipline).
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      val queries = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("source").as("qsource"),
+          expr("concat_ws(' ', slice(split(text, ' '), 5, 8))").as("qtext"))
+        .localCheckpoint(true) // feeds the run, the grades AND idcg
+      val run = Retrieval.bm25TopK(docs.select("doc_id", "text"),
+        broadcast(queries.select("qid", "qtext")), 10)
+      val graded = run
+        .join(broadcast(queries.select("qid", "qsource")), "qid")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rel",
+          when(col("doc_id") === col("qid"), 3.0)
+            .when(col("source") === col("qsource"), 1.0).otherwise(0.0))
+      val dcg = graded.groupBy("qid")
+        .agg(sum(expr("rel / log2(CAST(rnk AS DOUBLE) + 1.0)")).as("dcg"),
+          sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_in_10"))
+      val nSame = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      queries.join(broadcast(nSame),
+          col("qsource") === col("source"))
+        .select(col("qid"), col("ns"))
+        .join(dcg, Seq("qid"), "left")
+        .withColumn("idcg", lit(3.0) +
+          when(col("ns") >= 2, expr(
+            "aggregate(sequence(2, CAST(least(10L, ns) AS INT)), 0D," +
+              " (a, i) -> a + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"))
+            .otherwise(lit(0.0)))
+        .select(col("qid"),
+          coalesce(col("n_rel_in_10"), lit(0L)).as("n_rel_in_10"),
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4).as("ndcg"))
+        .orderBy("qid")
+    },
+
     "q_mrr_eval" -> { (s, dir) =>
       // the retrieval eval harness (emb_ann_recall's keyword sibling):
       // queries are 8-word MID-SLICES (words 5..12) of the first 20
@@ -9757,6 +9798,57 @@ object SparkEntry {
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
     "q_bm25_prf" -> bm25PrfOracleSql,
+
+    "q_ndcg_eval" ->
+      // same grades/fold; list_sum over range ≡ the sequential aggregate
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |qd AS (SELECT doc_id AS qid, source AS qsource,
+        |    array_to_string(string_split(text, ' ')[5:12], ' ') AS qtext
+        |  FROM d WHERE doc_id < 20),
+        |q AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' ')))
+        |    AS tok FROM qd),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |run AS (SELECT qid, doc_id, rnk FROM (SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+        |      AS rnk FROM scored) WHERE rnk <= 10),
+        |graded AS (SELECT run.qid, run.rnk,
+        |    CASE WHEN run.doc_id = run.qid THEN 3.0
+        |      WHEN dd.source = qd.qsource THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM run JOIN d dd ON dd.doc_id = run.doc_id
+        |  JOIN qd ON qd.qid = run.qid),
+        |dcg AS (SELECT qid,
+        |    sum(rel / log2(CAST(rnk AS DOUBLE) + 1.0)) AS dcg,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel_in_10
+        |  FROM graded GROUP BY qid),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d
+        |  GROUP BY source)
+        |SELECT qd.qid,
+        |  coalesce(dcg.n_rel_in_10, 0) AS n_rel_in_10,
+        |  round(coalesce(dcg.dcg, 0.0) /
+        |    (3.0 + CASE WHEN ns.ns >= 2 THEN coalesce(list_sum(
+        |      list_transform(range(2, CAST(least(10, ns.ns) AS BIGINT) + 1),
+        |        i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))), 0.0)
+        |      ELSE 0.0 END), 4) AS ndcg
+        |FROM qd JOIN ns ON ns.source = qd.qsource
+        |LEFT JOIN dcg ON dcg.qid = qd.qid
+        |ORDER BY qd.qid""".stripMargin,
 
     "q_bm25_snippets" ->
       // top-1 via the bm25 chain, then the all-integer window election
