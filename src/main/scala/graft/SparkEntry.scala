@@ -4634,10 +4634,12 @@ object SparkEntry {
     "q_bm25_audit" -> { (s, dir) =>
       // relevance-drift audit on a fresh consistent index: the sampled
       // direct-vs-indexed MRR row must come back perfect — (n_q, n_q,
-      // 10000, false) — which only happens if the whole chain agrees
-      // (sampling rule, both scoring lanes, doclens stats, rank ties).
+      // 10000, sidecar diffs 0, false) — which only happens if the whole
+      // chain agrees (sampling rule, both scoring lanes, doclens stats,
+      // rank ties) AND the stats sidecar matches a live doclens recount
+      // (the r14 runtime twin of the OperatorsSpec sidecar≡recount pin).
       // The analytic oracle recomputes n_q from the stride rule; the
-      // gutted-bucket detection lane is pinned in OperatorsSpec.
+      // gutted-bucket + drifted-sidecar lanes are pinned in OperatorsSpec.
       val work = bm25BaseIndex(s, dir)
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
@@ -9941,6 +9943,8 @@ object SparkEntry {
         |q AS (SELECT count(*) AS n_q FROM documents, nn
         |      WHERE doc_id % greatest(1, (n + 19) // 20) = 0)
         |SELECT n_q, n_q AS n_top1_agree, CAST(10000 AS BIGINT) AS mrr_bp,
+        |  CAST(0 AS BIGINT) AS sidecar_n_diff,
+        |  CAST(0 AS BIGINT) AS sidecar_dl_diff,
         |  FALSE AS stale FROM q""".stripMargin,
 
     "q_mrr_eval" ->

@@ -22,16 +22,30 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * RENAME-WINDOW race: a mutation beginning INSIDE another's publish
   * window (the span of renames after its CAS) would plan against a
   * half-swapped state. [[advance]] therefore also takes a LEASE —
-  * `_idx_lease_<gen>_<expiryMs>`, created by the CAS winner before its
-  * first rename and dropped by [[release]] after its last — and
-  * [[begin]] raises ConcurrentCommit while an unexpired lease exists.
-  * Second-writer safety is thus a mechanism, not a contract (the r12
-  * residual, closed). A crashed holder's lease expires after `ttlMs`
-  * (publication is seconds of renames; the default gives 60 s of
-  * bounded unavailability after a writer crash, never inconsistency —
-  * the interrupted state itself heals on the next read); the TTL must
-  * exceed the longest real publication, which callers doing unusually
-  * slow renames (cross-bucket object-store copies) should raise.
+  * `_idx_lease_<gen>_<expiryMs>_<uuid>`, created by the writer BEFORE
+  * its marker CAS (r14: lease-first ordering — a `begin` landing in the
+  * old marker→lease window saw the new generation unleased and could
+  * plan against mid-publication state; now the lease is visible before
+  * the generation ever advances, and a CAS loser deletes its own lease)
+  * and dropped by [[release]] after its last rename — and [[begin]]
+  * raises ConcurrentCommit while an unexpired lease exists.
+  * Second-writer safety is thus a mechanism, not a contract. A crashed
+  * holder's lease expires after `ttlMs` (publication is seconds of
+  * renames; the default gives 60 s of bounded unavailability after a
+  * writer crash, never inconsistency — the interrupted state itself
+  * heals on the next read); the TTL must exceed the longest real
+  * publication, which callers doing unusually slow renames
+  * (cross-bucket object-store copies) should raise.
+  *
+  * TTL expiry is FENCED (r14): [[advance]] returns the lease's exact
+  * file name as a token, and staged lanes call [[checkLease]]
+  * immediately before their publish renames — a holder stalled past the
+  * TTL (GC pause, slow FS) whose lease a successor broke raises
+  * ConcurrentCommit instead of continuing its renames over state the
+  * successor now owns. Readers consult [[leaseHeld]] before
+  * heal-on-read: a live writer's staged publication must not be
+  * "repaired" away by a concurrent search (reader-vs-writer — the r13
+  * residual).
   */
 private[graft] object IndexGen {
   private val Prefix = "_idx_mut_"
@@ -47,6 +61,33 @@ private[graft] object IndexGen {
       .foldLeft(0L)(math.max)
   }
 
+  /** Expiry millis parsed from a lease file name (0 on malformed ⇒
+    * treated expired). Handles both the r13 `<gen>_<expiry>` and the
+    * r14 `<gen>_<expiry>_<uuid>` formats.
+    */
+  private def leaseExpiry(name: String): Long =
+    name.stripPrefix(LeasePrefix).split('_') match {
+      case arr if arr.length >= 2 =>
+        try arr(1).toLong catch { case _: NumberFormatException => 0L }
+      case _ => 0L
+    }
+
+  /** Read-only probe: does an UNEXPIRED publish lease exist? Readers
+    * call this before heal-on-read — a live writer is mid-publication
+    * and its staged state must be served around, not repaired away.
+    * Expired leases are ignored (not broken — readers stay read-only on
+    * the marker namespace; [[begin]] breaks them).
+    */
+  def leaseHeld(fs: FileSystem, root: String): Boolean = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) return false
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(LeasePrefix) && leaseExpiry(n) >= now
+    }
+  }
+
   /** Mutation entry point: the observed generation, guarded by the
     * rename-window lease — raises ConcurrentCommit while another
     * writer's unexpired lease is on the root (it is mid-publication;
@@ -60,28 +101,32 @@ private[graft] object IndexGen {
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(LeasePrefix)) {
-        val expiry = n.stripPrefix(LeasePrefix).split('_') match {
-          case Array(_, e) => try e.toLong catch {
-            case _: NumberFormatException => 0L }
-          case _ => 0L
-        }
-        if (expiry < now) fs.delete(p, false) // crashed holder: break it
+        if (leaseExpiry(n) < now)
+          fs.delete(p, false) // crashed holder: break it
         else throw graft.model.ConcurrentCommit(root, -1L)
       }
     }
     current(fs, root)
   }
 
-  /** CAS-advance `seen` → `seen + 1` and take the publish lease. Raises
+  /** CAS-advance `seen` → `seen + 1` under the publish lease. Raises
     * ConcurrentCommit when another mutator already published that
-    * generation. Superseded markers are pruned after a win (keep only
-    * the max — the applyIvfBatch horizon discipline). The winner MUST
-    * call [[release]] after its renames; a missed release self-heals at
-    * lease expiry.
+    * generation. The lease is created BEFORE the marker CAS (so no
+    * begin() can observe the advanced generation unleased); the loser
+    * deletes its own lease before raising. Superseded markers are
+    * pruned after a win (keep only the max — the applyIvfBatch horizon
+    * discipline). Returns the lease token: the winner MUST call
+    * [[release]] after its renames (a missed release self-heals at
+    * lease expiry) and SHOULD [[checkLease]] the token immediately
+    * before destructive renames.
     */
   def advance(fs: FileSystem, root: String, seen: Long,
-      ttlMs: Long = 60000L): Unit = {
+      ttlMs: Long = 60000L): String = {
     fs.mkdirs(new Path(root))
+    val leaseName = s"$LeasePrefix${seen + 1}_" +
+      s"${System.currentTimeMillis() + ttlMs}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    fs.create(new Path(root, leaseName), true).close()
     val name = s"$Prefix${seen + 1}"
     val won =
       if (fs.getUri.getScheme == "file") {
@@ -106,18 +151,27 @@ private[graft] object IndexGen {
           case _: java.io.IOException => false
         }
       }
-    if (!won) throw graft.model.ConcurrentCommit(root, seen + 1)
-    // lease BEFORE the caller's first rename: begin() holds every other
-    // writer out of the rename window until release (or expiry)
-    fs.create(new Path(root,
-      s"$LeasePrefix${seen + 1}_${System.currentTimeMillis() + ttlMs}"),
-      true).close()
+    if (!won) {
+      fs.delete(new Path(root, leaseName), false) // loser's own lease
+      throw graft.model.ConcurrentCommit(root, seen + 1)
+    }
     fs.listStatus(new Path(root)).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(Prefix) && n.stripPrefix(Prefix).toLong < seen + 1)
         fs.delete(p, false)
     }
+    leaseName
   }
+
+  /** TTL fence: raise ConcurrentCommit unless this writer's lease file
+    * (the token [[advance]] returned) still exists — a holder stalled
+    * past the TTL was broken by a successor's [[begin]] and must NOT
+    * continue its renames over state the successor now owns. Call
+    * immediately before each staged lane's publish renames.
+    */
+  def checkLease(fs: FileSystem, root: String, token: String): Unit =
+    if (!fs.exists(new Path(root, token)))
+      throw graft.model.ConcurrentCommit(root, -1L)
 
   /** Drop this writer's publish lease — call after the last rename of
     * the publication section. Idempotent (an expired-and-broken lease

@@ -144,11 +144,24 @@ object Retrieval {
       positional: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val spark = docs.sparkSession
+    // heal FIRST (the deleteFromIndex discipline): an append landing on
+    // an index holding a crashed delete's state (pending marker + staged
+    // gen+1 stats marker) would otherwise delta-maintain on the staged
+    // marker and publishStats would retire BOTH markers — when heal later
+    // replayed the pending delete it would see one marker and subtract
+    // the removed totals a second time, leaving (N, avgdl) permanently
+    // wrong. Healing completes the delete before this write plans.
+    healIndex(spark, root)
     val fs = retrievalFs(spark, root)
     // appends extend the positions tree iff the build created it
     val writePos = positional ||
       (!overwrite &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/positions")))
+    // a non-positional overwrite must not leave a prior positional
+    // build's positions tree behind: phraseTopKIndexed would serve stale
+    // positions for docs that no longer exist in the rebuilt index
+    if (overwrite && !positional)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/positions"), true)
     val gen = graft.operators.IndexGen.begin(fs, root)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
@@ -158,7 +171,7 @@ object Retrieval {
     // racing delete/compact swap can't receive them into a retired dir
     // (same IndexGen discipline as the IVF lanes; loser raises with
     // nothing written)
-    graft.operators.IndexGen.advance(fs, root, gen)
+    val lease = graft.operators.IndexGen.advance(fs, root, gen)
     // the legacy-index case: appending to an index that predates the
     // stats sidecar — delta-maintenance has no base, so recount after
     val mustRecount = !overwrite && readStats(fs, root).isEmpty &&
@@ -193,6 +206,8 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
+    // witness the dl-bearing layout so heal never footer-probes this root
+    fs.create(new org.apache.hadoop.fs.Path(root, DlV2Marker), true).close()
     // a missing Observation key means AQE pruned the empty subtree ⇒ 0
     val got = obs.get
     val dn = got.get("dn").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -209,6 +224,11 @@ object Retrieval {
         .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
         .repartition(col("bucket"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$root/positions")
+    // TTL fence before the marker rotation: a writer stalled past the
+    // lease TTL through the write jobs must not rotate the sidecar over
+    // a successor's state (its data files are append-only and the
+    // successor's heal recounts from the durable append intent)
+    graft.operators.IndexGen.checkLease(fs, root, lease)
     if (mustRecount) recountStats(spark, fs, root)
     else {
       val (n0, sdl0) =
@@ -319,6 +339,12 @@ object Retrieval {
   private val PosStageDir = ".bm25_posstage"
   private val PendingTmp = ".bm25_pending_tmp"
   private val PendingDelete = "_bm25_pending_delete"
+  // whole-tree swap states for the pre-r13 postings dl migration
+  private val DlMigStage = ".bm25_dlmig_stage"
+  private val DlMigOld = ".bm25_dlmig_old"
+  // zero-byte witness that the postings rows carry the denormalized dl
+  // column — lets heal skip the per-index footer probe after the first
+  private val DlV2Marker = "_bm25_dlv2"
 
   /** Delete documents from a [[buildIndex]] index — the takedown /
     * dedup-purge lane that completes the append-only lifecycle, same
@@ -351,10 +377,10 @@ object Retrieval {
     // CAS before the intent marker becomes durable: the marker is this
     // delete's commitment point (heal COMPLETES from it) — a loser must
     // raise with only the hidden tmp written, which heal rolls back
-    graft.operators.IndexGen.advance(fs, root, gen)
+    val lease = graft.operators.IndexGen.advance(fs, root, gen)
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, PendingDelete)))
       throw new java.io.IOException(s"bm25 delete: cannot publish intent")
-    runPendingDelete(spark, root)
+    runPendingDelete(spark, root, Some(lease))
     graft.operators.IndexGen.release(fs, root, gen + 1)
   }
 
@@ -367,7 +393,7 @@ object Retrieval {
     * constant and only renames remain.
     */
   private def runPendingDelete(spark: org.apache.spark.sql.SparkSession,
-      root: String): Unit = {
+      root: String, lease: Option[String] = None): Unit = {
     val fs = retrievalFs(spark, root)
     val marker = new org.apache.hadoop.fs.Path(root, PendingDelete)
     val ids = spark.read.parquet(marker.toString).localCheckpoint(true)
@@ -408,11 +434,12 @@ object Retrieval {
       fs.delete(marker, true)
       return
     }
-    stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids)
+    stagedBucketDelete(spark, fs, s"$root/postings", s"$root/$StageDir", ids,
+      lease = lease.map(root -> _))
     stagedBucketDelete(spark, fs, s"$root/doclens", s"$root/$DlStageDir", ids,
-      dlTouched)
+      dlTouched, lease = lease.map(root -> _))
     stagedBucketDelete(spark, fs, s"$root/positions", s"$root/$PosStageDir",
-      ids) // no-op on non-positional indexes
+      ids, lease = lease.map(root -> _)) // no-op on non-positional indexes
     if (stats.isEmpty) recountStats(spark, fs, root) // pre-sidecar index
     else cleanupStats(fs, root) // swaps published — retire the old gen
     fs.delete(marker, true)
@@ -427,7 +454,8 @@ object Retrieval {
   private def stagedBucketDelete(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
       stagePath: String, ids: DataFrame,
-      preTouched: Option[Seq[Long]] = None): Unit = {
+      preTouched: Option[Seq[Long]] = None,
+      lease: Option[(String, String)] = None): Unit = {
     if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) return
     val touched = preTouched.getOrElse(spark.read.parquet(tableDir)
       .join(ids, Seq("doc_id"), "left_semi")
@@ -440,6 +468,11 @@ object Retrieval {
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     touched.foreach { b =>
+      // TTL fence per swap: a holder stalled past its lease must not
+      // rename over state a successor now owns (heal-time completions —
+      // lease = None — run only on lease-free roots by construction)
+      lease.foreach { case (r, tok) =>
+        graft.operators.IndexGen.checkLease(fs, r, tok) }
       val live = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
       val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_tmp_$b")
       val old = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_old_$b")
@@ -478,20 +511,21 @@ object Retrieval {
     // than per-tree — compaction is content-preserving, so the earliest
     // publish point keeps it one generation
     val gen = graft.operators.IndexGen.begin(fs, root)
-    graft.operators.IndexGen.advance(fs, root, gen)
+    val lease = graft.operators.IndexGen.advance(fs, root, gen)
     compactTree(spark, fs, s"$root/postings", s"$root/$StageDir",
-      maxFilesPerBucket)
+      maxFilesPerBucket, root -> lease)
     // appends grow doclens one file per bucket per batch too
     compactTree(spark, fs, s"$root/doclens", s"$root/$DlStageDir",
-      maxFilesPerBucket)
+      maxFilesPerBucket, root -> lease)
     compactTree(spark, fs, s"$root/positions", s"$root/$PosStageDir",
-      maxFilesPerBucket) // no-op on non-positional indexes
+      maxFilesPerBucket, root -> lease) // no-op on non-positional indexes
     graft.operators.IndexGen.release(fs, root, gen + 1)
   }
 
   private def compactTree(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-      stagePath: String, maxFilesPerBucket: Int): Unit = {
+      stagePath: String, maxFilesPerBucket: Int,
+      lease: (String, String)): Unit = {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     if (!fs.exists(dir)) return
     val hot = fs.listStatus(dir)
@@ -506,6 +540,7 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     hot.foreach { b =>
+      graft.operators.IndexGen.checkLease(fs, lease._1, lease._2) // TTL fence
       val live = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
       val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_tmp_$b")
       val old = new org.apache.hadoop.fs.Path(s"$tableDir/.bm25_old_$b")
@@ -540,6 +575,8 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$newRoot/postings")
+    retrievalFs(spark, newRoot).create(new org.apache.hadoop.fs.Path(
+      newRoot, DlV2Marker), true).close()
     // (n_docs, sum_dl) piggybacked on the rewrite job it already runs
     val obs = org.apache.spark.sql.Observation()
     spark.read.parquet(s"$oldRoot/doclens")
@@ -617,6 +654,16 @@ object Retrieval {
   def healIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = retrievalFs(spark, root)
+    // a LIVE writer's unexpired publish lease means its stage trees and
+    // markers are not crash leftovers — repairing them here would delete
+    // an in-flight publication out from under it (the r13 residual:
+    // the lease protected writers from each other, not from readers).
+    // Serve the published state untouched; heal runs only on lease-free
+    // or expired-lease roots (begin() breaks expired ones).
+    if (graft.operators.IndexGen.leaseHeld(fs, root)) return
+    // interrupted postings-dl migration first: its old/stage states must
+    // resolve before anything reads or rewrites the postings tree
+    healDlMigration(fs, root)
     // leftover stage/pending-tmp trees = pre-publish state of an
     // interrupted batched delete — dropping them rolls that phase back
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$StageDir"), true)
@@ -637,6 +684,11 @@ object Retrieval {
     healDir(new org.apache.hadoop.fs.Path(s"$root/postings"))
     healDir(new org.apache.hadoop.fs.Path(s"$root/doclens"))
     healDir(new org.apache.hadoop.fs.Path(s"$root/positions"))
+    // pre-r13 postings rows carry no dl column — the pinned-schema
+    // serving read would return NULL dl and silently garbage every
+    // score. One-time whole-tree self-migration, witnessed by a marker
+    // so the steady-state cost is one fs.exists
+    ensurePostingsDl(spark, fs, root)
     if (fs.exists(new org.apache.hadoop.fs.Path(root, PendingDelete)))
       runPendingDelete(spark, root)
     // stats sidecar heal (after any pending delete completed, so the
@@ -653,6 +705,80 @@ object Retrieval {
       appendPendings.foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
     } else cleanupStats(fs, root) // interrupted rotation: keep the max
+  }
+
+  /** Resolve an interrupted [[migratePostingsDl]] whole-tree swap.
+    * States: old + no postings ⇒ the crash fell between retiring the
+    * live tree and publishing the stage, and the stage was written
+    * COMPLETE before the retire — publish it (or roll the old tree back
+    * if the stage is somehow gone); old + postings ⇒ published — drop
+    * leftovers; stage alone ⇒ pre-publish (possibly incomplete) — drop
+    * it, the migration re-detects and re-runs.
+    */
+  private def healDlMigration(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val post = new org.apache.hadoop.fs.Path(s"$root/postings")
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$DlMigStage")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DlMigOld")
+    if (fs.exists(old)) {
+      if (!fs.exists(post)) {
+        if (fs.exists(stage)) {
+          if (!fs.rename(stage, post))
+            throw new java.io.IOException(s"dl migration: cannot publish")
+          fs.delete(old, true)
+        } else {
+          if (!fs.rename(old, post)) // defensive rollback
+            throw new java.io.IOException(s"dl migration: cannot roll back")
+        }
+      } else { fs.delete(old, true); fs.delete(stage, true) }
+    } else fs.delete(stage, true)
+  }
+
+  /** One-time self-migration gate: indexes whose postings predate the
+    * dl denormalization (pre-r13 layouts — including ones whose stats
+    * sidecar an earlier heal already created) rewrite the postings tree
+    * once with dl joined in from doclens; everything after the witness
+    * marker exists is one fs.exists per heal.
+    */
+  private def ensurePostingsDl(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    val post = new org.apache.hadoop.fs.Path(s"$root/postings")
+    if (!fs.exists(post)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, DlV2Marker))) return
+    if (!spark.read.parquet(post.toString)
+        .schema.fieldNames.contains("dl"))
+      migratePostingsDl(spark, fs, root)
+    fs.create(new org.apache.hadoop.fs.Path(root, DlV2Marker), true).close()
+  }
+
+  /** Rewrite the whole postings tree with dl joined in from doclens,
+    * under the whole-tree swap heal states of [[healDlMigration]]
+    * (stage written complete → live tree retired → stage published) so
+    * a MIXED tree — some buckets migrated, some not, poisoning the
+    * pinned-schema read — can never exist. Docs mid-deletion whose
+    * doclens witness rows are already swapped away drop out via the
+    * inner join; the pending delete that owns them removes their
+    * postings rows right after.
+    */
+  private def migratePostingsDl(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    val postDir = s"$root/postings"
+    val dl = spark.read.parquet(s"$root/doclens").select("doc_id", "dl")
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$DlMigStage")
+    spark.read.parquet(postDir)
+      .select(col("doc_id"), col("tok"), col("tf"),
+        col("bucket").cast("long").as("bucket"))
+      .join(dl, "doc_id")
+      .select("doc_id", "tok", "tf", "dl", "bucket")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    val post = new org.apache.hadoop.fs.Path(postDir)
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DlMigOld")
+    if (!fs.rename(post, old))
+      throw new java.io.IOException(s"dl migration: cannot retire $post")
+    if (!fs.rename(stage, post))
+      throw new java.io.IOException(s"dl migration: cannot publish $stage")
+    fs.delete(old, true)
   }
 
   /** Per-bucket observability for a [[buildIndex]] index — the postings
@@ -721,11 +847,36 @@ object Retrieval {
         Seq("qid", "doc_id"), "left")
       .select(col("qid"),
         coalesce(expr("10000L div rnk"), lit(0L)).as("rr_bp"))
+    // sidecar staleness self-audit (the runtime twin of the
+    // OperatorsSpec sidecar≡recount pin): one doclens aggregate against
+    // the marker's (N, sum_dl) — a drifted sidecar silently skews every
+    // BM25 score, so a deployment needs the integer diff in the audit
+    // row, not just in the test suite. bm25TopKIndexed above healed, so
+    // the marker exists on any populated index.
+    val afs = retrievalFs(spark, root)
+    val (mn, msdl) = readStats(afs, root)
+      .map(s => (s._2, s._3)).getOrElse((0L, 0L))
+    val (rn, rsdl) = {
+      import org.apache.spark.sql.types._
+      val dlDir = s"$root/doclens"
+      if (!afs.exists(new org.apache.hadoop.fs.Path(dlDir))) (0L, 0L)
+      else {
+        val r = spark.read.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("dl", LongType))))
+          .parquet(dlDir)
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
     rr.agg(count(lit(1)).as("n_q"),
         sum(when(col("rr_bp") === 10000L, 1L).otherwise(0L))
           .as("n_top1_agree"),
         expr("sum(rr_bp) div count(1)").as("mrr_bp"))
-      .withColumn("stale", col("mrr_bp") < minMrrBp)
+      .withColumn("sidecar_n_diff", lit(math.abs(mn - rn)))
+      .withColumn("sidecar_dl_diff", lit(math.abs(msdl - rsdl)))
+      .withColumn("stale", col("mrr_bp") < minMrrBp ||
+        col("sidecar_n_diff") =!= 0L || col("sidecar_dl_diff") =!= 0L)
   }
 
   /** The stats sidecar's (n_docs, sum_dl) for a [[buildIndex]] index —

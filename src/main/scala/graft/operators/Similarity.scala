@@ -568,8 +568,8 @@ object Similarity {
     // publish gate: if another mutation advanced the generation since we
     // planned against it, raise with only hidden stage state written —
     // the next heal-on-read rolls it back; live cells were never touched
-    IndexGen.advance(fs, root, gen)
-    publishStagedCells(fs, root, stage, touched)
+    val lease = IndexGen.advance(fs, root, gen)
+    publishStagedCells(fs, root, stage, touched, Some(lease))
     IndexGen.release(fs, root, gen + 1)
   }
 
@@ -580,8 +580,11 @@ object Similarity {
     */
   private def publishStagedCells(fs: org.apache.hadoop.fs.FileSystem,
       root: String, stage: org.apache.hadoop.fs.Path,
-      cells: Seq[Long]): Unit = {
+      cells: Seq[Long], lease: Option[String] = None): Unit = {
     cells.foreach { cellId =>
+      // TTL fence: a holder stalled past its lease must not rename over
+      // state a successor now owns
+      lease.foreach(IndexGen.checkLease(fs, root, _))
       val live = new org.apache.hadoop.fs.Path(s"$root/cells/cell=$cellId")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_tmp_$cellId")
       val old = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_old_$cellId")
@@ -631,8 +634,8 @@ object Similarity {
       .where(col("cell").isin(hot: _*))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    IndexGen.advance(fs, root, gen) // same publish gate as the delete
-    publishStagedCells(fs, root, stage, hot)
+    val lease = IndexGen.advance(fs, root, gen) // same gate as the delete
+    publishStagedCells(fs, root, stage, hot, Some(lease))
     IndexGen.release(fs, root, gen + 1)
   }
 
@@ -666,6 +669,10 @@ object Similarity {
   def healIvfIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = hadoopFs(spark, root)
+    // a LIVE writer's unexpired lease ⇒ its stage tree is an in-flight
+    // publication, not a crash leftover — serve the published cells
+    // untouched and repair nothing (reader-vs-writer, the r13 residual)
+    if (IndexGen.leaseHeld(fs, root)) return
     // a leftover stage tree is pre-publish state from an interrupted
     // batched delete — dropping it rolls that delete back wholesale
     // (per-cell dirs already swapped out of it heal below as usual)
@@ -1209,8 +1216,9 @@ object Similarity {
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(stage.toString)
-    IndexGen.advance(fs, root, gen) // publish gate
+    val lease = IndexGen.advance(fs, root, gen) // publish gate
     touched.foreach { case (b, c) =>
+      IndexGen.checkLease(fs, root, lease) // TTL fence per swap
       val bdir = s"$root/pqcells/batch=$b"
       val live = new org.apache.hadoop.fs.Path(s"$bdir/cell=$c")
       val tmp = new org.apache.hadoop.fs.Path(s"$bdir/.ivfpq_tmp_$c")
@@ -1263,7 +1271,10 @@ object Similarity {
       .select(col("vec_id"), col("codes"), col("cell"))
       .repartition(col("cell")) // one file per cell, the append discipline
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    IndexGen.advance(fs, root, gen) // publish gate
+    val lease = IndexGen.advance(fs, root, gen) // publish gate
+    // TTL fence before the commitment point: past it heal COMPLETES the
+    // compaction, so a stalled holder must raise before the marker lands
+    IndexGen.checkLease(fs, root, lease)
     fs.create(new org.apache.hadoop.fs.Path(root, s"$PqCompactMarker$keep"),
       true).close()
     finishPqCompact(fs, root, keep)
@@ -1305,6 +1316,8 @@ object Similarity {
     val fs = hadoopFs(spark, root)
     val rootP = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootP)) return
+    // live writer mid-publication: serve published state, repair nothing
+    if (IndexGen.leaseHeld(fs, root)) return
     val compactKeep = fs.listStatus(rootP).map(_.getPath.getName)
       .collect { case n if n.startsWith(PqCompactMarker) =>
         n.stripPrefix(PqCompactMarker).toLong }

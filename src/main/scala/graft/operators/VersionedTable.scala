@@ -79,7 +79,12 @@ object VersionedTable {
     val dir = logDir(root)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir)
-      .filter(f => f.getPath.getName.endsWith(".json") && f.getLen > 0)
+      // dot-prefixed = a local-lane .tmp-N.json staging file (a crash
+      // between link and tmp-delete would otherwise read as a DUPLICATE
+      // commit record — the hidden-name filter every interpreting
+      // listing needs); zero-length = an in-flight non-local record
+      .filter(f => f.getPath.getName.endsWith(".json") &&
+        !f.getPath.getName.startsWith(".") && f.getLen > 0)
       .sortBy(_.getPath.getName).toSeq
       .map { f =>
         val n = mapper.readTree(readString(fs, f.getPath))
@@ -103,11 +108,28 @@ object VersionedTable {
 
   /** Remove data dirs no commit record references (a crashed writer's
     * leftovers — invisible to readers, but their version number is about
-    * to be reused).
+    * to be reused), plus STALE commit-record debris in the log itself:
+    * a non-local writer crashing between `create(overwrite=false)` and
+    * `close` leaves a permanent zero-length record — readers skip it,
+    * but every future [[writeCommit]] for that version hits the
+    * existence CAS and raises ConcurrentCommit, wedging the table with
+    * no retry that can ever succeed. Zero-length records (and orphaned
+    * local-lane `.tmp-*.json` staging files) older than `graceMs` are
+    * deleted here — the grace window keeps a genuinely in-flight
+    * foreign commit's record alive through its write.
     */
-  def heal(root: String): Unit = {
-    val committed = commits(root).map(_.version).toSet
+  def heal(root: String, graceMs: Long = 60000L): Unit = {
     val fs = fsOf(root)
+    val log = logDir(root)
+    if (fs.exists(log)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      fs.listStatus(log)
+        .filter(f => f.getPath.getName.endsWith(".json") &&
+          f.getModificationTime < cutoff &&
+          (f.getLen == 0 || f.getPath.getName.startsWith(".")))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val committed = commits(root).map(_.version).toSet
     val data = new Path(s"$root/data")
     if (!fs.exists(data)) return
     fs.listStatus(data).map(_.getPath)

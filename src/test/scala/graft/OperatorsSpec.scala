@@ -3860,6 +3860,343 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("doc_id") === 1L).count() == 0)
   }
 
+  test("read-path heal is lease-aware: a search during a held-lease staged mutation serves the published state; the publication then lands intact") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 150)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease-read").toString + "/idx"
+    S.buildIvfIndex(e, root, stride = 30)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def search() = S.ivfIndexTopK(spark, root, q, 3, 2)
+      .select("qid", "cid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val published = search()
+    // writer A mid-publication: a REAL staged rewrite of vec 9's home
+    // cell (minus vec 9) sits in the stage tree, lease held — exactly
+    // the on-disk state between advance() and publishStagedCells()
+    val homeCell = spark.read.parquet(s"$root/cells")
+      .where(col("vec_id") === 9L).select(col("cell").cast("long"))
+      .head().getLong(0)
+    spark.read.parquet(s"$root/cells")
+      .where(col("cell").cast("long") === homeCell &&
+        col("vec_id") =!= 9L)
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("cell").cast("long").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/.ivf_stage")
+    val g = graft.operators.IndexGen.current(fs, root)
+    val lease = s"_idx_lease_${g + 1}_${System.currentTimeMillis() + 600000}_t"
+    fs.create(new org.apache.hadoop.fs.Path(root, lease), true).close()
+    // a concurrent reader: completes against the OLD generation (vec 9
+    // still served) and must NOT delete the live writer's stage tree —
+    // pre-r14 the heal-on-read here destroyed the publication
+    assert(search() == published,
+      "reader under a live lease must serve the published generation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/.ivf_stage")),
+      "reader must not repair a leased root's stage tree")
+    // writer A completes its publication (the publishStagedCells renames)
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$root/.ivf_stage/cell=$homeCell")
+    val live = new org.apache.hadoop.fs.Path(s"$root/cells/cell=$homeCell")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_tmp_$homeCell")
+    val old = new org.apache.hadoop.fs.Path(s"$root/cells/.ivf_old_$homeCell")
+    assert(fs.rename(staged, tmp) && fs.rename(live, old) &&
+      fs.rename(tmp, live))
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.ivf_stage"), true)
+    graft.operators.IndexGen.release(fs, root, g + 1)
+    // publication landed intact: vec 9 gone, everything else served
+    val after = search()
+    assert(!spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).contains(9L))
+    assert(after.nonEmpty && after.forall(_._2 != 9L))
+    // same shape on a BM25 root: a durable pending delete + held lease —
+    // the reader serves the doc and leaves the marker for the writer
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 40)
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft-lease-read-bm25").toString + "/idx"
+    graft.operators.Retrieval.buildIndex(d, broot, nBuckets = 4)
+    val bfs = new org.apache.hadoop.fs.Path(broot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L).toDF("doc_id").write.parquet(s"$broot/_bm25_pending_delete")
+    val bg = graft.operators.IndexGen.current(bfs, broot)
+    bfs.create(new org.apache.hadoop.fs.Path(broot,
+      s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}_t"),
+      true).close()
+    val bq = d.where(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    assert(graft.operators.Retrieval
+      .bm25TopKIndexed(spark, broot, bq, 3, nBuckets = 4)
+      .where(col("doc_id") === 0L).count() > 0,
+      "reader under a live lease serves the pre-delete state")
+    assert(bfs.exists(new org.apache.hadoop.fs.Path(
+      broot, "_bm25_pending_delete")),
+      "reader must not complete a leased root's pending delete")
+    graft.operators.IndexGen.release(bfs, broot, bg + 1)
+    // lease-free: the next reader's heal completes the delete
+    assert(graft.operators.Retrieval
+      .bm25TopKIndexed(spark, broot, bq, 3, nBuckets = 4)
+      .where(col("doc_id") === 0L).count() == 0)
+    assert(!bfs.exists(new org.apache.hadoop.fs.Path(
+      broot, "_bm25_pending_delete")))
+  }
+
+  test("lease TTL fence: an expired-and-superseded holder finishing late raises; CAS losers clean their own lease") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease-fence").toString + "/idx"
+    S.buildIvfIndex(e, root, stride = 25)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leases() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_idx_lease_")).toSeq
+    // holder A advances with a 1 ms TTL and stalls (GC pause / slow FS)
+    val gA = graft.operators.IndexGen.begin(fs, root)
+    val tokenA = graft.operators.IndexGen.advance(fs, root, gA, ttlMs = 1L)
+    Thread.sleep(10)
+    // successor B arrives: begin breaks the expired lease, B publishes
+    // a real mutation and releases
+    S.deleteFromIvfIndex(spark, root, Seq(7L))
+    val contentAfterB = spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!contentAfterB.contains(7L))
+    // A wakes and would now run its publish renames over state B owns —
+    // the fence (the exact call every staged lane makes immediately
+    // before each rename) must raise instead
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.checkLease(fs, root, tokenA)
+    }
+    // the index is exactly B's outcome, nothing half-renamed
+    assert(spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == contentAfterB)
+    // CAS loser hygiene (lease-first ordering, r14): a loser must not
+    // leave its pre-CAS lease behind blocking writers for the TTL
+    val gStale = graft.operators.IndexGen.current(fs, root) - 1
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(fs, root, gStale)
+    }
+    assert(leases().isEmpty,
+      s"CAS loser left its lease behind: ${leases()}")
+    // and the root stays writable right away
+    S.deleteFromIvfIndex(spark, root, Seq(8L))
+    assert(!spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).contains(8L))
+  }
+
+  test("bm25 append onto a crashed delete's state heals first: no double subtraction, delete completes") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-crashapp").toString + "/idx"
+    R.buildIndex(d.where(col("doc_id") < 60), root, nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a delete that crashed right after its commitment point:
+    // durable pending marker + staged gen+1 stats marker (totals already
+    // subtracted), NO bucket swaps done — runPendingDelete's exact state
+    val victim = 3L
+    val vdl = spark.read.parquet(s"$root/doclens")
+      .where(col("doc_id") === victim).select("dl").head().getLong(0)
+    Seq(victim).toDF("doc_id").write.parquet(s"$root/_bm25_pending_delete")
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter(_.getName.startsWith("_bm25_stats_")).head
+    val p = marker.getName.stripPrefix("_bm25_stats_").split('_')
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"_bm25_stats_${p(0).toLong + 1}_${p(1).toLong - 1}_${p(2).toLong - vdl}"),
+      true).close()
+    // the append (pre-r14 it skipped heal, delta-maintained on the
+    // staged marker, and publishStats collapsed the two-marker protocol
+    // — the later delete replay then subtracted AGAIN)
+    R.appendToIndex(d.where(col("doc_id") >= 60), root, nBuckets = 8)
+    val recount = {
+      val r = spark.read.parquet(s"$root/doclens")
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(R.corpusStats(spark, root) == recount,
+      "sidecar must equal a recount after append-onto-crashed-delete")
+    assert(spark.read.parquet(s"$root/postings")
+      .where(col("doc_id") === victim).count() == 0,
+      "the crashed delete must have completed, not been lost")
+    assert(recount._1 == 79L, s"79 docs expected, got $recount")
+  }
+
+  test("pre-dl postings layout self-migrates on heal: search scores exact, rebuild works") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-dlmig").toString + "/idx"
+    R.buildIndex(d, root, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // devolve to the pre-r13 layout: postings without the dl column,
+    // no stats marker, no dl witness
+    val legacy = spark.read.parquet(s"$root/postings")
+      .select(col("doc_id"), col("tok"), col("tf"),
+        col("bucket").cast("long").as("bucket"))
+      .localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/postings"), true)
+    legacy.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/postings")
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+      .filter(n => n.getName.startsWith("_bm25_stats_") ||
+        n.getName == "_bm25_dlv2")
+      .foreach(p => fs.delete(p, false))
+    // first read self-migrates: scores must equal the direct lane
+    val q = d.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val direct = R.bm25TopK(d, q, 5)
+      .select("qid", "doc_id", "score", "rnk")
+      .collect().map(_.toSeq).toSet
+    val indexed = R.bm25TopKIndexed(spark, root, q, 5, nBuckets = 4)
+      .select("qid", "doc_id", "score", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct,
+      "migrated legacy index must score exactly like the direct lane")
+    assert(spark.read.parquet(s"$root/postings")
+      .schema.fieldNames.contains("dl"), "postings must carry dl now")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_bm25_dlv2")))
+    // rebuild from the migrated index (pre-r14 its dl projection threw)
+    val v2 = java.nio.file.Files
+      .createTempDirectory("graft-bm25-dlmig-v2").toString + "/idx"
+    R.rebuildIndex(spark, root, v2, nBuckets = 8)
+    assert(R.bm25TopKIndexed(spark, v2, q, 5, nBuckets = 8)
+      .select("qid", "doc_id", "score", "rnk")
+      .collect().map(_.toSeq).toSet == direct)
+    // interrupted-migration heal states: old tree + no postings ⇒ the
+    // complete stage publishes (never data loss)
+    val post = new org.apache.hadoop.fs.Path(s"$root/postings")
+    assert(fs.rename(post,
+      new org.apache.hadoop.fs.Path(s"$root/.bm25_dlmig_old")))
+    spark.read.parquet(s"$root/.bm25_dlmig_old")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/.bm25_dlmig_stage")
+    assert(R.bm25TopKIndexed(spark, root, q, 5, nBuckets = 4)
+      .select("qid", "doc_id", "score", "rnk")
+      .collect().map(_.toSeq).toSet == direct,
+      "heal must publish the complete stage after a mid-swap crash")
+  }
+
+  test("non-positional overwrite clears a stale positions tree") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 40)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-posstale").toString + "/idx"
+    R.buildIndex(d, root, nBuckets = 4, positional = true)
+    val phrase = d.where(col("doc_id") === 0)
+      .select(expr("slice(split(text, ' '), 3, 2)")).head()
+      .getSeq[String](0)
+    assert(R.phraseTopKIndexed(spark, root, phrase, 3, nBuckets = 4)
+      .count() > 0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite with a DIFFERENT corpus, non-positional: the old
+    // positions tree must go — pre-r14 phrase search served stale
+    // positions for docs no longer in the index
+    R.buildIndex(d.where(col("doc_id") >= 20), root, nBuckets = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/positions")),
+      "stale positions tree must be deleted on non-positional overwrite")
+    assert(R.phraseTopKIndexed(spark, root, phrase, 3, nBuckets = 4)
+      .where(col("doc_id") === 0L).count() == 0)
+  }
+
+  test("versioned table: a crashed writer's empty commit record heals instead of wedging every retry") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vt-wedge").toString + "/tbl"
+    val base = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "value")
+    val pexpr = pmod(col("k"), lit(4L))
+    VersionedTable.init(spark, work, base, pexpr)
+    val fs = graft.core.DatapointStore.fsFor(work)
+    // a foreign writer crashed between create(overwrite=false) and
+    // close: a permanent zero-length record for the NEXT version —
+    // commits() skips it, but the existence CAS would raise forever
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$work/_log/${"%020d".format(1)}.json")
+    fs.create(stale, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 120000L, -1L)
+    assert(VersionedTable.latestVersion(work) == 0L)
+    val ch = Seq((1L, "MINE", "U", 9L)).toDF("k", "value", "op", "version")
+    val v = VersionedTable.mergeWithRetry(spark, work, ch, Seq("k"), pexpr)
+    assert(v == 1L, s"wedge must clear: merge landed at $v")
+    val latest = VersionedTable.readAt(spark, work, base.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest(1L) == "MINE" && latest.size == 8)
+    // a FRESH zero-length record (inside the grace window) is honored
+    // as possibly in-flight: the CAS still raises
+    val fresh = new org.apache.hadoop.fs.Path(
+      s"$work/_log/${"%020d".format(2)}.json")
+    fs.create(fresh, true).close()
+    intercept[graft.model.ConcurrentCommit] {
+      VersionedTable.merge(spark, work, ch, Seq("k"), pexpr)
+    }
+  }
+
+  test("ivfpq compaction vs concurrent append: the CAS loser retries above the fold, no doubled codes") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-race").toString + "/idx"
+    S.writeIvfPqQuantizers(e, root, stride = 40, m = 16)
+    S.appendToIvfPqIndex(e.where(col("vec_id") < 100), root)
+    S.appendToIvfPqIndex(
+      e.where(col("vec_id") >= 100 && col("vec_id") < 150), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an append reads its CAS baseline, then a compaction runs to
+    // completion before the append publishes — the horizon claim under
+    // race: "future appends land above the fold's max label"
+    val staleGen = graft.operators.IndexGen.begin(fs, root)
+    S.compactIvfPqIndex(spark, root)
+    def batchDirs(): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/pqcells"))
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSeq.sorted
+    val folded = batchDirs()
+    assert(folded.size == 1)
+    // the stale append loses the CAS BEFORE any files land
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(fs, root, staleGen)
+    }
+    assert(batchDirs() == folded, "loser must not have created a dir")
+    // the retry (fresh begin) lands ABOVE the folded label
+    S.appendToIvfPqIndex(e.where(col("vec_id") >= 150), root)
+    val after = batchDirs()
+    assert(after.size == 2 && after.head == folded.head &&
+      after(1) > folded.head,
+      s"retry must land above the fold: $after")
+    // no doubled codes anywhere
+    val ids = spark.read.parquet(s"$root/pqcells").select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length && ids.length == 200,
+      s"expected 200 unique codes, got ${ids.length}")
+    // and search serves the full corpus
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    assert(S.ivfPqIndexTopK(spark, root, q, 3, 2).count() > 0)
+  }
+
   test("positional index: phrase conjunction == direct adjacency; append/delete/compact maintain the positions tree") {
     import spark.implicits._
     val R = graft.operators.Retrieval
@@ -3983,16 +4320,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head()
     val healthy = audit()
     assert(healthy.getLong(0) == healthy.getLong(1) &&
-      healthy.getLong(2) == 10000L && !healthy.getBoolean(3),
+      healthy.getLong(2) == 10000L &&
+      healthy.getAs[Long]("sidecar_n_diff") == 0L &&
+      healthy.getAs[Long]("sidecar_dl_diff") == 0L &&
+      !healthy.getAs[Boolean]("stale"),
       s"consistent index must audit perfect: $healthy")
-    // gut a bucket (lost postings no heal state can recover — the
-    // failure indexStats' counts/bytes would report as merely 'smaller')
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drifted sidecar: the marker's (N, sum_dl) disagree with a doclens
+    // recount (a bug in some future delta-maintenance lane) — heal keeps
+    // a lone marker as-is, so only the audit's recount twin can see it
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter(_.getName.startsWith("_bm25_stats_")).head
+    val parts = marker.getName.stripPrefix("_bm25_stats_").split('_')
+    fs.delete(marker, false)
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"_bm25_stats_${parts(0)}_${parts(1).toLong + 7}_${parts(2).toLong + 13}"),
+      true).close()
+    val drifted = audit()
+    assert(drifted.getAs[Long]("sidecar_n_diff") == 7L &&
+      drifted.getAs[Long]("sidecar_dl_diff") == 13L &&
+      drifted.getAs[Boolean]("stale"),
+      s"drifted sidecar must surface in the audit row: $drifted")
+    // restore: drop the bad marker; heal's markerless self-migration
+    // recounts and the audit is perfect again
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith("_bm25_stats_"))
+      .foreach(p => fs.delete(p, false))
+    assert(!audit().getAs[Boolean]("stale"))
+    // gut a bucket (lost postings no heal state can recover — the
+    // failure indexStats' counts/bytes would report as merely 'smaller')
     assert(fs.delete(
       new org.apache.hadoop.fs.Path(s"$root/postings/bucket=0"), true))
     val gutted = audit()
-    assert(gutted.getLong(2) < 10000L && gutted.getBoolean(3),
+    assert(gutted.getLong(2) < 10000L && gutted.getAs[Boolean]("stale"),
       s"gutted bucket must surface as stale: $gutted")
   }
 
