@@ -312,6 +312,15 @@ object SparkEntry {
       work
     })
 
+  private def bm25PosBaseIndex(s: SparkSession, dir: String): String =
+    roIndexes.computeIfAbsent(s"bm25pos:$dir", _ => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-pos-base").toString + "/idx"
+      Retrieval.buildIndex(tbl(s, dir, "documents")
+        .select("doc_id", "text"), work, positional = true)
+      work
+    })
+
   private def ivfpqBaseIndex(s: SparkSession, dir: String): String =
     roIndexes.computeIfAbsent(s"ivfpq:$dir", _ => {
       val work = java.nio.file.Files
@@ -1913,12 +1922,11 @@ object SparkEntry {
       // search reads ONLY the phrase tokens' buckets — hits per doc =
       // |∩_i (positions_i − i)|, the positional-postings conjunction,
       // equal to q_phrase_search's direct adjacency count (oracle
-      // shared verbatim).
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bm25-pos").toString + "/idx"
-      Retrieval.buildIndex(docs, work, positional = true)
-      Retrieval.phraseTopKIndexed(s, work, Seq("sort", "merge"), 20)
+      // shared verbatim). The positional index is the shared read-only
+      // fixture (r14: the snippet lane reads it too — read paths never
+      // write under it, the roIndexes contract).
+      Retrieval.phraseTopKIndexed(s, bm25PosBaseIndex(s, dir),
+        Seq("sort", "merge"), 20)
     },
 
     "ds_trend_ols" -> { (s, dir) =>
@@ -3641,6 +3649,34 @@ object SparkEntry {
             .as("qtext"))
       Retrieval.bm25TopK(docs, broadcast(expanded), 5)
         .orderBy("qid", "rnk")
+    },
+
+    "q_bm25_prf_indexed" -> { (s, dir) =>
+      // PRF over the persisted index (the r13 gap: the expansion loop
+      // ran the direct corpus-scan BM25): both scoring passes are the
+      // bucket-pruned bm25TopKIndexed lane; feedback-doc term vectors
+      // come from the forward doc store (3 rows per query by id — the
+      // inverted tree is token-major). The expansion rule is identical,
+      // so q_bm25_prf's oracle is shared verbatim.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25PrfTopKIndexed(s, bm25BaseIndex(s, dir), docs,
+        queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_bm25_snippets_indexed" -> { (s, dir) =>
+      // snippet extraction from the POSITIONAL index: ranking via
+      // bm25TopKIndexed, hit positions read from the query tokens'
+      // positions buckets — NO doc text touched on the serving path.
+      // Window election identical to q_bm25_snippets; oracle shared
+      // verbatim.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.snippetTopKIndexed(s, bm25PosBaseIndex(s, dir), queries, 8)
+        .orderBy("qid")
     },
 
     "q_bm25_snippets" -> { (s, dir) =>
@@ -7531,6 +7567,51 @@ object SparkEntry {
       |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  // top-1 via the bm25 chain, then the all-integer window election
+  // (positions assigned BEFORE the empty-token filter on both sides).
+  // Shared by q_bm25_snippets (direct) and q_bm25_snippets_indexed (the
+  // positional-index lane — same positions, same election, by
+  // construction).
+  private val bm25SnippetsOracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |t0 AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+      |      AS pos FROM d),
+      |t AS (SELECT * FROM t0 WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |st AS (SELECT (SELECT count(*) FROM d) AS n,
+      |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+      |      / (SELECT count(*) FROM d) AS avgdl),
+      |q AS (SELECT doc_id AS qid,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM d WHERE doc_id < 5),
+      |qq AS (SELECT * FROM q WHERE tok <> ''),
+      |scored AS (SELECT qq.qid, tf.doc_id,
+      |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY qq.qid, tf.doc_id),
+      |top1 AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number()
+      |    OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scored) WHERE rnk = 1),
+      |m AS (SELECT top1.qid, t.doc_id, t.pos
+      |  FROM top1 JOIN t ON t.doc_id = top1.doc_id
+      |  JOIN qq ON qq.qid = top1.qid AND qq.tok = t.tok),
+      |wins AS (SELECT a.qid, a.doc_id, a.pos AS snip_start,
+      |    CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM m a JOIN m b ON b.qid = a.qid AND b.doc_id = a.doc_id
+      |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+      |  GROUP BY a.qid, a.doc_id, a.pos)
+      |SELECT qid, doc_id, snip_start, n_hits FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY qid, doc_id
+      |      ORDER BY n_hits DESC, snip_start) AS rn
+      |  FROM wins) WHERE rn = 1 ORDER BY qid""".stripMargin
+
   // the PRF loop end-to-end: bm25TopkOracleSql's scoring body twice,
   // with the integer (ftf desc, tok asc) expansion election between
   private val bm25PrfOracleSql: String =
@@ -9800,6 +9881,13 @@ object SparkEntry {
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
     "q_bm25_prf" -> bm25PrfOracleSql,
+    // the indexed PRF changes only the I/O path (bucket-pruned scoring
+    // passes + forward-store feedback fetch), never the expansion rule
+    // or the scores — direct oracle verbatim
+    "q_bm25_prf_indexed" -> bm25PrfOracleSql,
+    // positional-index snippets: same election over the same positions
+    // (assigned BEFORE the empty-token filter on both sides) — verbatim
+    "q_bm25_snippets_indexed" -> bm25SnippetsOracleSql,
 
     "q_ndcg_eval" ->
       // same grades/fold; list_sum over range ≡ the sequential aggregate
@@ -9852,47 +9940,7 @@ object SparkEntry {
         |LEFT JOIN dcg ON dcg.qid = qd.qid
         |ORDER BY qd.qid""".stripMargin,
 
-    "q_bm25_snippets" ->
-      // top-1 via the bm25 chain, then the all-integer window election
-      // (positions assigned BEFORE the empty-token filter on both sides)
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |t0 AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS tok,
-        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
-        |      AS pos FROM d),
-        |t AS (SELECT * FROM t0 WHERE tok <> ''),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-        |st AS (SELECT (SELECT count(*) FROM d) AS n,
-        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
-        |      / (SELECT count(*) FROM d) AS avgdl),
-        |q AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-        |  FROM d WHERE doc_id < 5),
-        |qq AS (SELECT * FROM q WHERE tok <> ''),
-        |scored AS (SELECT qq.qid, tf.doc_id,
-        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
-        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |  GROUP BY qq.qid, tf.doc_id),
-        |top1 AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number()
-        |    OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-        |  FROM scored) WHERE rnk = 1),
-        |m AS (SELECT top1.qid, t.doc_id, t.pos
-        |  FROM top1 JOIN t ON t.doc_id = top1.doc_id
-        |  JOIN qq ON qq.qid = top1.qid AND qq.tok = t.tok),
-        |wins AS (SELECT a.qid, a.doc_id, a.pos AS snip_start,
-        |    CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM m a JOIN m b ON b.qid = a.qid AND b.doc_id = a.doc_id
-        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
-        |  GROUP BY a.qid, a.doc_id, a.pos)
-        |SELECT qid, doc_id, snip_start, n_hits FROM (SELECT *, row_number()
-        |    OVER (PARTITION BY qid, doc_id
-        |      ORDER BY n_hits DESC, snip_start) AS rn
-        |  FROM wins) WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "q_bm25_snippets" -> bm25SnippetsOracleSql,
 
     // identical results by construction: the materialized index changes
     // the I/O path (bucket-pruned postings), never the scoring — so the

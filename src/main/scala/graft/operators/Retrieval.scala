@@ -1015,6 +1015,98 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("rrf"), col("rnk"))
   }
 
+  /** RM3-shaped pseudo-relevance feedback served from the persisted
+    * index — the production form of the direct PRF loop: BOTH scoring
+    * passes are the bucket-pruned [[bm25TopKIndexed]] lane (I/O ∝ query
+    * tokens, expanded-pass included), and the feedback-doc term vectors
+    * come from the FORWARD doc store (`fbDocs` rows per query fetched
+    * by id — the inverted tree is token-major and cannot serve
+    * doc-major term vectors; every serving stack keeps the doc store
+    * anyway for result rendering). Expansion rule identical to the
+    * direct lane: the `fbTerms` most frequent feedback-doc tokens not
+    * already in the query (exact integer counts, token-asc tie) append
+    * to the query text; scores therefore match the direct PRF verbatim.
+    */
+  def bm25PrfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      root: String, docStore: DataFrame, queries: DataFrame, k: Int,
+      fbDocs: Int = 3, fbTerms: Int = 2, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fb = bm25TopKIndexed(spark, root, queries, fbDocs, nBuckets)
+      .select(col("qid"), col("doc_id"))
+    val ftf = broadcast(fb)
+      .join(docStore.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")), "doc_id")
+      .select(col("qid"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("qid", "tok").agg(count(lit(1)).as("ftf"))
+    val qtok0 = queries.select(col("qid"),
+        explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      .where(col("tok") =!= "")
+    val wexp = Window.partitionBy("qid").orderBy(col("ftf").desc, col("tok"))
+    val exp = ftf.join(qtok0, Seq("qid", "tok"), "left_anti")
+      .withColumn("rn", row_number().over(wexp))
+      .where(col("rn") <= fbTerms)
+      .groupBy("qid")
+      .agg(concat_ws(" ", sort_array(collect_list("tok"))).as("extra"))
+    val expanded = queries.join(broadcast(exp), Seq("qid"), "left")
+      .select(col("qid"),
+        concat_ws(" ", col("qtext"), coalesce(col("extra"), lit("")))
+          .as("qtext"))
+    bm25TopKIndexed(spark, root, expanded, k, nBuckets)
+  }
+
+  /** Snippet extraction served from a POSITIONAL [[buildIndex]] index —
+    * ranking via [[bm25TopKIndexed]], hit positions read from the query
+    * tokens' positions buckets (the phrase lane's tree; NO doc text is
+    * touched): in each query's top-1 doc, elect the `window`-token span
+    * with the most query-term hits (span starts at a matched position —
+    * a maximizing span always can — ties to the earliest start).
+    * All-integer election, identical to the direct snippet query; I/O ∝
+    * query tokens' buckets. Output: (qid, doc_id, snip_start, n_hits).
+    */
+  def snippetTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, window: Int = 8,
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val qtoks = queries.select(col("qid"),
+        explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // bucket collect + the positions join
+    val top1 = bm25TopKIndexed(spark, root, queries, 1, nBuckets)
+      .select(col("qid"), col("doc_id")).localCheckpoint(true)
+    val buckets = qtoks
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val posSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", StringType),
+      StructField("positions", ArrayType(LongType))))
+    val fs = retrievalFs(spark, root)
+    val dirs = buckets.map(v => s"$root/positions/bucket=$v")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val posRows =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), posSchema)
+      else spark.read.schema(posSchema).parquet(dirs.toSeq: _*)
+    val m = posRows.join(qtoks, "tok")
+      .join(broadcast(top1), Seq("qid", "doc_id"), "left_semi")
+      .select(col("qid"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+      .localCheckpoint(true) // both sides of the window self-join
+    val w = Window.partitionBy("qid", "doc_id")
+      .orderBy(col("n_hits").desc, col("snip_start"))
+    m.as("a").join(m.as("b"),
+        col("a.qid") === col("b.qid") &&
+          col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") < col("a.pos") + window)
+      .groupBy(col("a.qid").as("qid"), col("a.doc_id").as("doc_id"),
+        col("a.pos").as("snip_start"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** Typo-tolerant term lookup via a 1-deletion neighborhood index (the
     * SymSpell construction): every string's neighborhood is itself plus
     * each single-character deletion; two strings are within edit
