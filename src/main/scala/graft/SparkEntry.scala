@@ -2173,14 +2173,17 @@ object SparkEntry {
     },
 
     "q_percentiles" -> { (s, dir) =>
-      // exact interpolated percentiles (same definition as quantile_cont);
-      // one array-percentile call = one sort buffer for both quantiles
-      tbl(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
-        .select(col("l_returnflag"),
-          element_at(col("ps"), 1).as("med"),
-          element_at(col("ps"), 2).as("p90"))
+      // exact interpolated percentiles (same definition as quantile_cont)
+      // in the DISTRIBUTED rank lane (r14 — replaces percentile(col,
+      // array(...)): that ObjectHashAggregate merged one value-count map
+      // per group into a single reducer, GB-scale buffers at 100×).
+      // Distinct-value CDF + broadcast range join + Spark percentile's
+      // exact interpolation arithmetic — bit-identical results, no
+      // per-group value buffer anywhere (ScaleSpec pins the plan).
+      graft.operators.Percentiles.exactInterpolated(
+        tbl(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "med", 0.9 -> "p90"))
         .orderBy("l_returnflag")
     },
 

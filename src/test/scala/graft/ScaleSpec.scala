@@ -655,6 +655,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q_percentiles plan has no per-group ObjectHashAggregate value buffer") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the r13 weak's 100× note: percentile(col, array(...)) buffers one
+    // value-count map per group and merges it into ONE reducer — at
+    // 100 TB the final merge is 3 tasks holding GB-scale maps. The rank
+    // lane must plan as HashAggregates + a streaming window over the
+    // DISTINCT table + a broadcast range join. The gate query
+    // localCheckpoints its CDF (hiding early stages), so assert on the
+    // operator built with checkpoint = false — the full plan end to end.
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice")
+    val full = graft.operators.Percentiles.exactInterpolated(
+      li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "med", 0.9 -> "p90"), checkpoint = false)
+    val p = full.queryExecution.executedPlan.toString
+    assert(!p.contains("ObjectHashAggregate"),
+      s"percentile value-map buffer crept back:\n$p")
+    assert(!p.toLowerCase.contains("percentile("),
+      s"built-in percentile crept back:\n$p")
+    assert(p.contains("Window"), s"rank lane lost its CDF window:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"bracketing join must broadcast the 12 target rows:\n$p")
+    // and it computes the same thing as the built-in
+    val rank = full.orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val builtin = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+      .select(col("l_returnflag"), element_at(col("ps"), 1),
+        element_at(col("ps"), 2))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rank.sameElements(builtin),
+      s"rank lane diverged from the built-in: ${rank.toSeq} vs ${builtin.toSeq}")
+  }
+
   test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {
     // the r11 fallback keeps pair counts driver-resident: per merge =
     // one mapPartitions delta job + one checkpoint job, both narrow.
