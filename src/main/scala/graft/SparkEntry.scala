@@ -2580,6 +2580,77 @@ object SparkEntry {
       s.table(name).orderBy("stream_id", "t")
     },
 
+    "drv_counter_derivative_stream_skewed" -> { (s, dir) =>
+      // the two-input V4 twin under BOUNDED-SKEW delivery on BOTH feeds
+      // (the r13 gap: only V2 had a skewed gate): source and reset rows
+      // each replay in independently seeded ±90 s-jittered order, each
+      // behind its own event-time reorder buffer (maxDelay 300 s >
+      // 2×jitter), and the min-policy global watermark makes the
+      // early-not-late reset contract mechanical — the twin still emits
+      // drv_counter_derivative_stream's batch oracle verbatim. Sentinels
+      // on BOTH streams drive both watermarks past every real point so
+      // the tail buffers drain.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val memS = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.Point]
+      val memR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.ResetEvent]
+      val name = s"cdrst_skew_${System.nanoTime()}"
+      val sentinelKey = "zzz_wm_sentinel"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.counterDerivativeWithResets(
+            graft.streaming.Streaming.reorderBuffer(
+              memS.toDS(), "300 seconds"),
+            graft.streaming.Streaming.reorderBufferResets(
+              memR.toDS(), "300 seconds"),
+            Some(1000.0))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val ctr = counterStreams(s, dir).localCheckpoint(true)
+          val rnd = new scala.util.Random(13)
+          def jitter(tMs: Long) =
+            tMs + (rnd.nextInt(181) - 90) * 1000L
+          val srcRows = ctr.orderBy("t", "stream_id").collect()
+            .map(r => graft.streaming.Streaming.Point(
+              r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+            .map(p => (p, jitter(p.t.getTime)))
+            .sortBy { case (p, jt) => (jt, p.stream_id, p.t.getTime) }
+            .map(_._1)
+          val rstRows = ctr
+            .where(floor(col("v")).cast("long") % 10 === 3)
+            .select("stream_id", "t").orderBy("t", "stream_id").collect()
+            .map(r => graft.streaming.Streaming.ResetEvent(
+              r.getString(0), r.getTimestamp(1)))
+            .map(p => (p, jitter(p.t.getTime)))
+            .sortBy { case (p, jt) => (jt, p.stream_id, p.t.getTime) }
+            .map(_._1)
+          val maxT = srcRows.map(_.t.getTime).max
+          // 3 jittered-arrival slices per feed, enqueued together —
+          // the buffers, not the enqueue order, restore the contract
+          val sCut = srcRows.grouped(srcRows.length / 3 + 1).toSeq
+          val rCut = rstRows.grouped(rstRows.length / 3 + 1).toSeq
+          (0 until 3).foreach { i =>
+            if (i < rCut.length) memR.addData(rCut(i).toSeq)
+            if (i < sCut.length) memS.addData(sCut(i).toSeq)
+            q.processAllAvailable()
+          }
+          Seq(3600000L, 7200000L).foreach { off =>
+            memS.addData(Seq(graft.streaming.Streaming.Point(sentinelKey,
+              new java.sql.Timestamp(maxT + off), 0.0)))
+            memR.addData(Seq(graft.streaming.Streaming.ResetEvent(sentinelKey,
+              new java.sql.Timestamp(maxT + off))))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).where(col("stream_id") =!= sentinelKey)
+        .orderBy("stream_id", "t")
+    },
+
     "drv_sum" -> { (s, dir) =>
       // V1: one derived stream = pointwise sum of user 7's five per-type
       // streams, aligned on Minutes buckets
@@ -6948,6 +7019,36 @@ object SparkEntry {
       |FROM d WHERE pv IS NOT NULL AND epoch(t) != epoch(pt)
       |ORDER BY stream_id, t""".stripMargin
 
+  // the batch V4 reset-suppression core (union + running reset max +
+  // ignore-nulls lag over (t, reset-first, v) order) — shared by the
+  // ordered two-input replay AND the bounded-skew one
+  private lazy val counterDerivV4StreamOracleSql: String =
+    s"""WITH $srcSql, $pointSql, $counterSql,
+      |rs AS (SELECT stream_id, t FROM ctr
+      |  WHERE CAST(floor(v) AS BIGINT) % 10 = 3),
+      |u AS (SELECT stream_id, t, v, FALSE AS is_reset FROM ctr
+      |  UNION ALL
+      |  SELECT stream_id, t, NULL AS v, TRUE AS is_reset FROM rs),
+      |d AS (SELECT stream_id, t, v, is_reset,
+      |    max(CASE WHEN is_reset THEN t END) OVER
+      |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_reset_t,
+      |    last_value(v IGNORE NULLS) OVER
+      |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN NOT is_reset THEN t END IGNORE NULLS) OVER
+      |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+      |  FROM u)
+      |SELECT stream_id, t,
+      |  (CASE WHEN v >= pv THEN v - pv ELSE 1000 - pv + v END)
+      |    / (epoch(t) - epoch(pt)) AS v
+      |FROM d
+      |WHERE NOT is_reset AND pv IS NOT NULL AND epoch(t) != epoch(pt)
+      |  AND (last_reset_t IS NULL OR last_reset_t <= pt)
+      |ORDER BY stream_id, t""".stripMargin
+
   private val counterResetOracleSql: String =
     s"""WITH $srcSql, $pointSql, $counterSql,
       |d AS (SELECT stream_id, t, v,
@@ -9399,33 +9500,10 @@ object SparkEntry {
 
     // the batch V4 reset-suppression core verbatim (union + running
     // reset max + ignore-nulls lag over (t, reset-first, v) order) —
-    // what the two-input streaming twin must reproduce bit-for-bit
-    "drv_counter_derivative_stream" ->
-      s"""WITH $srcSql, $pointSql, $counterSql,
-        |rs AS (SELECT stream_id, t FROM ctr
-        |  WHERE CAST(floor(v) AS BIGINT) % 10 = 3),
-        |u AS (SELECT stream_id, t, v, FALSE AS is_reset FROM ctr
-        |  UNION ALL
-        |  SELECT stream_id, t, NULL AS v, TRUE AS is_reset FROM rs),
-        |d AS (SELECT stream_id, t, v, is_reset,
-        |    max(CASE WHEN is_reset THEN t END) OVER
-        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS last_reset_t,
-        |    last_value(v IGNORE NULLS) OVER
-        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-        |    last_value(CASE WHEN NOT is_reset THEN t END IGNORE NULLS) OVER
-        |      (PARTITION BY stream_id ORDER BY t, is_reset DESC, v
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
-        |  FROM u)
-        |SELECT stream_id, t,
-        |  (CASE WHEN v >= pv THEN v - pv ELSE 1000 - pv + v END)
-        |    / (epoch(t) - epoch(pt)) AS v
-        |FROM d
-        |WHERE NOT is_reset AND pv IS NOT NULL AND epoch(t) != epoch(pt)
-        |  AND (last_reset_t IS NULL OR last_reset_t <= pt)
-        |ORDER BY stream_id, t""".stripMargin,
+    // what the two-input streaming twin must reproduce bit-for-bit,
+    // under ordered AND bounded-skew delivery (same oracle for both)
+    "drv_counter_derivative_stream" -> counterDerivV4StreamOracleSql,
+    "drv_counter_derivative_stream_skewed" -> counterDerivV4StreamOracleSql,
 
     // tiered retention: raw seconds survive from their Jan 20 horizon,
     // day rollups from Jan 10 (ymd-partition drops at midnight cutoffs

@@ -721,6 +721,24 @@ object Streaming {
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** [[reorderBuffer]] for the V4 reset feed: ResetEvents ride the Point
+    * buffer (v unused, 0) and come back out in per-key event-time order
+    * once the watermark passes them — so the two-input
+    * [[counterDerivativeWithResets]] runs under bounded-skew delivery on
+    * BOTH inputs. The early-not-late reset contract holds mechanically:
+    * the query's global watermark is the MIN over both buffered inputs,
+    * and a source row only releases once that watermark passed its event
+    * time — by which point every reset at or before it (arrival trails
+    * its own stream's max event time by ≤ 2×jitter < maxDelay) has
+    * already released in the same or an earlier micro-batch.
+    */
+  def reorderBufferResets(src: Dataset[ResetEvent],
+      maxDelay: String): Dataset[ResetEvent] = {
+    import src.sparkSession.implicits._
+    reorderBuffer(src.map(r => Point(r.stream_id, r.t, 0.0)), maxDelay)
+      .map(p => ResetEvent(p.stream_id, p.t))
+  }
+
   /** Dead-feed detection with EVENT-TIME TIMERS — the push-based twin of
     * the batch ds_staleness audit: per stream, a timer is (re)armed at
     * `last event + gapSec`; when the WATERMARK passes it without new

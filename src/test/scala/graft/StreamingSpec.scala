@@ -86,7 +86,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
   }
 
-  test("reorder buffer: bounded-skew shuffled replay through the twins == in-order delivery (V2 / V4 / EWMA)") {
+  test("reorder buffer: bounded-skew shuffled replay through the twins == in-order delivery (V2 / V4 / EWMA / CUSUM / Holt)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     // every twin's contract is per-key in-order delivery; real feeds
@@ -111,37 +111,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Streaming.Point("zz", new java.sql.Timestamp(t0 + 7200 * 1000L), 2.0))
     def run(name: String,
         twin: org.apache.spark.sql.Dataset[Streaming.Point] =>
-          org.apache.spark.sql.Dataset[Streaming.Point]) = {
+          org.apache.spark.sql.Dataset[_]) = {
       val mem = MemoryStream[Streaming.Point]
       val q = twin(Streaming.reorderBuffer(mem.toDS(), "60 seconds"))
-        .writeStream.format("memory").queryName(name)
+        .toDF().writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
         shuffled.grouped(13).foreach { b => mem.addData(b); q.processAllAvailable() }
         sentinels.foreach { p => mem.addData(Seq(p)); q.processAllAvailable() }
       } finally q.stop()
       spark.table(name).where(col("stream_id") =!= "zz")
-        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-        .toSet
+        .collect().map(_.toSeq).toSet
     }
     def ordered(name: String,
         twin: org.apache.spark.sql.Dataset[Streaming.Point] =>
-          org.apache.spark.sql.Dataset[Streaming.Point]) = {
+          org.apache.spark.sql.Dataset[_]) = {
       val mem = MemoryStream[Streaming.Point]
       val q = twin(mem.toDS())
-        .writeStream.format("memory").queryName(name)
+        .toDF().writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try { mem.addData(real); q.processAllAvailable() } finally q.stop()
       spark.table(name)
-        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-        .toSet
+        .collect().map(_.toSeq).toSet
     }
     val lanes = Seq[(String,
         org.apache.spark.sql.Dataset[Streaming.Point] =>
-          org.apache.spark.sql.Dataset[Streaming.Point])](
+          org.apache.spark.sql.Dataset[_])](
       ("v2", Streaming.derivative),
       ("v4", s => Streaming.counterDerivative(s, Some(250.0))),
-      ("ewma", s => Streaming.ewma(s, 0.3)))
+      ("ewma", s => Streaming.ewma(s, 0.3)),
+      // r14: the remaining in-order-contract twins under the same
+      // bounded-skew pin — a leaky buffer folds CUSUM's running min/max
+      // or Holt's level/trend in the wrong order and diverges
+      ("cusum", s => Streaming.cusum(s, 10000L, 40000L)),
+      ("holt", s => Streaming.holt(s, 0.5, 0.3)))
     for ((nm, twin) <- lanes) {
       val got = run(s"rob_$nm", twin)
       val ref = ordered(s"rob_ref_$nm", twin)
