@@ -3650,6 +3650,73 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_lm_dirichlet" -> { (s, dir) =>
+      // Dirichlet-smoothed query-likelihood ranking (the LM scoring
+      // family next to BM25 — rank-equivalent matched-terms form):
+      // qtf·ln(1 + tf·|C|/(μ·cf)) summed over shared terms plus the
+      // qlen·ln(μ/(dl+μ)) length norm, round-6 + doc_id rank key. All
+      // inputs exact integers; the oracle recomputes the expression
+      // verbatim.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.lmDirichletTopK(docs, broadcast(queries), 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_lm_dirichlet_indexed" -> { (s, dir) =>
+      // the same LM scoring served from the persisted index: tf/dl ride
+      // in the posting rows, cf is exact from each token's home bucket,
+      // |C| is the stats sidecar's sum_dl — nothing corpus-sized on the
+      // serving path, scores identical ⇒ oracle shared verbatim.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.lmDirichletTopKIndexed(s, bm25BaseIndex(s, dir), queries, 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_map_eval" -> { (s, dir) =>
+      // mean-average-precision eval (the set-retrieval metric next to
+      // q_mrr_eval's single-relevant rank and q_ndcg_eval's graded
+      // gain): same mid-slice queries and same-source relevance as the
+      // nDCG gate, AP@10 in EXACT integer ppm — P@k fractions share
+      // denominator lcm(1..10) = 2520, so ap_ppm = (10⁶·Σ_{k rel}
+      // hits_k·(2520 div k)) div (min(R,10)·2520), pure BIGINT on both
+      // engines.
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      val queries = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("source").as("qsource"),
+          expr("concat_ws(' ', slice(split(text, ' '), 5, 8))").as("qtext"))
+        .localCheckpoint(true) // feeds the run, the grades AND R
+      val run = Retrieval.bm25TopK(docs.select("doc_id", "text"),
+        broadcast(queries.select("qid", "qtext")), 10)
+      val graded = run
+        .join(broadcast(queries.select("qid", "qsource")), "qid")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rel",
+          when(col("doc_id") === col("qid") ||
+            col("source") === col("qsource"), 1L).otherwise(0L))
+      val wcum = Window.partitionBy("qid").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ap = graded
+        .withColumn("hits_k", sum("rel").over(wcum))
+        .groupBy("qid")
+        .agg(sum(when(col("rel") === 1L,
+            col("hits_k") * expr("2520L div rnk")).otherwise(0L))
+          .as("ap_num"),
+          sum("rel").as("n_rel_in_10"))
+      val nSame = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      queries.join(broadcast(nSame), col("qsource") === col("source"))
+        .select(col("qid"), col("ns"))
+        .join(ap, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_rel_in_10"), lit(0L)).as("n_rel_in_10"),
+          expr("coalesce(ap_num, 0L) * 1000000L div (least(ns, 10L) * 2520L)")
+            .as("ap_ppm"))
+        .orderBy("qid")
+    },
+
     "q_hybrid_rrf" -> { (s, dir) =>
       // hybrid search: reciprocal-rank fusion of the BM25 top-20 and the
       // exact-cosine top-20 per query (doc_id ≡ vec_id in the testdata);
@@ -4753,6 +4820,34 @@ object SparkEntry {
       val work = bm25BaseIndex(s, dir)
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
+    },
+
+    "mm_psnr" -> { (s, dir) =>
+      // full-reference image-quality audit under the exact gate: per
+      // doc, a 24×24 grayscale ramp A (values in [4, 243] — headroom so
+      // the perturbed pair never clips) and B = A + ((doc_id + i) % 7)
+      // − 3 round-trip through the lossless PNG lane, then integer
+      // SSE / max-abs-err / floor-dB PSNR. The oracle recomputes every
+      // residual from doc_id arithmetic — the row only matches if both
+      // encodes, both decodes, pixel alignment and the PSNR fold agree.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id").cast("long"))
+      val pairs = ids.as[Long].mapPartitions(_.map { id =>
+          def base(i: Int): Int = (4 + ((id * 13 + 7L * i) % 240)).toInt
+          val a = graft.operators.Multimodal.grayscalePng(24,
+            (x, y) => base(y * 24 + x))
+          val b = graft.operators.Multimodal.grayscalePng(24,
+            (x, y) => {
+              val i = y * 24 + x
+              base(i) + (((id + i) % 7) - 3).toInt
+            })
+          (id, a, b)
+        }).toDF("media_id", "a", "b")
+      graft.operators.Multimodal.imagePairStats(pairs)
+        .select(col("media_id").as("doc_id"), col("n_px"), col("sse"),
+          col("max_abs_err"), col("psnr_db_floor"))
+        .orderBy("doc_id")
     },
 
     "mm_resample" -> { (s, dir) =>
@@ -7671,6 +7766,37 @@ object SparkEntry {
       |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  // Dirichlet query-likelihood: matched-terms sum + length norm with
+  // the EXACT expression parenthesization of Retrieval.lmScore; shared
+  // by q_lm_dirichlet (direct) and q_lm_dirichlet_indexed (identical
+  // scores off the postings + cf-per-bucket + sidecar |C|)
+  private val lmDirichletOracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+      |t AS (SELECT * FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |cf AS (SELECT tok, count(*) AS cf FROM t GROUP BY tok),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS c FROM t),
+      |q0 AS (SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS tok
+      |  FROM d WHERE doc_id < 5),
+      |q1 AS (SELECT * FROM q0 WHERE tok <> ''),
+      |qt AS (SELECT qid, tok, count(*) AS qtf FROM q1 GROUP BY qid, tok),
+      |ql AS (SELECT qid, count(*) AS qlen FROM q1 GROUP BY qid),
+      |m AS (SELECT qt.qid, tf.doc_id,
+      |    sum(qt.qtf * ln(1.0 + (CAST(tf.tf AS DOUBLE) * st.c)
+      |      / (2000.0 * cf.cf))) AS s
+      |  FROM qt JOIN tf ON qt.tok = tf.tok JOIN cf ON qt.tok = cf.tok
+      |  CROSS JOIN st
+      |  GROUP BY qt.qid, tf.doc_id),
+      |scored AS (SELECT m.qid, m.doc_id,
+      |    round(m.s + ql.qlen * ln(2000.0 / (dl.dl + 2000.0)), 6) AS score
+      |  FROM m JOIN dl ON m.doc_id = dl.doc_id JOIN ql ON m.qid = ql.qid),
+      |r AS (SELECT qid, doc_id, score, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+      |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   // top-1 via the bm25 chain, then the all-integer window election
   // (positions assigned BEFORE the empty-token filter on both sides).
   // Shared by q_bm25_snippets (direct) and q_bm25_snippets_indexed (the
@@ -10022,6 +10148,78 @@ object SparkEntry {
         |ORDER BY qd.qid""".stripMargin,
 
     "q_bm25_snippets" -> bm25SnippetsOracleSql,
+
+    "mm_psnr" ->
+      // every residual is closed-form doc_id arithmetic: diff at pixel
+      // i = ((doc_id + i) % 7) − 3, never clipped by construction
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents WHERE doc_id < 120),
+        |px AS (SELECT doc_id, unnest(range(0, 576)) AS i FROM ids),
+        |dd AS (SELECT doc_id, ((doc_id + i) % 7) - 3 AS dv FROM px),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(dv * dv) AS BIGINT) AS sse,
+        |    CAST(max(abs(dv)) AS BIGINT) AS max_abs_err
+        |  FROM dd GROUP BY doc_id)
+        |SELECT doc_id, n_px, sse, max_abs_err,
+        |  CASE WHEN sse > 0 THEN CAST(floor(10.0 *
+        |    log10((65025.0 * n_px) / sse)) AS BIGINT) END AS psnr_db_floor
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_lm_dirichlet" -> lmDirichletOracleSql,
+    // indexed LM changes only the I/O path (postings tf/dl, per-bucket
+    // exact cf, sidecar |C|) — scores identical, oracle verbatim
+    "q_lm_dirichlet_indexed" -> lmDirichletOracleSql,
+
+    "q_map_eval" ->
+      // the ndcg oracle's bm25 run, folded to AP@10 in exact integer
+      // ppm: P@k fractions share denominator lcm(1..10) = 2520
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |qd AS (SELECT doc_id AS qid, source AS qsource,
+        |    array_to_string(string_split(text, ' ')[5:12], ' ') AS qtext
+        |  FROM d WHERE doc_id < 20),
+        |q AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' ')))
+        |    AS tok FROM qd),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |run AS (SELECT qid, doc_id, rnk FROM (SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+        |      AS rnk FROM scored) WHERE rnk <= 10),
+        |graded AS (SELECT run.qid, run.rnk,
+        |    CASE WHEN run.doc_id = run.qid OR dd.source = qd.qsource
+        |      THEN 1 ELSE 0 END AS rel
+        |  FROM run JOIN d dd ON dd.doc_id = run.doc_id
+        |  JOIN qd ON qd.qid = run.qid),
+        |cum AS (SELECT qid, rnk, rel, sum(rel) OVER (PARTITION BY qid
+        |    ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS hits_k FROM graded),
+        |ap AS (SELECT qid,
+        |    CAST(sum(CASE WHEN rel = 1 THEN hits_k * (2520 // rnk)
+        |      ELSE 0 END) AS BIGINT) AS ap_num,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel_in_10
+        |  FROM cum GROUP BY qid),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d
+        |  GROUP BY source)
+        |SELECT qd.qid, coalesce(ap.n_rel_in_10, 0) AS n_rel_in_10,
+        |  CAST(coalesce(ap.ap_num, 0) * 1000000
+        |    // (least(ns.ns, 10) * 2520) AS BIGINT) AS ap_ppm
+        |FROM qd JOIN ns ON ns.source = qd.qsource
+        |LEFT JOIN ap ON ap.qid = qd.qid
+        |ORDER BY qd.qid""".stripMargin,
 
     // identical results by construction: the materialized index changes
     // the I/O path (bucket-pruned postings), never the scoring — so the

@@ -404,6 +404,52 @@ object Multimodal {
     }.toDF("media_id", "px", "py", "luma_pm")
   }
 
+  /** Full-reference image-quality stats over decoded pairs — the
+    * codec/transform regression audit of a vision pipeline (did a
+    * re-encode, resize or augmentation change pixels, and by how much):
+    * per (media_id, a, b) pair, INTEGER SSE and max absolute error over
+    * the 8-bit gray channel (the red channel of the TYPE_INT_RGB
+    * lossless lane — all channels equal by construction on grayscale
+    * media), plus PSNR as `floor(10·log10(255²·n / sse))` dB — floor of
+    * a double both engines compute identically from the same exact
+    * integers (the CLAUDE floor-on-raw-double discipline, never
+    * round(p)). Identical pixels report sse = 0 and NULL psnr;
+    * dimension-mismatched or undecodable pairs emit no row. Same
+    * mapPartitions codec-per-partition shape as the other decoders.
+    */
+  def imagePairStats(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    pairs.select(col("media_id").cast("long"), col("a"), col("b"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .flatMap { case (id, a, b) =>
+        (readImage(a), readImage(b)) match {
+          case (Some(ia), Some(ib))
+              if ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight =>
+            var sse = 0L
+            var maxAbs = 0L
+            var y = 0
+            while (y < ia.getHeight) {
+              var x = 0
+              while (x < ia.getWidth) {
+                val va = (ia.getRGB(x, y) >> 16) & 0xff
+                val vb = (ib.getRGB(x, y) >> 16) & 0xff
+                val d = (va - vb).toLong
+                sse += d * d
+                if (math.abs(d) > maxAbs) maxAbs = math.abs(d)
+                x += 1
+              }
+              y += 1
+            }
+            Some((id, ia.getWidth.toLong * ia.getHeight, sse, maxAbs))
+          case _ => None
+        }
+      }.toDF("media_id", "n_px", "sse", "max_abs_err")
+      .withColumn("psnr_db_floor",
+        when(col("sse") > 0,
+          floor(lit(10.0) * log10(lit(65025.0) * col("n_px") / col("sse")))))
+  }
+
   /** Nearest-neighbor image resize — the standardize-resolution step of
     * a vision-data pipeline, kept EXACT on purpose: output pixel (x, y)
     * copies input pixel (x·w_in div w_out, y·h_in div h_out) — pure

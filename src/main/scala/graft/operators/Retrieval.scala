@@ -104,6 +104,101 @@ object Retrieval {
       .where(col("rnk") <= k)
   }
 
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai/Lafferty) — the
+    * language-modeling scoring family next to [[bm25TopK]], in the
+    * rank-equivalent matched-terms form every inverted index serves:
+    * `score = Σ_{t∈q∩d} qtf_t · ln(1 + tf_td·|C| / (μ·cf_t))
+    *          + qlen · ln(μ / (dl_d + μ))`
+    * with cf_t the collection term frequency and |C| total collection
+    * tokens. Query term frequency (qtf, WITH multiplicity — unlike
+    * BM25's distinct-token explode) weights repeated query terms.
+    * Same scale shape as BM25: candidates are an equi-join on token,
+    * stats are metadata-scale broadcasts; same rank key discipline
+    * (round-6 score, doc_id tie).
+    */
+  def lmDirichletTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      mu: Double = 2000.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // feeds tf, dl AND cf off one explode
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val totalC = dl.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+    val q1 = queries.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // qtf AND qlen off one explode
+    val qt = q1.groupBy("qid", "tok").agg(count(lit(1)).as("qtf"))
+    val ql = q1.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    lmScore(qt, ql, tf, dl, cf, totalC, k, mu)
+  }
+
+  /** Shared LM scoring tail: matched-terms sum + per-doc length norm,
+    * round-6 rank key. Expression parenthesization is pinned — the
+    * oracle recomputes it verbatim.
+    */
+  private def lmScore(qt: DataFrame, ql: DataFrame, tf: DataFrame,
+      dl: DataFrame, cf: DataFrame, totalC: Long, k: Int,
+      mu: Double): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    qt.join(tf, "tok") // inverted probe: only shared-term docs
+      .join(broadcast(cf), "tok")
+      .withColumn("term",
+        col("qtf") * log(lit(1.0) +
+          (col("tf").cast("double") * lit(totalC)) /
+            (lit(mu) * col("cf"))))
+      .groupBy("qid", "doc_id")
+      .agg(sum("term").as("s"))
+      .join(dl, "doc_id")
+      .join(broadcast(ql), "qid")
+      .withColumn("score",
+        round(col("s") + col("qlen") * log(lit(mu) / (col("dl") + lit(mu))), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "doc_id", "score", "rnk")
+  }
+
+  /** [[lmDirichletTopK]] against a [[buildIndex]] index — identical
+    * scores, I/O pruned to the query tokens' buckets: tf and dl ride in
+    * the posting rows, cf_t is exact from the token's home bucket (a
+    * token's postings live wholly there), and |C| = the stats sidecar's
+    * sum_dl — the serving path reads nothing corpus-sized.
+    */
+  def lmDirichletTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, mu: Double = 2000.0,
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    healIndex(spark, root)
+    val q1 = queries.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true) // buckets + qtf + qlen off one explode
+    val qt = q1.groupBy("qid", "tok").agg(count(lit(1)).as("qtf"))
+    val ql = q1.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val buckets = q1
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val postSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", StringType), StructField("tf", LongType),
+      StructField("dl", LongType)))
+    val bfs = retrievalFs(spark, root)
+    val dirs = buckets.map(v => s"$root/postings/bucket=$v")
+      .filter(d => bfs.exists(new org.apache.hadoop.fs.Path(d)))
+    val postings =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), postSchema)
+      else spark.read.schema(postSchema).parquet(dirs.toSeq: _*)
+    val postingsCk = postings.localCheckpoint(true) // cf AND probe join
+    val cf = postingsCk.groupBy("tok").agg(coalesce(sum("tf"), lit(0L)).as("cf"))
+    val totalC = readStats(bfs, root).map(_._3).getOrElse(0L)
+    lmScore(qt, ql, postingsCk.select("doc_id", "tok", "tf"),
+      postingsCk.select("doc_id", "dl").distinct(), cf, totalC, k, mu)
+  }
+
   /** Materialized inverted index (the production form of [[bm25TopK]]'s
     * ad-hoc inverted stream): postings (tok, doc_id, tf, dl) live under
     * `root/postings/bucket=B` with B = pmod(xxhash64(tok), nBuckets), and

@@ -4357,6 +4357,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gutted bucket must surface as stale: $gutted")
   }
 
+  test("imagePairStats: identical pair reports sse 0 / NULL psnr; mismatched dims drop; known diff exact") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val a = M.grayscalePng(8, (x, y) => 10 + x + y)
+    val b = M.grayscalePng(8, (x, y) => 10 + x + y + (if (x == 0) 2 else 0))
+    val small = M.grayscalePng(4, (_, _) => 50)
+    val pairs = Seq(
+      (1L, a, a),     // identical
+      (2L, a, b),     // known diff: 8 pixels off by 2 → sse 32
+      (3L, a, small)  // dimension mismatch → no row
+    ).toDF("media_id", "a", "b")
+    val rows = M.imagePairStats(pairs).orderBy("media_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(2) == 0L &&
+      rows(0).isNullAt(4), s"identical pair: ${rows(0)}")
+    assert(rows(1).getLong(0) == 2L && rows(1).getLong(1) == 64L &&
+      rows(1).getLong(2) == 32L && rows(1).getLong(3) == 2L,
+      s"known diff: ${rows(1)}")
+    // psnr floor: 10*log10(65025*64/32) = 10*log10(130050) ≈ 51.14 → 51
+    assert(rows(1).getLong(4) == 51L, s"psnr: ${rows(1)}")
+  }
+
+  test("LM Dirichlet indexed == direct on a fresh index; query term multiplicity weights the score") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lm-idx").toString + "/idx"
+    R.buildIndex(d, root, nBuckets = 8)
+    val q = d.where(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val direct = R.lmDirichletTopK(d, q, 5)
+      .collect().map(_.toSeq).toSet
+    val indexed = R.lmDirichletTopKIndexed(spark, root, q, 5, nBuckets = 8)
+      .collect().map(_.toSeq).toSet
+    assert(direct == indexed,
+      "indexed LM must score exactly like the direct lane")
+    assert(direct.nonEmpty)
+    // multiplicity: a doubled query term outranks the same term once on
+    // a doc containing it (qtf weights the matched-term sum)
+    val qq = Seq((1L, "alpha alpha"), (2L, "alpha")).toDF("qid", "qtext")
+    val corpus = Seq((10L, "alpha beta gamma"), (11L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sc = R.lmDirichletTopK(corpus, qq, 2)
+      .where(col("doc_id") === 10L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) != sc(2L),
+      s"doubled term must change the matched-term weight: $sc")
+  }
+
   test("PCM resampler: exact integer interpolation both directions (up and down)") {
     import spark.implicits._
     // hand-checkable ramp: samples 0, 1000, 2000, 3000 (Int16 units) at
