@@ -4822,6 +4822,28 @@ object SparkEntry {
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
+    "mm_adpcm" -> { (s, dir) =>
+      // a REAL compressed-audio codec under the exact gate: per doc, an
+      // IMA-ADPCM (WAV tag 0x11) container packs 800 closed-form 4-bit
+      // codes n_i = (doc_id·5 + i·3) % 16, round-trips through the
+      // RIFF block walk + table-driven decoder, and reports exact
+      // integer sample stats. The oracle REPLAYS the entire decode
+      // recurrence (step/index tables as list literals, clamps,
+      // floor-shifts) as a recursive CTE — the row only matches if the
+      // container layout, nibble order, and every table lookup agree.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          val nib = Array.tabulate(800)(i => ((id * 5 + i * 3) % 16).toInt)
+          (id, graft.operators.Multimodal.imaAdpcmWav(nib, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.adpcmStats(media)
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_s"), col("min_s"), col("max_s"))
+        .orderBy("doc_id")
+    },
+
     "mm_psnr" -> { (s, dir) =>
       // full-reference image-quality audit under the exact gate: per
       // doc, a 24×24 grayscale ramp A (values in [4, 243] — headroom so
@@ -10148,6 +10170,52 @@ object SparkEntry {
         |ORDER BY qd.qid""".stripMargin,
 
     "q_bm25_snippets" -> bm25SnippetsOracleSql,
+
+    "mm_adpcm" ->
+      // the IMA decode recurrence replayed verbatim: published step /
+      // index tables as list literals, diff = step//8 (+step if b2)
+      // (+step//2 if b1) (+step//4 if b0), sign b3, Int16 clamp, index
+      // clamp to [0, 88]; seed sample 0 counts in the stats
+      """WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents WHERE doc_id < 64),
+        |st AS (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+        |    34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+        |    157,173,190,209,230,253,279,307,337,371,408,449,494,544,
+        |    598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+        |    1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+        |    5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+        |    15289,16818,18500,20350,22385,24623,27086,29794,32767] AS tab,
+        |  [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS itab),
+        |rec AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS pred,
+        |    CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS ssum,
+        |    CAST(0 AS BIGINT) AS smin, CAST(0 AS BIGINT) AS smax
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, npred, nidx, ssum + npred,
+        |    least(smin, npred), greatest(smax, npred)
+        |  FROM (
+        |    SELECT doc_id, i, ssum, smin, smax,
+        |      CASE WHEN (n & 8) != 0
+        |        THEN greatest(-32768, least(32767, pred - diff))
+        |        ELSE greatest(-32768, least(32767, pred + diff)) END
+        |        AS npred,
+        |      greatest(0, least(88, idx + itab[n + 1])) AS nidx
+        |    FROM (
+        |      SELECT doc_id, i, pred, idx, ssum, smin, smax, itab, n,
+        |        step // 8
+        |          + CASE WHEN (n & 4) != 0 THEN step ELSE 0 END
+        |          + CASE WHEN (n & 2) != 0 THEN step // 2 ELSE 0 END
+        |          + CASE WHEN (n & 1) != 0 THEN step // 4 ELSE 0 END
+        |          AS diff
+        |      FROM (
+        |        SELECT rec.*, stt.tab, stt.itab,
+        |          ((rec.doc_id * 5 + rec.i * 3) % 16) AS n,
+        |          stt.tab[rec.idx + 1] AS step
+        |        FROM rec, st stt WHERE rec.i < 800))))
+        |SELECT doc_id, CAST(801 AS BIGINT) AS n_samples, ssum AS sum_s,
+        |  smin AS min_s, smax AS max_s
+        |FROM rec WHERE i = 800 ORDER BY doc_id""".stripMargin,
 
     "mm_psnr" ->
       // every residual is closed-form doc_id arithmetic: diff at pixel

@@ -230,6 +230,144 @@ object Multimodal {
     bb.array()
   }
 
+  // ---- IMA ADPCM (WAV format tag 0x11) — a REAL compressed-audio
+  // codec in pure JVM (the mp3/h264 gap is env-bound: the JDK ships no
+  // codec and egress is zero; IMA ADPCM is table-driven integer DSP,
+  // so the decoder is exact and the whole decode recurrence replays in
+  // SQL). Tables are the published IMA/DVI spec constants.
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Mono IMA-ADPCM WAV container over the given 4-bit codes — one
+    * block: the 4-byte header carries the SEED sample (0) and start
+    * index (0), then packed nibbles (low nibble first, the IMA layout).
+    * A real RIFF container with format tag 0x11 + the samplesPerBlock
+    * extension; parse back only through [[parseImaAdpcm]].
+    */
+  private[graft] def imaAdpcmWav(nibbles: Array[Int],
+      rate: Int): Array[Byte] = {
+    val nBytes = (nibbles.length + 1) / 2
+    val blockAlign = 4 + nBytes
+    val samplesPerBlock = nibbles.length + 1
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 8 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(20).putShort(0x11).putShort(1).putInt(rate)
+      .putInt(rate * blockAlign / samplesPerBlock)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(blockAlign)
+      .putShort(0).put(0: Byte).put(0: Byte) // seed sample 0, index 0
+    var k = 0
+    while (k < nBytes) {
+      val lo = nibbles(2 * k) & 0xf
+      val hi = if (2 * k + 1 < nibbles.length) nibbles(2 * k + 1) & 0xf else 0
+      bb.put(((hi << 4) | lo).toByte)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Chunk-walking parser + block decoder for mono IMA-ADPCM WAVs
+    * (format tag 0x11, 4-bit): per block, the header sample seeds the
+    * predictor, then each nibble advances the published step/index
+    * tables — `diff = step>>3 (+step if b2) (+step>>1 if b1)
+    * (+step>>2 if b0)`, sign bit b3, predictor clamped to Int16, index
+    * clamped to [0, 88]. samplesPerBlock bounds the valid nibbles (a
+    * pad nibble in the last byte never decodes). Returns 16-bit
+    * [[WavPcm]] (power-of-two normalization — `round(s·32768)` recovers
+    * the exact integer samples). None on anything malformed.
+    */
+  private[graft] def parseImaAdpcm(content: Array[Byte]): Option[WavPcm] = {
+    if (!isWav(content)) return None
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(content, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8L + len > content.length) return None
+        if (id == "fmt " && len >= 20)
+          fmt = Some((buf.getShort(pos + 8) & 0xffff,
+            buf.getShort(pos + 10) & 0xffff, buf.getInt(pos + 12),
+            buf.getShort(pos + 20) & 0xffff, // blockAlign
+            buf.getShort(pos + 26) & 0xffff)) // samplesPerBlock (ext)
+        else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1)
+      }
+      for {
+        (format, ch, rate, blockAlign, spb) <- fmt
+        if format == 0x11 && ch == 1 && rate > 0 && blockAlign > 4 &&
+          spb >= 1
+        (off, len) <- data
+      } yield {
+        val out = Array.newBuilder[Float]
+        var blk = off
+        while (blk + blockAlign <= off + len) {
+          var pred: Int = buf.getShort(blk).toInt
+          var idx: Int =
+            math.max(0, math.min(88, content(blk + 2) & 0xff))
+          out += pred / 32768.0f
+          var produced = 1
+          var b = blk + 4
+          while (b < blk + blockAlign && produced < spb) {
+            val byte = content(b) & 0xff
+            var half = 0
+            while (half < 2 && produced < spb) {
+              val n = if (half == 0) byte & 0xf else byte >> 4
+              val step = AdpcmStepTable(idx)
+              var diff = step >> 3
+              if ((n & 4) != 0) diff += step
+              if ((n & 2) != 0) diff += step >> 1
+              if ((n & 1) != 0) diff += step >> 2
+              pred = if ((n & 8) != 0) pred - diff else pred + diff
+              pred = math.max(-32768, math.min(32767, pred))
+              idx = math.max(0, math.min(88, idx + AdpcmIndexTable(n)))
+              out += pred / 32768.0f
+              produced += 1
+              half += 1
+            }
+            b += 1
+          }
+          blk += blockAlign
+        }
+        WavPcm(1, rate, 16, out.result())
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode IMA-ADPCM WAVs and report exact integer sample statistics
+    * per media row — (media_id, n_samples, sum_s, min_s, max_s) in
+    * Int16 units (`round(s·32768)` exact recovery). The codec-coverage
+    * audit lane: the numbers only match an analytic oracle if the RIFF
+    * parse, block walk, and table-driven decode recurrence are all
+    * exact. Undecodable bytes emit no row; mapPartitions
+    * codec-per-partition like the other decoders.
+    */
+  def adpcmStats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseImaAdpcm(bytes).map { w =>
+          val s = w.samples.map(v => math.round(v * 32768f).toLong)
+          (id, s.length.toLong, s.sum, s.min, s.max)
+        }
+      }).toDF("media_id", "n_samples", "sum_s", "min_s", "max_s")
+  }
+
   /** Rational-ratio linear PCM resampler statistics, EXACT on Int16
     * units: output index j maps to input position `j·m/l` (resample by
     * factor l/m — e.g. l=3, m=8 takes 8 kHz to 3 kHz), and the

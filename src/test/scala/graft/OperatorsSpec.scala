@@ -4357,6 +4357,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gutted bucket must surface as stale: $gutted")
   }
 
+  test("IMA ADPCM: decode matches the hand-stepped recurrence; pad nibble never decodes; malformed bytes drop") {
+    val M = graft.operators.Multimodal
+    // hand-decoded: nibbles (7, 7) from (pred 0, idx 0):
+    //   step=7,  n=7: diff = 0+7+3+1 = 11 → pred 11, idx 0+8 = 8
+    //   step=16, n=7: diff = 2+16+8+4 = 30 → pred 41, idx 16
+    val s2 = M.parseImaAdpcm(M.imaAdpcmWav(Array(7, 7), 8000)).get
+      .samples.map(v => math.round(v * 32768f)).toSeq
+    assert(s2 == Seq(0L, 11L, 41L), s"decode: $s2")
+    // n=8 is sign-only with diff = step>>3 = 0 at idx 0 → stays 0; an
+    // ODD nibble count leaves a pad nibble that samplesPerBlock bounds
+    val s3 = M.parseImaAdpcm(M.imaAdpcmWav(Array(8, 8, 8), 8000)).get
+      .samples.map(v => math.round(v * 32768f)).toSeq
+    assert(s3 == Seq(0L, 0L, 0L, 0L), s"pad handling: $s3")
+    // malformed inputs: a PCM wav is not ADPCM; garbage is not a RIFF
+    assert(M.parseImaAdpcm(M.sawWav(257, 100, 8000)).isEmpty)
+    assert(M.parseImaAdpcm(Array.fill(50)(3: Byte)).isEmpty)
+  }
+
   test("imagePairStats: identical pair reports sse 0 / NULL psnr; mismatched dims drop; known diff exact") {
     import spark.implicits._
     val M = graft.operators.Multimodal
