@@ -4822,6 +4822,58 @@ object SparkEntry {
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
+    "mm_g711" -> { (s, dir) =>
+      // the telephony companding codecs under the exact gate: per doc,
+      // the SAME closed-form byte stream b_i = (doc_id·7 + i·11) % 256
+      // rides a μ-law (tag 7) container for even docs and an A-law
+      // (tag 6) container for odd docs; the decoder expands through the
+      // CCITT formulas and reports exact integer stats. The oracle is a
+      // pure per-sample expression (no recursion — companding is
+      // memoryless), CASEd on the doc's lane.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          val codes = Array.tabulate(600)(i => ((id * 7 + i * 11) % 256).toInt)
+          (id, graft.operators.Multimodal.g711Wav(codes, 8000,
+            aLaw = id % 2 == 1))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.g711Stats(media)
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_s"), col("min_s"), col("max_s"))
+        .orderBy("doc_id")
+    },
+
+    "text_vocab_overlap" -> { (s, dir) =>
+      // cross-source vocabulary overlap — the data-mixing signal next
+      // to text_kl_by_source's distributional drift: pairwise DISTINCT-
+      // vocabulary Jaccard between sources in exact integer ppm.
+      // Dimension-scale everywhere: one distinct (source, tok) table,
+      // per-source sizes broadcast, the intersection a self-join on tok
+      // over the distinct table (vocab × small source fan-out, never
+      // doc-pair work).
+      val vocab = tbl(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "").distinct()
+        .localCheckpoint(true) // sizes AND both sides of the pair join
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = vocab.as("a").join(vocab.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("n_shared * 1000000L div (n_a + n_b - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy("src_a", "src_b")
+    },
+
     "mm_adpcm" -> { (s, dir) =>
       // a REAL compressed-audio codec under the exact gate: per doc, an
       // IMA-ADPCM (WAV tag 0x11) container packs 800 closed-form 4-bit
@@ -10170,6 +10222,57 @@ object SparkEntry {
         |ORDER BY qd.qid""".stripMargin,
 
     "q_bm25_snippets" -> bm25SnippetsOracleSql,
+
+    "mm_g711" ->
+      // companding is memoryless: each decoded sample is one closed-
+      // form expression of its code byte (CCITT g711 expand formulas),
+      // CASEd on the doc's μ-law / A-law lane
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (SELECT doc_id, unnest(range(0, 600)) AS i FROM ids),
+        |cb AS (SELECT doc_id, (doc_id * 7 + i * 11) % 256 AS b FROM px),
+        |dec AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN (255 - b) >= 128
+        |        THEN 132 - ((((255 - b) % 16) * 8 + 132)
+        |          << (((255 - b) // 16) % 8))
+        |        ELSE ((((255 - b) % 16) * 8 + 132)
+        |          << (((255 - b) // 16) % 8)) - 132 END
+        |    ELSE
+        |      CASE WHEN xor(b, 85) >= 128 THEN
+        |        CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+        |          THEN (xor(b, 85) % 16) * 16 + 8
+        |          ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |            << (((xor(b, 85) // 16) % 8) - 1) END
+        |      ELSE
+        |        -(CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+        |          THEN (xor(b, 85) % 16) * 16 + 8
+        |          ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |            << (((xor(b, 85) // 16) % 8) - 1) END)
+        |      END
+        |    END AS v
+        |  FROM cb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_s, CAST(min(v) AS BIGINT) AS min_s,
+        |  CAST(max(v) AS BIGINT) AS max_s
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, tok FROM (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v
+        |  GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+        |  CAST(i.n_shared * 1000000 // (sa.n + sb.n - i.n_shared)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM inter i JOIN sz sa ON sa.source = i.src_a
+        |JOIN sz sb ON sb.source = i.src_b
+        |ORDER BY i.src_a, i.src_b""".stripMargin,
 
     "mm_adpcm" ->
       // the IMA decode recurrence replayed verbatim: published step /

@@ -368,6 +368,108 @@ object Multimodal {
       }).toDF("media_id", "n_samples", "sum_s", "min_s", "max_s")
   }
 
+  // ---- G.711 (WAV format tags 7 = μ-law, 6 = A-law) — the telephony
+  // companding codecs, pure closed-form integer expansion (the
+  // CCITT/Sun g711.c reference formulas), so every decoded sample is a
+  // one-expression function of its code byte and the oracle needs no
+  // recursion at all.
+  private[graft] def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    var t = ((u & 0xf) << 3) + 132
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 132 - t else t - 132
+  }
+
+  private[graft] def alawToLinear(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    var t = (a & 0xf) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** μ-law encoder (the g711.c search over segment ends) — the encode
+    * half used by the round-trip spec; codewords are fixed points:
+    * `linear2ulaw(ulaw2linear(u)) == u` for every byte. */
+  private[graft] def linearToUlaw(pcm0: Int): Int = {
+    val (pcm1, mask) =
+      if (pcm0 < 0) (132 - pcm0, 0x7f) else (pcm0 + 132, 0xff)
+    val pcm = math.min(pcm1, 0x7fff)
+    var seg = 0
+    while (seg < 8 && pcm > ((0xff << seg) | ((1 << seg) - 1))) seg += 1
+    val uval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((pcm >> (seg + 3)) & 0xf)
+    uval ^ mask
+  }
+
+  /** Mono G.711 WAV container: format tag 7 (μ-law) or 6 (A-law),
+    * 8 bits per sample, data = raw code bytes. */
+  private[graft] def g711Wav(codes: Array[Int], rate: Int,
+      aLaw: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 26 + 8 + codes.length)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(18).putShort(if (aLaw) 6 else 7).putShort(1).putInt(rate)
+      .putInt(rate).putShort(1).putShort(8).putShort(0)
+      .put("data".getBytes("US-ASCII")).putInt(codes.length)
+    codes.foreach(c => bb.put((c & 0xff).toByte))
+    bb.array()
+  }
+
+  /** Chunk-walking parser + expander for G.711 WAVs: accepts format
+    * tags 7 (μ-law) and 6 (A-law) at 8 bits, expands every code byte
+    * through the closed-form CCITT tables to 16-bit linear. None on
+    * anything malformed. */
+  private[graft] def parseG711(content: Array[Byte]): Option[WavPcm] = {
+    if (!isWav(content)) return None
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(content, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8L + len > content.length) return None
+        if (id == "fmt " && len >= 16)
+          fmt = Some((buf.getShort(pos + 8) & 0xffff,
+            buf.getShort(pos + 10) & 0xffff, buf.getInt(pos + 12),
+            buf.getShort(pos + 22) & 0xffff))
+        else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1)
+      }
+      for {
+        (format, ch, rate, bits) <- fmt
+        if (format == 6 || format == 7) && ch == 1 && rate > 0 && bits == 8
+        (off, len) <- data
+      } yield {
+        val dec: Int => Int =
+          if (format == 7) ulawToLinear else alawToLinear
+        WavPcm(1, rate, 16, Array.tabulate(len)(i =>
+          dec(content(off + i) & 0xff) / 32768.0f))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode G.711 WAVs (μ-law or A-law by format tag) and report exact
+    * integer sample statistics — the [[adpcmStats]] shape for the
+    * telephony codecs. Undecodable bytes emit no row. */
+  def g711Stats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseG711(bytes).map { w =>
+          val s = w.samples.map(v => math.round(v * 32768f).toLong)
+          (id, s.length.toLong, s.sum, s.min, s.max)
+        }
+      }).toDF("media_id", "n_samples", "sum_s", "min_s", "max_s")
+  }
+
   /** Rational-ratio linear PCM resampler statistics, EXACT on Int16
     * units: output index j maps to input position `j·m/l` (resample by
     * factor l/m — e.g. l=3, m=8 takes 8 kHz to 3 kHz), and the

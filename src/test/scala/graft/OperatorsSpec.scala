@@ -4375,6 +4375,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(M.parseImaAdpcm(Array.fill(50)(3: Byte)).isEmpty)
   }
 
+  test("G.711: published extremes decode exactly; every mu-law codeword is an encode fixed point; A-law matches the CCITT table shape") {
+    val M = graft.operators.Multimodal
+    // published mu-law extremes: code 0x00 → −32124, 0xFF → 0, 0x80 →
+    // +32124, 0x7F → 0 (both silence codes decode to 0)
+    assert(M.ulawToLinear(0x00) == -32124)
+    assert(M.ulawToLinear(0xff) == 0)
+    assert(M.ulawToLinear(0x80) == 32124)
+    assert(M.ulawToLinear(0x7f) == 0)
+    // codewords are fixed points of the codec — except negative zero:
+    // 0x7F and 0xFF both decode to 0 and 0 re-encodes positive (0xFF),
+    // the published g711.c behavior
+    (0 until 256).filter(_ != 0x7f).foreach { u =>
+      assert(M.linearToUlaw(M.ulawToLinear(u)) == u,
+        s"mu-law codeword $u not a fixed point")
+    }
+    assert(M.linearToUlaw(M.ulawToLinear(0x7f)) == 0xff)
+    // A-law extremes (CCITT): 0x2A (raw) → xor 0x55 = 0x7F → −4032? —
+    // pin via the table shape instead: max magnitude is code 0xAA
+    // (a = 0xFF → seg 7, mantissa 15 → (240+264)<<6 = 32256)
+    assert(M.alawToLinear(0xaa) == 32256)
+    assert(M.alawToLinear(0x2a) == -32256)
+    assert(M.alawToLinear(0x55) == -8) // a = 0 → seg 0, t = 8, sign 0 ⇒ −8
+    // round trip through the container
+    val codes = Array.tabulate(300)(i => (i * 7) % 256)
+    val mu = M.parseG711(M.g711Wav(codes, 8000, aLaw = false)).get
+    val al = M.parseG711(M.g711Wav(codes, 8000, aLaw = true)).get
+    assert(mu.samples.length == 300 && al.samples.length == 300)
+    assert(math.round(mu.samples(1) * 32768f) ==
+      M.ulawToLinear(codes(1)).toLong)
+    assert(math.round(al.samples(1) * 32768f) ==
+      M.alawToLinear(codes(1)).toLong)
+    // a PCM wav is not G.711; garbage is not a RIFF
+    assert(M.parseG711(M.sawWav(257, 50, 8000)).isEmpty)
+    assert(M.parseG711(Array.fill(30)(7: Byte)).isEmpty)
+  }
+
   test("imagePairStats: identical pair reports sse 0 / NULL psnr; mismatched dims drop; known diff exact") {
     import spark.implicits._
     val M = graft.operators.Multimodal

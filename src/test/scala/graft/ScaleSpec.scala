@@ -775,9 +775,19 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before.nonEmpty)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // r14: the LM serving lane shares the discipline — its |C| comes
+    // from the sidecar's sum_dl and cf from the probed buckets, so it
+    // must survive the demolition too (captured before, compared after)
+    def lmSearch() = graft.operators.Retrieval
+      .lmDirichletTopKIndexed(spark, root, q, 5)
+      .collect().map(_.toSeq).toSet
+    val lmBefore = lmSearch()
+    assert(lmBefore.nonEmpty)
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/doclens"), true))
     assert(search() == before,
       "serving path touched the doclens table — corpus-sized I/O is back")
+    assert(lmSearch() == lmBefore,
+      "LM serving path touched the doclens table")
   }
 
   test("batched IVF COW delete job count is constant in touched-cell count") {
