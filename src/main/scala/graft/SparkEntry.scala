@@ -5567,6 +5567,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "emb_rocchio" -> { (s, dir) =>
+      // dense pseudo-relevance feedback (the q_bm25_prf twin for
+      // embeddings): first-pass MIPS top-3 elects feedback vectors, the
+      // refined query q' = q + 0.75·centroid(feedback) folds its
+      // centroid in order-free BIGINT fixed point, and the second pass
+      // re-ranks raw inner products — bit-exact cross-engine.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qv = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.rocchioTopK(e, qv, 5).orderBy("qid", "rnk")
+    },
+
     "emb_hard_negatives" -> { (s, dir) =>
       // triplet mining for contrastive training: per anchor (vec_id <
       // 20), the HARDEST NEGATIVE (most similar vector with a different
@@ -12793,6 +12806,43 @@ object SparkEntry {
         |  hp.hp_id, round(hp.sim, 6) AS hp_sim
         |FROM hn JOIN hp ON hp.qid = hn.qid AND hn.rn = 1 AND hp.rn = 1
         |ORDER BY hn.qid""".stripMargin,
+
+    "emb_rocchio" ->
+      // the two MIPS passes + the fixed-point centroid replayed with
+      // list ops; dimension indexes are engine-local but consistently
+      // ordered, so the assembled q' aligns
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5),
+        |d1 AS (SELECT q.qid, e.vec_id AS cid,
+        |    list_dot_product(q.qemb, e.emb) AS ip
+        |  FROM q JOIN e ON e.vec_id != q.qid),
+        |fb AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY ip DESC, cid) AS rnk FROM d1)
+        |  WHERE rnk <= 3),
+        |fx AS (SELECT fb.qid,
+        |    CAST(generate_subscripts(e.emb, 1) AS BIGINT) AS j,
+        |    unnest(e.emb) AS v
+        |  FROM fb JOIN e ON e.vec_id = fb.cid),
+        |cfp AS (SELECT qid, j,
+        |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS cfp
+        |  FROM fx GROUP BY qid, j),
+        |qx AS (SELECT qid,
+        |    CAST(generate_subscripts(qemb, 1) AS BIGINT) AS j,
+        |    unnest(qemb) AS qv FROM q),
+        |qp AS (SELECT qx.qid, qx.j,
+        |    1.0 * qx.qv + 0.75 * (CAST(cfp.cfp AS DOUBLE) / 3000000.0)
+        |      AS qpj
+        |  FROM qx JOIN cfp ON cfp.qid = qx.qid AND cfp.j = qx.j),
+        |qv2 AS (SELECT qid, list(qpj ORDER BY j) AS qemb FROM qp
+        |  GROUP BY qid),
+        |d2 AS (SELECT qv2.qid, e.vec_id AS cid,
+        |    list_dot_product(qv2.qemb, e.emb) AS ip
+        |  FROM qv2 JOIN e ON e.vec_id != qv2.qid)
+        |SELECT qid, cid, CAST(rnk AS BIGINT) AS rnk, ip FROM (
+        |  SELECT qid, cid, ip, row_number() OVER (
+        |    PARTITION BY qid ORDER BY ip DESC, cid) AS rnk FROM d2)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "pipe_quota_split" ->
       """WITH ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s

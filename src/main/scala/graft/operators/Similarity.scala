@@ -165,6 +165,39 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("ip"))
   }
 
+  /** Rocchio dense pseudo-relevance feedback — the embedding twin of
+    * the BM25 PRF loop (query refinement for hard-positive mining):
+    * first-pass [[mipsTopK]] elects `fbK` feedback vectors per query,
+    * the refined query is `q' = α·q + β·centroid(feedback)`, and the
+    * second pass re-ranks by raw inner product against q'. Cross-engine
+    * exactness: the feedback centroid folds in BIGINT FIXED-POINT per
+    * dimension (floor(v·1e6) sums — order-free, the emb_dim_stats
+    * discipline), so every q'_j is a bit-identical double and the
+    * re-rank dot (graft_dot ≡ list_dot_product) ranks raw with the cid
+    * tiebreak. Scale shape: two broadcast-query passes over the corpus
+    * + one metadata-scale (queries × dims) centroid aggregation.
+    */
+  def rocchioTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      fbK: Int = 3, alpha: Double = 1.0, beta: Double = 0.75): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val fb = mipsTopK(corpus, broadcast(queries), fbK).select("qid", "cid")
+    val cfp = broadcast(fb)
+      .join(corpus.withColumnRenamed("vec_id", "cid"), "cid")
+      .select(col("qid"), posexplode(col("emb")).as(Seq("j", "v")))
+      .groupBy("qid", "j")
+      .agg(sum(expr("CAST(floor(v * 1000000.0) AS BIGINT)")).as("cfp"))
+    val qprime = queries
+      .select(col("qid"), posexplode(col("qemb")).as(Seq("j", "qv")))
+      .join(cfp, Seq("qid", "j"))
+      .withColumn("qpj", lit(alpha) * col("qv") +
+        lit(beta) * (col("cfp").cast("double") / lit(fbK * 1000000.0)))
+      .groupBy("qid")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(j, qpj))), s -> s.qpj)")
+        .as("qemb"))
+    mipsTopK(corpus, broadcast(qprime), k)
+  }
+
   /** Exact all-pairs near-duplicate search: pairs with cosine similarity
     * above `threshold`. Norms precomputed per side; the pair loop is the
     * native codegen dot. Output: (id_a, id_b, sim), id_a < id_b.
