@@ -4844,6 +4844,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_kmv_distinct" -> { (s, dir) =>
+      // KMV cardinality sketch next to its exact twin: per source, the
+      // 64th-smallest md5-lane hash of the distinct vocabulary and the
+      // floored (k−1)·2⁶⁰/h_k estimate — deterministic cross-engine
+      // (exact-double constant, identical bigint→double rounding).
+      graft.operators.TextStats.kmvDistinct(
+          tbl(s, dir, "documents").select("source", "text"), 64)
+        .orderBy("source")
+    },
+
     "text_vocab_overlap" -> { (s, dir) =>
       // cross-source vocabulary overlap — the data-mixing signal next
       // to text_kl_by_source's distributional drift: pairwise DISTINCT-
@@ -10269,6 +10279,24 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS sum_s, CAST(min(v) AS BIGINT) AS min_s,
         |  CAST(max(v) AS BIGINT) AS max_s
         |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_kmv_distinct" ->
+      """WITH t0 AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT DISTINCT source, tok FROM t0 WHERE tok <> ''),
+        |h AS (SELECT source, tok,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM t),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h
+        |  GROUP BY source),
+        |kth AS (SELECT source, h AS kth_hash FROM (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+        |  FROM h) WHERE rn = 64)
+        |SELECT ex.source, ex.n_exact, kth.kth_hash,
+        |  CASE WHEN kth.kth_hash IS NULL THEN ex.n_exact
+        |    ELSE CAST(floor(63.0 * 1152921504606846976.0
+        |      / CAST(kth.kth_hash AS DOUBLE)) AS BIGINT) END AS est_floor
+        |FROM ex LEFT JOIN kth ON kth.source = ex.source
+        |ORDER BY ex.source""".stripMargin,
 
     "text_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT source, tok FROM (SELECT source,

@@ -299,4 +299,41 @@ object TextStats {
       .where(col("cnt") * k > total)
       .withColumn("freq_ppm", expr(s"(1000000 * cnt) div ${total}L"))
   }
+
+  /** K-minimum-values distinct sketch per group, next to its exact twin
+    * — the mergeable cardinality estimator a 100 TB vocabulary census
+    * runs where exact countDistinct shuffles every token (KMV state is
+    * k hashes per group; the estimate is `(k−1)·H / h_k` with h_k the
+    * k-th smallest hash over the hash space [0, H)). Hashing rides the
+    * oracle-reproducible md5 15-hex BIGINT lane (H = 16¹⁵ = 2⁶⁰), so
+    * the k-th hash AND the estimate are deterministic cross-engine —
+    * the estimate floors the one double division (63·2⁶⁰ is an exact
+    * double; both engines round the same bigint→double identically).
+    * Groups with fewer than k distinct tokens report their exact count
+    * (the KMV small-set rule). Output: (group, n_exact, kth_hash,
+    * est_floor) — the exact column grades the estimator in place.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      // graft_md5_tokens hashes a SPACE-SPLIT text to an array; a
+      // single token yields a 1-element array — take it
+      .withColumn("h", expr("element_at(graft_md5_tokens(tok), 1)"))
+      .localCheckpoint(true) // exact count AND the k-smallest election
+    val exact = toks.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    val kth = toks.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("h"), col("tok"))))
+      .where(col("rn") === k)
+      .select(col("g"), col("h").as("kth_hash"))
+    exact.join(kth, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_exact"), col("kth_hash"),
+        when(col("kth_hash").isNull, col("n_exact"))
+          .otherwise(floor(lit((k - 1).toDouble) *
+            lit(1.152921504606846976e18) / col("kth_hash").cast("double")))
+          .as("est_floor"))
+  }
 }
