@@ -4822,6 +4822,26 @@ object SparkEntry {
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
+    "mm_stft_frames" -> { (s, dir) =>
+      // the STFT skeleton under the exact gate: analytic sawtooth WAVs
+      // (sample i = (i·step) mod 65536 in offset-binary units) frame at
+      // 256/hop-128 (overlapping frames — the hop arithmetic is the
+      // point) and each frame's pure-integer Σu² energy is recomputed
+      // closed-form by the oracle. Container parse, exact Int16
+      // recovery, frame bounds and the reduction must all agree.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal
+            .sawWav(257L + (id % 7) * 31L, 1000, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.frameEnergyStats(media, 256, 128)
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("n"), col("energy"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "mm_g711" -> { (s, dir) =>
       // the telephony companding codecs under the exact gate: per doc,
       // the SAME closed-form byte stream b_i = (doc_id·7 + i·11) % 256
@@ -4846,11 +4866,52 @@ object SparkEntry {
 
     "text_kmv_distinct" -> { (s, dir) =>
       // KMV cardinality sketch next to its exact twin: per source, the
-      // 64th-smallest md5-lane hash of the distinct vocabulary and the
-      // floored (k−1)·2⁶⁰/h_k estimate — deterministic cross-engine
+      // 16th-smallest md5-lane hash of the distinct vocabulary and the
+      // floored (k−1)·2⁶⁰/h_k estimate (k = 16 < the ~31-token fixture
+      // vocabulary, so the ESTIMATOR lane fires, not the small-set rule) — deterministic cross-engine
       // (exact-double constant, identical bigint→double rounding).
       graft.operators.TextStats.kmvDistinct(
-          tbl(s, dir, "documents").select("source", "text"), 64)
+          tbl(s, dir, "documents").select("source", "text"), 16)
+        .orderBy("source")
+    },
+
+    "text_kmv_stream" -> { (s, dir) =>
+      // the LIVE KMV sketch under a seeded SHUFFLED replay with a
+      // re-delivered head slice (take-k-smallest is a commutative
+      // monoid — the strongest invariance class, the psi-drift
+      // precedent; duplicates cannot move the k-set). State is O(k)
+      // per source. Final snapshots elect min(struct) per group — the
+      // sketch only improves — and equal the batch estimator verbatim.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streaming.TokenRow]
+      val name = s"kmv_replay_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.kmvDistinct(mem.toDS(), 16)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val rows = tbl(s, dir, "documents")
+            .select(col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+            .where(col("tok") =!= "").distinct()
+            .collect()
+            .map(r => graft.streaming.Streaming.TokenRow(
+              r.getString(0), r.getString(1)))
+          val rnd = new scala.util.Random(17)
+          val shuffled = rnd.shuffle(rows.toSeq)
+          (shuffled.grouped(shuffled.length / 3 + 1).toSeq :+
+            shuffled.take(300)) // cross-batch duplicate re-delivery
+            .foreach { b => mem.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).groupBy("g")
+        .agg(min(struct(col("kth_hash"), col("est_floor"))).as("s"))
+        .select(col("g").as("source"), col("s.kth_hash").as("kth_hash"),
+          col("s.est_floor").as("est_floor"))
         .orderBy("source")
     },
 
@@ -10246,6 +10307,23 @@ object SparkEntry {
 
     "q_bm25_snippets" -> bm25SnippetsOracleSql,
 
+    "mm_stft_frames" ->
+      // (1000 − 256) div 128 + 1 = 6 full frames per doc; frame f's
+      // energy = Σ_{k<256} (((f·128 + k)·step) mod 65536)²
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    257 + (CAST(doc_id AS BIGINT) % 7) * 31 AS step
+        |  FROM documents WHERE doc_id < 48),
+        |fr AS (SELECT doc_id, step, unnest(range(0, 6)) AS frame_idx
+        |  FROM ids),
+        |px AS (SELECT doc_id, step, frame_idx,
+        |    unnest(range(0, 256)) AS k FROM fr),
+        |s AS (SELECT doc_id, frame_idx,
+        |    ((frame_idx * 128 + k) * step) % 65536 AS u FROM px)
+        |SELECT doc_id, frame_idx, CAST(256 AS BIGINT) AS n,
+        |  CAST(sum(u * u) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm_g711" ->
       // companding is memoryless: each decoded sample is one closed-
       // form expression of its code byte (CCITT g711 expand formulas),
@@ -10290,13 +10368,29 @@ object SparkEntry {
         |  GROUP BY source),
         |kth AS (SELECT source, h AS kth_hash FROM (SELECT source, h,
         |    row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
-        |  FROM h) WHERE rn = 64)
+        |  FROM h) WHERE rn = 16)
         |SELECT ex.source, ex.n_exact, kth.kth_hash,
         |  CASE WHEN kth.kth_hash IS NULL THEN ex.n_exact
-        |    ELSE CAST(floor(63.0 * 1152921504606846976.0
+        |    ELSE CAST(floor(15.0 * 1152921504606846976.0
         |      / CAST(kth.kth_hash AS DOUBLE)) AS BIGINT) END AS est_floor
         |FROM ex LEFT JOIN kth ON kth.source = ex.source
         |ORDER BY ex.source""".stripMargin,
+
+    "text_kmv_stream" ->
+      // the batch estimator's kth/est columns only (sources reaching a
+      // full k-set — all of them at every SF)
+      """WITH t0 AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT DISTINCT source, tok FROM t0 WHERE tok <> ''),
+        |h AS (SELECT source, tok,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM t),
+        |kth AS (SELECT source, h AS kth_hash FROM (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+        |  FROM h) WHERE rn = 16)
+        |SELECT source, kth_hash,
+        |  CAST(floor(15.0 * 1152921504606846976.0
+        |    / CAST(kth_hash AS DOUBLE)) AS BIGINT) AS est_floor
+        |FROM kth ORDER BY source""".stripMargin,
 
     "text_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT source, tok FROM (SELECT source,

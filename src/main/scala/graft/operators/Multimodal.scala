@@ -521,6 +521,42 @@ object Multimodal {
       .toDF(idCol, "n_out", "sum_amp", "min_amp", "max_amp")
   }
 
+  /** Hop-framed PCM energies — the STFT SKELETON every audio pipeline
+    * runs before any transform (framing + hop arithmetic + per-frame
+    * reduction), kept EXACT: frame f covers samples
+    * [f·hop, f·hop + frameLen) (full frames only), and its energy is
+    * the pure-integer Σu² over OFFSET-BINARY units
+    * (`u = round(s·32768) + 32768` — the parseWav power-of-two exact
+    * recovery, so the statistic is analytically oracle-able per frame).
+    * Output: (media_id, frame_idx, n, energy) long-form, one row per
+    * full frame; undecodable or non-16-bit-mono bytes emit no rows.
+    */
+  def frameEnergyStats(media: DataFrame, frameLen: Int, hop: Int,
+      idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    require(frameLen > 0 && hop > 0, "frame and hop must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).toSeq.collect {
+          case WavPcm(ch, _, 16, samples) if ch == 1 =>
+            val u = samples.map(s => math.round(s * 32768f).toLong + 32768L)
+            val nFrames =
+              if (u.length < frameLen) 0
+              else (u.length - frameLen) / hop + 1
+            (0 until nFrames).map { f =>
+              var e = 0L
+              var i = f * hop
+              while (i < f * hop + frameLen) { e += u(i) * u(i); i += 1 }
+              (id, f.toLong, frameLen.toLong, e)
+            }
+        }.flatten
+      })
+      .toDF(idCol, "frame_idx", "n", "energy")
+  }
+
   /** Goertzel single-bin power at (the nearest DFT bin to) `freq` —
     * the classic O(n)-per-tone detector; no FFT dependency. Returns
     * power normalized by n² so it is amplitude-scaled, length-free.

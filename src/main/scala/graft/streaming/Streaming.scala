@@ -739,6 +739,73 @@ object Streaming {
       .map(p => ResetEvent(p.stream_id, p.t))
   }
 
+  /** One (group, token) observation for the streaming KMV sketch. */
+  case class TokenRow(g: String, tok: String)
+
+  /** Per-group KMV snapshot: emitted whenever a batch CHANGED the
+    * sketch and the k-set is full. */
+  case class KmvSnapshot(g: String, kth_hash: Long, est_floor: Long)
+
+  /** KMV streaming state: the k smallest distinct (hash, token) pairs,
+    * as parallel seqs (product-encodable). */
+  private[streaming] case class KmvState(hs: Seq[Long], toks: Seq[String])
+
+  /** Streaming K-minimum-values distinct sketch — the live twin of
+    * [[graft.operators.TextStats.kmvDistinct]]'s estimator lane: state
+    * per group is EXACTLY the sketch (the k smallest distinct md5-lane
+    * hashes with their tokens — O(k), never the vocabulary), folding is
+    * a commutative-monoid merge (take-k-smallest of a union), so ANY
+    * delivery order and ANY batch split — duplicates included — yields
+    * the same final snapshot, which equals the batch op's (kth_hash,
+    * est_floor) verbatim. Emits a snapshot per batch once the set is
+    * full; consumers elect the final row per group as
+    * `min(struct(kth_hash, est_floor))` (the sketch only improves).
+    */
+  def kmvDistinct(src: Dataset[TokenRow], k: Int): Dataset[KmvSnapshot] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val hConst = 1.152921504606846976e18 // 2^60, exact in double
+    val proc = new StatefulProcessor[String, TokenRow, KmvSnapshot] {
+      @transient private var state: ValueState[KmvState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[KmvState]("kmv",
+          Encoders.product[KmvState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[TokenRow],
+          timerValues: TimerValues): Iterator[KmvSnapshot] = {
+        val cur =
+          if (state.exists()) {
+            val s = state.get(); s.hs.zip(s.toks)
+          } else Seq.empty[(Long, String)]
+        val merged = (cur ++ rows.map(r => (md5Hash60(r.tok), r.tok)))
+          .distinct.sorted.take(k)
+        if (merged == cur) Iterator.empty
+        else {
+          state.update(KmvState(merged.map(_._1), merged.map(_._2)))
+          if (merged.size < k) Iterator.empty
+          else {
+            val kth = merged.last._1
+            Iterator.single(KmvSnapshot(key, kth,
+              math.floor((k - 1).toDouble * hConst / kth.toDouble).toLong))
+          }
+        }
+      }
+    }
+    src.groupByKey(_.g)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** First 15 md5 hex chars as a BIGINT — MUST stay bit-equal to the
+    * [[graft.functions]] Md5TokenHashes lane (first 8 digest bytes
+    * big-endian, >>> 4) so the streaming sketch equals the batch op. */
+  private def md5Hash60(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   /** Dead-feed detection with EVENT-TIME TIMERS — the push-based twin of
     * the batch ds_staleness audit: per stream, a timer is (re)armed at
     * `last event + gapSec`; when the WATERMARK passes it without new
