@@ -4822,6 +4822,30 @@ object SparkEntry {
       Retrieval.auditIndex(s, work, docs, k = 5, sampleBudget = 20)
     },
 
+    "mm_equalize" -> { (s, dir) =>
+      // histogram equalization under the exact gate: per doc, a 24×24
+      // grayscale with the SKEWED closed-form distribution
+      // v_i = (doc_id·3 + (i·i) mod 97) mod 200 round-trips the
+      // lossless PNG lane and remaps through the integer CDF formula;
+      // the oracle rebuilds the per-doc CDF in SQL (window running
+      // count over the distinct values) and re-derives every remapped
+      // pixel from doc_id arithmetic.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.grayscalePng(24,
+            (x, y) => {
+              val i = (y * 24 + x).toLong
+              ((id * 3 + (i * i) % 97) % 200).toInt
+            }))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.equalizeStats(media)
+        .select(col("media_id").as("doc_id"), col("n_px"),
+          col("sum_eq"), col("min_eq"), col("max_eq"))
+        .orderBy("doc_id")
+    },
+
     "mm_stft_frames" -> { (s, dir) =>
       // the STFT skeleton under the exact gate: analytic sawtooth WAVs
       // (sample i = (i·step) mod 65536 in offset-binary units) frame at
@@ -10306,6 +10330,32 @@ object SparkEntry {
         |ORDER BY qd.qid""".stripMargin,
 
     "q_bm25_snippets" -> bm25SnippetsOracleSql,
+
+    "mm_equalize" ->
+      // per-doc CDF from the closed-form pixel values; remap =
+      // (cdf(v) − cdf_min)·255 // (n − cdf_min), all non-negative
+      // integer division
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (SELECT doc_id, unnest(range(0, 576)) AS i FROM ids),
+        |pv AS (SELECT doc_id, i,
+        |    (doc_id * 3 + (i * i) % 97) % 200 AS v FROM px),
+        |grp AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pv GROUP BY doc_id, v),
+        |cdf AS (SELECT doc_id, v, cnt, sum(cnt) OVER (PARTITION BY doc_id
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum FROM grp),
+        |cm AS (SELECT doc_id, arg_min(cnt, v) AS cdf_min FROM cdf
+        |  GROUP BY doc_id),
+        |re AS (SELECT pv.doc_id, (cdf.cum - cm.cdf_min) * 255
+        |    // (576 - cm.cdf_min) AS nv
+        |  FROM pv JOIN cdf ON cdf.doc_id = pv.doc_id AND cdf.v = pv.v
+        |  JOIN cm ON cm.doc_id = pv.doc_id)
+        |SELECT doc_id, CAST(576 AS BIGINT) AS n_px,
+        |  CAST(sum(nv) AS BIGINT) AS sum_eq,
+        |  CAST(min(nv) AS BIGINT) AS min_eq,
+        |  CAST(max(nv) AS BIGINT) AS max_eq
+        |FROM re GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_stft_frames" ->
       // (1000 − 256) div 128 + 1 = 6 full frames per doc; frame f's

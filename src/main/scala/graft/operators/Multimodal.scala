@@ -726,6 +726,64 @@ object Multimodal {
           floor(lit(10.0) * log10(lit(65025.0) * col("n_px") / col("sse")))))
   }
 
+  /** Global histogram equalization statistics — the contrast-normalize
+    * step of a vision-preprocessing pipeline, kept EXACT: per image,
+    * the gray channel's integer CDF remaps each pixel as
+    * `new_v = (cdf(v) − cdf_min) · 255 div (n − cdf_min)` (cdf_min =
+    * the darkest present value's count — the classic OpenCV formula,
+    * floor division on non-negative integers so both engines agree
+    * bit-for-bit; a constant image maps to 0). Output per image:
+    * (media_id, n_px, sum_eq, min_eq, max_eq) over the remapped
+    * pixels. Undecodable bytes emit no row.
+    */
+  def equalizeStats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        readImage(bytes).map { img =>
+          val n = img.getWidth.toLong * img.getHeight
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist((img.getRGB(x, y) >> 16) & 0xff) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cdf = new Array[Long](256)
+          var acc = 0L
+          var v = 0
+          while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+          val cdfMin = hist.indexWhere(_ > 0) match {
+            case -1 => 0L
+            case i => hist(i)
+          }
+          var sum = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val pv = (img.getRGB(x, y) >> 16) & 0xff
+              val nv =
+                if (n == cdfMin) 0L
+                else (cdf(pv) - cdfMin) * 255L / (n - cdfMin)
+              sum += nv
+              if (nv < mn) mn = nv
+              if (nv > mx) mx = nv
+              x += 1
+            }
+            y += 1
+          }
+          (id, n, sum, mn, mx)
+        }
+      }).toDF("media_id", "n_px", "sum_eq", "min_eq", "max_eq")
+  }
+
   /** Nearest-neighbor image resize — the standardize-resolution step of
     * a vision-data pipeline, kept EXACT on purpose: output pixel (x, y)
     * copies input pixel (x·w_in div w_out, y·h_in div h_out) — pure
