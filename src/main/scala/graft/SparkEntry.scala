@@ -1929,6 +1929,34 @@ object SparkEntry {
         Seq("sort", "merge"), 20)
     },
 
+    "ds_moving_median" -> { (s, dir) =>
+      // robust trend smoothing: 7-point CENTERED moving median over
+      // per-type daily event counts — the outlier-immune alternative to
+      // the seasonal-baseline mean. Exact cross-engine: counts are
+      // BIGINTs, an odd window's median is an element, an even window's
+      // (series edges) is the midpoint of two integers — the one
+      // interpolated quantile that is ulp-safe (the CLAUDE p50 rule;
+      // DuckDB median() over the same frame computes exactly this).
+      // Window is over the dimension-scale daily table, never raw rows.
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", sort_array(collect_list("c").over(w)))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("med", expr(
+          """CASE WHEN n % 2 = 1
+            |  THEN CAST(element_at(arr, CAST((n + 1) div 2 AS INT))
+            |    AS DOUBLE)
+            |  ELSE (element_at(arr, CAST(n div 2 AS INT)) +
+            |    element_at(arr, CAST(n div 2 + 1 AS INT))) / 2.0
+            |END""".stripMargin))
+        .select(col("event_type"), col("d"), col("c"), col("n"), col("med"))
+        .orderBy("event_type", "d")
+    },
+
     "ds_trend_ols" -> { (s, dir) =>
       // per-(event_type, user-cohort) least-squares DAILY TREND in the
       // exact integer lane: center days at the group's min, lift values
@@ -8711,6 +8739,21 @@ object SparkEntry {
     "q_phrase_search" -> phraseOracleSql,
     // positional-postings conjunction == the direct adjacency count
     "q_phrase_search_indexed" -> phraseOracleSql,
+
+    "ds_moving_median" ->
+      // DuckDB median() over the identical centered frame: element for
+      // odd windows, integer midpoint for even (edge) windows — the one
+      // ulp-safe interpolated quantile
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT event_type, d, c,
+        |  CAST(count(*) OVER w AS BIGINT) AS n,
+        |  CAST(median(c) OVER w AS DOUBLE) AS med
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY event_type, d""".stripMargin,
 
     "ds_trend_ols" ->
       // same centered integer sufficient statistics; round(v*1000) is
