@@ -4894,6 +4894,27 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "mm_g711_roundtrip" -> { (s, dir) =>
+      // the ENCODER under the gate: sawtooth Int16 PCM compresses
+      // through linearToUlaw and expands back, and the exact integer
+      // quantization-error profile must match an oracle that replays
+      // BOTH halves closed-form — the segment search is
+      // seg = max(0, floor(log2(pcm + bias)) − 7) (log2 is exact at the
+      // power-of-two segment boundaries on both engines), mantissa and
+      // companding are pure integer shifts.
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"))
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal
+            .sawWav(257L + (id % 7) * 31L, 600, 8000))
+        }).toDF("media_id", "content")
+      graft.operators.Multimodal.g711RoundTripStats(media)
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_err"), col("max_abs_err"), col("sse"))
+        .orderBy("doc_id")
+    },
+
     "mm_g711" -> { (s, dir) =>
       // the telephony companding codecs under the exact gate: per doc,
       // the SAME closed-form byte stream b_i = (doc_id·7 + i·11) % 256
@@ -10416,6 +10437,40 @@ object SparkEntry {
         |  CAST(sum(u * u) AS BIGINT) AS energy
         |FROM s GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_g711_roundtrip" ->
+      // encode: pcm = least(32767, sign-folded s + bias), seg =
+      // greatest(0, floor(log2(pcm)) − 7), mantissa by shift, xor sign
+      // mask; decode: the mm_g711 μ-law expand; integer error stats
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    257 + (CAST(doc_id AS BIGINT) % 7) * 31 AS step
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (SELECT doc_id, step, unnest(range(0, 600)) AS i FROM ids),
+        |sv AS (SELECT doc_id, (i * step) % 65536 - 32768 AS s FROM px),
+        |enc AS (SELECT doc_id, s,
+        |    least(32767, CASE WHEN s < 0 THEN 132 - s ELSE s + 132 END)
+        |      AS pcm,
+        |    CASE WHEN s < 0 THEN 127 ELSE 255 END AS mask
+        |  FROM sv),
+        |sg AS (SELECT doc_id, s, pcm, mask,
+        |    greatest(0, CAST(floor(log2(CAST(pcm AS DOUBLE))) AS BIGINT)
+        |      - 7) AS seg
+        |  FROM enc),
+        |cd AS (SELECT doc_id, s,
+        |    xor(seg * 16 + (pcm // (1 << (seg + 3))) % 16, mask) AS code
+        |  FROM sg),
+        |dc AS (SELECT doc_id, s, 255 - code AS u FROM cd),
+        |er AS (SELECT doc_id,
+        |    (CASE WHEN u >= 128
+        |      THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+        |      ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132 END)
+        |      - s AS e
+        |  FROM dc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(e) AS BIGINT) AS sum_err,
+        |  CAST(max(abs(e)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(e * e) AS BIGINT) AS sse
+        |FROM er GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_g711" ->
       // companding is memoryless: each decoded sample is one closed-

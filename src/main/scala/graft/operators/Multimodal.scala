@@ -470,6 +470,36 @@ object Multimodal {
       }).toDF("media_id", "n_samples", "sum_s", "min_s", "max_s")
   }
 
+  /** μ-law round-trip quantization audit: encode every Int16 PCM sample
+    * with [[linearToUlaw]], expand it back with [[ulawToLinear]], and
+    * report the exact integer error profile — (media_id, n_samples,
+    * sum_err, max_abs_err, sse) — the codec-quality regression signal
+    * (companding error is deterministic, so any drift in either half of
+    * the codec moves these integers). Input is plain 16-bit mono PCM
+    * WAVs; undecodable bytes emit no row.
+    */
+  def g711RoundTripStats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).collect {
+          case WavPcm(ch, _, 16, samples) if ch == 1 =>
+            var sum = 0L
+            var maxAbs = 0L
+            var sse = 0L
+            samples.foreach { v =>
+              val s = math.round(v * 32768f).toInt
+              val e = (ulawToLinear(linearToUlaw(s)) - s).toLong
+              sum += e
+              if (math.abs(e) > maxAbs) maxAbs = math.abs(e)
+              sse += e * e
+            }
+            (id, samples.length.toLong, sum, maxAbs, sse)
+        }
+      }).toDF("media_id", "n_samples", "sum_err", "max_abs_err", "sse")
+  }
+
   /** Rational-ratio linear PCM resampler statistics, EXACT on Int16
     * units: output index j maps to input position `j·m/l` (resample by
     * factor l/m — e.g. l=3, m=8 takes 8 kHz to 3 kHz), and the
