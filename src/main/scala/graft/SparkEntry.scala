@@ -6168,6 +6168,37 @@ object SparkEntry {
       Graphs.kCorePeel(edges, k = 6, rounds = 4).orderBy("round")
     },
 
+    "graph_richclub" -> { (s, dir) =>
+      // rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) in exact
+      // integer ppm for k ∈ {2, 4, 8} — do high-degree parts
+      // preferentially co-occur with each other? (the top-of-
+      // distribution complement of graph_assortativity). One degree
+      // pass, one edge×degree join checkpointed to feed the per-k
+      // aggregations, all-integer elections.
+      import s.implicits._
+      val edges = copurchaseEdges(s, dir)
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .groupBy("vtx").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // feeds n_k AND both endpoint joins
+      val ek = edges
+        .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
+        .select("du", "dv")
+        .localCheckpoint(true)
+      val ks = Seq(2L, 4L, 8L).toDF("k")
+      val nk = deg.crossJoin(broadcast(ks)).where(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ec = ek.crossJoin(broadcast(ks))
+        .where(col("du") > col("k") && col("dv") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      nk.join(ec, Seq("k"), "left")
+        .select(col("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"),
+          expr("CASE WHEN n_k >= 2 THEN 2 * coalesce(e_k, 0L) * 1000000L" +
+            " div (n_k * (n_k - 1)) ELSE 0L END").as("phi_ppm"))
+        .orderBy("k")
+    },
+
     "graph_degree_dist" -> { (s, dir) =>
       // power-of-two degree histogram of the co-purchase graph — the
       // skew diagnostic you run BEFORE choosing join strategies (a heavy
@@ -11378,6 +11409,29 @@ object SparkEntry {
         |  (SELECT count(*) FROM d4 WHERE deg < 6),
         |  (SELECT count(*) FROM e4)
         |ORDER BY round""".stripMargin,
+
+    "graph_richclub" ->
+      // same support-2 edges; φ(k) all-integer with // division
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT vtx, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY vtx),
+        |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+        |ek AS (SELECT du.deg AS du, dv.deg AS dv FROM e0
+        |  JOIN d du ON du.vtx = e0.u JOIN d dv ON dv.vtx = e0.v),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM d, ks
+        |  WHERE deg > k GROUP BY k),
+        |ec AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k FROM ek, ks
+        |  WHERE du > k AND dv > k GROUP BY k)
+        |SELECT nk.k, nk.n_k, coalesce(ec.e_k, 0) AS e_k,
+        |  CASE WHEN nk.n_k >= 2 THEN CAST(2 * coalesce(ec.e_k, 0)
+        |    * 1000000 // (nk.n_k * (nk.n_k - 1)) AS BIGINT)
+        |    ELSE 0 END AS phi_ppm
+        |FROM nk LEFT JOIN ec ON ec.k = nk.k ORDER BY nk.k""".stripMargin,
 
     "graph_degree_dist" ->
       // same support-2 edges; bucket = bit-length of the degree

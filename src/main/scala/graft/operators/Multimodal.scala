@@ -404,6 +404,23 @@ object Multimodal {
     uval ^ mask
   }
 
+  /** A-law encoder (the g711.c search with the 0x55 even-bit toggle) —
+    * completes the encoder pair; codewords are fixed points:
+    * `linear2alaw(alaw2linear(a)) == a` for every byte (A-law's
+    * mid-rise quantizer has no ±0 collapse). */
+  private[graft] def linearToAlaw(pcm0: Int): Int = {
+    val (pcm1, mask) =
+      if (pcm0 >= 0) (pcm0, 0xd5) else (-pcm0 - 8, 0x55)
+    val pcm = math.min(pcm1, 0x7fff)
+    var seg = 0
+    while (seg < 8 && pcm > ((0xff << seg) | ((1 << seg) - 1))) seg += 1
+    val aval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) |
+        (if (seg < 2) (pcm >> 4) & 0xf else (pcm >> (seg + 3)) & 0xf)
+    aval ^ mask
+  }
+
   /** Mono G.711 WAV container: format tag 7 (μ-law) or 6 (A-law),
     * 8 bits per sample, data = raw code bytes. */
   private[graft] def g711Wav(codes: Array[Int], rate: Int,

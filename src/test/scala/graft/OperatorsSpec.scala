@@ -4397,6 +4397,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(M.alawToLinear(0xaa) == 32256)
     assert(M.alawToLinear(0x2a) == -32256)
     assert(M.alawToLinear(0x55) == -8) // a = 0 → seg 0, t = 8, sign 0 ⇒ −8
+    // A-law codewords are ALL fixed points (mid-rise quantizer, no ±0
+    // collapse — unlike mu-law's 0x7F)
+    (0 until 256).foreach { a =>
+      assert(M.linearToAlaw(M.alawToLinear(a)) == a,
+        s"A-law codeword $a not a fixed point")
+    }
     // round trip through the container
     val codes = Array.tabulate(300)(i => (i * 7) % 256)
     val mu = M.parseG711(M.g711Wav(codes, 8000, aLaw = false)).get
