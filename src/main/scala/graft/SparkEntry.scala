@@ -2192,6 +2192,36 @@ object SparkEntry {
         .orderBy("l_returnflag", "metric")
     },
 
+    "q_bitmap_intersect" -> { (s, dir) =>
+      // bitmap-index set intersection — the OLAP acceleration primitive
+      // (roaring-style, word-packed): per returnflag, order-key sets
+      // pack into 32-bits-per-word BIGINT bitmaps (shift ≤ 31 keeps
+      // both engines inside ANSI/overflow rules); pairwise intersection
+      // cardinality = Σ bit_count(a & b) over aligned words — one
+      // distinct pass, one bit_or aggregation, one word-aligned
+      // self-join. All-integer, exact.
+      val ok = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
+        .distinct()
+      val words = ok
+        .groupBy(col("flag"), expr("k div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(k % 32 AS INT)))").as("bits"))
+        .localCheckpoint(true) // sizes AND both sides of the pair join
+      val sizes = words.groupBy("flag")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n"))
+      words.as("a").join(words.as("b"),
+          col("a.w") === col("b.w") && col("a.flag") < col("b.flag"))
+        .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+        .agg(sum(expr("bit_count(a.bits & b.bits)")).cast("long")
+          .as("n_common"))
+        .join(broadcast(sizes.select(col("flag").as("flag_a"),
+          col("n").as("n_a"))), "flag_a")
+        .join(broadcast(sizes.select(col("flag").as("flag_b"),
+          col("n").as("n_b"))), "flag_b")
+        .select("flag_a", "flag_b", "n_a", "n_b", "n_common")
+        .orderBy("flag_a", "flag_b")
+    },
+
     "q_salted_distinct" -> { (s, dir) =>
       // two-stage skew-spread distinct count; exact by construction
       graft.operators.Skew
@@ -9948,6 +9978,26 @@ object SparkEntry {
       """SELECT l_returnflag AS flag,
         |  count(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+    "q_bitmap_intersect" ->
+      // same word-packed bitmaps: bit_or / bit_count / & are exact
+      // integer ops on both engines at 32-bit packing
+      """WITH ok AS (SELECT DISTINCT l_returnflag AS flag,
+        |    l_orderkey AS k FROM lineitem),
+        |w AS (SELECT flag, k // 32 AS w,
+        |    bit_or(1::BIGINT << CAST(k % 32 AS INT)) AS bits
+        |  FROM ok GROUP BY flag, k // 32),
+        |sz AS (SELECT flag, CAST(sum(bit_count(bits)) AS BIGINT) AS n
+        |  FROM w GROUP BY flag),
+        |pr AS (SELECT a.flag AS flag_a, b.flag AS flag_b,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_common
+        |  FROM w a JOIN w b ON a.w = b.w AND a.flag < b.flag
+        |  GROUP BY a.flag, b.flag)
+        |SELECT pr.flag_a, pr.flag_b, sa.n AS n_a, sb.n AS n_b,
+        |  pr.n_common
+        |FROM pr JOIN sz sa ON sa.flag = pr.flag_a
+        |JOIN sz sb ON sb.flag = pr.flag_b
+        |ORDER BY pr.flag_a, pr.flag_b""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
