@@ -336,9 +336,13 @@ object SparkEntry {
     roIndexes.computeIfAbsent(s"ivf:$dir", _ => {
       val work = java.nio.file.Files
         .createTempDirectory("graft-ivf-base").toString + "/idx"
+      // `src` is an ATTRIBUTE column (r15): anything beyond (vec_id, emb)
+      // rides into the cell rows for the filtered-search lane; pinned
+      // flatCellsSchema readers (every other consumer) never see it
       Similarity.buildIvfIndex(tbl(s, dir, "embeddings")
         .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("emb")),
+          col("embedding").cast("array<double>").as("emb"),
+          (col("vec_id") % 4).as("src")),
         work, stride = 50)
       work
     })
@@ -425,7 +429,22 @@ object SparkEntry {
         element_at(col("tags"), "type").as("event_type"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Rejects silent duplicate-key last-wins: a Map literal with a repeated
+    * key drops a gate with no test signal (the r14 mm_frames collision was
+    * caught only by a lucky schema mismatch). Both registries build through
+    * this; ContractSpec injects a duplicate to prove it throws. */
+  private[graft] def distinctToMap[V](label: String,
+      pairs: Seq[(String, V)]): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $label keys: ${dups.toSeq.sorted.mkString(", ")}")
+    pairs.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    distinctToMap("queries", queriesSeq)
+
+  private def queriesSeq: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---- relational surface (SURVEY §2.4) -----------------------------
 
@@ -3510,6 +3529,17 @@ object SparkEntry {
         .orderBy(desc("n_shared_fps"), col("doc_id"))
     },
 
+    "pipe_contam_verified" -> { (s, dir) =>
+      // winnow candidates + EXACT verbatim-span verification (r15):
+      // fingerprint-level hits confirmed by aligned 11-word window
+      // equality — n_spans = 0 rows are the false-positive report the
+      // structural-recall lane can't give. Candidate-bounded cost; all
+      // string/integer, so the oracle replays it verbatim.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Dedup.winnowContaminationVerified(docs, docs.where(col("doc_id") < 5))
+        .orderBy(desc("n_shared_fps"), col("doc_id"))
+    },
+
     "pipe_contam_winnow_stream" -> { (s, dir) =>
       // STREAMING decontamination under the oracle: the corpus replayed
       // in three micro-batches through winnowContaminationStream, with
@@ -3665,6 +3695,47 @@ object SparkEntry {
       val queries = docs.where(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       Retrieval.bm25TopK(docs, broadcast(queries), 5)
+        .orderBy("qid", "rnk")
+    },
+
+    "q_bm25_filtered" -> { (s, dir) =>
+      // attribute-filtered indexed BM25 (r15): candidates restricted to
+      // an allowed doc set (doc_id % 3 = 1 stands in for a metadata
+      // predicate), corpus stats UNfiltered — surviving docs score
+      // identically to q_bm25_indexed; ranking re-fills to k from the
+      // allowed pool. Shares the read-only index fixture; the semi-join
+      // runs before any term math.
+      val work = bm25BaseIndex(s, dir)
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val allowed = docs.where(col("doc_id") % 3 === 1).select("doc_id")
+      Retrieval.bm25TopKIndexedFiltered(s, work, broadcast(queries), 5,
+          broadcast(allowed))
+        .orderBy("qid", "rnk")
+    },
+
+    "q_maxsim_rerank" -> { (s, dir) =>
+      // late-interaction retrieval (ColBERT MaxSim, r15): BM25 top-20
+      // first stage, then Σ_q max_d token-level dot rerank over
+      // md5-derived per-token embeddings (dim 8) — deployed shape:
+      // MaxSim reranks a BOUNDED candidate list, never corpus×query
+      // token cartesians. Sum folds in BIGINT fixed point; ranks tie on
+      // doc_id.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val cands = Retrieval.bm25TopK(docs, broadcast(queries), 20)
+        .select("qid", "doc_id")
+      val dTok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "").distinct()
+      val qTok = queries.select(col("qid"),
+          explode(split(col("qtext"), " ")).as("tok"))
+        .where(col("tok") =!= "").distinct()
+      Retrieval.maxSimRerank(cands,
+          Retrieval.tokenVectors(qTok, "tok", 8),
+          Retrieval.tokenVectors(dTok, "tok", 8), k = 5)
         .orderBy("qid", "rnk")
     },
 
@@ -4197,6 +4268,44 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    "q_mor_delete" -> { (s, dir) =>
+      // MERGE-ON-READ deletes (r15): two deletes commit as
+      // deletion-vector sidecars (keys only — NO bucket rewrite; at
+      // 100 TB a compliance-delete of 100 rows must not COW whole
+      // buckets), reads anti-join the active DVs; a merge touching
+      // bucket 1 folds its DVs into data, and compactDeletes COW-folds
+      // the rest past the threshold. v4 ≡ v3 content pins the fold;
+      // v1/v2 reads exercise the masked lane. Private table (mutation
+      // gate). Money stays exact integer cents.
+      import graft.operators.VersionedTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mor-q").toString + "/tbl"
+      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val pexpr = pmod(col("k"), lit(16L))
+      VersionedTable.init(s, work, base, pexpr)
+      VersionedTable.deleteMergeOnRead(s, work,
+        base.where(col("k") % 7 === 2).select("k"), pexpr)
+      VersionedTable.deleteMergeOnRead(s, work,
+        base.where(col("k") % 7 === 4).select("k"), pexpr)
+      // k % 112 == 1 ⇒ bucket 1 only: the rewrite folds JUST that
+      // bucket's DVs, leaving the rest for the threshold compaction
+      val upd = base.where(col("k") % 112 === 1)
+        .withColumn("cents", col("cents") + 6000L)
+        .withColumn("op", lit("U")).withColumn("version", lit(3L))
+      VersionedTable.merge(s, work, upd, Seq("k"), pexpr)
+      VersionedTable.compactDeletes(s, work,
+        org.apache.spark.sql.types.StructType(base.schema.fields), pexpr,
+        minDvPerBucket = 1)
+      val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
+      (0L to 4L).map { v =>
+        VersionedTable.readAt(s, work, schema, v)
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
     "q_funnel_pattern" -> { (s, dir) =>
       // ordered-sequence funnel (MATCH_RECOGNIZE staple): per user the
       // earliest view → click-after-view → purchase-after-click chain;
@@ -4564,6 +4673,24 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
       Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivf_filtered" -> { (s, dir) =>
+      // attribute-filtered ANN on the persisted index (r15): candidates
+      // must satisfy src = 1 (src = vec_id % 4, carried into the cell
+      // rows at build). Pre-filter lane — the predicate pushes into the
+      // partition-pruned parquet scan, top-k exact over matching
+      // candidates in the probed cells; some queries legitimately return
+      // < k rows. Shares the read-only base fixture; oracle = the IVF
+      // replay with the same predicate on the candidate side.
+      val work = ivfBaseIndex(s, dir)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopKFiltered(s, work, q, k = 3,
+          pred = col("src") === 1, nprobe = 2)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rnk")
     },
@@ -8296,7 +8423,11 @@ object SparkEntry {
       |  (10000 * n_novel) // n_grams AS novelty_bp
       |FROM n ORDER BY doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    distinctToMap("oracleSql", oracleSqlSeq ++ pcaOracle ++
+      whitenOracle ++ bpeOracle)
+
+  private def oracleSqlSeq: Seq[(String, String)] = Seq(
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -9781,6 +9912,49 @@ object SparkEntry {
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
 
     "pipe_contam_winnow" -> contamWinnowOracleSql,
+
+    // the winnow candidate replay + aligned 11-word window equality:
+    // tw/ev windows via list slicing (the g CTE's idiom at length
+    // w+n−1), spans counted per candidate PAIR only, 0 when no exact
+    // span confirms the fingerprint hit
+    "pipe_contam_verified" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(len(words) - 3 AS BIGINT) AS ng,
+        |    ('0x' || substring(md5(
+        |      array_to_string(words[i + 1 : i + 4], ' ')), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words) - 3)) AS i FROM w)),
+        |m AS (SELECT doc_id, ng, pos, min(hv) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 8),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+        |e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id < 5),
+        |cand AS MATERIALIZED (SELECT r.doc_id, e.eval_id,
+        |    CAST(count(*) AS BIGINT) AS fps
+        |  FROM r JOIN e USING (fp) WHERE r.doc_id <> e.eval_id
+        |  GROUP BY r.doc_id, e.eval_id),
+        |tw AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    array_to_string(words[i + 1 : i + 11], ' ') AS win
+        |  FROM (SELECT doc_id, words,
+        |      unnest(range(0, len(words) - 10)) AS i
+        |    FROM w WHERE len(words) >= 11)),
+        |ev AS (SELECT doc_id AS eval_id, win FROM tw WHERE doc_id < 5),
+        |vs AS (SELECT tw.doc_id, count(DISTINCT tw.win) AS n_spans
+        |  FROM tw JOIN ev ON tw.win = ev.win AND tw.doc_id <> ev.eval_id
+        |  JOIN cand ON cand.doc_id = tw.doc_id AND cand.eval_id = ev.eval_id
+        |  GROUP BY tw.doc_id),
+        |agg AS (SELECT doc_id, CAST(sum(fps) AS BIGINT) AS n_shared_fps,
+        |    CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+        |  FROM cand GROUP BY doc_id HAVING sum(fps) >= 1)
+        |SELECT agg.doc_id, n_shared_fps, n_eval_docs,
+        |  CAST(coalesce(vs.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM agg LEFT JOIN vs USING (doc_id)
+        |ORDER BY n_shared_fps DESC, doc_id""".stripMargin,
     // same decision as batch: the per-doc flag is a pure function of the
     // doc against the fixed eval + boilerplate sets, so the 3-batch
     // replay shares the batch oracle verbatim
@@ -10414,6 +10588,91 @@ object SparkEntry {
     // doc_id tie-break) so last-ulp ln/sum-order differences can't flip
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
+
+    // the q_bm25_topk recipe with candidates restricted to the allowed
+    // residue BEFORE ranking; df/st CTEs stay full-corpus, so surviving
+    // scores are the unfiltered lane's verbatim
+    "q_bm25_filtered" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  WHERE tf.doc_id % 3 = 1
+        |  GROUP BY qq.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // BM25 top-20 candidates (the q_bm25_topk recipe at rnk<=20), then
+    // the MaxSim fold: per (qid, q_tok) max of list_dot_product over the
+    // candidate doc's tokens, summed as floor(max·1e6) BIGINTs — dots
+    // are bit-identical (graft_dot ≡ list_dot_product), the fixed-point
+    // sum is order-free, rank ties on doc_id
+    "q_maxsim_rerank" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM d WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY qq.qid, tf.doc_id),
+        |cand AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+        |      AS rnk FROM scored) WHERE rnk <= 20),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM t),
+        |vocab AS (SELECT DISTINCT tok FROM (
+        |  SELECT dt.tok FROM dt JOIN cand USING (doc_id)
+        |  UNION ALL SELECT tok FROM qq)),
+        |tv AS (SELECT tok, list_transform(range(0, 8), dd ->
+        |    CAST(('0x' || substring(md5(tok || ':' || CAST(dd AS VARCHAR)),
+        |        1, 15))::BIGINT % 2001 - 1000 AS DOUBLE) / 1000.0) AS vec
+        |  FROM vocab),
+        |dots AS (SELECT cand.qid, cand.doc_id, qq.tok AS q_tok,
+        |    max(list_dot_product(qv.vec, dv.vec)) AS mx
+        |  FROM cand JOIN qq ON qq.qid = cand.qid
+        |    JOIN tv qv ON qv.tok = qq.tok
+        |    JOIN dt ON dt.doc_id = cand.doc_id
+        |    JOIN tv dv ON dv.tok = dt.tok
+        |  GROUP BY cand.qid, cand.doc_id, qq.tok),
+        |s AS (SELECT qid, doc_id,
+        |    CAST(sum(CAST(floor(mx * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS maxsim_fp
+        |  FROM dots GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, maxsim_fp,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY maxsim_fp DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT qid, doc_id, rnk, maxsim_fp FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q_bm25_prf" -> bm25PrfOracleSql,
     // the indexed PRF changes only the I/O path (bucket-pruned scoring
     // passes + forward-store feedback fetch), never the expansion rule
@@ -12105,6 +12364,30 @@ object SparkEntry {
         |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2)
         |ORDER BY version""".stripMargin,
 
+    "q_mor_delete" ->
+      // relational replay: v1/v2 subtract the deleted residues (DV-masked
+      // reads), v3 updates the single-bucket residue, v4 (the DV-fold
+      // compaction) is content-identical to v3
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE k % 7 <> 2),
+        |v2 AS (SELECT * FROM v1 WHERE k % 7 <> 4),
+        |v3 AS (SELECT k, CASE WHEN k % 112 = 1 THEN cents + 6000
+        |                 ELSE cents END AS cents FROM v2)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |      CAST(sum(cents) AS BIGINT) AS sum_cents FROM base
+        |  UNION ALL
+        |  SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+        |  UNION ALL
+        |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+        |  UNION ALL
+        |  SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+        |  UNION ALL
+        |  SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3)
+        |ORDER BY version""".stripMargin,
+
     "q_funnel_pattern" ->
       // greedy-earliest chain mirrored step by step; steps_completed
       // counts non-null stage times
@@ -12414,6 +12697,32 @@ object SparkEntry {
 
     // identical computation through the PERSISTED index — same oracle
     "emb_ann_ivf_indexed" -> ivfOracleSql,
+
+    // same replay with the attribute predicate on the CANDIDATE side
+    // only (queries stay unfiltered); rank over the filtered candidate
+    // set, so sparse queries legitimately return < k rows
+    "emb_ann_ivf_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, e.emb, c.cent_id,
+        |    list_dot_product(e.emb, c.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, emb, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crnk
+        |  FROM s),
+        |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, emb AS qemb, cent_id AS cell FROM r WHERE crnk <= 2),
+        |p AS (SELECT qid, cells.vec_id AS cid,
+        |    list_dot_product(qemb, emb)
+        |      / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |  FROM probes JOIN cells USING (cell)
+        |  WHERE cells.vec_id <> qid AND cells.vec_id % 4 = 1),
+        |t AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
 
     // build+append+delete lifecycle nets out to the full corpus under
     // the same frozen quantizer — same oracle verbatim
@@ -13589,8 +13898,7 @@ object SparkEntry {
         |  FROM t WHERE event_type = 'purchase')
         |SELECT attr, CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
-        |FROM p GROUP BY attr ORDER BY attr""".stripMargin) ++ pcaOracle ++
-    whitenOracle ++ bpeOracle
+        |FROM p GROUP BY attr ORDER BY attr""".stripMargin)
 
   /** Fitted PCA model captured by the emb_pca query run. Verify writes
     * oracle_sql.json AFTER the queries execute in the same JVM, so the

@@ -325,6 +325,66 @@ object Dedup {
       .where(col("n_shared_fps") >= minShared)
   }
 
+  /** [[winnowContamination]] + an EXACT verbatim-span verifier (r15):
+    * winnowing recall is structural but its precision is
+    * fingerprint-level — a shared rare fingerprint only proves one
+    * shared n-gram that was a window minimum in both docs, not a
+    * verbatim run. This lane confirms candidates by ALIGNED TOKEN-WINDOW
+    * EQUALITY: an exact (w+n−1)-word window of the training doc equal to
+    * a window of the eval doc (the run length the winnowing guarantee is
+    * stated at). All string/integer — exactly oracle-able.
+    *
+    * Cost is CANDIDATE-BOUNDED, never all-pairs: windows are built only
+    * for docs that already share a rare fingerprint (the candidate-pair
+    * frame is list-scale and drives a semi-join), and the eval side is
+    * metadata-scale by premise (broadcast both ways).
+    *
+    * Output: the winnow columns + `n_spans` (distinct verified verbatim
+    * windows; 0 = fingerprint-level candidate that no exact span
+    * confirms — the precision report a takedown pipeline wants).
+    */
+  def winnowContaminationVerified(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 4, w: Int = 8, minShared: Int = 1, maxDf: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L = w + n - 1
+    val fps = winnowFingerprints(docs, n, w, idCol, textCol)
+      .localCheckpoint(true)
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val evalFps = winnowFingerprints(evalDocs, n, w, idCol, textCol)
+      .select(col("fp"), col(idCol).as("eval_id"))
+    val pairs = rare.join(broadcast(evalFps), Seq("fp"))
+      .where(col(idCol) =!= col("eval_id"))
+      .groupBy(idCol, "eval_id").agg(count(lit(1)).as("fps"))
+      .localCheckpoint(true) // candidate pairs: drives flags AND verify
+    def windows(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), split(col(textCol), " ").as("ws"))
+        .where(size(col("ws")) >= L)
+        .select(col(outId), explode(expr(
+          s"""transform(sequence(0, size(ws) - $L),
+             |  i -> concat_ws(' ', slice(ws, i + 1, $L)))""".stripMargin))
+          .as("win"))
+        .distinct()
+    val trainW = windows(
+      docs.join(broadcast(pairs.select(col(idCol)).distinct()), idCol),
+      "t_doc")
+    val evalW = windows(evalDocs, "eval_id")
+    val spans = trainW.join(broadcast(evalW), Seq("win"))
+      .where(col("t_doc") =!= col("eval_id"))
+      .join(pairs.select(col(idCol).as("t_doc"), col("eval_id")),
+        Seq("t_doc", "eval_id"), "left_semi")
+      .groupBy(col("t_doc").as(idCol))
+      .agg(countDistinct("win").as("n_spans"))
+    pairs.groupBy(idCol)
+      .agg(sum("fps").as("n_shared_fps"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .where(col("n_shared_fps") >= minShared)
+      .join(spans, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+  }
+
   /** Fold a batch of NEW edges into an existing component labeling —
     * the incremental maintenance lane for a standing dedup-cluster map
     * (a 100 TB corpus re-clusters per ingest batch, never from

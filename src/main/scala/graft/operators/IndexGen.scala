@@ -127,6 +127,17 @@ private[graft] object IndexGen {
       s"${System.currentTimeMillis() + ttlMs}_" +
       java.util.UUID.randomUUID().toString.take(8)
     fs.create(new Path(root, leaseName), true).close()
+    // Stale-generation fence (r15): the marker CAS alone only detects ONE
+    // intervening generation — superseded markers are pruned after a win,
+    // so a writer stalled between begin and advance across TWO full
+    // mutations would re-create the pruned `_idx_mut_(seen+1)` and "win"
+    // over two-generations-newer state. Compare against the MAX marker
+    // under our own lease (any racer past this point holds the marker CAS)
+    // and refuse unless the root is still at the generation we observed.
+    if (current(fs, root) != seen) {
+      fs.delete(new Path(root, leaseName), false)
+      throw graft.model.ConcurrentCommit(root, seen + 1)
+    }
     val name = s"$Prefix${seen + 1}"
     val won =
       if (fs.getUri.getScheme == "file") {
@@ -173,18 +184,15 @@ private[graft] object IndexGen {
     if (!fs.exists(new Path(root, token)))
       throw graft.model.ConcurrentCommit(root, -1L)
 
-  /** Drop this writer's publish lease — call after the last rename of
-    * the publication section. Idempotent (an expired-and-broken lease
-    * is simply gone).
+  /** Drop EXACTLY this writer's publish lease (the token [[advance]]
+    * returned) — call after the last rename of the publication section.
+    * Token-precise on purpose (r15): a generation-prefix sweep would let
+    * a late-waking former holder delete a DIFFERENT writer's lease for
+    * the same numeric generation. Idempotent (an expired-and-broken
+    * lease is simply gone).
     */
-  def release(fs: FileSystem, root: String, gen: Long): Unit = {
-    val dir = new Path(root)
-    if (!fs.exists(dir)) return
-    fs.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith(LeasePrefix) &&
-          n.stripPrefix(LeasePrefix).startsWith(s"${gen}_"))
-        fs.delete(p, false)
-    }
+  def release(fs: FileSystem, root: String, token: String): Unit = {
+    val p = new Path(root, token)
+    if (fs.exists(p)) fs.delete(p, false)
   }
 }

@@ -252,11 +252,6 @@ object Retrieval {
     val writePos = positional ||
       (!overwrite &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/positions")))
-    // a non-positional overwrite must not leave a prior positional
-    // build's positions tree behind: phraseTopKIndexed would serve stale
-    // positions for docs that no longer exist in the rebuilt index
-    if (overwrite && !positional)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/positions"), true)
     val gen = graft.operators.IndexGen.begin(fs, root)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
@@ -267,6 +262,18 @@ object Retrieval {
     // (same IndexGen discipline as the IVF lanes; loser raises with
     // nothing written)
     val lease = graft.operators.IndexGen.advance(fs, root, gen)
+    // a non-positional overwrite must not leave a prior positional
+    // build's positions tree behind: phraseTopKIndexed would serve stale
+    // positions for docs that no longer exist in the rebuilt index. This
+    // is a destructive touch of published state, so it runs AFTER the CAS
+    // under our lease (r15 — pre-begin it violated loser-touches-nothing:
+    // a CAS loser or lease-blocked writer had already destroyed the live
+    // positions tree, silently emptying phrase search until a rebuild),
+    // TTL-fenced like every publish-side action.
+    if (overwrite && !positional) {
+      graft.operators.IndexGen.checkLease(fs, root, lease)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/positions"), true)
+    }
     // the legacy-index case: appending to an index that predates the
     // stats sidecar — delta-maintenance has no base, so recount after
     val mustRecount = !overwrite && readStats(fs, root).isEmpty &&
@@ -332,7 +339,7 @@ object Retrieval {
       publishStats(fs, root, n0 + dn, sdl0 + dsdl)
     }
     fs.delete(pending, false)
-    graft.operators.IndexGen.release(fs, root, gen + 1)
+    graft.operators.IndexGen.release(fs, root, lease)
   }
 
   /** Corpus statistics sidecar: ONE zero-byte marker file
@@ -476,7 +483,7 @@ object Retrieval {
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, PendingDelete)))
       throw new java.io.IOException(s"bm25 delete: cannot publish intent")
     runPendingDelete(spark, root, Some(lease))
-    graft.operators.IndexGen.release(fs, root, gen + 1)
+    graft.operators.IndexGen.release(fs, root, lease)
   }
 
   /** Execute (or re-execute after a crash) the delete recorded in the
@@ -614,7 +621,7 @@ object Retrieval {
       maxFilesPerBucket, root -> lease)
     compactTree(spark, fs, s"$root/positions", s"$root/$PosStageDir",
       maxFilesPerBucket, root -> lease) // no-op on non-positional indexes
-    graft.operators.IndexGen.release(fs, root, gen + 1)
+    graft.operators.IndexGen.release(fs, root, lease)
   }
 
   private def compactTree(spark: org.apache.spark.sql.SparkSession,
@@ -996,7 +1003,29 @@ object Retrieval {
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, nBuckets: Int = 64,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25IndexedCore(spark, root, queries, k, nBuckets, k1, b, None)
+
+  /** Attribute-filtered indexed BM25 (r15, the [[Similarity
+    * .ivfIndexTopKFiltered]] move for the lexical lane): candidates must
+    * appear in `allowed` (a doc-id frame — any metadata predicate
+    * materializes to one). Filter semantics are the standard ones:
+    * CANDIDATES are restricted, corpus statistics (df, N, avgdl) are
+    * not — scores of surviving docs equal the unfiltered lane's
+    * verbatim, so the result is exactly "the unfiltered ranking with
+    * non-matching docs removed, re-ranked to k". The semi-join runs
+    * BEFORE scoring (no term math on filtered-out docs); I/O stays ∝
+    * probed buckets. Broadcast the allowed frame at the call site when
+    * it is small; a corpus-scale filter legitimately shuffles.
+    */
+  def bm25TopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, allowed: DataFrame,
+      nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25IndexedCore(spark, root, queries, k, nBuckets, k1, b, Some(allowed))
+
+  private def bm25IndexedCore(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nBuckets: Int,
+      k1: Double, b: Double, allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types._
     healIndex(spark, root) // finish/roll back any interrupted delete swap
     val qtoks = queries.select(col("qid"),
@@ -1030,7 +1059,16 @@ object Retrieval {
       .map(s => (s._2, s._3)).getOrElse((0L, 0L))
     val avgdl = if (n > 0) sdl.toDouble / n else 0.0
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    qtoks.join(postingsCk, "tok")
+    val probe = qtoks.join(postingsCk, "tok")
+    // filtered lane: restrict CANDIDATES before any term math; df/N/avgdl
+    // above stay full-corpus (standard filtered-retrieval semantics —
+    // surviving docs score identically to the unfiltered lane)
+    val cand = allowed match {
+      case Some(a) => probe.join(a.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      case None => probe
+    }
+    cand
       .join(broadcast(df), "tok")
       .withColumn("term",
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -1226,5 +1264,70 @@ object Retrieval {
       .select("qtok", "term").distinct()
       .withColumn("dist", expr("CAST(levenshtein(qtok, term) AS BIGINT)"))
       .where(col("dist") <= 1)
+  }
+
+  /** Deterministic md5-derived token embedding (r15): dim `d` of token
+    * `t` is `(md5_15hex(t || ":" || d) % 2001 − 1000) / 1000` ∈ [−1, 1]
+    * — the multimodal-stub discipline: any engine recomputes the vector
+    * from the token string (DuckDB: `('0x' || substring(md5(tok || ':d'),
+    * 1, 15))::BIGINT`), so late-interaction scores are exactly
+    * oracle-able. Adds `vec: array<double>` to `toks`. In production the
+    * column would come from a real token-embedding model; everything
+    * downstream ([[maxSimRerank]]) is representation-agnostic.
+    */
+  def tokenVectors(toks: DataFrame, tokCol: String, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(toks.sparkSession)
+    toks.withColumn("vec", array((0 until dim).map { d =>
+      (((element_at(call_function("graft_md5_tokens",
+        concat(col(tokCol), lit(s":$d"))), 1) % 2001L) - 1000L)
+        .cast("double") / 1000.0)
+    }: _*))
+  }
+
+  /** ColBERT-style LATE-INTERACTION rerank (r15): score(q, d) =
+    * Σ_{t ∈ q tokens} max_{s ∈ d tokens} dot(v_t, v_s) over per-token
+    * embeddings — the current-generation retrieval shape, applied where
+    * it is deployed in practice: RERANKING a bounded candidate list
+    * (BM25 or ANN first stage), never corpus×query token cartesians.
+    *
+    * Exactness discipline: the per-pair dots rank raw (graft_dot ≡
+    * list_dot_product fold), the max is comparison-only, and the sum
+    * over query tokens folds in order-free BIGINT fixed point
+    * (`floor(max·10⁶)`) so cross-engine summation order cannot flip a
+    * rank; ties break on doc_id.
+    *
+    * Scale shape: the candidate×query-token frame is list-scale (|C|·|q|
+    * rows) and BROADCAST; the corpus-sized doc-token side first
+    * semi-joins to candidate docs and MATERIALIZES its vectors
+    * (localCheckpoint — a derived array feeding a broadcast join is
+    * otherwise rebuilt per joined row, the emb_ann_ivfpq lesson), then
+    * one map-side join + two partial-agg groupBys. No shuffle touches
+    * anything corpus-sized.
+    *
+    * Inputs: `candidates` (qid, doc_id); `qTok` (qid, tok, vec);
+    * `dTok` (doc_id, tok, vec). Output: (qid, doc_id, rnk, maxsim_fp).
+    */
+  def maxSimRerank(candidates: DataFrame, qTok: DataFrame,
+      dTok: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(candidates.sparkSession)
+    val qv = qTok.select(col("qid"), col("tok").as("q_tok"),
+      col("vec").as("qvec"))
+    val cand = candidates.select("qid", "doc_id")
+    val candDocs = cand.select("doc_id").distinct()
+    // materialize candidate docs' token vectors ONCE (bounded: |C| docs)
+    val dMat = dTok.select(col("doc_id"), col("vec").as("dvec"))
+      .join(broadcast(candDocs), "doc_id")
+      .localCheckpoint(true)
+    val dots = dMat.join(broadcast(cand.join(qv, "qid")), "doc_id")
+      .withColumn("dot",
+        call_function("graft_dot", col("qvec"), col("dvec")))
+    val mx = dots.groupBy("qid", "doc_id", "q_tok").agg(max("dot").as("mx"))
+    val scores = mx.groupBy("qid", "doc_id")
+      .agg(sum(floor(col("mx") * 1000000.0).cast("long")).as("maxsim_fp"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("maxsim_fp").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"), col("rnk"), col("maxsim_fp"))
   }
 }

@@ -514,9 +514,12 @@ object Similarity {
     val fs = hadoopFs(batch.sparkSession, root)
     val gen = IndexGen.begin(fs, root)
     val cents = readIvfCentroids(batch.sparkSession, root)
+    // attribute columns beyond (vec_id, emb) land in the cell rows —
+    // filtered search pushes predicates on them into the pruned scan
+    val extras = batch.columns.toSeq.filterNot(Set("vec_id", "emb", "norm"))
     val assigned = withProbes(batch, cents, 1)
-      .select(col("vec_id"), col("emb"), col("norm"),
-        element_at(col("probes"), 1).as("cell"))
+      .select(Seq(col("vec_id"), col("emb"), col("norm"),
+        element_at(col("probes"), 1).as("cell")) ++ extras.map(col): _*)
       // repartition-by-cell (the DatapointStore discipline): each cell
       // lands wholly in one reduce task ⇒ ONE file per cell per append,
       // not one per input partition — without it a rebuild re-celling a
@@ -529,9 +532,9 @@ object Similarity {
     // read it would otherwise receive our files into a retired dir —
     // the r11 single-writer hazard. The loser raises ConcurrentCommit
     // with nothing written.
-    IndexGen.advance(fs, root, gen)
+    val lease = IndexGen.advance(fs, root, gen)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$root/cells")
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Delete vectors from the persisted index by id — the tombstone-free
@@ -603,7 +606,7 @@ object Similarity {
     // the next heal-on-read rolls it back; live cells were never touched
     val lease = IndexGen.advance(fs, root, gen)
     publishStagedCells(fs, root, stage, touched, Some(lease))
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Swap every staged cell dir live (tmp/old crash windows heal from
@@ -669,7 +672,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
     val lease = IndexGen.advance(fs, root, gen) // same gate as the delete
     publishStagedCells(fs, root, stage, hot, Some(lease))
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Retrain + re-cell the persisted index — the remedy
@@ -686,8 +689,9 @@ object Similarity {
       oldRoot: String, newRoot: String, stride: Long, iters: Int = 2,
       centroidBudget: Long = 1024): Unit = {
     healIvfIndex(spark, oldRoot)
+    // drop only the derived columns — attribute columns survive a rebuild
     val content = spark.read.parquet(s"$oldRoot/cells")
-      .select("vec_id", "emb").localCheckpoint(true) // trains + re-cells
+      .drop("norm", "cell").localCheckpoint(true) // trains + re-cells
     buildIvfIndexWith(content, newRoot,
       kmeansCentroidsExact(content, stride, iters, centroidBudget))
   }
@@ -963,6 +967,75 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
   }
 
+  /** Attribute-filtered search on the persisted index (r15) — the lane
+    * every real vector-serving workload needs (filter by source / date /
+    * license): candidates must satisfy `pred`, a predicate over the
+    * ATTRIBUTE columns the build carried into the cell rows (any column
+    * beyond (vec_id, emb) on the indexed batch rides along — see
+    * [[appendToIvfIndex]]).
+    *
+    * Two strategies, chosen by `oversample`:
+    *  - `oversample = 0` (default) — PRE-FILTER: the predicate applies
+    *    directly on the partition-pruned cells scan, so it pushes down
+    *    into the parquet read (row-group stats skip non-matching files)
+    *    and the top-k is exact over every matching candidate in the
+    *    probed cells. Right for selective predicates: scoring work is
+    *    ∝ matching rows, recall within the probed cells is total.
+    *  - `oversample > 0` — POST-FILTER: rank UNFILTERED candidates to
+    *    k·oversample per query first, then filter and re-rank to k.
+    *    Right for near-unselective predicates at very large k·nprobe,
+    *    where scoring everything once and discarding a few beats pushing
+    *    a useless predicate — the classic recall trade: a query whose
+    *    top-k·oversample is dominated by non-matching rows can return
+    *    fewer than k (OperatorsSpec pins post≡pre exactly where the
+    *    oversampled window provably covers).
+    *
+    * I/O is ∝ probed cell dirs either way (ScaleSpec pins the scan's
+    * input files to the probed partitions). Ranking/tie rules are
+    * [[ivfIndexTopK]]'s verbatim: (sim desc, vec_id), self excluded.
+    */
+  def ivfIndexTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, pred: Column,
+      nprobe: Int = 2, oversample: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    healIvfIndex(spark, root)
+    val cents = readIvfCentroids(spark, root)
+    val probeSide = withProbes(
+        queries.select(col("qid").as("vec_id"), col("qemb").as("emb")),
+        cents, nprobe)
+      .withColumn("cell", explode(col("probes")))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("q_norm"), col("cell"))
+      .localCheckpoint(true)
+    val probedCells = probeSide.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // the flatCellsSchema pin (partition-type inference would type small
+    // cell values INT and defeat isin(longs) pruning), EXTENDED by the
+    // index's attribute fields — footer schema for data columns, long
+    // for the partition column
+    val inferred = spark.read.parquet(s"$root/cells").schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val cells = spark.read.schema(pinned).parquet(s"$root/cells")
+      .where(col("cell").isin(probedCells: _*))
+    def rank(df: DataFrame, kk: Int): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      df.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= kk)
+    }
+    val scored = (if (oversample <= 0) cells.where(pred) else cells)
+      .join(probeSide, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("norm")))
+    val ranked =
+      if (oversample <= 0) rank(scored, k)
+      else rank(rank(scored, k * oversample).where(pred).drop("rnk"), k)
+    ranked.select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
   /** Shared IVF probe assignment: every vector gets `probes` — its nprobe
     * best cells by cosine (probes[0] is the argmax HOME cell), computed
     * from ONE materialized cell-similarity array (the index build; both
@@ -999,8 +1072,14 @@ object Similarity {
         (x, i) => when(i.cast("long") === pos, lit(Double.NegativeInfinity))
           .otherwise(x))
     }
+    // attribute passthrough (r15): columns beyond (vec_id, emb) ride
+    // along unchanged — appendToIvfIndex stores them in the cell rows so
+    // ivfIndexTopKFiltered can push attribute predicates into the
+    // partition-pruned parquet scan; pinned-schema readers never see them
+    val extras = corpus.columns.toSeq
+      .filterNot(Set("vec_id", "emb", "norm", "sims", "probes"))
     withSims.withColumn("probes", array(probeCells.result(): _*))
-      .select(col("vec_id"), col("emb"), col("norm"), col("probes"))
+      .select((Seq("vec_id", "emb", "norm", "probes") ++ extras).map(col): _*)
   }
 
   private def ivfTopKWith(corpus: DataFrame, cents: Array[(Long, Seq[Double])],
@@ -1187,7 +1266,7 @@ object Similarity {
     val fs = hadoopFs(batch.sparkSession, root)
     val gen = IndexGen.begin(fs, root)
     val enc = encodeIvfPqBatch(batch, root)
-    IndexGen.advance(fs, root, gen)
+    val lease = IndexGen.advance(fs, root, gen)
     // cells live under per-append batch dirs (label = the CAS'd
     // generation, unique by construction): search discovers (batch,
     // cell) partitions and prunes on cell; the streaming lane's
@@ -1197,7 +1276,7 @@ object Similarity {
     enc.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/pqcells/batch=${gen + 1}")
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Hidden pre-publish trees + the durable compaction intent marker
@@ -1272,7 +1351,7 @@ object Similarity {
       }
     }
     fs.delete(stage, true)
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Fold every per-batch dir into ONE — the read-amplification remedy
@@ -1311,7 +1390,7 @@ object Similarity {
     fs.create(new org.apache.hadoop.fs.Path(root, s"$PqCompactMarker$keep"),
       true).close()
     finishPqCompact(fs, root, keep)
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
   }
 
   /** Execute (or re-execute after a crash) the compaction recorded in
@@ -1685,7 +1764,7 @@ object Similarity {
         spark.read.schema(pqCellsSchema).parquet(s"$root/pqcells")
           .where(col("cell").isin(touched: _*)).select("vec_id"),
         Seq("vec_id"), "left_anti")
-    IndexGen.advance(fs, root, gen) // publish point; gen read at entry
+    val lease = IndexGen.advance(fs, root, gen) // publish point; gen read at entry
     fresh.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/pqcells/batch=$batchId")
@@ -1697,7 +1776,7 @@ object Similarity {
           n.stripPrefix("_ivfpq_commit_").toLong < batchId)
         fs.delete(p, false)
     }
-    IndexGen.release(fs, root, gen + 1)
+    IndexGen.release(fs, root, lease)
     true
   }
 

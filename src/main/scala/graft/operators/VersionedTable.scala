@@ -45,7 +45,13 @@ import graft.core.DatapointStore
   */
 object VersionedTable {
 
-  final case class Commit(version: Long, buckets: Seq[Long], dropped: Seq[Long])
+  /** `dv` (r15) lists the buckets this version's DELETION VECTOR masks —
+    * a merge-on-read delete writes only the deleted KEYS under
+    * `root/dv/v=N/<partCol>=b` and rewrites nothing; the data dirs are
+    * untouched (`buckets`/`dropped` empty). Old records parse with
+    * `dv = Nil`. */
+  final case class Commit(version: Long, buckets: Seq[Long],
+      dropped: Seq[Long], dv: Seq[Long] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
@@ -88,11 +94,14 @@ object VersionedTable {
       .sortBy(_.getPath.getName).toSeq
       .map { f =>
         val n = mapper.readTree(readString(fs, f.getPath))
-        def longs(field: String): Seq[Long] = {
-          val arr = n.get(field)
-          (0 until arr.size()).map(arr.get(_).asLong())
-        }
-        Commit(n.get("version").asLong(), longs("buckets"), longs("dropped"))
+        def longs(field: String): Seq[Long] =
+          if (!n.has(field)) Seq.empty
+          else {
+            val arr = n.get(field)
+            (0 until arr.size()).map(arr.get(_).asLong())
+          }
+        Commit(n.get("version").asLong(), longs("buckets"),
+          longs("dropped"), longs("dv"))
       }
   }
 
@@ -117,8 +126,21 @@ object VersionedTable {
     * local-lane `.tmp-*.json` staging files) older than `graceMs` are
     * deleted here — the grace window keeps a genuinely in-flight
     * foreign commit's record alive through its write.
+    *
+    * CLOCK-SYNC ASSUMPTION (r15): the age test compares the record's FS
+    * modification time (the writer's clock on most object stores) to
+    * THIS process's clock — a reader whose clock runs more than
+    * `graceMs` ahead of a foreign writer's can sweep that writer's
+    * in-flight record and silently void the create-new commit CAS
+    * (duplicate commit of the version). The default grace is therefore
+    * 15 min — orders of magnitude above NTP-class skew AND above any
+    * real record write (a one-block JSON put), at the cost of a wedged
+    * table staying wedged for that long after a true crash. Multi-writer
+    * deployments without synchronized clocks should pass
+    * `graceMs = Long.MaxValue` (opt out of the record sweep entirely)
+    * and clear crashed records operationally.
     */
-  def heal(root: String, graceMs: Long = 60000L): Unit = {
+  def heal(root: String, graceMs: Long = 900000L): Unit = {
     val fs = fsOf(root)
     val log = logDir(root)
     if (fs.exists(log)) {
@@ -131,8 +153,14 @@ object VersionedTable {
     }
     val committed = commits(root).map(_.version).toSet
     val data = new Path(s"$root/data")
-    if (!fs.exists(data)) return
-    fs.listStatus(data).map(_.getPath)
+    if (fs.exists(data)) fs.listStatus(data).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filterNot(d => committed(d.getName.drop(2).toLong))
+      .foreach(DatapointStore.rmTree(fs, _))
+    // same data-first rule for deletion-vector sidecars: a crashed
+    // merge-on-read delete leaves an orphan dv/v=N no record references
+    val dv = new Path(s"$root/dv")
+    if (fs.exists(dv)) fs.listStatus(dv).map(_.getPath)
       .filter(_.getName.startsWith("v="))
       .filterNot(d => committed(d.getName.drop(2).toLong))
       .foreach(DatapointStore.rmTree(fs, _))
@@ -152,7 +180,8 @@ object VersionedTable {
     fs.mkdirs(logDir(root))
     val json = s"""{"version":${c.version},""" +
       s""""buckets":[${c.buckets.mkString(",")}],""" +
-      s""""dropped":[${c.dropped.mkString(",")}]}"""
+      s""""dropped":[${c.dropped.mkString(",")}],""" +
+      s""""dv":[${c.dv.mkString(",")}]}"""
     val name = f"${c.version}%020d.json"
     if (fs.getUri.getScheme == "file") {
       // local FS: hard-link create-new is the POSIX-atomic CAS with the
@@ -227,22 +256,138 @@ object VersionedTable {
     }.sortBy(_._1)
   }
 
+  /** Deletion-vector dirs ACTIVE at snapshot `v`: a DV written by commit
+    * W masks bucket b iff the bucket's winning data version at the
+    * snapshot predates it — `V_b < W <= v`. A later rewrite of b (merge /
+    * [[compactDeletes]]) folds the mask into data (its base read is
+    * DV-aware), so `V_b >= W` retires the DV for that bucket
+    * automatically; time-travel BELOW W never sees it. `partExpr` being a
+    * pure function of the key columns means a key lives in exactly one
+    * bucket, so the dir-level rule needs no per-row version bookkeeping.
+    */
+  private def activeDvDirs(root: String, v: Long, partCol: String,
+      bucketFilter: Long => Boolean = _ => true): Seq[String] = {
+    val upTo = commits(root).filter(_.version <= v)
+    val winning = scala.collection.mutable.Map[Long, Long]()
+    upTo.foreach { c =>
+      c.buckets.foreach(b => winning(b) = c.version)
+      c.dropped.foreach(b => winning.remove(b))
+    }
+    val fs = fsOf(root)
+    upTo.flatMap { c =>
+      c.dv.collect {
+        case b if bucketFilter(b) &&
+            winning.get(b).exists(_ < c.version) =>
+          s"$root/dv/v=${c.version}/$partCol=$b"
+      }
+    }.filter(d => fs.exists(new Path(d)))
+  }
+
+  /** Snapshot read with deletion-vector masking, restricted to buckets
+    * passing `bucketFilter` — the one reader [[readAt]], [[merge]] and
+    * [[changes]] all resolve through.
+    */
+  private def maskedRead(spark: SparkSession, root: String,
+      payloadSchema: StructType, v: Long, partCol: String,
+      bucketFilter: Long => Boolean = _ => true): DataFrame = {
+    val vfs = fsOf(root)
+    val dirs = snapshotDirs(root, v, partCol)
+      .collect { case (b, d) if bucketFilter(b) => d }
+      .filter(d => vfs.exists(new Path(d)))
+    val df =
+      if (dirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          payloadSchema)
+      else spark.read.schema(payloadSchema).parquet(dirs: _*)
+    val dvDirs = activeDvDirs(root, v, partCol, bucketFilter)
+    if (dvDirs.isEmpty) df
+    else {
+      // DV files hold exactly the key columns — the anti-join keys ARE
+      // the DV schema, so the reader needs no keyCols parameter
+      val dv = spark.read.parquet(dvDirs: _*)
+      df.join(dv, dv.columns.toSeq, "left_anti")
+    }
+  }
+
   /** Read the table as of `version` (-1 = latest). Payload schema is
     * pinned so an empty snapshot is an empty frame, never an inference
-    * failure.
+    * failure. Merge-on-read deletes apply here as a key anti-join against
+    * the active deletion vectors (metadata-scale: only DV dirs whose
+    * bucket hasn't been rewritten since).
     */
   def readAt(spark: SparkSession, root: String, payloadSchema: StructType,
       version: Long = -1L, partCol: String = "bucket"): DataFrame = {
     val v = if (version < 0) latestVersion(root) else version
     require(v >= horizon(root),
       s"version $v vacuumed (horizon ${horizon(root)}) in $root")
-    val vfs = fsOf(root)
-    val dirs = snapshotDirs(root, v, partCol).map(_._2)
-      .filter(d => vfs.exists(new Path(d)))
-    if (dirs.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        payloadSchema)
-    else spark.read.schema(payloadSchema).parquet(dirs: _*)
+    maskedRead(spark, root, payloadSchema, v, partCol)
+  }
+
+  /** MERGE-ON-READ delete (r15): commit a new version that removes
+    * `keys` (a frame of exactly the key columns) WITHOUT rewriting any
+    * bucket — at 100 TB a compliance-delete of 100 rows must not COW
+    * whole buckets. The deleted keys land as a deletion-vector sidecar
+    * under `root/dv/v=N/<partCol>=b` (data-first, commit-record-last:
+    * a crash before the record leaves an orphan dv dir that [[heal]]
+    * removes); readers anti-join the active DVs, and the next rewrite of
+    * a bucket (a [[merge]] touching it, or [[compactDeletes]] past a
+    * threshold) folds the mask into data and retires the DV. Same
+    * concurrency discipline as [[merge]]: the commit-record CAS detects
+    * a foreign racer; [[mergeWithRetry]]-style looping belongs to the
+    * caller (deletes are idempotent — re-masking the same keys is a
+    * no-op at read time).
+    */
+  def deleteMergeOnRead(spark: SparkSession, root: String, keys: DataFrame,
+      partExpr: Column, partCol: String = "bucket"): Long = {
+    heal(root)
+    val prev = latestVersion(root)
+    require(prev >= 0, s"init() the table before deleting: $root")
+    val v = prev + 1
+    val ch = keys.withColumn(partCol, partExpr).localCheckpoint(true)
+    val affected = ch.select(partCol).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) return prev
+    ch.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$root/dv/v=$v")
+    commitInterceptor.foreach(_(v))
+    writeCommit(root, Commit(v, Seq.empty, Seq.empty, affected))
+    v
+  }
+
+  /** Fold accumulated deletion vectors back into data — the
+    * read-amplification bound for the merge-on-read lane: every bucket
+    * carrying at least `minDvPerBucket` active DVs is COW-rewritten from
+    * its masked content (one staged job for all hot buckets), retiring
+    * those DVs for all snapshots >= the new version. Time-travel below
+    * it still resolves the old dirs + DVs; [[vacuum]] reclaims both past
+    * the horizon.
+    */
+  def compactDeletes(spark: SparkSession, root: String,
+      payloadSchema: StructType, partExpr: Column,
+      minDvPerBucket: Int = 2, partCol: String = "bucket"): Long = {
+    heal(root)
+    val prev = latestVersion(root)
+    require(prev >= 0, s"init() the table before compacting: $root")
+    val perBucket = activeDvDirs(root, prev, partCol)
+      .map(_.split('/').last.drop(partCol.length + 1).toLong)
+      .groupBy(identity).view.mapValues(_.size)
+    val hot = perBucket.collect {
+      case (b, n) if n >= minDvPerBucket => b }.toSeq.sorted
+    if (hot.isEmpty) return prev
+    val v = prev + 1
+    val hotSet = hot.toSet
+    maskedRead(spark, root, payloadSchema, prev, partCol, hotSet)
+      .withColumn(partCol, partExpr)
+      .repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$root/data/v=$v")
+    val written = bucketsWritten(root, v, partCol)
+    // a fully-masked bucket writes nothing — it retires via `dropped`
+    val dropped = hot.filterNot(written.contains)
+    commitInterceptor.foreach(_(v))
+    writeCommit(root, Commit(v, written, dropped))
+    v
   }
 
   /** Apply a changelog (op 'U'/'D' + version column, the
@@ -265,15 +410,11 @@ object VersionedTable {
     val payloadSchema = StructType(
       changes.schema.filterNot(f => f.name == opCol || f.name == versionCol))
     val affectedSet = affected.toSet
-    val mfs = fsOf(root)
-    val baseDirs = snapshotDirs(root, prev, partCol)
-      .collect { case (b, d) if affectedSet(b) => d }
-      .filter(d => mfs.exists(new Path(d)))
-    val base =
-      if (baseDirs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          payloadSchema)
-      else spark.read.schema(payloadSchema).parquet(baseDirs: _*)
+    // DV-aware base (r15): a bucket rewrite FOLDS its active deletion
+    // vectors — the base must already be masked or a merge would
+    // resurrect merge-on-read-deleted rows
+    val base = maskedRead(spark, root, payloadSchema, prev, partCol,
+      affectedSet)
     Mutations.mergeFrame(base, ch.drop(partCol), keyCols, opCol, versionCol)
       .withColumn(partCol, partExpr)
       .repartition(col(partCol)).sortWithinPartitions(keyCols.map(col): _*)
@@ -349,17 +490,12 @@ object VersionedTable {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val touched = commits(root)
       .filter(c => c.version > fromVersion && c.version <= toVersion)
-      .flatMap(c => c.buckets ++ c.dropped).toSet
+      // a merge-on-read delete changes rows without writing buckets —
+      // its dv list names the buckets whose rows it masked
+      .flatMap(c => c.buckets ++ c.dropped ++ c.dv).toSet
     val payload = payloadSchema.fieldNames.filterNot(keyCols.contains).toSeq
     def side(v: Long, tag: String): DataFrame = {
-      val cfs = fsOf(root)
-      val dirs = snapshotDirs(root, v, partCol)
-        .collect { case (b, d) if touched(b) => d }
-        .filter(d => cfs.exists(new Path(d)))
-      val df = if (dirs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          payloadSchema)
-      else spark.read.schema(payloadSchema).parquet(dirs: _*)
+      val df = maskedRead(spark, root, payloadSchema, v, partCol, touched)
       df.select(keyCols.map(col) ++
         (lit(true).as(s"_in_$tag") +:
           payload.map(p => col(p).as(s"${tag}_$p"))): _*)
@@ -404,6 +540,35 @@ object VersionedTable {
               DatapointStore.rmTree(fs, bd); removed += 1
             }
           }
+      }
+    // deletion vectors: dv/v=W/bucket=b is dead once no retained
+    // snapshot needs it — for W < horizon that is exactly "the bucket
+    // was rewritten (or dropped) at some X in (W, horizon]", i.e. its
+    // winning version AT the horizon is >= W (V_b is monotone, so later
+    // snapshots can only retire it further). W >= horizon stays: it is
+    // part of retained history.
+    val winningAtHorizon = scala.collection.mutable.Map[Long, Long]()
+    all.filter(_.version <= newHorizon).foreach { c =>
+      c.buckets.foreach(b => winningAtHorizon(b) = c.version)
+      c.dropped.foreach(b => winningAtHorizon.remove(b))
+    }
+    val dvRoot = new Path(s"$root/dv")
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(_.getName.drop(2).toLong < newHorizon)
+      .foreach { vd =>
+        val w = vd.getName.drop(2).toLong
+        fs.listStatus(vd).map(_.getPath)
+          .filter(_.getName.startsWith(s"$partCol=")).foreach { bd =>
+            val b = bd.getName.drop(partCol.length + 1).toLong
+            if (!winningAtHorizon.get(b).exists(_ < w)) {
+              DatapointStore.rmTree(fs, bd); removed += 1
+            }
+          }
+        // only write debris left (_SUCCESS, .crc) ⇒ the version dir is done
+        if (!fs.listStatus(vd).exists(
+            _.getPath.getName.startsWith(s"$partCol=")))
+          DatapointStore.rmTree(fs, vd)
       }
     writeString(fs, new Path(logDir(root), "_horizon"), newHorizon.toString)
     removed

@@ -45,6 +45,23 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"stale rows-only entries: ${rowsOnly -- unoracled}")
   }
 
+  test("registry construction rejects duplicate keys (no silent last-wins)") {
+    // Both registries build via distinctToMap from a Seq of pairs — a Map
+    // literal with a repeated key silently last-wins and LOSES a gate (the
+    // r14 mm_frames collision; caught then only by a schema mismatch).
+    // Inject a duplicate and require the throw.
+    val ex = intercept[IllegalArgumentException] {
+      SparkEntry.distinctToMap("probe",
+        Seq("a" -> 1, "b" -> 2, "a" -> 3))
+    }
+    assert(ex.getMessage.contains("duplicate probe keys: a"))
+    // And the real registries pass the same gate at their full size: the
+    // map cardinality must equal the backing Seq cardinality (each map
+    // materializes through distinctToMap, so reaching here means no dups).
+    assert(SparkEntry.queries.size >= 351,
+      s"queries registry shrank: ${SparkEntry.queries.size}")
+  }
+
   test("entry() flagship returns rows at sf0.001 (driver smoke gate)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     assert(SparkEntry.entry(spark).count() > 0)

@@ -3495,6 +3495,68 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mg(d) == want)
     assert(mg(d.repartition(13)) == want)
     assert(mg(d.coalesce(1)) == want)
+    // estimator-engagement pin (r15, the KMV k=16 lesson): the gate
+    // corpus vocabulary is TINY (31 tokens at sf0.001 — measured), so the
+    // runs above never leave the small-map path and MG's decrement lane
+    // would be dead code if only gates exercised it. Engage it here:
+    // 600 distinct tokens >> 16 counters, three planted heavies, output
+    // ≡ direct exact groupBy across layouts (pigeonhole recall + exact
+    // recount — the candidate set varies, the output must not).
+    import spark.implicits._
+    val hv = (0 until 600).flatMap(i => Seq.fill(2)(s"t$i")) ++
+      (0 until 3).flatMap(h => Seq.fill(700)(s"heavy$h"))
+    // total 3300; keep-threshold is cnt·5 > 3300 ⇒ only the 700s survive
+    val synth = new scala.util.Random(7).shuffle(hv)
+      .grouped(24).map(_.mkString(" ")).toSeq.toDF("text")
+    val n = hv.size.toLong
+    val wantS = Seq("heavy0", "heavy1", "heavy2")
+      .map(t => (t, 700L)).toSet
+    for (layout <- Seq(synth, synth.repartition(13), synth.coalesce(1))) {
+      val got = graft.operators.TextStats
+        .heavyHitters(layout, k = 5, counters = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == wantS, s"evicting MG must recover exactly the " +
+        s"planted heavies (cnt·5 > $n): $got")
+    }
+  }
+
+  test("estimator lanes engage: HLL dense-mode fold≡direct; bloom false positives corrected by the exact confirm") {
+    import spark.implicits._
+    import graft.operators.HllRollup
+    // HLL at lgK=12 leaves sparse mode well below 300k distincts — the
+    // gate-SF events fixture never gets there (the hll rollup test above
+    // runs exact-territory counts), so pin the DENSE estimator here:
+    // fold over partials must estimate IDENTICALLY to direct (register-
+    // wise max is lossless) and both within 5σ of truth (RSE ~1.04/64).
+    val n = 300000L
+    val ev = (0L until n).map(i => (i % 24, i)).toDF("part", "id")
+    val partials = ev.groupBy("part")
+      .agg(expr("hll_sketch_agg(id, 12)").as("sketch"))
+    val folded = partials
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))"))
+      .head().getLong(0)
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(id, 12))"))
+      .head().getLong(0)
+    assert(folded == direct,
+      s"dense-mode fold $folded must equal direct $direct")
+    val tol = (5 * (1.04 / 64) * n).toLong
+    assert(math.abs(direct - n) <= tol, s"direct=$direct vs n=$n (±$tol)")
+    // Bloom lane: at fpp=0.5 false positives are certain, so the
+    // exact-confirm join is what keeps the result ≡ the broadcast lane —
+    // the estimator path is exercised AND corrected, not bypassed
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 120)
+    val train = docs.where(col("doc_id") % 11 =!= 0)
+    val bench = docs.where(col("doc_id") % 11 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val loose = rows(graft.operators.Pipeline.contaminationScoresBloom(
+      train, bench, fpp = 0.5))
+    val exact = rows(graft.operators.Pipeline.contaminationScores(
+      train, bench))
+    assert(loose == exact,
+      "high-fpp bloom must still net the exact result via the confirm join")
   }
 
   test("sq8 codes are integers in [0,255]; max-value rows land on 255; self is top-1") {
@@ -3820,8 +3882,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$root/cells")
       .select("vec_id").collect().map(_.getLong(0)).toSet == before,
       "the held-out writer must not have touched live state")
-    // A finishes: release → B retries and lands exactly
-    graft.operators.IndexGen.release(fs, root, g + 1)
+    // A finishes: release → B retries and lands exactly (token-precise:
+    // release deletes exactly A's lease file, never a same-gen sibling)
+    graft.operators.IndexGen.release(fs, root, aLease)
     graft.operators.Similarity.deleteFromIvfIndex(spark, root, Seq(3L, 9L))
     assert(spark.read.parquet(s"$root/cells")
       .select("vec_id").collect().map(_.getLong(0)).toSet ==
@@ -3846,14 +3909,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bfs = new org.apache.hadoop.fs.Path(broot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bg = graft.operators.IndexGen.current(bfs, broot)
-    bfs.create(new org.apache.hadoop.fs.Path(broot,
-      s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}"),
-      true).close()
+    val bLease = s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}"
+    bfs.create(new org.apache.hadoop.fs.Path(broot, bLease), true).close()
     intercept[graft.model.ConcurrentCommit] {
       graft.operators.Retrieval.deleteFromIndex(spark, broot,
         Seq(1L).toDF("doc_id"))
     }
-    graft.operators.IndexGen.release(bfs, broot, bg + 1)
+    graft.operators.IndexGen.release(bfs, broot, bLease)
     graft.operators.Retrieval.deleteFromIndex(spark, broot,
       Seq(1L).toDF("doc_id"))
     assert(spark.read.parquet(s"$broot/postings")
@@ -3910,7 +3972,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       fs.rename(tmp, live))
     fs.delete(old, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/.ivf_stage"), true)
-    graft.operators.IndexGen.release(fs, root, g + 1)
+    graft.operators.IndexGen.release(fs, root, lease)
     // publication landed intact: vec 9 gone, everything else served
     val after = search()
     assert(!spark.read.parquet(s"$root/cells")
@@ -3927,9 +3989,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(0L).toDF("doc_id").write.parquet(s"$broot/_bm25_pending_delete")
     val bg = graft.operators.IndexGen.current(bfs, broot)
-    bfs.create(new org.apache.hadoop.fs.Path(broot,
-      s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}_t"),
-      true).close()
+    val bLease = s"_idx_lease_${bg + 1}_${System.currentTimeMillis() + 600000}_t"
+    bfs.create(new org.apache.hadoop.fs.Path(broot, bLease), true).close()
     val bq = d.where(col("doc_id") === 0)
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     assert(graft.operators.Retrieval
@@ -3939,7 +4000,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bfs.exists(new org.apache.hadoop.fs.Path(
       broot, "_bm25_pending_delete")),
       "reader must not complete a leased root's pending delete")
-    graft.operators.IndexGen.release(bfs, broot, bg + 1)
+    graft.operators.IndexGen.release(bfs, broot, bLease)
     // lease-free: the next reader's heal completes the delete
     assert(graft.operators.Retrieval
       .bm25TopKIndexed(spark, broot, bq, 3, nBuckets = 4)
@@ -3992,6 +4053,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     S.deleteFromIvfIndex(spark, root, Seq(8L))
     assert(!spark.read.parquet(s"$root/cells")
       .select("vec_id").collect().map(_.getLong(0)).contains(8L))
+  }
+
+  test("index mutation CAS: a writer stalled across TWO full generations cannot re-win a pruned marker; release is token-precise") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stale-gen").toString + "/idx"
+    S.buildIvfIndex(e, root, stride = 25)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A reads the generation and stalls between begin and advance
+    val gA = graft.operators.IndexGen.begin(fs, root)
+    // TWO full mutations land meanwhile: advance prunes superseded
+    // markers, so only the newest `_idx_mut_` remains — the marker A's
+    // CAS would target (gA+1) no longer exists and create-new would
+    // "win" (the ADVICE r14 hole). advance must compare against the MAX
+    // marker and refuse.
+    S.deleteFromIvfIndex(spark, root, Seq(3L))
+    S.deleteFromIvfIndex(spark, root, Seq(5L))
+    assert(graft.operators.IndexGen.current(fs, root) == gA + 2)
+    intercept[graft.model.ConcurrentCommit] {
+      graft.operators.IndexGen.advance(fs, root, gA)
+    }
+    // the refusal left no lease behind (root immediately writable)
+    def leases() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_idx_lease_")).toSeq
+    assert(leases().isEmpty, s"stale-gen loser leaked a lease: ${leases()}")
+    // token-precise release: two leases for the SAME numeric generation
+    // (a late-waking former holder vs the live writer) — releasing one
+    // token must not delete the other writer's lease
+    val g = graft.operators.IndexGen.current(fs, root)
+    val now = System.currentTimeMillis()
+    val mine = s"_idx_lease_${g + 1}_${now + 600000}_aa"
+    val theirs = s"_idx_lease_${g + 1}_${now + 600000}_bb"
+    fs.create(new org.apache.hadoop.fs.Path(root, mine), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(root, theirs), true).close()
+    graft.operators.IndexGen.release(fs, root, mine)
+    assert(leases().toSet == Set(theirs),
+      s"release must delete exactly its own token: ${leases()}")
+    graft.operators.IndexGen.release(fs, root, theirs)
+    assert(leases().isEmpty)
   }
 
   test("bm25 append onto a crashed delete's state heals first: no double subtraction, delete completes") {
@@ -4132,7 +4237,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stale = new org.apache.hadoop.fs.Path(
       s"$work/_log/${"%020d".format(1)}.json")
     fs.create(stale, true).close()
-    fs.setTimes(stale, System.currentTimeMillis() - 120000L, -1L)
+    // past the 15-min grace (r15: raised well above plausible clock skew
+    // — heal compares the writer's mtime to the READER's clock)
+    fs.setTimes(stale, System.currentTimeMillis() - 1200000L, -1L)
     assert(VersionedTable.latestVersion(work) == 0L)
     val ch = Seq((1L, "MINE", "U", 9L)).toDF("k", "value", "op", "version")
     val v = VersionedTable.mergeWithRetry(spark, work, ch, Seq("k"), pexpr)
@@ -4816,6 +4923,156 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a1.getLong(1) < n, "gutted dir must drop n_codes")
     assert(a1.getLong(5) < a0.getLong(5),
       s"gutted recall ${a1.getLong(5)} should fall below ${a0.getLong(5)}")
+  }
+
+  test("winnow contamination verified: planted verbatim run confirms, edited text does not, winnow columns stay consistent") {
+    import spark.implicits._
+    val run = (1 to 11).map(i => s"copied$i").mkString(" ") // 11 words
+    def filler(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${(seed * 131 + i * 17) % 997}").mkString(" ")
+    val evalDoc = (100L, s"${filler(1, 30)} $run ${filler(2, 30)}")
+    // doc 0: contains the verbatim 11-word run → must verify
+    val hit = (0L, s"${filler(3, 25)} $run ${filler(4, 25)}")
+    // doc 1: the run with its middle word EDITED — every 11-window
+    // differs, but long shared 4-gram stretches remain (both run halves)
+    // → fingerprint candidate with NO verified span
+    val edited = run.split(" ").updated(5, "EDITED").mkString(" ")
+    val miss = (1L, s"${filler(5, 25)} $edited ${filler(6, 25)}")
+    val noise = (2 until 40).map(i => (i.toLong, filler(i + 10, 60)))
+    val docs = (Seq(hit, miss) ++ noise).toDF("doc_id", "text")
+    val evalDf = Seq(evalDoc).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .winnowContaminationVerified(docs, evalDf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.contains(0L) && out(0L)._3 >= 1,
+      s"verbatim 11-word run must verify: $out")
+    assert(out.contains(1L) && out(1L)._3 == 0,
+      s"edited run must stay a fingerprint-only candidate (n_spans=0): $out")
+    // the winnow columns are the winnow lane's verbatim
+    val winnow = graft.operators.Dedup.winnowContamination(docs, evalDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == winnow,
+      "verified lane must not change the candidate set or its counts")
+  }
+
+  test("merge-on-read delete: DV-masked reads ≡ COW result, CDC sees the delete, merge folds, compaction preserves, heal/vacuum reclaim") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-mor").toString + "/tbl"
+    val base = (0L until 64L).map(k => (k, s"v$k")).toDF("k", "value")
+    val schema = base.schema
+    val pexpr = pmod(col("k"), lit(8L))
+    VersionedTable.init(spark, work, base, pexpr) // v0
+    def keysAt(v: Long): Set[Long] =
+      VersionedTable.readAt(spark, work, schema, v)
+        .select("k").collect().map(_.getLong(0)).toSet
+    // v1: MoR delete of 3 keys — NO bucket rewrite, only the DV sidecar
+    val v1 = VersionedTable.deleteMergeOnRead(spark, work,
+      Seq(3L, 11L, 20L).toDF("k"), pexpr)
+    assert(v1 == 1L)
+    val fs = graft.core.DatapointStore.fsFor(work)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/data/v=1")),
+      "a merge-on-read delete must not rewrite any bucket")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/dv/v=1")))
+    assert(keysAt(1L) == (0L until 64L).toSet -- Set(3L, 11L, 20L))
+    assert(keysAt(0L) == (0L until 64L).toSet, "time travel below the DV")
+    // CDC: the MoR delete is visible as 'D' rows
+    val cdc = VersionedTable.changes(spark, work, schema, Seq("k"), 0L, 1L)
+      .select("k", "change_op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(cdc == Set(3L -> "D", 11L -> "D", 20L -> "D"))
+    // v2: second DV on overlapping buckets; v3: a merge rewriting the
+    // bucket of k=3/11 (k%8==3) must FOLD its DVs — and not resurrect
+    val v2 = VersionedTable.deleteMergeOnRead(spark, work,
+      Seq(35L).toDF("k"), pexpr) // bucket 3
+    assert(v2 == 2L)
+    val up = Seq((19L, "UP", "U", 3L)).toDF("k", "value", "op", "version")
+    val v3 = VersionedTable.merge(spark, work, up, Seq("k"), pexpr) // bucket 3
+    assert(v3 == 3L)
+    assert(keysAt(3L) ==
+      (0L until 64L).toSet -- Set(3L, 11L, 20L, 35L))
+    assert(VersionedTable.readAt(spark, work, schema, 3L)
+      .where(col("k") === 19L).head().getString(1) == "UP")
+    // the fold retired bucket 3's DVs: reading v3 must consult no DV dir
+    // for bucket 3 (k=3 stays deleted because the REWRITE dropped it)
+    // v4: threshold compaction folds the remaining DVs (bucket 4's k=20)
+    val v4 = VersionedTable.compactDeletes(spark, work, schema, pexpr,
+      minDvPerBucket = 1)
+    assert(v4 == 4L)
+    assert(keysAt(4L) == keysAt(3L), "compaction is content-preserving")
+    assert(keysAt(2L) == (0L until 64L).toSet -- Set(3L, 11L, 20L, 35L),
+      "time travel through the DV stack stays exact")
+    // heal: an orphaned dv dir (crash between DV write and record) goes
+    Seq(99L).toDF("k").withColumn("bucket", pexpr)
+      .write.partitionBy("bucket").parquet(s"$work/dv/v=9")
+    VersionedTable.heal(work)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/dv/v=9")),
+      "orphan DV dir must heal away")
+    assert(keysAt(4L) == keysAt(3L))
+    // vacuum past the folds reclaims the retired DV dirs
+    VersionedTable.vacuum(work, keep = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/dv/v=1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$work/dv/v=2")),
+      "folded DVs below the horizon must vacuum away")
+    assert(keysAt(4L) == (0L until 64L).toSet -- Set(3L, 11L, 20L, 35L))
+  }
+
+  test("ivf filtered search: pre-filter ≡ filtered-corpus index; post-filter converges under a covering oversample; attrs survive delete+compact+rebuild") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val tagged = e.withColumn("src", col("vec_id") % 4)
+    val cents = S.strideCentroids(e, 25)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-filt").toString + "/idx"
+    S.buildIvfIndexWith(tagged, root, cents)
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pre = S.ivfIndexTopKFiltered(spark, root, q, k = 3,
+      pred = col("src") === 1, nprobe = 2)
+    val preRows = rows(pre)
+    assert(preRows.nonEmpty && preRows.forall(_._2 % 4 == 1),
+      "every candidate must satisfy the predicate")
+    // cell assignment is per-vector against FROZEN centroids, so
+    // pre-filtering the candidate side ≡ searching an index built from
+    // ONLY the matching vectors under the same quantizer
+    val filtRoot = java.nio.file.Files
+      .createTempDirectory("graft-ivf-filt-only").toString + "/idx"
+    S.buildIvfIndexWith(e.where(col("vec_id") % 4 === 1), filtRoot, cents)
+    val expected = rows(
+      S.ivfIndexTopK(spark, filtRoot, q, k = 3, nprobe = 2))
+    assert(preRows == expected,
+      "pre-filter must equal the filtered-corpus index search exactly")
+    // post-filter with an oversample window covering EVERY candidate in
+    // the probed cells (200 vectors total, so k·oversample = 300 > all)
+    // is provably ≡ pre-filter — the recall loss only exists when the
+    // window clips
+    val post = rows(S.ivfIndexTopKFiltered(spark, root, q, k = 3,
+      pred = col("src") === 1, nprobe = 2, oversample = 100))
+    assert(post == preRows, "covering post-filter must equal pre-filter")
+    // attributes survive the COW delete, compaction, and a rebuild
+    S.deleteFromIvfIndex(spark, root, Seq(1L, 5L))
+    val afterDel = rows(S.ivfIndexTopKFiltered(spark, root, q, k = 3,
+      pred = col("src") === 1, nprobe = 2))
+    assert(afterDel.forall(r => r._2 != 1L && r._2 != 5L) &&
+      afterDel.forall(_._2 % 4 == 1))
+    S.compactIvfIndex(spark, root, maxFilesPerCell = 0)
+    assert(rows(S.ivfIndexTopKFiltered(spark, root, q, k = 3,
+      pred = col("src") === 1, nprobe = 2)) == afterDel,
+      "compaction is content-preserving incl. attribute columns")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-filt-rb").toString + "/idx"
+    S.rebuildIvfIndex(spark, root, root2, stride = 25)
+    val rb = rows(S.ivfIndexTopKFiltered(spark, root2, q, k = 3,
+      pred = col("src") === 1, nprobe = 2))
+    assert(rb.nonEmpty && rb.forall(_._2 % 4 == 1),
+      "rebuild must carry attribute columns into the new root")
   }
 
   override def afterAll(): Unit = spark.stop()

@@ -457,8 +457,9 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("approx_percentile sketch tracks the exact percentile") {
     import spark.implicits._
-    // the scale path for q_percentiles: single-pass fixed-size mergeable
-    // state instead of an exact per-group sort buffer
+    // approx_percentile remains the sketch alternative for users who can
+    // trade exactness for one pass (q_percentiles' gate lane is the exact
+    // distributed rank lane, Percentiles.exactInterpolated — pinned below)
     val df = (1L to 200000L).map(i => (i % 1000).toDouble).toDF("x")
     val r = df.agg(
       expr("percentile(x, 0.9)").as("exact_p"),
@@ -910,6 +911,82 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t1 = tasksOf(search())
     assert(t1 < t12,
       s"compacted search should schedule fewer tasks ($t1 vs $t12 over 12 dirs)")
+  }
+
+  test("merge-on-read delete is metadata-scale: no bucket rewrite, bounded jobs; the COW merge path stays bucket-pruned") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val work = Files.createTempDirectory("graft-mor-scale").toString + "/tbl"
+    // 64 buckets of real data — the COW shape would rewrite whole bucket
+    // dirs for a 5-row compliance delete
+    val base = (0L until 4096L).map(k => (k, k * 31 % 977)).toDF("k", "v")
+    val pexpr = pmod(col("k"), lit(64L))
+    VersionedTable.init(spark, work, base, pexpr)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      VersionedTable.deleteMergeOnRead(spark, work,
+        Seq(7L, 99L, 1033L, 2048L, 4000L).toDF("k"), pexpr)
+      org.apache.spark.graftspec.BusDrain.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val n = jobs.get()
+    assert(n > 0 && n <= 8,
+      s"merge-on-read delete of 5 rows used $n jobs (bound 8)")
+    val fs = graft.core.DatapointStore.fsFor(work)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/data/v=1")),
+      "no bucket may be rewritten by a merge-on-read delete")
+    // and the DV sidecar is tiny: only the touched buckets' key files
+    val dvBuckets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$work/dv/v=1"))
+      .count(_.getPath.getName.startsWith("bucket="))
+    assert(dvBuckets <= 5, s"DV wrote $dvBuckets bucket dirs for 5 keys")
+    // read stays correct and the masked read's data scan is still the
+    // shared v0 dirs (no duplication)
+    val left = VersionedTable.readAt(spark, work, base.schema)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 4096L).toSet -- Set(7L, 99L, 1033L, 2048L, 4000L))
+  }
+
+  test("filtered ivf search: scan lists only probed cell dirs and pushes the attribute predicate to parquet") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    val tagged = e.withColumn("src", col("vec_id") % 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-filt-plan").toString + "/idx"
+    S.buildIvfIndexWith(tagged, root, S.strideCentroids(e, 25))
+    val nCells = new java.io.File(s"$root/cells").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(nCells >= 4, s"fixture needs several cells, got $nCells")
+    // ONE query → at most nprobe=2 probed cells out of $nCells
+    val q = e.where(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val res = S.ivfIndexTopKFiltered(spark, root, q, k = 3,
+      pred = col("src") === 1, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+      .replaceAll("\\s+", " ")
+    // I/O ∝ probed cells: the static isin reaches the scan as a
+    // PartitionFilter naming at most nprobe=2 of the cell dirs
+    // (inputFiles would lie here — it lists the UNPRUNED file index)
+    val pf = "PartitionFilters: \\[cell#\\d+L? IN \\(([^)]*)\\)".r
+    val probed = pf.findFirstMatchIn(plan).map(_.group(1))
+    assert(probed.nonEmpty,
+      s"no partition filter on the cells scan:\n$plan")
+    assert(probed.get.split(',').length <= 2,
+      s"filtered search must prune to the probed cells, got: ${probed.get}")
+    // and the attribute predicate reached the parquet scan (pre-filter
+    // lane: row-group stats skip non-matching files)
+    assert(plan.matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(src,1\\).*"),
+      s"attribute predicate must push into the scan:\n$plan")
   }
 
   override def afterAll(): Unit = spark.stop()
