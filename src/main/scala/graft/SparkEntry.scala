@@ -4306,6 +4306,33 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    "q_mor_cdc" -> { (s, dir) =>
+      // CDC across merge-on-read deletes (r15): the q_mor_delete fixture
+      // shape, diffed v0 → v3 — DV deletes surface as 'D' rows (no
+      // bucket was ever rewritten for them), the single-bucket merge as
+      // 'U' rows; the diff reads only buckets the log (incl. dv lists)
+      // names as touched.
+      import graft.operators.VersionedTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-morcdc-q").toString + "/tbl"
+      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val pexpr = pmod(col("k"), lit(16L))
+      VersionedTable.init(s, work, base, pexpr)
+      VersionedTable.deleteMergeOnRead(s, work,
+        base.where(col("k") % 7 === 2).select("k"), pexpr)
+      VersionedTable.deleteMergeOnRead(s, work,
+        base.where(col("k") % 7 === 4).select("k"), pexpr)
+      val upd = base.where(col("k") % 112 === 1)
+        .withColumn("cents", col("cents") + 6000L)
+        .withColumn("op", lit("U")).withColumn("version", lit(3L))
+      VersionedTable.merge(s, work, upd, Seq("k"), pexpr)
+      val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
+      VersionedTable.changes(s, work, schema, Seq("k"), 0L, 3L)
+        .orderBy("k")
+    },
+
     "q_funnel_pattern" -> { (s, dir) =>
       // ordered-sequence funnel (MATCH_RECOGNIZE staple): per user the
       // earliest view → click-after-view → purchase-after-click chain;
@@ -5288,6 +5315,40 @@ object SparkEntry {
       val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
       Similarity.ivfPqIndexTopK(s, work, q, k = 3, nprobe = 2)
         .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivfpq_filtered" -> { (s, dir) =>
+      // attribute-filtered search on the COMPRESSED index (r15):
+      // codes-only rows carry no attributes by design, so the filter is
+      // an allowed vec-id frame semi-joined BEFORE the ADC kernel — no
+      // distance math on filtered-out codes; shares the read-only PQ
+      // fixture and the ivfpq oracle with the candidate predicate.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val work = ivfpqBaseIndex(s, dir)
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val allowed = e.where(col("vec_id") % 4 === 1).select("vec_id")
+      Similarity.ivfPqIndexTopKFiltered(s, work, q, k = 3,
+          broadcast(allowed), nprobe = 2)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_ivf_postfiltered" -> { (s, dir) =>
+      // the OTHER filtered-ANN strategy (r15): rank UNFILTERED to
+      // k·oversample = 12 first, then filter and re-rank to 3 — right
+      // when the predicate is near-unselective and pushing it buys
+      // nothing; the recall trade is explicit (a query whose wide
+      // window holds < 3 matching rows returns fewer). Own oracle: the
+      // same two-stage rank in SQL.
+      val work = ivfBaseIndex(s, dir)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopKFiltered(s, work, q, k = 3,
+          pred = col("src") === 1, nprobe = 2, oversample = 4)
+        .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rnk")
     },
 
@@ -8158,6 +8219,37 @@ object SparkEntry {
       |  FROM p)
       |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  // the POST-filter two-stage oracle: the ivf replay's unfiltered rank
+  // cut at k·oversample = 12, then the attribute filter and the re-rank
+  // to 3 — the explicit-recall-trade strategy, distinct from the
+  // pre-filter lane's oracle
+  private val ivfPostFilteredOracleSql: String = {
+    val finalSelect =
+      """SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
+    require(ivfOracleSql.endsWith(finalSelect), "ivf oracle drifted")
+    ivfOracleSql.stripSuffix(finalSelect).stripSuffix("\n") + ",\n" +
+      """pf AS (SELECT qid, cid, sim FROM t WHERE rnk <= 12 AND cid % 4 = 1),
+        |t2 AS (SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+        |  FROM pf)
+        |SELECT qid, cid, rnk, round(sim, 6) AS sim FROM t2 WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // the ivfpq replay with the allowed-set predicate on the CANDIDATE
+  // side only (codes carry no attributes; the engine semi-joins an
+  // allowed vec-id frame before the ADC kernel)
+  private val ivfpqFilteredOracleSql: String = {
+    val candFrom =
+      "FROM probes p JOIN cells cl USING (cell) WHERE cl.vec_id <> p.qid),"
+    require(ivfpqOracleSql.contains(candFrom), "ivfpq oracle drifted")
+    ivfpqOracleSql.replace(candFrom,
+      "FROM probes p JOIN cells cl USING (cell)\n" +
+        "  WHERE cl.vec_id <> p.qid AND cl.vec_id % 4 = 1),")
+  }
 
   private val bm25TopkOracleSql: String =
     """WITH d AS (SELECT doc_id, text FROM documents),
@@ -12388,6 +12480,21 @@ object SparkEntry {
         |  SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3)
         |ORDER BY version""".stripMargin,
 
+    // DV deletes diff as 'D' (before payload, NULL after), the
+    // single-bucket merge as 'U'; residues are disjoint by construction
+    // (k%112=1 ⇒ k%7=1)
+    "q_mor_cdc" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT k, cents AS before_cents, CAST(NULL AS BIGINT) AS after_cents,
+        |      'D' AS change_op
+        |    FROM base WHERE k % 7 = 2 OR k % 7 = 4
+        |  UNION ALL
+        |  SELECT k, cents, cents + 6000, 'U' FROM base WHERE k % 112 = 1)
+        |ORDER BY k""".stripMargin,
+
     "q_funnel_pattern" ->
       // greedy-earliest chain mirrored step by step; steps_completed
       // counts non-null stage times
@@ -12852,6 +12959,8 @@ object SparkEntry {
     "emb_ann_ivfpq" -> ivfpqOracleSql,
 
     "emb_ann_ivfpq_indexed" -> ivfpqOracleSql,
+    "emb_ann_ivfpq_filtered" -> ivfpqFilteredOracleSql,
+    "emb_ann_ivf_postfiltered" -> ivfPostFilteredOracleSql,
 
     "emb_ann_ivfpq_appended" -> ivfpqOracleSql,
 

@@ -1789,7 +1789,25 @@ object Similarity {
     */
   def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
       root: String, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ivfPqIndexCore(spark, root, queries, k, nprobe, None)
+
+  /** Attribute-filtered IVF-PQ search (r15): candidates must appear in
+    * `allowed` (a vec-id frame — any metadata predicate materializes to
+    * one; the [[Retrieval.bm25TopKIndexedFiltered]] shape for the
+    * compressed index, where codes-only rows carry no attributes by
+    * design). The semi-join runs BEFORE the ADC kernel — no distance
+    * math on filtered-out codes; I/O stays ∝ probed cell partitions.
+    * Broadcast `allowed` at the call site when it is small.
+    */
+  def ivfPqIndexTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, allowed: DataFrame,
+      nprobe: Int = 2): DataFrame =
+    ivfPqIndexCore(spark, root, queries, k, nprobe, Some(allowed))
+
+  private def ivfPqIndexCore(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int,
+      nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     healIvfPqIndex(spark, root) // finish/roll back interrupted mutations
     GraftFunctions.register(spark)
@@ -1814,9 +1832,15 @@ object Similarity {
       .localCheckpoint(true) // read twice: probed-cell list + the join
     val probedCells = probeSide.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.schema(pqCellsSchema)
+    val codesAll = spark.read.schema(pqCellsSchema)
       .parquet(s"$root/pqcells")
       .where(col("cell").isin(probedCells: _*))
+    // filtered lane: restrict candidates before any ADC math
+    val codes = allowed match {
+      case Some(a) => codesAll.join(a.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      case None => codesAll
+    }
     val ad = probeSide.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),

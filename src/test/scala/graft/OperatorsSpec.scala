@@ -4956,6 +4956,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "verified lane must not change the candidate set or its counts")
   }
 
+  test("ivfpq filtered search: allowed-set semi-join ≡ searching an index of only the allowed vectors") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 200)
+    // one quantizer+codebook root; codes are per-vector, so filtering
+    // candidates ≡ indexing only the allowed vectors under the same
+    // frozen quantizers
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-filt").toString + "/idx"
+    S.buildIvfPqIndex(e, root, stride = 40, m = 16)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-pq-filt2").toString + "/idx"
+    val fs = graft.core.DatapointStore.fsFor(root)
+    // clone the trained sidecars (centroids + codebooks), re-encode only
+    // the allowed vectors into the clone
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/centroids"), fs,
+      new org.apache.hadoop.fs.Path(s"$root2/centroids"), false,
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/codebooks"), fs,
+      new org.apache.hadoop.fs.Path(s"$root2/codebooks"), false,
+      spark.sparkContext.hadoopConfiguration)
+    S.appendToIvfPqIndex(e.where(col("vec_id") % 4 === 1), root2)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val filtered = rows(S.ivfPqIndexTopKFiltered(spark, root, q, k = 3,
+      broadcast(e.where(col("vec_id") % 4 === 1).select("vec_id")),
+      nprobe = 2))
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 4 == 1))
+    val only = rows(S.ivfPqIndexTopK(spark, root2, q, k = 3, nprobe = 2))
+    assert(filtered == only,
+      "filtered PQ search must equal the allowed-only index search")
+  }
+
   test("merge-on-read delete: DV-masked reads ≡ COW result, CDC sees the delete, merge folds, compaction preserves, heal/vacuum reclaim") {
     import spark.implicits._
     import graft.operators.VersionedTable
