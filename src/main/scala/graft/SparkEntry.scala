@@ -4306,6 +4306,48 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    "q_mor_stream" -> { (s, dir) =>
+      // STREAMING takedown feed over the versioned table (r15): delete
+      // keys arrive in micro-batches and apply as merge-on-read DV
+      // commits (no bucket rewrites in the hot path); every 2nd batch
+      // folds accumulated DVs through compactDeletes (the in-loop
+      // compactEvery move). Deletes are naturally idempotent — a
+      // re-delivered batch re-masks already-deleted keys, a no-op at
+      // read time (batch 1 is re-delivered here to prove it) — so no
+      // batch-id commit gate is needed, unlike the append lanes.
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      import graft.operators.VersionedTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mor-stream").toString + "/tbl"
+      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val pexpr = pmod(col("k"), lit(16L))
+      val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
+      VersionedTable.init(s, work, base, pexpr)
+      def keys(m: Long) = base.where(col("k") % 7 === m)
+        .select("k").as[Long].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = mem.toDF.toDF("k").writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          VersionedTable.deleteMergeOnRead(s, work, b.select("k"), pexpr)
+          if (id % 2 == 1)
+            VersionedTable.compactDeletes(s, work, schema, pexpr,
+              minDvPerBucket = 1)
+          ()
+        }
+        .option("checkpointLocation", s"$work/../ckpt").start()
+      try {
+        mem.addData(keys(2)); q.processAllAvailable()
+        mem.addData(keys(4)); q.processAllAvailable()
+        mem.addData(keys(2)); q.processAllAvailable() // re-delivery
+      } finally q.stop()
+      VersionedTable.readAt(s, work, schema)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    },
+
     "q_mor_cdc" -> { (s, dir) =>
       // CDC across merge-on-read deletes (r15): the q_mor_delete fixture
       // shape, diffed v0 → v3 — DV deletes surface as 'D' rows (no
@@ -12479,6 +12521,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3)
         |ORDER BY version""".stripMargin,
+
+    // final content after the streamed DV deletes (+ idempotent
+    // re-delivery) and in-loop folds
+    "q_mor_stream" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE k % 7 <> 2 AND k % 7 <> 4""".stripMargin,
 
     // DV deletes diff as 'D' (before payload, NULL after), the
     // single-bucket merge as 'U'; residues are disjoint by construction

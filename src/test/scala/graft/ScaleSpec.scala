@@ -948,9 +948,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dvBuckets <= 5, s"DV wrote $dvBuckets bucket dirs for 5 keys")
     // read stays correct and the masked read's data scan is still the
     // shared v0 dirs (no duplication)
-    val left = VersionedTable.readAt(spark, work, base.schema)
-      .select("k").collect().map(_.getLong(0)).toSet
+    val masked = VersionedTable.readAt(spark, work, base.schema)
+    val left = masked.select("k").collect().map(_.getLong(0)).toSet
     assert(left == (0L until 4096L).toSet -- Set(7L, 99L, 1033L, 2048L, 4000L))
+    // and a metadata-scale DV masks via a BROADCAST anti-join — the fact
+    // side never shuffles for a 5-key compliance delete (a corpus-scale
+    // DV may legitimately shuffle; the planner sizes from file stats)
+    val plan = masked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small-DV masked read must broadcast the anti-join:\n$plan")
   }
 
   test("filtered ivf search: scan lists only probed cell dirs and pushes the attribute predicate to parquet") {
