@@ -4764,6 +4764,30 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "emb_ann_ivf_mor" -> { (s, dir) =>
+      // MERGE-ON-READ takedown on the vector index (r15): decoys delete
+      // as an append-only tombstone sidecar — NO cell rewrite — and the
+      // search anti-joins the pending tombstones (the VersionedTable DV
+      // move for vectors). Content nets to the corpus, so the MASKED
+      // search shares emb_ann_ivf's oracle verbatim; the fold
+      // (compactIvfTombstones ⇒ staged COW) is pinned ≡ in OperatorsSpec.
+      import s.implicits._
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivf-mor").toString + "/idx"
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = Similarity.strideCentroids(e, 50)
+      val decoys = e.where(col("vec_id") < 100)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("emb"))
+      Similarity.buildIvfIndexWith(e.unionByName(decoys), work, cents)
+      Similarity.deleteFromIvfIndexMor(s, work,
+        (10000000L until 10000100L).toDF("vec_id"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      Similarity.ivfIndexTopK(s, work, q, k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rnk")
+    },
+
     "emb_ann_ivf_maintained" -> { (s, dir) =>
       // the persisted index under its FULL LIFECYCLE: build on ⅔ of the
       // corpus plus 100 decoy vectors (shifted-id copies — the rows a
@@ -12885,6 +12909,8 @@ object SparkEntry {
     // build+append+delete lifecycle nets out to the full corpus under
     // the same frozen quantizer — same oracle verbatim
     "emb_ann_ivf_maintained" -> ivfOracleSql,
+    // tombstone-masked content nets to the corpus — same oracle verbatim
+    "emb_ann_ivf_mor" -> ivfOracleSql,
     // compaction is content-preserving — same search, same oracle
     "emb_ann_ivf_compacted" -> ivfOracleSql,
 

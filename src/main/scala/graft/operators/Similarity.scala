@@ -689,8 +689,10 @@ object Similarity {
       oldRoot: String, newRoot: String, stride: Long, iters: Int = 2,
       centroidBudget: Long = 1024): Unit = {
     healIvfIndex(spark, oldRoot)
-    // drop only the derived columns — attribute columns survive a rebuild
-    val content = spark.read.parquet(s"$oldRoot/cells")
+    // drop only the derived columns — attribute columns survive a rebuild;
+    // pending tombstones must NOT resurrect (the rebuild is a fold)
+    val content = maskTombstones(spark, oldRoot,
+        spark.read.parquet(s"$oldRoot/cells"))
       .drop("norm", "cell").localCheckpoint(true) // trains + re-cells
     buildIvfIndexWith(content, newRoot,
       kmeansCentroidsExact(content, stride, iters, centroidBudget))
@@ -955,9 +957,10 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     // pinned schema: inferred INT cell values + isin(longs) would wrap
     // the partition filter in a cast (the pqCellsSchema rationale)
-    val cells = spark.read.schema(flatCellsSchema)
+    val cells = maskTombstones(spark, root, spark.read
+      .schema(flatCellsSchema)
       .parquet(s"$root/cells")
-      .where(col("cell").isin(probedCells: _*))
+      .where(col("cell").isin(probedCells: _*)))
     val pairs = probeSide.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot("qemb", "emb") / (col("q_norm") * col("norm")))
@@ -965,6 +968,73 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("rnk"), col("sim"))
+  }
+
+  private val tombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The persisted index's pending merge-on-read tombstones (empty frame
+    * when none) — metadata-scale by contract: bounded by deletes since
+    * the last [[compactIvfTombstones]] fold, so the read-side anti-join
+    * broadcasts from file stats.
+    */
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val fs = hadoopFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(tombstoneSchema).parquet(p.toString))
+  }
+
+  private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String, cells: DataFrame): DataFrame =
+    ivfTombstones(spark, root) match {
+      case Some(ts) => cells.join(ts, Seq("vec_id"), "left_anti")
+      case None => cells
+    }
+
+  /** MERGE-ON-READ delete for the persisted IVF index (r15 — the
+    * [[VersionedTable.deleteMergeOnRead]] move for vectors): the ids
+    * land as an append-only TOMBSTONE sidecar (`root/tombstones`) and
+    * no cell is rewritten — at 100 TB a 100-vector takedown must not
+    * COW whole cell dirs. Every search lane anti-joins the pending
+    * tombstones (metadata-scale broadcast); [[compactIvfTombstones]]
+    * folds them through the staged COW delete past a threshold.
+    * Same CAS discipline as [[appendToIvfIndex]] (the write IS the
+    * publish; tombstones are append-only and deletes are idempotent,
+    * so a crash after the write simply leaves the delete applied).
+    * NOTE: a vector re-appended while its id is tombstoned stays
+    * masked until a fold clears the sidecar — fold before re-adding.
+    */
+  def deleteFromIvfIndexMor(spark: org.apache.spark.sql.SparkSession,
+      root: String, idsDf: DataFrame): Unit = {
+    healIvfIndex(spark, root)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/cells"))) return
+    val gen = IndexGen.begin(fs, root)
+    val lease = IndexGen.advance(fs, root, gen)
+    idsDf.select(col("vec_id").cast("long").as("vec_id"))
+      .coalesce(1) // metadata-scale by contract: one file per delete batch
+      .write.mode("append").parquet(s"$root/tombstones")
+    IndexGen.release(fs, root, lease)
+  }
+
+  /** Fold pending tombstones into data through the staged COW delete
+    * (touched cells only), then clear the sidecar — the read-amp bound
+    * for the merge-on-read lane. Crash-safe by idempotence: the COW
+    * completes BEFORE the sidecar clears, and a crash between leaves
+    * tombstones that mask already-deleted ids (a no-op at read time).
+    */
+  def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (!fs.exists(p)) return
+    val ids = spark.read.schema(tombstoneSchema).parquet(p.toString)
+      .distinct().localCheckpoint(true)
+    if (ids.head(1).nonEmpty) deleteFromIvfIndexFrame(spark, root, ids)
+    fs.delete(p, true)
   }
 
   /** Attribute-filtered search on the persisted index (r15) — the lane
@@ -1018,8 +1088,9 @@ object Similarity {
       if (f.name == "cell")
         f.copy(dataType = org.apache.spark.sql.types.LongType)
       else f))
-    val cells = spark.read.schema(pinned).parquet(s"$root/cells")
-      .where(col("cell").isin(probedCells: _*))
+    val cells = maskTombstones(spark, root,
+      spark.read.schema(pinned).parquet(s"$root/cells")
+        .where(col("cell").isin(probedCells: _*)))
     def rank(df: DataFrame, kk: Int): DataFrame = {
       val w = Window.partitionBy("qid")
         .orderBy(col("sim").desc, col("vec_id"))
@@ -1564,8 +1635,8 @@ object Similarity {
     val cand = ivfPqIndexTopK(spark, pqRoot, queries, rerankR, nprobe)
       .select(col("qid"), col("cid"))
     healIvfIndex(spark, flatRoot)
-    val raw = spark.read.schema(flatCellsSchema)
-      .parquet(s"$flatRoot/cells")
+    val raw = maskTombstones(spark, flatRoot,
+        spark.read.schema(flatCellsSchema).parquet(s"$flatRoot/cells"))
       .select(col("vec_id").as("cid"), col("emb").as("demb"),
         col("norm").as("dnorm"))
     val qk = queries.select(col("qid"), col("qemb"))
@@ -1664,7 +1735,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     healIvfIndex(spark, root)
-    val c = spark.read.schema(flatCellsSchema).parquet(s"$root/cells")
+    val c = maskTombstones(spark, root,
+        spark.read.schema(flatCellsSchema).parquet(s"$root/cells"))
       .select(col("vec_id"), col("emb"), col("norm").as("c_norm"))
     val q = queries.withColumn("q_norm",
       sqrt(call_function("graft_dot", col("qemb"), col("qemb"))))

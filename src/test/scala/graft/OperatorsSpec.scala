@@ -4956,6 +4956,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "verified lane must not change the candidate set or its counts")
   }
 
+  test("ivf tombstone MoR: no cell rewrite, every lane masked, fold ≡ COW delete, rebuild never resurrects") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 150)
+    val cents = S.strideCentroids(e, 30)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-mor-spec").toString + "/idx"
+    S.buildIvfIndexWith(e, root, cents)
+    val filesBefore = spark.read.parquet(s"$root/cells").inputFiles.toSet
+    S.deleteFromIvfIndexMor(spark, root, Seq(3L, 9L, 15L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$root/cells").inputFiles.toSet == filesBefore,
+      "a merge-on-read delete must not rewrite any cell file")
+    val q = e.where(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the COW delete on a sibling index
+    val cowRoot = java.nio.file.Files
+      .createTempDirectory("graft-ivf-mor-cow").toString + "/idx"
+    S.buildIvfIndexWith(e, cowRoot, cents)
+    S.deleteFromIvfIndex(spark, cowRoot, Seq(3L, 9L, 15L))
+    val want = rows(S.ivfIndexTopK(spark, cowRoot, q, 3, nprobe = 2))
+    assert(rows(S.ivfIndexTopK(spark, root, q, 3, nprobe = 2)) == want,
+      "masked nprobe search must equal the COW-deleted index")
+    assert(rows(S.ivfIndexTopKExact(spark, root, q, 3)) ==
+      rows(S.ivfIndexTopKExact(spark, cowRoot, q, 3)),
+      "masked exact search must equal the COW-deleted index")
+    // the fold: staged COW over touched cells only, sidecar cleared,
+    // results unchanged
+    S.compactIvfTombstones(spark, root)
+    val fs = graft.core.DatapointStore.fsFor(root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(rows(S.ivfIndexTopK(spark, root, q, 3, nprobe = 2)) == want)
+    assert(spark.read.parquet(s"$root/cells")
+      .where(col("vec_id").isin(3L, 9L, 15L)).count() == 0,
+      "fold must have physically removed the tombstoned rows")
+    // rebuild from a root with PENDING tombstones must not resurrect
+    S.deleteFromIvfIndexMor(spark, root, Seq(21L).toDF("vec_id"))
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-mor-rb").toString + "/idx"
+    S.rebuildIvfIndex(spark, root, root2, stride = 30)
+    assert(spark.read.parquet(s"$root2/cells")
+      .where(col("vec_id") === 21L).count() == 0,
+      "rebuild is a fold: pending tombstones must not resurrect")
+  }
+
   test("ivfpq filtered search: allowed-set semi-join ≡ searching an index of only the allowed vectors") {
     import spark.implicits._
     val S = graft.operators.Similarity
