@@ -3715,6 +3715,29 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    "q_bm25_mor" -> { (s, dir) =>
+      // MERGE-ON-READ takedown on the inverted index (r15): decoy
+      // copies of the first 20 docs delete as an append-only tombstone
+      // sidecar — no postings/doclens bucket rewritten — and the search
+      // anti-joins candidates against it. Corpus stats (df, N, avgdl)
+      // deliberately stay PHYSICAL until the fold (Delta DV stance), so
+      // the oracle scores over docs ∪ decoys and filters candidates.
+      // Without the mask every qid's rank-2 would be its own decoy.
+      import s.implicits._
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bm25-mor").toString + "/idx"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val decoys = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Retrieval.buildIndex(docs.unionByName(decoys), work)
+      Retrieval.deleteFromIndexMor(s, work,
+        (10000000L until 10000020L).toDF("doc_id"))
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopKIndexed(s, work, broadcast(queries), 5)
+        .orderBy("qid", "rnk")
+    },
+
     "q_maxsim_rerank" -> { (s, dir) =>
       // late-interaction retrieval (ColBERT MaxSim, r15): BM25 top-20
       // first stage, then Σ_q max_d token-level dot rerank over
@@ -10746,6 +10769,38 @@ object SparkEntry {
     // doc_id tie-break) so last-ulp ln/sum-order differences can't flip
     // ranks; the score column itself is fp-only
     "q_bm25_topk" -> bm25TopkOracleSql,
+
+    // stats over the PHYSICAL corpus (docs ∪ decoy copies of the first
+    // 20 — pending tombstones don't touch df/N/avgdl until the fold),
+    // candidates restricted to un-tombstoned docs
+    "q_bm25_mor" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |t AS (SELECT * FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n,
+        |    (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+        |      / (SELECT count(*) FROM d) AS avgdl),
+        |q AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 5),
+        |qq AS (SELECT * FROM q WHERE tok <> ''),
+        |scored AS (SELECT qq.qid, tf.doc_id,
+        |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qq JOIN tf ON qq.tok = tf.tok JOIN df ON qq.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  WHERE tf.doc_id < 10000000
+        |  GROUP BY qq.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // the q_bm25_topk recipe with candidates restricted to the allowed
     // residue BEFORE ranking; df/st CTEs stay full-corpus, so surviving

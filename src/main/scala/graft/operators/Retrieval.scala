@@ -195,7 +195,10 @@ object Retrieval {
     val postingsCk = postings.localCheckpoint(true) // cf AND probe join
     val cf = postingsCk.groupBy("tok").agg(coalesce(sum("tf"), lit(0L)).as("cf"))
     val totalC = readStats(bfs, root).map(_._3).getOrElse(0L)
-    lmScore(qt, ql, postingsCk.select("doc_id", "tok", "tf"),
+    // MoR tombstones mask candidates; cf/|C| stay physical until fold
+    val tf = maskDocTombstones(spark, root,
+      postingsCk.select("doc_id", "tok", "tf"))
+    lmScore(qt, ql, tf,
       postingsCk.select("doc_id", "dl").distinct(), cf, totalC, k, mu)
   }
 
@@ -671,8 +674,12 @@ object Retrieval {
   def rebuildIndex(spark: org.apache.spark.sql.SparkSession,
       oldRoot: String, newRoot: String, nBuckets: Int = 64): Unit = {
     healIndex(spark, oldRoot)
-    spark.read.parquet(s"$oldRoot/postings")
-      .select("doc_id", "tok", "tf", "dl")
+    // a rebuild is a FOLD: pending MoR tombstones must not resurrect,
+    // and the Observation recount below refreshes (N, sum_dl) from the
+    // masked doclens
+    maskDocTombstones(spark, oldRoot,
+        spark.read.parquet(s"$oldRoot/postings")
+          .select("doc_id", "tok", "tf", "dl"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -681,8 +688,9 @@ object Retrieval {
       newRoot, DlV2Marker), true).close()
     // (n_docs, sum_dl) piggybacked on the rewrite job it already runs
     val obs = org.apache.spark.sql.Observation()
-    spark.read.parquet(s"$oldRoot/doclens")
-      .select("doc_id", "dl")
+    maskDocTombstones(spark, oldRoot,
+        spark.read.parquet(s"$oldRoot/doclens")
+          .select("doc_id", "dl"))
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .observe(obs, count(lit(1)).as("n"),
@@ -696,8 +704,9 @@ object Retrieval {
     // a positional index re-buckets its positions tree too
     val fs = retrievalFs(spark, oldRoot)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$oldRoot/positions")))
-      spark.read.parquet(s"$oldRoot/positions")
-        .select("doc_id", "tok", "positions")
+      maskDocTombstones(spark, oldRoot,
+          spark.read.parquet(s"$oldRoot/positions")
+            .select("doc_id", "tok", "positions"))
         .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
@@ -1001,6 +1010,71 @@ object Retrieval {
     * sidecar marker's filename — search I/O is strictly ∝ probed
     * buckets (the doclens table is mutation-path bookkeeping only).
     */
+  private val docTombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Pending merge-on-read tombstones for a [[buildIndex]] root —
+    * metadata-scale by contract (bounded by deletes since the last
+    * [[compactIndexTombstones]] fold), so the read-side anti-join
+    * broadcasts from file stats.
+    */
+  private def indexTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val fs = retrievalFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(docTombSchema).parquet(p.toString))
+  }
+
+  private def maskDocTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame): DataFrame =
+    indexTombstones(spark, root) match {
+      case Some(ts) => df.join(ts, Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** MERGE-ON-READ delete for the inverted index (r15 — the
+    * [[graft.operators.Similarity.deleteFromIvfIndexMor]] move for
+    * text): doc ids land as an append-only tombstone sidecar and no
+    * postings/doclens bucket is rewritten; every serving lane
+    * anti-joins its CANDIDATES against the pending tombstones.
+    * Corpus statistics (df, N, avgdl) deliberately stay PHYSICAL until
+    * [[compactIndexTombstones]] folds (bounded staleness — the Delta
+    * deletion-vector stance on table stats): surviving docs keep their
+    * pre-delete scores, which is also what makes the lane exactly
+    * oracle-able. Same CAS discipline as appends; idempotent, so no
+    * heal state is needed.
+    */
+  def deleteFromIndexMor(spark: org.apache.spark.sql.SparkSession,
+      root: String, idsDf: DataFrame): Unit = {
+    healIndex(spark, root)
+    val fs = retrievalFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings"))) return
+    val gen = graft.operators.IndexGen.begin(fs, root)
+    val lease = graft.operators.IndexGen.advance(fs, root, gen)
+    idsDf.select(col("doc_id").cast("long").as("doc_id"))
+      .coalesce(1) // metadata-scale by contract: one file per batch
+      .write.mode("append").parquet(s"$root/tombstones")
+    graft.operators.IndexGen.release(fs, root, lease)
+  }
+
+  /** Fold pending tombstones through the staged COW delete (touched
+    * buckets only, stats updated), then clear the sidecar. Crash-safe by
+    * idempotence: the COW completes first; a crash before the clear
+    * leaves tombstones masking already-deleted docs — a no-op.
+    */
+  def compactIndexTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = retrievalFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (!fs.exists(p)) return
+    val ids = spark.read.schema(docTombSchema).parquet(p.toString)
+      .distinct().localCheckpoint(true)
+    if (ids.head(1).nonEmpty) deleteFromIndex(spark, root, ids)
+    fs.delete(p, true)
+  }
+
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, nBuckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
@@ -1059,7 +1133,9 @@ object Retrieval {
       .map(s => (s._2, s._3)).getOrElse((0L, 0L))
     val avgdl = if (n > 0) sdl.toDouble / n else 0.0
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    val probe = qtoks.join(postingsCk, "tok")
+    // merge-on-read tombstones mask CANDIDATES; stats stay physical
+    // until the fold (documented bounded staleness)
+    val probe = maskDocTombstones(spark, root, qtoks.join(postingsCk, "tok"))
     // filtered lane: restrict CANDIDATES before any term math; df/N/avgdl
     // above stay full-corpus (standard filtered-retrieval semantics —
     // surviving docs score identically to the unfiltered lane)
@@ -1116,7 +1192,8 @@ object Retrieval {
           expr(s"transform(positions, p -> p - ${i}L)").as(s"a$i"))
     }
     val lanes = phrase.zipWithIndex.map { case (t, i) => tokLane(t, i) }
-    val joined = lanes.reduce((l, r) => l.join(r, "doc_id"))
+    val joined = maskDocTombstones(spark, root,
+      lanes.reduce((l, r) => l.join(r, "doc_id")))
     val acc = phrase.indices.map(i => s"a$i")
       .reduce((l, r) => s"array_intersect($l, $r)")
     joined

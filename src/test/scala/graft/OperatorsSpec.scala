@@ -5005,6 +5005,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild is a fold: pending tombstones must not resurrect")
   }
 
+  test("bm25 tombstone MoR: no bucket rewrite, bm25/lm/phrase lanes masked, fold ≡ COW delete, rebuild folds") {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-mor-spec").toString + "/idx"
+    R.buildIndex(d, root, nBuckets = 4, positional = true)
+    val filesBefore = spark.read.parquet(s"$root/postings").inputFiles.toSet
+    R.deleteFromIndexMor(spark, root, Seq(1L, 7L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$root/postings").inputFiles.toSet ==
+      filesBefore, "MoR delete must not rewrite any postings bucket")
+    val q = d.where(col("doc_id").isin(1L, 2L))
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val masked = R.bm25TopKIndexed(spark, root, q, 5, nBuckets = 4)
+    assert(ids(masked).intersect(Set(1L, 7L)).isEmpty,
+      "tombstoned docs must not serve (incl. qid=1's own doc)")
+    assert(ids(R.lmDirichletTopKIndexed(spark, root, q, 5, nBuckets = 4))
+      .intersect(Set(1L, 7L)).isEmpty, "LM lane must mask too")
+    val phrase = d.where(col("doc_id") === 1L).head().getString(1)
+      .split(" ").filter(_.nonEmpty).take(3).toSeq
+    assert(!R.phraseTopKIndexed(spark, root, phrase, 10, nBuckets = 4)
+      .collect().map(_.getLong(0)).contains(1L), "phrase lane must mask")
+    // fold ≡ COW: scores equal the COW-deleted index AFTER the fold
+    // (stats refresh there — before it they are deliberately physical)
+    R.compactIndexTombstones(spark, root)
+    val fs = graft.core.DatapointStore.fsFor(root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    val cowRoot = java.nio.file.Files
+      .createTempDirectory("graft-bm25-mor-cow").toString + "/idx"
+    R.buildIndex(d, cowRoot, nBuckets = 4, positional = true)
+    R.deleteFromIndex(spark, cowRoot, Seq(1L, 7L).toDF("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "doc_id", "score", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rows(R.bm25TopKIndexed(spark, root, q, 5, nBuckets = 4)) ==
+      rows(R.bm25TopKIndexed(spark, cowRoot, q, 5, nBuckets = 4)),
+      "post-fold index must equal the COW-deleted index exactly")
+    // rebuild folds pending tombstones (never resurrects)
+    R.deleteFromIndexMor(spark, root, Seq(2L).toDF("doc_id"))
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-bm25-mor-rb").toString + "/idx"
+    R.rebuildIndex(spark, root, root2, nBuckets = 4)
+    assert(spark.read.parquet(s"$root2/postings")
+      .where(col("doc_id") === 2L).count() == 0,
+      "rebuild is a fold: pending tombstones must not resurrect")
+    assert(spark.read.parquet(s"$root2/doclens")
+      .where(col("doc_id") === 2L).count() == 0)
+  }
+
   test("ivfpq filtered search: allowed-set semi-join ≡ searching an index of only the allowed vectors") {
     import spark.implicits._
     val S = graft.operators.Similarity
