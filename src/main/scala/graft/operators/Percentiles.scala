@@ -37,7 +37,13 @@ object Percentiles {
       ps: Seq[(Double, String)], checkpoint: Boolean = true): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val g = col(groupCol)
-    val vc = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("cnt"))
+    // builtin percentile IGNORES nulls (n = non-null count); a null
+    // value row would otherwise become a NULLS FIRST CDF entry. A group
+    // whose values are ALL null disappears here — callers that must
+    // keep such groups (builtin yields a null percentile row) left-join
+    // this output (ds_staleness does).
+    val vc = df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(count(lit(1)).as("cnt"))
     val wcum = Window.partitionBy(groupCol).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf0 = vc.withColumn("cum", sum("cnt").over(wcum))
@@ -80,4 +86,88 @@ object Percentiles {
       ps: Seq[Double]): DataFrame =
     exactInterpolated(df, groupCol, valCol,
       ps.map(p => p -> s"p${(p * 100).round}"))
+
+  /** Exact DISCRETE per-group order statistics (type 1: the element at
+    * rank ceil(p·n)) in the same distributed rank lane — strictly
+    * simpler than [[exactInterpolated]] because a discrete percentile
+    * needs only the ONE distinct value whose CDF interval
+    * `[cum−cnt+1, cum]` contains the target rank, no interpolation
+    * arithmetic. The scale point (the r15 `weak`): ranking every fact
+    * row with `row_number().over(partitionBy(group))` shuffles the
+    * whole table into #groups partitions — parallelism capped at the
+    * group count (3 tasks externally sorting n/3 rows each at 100 TB).
+    * Here the only corpus-wide shuffle is a partial-aggregated
+    * `groupBy(group, value).count`; the sort window runs over the
+    * DISTINCT table only and the target ranks ride a broadcast.
+    *
+    * Ranks are pure integer (never a float p·n — 0.9·n rounds UP
+    * through IEEE on some n): p given as `num/den`,
+    * rank = `(num·n + den − 1) div den` = ceil(num·n/den).
+    *
+    * Output: one row per group — `groupCol`, `nName` (BIGINT group row
+    * count), one value column per requested rank, named by `ps._3`.
+    */
+  def exactDiscrete(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(Int, Int, String)], nName: String = "n_rows",
+      checkpoint: Boolean = true): DataFrame = {
+    require(ps.nonEmpty, "need at least one rank")
+    val g = col(groupCol)
+    val vc = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(groupCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf0 = vc.withColumn("cum", sum("cnt").over(wcum))
+    // feeds the totals AND the range join — never recompute the window
+    val cdf = if (checkpoint) cdf0.localCheckpoint(true) else cdf0
+    val totals = cdf.groupBy(groupCol).agg(max("cum").as("n"))
+    // one target row per (group, rank), broadcast onto the CDF
+    val targets = totals.select(g.as("tg"),
+        explode(array(ps.map { case (num, den, name) =>
+          struct(lit(name).as("pname"),
+            expr(s"(${num}L * n + $den - 1) div $den").as("r"))
+        }: _*)).as("t"), col("n"))
+      .select(col("tg"), col("t.pname").as("pname"), col("t.r").as("r"),
+        col("n"))
+    cdf.join(broadcast(targets),
+        g === col("tg") &&
+          col("r") >= col("cum") - col("cnt") + 1 && col("r") <= col("cum"))
+      .groupBy(col("tg").as(groupCol))
+      .agg(max("n").as(nName),
+        ps.map { case (_, _, name) =>
+          max(when(col("pname") === name, col(valCol))).as(name) }: _*)
+  }
+
+  /** Exact per-group WEIGHTED order statistics — the lower/upper
+    * weighted median (smallest value whose cumulative weight reaches /
+    * exceeds half the group total) — over the DISTINCT-value table
+    * only (the skyline discipline). The raw-row formulation's
+    * cumulative RANGE window is a whole-partition pass over fact rows
+    * partitioned by the group key — the same parallelism-capped class
+    * as the discrete-percentile row_number. Here weights fold map-side
+    * into per-(group, value) sums (the only corpus shuffle), the
+    * cumulative window spans per-group DISTINCT cardinality, and group
+    * totals ride a broadcast. Crossing tests are pure integer
+    * (`2·cumw >= totw`, never `0.5·totw`); the distinct-table cumw at
+    * value v equals the raw RANGE-frame cumw of every row with that
+    * value (peers share one deterministic cumw), so results are
+    * identical row-for-row.
+    *
+    * Output: one row per group — `groupCol`, `totName` (BIGINT total
+    * weight), `loName` / `hiName` (the lower/upper weighted median).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, totName: String = "total_weight",
+      loName: String = "wmed_lo", hiName: String = "wmed_hi",
+      checkpoint: Boolean = true): DataFrame = {
+    val vc = df.groupBy(groupCol, valCol).agg(sum(wCol).as("w"))
+    val wcum = Window.partitionBy(groupCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf0 = vc.withColumn("cumw", sum("w").over(wcum))
+    val cdf = if (checkpoint) cdf0.localCheckpoint(true) else cdf0
+    val tot = cdf.groupBy(groupCol).agg(max("cumw").as("totw"))
+    cdf.join(broadcast(tot), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(max("totw").as(totName),
+        min(when(col("cumw") * 2 >= col("totw"), col(valCol))).as(loName),
+        min(when(col("cumw") * 2 > col("totw"), col(valCol))).as(hiName))
+  }
 }

@@ -427,17 +427,20 @@ object Pipeline {
     * Bounds round to INTEGERS on purpose: interpolated quantiles can
     * differ in the last ulp across engines (different lerp forms), and an
     * integer bound keeps every downstream sum exact BIGINT arithmetic.
-    * One exact-percentile aggregation per group + one keyed join back —
-    * at extreme group sizes swap percentile for approx_percentile, same
-    * call shape (the q_percentiles trade documented in BASELINE notes).
+    * Bounds come from the distributed distinct-value CDF rank lane
+    * ([[Percentiles.exactInterpolated]], r16 — bit-identical to builtin
+    * percentile by the ScaleSpec pin, without its per-group value-count
+    * map in one reducer per group), then one keyed LEFT join back (left
+    * = the builtin's all-null-group row survives with null bounds).
     * Output adds (lo_b, hi_b, clamped).
     */
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val bounds = df.groupBy(col(groupCol)).agg(
-      round(expr(s"percentile($valueCol, ${lo}D)")).cast("long").as("lo_b"),
-      round(expr(s"percentile($valueCol, ${hi}D)")).cast("long").as("hi_b"))
-    df.join(bounds, groupCol)
+    val bounds = Percentiles.exactInterpolated(df, groupCol, valueCol,
+        Seq(lo -> "lo_q", hi -> "hi_q"))
+      .select(col(groupCol), round(col("lo_q")).cast("long").as("lo_b"),
+        round(col("hi_q")).cast("long").as("hi_b"))
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn("clamped",
         least(greatest(col(valueCol).cast("long"), col("lo_b")), col("hi_b")))
   }

@@ -1024,7 +1024,17 @@ object Retrieval {
     val fs = retrievalFs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     if (!fs.exists(p)) None
-    else Some(spark.read.schema(docTombSchema).parquet(p.toString))
+    else {
+      // file-precise folds (r16) leave the dir behind with only hidden
+      // debris (_SUCCESS/.crc) — no visible data files means no pending
+      // tombstones, so serving lanes skip the anti-join entirely
+      val files = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(_.getPath.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.schema(docTombSchema).parquet(files: _*))
+    }
   }
 
   private def maskDocTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -1062,18 +1072,37 @@ object Retrieval {
   /** Fold pending tombstones through the staged COW delete (touched
     * buckets only, stats updated), then clear the sidecar. Crash-safe by
     * idempotence: the COW completes first; a crash before the clear
-    * leaves tombstones masking already-deleted docs — a no-op.
+    * leaves tombstones masking already-deleted docs — a no-op. The
+    * clear is FILE-PRECISE (r16, the [[graft.operators.Similarity
+    * .compactIvfTombstones]] discipline): snapshot the sidecar's file
+    * list, fold exactly those files, delete exactly those files — a
+    * tombstone appended mid-fold by a concurrent CAS-legal
+    * [[deleteFromIndexMor]] survives to the next fold instead of being
+    * wiped unfolded.
     */
   def compactIndexTombstones(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = retrievalFs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     if (!fs.exists(p)) return
-    val ids = spark.read.schema(docTombSchema).parquet(p.toString)
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.map(_.getPath)
+    if (files.isEmpty) return
+    tombstoneFoldHook() // test seam: a concurrent append lands here
+    val ids = spark.read.schema(docTombSchema)
+      .parquet(files.map(_.toString): _*)
       .distinct().localCheckpoint(true)
     if (ids.head(1).nonEmpty) deleteFromIndex(spark, root, ids)
-    fs.delete(p, true)
+    files.foreach(f => fs.delete(f, false))
   }
+
+  /** Test seam for the fold/append race: invoked between the sidecar
+    * file snapshot and the fold, where a concurrent [[deleteFromIndexMor]]
+    * may legally append. Production no-op.
+    */
+  private[graft] var tombstoneFoldHook: () => Unit = () => ()
 
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, nBuckets: Int = 64,

@@ -984,7 +984,17 @@ object Similarity {
     val fs = hadoopFs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     if (!fs.exists(p)) None
-    else Some(spark.read.schema(tombstoneSchema).parquet(p.toString))
+    else {
+      // file-precise folds (r16) leave the dir behind with only hidden
+      // debris (_SUCCESS/.crc) — no visible data files means no pending
+      // tombstones, so readers skip the anti-join entirely
+      val files = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(_.getPath.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.schema(tombstoneSchema).parquet(files: _*))
+    }
   }
 
   private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -1025,17 +1035,37 @@ object Similarity {
     * for the merge-on-read lane. Crash-safe by idempotence: the COW
     * completes BEFORE the sidecar clears, and a crash between leaves
     * tombstones that mask already-deleted ids (a no-op at read time).
+    * The clear is FILE-PRECISE (r16): the fold snapshots the sidecar's
+    * file list up front, reads exactly those files, and deletes exactly
+    * those files after — a tombstone a concurrent CAS-legal
+    * [[deleteFromIvfIndexMor]] appends mid-fold lands in a NEW file
+    * that survives to the next fold instead of being silently wiped
+    * unfolded (the deleted vector would have resurrected with no
+    * ConcurrentCommit raised).
     */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = hadoopFs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     if (!fs.exists(p)) return
-    val ids = spark.read.schema(tombstoneSchema).parquet(p.toString)
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.map(_.getPath)
+    if (files.isEmpty) return
+    tombstoneFoldHook() // test seam: a concurrent append lands here
+    val ids = spark.read.schema(tombstoneSchema)
+      .parquet(files.map(_.toString): _*)
       .distinct().localCheckpoint(true)
     if (ids.head(1).nonEmpty) deleteFromIvfIndexFrame(spark, root, ids)
-    fs.delete(p, true)
+    files.foreach(f => fs.delete(f, false))
   }
+
+  /** Test seam for the fold/append race: invoked between the sidecar
+    * file snapshot and the fold, where a concurrent [[deleteFromIvfIndexMor]]
+    * may legally append. Production no-op.
+    */
+  private[graft] var tombstoneFoldHook: () => Unit = () => ()
 
   /** Attribute-filtered search on the persisted index (r15) — the lane
     * every real vector-serving workload needs (filter by source / date /

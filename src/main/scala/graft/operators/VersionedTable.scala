@@ -335,7 +335,13 @@ object VersionedTable {
     * concurrency discipline as [[merge]]: the commit-record CAS detects
     * a foreign racer; [[mergeWithRetry]]-style looping belongs to the
     * caller (deletes are idempotent — re-masking the same keys is a
-    * no-op at read time).
+    * no-op at read time). NOTE the staging contract is also [[merge]]'s
+    * verbatim: `dv/v=N` is staged (Overwrite) BEFORE the commit CAS, so
+    * two FOREIGN writers racing the same version are out of contract —
+    * a CAS loser's stage write could overwrite the winner's committed
+    * DV content. One writer process per table; the CAS is the safety
+    * net that turns a violation into ConcurrentCommit, not a license
+    * for concurrent same-version retries.
     */
   def deleteMergeOnRead(spark: SparkSession, root: String, keys: DataFrame,
       partExpr: Column, partCol: String = "bucket"): Long = {

@@ -3453,6 +3453,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep("c3") == (0L, 0L), s"c3 got ${rep("c3")}")
   }
 
+  test("cdcSharedChunks array-side chunking ≡ the r15 word-explode window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // r16 rewrote chunk assembly onto array slices between boundary
+    // positions (chunk-scale explode, no words-scale shuffle/window/
+    // collect_list). This pins new ≡ old on real docs + edge shapes:
+    // empty text, doc shorter than g, boundary-dense and boundary-free.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 60)
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "one two"), (9003L, "a b c d"),
+        (9004L, (1 to 200).map(i => s"w${i % 7}").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val got = graft.operators.Dedup.cdcSharedChunks(docs, minDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // the r15 formulation, inlined as the reference
+    val g = 4; val mask = 16
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"),
+      expr(s"graft_md5_ngrams(text, $g)").as("gh"))
+    val flagged = base.select(col("doc_id"), posexplode(expr(
+      s"""zip_with(ws, transform(ws, (x, i) ->
+         |  CASE WHEN i >= $g AND pmod(element_at(gh, i - $g + 1), $mask) = 0
+         |  THEN 1L ELSE 0L END), (w, f) -> struct(w, f))""".stripMargin))
+      .as(Seq("pos", "wf")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = flagged
+      .withColumn("chunk", sum(col("wf.f")).over(win))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(expr("""cast(conv(substring(md5(cast(array_join(transform(
+          |  array_sort(collect_list(struct(pos, wf.w as w))), s -> s.w),
+          |  ' ') as binary)), 1, 15), 16, 10) as long)""".stripMargin)
+          .as("h"),
+        count(lit(1)).as("n_words"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("n_words").as("n_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"array-side CDC diverged: only-new=${got -- want}, only-old=${want -- got}")
+  }
+
   test("winnowing: shared run >= w+n-1 words guarantees a shared fingerprint; partitioning-invariant") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
@@ -4990,7 +5034,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // results unchanged
     S.compactIvfTombstones(spark, root)
     val fs = graft.core.DatapointStore.fsFor(root)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    // file-precise clear (r16): the folded data files are gone (hidden
+    // debris like _SUCCESS may remain — readers ignore it)
+    def pendingFiles(dir: String) = {
+      val pp = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(pp)) Array.empty[String]
+      else fs.listStatus(pp).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }).map(_.getPath.getName)
+    }
+    assert(pendingFiles(s"$root/tombstones").isEmpty,
+      "fold must clear the folded sidecar files")
     assert(rows(S.ivfIndexTopK(spark, root, q, 3, nprobe = 2)) == want)
     assert(spark.read.parquet(s"$root/cells")
       .where(col("vec_id").isin(3L, 9L, 15L)).count() == 0,
@@ -5034,7 +5089,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (stats refresh there — before it they are deliberately physical)
     R.compactIndexTombstones(spark, root)
     val fs = graft.core.DatapointStore.fsFor(root)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    def pendingFiles(dir: String) = {
+      val pp = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(pp)) Array.empty[String]
+      else fs.listStatus(pp).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }).map(_.getPath.getName)
+    }
+    assert(pendingFiles(s"$root/tombstones").isEmpty,
+      "fold must clear the folded sidecar files")
     val cowRoot = java.nio.file.Files
       .createTempDirectory("graft-bm25-mor-cow").toString + "/idx"
     R.buildIndex(d, cowRoot, nBuckets = 4, positional = true)
@@ -5056,6 +5120,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild is a fold: pending tombstones must not resurrect")
     assert(spark.read.parquet(s"$root2/doclens")
       .where(col("doc_id") === 2L).count() == 0)
+  }
+
+  test("tombstone fold is file-precise: a mid-fold MoR append survives the clear (both index families)") {
+    import spark.implicits._
+    // r16 (ADVICE): the r15 fold cleared the WHOLE sidecar dir against a
+    // pre-fold ids snapshot — a CAS-legal concurrent MoR delete landing
+    // between snapshot and clear was wiped UNFOLDED and the taken-down
+    // id resurrected with no ConcurrentCommit. Now the fold snapshots
+    // the sidecar's file list, folds exactly those files, deletes
+    // exactly those files: the late append's file survives to the next
+    // fold. The seam injects the append at the exact race point.
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(col("vec_id") < 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-foldrace").toString + "/idx"
+    S.buildIvfIndexWith(e, root, S.strideCentroids(e, 25))
+    S.deleteFromIvfIndexMor(spark, root, Seq(3L).toDF("vec_id"))
+    S.tombstoneFoldHook =
+      () => S.deleteFromIvfIndexMor(spark, root, Seq(7L).toDF("vec_id"))
+    try S.compactIvfTombstones(spark, root)
+    finally S.tombstoneFoldHook = () => ()
+    // the folded id is physically gone; the mid-fold id's tombstone
+    // file survived the clear and still masks
+    assert(spark.read.parquet(s"$root/cells")
+      .where(col("vec_id") === 3L).count() == 0, "folded id must be gone")
+    assert(spark.read.parquet(s"$root/tombstones")
+      .collect().map(_.getLong(0)).toSet == Set(7L),
+      "mid-fold tombstone must survive the file-precise clear")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    assert(!S.ivfIndexTopKExact(spark, root, q, 200)
+      .select("cid").collect().map(_.getLong(0)).contains(7L),
+      "the surviving tombstone must still mask serving")
+    // and the NEXT fold retires it physically
+    S.compactIvfTombstones(spark, root)
+    assert(spark.read.parquet(s"$root/cells")
+      .where(col("vec_id") === 7L).count() == 0)
+
+    val R = graft.operators.Retrieval
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 40)
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft-bm25-foldrace").toString + "/idx"
+    R.buildIndex(d, broot, nBuckets = 4)
+    R.deleteFromIndexMor(spark, broot, Seq(1L).toDF("doc_id"))
+    R.tombstoneFoldHook =
+      () => R.deleteFromIndexMor(spark, broot, Seq(5L).toDF("doc_id"))
+    try R.compactIndexTombstones(spark, broot)
+    finally R.tombstoneFoldHook = () => ()
+    assert(spark.read.parquet(s"$broot/postings")
+      .where(col("doc_id") === 1L).count() == 0, "folded id must be gone")
+    assert(spark.read.parquet(s"$broot/tombstones")
+      .collect().map(_.getLong(0)).toSet == Set(5L),
+      "mid-fold tombstone must survive the file-precise clear")
+    R.compactIndexTombstones(spark, broot)
+    assert(spark.read.parquet(s"$broot/postings")
+      .where(col("doc_id") === 5L).count() == 0)
   }
 
   test("ivfpq filtered search: allowed-set semi-join ≡ searching an index of only the allowed vectors") {

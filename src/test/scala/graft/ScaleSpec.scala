@@ -692,6 +692,77 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank lane diverged from the built-in: ${rank.toSeq} vs ${builtin.toSeq}")
   }
 
+  test("q_percentile_disc / q_weighted_median rank on the distinct table, never a fact-row window") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the r15 weak: row_number().over(Window.partitionBy(flag)) (and the
+    // weighted twin's cumulative RANGE frame) ranked EVERY fact row with
+    // the table hash-shuffled into 3 partitions — parallelism capped at
+    // the group count; at 100× that is 3 tasks externally sorting tens
+    // of millions of rows each. The r16 lanes must sort only the
+    // DISTINCT (group, value) table: raw rows feed a partial-aggregated
+    // groupBy (the only corpus shuffle), target ranks / totals ride a
+    // broadcast. checkpoint = false exposes the full plan end to end.
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    val disc = graft.operators.Percentiles.exactDiscrete(
+      li, "flag", "cents",
+      Seq((1, 4, "p25_cents"), (1, 2, "p50_cents"), (9, 10, "p90_cents")),
+      checkpoint = false)
+    val wmed = graft.operators.Percentiles.weightedMedian(
+      li, "flag", "cents", "qty",
+      "total_weight", "wmed_lo_cents", "wmed_hi_cents", checkpoint = false)
+    for ((nm, df) <- Seq("exactDiscrete" -> disc, "weightedMedian" -> wmed)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("row_number"),
+        s"$nm: fact-row ranking window crept back:\n$p")
+      assert(p.contains("Window"), s"$nm lost its distinct-table CDF:\n$p")
+      assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        s"$nm: targets/totals must broadcast:\n$p")
+      // the Window must consume an aggregate (the distinct-value table),
+      // never the raw scan: in the formatted tree the Window's subtree
+      // below its Exchange is a HashAggregate, not a bare parquet scan
+      val winIdx = p.indexOf("Window")
+      val aggIdx = p.indexOf("HashAggregate", winIdx)
+      assert(aggIdx > winIdx,
+        s"$nm: Window no longer fed by the distinct-value aggregate:\n$p")
+    }
+    // and both lanes compute exactly what the r15 raw-row windows did
+    import org.apache.spark.sql.expressions.Window
+    val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
+    val oldDisc = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("flag").orderBy("cents")))
+      .join(broadcast(counts), Seq("flag"))
+      .groupBy("flag")
+      .agg(max("n").as("n_rows"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
+          .as("p25_cents"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("p50_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"))
+    assert(disc.orderBy("flag").collect().toSeq ==
+      oldDisc.orderBy("flag").collect().toSeq,
+      "distinct-table discrete ranks diverged from the raw-row lane")
+    val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
+    val wr = Window.partitionBy("flag").orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val oldWmed = li.withColumn("cumw", sum("qty").over(wr))
+      .join(broadcast(tot), Seq("flag"))
+      .groupBy("flag")
+      .agg(max("totw").as("total_weight"),
+        min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("wmed_lo_cents"),
+        min(when(col("cumw") * 2 > col("totw"), col("cents")))
+          .as("wmed_hi_cents"))
+    assert(wmed.orderBy("flag").collect().toSeq ==
+      oldWmed.orderBy("flag").collect().toSeq,
+      "distinct-table weighted median diverged from the raw-row lane")
+  }
+
   test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {
     // the r11 fallback keeps pair counts driver-resident: per merge =
     // one mapPartitions delta job + one checkpoint job, both narrow.
