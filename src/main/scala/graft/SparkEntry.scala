@@ -1684,11 +1684,16 @@ object SparkEntry {
 
     "q_gini_revenue" -> { (s, dir) =>
       // revenue-concentration audit per market segment: EXACT integer
-      // Gini. Sort per-customer revenue cents ascending, then
-      // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — numerator and denominator
-      // are BIGINTs (ties in x are permutation-invariant under
-      // row_number: Σi over a tied block is fixed), the bp lane floors a
-      // NON-NEGATIVE numerator (Chebyshev sum inequality on sorted x).
+      // Gini. G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on cents sorted
+      // ascending — numerator and denominator are BIGINTs, the bp lane
+      // floors a NON-NEGATIVE numerator (Chebyshev sum inequality).
+      // r16: the per-row row_number().over(partitionBy(seg)) (every
+      // customer ranked in 5 partitions — the q_percentile_disc weak
+      // class) is GONE: Σi·xᵢ decomposes exactly over the distinct-value
+      // CDF — a tied value v with k rows after `below` predecessors
+      // contributes v·(k·below + k(k+1)/2), the same fixed tied-block
+      // Σi the row_number lane relied on. One partial-aggregated corpus
+      // shuffle + a distinct-table window; no fact-row window at all.
       // Headroom: 10⁴·2·wsum needs n·total ≤ 4.6e14 — at larger group
       // sizes consumers should divide num/den themselves.
       val cust = tbl(s, dir, "orders").groupBy("o_custkey")
@@ -1697,12 +1702,14 @@ object SparkEntry {
       val seg = tbl(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment").as("seg"))
-      cust.join(seg, "o_custkey")
-        .withColumn("i", row_number().over(
-          Window.partitionBy("seg").orderBy(col("cents"), col("o_custkey"))))
+      val vc = cust.join(seg, "o_custkey")
+        .groupBy("seg", "cents").agg(count(lit(1)).as("k"))
+      val wc = Window.partitionBy("seg").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("below", sum("k").over(wc) - col("k"))
         .groupBy("seg")
-        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
-          sum(expr("CAST(i AS BIGINT) * cents")).as("wsum"))
+        .agg(sum("k").as("n"), sum(expr("cents * k")).as("total_cents"),
+          sum(expr("cents * (k * below + (k * (k + 1)) div 2)")).as("wsum"))
         .withColumn("gini_bp", expr(
           "(10000 * (2 * wsum - (n + 1) * total_cents)) div (n * total_cents)"))
         .orderBy("seg")
@@ -7407,22 +7414,46 @@ object SparkEntry {
       // reproducible across runs and engines. Stage comes from the
       // per-language rank (4·(rn−1)) div n — pure integers, no ntile
       // float boundaries; the shuffle key is the 60-bit md5 lane
-      // (conv(substring(md5,1,15)) ≡ DuckDB ('0x'||…)::BIGINT). Windows
-      // partition by language (and stage), never a global single
-      // partition; counts ride a broadcast.
+      // (conv(substring(md5,1,15)) ≡ DuckDB ('0x'||…)::BIGINT).
+      // r16: both ranks are TWO-LEVEL (guide §8 hash-range split) —
+      // the r15 windows partitioned by lang alone ranked every doc in
+      // #languages partitions (the q_percentile_disc weak class).
+      // rn decomposes as (docs with smaller n_chars, from the
+      // distinct-value CDF) + row_number within (lang, n_chars);
+      // pos as (per-bucket offsets over bkt = shuf div 2⁵²,
+      // order-preserving since bkt is a monotone prefix of shuf) +
+      // row_number within (lang, stage, bkt). Offset tables are
+      // dimension-scale broadcasts; results are rank-identical because
+      // each split key is a prefix of the original sort key.
       val d = tbl(s, dir, "documents").select("doc_id", "lang", "n_chars")
       val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val below = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("k"))
+        .withColumn("below", sum("k").over(wc) - col("k"))
+        .select("lang", "n_chars", "below")
       val staged = d
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+        .withColumn("wrn", row_number().over(
+          Window.partitionBy("lang", "n_chars").orderBy("doc_id")))
+        .join(broadcast(below), Seq("lang", "n_chars"))
         .join(broadcast(n), Seq("lang"))
+        .withColumn("rn", col("below") + col("wrn"))
         .withColumn("stage", expr("(4 * (rn - 1)) div n"))
         .withColumn("shuf", expr(
           "CAST(conv(substring(md5(concat('cur:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("bkt", expr("shuf div 4503599627370496")) // 2^52
+        .localCheckpoint(true) // feeds the offset counts AND the rank
+      val wb = Window.partitionBy("lang", "stage").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val below2 = staged.groupBy("lang", "stage", "bkt")
+        .agg(count(lit(1)).as("k2"))
+        .withColumn("below2", sum("k2").over(wb) - col("k2"))
+        .select("lang", "stage", "bkt", "below2")
       staged
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("lang", "stage").orderBy("shuf", "doc_id"))
-          .cast("long"))
+        .withColumn("wp", row_number().over(
+          Window.partitionBy("lang", "stage", "bkt").orderBy("shuf", "doc_id")))
+        .join(broadcast(below2), Seq("lang", "stage", "bkt"))
+        .withColumn("pos", (col("below2") + col("wp")).cast("long"))
         .select("lang", "stage", "pos", "doc_id")
         .orderBy("lang", "stage", "pos")
     },

@@ -763,6 +763,74 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "distinct-table weighted median diverged from the raw-row lane")
   }
 
+  test("q_gini_revenue / pipe_curriculum: no fact-row window partitioned by the low-cardinality key alone") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the q_percentile_disc weak class, r16 sweep: q_gini_revenue ranked
+    // every customer in 5 seg-partitions (now: Σi·xᵢ decomposed over the
+    // distinct-value CDF — zero fact-row windows); pipe_curriculum
+    // ranked every doc in #lang partitions twice (now: two-level
+    // hash-range ranks — windows partition by (lang, n_chars) /
+    // (lang, stage, bkt), offsets from dimension-scale CDFs). The plan
+    // guard: no window spec whose PARTITION list is exactly the one
+    // low-cardinality key (partition cols print before the first
+    // ordering spec, so "partitionBy(k) orderBy(x)" renders as
+    // "windowspecdefinition(k#n, x#m ASC" — a second partition column
+    // breaks the match).
+    // (window partition cols print before the first ordering spec, so
+    // the OLD fact-row ranks render as "windowspecdefinition(seg#n,
+    // cents#m ASC" / "(lang#n, n_chars#m ASC" / "(lang#n, stage#m,
+    // shuf#k ASC" — the new lanes' extra partition column or absent
+    // row_number breaks each match, while their legitimate
+    // distinct-table CDF windows are untouched)
+    val sf = "/root/testdata/sf0.001"
+    val gini = SparkEntry.queries("q_gini_revenue")(spark, sf)
+    val gp = gini.queryExecution.executedPlan.toString
+    assert(!gp.contains("row_number"),
+      s"gini re-grew a fact-row rank (CDF lane needs none):\n$gp")
+    val cur = SparkEntry.queries("pipe_curriculum")(spark, sf)
+    val cp = cur.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, n_chars#\\d+L? ASC".r
+      .findFirstIn(cp).isEmpty, s"curriculum lang-only rank window:\n$cp")
+    assert("windowspecdefinition\\(lang#\\d+, stage#\\d+L?, shuf#\\d+L? ASC".r
+      .findFirstIn(cp).isEmpty, s"curriculum (lang, stage)-only rank window:\n$cp")
+    // and both compute exactly what the r15 single-window lanes did
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cust = spark.read.parquet(s"$sf/orders.parquet").groupBy("o_custkey")
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("cents"))
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))
+    val oldGini = cust.join(seg, "o_custkey")
+      .withColumn("i", row_number().over(
+        Window.partitionBy("seg").orderBy(col("cents"), col("o_custkey"))))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        sum(expr("CAST(i AS BIGINT) * cents")).as("wsum"))
+      .withColumn("gini_bp", expr(
+        "(10000 * (2 * wsum - (n + 1) * total_cents)) div (n * total_cents)"))
+    assert(gini.orderBy("seg").collect().toSeq ==
+      oldGini.orderBy("seg").collect().toSeq,
+      "CDF gini diverged from the row_number lane")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val oldStaged = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+      .join(broadcast(n), Seq("lang"))
+      .withColumn("stage", expr("(4 * (rn - 1)) div n"))
+      .withColumn("shuf", expr(
+        "CAST(conv(substring(md5(concat('cur:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+    val oldCur = oldStaged
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("lang", "stage").orderBy("shuf", "doc_id"))
+        .cast("long"))
+      .select("lang", "stage", "pos", "doc_id")
+    assert(cur.orderBy("lang", "stage", "pos").collect().toSeq ==
+      oldCur.orderBy("lang", "stage", "pos").collect().toSeq,
+      "two-level curriculum rank diverged from the single-window lane")
+  }
+
   test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {
     // the r11 fallback keeps pair counts driver-resident: per merge =
     // one mapPartitions delta job + one checkpoint job, both narrow.

@@ -26,8 +26,47 @@ skip_quadratic = "--skip-quadratic" in argv
 # --present-only: check only queries with a dump dir (local iteration on
 # a filtered Verify run; the full sweep still uses the default)
 present_only = "--present-only" in argv
-argv = [a for a in argv if a not in ("--skip-quadratic", "--present-only")]
+# --allow-stale: skip the dump-freshness guard (e.g. comparing a dump
+# from a DIFFERENT deliberately-chosen tree)
+allow_stale = "--allow-stale" in argv
+argv = [a for a in argv
+        if a not in ("--skip-quadratic", "--present-only", "--allow-stale")]
 sfdir, outdir = argv[0], argv[1]
+
+# ---- provenance stamp + staleness guard (r16; the stale-log collision
+# the r14 AND r15 judges both hit: builder and judge sessions share /tmp
+# dump paths, so an existing "ALL OK" log can certify the WRONG HEAD).
+# Every run prints WHAT it compared; a dump older than the newest main
+# source file fails loudly instead of certifying.
+import os, subprocess, datetime
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    sha = subprocess.run(["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True).stdout.strip() or "?"
+    dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain"],
+                           capture_output=True, text=True).stdout.strip()
+    sha += "+dirty" if dirty else ""
+except Exception:
+    sha = "?"
+def _iso(ts):
+    return datetime.datetime.fromtimestamp(ts).strftime("%Y-%m-%d %H:%M:%S")
+dump_mtime = os.path.getmtime(f"{outdir}/oracle_sql.json") \
+    if os.path.exists(f"{outdir}/oracle_sql.json") else 0.0
+src_mtime, src_newest = 0.0, ""
+for root, _, fs in os.walk(os.path.join(repo, "src", "main")):
+    for f in fs:
+        m = os.path.getmtime(os.path.join(root, f))
+        if m > src_mtime:
+            src_mtime, src_newest = m, os.path.join(root, f)
+print(f"[compare] repo={sha} sfdir={sfdir} dump={outdir}")
+print(f"[compare] dump oracle_sql.json mtime={_iso(dump_mtime)}; "
+      f"newest src/main mtime={_iso(src_mtime)} ({os.path.relpath(src_newest, repo)}); "
+      f"now={_iso(datetime.datetime.now().timestamp())}")
+if dump_mtime and src_mtime > dump_mtime and not allow_stale:
+    print("[compare] STALE-DUMP: the dump predates the newest main source "
+          "file — re-run graft.Verify before comparing (or pass "
+          "--allow-stale to compare a deliberately-chosen older tree)")
+    sys.exit(2)
 con = duckdb.connect()
 con.sql("SET TimeZone='UTC'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
