@@ -112,20 +112,37 @@ object Bench {
     // Primary stdout metric is executor CPU seconds (load-robust; see the
     // listener comment); wall total + task counts ride along as secondary
     // fields. The per-query map reports CPU seconds for the same reason.
-    // tail is sized with a worst-case n_reported width so the room budget
-    // stays valid once the real count is substituted in
+    // r17 (verdict item 2, measurement-contract fix — documented in
+    // OPTIMIZATION_r17.md): a per-query "wall" map over the SAME kept
+    // queries now rides along, because the driver's low-core scaling
+    // sweep divided CPU by CPU — core-count-invariant by construction,
+    // blind to serial/driver-bound queries; wall(c8)/wall(c32) is the
+    // currency that actually measures parallelism. The two maps split
+    // the same stdout budget (the line must survive a 2000-char tail
+    // parse), so n_reported drops from ~58 to ~28 of 362 — a truncation
+    // artifact, not removals (r16 verdict); the FULL per-query
+    // wall/cpu/jobs/tasks maps are in bench_full.json ("full_metrics").
+    // tail is sized with a worst-case n_reported width so the room
+    // budget stays valid once the real count is substituted in
     def tailFor(nReported: Any) =
-      s"""},"n_queries":${results.size},"n_reported":$nReported,""" +
+      s""""n_queries":${results.size},"n_reported":$nReported,""" +
         s""""queries_truncated":${nReported != results.size},""" +
         s""""wall_total":${fmt(total)},""" +
-        s""""tasks_total":$tasksTotal,"sf":"$sfDir"}"""
+        s""""tasks_total":$tasksTotal,""" +
+        s""""full_metrics":"bench_full.json","sf":"$sfDir"}"""
     val head = s"""{"metric":"executor_cpu_total","value":${fmt(cpuTotal)},""" +
       s""""unit":"sec","queries":{"""
-    var room = 1750 - head.length - tailFor(9999).length
+    val wallGlue = """},"wall":{"""
+    val closeGlue = "},"
+    val wallByName = results.toMap
+    var room = 1750 - head.length - wallGlue.length - closeGlue.length -
+      tailFor(9999).length
     val kept = cpuResults.sortBy(-_._2).iterator.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v)
-    }.takeWhile { e => room -= e.length + 1; room >= 0 }.toSeq
-    println(head + kept.mkString(",") + tailFor(kept.size))
+      ("\"" + k + "\":" + fmt(v), "\"" + k + "\":" + fmt(wallByName(k)))
+    }.takeWhile { case (c, w) => room -= c.length + w.length + 2; room >= 0 }
+      .toSeq
+    println(head + kept.map(_._1).mkString(",") + wallGlue +
+      kept.map(_._2).mkString(",") + closeGlue + tailFor(kept.size))
     spark.stop()
   }
 }

@@ -166,15 +166,17 @@ object SparkEntry {
   /** [[replayStream]] under BOUNDED-SKEW delivery — the disorder real
     * feeds actually have: rows arrive ordered by (event time + a SEEDED
     * ±skewSec jitter), so per-key in-order delivery is violated within
-    * the bound, and the twin runs behind
-    * [[graft.streaming.Streaming.reorderBuffer]] which restores event
-    * order at the watermark. Two sentinel-key points (filtered from the
-    * output) drive the final watermark past every real point so held
-    * buffers drain through their event-time timers. Deterministic: fixed
-    * seed, fixed batch cuts.
+    * the bound. `op` receives the RAW disordered stream and must apply
+    * its own event-time reorder buffering (r17: the skewed twins fuse
+    * buffer + fold into one stateful operator, e.g.
+    * [[graft.streaming.Streaming.derivativeSkewed]] — maxDelay is
+    * passed to the caller's lambda). Two sentinel-key points (filtered
+    * from the output) drive the final watermark past every real point
+    * so held buffers drain through their event-time timers.
+    * Deterministic: fixed seed, fixed batch cuts.
     */
   private def replayStreamSkewed(s: SparkSession, input: DataFrame,
-      nBatches: Int, skewSec: Int, maxDelay: String)(
+      nBatches: Int, skewSec: Int)(
       op: org.apache.spark.sql.Dataset[graft.streaming.Streaming.Point] =>
         org.apache.spark.sql.Dataset[_]): DataFrame = {
     import s.implicits._
@@ -203,7 +205,7 @@ object SparkEntry {
       graft.streaming.Streaming.Point(sentinelKey,
         new java.sql.Timestamp(maxT + 7200000L), 1.0))
     try {
-      val q = op(graft.streaming.Streaming.reorderBuffer(mem.toDS(), maxDelay))
+      val q = op(mem.toDS())
         .toDF().writeStream.format("memory")
         .queryName(name).outputMode("append").start()
       try {
@@ -824,6 +826,10 @@ object SparkEntry {
       // distinct-value CDF rank lane (Percentiles.exactInterpolated,
       // bit-identical to the builtin by the ScaleSpec pin). Per-stream
       // medians/MADs are dimension-scale → broadcast joins back.
+      // Data invariant these inner joins rely on (r16 ADVICE): v is
+      // non-null by construction (pointStreams sums non-null event
+      // values), so no stream can vanish for being all-null; an all-null
+      // caller would need the ds_staleness left-join pattern instead.
       val pts = pointStreams(s, dir).localCheckpoint(true)
       val med = Percentiles.exactInterpolated(
         pts, "stream_id", "v", Seq(0.5 -> "med"))
@@ -956,7 +962,9 @@ object SparkEntry {
       // mean would make the >3·MAD boolean a ulp coin flip), residuals
       // are BIGINTs, and MAD = median of BIGINTs (an exact midpoint —
       // the ds_staleness median rule). Profile join is broadcast
-      // (O(#streams × 24)); everything else is keyed aggs.
+      // (O(#streams × 24)); everything else is keyed aggs. Data
+      // invariant the inner MAD join relies on (r16 ADVICE): v/q are
+      // non-null by construction, so no stream vanishes as all-null.
       val pts = pointStreams(s, dir)
         .withColumn("sec", unix_timestamp(col("t")))
         .withColumn("hod", expr("(sec % 86400) div 3600"))
@@ -1613,10 +1621,25 @@ object SparkEntry {
         .localCheckpoint(true)
       val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
       val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+      // r17: TWO-LEVEL top-k (guide §8 / r16 verdict item 5). The
+      // per-lang window alone sorts the whole (lang, tok) vocabulary in
+      // #langs tasks — vocab-scale, single task per lang at 100 TB.
+      // Level 1 ranks within (lang, bkt = pmod(xxhash64(tok), 64)) and
+      // keeps each bucket's top 5; recall is STRUCTURAL (any tok in the
+      // global per-lang top-5 has < 5 bucket rows ahead of it — every
+      // row ahead in its bucket is ahead globally), so level 2's
+      // unchanged per-lang window runs over <= 5·64 rows per lang.
+      // Same (score desc, tok) order both levels ⇒ output identical.
+      val scored = tf.join(broadcast(df), "tok")
+        .withColumn("score", col("tf") * (lit(nDocs) / col("df")))
+      val wb = Window.partitionBy("lang", "bkt")
+        .orderBy(col("score").desc, col("tok"))
       val w = Window.partitionBy("lang")
         .orderBy(col("score").desc, col("tok"))
-      tf.join(broadcast(df), "tok")
-        .withColumn("score", col("tf") * (lit(nDocs) / col("df")))
+      scored
+        .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64)))
+        .withColumn("brnk", row_number().over(wb))
+        .where(col("brnk") <= 5)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 5)
         .select("lang", "rnk", "tok", "tf", "df", "score")
@@ -1745,7 +1768,17 @@ object SparkEntry {
         .select(explode(split(col("text"), " ")).as("t"))
         .where(col("t") =!= "")
         .groupBy("t").agg(count(lit(1)).as("c"))
+      // r17: TWO-LEVEL top-k (guide §8, the q_tfidf_top_terms move):
+      // the global window alone sorts the whole vocabulary in ONE task.
+      // Level 1 keeps each pmod(xxhash64(t), 32) bucket's top 1000 —
+      // structural recall (a global top-1000 token has < 1000 bucket
+      // rows ahead of it) — so the unchanged global window ranks
+      // <= 32k candidate rows. Same (c desc, t) order ⇒ identical fit.
+      val wb = Window.partitionBy("bkt").orderBy(col("c").desc, col("t"))
       val ranked = tf
+        .withColumn("bkt", pmod(xxhash64(col("t")), lit(32)))
+        .withColumn("br", row_number().over(wb))
+        .where(col("br") <= 1000)
         .withColumn("r", row_number().over(
           Window.orderBy(col("c").desc, col("t"))))
         .where(col("r") <= 1000)
@@ -2609,10 +2642,12 @@ object SparkEntry {
       // per-key in-order delivery broken within the bound — and the
       // event-time reorder buffer restores order at the watermark, so
       // the twin still emits drv_derivative's oracle verbatim. A missing
-      // or leaky buffer computes wrong lags and hash-diverges.
-      replayStreamSkewed(s, pointStreams(s, dir), 3, skewSec = 90,
-          maxDelay = "300 seconds")(
-          ds => graft.streaming.Streaming.derivative(ds))
+      // or leaky buffer computes wrong lags and hash-diverges. r17:
+      // buffer + fold fused in ONE stateful operator (was reorderBuffer
+      // → derivative, two state-store commits per partition per
+      // micro-batch; StreamingSpec pins fused ≡ chained bit-equal).
+      replayStreamSkewed(s, pointStreams(s, dir), 3, skewSec = 90)(
+          ds => graft.streaming.Streaming.derivativeSkewed(ds, "300 seconds"))
         .orderBy("stream_id", "t")
     },
 
@@ -2681,12 +2716,15 @@ object SparkEntry {
     "drv_counter_derivative_stream_skewed" -> { (s, dir) =>
       // the two-input V4 twin under BOUNDED-SKEW delivery on BOTH feeds
       // (the r13 gap: only V2 had a skewed gate): source and reset rows
-      // each replay in independently seeded ±90 s-jittered order, each
-      // behind its own event-time reorder buffer (maxDelay 300 s >
-      // 2×jitter), and the min-policy global watermark makes the
-      // early-not-late reset contract mechanical — the twin still emits
+      // each replay in independently seeded ±90 s-jittered order behind
+      // a SHARED event-time reorder buffer (maxDelay 300 s > 2×jitter)
+      // fused with the fold in ONE stateful operator (r17 — was
+      // reorderBuffer ×2 → fold, three state-store commits per
+      // partition per micro-batch; StreamingSpec pins fused ≡ chained
+      // bit-equal). The single watermark makes the early-not-late reset
+      // contract mechanical — the twin still emits
       // drv_counter_derivative_stream's batch oracle verbatim. Sentinels
-      // on BOTH streams drive both watermarks past every real point so
+      // on BOTH streams drive the watermark past every real point so
       // the tail buffers drain.
       import s.implicits._
       implicit val ctx = s.sqlContext
@@ -2699,12 +2737,8 @@ object SparkEntry {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = graft.streaming.Streaming.counterDerivativeWithResets(
-            graft.streaming.Streaming.reorderBuffer(
-              memS.toDS(), "300 seconds"),
-            graft.streaming.Streaming.reorderBufferResets(
-              memR.toDS(), "300 seconds"),
-            Some(1000.0))
+        val q = graft.streaming.Streaming.counterDerivativeWithResetsSkewed(
+            memS.toDS(), memR.toDS(), "300 seconds", Some(1000.0))
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
@@ -4894,10 +4928,19 @@ object SparkEntry {
       val (idx1, idx2) = (s"$base/v1", s"$base/v2")
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      Similarity.buildIvfIndex(e.where(col("vec_id") % 3 < 2), idx1,
+      // phase tags (guide §1.5): build+append+rebuild+search bill to one
+      // bench row — make each phase attributable in the job log
+      val sc = s.sparkContext
+      sc.setJobDescription("ivf-rebuilt:build")
+      try Similarity.buildIvfIndex(e.where(col("vec_id") % 3 < 2), idx1,
         stride = 50)
-      Similarity.appendToIvfIndex(e.where(col("vec_id") % 3 === 2), idx1)
-      Similarity.rebuildIvfIndex(s, idx1, idx2, stride = 50, iters = 2)
+      finally sc.setJobDescription(null)
+      sc.setJobDescription("ivf-rebuilt:append")
+      try Similarity.appendToIvfIndex(e.where(col("vec_id") % 3 === 2), idx1)
+      finally sc.setJobDescription(null)
+      sc.setJobDescription("ivf-rebuilt:rebuild")
+      try Similarity.rebuildIvfIndex(s, idx1, idx2, stride = 50, iters = 2)
+      finally sc.setJobDescription(null)
       val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
       Similarity.ivfIndexTopK(s, idx2, q, k = 3, nprobe = 2)
         .withColumn("sim", round(col("sim"), 6))
@@ -7432,9 +7475,28 @@ object SparkEntry {
       val below = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("k"))
         .withColumn("below", sum("k").over(wc) - col("k"))
         .select("lang", "n_chars", "below")
-      val staged = d
-        .withColumn("wrn", row_number().over(
-          Window.partitionBy("lang", "n_chars").orderBy("doc_id")))
+      // r17 (verdict item 6): the within-(lang, n_chars) row_number was
+      // still a VALUE split — one hot partition if doc lengths tie
+      // heavily (truncation-capped corpora). Split ties by an
+      // order-preserving doc_id range (dbkt = doc_id div ceil((max_id
+      // + 1)/256), 256 ranges over the ACTUAL id domain): per-bucket
+      // row_number + a broadcast offset of smaller buckets inside the
+      // tie group recomposes the identical rank, because dbkt is a
+      // monotone prefix of the doc_id sort key — the same discipline
+      // as the bkt rank below. ScaleSpec pins bit-equality + the plan.
+      val dDiv = math.max(1L, d.agg(max("doc_id")).head().getLong(0) / 256L + 1L)
+      val dd = d.withColumn("dbkt", expr(s"doc_id div ${dDiv}L"))
+      val wdc = Window.partitionBy("lang", "n_chars").orderBy("dbkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dBelow = dd.groupBy("lang", "n_chars", "dbkt")
+        .agg(count(lit(1)).as("dk"))
+        .withColumn("dbelow", sum("dk").over(wdc) - col("dk"))
+        .select("lang", "n_chars", "dbkt", "dbelow")
+      val staged = dd
+        .withColumn("dwrn", row_number().over(
+          Window.partitionBy("lang", "n_chars", "dbkt").orderBy("doc_id")))
+        .join(broadcast(dBelow), Seq("lang", "n_chars", "dbkt"))
+        .withColumn("wrn", col("dbelow") + col("dwrn"))
         .join(broadcast(below), Seq("lang", "n_chars"))
         .join(broadcast(n), Seq("lang"))
         .withColumn("rn", col("below") + col("wrn"))

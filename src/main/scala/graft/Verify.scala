@@ -46,6 +46,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // provenance stamp (r16 ADVICE): the compare's mtime-only staleness
+    // guard false-positives after a git checkout (mtimes rewritten on
+    // unchanged files). Stamp the dump with the builder tree's SHA +
+    // dirty flag so compare_oracle.py can prove freshness by identity:
+    // equal clean SHAs ⇒ fresh regardless of mtimes. Best-effort — a
+    // missing stamp just falls back to the mtime guard.
+    try {
+      def git(cmd: String*): String = {
+        val p = new ProcessBuilder(("git" +: cmd): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor(); out
+      }
+      val sha = git("rev-parse", "HEAD")
+      val dirty = git("status", "--porcelain").nonEmpty
+      Files.writeString(Paths.get(s"$outDir/_verify_meta.json"),
+        s"""{"sha": ${q(sha)}, "dirty": $dirty}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] meta stamp failed: $e") }
     spark.stop()
   }
 }

@@ -112,7 +112,12 @@ object Percentiles {
       checkpoint: Boolean = true): DataFrame = {
     require(ps.nonEmpty, "need at least one rank")
     val g = col(groupCol)
-    val vc = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("cnt"))
+    // builtin percentile_disc semantics: nulls never count toward n nor
+    // become NULLS FIRST CDF entries (aligned with exactInterpolated —
+    // the r16 ADVICE null-contract drift). All-null groups disappear;
+    // callers that must keep them left-join this output.
+    val vc = df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(count(lit(1)).as("cnt"))
     val wcum = Window.partitionBy(groupCol).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf0 = vc.withColumn("cum", sum("cnt").over(wcum))
@@ -158,7 +163,10 @@ object Percentiles {
       wCol: String, totName: String = "total_weight",
       loName: String = "wmed_lo", hiName: String = "wmed_hi",
       checkpoint: Boolean = true): DataFrame = {
-    val vc = df.groupBy(groupCol, valCol).agg(sum(wCol).as("w"))
+    // null values are never order statistics (the exactDiscrete /
+    // exactInterpolated contract); null weights contribute nothing
+    val vc = df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(sum(wCol).as("w"))
     val wcum = Window.partitionBy(groupCol).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf0 = vc.withColumn("cumw", sum("w").over(wcum))

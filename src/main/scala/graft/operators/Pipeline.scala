@@ -432,6 +432,10 @@ object Pipeline {
     * percentile by the ScaleSpec pin, without its per-group value-count
     * map in one reducer per group), then one keyed LEFT join back (left
     * = the builtin's all-null-group row survives with null bounds).
+    * Note (r16 ADVICE): the left join also means rows whose groupCol is
+    * NULL pass through with null bounds — clamped = the raw value —
+    * where the pre-r16 inner join dropped them; callers with nullable
+    * group keys that want the old behavior must pre-filter.
     * Output adds (lo_b, hi_b, clamped).
     */
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,

@@ -946,11 +946,21 @@ object Retrieval {
       docs: DataFrame, k: Int = 5, sampleBudget: Long = 20,
       nBuckets: Int = 64, minMrrBp: Long = 9000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    // per-phase job tags (guide §1.5 / r16 verdict item 4): the audit
+    // bills sample+direct+indexed+recount to one bench row — label the
+    // EAGER phases so regressions are attributable (the lazy scoring
+    // lanes execute at the caller's sink). Tags only, no plan changes.
+    val sc = spark.sparkContext
+    sc.setJobDescription("bm25-audit:sample")
+    val (n, q) =
+      try {
+        val n0 = docs.count()
+        val st0 = math.max(1L, (n0 + sampleBudget - 1) / sampleBudget)
+        (n0, docs.where(col(idCol) % st0 === 0)
+          .select(col(idCol).as("qid"), col(textCol).as("qtext"))
+          .localCheckpoint(true)) // feeds both lanes
+      } finally sc.setJobDescription(null)
     val st = math.max(1L, (n + sampleBudget - 1) / sampleBudget)
-    val q = docs.where(col(idCol) % st === 0)
-      .select(col(idCol).as("qid"), col(textCol).as("qtext"))
-      .localCheckpoint(true) // feeds both lanes
     val direct = bm25TopK(docs, q, k, idCol = idCol, textCol = textCol)
     val indexed = bm25TopKIndexed(spark, root, q, k, nBuckets)
     val rr = direct.where(col("rnk") === 1).select(col("qid"), col("doc_id"))
@@ -972,11 +982,14 @@ object Retrieval {
       val dlDir = s"$root/doclens"
       if (!afs.exists(new org.apache.hadoop.fs.Path(dlDir))) (0L, 0L)
       else {
-        val r = spark.read.schema(StructType(Seq(
-            StructField("doc_id", LongType), StructField("dl", LongType))))
-          .parquet(dlDir)
-          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
-          .head()
+        sc.setJobDescription("bm25-audit:doclens-recount")
+        val r =
+          try spark.read.schema(StructType(Seq(
+              StructField("doc_id", LongType), StructField("dl", LongType))))
+            .parquet(dlDir)
+            .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+            .head()
+          finally sc.setJobDescription(null)
         (r.getLong(0), r.getLong(1))
       }
     }

@@ -891,22 +891,40 @@ object Similarity {
       rebuildStride: Long = 0, centroidBudget: Long = 1024,
       sampleBudget: Long = 20, minRecallBp: Long = 8000,
       maxCellPpm: Long = 500000): Boolean = {
+    // per-phase job tags (guide §1.5 / r16 verdict item 4): the
+    // lifecycle fixtures bill build+mutate+audit+search to one bench
+    // row — these descriptions make regressions attributable by
+    // grouping jobs per phase (the ProfileIngest pattern). Tags only;
+    // no computation changes.
+    val sc = spark.sparkContext
     val gen = ivfCurrentGen(spark, base)
     val cur = s"$base/gen=$gen"
-    val applied = applyIvfBatch(spark, cur, batch, batchId, cents)
+    sc.setJobDescription(s"ivf-maintain:apply b$batchId")
+    val applied =
+      try applyIvfBatch(spark, cur, batch, batchId, cents)
+      finally sc.setJobDescription(null)
     if (!applied) return false
-    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-      compactIvfIndex(spark, cur, maxFilesPerCell = 2)
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+      sc.setJobDescription(s"ivf-maintain:compact b$batchId")
+      try compactIvfIndex(spark, cur, maxFilesPerCell = 2)
+      finally sc.setJobDescription(null)
+    }
     if (auditEvery > 0 && batchId % auditEvery == auditEvery - 1) {
-      val a = auditIvfIndex(spark, cur, k, nprobe, sampleBudget,
-        minRecallBp, maxCellPpm).head()
+      sc.setJobDescription(s"ivf-maintain:audit b$batchId")
+      val a =
+        try auditIvfIndex(spark, cur, k, nprobe, sampleBudget,
+          minRecallBp, maxCellPpm).head()
+        finally sc.setJobDescription(null)
       if (a.getBoolean(6)) {
         val fs = hadoopFs(spark, base)
         val next = s"$base/gen=${gen + 1}"
         // a crashed earlier attempt leaves an unmarked half-built dir —
         // clear it or the rebuild's appends would double its content
         fs.delete(new org.apache.hadoop.fs.Path(next), true)
-        rebuildIvfIndex(spark, cur, next, rebuildStride, 2, centroidBudget)
+        sc.setJobDescription(s"ivf-maintain:rebuild b$batchId")
+        try rebuildIvfIndex(spark, cur, next, rebuildStride, 2,
+          centroidBudget)
+        finally sc.setJobDescription(null)
         // carry the exactly-once horizon into the new generation BEFORE
         // it becomes visible (a re-delivered pre-flip batch must skip)
         fs.create(new org.apache.hadoop.fs.Path(next,

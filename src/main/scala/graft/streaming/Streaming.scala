@@ -177,19 +177,70 @@ object Streaming {
         // duplicate-t rows folded in arrival order would diverge from the
         // batch path on exactly the inputs the tie-break exists for
         Encoders.product[LastPoint], p => (p.t.getTime, p.v)) {
-      def fold(key: String, p: Point, prev: Option[LastPoint]) = {
-        // compare/divide on floor-second resolution like the batch path:
-        // sub-second pairs are dropped, never divided by 0
-        val sec = Math.floorDiv(p.t.getTime, 1000L)
-        val emit = prev.collect {
-          case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
-            Point(key, p.t, (p.v - lv) / (sec - Math.floorDiv(lt, 1000L)))
-        }
-        (emit, LastPoint(p.t.getTime, p.v))
-      }
+      def fold(key: String, p: Point, prev: Option[LastPoint]) =
+        CoreFolds.derivativeFold(key, p, prev)
     }
     src.groupByKey(_.stream_id)
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[derivative]] under bounded-skew delivery, as ONE stateful
+    * operator: rows buffer in ListState, drain at the watermark in
+    * (t, v) order — exactly the in-order feed the fold is pinned
+    * against — and fold inside the same processor (state = buffered
+    * rows + the fold's LastPoint). Replaces the two-stateful-op chain
+    * reorderBuffer → derivative: one shuffle and one state-store commit
+    * per partition per micro-batch instead of two (the
+    * drv_derivative_stream_skewed bench row; numbers in
+    * OPTIMIZATION_r17.md). Same safety inequality as [[reorderBuffer]]:
+    * maxDelay must exceed 2× the feed's jitter bound.
+    */
+  def derivativeSkewed(src: Dataset[Point], maxDelay: String)
+      : Dataset[Point] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val proc = new StatefulProcessor[String, Point, Point] {
+      @transient private var buf: ListState[Point] = _
+      @transient private var state: ValueState[LastPoint] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[Point]("reorder",
+          Encoders.product[Point], TTLConfig.NONE)
+        state = getHandle.getValueState[LastPoint]("last",
+          Encoders.product[LastPoint], TTLConfig.NONE)
+      }
+      private def drain(key: String, wmMs: Long): Iterator[Point] = {
+        val all = buf.get().toSeq
+        val (due, hold) = all.partition(_.t.getTime <= wmMs)
+        buf.clear()
+        if (hold.nonEmpty) {
+          buf.appendList(hold.toArray)
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(hold.map(_.t.getTime).min)
+        } else getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (due.isEmpty) Iterator.empty
+        else {
+          var prev = if (state.exists()) Some(state.get()) else None
+          val out = due.sortBy(p => (p.t.getTime, p.v)).flatMap { p =>
+            val (emit, next) = CoreFolds.derivativeFold(key, p, prev)
+            prev = Some(next)
+            emit
+          }
+          prev.foreach(state.update)
+          out.iterator
+        }
+      }
+      override def handleInputRows(key: String, rows: Iterator[Point],
+          timerValues: TimerValues): Iterator[Point] = {
+        buf.appendList(rows.toArray)
+        drain(key, timerValues.getCurrentWatermarkInMs())
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[Point] =
+        drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+    src.withWatermark("t", maxDelay)
+      .groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stateful streaming V3 `counter_reset`: emit 1 wherever a
@@ -313,47 +364,172 @@ object Streaming {
       // (t, !is_reset, v): false < true puts reset rows FIRST at a tied
       // timestamp ≡ the batch core's (t, is_reset DESC, v) sort
       val sorted = rows.toSeq.sortBy(p => (p.t.getTime, !p.is_reset, p.v))
-      var st = gs.getOption.getOrElse(CounterResetState(none, 0.0, none, Nil))
-      var pending = st.pending
-      val out = sorted.flatMap { p =>
-        if (p.is_reset) {
-          pending = pending :+ p.t.getTime
-          None
-        } else {
-          val tMs = p.t.getTime
-          // apply every buffered reset at or before this row (<= = the
-          // reset-first tie rule: a reset ON this timestamp suppresses
-          // the interval ending here)
-          val (due, later) = pending.partition(_ <= tMs)
-          if (due.nonEmpty)
-            st = st.copy(lastResetT = math.max(st.lastResetT, due.max))
-          pending = later
-          val sec = Math.floorDiv(tMs, 1000L)
-          val emit =
-            if (st.prevT == none) None
-            else {
-              val prevSec = Math.floorDiv(st.prevT, 1000L)
-              val suppressed =
-                st.lastResetT != none && st.lastResetT > st.prevT
-              if (prevSec == sec || suppressed) None
-              else {
-                val dt = sec - prevSec
-                if (p.v >= st.prevV)
-                  Some(Point(key, p.t, (p.v - st.prevV) / dt))
-                else maxValue.map(m =>
-                  Point(key, p.t, (m - st.prevV + p.v) / dt))
-              }
-            }
-          st = st.copy(prevT = tMs, prevV = p.v)
-          emit
-        }
-      }
-      gs.update(st.copy(pending = pending))
+      val st0 = gs.getOption.getOrElse(CounterResetState(none, 0.0, none, Nil))
+      val (out, st1) = CoreFolds.foldCounterReset(key, sorted, st0, maxValue)
+      gs.update(st1)
       out.iterator
     }
     tagged.groupByKey(_.stream_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(fold)
+  }
+
+  /** Serializable holder for the fold cores shared between each
+    * chained twin and its fused skewed lane: a closure that called
+    * these as `Streaming.foldX` would capture the (non-serializable)
+    * enclosing object and fail task serialization — the holder object
+    * is the closure's only capture.
+    */
+  private[streaming] object CoreFolds extends Serializable {
+
+  /** The V2 per-point fold body, shared verbatim by [[derivative]] and
+    * the one-stateful-op skewed lane [[derivativeSkewed]] so the two can
+    * never drift: compare/divide on floor-second resolution like the
+    * batch path (sub-second pairs dropped, never divided by 0).
+    */
+  def derivativeFold(key: String, p: Point,
+      prev: Option[LastPoint]): (Option[Point], LastPoint) = {
+    val sec = Math.floorDiv(p.t.getTime, 1000L)
+    val emit = prev.collect {
+      case LastPoint(lt, lv) if Math.floorDiv(lt, 1000L) != sec =>
+        Point(key, p.t, (p.v - lv) / (sec - Math.floorDiv(lt, 1000L)))
+    }
+    (emit, LastPoint(p.t.getTime, p.v))
+  }
+
+  /** The V4 counter-reset core over one key's IN-ORDER slice of tagged
+    * rows: `sorted` must be (t, reset-first, v) ordered. Shared verbatim
+    * by [[counterDerivativeWithResets]] and the one-stateful-op skewed
+    * lane [[counterDerivativeWithResetsSkewed]] so the two folds can
+    * never drift. Returns the emitted points and the advanced state.
+    */
+  def foldCounterReset(key: String, sorted: Seq[TaggedPoint],
+      st0: CounterResetState, maxValue: Option[Double])
+      : (Seq[Point], CounterResetState) = {
+    val none = Long.MinValue
+    var st = st0
+    var pending = st.pending
+    val out = sorted.flatMap { p =>
+      if (p.is_reset) {
+        pending = pending :+ p.t.getTime
+        None
+      } else {
+        val tMs = p.t.getTime
+        // apply every buffered reset at or before this row (<= = the
+        // reset-first tie rule: a reset ON this timestamp suppresses
+        // the interval ending here)
+        val (due, later) = pending.partition(_ <= tMs)
+        if (due.nonEmpty)
+          st = st.copy(lastResetT = math.max(st.lastResetT, due.max))
+        pending = later
+        val sec = Math.floorDiv(tMs, 1000L)
+        val emit =
+          if (st.prevT == none) None
+          else {
+            val prevSec = Math.floorDiv(st.prevT, 1000L)
+            val suppressed =
+              st.lastResetT != none && st.lastResetT > st.prevT
+            if (prevSec == sec || suppressed) None
+            else {
+              val dt = sec - prevSec
+              if (p.v >= st.prevV)
+                Some(Point(key, p.t, (p.v - st.prevV) / dt))
+              else maxValue.map(m =>
+                Point(key, p.t, (m - st.prevV + p.v) / dt))
+            }
+          }
+        st = st.copy(prevT = tMs, prevV = p.v)
+        emit
+      }
+    }
+    (out, st.copy(pending = pending))
+  }
+  } // CoreFolds
+
+  /** [[counterDerivativeWithResets]] under bounded-skew delivery on BOTH
+    * feeds, as ONE stateful operator: the feeds tag-union FIRST, a single
+    * shared event-time reorder buffer holds the union, and due rows drain
+    * at the watermark straight into the V4 fold inside the same processor
+    * (state = buffered rows + the fold's CounterResetState). This replaces
+    * the three-stateful-op chain reorderBuffer ×2 → fold — one shuffle and
+    * one state-store commit per partition per micro-batch instead of three
+    * (the drv_counter_derivative_stream_skewed bench row; numbers in
+    * OPTIMIZATION_r17.md).
+    *
+    * Equivalence (StreamingSpec pins unified ≡ chained bit-equal on the
+    * skewed replay, and the gate shares the batch oracle): the shared
+    * buffer releases each key's due rows in (t, reset-first, v) order —
+    * exactly the in-order feed the fold is pinned against — and the
+    * early-not-late reset contract is mechanical: a reset with
+    * t_r <= t_s drains in the same-or-earlier micro-batch as that
+    * source row (both release when wm >= their t).
+    *
+    * Watermark shape: each feed keeps its OWN EventTimeWatermark node
+    * BEFORE the union, so the operator's watermark is the min-policy
+    * combination — exactly the chained twin's. A single post-union
+    * node would take the MAX over both feeds' seen events, and a
+    * sparse reset feed whose micro-batch slices run ahead in EVENT
+    * time (the gate replay's count-based thirds do) would advance the
+    * watermark past in-flight source rows and silently drop them —
+    * observed: 46 of 70 rows survived on the StreamingSpec fixture.
+    * Per-feed safety inequality unchanged: arrival trails the feed's
+    * OWN max event time by <= 2×jitter < maxDelay.
+    */
+  def counterDerivativeWithResetsSkewed(src: Dataset[Point],
+      resets: Dataset[ResetEvent], maxDelay: String,
+      maxValue: Option[Double]): Dataset[Point] = {
+    import src.sparkSession.implicits._
+    ensureRocksDbStateStore(src.sparkSession)
+    val none = Long.MinValue
+    val tagged = src
+      .map(p => TaggedPoint(p.stream_id, p.t, p.v, is_reset = false))
+      .withWatermark("t", maxDelay)
+      .unionByName(resets
+        .map(r => TaggedPoint(r.stream_id, r.t, 0.0, is_reset = true))
+        .withWatermark("t", maxDelay))
+    val proc = new StatefulProcessor[String, TaggedPoint, Point] {
+      @transient private var buf: ListState[TaggedPoint] = _
+      @transient private var fst: ValueState[CounterResetState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[TaggedPoint]("reorder",
+          Encoders.product[TaggedPoint], TTLConfig.NONE)
+        fst = getHandle.getValueState[CounterResetState]("fold",
+          Encoders.product[CounterResetState], TTLConfig.NONE)
+      }
+      private def drain(key: String, wmMs: Long): Iterator[Point] = {
+        val all = buf.get().toSeq
+        val (due, hold) = all.partition(_.t.getTime <= wmMs)
+        buf.clear()
+        if (hold.nonEmpty) {
+          buf.appendList(hold.toArray)
+          // one armed timer at the earliest held row (the reorderBuffer
+          // discipline): fires when the watermark passes it even if this
+          // key never sees another row
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(hold.map(_.t.getTime).min)
+        } else getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (due.isEmpty) Iterator.empty
+        else {
+          val sorted = due.sortBy(p => (p.t.getTime, !p.is_reset, p.v))
+          val st0 =
+            if (fst.exists()) fst.get()
+            else CounterResetState(none, 0.0, none, Nil)
+          val (out, st1) = CoreFolds.foldCounterReset(key, sorted, st0, maxValue)
+          fst.update(st1)
+          out.iterator
+        }
+      }
+      override def handleInputRows(key: String, rows: Iterator[TaggedPoint],
+          timerValues: TimerValues): Iterator[Point] = {
+        buf.appendList(rows.toArray)
+        drain(key, timerValues.getCurrentWatermarkInMs())
+      }
+      override def handleExpiredTimer(key: String, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[Point] =
+        drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+    tagged.groupByKey(_.stream_id)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** One emitted gap-fill row (real closed hour or filled gap hour). */

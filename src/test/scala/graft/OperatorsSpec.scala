@@ -5340,5 +5340,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild must carry attribute columns into the new root")
   }
 
+  test("Percentiles null contract: exactDiscrete/weightedMedian ignore null values like exactInterpolated (r16 ADVICE alignment)") {
+    import spark.implicits._
+    // a null value must neither count toward n nor become a NULLS FIRST
+    // CDF entry shifting every rank; an all-null group disappears (the
+    // documented left-join caller contract). r17 aligned the three
+    // lanes — this pins the contract with nulls actually present.
+    val rows = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("g1", 10L, 1L), ("g1", null, 7L), ("g1", 30L, 1L), ("g1", 20L, 1L),
+      ("g1", null, 9L), ("g1", 40L, 1L),
+      ("g2", 5L, 2L), ("g2", null, 3L),
+      ("g3", null, 4L), ("g3", null, 1L)) // all-null group
+      .toDF("g", "v", "w")
+    val disc = graft.operators.Percentiles.exactDiscrete(
+      rows, "g", "v", Seq((1, 2, "p50")), checkpoint = false)
+      .orderBy("g").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    // g1: non-null values (10,20,30,40), n=4, rank ceil(4/2)=2 -> 20;
+    // g2: (5), n=1 -> 5; g3 vanishes (all null)
+    assert(disc.toSeq == Seq(("g1", 4L, 20L), ("g2", 1L, 5L)),
+      s"discrete lane mishandled nulls: ${disc.toSeq}")
+    val wmed = graft.operators.Percentiles.weightedMedian(
+      rows, "g", "v", "w", checkpoint = false)
+      .orderBy("g").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // g1: weights all 1 over (10,20,30,40): totw=4, lo=20, hi=30
+    // (null rows' weights 7/9 must NOT join the cumulative sums)
+    assert(wmed.toSeq == Seq(("g1", 4L, 20L, 30L), ("g2", 2L, 5L, 5L)),
+      s"weighted lane mishandled nulls: ${wmed.toSeq}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -793,6 +793,12 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findFirstIn(cp).isEmpty, s"curriculum lang-only rank window:\n$cp")
     assert("windowspecdefinition\\(lang#\\d+, stage#\\d+L?, shuf#\\d+L? ASC".r
       .findFirstIn(cp).isEmpty, s"curriculum (lang, stage)-only rank window:\n$cp")
+    // r17 (verdict item 6): the first-level rank must also not be a
+    // bare VALUE split — a heavily-tied n_chars would re-create the hot
+    // partition. The row_number window must carry the dbkt range column.
+    assert(("windowspecdefinition\\(lang#\\d+, n_chars#\\d+L?, " +
+      "doc_id#\\d+L? ASC").r.findFirstIn(cp).isEmpty,
+      s"curriculum (lang, n_chars)-only tie rank window:\n$cp")
     // and both compute exactly what the r15 single-window lanes did
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -829,6 +835,65 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.orderBy("lang", "stage", "pos").collect().toSeq ==
       oldCur.orderBy("lang", "stage", "pos").collect().toSeq,
       "two-level curriculum rank diverged from the single-window lane")
+  }
+
+  test("q_tfidf_top_terms / text_zipf_fit: two-level top-k — bucketed pre-rank feeds the final window, bit-equal to the single-window lane") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // r17 (verdict item 5, guide §8): the per-lang / global rank windows
+    // sorted the whole vocabulary in #langs / ONE task. Now a level-1
+    // window partitioned by (…, bkt = pmod(xxhash64(tok), B)) keeps each
+    // bucket's top k first (structural recall: a global top-k row has
+    // < k bucket rows ahead of it), so the unchanged final window ranks
+    // <= k·B candidates. Plan guard: the bucketed windowspec exists; the
+    // output is bit-equal to the inlined r16 single-window formulation.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val tfidf = SparkEntry.queries("q_tfidf_top_terms")(spark, sf)
+    val tp = tfidf.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, bkt#\\d+L?".r
+      .findFirstIn(tp).isDefined,
+      s"tfidf lost its (lang, bkt) level-1 window:\n$tp")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count().toDouble
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").localCheckpoint(true)
+    val dfT = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val tfT = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val oldTfidf = tfT.join(broadcast(dfT), "tok")
+      .withColumn("score", col("tf") * (lit(nDocs) / col("df")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))))
+      .where(col("rnk") <= 5)
+      .select("lang", "rnk", "tok", "tf", "df", "score")
+    assert(tfidf.orderBy("lang", "rnk").collect().toSeq ==
+      oldTfidf.orderBy("lang", "rnk").collect().toSeq,
+      "two-level tfidf top-5 diverged from the single-window lane")
+    val zipf = SparkEntry.queries("text_zipf_fit")(spark, sf)
+    val zp = zipf.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(bkt#\\d+L?".r.findFirstIn(zp).isDefined,
+      s"zipf lost its bkt level-1 window:\n$zp")
+    val tfz = docs.select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val oldZipf = tfz
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+      .where(col("r") <= 1000)
+      .select(expr("ln(CAST(r AS DOUBLE))").as("x"),
+        expr("ln(CAST(c AS DOUBLE))").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .select(col("n").as("n_tokens"),
+        expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)")
+          .as("zipf_slope"),
+        expr("round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))" +
+          " * sx) / n, 4)").as("intercept"))
+    assert(zipf.collect().toSeq == oldZipf.collect().toSeq,
+      "two-level zipf fit diverged from the single-window lane")
   }
 
   test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {

@@ -154,6 +154,97 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fused skewed twins (one stateful op) == chained reorderBuffer -> fold, bit-equal (V2 / V4 with resets)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // r17: the skewed gates fold behind a buffer FUSED into the same
+    // stateful processor (one shuffle + one state-store commit per
+    // partition per micro-batch instead of two/three). Pin: on a seeded
+    // bounded-skew replay, fused output == the r16 chained formulation's
+    // output, row for row (same doubles — both run foldCounterReset /
+    // derivativeFold verbatim).
+    def t0 = ts("2024-01-01 00:00:00").getTime
+    val pts = (0 until 40).flatMap { i =>
+      Seq(Streaming.Point("a", new java.sql.Timestamp(t0 + i * 10000L),
+          10.0 + 7.0 * math.sin(i)),
+        Streaming.Point("b", new java.sql.Timestamp(t0 + i * 10000L),
+          if (i < 25) 50.0 + i * 5 else i * 2.0))
+    }
+    val resets = pts.filter(p => p.v.toLong % 5 == 2)
+      .map(p => Streaming.ResetEvent(p.stream_id, p.t))
+    val rnd = new scala.util.Random(23)
+    def jit(s: Seq[Streaming.Point]) =
+      s.sortBy(p => p.t.getTime + (rnd.nextInt(31) - 15) * 1000L)
+    val rndR = new scala.util.Random(29)
+    val shuffledP = jit(pts)
+    val shuffledR = resets.sortBy(r =>
+      r.t.getTime + (rndR.nextInt(31) - 15) * 1000L)
+    val maxT = pts.map(_.t.getTime).max
+    def sentinelsAt(off: Long) = Seq(
+      Streaming.Point("zz", new java.sql.Timestamp(maxT + off), 0.0))
+
+    // --- V2: derivativeSkewed vs derivative(reorderBuffer(...)) ---
+    def runV2(name: String, fused: Boolean) = {
+      val mem = MemoryStream[Streaming.Point]
+      val out =
+        if (fused) Streaming.derivativeSkewed(mem.toDS(), "60 seconds")
+        else Streaming.derivative(
+          Streaming.reorderBuffer(mem.toDS(), "60 seconds"))
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        shuffledP.grouped(17).foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+        }
+        Seq(3600000L, 7200000L).foreach { off =>
+          mem.addData(sentinelsAt(off)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).where(col("stream_id") =!= "zz")
+        .collect().map(_.toSeq).toSet
+    }
+    val v2Fused = runV2("fused_v2", fused = true)
+    val v2Chain = runV2("chain_v2", fused = false)
+    assert(v2Fused == v2Chain, "V2 fused diverged from chained")
+    assert(v2Fused.nonEmpty)
+
+    // --- V4 + resets: counterDerivativeWithResetsSkewed vs chained ---
+    def runV4(name: String, fused: Boolean) = {
+      val memS = MemoryStream[Streaming.Point]
+      val memR = MemoryStream[Streaming.ResetEvent]
+      val out =
+        if (fused) Streaming.counterDerivativeWithResetsSkewed(
+          memS.toDS(), memR.toDS(), "60 seconds", Some(120.0))
+        else Streaming.counterDerivativeWithResets(
+          Streaming.reorderBuffer(memS.toDS(), "60 seconds"),
+          Streaming.reorderBufferResets(memR.toDS(), "60 seconds"),
+          Some(120.0))
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val sCut = shuffledP.grouped(shuffledP.length / 3 + 1).toSeq
+        val rCut = shuffledR.grouped(shuffledR.length / 3 + 1).toSeq
+        (0 until 3).foreach { i =>
+          if (i < rCut.length) memR.addData(rCut(i))
+          if (i < sCut.length) memS.addData(sCut(i))
+          q.processAllAvailable()
+        }
+        Seq(3600000L, 7200000L).foreach { off =>
+          memS.addData(sentinelsAt(off))
+          memR.addData(Seq(Streaming.ResetEvent("zz",
+            new java.sql.Timestamp(maxT + off))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).where(col("stream_id") =!= "zz")
+        .collect().map(_.toSeq).toSet
+    }
+    val v4Fused = runV4("fused_v4", fused = true)
+    val v4Chain = runV4("chain_v4", fused = false)
+    assert(v4Fused == v4Chain, "V4 fused diverged from chained")
+    assert(v4Fused.nonEmpty)
+  }
+
   test("streaming ACF sufficient statistics == batch autocorr across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

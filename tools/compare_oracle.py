@@ -62,7 +62,32 @@ print(f"[compare] repo={sha} sfdir={sfdir} dump={outdir}")
 print(f"[compare] dump oracle_sql.json mtime={_iso(dump_mtime)}; "
       f"newest src/main mtime={_iso(src_mtime)} ({os.path.relpath(src_newest, repo)}); "
       f"now={_iso(datetime.datetime.now().timestamp())}")
-if dump_mtime and src_mtime > dump_mtime and not allow_stale:
+# r17 (r16 ADVICE): prefer SHA identity over mtimes — a git checkout
+# rewrites mtimes of unchanged files and would spuriously reject a
+# still-valid dump. If the dump carries Verify's provenance stamp and
+# both trees are the SAME CLEAN commit, the dump is fresh by identity.
+sha_fresh = False
+meta_path = f"{outdir}/_verify_meta.json"
+if os.path.exists(meta_path):
+    try:
+        meta = json.load(open(meta_path))
+        full_sha = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                                  capture_output=True, text=True
+                                  ).stdout.strip()
+        cur_dirty = bool(dirty)
+        if (meta.get("sha") == full_sha and full_sha
+                and not meta.get("dirty") and not cur_dirty):
+            sha_fresh = True
+            print(f"[compare] dump stamped with the SAME clean commit "
+                  f"({full_sha[:12]}) — fresh by identity")
+        else:
+            print(f"[compare] stamp sha={str(meta.get('sha'))[:12]} "
+                  f"dirty={meta.get('dirty')} vs repo {full_sha[:12]} "
+                  f"dirty={cur_dirty} — falling back to the mtime guard")
+    except Exception as e:
+        print(f"[compare] stamp unreadable ({e}) — mtime guard applies")
+if dump_mtime and src_mtime > dump_mtime and not allow_stale \
+        and not sha_fresh:
     print("[compare] STALE-DUMP: the dump predates the newest main source "
           "file — re-run graft.Verify before comparing (or pass "
           "--allow-stale to compare a deliberately-chosen older tree)")

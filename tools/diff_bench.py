@@ -23,10 +23,15 @@ old, new = (json.load(open(p)) for p in argv)
 
 ot, nt = old.get("tasks", {}), new.get("tasks", {})
 oc, nc = old.get("cpu", {}), new.get("cpu", {})
+oj, nj = old.get("jobs", {}), new.get("jobs", {})
 added = sorted(set(nt) - set(ot))
 removed = sorted(set(ot) - set(nt))
 moved = sorted(((k, ot[k], nt[k]) for k in set(ot) & set(nt)
                 if ot[k] != nt[k]), key=lambda r: -(abs(r[2] - r[1])))
+# jobs are as reproducible as tasks and catch driver-loop regressions
+# tasks can miss (r16 verdict item 8) — diff them too
+jmoved = sorted(((k, oj[k], nj[k]) for k in set(oj) & set(nj)
+                 if oj[k] != nj[k]), key=lambda r: -(abs(r[2] - r[1])))
 
 print(f"old: {len(ot)} queries, {old.get('tasks_total')} tasks, "
       f"{old.get('cpu_total'):.1f} cpu")
@@ -45,6 +50,11 @@ if moved:
     for k, a, b in moved:
         print(f"  {k:36s} {a:>6} -> {b:<6} ({b - a:+d})  "
               f"cpu {oc.get(k, 0):.1f} -> {nc.get(k, 0):.1f}")
+if jmoved:
+    print(f"\nJOB-COUNT MOVES ({len(jmoved)}):")
+    for k, a, b in jmoved:
+        print(f"  {k:36s} {a:>6} -> {b:<6} ({b - a:+d})  "
+              f"tasks {ot.get(k, 0)} -> {nt.get(k, 0)}")
 if cpu_band is not None:
     flat = [(k, oc.get(k, 0), nc.get(k, 0)) for k in set(ot) & set(nt)
             if ot[k] == nt[k] and oc.get(k, 0) > 0.5
@@ -54,5 +64,5 @@ if cpu_band is not None:
               "(usually the load band — verify before acting):")
         for k, a, b in sorted(flat, key=lambda r: -abs(r[2] - r[1])):
             print(f"  {k:36s} cpu {a:.1f} -> {b:.1f}")
-if not (added or removed or moved):
-    print("\nno task-count differences")
+if not (added or removed or moved or jmoved):
+    print("\nno task- or job-count differences")
