@@ -996,8 +996,18 @@ object SparkEntry {
       val hist = tbl(s, dir, "lineitem").groupBy("l_suppkey")
         .agg(count(lit(1)).as("cnt"))
       val tot = hist.agg(sum("cnt").as("total"))
+      // r17: two-level top-k (the q_tfidf_top_terms discipline) — the
+      // key histogram scales with the key domain, so the global rank
+      // pre-filters to each hash bucket's top 20 first (structural
+      // recall); the final window ranks <= 20·64 survivors.
+      val wb = Window.partitionBy("bkt")
+        .orderBy(col("cnt").desc, col("l_suppkey"))
       val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
-      hist.crossJoin(broadcast(tot))
+      hist
+        .withColumn("bkt", pmod(xxhash64(col("l_suppkey")), lit(64)))
+        .withColumn("brnk", row_number().over(wb))
+        .where(col("brnk") <= 20)
+        .crossJoin(broadcast(tot))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 20)
         .withColumn("share_bps", expr("cnt * 10000 div total"))
@@ -5969,7 +5979,15 @@ object SparkEntry {
         .where(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true) // feeds vocab AND the query ranking
+      // r17: two-level top-k (the q_tfidf_top_terms discipline) — the
+      // query rank is vocab-scale; bucket pre-rank keeps recall
+      // structural and the final window sees <= 10·32 rows
+      val qwb = Window.partitionBy("bkt")
+        .orderBy(col("cnt").desc, col("tok"))
       val queries = toks.where(length(col("tok")) >= 5)
+        .withColumn("bkt", pmod(xxhash64(col("tok")), lit(32)))
+        .withColumn("brk", row_number().over(qwb))
+        .where(col("brk") <= 10)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))))
         .where(col("rk") <= 10)
@@ -6002,7 +6020,15 @@ object SparkEntry {
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
         .localCheckpoint(true) // feeds the vocab ranking AND the probe
+      // r17: two-level top-k (the text_zipf_fit discipline) — bucket
+      // pre-rank with structural recall; the final window sees <= 32k
+      // candidate rows instead of the vocabulary
+      val vwb = Window.partitionBy("bkt")
+        .orderBy(col("c").desc, col("tok"))
       val vocab = t.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", pmod(xxhash64(col("tok")), lit(32)))
+        .withColumn("brk", row_number().over(vwb))
+        .where(col("brk") <= 1000)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("c").desc, col("tok"))))
         .where(col("rk") <= 1000)

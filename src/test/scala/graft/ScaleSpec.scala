@@ -894,6 +894,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
           " * sx) / n, 4)").as("intercept"))
     assert(zipf.collect().toSeq == oldZipf.collect().toSeq,
       "two-level zipf fit diverged from the single-window lane")
+
+    // the same discipline swept onto the remaining vocab/key-histogram
+    // global ranks (r17): q_skew_report (supplier histogram top-20),
+    // q_fuzzy_match (query rank top-10), text_oov_rate (vocab top-1000)
+    for (qn <- Seq("q_skew_report", "q_fuzzy_match", "text_oov_rate")) {
+      val df0 = SparkEntry.queries(qn)(spark, sf)
+      val pp = df0.queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\((lang#\\d+, )?bkt#\\d+L?".r
+        .findFirstIn(pp).isDefined,
+        s"$qn lost its bucketed level-1 window:\n$pp")
+    }
+    val hist = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum("cnt").as("total"))
+    val oldSkew = hist.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l_suppkey"))).cast("long"))
+      .where(col("rnk") <= 20)
+      .withColumn("share_bps", expr("cnt * 10000 div total"))
+      .withColumn("cum_bps", expr(
+        "sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " * 10000 div total"))
+      .select("rnk", "l_suppkey", "cnt", "share_bps", "cum_bps")
+    assert(SparkEntry.queries("q_skew_report")(spark, sf)
+      .collect().toSeq == oldSkew.orderBy("rnk").collect().toSeq,
+      "two-level skew report diverged from the single-window lane")
   }
 
   test("BPE distributed-delta lane: zero per-merge shuffles, narrow single-stage merge jobs") {
