@@ -19,6 +19,12 @@ object ProfileSkew {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(s)
+    // experiment knob: GRAFT_ROCKS_CHANGELOG=1 flips RocksDB changelog
+    // checkpointing on for the whole session (per-commit delta upload
+    // instead of SST snapshot) to measure its share of the per-batch cost
+    if (sys.env.get("GRAFT_ROCKS_CHANGELOG").contains("1"))
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
     import s.implicits._
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
